@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * The reference pipeline derives all randomness from process-global RNG
+  * seeds (reference sdata/custom_datapipes.py:108-141 `SeedSetter`;
+  * sdata/sample_mappers.py:171-172 random crop). That is not stable under
+  * Spark task retries, and not reproducible by an external oracle. Our
+  * engine-wide rule (SURVEY.md §7.4): every "random" decision is a pure
+  * function of (row key, seed).
+  *
+  * We use the first 8 hex digits of md5 — a primitive both Spark and
+  * DuckDB evaluate identically — so sampling/shuffle/dedup operators are
+  * oracle-checkable bit-for-bit:
+  *   Spark : conv(substring(md5(cast(x as binary)),1,8),16,10)
+  *   DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT
+  *
+  * All of these are codegen'd built-ins (no UDFs), so they stay inside
+  * whole-stage codegen at any scale.
+  */
+object PortableHash {
+
+  /** 32-bit uniform hash of a column's string form, as a Long in [0, 2^32). */
+  def detHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: mixes an integer seed into the key. */
+  def detHash(c: Column, seed: Int): Column =
+    detHash(concat(c.cast("string"), lit(":" + seed)))
+
+  /** Deterministic uniform double in [0, 1) from (key, seed) — the
+    * replacement for `rand(seed)` wherever the result must be replayable
+    * per-row under retries and checkable by the DuckDB oracle.
+    */
+  def detUniform(c: Column, seed: Int): Column =
+    detHash(c, seed) / lit(4294967296.0)
+
+  /** SQL fragment (DuckDB dialect) equivalent to [[detHash]](col). */
+  def duckHashSql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+
+  /** SQL fragment (DuckDB dialect) equivalent to [[detHash]](col, seed). */
+  def duckHashSql(expr: String, seed: Int): String =
+    duckHashSql(s"($expr || ':$seed')")
+
+  /** SQL fragment (DuckDB dialect) equivalent to [[detUniform]]. */
+  def duckUniformSql(expr: String, seed: Int): String =
+    s"(${duckHashSql(expr, seed)} / 4294967296.0)"
+}

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Portable.pround
+
+/** Core relational surface: scans, projection/filter (with parquet
+  * pushdown), equi/semi/anti/outer joins, hash aggregation, windows,
+  * sort/limit/top-k, set ops, rollup, scalar functions.
+  *
+  * The reference only exercises inner + left-semi joins and key-group
+  * assembly (SURVEY.md §2.3/§2.4); everything else here is the north-star
+  * surface a user of the engine gets for free from Spark — declared
+  * DataFrame-first so Catalyst broadcast-plans small dims and pushes
+  * predicates into the parquet scan.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A: full-scan hash aggregate with map-side partial agg (TPC-H Q1 shape).
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          pround(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          pround(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // P: projection + filter pushed into the parquet scan (PushedFilters).
+    "q02_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          pround($"l_extendedprice" * (lit(1) - $"l_discount"), 2).as("net_price"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // J: 3-way join + agg + top-k (TPC-H Q3 shape); customer dim broadcasts.
+    "q03_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderpriority")
+        .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // J: broadcast hash join of fact against small dim + agg by brand.
+    "q04_brand_volume" -> ((s, dir) => {
+      import s.implicits._
+      val part = t(s, dir, "part")
+      t(s, dir, "lineitem")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy($"p_brand")
+    }),
+
+    // J4: left-semi join — customers that have at least one order.
+    "q05_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // left-anti join — customers with no orders.
+    "q06_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // left-outer join + null-aware agg: order count per customer incl. zeros.
+    "q07_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          pround(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy($"c_custkey")
+    }),
+
+    // W: ranking window — top-2 orders per customer by price.
+    "q08_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 2)
+        .select($"o_custkey", $"rk", $"o_orderkey",
+          pround($"o_totalprice", 2).as("price"))
+        .orderBy($"o_custkey", $"rk")
+    }),
+
+    // W: running-total window (rows between unbounded preceding).
+    "q09_running_sum" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          pround(sum($"o_totalprice").over(w), 2).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Global sort + limit with deterministic tiebreak (top-k exchange).
+    "q10_top_revenue_items" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          pround($"l_extendedprice" * (lit(1) - $"l_discount"), 2).as("net"))
+        .orderBy($"net".desc, $"l_orderkey", $"l_linenumber")
+        .limit(25)
+    }),
+
+    // Set ops: nations having customers INTERSECT/EXCEPT nations having suppliers.
+    "q11_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val cn = t(s, dir, "customer").select($"c_nationkey".as("nationkey")).distinct()
+      val sn = t(s, dir, "supplier").select($"s_nationkey".as("nationkey")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .union(cn.except(sn).withColumn("tag", lit("cust_only")))
+        .orderBy($"tag", $"nationkey")
+    }),
+
+    // Rollup (hierarchical agg); nulls coalesced to sentinels so ordering
+    // and hashing are engine-independent.
+    "q12_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"), $"n", $"qty")
+        .orderBy($"rflag", $"lstatus")
+    }),
+
+    // Scalar function surface: string/date/conditional expressions.
+    "q13_scalar_fns" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          upper(substring($"o_orderpriority", 1, 1)).as("prio_initial"),
+          concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("status_prio"),
+          when($"o_totalprice" > 200000, "big")
+            .when($"o_totalprice" > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          pround(log10($"o_totalprice"), 6).as("log_price"))
+        .orderBy($"o_orderkey")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        | floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS net_price
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_brand_volume" ->
+      """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | floor((coalesce(sum(o_totalprice), 0)) * 100 + 0.5) / 100 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q08_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, price FROM (
+        | SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 2
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q09_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q10_top_revenue_items" ->
+      """SELECT l_orderkey, l_linenumber,
+        | floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS net
+        |FROM lineitem
+        |ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin,
+    "q11_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        | sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q12_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q13_scalar_fns" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+        | o_orderstatus || '-' || o_orderpriority AS status_prio,
+        | CASE WHEN o_totalprice > 200000 THEN 'big'
+        |      WHEN o_totalprice > 100000 THEN 'mid'
+        |      ELSE 'small' END AS bucket,
+        | floor((log10(o_totalprice)) * 1000000 + 0.5) / 1000000 AS log_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (driver-side tooling,
+not part of the Spark library). Usage:
+
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+
+Compares each <name>.parquet dumped by graft.Verify against the DuckDB
+result of oracle_sql.json[name]: schema (sorted column names), row count,
+and value hash.
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        for v in row:
+            if isinstance(v, float):
+                v = round(v, 6)
+            h.update(repr(v).encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not files:
+                print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+            got = norm(duckdb.sql(f"SELECT * FROM read_parquet({files!r})").df())
+            exp = norm(con.sql(oracle[name]).df())
+            if list(got.columns) != list(exp.columns):
+                print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}"); n_fail += 1; continue
+            if len(got) != len(exp):
+                print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+            hg, he = value_hash(got), value_hash(exp)
+            if hg != he:
+                print(f"FAIL {name}: hash {hg} != {he}")
+                merged = got.compare(exp) if got.shape == exp.shape else None
+                if merged is not None and not merged.empty:
+                    print(merged.head(5))
+                n_fail += 1
+                continue
+            print(f"ok   {name} ({len(got)} rows)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
