@@ -13,7 +13,13 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    EventsQueries,
+    PipelineQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

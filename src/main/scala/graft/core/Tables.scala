@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver's synthetic corpus (TESTDATA.md): one parquet
   * file per table under a scale-factor directory.
@@ -14,6 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`:
+    * Spark 4 has no TimestampType for parquet TIMESTAMP(NANOS) (the
+    * `events.ts` column), so nanos arrive as Long and are truncated here
+    * to microsecond timestamps (truncation matches the oracle's floor
+    * semantics; sub-microsecond precision is below every operator's
+    * resolution).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -38,6 +38,17 @@ object PortableHash {
   def detUniform(c: Column, seed: Int): Column =
     detHash(c, seed) / lit(4294967296.0)
 
+  /** JVM-side evaluation of [[detHash]] — same first-8-hex-of-md5 value,
+    * for precomputing derived constants (e.g. LSH hyperplanes) on the
+    * driver.
+    */
+  def detHashJvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** SQL fragment (DuckDB dialect) equivalent to [[detHash]](col). */
   def duckHashSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact, one pass over the data, no
+  *    shuffle beyond the final top-k — the correct baseline when fused
+  *    into codegen (dot product via zip_with/aggregate, no UDF);
+  *  - LSH (random-hyperplane) bucketing: sub-linear candidate search at
+  *    100 TB — vectors are bucketed by sign pattern once (cheap,
+  *    shuffle-free), probes only scan their own bucket. An IVF variant
+  *    is the same topology with learned centroids instead of random
+  *    planes.
+  *
+  * Hyperplanes are derived deterministically from [[PortableHash]] on
+  * the driver and embedded as literals — no model state to store, and
+  * the oracle can reproduce the exact same planes.
+  */
+object SimilarityFunctions {
+
+  /** Sequential-order dot product of two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity computed in double precision with sequential
+    * summation — the exact same op order the oracle uses.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = castDouble(a)
+    val bd = castDouble(b)
+    Portable.pround(dot(ad, bd) / (norm(ad) * norm(bd)), 6)
+  }
+
+  private def castDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Deterministic pseudo-random hyperplanes: component i of plane j is
+    * uniform in [-1, 1), derived from md5("plane:j:i") — reproducible
+    * anywhere, no stored model.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, i) =>
+      PortableHash.detHashJvm(s"plane:$j:$i") / 2147483648.0 - 1.0
+    }
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val v = castDouble(vec)
+    hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, j) =>
+      val proj = dot(v, array(plane.map(lit): _*))
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Brute-force top-k by cosine against one probe vector: score all,
+    * take k. The order-by is (score desc, id) — total and deterministic.
+    */
+  def topKByCosine(df: DataFrame, vecCol: String, idCol: String,
+      probe: Column, k: Int): DataFrame =
+    df.withColumn("score", cosine(col(vecCol), probe))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  // ---- DuckDB-dialect renderings (oracle side) -------------------------
+
+  def dotSql(ea: String, eb: String): String =
+    s"list_sum(list_transform(list_zip($ea, $eb), p -> p[1] * p[2]))::DOUBLE"
+
+  def cosineSql(ea: String, eb: String): String = {
+    val (a, b) = (s"($ea)::DOUBLE[]", s"($eb)::DOUBLE[]")
+    Portable.proundSql(
+      s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))", 6)
+  }
+
+  /** SQL list literal for one hyperplane. */
+  private def planeSql(plane: Array[Double]): String =
+    plane.mkString("[", ", ", "]::DOUBLE[]")
+
+  def lshBucketSql(e: String, nPlanes: Int, dim: Int): String = {
+    val v = s"($e)::DOUBLE[]"
+    hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, j) =>
+      val proj = dotSql(v, planeSql(plane))
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization
+  * stats, language ID, quality scoring, fingerprinting.
+  *
+  * These extend the reference's per-sample mapper/filter surface (its
+  * text handling stops at utf-8 decode — reference
+  * sdata/datapipeline.py:185-189) with the operations a 100 TB text
+  * corpus actually needs. Everything is built from codegen'd built-ins
+  * (split/filter/transform/aggregate) — no UDFs — so the whole stage
+  * fuses into one WholeStageCodegen pass over the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Count of non-alphanumeric, non-space chars. */
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+
+  /** Word-shingles of `n` consecutive tokens; degenerates to one shingle
+    * (the whole text) when the document is shorter than `n` tokens.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Language-scoring stopword lists (tiny n-gram-free heuristic). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "du", "est", "dans", "pour", "que"))
+
+  /** Number of tokens of `c` found in `words` (not deduplicated). */
+  def stopwordCount(c: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(arr, lower(t))))
+  }
+
+  /** Heuristic language ID: the first language (in [[stopwords]] order)
+    * achieving the maximal stopword count; "und" when no stopword hits.
+    */
+  def langId(c: Column): Column = {
+    val best = stopwords.foldLeft((lit("und"), lit(0L))) {
+      case ((bestLang, bestScore), (lang, words)) =>
+        val s = stopwordCount(c, words).cast("long")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    best._1
+  }
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation
+    * density, stopword presence, sane mean word length. Pure arithmetic —
+    * portable and deterministic.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(c).cast("double") / greatest(length(c).cast("double"), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * lit(5.0), lit(0.0))
+    val stopRatio = stopwordCount(c, stopwords.head._2).cast("double") / greatest(nTok, lit(1.0))
+    val stopScore = least(stopRatio * lit(4.0), lit(1.0))
+    val meanWordLen = (length(c).cast("double") - nTok + lit(1.0)) / greatest(nTok, lit(1.0))
+    val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    Portable.pround(
+      lenScore * lit(0.3) + punctScore * lit(0.2) + stopScore * lit(0.3) + wordLenScore * lit(0.2),
+      6)
+  }
+
+  /** Canonical fingerprint: md5 of the sorted distinct lowercase token
+    * set — robust to token order and repetition (the "collection
+    * fingerprint" used for near-canonical dedup).
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(transform(tokens(c), t => lower(t))))).cast("binary"))
+
+  // ---- DuckDB-dialect renderings (oracle side) -------------------------
+
+  def tokensSql(e: String): String =
+    s"list_filter(regexp_split_to_array($e, '\\s+'), t -> length(t) > 0)"
+
+  def tokenCountSql(e: String): String = s"length(${tokensSql(e)})"
+
+  def punctCountSql(e: String): String =
+    s"(length($e) - length(regexp_replace($e, '[^a-zA-Z0-9\\s]', '', 'g')))"
+
+  def wordShinglesSql(e: String, n: Int): String = {
+    val toks = tokensSql(e)
+    s"list_transform(generate_series(1, greatest(length($toks) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(($toks)[i:i+${n - 1}], ' '))"
+  }
+
+  def stopwordCountSql(e: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"length(list_filter(${tokensSql(e)}, t -> list_contains($arr, lower(t))))"
+  }
+
+  def langIdSql(e: String): String = {
+    // same fold as langId: first language in order with strictly greater
+    // score than all previous wins; CASE chain renders the same argmax.
+    val scores = stopwords.map { case (l, ws) => l -> stopwordCountSql(e, ws) }
+    val conds = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val laterGe = scores.drop(i + 1).map { case (_, s2) => s"$s >= $s2" }
+      val cond = (Seq(s"$s > 0") ++ laterGe).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"(CASE ${conds.mkString(" ")} ELSE 'und' END)"
+  }
+
+  def qualityScoreSql(e: String): String = {
+    val nTok = s"(${tokenCountSql(e)})::DOUBLE"
+    val lenScore = s"least($nTok / 50.0, 1.0)"
+    val punctRatio = s"(${punctCountSql(e)})::DOUBLE / greatest(length($e)::DOUBLE, 1.0)"
+    val punctScore = s"greatest(1.0 - ($punctRatio) * 5.0, 0.0)"
+    val stopRatio = s"(${stopwordCountSql(e, stopwords.head._2)})::DOUBLE / greatest($nTok, 1.0)"
+    val stopScore = s"least(($stopRatio) * 4.0, 1.0)"
+    val meanWordLen = s"((length($e)::DOUBLE - $nTok + 1.0) / greatest($nTok, 1.0))"
+    val wordLenScore = s"(CASE WHEN $meanWordLen >= 3 AND $meanWordLen <= 10 THEN 1.0 ELSE 0.5 END)"
+    Portable.proundSql(
+      s"($lenScore) * 0.3 + ($punctScore) * 0.2 + ($stopScore) * 0.3 + ($wordLenScore) * 0.2",
+      6)
+  }
+
+  def fingerprintSql(e: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(list_transform(${tokensSql(e)}, t -> lower(t)))), ' '))"
+}

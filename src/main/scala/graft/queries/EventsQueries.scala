@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Portable.pround
+
+/** Event-stream analytics over the `events` table: sessionization
+  * (gap-based), tumbling-window aggregation, and JSON property
+  * extraction. These are the batch duals of the Structured Streaming
+  * path (graft.streaming) — same logical ops, same results on bounded
+  * input.
+  */
+object EventsQueries extends QueryPack {
+
+  private val SessionGapSec = 1800L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based sessionization: a new session starts when the gap from
+    // the previous event of the same user exceeds 30 min. Emits per-user
+    // session stats. One hash exchange on user_id; the window sort is
+    // within-partition.
+    "q50_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapped = ev(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > SessionGapSec, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy($"user_id")
+        .agg(max($"session_id").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          pround(sum($"value"), 2).as("total_value"))
+        .orderBy($"user_id")
+    }),
+
+    // Tumbling 1-hour window aggregation by event type.
+    "q51_hourly_agg" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), pround(sum($"value"), 2).as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
+    // JSON property extraction (the decode layer's `.json` handler dual,
+    // reference sdata/dataset.py:204-232) + aggregation on the parsed key.
+    "q52_json_props" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy(($"k" % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), pround(avg($"value"), 4).as("avg_value"))
+        .orderBy($"k_mod")
+    }),
+
+    // Top event bursts: for each event_type, the 3 users with most events
+    // (windowed rank over a grouped aggregate — two-stage shuffle).
+    "q53_type_top_users" -> ((s, dir) => {
+      import s.implicits._
+      val counts = ev(s, dir).groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"n".desc, $"user_id")
+      counts.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"event_type", $"rk", $"user_id", $"n")
+        .orderBy($"event_type", $"rk")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q50_sessionize" ->
+      s"""WITH gapped AS (
+         | SELECT user_id, value, ts, event_id,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > $SessionGapSec
+         |       THEN 1 ELSE 0 END AS new_session
+         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         | SELECT user_id, value, (sum(new_session) OVER (
+         |   PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+         | FROM gapped)
+         |SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events,
+         | floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q51_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, count(*) AS n,
+        | floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q52_json_props" ->
+      """SELECT (props->>'$.k')::BIGINT % 10 AS k_mod, count(*) AS n,
+        | floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q53_type_top_users" ->
+      """SELECT event_type, rk, user_id, n FROM (
+        | SELECT event_type, user_id, n, row_number() OVER (
+        |  PARTITION BY event_type ORDER BY n DESC, user_id) AS rk
+        | FROM (SELECT event_type, user_id, count(*) AS n
+        |       FROM events GROUP BY event_type, user_id))
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.Portable.pround
+
+/** Text-analysis operators over the `documents` table: token stats,
+  * language ID, quality scoring, fingerprinting, vocabulary extraction.
+  * All pure codegen'd expressions — a single WholeStageCodegen pass over
+  * the scan, embarrassingly parallel at any scale.
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + punctuation density + canonical fingerprint.
+    "q20_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        length($"text").as("n_chars_txt"),
+        punctCount($"text").as("n_punct"),
+        fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Heuristic language ID (stopword argmax) per document.
+    "q21_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id", $"lang", langId($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // Composite quality score + keep-filter at 0.5.
+    "q22_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id", qualityScore($"text").as("quality"))
+        .filter($"quality" >= 0.5)
+        .orderBy($"doc_id")
+    }),
+
+    // Vocabulary: explode tokens, top-20 by frequency (generator + agg
+    // + top-k — the classic word-count shuffle).
+    "q23_vocab_top" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(explode(tokens(lower($"text"))).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q20_text_stats" ->
+      s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
+         | length(text) AS n_chars_txt,
+         | ${punctCountSql("text")} AS n_punct,
+         | ${fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      s"""SELECT doc_id, lang, ${langIdSql("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_quality_score" ->
+      s"""SELECT doc_id, quality FROM (
+         | SELECT doc_id, ${qualityScoreSql("text")} AS quality FROM documents)
+         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    "q23_vocab_top" ->
+      s"""SELECT token, count(*) AS n FROM (
+         | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-driven spec for the wds-tar DataSource V2: sample assembly,
+  * reserved columns, heterogeneous keys, column pruning, overflow map,
+  * corrupt-shard skip. Fixture tars are generated under target/.
+  */
+class WdsTarSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val fixtureDir = {
+    val d = Paths.get("target", "wds-fixtures").toAbsolutePath
+    Files.createDirectories(d)
+    d
+  }
+
+  private def writeTar(name: String, members: Seq[(String, Array[Byte])]): String = {
+    val f = fixtureDir.resolve(name).toFile
+    val out = new TarArchiveOutputStream(new FileOutputStream(f))
+    members.foreach { case (path, bytes) =>
+      val e = new TarArchiveEntry(path)
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    f.getAbsolutePath
+  }
+
+  private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private lazy val shard1 = writeTar("shard-000000.tar", Seq(
+    "sample-a.jpg" -> b("JPGDATA-A"),
+    "sample-a.json" -> b("""{"h": 2}"""),
+    "sample-a.txt" -> b("caption a"),
+    "sample-b.jpg" -> b("JPGDATA-B"),
+    "sample-b.txt" -> b("caption b"), // no json — heterogeneous keys
+    "sample-c.extra.weird" -> b("overflow me"),
+    "sample-c.jpg" -> b("JPGDATA-C")))
+
+  test("assembles consecutive same-stem members into one row per sample") {
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard1)
+      .option("extensions", "jpg,json,txt")
+      .load()
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("sample-a", "sample-b", "sample-c"))
+    val a = rows("sample-a")
+    assert(new String(a.getAs[Array[Byte]]("jpg")) == "JPGDATA-A")
+    assert(new String(a.getAs[Array[Byte]]("json")) == """{"h": 2}""")
+    assert(a.getString(1) == shard1) // __url__
+    // missing member ⇒ null column (superset of the reference's
+    // key-intersection drop, SURVEY.md §1.1)
+    assert(rows("sample-b").getAs[Array[Byte]]("json") == null)
+  }
+
+  test("multi-dot member names key on the first dot (reference grouper)") {
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard1)
+      .option("extensions", "jpg,extra.weird")
+      .load()
+    val c = df.filter("__key__ = 'sample-c'").collect().head
+    assert(new String(c.getAs[Array[Byte]]("extra.weird")) == "overflow me")
+  }
+
+  test("column pruning keeps only requested columns in the scan") {
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard1)
+      .option("extensions", "jpg,json,txt")
+      .load()
+      .select("__key__")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("sample-a", "sample-b", "sample-c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__key__"))
+  }
+
+  test("overflow map captures undeclared extensions") {
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard1)
+      .option("extensions", "jpg")
+      .option("overflow", "true")
+      .load()
+    val c = df.filter("__key__ = 'sample-c'").collect().head
+    val m = c.getAs[Map[String, Array[Byte]]]("__overflow__")
+    assert(m.keySet == Set("extra.weird"))
+    assert(new String(m("extra.weird")) == "overflow me")
+  }
+
+  test("brace expansion in shards option; one partition per shard") {
+    writeTar("shard-000001.tar", Seq("z.txt" -> b("zz")))
+    val pattern = fixtureDir.resolve("shard-{000000..000001}.tar").toString
+    val df = spark.read.format("wds-tar")
+      .option("shards", pattern)
+      .option("extensions", "txt")
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 4) // 3 samples + 1
+  }
+
+  test("corrupt shard: errorPolicy=skip warns and keeps good rows") {
+    val corrupt = fixtureDir.resolve("corrupt.tar").toFile
+    val fos = new FileOutputStream(corrupt)
+    fos.write(b("this is not a tar at all, but long enough to look like one" * 20))
+    fos.close()
+    val df = spark.read.format("wds-tar")
+      .option("shards", s"$shard1,${corrupt.getAbsolutePath}")
+      .option("extensions", "jpg")
+      .option("errorPolicy", "skip")
+      .load()
+    assert(df.count() == 3) // corrupt shard contributes nothing
+  }
+
+  test("member extension derivation and shard keys (pure listing layer)") {
+    import graft.sources.ShardExpand._
+    assert(expand("ds-{000..002}.tar") ==
+      Seq("ds-000.tar", "ds-001.tar", "ds-002.tar"))
+    intercept[IllegalArgumentException](expand("ds-{00..002}.tar"))
+    intercept[IllegalArgumentException](expand("ds-{005..002}.tar"))
+    intercept[IllegalArgumentException](expand("ds-nothing.tar"))
+    assert(sampleKey("dir/a/sample-x.jpg") == "sample-x")
+    assert(memberExtension("dir/sample-x.seg.png") == "seg.png")
+    assert(shardKey("/data/ds/shard-01.tar") == "/data/ds/shard-01")
+    assert(refKey("/data/ds_meta/shard-01_meta.tar", "meta") == "/data/ds_meta/shard-01")
+  }
+}

@@ -24,10 +24,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
+    import numpy as np
+    from decimal import Decimal
     for row in df.itertuples(index=False):
         for v in row:
-            if isinstance(v, float):
-                v = round(v, 6)
+            if isinstance(v, (np.integer,)):
+                v = int(v)
+            elif isinstance(v, Decimal):
+                v = round(float(v), 6)
+            elif isinstance(v, (float, np.floating)):
+                v = round(float(v), 6)
             h.update(repr(v).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
