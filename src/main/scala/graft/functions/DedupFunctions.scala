@@ -34,15 +34,22 @@ object DedupFunctions {
       .drop("__dd_rank__")
   }
 
-  /** MinHash signature over `n`-token shingles with `k` independent
-    * hash functions: sig[j] = min over shingles of detHash(shingle, j).
+  /** MinHash signature from a *materialized* shingle-array column with
+    * `k` independent hash functions: sig[j] = min over shingles of
+    * detHash(shingle, j). Stage the shingle array through a projection
+    * first (perf contract — see
+    * [[TextFunctions.wordShinglesFromTokens]]).
     */
-  def minhashSignature(c: Column, k: Int, n: Int): Column = {
-    val shingles = TextFunctions.wordShingles(c, n)
+  def minhashFromShingles(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(shingles,
         s => PortableHash.detHash(concat(s, lit(":mh"), j.cast("string"))))))
-  }
+
+  /** One-shot MinHash over `n`-token shingles (inline tokenize+shingle;
+    * for single-use expressions only).
+    */
+  def minhashSignature(c: Column, k: Int, n: Int): Column =
+    minhashFromShingles(TextFunctions.wordShingles(c, n), k)
 
   /** LSH band buckets from a MinHash signature: `bands` buckets, each an
     * md5 of `rowsPerBand` consecutive signature entries (prefixed with
@@ -76,17 +83,28 @@ object DedupFunctions {
   def shingleJaccard(a: Column, b: Column, n: Int): Column =
     jaccardOnSets(distinctShingles(a, n), distinctShingles(b, n))
 
-  /** SimHash over whitespace tokens: bit j of the result is set iff the
-    * sum over tokens of (bit j of detHash(token) ? +1 : -1) is positive.
+  /** Per-token detHash array — stage this through a projection before
+    * feeding [[simhashFromHashes]] (perf contract: each bit position
+    * folds over the array; an inline hash expression would re-hash every
+    * token `bits` times).
     */
-  def simhash(c: Column, bits: Int): Column = {
-    val hashes = transform(TextFunctions.tokens(c), t => PortableHash.detHash(t))
+  def tokenHashes(c: Column): Column =
+    transform(TextFunctions.tokens(c), t => PortableHash.detHash(t))
+
+  /** SimHash from a materialized token-hash array: bit j of the result
+    * is set iff the sum over tokens of (bit j of hash ? +1 : -1) is
+    * positive.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column =
     (0 until bits).map { j =>
       val bal = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
       when(bal > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** One-shot SimHash over whitespace tokens (single-use convenience). */
+  def simhash(c: Column, bits: Int): Column =
+    simhashFromHashes(tokenHashes(c), bits)
 
   // ---- DuckDB-dialect renderings (oracle side) -------------------------
 

@@ -38,15 +38,31 @@ object PortableHash {
   def detUniform(c: Column, seed: Int): Column =
     detHash(c, seed) / lit(4294967296.0)
 
-  /** JVM-side evaluation of [[detHash]] — same first-8-hex-of-md5 value,
-    * for precomputing derived constants (e.g. LSH hyperplanes) on the
-    * driver.
+  /** Thread-local MD5 instances: `MessageDigest.getInstance` costs ~µs
+    * per call (provider lookup + allocation), which dominates kernels
+    * doing millions of hashes; `digest()` resets the instance so reuse
+    * is safe.
+    */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** JVM-side evaluation of [[detHash]] — same first-4-bytes-of-md5
+    * value, for hot kernels (FastText) and driver-side derived constants
+    * (LSH hyperplanes).
     */
   def detHashJvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).take(4)
-      .map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Full lowercase-hex md5 (thread-local instance). */
+  def md5HexJvm(s: String): String = {
+    val sb = new java.lang.StringBuilder(32)
+    md5Local.get().digest(s.getBytes("UTF-8")).foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+    }
+    sb.toString
   }
 
   /** SQL fragment (DuckDB dialect) equivalent to [[detHash]](col). */

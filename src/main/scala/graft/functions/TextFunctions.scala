@@ -25,15 +25,27 @@ object TextFunctions {
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
 
-  /** Word-shingles of `n` consecutive tokens; degenerates to one shingle
-    * (the whole text) when the document is shorter than `n` tokens.
+  /** Word-shingles of `n` consecutive tokens from a *materialized* token
+    * array column; degenerates to one shingle (the whole text) when the
+    * document is shorter than `n` tokens.
+    *
+    * IMPORTANT perf contract: pass a bound token-array column (stage
+    * `tokens(text)` through a projection first), never an inline
+    * `tokens(text)` expression — Spark does not hoist loop-invariant
+    * subexpressions out of higher-order-function lambdas, so an inline
+    * split would re-tokenize the text once per array element (O(n²) per
+    * row; observed 400+s at sf0.1 before staging).
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+
+  /** Convenience one-shot form (tokenizes inline — fine for single use,
+    * see the perf contract on [[wordShinglesFromTokens]]).
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(c), n)
 
   /** Language-scoring stopword lists (tiny n-gram-free heuristic). */
   val stopwords: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Extension-driven decode registry — the engine's counterpart of the
+  * wds autodecode handler chain (reference sdata/datapipeline.py:149-204
+  * `KeyPassThroughDecoder`; sdata/dataset.py:204-232 string-spec
+  * handlers).
+  *
+  * A decoder is a pure `Column => Column` on the raw `binary` member
+  * column; declarative, so Catalyst prunes undecoded columns and decode
+  * work for columns never referenced downstream ("partial decode" —
+  * reference datapipeline.py:194-198 — falls out of column pruning for
+  * free).
+  */
+object Decoders {
+
+  /** One decode rule: how a member extension becomes a typed column. */
+  final case class Decoder(name: String, decode: Column => Column)
+
+  /** utf-8 text (reference wds `txt` handler + `_`-key passthrough,
+    * datapipeline.py:185-189).
+    */
+  val utf8: Decoder = Decoder("utf8", c => decode(c, "UTF-8"))
+
+  /** integer class label (wds `cls` handler). */
+  val cls: Decoder = Decoder("cls", c => decode(c, "UTF-8").cast("long"))
+
+  /** JSON metadata kept as a raw JSON string; field access via
+    * `get_json_object` / `from_json` downstream (schema-on-read, like
+    * the reference's decoded dict).
+    */
+  val json: Decoder = Decoder("json", c => decode(c, "UTF-8"))
+
+  /** JSON parsed to a struct when the caller declares a schema. */
+  def jsonAs(schema: DataType): Decoder =
+    Decoder("json_struct", c => from_json(decode(c, "UTF-8"), schema))
+
+  /** Image decode STUB (see graft.functions.Multimodal.decodeStub): the
+    * pipeline keeps image bytes opaque + deterministic digest; swap for
+    * a codec-backed mapPartitions implementation without touching the
+    * pipeline shape.
+    */
+  val imageStub: Decoder =
+    Decoder("image_stub", c => graft.functions.Multimodal.decodeStub(c))
+
+  /** Default extension → decoder table (reference dataset.py:204-232). */
+  val defaults: Map[String, Decoder] = Map(
+    "txt" -> utf8,
+    "text" -> utf8,
+    "json" -> json,
+    "cls" -> cls)
+}

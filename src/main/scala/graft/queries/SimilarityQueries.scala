@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.FastText
 import graft.functions.SimilarityFunctions._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
@@ -29,7 +30,7 @@ object SimilarityQueries extends QueryPack {
         .select($"embedding".as("probe_vec"))
       val scored = e.filter($"vec_id" =!= ProbeId)
         .crossJoin(broadcast(probe))
-        .select($"vec_id", cosine($"embedding", $"probe_vec").as("score"))
+        .select($"vec_id", FastText.cosineUdf($"embedding", $"probe_vec").as("score"))
       scored.orderBy($"score".desc, $"vec_id").limit(10)
     }),
 
@@ -37,13 +38,13 @@ object SimilarityQueries extends QueryPack {
     "q41_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-        .withColumn("bucket", lshBucket($"embedding", Planes, Dim))
+        .withColumn("bucket", FastText.lshBucketUdf(Planes, Dim)($"embedding"))
       val probe = e.filter($"vec_id" === ProbeId)
         .select($"bucket".as("probe_bucket"), $"embedding".as("probe_vec"))
       e.filter($"vec_id" =!= ProbeId)
         .join(broadcast(probe), $"bucket" === $"probe_bucket")
         .select($"vec_id", $"bucket",
-          cosine($"embedding", $"probe_vec").as("score"))
+          FastText.cosineUdf($"embedding", $"probe_vec").as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
     }),
@@ -56,7 +57,7 @@ object SimilarityQueries extends QueryPack {
       val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("b_vec"))
       a.join(b, Seq("label"))
         .filter($"a_id" < $"b_id")
-        .select($"label", $"a_id", $"b_id", cosine($"a_vec", $"b_vec").as("cos"))
+        .select($"label", $"a_id", $"b_id", FastText.cosineUdf($"a_vec", $"b_vec").as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"label", $"a_id", $"b_id")
     }),
@@ -65,7 +66,7 @@ object SimilarityQueries extends QueryPack {
     "q43_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
       emb(s, dir)
-        .withColumn("bucket", lshBucket($"embedding", Planes, Dim))
+        .withColumn("bucket", FastText.lshBucketUdf(Planes, Dim)($"embedding"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy($"bucket")

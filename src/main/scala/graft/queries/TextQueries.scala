@@ -20,26 +20,25 @@ object TextQueries extends QueryPack {
     // Token counting + punctuation density + canonical fingerprint.
     "q20_text_stats" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select(
-        $"doc_id",
-        tokenCount($"text").as("n_tokens"),
-        length($"text").as("n_chars_txt"),
-        punctCount($"text").as("n_punct"),
-        fingerprint($"text").as("fp"))
+      docs(s, dir)
+        .select($"doc_id", length($"text").as("n_chars_txt"),
+          graft.functions.FastText.textStatsUdf($"text").as("st"))
+        .select($"doc_id", $"st.n_tokens".as("n_tokens"), $"n_chars_txt",
+          $"st.n_punct".as("n_punct"), $"st.fp".as("fp"))
         .orderBy($"doc_id")
     }),
 
     // Heuristic language ID (stopword argmax) per document.
     "q21_lang_id" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select($"doc_id", $"lang", langId($"text").as("lang_pred"))
+      docs(s, dir).select($"doc_id", $"lang", graft.functions.FastText.langIdUdf($"text").as("lang_pred"))
         .orderBy($"doc_id")
     }),
 
     // Composite quality score + keep-filter at 0.5.
     "q22_quality_score" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select($"doc_id", qualityScore($"text").as("quality"))
+      docs(s, dir).select($"doc_id", graft.functions.FastText.qualityScoreUdf($"text").as("quality"))
         .filter($"quality" >= 0.5)
         .orderBy($"doc_id")
     }),
