@@ -1,28 +1,30 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.functions.FastText
 
 /** Throwaway probe main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    // degenerate inputs through every fast kernel
-    val weird = Seq("", "   ", "x", "a b", "a\tb\nc", "one two three four").toDF("text")
-    weird.select($"text",
-      FastText.textStatsUdf($"text").as("st"),
-      FastText.langIdUdf($"text").as("lang"),
-      FastText.qualityScoreUdf($"text").as("q"),
-      FastText.simhashUdf(16)($"text").as("sh"),
-      FastText.minhashAnalyze(8, 3, 4, 2)($"text").as("mh"))
-      .show(10, truncate = 60)
+    def probe(label: String)(f: => Any): Unit =
+      try { f; println(s"[probe] $label: NO ERROR") }
+      catch { case e: Throwable => println(s"[probe] $label: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}") }
+
+    import graft.pipeline._
+    probe("empty dir")(GraftPipeline.create(spark,
+      PipelineConfig(urls = Seq("/tmp/definitely-missing-dir"), extensions = Seq("txt"))))
+    probe("no extensions option")(
+      spark.read.format("wds-tar").option("shards", "/tmp/x.tar").load())
+    probe("bad brace pattern")(
+      graft.sources.ShardExpand.expand("ds-{10..02}.tar"))
+    probe("corrupt tar, fail policy")({
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bad.tar"),
+        ("garbage" * 200).getBytes)
+      spark.read.format("wds-tar").option("shards", "target/bad.tar")
+        .option("extensions", "txt").load().count()
+    })
     spark.stop()
   }
 }

@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-wide error policy (SURVEY.md §2.8).
+  *
+  * The reference threads a `handler` through every fallible stage; the
+  * default `warn_and_continue` skips the offending sample and keeps
+  * going (reference sdata/datapipeline.py:86-91, plumbed at
+  * sdata/custom_datapipes.py:324-336, 400-408 and sdata/dataset.py:74,
+  * 154). Spark's native behavior is fail-fast (a throwing expression
+  * kills the task), which matches the reference's `reraise_exception`
+  * mode.
+  *
+  * Skip/dead-letter semantics are reproduced relationally: a fallible
+  * computation is wrapped to yield null-plus-error-message instead of
+  * throwing, then the policy either filters the flagged rows out (Skip)
+  * or routes them to a side sink (DeadLetter) — row-granular skip
+  * without giving up Spark's retry model.
+  */
+object ErrorPolicy {
+
+  sealed trait Policy
+  /** Fail the job on the first error (Spark default; reference
+    * `reraise_exception`). */
+  case object Fail extends Policy
+  /** Drop offending rows, keep a count via the flag column (reference
+    * `warn_and_continue`). */
+  case object Skip extends Policy
+  /** Like Skip, but the offending rows (with the error message) are
+    * written to `path` before being dropped. */
+  final case class DeadLetter(path: String) extends Policy
+
+  val ErrorCol = "__error__"
+
+  /** Wrap a fallible scalar function into a UDF that never throws:
+    * errors become a struct(result = null, error = message).
+    */
+  def safeUdf[I: scala.reflect.runtime.universe.TypeTag,
+      O: scala.reflect.runtime.universe.TypeTag](f: I => O): Column => Column = {
+    val u = udf { (in: I) =>
+      try SafeResult[O](Option(f(in)), None)
+      catch { case e: Exception => SafeResult[O](None, Some(s"${e.getClass.getName}: ${e.getMessage}")) }
+    }
+    c => u(c)
+  }
+
+  case class SafeResult[O](result: Option[O], error: Option[String])
+
+  /** Apply the policy to a frame whose fallible stage has produced a
+    * nullable `valueCol` and an error-message column [[ErrorCol]]
+    * (null = ok). Returns the surviving rows without the error column.
+    */
+  def apply(df: DataFrame, policy: Policy): DataFrame = policy match {
+    case Fail =>
+      // fail-fast: surface the first recorded error eagerly
+      val bad = df.filter(col(ErrorCol).isNotNull).select(col(ErrorCol)).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(s"stage error: ${bad.head.getString(0)}")
+      df.drop(ErrorCol)
+    case Skip =>
+      df.filter(col(ErrorCol).isNull).drop(ErrorCol)
+    case DeadLetter(path) =>
+      df.filter(col(ErrorCol).isNotNull).write.mode("append").parquet(path)
+      df.filter(col(ErrorCol).isNull).drop(ErrorCol)
+  }
+}

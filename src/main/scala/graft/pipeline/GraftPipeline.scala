@@ -167,14 +167,24 @@ object GraftPipeline {
 
   /** Decode stage (D1-D3): rewrites each configured extension column via
     * its decoder; undeclared extensions stay binary (partial decode).
+    * Collision-renamed metadata columns (`ext_suffix`, P11) decode with
+    * the base extension's decoder — an intentional upgrade over the
+    * reference, whose extension-keyed handler chain leaves them as raw
+    * bytes (wds autodecode matches the literal key "txt_meta" against no
+    * handler).
     */
-  private def decodeStage(df: DataFrame, config: PipelineConfig): DataFrame =
-    config.extensions.foldLeft(df) { (d, ext) =>
+  private def decodeStage(df: DataFrame, config: PipelineConfig): DataFrame = {
+    val targets = config.extensions.flatMap { ext =>
+      Seq(ext -> ext) ++ config.metaSuffixes.map(sfx => s"${ext}_$sfx" -> ext)
+    }
+    targets.foldLeft(df) { case (d, (colName, ext)) =>
       config.decoders.get(ext) match {
-        case Some(dec) if d.columns.contains(ext) => d.withColumn(ext, dec.decode(col(ext)))
+        case Some(dec) if d.columns.contains(colName) =>
+          d.withColumn(colName, dec.decode(col(colName)))
         case _ => d
       }
     }
+  }
 
   /** The `create_loader` dual (reference sdata/dataset.py:51-121): a
     * batched local iterator at the engine edge. Collation is a no-op —

@@ -13,8 +13,8 @@ import graft.functions.DedupFunctions._
   * Scale notes: exact dedup shuffles 16-byte digests only; MinHash-LSH
   * is explode(bands) → hash-shuffle on bucket → within-bucket self-join,
   * the standard sub-quadratic fuzzy-dedup topology; the n-gram variant
-  * demonstrates *blocked* pairing (block by language) — its cost is
-  * sum(block²), controlled by the blocking key, never global n².
+  * uses a rare-shingle inverted index (prefix-filter family) — its cost
+  * is Σ df² over rare shingles, controlled by the df cutoff, never n².
   */
 object DedupQueries extends QueryPack {
 

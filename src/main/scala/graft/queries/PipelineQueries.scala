@@ -131,6 +131,24 @@ object PipelineQueries extends QueryPack {
         .orderBy($"epoch", $"r_regionkey")
     }),
 
+    // P6: einops-style rearrange — treat the 64-dim embedding as an 8×8
+    // grid and transpose it ("h w -> w h") with a pure index-remap
+    // expression (stays codegen'd, no UDF). Checked via a
+    // permutation-sensitive weighted checksum.
+    "q6a_einops_rearrange" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .withColumn("embedding", $"embedding".cast("array<double>"))
+      val t = EinopsRearrange("embedding", "h w -> w h", Map("h" -> 8, "w" -> 8))(e)
+      t.select($"vec_id",
+        pround(element_at($"embedding", 2), 6).as("e1"),
+        pround(aggregate(
+          zip_with($"embedding", sequence(lit(1), lit(64)).cast("array<double>"),
+            (x, i) => x * i),
+          lit(0.0), (a, v) => a + v), 4).as("wsum"))
+        .orderBy($"vec_id")
+    }),
+
     // Deterministic Bernoulli sample (hash-threshold, seeded).
     "q69_hash_sample" -> ((s, dir) => {
       import s.implicits._
@@ -210,7 +228,17 @@ object PipelineQueries extends QueryPack {
       "q69_hash_sample" ->
         s"""SELECT doc_id FROM documents
            |WHERE ${PortableHash.duckUniformSql("doc_id::VARCHAR", 13)} < 0.25
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      "q6a_einops_rearrange" ->
+        s"""SELECT vec_id,
+           | ${graft.functions.Portable.proundSql("t[2]", 6)} AS e1,
+           | ${graft.functions.Portable.proundSql(
+               "list_sum(list_transform(generate_series(1, 64), i -> t[i] * i))::DOUBLE", 4)} AS wsum
+           |FROM (SELECT vec_id,
+           |  list_transform(generate_series(0, 63),
+           |    i -> (embedding::DOUBLE[])[(i % 8) * 8 + (i // 8) + 1]) AS t
+           | FROM embeddings)
+           |ORDER BY vec_id""".stripMargin
     )
   }
 }

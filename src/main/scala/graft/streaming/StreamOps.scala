@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §4.4).
+  *
+  * The reference has no event-time semantics — its only streaming trait
+  * is an unbounded cycle over finite shards (reference
+  * sdata/datapipeline.py:472). This module is the north-star extension:
+  * the same logical operators as the batch events pack
+  * (graft.queries.EventsQueries), expressed over an unbounded source
+  * with watermarks and state, so a pipeline written against the batch
+  * engine has a streaming twin with identical per-window results on
+  * bounded input.
+  *
+  * Scale design: both ops are keyed-state shuffles on (window/user) —
+  * the standard streaming exchange; watermarks bound state size, and
+  * `flatMapGroupsWithState` state is per-user O(1).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation with a watermark — the
+    * streaming twin of q51_hourly_agg.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
+  case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with explicit keyed state — the streaming
+    * twin of q50_sessionize (gap = 30 min). Emits a running per-user
+    * summary on every trigger (Update mode).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[EventIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+            val sec = e.ts.getTime / 1000
+            val newSession = s.lastTs == Long.MinValue || sec - s.lastTs > 1800
+            s = SessionState(
+              s.sessionCount + (if (newSession) 1 else 0),
+              sec, s.events + 1, s.total + e.value)
+          }
+          state.update(s)
+          SessionOut(user, s.sessionCount, s.events, s.total)
+      }
+      .toDF()
+  }
+
+  /** Drives a bounded parquet directory through the streaming engine to
+    * completion and returns the collected result from a memory sink —
+    * the local smoke path (one micro-batch ≡ the batch result).
+    */
+  def runBounded(spark: SparkSession, df: DataFrame => DataFrame,
+      sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      queryName: String, mode: OutputMode): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = df(src).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Paths}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.pipeline._
+
+/** End-to-end pipeline lifecycle (SURVEY.md §3): listing → metadata
+  * existence filter → tar scan → sample-level meta join with collision
+  * rename → preprocess filters → decode → postprocess → loader edge.
+  */
+class GraftPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private val base = {
+    val d = Paths.get("target", "pipe-fixtures").toAbsolutePath
+    Files.createDirectories(d.resolve("main"))
+    Files.createDirectories(d.resolve("main_meta"))
+    d
+  }
+
+  private def writeTar(rel: String, members: Seq[(String, String)]): String = {
+    val f = base.resolve(rel).toFile
+    val out = new TarArchiveOutputStream(new FileOutputStream(f))
+    members.foreach { case (path, content) =>
+      val bytes = content.getBytes("UTF-8")
+      val e = new TarArchiveEntry(path)
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+    }
+    out.close()
+    f.getAbsolutePath
+  }
+
+  // two main shards; only shard-00 has metadata → shard-01 must be
+  // dropped by the existence semi-filter (J4)
+  writeTar("main/shard-00.tar", Seq(
+    "s1.txt" -> "hello world one two three",
+    "s1.cls" -> "7",
+    "s2.txt" -> "short",
+    "s2.cls" -> "9"))
+  writeTar("main/shard-01.tar", Seq(
+    "s3.txt" -> "orphan without metadata",
+    "s3.cls" -> "1"))
+  writeTar("main_meta/shard-00_meta.tar", Seq(
+    "s1_meta.txt" -> "meta-for-s1",
+    "s2_meta.txt" -> "meta-for-s2"))
+
+  test("full lifecycle: meta semi-filter, meta join, rename, decode, filter") {
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("main").toString),
+      extensions = Seq("txt", "cls"),
+      metaSuffixes = Seq("meta"),
+      preprocessors = Seq(FilterStage(SimpleKeyFilter(Seq("txt")))),
+      postprocessors = Seq(
+        FilterStage(LambdaFilter(Seq("cls"), c => c > 0)),
+        MapperStage(LambdaMapper(Seq("txt"), c =>
+          org.apache.spark.sql.functions.upper(c)))))
+    val df = GraftPipeline.create(spark, config)
+    val rows = df.collect().map(r => r.getAs[String]("__key__") -> r).toMap
+    // s3's shard had no metadata → excluded by J4 before any IO
+    assert(rows.keySet == Set("s1", "s2"))
+    // decode: cls → long, txt → utf8 (then uppercased by postprocessor)
+    assert(rows("s1").getAs[Long]("cls") == 7L)
+    assert(rows("s1").getAs[String]("txt") == "HELLO WORLD ONE TWO THREE")
+    // collision rename (P11): meta txt column arrives as txt_meta
+    assert(rows("s1").getAs[String]("txt_meta") == "meta-for-s1")
+    assert(rows("s2").getAs[String]("txt_meta") == "meta-for-s2")
+  }
+
+  test("shard shuffle seed is deterministic and total") {
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("main").toString),
+      extensions = Seq("txt", "cls"),
+      shardShuffleSeed = Some(11))
+    val a = GraftPipeline.create(spark, config).select("__key__").collect().map(_.getString(0)).toSeq
+    val b = GraftPipeline.create(spark, config).select("__key__").collect().map(_.getString(0)).toSeq
+    assert(a == b)
+    assert(a.toSet == Set("s1", "s2", "s3"))
+  }
+
+  test("repeat cycle tags epochs") {
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("main").toString),
+      extensions = Seq("txt"),
+      repeat = 3)
+    val df = GraftPipeline.create(spark, config)
+    assert(df.count() == 9)
+    assert(df.select("epoch").distinct().count() == 3)
+  }
+
+  test("loader batches with partial semantics") {
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("main").toString),
+      extensions = Seq("txt"))
+    val df = GraftPipeline.create(spark, config).orderBy("__key__")
+    val full = GraftPipeline.loader(df, batchSize = 2, partial = true).toSeq
+    assert(full.map(_.size) == Seq(2, 1))
+    val strict = GraftPipeline.loader(df, batchSize = 2, partial = false).toSeq
+    assert(strict.map(_.size) == Seq(2))
+  }
+
+  test("operator registry resolves config-named operators") {
+    val f = OperatorRegistry.filter("simple_key_filter", Map("keys" -> "txt,cls"))
+    assert(f.isInstanceOf[SimpleKeyFilter])
+    val m = OperatorRegistry.mapper("rescaler", Map("key" -> "jpg", "isfloat" -> "false"))
+    assert(m.isInstanceOf[Rescaler])
+    intercept[RuntimeException](OperatorRegistry.filter("nope"))
+  }
+}

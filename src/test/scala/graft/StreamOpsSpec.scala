@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.streaming.StreamOps
+
+/** Streaming/batch duality: the streaming ops must produce the same
+  * results as their batch twins when fed the same bounded input.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  // stream source dir: events with ts already truncated to micros
+  private lazy val srcDir = {
+    val d = Paths.get("target", "stream-src").toAbsolutePath
+    if (!Files.exists(d.resolve("_SUCCESS"))) {
+      Tables.load(spark, sf, "events")
+        .write.mode("overwrite").parquet(d.toString)
+    }
+    d.toString
+  }
+
+  private lazy val schema = spark.read.parquet(srcDir).schema
+
+  test("streaming hourly agg equals the batch aggregation") {
+    val streamed = StreamOps.runBounded(spark, StreamOps.hourlyAgg,
+      srcDir, schema, "hourly_out", OutputMode.Append())
+      // append mode emits only closed windows; compare on the windows it emitted
+      .select("hour", "event_type", "n", "sum_value")
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val joined = streamed.alias("s").join(batch.alias("b"), Seq("hour", "event_type"))
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("s.n") =!= col("b.n") ||
+      abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count() == 0)
+  }
+
+  test("streaming sessionization matches the batch session counts") {
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.sessionize(spark, df),
+      srcDir, schema, "sess_out", OutputMode.Update())
+    // batch twin (same logic as q50 without the portable rounding)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+    val batch = Tables.load(spark, sf, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("n_sessions"), count(lit(1)).as("n_events"))
+    val joined = streamed.alias("s").join(batch.alias("b"), "user_id")
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("s.n_sessions") =!= col("b.n_sessions") ||
+      col("s.n_events") =!= col("b.n_events")).count() == 0)
+  }
+}
