@@ -48,6 +48,24 @@ object ErrorPolicy {
 
   case class SafeResult[O](result: Option[O], error: Option[String])
 
+  /** Per-call timeout wrapper (reference `timeout_wrapper`,
+    * sdata/datapipeline.py:31-83, enabled by SDATA_MAX_EXC_TIME): runs
+    * the function on a bounded thread and records a timeout as an
+    * error. Costly (a Future per call) and off by default — the
+    * cluster-idiomatic alternative is `spark.task.reaper` — but exact
+    * row-granular parity when needed.
+    */
+  def withTimeout[I, O](f: I => O, timeoutMs: Long): I => O = { in =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(f(in)), timeoutMs.millis)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new RuntimeException(s"operation timed out after ${timeoutMs}ms")
+    }
+  }
+
   /** Apply the policy to a frame whose fallible stage has produced a
     * nullable `valueCol` and an error-message column [[ErrorCol]]
     * (null = ok). Returns the surviving rows without the error column.

@@ -75,4 +75,31 @@ object Multimodal {
     */
   def sampleFrameIdx(media: Column, step: Int): Column =
     sequence(lit(0), media.getField("n_frames").cast("long") - 1, lit(step))
+
+  /** Partition-level decode plumbing — the Scala analogue of a Pandas
+    * `mapInPandas` decode stage: one codec instance per PARTITION (never
+    * per row), rows streamed through it lazily.
+    *
+    * `mkCodec` constructs the per-partition codec (a real
+    * implementation would initialize libjpeg/ffmpeg here; the test
+    * fake hashes bytes); `decode` maps (codec, payload) to a feature
+    * vector. Input column must be `payload: binary`; appends
+    * `features: array<double>`. Partitioning, batch shape, and
+    * null-propagation are the real contract a codec swap inherits.
+    */
+  def decodePartitioned[C](df: DataFrame, payloadCol: String,
+      mkCodec: () => C, decode: (C, Array[Byte]) => Array[Double]): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType), nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val codec = mkCodec() // once per partition
+      rows.map { r =>
+        val payload = r.get(idx).asInstanceOf[Array[Byte]]
+        val features = if (payload == null) null else decode(codec, payload)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ features)
+      }
+    }(enc)
+  }
 }

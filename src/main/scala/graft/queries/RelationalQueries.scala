@@ -157,6 +157,40 @@ object RelationalQueries extends QueryPack {
         .orderBy($"rflag", $"lstatus")
     }),
 
+    // Distinct aggregation (two-phase partial/final distinct count).
+    "q14_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // CUBE over two dimensions (grouping-set expansion).
+    "q15_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("prio"), $"n")
+        .orderBy($"status", $"prio")
+    }),
+
+    // Exact interpolated percentiles (sort-based aggregate).
+    "q16_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          pround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          pround(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          pround(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Scalar function surface: string/date/conditional expressions.
     "q13_scalar_fns" -> ((s, dir) => {
       import s.implicits._
@@ -246,6 +280,21 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "q14_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        | floor((quantile_cont(l_extendedprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+        | floor((quantile_cont(l_extendedprice, 0.9)) * 10000 + 0.5) / 10000 AS p90,
+        | floor((quantile_cont(l_extendedprice, 0.99)) * 10000 + 0.5) / 10000 AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q13_scalar_fns" ->
       """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         | upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
