@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.FastText
 import graft.functions.SimilarityFunctions._
+import graft.plans.CosineSim.cosineSim
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * brute-force cosine top-k, LSH-bucketed ANN, and blocked near-dup
@@ -30,7 +31,7 @@ object SimilarityQueries extends QueryPack {
         .select($"embedding".as("probe_vec"))
       val scored = e.filter($"vec_id" =!= ProbeId)
         .crossJoin(broadcast(probe))
-        .select($"vec_id", FastText.cosineUdf($"embedding", $"probe_vec").as("score"))
+        .select($"vec_id", cosineSim($"embedding", $"probe_vec").as("score"))
       scored.orderBy($"score".desc, $"vec_id").limit(10)
     }),
 
@@ -44,7 +45,7 @@ object SimilarityQueries extends QueryPack {
       e.filter($"vec_id" =!= ProbeId)
         .join(broadcast(probe), $"bucket" === $"probe_bucket")
         .select($"vec_id", $"bucket",
-          FastText.cosineUdf($"embedding", $"probe_vec").as("score"))
+          cosineSim($"embedding", $"probe_vec").as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
     }),
@@ -57,7 +58,7 @@ object SimilarityQueries extends QueryPack {
       val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("b_vec"))
       a.join(b, Seq("label"))
         .filter($"a_id" < $"b_id")
-        .select($"label", $"a_id", $"b_id", FastText.cosineUdf($"a_vec", $"b_vec").as("cos"))
+        .select($"label", $"a_id", $"b_id", cosineSim($"a_vec", $"b_vec").as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"label", $"a_id", $"b_id")
     }),

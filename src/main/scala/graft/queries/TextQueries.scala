@@ -43,6 +43,18 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Token counting two ways: whitespace tokens and a BPE-ish regex
+    // segmentation (letter runs | digits | single punctuation) — the
+    // cheap token-budget estimator for LLM corpora.
+    "q24_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("ws_tokens"),
+        regexp_count(lower($"text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).as("bpeish_tokens"))
+        .orderBy($"doc_id")
+    }),
+
     // Vocabulary: explode tokens, top-20 by frequency (generator + agg
     // + top-k — the classic word-count shuffle).
     "q23_vocab_top" -> ((s, dir) => {
@@ -70,6 +82,10 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, quality FROM (
          | SELECT doc_id, ${qualityScoreSql("text")} AS quality FROM documents)
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin,
+    "q24_token_budget" ->
+      s"""SELECT doc_id, ${tokenCountSql("text")} AS ws_tokens,
+         | length(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_vocab_top" ->
       s"""SELECT token, count(*) AS n FROM (
          | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
