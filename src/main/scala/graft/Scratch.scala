@@ -10,21 +10,18 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     def probe(label: String)(f: => Any): Unit =
       try { f; println(s"[probe] $label: NO ERROR") }
-      catch { case e: Throwable => println(s"[probe] $label: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}") }
+      catch { case e: Throwable => println(s"[probe] $label: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(110)}") }
 
-    import graft.pipeline._
-    probe("empty dir")(GraftPipeline.create(spark,
-      PipelineConfig(urls = Seq("/tmp/definitely-missing-dir"), extensions = Seq("txt"))))
-    probe("no extensions option")(
-      spark.read.format("wds-tar").option("shards", "/tmp/x.tar").load())
-    probe("bad brace pattern")(
-      graft.sources.ShardExpand.expand("ds-{10..02}.tar"))
-    probe("corrupt tar, fail policy")({
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bad.tar"),
-        ("garbage" * 200).getBytes)
-      spark.read.format("wds-tar").option("shards", "target/bad.tar")
-        .option("extensions", "txt").load().count()
-    })
+    // tar whose members have no extensions → inference must fail clearly
+    val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.io.FileOutputStream("target/noext.tar"))
+    val b = "data".getBytes
+    val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("member-without-ext")
+    e.setSize(b.length.toLong); out.putArchiveEntry(e); out.write(b); out.closeArchiveEntry(); out.close()
+    probe("infer on extension-less tar")(
+      spark.read.format("wds-tar").option("shards", "target/noext.tar").load())
+    probe("infer with zero shards")(
+      spark.read.format("wds-tar").option("shards", "target/missing-{00..01}.tar").load().count())
     spark.stop()
   }
 }

@@ -19,7 +19,8 @@ object SparkEntry {
     SimilarityQueries,
     EventsQueries,
     PipelineQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    SourceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -58,9 +58,11 @@ import graft.sources.{ShardExpand, ShardListing}
 class WdsTarTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wds-tar"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WdsTarSource.schemaFor(WdsTarSource.extensionsOf(options),
-      options.getBoolean("overflow", false))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val exts = WdsTarSource.extensionsOf(options)
+      .getOrElse(WdsTarSource.inferExtensions(options))
+    WdsTarSource.schemaFor(exts, options.getBoolean("overflow", false))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -74,11 +76,41 @@ object WdsTarSource {
   val UrlCol = "__url__"
   val OverflowCol = "__overflow__"
 
-  def extensionsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+  def extensionsOf(options: CaseInsensitiveStringMap): Option[Seq[String]] = {
     val exts = options.get("extensions")
-    require(exts != null && exts.nonEmpty,
-      "wds-tar requires the 'extensions' option (comma-separated member extensions)")
-    exts.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (exts == null || exts.trim.isEmpty) None
+    else Some(exts.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Schema inference when `extensions` is not declared: stream the
+    * FIRST shard's member names (no payload bytes are read) and take
+    * the observed extension set, sorted. This mirrors how the
+    * reference discovers keys at runtime per sample (SURVEY.md §7.3
+    * risk 2) while keeping a fixed plan-time schema; heterogeneous
+    * later shards still land in null columns or the `overflow` map.
+    */
+  def inferExtensions(options: CaseInsensitiveStringMap): Seq[String] = {
+    val first = shardsOf(options).headOption.getOrElse(
+      throw new IllegalArgumentException("wds-tar: no shards to infer a schema from"))
+    val path = new Path(first)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val in = path.getFileSystem(conf).open(path)
+    val tar = new TarArchiveInputStream(in)
+    try {
+      val exts = scala.collection.mutable.LinkedHashSet[String]()
+      var entry = tar.getNextEntry
+      var n = 0
+      while (entry != null && n < 10000) {
+        if (entry.isFile) {
+          val e = ShardExpand.memberExtension(entry.getName)
+          if (e.nonEmpty) exts += e
+        }
+        n += 1
+        entry = tar.getNextEntry
+      }
+      require(exts.nonEmpty, s"wds-tar: no members with extensions in $first")
+      exts.toSeq.sorted
+    } finally tar.close()
   }
 
   def schemaFor(extensions: Seq[String], overflow: Boolean): StructType = {

@@ -118,6 +118,15 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(df.count() == 3) // corrupt shard contributes nothing
   }
 
+  test("schema inference from the first shard when extensions undeclared") {
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard1)
+      .load()
+    // observed extensions of shard1, sorted
+    assert(df.columns.toSeq == Seq("__key__", "__url__", "extra.weird", "jpg", "json", "txt"))
+    assert(df.count() == 3)
+  }
+
   test("member extension derivation and shard keys (pure listing layer)") {
     import graft.sources.ShardExpand._
     assert(expand("ds-{000..002}.tar") ==
