@@ -12,6 +12,11 @@ object Scratch {
       try { f; println(s"[probe] $label: NO ERROR") }
       catch { case e: Throwable => println(s"[probe] $label: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(110)}") }
 
+    // writer without path option → must name the missing option
+    probe("write without path")({
+      import spark.implicits._
+      Seq(("k1", "v")).toDF("__key__", "txt").write.format("wds-tar").save()
+    })
     // tar whose members have no extensions → inference must fail clearly
     val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
       new java.io.FileOutputStream("target/noext.tar"))

@@ -191,6 +191,51 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
+    // 20% of their part's average quantity; the per-part average is a
+    // broadcast-joined aggregate, not a per-row subquery execution.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy($"l_partkey".as("p_key"))
+        .agg(avg($"l_quantity").as("avg_qty"))
+      li.join(broadcast(avgQty), $"l_partkey" === $"p_key")
+        .filter($"l_quantity" < $"avg_qty" * 0.2)
+        .agg(pround(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // HAVING over a grouped aggregate + join back to the dimension
+    // (TPC-H Q18 shape).
+    "q18_big_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 280)
+      big.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"o_orderkey", pround($"o_totalprice", 2).as("price"),
+          $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey")
+        .limit(20)
+    }),
+
+    // SQL surface: scalar subquery + EXISTS + IN — the engine's
+    // spark.sql entry point over registered views.
+    "q19_subqueries" -> ((s, dir) => {
+      Tables.names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c_custkey, c_name, floor(c_acctbal * 100 + 0.5) / 100 AS bal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |              AND o_orderstatus = 'F')
+          |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+          |                      WHERE n_regionkey <= 2)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Scalar function surface: string/date/conditional expressions.
     "q13_scalar_fns" -> ((s, dir) => {
       import s.implicits._
@@ -280,6 +325,30 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly,
+        | count(*) AS n_items
+        |FROM lineitem l JOIN (
+        | SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.p_key
+        |WHERE l.l_quantity < a.avg_qty * 0.2""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_name, o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price,
+        | total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 280) b
+        |JOIN orders ON b.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_subqueries" ->
+      """SELECT c_custkey, c_name, floor(c_acctbal * 100 + 0.5) / 100 AS bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderstatus = 'F')
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey <= 2)
+        |ORDER BY c_custkey""".stripMargin,
     "q14_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

@@ -137,13 +137,19 @@ object WdsTarSource {
 }
 
 class WdsTarTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"wds-tar(${options.get("shards")}${options.get("path")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WdsTarScanBuilder(tableSchema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WdsTarWriteBuilder(info.schema(), info.options())
 }
 
 class WdsTarScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)

@@ -127,6 +127,32 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("write path: tar round-trip preserves samples and members") {
+    import spark.implicits._
+    val outDir = fixtureDir.resolve("written").toString
+    val src = Seq(
+      ("w1", "payload-1".getBytes("UTF-8"), "label-a"),
+      ("w2", "payload-2".getBytes("UTF-8"), "label-b"),
+      ("w3", null.asInstanceOf[Array[Byte]], "label-c"))
+      .toDF("__key__", "jpg", "txt")
+    src.repartition(2).write.format("wds-tar")
+      .option("path", outDir).mode("overwrite").save()
+    val back = spark.read.format("wds-tar")
+      .option("path", outDir)
+      .option("extensions", "jpg,txt")
+      .load()
+    val rows = back.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("w1", "w2", "w3"))
+    assert(new String(rows("w1").getAs[Array[Byte]]("jpg")) == "payload-1")
+    assert(new String(rows("w3").getAs[Array[Byte]]("txt")) == "label-c")
+    assert(rows("w3").getAs[Array[Byte]]("jpg") == null) // null column skipped
+    // overwrite truncates previous tars
+    src.limit(1).coalesce(1).write.format("wds-tar")
+      .option("path", outDir).mode("overwrite").save()
+    assert(spark.read.format("wds-tar").option("path", outDir)
+      .option("extensions", "jpg,txt").load().count() == 1)
+  }
+
   test("member extension derivation and shard keys (pure listing layer)") {
     import graft.sources.ShardExpand._
     assert(expand("ds-{000..002}.tar") ==
