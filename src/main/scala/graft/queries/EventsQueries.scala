@@ -63,6 +63,26 @@ object EventsQueries extends QueryPack {
         .orderBy($"k_mod")
     }),
 
+    // As-of join: for each error event, the latest purchase of the same
+    // user at or before it — composed from union+window (one exchange,
+    // no range-join blowup; see operators.AsOfJoin).
+    "q54_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val errors = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("p_event_id"), $"value".as("p_value"))
+      graft.operators.AsOfJoin.asOf(
+        errors, purchases, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("p_event_id", "p_value"))
+        .select($"event_id", $"user_id",
+          $"asof_p_event_id".as("purchase_event_id"),
+          pround(coalesce($"asof_p_value", lit(0.0)), 2).as("purchase_value"))
+        .orderBy($"event_id")
+    }),
+
     // Top event bursts: for each event_type, the 3 users with most events
     // (windowed rank over a grouped aggregate — two-stage shuffle).
     "q53_type_top_users" -> ((s, dir) => {
@@ -102,6 +122,15 @@ object EventsQueries extends QueryPack {
       """SELECT (props->>'$.k')::BIGINT % 10 AS k_mod, count(*) AS n,
         | floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
         |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "q54_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.p_event_id AS purchase_event_id,
+        | floor(coalesce(p.p_value, 0) * 100 + 0.5) / 100 AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+        |                value AS p_value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q53_type_top_users" ->
       """SELECT event_type, rk, user_id, n FROM (
         | SELECT event_type, user_id, n, row_number() OVER (

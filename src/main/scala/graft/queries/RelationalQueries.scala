@@ -191,6 +191,25 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Five-way star join with a region constraint (TPC-H Q5 shape):
+    // dims chain through broadcast joins, the fact side never
+    // re-shuffles.
+    "q1b_local_supplier_volume" -> ((s, dir) => {
+      import s.implicits._
+      val revenue = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name".isin("ASIA", "EUROPE"))
+      revenue.groupBy($"r_name", $"n_name")
+        .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"revenue".desc, $"n_name")
+    }),
+
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
     // 20% of their part's average quantity; the per-part average is a
     // broadcast-joined aggregate, not a per-row subquery execution.
@@ -325,6 +344,19 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n, sum(l_quantity) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "q1b_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, revenue DESC, n_name""".stripMargin,
     "q17_small_qty_revenue" ->
       """SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly,
         | count(*) AS n_items
