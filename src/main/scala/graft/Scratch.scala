@@ -12,6 +12,9 @@ object Scratch {
       try { f; println(s"[probe] $label: NO ERROR") }
       catch { case e: Throwable => println(s"[probe] $label: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(110)}") }
 
+    probe("malformed json config")(graft.pipeline.ConfigJson.parse("{not json"))
+    probe("stage with both filter and mapper")(graft.pipeline.ConfigJson.parse(
+      """{"urls":["x"],"extensions":["txt"],"preprocessors":[{"filter":"identity","mapper":"rescaler"}]}"""))
     // writer without path option → must name the missing option
     probe("write without path")({
       import spark.implicits._

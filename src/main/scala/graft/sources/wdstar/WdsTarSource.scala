@@ -143,6 +143,7 @@ class WdsTarTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WdsTarScanBuilder(tableSchema, options)
@@ -168,6 +169,9 @@ class WdsTarScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
     extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WdsTarMicroBatchStream(requiredSchema, options, checkpointLocation)
   override def description(): String = "wds-tar scan"
 
   override def planInputPartitions(): Array[InputPartition] =

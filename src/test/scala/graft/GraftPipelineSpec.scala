@@ -106,6 +106,25 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(strict.map(_.size) == Seq(2))
   }
 
+  test("JSON config drives the same pipeline as the Scala config") {
+    val json =
+      s"""{
+         |  "urls": ["${base.resolve("main")}"],
+         |  "extensions": ["txt", "cls"],
+         |  "repeat": 2,
+         |  "shardShuffleSeed": 5,
+         |  "preprocessors": [{"filter": "simple_key_filter", "params": {"keys": "txt"}}]
+         |}""".stripMargin
+    val config = ConfigJson.parse(json)
+    assert(config.repeat == 2 && config.shardShuffleSeed.contains(5))
+    val df = GraftPipeline.create(spark, config)
+    assert(df.count() == 6) // 3 samples × 2 epochs
+    intercept[IllegalArgumentException](ConfigJson.parse("""{"urls": []}"""))
+    intercept[RuntimeException](ConfigJson.parse(
+      """{"urls":["x"],"extensions":["txt"],
+        |"preprocessors":[{"filter":"nope"}]}""".stripMargin))
+  }
+
   test("operator registry resolves config-named operators") {
     val f = OperatorRegistry.filter("simple_key_filter", Map("keys" -> "txt,cls"))
     assert(f.isInstanceOf[SimpleKeyFilter])
