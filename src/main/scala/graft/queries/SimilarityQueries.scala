@@ -16,6 +16,8 @@ object SimilarityQueries extends QueryPack {
   private val Dim = 64
   private val Planes = 4
   private val ProbeId = 0L
+  private val IvfK = 16
+  private val IvfSeed = 21
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -63,6 +65,30 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"label", $"a_id", $"b_id")
     }),
 
+    // IVF-style ANN: assign every vector to its nearest of k
+    // deterministic centroids, then search only the probe's cell.
+    "q44_ivf_search" -> ((s, dir) => {
+      import s.implicits._
+      val assigned = ivfAssign(emb(s, dir), "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val probeCell = assigned.filter($"vec_id" === ProbeId)
+        .select($"centroid_id".as("probe_cell"), $"embedding".as("probe_vec"))
+      assigned.filter($"vec_id" =!= ProbeId)
+        .join(broadcast(probeCell), $"centroid_id" === $"probe_cell")
+        .select($"vec_id", $"centroid_id",
+          graft.plans.CosineSim.cosineSim($"embedding", $"probe_vec").as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
+    }),
+
+    // IVF cell histogram — partition balance diagnostic.
+    "q45_ivf_cells" -> ((s, dir) => {
+      import s.implicits._
+      ivfAssign(emb(s, dir), "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+        .groupBy($"centroid_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"centroid_id")
+    }),
+
     // Bucket histogram — LSH partitioning statistics (skew diagnostic).
     "q43_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -97,6 +123,44 @@ object SimilarityQueries extends QueryPack {
          |  ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.3
          |ORDER BY label, a_id, b_id""".stripMargin,
+    "q44_ivf_search" -> {
+      val cos = cosineSql("e.embedding", "c.centroid_vec")
+      val cte = """WITH cent AS (
+         | SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
+         | ORDER BY (('0x' || substr(md5(vec_id::VARCHAR || ':21'), 1, 8))::BIGINT), vec_id
+         | LIMIT 16),
+         |assigned AS (
+         | SELECT vec_id, embedding, centroid_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY -COSEXPR ASC, c.centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cent c)
+         | WHERE rk = 1)""".stripMargin.replace("COSEXPR", cos)
+      s"""$cte,
+         |probe AS (SELECT centroid_id AS probe_cell, embedding AS probe_vec
+         |          FROM assigned WHERE vec_id = $ProbeId)
+         |SELECT vec_id, centroid_id, ${cosineSql("embedding", "probe_vec")} AS score
+         |FROM assigned, probe
+         |WHERE vec_id <> $ProbeId AND centroid_id = probe_cell
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    },
+    "q45_ivf_cells" -> {
+      val cos = cosineSql("e.embedding", "c.centroid_vec")
+      val cte = """WITH cent AS (
+         | SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
+         | ORDER BY (('0x' || substr(md5(vec_id::VARCHAR || ':21'), 1, 8))::BIGINT), vec_id
+         | LIMIT 16),
+         |assigned AS (
+         | SELECT vec_id, embedding, centroid_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY -COSEXPR ASC, c.centroid_id ASC) AS rk
+         |  FROM embeddings e CROSS JOIN cent c)
+         | WHERE rk = 1)""".stripMargin.replace("COSEXPR", cos)
+      s"""$cte
+         |SELECT centroid_id, count(*) AS n FROM assigned
+         |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+    },
     "q43_lsh_buckets" -> {
       val bucket = lshBucketSql("embedding", Planes, Dim)
       s"""SELECT $bucket AS bucket, count(*) AS n FROM embeddings
