@@ -81,6 +81,22 @@ object DedupQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // Canonical-fingerprint dedup: documents sharing the sorted distinct
+    // lowercase token set collapse to the minimal doc_id (catches
+    // reorder/repetition edits that exact hashing misses).
+    "q34_fingerprint_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fp = docs(s, dir)
+        .select($"doc_id",
+          graft.functions.FastText.textStatsUdf($"text").getField("fp").as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      fp.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+
     // SimHash (16-bit) per document — equal hashes ⇒ near-dup cluster.
     "q32_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -148,6 +164,13 @@ object DedupQueries extends QueryPack {
          |WHERE jaccard >= 0.4
          |ORDER BY a_id, b_id""".stripMargin
     },
+    "q34_fingerprint_dedup" ->
+      s"""SELECT doc_id, fp FROM (
+         | SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp,
+         |  row_number() OVER (PARTITION BY ${TextFunctions.fingerprintSql("text")}
+         |   ORDER BY doc_id) AS rk
+         | FROM documents)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q32_simhash" ->
       s"""SELECT doc_id, ${simhashSql("text", 16)} AS sh
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -236,6 +236,31 @@ object RelationalQueries extends QueryPack {
         .orderBy($"r_name", $"revenue".desc, $"n_name")
     }),
 
+    // Returned-item revenue by customer (TPC-H Q10 shape).
+    "q1d_returned_customers" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // Conditional-aggregate ratio (TPC-H Q14 shape): revenue share of
+    // STANDARD-type parts.
+    "q1e_type_share" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .agg(pround(
+          sum(when($"p_type".contains("STANDARD"),
+            $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(lit(0.0))) * 100.0 /
+            sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("standard_share_pct"),
+          count(lit(1)).as("n"))
+    }),
+
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
     // 20% of their part's average quantity; the per-part average is a
     // broadcast-joined aggregate, not a per-row subquery execution.
@@ -416,6 +441,36 @@ object RelationalQueries extends QueryPack {
         | coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, prio""".stripMargin,
+    "q1d_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q1e_type_share" ->
+      """SELECT floor((sum(CASE WHEN contains(p_type, 'STANDARD')
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+        |  AS standard_share_pct,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q1d_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q1e_type_share" ->
+      """SELECT floor((sum(CASE WHEN contains(p_type, 'STANDARD')
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
+        |  AS standard_share_pct,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "q1c_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
