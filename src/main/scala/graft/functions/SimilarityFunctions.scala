@@ -69,26 +69,24 @@ object SimilarityFunctions {
     * smallest seeded id-hash (deterministic "random" pick — at real
     * scale these would be k-means centroids; the topology is identical:
     * assign every vector to its nearest centroid cell, search only the
-    * probe's cell). Returns (cellAssignments, centroids) frames.
+    * probe's cell).
     *
-    * Assignment is a broadcast cross of k centroid rows against the
-    * vector table + a window argmin — one pass, no shuffle of the
-    * vector side beyond the final argmin partition.
+    * The k centroids are collected to the driver (k rows — they are the
+    * model, not the data) and embedded in a [[graft.plans.NearestCentroid]]
+    * codegen expression, so assignment is a per-row scalar projection:
+    * zero row expansion, zero shuffle. The vector table is scanned once.
     */
   def ivfAssign(df: org.apache.spark.sql.DataFrame, vecCol: String,
       idCol: String, k: Int, seed: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = df
+    val cents = df
       .orderBy(PortableHash.detHash(col(idCol), seed), col(idCol))
       .limit(k)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("centroid_id").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("dist", -graft.plans.CosineSim.cosineSim(col(vecCol), col("centroid_vec")))
-      .withColumn("__rk__", row_number().over(w))
-      .filter(col("__rk__") === 1)
-      .drop("__rk__", "centroid_vec", "dist")
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    df.withColumn("centroid_id",
+      graft.plans.NearestCentroid.nearest(col(vecCol), cents))
   }
 
   // ---- DuckDB-dialect renderings (oracle side) -------------------------
