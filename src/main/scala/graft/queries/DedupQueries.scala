@@ -63,16 +63,17 @@ object DedupQueries extends QueryPack {
       val okBuckets = exploded.groupBy($"bucket").agg(count(lit(1)).as("n"))
         .filter($"n" >= 2 && $"n" <= MaxBucket)
         .select($"bucket")
-      // eligible-bucket list and candidate set are provably small
-      // (bounded by banding + the bucket cap) — broadcast them so the
-      // only real shuffle left is the explode→groupBy bucket count.
-      val elig = exploded.join(broadcast(okBuckets), Seq("bucket"))
+      // The eligible-bucket list and candidate-pair set are
+      // data-dependent (a near-dup-heavy corpus can make either large),
+      // so no forced broadcast hints: AQE broadcasts them at runtime
+      // when they come out small and shuffle-joins when they don't.
+      val elig = exploded.join(okBuckets, Seq("bucket"))
       val cand = elig.select($"bucket", $"doc_id".as("a_id"))
         .join(elig.select($"bucket", $"doc_id".as("b_id")), Seq("bucket"))
         .filter($"a_id" < $"b_id")
         .select($"a_id", $"b_id")
         .distinct()
-      broadcast(cand)
+      cand
         .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
         .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
         .select($"a_id", $"b_id",
@@ -123,13 +124,15 @@ object DedupQueries extends QueryPack {
       val rare = postings.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2 && $"df" <= MaxDf)
         .select($"shingle")
-      val elig = postings.join(broadcast(rare), Seq("shingle"))
+      // rare-shingle list and candidate set are data-dependent sizes —
+      // leave the join strategy to AQE (see q31 note).
+      val elig = postings.join(rare, Seq("shingle"))
       val cand = elig.select($"shingle", $"doc_id".as("a_id"))
         .join(elig.select($"shingle", $"doc_id".as("b_id")), Seq("shingle"))
         .filter($"a_id" < $"b_id")
         .select($"a_id", $"b_id")
         .distinct()
-      broadcast(cand)
+      cand
         .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
         .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
         .select($"a_id", $"b_id",

@@ -47,26 +47,29 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
-    // J: 3-way join + agg + top-k (TPC-H Q3 shape); customer dim broadcasts.
+    // J: 3-way join + agg + top-k (TPC-H Q3 shape). Customer grows with
+    // SF, so no forced broadcast hint: AQE broadcasts it at runtime when
+    // the filtered side is small and falls back to SMJ when it isn't.
     "q03_shipping_priority" -> ((s, dir) => {
       import s.implicits._
       val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
       val ord = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
       val li = t(s, dir, "lineitem")
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderpriority")
         .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }),
 
-    // J: broadcast hash join of fact against small dim + agg by brand.
+    // J: fact-against-dim join + agg by brand. Part scales with SF —
+    // AQE picks broadcast vs SMJ from runtime size, no forced hint.
     "q04_brand_volume" -> ((s, dir) => {
       import s.implicits._
       val part = t(s, dir, "part")
       t(s, dir, "lineitem")
-        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(part, $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
         .orderBy($"p_brand")
@@ -217,15 +220,16 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
-    // Five-way star join with a region constraint (TPC-H Q5 shape):
-    // dims chain through broadcast joins, the fact side never
-    // re-shuffles.
+    // Five-way star join with a region constraint (TPC-H Q5 shape).
+    // Only the fixed-cardinality dims (nation ≤ 25, region = 5) carry
+    // broadcast hints; customer/supplier scale with SF so AQE decides
+    // their join strategy from runtime sizes.
     "q1b_local_supplier_volume" -> ((s, dir) => {
       import s.implicits._
       val revenue = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
-        .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey" &&
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey" &&
           $"c_nationkey" === $"s_nationkey")
         .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
@@ -241,7 +245,7 @@ object RelationalQueries extends QueryPack {
       import s.implicits._
       t(s, dir, "lineitem").filter($"l_returnflag" === "R")
         .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name")
         .agg(pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
         .orderBy($"revenue".desc, $"c_custkey")
@@ -253,7 +257,7 @@ object RelationalQueries extends QueryPack {
     "q1e_type_share" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
         .agg(pround(
           sum(when($"p_type".contains("STANDARD"),
             $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(lit(0.0))) * 100.0 /
@@ -263,13 +267,16 @@ object RelationalQueries extends QueryPack {
 
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
     // 20% of their part's average quantity; the per-part average is a
-    // broadcast-joined aggregate, not a per-row subquery execution.
+    // joined aggregate, not a per-row subquery execution. avgQty has one
+    // row per part — unbounded in SF — so no broadcast hint; both sides
+    // already hash-partition on the part key, and AQE will still
+    // broadcast when the aggregate side turns out small.
     "q17_small_qty_revenue" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
       val avgQty = li.groupBy($"l_partkey".as("p_key"))
         .agg(avg($"l_quantity").as("avg_qty"))
-      li.join(broadcast(avgQty), $"l_partkey" === $"p_key")
+      li.join(avgQty, $"l_partkey" === $"p_key")
         .filter($"l_quantity" < $"avg_qty" * 0.2)
         .agg(pround(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
           count(lit(1)).as("n_items"))
@@ -284,7 +291,7 @@ object RelationalQueries extends QueryPack {
         .agg(sum($"l_quantity").as("total_qty"))
         .filter($"total_qty" > 280)
       big.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
         .select($"c_name", $"o_orderkey", pround($"o_totalprice", 2).as("price"),
           $"total_qty")
         .orderBy($"total_qty".desc, $"o_orderkey")

@@ -52,17 +52,23 @@ object SimilarityQueries extends QueryPack {
         .limit(5)
     }),
 
-    // Embedding near-dup pairs, blocked by label (cosine >= 0.9).
+    // Embedding near-dup pairs, blocked by LSH bucket. Blocking on the
+    // sign-pattern bucket (not a data label) bounds pair work by bucket
+    // size, which is tunable via plane count (planes ~ log n keeps
+    // buckets O(n / 2^planes)); label cardinality is data-dependent and
+    // a coarse label makes label-blocking quadratic at scale.
     "q42_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
-      val e = emb(s, dir).select($"label", $"vec_id", $"embedding")
-      val a = e.select($"label", $"vec_id".as("a_id"), $"embedding".as("a_vec"))
-      val b = e.select($"label", $"vec_id".as("b_id"), $"embedding".as("b_vec"))
-      a.join(b, Seq("label"))
+      val e = emb(s, dir)
+        .withColumn("bucket", FastText.lshBucketUdf(Planes, Dim)($"embedding"))
+        .select($"bucket", $"vec_id", $"embedding")
+      val a = e.select($"bucket", $"vec_id".as("a_id"), $"embedding".as("a_vec"))
+      val b = e.select($"bucket", $"vec_id".as("b_id"), $"embedding".as("b_vec"))
+      a.join(b, Seq("bucket"))
         .filter($"a_id" < $"b_id")
-        .select($"label", $"a_id", $"b_id", cosineSim($"a_vec", $"b_vec").as("cos"))
+        .select($"bucket", $"a_id", $"b_id", cosineSim($"a_vec", $"b_vec").as("cos"))
         .filter($"cos" >= 0.3)
-        .orderBy($"label", $"a_id", $"b_id")
+        .orderBy($"bucket", $"a_id", $"b_id")
     }),
 
     // IVF-style ANN: assign every vector to its nearest of k
@@ -115,14 +121,17 @@ object SimilarityQueries extends QueryPack {
          |FROM e, probe WHERE vec_id <> $ProbeId AND bucket = probe_bucket
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
     },
-    "q42_embedding_neardup" ->
-      s"""SELECT label, a_id, b_id, cos FROM (
-         | SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+    "q42_embedding_neardup" -> {
+      val bucket = lshBucketSql("embedding", Planes, Dim)
+      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT bucket, a_id, b_id, cos FROM (
+         | SELECT a.bucket AS bucket, a.vec_id AS a_id, b.vec_id AS b_id,
          |  ${cosineSql("a.embedding", "b.embedding")} AS cos
-         | FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id)
+         | FROM e a JOIN e b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.3
-         |ORDER BY label, a_id, b_id""".stripMargin,
+         |ORDER BY bucket, a_id, b_id""".stripMargin
+    },
     "q44_ivf_search" -> {
       val cos = cosineSql("e.embedding", "c.centroid_vec")
       val cte = """WITH cent AS (
