@@ -182,31 +182,92 @@ object RelationalQueries extends QueryPack {
         .orderBy($"status", $"prio")
     }),
 
-    // Exact interpolated percentiles via one window sort per group —
-    // Spark's `percentile` aggregate buffers every value per group on
-    // one reducer; the rank-interpolation form is a within-partition
-    // sort plus a two-row pick, ~2× faster here and scale-stable. The
-    // interpolation formula (lo + (hi-lo)*frac) is the exact op order
-    // both Spark's percentile and DuckDB's quantile_cont use.
+    // Exact interpolated percentiles WITHOUT a per-group total sort.
+    // A `Window.partitionBy(group)` rank over the raw table hands each
+    // group's entire sort to one reducer — with 3 return flags that is 3
+    // reducers owning 100 TB. Instead the sort is range-partitioned by a
+    // stats-free order-preserving bucket (floor(log2(v)·4) slices each
+    // power of two into quarters, ~30 buckets over the price range —
+    // log2 is monotonic on positives, so buckets never reorder values;
+    // bucketing affects only BALANCE, never the result):
+    //   1. per-(group, bucket) counts → prefix offsets. The only
+    //      cross-bucket step is a window over this ≤ groups×32-row
+    //      aggregate — bounded, not data-scaled;
+    //   2. row_number within (group, bucket) + bucket offset = exact
+    //      zero-based global rank; the sort parallelizes across
+    //      groups×buckets partitions;
+    //   3. join the 9 target ranks (lo/hi of (n-1)*p) and interpolate
+    //      lo + (hi-lo)*frac — the exact op order DuckDB's quantile_cont
+    //      uses, on the same doubles, so the hash still matches.
     "q16_percentiles" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
-      val ranked = t(s, dir, "lineitem")
-        .select($"l_returnflag", $"l_extendedprice")
-        .withColumn("rn", row_number().over(w) - 1)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-      def pct(p: Double): Column = {
-        val pos = (col("n") - 1) * p
-        val lo = floor(pos)
-        val hi = ceil(pos)
-        val frac = pos - lo
-        val vLo = max(when(col("rn") === lo, col("l_extendedprice")))
-        val vHi = max(when(col("rn") === hi, col("l_extendedprice")))
-        pround(vLo + (vHi - vLo) * max(when(col("rn") === lo, frac)), 4)
+      val li = t(s, dir, "lineitem")
+        .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"))
+      val bucket = when($"v" > 0, floor(log2($"v") * 4)).otherwise(lit(-1e9))
+      val bucketed = li.withColumn("b", bucket)
+      // Pass 1: per-(group, bucket) histogram — ≤ groups×~32 rows,
+      // bounded by the bucket vocabulary, not the data. Prefix offsets
+      // and the 9 target ranks ((n-1)·p lo/hi) are derived driver-side.
+      val countRows = bucketed.groupBy($"flag", $"b").agg(count(lit(1)).as("bc"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      val offsetRows = countRows.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.scanLeft(("", 0.0, 0L, 0L)) { case ((_, _, _, cum), (f, b, bc)) =>
+          (f, b, bc, cum + bc)
+        }.drop(1).map { case (f, b, bc, cum) => (f, b, cum - bc) }
       }
-      ranked.groupBy($"l_returnflag")
-        .agg(pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"))
-        .orderBy($"l_returnflag")
+      // flag -> (pname, rankLo, rankHi, frac); frac in the same double
+      // op order ((n-1)*p - floor) DuckDB's quantile_cont uses.
+      val targets = countRows.groupBy(_._1).map { case (f, rows) =>
+        val n = rows.map(_._3).sum
+        f -> Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").map { case (p, nm) =>
+          val pos = (n - 1) * p
+          (nm, math.floor(pos).toLong, math.ceil(pos).toLong,
+            pos - math.floor(pos))
+        }
+      }
+      // Pass 2 touches ONLY buckets whose global-rank span [off, off+bc)
+      // contains a target rank — ≤ 2·percentiles buckets per group, so
+      // the shuffle+sort covers a small, bounded slice of the table no
+      // matter the scale. Exact global rank = bucket offset + rank
+      // within (group, bucket); the ≤ 6 target rows per group are
+      // collected and interpolated driver-side.
+      val ranksByFlag = targets.map { case (f, ts) =>
+        f -> ts.flatMap(t => Seq(t._2, t._3)).distinct
+      }
+      val liveBuckets = countRows.groupBy(_._1).toSeq.flatMap { case (f, rows) =>
+        val offs = offsetRows.filter(_._1 == f).map(r => (r._2, r._3)).toMap
+        rows.collect { case (_, b, bc)
+          if ranksByFlag(f).exists(r => r >= offs(b) && r < offs(b) + bc) =>
+          (f, b)
+        }
+      }
+      val bucketLive = liveBuckets.groupBy(_._1).map { case (f, bs) =>
+        ($"flag" === f) && $"b".isin(bs.map(_._2): _*)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val offsets = offsetRows.toDF("flag", "b", "off")
+      val wIn = Window.partitionBy($"flag", $"b").orderBy($"v")
+      val wantedRanks = targets.map { case (f, ts) =>
+        ($"flag" === f) && $"rn".isin(ts.flatMap(t => Seq(t._2, t._3)).distinct: _*)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val picks = bucketed.filter(bucketLive)
+        .join(broadcast(offsets), Seq("flag", "b"))
+        .withColumn("rn", $"off" + row_number().over(wIn) - 1)
+        .filter(wantedRanks)
+        .select($"flag", $"rn", $"v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      def interp(f: String, rlo: Long, rhi: Long, frac: Double): Double = {
+        val vLo = picks((f, rlo)); val vHi = picks((f, rhi))
+        math.floor((vLo + (vHi - vLo) * frac) * 1e4 + 0.5) / 1e4
+      }
+      val rows = targets.toSeq.sortBy(_._1).map { case (f, ts) =>
+        val byName = ts.map(t => t._1 -> interp(f, t._2, t._3, t._4)).toMap
+        (f, byName("p50"), byName("p90"), byName("p99"))
+      }
+      rows.toDF("l_returnflag", "p50", "p90", "p99")
     }),
 
     // Skew-proof aggregation: the two-phase salted plan must equal the
