@@ -81,8 +81,15 @@ object FastText extends Serializable {
 
   /** Cosine with double-precision sequential summation — the same op
     * order as [[SimilarityFunctions.cosine]] and the oracle SQL.
+    *
+    * Malformed inputs have DEFINED results, aligned bit-for-bit with
+    * [[graft.plans.CosineSim]] (CosineSimSpec enforces it): mismatched
+    * lengths and zero-norm vectors return null — not an exception, not
+    * NaN — so the two kernels cannot diverge exactly where inputs go
+    * wrong.
     */
-  def cosineJvm(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosineJvm(a: Seq[Float], b: Seq[Float]): java.lang.Double = {
+    if (a == null || b == null || a.length != b.length) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = a.length
@@ -91,7 +98,8 @@ object FastText extends Serializable {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    proundJvm(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+    if (na == 0.0 || nb == 0.0) null
+    else proundJvm(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
   }
 
   /** Sign-pattern LSH bucket against deterministic hyperplanes. */

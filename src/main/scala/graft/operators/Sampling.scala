@@ -54,6 +54,14 @@ object Sampling {
     * (reference `PrefixResampler`, custom_datapipes.py:177-281): the
     * logical semantics is "output mixes prefixes with probabilities p".
     *
+    * Matching is PREFIX matching, as in the reference
+    * (custom_datapipes.py:248 `key.startswith(x)`): a config like
+    * {"s3://web": 0.7, "s3://books": 0.3} buckets every shard URL under
+    * the prefix it starts with. A row matching more than one prefix is
+    * an error (the reference raises on non-unique matches,
+    * custom_datapipes.py:249-253); rows matching none are dropped, like
+    * URLs that never enter any reference buffer.
+    *
     * Exact-count variant: rank rows within each prefix by seeded hash
     * and keep the top `round(p_i * total)` — a deterministic stratified
     * draw. Probabilities are normalized like the reference
@@ -61,23 +69,33 @@ object Sampling {
     * buffers, nothing is silently dropped on overflow.
     *
     * At scale this is one window over a hash-partitioned exchange on
-    * `prefixCol` — no skew risk beyond prefix cardinality itself (salt
-    * the rank window if a single prefix dominates).
+    * the matched prefix — no skew risk beyond prefix cardinality itself
+    * (salt the rank window if a single prefix dominates).
     */
   def prefixMixture(df: DataFrame, prefixCol: String, idCol: String,
       probs: Map[String, Double], total: Long, seed: Int): DataFrame = {
     val z = probs.values.sum
     require(z > 0, "prefix probabilities must sum > 0")
     val norm = probs.view.mapValues(_ / z).toMap
-    val target = norm.foldLeft(lit(0L)) { case (acc, (p, f)) =>
-      when(col(prefixCol) === p, lit(math.round(f * total))).otherwise(acc)
+    val keys = norm.keys.toSeq.sorted
+    val nMatch = keys.map(p => when(col(prefixCol).startsWith(p), 1).otherwise(0))
+      .reduce(_ + _)
+    val matched = keys.foldLeft(lit(null).cast("string")) { (acc, p) =>
+      when(col(prefixCol).startsWith(p), lit(p)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(prefixCol))
+    val target = norm.foldLeft(lit(0L)) { case (acc, (p, f)) =>
+      when(col("__mix_prefix__") === p, lit(math.round(f * total))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__mix_prefix__"))
       .orderBy(PortableHash.detHash(col(idCol), seed), col(idCol))
-    df.filter(col(prefixCol).isin(norm.keys.toSeq: _*))
+    df.withColumn("__mix_prefix__",
+        when(nMatch > 1, raise_error(concat(
+          lit("prefixMixture: value matches multiple prefixes: "), col(prefixCol))))
+          .otherwise(matched))
+      .filter(col("__mix_prefix__").isNotNull)
       .withColumn("__mix_rank__", row_number().over(w))
       .filter(col("__mix_rank__") <= target)
-      .drop("__mix_rank__")
+      .drop("__mix_rank__", "__mix_prefix__")
   }
 
   /** Finite repeat of a dataset (reference `.cycle(count)`,

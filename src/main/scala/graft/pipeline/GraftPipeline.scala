@@ -154,10 +154,20 @@ object GraftPipeline {
     df = decodeStage(df, config)
     df = fold(config.postprocessors)(df)
 
-    // 9. mixture (X3) / repeat (X7) / sample shuffle (X2)
-    if (config.prefixProbs.nonEmpty)
+    // 9. mixture (X3) / repeat (X7) / sample shuffle (X2).
+    // prefixProbs keys are URL prefixes (reference PrefixResampler
+    // matches shard keys with startswith); qualify them through the
+    // same filesystem as the listing so a schemeless "/data/web" config
+    // key matches the listed "file:/data/web/..." shard paths.
+    if (config.prefixProbs.nonEmpty) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val qualified = config.prefixProbs.map { case (k, v) =>
+        val p = new org.apache.hadoop.fs.Path(k)
+        p.getFileSystem(hconf).makeQualified(p).toString -> v
+      }
       df = Sampling.prefixMixture(df, prefixCol = "__url__", idCol = "__key__",
-        config.prefixProbs, config.mixtureTotal, config.shardShuffleSeed.getOrElse(0))
+        qualified, config.mixtureTotal, config.shardShuffleSeed.getOrElse(0))
+    }
     if (config.repeat > 1) df = Sampling.repeatCycle(df, config.repeat)
     config.sampleShuffleSeed.foreach { seed =>
       df = Sampling.detShuffle(df, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), seed)

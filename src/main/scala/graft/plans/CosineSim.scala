@@ -34,7 +34,9 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.CosineSim.compute($a, $b);")
+      s"""java.lang.Double ${ev.value}$$r = graft.plans.CosineSim.compute($a, $b);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r.doubleValue(); }""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -43,9 +45,13 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
 
-  /** Shared kernel for both interpreted and generated paths. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Shared kernel for both interpreted and generated paths. Malformed
+    * inputs (length mismatch, zero norm) return null — identical to
+    * [[graft.functions.FastText.cosineJvm]], enforced by CosineSimSpec.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -54,7 +60,8 @@ object CosineSim {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    if (na == 0.0 || nb == 0.0) null
+    else math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
   }
 
   /** Column-API entry point. */

@@ -37,9 +37,10 @@ object PipelineQueries extends QueryPack {
     "q61_key_filter" -> ((s, dir) => {
       import s.implicits._
       val withKey = Tables.load(s, dir, "events")
+        .withColumn("__k__", get_json_object($"props", "$.k").cast("long"))
         .withColumn("k_val",
-          when(get_json_object($"props", "$.k").cast("long") % 7 === 0, lit(null))
-            .otherwise(get_json_object($"props", "$.k").cast("long")))
+          when($"__k__" % 7 === 0, lit(null)).otherwise($"__k__"))
+        .drop("__k__")
       SimpleKeyFilter(Seq("k_val"))(withKey)
         .select($"event_id", $"k_val")
         .orderBy($"event_id")

@@ -524,21 +524,6 @@ object RelationalQueries extends QueryPack {
         |  AS standard_share_pct,
         | count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
-    "q1d_returned_customers" ->
-      """SELECT c_custkey, c_name,
-        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "q1e_type_share" ->
-      """SELECT floor((sum(CASE WHEN contains(p_type, 'STANDARD')
-        |  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
-        |  sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000
-        |  AS standard_share_pct,
-        | count(*) AS n
-        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "q1c_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

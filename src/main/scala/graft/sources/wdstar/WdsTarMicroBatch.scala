@@ -21,7 +21,7 @@ import graft.sources.ShardListing
   * The batch reader is reused verbatim: same assembly, pruning and
   * error-policy semantics in both execution modes.
   */
-class WdsTarMicroBatchStream(schema: StructType,
+class WdsTarMicroBatchStream(schema: StructType, declaredExts: Set[String],
     options: CaseInsensitiveStringMap, checkpointLocation: String)
     extends MicroBatchStream {
 
@@ -36,29 +36,49 @@ class WdsTarMicroBatchStream(schema: StructType,
 
   @volatile private var lastSeen: Seq[String] = Nil
 
-  override def initialOffset(): Offset = WdsTarOffset(0)
+  override def initialOffset(): Offset = WdsTarOffset(0, "")
 
   override def latestOffset(): Offset = {
     lastSeen = listSorted()
-    WdsTarOffset(lastSeen.length)
+    WdsTarOffset(lastSeen.length, lastSeen.lastOption.getOrElse(""))
   }
 
-  override def deserializeOffset(json: String): Offset =
-    WdsTarOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = WdsTarOffset.parse(json)
+
+  /** The committed prefix is identified by (count, name of last shard in
+    * the prefix). A later listing must be a strict APPEND of that
+    * prefix: if a new shard sorts before the committed boundary it
+    * shifts slice indices — silently re-emitting processed shards and
+    * skipping the newcomer — so that case fails loudly instead.
+    */
+  private def checkAppendOnly(shards: Seq[String], o: WdsTarOffset): Unit = {
+    val n = o.shardCount
+    if (n > 0 && o.lastShard.nonEmpty) {
+      require(shards.length >= n && shards(n - 1) == o.lastShard,
+        s"wds-tar stream: listing is not an append of the committed prefix " +
+          s"(expected shard #${n - 1} to be '${o.lastShard}', " +
+          s"found '${shards.lift(n - 1).getOrElse("<missing>")}'); " +
+          "shards must be named so new files sort after existing ones")
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WdsTarOffset].shardCount
-    val e = end.asInstanceOf[WdsTarOffset].shardCount
-    val shards = if (lastSeen.length >= e) lastSeen else listSorted()
-    require(shards.length >= e,
-      s"wds-tar stream: directory shrank below committed offset ($e > ${shards.length})")
-    shards.slice(s, e).map(WdsTarInputPartition(_): InputPartition).toArray
+    val so = start.asInstanceOf[WdsTarOffset]
+    val eo = end.asInstanceOf[WdsTarOffset]
+    val shards = if (lastSeen.length >= eo.shardCount) lastSeen else listSorted()
+    require(shards.length >= eo.shardCount,
+      s"wds-tar stream: directory shrank below committed offset " +
+        s"(${eo.shardCount} > ${shards.length})")
+    checkAppendOnly(shards, so)
+    checkAppendOnly(shards, eo)
+    shards.slice(so.shardCount, eo.shardCount)
+      .map(WdsTarInputPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    WdsTarReaderFactory(schema, conf,
+    WdsTarReaderFactory(schema, declaredExts, conf,
       skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")))
   }
 
@@ -67,6 +87,20 @@ class WdsTarMicroBatchStream(schema: StructType,
   override def stop(): Unit = ()
 }
 
-case class WdsTarOffset(shardCount: Int) extends Offset {
-  override def json(): String = shardCount.toString
+/** Offset = (shards committed, name of the last committed shard). The
+  * name pins the identity of the committed prefix so an out-of-order
+  * arrival is detected (see checkAppendOnly) rather than double-read.
+  * Serialized as `<count>\n<lastShard>` — newline-free paths, trivially
+  * parseable, and backward-compatible with the bare-count form.
+  */
+case class WdsTarOffset(shardCount: Int, lastShard: String) extends Offset {
+  override def json(): String =
+    if (lastShard.isEmpty) shardCount.toString else s"$shardCount\n$lastShard"
+}
+
+object WdsTarOffset {
+  def parse(json: String): WdsTarOffset = json.split("\n", 2) match {
+    case Array(n) => WdsTarOffset(n.trim.toInt, "")
+    case Array(n, last) => WdsTarOffset(n.trim.toInt, last)
+  }
 }

@@ -162,16 +162,24 @@ class WdsTarScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMa
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new WdsTarScan(required, options)
+  override def build(): Scan = new WdsTarScan(required, fullSchema, options)
 }
 
-class WdsTarScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
+class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
     extends Scan with Batch {
+  // Declared sample extensions come from the FULL table schema, not the
+  // pruned one: __overflow__ holds members outside the declared columns,
+  // and that set must not change when a declared column is pruned from
+  // the projection (column pruning must never change column VALUES).
+  private def declaredExts: Set[String] = fullSchema.fieldNames
+    .filterNot(Set(WdsTarSource.KeyCol, WdsTarSource.UrlCol,
+      WdsTarSource.OverflowCol)).toSet
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WdsTarMicroBatchStream(requiredSchema, options, checkpointLocation)
+    new WdsTarMicroBatchStream(requiredSchema, declaredExts, options, checkpointLocation)
   override def description(): String = "wds-tar scan"
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -180,20 +188,20 @@ class WdsTarScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    WdsTarReaderFactory(requiredSchema, conf,
+    WdsTarReaderFactory(requiredSchema, declaredExts, conf,
       skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")))
   }
 }
 
 case class WdsTarInputPartition(shardPath: String) extends InputPartition
 
-case class WdsTarReaderFactory(readSchema: StructType,
+case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String],
     conf: SerializableConfiguration, skipErrors: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WdsTarPartitionReader(
       partition.asInstanceOf[WdsTarInputPartition].shardPath,
-      readSchema, conf.value, skipErrors)
+      readSchema, declaredExts, conf.value, skipErrors)
 }
 
 /** Streams one tar shard: assembles consecutive same-stem members into
@@ -202,7 +210,7 @@ case class WdsTarReaderFactory(readSchema: StructType,
   * the reader lifecycle here).
   */
 class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
-    conf: Configuration, skipErrors: Boolean)
+    declaredExts: Set[String], conf: Configuration, skipErrors: Boolean)
     extends PartitionReader[InternalRow] with Logging {
 
   private val wantKey = readSchema.fieldNames.contains(WdsTarSource.KeyCol)
@@ -236,7 +244,8 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
         }
         pendingStem = stem
         val ext = ShardExpand.memberExtension(entry.getName)
-        if (wantedExts.contains(ext) || wantOverflow) {
+        if (wantedExts.contains(ext) ||
+            (wantOverflow && !declaredExts.contains(ext))) {
           pendingMembers += ((ext, readBytes(entry)))
         } else {
           pendingMembers += ((ext, null)) // presence marker; bytes skipped
@@ -278,7 +287,7 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
         case WdsTarSource.KeyCol => UTF8String.fromString(pendingStem)
         case WdsTarSource.UrlCol => UTF8String.fromString(shardPath)
         case WdsTarSource.OverflowCol =>
-          val extras = pendingMembers.filterNot(m => wantedExts.contains(m._1))
+          val extras = pendingMembers.filterNot(m => declaredExts.contains(m._1))
           new ArrayBasedMapData(
             new GenericArrayData(extras.map(m => UTF8String.fromString(m._1)).toArray[Any]),
             new GenericArrayData(extras.map(_._2).toArray[Any]))

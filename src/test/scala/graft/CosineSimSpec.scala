@@ -39,6 +39,23 @@ class CosineSimSpec extends AnyFunSuite {
     assert(plan.contains("cosinesim") || plan.contains("CosineSim"))
   }
 
+  test("twins agree on malformed inputs: mismatched lengths and zero norms are null") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)),      // length mismatch
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),  // zero-norm left
+      (Array(1f, 2f, 3f), Array(0f, 0f, 0f)),  // zero-norm right
+      (Array(1f, 2f, 3f), Array(3f, 2f, 1f))   // well-formed control
+    ).toDF("a", "b")
+    val out = rows.select(
+      CosineSim.cosineSim($"a", $"b").as("native"),
+      FastText.cosineUdf($"a", $"b").as("udf")).collect()
+    out.take(3).foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"expected null/null, got $r")
+    }
+    assert(!out(3).isNullAt(0) && out(3).getDouble(0) == out(3).getDouble(1))
+  }
+
   test("SQL registration via GraftExtensions (installed on the session)") {
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
     try {

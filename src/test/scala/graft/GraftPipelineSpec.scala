@@ -74,6 +74,21 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(rows("s2").getAs[String]("txt_meta") == "meta-for-s2")
   }
 
+  test("prefixProbs matches shard URLs by PREFIX, not exact equality") {
+    // config keys are directory-style prefixes of the full shard path —
+    // the reference's PrefixResampler semantics (key.startswith(prefix));
+    // exact-equality matching would silently keep zero rows here.
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("main").toString),
+      extensions = Seq("txt", "cls"),
+      prefixProbs = Map(base.resolve("main").resolve("shard-00").toString -> 1.0),
+      mixtureTotal = 2L)
+    val rows = GraftPipeline.create(spark, config)
+      .select("__url__").collect().map(_.getString(0))
+    assert(rows.nonEmpty, "prefix match must keep shard-00 samples")
+    assert(rows.forall(_.contains("shard-00.tar")))
+  }
+
   test("shard shuffle seed is deterministic and total") {
     val config = PipelineConfig(
       urls = Seq(base.resolve("main").toString),

@@ -94,6 +94,21 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(new String(m("extra.weird")) == "overflow me")
   }
 
+  test("overflow contents are projection-independent (declared exts never leak in)") {
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard1)
+      .option("extensions", "jpg")
+      .option("overflow", "true")
+      .load()
+    // prune the declared 'jpg' column out of the projection: the
+    // overflow map must still exclude it — pruning must never change
+    // column values (ADVICE round 1).
+    val c = df.select("__key__", "__overflow__")
+      .filter("__key__ = 'sample-c'").collect().head
+    val m = c.getAs[Map[String, Array[Byte]]]("__overflow__")
+    assert(m.keySet == Set("extra.weird"), s"got ${m.keySet}")
+  }
+
   test("brace expansion in shards option; one partition per shard") {
     writeTar("shard-000001.tar", Seq("z.txt" -> b("zz")))
     val pattern = fixtureDir.resolve("shard-{000000..000001}.tar").toString

@@ -14,14 +14,19 @@ class WdsTarStreamSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.get
 
-  private val dir = {
+  private def mkDir() = {
     val d = Paths.get("target", "stream-tars-" + System.nanoTime()).toAbsolutePath
     Files.createDirectories(d)
     d
   }
 
-  private def writeTar(name: String, keys: Seq[String]): Unit = {
-    val out = new TarArchiveOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+  private val dir = mkDir()
+
+  private def writeTar(name: String, keys: Seq[String]): Unit =
+    writeTarIn(dir, name, keys)
+
+  private def writeTarIn(d: java.nio.file.Path, name: String, keys: Seq[String]): Unit = {
+    val out = new TarArchiveOutputStream(new FileOutputStream(d.resolve(name).toFile))
     keys.foreach { k =>
       val bytes = s"payload-$k".getBytes("UTF-8")
       val e = new TarArchiveEntry(s"$k.txt")
@@ -51,6 +56,30 @@ class WdsTarStreamSpec extends AnyFunSuite {
       assert(rows.count() == 5) // exactly once: 2 + 3, no re-reads
       assert(rows.select("__key__").collect().map(_.getString(0)).sorted.toSeq ==
         Seq("a1", "a2", "b1", "b2", "b3"))
+    } finally q.stop()
+  }
+
+  test("shard sorting before the committed prefix fails loudly, no silent re-read") {
+    val d2 = mkDir()
+    writeTarIn(d2, "shard-000005.tar", Seq("x1"))
+    val stream = spark.readStream.format("wds-tar")
+      .option("path", d2.toString)
+      .option("extensions", "txt")
+      .load()
+    val q = stream.writeStream
+      .format("memory").queryName("tar_stream_ooo")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tar_stream_ooo").count() == 1)
+      // a late shard that sorts BEFORE the committed one shifts slice
+      // indices — must be rejected, not double-read
+      writeTarIn(d2, "shard-000001.tar", Seq("late"))
+      val e = intercept[Exception](q.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+      assert(messages(e).exists(_.contains("not an append")), e.toString)
     } finally q.stop()
   }
 }
