@@ -31,6 +31,151 @@ object ImageCodec {
     StructField("channels", IntegerType, nullable = false),
     StructField("pixels", ArrayType(FloatType), nullable = false)))
 
+  /** Decoded image as a case class (encodes to [[decodedSchema]]).
+    * Pixel layout and value scale depend on the decode spec (see
+    * [[specs]]); the struct itself is layout-agnostic.
+    */
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+      pixels: Seq[Float])
+
+  /** The webdataset autodecode image-spec vocabulary the reference
+    * accepts as decoder strings (reference sdata/dataset.py:204-232
+    * validates against `wds.autodecode.imagespecs`):
+    * spec -> (grayscale, scale to [0,1], channel-major/CHW layout).
+    *
+    *  - "pil"/"rgb8": HWC, 8-bit values 0..255
+    *  - "rgb":        HWC, floats in [0,1]
+    *  - "l8"/"l":     single channel, 0..255 / [0,1]
+    *  - "torchrgb"/"torchl": CHW (the channels-first tensor convention
+    *    the reference's Rescaler asserts, sample_mappers.py:160-165)
+    */
+  private val specs: Map[String, (Boolean, Boolean, Boolean)] = Map(
+    "pil" -> ((false, false, false)),
+    "rgb" -> ((false, true, false)),
+    "rgb8" -> ((false, false, false)),
+    "l" -> ((true, true, false)),
+    "l8" -> ((true, false, false)),
+    "torchrgb" -> ((false, true, true)),
+    "torchl" -> ((true, true, true)))
+
+  def isImageSpec(s: String): Boolean = specs.contains(s)
+  def imageSpecs: Set[String] = specs.keySet
+
+  /** Decode bytes per a wds image spec. Grayscale uses the ITU-R 601-2
+    * integer luma PIL's convert("L") uses: (299r + 587g + 114b) / 1000.
+    */
+  def decodeAs(spec: String, bytes: Array[Byte]): Option[DecodedImage] = {
+    val (gray, unit, chw) = specs.getOrElse(spec,
+      throw new IllegalArgumentException(
+        s"unknown image spec '$spec' (known: ${specs.keys.toSeq.sorted.mkString(", ")})"))
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val c = if (gray) 1 else 3
+      val out = new Array[Float](c * h * w)
+      val scale = if (unit) 255.0f else 1.0f
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          if (gray) {
+            val lum = (299 * r + 587 * g + 114 * b) / 1000
+            out(y * w + x) = lum / scale
+          } else if (chw) {
+            out(0 * h * w + y * w + x) = r / scale
+            out(1 * h * w + y * w + x) = g / scale
+            out(2 * h * w + y * w + x) = b / scale
+          } else {
+            val base = (y * w + x) * 3
+            out(base) = r / scale
+            out(base + 1) = g / scale
+            out(base + 2) = b / scale
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(w, h, c, scala.collection.immutable.ArraySeq.unsafeWrapArray(out)))
+    }
+  }
+
+  /** Column-level decoder for one spec (used by the D3 decode registry):
+    * binary -> decoded struct, null for undecodable payloads.
+    */
+  def decodeUdf(spec: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    require(isImageSpec(spec), s"unknown image spec '$spec'")
+    val f = org.apache.spark.sql.functions.udf(
+      (bytes: Array[Byte]) => if (bytes == null) None else decodeAs(spec, bytes))
+    c => f(c)
+  }
+
+  @inline private def pixelAt(px: Seq[Float], w: Int, h: Int, c: Int,
+      chw: Boolean, ch: Int, y: Int, x: Int): Float =
+    if (chw) px(ch * h * w + y * w + x) else px((y * w + x) * c + ch)
+
+  /** torchvision `Resize(size)` semantics: scale so the SHORTER side
+    * equals `size`, preserving aspect; nearest-neighbor sampling (the
+    * deterministic dependency-free kernel — interpolation parity across
+    * libraries is approximate by nature, SURVEY §7.3 risk 6).
+    */
+  def resizeShorter(d: DecodedImage, size: Int, chw: Boolean): DecodedImage = {
+    val (w, h) = (d.width, d.height)
+    if (math.min(w, h) == size) return d
+    val scale = size.toDouble / math.min(w, h)
+    val nw = math.max(1, math.round(w * scale).toInt)
+    val nh = math.max(1, math.round(h * scale).toInt)
+    val out = new Array[Float](d.channels * nw * nh)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * h / nh).toInt
+      var x = 0
+      while (x < nw) {
+        val sx = (x.toLong * w / nw).toInt
+        var ch = 0
+        while (ch < d.channels) {
+          val v = pixelAt(d.pixels, w, h, d.channels, chw, ch, sy, sx)
+          if (chw) out(ch * nh * nw + y * nw + x) = v
+          else out((y * nw + x) * d.channels + ch) = v
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(nw, nh, d.channels,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
+  /** torchvision `CenterCrop(size)` semantics on the decoded pixels;
+    * crops are clamped to the image (no padding of small images).
+    */
+  def centerCrop(d: DecodedImage, size: Int, chw: Boolean): DecodedImage = {
+    val nw = math.min(size, d.width); val nh = math.min(size, d.height)
+    if (nw == d.width && nh == d.height) return d
+    val x0 = (d.width - nw) / 2; val y0 = (d.height - nh) / 2
+    val out = new Array[Float](d.channels * nw * nh)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        var ch = 0
+        while (ch < d.channels) {
+          val v = pixelAt(d.pixels, d.width, d.height, d.channels, chw, ch, y0 + y, x0 + x)
+          if (chw) out(ch * nh * nw + y * nw + x) = v
+          else out((y * nw + x) * d.channels + ch) = v
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(nw, nh, d.channels,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
   /** Decode bytes → (w, h, c, chw pixels in [0,1]); None on undecodable
     * payloads (feeds the engine error policy, not an exception).
     */

@@ -43,6 +43,31 @@ final case class CenterCropOp(size: Int) extends ImageOp {
   }
 }
 
+/** Pixel-level ops over an [[graft.functions.ImageCodec]] decoded
+  * struct (width, height, channels, pixels) — the real torchvision
+  * vocabulary (`Resize`, `CenterCrop`, sample_mappers.py:88-123),
+  * operating on the pixels a D3 image decoder produced. `channelMajor`
+  * names the pixel layout of the decode spec in use (torch* specs are
+  * CHW, pil/rgb/l are HWC).
+  */
+final case class PixelResizeOp(size: Int, channelMajor: Boolean = false) extends ImageOp {
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float]) =>
+    graft.functions.ImageCodec.resizeShorter(
+      graft.functions.ImageCodec.DecodedImage(w, h, c, px), size, channelMajor))
+  override def apply(media: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"))
+}
+
+final case class PixelCenterCropOp(size: Int, channelMajor: Boolean = false) extends ImageOp {
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float]) =>
+    graft.functions.ImageCodec.centerCrop(
+      graft.functions.ImageCodec.DecodedImage(w, h, c, px), size, channelMajor))
+  override def apply(media: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"))
+}
+
 final case class ImageTransforms(ops: Seq[ImageOp], key: String = "media",
     strict: Boolean = true,
     override val excludeKeys: Seq[String] = Nil) extends SampleMapper {

@@ -91,6 +91,16 @@ object ConfigJson {
       skipCorrupt = bool("skipCorrupt", default = false),
       overflowColumn = bool("overflowColumn", default = false),
       preprocessors = stages("preprocessors"),
+      // "decoders": ["pil"] (reference YAML list form, applied to image
+      // extensions) or {"jpg": "torchrgb"} (per-extension map form)
+      decoders = root.get("decoders") match {
+        case Some(l: java.util.List[_]) =>
+          Decoders.withSpecs(l.asScala.map(_.toString).toSeq, Map.empty)
+        case Some(m: java.util.Map[_, _]) =>
+          Decoders.withSpecs(Nil,
+            m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap)
+        case _ => Decoders.defaults
+      },
       postprocessors = stages("postprocessors"))
   }
 }

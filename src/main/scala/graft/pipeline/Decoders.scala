@@ -46,10 +46,41 @@ object Decoders {
   val imageStub: Decoder =
     Decoder("image_stub", c => graft.functions.Multimodal.decodeStub(c))
 
-  /** Default extension → decoder table (reference dataset.py:204-232). */
-  val defaults: Map[String, Decoder] = Map(
-    "txt" -> utf8,
-    "text" -> utf8,
-    "json" -> json,
-    "cls" -> cls)
+  /** Real image decode for a wds image-spec string ("pil", "torchrgb",
+    * "l8", ... — the strings the reference validates against
+    * `wds.autodecode.imagespecs`, sdata/dataset.py:204-232), backed by
+    * [[graft.functions.ImageCodec]].
+    */
+  def image(spec: String): Decoder =
+    Decoder(s"image_$spec", graft.functions.ImageCodec.decodeUdf(spec))
+
+  /** Member extensions treated as images (wds autodecode's extension
+    * coverage, minus formats javax.imageio lacks).
+    */
+  val imageExtensions: Set[String] = Set("jpg", "jpeg", "png", "gif", "bmp")
+
+  /** Default extension → decoder table (reference dataset.py:204-232).
+    * Image extensions default to "pil" decode — the reference's default
+    * decoder spec (`decoders: Optional[...] = "pil"`, dataset.py:127) —
+    * so a pipeline declaring a jpg column gets decoded pixels out of the
+    * box instead of raw bytes.
+    */
+  val defaults: Map[String, Decoder] =
+    Map(
+      "txt" -> utf8,
+      "text" -> utf8,
+      "json" -> json,
+      "cls" -> cls) ++
+      imageExtensions.map(_ -> image("pil")).toMap
+
+  /** Resolve a config decoder list/map into the extension table:
+    * list form (reference YAML `decoders: ["pil"]`) applies each image
+    * spec to every image extension; map form pins specific extensions.
+    */
+  def withSpecs(specList: Seq[String], byExt: Map[String, String]): Map[String, Decoder] = {
+    val fromList = specList.foldLeft(defaults) { (m, spec) =>
+      m ++ imageExtensions.map(_ -> image(spec)).toMap
+    }
+    fromList ++ byExt.map { case (ext, spec) => ext -> image(spec) }
+  }
 }

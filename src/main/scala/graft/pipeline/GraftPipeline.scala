@@ -78,6 +78,19 @@ object OperatorRegistry {
       widthKey = p.getOrElse("width_key", "width"),
       idKey = p.getOrElse("id_key", "__key__"),
       seed = p.getOrElse("seed", "42").toInt))
+  // torchvision-transform dual over a DECODED image struct: params name
+  // the pixel ops ("resize", "center_crop") applied in that order;
+  // "layout" declares the decode spec's pixel layout (chw for torch*).
+  registerMapper("image_transforms")(p => {
+    val chw = p.getOrElse("layout", "hwc") == "chw"
+    val ops = Seq(
+      p.get("resize").map(s => PixelResizeOp(s.toInt, chw)),
+      p.get("center_crop").map(s => PixelCenterCropOp(s.toInt, chw))).flatten
+    require(ops.nonEmpty, "image_transforms needs 'resize' and/or 'center_crop'")
+    ImageTransforms(ops,
+      key = p.getOrElse("key", "jpg"),
+      strict = p.getOrElse("strict", "true").toBoolean)
+  })
 }
 
 /** The `create_dataset` dual (reference sdata/dataset.py:124-256): folds

@@ -140,6 +140,60 @@ class GraftPipelineSpec extends AnyFunSuite {
         |"preprocessors":[{"filter":"nope"}]}""".stripMargin))
   }
 
+  test("D3 image decode: a real PNG decodes + pixel-transforms through the config path") {
+    // build a real 8x4 PNG: left half red, right half blue
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    Files.createDirectories(base.resolve("imgs"))
+    val f = base.resolve("imgs/shard-00.tar").toFile
+    val out = new TarArchiveOutputStream(new FileOutputStream(f))
+    val pngBytes = baos.toByteArray
+    val e = new TarArchiveEntry("im1.png")
+    e.setSize(pngBytes.length.toLong)
+    out.putArchiveEntry(e); out.write(pngBytes); out.closeArchiveEntry()
+    out.close()
+
+    val config = ConfigJson.parse(
+      s"""{
+         |  "urls": ["${base.resolve("imgs")}"],
+         |  "extensions": ["png"],
+         |  "decoders": ["torchrgb"],
+         |  "postprocessors": [
+         |    {"mapper": "image_transforms",
+         |     "params": {"key": "png", "resize": "2", "layout": "chw"}}
+         |  ]
+         |}""".stripMargin)
+    val row = GraftPipeline.create(spark, config).collect().head
+    val d = row.getAs[org.apache.spark.sql.Row]("png")
+    // torchvision Resize(2): shorter side 4 -> 2, aspect preserved -> 4x2
+    assert(d.getAs[Int]("width") == 4 && d.getAs[Int]("height") == 2)
+    assert(d.getAs[Int]("channels") == 3)
+    val px = d.getAs[scala.collection.Seq[Float]]("pixels")
+    assert(px.length == 3 * 4 * 2)
+    // CHW layout, [0,1] scale: red channel ~1 on the left half
+    val r00 = px(0) // channel 0 (R), y=0, x=0
+    val b03 = px(2 * 2 * 4 + 0 * 4 + 3) // channel 2 (B), y=0, x=3 (right half)
+    assert(r00 > 0.9f, s"red channel left half, got $r00")
+    assert(b03 > 0.9f, s"blue channel right half, got $b03")
+  }
+
+  test("image spec decode modes: pil is HWC 0-255, l8 is single-channel luma") {
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    val pil = graft.functions.ImageCodec.decodeAs("pil", bytes).get
+    assert(pil.channels == 3 && pil.pixels.take(3) == Seq(255f, 255f, 255f))
+    val l8 = graft.functions.ImageCodec.decodeAs("l8", bytes).get
+    assert(l8.channels == 1 && l8.pixels == Seq(255f, 0f))
+    val torch = graft.functions.ImageCodec.decodeAs("torchrgb", bytes).get
+    assert(torch.channels == 3 && torch.pixels.forall(v => v >= 0f && v <= 1f))
+  }
+
   test("operator registry resolves config-named operators") {
     val f = OperatorRegistry.filter("simple_key_filter", Map("keys" -> "txt,cls"))
     assert(f.isInstanceOf[SimpleKeyFilter])
