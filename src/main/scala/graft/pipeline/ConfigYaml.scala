@@ -1,0 +1,213 @@
+package graft.pipeline
+
+/** Reference-shaped YAML pipeline configs
+  * (reference examples/configs/example.yaml:1-31, sdata/dataset.py:124-256,
+  * sdata/datapipeline.py:310-325): accepts the same `dataset:` document a
+  * reference user runs today and builds the [[PipelineConfig]] the engine
+  * executes. `target:` dotted paths are translated to [[OperatorRegistry]]
+  * names — the registry replaces the reference's arbitrary-import
+  * `instantiate` machinery, so only known operators resolve.
+  */
+object ConfigYaml {
+
+  /** Parsed document: the pipeline config plus the loader-edge settings
+    * (reference example.yaml:29-31).
+    */
+  final case class Loaded(config: PipelineConfig, batchSize: Option[Int])
+
+  def parse(text: String): Loaded = {
+    val root = asMap(MiniYaml.parse(text), "document root")
+    val ds = root.get("dataset").map(asMap(_, "dataset")).getOrElse(root)
+
+    val urls = ds.get("urls") match {
+      case Some(l: List[_]) => l.map(_.toString)
+      case Some(s: String) => Seq(s)
+      case _ => sys.error("yaml config requires dataset.urls")
+    }
+    val pc = ds.get("pipeline_config").map(asMap(_, "pipeline_config"))
+      .getOrElse(Map.empty[String, Any])
+
+    // deterministic dual of the reference's global-RNG shuffles: buffer
+    // sizes > 1 arm the seeded shuffle (seed from pipeline_config.seed,
+    // default 0); buffer size <= 1 means off, as in the reference
+    // (datapipeline.py:333-334).
+    val seed = int(pc.get("seed")).getOrElse(0)
+    val shardShuffleOn = int(pc.get("shardshuffle")).exists(_ > 1)
+    val sampleShuffleOn = int(pc.get("sample_shuffle")).exists(_ > 1)
+
+    // resample_prefixes + prefix_probs (datapipeline.py:318-319): probs
+    // align with the urls list by position; our exact-count mixture
+    // needs an explicit total (the reference resamples a stream forever
+    // — a batch engine must bound the draw).
+    val resample = pc.get("resample_prefixes").exists {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => other.toString.toBoolean
+    }
+    val prefixProbs: Map[String, Double] =
+      if (!resample) Map.empty
+      else pc.get("prefix_probs") match {
+        case Some(l: List[_]) =>
+          require(l.length == urls.length,
+            s"prefix_probs has ${l.length} entries for ${urls.length} urls")
+          urls.zip(l.map(v => num(v))).toMap
+        case _ => sys.error("resample_prefixes: true requires prefix_probs")
+      }
+    val mixtureTotal = int(pc.get("mixture_total")).map(_.toLong).getOrElse(0L)
+    if (prefixProbs.nonEmpty)
+      require(mixtureTotal > 0,
+        "resample_prefixes needs pipeline_config.mixture_total (the exact-count " +
+          "mixture draws a bounded sample; the reference resamples an unbounded stream)")
+
+    // handler target (dataset.py:154-155 defaults to warn_and_continue)
+    val skipCorrupt = ds.get("error_handler").orElse(pc.get("handler")) match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].get("target")
+          .exists(_.toString.endsWith("warn_and_continue"))
+      case Some(s: String) => s.endsWith("warn_and_continue")
+      case None => true // the reference's default
+    }
+
+    val decoders = ds.get("decoders") match {
+      case Some(l: List[_]) => Decoders.withSpecs(l.map(_.toString), Map.empty)
+      case Some(s: String) => Decoders.withSpecs(Seq(s), Map.empty)
+      case None => Decoders.defaults
+    }
+
+    val config = PipelineConfig(
+      urls = urls,
+      extensions = ds.get("extensions") match {
+        case Some(l: List[_]) => l.map(_.toString)
+        case _ => sys.error(
+          "yaml config requires dataset.extensions (the engine declares member " +
+            "columns up front; wds-style inference would hide schema errors)")
+      },
+      metaSuffixes = ds.get("meta_urls") match {
+        case Some(l: List[_]) => metaSuffixesOf(urls, l.map(_.toString))
+        case _ => Nil
+      },
+      shardShuffleSeed = if (shardShuffleOn) Some(seed) else None,
+      prefixProbs = prefixProbs,
+      mixtureTotal = mixtureTotal,
+      repeat = int(pc.get("repeat")).getOrElse(1),
+      sampleShuffleSeed = if (sampleShuffleOn) Some(seed) else None,
+      skipCorrupt = skipCorrupt,
+      decoders = decoders,
+      preprocessors = stages(ds.get("preprocessors")),
+      postprocessors = stages(ds.get("postprocessors")))
+
+    val batchSize = root.get("loader").map(asMap(_, "loader"))
+      .flatMap(m => int(m.get("batch_size")))
+    Loaded(config, batchSize)
+  }
+
+  /** meta_urls must be main urls + `_suffix` (the layout
+    * ShardListing.metaDir produces); extract the suffixes.
+    */
+  private def metaSuffixesOf(urls: Seq[String], metaUrls: Seq[String]): Seq[String] =
+    metaUrls.map { mu =>
+      urls.collectFirst {
+        case u if mu.startsWith(u + "_") => mu.drop(u.length + 1)
+      }.getOrElse(sys.error(
+        s"meta url '$mu' is not '<main url>_<suffix>' for any main url; " +
+          "the engine derives metadata dirs by suffix (ShardListing.metaDir)"))
+    }.distinct
+
+  /** `target:` dotted path → registry stage. Reference class names map
+    * to first-party operators; bare names fall through to the registry
+    * (graft-native configs).
+    */
+  private def stages(node: Option[Any]): Seq[PipelineStage] = node match {
+    case Some(l: List[_]) => l.map {
+      case m: Map[_, _] => stageOf(m.asInstanceOf[Map[String, Any]])
+      case s: String => FilterStage(OperatorRegistry.filter(s))
+      case other => sys.error(s"invalid processor entry: $other")
+    }
+    case _ => Nil
+  }
+
+  private def stageOf(m: Map[String, Any]): PipelineStage = {
+    val target = m.get("target").map(_.toString)
+      .getOrElse(sys.error(s"processor entry needs 'target': $m"))
+    val params = m.get("params").map(asMap(_, "params"))
+      .getOrElse(Map.empty[String, Any])
+    def str(k: String): Option[String] = params.get(k).map(_.toString)
+    target.split('.').last match {
+      case "Rescaler" =>
+        MapperStage(OperatorRegistry.mapper("rescaler",
+          Map("key" -> str("key").getOrElse("jpg")) ++
+            str("isfloat").map("isfloat" -> _)))
+      case "AddOriginalImageSizeAsTupleAndCropToSquare" =>
+        MapperStage(OperatorRegistry.mapper("crop_to_square",
+          Map("height_key" -> str("h_key").getOrElse("height"),
+            "width_key" -> str("w_key").getOrElse("width"))))
+      case "TorchVisionImageTransforms" =>
+        MapperStage(OperatorRegistry.mapper("image_transforms",
+          torchvisionParams(params)))
+      case "SimpleKeyFilter" =>
+        FilterStage(OperatorRegistry.filter("simple_key_filter",
+          Map("keys" -> (params.get("keys") match {
+            case Some(l: List[_]) => l.map(_.toString).mkString(",")
+            case Some(s) => s.toString
+            case None => sys.error("SimpleKeyFilter needs 'keys'")
+          }))))
+      case "SimpleSizeFilter" =>
+        FilterStage(OperatorRegistry.filter("simple_size_filter",
+          params.map { case (k, v) => k -> v.toString }))
+      case name if m.contains("filter") || target.contains("filters") =>
+        FilterStage(OperatorRegistry.filter(snake(name),
+          params.map { case (k, v) => k -> v.toString }))
+      case name =>
+        MapperStage(OperatorRegistry.mapper(snake(name),
+          params.map { case (k, v) => k -> v.toString }))
+    }
+  }
+
+  /** Flatten the torchvision transforms chain (example.yaml:16-22) into
+    * image_transforms params: Resize → resize, CenterCrop → center_crop,
+    * ToTensor → chw layout.
+    */
+  private def torchvisionParams(params: Map[String, Any]): Map[String, String] = {
+    val key = params.get("key").map(_.toString).getOrElse("jpg")
+    val transforms = params.get("transforms") match {
+      case Some(l: List[_]) => l.map(asMap(_, "transform"))
+      case _ => Nil
+    }
+    transforms.foldLeft(Map("key" -> key)) { (acc, t) =>
+      val tp = t.get("params").map(asMap(_, "transform params"))
+        .getOrElse(Map.empty[String, Any])
+      t.get("target").map(_.toString.split('.').last) match {
+        case Some("Resize") =>
+          acc + ("resize" -> int(tp.get("size")).getOrElse(
+            sys.error("Resize needs integer 'size'")).toString)
+        case Some("CenterCrop") =>
+          acc + ("center_crop" -> int(tp.get("size")).getOrElse(
+            sys.error("CenterCrop needs integer 'size'")).toString)
+        case Some("ToTensor") => acc + ("layout" -> "chw")
+        case other => sys.error(s"unsupported torchvision transform: $other " +
+          "(supported: Resize, CenterCrop, ToTensor)")
+      }
+    }
+  }
+
+  private def snake(camel: String): String =
+    camel.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+
+  private def asMap(v: Any, what: String): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case other => sys.error(s"expected a mapping for $what, got: $other")
+  }
+
+  private def int(v: Option[Any]): Option[Int] = v match {
+    case Some(n: java.lang.Long) => Some(n.intValue())
+    case Some(n: java.lang.Double) => Some(n.intValue())
+    case Some(s: String) => s.toIntOption
+    case _ => None
+  }
+
+  private def num(v: Any): Double = v match {
+    case n: java.lang.Long => n.doubleValue()
+    case n: java.lang.Double => n.doubleValue()
+    case s: String => s.toDouble
+    case other => sys.error(s"expected a number, got $other")
+  }
+}

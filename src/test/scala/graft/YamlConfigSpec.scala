@@ -1,0 +1,152 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Paths}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+/** YAML config parity: the reference's example.yaml shape
+  * (examples/configs/example.yaml) must build the same pipeline the
+  * JSON config path builds.
+  */
+class YamlConfigSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private val dir = {
+    val d = Paths.get("target", "yaml-fixtures-" + System.nanoTime()).toAbsolutePath
+    Files.createDirectories(d.resolve("imgs"))
+    // one shard with a real 8x4 PNG (left red, right blue)
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val out = new TarArchiveOutputStream(
+      new FileOutputStream(d.resolve("imgs/shard-00.tar").toFile))
+    val bytes = baos.toByteArray
+    val e = new TarArchiveEntry("im1.png")
+    e.setSize(bytes.length.toLong)
+    out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+    out.close()
+    d
+  }
+
+  test("MiniYaml parses the reference config shape (comments, quotes, nesting)") {
+    val doc = MiniYaml.parse(
+      """dataset:
+        |  urls:
+        |    # USER: adapt this path
+        |    - "/path/to/data"
+        |  pipeline_config:
+        |    shardshuffle: 10000
+        |    sample_shuffle: 1000 # inline comment
+        |  decoders:
+        |    - "pil"
+        |  postprocessors:
+        |    - target: sdata.mappers.TorchVisionImageTransforms
+        |      params:
+        |        key: 'jpg'
+        |        transforms:
+        |          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 256
+        |              interpolation: 3
+        |          - target: torchvision.transforms.ToTensor
+        |    - target: sdata.mappers.Rescaler
+        |loader:
+        |  batch_size: 64
+        |  num_workers: 6
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    val ds = doc("dataset").asInstanceOf[Map[String, Any]]
+    assert(ds("urls") == List("/path/to/data"))
+    val pc = ds("pipeline_config").asInstanceOf[Map[String, Any]]
+    assert(pc("shardshuffle") == 10000L && pc("sample_shuffle") == 1000L)
+    assert(ds("decoders") == List("pil"))
+    val posts = ds("postprocessors").asInstanceOf[List[Map[String, Any]]]
+    assert(posts.length == 2)
+    assert(posts(0)("target") == "sdata.mappers.TorchVisionImageTransforms")
+    val transforms = posts(0)("params").asInstanceOf[Map[String, Any]]("transforms")
+      .asInstanceOf[List[Map[String, Any]]]
+    assert(transforms.map(_("target")) ==
+      List("torchvision.transforms.Resize", "torchvision.transforms.ToTensor"))
+    assert(transforms(0)("params").asInstanceOf[Map[String, Any]]("size") == 256L)
+    assert(doc("loader").asInstanceOf[Map[String, Any]]("batch_size") == 64L)
+  }
+
+  test("example.yaml-shaped config builds the same pipeline as the JSON config") {
+    val yaml =
+      s"""dataset:
+         |  urls:
+         |    - "${dir.resolve("imgs")}"
+         |  extensions:
+         |    - "png"
+         |  pipeline_config:
+         |    shardshuffle: 10000
+         |    sample_shuffle: 1000
+         |    seed: 11
+         |  decoders:
+         |    - "torchrgb"
+         |  postprocessors:
+         |    - target: sdata.mappers.TorchVisionImageTransforms
+         |      params:
+         |        key: 'png'
+         |        transforms:
+         |          - target: torchvision.transforms.Resize
+         |            params:
+         |              size: 2
+         |              interpolation: 3
+         |          - target: torchvision.transforms.ToTensor
+         |loader:
+         |  batch_size: 64
+         |  num_workers: 6
+         |""".stripMargin
+    val loaded = ConfigYaml.parse(yaml)
+    assert(loaded.batchSize.contains(64))
+    assert(loaded.config.shardShuffleSeed.contains(11))
+    assert(loaded.config.sampleShuffleSeed.contains(11))
+    assert(loaded.config.skipCorrupt) // reference defaults to warn_and_continue
+
+    val json = ConfigJson.parse(
+      s"""{
+         |  "urls": ["${dir.resolve("imgs")}"],
+         |  "extensions": ["png"],
+         |  "shardShuffleSeed": 11,
+         |  "sampleShuffleSeed": 11,
+         |  "skipCorrupt": true,
+         |  "decoders": ["torchrgb"],
+         |  "postprocessors": [
+         |    {"mapper": "image_transforms",
+         |     "params": {"key": "png", "resize": "2", "layout": "chw"}}
+         |  ]
+         |}""".stripMargin)
+
+    val a = GraftPipeline.create(spark, loaded.config).collect()
+    val b = GraftPipeline.create(spark, json).collect()
+    assert(a.length == 1 && b.length == 1)
+    val (da, db) = (a.head.getAs[org.apache.spark.sql.Row]("png"),
+      b.head.getAs[org.apache.spark.sql.Row]("png"))
+    assert(da == db, "YAML- and JSON-built pipelines must produce identical rows")
+    assert(da.getAs[Int]("width") == 4 && da.getAs[Int]("height") == 2)
+  }
+
+  test("resample_prefixes without mixture_total fails fast instead of silently emptying") {
+    val e = intercept[Exception](ConfigYaml.parse(
+      s"""dataset:
+         |  urls:
+         |    - "/a"
+         |    - "/b"
+         |  extensions:
+         |    - "txt"
+         |  pipeline_config:
+         |    resample_prefixes: true
+         |    prefix_probs:
+         |      - 0.7
+         |      - 0.3
+         |""".stripMargin))
+    assert(e.getMessage.contains("mixture_total"))
+  }
+}
