@@ -374,6 +374,39 @@ object RelationalQueries extends QueryPack {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // TPC-H Q2 shape — correlated scalar subquery (min per part).
+    // Catalyst decorrelates the per-row min into an aggregate + join on
+    // l_partkey: one shuffle each side, no per-row subquery execution —
+    // the only plan that survives at scale.
+    "q2a_min_cost_supplier" -> ((s, dir) => {
+      Tables.names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SqlShapes.q2a)
+    }),
+
+    // TPC-H Q11 shape — HAVING against a global-aggregate scalar
+    // subquery (the threshold is one broadcast scalar, computed once).
+    "q2b_important_parts" -> ((s, dir) => {
+      Tables.names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SqlShapes.q2b)
+    }),
+
+    // TPC-H Q15 shape — CTE reused twice (revenue per supplier and its
+    // max); Spark evaluates the scalar-subquery branch once and
+    // broadcasts the scalar.
+    "q2c_top_supplier" -> ((s, dir) => {
+      Tables.names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SqlShapes.q2c)
+    }),
+
+    // TPC-H Q21 shape — EXISTS + NOT EXISTS over the same fact: plans as
+    // a left-semi plus a left-anti join, both shuffling only on
+    // l_orderkey. Adapted to this corpus's columns: returnflag 'R'
+    // stands in for the receipt-after-commit lateness predicate.
+    "q2d_waiting_returns" -> ((s, dir) => {
+      Tables.names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(SqlShapes.q2d)
+    }),
+
     // Scalar function surface: string/date/conditional expressions.
     "q13_scalar_fns" -> ((s, dir) => {
       import s.implicits._
@@ -392,7 +425,62 @@ object RelationalQueries extends QueryPack {
     })
   )
 
+  /** ANSI-shared SQL for the TPC-H subquery shapes: one string runs
+    * verbatim on both Spark and DuckDB (floor-rounding instead of
+    * dialect round; TIMESTAMP literals; no engine-specific functions),
+    * so the query IS its own oracle.
+    */
+  private object SqlShapes {
+    val q2a: String =
+      """SELECT DISTINCT p_partkey, p_brand, l_suppkey, l_extendedprice AS min_price
+        |FROM part JOIN lineitem ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, l_suppkey""".stripMargin
+    val q2b: String =
+      """SELECT l_partkey,
+        | floor(sum(l_extendedprice * l_quantity) * 100 + 0.5) / 100 AS part_value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(l_extendedprice * l_quantity) >
+        |  (SELECT sum(l_extendedprice * l_quantity) * 1.5
+        |          / count(DISTINCT l_partkey) FROM lineitem)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin
+    val q2c: String =
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |       floor(total_revenue * 100 + 0.5) / 100 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin
+    val q2d: String =
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q2a_min_cost_supplier" -> SqlShapes.q2a,
+    "q2b_important_parts" -> SqlShapes.q2b,
+    "q2c_top_supplier" -> SqlShapes.q2c,
+    "q2d_waiting_returns" -> SqlShapes.q2d,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
