@@ -36,11 +36,22 @@ object ErrorPolicy {
 
   /** Wrap a fallible scalar function into a UDF that never throws:
     * errors become a struct(result = null, error = message).
+    *
+    * If `spark.graft.maxExcTime` (seconds — the SDATA_MAX_EXC_TIME
+    * dual, reference datapipeline.py:34-46) is set on the active
+    * session when the UDF is BUILT, every per-row call is bounded by
+    * [[withTimeout]]; a hung computation becomes a row-level error
+    * under this same skip/dead-letter policy instead of a hung task.
     */
   def safeUdf[I: scala.reflect.runtime.universe.TypeTag,
       O: scala.reflect.runtime.universe.TypeTag](f: I => O): Column => Column = {
+    val bounded = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(Profiling.maxExcTimeMs) match {
+      case Some(ms) => withTimeout(f, ms)
+      case None => f
+    }
     val u = udf { (in: I) =>
-      try SafeResult[O](Option(f(in)), None)
+      try SafeResult[O](Option(bounded(in)), None)
       catch { case e: Exception => SafeResult[O](None, Some(s"${e.getClass.getName}: ${e.getMessage}")) }
     }
     c => u(c)

@@ -156,16 +156,24 @@ object GraftPipeline {
       df = df.join(meta, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), "inner")
     }
 
-    // 6-8. stage folds: filters → Filter nodes, mappers → projections
-    def fold(stages: Seq[PipelineStage])(d: DataFrame): DataFrame =
-      stages.foldLeft(d) {
-        case (acc, FilterStage(f)) => f(acc)
-        case (acc, MapperStage(m)) => m(acc)
+    // 6-8. stage folds: filters → Filter nodes, mappers → projections.
+    // With profiling on (spark.graft.profile, the SDATA_PROFILE dual)
+    // every stage boundary gets a timing instrument; off (default) the
+    // plan is untouched.
+    val profiling = graft.core.Profiling.enabled(spark)
+    if (profiling) graft.core.Profiling.reset()
+    def probe(d: DataFrame, stage: String): DataFrame =
+      if (profiling) graft.core.Profiling.instrument(d, stage) else d
+    def fold(prefix: String, stages: Seq[PipelineStage])(d0: DataFrame): DataFrame =
+      stages.zipWithIndex.foldLeft(d0) {
+        case (acc, (FilterStage(f), i)) => probe(f(acc), s"$prefix:$i:${f.getClass.getSimpleName}")
+        case (acc, (MapperStage(m), i)) => probe(m(acc), s"$prefix:$i:${m.getClass.getSimpleName}")
       }
 
-    df = fold(config.preprocessors)(df)
-    df = decodeStage(df, config)
-    df = fold(config.postprocessors)(df)
+    df = probe(df, "scan")
+    df = fold("pre", config.preprocessors)(df)
+    df = probe(decodeStage(df, config), "decode")
+    df = fold("post", config.postprocessors)(df)
 
     // 9. mixture (X3) / repeat (X7) / sample shuffle (X2).
     // prefixProbs keys are URL prefixes (reference PrefixResampler
