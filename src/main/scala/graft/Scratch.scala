@@ -16,29 +16,29 @@ object Scratch {
     def time(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[time] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
-    // warmup like Bench
-    SparkEntry.queries("q01_pricing_summary")(spark, dir)
-      .write.format("noop").mode("overwrite").save()
-
-    val li = graft.core.Tables.load(spark, dir, "lineitem")
-      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"))
-    time("scan count")(li.count())
-    time("scan count again")(li.count())
-    val bucket = when($"v" > 0, floor(log2($"v") * 4)).otherwise(lit(-1e9))
-    time("bucketed groupBy collect")(
-      li.withColumn("b", bucket).groupBy($"flag", $"b").agg(count(lit(1))).collect().length)
-    val bucketed2 = li.withColumn("b", bucket).repartition($"flag", $"b").persist()
-    time("repartition+persist+countpass")(
-      bucketed2.groupBy($"flag", $"b").agg(count(lit(1))).collect().length)
-    import org.apache.spark.sql.expressions.Window
-    val wIn = Window.partitionBy($"flag", $"b").orderBy($"v")
-    time("cached window pass")(
-      bucketed2.withColumn("rn", row_number().over(wIn)).write.format("noop").mode("overwrite").save())
-    time("full q16")(SparkEntry.queries("q16_percentiles")(spark, dir)
-      .write.format("noop").mode("overwrite").save())
-    time("full q16 again")(SparkEntry.queries("q16_percentiles")(spark, dir)
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    time("docs count")(docs.count())
+    val d = docs
+      .select($"doc_id", graft.functions.FastText.shingleAnalyze(3)($"text").as("a"))
+      .select($"doc_id", $"a.sh".as("sh"))
+      .persist()
+    time("shingle analyze + persist")(d.count())
+    val postings = d.select($"doc_id", explode($"sh").as("shingle"))
+    time("postings explode count")(postings.count())
+    val rare = postings.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= 10)
+      .select($"shingle")
+    time("rare shingles")(rare.count())
+    val elig = postings.join(rare, Seq("shingle"))
+    val cand = elig.select($"shingle", $"doc_id".as("a_id"))
+      .join(elig.select($"shingle", $"doc_id".as("b_id")), Seq("shingle"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+      .distinct()
+    time("candidate pairs")(cand.count())
+    time("full q33")(SparkEntry.queries("q33_ngram_jaccard")(spark, dir)
       .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

@@ -24,6 +24,7 @@ object DedupQueries extends QueryPack {
   private val RowsPerBand = MinhashK / Bands
   private val MaxBucket = 50    // hot-bucket guard: skip degenerate bands
   private val MaxDf = 10        // rare-shingle cutoff for the q33 inverted index
+  private val MinShared = 3     // q33 count filter: pairs must share >= 3 rare shingles
   private val JaccN = 4         // q33 shingle width: 4-grams are rare enough
                                 // in this corpus to keep postings selective
 
@@ -127,11 +128,18 @@ object DedupQueries extends QueryPack {
       // rare-shingle list and candidate set are data-dependent sizes —
       // leave the join strategy to AQE (see q31 note).
       val elig = postings.join(rare, Seq("shingle"))
+      // Count filter (PPJoin family): a pair must share >= MinShared
+      // rare shingles to reach exact verification. On a low-entropy
+      // corpus single-shingle collisions explode (~436k pairs for ~25
+      // survivors at sf0.1); the count cut keeps the verify join
+      // proportional to genuinely-similar pairs. The aggregation costs
+      // the same shuffle the distinct() needed anyway.
       val cand = elig.select($"shingle", $"doc_id".as("a_id"))
         .join(elig.select($"shingle", $"doc_id".as("b_id")), Seq("shingle"))
         .filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= MinShared)
         .select($"a_id", $"b_id")
-        .distinct()
       cand
         .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
         .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
@@ -185,8 +193,11 @@ object DedupQueries extends QueryPack {
          |         HAVING count(*) >= 2 AND count(*) <= $MaxDf),
          |elig AS (SELECT p.doc_id, p.shingle FROM postings p JOIN rare USING (shingle)),
          |cand AS (
-         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         | FROM elig a JOIN elig b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+         | SELECT a_id, b_id FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |  FROM elig a JOIN elig b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         | WHERE shared >= $MinShared)
          |SELECT a_id, b_id, jaccard FROM (
          | SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
          | FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
