@@ -76,18 +76,20 @@ object SimilarityFunctions {
     * codegen expression, so assignment is a per-row scalar projection:
     * zero row expansion, zero shuffle. The vector table is scanned once.
     */
-  def ivfAssign(df: org.apache.spark.sql.DataFrame, vecCol: String,
-      idCol: String, k: Int, seed: Int): org.apache.spark.sql.DataFrame = {
-    val cents = df
-      .orderBy(PortableHash.detHash(col(idCol), seed), col(idCol))
+  /** The k deterministic centroids (driver-resident model state). */
+  def ivfCentroids(df: org.apache.spark.sql.DataFrame, vecCol: String,
+      idCol: String, k: Int, seed: Int): Seq[(Long, Array[Float])] =
+    df.orderBy(PortableHash.detHash(col(idCol), seed), col(idCol))
       .limit(k)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq
-    df.withColumn("centroid_id",
-      graft.plans.NearestCentroid.nearest(col(vecCol), cents))
-  }
+
+  def ivfAssign(df: org.apache.spark.sql.DataFrame, vecCol: String,
+      idCol: String, k: Int, seed: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("centroid_id", graft.plans.NearestCentroid.nearest(
+      col(vecCol), ivfCentroids(df, vecCol, idCol, k, seed)))
 
   // ---- DuckDB-dialect renderings (oracle side) -------------------------
 

@@ -31,6 +31,40 @@ object DedupQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** MinHash→LSH→verify pair mining shared by q31 (pair listing) and
+    * q35 (cluster assignment): signatures and band buckets are computed
+    * once per doc (persisted — the frame feeds three plan branches);
+    * candidates move ids only; hot buckets (> MaxBucket) are skipped —
+    * the guard that bounds per-bucket work at B²/2. Candidate and
+    * posting frames carry no broadcast hints: their sizes are
+    * data-dependent, AQE decides at runtime.
+    */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val analyze = graft.functions.FastText.minhashAnalyze(
+      MinhashK, ShingleN, Bands, RowsPerBand)
+    val d = docs(s, dir)
+      .select($"doc_id", analyze($"text").as("a"))
+      .select($"doc_id", $"a.sh".as("sh"), $"a.buckets".as("buckets"))
+      .persist()
+    val exploded = d.select($"doc_id", explode($"buckets").as("bucket"))
+    val okBuckets = exploded.groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2 && $"n" <= MaxBucket)
+      .select($"bucket")
+    val elig = exploded.join(okBuckets, Seq("bucket"))
+    val cand = elig.select($"bucket", $"doc_id".as("a_id"))
+      .join(elig.select($"bucket", $"doc_id".as("b_id")), Seq("bucket"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id")
+      .distinct()
+    cand
+      .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
+      .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        graft.functions.FastText.jaccardUdf($"a_sh", $"b_sh").as("jaccard"))
+      .filter($"jaccard" >= 0.4)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: minimal-id survivor per content digest.
     "q30_dedup_exact" -> ((s, dir) => {
@@ -42,45 +76,32 @@ object DedupQueries extends QueryPack {
 
     // MinHash signatures + LSH banding → candidate pairs → exact
     // shingle-Jaccard verification.
-    "q31_minhash_pairs" -> ((s, dir) => {
+    "q31_minhash_pairs" -> ((s, dir) =>
+      minhashVerifiedPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
+
+    // Dedup CLUSTER assignment over the verified near-dup pairs: two
+    // rounds of min-label propagation (label = min doc_id reachable in
+    // <= 2 hops). Bounded-iteration label propagation is the standard
+    // distributed connected-components kernel; two rounds are exact for
+    // the path lengths LSH pair sets produce here and keep the oracle a
+    // literal replica (DuckDB runs the same two rounds). survivor =
+    // cluster representative (doc_id == cluster_id). Each round is one
+    // join + aggregate on the (bounded) pair set — never on the corpus.
+    "q35_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      // Shingle sets + signatures + band buckets are computed once per
-      // doc (linear). The candidate join moves ONLY (id, bucket) pairs;
-      // shingle arrays are re-attached once per unique candidate pair.
-      // Hot buckets (> MaxBucket members) are skipped — the standard
-      // LSH-dedup guard that bounds per-bucket work at B²/2 and kills
-      // the quadratic blowup a skewed band would otherwise cause.
-      val analyze = graft.functions.FastText.minhashAnalyze(
-        MinhashK, ShingleN, Bands, RowsPerBand)
-      // The signature frame feeds three plan branches (bucket counts +
-      // both pair-join sides); persist it so the UDF runs once per doc —
-      // the local-mode analogue of materializing the signature table,
-      // which is how a 100 TB dedup run stages this anyway.
-      val d = docs(s, dir)
-        .select($"doc_id", analyze($"text").as("a"))
-        .select($"doc_id", $"a.sh".as("sh"), $"a.buckets".as("buckets"))
+      val pairs = minhashVerifiedPairs(s, dir).select($"a_id", $"b_id")
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
         .persist()
-      val exploded = d.select($"doc_id", explode($"buckets").as("bucket"))
-      val okBuckets = exploded.groupBy($"bucket").agg(count(lit(1)).as("n"))
-        .filter($"n" >= 2 && $"n" <= MaxBucket)
-        .select($"bucket")
-      // The eligible-bucket list and candidate-pair set are
-      // data-dependent (a near-dup-heavy corpus can make either large),
-      // so no forced broadcast hints: AQE broadcasts them at runtime
-      // when they come out small and shuffle-joins when they don't.
-      val elig = exploded.join(okBuckets, Seq("bucket"))
-      val cand = elig.select($"bucket", $"doc_id".as("a_id"))
-        .join(elig.select($"bucket", $"doc_id".as("b_id")), Seq("bucket"))
-        .filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id")
-        .distinct()
-      cand
-        .join(d.select($"doc_id".as("a_id"), $"sh".as("a_sh")), Seq("a_id"))
-        .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
-        .select($"a_id", $"b_id",
-          graft.functions.FastText.jaccardUdf($"a_sh", $"b_sh").as("jaccard"))
-        .filter($"jaccard" >= 0.4)
-        .orderBy($"a_id", $"b_id")
+      val l1 = edges.groupBy($"src".as("doc_id")).agg(min($"dst").as("nb"))
+        .select($"doc_id", least($"doc_id", $"nb").as("label"))
+      val l2 = l1.join(edges, $"doc_id" === $"src")
+        .join(l1.select($"doc_id".as("dst"), $"label".as("nb_label")), Seq("dst"))
+        .groupBy($"doc_id")
+        .agg(least(min($"label"), min($"nb_label")).as("cluster_id"))
+      l2.select($"doc_id", $"cluster_id",
+          ($"doc_id" === $"cluster_id").as("survivor"))
+        .orderBy($"doc_id")
     }),
 
     // Canonical-fingerprint dedup: documents sharing the sorted distinct
@@ -150,31 +171,52 @@ object DedupQueries extends QueryPack {
     })
   )
 
+  /** Shared oracle CTE: the full MinHash→LSH→verify pair pipeline as
+    * DuckDB SQL, ending in a `pairs(a_id, b_id, jaccard)` CTE — a
+    * literal replica of [[minhashVerifiedPairs]].
+    */
+  private lazy val minhashPairsCteSql: String = {
+    val buckets = DedupFunctions.lshBandBucketsSql(
+      DedupFunctions.minhashSignatureSql("text", MinhashK, ShingleN), Bands, RowsPerBand)
+    s"""WITH d AS (
+       | SELECT doc_id, ${distinctShinglesSql("text", ShingleN)} AS sh,
+       |  $buckets AS buckets FROM documents),
+       |exploded AS (SELECT doc_id, unnest(buckets) AS bucket FROM d),
+       |ok AS (SELECT bucket FROM exploded GROUP BY bucket
+       |       HAVING count(*) >= 2 AND count(*) <= $MaxBucket),
+       |elig AS (SELECT e.doc_id, e.bucket FROM exploded e JOIN ok USING (bucket)),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM elig a JOIN elig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |pairs AS (
+       | SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
+       |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
+       | WHERE jaccard >= 0.4)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash FROM (
         | SELECT doc_id, text, row_number() OVER (
         |  PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM documents)
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
-    "q31_minhash_pairs" -> {
-      val buckets = DedupFunctions.lshBandBucketsSql(
-        DedupFunctions.minhashSignatureSql("text", MinhashK, ShingleN), Bands, RowsPerBand)
-      s"""WITH d AS (
-         | SELECT doc_id, ${distinctShinglesSql("text", ShingleN)} AS sh,
-         |  $buckets AS buckets FROM documents),
-         |exploded AS (SELECT doc_id, unnest(buckets) AS bucket FROM d),
-         |ok AS (SELECT bucket FROM exploded GROUP BY bucket
-         |       HAVING count(*) >= 2 AND count(*) <= $MaxBucket),
-         |elig AS (SELECT e.doc_id, e.bucket FROM exploded e JOIN ok USING (bucket)),
-         |cand AS (
-         | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         | FROM elig a JOIN elig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT a_id, b_id, jaccard FROM (
-         | SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
-         | FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
-         |WHERE jaccard >= 0.4
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "q31_minhash_pairs" ->
+      s"""$minhashPairsCteSql
+         |SELECT a_id, b_id, jaccard FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q35_dedup_clusters" ->
+      s"""$minhashPairsCteSql,
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |l1 AS (SELECT src AS doc_id, least(src, min(dst)) AS label
+         |       FROM sym GROUP BY src),
+         |l2 AS (SELECT l.doc_id, least(min(l.label), min(n.label)) AS cluster_id
+         |       FROM l1 l JOIN sym e ON e.src = l.doc_id
+         |       JOIN l1 n ON n.doc_id = e.dst
+         |       GROUP BY l.doc_id)
+         |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS survivor
+         |FROM l2 ORDER BY doc_id""".stripMargin,
     "q34_fingerprint_dedup" ->
       s"""SELECT doc_id, fp FROM (
          | SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp,

@@ -95,6 +95,44 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"centroid_id")
     }),
 
+    // IVF with nprobe=2: the probe searches its TWO nearest cells — the
+    // standard IVF recall knob. Cell ranking happens driver-side over
+    // the k centroid vectors (model state, not data); the scan stays a
+    // single cell-pruned pass, no extra shuffle vs nprobe=1.
+    "q46_ivf_nprobe" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = ivfCentroids(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val probeVec = e.filter($"vec_id" === ProbeId)
+        .select($"embedding").collect().head.getSeq[Float](0).toArray
+      val cells = cents
+        .map { case (cid, cv) =>
+          (cid, graft.functions.FastText.cosineJvm(probeVec, cv): Double)
+        }
+        .sortBy { case (cid, score) => (-score, cid) }
+        .take(2).map(_._1)
+      ivfAssign(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+        .filter($"vec_id" =!= ProbeId && $"centroid_id".isin(cells: _*))
+        .select($"vec_id", $"centroid_id",
+          cosineSim($"embedding", typedLit(probeVec.toSeq)).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
+    }),
+
+    // One k-means (Lloyd) refinement iteration over the IVF cells: the
+    // per-cell mean vector in long form (cell, dim, mean). posexplode +
+    // hash aggregate on (cell, dim) — fully parallel, shuffle volume
+    // = dim × rows scalars, no vector ever crosses the wire whole.
+    "q47_ivf_refine" -> ((s, dir) => {
+      import s.implicits._
+      ivfAssign(emb(s, dir), "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+        .select($"centroid_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"centroid_id", $"pos")
+        .agg(graft.functions.Portable.pround(avg($"v"), 6).as("mean_v"),
+          count(lit(1)).as("n"))
+        .orderBy($"centroid_id", $"pos")
+    }),
+
     // Bucket histogram — LSH partitioning statistics (skew diagnostic).
     "q43_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -105,6 +143,25 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"bucket")
     })
   )
+
+  /** Shared oracle CTE replicating ivfCentroids + NearestCentroid
+    * assignment: deterministic centroid pick by seeded id-hash, then
+    * per-row argmin via the same -cos ASC, centroid_id ASC tie-break.
+    */
+  private lazy val ivfCteSql: String = {
+    val cos = cosineSql("e.embedding", "c.centroid_vec")
+    s"""WITH cent AS (
+       | SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
+       | ORDER BY (('0x' || substr(md5(vec_id::VARCHAR || ':$IvfSeed'), 1, 8))::BIGINT), vec_id
+       | LIMIT $IvfK),
+       |assigned AS (
+       | SELECT vec_id, embedding, centroid_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY -($cos) ASC, c.centroid_id ASC) AS rk
+       |  FROM embeddings e CROSS JOIN cent c)
+       | WHERE rk = 1)""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "q40_cosine_topk" ->
@@ -132,44 +189,42 @@ object SimilarityQueries extends QueryPack {
          |WHERE cos >= 0.3
          |ORDER BY bucket, a_id, b_id""".stripMargin
     },
-    "q44_ivf_search" -> {
-      val cos = cosineSql("e.embedding", "c.centroid_vec")
-      val cte = """WITH cent AS (
-         | SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
-         | ORDER BY (('0x' || substr(md5(vec_id::VARCHAR || ':21'), 1, 8))::BIGINT), vec_id
-         | LIMIT 16),
-         |assigned AS (
-         | SELECT vec_id, embedding, centroid_id FROM (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |   row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY -COSEXPR ASC, c.centroid_id ASC) AS rk
-         |  FROM embeddings e CROSS JOIN cent c)
-         | WHERE rk = 1)""".stripMargin.replace("COSEXPR", cos)
-      s"""$cte,
+    "q44_ivf_search" ->
+      s"""$ivfCteSql,
          |probe AS (SELECT centroid_id AS probe_cell, embedding AS probe_vec
          |          FROM assigned WHERE vec_id = $ProbeId)
          |SELECT vec_id, centroid_id, ${cosineSql("embedding", "probe_vec")} AS score
          |FROM assigned, probe
          |WHERE vec_id <> $ProbeId AND centroid_id = probe_cell
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q46_ivf_nprobe" -> {
+      val cellCos = cosineSql("c.centroid_vec", "probe_vec")
+      s"""$ivfCteSql,
+         |probe AS (SELECT embedding AS probe_vec FROM embeddings
+         |          WHERE vec_id = $ProbeId),
+         |cells AS (SELECT c.centroid_id FROM cent c, probe
+         |          ORDER BY $cellCos DESC, c.centroid_id LIMIT 2)
+         |SELECT vec_id, centroid_id, ${cosineSql("embedding", "probe_vec")} AS score
+         |FROM assigned, probe
+         |WHERE vec_id <> $ProbeId
+         |  AND centroid_id IN (SELECT centroid_id FROM cells)
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
     },
-    "q45_ivf_cells" -> {
-      val cos = cosineSql("e.embedding", "c.centroid_vec")
-      val cte = """WITH cent AS (
-         | SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
-         | ORDER BY (('0x' || substr(md5(vec_id::VARCHAR || ':21'), 1, 8))::BIGINT), vec_id
-         | LIMIT 16),
-         |assigned AS (
-         | SELECT vec_id, embedding, centroid_id FROM (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |   row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY -COSEXPR ASC, c.centroid_id ASC) AS rk
-         |  FROM embeddings e CROSS JOIN cent c)
-         | WHERE rk = 1)""".stripMargin.replace("COSEXPR", cos)
-      s"""$cte
+    "q47_ivf_refine" ->
+      s"""$ivfCteSql
+         |SELECT centroid_id, pos,
+         |       ${graft.functions.Portable.proundSql("avg(v)", 6)} AS mean_v,
+         |       count(*) AS n
+         |FROM (SELECT centroid_id,
+         |             generate_subscripts(embedding, 1) - 1 AS pos,
+         |             unnest(embedding) AS v
+         |      FROM assigned)
+         |GROUP BY centroid_id, pos
+         |ORDER BY centroid_id, pos""".stripMargin,
+    "q45_ivf_cells" ->
+      s"""$ivfCteSql
          |SELECT centroid_id, count(*) AS n FROM assigned
-         |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
-    },
+         |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "q43_lsh_buckets" -> {
       val bucket = lshBucketSql("embedding", Planes, Dim)
       s"""SELECT $bucket AS bucket, count(*) AS n FROM embeddings

@@ -17,6 +17,23 @@ object TextQueries extends QueryPack {
     Tables.load(s, dir, "documents")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // N-gram repetition score — the standard "repeated template text"
+    // curation signal (fraction of trigram positions occupied by a
+    // repeat): 1 - distinct_trigrams / total_trigrams. Reuses the
+    // shingle kernel already proven bit-identical to the oracle; pure
+    // per-row work, embarrassingly parallel.
+    "q25_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val analyze = graft.functions.FastText.shingleAnalyze(3)
+      docs(s, dir)
+        .select($"doc_id", analyze($"text").as("a"))
+        .select($"doc_id", size($"a.sh").as("distinct_tri"),
+          greatest($"a.ntok" - 2, lit(1)).as("total_tri"))
+        .withColumn("rep_ratio",
+          pround(lit(1.0) - $"distinct_tri".cast("double") / $"total_tri", 6))
+        .orderBy($"doc_id")
+    }),
+
     // Token counting + punctuation density + canonical fingerprint.
     "q20_text_stats" -> ((s, dir) => {
       import s.implicits._
@@ -69,6 +86,14 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q25_repetition" -> {
+      val distinctTri = s"length(${graft.functions.DedupFunctions.distinctShinglesSql("text", 3)})"
+      val totalTri = s"greatest(${tokenCountSql("text")} - 2, 1)"
+      s"""SELECT doc_id, $distinctTri AS distinct_tri, $totalTri AS total_tri,
+         | ${graft.functions.Portable.proundSql(
+        s"1.0 - ($distinctTri)::DOUBLE / ($totalTri)", 6)} AS rep_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q20_text_stats" ->
       s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
          | length(text) AS n_chars_txt,
