@@ -89,10 +89,12 @@ object DedupQueries extends QueryPack {
     // join + aggregate on the (bounded) pair set — never on the corpus.
     "q35_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val pairs = minhashVerifiedPairs(s, dir).select($"a_id", $"b_id")
+      // persist the verified pairs BEFORE the symmetric union: the union
+      // evaluates its input once per branch, which would re-run the
+      // whole minhash pipeline twice otherwise.
+      val pairs = minhashVerifiedPairs(s, dir).select($"a_id", $"b_id").persist()
       val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
         .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-        .persist()
       val l1 = edges.groupBy($"src".as("doc_id")).agg(min($"dst").as("nb"))
         .select($"doc_id", least($"doc_id", $"nb").as("label"))
       val l2 = l1.join(edges, $"doc_id" === $"src")

@@ -42,6 +42,23 @@ object EventsQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Native session_window sessionization — Spark's built-in session
+    // operator (the one the streaming path uses with watermarks) run in
+    // batch mode: one hash exchange on user_id, sessions merged inside
+    // the aggregate, no lag/cumsum window pair. Emits session-level
+    // rows; end = last event + gap (session_window semantics).
+    "q55_session_window" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), pround(sum($"value"), 2).as("sum_value"))
+        .select($"user_id",
+          date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          $"n_events", $"sum_value")
+        .orderBy($"user_id", $"sess_start")
+    }),
+
     // Tumbling 1-hour window aggregation by event type.
     "q51_hourly_agg" -> ((s, dir) => {
       import s.implicits._
@@ -113,6 +130,32 @@ object EventsQueries extends QueryPack {
          |SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events,
          | floor((sum(value)) * 100 + 0.5) / 100 AS total_value
          |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // ts is truncated to microseconds (matching Tables.load) and gaps
+    // compare as INTEGER microseconds — double epoch() seconds could
+    // round across the >= boundary. Split when gap >= 30 min: Spark
+    // merges only when the next event starts strictly before the
+    // previous session's end.
+    "q55_session_window" ->
+      s"""WITH e AS (SELECT user_id, value, event_id,
+         |            date_trunc('microseconds', ts) AS ts FROM events),
+         |gapped AS (
+         | SELECT user_id, value, ts, event_id,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${SessionGapSec}000000
+         |       THEN 1 ELSE 0 END AS new_sess
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         | SELECT user_id, value, ts, (sum(new_sess) OVER (
+         |   PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sid
+         | FROM gapped)
+         |SELECT user_id,
+         | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+         | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+         | count(*) AS n_events,
+         | floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, sess_start""".stripMargin,
     "q51_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n,

@@ -72,6 +72,32 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch over the token
+    // vocabulary — the deterministic, oracle-checkable cousin of
+    // HLL/approx_count_distinct for 100 TB cardinality estimation: keep
+    // the k smallest deterministic hashes of the distinct values;
+    // estimate = (k-1) · 2^32 / kth_min. The k-smallest set is a
+    // mergeable sketch (union = k smallest of the union), and the plan
+    // is distinct-hash aggregate → TakeOrdered(k) — no full sort, no
+    // single-reducer pass. Falls back to the exact count when fewer
+    // than k distinct values exist.
+    "q26_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val K = 16
+      val kmin = docs(s, dir)
+        .select(explode(tokens(lower($"text"))).as("token"))
+        .select(graft.functions.PortableHash.detHash($"token").as("h"))
+        .distinct()
+        .orderBy($"h")
+        .limit(K)
+      kmin.agg(max($"h").as("kth"), count(lit(1)).as("k"))
+        .select(
+          when($"k" < K, $"k".cast("double"))
+            .otherwise(pround(lit((K - 1) * 4294967296.0) / $"kth", 4))
+            .as("est_distinct"),
+          $"k")
+    }),
+
     // Vocabulary: explode tokens, top-20 by frequency (generator + agg
     // + top-k — the classic word-count shuffle).
     "q23_vocab_top" -> ((s, dir) => {
@@ -93,6 +119,18 @@ object TextQueries extends QueryPack {
          | ${graft.functions.Portable.proundSql(
         s"1.0 - ($distinctTri)::DOUBLE / ($totalTri)", 6)} AS rep_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q26_kmv_distinct" -> {
+      val K = 16
+      s"""WITH h AS (
+         | SELECT DISTINCT ${graft.functions.PortableHash.duckHashSql("token")} AS h
+         | FROM (SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)),
+         |kmin AS (SELECT h FROM h ORDER BY h LIMIT $K)
+         |SELECT CASE WHEN count(*) < $K THEN count(*)::DOUBLE
+         |       ELSE ${graft.functions.Portable.proundSql(
+        s"${(K - 1) * 4294967296.0} / max(h)", 4)} END AS est_distinct,
+         | count(*) AS k
+         |FROM kmin""".stripMargin
     },
     "q20_text_stats" ->
       s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
