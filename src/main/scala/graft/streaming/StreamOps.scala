@@ -33,6 +33,20 @@ object StreamOps {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Native session-window aggregation with a watermark — the streaming
+    * twin of q55_session_window (same built-in operator both modes; in
+    * append mode only watermark-closed sessions emit).
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
   case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long, total_value: Double)

@@ -44,6 +44,25 @@ class StreamOpsSpec extends AnyFunSuite {
       abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count() == 0)
   }
 
+  test("streaming session_window emits sessions that match the batch operator") {
+    val streamed = StreamOps.runBounded(spark, StreamOps.sessionWindowAgg,
+      srcDir, schema, "sesswin_out", OutputMode.Append())
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        col("n_events"), col("sum_value"))
+    // append mode emits only watermark-closed sessions: every emitted
+    // session must agree exactly with its batch twin
+    val joined = streamed.alias("s")
+      .join(batch.alias("b"), Seq("user_id", "sess_start"))
+    assert(streamed.count() > 0, "no sessions closed — watermark too long for fixture")
+    assert(joined.count() == streamed.count(), "emitted session missing from batch")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count() == 0)
+  }
+
   test("streaming sessionization matches the batch session counts") {
     val streamed = StreamOps.runBounded(spark,
       df => StreamOps.sessionize(spark, df),
