@@ -246,7 +246,21 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
         val ext = ShardExpand.memberExtension(entry.getName)
         if (wantedExts.contains(ext) ||
             (wantOverflow && !declaredExts.contains(ext))) {
-          pendingMembers += ((ext, readBytes(entry)))
+          // A truncated member leaves the stream misaligned — under
+          // skip policy drop the incomplete sample and the rest of the
+          // shard (same contract as a corrupt header), keeping the rows
+          // already emitted; under fail policy propagate.
+          try pendingMembers += ((ext, readBytes(entry)))
+          catch {
+            case e: Exception if skipErrors =>
+              logWarning(s"wds-tar: failed reading member ${entry.getName} " +
+                s"in $shardPath — dropping sample and rest of shard (${e.getMessage})")
+              pendingMembers.clear()
+              exhausted = true
+            case e: Exception =>
+              throw new RuntimeException(
+                s"wds-tar: failed reading member ${entry.getName} in $shardPath", e)
+          }
         } else {
           pendingMembers += ((ext, null)) // presence marker; bytes skipped
         }
@@ -260,12 +274,20 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
     catch {
       case e: Exception if skipErrors =>
         logWarning(s"wds-tar: corrupt shard $shardPath — skipping rest (${e.getMessage})")
+        // the in-flight sample sits on a corrupt stream: drop it rather
+        // than emit a possibly-partial row. Keeps row membership
+        // independent of the projection (with payload columns pruned
+        // the truncation would otherwise go unnoticed here and the
+        // partial sample would leak through as a key-only row).
+        pendingMembers.clear()
         null
       case e: Exception =>
         throw new RuntimeException(s"wds-tar: failed reading $shardPath", e)
     }
 
   private def readBytes(entry: TarArchiveEntry): Array[Byte] = {
+    require(entry.getSize <= Int.MaxValue,
+      s"wds-tar: member ${entry.getName} exceeds 2 GiB (${entry.getSize} bytes)")
     val size = entry.getSize.toInt
     val buf = new Array[Byte](size)
     var off = 0

@@ -120,6 +120,41 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(df.count() == 4) // 3 samples + 1
   }
 
+  test("truncated member: errorPolicy=skip keeps prior rows, fail propagates") {
+    // valid tar, then cut the file mid-way through the LAST member's
+    // payload: header parses, the data read hits EOF
+    val full = fixtureDir.resolve("trunc-full.tar").toFile
+    val out = new TarArchiveOutputStream(new FileOutputStream(full))
+    Seq("ok1.txt" -> b("fine"), "ok2.txt" -> b("also fine"),
+      "bad.txt" -> b("x" * 4096)).foreach { case (n, bytes) =>
+      val e = new TarArchiveEntry(n)
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+    }
+    out.close()
+    val all = Files.readAllBytes(full.toPath)
+    val cut = fixtureDir.resolve("trunc.tar")
+    // layout: [hdr ok1|512][data 512][hdr ok2|512][data 512][hdr bad|512]
+    // [data 4096...] — cut 1 KiB into bad's 4 KiB payload
+    Files.write(cut, all.take(2560 + 1024).toArray)
+    def read(policy: String) = spark.read.format("wds-tar")
+      .option("shards", cut.toString)
+      .option("extensions", "txt")
+      .option("errorPolicy", policy)
+      .load()
+    // pruned projection (payload never read) and full projection must
+    // agree on row membership — the truncated sample drops in both
+    val keysPruned = read("skip").select("__key__").collect().map(_.getString(0)).sorted
+    assert(keysPruned.toSeq == Seq("ok1", "ok2"), "rows before the truncation must survive")
+    val keysFull = read("skip").select("__key__", "txt").collect().map(_.getString(0)).sorted
+    assert(keysFull.toSeq == keysPruned.toSeq, "row membership must not depend on projection")
+    val e = intercept[Exception](read("fail").count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("failed reading") || m.contains("truncated")),
+      e.toString)
+  }
+
   test("corrupt shard: errorPolicy=skip warns and keeps good rows") {
     val corrupt = fixtureDir.resolve("corrupt.tar").toFile
     val fos = new FileOutputStream(corrupt)
