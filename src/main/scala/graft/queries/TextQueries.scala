@@ -72,6 +72,22 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // The flagship curation composition — what a training-data pipeline
+    // actually runs: exact-dedup survivors → language ID → quality gate
+    // → token budget, in one declarative plan. Dedup shuffles digests,
+    // the scoring kernels fuse into the same scan pass; Catalyst pushes
+    // the whole thing into two stages at any scale.
+    "q36_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.DedupFunctions.exactDedup(docs(s, dir), "text", "doc_id")
+        .select($"doc_id",
+          graft.functions.FastText.langIdUdf($"text").as("lang_pred"),
+          graft.functions.FastText.qualityScoreUdf($"text").as("quality"),
+          tokenCount($"text").as("n_tokens"))
+        .filter($"lang_pred" === "en" && $"quality" >= 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch over the token
     // vocabulary — the deterministic, oracle-checkable cousin of
     // HLL/approx_count_distinct for 100 TB cardinality estimation: keep
@@ -120,6 +136,19 @@ object TextQueries extends QueryPack {
         s"1.0 - ($distinctTri)::DOUBLE / ($totalTri)", 6)} AS rep_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q36_curation_pipeline" ->
+      s"""WITH surv AS (
+         | SELECT doc_id, text FROM (
+         |  SELECT doc_id, text,
+         |   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |  FROM documents) WHERE rk = 1)
+         |SELECT doc_id, lang_pred, quality, n_tokens FROM (
+         | SELECT doc_id, ${langIdSql("text")} AS lang_pred,
+         |  ${qualityScoreSql("text")} AS quality,
+         |  ${tokenCountSql("text")} AS n_tokens
+         | FROM surv)
+         |WHERE lang_pred = 'en' AND quality >= 0.5
+         |ORDER BY doc_id""".stripMargin,
     "q26_kmv_distinct" -> {
       val K = 16
       s"""WITH h AS (
