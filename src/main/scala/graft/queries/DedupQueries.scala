@@ -106,6 +106,47 @@ object DedupQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // TRUE connected components over the near-dup pair graph — the
+    // driver-coordinated iterative pattern (PageRank/CC family): min-
+    // label propagation repeated until fixpoint, each round one
+    // join + aggregate on the (bounded) edge set, with the driver
+    // checking convergence via a changed-row count. The pair graph is
+    // orders of magnitude smaller than the corpus, so rounds are cheap;
+    // iteration count is bounded by the graph diameter (checked to stay
+    // under a hard cap). The oracle computes the same fixpoint with a
+    // recursive CTE, so both engines agree on arbitrary-depth chains —
+    // unlike q35's fixed two hops.
+    "q37_dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = minhashVerifiedPairs(s, dir).select($"a_id", $"b_id").persist()
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+        .persist()
+      var labels = edges.select($"src".as("doc_id"))
+        .distinct()
+        .withColumn("label", $"doc_id")
+        .persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val next = labels.join(edges, $"doc_id" === $"src")
+          .join(labels.select($"doc_id".as("dst"), $"label".as("nb_label")), Seq("dst"))
+          .groupBy($"doc_id")
+          .agg(least(min($"label"), min($"nb_label")).as("label"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+          .filter($"label" =!= $"old").count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      require(converged, "component propagation did not converge in 50 rounds")
+      labels.select($"doc_id", $"label".as("component_id"),
+          ($"doc_id" === $"label").as("survivor"))
+        .orderBy($"doc_id")
+    }),
+
     // Canonical-fingerprint dedup: documents sharing the sorted distinct
     // lowercase token set collapse to the minimal doc_id (catches
     // reorder/repetition edits that exact hashing misses).
@@ -207,6 +248,19 @@ object DedupQueries extends QueryPack {
       s"""$minhashPairsCteSql
          |SELECT a_id, b_id, jaccard FROM pairs
          |ORDER BY a_id, b_id""".stripMargin,
+    "q37_dedup_components" ->
+      s"""${minhashPairsCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         | SELECT src AS doc_id, dst AS via FROM sym
+         | UNION
+         | SELECT r.doc_id, s.dst FROM reach r JOIN sym s ON s.src = r.via),
+         |comp AS (
+         | SELECT doc_id, least(doc_id, min(via)) AS component_id
+         | FROM reach GROUP BY doc_id)
+         |SELECT doc_id, component_id, (doc_id = component_id) AS survivor
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "q35_dedup_clusters" ->
       s"""$minhashPairsCteSql,
          |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs

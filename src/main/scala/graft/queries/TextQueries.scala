@@ -114,6 +114,32 @@ object TextQueries extends QueryPack {
           $"k")
     }),
 
+    // Grouped KMV sketches: per-language distinct-token estimates. The
+    // k-smallest pick per group is a rank window over the DISTINCT
+    // (group, hash) frame — already collapsed to vocabulary size, not
+    // corpus size; if per-group vocabularies themselves outgrow a
+    // reducer, pre-filter with a coarse hash bound before ranking.
+    "q27_kmv_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val K = 16
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"h")
+      docs(s, dir)
+        .select($"lang", explode(tokens(lower($"text"))).as("token"))
+        .select($"lang", graft.functions.PortableHash.detHash($"token").as("h"))
+        .distinct()
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= K)
+        .groupBy($"lang")
+        .agg(max($"h").as("kth"), count(lit(1)).as("k"))
+        .select($"lang",
+          when($"k" < K, $"k".cast("double"))
+            .otherwise(pround(lit((K - 1) * 4294967296.0) / $"kth", 4))
+            .as("est_distinct"),
+          $"k")
+        .orderBy($"lang")
+    }),
+
     // Vocabulary: explode tokens, top-20 by frequency (generator + agg
     // + top-k — the classic word-count shuffle).
     "q23_vocab_top" -> ((s, dir) => {
@@ -149,6 +175,20 @@ object TextQueries extends QueryPack {
          | FROM surv)
          |WHERE lang_pred = 'en' AND quality >= 0.5
          |ORDER BY doc_id""".stripMargin,
+    "q27_kmv_grouped" -> {
+      val K = 16
+      s"""WITH h AS (
+         | SELECT DISTINCT lang, ${graft.functions.PortableHash.duckHashSql("token")} AS h
+         | FROM (SELECT lang, unnest(${tokensSql("lower(text)")}) AS token FROM documents)),
+         |km AS (SELECT lang, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM h)
+         |SELECT lang,
+         | CASE WHEN count(*) < $K THEN count(*)::DOUBLE
+         | ELSE ${graft.functions.Portable.proundSql(
+        s"${(K - 1) * 4294967296.0} / max(h)", 4)} END AS est_distinct,
+         | count(*) AS k
+         |FROM km WHERE rk <= $K GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q26_kmv_distinct" -> {
       val K = 16
       s"""WITH h AS (

@@ -47,6 +47,23 @@ object StreamOps {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval self-join with watermarks: each event pairs
+    * with the same user's events from the preceding hour. The
+    * event-time range condition is what lets the engine bound join
+    * state (rows age out once the watermark passes l_ts); without it a
+    * stream-stream join buffers forever.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val l = events.select(col("user_id"), col("ts").as("l_ts"),
+      col("event_id").as("l_id")).withWatermark("l_ts", "2 hours")
+    val r = events.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id")).withWatermark("r_ts", "2 hours")
+    l.join(r, expr(
+      """user_id = r_user AND l_id != r_id
+        |AND r_ts >= l_ts - INTERVAL 1 HOUR AND r_ts < l_ts""".stripMargin))
+      .select(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
   case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long, total_value: Double)

@@ -63,6 +63,22 @@ class StreamOpsSpec extends AnyFunSuite {
       abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamOps.runBounded(spark, StreamOps.intervalJoin,
+      srcDir, schema, "ssjoin_out", OutputMode.Append())
+    val ev = Tables.load(spark, sf, "events")
+    val l = ev.select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    val batch = l.join(r, expr(
+      """user_id = r_user AND l_id != r_id
+        |AND r_ts >= l_ts - INTERVAL 1 HOUR AND r_ts < l_ts""".stripMargin))
+      .select(col("user_id"), col("l_id"), col("r_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming sessionization matches the batch session counts") {
     val streamed = StreamOps.runBounded(spark,
       df => StreamOps.sessionize(spark, df),
