@@ -34,6 +34,85 @@ object DedupFunctions {
       .drop("__dd_rank__")
   }
 
+  /** Connected components of an undirected pair graph, labeling every
+    * node with the minimum id reachable from it (the canonical dedup
+    * cluster id). Returns (doc_id, label).
+    *
+    * Hybrid execution — the shape real dedup systems use: the VERIFIED
+    * pair graph is orders of magnitude smaller than the corpus (LSH +
+    * verification already collapsed it), so below `driverEdgeLimit`
+    * edges the exact union-find runs on the driver in one collect
+    * (path-compressed, min-root union). Above the limit, a distributed
+    * min-label propagation loop with pointer doubling (label <- label's
+    * label each round) converges in O(log diameter) rounds, each round
+    * one join + aggregate on the edge set — never on the corpus.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edgeCount = pairs.count()
+    if (edgeCount <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).collect()
+        .foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // min-root union: the surviving root is the component min
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      val rows = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      s.createDataFrame(rows).toDF("doc_id", "label")
+    } else {
+      // keep per-round shuffles proportional to the graph, not the
+      // session default
+      val parts = math.max(8, (edgeCount / 500000L).toInt)
+      val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .repartition(parts, col("src"))
+        .persist()
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .withColumn("label", $"doc_id").localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val prop = labels.join(edges, $"doc_id" === $"src")
+          .join(labels.select($"doc_id".as("dst"), $"label".as("nb_label")), Seq("dst"))
+          .groupBy($"doc_id")
+          .agg(least(min($"label"), min($"nb_label")).as("label"))
+        // localCheckpoint (eager) truncates the lineage every round:
+        // `prop` appears twice in the shortcut self-join, so without the
+        // cut the logical plan DOUBLES per round — by round ~15 plan
+        // compilation itself OOMs. Checkpointing also replaces the
+        // persist/unpersist bookkeeping.
+        val next = prop
+          .join(prop.select($"doc_id".as("label"), $"label".as("parent")),
+            Seq("label"), "left")
+          .select($"doc_id", coalesce($"parent", $"label").as("label"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+          .filter($"label" =!= $"old").count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      require(converged, "component propagation did not converge in 50 rounds")
+      edges.unpersist()
+      labels
+    }
+  }
+
   /** MinHash signature from a *materialized* shingle-array column with
     * `k` independent hash functions: sig[j] = min over shingles of
     * detHash(shingle, j). Stage the shingle array through a projection

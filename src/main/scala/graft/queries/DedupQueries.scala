@@ -119,30 +119,8 @@ object DedupQueries extends QueryPack {
     "q37_dedup_components" -> ((s, dir) => {
       import s.implicits._
       val pairs = minhashVerifiedPairs(s, dir).select($"a_id", $"b_id").persist()
-      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-        .persist()
-      var labels = edges.select($"src".as("doc_id"))
-        .distinct()
-        .withColumn("label", $"doc_id")
-        .persist()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val next = labels.join(edges, $"doc_id" === $"src")
-          .join(labels.select($"doc_id".as("dst"), $"label".as("nb_label")), Seq("dst"))
-          .groupBy($"doc_id")
-          .agg(least(min($"label"), min($"nb_label")).as("label"))
-          .persist()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-          .filter($"label" =!= $"old").count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
-      require(converged, "component propagation did not converge in 50 rounds")
-      labels.select($"doc_id", $"label".as("component_id"),
+      DedupFunctions.connectedComponents(pairs, "a_id", "b_id")
+        .select($"doc_id", $"label".as("component_id"),
           ($"doc_id" === $"label").as("survivor"))
         .orderBy($"doc_id")
     }),

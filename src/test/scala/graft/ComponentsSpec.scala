@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.DedupFunctions
+
+/** Hybrid connected components: the driver union-find path and the
+  * distributed pointer-doubling path must produce identical labels.
+  */
+class ComponentsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  // chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge), isolated pair 20-21
+  private def edges = {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+  }
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L,
+    20L -> 20L, 21L -> 20L)
+
+  private def labelsOf(limit: Long): Map[Long, Long] =
+    DedupFunctions.connectedComponents(edges, "a", "b", driverEdgeLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("driver union-find labels every node with its component minimum") {
+    assert(labelsOf(Long.MaxValue) == expected)
+  }
+
+  test("distributed doubling loop agrees with the driver path exactly") {
+    assert(labelsOf(0L) == expected)
+  }
+
+  test("long chain converges in O(log n) rounds (under the 50-round cap)") {
+    import spark.implicits._
+    // a 400-node path: unit propagation would need ~400 rounds and trip
+    // the cap; pointer doubling must finish well inside it
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = DedupFunctions.connectedComponents(chain, "a", "b",
+      driverEdgeLimit = 0L).collect()
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+}
