@@ -47,6 +47,28 @@ object SimilarityFunctions {
       PortableHash.detHashJvm(s"plane:$j:$i") / 2147483648.0 - 1.0
     }
 
+  /** Scale-adaptive plane count: enough sign bits that the EXPECTED
+    * bucket size stays near `targetBucket` (planes ~ log2(n/target)), so
+    * within-bucket pair work is O(target²) per bucket instead of
+    * quadratic in n when the plane count is pinned. Integer-exact
+    * (bit-length, no floating log2) so the oracle reproduces it:
+    * p = bitlength(ceil(n/target) - 1), clamped to [lo, hi]. The `hi`
+    * clamp only binds far above any gate corpus; raise it together with
+    * the oracle's masked rendering width when targeting larger runs.
+    */
+  val PlanesLo = 4
+  val PlanesHi = 16
+  val TargetBucket = 64L
+
+  def adaptivePlanes(n: Long, targetBucket: Long = TargetBucket,
+      lo: Int = PlanesLo, hi: Int = PlanesHi): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    val bits =
+      if (m <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.min(hi, math.max(lo, bits))
+  }
+
   /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val v = castDouble(vec)
@@ -113,4 +135,22 @@ object SimilarityFunctions {
       s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** [[adaptivePlanes]] in DuckDB SQL — same integer bit-length formula
+    * (`format('{:b}', …)` is the binary rendering), same clamps.
+    * Yields a one-row relation `(p)`.
+    */
+  def adaptivePlanesSql(table: String, targetBucket: Long = TargetBucket,
+      lo: Int = PlanesLo, hi: Int = PlanesHi): String =
+    s"""SELECT least($hi, greatest($lo,
+       | CASE WHEN m <= 1 THEN 0 ELSE length(format('{:b}', m - 1)) END)) AS p
+       |FROM (SELECT (count(*) + ${targetBucket - 1}) // $targetBucket AS m
+       |      FROM $table)""".stripMargin
+
+  /** Bucket under a RUNTIME plane count `pExpr` (≤ `maxPlanes`): the
+    * full `maxPlanes`-bit bucket masked to its low p bits — identical to
+    * computing with p planes, since bit j comes from plane j.
+    */
+  def maskedLshBucketSql(e: String, pExpr: String, maxPlanes: Int, dim: Int): String =
+    s"(${lshBucketSql(e, maxPlanes, dim)} & ((1::BIGINT << $pExpr) - 1))"
 }

@@ -14,6 +14,10 @@ import graft.plans.CosineSim.cosineSim
 object SimilarityQueries extends QueryPack {
 
   private val Dim = 64
+  // Fixed plane count for the q43 bucket-histogram DIAGNOSTIC only — its
+  // output schema is the histogram itself, so the bucket vocabulary must
+  // be stable across scale factors. Search/mining queries (q41/q42)
+  // derive their plane count from the corpus size instead.
   private val Planes = 4
   private val ProbeId = 0L
   private val IvfK = 16
@@ -21,6 +25,13 @@ object SimilarityQueries extends QueryPack {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** Corpus-adaptive plane count (planes ~ log2(n/targetBucket)): the
+    * count() is a metadata-cheap parquet job; the plane count is model
+    * state derived on the driver, like the IVF centroids.
+    */
+  private def planesFor(s: SparkSession, dir: String): Int =
+    adaptivePlanes(emb(s, dir).count())
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 against the vec_id=0 probe vector.
@@ -38,10 +49,12 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // LSH-bucketed ANN: probe only scans its own sign-pattern bucket.
+    // Plane count adapts to corpus size (see planesFor) — pinning it
+    // would make buckets, and so probe work, grow linearly with n.
     "q41_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-        .withColumn("bucket", FastText.lshBucketUdf(Planes, Dim)($"embedding"))
+        .withColumn("bucket", FastText.lshBucketUdf(planesFor(s, dir), Dim)($"embedding"))
       val probe = e.filter($"vec_id" === ProbeId)
         .select($"bucket".as("probe_bucket"), $"embedding".as("probe_vec"))
       e.filter($"vec_id" =!= ProbeId)
@@ -54,13 +67,14 @@ object SimilarityQueries extends QueryPack {
 
     // Embedding near-dup pairs, blocked by LSH bucket. Blocking on the
     // sign-pattern bucket (not a data label) bounds pair work by bucket
-    // size, which is tunable via plane count (planes ~ log n keeps
-    // buckets O(n / 2^planes)); label cardinality is data-dependent and
-    // a coarse label makes label-blocking quadratic at scale.
+    // size; the plane count is DERIVED from the corpus size
+    // (planes ~ log2(n/64), adaptivePlanes) so expected bucket size — and
+    // with it per-bucket pair cost — stays O(1) as n grows, instead of
+    // the quadratic blowup a pinned plane count gives at 100× scale.
     "q42_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-        .withColumn("bucket", FastText.lshBucketUdf(Planes, Dim)($"embedding"))
+        .withColumn("bucket", FastText.lshBucketUdf(planesFor(s, dir), Dim)($"embedding"))
         .select($"bucket", $"vec_id", $"embedding")
       val a = e.select($"bucket", $"vec_id".as("a_id"), $"embedding".as("a_vec"))
       val b = e.select($"bucket", $"vec_id".as("b_id"), $"embedding".as("b_vec"))
@@ -170,8 +184,11 @@ object SimilarityQueries extends QueryPack {
          |FROM embeddings, probe WHERE vec_id <> $ProbeId
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q41_ann_lsh" -> {
-      val bucket = lshBucketSql("embedding", Planes, Dim)
-      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+      // plane count computed from count(embeddings) by the same integer
+      // formula as planesFor; bucket = PlanesHi-bit bucket masked to p.
+      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
+         |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl),
          |probe AS (SELECT bucket AS probe_bucket, embedding AS probe_vec
          |          FROM e WHERE vec_id = $ProbeId)
          |SELECT vec_id, bucket, ${cosineSql("embedding", "probe_vec")} AS score
@@ -179,8 +196,9 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
     },
     "q42_embedding_neardup" -> {
-      val bucket = lshBucketSql("embedding", Planes, Dim)
-      s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
+         |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl)
          |SELECT bucket, a_id, b_id, cos FROM (
          | SELECT a.bucket AS bucket, a.vec_id AS a_id, b.vec_id AS b_id,
          |  ${cosineSql("a.embedding", "b.embedding")} AS cos

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * end-to-end through the wds-tar DataSource V2.
   *
   * The corpus is self-generated (deterministically) under target/ on
-  * first use: 16 shards × 5000 samples (txt+cls members). No DuckDB
-  * oracle — DuckDB cannot read tars — so the driver records a rows-only
-  * check; correctness of the source itself is covered by
-  * WdsTarSourceSpec and the deterministic aggregate here.
+  * first use: 16 shards × 5000 samples (txt+cls members). DuckDB cannot
+  * read tars, but the fixture is purely formulaic (id → txt/cls below),
+  * so the oracle REGENERATES the expected aggregates from
+  * `generate_series` with the same arithmetic — a ground-truth check of
+  * the tar scan itself, independent of anything Spark wrote.
   */
 object SourceQueries extends QueryPack {
 
@@ -88,7 +89,26 @@ object SourceQueries extends QueryPack {
     )
   }
 
-  // no DuckDB oracle: tar inputs are outside DuckDB's reach
-  override def oracles: Map[String, String] = Map.empty
+  /** Generative oracles: DuckDB rebuilds the fixture's ground truth from
+    * the id formula (txt = "sample <id> payload " + "x"*(100+id%300), so
+    * length = 16 + len(id) + 100 + id%300; cls = id%97; shard = id/5000).
+    * Any assembly/decode/pruning bug in the tar source breaks the hash.
+    */
+  override def oracles: Map[String, String] = {
+    val last = Shards * SamplesPerShard - 1
+    Map(
+      "q80_wds_tar_ingest" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       CAST(count(DISTINCT id // $SamplesPerShard) AS BIGINT) AS n_shards
+           |FROM generate_series(0, $last) t(id)
+           |WHERE id % 97 <> 13""".stripMargin,
+      "q81_wds_tar_keys_only" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+           |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM generate_series(0, $last) t(id)""".stripMargin
+    )
+  }
 
 }
