@@ -16,12 +16,12 @@ import org.apache.spark.sql.types._
   * Decoded representation matches the reference's CHW float convention
   * (reference sdata/mappers/sample_mappers.py:160-165 asserts
   * channels-first): `struct(width, height, channels, pixels)` with
-  * pixels normalized to [0,1] in channel-major order. Nearest-neighbor
-  * resize keeps the kernel dependency-free and deterministic; the
-  * interpolation mode is a parameter slot exactly like the reference's
-  * torchvision config (SURVEY §7.3 risk 6 — cross-library interpolation
-  * parity is approximate by nature, so correctness-critical paths keep
-  * bytes + dims).
+  * pixels normalized to [0,1] in channel-major order. Resampling honors
+  * the torchvision interpolation codes the reference's configs carry
+  * (nearest / bilinear / bicubic, see [[ImageCodec.Interp]]); kernels
+  * are dependency-free and deterministic (SURVEY §7.3 risk 6 —
+  * cross-library interpolation parity is approximate by nature, so
+  * correctness-critical paths keep bytes + dims).
   */
 object ImageCodec {
 
@@ -116,37 +116,164 @@ object ImageCodec {
       chw: Boolean, ch: Int, y: Int, x: Int): Float =
     if (chw) px(ch * h * w + y * w + x) else px((y * w + x) * c + ch)
 
-  /** torchvision `Resize(size)` semantics: scale so the SHORTER side
-    * equals `size`, preserving aspect; nearest-neighbor sampling (the
-    * deterministic dependency-free kernel — interpolation parity across
-    * libraries is approximate by nature, SURVEY §7.3 risk 6).
+  /** Interpolation modes for pixel resampling, named by the
+    * torchvision/PIL constants the reference's configs carry
+    * (example.yaml:20 `interpolation: 3`; PIL: NEAREST=0, BILINEAR=2,
+    * BICUBIC=3). Cross-library pixel parity is approximate by nature
+    * (SURVEY §7.3 risk 6) — what we guarantee is that each mode is the
+    * standard kernel (half-pixel centers; Keys cubic a=-0.5) evaluated
+    * deterministically.
     */
-  def resizeShorter(d: DecodedImage, size: Int, chw: Boolean): DecodedImage = {
+  sealed trait Interp
+  object Interp {
+    case object Nearest extends Interp
+    case object Bilinear extends Interp
+    case object Bicubic extends Interp
+
+    /** PIL integer code or name → mode; rejects the codes we don't
+      * implement (1=lanczos, 4=box, 5=hamming) rather than silently
+      * substituting a different kernel.
+      */
+    def parse(s: String): Interp = s.trim.toLowerCase match {
+      case "0" | "nearest" => Nearest
+      case "2" | "bilinear" => Bilinear
+      case "3" | "bicubic" => Bicubic
+      case other => throw new IllegalArgumentException(
+        s"unsupported interpolation '$other' " +
+          "(supported: 0/nearest, 2/bilinear, 3/bicubic)")
+    }
+  }
+
+  /** Keys cubic convolution kernel, a = -0.5 (the PIL/torchvision
+    * bicubic kernel). Defined for |t| < 2; weights at the 4 taps around
+    * a sample point always sum to 1.
+    */
+  @inline private def cubicW(t: Double): Double = {
+    val a = -0.5
+    val at = math.abs(t)
+    if (at <= 1.0) ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    else if (at < 2.0) (((at - 5.0) * at + 8.0) * at - 4.0) * a
+    else 0.0
+  }
+
+  @inline private def clampIdx(i: Int, n: Int): Int =
+    if (i < 0) 0 else if (i >= n) n - 1 else i
+
+  /** Resample to (nw, nh) with the given mode. Source coordinates use
+    * half-pixel centers (sx = (x+0.5)·w/nw − 0.5) for the linear/cubic
+    * kernels — the align_corners=False convention PIL and torchvision
+    * share; nearest keeps the engine's historical floor(x·w/nw) mapping.
+    * Bicubic can overshoot, so its output is clamped to [0, clampHi].
+    * `clampHi` is the pixel scale's ceiling — 255 for 8-bit specs
+    * (pil/rgb8/l8), 1.0 for unit-scale specs (rgb/l/torch*): the
+    * reference resizes BEFORE ToTensor on uint8 PIL data, so its
+    * unit-scale output is the 255-clamped result divided by 255 —
+    * clamping at 1.0 lands on the same values.
+    */
+  def resample(d: DecodedImage, nw: Int, nh: Int, chw: Boolean,
+      mode: Interp, clampHi: Float = 255f): DecodedImage = {
+    if (nw == d.width && nh == d.height) return d
+    val (w, h, c) = (d.width, d.height, d.channels)
+    val out = new Array[Float](c * nw * nh)
+    @inline def put(ch: Int, y: Int, x: Int, v: Float): Unit =
+      if (chw) out(ch * nh * nw + y * nw + x) = v
+      else out((y * nw + x) * c + ch) = v
+    @inline def src(ch: Int, y: Int, x: Int): Double =
+      pixelAt(d.pixels, w, h, c, chw, ch, clampIdx(y, h), clampIdx(x, w)).toDouble
+    val sxScale = w.toDouble / nw
+    val syScale = h.toDouble / nh
+    mode match {
+      case Interp.Nearest =>
+        var y = 0
+        while (y < nh) {
+          val sy = (y.toLong * h / nh).toInt
+          var x = 0
+          while (x < nw) {
+            val sx = (x.toLong * w / nw).toInt
+            var ch = 0
+            while (ch < c) {
+              put(ch, y, x, pixelAt(d.pixels, w, h, c, chw, ch, sy, sx))
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case Interp.Bilinear =>
+        var y = 0
+        while (y < nh) {
+          val sy = (y + 0.5) * syScale - 0.5
+          val y0 = math.floor(sy).toInt; val fy = sy - y0
+          var x = 0
+          while (x < nw) {
+            val sx = (x + 0.5) * sxScale - 0.5
+            val x0 = math.floor(sx).toInt; val fx = sx - x0
+            var ch = 0
+            while (ch < c) {
+              val v =
+                (1 - fy) * ((1 - fx) * src(ch, y0, x0) + fx * src(ch, y0, x0 + 1)) +
+                  fy * ((1 - fx) * src(ch, y0 + 1, x0) + fx * src(ch, y0 + 1, x0 + 1))
+              put(ch, y, x, v.toFloat)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case Interp.Bicubic =>
+        val wx = new Array[Double](4); val wy = new Array[Double](4)
+        var y = 0
+        while (y < nh) {
+          val sy = (y + 0.5) * syScale - 0.5
+          val y0 = math.floor(sy).toInt; val fy = sy - y0
+          var j = 0
+          while (j < 4) { wy(j) = cubicW(fy - (j - 1)); j += 1 }
+          var x = 0
+          while (x < nw) {
+            val sx = (x + 0.5) * sxScale - 0.5
+            val x0 = math.floor(sx).toInt; val fx = sx - x0
+            var i = 0
+            while (i < 4) { wx(i) = cubicW(fx - (i - 1)); i += 1 }
+            var ch = 0
+            while (ch < c) {
+              var acc = 0.0
+              j = 0
+              while (j < 4) {
+                var rowAcc = 0.0
+                i = 0
+                while (i < 4) {
+                  rowAcc += wx(i) * src(ch, y0 + j - 1, x0 + i - 1)
+                  i += 1
+                }
+                acc += wy(j) * rowAcc
+                j += 1
+              }
+              val clamped = if (acc < 0.0) 0.0 else if (acc > clampHi) clampHi.toDouble else acc
+              put(ch, y, x, clamped.toFloat)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+    }
+    DecodedImage(nw, nh, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
+  /** torchvision `Resize(size, interpolation)` semantics: scale so the
+    * SHORTER side equals `size`, preserving aspect; resampling kernel
+    * per [[Interp]] (the reference's shipped example requests bicubic —
+    * example.yaml:19-20).
+    */
+  def resizeShorter(d: DecodedImage, size: Int, chw: Boolean,
+      mode: Interp = Interp.Nearest, clampHi: Float = 255f): DecodedImage = {
     val (w, h) = (d.width, d.height)
     if (math.min(w, h) == size) return d
     val scale = size.toDouble / math.min(w, h)
     val nw = math.max(1, math.round(w * scale).toInt)
     val nh = math.max(1, math.round(h * scale).toInt)
-    val out = new Array[Float](d.channels * nw * nh)
-    var y = 0
-    while (y < nh) {
-      val sy = (y.toLong * h / nh).toInt
-      var x = 0
-      while (x < nw) {
-        val sx = (x.toLong * w / nw).toInt
-        var ch = 0
-        while (ch < d.channels) {
-          val v = pixelAt(d.pixels, w, h, d.channels, chw, ch, sy, sx)
-          if (chw) out(ch * nh * nw + y * nw + x) = v
-          else out((y * nw + x) * d.channels + ch) = v
-          ch += 1
-        }
-        x += 1
-      }
-      y += 1
-    }
-    DecodedImage(nw, nh, d.channels,
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+    resample(d, nw, nh, chw, mode, clampHi)
   }
 
   /** torchvision `CenterCrop(size)` semantics on the decoded pixels;
@@ -154,8 +281,15 @@ object ImageCodec {
     */
   def centerCrop(d: DecodedImage, size: Int, chw: Boolean): DecodedImage = {
     val nw = math.min(size, d.width); val nh = math.min(size, d.height)
+    crop(d, (d.width - nw) / 2, (d.height - nh) / 2, nw, nh, chw)
+  }
+
+  /** Rectangular crop at (x0, y0), size nw×nh (caller guarantees the
+    * window lies inside the image). Shared by center and random crops.
+    */
+  def crop(d: DecodedImage, x0: Int, y0: Int, nw: Int, nh: Int,
+      chw: Boolean): DecodedImage = {
     if (nw == d.width && nh == d.height) return d
-    val x0 = (d.width - nw) / 2; val y0 = (d.height - nh) / 2
     val out = new Array[Float](d.channels * nw * nh)
     var y = 0
     while (y < nh) {

@@ -23,6 +23,11 @@ import graft.functions.Multimodal
   */
 sealed trait ImageOp {
   def apply(media: Column): Column
+  /** Ops with per-sample randomness (flip/crop draws) override this;
+    * `id` is the sample key the deterministic draw hashes (SURVEY §7.4:
+    * every "random" decision is a pure function of (row key, seed)).
+    */
+  def apply(media: Column, id: Column): Column = apply(media)
 }
 
 /** Clamp the longer side to `maxSide`, preserving aspect (metadata). */
@@ -50,10 +55,14 @@ final case class CenterCropOp(size: Int) extends ImageOp {
   * names the pixel layout of the decode spec in use (torch* specs are
   * CHW, pil/rgb/l are HWC).
   */
-final case class PixelResizeOp(size: Int, channelMajor: Boolean = false) extends ImageOp {
+final case class PixelResizeOp(size: Int, channelMajor: Boolean = false,
+    interp: graft.functions.ImageCodec.Interp =
+      graft.functions.ImageCodec.Interp.Nearest,
+    clampHi: Float = 255f) extends ImageOp {
   private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float]) =>
     graft.functions.ImageCodec.resizeShorter(
-      graft.functions.ImageCodec.DecodedImage(w, h, c, px), size, channelMajor))
+      graft.functions.ImageCodec.DecodedImage(w, h, c, px), size, channelMajor,
+      interp, clampHi))
   override def apply(media: Column): Column =
     f(media.getField("width"), media.getField("height"),
       media.getField("channels"), media.getField("pixels"))
@@ -68,14 +77,107 @@ final case class PixelCenterCropOp(size: Int, channelMajor: Boolean = false) ext
       media.getField("channels"), media.getField("pixels"))
 }
 
+/** torchvision `Normalize(mean, std)`: per-channel (v − mean_c) / std_c
+  * over the decoded pixels. A channel beyond the mean/std length reuses
+  * the last entry (torchvision broadcasts a 1-element list the same way).
+  */
+final case class PixelNormalizeOp(mean: Seq[Double], std: Seq[Double],
+    channelMajor: Boolean = false) extends ImageOp {
+  require(mean.nonEmpty && std.nonEmpty, "Normalize needs mean and std")
+  require(std.forall(_ != 0.0), "Normalize std must be non-zero")
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float]) => {
+    val out = new Array[Float](px.length)
+    val plane = w * h
+    var i = 0
+    while (i < px.length) {
+      val ch = if (channelMajor) i / plane else i % c
+      val m = mean(math.min(ch, mean.length - 1))
+      val s = std(math.min(ch, std.length - 1))
+      out(i) = ((px(i) - m) / s).toFloat
+      i += 1
+    }
+    graft.functions.ImageCodec.DecodedImage(w, h, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  })
+  override def apply(media: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"))
+}
+
+/** torchvision `RandomHorizontalFlip(p)` with the engine's replayable
+  * randomness: the flip draw is PortableHash(key, seed) — uniform in
+  * [0,1), flips when < p — instead of the reference's process-global RNG
+  * (stable under task retry, reproducible anywhere).
+  */
+final case class RandomHFlipOp(p: Double = 0.5, seed: Int = 42,
+    channelMajor: Boolean = false) extends ImageOp {
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
+    val draw = graft.functions.PortableHash.detHashJvm(s"$id:$seed") / 4294967296.0
+    if (draw >= p) graft.functions.ImageCodec.DecodedImage(w, h, c, px)
+    else {
+      val out = new Array[Float](px.length)
+      var ch = 0
+      while (ch < c) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = if (channelMajor) px(ch * h * w + y * w + x)
+                    else px((y * w + x) * c + ch)
+            val mx = w - 1 - x
+            if (channelMajor) out(ch * h * w + y * w + mx) = v
+            else out((y * w + mx) * c + ch) = v
+            x += 1
+          }
+          y += 1
+        }
+        ch += 1
+      }
+      graft.functions.ImageCodec.DecodedImage(w, h, c,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+    }
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
+/** torchvision `RandomCrop(size)` with replayable randomness: top/left
+  * drawn from PortableHash(key, seed) over the legal offset range — the
+  * same (key, seed) discipline CropToSquare uses
+  * (reference sample_mappers.py:171-172 draws from global numpy RNG).
+  * Crops clamp to the image (no padding of small images), matching
+  * [[PixelCenterCropOp]].
+  */
+final case class RandomCropOp(size: Int, seed: Int = 42,
+    channelMajor: Boolean = false) extends ImageOp {
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
+    val d = graft.functions.ImageCodec.DecodedImage(w, h, c, px)
+    val nw = math.min(size, w); val nh = math.min(size, h)
+    val top = (graft.functions.PortableHash.detHashJvm(s"$id:$seed") % (h - nh + 1)).toInt
+    val left = (graft.functions.PortableHash.detHashJvm(s"$id:${seed + 1}") % (w - nw + 1)).toInt
+    graft.functions.ImageCodec.crop(d, left, top, nw, nh, channelMajor)
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
 final case class ImageTransforms(ops: Seq[ImageOp], key: String = "media",
     strict: Boolean = true,
-    override val excludeKeys: Seq[String] = Nil) extends SampleMapper {
+    override val excludeKeys: Seq[String] = Nil,
+    idKey: String = "__key__") extends SampleMapper {
 
   override def transform(df: DataFrame): DataFrame = {
     val base = if (strict) df.filter(col(key).isNotNull) else df
+    // sample key for the seeded-randomness ops (flip/crop draws); a
+    // frame without the key column gets a constant id — the draws stay
+    // deterministic, just no longer per-sample.
+    val idc = if (df.columns.contains(idKey)) col(idKey) else lit("")
     rewrite(base, key) { c =>
-      val out = ops.foldLeft(c)((acc, op) => op(acc))
+      val out = ops.foldLeft(c)((acc, op) => op(acc, idc))
       if (strict) out else when(c.isNull, c).otherwise(out)
     }
   }

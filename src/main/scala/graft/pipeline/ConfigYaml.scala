@@ -163,8 +163,17 @@ object ConfigYaml {
   }
 
   /** Flatten the torchvision transforms chain (example.yaml:16-22) into
-    * image_transforms params: Resize → resize, CenterCrop → center_crop,
+    * image_transforms params: Resize → resize (+interpolation),
+    * RandomCrop → random_crop, CenterCrop → center_crop,
+    * RandomHorizontalFlip → hflip_p, Normalize → normalize_mean/std,
     * ToTensor → chw layout.
+    *
+    * Fail-fast guarantees: an unsupported transform, an unrecognized
+    * transform param, or a chain whose order differs from the canonical
+    * resize → crop → flip → ToTensor → normalize application order all
+    * raise — a config must never run with part of its meaning dropped
+    * (the reference hands params straight to torchvision, so anything we
+    * can't honor must be an error, not a silent default).
     */
   private def torchvisionParams(params: Map[String, Any]): Map[String, String] = {
     val key = params.get("key").map(_.toString).getOrElse("jpg")
@@ -172,21 +181,56 @@ object ConfigYaml {
       case Some(l: List[_]) => l.map(asMap(_, "transform"))
       case _ => Nil
     }
-    transforms.foldLeft(Map("key" -> key)) { (acc, t) =>
+    // one transform → (canonical rank, params to merge)
+    def one(t: Map[String, Any]): (Int, Map[String, String]) = {
+      val name = t.get("target").map(_.toString.split('.').last)
+        .getOrElse(sys.error(s"transform entry needs 'target': $t"))
       val tp = t.get("params").map(asMap(_, "transform params"))
         .getOrElse(Map.empty[String, Any])
-      t.get("target").map(_.toString.split('.').last) match {
-        case Some("Resize") =>
-          acc + ("resize" -> int(tp.get("size")).getOrElse(
-            sys.error("Resize needs integer 'size'")).toString)
-        case Some("CenterCrop") =>
-          acc + ("center_crop" -> int(tp.get("size")).getOrElse(
-            sys.error("CenterCrop needs integer 'size'")).toString)
-        case Some("ToTensor") => acc + ("layout" -> "chw")
+      def only(allowed: String*): Unit = {
+        val unknown = tp.keySet -- allowed.toSet
+        if (unknown.nonEmpty) sys.error(
+          s"unsupported $name param(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+            s"(supported: ${allowed.mkString(", ")})")
+      }
+      def size: Int = int(tp.get("size")).getOrElse(
+        sys.error(s"$name needs integer 'size'"))
+      def nums(k: String): String = tp.get(k) match {
+        case Some(l: List[_]) => l.map(num).mkString(",")
+        case Some(v) => num(v).toString
+        case None => sys.error(s"Normalize needs '$k'")
+      }
+      name match {
+        case "Resize" =>
+          only("size", "interpolation")
+          (0, Map("resize" -> size.toString) ++
+            tp.get("interpolation").map { v =>
+              val s = v.toString
+              // validate eagerly so a bad code fails at config load
+              graft.functions.ImageCodec.Interp.parse(s)
+              "interpolation" -> s
+            })
+        case "RandomCrop" => only("size"); (1, Map("random_crop" -> size.toString))
+        case "CenterCrop" => only("size"); (1, Map("center_crop" -> size.toString))
+        case "RandomHorizontalFlip" =>
+          only("p")
+          (2, Map("hflip_p" -> tp.get("p").map(num(_).toString).getOrElse("0.5")))
+        case "ToTensor" => only(); (3, Map("layout" -> "chw"))
+        case "Normalize" =>
+          only("mean", "std")
+          (4, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
         case other => sys.error(s"unsupported torchvision transform: $other " +
-          "(supported: Resize, CenterCrop, ToTensor)")
+          "(supported: Resize, RandomCrop, CenterCrop, RandomHorizontalFlip, " +
+          "ToTensor, Normalize)")
       }
     }
+    val ranked = transforms.map(one)
+    val ranks = ranked.map(_._1)
+    if (ranks != ranks.sorted) sys.error(
+      "torchvision transform order not supported: image_transforms applies " +
+        "resize → crop → flip → ToTensor → normalize; reorder the config " +
+        s"or compose multiple TorchVisionImageTransforms stages (got: $transforms)")
+    ranked.map(_._2).foldLeft(Map("key" -> key))(_ ++ _)
   }
 
   private def snake(camel: String): String =

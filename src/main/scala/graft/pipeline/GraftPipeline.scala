@@ -83,13 +83,38 @@ object OperatorRegistry {
   // "layout" declares the decode spec's pixel layout (chw for torch*).
   registerMapper("image_transforms")(p => {
     val chw = p.getOrElse("layout", "hwc") == "chw"
+    val seed = p.getOrElse("seed", "42").toInt
+    val interp = graft.functions.ImageCodec.Interp.parse(
+      p.getOrElse("interpolation", "nearest"))
+    // ops apply in the canonical torchvision chain order:
+    // resize → crops → flip → normalize (ConfigYaml rejects configs
+    // whose transform order differs, so named params can't reorder a
+    // chain silently).
+    // bicubic overshoot ceiling follows the decode spec's pixel scale:
+    // chw layout ⇔ torch* specs (unit scale) → 1.0; hwc defaults to the
+    // 8-bit pil scale → 255, overridable with scale=unit (the "rgb"/"l"
+    // specs are unit-scale HWC).
+    val clampHi =
+      if (chw || p.get("scale").contains("unit")) 1.0f else 255.0f
     val ops = Seq(
-      p.get("resize").map(s => PixelResizeOp(s.toInt, chw)),
-      p.get("center_crop").map(s => PixelCenterCropOp(s.toInt, chw))).flatten
-    require(ops.nonEmpty, "image_transforms needs 'resize' and/or 'center_crop'")
+      p.get("resize").map(s => PixelResizeOp(s.toInt, chw, interp, clampHi)),
+      p.get("random_crop").map(s => RandomCropOp(s.toInt, seed, chw)),
+      p.get("center_crop").map(s => PixelCenterCropOp(s.toInt, chw)),
+      p.get("hflip_p").map(s => RandomHFlipOp(s.toDouble, seed, chw)),
+      p.get("normalize_mean").map { m =>
+        PixelNormalizeOp(
+          m.split(",").toIndexedSeq.map(_.trim.toDouble),
+          p.getOrElse("normalize_std",
+            sys.error("image_transforms: normalize_mean needs normalize_std"))
+            .split(",").toIndexedSeq.map(_.trim.toDouble),
+          chw)
+      }).flatten
+    require(ops.nonEmpty, "image_transforms needs at least one pixel op " +
+      "(resize / random_crop / center_crop / hflip_p / normalize_mean)")
     ImageTransforms(ops,
       key = p.getOrElse("key", "jpg"),
-      strict = p.getOrElse("strict", "true").toBoolean)
+      strict = p.getOrElse("strict", "true").toBoolean,
+      idKey = p.getOrElse("id_key", "__key__"))
   })
 }
 

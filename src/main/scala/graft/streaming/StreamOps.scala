@@ -52,15 +52,25 @@ object StreamOps {
     * event-time range condition is what lets the engine bound join
     * state (rows age out once the watermark passes l_ts); without it a
     * stream-stream join buffers forever.
+    *
+    * `joinType` supports "inner" and "leftOuter". Left-outer adds the
+    * watermark-forced null path: a left row that finds no match is held
+    * in state until the watermark proves no matching right row can still
+    * arrive (its event-time bound has passed), THEN emits null-extended —
+    * the engine-level guarantee that outer results are final, never
+    * retracted. Matched rows emit as they join, same as inner.
     */
-  def intervalJoin(events: DataFrame): DataFrame = {
+  def intervalJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"intervalJoin supports inner/leftOuter, got '$joinType'")
     val l = events.select(col("user_id"), col("ts").as("l_ts"),
       col("event_id").as("l_id")).withWatermark("l_ts", "2 hours")
     val r = events.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
       col("event_id").as("r_id")).withWatermark("r_ts", "2 hours")
     l.join(r, expr(
       """user_id = r_user AND l_id != r_id
-        |AND r_ts >= l_ts - INTERVAL 1 HOUR AND r_ts < l_ts""".stripMargin))
+        |AND r_ts >= l_ts - INTERVAL 1 HOUR AND r_ts < l_ts""".stripMargin),
+      joinType)
       .select(col("user_id"), col("l_id"), col("r_id"))
   }
 

@@ -62,4 +62,68 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(px.forall(v => math.abs(v - 128 / 255.0f) < 1e-6))
     assert(ImageCodec.decode("garbage".getBytes).isEmpty)
   }
+
+  private def gray(w: Int, h: Int, vals: Seq[Float]) =
+    ImageCodec.DecodedImage(w, h, 1, vals)
+
+  test("bilinear golden vector: half-pixel centers with edge clamp") {
+    // 2x1 row [0, 100] upscaled to 4: sx = (x+0.5)/2 - 0.5 →
+    // [-0.25, 0.25, 0.75, 1.25] → [0 (clamped), 25, 75, 100 (clamped)]
+    val out = ImageCodec.resample(gray(2, 1, Seq(0f, 100f)), 4, 1,
+      chw = false, ImageCodec.Interp.Bilinear)
+    assert(out.pixels == Seq(0f, 25f, 75f, 100f))
+  }
+
+  test("bicubic reproduces linear ramps exactly in the interior") {
+    val ramp = gray(8, 1, (0 until 8).map(i => 100f * i))
+    val out = ImageCodec.resample(ramp, 16, 1, chw = false, ImageCodec.Interp.Bicubic)
+    // interior x=4 → sx = 1.75, all 4 taps interior → exactly 175
+    assert(math.abs(out.pixels(4) - 175f) < 1e-3)
+    assert(math.abs(out.pixels(5) - 225f) < 1e-3) // sx = 2.25
+    // above the default 255 clamp, the unclamped kernel is still linear
+    val unclamped = ImageCodec.resample(ramp, 16, 1, chw = false,
+      ImageCodec.Interp.Bicubic, clampHi = Float.MaxValue)
+    assert(math.abs(unclamped.pixels(8) - 375f) < 1e-3) // sx = 3.75
+  }
+
+  test("constant images are invariant under every interpolation mode") {
+    val const = gray(5, 3, Seq.fill(15)(42f))
+    for (m <- Seq(ImageCodec.Interp.Nearest, ImageCodec.Interp.Bilinear,
+        ImageCodec.Interp.Bicubic)) {
+      val out = ImageCodec.resample(const, 7, 9, chw = false, m)
+      assert(out.pixels.forall(v => math.abs(v - 42f) < 1e-4), s"mode $m")
+    }
+  }
+
+  test("bicubic overshoot is clamped to the uint8 ceiling") {
+    // a step edge overshoots under cubic; values must stay in [0, 255]
+    val step = gray(8, 1, Seq(0f, 0f, 0f, 0f, 255f, 255f, 255f, 255f))
+    val out = ImageCodec.resample(step, 32, 1, chw = false, ImageCodec.Interp.Bicubic)
+    assert(out.pixels.forall(v => v >= 0f && v <= 255f))
+  }
+
+  test("interpolation modes differ on non-trivial content; CHW and HWC agree") {
+    val img = ImageCodec.DecodedImage(4, 2, 3,
+      (0 until 24).map(i => (i * 11 % 256).toFloat))
+    val near = ImageCodec.resample(img, 8, 4, chw = false, ImageCodec.Interp.Nearest)
+    val bil = ImageCodec.resample(img, 8, 4, chw = false, ImageCodec.Interp.Bilinear)
+    val bic = ImageCodec.resample(img, 8, 4, chw = false, ImageCodec.Interp.Bicubic)
+    assert(near.pixels != bil.pixels && bil.pixels != bic.pixels)
+    // layout-independence: resampling CHW pixels = resampling HWC pixels
+    def toChw(d: ImageCodec.DecodedImage): Seq[Float] =
+      (0 until d.channels).flatMap(ch =>
+        (0 until d.height).flatMap(y => (0 until d.width).map(x =>
+          d.pixels((y * d.width + x) * d.channels + ch))))
+    val chwImg = ImageCodec.DecodedImage(4, 2, 3, toChw(img))
+    val bilChw = ImageCodec.resample(chwImg, 8, 4, chw = true, ImageCodec.Interp.Bilinear)
+    assert(bilChw.pixels == toChw(bil))
+  }
+
+  test("Interp.parse accepts torchvision codes and rejects unknown kernels") {
+    assert(ImageCodec.Interp.parse("3") == ImageCodec.Interp.Bicubic)
+    assert(ImageCodec.Interp.parse("bilinear") == ImageCodec.Interp.Bilinear)
+    assert(ImageCodec.Interp.parse("NEAREST") == ImageCodec.Interp.Nearest)
+    intercept[IllegalArgumentException](ImageCodec.Interp.parse("1"))
+    intercept[IllegalArgumentException](ImageCodec.Interp.parse("box"))
+  }
 }

@@ -64,7 +64,7 @@ class StreamOpsSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join equals the batch interval join") {
-    val streamed = StreamOps.runBounded(spark, StreamOps.intervalJoin,
+    val streamed = StreamOps.runBounded(spark, StreamOps.intervalJoin(_),
       srcDir, schema, "ssjoin_out", OutputMode.Append())
     val ev = Tables.load(spark, sf, "events")
     val l = ev.select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
@@ -77,6 +77,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
+  test("stream-stream LEFT OUTER interval join: matches batch; nulls only after watermark") {
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.intervalJoin(df, "leftOuter"),
+      srcDir, schema, "ssjoin_outer_out", OutputMode.Append())
+    val ev = Tables.load(spark, sf, "events")
+    val l = ev.select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    val batch = l.join(r, expr(
+      """user_id = r_user AND l_id != r_id
+        |AND r_ts >= l_ts - INTERVAL 1 HOUR AND r_ts < l_ts""".stripMargin),
+      "leftOuter")
+      .select(col("user_id"), col("l_id"), col("r_id"))
+    // 1. everything the stream emitted is a batch row (no spurious rows,
+    //    no retracted outer results)
+    assert(streamed.except(batch).count() == 0)
+    // 2. matched results are complete — they emit as they join
+    val batchMatched = batch.filter(col("r_id").isNotNull)
+    assert(batchMatched.except(streamed).count() == 0)
+    assert(streamed.filter(col("r_id").isNotNull).count() == batchMatched.count())
+    // 3. the watermark-forced null path fired: unmatched left rows whose
+    //    event-time bound passed the final watermark emitted with nulls
+    //    (rows inside the final watermark window legitimately stay held)
+    val streamedNulls = streamed.filter(col("r_id").isNull)
+    assert(streamedNulls.count() > 0,
+      "no null-extended rows emitted — watermark eviction never fired")
+    assert(streamedNulls.except(batch.filter(col("r_id").isNull)).count() == 0)
   }
 
   test("streaming sessionization matches the batch session counts") {

@@ -16,22 +16,32 @@ class YamlConfigSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.get
 
-  private val dir = {
-    val d = Paths.get("target", "yaml-fixtures-" + System.nanoTime()).toAbsolutePath
-    Files.createDirectories(d.resolve("imgs"))
-    // one shard with a real 8x4 PNG (left red, right blue)
+  private def png8x4(colorAt: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 4; x <- 0 until 8)
-      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, colorAt(x, y))
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", baos)
-    val out = new TarArchiveOutputStream(
-      new FileOutputStream(d.resolve("imgs/shard-00.tar").toFile))
-    val bytes = baos.toByteArray
-    val e = new TarArchiveEntry("im1.png")
-    e.setSize(bytes.length.toLong)
-    out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-    out.close()
+    baos.toByteArray
+  }
+
+  // left-red/right-blue (binary pixels, for the flip/normalize checks)
+  private val redBlue: (Int, Int) => Int = (x, _) => if (x < 4) 0xff0000 else 0x0000ff
+  // horizontal gray gradient (for interpolation-kernel distinctions —
+  // on binary images clamped bicubic collapses onto nearest)
+  private val gradient: (Int, Int) => Int = (x, _) => { val g = x * 36; (g << 16) | (g << 8) | g }
+
+  private val dir = {
+    val d = Paths.get("target", "yaml-fixtures-" + System.nanoTime()).toAbsolutePath
+    for ((sub, colorAt) <- Seq("imgs" -> redBlue, "grad" -> gradient)) {
+      Files.createDirectories(d.resolve(sub))
+      val out = new TarArchiveOutputStream(
+        new FileOutputStream(d.resolve(s"$sub/shard-00.tar").toFile))
+      val bytes = png8x4(colorAt)
+      val e = new TarArchiveEntry("im1.png")
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+      out.close()
+    }
     d
   }
 
@@ -120,7 +130,8 @@ class YamlConfigSpec extends AnyFunSuite {
          |  "decoders": ["torchrgb"],
          |  "postprocessors": [
          |    {"mapper": "image_transforms",
-         |     "params": {"key": "png", "resize": "2", "layout": "chw"}}
+         |     "params": {"key": "png", "resize": "2", "layout": "chw",
+         |                "interpolation": "3"}}
          |  ]
          |}""".stripMargin)
 
@@ -131,6 +142,105 @@ class YamlConfigSpec extends AnyFunSuite {
       b.head.getAs[org.apache.spark.sql.Row]("png"))
     assert(da == db, "YAML- and JSON-built pipelines must produce identical rows")
     assert(da.getAs[Int]("width") == 4 && da.getAs[Int]("height") == 2)
+  }
+
+  private def tvYaml(transformsYaml: String, sub: String = "imgs"): String =
+    s"""dataset:
+       |  urls:
+       |    - "${dir.resolve(sub)}"
+       |  extensions:
+       |    - "png"
+       |  decoders:
+       |    - "torchrgb"
+       |  postprocessors:
+       |    - target: sdata.mappers.TorchVisionImageTransforms
+       |      params:
+       |        key: 'png'
+       |        transforms:
+       |$transformsYaml
+       |""".stripMargin
+
+  private def runPixels(yaml: String): (Int, Int, Seq[Float]) = {
+    val row = GraftPipeline.create(spark, ConfigYaml.parse(yaml).config)
+      .collect().head.getAs[org.apache.spark.sql.Row]("png")
+    (row.getAs[Int]("width"), row.getAs[Int]("height"),
+      row.getAs[scala.collection.Seq[Float]]("pixels").toSeq)
+  }
+
+  test("interpolation mode is honored: bicubic pixels match ImageCodec and differ from nearest") {
+    val bicubic = runPixels(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |              interpolation: 3
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    val nearest = runPixels(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |              interpolation: 0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    assert(bicubic._1 == 4 && bicubic._2 == 2)
+    assert(bicubic._3 != nearest._3,
+      "bicubic must produce different pixels than nearest on this fixture")
+    // the YAML path must produce exactly what the codec kernel produces
+    val decoded = graft.functions.ImageCodec.decodeAs("torchrgb", png8x4(gradient)).get
+    val expect = graft.functions.ImageCodec.resizeShorter(
+      decoded, 2, chw = true, graft.functions.ImageCodec.Interp.Bicubic,
+      clampHi = 1.0f) // unit-scale spec → unit overshoot ceiling
+    assert(bicubic._3 == expect.pixels.toSeq)
+  }
+
+  test("unknown transform params fail fast instead of dropping") {
+    val e = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |              antialias: true""".stripMargin)))
+    assert(e.getMessage.contains("antialias"))
+    val e2 = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |              interpolation: 1""".stripMargin)))
+    assert(e2.getMessage.contains("interpolation"))
+  }
+
+  test("non-canonical transform order fails fast") {
+    val e = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.Normalize
+        |            params:
+        |              mean:
+        |                - 0.5
+        |              std:
+        |                - 0.5
+        |          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2""".stripMargin)))
+    assert(e.getMessage.contains("order"))
+  }
+
+  test("Normalize / RandomHorizontalFlip / RandomCrop map through the YAML path") {
+    // p=1 flip of the red|blue fixture swaps halves; normalize (0.5, 0.5)
+    // maps [0,1] to [-1,1]; assertions check both against the raw decode.
+    val (w, h, px) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.RandomCrop
+        |            params:
+        |              size: 4
+        |          - target: torchvision.transforms.RandomHorizontalFlip
+        |            params:
+        |              p: 1.0
+        |          - target: torchvision.transforms.ToTensor
+        |          - target: torchvision.transforms.Normalize
+        |            params:
+        |              mean:
+        |                - 0.5
+        |              std:
+        |                - 0.5""".stripMargin))
+    assert(w == 4 && h == 4)
+    assert(px.length == 3 * 4 * 4)
+    // every output value is (v - 0.5) / 0.5 of a 0/1 input → ±1
+    assert(px.forall(v => v == 1.0f || v == -1.0f))
   }
 
   test("resample_prefixes without mixture_total fails fast instead of silently emptying") {
