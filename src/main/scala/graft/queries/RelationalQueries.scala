@@ -199,6 +199,32 @@ object RelationalQueries extends QueryPack {
     //   3. join the 9 target ranks (lo/hi of (n-1)*p) and interpolate
     //      lo + (hi-lo)*frac — the exact op order DuckDB's quantile_cont
     //      uses, on the same doubles, so the hash still matches.
+    // Per-group quantiles via the MERGEABLE bounded sketch
+    // (plans.QuantileSketch, TypedImperativeAggregate): one hash
+    // exchange, O(capacity) state per group at any group size — the
+    // streaming/partial-agg-friendly complement of q16's exact two-pass
+    // selection. Exact below 2×capacity values per group (this corpus),
+    // so the oracle is DuckDB's exact quantile_cont; at 100 TB the same
+    // plan degrades gracefully to KLL-envelope rank error instead of
+    // OOMing or re-scanning.
+    "q28_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val probs = Seq(0.25, 0.5, 0.75, 0.95)
+      // capacity sized so the oracle corpus (~20k rows/group at sf0.01)
+      // stays in the sketch's exact regime (n ≤ 2×capacity) — the gate
+      // checks exact agreement; compaction accuracy is spec-tested
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(graft.plans.QuantileSketch.quantiles($"l_extendedprice", probs,
+          capacity = 16384).as("qs"))
+        .select($"l_returnflag",
+          pround(element_at($"qs", 1), 6).as("p25"),
+          pround(element_at($"qs", 2), 6).as("p50"),
+          pround(element_at($"qs", 3), 6).as("p75"),
+          pround(element_at($"qs", 4), 6).as("p95"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q16_percentiles" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -614,6 +640,15 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "q1c_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact regime of the sketch (groups < 2×capacity): quantile_cont
+    // with the identical rank/interpolation definition
+    "q28_quantile_sketch" ->
+      """SELECT l_returnflag,
+        | floor((quantile_cont(l_extendedprice, 0.25)) * 1000000 + 0.5) / 1000000 AS p25,
+        | floor((quantile_cont(l_extendedprice, 0.50)) * 1000000 + 0.5) / 1000000 AS p50,
+        | floor((quantile_cont(l_extendedprice, 0.75)) * 1000000 + 0.5) / 1000000 AS p75,
+        | floor((quantile_cont(l_extendedprice, 0.95)) * 1000000 + 0.5) / 1000000 AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q16_percentiles" ->
       """SELECT l_returnflag,
