@@ -153,4 +153,18 @@ object SimilarityFunctions {
     */
   def maskedLshBucketSql(e: String, pExpr: String, maxPlanes: Int, dim: Int): String =
     s"(${lshBucketSql(e, maxPlanes, dim)} & ((1::BIGINT << $pExpr) - 1))"
+
+  /** Per-plane projections of a probe vector as a `(j, proj)` relation —
+    * the margin input of multi-probe LSH's probing sequence. One UNION
+    * ALL branch per plane of `fromTable`.`eCol`; same dot-product
+    * rendering as [[lshBucketSql]], so signs and margins agree with the
+    * engine kernel bit-for-bit.
+    */
+  def probeMarginsSql(eCol: String, fromTable: String, maxPlanes: Int,
+      dim: Int): String = {
+    val v = s"($eCol)::DOUBLE[]"
+    hyperplanes(maxPlanes, dim).zipWithIndex.map { case (plane, j) =>
+      s"SELECT $j AS j, ${dotSql(v, planeSql(plane))} AS proj FROM $fromTable"
+    }.mkString("(", " UNION ALL ", ")")
+  }
 }

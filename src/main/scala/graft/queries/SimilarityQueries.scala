@@ -147,6 +147,44 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"centroid_id", $"pos")
     }),
 
+    // Multi-probe LSH: the probe scans its own sign-pattern bucket PLUS
+    // the buckets reached by flipping the two planes with the smallest
+    // projection margin — the query-directed probing sequence of
+    // multi-probe LSH (Lv et al., VLDB'07): near-boundary planes are the
+    // ones most likely to have split true neighbors away, so probing
+    // their flips buys recall without adding planes (q41's recall knob
+    // is more tables/fewer planes; this one is more probes, zero extra
+    // index state). Margin ranking happens driver-side over the probe's
+    // p projections (model-sized state); the scan stays one bucket-
+    // pruned pass over 3 of 2^p buckets — no shuffle, no row expansion.
+    "q48_multiprobe_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = emb(s, dir)
+      val p = planesFor(s, dir)
+      val planes = hyperplanes(p, Dim)
+      val probeVec = e0.filter($"vec_id" === ProbeId)
+        .select($"embedding").collect().head.getSeq[Float](0).toArray
+      // projections in the same sequential-double op order as the
+      // bucket kernel, so signs and margins agree with the oracle
+      val projs = planes.map { pl =>
+        var acc = 0.0; var i = 0
+        while (i < pl.length) { acc += probeVec(i) * pl(i); i += 1 }
+        acc
+      }
+      val own = FastText.lshBucketJvm(probeVec.toSeq, planes)
+      val flips = projs.zipWithIndex
+        .map { case (pr, j) => (math.abs(pr), j) }
+        .sorted.take(2).map(_._2)
+      val targets = own +: flips.map(j => own ^ (1L << j))
+      e0.filter($"vec_id" =!= ProbeId)
+        .withColumn("bucket", FastText.lshBucketUdf(p, Dim)($"embedding"))
+        .filter($"bucket".isin(targets: _*))
+        .select($"vec_id", $"bucket",
+          cosineSim($"embedding", typedLit(probeVec.toSeq)).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
+    }),
+
     // Bucket histogram — LSH partitioning statistics (skew diagnostic).
     "q43_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -226,6 +264,23 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned, probe
          |WHERE vec_id <> $ProbeId
          |  AND centroid_id IN (SELECT centroid_id FROM cells)
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    },
+    "q48_multiprobe_lsh" -> {
+      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
+         |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl),
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId),
+         |margins AS ${probeMarginsSql("pv", "probe", PlanesHi, Dim)},
+         |own AS (SELECT bucket AS b FROM e WHERE vec_id = $ProbeId),
+         |flips AS (SELECT j FROM margins, pl WHERE j < pl.p
+         |          ORDER BY abs(proj) ASC, j ASC LIMIT 2),
+         |targets AS (SELECT b FROM own
+         |            UNION ALL
+         |            SELECT xor(own.b, (1::BIGINT << j)) AS b FROM flips, own)
+         |SELECT vec_id, bucket, ${cosineSql("embedding", "pv")} AS score
+         |FROM e, probe
+         |WHERE vec_id <> $ProbeId AND bucket IN (SELECT b FROM targets)
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
     },
     "q47_ivf_refine" ->
