@@ -85,6 +85,29 @@ object SourceQueries extends QueryPack {
         .load()
         .select($"__key__")
         .agg(count(lit(1)).as("n"), max($"__key__").as("max_key"))
+    }),
+
+    // Predicate-pushdown variant: the __url__ range prunes shards 8..15
+    // at PLANNING (8 tars never opened), and the __key__ bound skips
+    // sample assembly for ids < 10000 inside the surviving readers — the
+    // scan-pruning discipline that turns "read 100 TB" into "read the
+    // shards the query names". The oracle regenerates the expected
+    // window from the id formula.
+    "q82_wds_tar_pushdown" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until Shards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "txt,cls")
+        .load()
+        .filter($"__url__" <= f"$dir/shard-${7}%06d.tar" && $"__key__" >= "s00010000")
+        .withColumn("cls", decode($"cls", "UTF-8").cast("long"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          countDistinct($"__url__").as("n_shards"),
+          min($"__key__").as("min_key"),
+          max($"__key__").as("max_key"))
     })
     )
   }
@@ -107,7 +130,15 @@ object SourceQueries extends QueryPack {
       "q81_wds_tar_keys_only" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n,
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
-           |FROM generate_series(0, $last) t(id)""".stripMargin
+           |FROM generate_series(0, $last) t(id)""".stripMargin,
+      // shards 0..7 (url bound) ∩ ids >= 10000 (key bound) = [10000, 39999]
+      "q82_wds_tar_pushdown" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(count(DISTINCT id // $SamplesPerShard) AS BIGINT) AS n_shards,
+           |       min('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS min_key,
+           |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM generate_series(10000, ${8 * SamplesPerShard - 1}) t(id)""".stripMargin
     )
   }
 

