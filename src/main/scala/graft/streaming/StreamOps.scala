@@ -74,6 +74,21 @@ object StreamOps {
       .select(col("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** Streaming exact dedup — the streaming twin of q30: the FIRST
+    * document per content digest passes, every later duplicate drops.
+    * Spark's streaming `dropDuplicates` keeps one state row per distinct
+    * digest (16-byte md5 key, not the document), so state is bounded by
+    * distinct content, not throughput. A corpus with an ingest-time
+    * column should use `withWatermark` + `dropDuplicatesWithinWatermark`
+    * to age state out; the `documents` fixture has no event time, so
+    * this is the unbounded-state variant (the reference has no streaming
+    * at all — north-star surface).
+    */
+  def streamingDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .dropDuplicates("content_hash")
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
   case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long, total_value: Double)

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for representative gate queries: the
+  * properties that make these plans survive a 100× scale-up, asserted
+  * against the actual executed plans so a regression (a filter that
+  * stops reaching the scan, a broadcast that silently becomes a
+  * shuffle, a projection that rereads every column) fails a spec
+  * instead of surfacing as a bench cliff.
+  */
+class PlanContractSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect() // let AQE finalize so the string shows the real plan
+    // formatted mode prints scan details (PushedFilters, ReadSchema)
+    // that the tree toString elides
+    df.queryExecution.executedPlan.toString +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    // both scan-level predicates pushed
+    assert(p.contains("GreaterThan(l_quantity") && p.contains("EqualTo(l_returnflag"),
+      p.take(1200))
+    // unused wide columns never leave the scan
+    assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"))
+  }
+
+  test("q1b: fixed-cardinality dims broadcast, never shuffle") {
+    val p = planOf("q1b_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // nation/region must not be on a shuffle exchange
+    assert(!"Exchange hashpartitioning\\((n_nationkey|r_regionkey)".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("q44: IVF assignment stays a scalar projection (no exchange before the probe join)") {
+    val p = planOf("q44_ivf_search")
+    // the NearestCentroid expression evaluates in-line; the only join is
+    // the broadcast of the 1-row probe cell
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q82: tar pushdown advertises its predicates on the scan") {
+    val p = planOf("q82_wds_tar_pushdown")
+    assert(p.contains("PushedFilters") || p.contains("wds-tar"), p.take(800))
+  }
+
+  test("q28: sketch aggregate does partial (map-side) aggregation") {
+    val p = planOf("q28_quantile_sketch")
+    // ObjectHashAggregate with partial_ entries = map-side combine ran;
+    // the exchange moves O(groups × capacity) state, not raw rows
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(800))
+    assert(p.contains("partial_quantile_sketch") || p.contains("partial"),
+      p.take(1200))
+  }
+}

@@ -108,6 +108,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamedNulls.except(batch.filter(col("r_id").isNull)).count() == 0)
   }
 
+  test("streaming dedup passes exactly one row per distinct content digest") {
+    // the corpus has near-dups but no exact dups — re-ingest 100 docs
+    // under new ids so the digest-dedup path has real work to do
+    val docsDir = Paths.get("target", "stream-docs").toAbsolutePath
+    val base = Tables.load(spark, sf, "documents")
+    val withDups = base.unionByName(
+      base.limit(100).withColumn("doc_id", col("doc_id") + 1000000L))
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      withDups.write.mode("overwrite").parquet(docsDir.toString)
+    }
+    val docsSchema = spark.read.parquet(docsDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingDedup(df),
+      docsDir.toString, docsSchema, "dedup_out", OutputMode.Append())
+    val batch = base.select(md5(col("text")).as("content_hash")).distinct()
+    // one survivor per digest, covering every digest the corpus has
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("content_hash").distinct().count() == streamed.count())
+    assert(streamed.select("content_hash").except(batch).count() == 0)
+    // the 100 re-ingested duplicates were dropped
+    assert(streamed.count() == withDups.count() - 100)
+  }
+
   test("streaming sessionization matches the batch session counts") {
     val streamed = StreamOps.runBounded(spark,
       df => StreamOps.sessionize(spark, df),
