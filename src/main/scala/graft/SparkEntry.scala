@@ -20,7 +20,8 @@ object SparkEntry {
     EventsQueries,
     PipelineQueries,
     MultimodalQueries,
-    SourceQueries
+    SourceQueries,
+    TrainPrepQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

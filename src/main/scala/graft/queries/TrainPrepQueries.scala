@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{PortableHash, TextFunctions}
+import graft.functions.Portable.pround
+
+/** Training-set preparation operators over `documents`: deterministic
+  * split assignment, TF-IDF term scoring, and token-budget sequence
+  * packing — the last-mile ops between a curated corpus and a training
+  * run.
+  *
+  * Scale notes: the split is a pure per-row hash (no shuffle beyond the
+  * summary agg); TF-IDF is the inverted-index shape (explode → two hash
+  * aggregations → re-join by term) whose cost is corpus token count,
+  * never n²; packing uses a PARTITIONED running sum (pack within
+  * `source`) — a global cumsum would serialize on one reducer at 100 TB,
+  * the per-source window is the scalable form (sources pack
+  * independently, which is also what a sharded writer wants).
+  */
+object TrainPrepQueries extends QueryPack {
+
+  private val SplitSeed = 7
+  private val PackBudget = 1024L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val/test assignment: u = hash(doc_id, seed) in
+    // [0,1); 80/10/10 by threshold. Replayable under retry, stable
+    // across runs/engines — the property a split MUST have so no example
+    // silently migrates between train and eval.
+    "q90_split_train_val_test" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("u", PortableHash.detUniform($"doc_id", SplitSeed))
+        .withColumn("split",
+          when($"u" < 0.8, "train").when($"u" < 0.9, "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount($"text")).as("n_tokens"))
+        .orderBy($"split")
+    }),
+
+    // TF-IDF top terms: explode lowercased tokens → per-(doc, term) tf,
+    // per-term df, score = tf · ln((N+1)/(df+1)) summed over docs.
+    // Inverted-index topology — both aggregations are hash-partial, the
+    // only join moves (term, df) pairs.
+    "q91_tfidf_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val n = d.count() // driver-side scalar: corpus size for idf
+      val terms = d.select($"doc_id",
+          explode(TextFunctions.tokens(lower($"text"))).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(df, Seq("term"))
+        .groupBy($"term")
+        .agg(max($"df").as("df"),
+          pround(sum($"tf" * log(lit(n + 1.0) / ($"df" + 1.0))), 6).as("total_score"))
+        .orderBy($"total_score".desc, $"term")
+        .limit(20)
+        .select($"term", $"df", $"total_score")
+    }),
+
+    // Token-budget packing: within each source, docs in id order fill
+    // bins of PackBudget tokens; a doc's bin = exclusive-prefix-sum ÷
+    // budget (fixed-boundary packing — the closed form a distributed
+    // window can compute; greedy reset-on-overflow packing is inherently
+    // sequential). Emits per-bin occupancy.
+    "q92_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select($"source", $"doc_id",
+          TextFunctions.tokenCount($"text").cast("long").as("tok"))
+        .withColumn("prior", sum($"tok").over(w) - $"tok")
+        .withColumn("bin", floor($"prior" / PackBudget).cast("long"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
+        .orderBy($"source", $"bin")
+    })
+  )
+
+  override def oracles: Map[String, String] = {
+    val tok = TextFunctions.tokenCountSql("text")
+    Map(
+      "q90_split_train_val_test" ->
+        s"""SELECT split, count(*) AS n_docs,
+           | CAST(sum($tok) AS BIGINT) AS n_tokens
+           |FROM (
+           | SELECT text,
+           |  CASE WHEN u < 0.8 THEN 'train'
+           |       WHEN u < 0.9 THEN 'val'
+           |       ELSE 'test' END AS split
+           | FROM (SELECT text,
+           |   ${PortableHash.duckUniformSql("CAST(doc_id AS VARCHAR)", SplitSeed)} AS u
+           |  FROM documents))
+           |GROUP BY split ORDER BY split""".stripMargin,
+      "q91_tfidf_top_terms" ->
+        s"""WITH n AS (SELECT count(*) AS n FROM documents),
+           |terms AS (SELECT doc_id, unnest(${TextFunctions.tokensSql("lower(text)")}) AS term
+           |          FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT term, df, total_score FROM (
+           | SELECT tf.term, max(df.df) AS df,
+           |  floor((sum(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)))) * 1000000 + 0.5) / 1000000
+           |    AS total_score
+           | FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+           | GROUP BY tf.term)
+           |ORDER BY total_score DESC, term LIMIT 20""".stripMargin,
+      "q92_pack_sequences" ->
+        s"""WITH t AS (SELECT source, doc_id, CAST($tok AS BIGINT) AS tok
+           |           FROM documents),
+           |c AS (SELECT source, tok,
+           |  sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS prior
+           | FROM t)
+           |SELECT source, CAST(floor(prior / $PackBudget.0) AS BIGINT) AS bin,
+           | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+           |FROM c GROUP BY source, bin
+           |ORDER BY source, bin""".stripMargin
+    )
+  }
+}
