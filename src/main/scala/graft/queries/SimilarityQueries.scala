@@ -185,6 +185,28 @@ object SimilarityQueries extends QueryPack {
         .limit(5)
     }),
 
+    // ANN quality measurement INSIDE the engine: recall@5 of the
+    // bucket-pruned LSH search against the exact brute-force top-5 —
+    // the metric that says whether the plane count / probe budget is
+    // right for this corpus. Both sides are tiny top-k frames; the
+    // intersect is driver-trivial.
+    "q49_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+        .withColumn("bucket", FastText.lshBucketUdf(planesFor(s, dir), Dim)($"embedding"))
+      val probe = e.filter($"vec_id" === ProbeId)
+        .select($"bucket".as("probe_bucket"), $"embedding".as("probe_vec"))
+      val scored = e.filter($"vec_id" =!= ProbeId)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id", $"bucket", $"probe_bucket",
+          cosineSim($"embedding", $"probe_vec").as("score"))
+      val brute = scored.orderBy($"score".desc, $"vec_id").limit(5).select($"vec_id")
+      val lsh = scored.filter($"bucket" === $"probe_bucket")
+        .orderBy($"score".desc, $"vec_id").limit(5).select($"vec_id")
+      brute.intersect(lsh)
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
+
     // Bucket histogram — LSH partitioning statistics (skew diagnostic).
     "q43_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -265,6 +287,21 @@ object SimilarityQueries extends QueryPack {
          |WHERE vec_id <> $ProbeId
          |  AND centroid_id IN (SELECT centroid_id FROM cells)
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    },
+    "q49_ann_recall" -> {
+      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
+         |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl),
+         |probe AS (SELECT bucket AS pb, embedding AS pv FROM e WHERE vec_id = $ProbeId),
+         |scored AS (
+         | SELECT e.vec_id, e.bucket, probe.pb,
+         |  ${cosineSql("e.embedding", "probe.pv")} AS score
+         | FROM e, probe WHERE vec_id <> $ProbeId),
+         |brute AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 5),
+         |l AS (SELECT vec_id FROM scored WHERE bucket = pb
+         |      ORDER BY score DESC, vec_id LIMIT 5)
+         |SELECT count(*) / 5.0 AS recall_at_5 FROM
+         | (SELECT vec_id FROM brute INTERSECT SELECT vec_id FROM l)""".stripMargin
     },
     "q48_multiprobe_lsh" -> {
       val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)

@@ -66,6 +66,30 @@ object TrainPrepQueries extends QueryPack {
         .select($"term", $"df", $"total_score")
     }),
 
+    // Decontamination: flag training documents sharing >= MinShared
+    // distinct word-4-grams with any eval-set document (here: the
+    // deterministic doc_id % 50 == 0 slice stands in for a benchmark
+    // suite). The eval side is small by construction, so the shingle
+    // join broadcasts it (AQE) and the scan over training shingles is
+    // one pass — the standard benchmark-overlap sweep before a training
+    // run, at corpus-token cost.
+    "q93_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .select($"doc_id",
+          graft.functions.FastText.shingleAnalyze(4)($"text").as("a"))
+        .select($"doc_id", $"a.sh".as("sh"))
+      val evalSet = sh.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("eval_id"), explode($"sh").as("shingle"))
+      val train = sh.filter($"doc_id" % 50 =!= 0)
+        .select($"doc_id".as("train_id"), explode($"sh").as("shingle"))
+      train.join(evalSet, Seq("shingle"))
+        .groupBy($"train_id", $"eval_id")
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 3)
+        .orderBy($"train_id", $"eval_id")
+    }),
+
     // Token-budget packing: within each source, docs in id order fill
     // bins of PackBudget tokens; a doc's bin = exclusive-prefix-sum ÷
     // budget (fixed-boundary packing — the closed form a distributed
@@ -114,6 +138,19 @@ object TrainPrepQueries extends QueryPack {
            | FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
            | GROUP BY tf.term)
            |ORDER BY total_score DESC, term LIMIT 20""".stripMargin,
+      "q93_decontaminate" ->
+        s"""WITH sh AS (SELECT doc_id,
+           |  ${graft.functions.DedupFunctions.distinctShinglesSql("text", 4)} AS sh
+           | FROM documents),
+           |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS shingle
+           |       FROM sh WHERE doc_id % 50 = 0),
+           |tr AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
+           |       FROM sh WHERE doc_id % 50 <> 0)
+           |SELECT train_id, eval_id, count(*) AS shared
+           |FROM tr JOIN ev USING (shingle)
+           |GROUP BY train_id, eval_id
+           |HAVING count(*) >= 3
+           |ORDER BY train_id, eval_id""".stripMargin,
       "q92_pack_sequences" ->
         s"""WITH t AS (SELECT source, doc_id, CAST($tok AS BIGINT) AS tok
            |           FROM documents),
