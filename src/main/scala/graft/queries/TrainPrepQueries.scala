@@ -55,7 +55,12 @@ object TrainPrepQueries extends QueryPack {
       val n = d.count() // driver-side scalar: corpus size for idf
       val terms = d.select($"doc_id",
           explode(TextFunctions.tokens(lower($"text"))).as("term"))
+      // tf feeds BOTH the score join and the df aggregate — persist it
+      // or the plan re-derives scan→explode→agg per branch (the
+      // broadcast-re-execution rule; at scale that doubles the corpus
+      // pass)
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       tf.join(df, Seq("term"))
         .groupBy($"term")
@@ -75,10 +80,13 @@ object TrainPrepQueries extends QueryPack {
     // run, at corpus-token cost.
     "q93_decontaminate" -> ((s, dir) => {
       import s.implicits._
+      // the shingle analysis feeds both the eval and train branches —
+      // persist so the corpus is analyzed once, not once per branch
       val sh = docs(s, dir)
         .select($"doc_id",
           graft.functions.FastText.shingleAnalyze(4)($"text").as("a"))
         .select($"doc_id", $"a.sh".as("sh"))
+        .persist()
       val evalSet = sh.filter($"doc_id" % 50 === 0)
         .select($"doc_id".as("eval_id"), explode($"sh").as("shingle"))
       val train = sh.filter($"doc_id" % 50 =!= 0)
