@@ -24,6 +24,10 @@ object TrainPrepQueries extends QueryPack {
 
   private val SplitSeed = 7
   private val PackBudget = 1024L
+  private val ReservoirSeed = 11
+  private val ReservoirK = 10
+  private val QuotaSeed = 13
+  private val QuotaTokens = 4000L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -69,6 +73,49 @@ object TrainPrepQueries extends QueryPack {
         .orderBy($"total_score".desc, $"term")
         .limit(20)
         .select($"term", $"df", $"total_score")
+    }),
+
+    // Weighted reservoir sample (A-Res, Efraimidis–Spirakis): per
+    // language, the K docs with the largest ln(u)/weight key — each
+    // doc's inclusion probability is proportional to its weight
+    // (n_chars), yet the draw is a pure function of (doc_id, seed):
+    // replayable, mergeable (top-K of a max-key is associative), one
+    // window per group. The key rounds to 9 decimals before ranking so
+    // cross-engine libm ulp differences can't flip adjacent ranks
+    // (doc_id breaks rounded ties).
+    "q94_weighted_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      val u = (PortableHash.detHash($"doc_id", ReservoirSeed) + 0.5) /
+        lit(4294967296.0) // (0,1): never exactly 0, ln stays finite
+      val key = pround(log(u) / $"n_chars", 9)
+      val w = Window.partitionBy($"lang").orderBy(col("rkey").desc, $"doc_id")
+      docs(s, dir)
+        .withColumn("rkey", key)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= ReservoirK)
+        .select($"lang", $"rk", $"doc_id")
+        .orderBy($"lang", $"rk")
+    }),
+
+    // Mixture quota selection: each source contributes docs (in
+    // deterministic hash order) until its token quota fills — the
+    // up/down-sampling recipe a data-mixture spec compiles to. The
+    // straddling doc is included (quota is a floor, not a cap), so
+    // every source with data contributes at least one doc. One window
+    // per source, no shuffle beyond it.
+    "q95_mixture_quota" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(PortableHash.detHash($"doc_id", QuotaSeed), $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select($"source", $"doc_id",
+          TextFunctions.tokenCount($"text").cast("long").as("tok"))
+        .withColumn("cum", sum($"tok").over(w))
+        .filter($"cum" - $"tok" < QuotaTokens)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_selected"), sum($"tok").as("tokens_selected"))
+        .orderBy($"source")
     }),
 
     // Decontamination: flag training documents sharing >= MinShared
@@ -146,6 +193,29 @@ object TrainPrepQueries extends QueryPack {
            | FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
            | GROUP BY tf.term)
            |ORDER BY total_score DESC, term LIMIT 20""".stripMargin,
+      "q94_weighted_reservoir" -> {
+        val h = PortableHash.duckHashSql("CAST(doc_id AS VARCHAR)", ReservoirSeed)
+        val key = graft.functions.Portable.proundSql(
+          s"ln(($h + 0.5) / 4294967296.0) / n_chars", 9)
+        s"""SELECT lang, rk, doc_id FROM (
+           | SELECT lang, doc_id, row_number() OVER (
+           |  PARTITION BY lang ORDER BY $key DESC, doc_id) AS rk
+           | FROM documents)
+           |WHERE rk <= $ReservoirK ORDER BY lang, rk""".stripMargin
+      },
+      "q95_mixture_quota" -> {
+        val h = PortableHash.duckHashSql("CAST(doc_id AS VARCHAR)", QuotaSeed)
+        s"""WITH c AS (
+           | SELECT source, CAST($tok AS BIGINT) AS tok,
+           |  sum(CAST($tok AS BIGINT)) OVER (PARTITION BY source
+           |   ORDER BY $h, doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           | FROM documents)
+           |SELECT source, count(*) AS n_selected,
+           | CAST(sum(tok) AS BIGINT) AS tokens_selected
+           |FROM c WHERE cum - tok < $QuotaTokens
+           |GROUP BY source ORDER BY source""".stripMargin
+      },
       "q93_decontaminate" ->
         s"""WITH sh AS (SELECT doc_id,
            |  ${graft.functions.DedupFunctions.distinctShinglesSql("text", 4)} AS sh

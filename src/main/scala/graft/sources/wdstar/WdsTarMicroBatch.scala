@@ -22,7 +22,8 @@ import graft.sources.ShardListing
   * error-policy semantics in both execution modes.
   */
 class WdsTarMicroBatchStream(schema: StructType, declaredExts: Set[String],
-    options: CaseInsensitiveStringMap, checkpointLocation: String)
+    options: CaseInsensitiveStringMap, checkpointLocation: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream {
 
   private val dir = {
@@ -71,7 +72,12 @@ class WdsTarMicroBatchStream(schema: StructType, declaredExts: Set[String],
         s"(${eo.shardCount} > ${shards.length})")
     checkAppendOnly(shards, so)
     checkAppendOnly(shards, eo)
+    // __url__ pruning composes with offsets: the offset always indexes
+    // the FULL sorted listing (so commit progress is filter-independent),
+    // and a pruned shard simply contributes no partition to its batch.
+    val ufs = pushed.filter(ShardFilters.supported(_, WdsTarSource.UrlCol))
     shards.slice(so.shardCount, eo.shardCount)
+      .filter(s => ufs.forall(ShardFilters.eval(_, s)))
       .map(WdsTarInputPartition(_): InputPartition).toArray
   }
 
@@ -79,7 +85,8 @@ class WdsTarMicroBatchStream(schema: StructType, declaredExts: Set[String],
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     WdsTarReaderFactory(schema, declaredExts, conf,
-      skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")))
+      skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")),
+      keyFilters = pushed.filter(ShardFilters.supported(_, WdsTarSource.KeyCol)).toSeq)
   }
 
   override def commit(end: Offset): Unit = ()

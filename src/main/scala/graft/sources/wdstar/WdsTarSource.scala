@@ -197,7 +197,8 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WdsTarMicroBatchStream(requiredSchema, declaredExts, options, checkpointLocation)
+    new WdsTarMicroBatchStream(requiredSchema, declaredExts, options,
+      checkpointLocation, pushed)
   override def description(): String = "wds-tar scan"
 
   private def urlFilters = pushed.filter(

@@ -59,6 +59,35 @@ class WdsTarStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pushed filters reach the streaming path: url prunes partitions, key skips samples") {
+    val d3 = mkDir()
+    writeTarIn(d3, "shard-000000.tar", Seq("k1", "k2"))
+    writeTarIn(d3, "shard-000001.tar", Seq("k3", "m4"))
+    import org.apache.spark.sql.functions.col
+    val stream = spark.readStream.format("wds-tar")
+      .option("path", d3.toString)
+      .option("extensions", "txt")
+      .load()
+      .filter(col("__url__").endsWith("shard-000001.tar") &&
+        col("__key__").startsWith("k"))
+    val q = stream.writeStream
+      .format("memory").queryName("tar_stream_pushed")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // shard 0 pruned, m4 skipped in-reader, k3 survives; and the
+      // offset still committed BOTH shards (progress is
+      // filter-independent) — a new shard keeps streaming normally
+      assert(spark.table("tar_stream_pushed").collect()
+        .map(_.getString(0)).toSeq == Seq("k3"))
+      writeTarIn(d3, "shard-000002.tar", Seq("k9"))
+      q.processAllAvailable()
+      // shard 2 fails the url predicate → still no extra rows
+      assert(spark.table("tar_stream_pushed").count() == 1)
+    } finally q.stop()
+  }
+
   test("shard sorting before the committed prefix fails loudly, no silent re-read") {
     val d2 = mkDir()
     writeTarIn(d2, "shard-000005.tar", Seq("x1"))
