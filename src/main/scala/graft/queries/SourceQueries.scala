@@ -93,6 +93,35 @@ object SourceQueries extends QueryPack {
     // scan-pruning discipline that turns "read 100 TB" into "read the
     // shards the query names". The oracle regenerates the expected
     // window from the id formula.
+    // Write round-trip: tar scan → filter → wds-tar WRITE → re-scan the
+    // written shards → aggregate. The only gate row exercising the sink:
+    // the oracle regenerates the filtered window from the id formula, so
+    // member naming, payload bytes, and the commit protocol all sit on
+    // the hash path (a corrupted or dropped member breaks it).
+    "q83_wds_tar_write_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      val outDir = s"$dir/roundtrip-out"
+      s.read.format("wds-tar")
+        .option("shards", (0 until 4).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "txt,cls")
+        .load()
+        .filter(decode($"cls", "UTF-8").cast("long") % 2 === 0)
+        .select($"__key__", $"txt", $"cls")
+        .write.format("wds-tar")
+        .option("path", outDir).mode("overwrite").save()
+      s.read.format("wds-tar")
+        .option("path", outDir)
+        .option("extensions", "txt,cls")
+        .load()
+        .withColumn("cls", decode($"cls", "UTF-8").cast("long"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -131,6 +160,14 @@ object SourceQueries extends QueryPack {
         s"""SELECT CAST(count(*) AS BIGINT) AS n,
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, $last) t(id)""".stripMargin,
+      // shards 0..3, even cls (= even id%97)
+      "q83_wds_tar_write_roundtrip" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM generate_series(0, ${4 * SamplesPerShard - 1}) t(id)
+           |WHERE (id % 97) % 2 = 0""".stripMargin,
       // shards 0..7 (url bound) ∩ ids >= 10000 (key bound) = [10000, 39999]
       "q82_wds_tar_pushdown" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
