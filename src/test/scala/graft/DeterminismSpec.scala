@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replayability under different physical execution: the same query on
+  * the same data must produce byte-identical rows regardless of the
+  * shuffle partition count (the engine-wide rule SURVEY §7.4 — every
+  * "random" decision is a pure function of (row key, seed), so task
+  * retries, speculative execution, and cluster-size changes can never
+  * shift a result). Exercised on the seeded/sampling queries where an
+  * RNG-based implementation would break first.
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def runWith(partitions: Int, q: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(q)(spark, sf).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (q <- Seq("q67_det_shuffle", "q69_hash_sample", "q90_split_train_val_test",
+      "q94_weighted_reservoir", "q95_mixture_quota", "q28_quantile_sketch")) {
+    test(s"$q is identical at 5 and 32 shuffle partitions") {
+      assert(runWith(5, q) == runWith(32, q))
+    }
+  }
+}
