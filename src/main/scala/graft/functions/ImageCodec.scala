@@ -129,18 +129,20 @@ object ImageCodec {
     case object Nearest extends Interp
     case object Bilinear extends Interp
     case object Bicubic extends Interp
+    case object Lanczos extends Interp
 
     /** PIL integer code or name → mode; rejects the codes we don't
-      * implement (1=lanczos, 4=box, 5=hamming) rather than silently
-      * substituting a different kernel.
+      * implement (4=box, 5=hamming) rather than silently substituting
+      * a different kernel.
       */
     def parse(s: String): Interp = s.trim.toLowerCase match {
       case "0" | "nearest" => Nearest
+      case "1" | "lanczos" => Lanczos
       case "2" | "bilinear" => Bilinear
       case "3" | "bicubic" => Bicubic
       case other => throw new IllegalArgumentException(
         s"unsupported interpolation '$other' " +
-          "(supported: 0/nearest, 2/bilinear, 3/bicubic)")
+          "(supported: 0/nearest, 1/lanczos, 2/bilinear, 3/bicubic)")
     }
   }
 
@@ -159,11 +161,26 @@ object ImageCodec {
   @inline private def clampIdx(i: Int, n: Int): Int =
     if (i < 0) 0 else if (i >= n) n - 1 else i
 
+  /** Lanczos-3 windowed sinc (the PIL LANCZOS kernel, a=3): 6 taps per
+    * axis; tap weights are normalized to sum 1 (the kernel itself does
+    * not), as PIL's resampler does.
+    */
+  @inline private def lanczosW(t: Double): Double = {
+    val at = math.abs(t)
+    if (at < 1e-12) 1.0
+    else if (at >= 3.0) 0.0
+    else {
+      val pt = math.Pi * at
+      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+    }
+  }
+
   /** Resample to (nw, nh) with the given mode. Source coordinates use
     * half-pixel centers (sx = (x+0.5)·w/nw − 0.5) for the linear/cubic
     * kernels — the align_corners=False convention PIL and torchvision
     * share; nearest keeps the engine's historical floor(x·w/nw) mapping.
-    * Bicubic can overshoot, so its output is clamped to [0, clampHi].
+    * Bicubic and Lanczos can overshoot, so their output is clamped to
+    * [0, clampHi].
     * `clampHi` is the pixel scale's ceiling — 255 for 8-bit specs
     * (pil/rgb8/l8), 1.0 for unit-scale specs (rgb/l/torch*): the
     * reference resizes BEFORE ToTensor on uint8 PIL data, so its
@@ -214,6 +231,46 @@ object ImageCodec {
                 (1 - fy) * ((1 - fx) * src(ch, y0, x0) + fx * src(ch, y0, x0 + 1)) +
                   fy * ((1 - fx) * src(ch, y0 + 1, x0) + fx * src(ch, y0 + 1, x0 + 1))
               put(ch, y, x, v.toFloat)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case Interp.Lanczos =>
+        val wx = new Array[Double](6); val wy = new Array[Double](6)
+        var y = 0
+        while (y < nh) {
+          val sy = (y + 0.5) * syScale - 0.5
+          val y0 = math.floor(sy).toInt; val fy = sy - y0
+          var wySum = 0.0
+          var j = 0
+          while (j < 6) { wy(j) = lanczosW(fy - (j - 2)); wySum += wy(j); j += 1 }
+          var x = 0
+          while (x < nw) {
+            val sx = (x + 0.5) * sxScale - 0.5
+            val x0 = math.floor(sx).toInt; val fx = sx - x0
+            var wxSum = 0.0
+            var i = 0
+            while (i < 6) { wx(i) = lanczosW(fx - (i - 2)); wxSum += wx(i); i += 1 }
+            val norm = wySum * wxSum
+            var ch = 0
+            while (ch < c) {
+              var acc = 0.0
+              j = 0
+              while (j < 6) {
+                var rowAcc = 0.0
+                i = 0
+                while (i < 6) {
+                  rowAcc += wx(i) * src(ch, y0 + j - 2, x0 + i - 2)
+                  i += 1
+                }
+                acc += wy(j) * rowAcc
+                j += 1
+              }
+              acc /= norm
+              val clamped = if (acc < 0.0) 0.0 else if (acc > clampHi) clampHi.toDouble else acc
+              put(ch, y, x, clamped.toFloat)
               ch += 1
             }
             x += 1

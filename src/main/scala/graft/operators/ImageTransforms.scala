@@ -143,6 +143,47 @@ final case class RandomHFlipOp(p: Double = 0.5, seed: Int = 42,
       media.getField("channels"), media.getField("pixels"), id.cast("string"))
 }
 
+/** torchvision `RandomResizedCrop(size)` with replayable randomness:
+  * the area fraction draws uniform from `scale`, the aspect ratio
+  * log-uniform from `ratio`, and top/left uniform over the legal range —
+  * all from PortableHash(key, seed). One draw with geometry clamped to
+  * the image (torchvision rejection-samples up to 10× then falls back
+  * to center-crop; a deterministic engine takes the single clamped draw
+  * — documented divergence, same distribution family). The crop then
+  * resizes to `size`×`size` with `interp`.
+  */
+final case class RandomResizedCropOp(size: Int,
+    scale: (Double, Double) = (0.08, 1.0),
+    ratio: (Double, Double) = (0.75, 4.0 / 3.0),
+    seed: Int = 42,
+    channelMajor: Boolean = false,
+    interp: graft.functions.ImageCodec.Interp =
+      graft.functions.ImageCodec.Interp.Bilinear,
+    clampHi: Float = 255f) extends ImageOp {
+  require(scale._1 > 0 && scale._1 <= scale._2 && scale._2 <= 1.0, "bad scale range")
+  require(ratio._1 > 0 && ratio._1 <= ratio._2, "bad ratio range")
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
+    import graft.functions.{ImageCodec, PortableHash}
+    def u(tag: Int): Double =
+      PortableHash.detHashJvm(s"$id:rrc$tag:$seed") / 4294967296.0
+    val frac = scale._1 + u(0) * (scale._2 - scale._1)
+    val logR = math.log(ratio._1) + u(1) * (math.log(ratio._2) - math.log(ratio._1))
+    val r = math.exp(logR)
+    val area = frac * w * h
+    val cw = math.max(1, math.min(w, math.round(math.sqrt(area * r)).toInt))
+    val chh = math.max(1, math.min(h, math.round(math.sqrt(area / r)).toInt))
+    val left = (PortableHash.detHashJvm(s"$id:rrc2:$seed") % (w - cw + 1)).toInt
+    val top = (PortableHash.detHashJvm(s"$id:rrc3:$seed") % (h - chh + 1)).toInt
+    val cropped = ImageCodec.crop(
+      ImageCodec.DecodedImage(w, h, c, px), left, top, cw, chh, channelMajor)
+    ImageCodec.resample(cropped, size, size, channelMajor, interp, clampHi)
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
 /** torchvision `RandomCrop(size)` with replayable randomness: top/left
   * drawn from PortableHash(key, seed) over the legal offset range — the
   * same (key, seed) discipline CropToSquare uses

@@ -210,6 +210,20 @@ object ConfigYaml {
               graft.functions.ImageCodec.Interp.parse(s)
               "interpolation" -> s
             })
+        case "RandomResizedCrop" =>
+          only("size", "scale", "ratio", "interpolation")
+          def range(k: String): Option[(String, String)] = tp.get(k) match {
+            case Some(l: List[_]) if l.length == 2 =>
+              Some(s"rrc_$k" -> l.map(num).mkString(","))
+            case Some(other) => sys.error(s"RandomResizedCrop $k needs [lo, hi], got $other")
+            case None => None
+          }
+          // torchvision's RandomResizedCrop defaults to bilinear (code 2)
+          val rrcInterp = tp.get("interpolation").map(_.toString).getOrElse("2")
+          graft.functions.ImageCodec.Interp.parse(rrcInterp)
+          (0, Map("random_resized_crop" -> size.toString,
+            "interpolation" -> rrcInterp) ++
+            range("scale") ++ range("ratio"))
         case "RandomCrop" => only("size"); (1, Map("random_crop" -> size.toString))
         case "CenterCrop" => only("size"); (1, Map("center_crop" -> size.toString))
         case "RandomHorizontalFlip" =>

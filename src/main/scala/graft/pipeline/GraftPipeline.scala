@@ -96,7 +96,15 @@ object OperatorRegistry {
     // specs are unit-scale HWC).
     val clampHi =
       if (chw || p.get("scale").contains("unit")) 1.0f else 255.0f
+    def pair(v: String, what: String): (Double, Double) = v.split(",") match {
+      case Array(a, b) => (a.trim.toDouble, b.trim.toDouble)
+      case _ => sys.error(s"image_transforms: $what needs 'lo,hi'")
+    }
     val ops = Seq(
+      p.get("random_resized_crop").map(s => RandomResizedCropOp(s.toInt,
+        p.get("rrc_scale").map(pair(_, "rrc_scale")).getOrElse((0.08, 1.0)),
+        p.get("rrc_ratio").map(pair(_, "rrc_ratio")).getOrElse((0.75, 4.0 / 3.0)),
+        seed, chw, interp, clampHi)),
       p.get("resize").map(s => PixelResizeOp(s.toInt, chw, interp, clampHi)),
       p.get("random_crop").map(s => RandomCropOp(s.toInt, seed, chw)),
       p.get("center_crop").map(s => PixelCenterCropOp(s.toInt, chw)),
@@ -110,7 +118,8 @@ object OperatorRegistry {
           chw)
       }).flatten
     require(ops.nonEmpty, "image_transforms needs at least one pixel op " +
-      "(resize / random_crop / center_crop / hflip_p / normalize_mean)")
+      "(random_resized_crop / resize / random_crop / center_crop / hflip_p / " +
+      "normalize_mean)")
     ImageTransforms(ops,
       key = p.getOrElse("key", "jpg"),
       strict = p.getOrElse("strict", "true").toBoolean,

@@ -89,10 +89,20 @@ class ImageCodecSpec extends AnyFunSuite {
   test("constant images are invariant under every interpolation mode") {
     val const = gray(5, 3, Seq.fill(15)(42f))
     for (m <- Seq(ImageCodec.Interp.Nearest, ImageCodec.Interp.Bilinear,
-        ImageCodec.Interp.Bicubic)) {
+        ImageCodec.Interp.Bicubic, ImageCodec.Interp.Lanczos)) {
       val out = ImageCodec.resample(const, 7, 9, chw = false, m)
       assert(out.pixels.forall(v => math.abs(v - 42f) < 1e-4), s"mode $m")
     }
+  }
+
+  test("lanczos stays clamped and differs from bicubic on an edge") {
+    val step = gray(12, 1, Seq.fill(6)(0f) ++ Seq.fill(6)(255f))
+    val lz = ImageCodec.resample(step, 24, 1, chw = false, ImageCodec.Interp.Lanczos)
+    val bc = ImageCodec.resample(step, 24, 1, chw = false, ImageCodec.Interp.Bicubic)
+    assert(lz.pixels.forall(v => v >= 0f && v <= 255f))
+    assert(lz.pixels != bc.pixels)
+    // both kernels preserve the flat regions away from the edge
+    assert(math.abs(lz.pixels(1)) < 1e-3 && math.abs(lz.pixels(22) - 255f) < 1e-3)
   }
 
   test("bicubic overshoot is clamped to the uint8 ceiling") {
@@ -123,7 +133,8 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.Interp.parse("3") == ImageCodec.Interp.Bicubic)
     assert(ImageCodec.Interp.parse("bilinear") == ImageCodec.Interp.Bilinear)
     assert(ImageCodec.Interp.parse("NEAREST") == ImageCodec.Interp.Nearest)
-    intercept[IllegalArgumentException](ImageCodec.Interp.parse("1"))
+    assert(ImageCodec.Interp.parse("1") == ImageCodec.Interp.Lanczos)
     intercept[IllegalArgumentException](ImageCodec.Interp.parse("box"))
+    intercept[IllegalArgumentException](ImageCodec.Interp.parse("4"))
   }
 }

@@ -202,7 +202,7 @@ class YamlConfigSpec extends AnyFunSuite {
       """          - target: torchvision.transforms.Resize
         |            params:
         |              size: 2
-        |              interpolation: 1""".stripMargin)))
+        |              interpolation: 4""".stripMargin)))
     assert(e2.getMessage.contains("interpolation"))
   }
 
@@ -241,6 +241,34 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(px.length == 3 * 4 * 4)
     // every output value is (v - 0.5) / 0.5 of a 0/1 input → ±1
     assert(px.forall(v => v == 1.0f || v == -1.0f))
+  }
+
+  test("RandomResizedCrop maps through YAML: fixed output size, deterministic draws") {
+    val run1 = runPixels(tvYaml(
+      """          - target: torchvision.transforms.RandomResizedCrop
+        |            params:
+        |              size: 3
+        |              scale:
+        |                - 0.5
+        |                - 1.0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    val run2 = runPixels(tvYaml(
+      """          - target: torchvision.transforms.RandomResizedCrop
+        |            params:
+        |              size: 3
+        |              scale:
+        |                - 0.5
+        |                - 1.0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    assert(run1._1 == 3 && run1._2 == 3)
+    assert(run1 == run2, "RandomResizedCrop must be replayable")
+    // unknown param still fails fast
+    val e = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.RandomResizedCrop
+        |            params:
+        |              size: 3
+        |              antialias: true""".stripMargin)))
+    assert(e.getMessage.contains("antialias"))
   }
 
   test("resample_prefixes without mixture_total fails fast instead of silently emptying") {
