@@ -153,7 +153,10 @@ object GraftPipeline {
       val metaShards = ShardListing.listShards(spark, metaDirs)
       ShardListing.semiFilterByMeta(shards, metaShards, suffix)
     }
-    require(mainShards.nonEmpty, s"no shards matched ${config.urls}")
+    require(mainShards.nonEmpty,
+      if (mainShards0.isEmpty) s"no shards matched ${config.urls}"
+      else s"metadata existence filter (suffixes: ${config.metaSuffixes.mkString(",")}) " +
+        s"dropped all ${mainShards0.size} shards from ${config.urls}")
     // 3. deterministic shard shuffle (X1) — driver-side, seeded
     val ordered = config.shardShuffleSeed match {
       case Some(seed) => mainShards.sortBy(p => graft.functions.PortableHash.detHashJvm(s"$p:$seed"))
@@ -172,9 +175,13 @@ object GraftPipeline {
 
     // 5. sample-level metadata joins (J2): meta shard columns come in
     // renamed ext -> ext_suffix on collision (P11,
-    // reference datapipeline.py:225-245)
+    // reference datapipeline.py:225-245). Meta shards are discovered by
+    // LISTING the suffixed sibling directory (reference
+    // datapipeline.py:386-410), so both the reference layout (same
+    // basename) and graft's sink layout (basename_suffix) load; a
+    // missing or empty meta dir fails loudly instead of joining empty.
     config.metaSuffixes.foreach { suffix =>
-      val metaShards = ordered.map(ShardListing.metaShardPath(_, suffix))
+      val metaShards = ShardListing.resolveMetaShards(spark, ordered, suffix)
       var meta = spark.read.format("wds-tar")
         .option("shards", metaShards.mkString(","))
         .option("extensions", config.extensions.mkString(","))

@@ -50,10 +50,38 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** Reference-layout metadata fixture: same shard basenames as the main
+    * corpus in a sibling `_info` directory, member stems unsuffixed
+    * (reference datapipeline.py:386-410). One `.txt` member per sample:
+    * the formulaic quality string `(id*31) % 100`.
+    */
+  private lazy val metaFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-tars_info").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until Shards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until SamplesPerShard).foreach { i =>
+          val id = s * SamplesPerShard + i
+          val bytes = ((id * 31) % 100).toString.getBytes("UTF-8")
+          val e = new TarArchiveEntry(f"s$id%08d.txt")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = {
     // materialize fixtures at map-construction time so the driver's
     // per-query timing measures the scan, not the one-time generation
     val _ = fixtureDir
+    val _2 = metaFixtureDir
     Map(
     // Full ingest: scan all shards (one partition each), decode cls,
     // filter, aggregate — the tar-pipeline throughput number.
@@ -122,6 +150,30 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Sample-level metadata join through the FULL pipeline (J1/J2/P11):
+    // main shards via brace urls, metadata discovered by LISTING the
+    // sibling `_info` dir in the REFERENCE layout (same basenames,
+    // unsuffixed member stems — datapipeline.py:386-410). The collision-
+    // renamed txt_info column carries the formulaic quality string; a
+    // broken resolution, rename, or key join breaks the hash.
+    // Brace urls (not dir listing) keep q83's roundtrip-out subdir from
+    // polluting the shard set.
+    "q84_pipeline_meta_join" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      val _ = metaFixtureDir
+      val config = graft.pipeline.PipelineConfig(
+        urls = Seq(s"$dir/shard-{000000..${"%06d".format(Shards - 1)}}.tar"),
+        extensions = Seq("txt", "cls"),
+        metaSuffixes = Seq("info"))
+      graft.pipeline.GraftPipeline.create(s, config)
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          sum($"txt_info".cast("long")).as("sum_info"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -168,6 +220,14 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, ${4 * SamplesPerShard - 1}) t(id)
            |WHERE (id % 97) % 2 = 0""".stripMargin,
+      // pipeline meta join over all shards: cls = id%97 decodes to long,
+      // txt length = 116+len(id)+id%300, meta txt_info = (id*31)%100
+      "q84_pipeline_meta_join" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       CAST(sum((id * 31) % 100) AS BIGINT) AS sum_info
+           |FROM generate_series(0, $last) t(id)""".stripMargin,
       // shards 0..7 (url bound) ∩ ids >= 10000 (key bound) = [10000, 39999]
       "q82_wds_tar_pushdown" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,

@@ -69,6 +69,43 @@ object ShardListing {
     s"${metaDir(dir, suffix)}/${stem}_$suffix$ext"
   }
 
+  /** Listing-based metadata shard resolution for the scan path (J1/J2):
+    * for each main shard, find its metadata shard by LISTING the sibling
+    * `dir_suffix` directory — the reference's discovery mode (reference
+    * datapipeline.py:386-410: a main shard `0000.tar` keeps the SAME
+    * basename in the suffixed metadata directory) — while also accepting
+    * graft's sink layout `0000_suffix.tar`. Missing metadata directories
+    * surface as filesystem errors and empty listings fail loudly here,
+    * instead of scanning derived paths into a silently empty join.
+    *
+    * Paths are qualified through their filesystem before keying so
+    * schemeless brace-expanded mains match `file:`-qualified listings.
+    */
+  def resolveMetaShards(spark: SparkSession, mainShards: Seq[String],
+      suffix: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualify(p: String): String = {
+      val hp = new Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toString
+    }
+    def parent(p: String): String = p.substring(0, p.lastIndexOf('/'))
+    val qualified = mainShards.map(p => p -> qualify(p))
+    val keyed: Map[String, String] = qualified.map(q => parent(q._2)).distinct
+      .flatMap { dir =>
+        val mdir = metaDir(dir, suffix)
+        val listed = listShards(spark, Seq(mdir))
+        require(listed.nonEmpty,
+          s"metadata directory $mdir lists no .tar shards for suffix '$suffix'")
+        listed.map(mp =>
+          stripMetaDirSuffix(ShardExpand.refKey(qualify(mp), suffix), suffix) -> mp)
+      }.toMap
+    qualified.map { case (orig, q) =>
+      keyed.getOrElse(ShardExpand.shardKey(q), sys.error(
+        s"no metadata shard for $orig under ${metaDir(parent(q), suffix)} " +
+          s"(suffix '$suffix'; accepted layouts: same basename or basename_$suffix)"))
+    }
+  }
+
   /** Left-semi filter of main shards by metadata existence (reference
     * `filter_with_meta_set` + set build, datapipeline.py:269-270,400-404):
     * keep main shards whose [[ShardExpand.shardKey]] appears in the

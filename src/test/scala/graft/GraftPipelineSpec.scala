@@ -74,6 +74,58 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(rows("s2").getAs[String]("txt_meta") == "meta-for-s2")
   }
 
+  test("reference-layout metadata shards (same basename, unsuffixed stems) join correctly") {
+    // the reference keeps the SAME shard basename in the suffixed meta
+    // dir (datapipeline.py:386-410: main '0000.tar' → meta dir's
+    // '0000.tar') and does not suffix member stems; discovery must go
+    // through listing, not derived `_suffix` paths.
+    Files.createDirectories(base.resolve("refmain"))
+    Files.createDirectories(base.resolve("refmain_meta"))
+    writeTar("refmain/shard-00.tar", Seq(
+      "r1.txt" -> "alpha beta", "r1.cls" -> "3",
+      "r2.txt" -> "gamma", "r2.cls" -> "5"))
+    writeTar("refmain_meta/shard-00.tar", Seq(
+      "r1.txt" -> "meta-for-r1",
+      "r2.txt" -> "meta-for-r2"))
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("refmain").toString),
+      extensions = Seq("txt", "cls"),
+      metaSuffixes = Seq("meta"))
+    val rows = GraftPipeline.create(spark, config)
+      .collect().map(r => r.getAs[String]("__key__") -> r).toMap
+    assert(rows.keySet == Set("r1", "r2"))
+    assert(rows("r1").getAs[Long]("cls") == 3L)
+    assert(rows("r1").getAs[String]("txt_meta") == "meta-for-r1")
+    assert(rows("r2").getAs[String]("txt_meta") == "meta-for-r2")
+  }
+
+  test("graft-layout metadata still resolves through listing (both layouts accepted)") {
+    // the original fixture uses graft's sink layout
+    // (main_meta/shard-00_meta.tar, suffixed stems); the listing-based
+    // resolver must keep loading it — exercised via brace urls so the
+    // existence semi-filter can't mask a resolution failure.
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("main").resolve("shard-{00..00}.tar").toString),
+      extensions = Seq("txt", "cls"),
+      metaSuffixes = Seq("meta"))
+    val rows = GraftPipeline.create(spark, config)
+      .collect().map(r => r.getAs[String]("__key__") -> r).toMap
+    assert(rows.keySet == Set("s1", "s2"))
+    assert(rows("s1").getAs[String]("txt_meta") == "meta-for-s1")
+  }
+
+  test("empty metadata directory fails loudly, not silently-empty join") {
+    Files.createDirectories(base.resolve("lonely"))
+    Files.createDirectories(base.resolve("lonely_meta")) // exists but empty
+    writeTar("lonely/shard-00.tar", Seq("x1.txt" -> "abc"))
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("lonely").toString),
+      extensions = Seq("txt"),
+      metaSuffixes = Seq("meta"))
+    val ex = intercept[IllegalArgumentException](GraftPipeline.create(spark, config))
+    assert(ex.getMessage.contains("lonely"), s"unexpected: ${ex.getMessage}")
+  }
+
   test("prefixProbs matches shard URLs by PREFIX, not exact equality") {
     // config keys are directory-style prefixes of the full shard path —
     // the reference's PrefixResampler semantics (key.startswith(prefix));
