@@ -52,17 +52,32 @@ object SimilarityFunctions {
     * within-bucket pair work is O(target²) per bucket instead of
     * quadratic in n when the plane count is pinned. Integer-exact
     * (bit-length, no floating log2) so the oracle reproduces it:
-    * p = bitlength(ceil(n/target) - 1), clamped to [lo, hi]. The `hi`
-    * clamp only binds far above any gate corpus; raise it together with
-    * the oracle's masked rendering width when targeting larger runs.
+    * p = bitlength(ceil(n/target) - 1), clamped to [lo, hi].
+    *
+    * Guarantee: whenever the `hi` clamp is not binding, p satisfies
+    * 2^p ≥ n/targetBucket, so the expected bucket size n/2^p is at most
+    * `targetBucket` — per-bucket pair work stays O(targetBucket²)
+    * regardless of n. The default `hi` is [[MaxPlanes]], the Long
+    * sign-pattern representation bound, which binds only past
+    * n ≈ targetBucket·2^62 ≈ 3·10²⁰ vectors — i.e. the DEFAULT is
+    * scale-safe; pass a smaller `hi` only to deliberately trade bucket
+    * growth for fewer projections.
     */
   val PlanesLo = 4
-  val PlanesHi = 16
+
+  /** Hard representation ceiling, not a tuning knob: bucket ids pack
+    * one sign bit per plane into a 64-bit long (`1L << j`), so 62
+    * planes is the widest bucket id that stays positive. The oracle's
+    * masked rendering width ([[maskedLshBucketSql]]) follows this same
+    * constant, so engine and oracle can never disagree on the ceiling.
+    */
+  val MaxPlanes = 62
   val TargetBucket = 64L
 
   def adaptivePlanes(n: Long, targetBucket: Long = TargetBucket,
-      lo: Int = PlanesLo, hi: Int = PlanesHi): Int = {
-    val m = (n + targetBucket - 1) / targetBucket
+      lo: Int = PlanesLo, hi: Int = MaxPlanes): Int = {
+    // overflow-safe ceil-div (n + target - 1 wraps near Long.MaxValue)
+    val m = n / targetBucket + (if (n % targetBucket > 0) 1L else 0L)
     val bits =
       if (m <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
@@ -141,7 +156,7 @@ object SimilarityFunctions {
     * Yields a one-row relation `(p)`.
     */
   def adaptivePlanesSql(table: String, targetBucket: Long = TargetBucket,
-      lo: Int = PlanesLo, hi: Int = PlanesHi): String =
+      lo: Int = PlanesLo, hi: Int = MaxPlanes): String =
     s"""SELECT least($hi, greatest($lo,
        | CASE WHEN m <= 1 THEN 0 ELSE length(format('{:b}', m - 1)) END)) AS p
        |FROM (SELECT (count(*) + ${targetBucket - 1}) // $targetBucket AS m
@@ -149,9 +164,12 @@ object SimilarityFunctions {
 
   /** Bucket under a RUNTIME plane count `pExpr` (≤ `maxPlanes`): the
     * full `maxPlanes`-bit bucket masked to its low p bits — identical to
-    * computing with p planes, since bit j comes from plane j.
+    * computing with p planes, since bit j comes from plane j. With
+    * `maxPlanes` defaulting to [[MaxPlanes]], the static SQL covers any
+    * plane count [[adaptivePlanes]] can produce.
     */
-  def maskedLshBucketSql(e: String, pExpr: String, maxPlanes: Int, dim: Int): String =
+  def maskedLshBucketSql(e: String, pExpr: String, dim: Int,
+      maxPlanes: Int = MaxPlanes): String =
     s"(${lshBucketSql(e, maxPlanes, dim)} & ((1::BIGINT << $pExpr) - 1))"
 
   /** Per-plane projections of a probe vector as a `(j, proj)` relation —
@@ -160,8 +178,8 @@ object SimilarityFunctions {
     * rendering as [[lshBucketSql]], so signs and margins agree with the
     * engine kernel bit-for-bit.
     */
-  def probeMarginsSql(eCol: String, fromTable: String, maxPlanes: Int,
-      dim: Int): String = {
+  def probeMarginsSql(eCol: String, fromTable: String, dim: Int,
+      maxPlanes: Int = MaxPlanes): String = {
     val v = s"($eCol)::DOUBLE[]"
     hyperplanes(maxPlanes, dim).zipWithIndex.map { case (plane, j) =>
       s"SELECT $j AS j, ${dotSql(v, planeSql(plane))} AS proj FROM $fromTable"

@@ -245,8 +245,8 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "q41_ann_lsh" -> {
       // plane count computed from count(embeddings) by the same integer
-      // formula as planesFor; bucket = PlanesHi-bit bucket masked to p.
-      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      // formula as planesFor; bucket = MaxPlanes-bit bucket masked to p.
+      val bucket = maskedLshBucketSql("embedding", "pl.p", Dim)
       s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
          |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl),
          |probe AS (SELECT bucket AS probe_bucket, embedding AS probe_vec
@@ -256,7 +256,7 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
     },
     "q42_embedding_neardup" -> {
-      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      val bucket = maskedLshBucketSql("embedding", "pl.p", Dim)
       s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
          |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl)
          |SELECT bucket, a_id, b_id, cos FROM (
@@ -289,7 +289,7 @@ object SimilarityQueries extends QueryPack {
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
     },
     "q49_ann_recall" -> {
-      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      val bucket = maskedLshBucketSql("embedding", "pl.p", Dim)
       s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
          |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl),
          |probe AS (SELECT bucket AS pb, embedding AS pv FROM e WHERE vec_id = $ProbeId),
@@ -304,11 +304,11 @@ object SimilarityQueries extends QueryPack {
          | (SELECT vec_id FROM brute INTERSECT SELECT vec_id FROM l)""".stripMargin
     },
     "q48_multiprobe_lsh" -> {
-      val bucket = maskedLshBucketSql("embedding", "pl.p", PlanesHi, Dim)
+      val bucket = maskedLshBucketSql("embedding", "pl.p", Dim)
       s"""WITH pl AS (${adaptivePlanesSql("embeddings")}),
          |e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, pl),
          |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId),
-         |margins AS ${probeMarginsSql("pv", "probe", PlanesHi, Dim)},
+         |margins AS ${probeMarginsSql("pv", "probe", Dim)},
          |own AS (SELECT bucket AS b FROM e WHERE vec_id = $ProbeId),
          |flips AS (SELECT j FROM margins, pl WHERE j < pl.p
          |          ORDER BY abs(proj) ASC, j ASC LIMIT 2),

@@ -19,11 +19,31 @@ class LshPlanesSpec extends AnyFunSuite {
     assert(adaptivePlanes(2000) == 5)         // m = 32 → 5 bits
     assert(adaptivePlanes(4096) == 6)         // m = 64 → 6 bits
     assert(adaptivePlanes(1L << 20) == 14)    // m = 16384 → 14 bits
-    assert(adaptivePlanes(1L << 40) == 16)    // hi clamp
     // monotone non-decreasing in n
     val vals = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L)
       .map(adaptivePlanes(_))
     assert(vals == vals.sorted)
+  }
+
+  test("default ceiling is the Long representation bound, un-clamped at planetary n") {
+    import SimilarityFunctions.{adaptivePlanes, MaxPlanes}
+    // the old scale-killer: a hi=16 default stopped growing at ~4.2M
+    // vectors. The default now only binds at the 62-bit bucket-id bound.
+    assert(adaptivePlanes(1000000000L) == 24)         // 1e9 vectors: un-clamped
+    assert(adaptivePlanes(1L << 40) == 34)            // ~1.1e12: un-clamped
+    // even the largest representable corpus doesn't reach the ceiling:
+    // m = ceil(2^63/64) ≈ 2^57 → 57 planes < MaxPlanes
+    assert(adaptivePlanes(Long.MaxValue) == 57)
+    assert(MaxPlanes == 62)
+    // the documented guarantee: expected bucket size n/2^p ≤ targetBucket
+    // whenever the ceiling is not binding
+    for (n <- Seq(100L, 4096L, 1000000L, 1000000000L, 1L << 40)) {
+      val p = adaptivePlanes(n)
+      assert(n.toDouble / (1L << p) <= 64.0,
+        s"n=$n p=$p expected bucket ${n.toDouble / (1L << p)}")
+    }
+    // a deliberately smaller hi still clamps (the knob works both ways)
+    assert(adaptivePlanes(1000000000L, hi = 16) == 16)
   }
 
   /** Deterministic pseudo-random unit-ish vector for bucket statistics. */
