@@ -111,8 +111,10 @@ final case class PixelNormalizeOp(mean: Seq[Double], std: Seq[Double],
   */
 final case class RandomHFlipOp(p: Double = 0.5, seed: Int = 42,
     channelMajor: Boolean = false) extends ImageOp {
+  // op-specific "hflip" tag: sibling ops drawing from the same (id, seed)
+  // must not share a hash input, or their draws correlate perfectly
   private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
-    val draw = graft.functions.PortableHash.detHashJvm(s"$id:$seed") / 4294967296.0
+    val draw = graft.functions.PortableHash.detHashJvm(s"$id:hflip:$seed") / 4294967296.0
     if (draw >= p) graft.functions.ImageCodec.DecodedImage(w, h, c, px)
     else {
       val out = new Array[Float](px.length)
@@ -196,9 +198,230 @@ final case class RandomCropOp(size: Int, seed: Int = 42,
   private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
     val d = graft.functions.ImageCodec.DecodedImage(w, h, c, px)
     val nw = math.min(size, w); val nh = math.min(size, h)
-    val top = (graft.functions.PortableHash.detHashJvm(s"$id:$seed") % (h - nh + 1)).toInt
-    val left = (graft.functions.PortableHash.detHashJvm(s"$id:${seed + 1}") % (w - nw + 1)).toInt
+    // rc0/rc1 tags keep these draws independent of sibling ops' draws
+    // (the RandomResizedCropOp rrc0..rrc3 discipline)
+    val top = (graft.functions.PortableHash.detHashJvm(s"$id:rc0:$seed") % (h - nh + 1)).toInt
+    val left = (graft.functions.PortableHash.detHashJvm(s"$id:rc1:$seed") % (w - nw + 1)).toInt
     graft.functions.ImageCodec.crop(d, left, top, nw, nh, channelMajor)
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
+/** torchvision `Pad(padding, fill)` with constant fill: padding is
+  * (left, top, right, bottom) — torchvision's single-int and 2-tuple
+  * forms expand to it (reference reaches Pad via `instantiate`,
+  * sample_mappers.py:104-108). Padding-mode variants other than
+  * constant are rejected at config parse.
+  */
+final case class PixelPadOp(left: Int, top: Int, right: Int, bottom: Int,
+    fill: Double = 0.0, channelMajor: Boolean = false) extends ImageOp {
+  require(left >= 0 && top >= 0 && right >= 0 && bottom >= 0, "Pad needs non-negative padding")
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float]) => {
+    val nw = w + left + right
+    val nh = h + top + bottom
+    val out = Array.fill[Float](nw * nh * c)(fill.toFloat)
+    var ch = 0
+    while (ch < c) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = if (channelMajor) px(ch * h * w + y * w + x)
+                  else px((y * w + x) * c + ch)
+          val (ny, nx) = (y + top, x + left)
+          if (channelMajor) out(ch * nh * nw + ny * nw + nx) = v
+          else out((ny * nw + nx) * c + ch) = v
+          x += 1
+        }
+        y += 1
+      }
+      ch += 1
+    }
+    graft.functions.ImageCodec.DecodedImage(nw, nh, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  })
+  override def apply(media: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"))
+}
+
+/** torchvision `ColorJitter(brightness, contrast, saturation, hue)` with
+  * replayable randomness: each factor draws from its range via
+  * PortableHash(id, "cj<i>", seed). Ranges follow torchvision's
+  * normalization (scalar b → [max(0, 1−b), 1+b]; scalar hue → [−hue,
+  * hue]). torchvision additionally shuffles the application ORDER per
+  * sample; the deterministic engine applies brightness → contrast →
+  * saturation → hue fixed (documented divergence — same factor
+  * distributions, fixed composition order). Jitter math mirrors
+  * torchvision functional blends: brightness/saturation/contrast are
+  * `f·img + (1−f)·other` against black / per-pixel luma / mean luma,
+  * hue rotates the HSV hue channel. Saturation and hue are no-ops on
+  * non-3-channel images.
+  */
+final case class ColorJitterOp(
+    brightness: Option[(Double, Double)] = None,
+    contrast: Option[(Double, Double)] = None,
+    saturation: Option[(Double, Double)] = None,
+    hue: Option[(Double, Double)] = None,
+    seed: Int = 42,
+    channelMajor: Boolean = false,
+    clampHi: Float = 255f) extends ImageOp {
+  Seq("brightness" -> brightness, "contrast" -> contrast, "saturation" -> saturation)
+    .foreach { case (n, r) => r.foreach { case (lo, hi) =>
+      require(lo >= 0 && lo <= hi, s"ColorJitter $n range must be 0 <= lo <= hi") } }
+  hue.foreach { case (lo, hi) =>
+    require(lo >= -0.5 && lo <= hi && hi <= 0.5, "ColorJitter hue range must be within [-0.5, 0.5]") }
+
+  private val f = udf((w: Int, h: Int, c: Int, px0: Seq[Float], id: String) => {
+    import graft.functions.PortableHash
+    def draw(tag: Int, r: (Double, Double)): Double =
+      r._1 + PortableHash.detHashJvm(s"$id:cj$tag:$seed") / 4294967296.0 * (r._2 - r._1)
+    val scale = clampHi.toDouble // luma weights are scale-free; clamp isn't
+    var px = px0.toArray
+    val n = px.length
+    def lumaAt(pix: Int): Double = {
+      // pix is the pixel index; fetch r,g,b per layout
+      val (r, g, b) =
+        if (channelMajor) (px(pix), px(w * h + pix), px(2 * w * h + pix))
+        else (px(pix * c), px(pix * c + 1), px(pix * c + 2))
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+    def clamp(v: Double): Float =
+      math.max(0.0, math.min(scale, v)).toFloat
+    // brightness: blend toward black
+    brightness.foreach { r =>
+      val fac = draw(0, r)
+      var i = 0
+      while (i < n) { px(i) = clamp(px(i) * fac); i += 1 }
+    }
+    // contrast: blend toward the mean luma of the (current) image
+    contrast.foreach { r =>
+      val fac = draw(1, r)
+      val mean =
+        if (c >= 3) { var s = 0.0; var p = 0; while (p < w * h) { s += lumaAt(p); p += 1 }; s / (w * h) }
+        else { var s = 0.0; var i = 0; while (i < n) { s += px(i); i += 1 }; s / n }
+      var i = 0
+      while (i < n) { px(i) = clamp(fac * px(i) + (1 - fac) * mean); i += 1 }
+    }
+    // saturation: blend toward the per-pixel luma (3-channel only)
+    saturation.filter(_ => c == 3).foreach { r =>
+      val fac = draw(2, r)
+      val out = new Array[Float](n)
+      var p = 0
+      while (p < w * h) {
+        val l = lumaAt(p)
+        var ch = 0
+        while (ch < 3) {
+          val i = if (channelMajor) ch * w * h + p else p * c + ch
+          out(i) = clamp(fac * px(i) + (1 - fac) * l)
+          ch += 1
+        }
+        p += 1
+      }
+      px = out
+    }
+    // hue: rotate the HSV hue channel (3-channel only)
+    hue.filter(_ => c == 3).foreach { r =>
+      val shift = draw(3, r) // in turns of the hue circle
+      var p = 0
+      while (p < w * h) {
+        val (ri, gi, bi) =
+          if (channelMajor) (p, w * h + p, 2 * w * h + p)
+          else (p * c, p * c + 1, p * c + 2)
+        val (rv, gv, bv) = (px(ri) / scale, px(gi) / scale, px(bi) / scale)
+        val mx = math.max(rv, math.max(gv, bv))
+        val mn = math.min(rv, math.min(gv, bv))
+        val d = mx - mn
+        var hh =
+          if (d == 0) 0.0
+          else if (mx == rv) ((gv - bv) / d) % 6.0
+          else if (mx == gv) (bv - rv) / d + 2.0
+          else (rv - gv) / d + 4.0
+        hh = (hh / 6.0 + shift) % 1.0
+        if (hh < 0) hh += 1.0
+        val s = if (mx == 0) 0.0 else d / mx
+        // HSV -> RGB
+        val i6 = (hh * 6.0).toInt % 6
+        val fr = hh * 6.0 - math.floor(hh * 6.0)
+        val (pv, qv, tv) = (mx * (1 - s), mx * (1 - fr * s), mx * (1 - (1 - fr) * s))
+        val (nr, ng, nb) = i6 match {
+          case 0 => (mx, tv, pv)
+          case 1 => (qv, mx, pv)
+          case 2 => (pv, mx, tv)
+          case 3 => (pv, qv, mx)
+          case 4 => (tv, pv, mx)
+          case _ => (mx, pv, qv)
+        }
+        px(ri) = clamp(nr * scale); px(gi) = clamp(ng * scale); px(bi) = clamp(nb * scale)
+        p += 1
+      }
+    }
+    graft.functions.ImageCodec.DecodedImage(w, h, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(px))
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
+/** torchvision `RandomRotation(degrees, interpolation)` with replayable
+  * randomness: the angle draws uniform from [lo, hi] via
+  * PortableHash(id, "rot", seed). Inverse mapping about the image
+  * center with nearest or bilinear sampling, constant fill outside
+  * (torchvision's expand=False shape: output size == input size).
+  */
+final case class RandomRotationOp(degLo: Double, degHi: Double,
+    seed: Int = 42, channelMajor: Boolean = false,
+    bilinear: Boolean = false, fill: Double = 0.0) extends ImageOp {
+  require(degLo <= degHi, "RandomRotation needs degLo <= degHi")
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
+    val u = graft.functions.PortableHash.detHashJvm(s"$id:rot:$seed") / 4294967296.0
+    val theta = math.toRadians(degLo + u * (degHi - degLo))
+    val (cosT, sinT) = (math.cos(theta), math.sin(theta))
+    val (cx, cy) = ((w - 1) / 2.0, (h - 1) / 2.0)
+    val out = new Array[Float](px.length)
+    def src(x: Int, y: Int): (Double, Double) = {
+      // inverse rotation: output pixel pulls from R(-theta) about center
+      val (dx, dy) = (x - cx, y - cy)
+      (cx + dx * cosT + dy * sinT, cy - dx * sinT + dy * cosT)
+    }
+    def sample(sx: Double, sy: Double, ch: Int): Double = {
+      def pix(xi: Int, yi: Int): Double =
+        if (xi < 0 || xi >= w || yi < 0 || yi >= h) fill
+        else if (channelMajor) px(ch * h * w + yi * w + xi)
+        else px((yi * w + xi) * c + ch)
+      if (!bilinear) {
+        val (xi, yi) = (math.round(sx).toInt, math.round(sy).toInt)
+        pix(xi, yi)
+      } else {
+        val (x0, y0) = (math.floor(sx).toInt, math.floor(sy).toInt)
+        val (fx, fy) = (sx - x0, sy - y0)
+        (pix(x0, y0) * (1 - fx) + pix(x0 + 1, y0) * fx) * (1 - fy) +
+          (pix(x0, y0 + 1) * (1 - fx) + pix(x0 + 1, y0 + 1) * fx) * fy
+      }
+    }
+    var ch = 0
+    while (ch < c) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (sx, sy) = src(x, y)
+          val v = sample(sx, sy, ch).toFloat
+          if (channelMajor) out(ch * h * w + y * w + x) = v
+          else out((y * w + x) * c + ch) = v
+          x += 1
+        }
+        y += 1
+      }
+      ch += 1
+    }
+    graft.functions.ImageCodec.DecodedImage(w, h, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
   })
   override def apply(media: Column): Column = apply(media, lit(""))
   override def apply(media: Column, id: Column): Column =

@@ -200,10 +200,19 @@ object ConfigYaml {
         case Some(v) => num(v).toString
         case None => sys.error(s"Normalize needs '$k'")
       }
+      // scalar-or-[lo,hi] range in torchvision's normalization: scalar v
+      // means [max(0,1-v), 1+v] (or [-v, v] when `centered`)
+      def jitterRange(k: String, centered: Boolean): Option[String] =
+        tp.get(k).map {
+          case l: List[_] if l.length == 2 => l.map(num).mkString(",")
+          case v =>
+            val d = num(v)
+            if (centered) s"${-d},$d" else s"${math.max(0.0, 1 - d)},${1 + d}"
+        }
       name match {
         case "Resize" =>
           only("size", "interpolation")
-          (0, Map("resize" -> size.toString) ++
+          (1, Map("resize" -> size.toString) ++
             tp.get("interpolation").map { v =>
               val s = v.toString
               // validate eagerly so a bad code fails at config load
@@ -218,31 +227,74 @@ object ConfigYaml {
             case Some(other) => sys.error(s"RandomResizedCrop $k needs [lo, hi], got $other")
             case None => None
           }
-          // torchvision's RandomResizedCrop defaults to bilinear (code 2)
+          // torchvision's RandomResizedCrop defaults to bilinear (code 2);
+          // namespaced so a sibling Resize's interpolation stays its own
           val rrcInterp = tp.get("interpolation").map(_.toString).getOrElse("2")
           graft.functions.ImageCodec.Interp.parse(rrcInterp)
           (0, Map("random_resized_crop" -> size.toString,
-            "interpolation" -> rrcInterp) ++
+            "rrc_interpolation" -> rrcInterp) ++
             range("scale") ++ range("ratio"))
-        case "RandomCrop" => only("size"); (1, Map("random_crop" -> size.toString))
-        case "CenterCrop" => only("size"); (1, Map("center_crop" -> size.toString))
+        case "Pad" =>
+          only("padding", "fill", "padding_mode")
+          tp.get("padding_mode").map(_.toString).foreach(m =>
+            if (m != "constant") sys.error(s"Pad padding_mode '$m' not supported (constant only)"))
+          val pad = tp.get("padding") match {
+            case Some(l: List[_]) if l.length == 2 || l.length == 4 =>
+              l.map(v => num(v).toInt).mkString(",")
+            case Some(v) => num(v).toInt.toString
+            case None => sys.error("Pad needs 'padding'")
+          }
+          (2, Map("pad" -> pad) ++
+            tp.get("fill").map(v => "pad_fill" -> num(v).toString))
+        case "RandomRotation" =>
+          only("degrees", "interpolation", "fill")
+          val degrees = tp.get("degrees") match {
+            case Some(l: List[_]) if l.length == 2 => l.map(num).mkString(",")
+            case Some(v) => val d = num(v); s"${-d},$d"
+            case None => sys.error("RandomRotation needs 'degrees'")
+          }
+          val rotInterp = tp.get("interpolation").map(_.toString).map {
+            case s @ ("0" | "2") => s
+            case other => sys.error(
+              s"RandomRotation interpolation supports 0 (nearest) and 2 (bilinear), got $other")
+          }
+          (3, Map("rotation" -> degrees) ++
+            rotInterp.map("rotation_interpolation" -> _) ++
+            tp.get("fill").map(v => "rotation_fill" -> num(v).toString))
+        case "RandomCrop" => only("size"); (4, Map("random_crop" -> size.toString))
+        case "CenterCrop" => only("size"); (5, Map("center_crop" -> size.toString))
         case "RandomHorizontalFlip" =>
           only("p")
-          (2, Map("hflip_p" -> tp.get("p").map(num(_).toString).getOrElse("0.5")))
-        case "ToTensor" => only(); (3, Map("layout" -> "chw"))
+          (6, Map("hflip_p" -> tp.get("p").map(num(_).toString).getOrElse("0.5")))
+        case "ColorJitter" =>
+          only("brightness", "contrast", "saturation", "hue")
+          val cj = Seq(
+            jitterRange("brightness", centered = false).map("cj_brightness" -> _),
+            jitterRange("contrast", centered = false).map("cj_contrast" -> _),
+            jitterRange("saturation", centered = false).map("cj_saturation" -> _),
+            jitterRange("hue", centered = true).map("cj_hue" -> _)).flatten
+          if (cj.isEmpty) sys.error(
+            "ColorJitter needs at least one of brightness/contrast/saturation/hue")
+          (7, cj.toMap)
+        case "ToTensor" => only(); (8, Map("layout" -> "chw"))
         case "Normalize" =>
           only("mean", "std")
-          (4, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
+          (9, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
         case other => sys.error(s"unsupported torchvision transform: $other " +
-          "(supported: Resize, RandomCrop, CenterCrop, RandomHorizontalFlip, " +
-          "ToTensor, Normalize)")
+          "(supported: RandomResizedCrop, Resize, Pad, RandomRotation, RandomCrop, " +
+          "CenterCrop, RandomHorizontalFlip, ColorJitter, ToTensor, Normalize)")
       }
     }
     val ranked = transforms.map(one)
     val ranks = ranked.map(_._1)
-    if (ranks != ranks.sorted) sys.error(
+    // strictly increasing: every transform has a DISTINCT rank equal to
+    // its position in the execution chain, so any config order the chain
+    // can't honor — including the same transform twice — errors here
+    // instead of silently executing in a different order.
+    if (ranks.sliding(2).exists { case Seq(a, b) => a >= b; case _ => false }) sys.error(
       "torchvision transform order not supported: image_transforms applies " +
-        "resize → crop → flip → ToTensor → normalize; reorder the config " +
+        "rrc → resize → pad → rotation → crop → flip → jitter → ToTensor → " +
+        "normalize, each at most once; reorder the config " +
         s"or compose multiple TorchVisionImageTransforms stages (got: $transforms)")
     ranked.map(_._2).foldLeft(Map("key" -> key))(_ ++ _)
   }

@@ -84,12 +84,20 @@ object OperatorRegistry {
   registerMapper("image_transforms")(p => {
     val chw = p.getOrElse("layout", "hwc") == "chw"
     val seed = p.getOrElse("seed", "42").toInt
+    // interpolation params are namespaced per op (a flat shared param
+    // would let one transform silently override another's kernel):
+    // `interpolation` → Resize; `rrc_interpolation` → RandomResizedCrop
+    // (torchvision's RRC default is bilinear, code 2);
+    // `rotation_interpolation` → RandomRotation (default nearest, as in
+    // torchvision).
     val interp = graft.functions.ImageCodec.Interp.parse(
       p.getOrElse("interpolation", "nearest"))
+    val rrcInterp = graft.functions.ImageCodec.Interp.parse(
+      p.getOrElse("rrc_interpolation", "2"))
     // ops apply in the canonical torchvision chain order:
-    // resize → crops → flip → normalize (ConfigYaml rejects configs
-    // whose transform order differs, so named params can't reorder a
-    // chain silently).
+    // rrc → resize → pad → rotation → crops → flip → jitter → normalize
+    // (ConfigYaml rejects configs whose transform order differs, so
+    // named params can't reorder a chain silently).
     // bicubic overshoot ceiling follows the decode spec's pixel scale:
     // chw layout ⇔ torch* specs (unit scale) → 1.0; hwc defaults to the
     // 8-bit pil scale → 255, overridable with scale=unit (the "rgb"/"l"
@@ -100,15 +108,43 @@ object OperatorRegistry {
       case Array(a, b) => (a.trim.toDouble, b.trim.toDouble)
       case _ => sys.error(s"image_transforms: $what needs 'lo,hi'")
     }
+    def padSides(v: String): (Int, Int, Int, Int) =
+      v.split(",").map(_.trim.toInt) match {
+        case Array(a) => (a, a, a, a)
+        case Array(lr, tb) => (lr, tb, lr, tb)
+        case Array(l, t, r, b) => (l, t, r, b)
+        case _ => sys.error("image_transforms: pad needs 1, 2 or 4 ints")
+      }
     val ops = Seq(
       p.get("random_resized_crop").map(s => RandomResizedCropOp(s.toInt,
         p.get("rrc_scale").map(pair(_, "rrc_scale")).getOrElse((0.08, 1.0)),
         p.get("rrc_ratio").map(pair(_, "rrc_ratio")).getOrElse((0.75, 4.0 / 3.0)),
-        seed, chw, interp, clampHi)),
+        seed, chw, rrcInterp, clampHi)),
       p.get("resize").map(s => PixelResizeOp(s.toInt, chw, interp, clampHi)),
+      p.get("pad").map { s =>
+        val (l, t, r, b) = padSides(s)
+        PixelPadOp(l, t, r, b, p.getOrElse("pad_fill", "0").toDouble, chw)
+      },
+      p.get("rotation").map { s =>
+        val (lo, hi) = pair(s, "rotation")
+        val rotBilinear = p.getOrElse("rotation_interpolation", "0") match {
+          case "0" | "nearest" => false
+          case "2" | "bilinear" => true
+          case other => sys.error("image_transforms: rotation_interpolation " +
+            s"supports 0 (nearest) and 2 (bilinear), got $other")
+        }
+        RandomRotationOp(lo, hi, seed, chw, rotBilinear,
+          p.getOrElse("rotation_fill", "0").toDouble)
+      },
       p.get("random_crop").map(s => RandomCropOp(s.toInt, seed, chw)),
       p.get("center_crop").map(s => PixelCenterCropOp(s.toInt, chw)),
       p.get("hflip_p").map(s => RandomHFlipOp(s.toDouble, seed, chw)),
+      {
+        val cj = Seq("cj_brightness", "cj_contrast", "cj_saturation", "cj_hue")
+          .map(k => p.get(k).map(pair(_, k)))
+        if (cj.forall(_.isEmpty)) None
+        else Some(ColorJitterOp(cj(0), cj(1), cj(2), cj(3), seed, chw, clampHi))
+      },
       p.get("normalize_mean").map { m =>
         PixelNormalizeOp(
           m.split(",").toIndexedSeq.map(_.trim.toDouble),
@@ -118,8 +154,8 @@ object OperatorRegistry {
           chw)
       }).flatten
     require(ops.nonEmpty, "image_transforms needs at least one pixel op " +
-      "(random_resized_crop / resize / random_crop / center_crop / hflip_p / " +
-      "normalize_mean)")
+      "(random_resized_crop / resize / pad / rotation / random_crop / " +
+      "center_crop / hflip_p / cj_* / normalize_mean)")
     ImageTransforms(ops,
       key = p.getOrElse("key", "jpg"),
       strict = p.getOrElse("strict", "true").toBoolean,

@@ -16,8 +16,17 @@ import org.apache.spark.sql.types._
   * merge associatively by buffer concatenation; over-full buffers
   * compact by pair-coalescing adjacent sorted items (KLL-style level
   * compaction, but with DETERMINISTIC alternating survivor choice
-  * instead of a random coin — replayable under task retry, same answer
-  * on every run, which is what makes it oracle-checkable).
+  * instead of a random coin).
+  *
+  * Determinism contract: in the EXACT regime (≤ 2×capacity values per
+  * group — the oracle-checked gate regime) no compaction happens and the
+  * result is identical on every run. In the compaction regime every
+  * individual compaction and every phase-state merge is deterministic
+  * and merge-order-insensitive (see [[merge]]), but Spark feeds final
+  * aggregation in shuffle-fetch order, so WHICH intermediate merges
+  * cross the compaction threshold can differ run-to-run: results are
+  * replayable under task retry and stay within the KLL rank-error
+  * envelope, but are not guaranteed bit-identical across full re-runs.
   *
   * Accuracy contract:
   *  - while a group holds ≤ 2×capacity values, NO compaction happens and
@@ -78,6 +87,14 @@ final class QSketch(val capacity: Int) extends Serializable {
     System.arraycopy(o.vals, 0, vals, n, o.n)
     System.arraycopy(o.wts, 0, wts, n, o.n)
     n += o.n; sorted = false
+    // combine the two compaction-phase histories ORDER-INSENSITIVELY:
+    // XOR is each class's total compaction count mod 2 across both
+    // branches, the same bit either merge order produces — discarding
+    // the other side's phases would silently reset its schedule and
+    // break the telescoping-bias invariant across shipped partials
+    o.phases.foreach { case (w, p) =>
+      phases.update(w, phases.getOrElse(w, 0L) ^ p)
+    }
     if (n > 2 * capacity) compact()
     this
   }

@@ -40,6 +40,16 @@ object ShardFilters {
     case _ => false
   }
 
+  /** Unsigned UTF-8 byte comparison — Spark's string ordering
+    * (UTF8String compares UTF-8 bytes, not UTF-16 chars: the two orders
+    * disagree on supplementary-plane characters, and pruning must never
+    * drop a row Spark's own re-applied residual filter would keep).
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Evaluate a [[supported]] filter against the value. */
   def eval(f: Filter, v: String): Boolean = f match {
     case EqualTo(_, x: String) => v == x
@@ -47,10 +57,10 @@ object ShardFilters {
     case StringStartsWith(_, p) => v.startsWith(p)
     case StringEndsWith(_, s) => v.endsWith(s)
     case StringContains(_, s) => v.contains(s)
-    case GreaterThan(_, x: String) => v > x
-    case GreaterThanOrEqual(_, x: String) => v >= x
-    case LessThan(_, x: String) => v < x
-    case LessThanOrEqual(_, x: String) => v <= x
+    case GreaterThan(_, x: String) => utf8Cmp(v, x) > 0
+    case GreaterThanOrEqual(_, x: String) => utf8Cmp(v, x) >= 0
+    case LessThan(_, x: String) => utf8Cmp(v, x) < 0
+    case LessThanOrEqual(_, x: String) => utf8Cmp(v, x) <= 0
     case And(l, r) => eval(l, v) && eval(r, v)
     case Or(l, r) => eval(l, v) || eval(r, v)
     case Not(c) => !eval(c, v)

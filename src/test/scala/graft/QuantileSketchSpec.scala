@@ -78,6 +78,22 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(s1.totalWeight == n)
   }
 
+  test("merge carries compaction-phase state and is order-insensitive") {
+    // drive both inputs past compaction so each arrives with non-trivial
+    // phase history; a merge that discarded the other side's phases (or
+    // depended on merge order) diverges between AB and BA
+    val cap = 64
+    def mk(seed: Int) = { val s = new QSketch(cap); data(2000, seed).foreach(s.add); s }
+    val ab = mk(10).merge(mk(11))
+    val ba = mk(11).merge(mk(10))
+    for (p <- probs)
+      assert(ab.quantile(p) == ba.quantile(p), s"merge must commute at p=$p")
+    assert(ab.totalWeight == ba.totalWeight)
+    // and a shipped partial (serialize → deserialize) merges identically
+    val viaWire = graft.plans.QSketch.deserialize(mk(10).serialize()).merge(mk(11))
+    for (p <- probs) assert(viaWire.quantile(p) == ab.quantile(p))
+  }
+
   test("Spark partial aggregation (32 partitions) equals the exact quantiles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

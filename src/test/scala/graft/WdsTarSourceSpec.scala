@@ -239,6 +239,21 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(df.filter(col("__key__") >= "abb").count() == 2)
   }
 
+  test("range pushdown compares UTF-8 bytes, matching Spark's string order") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    import graft.sources.wdstar.ShardFilters
+    // U+10000 (surrogate pair, UTF-8 F0 90 80 80) vs U+E000 (EE 80 80):
+    // Java String order says U+10000 < U+E000 (surrogates sort low),
+    // Spark's UTF8String byte order says the opposite. Pruning must use
+    // Spark's order or rows get dropped that the residual filter keeps.
+    val supp = "𐀀" // U+10000
+    val bmp = ""
+    assert(supp < bmp, "sanity: UTF-16 order disagrees on this pair")
+    assert(ShardFilters.eval(GreaterThan("__key__", bmp), supp),
+      "UTF-8 byte order: U+10000 > U+E000")
+    assert(!ShardFilters.eval(LessThan("__key__", bmp), supp))
+  }
+
   test("member extension derivation and shard keys (pure listing layer)") {
     import graft.sources.ShardExpand._
     assert(expand("ds-{000..002}.tar") ==

@@ -271,6 +271,138 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("antialias"))
   }
 
+  test("Pad maps through YAML with pixel-exact constant fill") {
+    val decoded = graft.functions.ImageCodec.decodeAs("torchrgb", png8x4(gradient)).get
+    val (w, h, px) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.Pad
+        |            params:
+        |              padding: 1
+        |              fill: 0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    assert(w == 10 && h == 6)
+    assert(px.length == 3 * 10 * 6)
+    // border is the fill value; interior shifts by (1,1) and is preserved
+    for (x <- 0 until 10) assert(px(0 * 60 + 0 * 10 + x) == 0.0f) // top row, ch 0
+    for (y <- 0 until 6) assert(px(0 * 60 + y * 10 + 0) == 0.0f)  // left col, ch 0
+    for (y <- 0 until 4; x <- 0 until 8; ch <- 0 until 3)
+      assert(px(ch * 60 + (y + 1) * 10 + (x + 1)) == decoded.pixels(ch * 32 + y * 8 + x),
+        s"interior pixel ($x,$y,ch$ch) must be preserved")
+  }
+
+  test("RandomRotation maps through YAML: exact 90-degree rotation, constant fill outside") {
+    val decoded = graft.functions.ImageCodec.decodeAs("torchrgb", png8x4(gradient)).get
+    val (w, h, px) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.RandomRotation
+        |            params:
+        |              degrees:
+        |                - 90
+        |                - 90
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    assert(w == 8 && h == 4)
+    // inverse map at exactly 90°: out(x,y) = in(2+y, 5-x) when in range,
+    // else fill 0 (center (3.5, 1.5), nearest sampling)
+    for (y <- 0 until 4; x <- 0 until 8; ch <- 0 until 3) {
+      val (sx, sy) = (2 + y, 5 - x)
+      val expect =
+        if (sy < 0 || sy >= 4) 0.0f
+        else decoded.pixels(ch * 32 + sy * 8 + sx)
+      assert(px(ch * 32 + y * 8 + x) == expect, s"rotated pixel ($x,$y,ch$ch)")
+    }
+  }
+
+  test("ColorJitter maps through YAML: pinned brightness/saturation/hue are pixel-exact") {
+    // brightness pinned to exactly 0.5 → every pixel halves
+    val decoded = graft.functions.ImageCodec.decodeAs("torchrgb", png8x4(gradient)).get
+    val (_, _, bright) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.ColorJitter
+        |            params:
+        |              brightness:
+        |                - 0.5
+        |                - 0.5
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    for (i <- decoded.pixels.indices)
+      assert(math.abs(bright(i) - decoded.pixels(i) * 0.5f) < 1e-6f)
+    // saturation pinned to 0 → every channel collapses to the pixel luma
+    val (_, _, gray) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.ColorJitter
+        |            params:
+        |              saturation:
+        |                - 0
+        |                - 0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin))
+    // left half is pure red (1,0,0) → luma 0.299 on all three channels
+    assert(math.abs(gray(0 * 32 + 0) - 0.299f) < 1e-5f)       // ch 0
+    assert(math.abs(gray(1 * 32 + 0) - 0.299f) < 1e-5f)       // ch 1
+    // right half is pure blue → luma 0.114
+    assert(math.abs(gray(2 * 32 + 7) - 0.114f) < 1e-5f)
+    // hue pinned to +1/3 turn → red rotates to green
+    val (_, _, hued) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.ColorJitter
+        |            params:
+        |              hue:
+        |                - 0.333333333333
+        |                - 0.333333333333
+        |          - target: torchvision.transforms.ToTensor""".stripMargin))
+    assert(math.abs(hued(0 * 32 + 0) - 0.0f) < 1e-5f, "red channel after hue shift")
+    assert(math.abs(hued(1 * 32 + 0) - 1.0f) < 1e-5f, "green channel after hue shift")
+  }
+
+  test("namespaced interpolation: Resize's kernel is honored alongside RandomResizedCrop") {
+    // before namespacing, RandomResizedCrop's default (bilinear) silently
+    // overrode Resize's bicubic for the whole chain; now each op keeps its
+    // own kernel, so changing only Resize's code must change the output
+    def chain(resizeInterp: Int) = tvYaml(
+      s"""          - target: torchvision.transforms.RandomResizedCrop
+         |            params:
+         |              size: 4
+         |              scale:
+         |                - 1.0
+         |                - 1.0
+         |              ratio:
+         |                - 1.0
+         |                - 1.0
+         |          - target: torchvision.transforms.Resize
+         |            params:
+         |              size: 2
+         |              interpolation: $resizeInterp
+         |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad")
+    val bicubic = runPixels(chain(3))
+    val nearest = runPixels(chain(0))
+    assert(bicubic._3 != nearest._3,
+      "Resize interpolation must take effect in a chain containing RandomResizedCrop")
+  }
+
+  test("same-rank and duplicate transforms fail fast instead of silently reordering") {
+    // Resize listed before RandomResizedCrop cannot execute in config
+    // order (the chain applies rrc first) → parse error
+    val e = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |          - target: torchvision.transforms.RandomResizedCrop
+        |            params:
+        |              size: 3""".stripMargin)))
+    assert(e.getMessage.contains("order"))
+    // CenterCrop then RandomCrop executes random_crop first → error
+    val e2 = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.CenterCrop
+        |            params:
+        |              size: 3
+        |          - target: torchvision.transforms.RandomCrop
+        |            params:
+        |              size: 2""".stripMargin)))
+    assert(e2.getMessage.contains("order"))
+    // the same transform twice would collapse into one param → error
+    val e3 = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 4
+        |          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2""".stripMargin)))
+    assert(e3.getMessage.contains("order"))
+  }
+
   test("resample_prefixes without mixture_total fails fast instead of silently emptying") {
     val e = intercept[Exception](ConfigYaml.parse(
       s"""dataset:
