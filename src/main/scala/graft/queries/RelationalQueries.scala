@@ -433,6 +433,42 @@ object RelationalQueries extends QueryPack {
       s.sql(SqlShapes.q2d)
     }),
 
+    // Bucketed co-located join: both fact tables written bucketed on the
+    // join key, then joined shuffle-free — bucket once, join many times
+    // is the repeated fact-fact join answer at 100 TB (a shuffle of the
+    // big side on every join is the cost bucketing amortizes away). The
+    // merge hint keeps the join a sort-merge over co-located buckets
+    // (broadcast would hide the property being demonstrated); the
+    // bucketed writes are part of the measured operation.
+    // PlanContractSpec pins the no-exchange property.
+    "q85_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      // a previous session's warehouse dir survives the (in-memory)
+      // catalog, so clear both the table entry and its location
+      Seq("graft_li_bucketed", "graft_ord_bucketed").foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_li_bucketed")
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          pround(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Scalar function surface: string/date/conditional expressions.
     "q13_scalar_fns" -> ((s, dir) => {
       import s.implicits._
@@ -503,6 +539,12 @@ object RelationalQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q85_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q2a_min_cost_supplier" -> SqlShapes.q2a,
     "q2b_important_parts" -> SqlShapes.q2b,
     "q2c_top_supplier" -> SqlShapes.q2c,

@@ -56,6 +56,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") || p.contains("wds-tar"), p.take(800))
   }
 
+  test("q85: bucketed join runs with NO shuffle exchange on either side") {
+    val p = planOf("q85_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    // the co-location property: neither join side may hash-exchange
+    assert(!"Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findFirstIn(p).isDefined, s"join sides shuffled:\n${p.take(2000)}")
+  }
+
   test("q28: sketch aggregate does partial (map-side) aggregation") {
     val p = planOf("q28_quantile_sketch")
     // ObjectHashAggregate with partial_ entries = map-side combine ran;
