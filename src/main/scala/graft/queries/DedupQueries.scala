@@ -18,11 +18,14 @@ import graft.functions.DedupFunctions._
   */
 object DedupQueries extends QueryPack {
 
-  private val MinhashK = 8      // signature length
-  private val ShingleN = 3      // tokens per shingle
-  private val Bands = 4         // LSH bands (rows-per-band = 2)
-  private val RowsPerBand = MinhashK / Bands
-  private val MaxBucket = 50    // hot-bucket guard: skip degenerate bands
+  // Shared with the streaming twin (graft.streaming.StreamOps
+  // .streamingMinhashPairs) so batch and stream mine with one parameter set.
+  private[graft] val MinhashK = 8      // signature length
+  private[graft] val ShingleN = 3      // tokens per shingle
+  private[graft] val Bands = 4         // LSH bands (rows-per-band = 2)
+  private[graft] val RowsPerBand = MinhashK / Bands
+  private[graft] val MaxBucket = 50    // hot-bucket guard: skip degenerate bands
+  private[graft] val MinJaccard = 0.4  // verify threshold
   private val MaxDf = 10        // rare-shingle cutoff for the q33 inverted index
   private val MinShared = 3     // q33 count filter: pairs must share >= 3 rare shingles
   private val JaccN = 4         // q33 shingle width: 4-grams are rare enough
@@ -109,7 +112,7 @@ object DedupQueries extends QueryPack {
       .join(d.select($"doc_id".as("b_id"), $"sh".as("b_sh")), Seq("b_id"))
       .select($"a_id", $"b_id",
         graft.functions.FastText.jaccardUdf($"a_sh", $"b_sh").as("jaccard"))
-      .filter($"jaccard" >= 0.4)
+      .filter($"jaccard" >= MinJaccard)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -89,6 +89,74 @@ object StreamOps {
     docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
       .dropDuplicates("content_hash")
 
+  case class MinhashDocIn(doc_id: Long, sh: Seq[String], bucket: String)
+  case class BucketMembers(members: List[(Long, Seq[String])], hot: Boolean)
+  case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double)
+
+  /** Streaming MinHash+LSH near-dup mining — the streaming twin of
+    * q31_minhash_pairs, parameterized by the SAME constants as the batch
+    * pipeline (graft.queries.DedupQueries) so both mine one pair set.
+    *
+    * Topology: per-doc signatures (same `minhashAnalyze` kernel) explode
+    * to (bucket, doc) rows; `flatMapGroupsWithState` keyed on the band
+    * bucket holds the bucket's member list as state and pairs each
+    * arriving doc against the members already seen, emitting
+    * Jaccard-verified pairs (same `jaccardJvm` kernel, same threshold).
+    * A second stateful stage (`dropDuplicates` on the id pair) removes
+    * cross-band duplicates, exactly like the batch `distinct()`.
+    *
+    * State bounds (the 100 TB question): each bucket's member list is
+    * capped at `maxBucket` signatures — once a bucket exceeds the cap it
+    * is marked hot, its members are dropped, and it never pairs again
+    * (the streaming rendering of the batch hot-bucket guard; pairs
+    * emitted before the bucket went hot cannot be retracted in append
+    * mode, so on a hot bucket the stream is a bounded superset of the
+    * batch output — at most maxBucket²/2 extra candidate checks).
+    * Pair-dedup state is one row per distinct emitted pair — output-,
+    * not input-, proportional.
+    */
+  def streamingMinhashPairs(spark: SparkSession, docs: DataFrame,
+      k: Int = graft.queries.DedupQueries.MinhashK,
+      shingleN: Int = graft.queries.DedupQueries.ShingleN,
+      bands: Int = graft.queries.DedupQueries.Bands,
+      rowsPerBand: Int = graft.queries.DedupQueries.RowsPerBand,
+      maxBucket: Int = graft.queries.DedupQueries.MaxBucket,
+      minJaccard: Double = graft.queries.DedupQueries.MinJaccard): DataFrame = {
+    import spark.implicits._
+    val analyze = graft.functions.FastText.minhashAnalyze(k, shingleN, bands, rowsPerBand)
+    docs.select(col("doc_id"), analyze(col("text")).as("a"))
+      .select(col("doc_id"), col("a.sh").as("sh"), explode(col("a.buckets")).as("bucket"))
+      .as[MinhashDocIn]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[MinhashDocIn], state: GroupState[BucketMembers]) =>
+          var s = state.getOption.getOrElse(BucketMembers(Nil, hot = false))
+          val out = List.newBuilder[NearDupPair]
+          // sort the micro-batch slice so pairing order (and therefore
+          // which band first emits a shared pair) is deterministic
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!s.hot && !s.members.exists(_._1 == r.doc_id)) {
+              if (s.members.size >= maxBucket) {
+                s = BucketMembers(Nil, hot = true) // free members: a hot bucket never pairs
+              } else {
+                s.members.foreach { case (oid, osh) =>
+                  val j = graft.functions.FastText.jaccardJvm(r.sh, osh)
+                  if (j >= minJaccard) {
+                    val (a, b) = if (oid < r.doc_id) (oid, r.doc_id) else (r.doc_id, oid)
+                    out += NearDupPair(a, b, j)
+                  }
+                }
+                s = s.copy(members = (r.doc_id, r.sh) :: s.members)
+              }
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+      .toDF()
+      .dropDuplicates("a_id", "b_id")
+  }
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionCount: Long, lastTs: Long, events: Long, total: Double)
   case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long, total_value: Double)

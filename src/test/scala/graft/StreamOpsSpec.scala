@@ -131,6 +131,56 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.count() == withDups.count() - 100)
   }
 
+  test("streaming MinHash near-dup pairs equal the batch q31 pair set") {
+    val docsDir = Paths.get("target", "stream-mh-docs").toAbsolutePath
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      Tables.load(spark, sf, "documents")
+        .write.mode("overwrite").parquet(docsDir.toString)
+    }
+    val docsSchema = spark.read.parquet(docsDir.toString).schema
+    // precondition for exact equality: the fixture has no hot buckets
+    // (on a hot bucket the stream is a documented bounded superset)
+    val analyze = graft.functions.FastText.minhashAnalyze(
+      graft.queries.DedupQueries.MinhashK, graft.queries.DedupQueries.ShingleN,
+      graft.queries.DedupQueries.Bands, graft.queries.DedupQueries.RowsPerBand)
+    val maxBucketN = Tables.load(spark, sf, "documents")
+      .select(explode(analyze(col("text")).getField("buckets")).as("bucket"))
+      .groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucketN <= graft.queries.DedupQueries.MaxBucket,
+      s"fixture has a hot bucket ($maxBucketN) — equality precondition broken")
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingMinhashPairs(spark, df),
+      docsDir.toString, docsSchema, "mh_pairs_out", OutputMode.Append())
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val batch = graft.queries.DedupQueries.queries("q31_minhash_pairs")(spark, sf)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    assert(streamed.count() > 0, "no near-dup pairs emitted — fixture should have near-dups")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
+  test("streaming MinHash hot-bucket guard caps state and emission") {
+    import spark.implicits._
+    // 20 identical docs: every band collides into one bucket. With
+    // maxBucket=5 the first 5 members pair (C(5,2)=10, cross-band
+    // deduped), the 6th arrival marks the bucket hot, the rest emit
+    // nothing — emission is bounded by the cap, not the corpus.
+    val hotDir = Paths.get("target", "stream-mh-hot").toAbsolutePath
+    if (!Files.exists(hotDir.resolve("_SUCCESS"))) {
+      (1L to 20L).map(i => (i, "the same exact text repeated for every single document here"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(hotDir.toString)
+    }
+    val hotSchema = spark.read.parquet(hotDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingMinhashPairs(spark, df, maxBucket = 5),
+      hotDir.toString, hotSchema, "mh_hot_out", OutputMode.Append())
+    assert(streamed.count() == 10, s"expected C(5,2)=10 capped pairs, got ${streamed.count()}")
+    assert(streamed.agg(max(col("b_id"))).head().getLong(0) <= 5L,
+      "a doc past the hot-bucket cap leaked into a pair")
+  }
+
   test("streaming sessionization matches the batch session counts") {
     val streamed = StreamOps.runBounded(spark,
       df => StreamOps.sessionize(spark, df),
