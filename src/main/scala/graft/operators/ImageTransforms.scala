@@ -429,6 +429,83 @@ final case class RandomRotationOp(degLo: Double, degHi: Double,
       media.getField("channels"), media.getField("pixels"), id.cast("string"))
 }
 
+/** torchvision `GaussianBlur(kernel_size, sigma)` with replayable
+  * randomness: sigma draws uniform from [lo, hi] via
+  * PortableHash(id, "gb", seed) — a scalar config sigma pins lo == hi.
+  * Separable 1-D gaussian convolution (horizontal then vertical), the
+  * kernel sampled at integer offsets and normalized to sum 1, with
+  * PyTorch "reflect" padding (border pixel not repeated), matching
+  * torchvision's functional `gaussian_blur`.
+  */
+final case class GaussianBlurOp(kx: Int, ky: Int,
+    sigmaLo: Double, sigmaHi: Double, seed: Int = 42,
+    channelMajor: Boolean = false) extends ImageOp {
+  require(kx > 0 && kx % 2 == 1 && ky > 0 && ky % 2 == 1,
+    s"GaussianBlur kernel sizes must be positive odd, got ($kx, $ky)")
+  require(sigmaLo > 0 && sigmaLo <= sigmaHi,
+    s"GaussianBlur sigma needs 0 < lo <= hi, got ($sigmaLo, $sigmaHi)")
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
+    val u = graft.functions.PortableHash.detHashJvm(s"$id:gb:$seed") / 4294967296.0
+    val sigma = sigmaLo + u * (sigmaHi - sigmaLo)
+    def kernel1d(k: Int): Array[Double] = {
+      val lim = (k - 1) / 2
+      val arr = Array.tabulate(k) { i =>
+        val x = (i - lim) / sigma
+        math.exp(-0.5 * x * x)
+      }
+      val s = arr.sum
+      arr.map(_ / s)
+    }
+    // PyTorch reflect padding: period 2(size−1), border pixel unrepeated
+    def reflect(t: Int, size: Int): Int =
+      if (size == 1) 0
+      else {
+        val period = 2 * (size - 1)
+        val v = ((t % period) + period) % period
+        if (v >= size) period - v else v
+      }
+    val in = px.toArray
+    val tmp = new Array[Float](in.length)
+    val out = new Array[Float](in.length)
+    def idx(x: Int, y: Int, ch: Int): Int =
+      if (channelMajor) ch * h * w + y * w + x else (y * w + x) * c + ch
+    def pass(k: Array[Double], horizontal: Boolean,
+        src: Array[Float], dst: Array[Float]): Unit = {
+      val half = (k.length - 1) / 2
+      var ch = 0
+      while (ch < c) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var acc = 0.0
+            var i = 0
+            while (i < k.length) {
+              val s =
+                if (horizontal) src(idx(reflect(x + i - half, w), y, ch))
+                else src(idx(x, reflect(y + i - half, h), ch))
+              acc += k(i) * s
+              i += 1
+            }
+            dst(idx(x, y, ch)) = acc.toFloat
+            x += 1
+          }
+          y += 1
+        }
+        ch += 1
+      }
+    }
+    pass(kernel1d(kx), horizontal = true, in, tmp)
+    pass(kernel1d(ky), horizontal = false, tmp, out)
+    graft.functions.ImageCodec.DecodedImage(w, h, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
 final case class ImageTransforms(ops: Seq[ImageOp], key: String = "media",
     strict: Boolean = true,
     override val excludeKeys: Seq[String] = Nil,
