@@ -21,7 +21,8 @@ object SparkEntry {
     PipelineQueries,
     MultimodalQueries,
     SourceQueries,
-    TrainPrepQueries
+    TrainPrepQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

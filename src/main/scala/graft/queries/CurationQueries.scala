@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.{tokenCount, tokenCountSql, tokens, tokensSql, stopwordCount, stopwordCountSql, qualityScoreSql}
+import graft.functions.Portable.{pround, proundSql}
+
+/** Corpus-curation operators over the `documents` table — the rule-based
+  * quality/dedup layer every LLM training-data pipeline runs between raw
+  * ingest and tokenization (the reference stops at per-sample mappers;
+  * these are the corpus-level extensions, same north star as
+  * [[TextQueries]]/[[DedupQueries]]).
+  *
+  * Scale design (100 TB):
+  *  - q96 (Gopher-style rules) is pure per-row arithmetic — one
+  *    WholeStageCodegen pass over the scan, embarrassingly parallel;
+  *  - q97 (duplicated-span mining à la "Deduplicating Training Data
+  *    Makes Language Models Better") is a posting-list explode + ONE
+  *    shuffle on the n-gram, with the document-frequency computed as a
+  *    count window over that same exchange — never a self-join, never
+  *    quadratic;
+  *  - q98 (BM25) keeps only query-term postings (the array is filtered
+  *    BEFORE explode, so non-matching tokens never leave the scan
+  *    stage), and joins them against two broadcast-sized frames: the
+  *    per-term document frequencies (≤ |query| rows) and the 1-row
+  *    corpus stats frame;
+  *  - q99 (per-source report card) is a single hash aggregation keyed by
+  *    the low-cardinality source column.
+  */
+object CurationQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // Gopher-family rule thresholds (tuned to split this corpus
+  // non-trivially; the operators are threshold-agnostic).
+  private val MinWords = 25
+  private val MaxWords = 90
+  private val MinMeanWl = 3.0
+  private val MaxMeanWl = 10.0
+  private val MinStopHits = 2
+
+  // q97: span width for duplicated-passage mining. 8 tokens ≈ the
+  // "memorization-length" granularity the substring-dedup literature
+  // uses; documents shorter than the width degrade to one whole-text
+  // shingle (same convention as the MinHash kernels).
+  private val SpanN = 8
+
+  // q98: BM25 constants (standard Robertson defaults) + probe terms.
+  private val K1 = 1.2
+  private val B = 0.75
+  private val QueryTerms = Seq("spark", "join", "stream")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style document quality rules: word-count bounds, mean word
+    // length bounds, minimum stopword evidence — emitted as per-rule
+    // columns plus the composite keep flag, the shape a curation run
+    // audits before dropping anything. keep is derived from the emitted
+    // (rounded) columns so engine and oracle gate on identical values.
+    "q96_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          tokenCount($"text").as("n_words"),
+          pround((length($"text").cast("double") - tokenCount($"text").cast("double") + lit(1.0)) /
+            greatest(tokenCount($"text").cast("double"), lit(1.0)), 6).as("mean_word_len"),
+          stopwordCount($"text", TextFunctions.stopwords.head._2).as("stop_hits"))
+        .withColumn("keep",
+          $"n_words" >= MinWords && $"n_words" <= MaxWords &&
+            $"mean_word_len" >= MinMeanWl && $"mean_word_len" <= MaxMeanWl &&
+            $"stop_hits" >= MinStopHits)
+        .orderBy($"doc_id")
+    }),
+
+    // Duplicated-span mining: for each document, the fraction of its
+    // distinct 8-token spans that also occur in ≥2 documents corpus-wide
+    // — the per-doc "how much of me is boilerplate" signal used to rank
+    // docs for substring-level dedup. One explode + one shuffle; the
+    // document frequency rides a count window over the same exchange.
+    "q97_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
+      val p = docs(s, dir)
+        .select($"doc_id", analyze($"text").getField("sh").as("sh"))
+        .select($"doc_id", explode($"sh").as("g"))
+      val wG = Window.partitionBy($"g")
+      p.withColumn("df", count(lit(1)).over(wG))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(when($"df" >= 2, lit(1))).as("n_dup"))
+        .withColumn("dup_frac",
+          pround($"n_dup".cast("double") / $"n_spans".cast("double"), 6))
+        .orderBy($"doc_id")
+    }),
+
+    // BM25 top-20 retrieval for a fixed term query: classic inverted-
+    // index scoring. Term postings are filtered inside the token array
+    // (before explode), df and corpus stats are broadcast-sized, scores
+    // aggregate per doc. ln/idf arithmetic ordered identically to the
+    // oracle; the score is rounded to 4 decimals before the top-k sort
+    // so tie-breaking (by doc_id) is deterministic in both engines.
+    "q98_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", tokens(lower($"text")).as("toks"))
+      val tf = toks
+        .select($"doc_id", size($"toks").cast("double").as("dl"),
+          explode(filter($"toks", t => t.isin(QueryTerms: _*))).as("token"))
+        .groupBy($"doc_id", $"token", $"dl")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size($"toks")).as("avgdl"))
+      tf.join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+            ($"tf" * lit(K1 + 1.0)) /
+            ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")))
+        .groupBy($"doc_id")
+        .agg(pround(sum($"s"), 4).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(20)
+    }),
+
+    // Per-source corpus report card: volume, exact-dup rate, mean
+    // quality, token budget — the dataset-mixture dashboard a training
+    // run reads before setting sampling weights. One aggregation keyed
+    // by the (low-cardinality) source column.
+    "q99_source_report" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"source", $"doc_id", $"text",
+          md5($"text".cast("binary")).as("h"),
+          graft.functions.FastText.qualityScoreUdf($"text").as("q"),
+          tokenCount($"text").cast("long").as("ntok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"h").as("n_unique"),
+          pround(lit(1.0) - countDistinct($"h").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("dup_rate"),
+          pround(avg($"q"), 5).as("mean_quality"),
+          sum($"ntok").as("n_tokens"))
+        .orderBy($"source")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q96_gopher_rules" -> {
+      val nTok = tokenCountSql("text")
+      val meanWl = proundSql(
+        s"(length(text)::DOUBLE - ($nTok)::DOUBLE + 1.0) / greatest(($nTok)::DOUBLE, 1.0)", 6)
+      val stopHits = stopwordCountSql("text", TextFunctions.stopwords.head._2)
+      s"""SELECT doc_id, n_words, mean_word_len, stop_hits,
+         | (n_words >= $MinWords AND n_words <= $MaxWords
+         |  AND mean_word_len >= $MinMeanWl AND mean_word_len <= $MaxMeanWl
+         |  AND stop_hits >= $MinStopHits) AS keep
+         |FROM (SELECT doc_id, $nTok AS n_words, $meanWl AS mean_word_len,
+         |       $stopHits AS stop_hits FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q97_dup_spans" -> {
+      val sh = graft.functions.DedupFunctions.distinctShinglesSql("text", SpanN)
+      s"""WITH p AS (
+         | SELECT doc_id, unnest(sh) AS g FROM
+         |  (SELECT doc_id, $sh AS sh FROM documents)),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM p)
+         |SELECT doc_id, n_spans, n_dup,
+         | ${proundSql("n_dup::DOUBLE / n_spans::DOUBLE", 6)} AS dup_frac
+         |FROM (SELECT doc_id, count(*) AS n_spans,
+         |       count(*) FILTER (WHERE df >= 2) AS n_dup
+         |      FROM c GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q98_bm25_topk" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         | SELECT doc_id, ${tokensSql("lower(text)")} AS toks FROM documents),
+         |postings AS (
+         | SELECT doc_id, length(toks)::DOUBLE AS dl,
+         |  unnest(list_filter(toks, t -> list_contains($terms, t))) AS token
+         | FROM toks),
+         |tf AS (SELECT doc_id, token, dl, count(*) AS tf
+         |       FROM postings GROUP BY doc_id, token, dl),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(length(toks)) AS avgdl
+         |          FROM toks)
+         |SELECT doc_id,
+         | ${proundSql(
+        s"sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+          s"(tf * ${K1 + 1.0}) / (tf + $K1 * (${1.0 - B} + $B * dl / avgdl)))", 4)} AS bm25
+         |FROM tf JOIN df USING (token) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q99_source_report" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | count(DISTINCT md5(text)) AS n_unique,
+         | ${proundSql("1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE", 6)} AS dup_rate,
+         | ${proundSql(s"avg(${qualityScoreSql("text")})", 5)} AS mean_quality,
+         | sum(${tokenCountSql("text")})::BIGINT AS n_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
