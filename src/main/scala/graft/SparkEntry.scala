@@ -22,7 +22,8 @@ object SparkEntry {
     MultimodalQueries,
     SourceQueries,
     TrainPrepQueries,
-    CurationQueries
+    CurationQueries,
+    SqlSurfaceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftSql
+
+/** SQL surface: registered views + kernel functions must agree exactly
+  * with the DataFrame surface (same kernels, same plans).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  test("registered kernel functions match the DataFrame kernels row-for-row") {
+    GraftSql.init(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality_score(text) AS q, graft_lang_id(text) AS l,
+        | graft_token_count(text) AS n, graft_fingerprint(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin).collect()
+    val viaDf = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.FastText.qualityScoreUdf(col("text")).as("q"),
+        graft.functions.FastText.langIdUdf(col("text")).as("l"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.length == viaDf.length && viaSql.length > 0)
+    viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("all corpus tables register as queryable views") {
+    GraftSql.init(spark, dir)
+    graft.core.Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) FROM $n").collect().head.getLong(0) > 0, n)
+    }
+  }
+
+  test("registration is idempotent and re-points to a new corpus dir") {
+    GraftSql.init(spark, dir)
+    val n1 = spark.sql("SELECT count(*) FROM documents").collect().head.getLong(0)
+    GraftSql.init(spark, dir) // re-register, same dir: no error, same count
+    assert(spark.sql("SELECT count(*) FROM documents").collect().head.getLong(0) == n1)
+  }
+
+  test("q9b through spark.sql equals the equivalent DataFrame query") {
+    val viaSql = graft.queries.SqlSurfaceQueries.queries("q9b_sql_surface")(spark, dir).collect()
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val viaDf = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        graft.functions.Portable.pround(
+          avg(graft.functions.FastText.qualityScoreUdf(col("text"))), 5).as("mean_quality"),
+        countDistinct(graft.functions.TextFunctions.fingerprint(col("text"))).as("n_fingerprints"),
+        count(when(graft.functions.FastText.langIdUdf(col("text")) === col("lang"), lit(1)))
+          .as("n_lang_match"))
+      .orderBy(col("lang")).collect()
+    assert(viaSql.length == viaDf.length && viaSql.nonEmpty)
+    viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+}
