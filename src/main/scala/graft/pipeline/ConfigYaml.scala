@@ -276,13 +276,27 @@ object ConfigYaml {
           if (cj.isEmpty) sys.error(
             "ColorJitter needs at least one of brightness/contrast/saturation/hue")
           (7, cj.toMap)
-        case "ToTensor" => only(); (8, Map("layout" -> "chw"))
+        case "GaussianBlur" =>
+          only("kernel_size", "sigma")
+          val ks = tp.get("kernel_size") match {
+            case Some(l: List[_]) if l.length == 2 =>
+              l.map(v => num(v).toInt).mkString(",")
+            case Some(v) => num(v).toInt.toString
+            case None => sys.error("GaussianBlur needs 'kernel_size'")
+          }
+          val sigma = tp.get("sigma").map {
+            case l: List[_] if l.length == 2 => l.map(num).mkString(",")
+            case v => num(v).toString // scalar sigma pins lo == hi
+          }
+          (8, Map("blur" -> ks) ++ sigma.map("blur_sigma" -> _))
+        case "ToTensor" => only(); (9, Map("layout" -> "chw"))
         case "Normalize" =>
           only("mean", "std")
-          (9, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
+          (10, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
         case other => sys.error(s"unsupported torchvision transform: $other " +
           "(supported: RandomResizedCrop, Resize, Pad, RandomRotation, RandomCrop, " +
-          "CenterCrop, RandomHorizontalFlip, ColorJitter, ToTensor, Normalize)")
+          "CenterCrop, RandomHorizontalFlip, ColorJitter, GaussianBlur, ToTensor, " +
+          "Normalize)")
       }
     }
     val ranked = transforms.map(one)
@@ -293,7 +307,7 @@ object ConfigYaml {
     // instead of silently executing in a different order.
     if (ranks.sliding(2).exists { case Seq(a, b) => a >= b; case _ => false }) sys.error(
       "torchvision transform order not supported: image_transforms applies " +
-        "rrc → resize → pad → rotation → crop → flip → jitter → ToTensor → " +
+        "rrc → resize → pad → rotation → crop → flip → jitter → blur → ToTensor → " +
         "normalize, each at most once; reorder the config " +
         s"or compose multiple TorchVisionImageTransforms stages (got: $transforms)")
     ranked.map(_._2).foldLeft(Map("key" -> key))(_ ++ _)

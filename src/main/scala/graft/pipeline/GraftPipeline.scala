@@ -95,7 +95,7 @@ object OperatorRegistry {
     val rrcInterp = graft.functions.ImageCodec.Interp.parse(
       p.getOrElse("rrc_interpolation", "2"))
     // ops apply in the canonical torchvision chain order:
-    // rrc → resize → pad → rotation → crops → flip → jitter → normalize
+    // rrc → resize → pad → rotation → crops → flip → jitter → blur → normalize
     // (ConfigYaml rejects configs whose transform order differs, so
     // named params can't reorder a chain silently).
     // bicubic overshoot ceiling follows the decode spec's pixel scale:
@@ -145,6 +145,21 @@ object OperatorRegistry {
         if (cj.forall(_.isEmpty)) None
         else Some(ColorJitterOp(cj(0), cj(1), cj(2), cj(3), seed, chw, clampHi))
       },
+      p.get("blur").map { s =>
+        val (kx, ky) = s.split(",").map(_.trim.toInt) match {
+          case Array(k) => (k, k)
+          case Array(a, b) => (a, b)
+          case _ => sys.error("image_transforms: blur needs 1 or 2 ints")
+        }
+        val (sLo, sHi) = p.get("blur_sigma").map { v =>
+          v.split(",").map(_.trim.toDouble) match {
+            case Array(x) => (x, x)
+            case Array(a, b) => (a, b)
+            case _ => sys.error("image_transforms: blur_sigma needs 1 or 2 values")
+          }
+        }.getOrElse((0.1, 2.0)) // torchvision GaussianBlur default sigma range
+        GaussianBlurOp(kx, ky, sLo, sHi, seed, chw)
+      },
       p.get("normalize_mean").map { m =>
         PixelNormalizeOp(
           m.split(",").toIndexedSeq.map(_.trim.toDouble),
@@ -155,7 +170,7 @@ object OperatorRegistry {
       }).flatten
     require(ops.nonEmpty, "image_transforms needs at least one pixel op " +
       "(random_resized_crop / resize / pad / rotation / random_crop / " +
-      "center_crop / hflip_p / cj_* / normalize_mean)")
+      "center_crop / hflip_p / cj_* / blur / normalize_mean)")
     ImageTransforms(ops,
       key = p.getOrElse("key", "jpg"),
       strict = p.getOrElse("strict", "true").toBoolean,

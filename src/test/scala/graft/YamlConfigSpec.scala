@@ -347,6 +347,47 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(math.abs(hued(1 * 32 + 0) - 1.0f) < 1e-5f, "green channel after hue shift")
   }
 
+  test("GaussianBlur maps through YAML: pinned sigma gives exact separable blur") {
+    // scalar sigma pins lo == hi → deterministic kernel; kernel_size 3,
+    // sigma 1 over the left-red/right-blue image: rows are constant
+    // vertically, so only the horizontal pass changes values, and the
+    // step edge smears by exactly one kernel tap each side.
+    val (w, h, px) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.GaussianBlur
+        |            params:
+        |              kernel_size: 3
+        |              sigma: 1.0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin))
+    assert(w == 8 && h == 4)
+    val e = math.exp(-0.5).toFloat
+    val sum = 1.0f + 2.0f * e
+    val a = e / sum
+    val b = 1.0f / sum
+    for (y <- 0 until 4) {
+      def red(x: Int) = px(0 * 32 + y * 8 + x)
+      def blue(x: Int) = px(2 * 32 + y * 8 + x)
+      assert(math.abs(red(0) - 1.0f) < 1e-5f, "deep in the red half: unchanged")
+      assert(math.abs(red(3) - (a + b)) < 1e-5f, "red edge column keeps a+b")
+      assert(math.abs(red(4) - a) < 1e-5f, "first blue column picks up a of red")
+      assert(math.abs(red(6)) < 1e-5f)
+      assert(math.abs(blue(4) - (a + b)) < 1e-5f, "blue edge column keeps a+b")
+      assert(math.abs(blue(3) - a) < 1e-5f)
+      assert(math.abs(blue(7) - 1.0f) < 1e-5f, "reflect padding: border not repeated")
+    }
+    // config validation: missing kernel_size and unknown params fail fast
+    val noKs = intercept[RuntimeException](runPixels(tvYaml(
+      """          - target: torchvision.transforms.GaussianBlur
+        |            params:
+        |              sigma: 1.0""".stripMargin)))
+    assert(noKs.getMessage.contains("kernel_size"))
+    val badParam = intercept[RuntimeException](runPixels(tvYaml(
+      """          - target: torchvision.transforms.GaussianBlur
+        |            params:
+        |              kernel_size: 3
+        |              radius: 2""".stripMargin)))
+    assert(badParam.getMessage.contains("radius"))
+  }
+
   test("namespaced interpolation: Resize's kernel is honored alongside RandomResizedCrop") {
     // before namespacing, RandomResizedCrop's default (bilinear) silently
     // overrode Resize's bicubic for the whole chain; now each op keeps its
