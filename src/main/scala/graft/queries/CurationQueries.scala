@@ -37,11 +37,11 @@ object CurationQueries extends QueryPack {
 
   // Gopher-family rule thresholds (tuned to split this corpus
   // non-trivially; the operators are threshold-agnostic).
-  private val MinWords = 25
-  private val MaxWords = 90
-  private val MinMeanWl = 3.0
-  private val MaxMeanWl = 10.0
-  private val MinStopHits = 2
+  private[graft] val MinWords = 25
+  private[graft] val MaxWords = 90
+  private[graft] val MinMeanWl = 3.0
+  private[graft] val MaxMeanWl = 10.0
+  private[graft] val MinStopHits = 2
 
   // q97: span width for duplicated-passage mining. 8 tokens ≈ the
   // "memorization-length" granularity the substring-dedup literature
@@ -53,6 +53,10 @@ object CurationQueries extends QueryPack {
   private val K1 = 1.2
   private val B = 0.75
   private val QueryTerms = Seq("spark", "join", "stream")
+
+  // q9c: composed-gate thresholds on top of the Gopher rules.
+  private[graft] val MinQuality = 0.5
+  private[graft] val MaxDupFrac = 0.5
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style document quality rules: word-count bounds, mean word
@@ -126,6 +130,37 @@ object CurationQueries extends QueryPack {
         .limit(20)
     }),
 
+    // The composed curation gate — what a production corpus run executes
+    // end-to-end: Gopher rules AND quality threshold AND duplicated-span
+    // ceiling, in one declarative plan. The rule/quality columns fuse
+    // into the scan pass; the span stage adds its one posting shuffle;
+    // a single doc_id join stitches them. Survivors only.
+    "q9c_curation_v2" -> ((s, dir) => {
+      import s.implicits._
+      val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
+      val wG = Window.partitionBy($"g")
+      val spanStats = docs(s, dir)
+        .select($"doc_id", explode(analyze($"text").getField("sh")).as("g"))
+        .withColumn("df", count(lit(1)).over(wG))
+        .groupBy($"doc_id")
+        .agg(pround(count(when($"df" >= 2, lit(1))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_frac"))
+      val rules = docs(s, dir)
+        .select($"doc_id",
+          tokenCount($"text").as("n_words"),
+          pround((length($"text").cast("double") - tokenCount($"text").cast("double") + lit(1.0)) /
+            greatest(tokenCount($"text").cast("double"), lit(1.0)), 6).as("mean_word_len"),
+          stopwordCount($"text", TextFunctions.stopwords.head._2).as("stop_hits"),
+          graft.functions.FastText.qualityScoreUdf($"text").as("quality"))
+      rules.join(spanStats, Seq("doc_id"))
+        .filter($"n_words" >= MinWords && $"n_words" <= MaxWords &&
+          $"mean_word_len" >= MinMeanWl && $"mean_word_len" <= MaxMeanWl &&
+          $"stop_hits" >= MinStopHits &&
+          $"quality" >= MinQuality && $"dup_frac" <= MaxDupFrac)
+        .select($"doc_id", $"n_words", $"quality", $"dup_frac")
+        .orderBy($"doc_id")
+    }),
+
     // Per-source corpus report card: volume, exact-dup rate, mean
     // quality, token budget — the dataset-mixture dashboard a training
     // run reads before setting sampling weights. One aggregation keyed
@@ -195,6 +230,32 @@ object CurationQueries extends QueryPack {
          |FROM tf JOIN df USING (token) CROSS JOIN stats
          |GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "q9c_curation_v2" -> {
+      val nTok = tokenCountSql("text")
+      val meanWl = proundSql(
+        s"(length(text)::DOUBLE - ($nTok)::DOUBLE + 1.0) / greatest(($nTok)::DOUBLE, 1.0)", 6)
+      val stopHits = stopwordCountSql("text", TextFunctions.stopwords.head._2)
+      val sh = graft.functions.DedupFunctions.distinctShinglesSql("text", SpanN)
+      s"""WITH p AS (
+         | SELECT doc_id, unnest(sh) AS g FROM
+         |  (SELECT doc_id, $sh AS sh FROM documents)),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM p),
+         |spans AS (
+         | SELECT doc_id, ${proundSql(
+        "(count(*) FILTER (WHERE df >= 2))::DOUBLE / count(*)::DOUBLE", 6)} AS dup_frac
+         | FROM c GROUP BY doc_id),
+         |rules AS (
+         | SELECT doc_id, $nTok AS n_words, $meanWl AS mean_word_len,
+         |  $stopHits AS stop_hits, ${qualityScoreSql("text")} AS quality
+         | FROM documents)
+         |SELECT doc_id, n_words, quality, dup_frac
+         |FROM rules JOIN spans USING (doc_id)
+         |WHERE n_words >= $MinWords AND n_words <= $MaxWords
+         | AND mean_word_len >= $MinMeanWl AND mean_word_len <= $MaxMeanWl
+         | AND stop_hits >= $MinStopHits
+         | AND quality >= $MinQuality AND dup_frac <= $MaxDupFrac
+         |ORDER BY doc_id""".stripMargin
     },
     "q99_source_report" ->
       s"""SELECT source, count(*) AS n_docs,

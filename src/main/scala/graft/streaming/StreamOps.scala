@@ -89,6 +89,32 @@ object StreamOps {
     docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
       .dropDuplicates("content_hash")
 
+  /** Streaming curation gate — the stateless slice of the batch
+    * q9c_curation_v2 pipeline (Gopher rules + quality threshold), sharing
+    * the thresholds and kernels with [[graft.queries.CurationQueries]] so
+    * batch and stream keep one rulebook. Stateless by construction: every
+    * rule is per-row arithmetic, so the stream needs no watermark and no
+    * state store, and scales like any map-only stage. (The duplicated-
+    * span ceiling is corpus-wide by definition and stays batch-side —
+    * a stream cannot know a span's future document frequency.)
+    */
+  def curationGate(docs: DataFrame): DataFrame = {
+    import graft.queries.CurationQueries._
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text"))
+    val meanWl = graft.functions.Portable.pround(
+      (length(col("text")).cast("double") - nTok.cast("double") + lit(1.0)) /
+        greatest(nTok.cast("double"), lit(1.0)), 6)
+    docs.select(col("doc_id"),
+      nTok.as("n_words"),
+      meanWl.as("mean_word_len"),
+      graft.functions.TextFunctions.stopwordCount(col("text"),
+        graft.functions.TextFunctions.stopwords.head._2).as("stop_hits"),
+      graft.functions.FastText.qualityScoreUdf(col("text")).as("quality"))
+      .filter(col("n_words") >= MinWords && col("n_words") <= MaxWords &&
+        col("mean_word_len") >= MinMeanWl && col("mean_word_len") <= MaxMeanWl &&
+        col("stop_hits") >= MinStopHits && col("quality") >= MinQuality)
+  }
+
   case class MinhashDocIn(doc_id: Long, sh: Seq[String], bucket: String)
   case class BucketMembers(members: List[(Long, Seq[String])], hot: Boolean)
   case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double)

@@ -131,6 +131,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.count() == withDups.count() - 100)
   }
 
+  test("streaming curation gate equals the batch rule columns row-for-row") {
+    val docsDir = Paths.get("target", "stream-cur-docs").toAbsolutePath
+    val base = Tables.load(spark, sf, "documents")
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      base.write.mode("overwrite").parquet(docsDir.toString)
+    }
+    val docsSchema = spark.read.parquet(docsDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.curationGate(df),
+      docsDir.toString, docsSchema, "curation_out", OutputMode.Append())
+    val batch = StreamOps.curationGate(base)
+    // stateless gate: identical survivor rows, non-trivial split
+    assert(streamed.count() > 0 && streamed.count() < base.count())
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("streaming MinHash near-dup pairs equal the batch q31 pair set") {
     val docsDir = Paths.get("target", "stream-mh-docs").toAbsolutePath
     if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
