@@ -171,6 +171,27 @@ object DedupQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Quality-aware survivor selection: within each near-dup cluster keep
+    // the HIGHEST-QUALITY member (ties to the smaller doc_id), not the
+    // minimal id — the selection policy production dedup actually wants
+    // ("of these five near-identical pages, keep the best one"). Reads
+    // the same shared component labeling as q35/q37 (one propagation per
+    // run) and re-attaches per-doc quality from the scoring kernel; the
+    // argmax is a rank window over the (tiny) clustered-doc set.
+    "q9d_cluster_best_survivor" -> ((s, dir) => {
+      import s.implicits._
+      val q = docs(s, dir).select($"doc_id",
+        graft.functions.FastText.qualityScoreUdf($"text").as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")
+      components(s, dir)
+        .select($"doc_id", $"label".as("cluster_id"))
+        .join(q, Seq("doc_id"))
+        .withColumn("survivor", row_number().over(w) === 1)
+        .select($"doc_id", $"cluster_id", $"quality", $"survivor")
+        .orderBy($"doc_id")
+    }),
+
     // Canonical-fingerprint dedup: documents sharing the sorted distinct
     // lowercase token set collapse to the minimal doc_id (catches
     // reorder/repetition edits that exact hashing misses).
@@ -302,6 +323,24 @@ object DedupQueries extends QueryPack {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS survivor
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q9d_cluster_best_survivor" ->
+      s"""${minhashPairsCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         | SELECT src AS doc_id, dst AS via FROM sym
+         | UNION
+         | SELECT r.doc_id, s.dst FROM reach r JOIN sym s ON s.src = r.via),
+         |comp AS (
+         | SELECT doc_id, least(doc_id, min(via)) AS cluster_id
+         | FROM reach GROUP BY doc_id),
+         |q AS (SELECT doc_id, ${graft.functions.TextFunctions.qualityScoreSql("text")} AS quality
+         |      FROM documents)
+         |SELECT doc_id, cluster_id, quality,
+         | (row_number() OVER (PARTITION BY cluster_id
+         |   ORDER BY quality DESC, doc_id) = 1) AS survivor
+         |FROM comp JOIN q USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q34_fingerprint_dedup" ->
       s"""SELECT doc_id, fp FROM (
          | SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp,

@@ -34,6 +34,20 @@ object SimilarityQueries extends QueryPack {
     adaptivePlanes(emb(s, dir).count())
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label centroid vectors via posexplode → (label, dim) hash
+    // aggregation — the scalable layout for vector reductions: every
+    // (label, dimension) cell is an independent aggregate, so a 100 TB
+    // embedding table reduces in one shuffle with no single-reducer
+    // array fold and no driver-resident vectors (contrast the IVF
+    // centroids, which are intentionally tiny model state).
+    "q9e_label_centroids" -> ((s, dir) => {
+      import s.implicits._
+      emb(s, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(graft.functions.Portable.pround(avg($"v".cast("double")), 5).as("centroid"))
+        .orderBy($"label", $"pos")
+    }),
     // Brute-force cosine top-10 against the vec_id=0 probe vector.
     // The probe row is a 1-row broadcast cross join — no shuffle of the
     // scored side; final top-k is a tree-reduced limit.
@@ -238,6 +252,13 @@ object SimilarityQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q9e_label_centroids" ->
+      s"""SELECT label, pos, ${graft.functions.Portable.proundSql("avg(v::DOUBLE)", 5)} AS centroid
+         |FROM (SELECT label,
+         |       unnest(generate_series(0, length(embedding) - 1)) AS pos,
+         |       unnest(embedding) AS v
+         |      FROM embeddings)
+         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q40_cosine_topk" ->
       s"""WITH probe AS (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = $ProbeId)
          |SELECT vec_id, ${cosineSql("embedding", "probe_vec")} AS score

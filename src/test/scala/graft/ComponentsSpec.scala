@@ -45,4 +45,18 @@ class ComponentsSpec extends AnyFunSuite {
       driverEdgeLimit = 0L).collect()
     assert(labels.forall(_.getLong(1) == 0L))
   }
+
+  test("quality-aware survivor: exactly one per cluster, and it is the argmax") {
+    val out = graft.queries.DedupQueries.queries("q9d_cluster_best_survivor")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      val survivors = rows.filter(_.getAs[Boolean]("survivor"))
+      assert(survivors.length == 1, s"cluster $cid: ${survivors.length} survivors")
+      val best = rows.map(_.getAs[Double]("quality")).max
+      assert(survivors.head.getAs[Double]("quality") == best,
+        s"cluster $cid survivor is not the quality argmax")
+    }
+  }
 }

@@ -73,4 +73,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("partial_quantile_sketch") || p.contains("partial"),
       p.take(1200))
   }
+
+  test("q9e: centroid reduction does partial aggregation after the explode") {
+    val p = planOf("q9e_label_centroids")
+    // the (label, dim) average must map-side combine (partial_avg) so
+    // the exchange carries one cell per (label, dim, partition), not one
+    // row per vector element — the property that makes a 100 TB vector
+    // reduction one bounded shuffle
+    assert(p.contains("partial_avg"), p.take(1200))
+    assert(p.contains("Generate posexplode"), p.take(1200))
+  }
 }
