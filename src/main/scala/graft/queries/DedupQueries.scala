@@ -192,6 +192,34 @@ object DedupQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Incremental (batch-over-corpus) dedup — the daily-ingest shape: a
+    // new batch (sources src15..src19 here) dedups against the existing
+    // corpus (src0..src14) AND within itself, keyed on the canonical
+    // token-set fingerprint (order/repetition-robust, catches the edits
+    // exact digests miss). One digest-width shuffle total: the anti-join
+    // and the within-batch survivor pick both key on the 16-byte
+    // fingerprint, and the corpus side reduces to its distinct
+    // fingerprint set before joining — at 100 TB that set is the (much
+    // smaller) state a production pipeline keeps as a digest table
+    // between runs.
+    "q9f_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fp = graft.functions.FastText.textStatsUdf($"text").getField("fp")
+      val all = docs(s, dir)
+      val isNew = $"source".isin((15 to 19).map("src" + _): _*)
+      val corpusFps = all.filter(!isNew)
+        .select(fp.as("fp")).distinct()
+      val batch = all.filter(isNew)
+        .select($"doc_id", $"source", fp.as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id")
+      batch.join(corpusFps, Seq("fp"), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"doc_id", $"source", $"fp")
+        .orderBy($"doc_id")
+    }),
+
     // Canonical-fingerprint dedup: documents sharing the sorted distinct
     // lowercase token set collapse to the minimal doc_id (catches
     // reorder/repetition edits that exact hashing misses).
@@ -323,6 +351,19 @@ object DedupQueries extends QueryPack {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS survivor
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q9f_incremental_dedup" ->
+      s"""WITH corpus AS (
+         | SELECT DISTINCT ${TextFunctions.fingerprintSql("text")} AS fp FROM documents
+         | WHERE source NOT IN ('src15','src16','src17','src18','src19')),
+         |batch AS (
+         | SELECT doc_id, source, ${TextFunctions.fingerprintSql("text")} AS fp FROM documents
+         | WHERE source IN ('src15','src16','src17','src18','src19')),
+         |fresh AS (
+         | SELECT b.* FROM batch b ANTI JOIN corpus c USING (fp))
+         |SELECT doc_id, source, fp FROM (
+         | SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         | FROM fresh)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q9d_cluster_best_survivor" ->
       s"""${minhashPairsCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
