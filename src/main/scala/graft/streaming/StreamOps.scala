@@ -115,6 +115,23 @@ object StreamOps {
         col("stop_hits") >= MinStopHits && col("quality") >= MinQuality)
   }
 
+  /** Streaming incremental dedup — the streaming twin of
+    * q9f_incremental_dedup: a document stream anti-joins the STATIC
+    * corpus fingerprint table (stream-static joins need no watermark and
+    * no state for the static side — Spark re-broadcasts or hash-joins it
+    * per micro-batch), then `dropDuplicates` on the fingerprint removes
+    * within-stream repeats with output-proportional keyed state. Same
+    * fingerprint kernel as the batch query, so batch and stream agree on
+    * what "duplicate" means.
+    */
+  def streamingIncrementalDedup(docsStream: DataFrame,
+      corpusFps: DataFrame): DataFrame = {
+    val fp = graft.functions.FastText.textStatsUdf(col("text")).getField("fp")
+    docsStream.select(col("doc_id"), col("source"), fp.as("fp"))
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+  }
+
   case class MinhashDocIn(doc_id: Long, sh: Seq[String], bucket: String)
   case class BucketMembers(members: List[(Long, Seq[String])], hot: Boolean)
   case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double)

@@ -149,6 +149,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming incremental dedup: stream-static anti-join matches the batch q9f key set") {
+    val base = Tables.load(spark, sf, "documents")
+    val fpCol = graft.functions.FastText.textStatsUdf(col("text")).getField("fp")
+    val isNew = col("source").isin((15 to 19).map("src" + _): _*)
+    val batchDir = Paths.get("target", "stream-incr-docs").toAbsolutePath
+    if (!Files.exists(batchDir.resolve("_SUCCESS"))) {
+      base.filter(isNew).write.mode("overwrite").parquet(batchDir.toString)
+    }
+    val corpusFps = base.filter(!isNew).select(fpCol.as("fp")).distinct()
+    val batchSchema = spark.read.parquet(batchDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingIncrementalDedup(df, corpusFps),
+      batchDir.toString, batchSchema, "incr_dedup_out", OutputMode.Append())
+    // batch twin (q9f picks min-id per fp; the stream picks first-seen,
+    // which is micro-batch-order-dependent — compare the fp SET)
+    val batchFps = graft.queries.DedupQueries.queries("q9f_incremental_dedup")(spark, sf)
+      .select("fp")
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batchFps.count())
+    assert(streamed.select("fp").except(batchFps).count() == 0)
+    assert(batchFps.except(streamed.select("fp")).count() == 0)
+  }
+
   test("streaming MinHash near-dup pairs equal the batch q31 pair set") {
     val docsDir = Paths.get("target", "stream-mh-docs").toAbsolutePath
     if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
