@@ -74,6 +74,14 @@ class PlanContractSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("q4a: persisted-IVF search prunes index partitions via the probe cell") {
+    val p = planOf("q4a_ivf_persisted")
+    // the scan over the cell-partitioned index must carry a DYNAMIC
+    // partition-pruning expression fed by the broadcast probe join, so a
+    // search reads ~1/k of the index directories, not all of them
+    assert(p.contains("dynamicpruningexpression(centroid_id"), p.take(2000))
+  }
+
   test("q9e: centroid reduction does partial aggregation after the explode") {
     val p = planOf("q9e_label_centroids")
     // the (label, dim) average must map-side combine (partial_avg) so
