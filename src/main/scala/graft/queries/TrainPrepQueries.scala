@@ -28,11 +28,37 @@ object TrainPrepQueries extends QueryPack {
   private val ReservoirK = 10
   private val QuotaSeed = 13
   private val QuotaTokens = 4000L
+  // q9g: chunk width/stride in tokens (overlap = ChunkW - ChunkS)
+  private val ChunkW = 32
+  private val ChunkS = 24
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping fixed-width chunking — the document→passage primitive
+    // for embedding/RAG and long-context packing: width-32 windows at
+    // stride 24 (8-token overlap), short docs one whole-doc chunk. Pure
+    // per-row generate (token array staged once, chunk count integer-
+    // derived, posexplode over chunk indices) — no shuffle until the
+    // output sort, embarrassingly parallel at any scale.
+    "q9g_chunk_documents" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").cast("long").as("ntok"))
+        .withColumn("nch",
+          when($"ntok" <= ChunkW, lit(1L))
+            .otherwise(floor(($"ntok" - ChunkW + (ChunkS - 1)) / lit(ChunkS)) + 1))
+        .select($"doc_id", $"toks", $"ntok",
+          posexplode(sequence(lit(0L), $"nch" - 1)).as(Seq("ord", "chunk_id")))
+        .select($"doc_id", $"chunk_id",
+          least(lit(ChunkW.toLong), $"ntok" - $"chunk_id" * ChunkS).as("n_chunk_tokens"),
+          concat_ws(" ", slice($"toks", ($"chunk_id" * ChunkS + 1).cast("int"), lit(ChunkW)))
+            .as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // Deterministic train/val/test assignment: u = hash(doc_id, seed) in
     // [0,1); 80/10/10 by threshold. Replayable under retry, stable
     // across runs/engines — the property a split MUST have so no example
@@ -168,6 +194,21 @@ object TrainPrepQueries extends QueryPack {
   override def oracles: Map[String, String] = {
     val tok = TextFunctions.tokenCountSql("text")
     Map(
+      "q9g_chunk_documents" ->
+        s"""WITH t AS (
+           | SELECT doc_id, ${TextFunctions.tokensSql("text")} AS toks,
+           |  length(${TextFunctions.tokensSql("text")})::BIGINT AS ntok
+           | FROM documents),
+           |n AS (SELECT *, CASE WHEN ntok <= $ChunkW THEN 1
+           |        ELSE (ntok - $ChunkW + ${ChunkS - 1}) // $ChunkS + 1 END AS nch
+           |      FROM t),
+           |c AS (SELECT doc_id, toks, ntok,
+           |        unnest(generate_series(0, nch - 1)) AS chunk_id FROM n)
+           |SELECT doc_id, chunk_id,
+           | least($ChunkW, ntok - chunk_id * $ChunkS) AS n_chunk_tokens,
+           | array_to_string(toks[chunk_id * $ChunkS + 1 : chunk_id * $ChunkS + $ChunkW], ' ')
+           |  AS chunk_text
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
       "q90_split_train_val_test" ->
         s"""SELECT split, count(*) AS n_docs,
            | CAST(sum($tok) AS BIGINT) AS n_tokens

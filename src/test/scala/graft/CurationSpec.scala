@@ -61,6 +61,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking tiles every document: counts, coverage, and overlap") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split("\\s+").filter(_.nonEmpty))
+      .toMap
+    val out = graft.queries.TrainPrepQueries.queries("q9g_chunk_documents")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every document chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val toks = docs(id)
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_id") == i.toLong, "dense chunk ids")
+        val text = c.getAs[String]("chunk_text").split("\\s+").filter(_.nonEmpty)
+        assert(text.length == c.getAs[Long]("n_chunk_tokens"), "token count matches text")
+        // chunk i reproduces tokens [i*24, i*24+32)
+        assert(text.sameElements(toks.slice(i * 24, i * 24 + 32)), s"doc $id chunk $i content")
+      }
+      // coverage: the last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_id") * 24 + last.getAs[Long]("n_chunk_tokens") == toks.length,
+        s"doc $id tail covered")
+    }
+  }
+
   test("q97 posting shuffle is a single exchange reused by the window") {
     val plan = CurationQueries.queries("q97_dup_spans")(spark, dir)
       .queryExecution.executedPlan.toString
