@@ -44,8 +44,11 @@ object Bench {
     println(json)
     // durable machine-readable artifact: stdout capture has truncated
     // the per-query map in past rounds (BENCH_r03 kept 60/83 entries),
-    // so the complete line is also written to a file the judge can read
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+    // so the complete line is also written to a file the judge can read.
+    // Filtered runs go to a separate file so a single-query iteration
+    // can never clobber the full-suite record.
+    val outFile = if (only.isDefined) "BENCH_partial.json" else "BENCH_full.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
