@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.FastText
@@ -149,6 +149,42 @@ object SimilarityQueries extends QueryPack {
           graft.plans.CosineSim.cosineSim($"embedding", $"probe_vec").as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
+    }),
+
+    // Int8 scalar-quantized coarse scan + exact rerank — the memory-
+    // bandwidth path for brute-force search at 100 TB: vectors are
+    // quantized per-row to int8 (symmetric maxabs scaling, 4× smaller
+    // than float32, 8× smaller than the double math), candidates are
+    // ranked by INTEGER dot products (exact, order-independent — no
+    // float summation-order hazard in the coarse pass), and only the
+    // top-20 survivors pay the exact float cosine. At scale the
+    // quantized codes are the resident working set and the float
+    // vectors page in for the rerank only — the standard SQ8 layout
+    // (FAISS IndexScalarQuantizer topology). Quantized cosine needs no
+    // scale factors: per-vector scales cancel in the normalized dot.
+    "q4b_quantized_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val qdot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val e = emb(s, dir)
+        .withColumn("maxabs", greatest(
+          array_max(transform($"embedding".cast("array<double>"), x => abs(x))),
+          lit(1e-30)))
+        .withColumn("qvec", transform($"embedding".cast("array<double>"),
+          x => floor(x * 127.0 / $"maxabs" + 0.5).cast("long")))
+      val probe = e.filter($"vec_id" === ProbeId)
+        .select($"qvec".as("probe_q"), $"embedding".as("probe_vec"))
+      e.filter($"vec_id" =!= ProbeId)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id", $"embedding", $"probe_vec",
+          graft.functions.Portable.pround(
+            qdot($"qvec", $"probe_q").cast("double") /
+              (sqrt(qdot($"qvec", $"qvec").cast("double")) *
+                sqrt(qdot($"probe_q", $"probe_q").cast("double"))), 6).as("qscore"))
+        .orderBy($"qscore".desc, $"vec_id").limit(20)
+        .select($"vec_id", $"qscore",
+          cosineSim($"embedding", $"probe_vec").as("score"))
+        .orderBy($"score".desc, $"vec_id").limit(5)
     }),
 
     // IVF cell histogram — partition balance diagnostic.
@@ -333,6 +369,30 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned, probe
          |WHERE vec_id <> $ProbeId AND centroid_id = probe_cell
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q4b_quantized_rerank" -> {
+      // same maxabs/round-half-up quantization, integer dots, and
+      // division order as the engine — floats widen to double exactly,
+      // integer dots are exact, so the coarse ranking is bit-identical
+      val qd = (a: String, b: String) => dotSql(a, b)
+      s"""WITH m AS (
+         | SELECT vec_id, embedding,
+         |  greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30) AS ma
+         | FROM embeddings),
+         |q AS (
+         | SELECT vec_id, embedding,
+         |  list_transform(embedding::DOUBLE[],
+         |   x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS qvec
+         | FROM m),
+         |probe AS (SELECT qvec AS pq, embedding AS pv FROM q WHERE vec_id = $ProbeId),
+         |cand AS (
+         | SELECT vec_id, embedding, pv,
+         |  ${graft.functions.Portable.proundSql(
+              s"${qd("qvec", "pq")} / (sqrt(${qd("qvec", "qvec")}) * sqrt(${qd("pq", "pq")}))", 6)} AS qscore
+         | FROM q, probe WHERE vec_id <> $ProbeId
+         | ORDER BY qscore DESC, vec_id LIMIT 20)
+         |SELECT vec_id, qscore, ${cosineSql("embedding", "pv")} AS score
+         |FROM cand ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    },
     // identical search semantics over the persisted index → same oracle
     "q4a_ivf_persisted" ->
       s"""$ivfCteSql,

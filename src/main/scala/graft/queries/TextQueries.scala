@@ -140,6 +140,41 @@ object TextQueries extends QueryPack {
         .orderBy($"lang")
     }),
 
+    // Bigram language-model scoring — the perplexity-proxy quality
+    // signal: train bigram/prefix counts on the corpus itself, score
+    // every document by its mean bigram probability. All arithmetic is
+    // INTEGER (probabilities scaled to parts-per-million with floor
+    // division) so the score is exact and summation-order-independent —
+    // no cross-engine libm/float-accumulation hazard. Plan shape: the
+    // "model" is not a driver-side table at all — counts are COUNT
+    // windows over the exploded bigram frame (the one-exchange pattern
+    // from NOTES_r6: partitioning by (w1,w2) then w1 reuses no corpus
+    // join), then one hash re-aggregation by doc. Cost is corpus token
+    // count at any scale; the only caveat is Scale·c2 fitting a long,
+    // which holds until a single bigram repeats ~9·10¹² times.
+    "q9h_lm_bigram_score" -> ((s, dir) => {
+      import s.implicits._
+      val Scale = 1000000L
+      val wBig = org.apache.spark.sql.expressions.Window.partitionBy($"w1", $"w2")
+      val wPre = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
+      docs(s, dir)
+        .select($"doc_id", tokens(lower($"text")).as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(zip_with(
+          slice($"t", lit(1), size($"t") - 1),
+          slice($"t", lit(2), size($"t") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+        .withColumn("c2", count(lit(1)).over(wBig))
+        .withColumn("c1", count(lit(1)).over(wPre))
+        .withColumn("term", expr(s"($Scale * c2) DIV c1"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"term").as("score_sum"))
+        .select($"doc_id", $"n_bigrams",
+          expr("score_sum DIV n_bigrams").as("avg_ppm"))
+        .orderBy($"doc_id")
+    }),
+
     // Vocabulary: explode tokens, top-20 by frequency (generator + agg
     // + top-k — the classic word-count shuffle).
     "q23_vocab_top" -> ((s, dir) => {
@@ -221,6 +256,23 @@ object TextQueries extends QueryPack {
     "q23_vocab_top" ->
       s"""SELECT token, count(*) AS n FROM (
          | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
-         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // same integer-scaled floor-division arithmetic: bigram frame via
+    // generate_series indexing, counts as windows, `//` ≡ Spark DIV
+    "q9h_lm_bigram_score" ->
+      s"""WITH t AS (
+         | SELECT doc_id, ${tokensSql("lower(text)")} AS t FROM documents),
+         |b AS (
+         | SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         | FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+         |       FROM t WHERE length(t) >= 2)),
+         |c AS (
+         | SELECT doc_id,
+         |  count(*) OVER (PARTITION BY w1, w2) AS c2,
+         |  count(*) OVER (PARTITION BY w1) AS c1
+         | FROM b)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | CAST(sum((1000000 * c2) // c1) // count(*) AS BIGINT) AS avg_ppm
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -28,6 +28,7 @@ object TrainPrepQueries extends QueryPack {
   private val ReservoirK = 10
   private val QuotaSeed = 13
   private val QuotaTokens = 4000L
+  private val UpsampleSeed = 17
   // q9g: chunk width/stride in tokens (overlap = ChunkW - ChunkS)
   private val ChunkW = 32
   private val ChunkS = 24
@@ -144,6 +145,34 @@ object TrainPrepQueries extends QueryPack {
         .orderBy($"source")
     }),
 
+    // Mixture rebalancing by UP-sampling: each source carries an epoch
+    // weight (how many passes over it a training run makes — the
+    // LLaMA/DoReMi-style mixture recipe); fractional epochs resolve by
+    // deterministic stochastic rounding (hash-uniform < frac(w) ⇒ one
+    // extra copy), so the EXPECTED token share matches the spec exactly
+    // while every copy decision is a replayable pure function of
+    // (doc_id, seed). Complements q95 (quota = down-sampling): together
+    // they compile an arbitrary mixture spec. Per-row arithmetic + one
+    // hash agg — no shuffle beyond the final per-source rollup; the
+    // copies themselves would materialize with posexplode(sequence(...)),
+    // row-expansion at the writer, never before.
+    "q9i_mixture_upsample" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"source", $"doc_id",
+          TextFunctions.tokenCount($"text").cast("long").as("tok"))
+        .withColumn("w",
+          lit(1.0) + (substring($"source", 4, 8).cast("int") % 4).cast("double") * 0.75)
+        .withColumn("n_copies", floor($"w").cast("long") +
+          when(PortableHash.detUniform($"doc_id", UpsampleSeed) < $"w" - floor($"w"), 1L)
+            .otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_copies").as("n_copies_out"),
+          sum($"tok" * $"n_copies").as("tokens_out"))
+        .orderBy($"source")
+    }),
+
     // Decontamination: flag training documents sharing >= MinShared
     // distinct word-4-grams with any eval-set document (here: the
     // deterministic doc_id % 50 == 0 slice stands in for a benchmark
@@ -256,6 +285,23 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(tok) AS BIGINT) AS tokens_selected
            |FROM c WHERE cum - tok < $QuotaTokens
            |GROUP BY source ORDER BY source""".stripMargin
+      },
+      "q9i_mixture_upsample" -> {
+        val u = PortableHash.duckUniformSql("CAST(doc_id AS VARCHAR)", UpsampleSeed)
+        s"""WITH c AS (
+           | SELECT source, CAST($tok AS BIGINT) AS tok,
+           |  1.0 + (TRY_CAST(substr(source, 4) AS INT) % 4) * 0.75 AS w,
+           |  $u AS u
+           | FROM documents),
+           |n AS (
+           | SELECT source, tok,
+           |  CAST(floor(w) AS BIGINT) +
+           |   (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS n_copies
+           | FROM c)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(n_copies) AS BIGINT) AS n_copies_out,
+           | CAST(sum(tok * n_copies) AS BIGINT) AS tokens_out
+           |FROM n GROUP BY source ORDER BY source""".stripMargin
       },
       "q93_decontaminate" ->
         s"""WITH sh AS (SELECT doc_id,

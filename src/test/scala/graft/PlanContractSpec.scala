@@ -82,6 +82,46 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruningexpression(centroid_id"), p.take(2000))
   }
 
+  test("q4b: quantized coarse scan joins only the broadcast probe, no shuffle join") {
+    val p = planOf("q4b_quantized_rerank")
+    // the scored side must stream past a broadcast 1-row probe; a
+    // SortMergeJoin here would shuffle the whole corpus per search
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // candidate selection and rerank are top-k limits, not global sorts
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  /** Hash-exchange count in the FINAL executed plan only (planOf
+    * concatenates two renderings and AQE's toString repeats the initial
+    * plan — both would double-count shuffles).
+    */
+  private def hashExchanges(q: String): Int = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+  }
+
+  test("q9h: LM scoring needs no model join — counts are windows, three exchanges total") {
+    val p = planOf("q9h_lm_bigram_score")
+    // bigram/prefix counts ride COUNT windows over the exploded frame
+    // ((w1,w2) then w1) and the doc rollup is the third exchange; a
+    // groupBy+join-back formulation would add corpus-sized join shuffles
+    val exchanges = hashExchanges("q9h_lm_bigram_score")
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q9i: upsample rollup is one hash exchange with map-side combine") {
+    val p = planOf("q9i_mixture_upsample")
+    val exchanges = hashExchanges("q9i_mixture_upsample")
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1200))
+  }
+
   test("q9e: centroid reduction does partial aggregation after the explode") {
     val p = planOf("q9e_label_centroids")
     // the (label, dim) average must map-side combine (partial_avg) so
