@@ -139,6 +139,16 @@ object SimilarityFunctions {
       s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))", 6)
   }
 
+  /** Squared-L2 distance between two DOUBLE[] expressions in exact
+    * integer micro-units: the raw double sum rounds ONCE to 1e-6 and is
+    * carried as a BIGINT — same single-rounding discipline as
+    * [[graft.plans.PqNearestSub]], so argmins and ADC sums are
+    * bit-portable with no float-summation-order hazard.
+    */
+  def sqDistUmSql(a: String, b: String): String =
+    s"CAST(floor(list_sum(list_transform(list_zip($a, $b), " +
+      s"q -> (q[1] - q[2]) * (q[1] - q[2])))::DOUBLE * 1000000 + 0.5) AS BIGINT)"
+
   /** SQL list literal for one hyperplane. */
   private def planeSql(plane: Array[Double]): String =
     plane.mkString("[", ", ", "]::DOUBLE[]")

@@ -187,6 +187,43 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"score".desc, $"vec_id").limit(5)
     }),
 
+    // Product quantization + ADC scan: 8 subspaces × 16-entry codebooks
+    // turn each 64-float vector into 8 small codes (32× smaller than
+    // float32); the probe precomputes one 8×16 distance table and every
+    // candidate scores with 8 TABLE LOOKUPS instead of 64 float mults —
+    // the FAISS IndexPQ topology, and the standard coarse pass when even
+    // SQ8 (q4b) is too much resident state at 100 TB. Codebooks are the
+    // same seeded deterministic pick as the IVF centroids (k-means in a
+    // real index — identical topology); encoding is m fused scalar
+    // expressions ([[graft.plans.PqNearestSub]]): one scan, no join, no
+    // exchange before the final top-k. ADC distances are exact integer
+    // micro-units (each table entry rounds once to 1e-6, the 8-term sum
+    // is a long) so ranking is summation-order-independent and
+    // bit-portable to the oracle.
+    "q4c_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val SubLen = 8
+      val M = Dim / SubLen // 8 subspaces
+      val e = emb(s, dir)
+      val cents = ivfCentroids(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val books = cents.map(_._2) // code j = position in the seeded pick order
+      val probeVec = e.filter($"vec_id" === ProbeId)
+        .select($"embedding").collect().head.getSeq[Float](0).toArray
+      val adcUm = (0 until M).map { sub =>
+        val table = books.map { c =>
+          (graft.plans.PqEncode.tableEntry(probeVec, c, sub * SubLen, SubLen) * 1e6)
+            .round
+        }
+        element_at(typedLit(table),
+          (graft.plans.PqEncode.code($"embedding", sub * SubLen, SubLen, books) + 1)
+            .cast("int"))
+      }.reduce(_ + _)
+      e.filter($"vec_id" =!= ProbeId)
+        .select($"vec_id", adcUm.as("adc_um"))
+        .orderBy($"adc_um".asc, $"vec_id")
+        .limit(5)
+    }),
+
     // IVF cell histogram — partition balance diagnostic.
     "q45_ivf_cells" -> ((s, dir) => {
       import s.implicits._
@@ -369,6 +406,34 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned, probe
          |WHERE vec_id <> $ProbeId AND centroid_id = probe_cell
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q4c_pq_adc" -> {
+      // codebook = the seeded pick in hash order (j = rank), encode =
+      // per-(vec, subspace) integer-micro-unit argmin, ADC = exact
+      // integer sum of the probe's table entries at each code
+      val hash = s"(('0x' || substr(md5(vec_id::VARCHAR || ':$IvfSeed'), 1, 8))::BIGINT)"
+      def sub(e: String) = s"list_slice(($e)::DOUBLE[], ss.s * 8 + 1, ss.s * 8 + 8)"
+      s"""WITH pick AS (
+         | SELECT vec_id, embedding,
+         |  row_number() OVER (ORDER BY $hash, vec_id) - 1 AS j
+         | FROM embeddings ORDER BY $hash, vec_id LIMIT $IvfK),
+         |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId),
+         |d AS (
+         | SELECT e.vec_id, ss.s, p.j,
+         |  ${sqDistUmSql(sub("e.embedding"), sub("p.embedding"))} AS d2um
+         | FROM embeddings e, ss, pick p
+         | WHERE e.vec_id <> $ProbeId),
+         |codes AS (SELECT vec_id, s, j FROM (
+         |  SELECT vec_id, s, j,
+         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2um ASC, j ASC) AS rk
+         |  FROM d) WHERE rk = 1),
+         |td AS (
+         | SELECT ss.s, p.j, ${sqDistUmSql(sub("probe.pv"), sub("p.embedding"))} AS t
+         | FROM probe, ss, pick p)
+         |SELECT vec_id, CAST(sum(t) AS BIGINT) AS adc_um
+         |FROM codes JOIN td ON codes.s = td.s AND codes.j = td.j
+         |GROUP BY vec_id ORDER BY adc_um ASC, vec_id LIMIT 5""".stripMargin
+    },
     "q4b_quantized_rerank" -> {
       // same maxabs/round-half-up quantization, integer dots, and
       // division order as the engine — floats widen to double exactly,

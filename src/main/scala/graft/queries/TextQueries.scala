@@ -140,6 +140,46 @@ object TextQueries extends QueryPack {
         .orderBy($"lang")
     }),
 
+    // Count-min sketch heavy-hitter estimation: a d×w counter grid
+    // (d=4 rows, w=1024 buckets) whose cell (r, h_r(token) % w) sums
+    // occurrences; a token's estimate is the MIN over its d cells —
+    // one-sided error (est ≥ true), bounded by 2N/w with prob 1−2⁻ᵈ.
+    // The sketch is 4096 counters REGARDLESS of corpus size, and every
+    // cell is an independent SUM — partial aggregation collapses each
+    // task's contribution to ≤4096 rows before the exchange, so the
+    // shuffle moves sketch-sized state while the exact word-count
+    // shuffle (q23) moves vocabulary-sized state. Gate output compares
+    // the estimate against truth for the exact top-20 tokens, putting
+    // the one-sided-error contract itself on the hash path.
+    "q9j_cms_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val W = 1024
+      val D = 4
+      // two aggregations over the token stream (sketch build + exact
+      // top-20): both reduce a cheap re-scanned map stage; persisting
+      // the exploded token frame would cache corpus-sized state for a
+      // scan that costs less than the cache write at scale
+      def tok = docs(s, dir).select(explode(tokens(lower($"text"))).as("token"))
+      val cms = tok
+        .select($"token", explode(typedLit((0 until D).toList)).as("r"))
+        .withColumn("bucket",
+          graft.functions.PortableHash.detHash(
+            concat($"token", lit(":cms:"), $"r".cast("string"))) % W)
+        .groupBy($"r", $"bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val top = tok.groupBy($"token").agg(count(lit(1)).as("true_n"))
+        .orderBy($"true_n".desc, $"token").limit(20)
+      top
+        .select($"token", $"true_n", explode(typedLit((0 until D).toList)).as("r"))
+        .withColumn("bucket",
+          graft.functions.PortableHash.detHash(
+            concat($"token", lit(":cms:"), $"r".cast("string"))) % W)
+        .join(cms, Seq("r", "bucket"))
+        .groupBy($"token")
+        .agg(max($"true_n").as("true_n"), min($"cnt").as("cms_est"))
+        .orderBy($"true_n".desc, $"token")
+    }),
+
     // Bigram language-model scoring — the perplexity-proxy quality
     // signal: train bigram/prefix counts on the corpus itself, score
     // every document by its mean bigram probability. All arithmetic is
@@ -257,6 +297,26 @@ object TextQueries extends QueryPack {
       s"""SELECT token, count(*) AS n FROM (
          | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q9j_cms_heavy_hitters" -> {
+      val bucket = graft.functions.PortableHash.duckHashSql(
+        "(token || ':cms:' || CAST(r AS VARCHAR))")
+      s"""WITH tok AS (
+         | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents),
+         |seeds AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |cms AS (
+         | SELECT r, $bucket % 1024 AS bucket, count(*) AS cnt
+         | FROM tok, seeds GROUP BY 1, 2),
+         |top AS (
+         | SELECT token, count(*) AS true_n FROM tok GROUP BY token
+         | ORDER BY true_n DESC, token LIMIT 20)
+         |SELECT token, max(true_n) AS true_n, min(cnt) AS cms_est
+         |FROM (SELECT t.token, t.true_n, s.r,
+         |        ${graft.functions.PortableHash.duckHashSql(
+                   "(t.token || ':cms:' || CAST(s.r AS VARCHAR))")} % 1024 AS bucket
+         |      FROM top t, seeds s) q
+         |JOIN cms ON cms.r = q.r AND cms.bucket = q.bucket
+         |GROUP BY token ORDER BY true_n DESC, token""".stripMargin
+    },
     // same integer-scaled floor-division arithmetic: bigram frame via
     // generate_series indexing, counts as windows, `//` ≡ Spark DIV
     "q9h_lm_bigram_score" ->

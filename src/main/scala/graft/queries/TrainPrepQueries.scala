@@ -200,6 +200,50 @@ object TrainPrepQueries extends QueryPack {
         .orderBy($"train_id", $"eval_id")
     }),
 
+    // Bloom-filter decontamination pre-filter: the eval set's 4-gram
+    // shingles compile into a 32768-bit / 3-hash Bloom bitmap (4 KB of
+    // driver model state — eval suites are small by nature, same
+    // argument as q93's broadcast), and the TRAINING side then needs NO
+    // join at all: a per-row membership probe counts each doc's
+    // bloom-hitting shingles in the same scan that read it. One-sided
+    // error means zero false negatives — every true overlap q93 would
+    // find survives this filter — so at 100 TB this pass prunes the
+    // corpus down to candidate docs for pennies and the exact shingle
+    // join (q93) runs only on what's left. Flags docs with ≥3 hits
+    // (superset of q93's ≥3-shared contract, by construction).
+    "q9k_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val BloomBits = 32768
+      val BloomK = 3
+      def bitOf(sg: String, h: Int): Int =
+        (PortableHash.detHashJvm(s"$sg:bloom:$h") % BloomBits).toInt
+      val sh = docs(s, dir)
+        .select($"doc_id", graft.functions.FastText.shingleAnalyze(4)($"text").as("a"))
+        .select($"doc_id", $"a.sh".as("sh"))
+      val evalBits: Array[Long] = {
+        val bits = new Array[Long](BloomBits / 64)
+        sh.filter($"doc_id" % 50 === 0)
+          .select(explode($"sh").as("shingle")).distinct()
+          .collect().foreach { r =>
+            (0 until BloomK).foreach { h =>
+              val b = bitOf(r.getString(0), h)
+              bits(b >> 6) |= 1L << (b & 63)
+            }
+          }
+        bits
+      }
+      val hitsUdf = udf((shingles: Seq[String]) => shingles.count { sg =>
+        (0 until BloomK).forall { h =>
+          val b = bitOf(sg, h)
+          (evalBits(b >> 6) & (1L << (b & 63))) != 0
+        }
+      }.toLong)
+      sh.filter($"doc_id" % 50 =!= 0)
+        .select($"doc_id".as("train_id"), hitsUdf($"sh").as("n_hits"))
+        .filter($"n_hits" >= 3)
+        .orderBy($"train_id")
+    }),
+
     // Token-budget packing: within each source, docs in id order fill
     // bins of PackBudget tokens; a doc's bin = exclusive-prefix-sum ÷
     // budget (fixed-boundary packing — the closed form a distributed
@@ -302,6 +346,25 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(n_copies) AS BIGINT) AS n_copies_out,
            | CAST(sum(tok * n_copies) AS BIGINT) AS tokens_out
            |FROM n GROUP BY source ORDER BY source""".stripMargin
+      },
+      // the bitmap re-renders as a DISTINCT bit set; "all 3 bits set"
+      // becomes nb = 3 over the (shingle, h)-row join against it
+      "q9k_bloom_decontaminate" -> {
+        def bit(e: String) = graft.functions.PortableHash.duckHashSql(
+          s"($e || ':bloom:' || CAST(h AS VARCHAR))") + " % 32768"
+        s"""WITH sh AS (SELECT doc_id,
+           |  ${graft.functions.DedupFunctions.distinctShinglesSql("text", 4)} AS sh
+           | FROM documents),
+           |hseq AS (SELECT unnest(generate_series(0, 2)) AS h),
+           |bits AS (SELECT DISTINCT ${bit("shingle")} AS bit
+           | FROM (SELECT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0), hseq),
+           |tr AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
+           |       FROM sh WHERE doc_id % 50 <> 0),
+           |hb AS (SELECT train_id, shingle, ${bit("shingle")} AS bit FROM tr, hseq),
+           |m AS (SELECT train_id, shingle, count(*) AS nb
+           |      FROM hb JOIN bits USING (bit) GROUP BY train_id, shingle)
+           |SELECT train_id, count(*) AS n_hits FROM m WHERE nb = 3
+           |GROUP BY train_id HAVING count(*) >= 3 ORDER BY train_id""".stripMargin
       },
       "q93_decontaminate" ->
         s"""WITH sh AS (SELECT doc_id,

@@ -105,6 +105,16 @@ class PlanContractSpec extends AnyFunSuite {
     "Exchange hashpartitioning".r.findAllIn(finalPlan).length
   }
 
+  test("q4c: PQ encode+ADC is join-free — zero hash exchanges before the top-k") {
+    val p = planOf("q4c_pq_adc")
+    // codebooks and the ADC table ride inside scalar expressions; the
+    // whole query is scan → project → TakeOrdered
+    assert(hashExchanges("q4c_pq_adc") == 0,
+      s"PQ scan should not shuffle:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("q9h: LM scoring needs no model join — counts are windows, three exchanges total") {
     val p = planOf("q9h_lm_bigram_score")
     // bigram/prefix counts ride COUNT windows over the exploded frame

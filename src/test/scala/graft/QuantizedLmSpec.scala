@@ -43,6 +43,61 @@ class QuantizedLmSpec extends AnyFunSuite {
     }
   }
 
+  test("q4c: an independent JVM encode+ADC reproduces the engine's exact top-5") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val all = e.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    // same seeded codebook pick as ivfCentroids(k=16, seed=21)
+    val books = all
+      .sortBy { case (id, _) =>
+        (graft.functions.PortableHash.detHashJvm(s"$id:21"), id) }
+      .take(16).map(_._2)
+    val probe = all.find(_._1 == 0L).get._2
+    def d2(v: Array[Float], c: Array[Float], off: Int): Double = {
+      var d = 0.0
+      for (i <- 0 until 8) {
+        val x = v(off + i).toDouble - c(off + i).toDouble; d += x * x
+      }
+      math.floor(d * 1e6 + 0.5) / 1e6
+    }
+    val expected = all.filter(_._1 != 0L).map { case (id, v) =>
+      val adc = (0 until 8).map { s =>
+        val code = books.indices.minBy(j => (d2(v, books(j), s * 8), j))
+        (d2(probe, books(code), s * 8) * 1e6).round
+      }.sum
+      (id, adc)
+    }.sortBy { case (id, adc) => (adc, id) }.take(5).toSeq
+    val engine = SparkEntry.queries("q4c_pq_adc")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_um"))).toSeq
+    assert(engine == expected, s"engine=$engine expected=$expected")
+  }
+
+  test("q9j: CMS estimates are one-sided (est >= truth) and within the 2N/w bound") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q9j_cms_heavy_hitters")(spark, dir).collect()
+    assert(rows.length == 20)
+    val n = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("true_n"); val est = r.getAs[Long]("cms_est")
+      assert(est >= t, s"CMS under-counted (impossible): $r")
+      assert(est - t <= 2 * n / 1024, s"error above the 2N/w bound: $r (N=$n)")
+    }
+  }
+
+  test("q9k: bloom pre-filter never drops a doc the exact decontamination flags") {
+    val exact = SparkEntry.queries("q93_decontaminate")(spark, dir)
+      .collect().map(_.getAs[Long]("train_id")).toSet
+    val bloom = SparkEntry.queries("q9k_bloom_decontaminate")(spark, dir)
+      .collect().map(_.getAs[Long]("train_id")).toSet
+    // q93 requires >=3 shingles shared with ONE eval doc; bloom counts
+    // hits against the union bitmap — a strict superset, zero false
+    // negatives (the property that makes it a safe pre-filter)
+    assert(exact.subsetOf(bloom), s"bloom missed ${exact -- bloom}")
+  }
+
   test("q9i: copy counts bracket the epoch weight and mean converges to it") {
     SparkEntry.queries("q9i_mixture_upsample")(spark, dir).collect().foreach { r =>
       val srcNum = r.getAs[String]("source").drop(3).toInt
