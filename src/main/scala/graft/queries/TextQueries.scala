@@ -16,6 +16,30 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Count-min sketch geometry — shared by the batch gate (q9j) and the
+    * streaming twin ([[graft.streaming.StreamOps.streamingCms]]) so both
+    * build the SAME sketch cell-for-cell.
+    */
+  val CmsW = 1024
+  val CmsD = 4
+
+  /** CMS cell column for one (token, row) pair. */
+  def cmsBucket(token: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PortableHash.detHash(
+      concat(token, lit(":cms:"), r.cast("string"))) % CmsW
+
+  /** The d×w counter grid over a `token`-column frame: every cell an
+    * independent SUM, so the aggregation is map-side combined and the
+    * exchange carries ≤ d·w rows per task at any corpus size — and the
+    * same plan is an incremental streaming aggregation for free.
+    */
+  def cmsCells(tok: DataFrame): DataFrame =
+    tok.select(col("token"), explode(typedLit((0 until CmsD).toList)).as("r"))
+      .withColumn("bucket", cmsBucket(col("token"), col("r")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // N-gram repetition score — the standard "repeated template text"
     // curation signal (fraction of trigram positions occupied by a
@@ -153,27 +177,17 @@ object TextQueries extends QueryPack {
     // the one-sided-error contract itself on the hash path.
     "q9j_cms_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      val W = 1024
-      val D = 4
       // two aggregations over the token stream (sketch build + exact
       // top-20): both reduce a cheap re-scanned map stage; persisting
       // the exploded token frame would cache corpus-sized state for a
       // scan that costs less than the cache write at scale
       def tok = docs(s, dir).select(explode(tokens(lower($"text"))).as("token"))
-      val cms = tok
-        .select($"token", explode(typedLit((0 until D).toList)).as("r"))
-        .withColumn("bucket",
-          graft.functions.PortableHash.detHash(
-            concat($"token", lit(":cms:"), $"r".cast("string"))) % W)
-        .groupBy($"r", $"bucket")
-        .agg(count(lit(1)).as("cnt"))
+      val cms = TextQueries.cmsCells(tok)
       val top = tok.groupBy($"token").agg(count(lit(1)).as("true_n"))
         .orderBy($"true_n".desc, $"token").limit(20)
       top
-        .select($"token", $"true_n", explode(typedLit((0 until D).toList)).as("r"))
-        .withColumn("bucket",
-          graft.functions.PortableHash.detHash(
-            concat($"token", lit(":cms:"), $"r".cast("string"))) % W)
+        .select($"token", $"true_n", explode(typedLit((0 until CmsD).toList)).as("r"))
+        .withColumn("bucket", TextQueries.cmsBucket($"token", $"r"))
         .join(cms, Seq("r", "bucket"))
         .groupBy($"token")
         .agg(max($"true_n").as("true_n"), min($"cnt").as("cms_est"))

@@ -36,6 +36,42 @@ object TrainPrepQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Bloom geometry — shared by the batch gate (q9k) and the streaming
+    * twin ([[graft.streaming.StreamOps.streamingBloomGate]]) so both
+    * probe the SAME bitmap bit-for-bit.
+    */
+  val BloomBits = 32768
+  val BloomK = 3
+
+  private def bloomBitOf(sg: String, h: Int): Int =
+    (PortableHash.detHashJvm(s"$sg:bloom:$h") % BloomBits).toInt
+
+  /** Compile a (small) shingle frame into the 4 KB bitmap — driver
+    * model state, like the IVF centroids; the probing side then needs
+    * no join at any scale.
+    */
+  def bloomBitmap(shingles: DataFrame): Array[Long] = {
+    val bits = new Array[Long](BloomBits / 64)
+    shingles.select(col("shingle")).distinct().collect().foreach { r =>
+      (0 until BloomK).foreach { h =>
+        val b = bloomBitOf(r.getString(0), h)
+        bits(b >> 6) |= 1L << (b & 63)
+      }
+    }
+    bits
+  }
+
+  /** Per-row membership count of a shingle array against the bitmap
+    * (all k bits set ⇒ hit) — the closure broadcasts the 4 KB bitmap.
+    */
+  def bloomHitsUdf(bits: Array[Long]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((shingles: Seq[String]) => shingles.count { sg =>
+      (0 until BloomK).forall { h =>
+        val b = bloomBitOf(sg, h)
+        (bits(b >> 6) & (1L << (b & 63))) != 0
+      }
+    }.toLong)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Overlapping fixed-width chunking — the document→passage primitive
     // for embedding/RAG and long-context packing: width-32 windows at
@@ -213,33 +249,13 @@ object TrainPrepQueries extends QueryPack {
     // (superset of q93's ≥3-shared contract, by construction).
     "q9k_bloom_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val BloomBits = 32768
-      val BloomK = 3
-      def bitOf(sg: String, h: Int): Int =
-        (PortableHash.detHashJvm(s"$sg:bloom:$h") % BloomBits).toInt
       val sh = docs(s, dir)
         .select($"doc_id", graft.functions.FastText.shingleAnalyze(4)($"text").as("a"))
         .select($"doc_id", $"a.sh".as("sh"))
-      val evalBits: Array[Long] = {
-        val bits = new Array[Long](BloomBits / 64)
-        sh.filter($"doc_id" % 50 === 0)
-          .select(explode($"sh").as("shingle")).distinct()
-          .collect().foreach { r =>
-            (0 until BloomK).foreach { h =>
-              val b = bitOf(r.getString(0), h)
-              bits(b >> 6) |= 1L << (b & 63)
-            }
-          }
-        bits
-      }
-      val hitsUdf = udf((shingles: Seq[String]) => shingles.count { sg =>
-        (0 until BloomK).forall { h =>
-          val b = bitOf(sg, h)
-          (evalBits(b >> 6) & (1L << (b & 63))) != 0
-        }
-      }.toLong)
+      val evalBits = bloomBitmap(
+        sh.filter($"doc_id" % 50 === 0).select(explode($"sh").as("shingle")))
       sh.filter($"doc_id" % 50 =!= 0)
-        .select($"doc_id".as("train_id"), hitsUdf($"sh").as("n_hits"))
+        .select($"doc_id".as("train_id"), bloomHitsUdf(evalBits)($"sh").as("n_hits"))
         .filter($"n_hits" >= 3)
         .orderBy($"train_id")
     }),

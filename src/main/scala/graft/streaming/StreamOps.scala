@@ -132,6 +132,35 @@ object StreamOps {
       .dropDuplicates("fp")
   }
 
+  /** Streaming count-min sketch — the batch sketch builder
+    * ([[graft.queries.TextQueries.cmsCells]]) run as an incremental
+    * streaming aggregation: every cell is an independent SUM, so the
+    * state store holds at most d·w counter rows forever (sketch-sized
+    * state by construction — the whole point of sketching a stream)
+    * and each micro-batch folds in with map-side partials. Complete
+    * mode re-emits the current grid; on bounded input the final grid
+    * is cell-for-cell the batch sketch.
+    */
+  def streamingCms(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.cmsCells(
+      docs.select(explode(
+        graft.functions.TextFunctions.tokens(lower(col("text")))).as("token")))
+
+  /** Streaming Bloom decontamination gate — the stateless twin of
+    * q9k: the eval-set bitmap is compiled BATCH-side (eval suites are
+    * static, tiny model state) and every streamed document probes it
+    * per-row inside its own map stage: no join, no state store, no
+    * watermark. The zero-false-negative contract carries over —
+    * a streamed doc the exact join would flag always passes the gate.
+    */
+  def streamingBloomGate(docsStream: DataFrame, evalBits: Array[Long]): DataFrame =
+    docsStream
+      .select(col("doc_id").as("train_id"),
+        graft.queries.TrainPrepQueries.bloomHitsUdf(evalBits)(
+          graft.functions.FastText.shingleAnalyze(4)(col("text"))
+            .getField("sh")).as("n_hits"))
+      .filter(col("n_hits") >= 3)
+
   case class MinhashDocIn(doc_id: Long, sh: Seq[String], bucket: String)
   case class BucketMembers(members: List[(Long, Seq[String])], hot: Boolean)
   case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double)

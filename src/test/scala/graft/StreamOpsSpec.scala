@@ -149,6 +149,49 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming CMS grid equals the batch sketch cell-for-cell") {
+    val docsDir = Paths.get("target", "stream-cur-docs").toAbsolutePath
+    val base = Tables.load(spark, sf, "documents")
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      base.write.mode("overwrite").parquet(docsDir.toString)
+    }
+    val docsSchema = spark.read.parquet(docsDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingCms(df),
+      docsDir.toString, docsSchema, "cms_out", OutputMode.Complete())
+    val batch = graft.queries.TextQueries.cmsCells(
+      base.select(explode(
+        graft.functions.TextFunctions.tokens(lower(col("text")))).as("token")))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    // state is sketch-bounded by construction
+    assert(streamed.count() <= graft.queries.TextQueries.CmsW.toLong *
+      graft.queries.TextQueries.CmsD)
+  }
+
+  test("streaming Bloom gate flags exactly the batch q9k rows, statelessly") {
+    val base = Tables.load(spark, sf, "documents")
+    val trainDir = Paths.get("target", "stream-bloom-docs").toAbsolutePath
+    if (!Files.exists(trainDir.resolve("_SUCCESS"))) {
+      base.filter(col("doc_id") % 50 =!= 0)
+        .write.mode("overwrite").parquet(trainDir.toString)
+    }
+    val evalBits = graft.queries.TrainPrepQueries.bloomBitmap(
+      base.filter(col("doc_id") % 50 === 0)
+        .select(explode(graft.functions.FastText.shingleAnalyze(4)(col("text"))
+          .getField("sh")).as("shingle")))
+    val trainSchema = spark.read.parquet(trainDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingBloomGate(df, evalBits),
+      trainDir.toString, trainSchema, "bloom_out", OutputMode.Append())
+    val batch = graft.queries.TrainPrepQueries
+      .queries("q9k_bloom_decontaminate")(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("streaming incremental dedup: stream-static anti-join matches the batch q9f key set") {
     val base = Tables.load(spark, sf, "documents")
     val fpCol = graft.functions.FastText.textStatsUdf(col("text")).getField("fp")
