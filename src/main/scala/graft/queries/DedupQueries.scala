@@ -286,6 +286,35 @@ object DedupQueries extends QueryPack {
           graft.functions.FastText.jaccardUdf($"a_sh", $"b_sh").as("jaccard"))
         .filter($"jaccard" >= 0.35)
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // Dedup-oriented data LAYOUT: the corpus materialized once bucketed
+    // by content fingerprint, so every digest-keyed op afterwards —
+    // dup-group rollups, survivor picks, incremental anti-joins —
+    // reads co-located buckets and runs with ZERO exchange (the scan's
+    // bucket distribution already satisfies the aggregation). Bucket
+    // once, dedup many times: the q85 amortization argument applied to
+    // the dedup family; at 100 TB the repeated cost this kills is a
+    // full-corpus shuffle per dedup pass. The write is part of the
+    // measured op (honest cold cost, like q85).
+    "q9l_bucketed_dedup_layout" -> ((s, dir) => {
+      import s.implicits._
+      val name = "graft_docs_by_fp"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      docs(s, dir)
+        .select($"doc_id",
+          graft.functions.FastText.textStatsUdf($"text").getField("fp").as("fp"))
+        .write.bucketBy(8, "fp").sortBy("fp")
+        .mode("overwrite").saveAsTable(name)
+      s.table(name)
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("survivor_id"))
+        .filter($"n_copies" >= 2)
+        .orderBy($"fp")
     })
   )
 
@@ -314,6 +343,11 @@ object DedupQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q9l_bucketed_dedup_layout" ->
+      s"""SELECT fp, count(*) AS n_copies, min(doc_id) AS survivor_id
+         |FROM (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp
+         |      FROM documents)
+         |GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
     "q30_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash FROM (
         | SELECT doc_id, text, row_number() OVER (

@@ -224,6 +224,42 @@ object SimilarityQueries extends QueryPack {
         .limit(5)
     }),
 
+    // IVF + PQ combined (the FAISS IVFPQ topology): the coarse quantizer
+    // prunes the scan to the probe's cell (1/k of the corpus) and ADC
+    // codes rank what's left with table lookups — the two compressions
+    // compose multiplicatively, which is how a 100 TB vector table
+    // serves interactive searches: partition pruning × 32× smaller
+    // resident codes. Same centroids as q44, same codebooks as q4c
+    // (raw-vector codebooks — a production index encodes residuals, the
+    // topology is identical), one scan, one broadcast 1-row join.
+    "q4d_ivfpq_search" -> ((s, dir) => {
+      import s.implicits._
+      val SubLen = 8
+      val M = Dim / SubLen
+      val e = emb(s, dir)
+      val cents = ivfCentroids(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val books = cents.map(_._2)
+      val probeVec = e.filter($"vec_id" === ProbeId)
+        .select($"embedding").collect().head.getSeq[Float](0).toArray
+      val adcUm = (0 until M).map { sub =>
+        val table = books.map { c =>
+          (graft.plans.PqEncode.tableEntry(probeVec, c, sub * SubLen, SubLen) * 1e6)
+            .round
+        }
+        element_at(typedLit(table),
+          (graft.plans.PqEncode.code($"embedding", sub * SubLen, SubLen, books) + 1)
+            .cast("int"))
+      }.reduce(_ + _)
+      val assigned = ivfAssign(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val probeCell = assigned.filter($"vec_id" === ProbeId)
+        .select($"centroid_id".as("probe_cell"))
+      assigned.filter($"vec_id" =!= ProbeId)
+        .join(broadcast(probeCell), $"centroid_id" === $"probe_cell")
+        .select($"vec_id", $"centroid_id", adcUm.as("adc_um"))
+        .orderBy($"adc_um".asc, $"vec_id")
+        .limit(5)
+    }),
+
     // IVF cell histogram — partition balance diagnostic.
     "q45_ivf_cells" -> ((s, dir) => {
       import s.implicits._
@@ -406,6 +442,38 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned, probe
          |WHERE vec_id <> $ProbeId AND centroid_id = probe_cell
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "q4d_ivfpq_search" -> {
+      // IVF assignment CTE (ivfCteSql) supplies the cell filter; the PQ
+      // CTEs from q4c supply the ADC ranking — joined on the vec level
+      val hash = s"(('0x' || substr(md5(vec_id::VARCHAR || ':$IvfSeed'), 1, 8))::BIGINT)"
+      def sub(e: String) = s"list_slice(($e)::DOUBLE[], ss.s * 8 + 1, ss.s * 8 + 8)"
+      s"""$ivfCteSql,
+         |pick AS (
+         | SELECT vec_id, embedding,
+         |  row_number() OVER (ORDER BY $hash, vec_id) - 1 AS j
+         | FROM embeddings ORDER BY $hash, vec_id LIMIT $IvfK),
+         |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = $ProbeId),
+         |pcell AS (SELECT centroid_id AS probe_cell FROM assigned WHERE vec_id = $ProbeId),
+         |d AS (
+         | SELECT e.vec_id, ss.s, p.j,
+         |  ${sqDistUmSql(sub("e.embedding"), sub("p.embedding"))} AS d2um
+         | FROM embeddings e, ss, pick p
+         | WHERE e.vec_id <> $ProbeId),
+         |codes AS (SELECT vec_id, s, j FROM (
+         |  SELECT vec_id, s, j,
+         |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2um ASC, j ASC) AS rk
+         |  FROM d) WHERE rk = 1),
+         |td AS (
+         | SELECT ss.s, p.j, ${sqDistUmSql(sub("probe.pv"), sub("p.embedding"))} AS t
+         | FROM probe, ss, pick p)
+         |SELECT a.vec_id, a.centroid_id, CAST(sum(t) AS BIGINT) AS adc_um
+         |FROM codes JOIN td ON codes.s = td.s AND codes.j = td.j
+         |JOIN assigned a ON a.vec_id = codes.vec_id, pcell
+         |WHERE a.centroid_id = pcell.probe_cell
+         |GROUP BY a.vec_id, a.centroid_id
+         |ORDER BY adc_um ASC, a.vec_id LIMIT 5""".stripMargin
+    },
     "q4c_pq_adc" -> {
       // codebook = the seeded pick in hash order (j = rank), encode =
       // per-(vec, subspace) integer-micro-unit argmin, ADC = exact

@@ -115,6 +115,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("q4d: IVFPQ search is cell-pruned + broadcast, never a shuffle join") {
+    val p = planOf("q4d_ivfpq_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("q9l: digest-bucketed layout aggregates with zero hash exchanges") {
+    val p = planOf("q9l_bucketed_dedup_layout")
+    // the scan's bucket distribution must satisfy the groupBy(fp) —
+    // an Exchange here means the layout bought nothing
+    assert(hashExchanges("q9l_bucketed_dedup_layout") == 0,
+      s"bucketed dedup shuffled:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"), p.take(2000))
+  }
+
   test("q9h: LM scoring needs no model join — counts are windows, three exchanges total") {
     val p = planOf("q9h_lm_bigram_score")
     // bigram/prefix counts ride COUNT windows over the exploded frame
