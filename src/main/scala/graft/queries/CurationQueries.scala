@@ -180,6 +180,50 @@ object CurationQueries extends QueryPack {
           pround(avg($"q"), 5).as("mean_quality"),
           sum($"ntok").as("n_tokens"))
         .orderBy($"source")
+    }),
+
+    // Per-source quality-percentile normalization: raw quality scores
+    // aren't comparable across sources (a boilerplate-heavy source sits
+    // lower everywhere), so the keep-threshold is applied to each doc's
+    // PERCENT RANK within its source — "best half of every source", the
+    // per-domain adaptive cut a global threshold can't express. One
+    // rank window per source; ordering is (quality, doc_id) so ranks
+    // are total and replayable at any partition count.
+    "q9m_quality_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+      docs(s, dir)
+        .select($"doc_id", $"source",
+          graft.functions.FastText.qualityScoreUdf($"text").as("quality"))
+        .withColumn("pr", pround(percent_rank().over(w), 6))
+        .filter($"pr" >= 0.5)
+        .orderBy($"source", $"doc_id")
+    }),
+
+    // The mixture COMPILER: q99's report + a target share per source →
+    // the concrete resampling decision (downsample rate or upsample
+    // epochs) each source needs to hit the target. Uniform target here
+    // (1/n_sources of the corpus token budget); the arithmetic is one
+    // 20-row agg + window — the driver-free form of "read the report,
+    // set the weights" that q95 (quota) and q9i (epochs) then execute.
+    "q9n_mixture_compile" -> ((s, dir) => {
+      import s.implicits._
+      val wAll = Window.partitionBy()
+      docs(s, dir)
+        .select($"source", tokenCount($"text").cast("long").as("tok"))
+        .groupBy($"source")
+        .agg(sum($"tok").as("n_tokens"))
+        .withColumn("target_tokens",
+          pround(sum($"n_tokens").over(wAll).cast("double") /
+            count(lit(1)).over(wAll).cast("double"), 6))
+        .withColumn("rate",
+          pround(least(lit(1.0), $"target_tokens" / $"n_tokens".cast("double")), 6))
+        .withColumn("epochs",
+          pround(greatest(lit(1.0), $"target_tokens" / $"n_tokens".cast("double")), 6))
+        .withColumn("mode",
+          when($"n_tokens".cast("double") > $"target_tokens", "down").otherwise("up"))
+        .select($"source", $"n_tokens", $"target_tokens", $"rate", $"epochs", $"mode")
+        .orderBy($"source")
     })
   )
 
@@ -263,6 +307,27 @@ object CurationQueries extends QueryPack {
          | ${proundSql("1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE", 6)} AS dup_rate,
          | ${proundSql(s"avg(${qualityScoreSql("text")})", 5)} AS mean_quality,
          | sum(${tokenCountSql("text")})::BIGINT AS n_tokens
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q9m_quality_percentile" ->
+      s"""SELECT doc_id, source, quality, pr FROM (
+         | SELECT doc_id, source, quality,
+         |  ${proundSql("percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)", 6)} AS pr
+         | FROM (SELECT doc_id, source, ${qualityScoreSql("text")} AS quality
+         |       FROM documents))
+         |WHERE pr >= 0.5 ORDER BY source, doc_id""".stripMargin,
+    "q9n_mixture_compile" ->
+      s"""WITH s AS (
+         | SELECT source, CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY source),
+         |t AS (
+         | SELECT source, n_tokens,
+         |  ${proundSql("(sum(n_tokens) OVER ())::DOUBLE / (count(*) OVER ())::DOUBLE", 6)}
+         |   AS target_tokens
+         | FROM s)
+         |SELECT source, n_tokens, target_tokens,
+         | ${proundSql("least(1.0, target_tokens / n_tokens::DOUBLE)", 6)} AS rate,
+         | ${proundSql("greatest(1.0, target_tokens / n_tokens::DOUBLE)", 6)} AS epochs,
+         | CASE WHEN n_tokens::DOUBLE > target_tokens THEN 'down' ELSE 'up' END AS mode
+         |FROM t ORDER BY source""".stripMargin
   )
 }
