@@ -224,6 +224,20 @@ object CurationQueries extends QueryPack {
           when($"n_tokens".cast("double") > $"target_tokens", "down").otherwise("up"))
         .select($"source", $"n_tokens", $"target_tokens", $"rate", $"epochs", $"mode")
         .orderBy($"source")
+    }),
+
+    // Source × language contingency matrix via PIVOT — the corpus-
+    // composition dashboard in wide form. The pivot vocabulary is
+    // declared (not discovered) so the plan is one hash aggregation
+    // with conditional counts — no second collect-distinct pass over
+    // the corpus, stable output schema at any scale.
+    "q9o_source_lang_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      docs(s, dir)
+        .groupBy($"source").pivot("lang", langs).agg(count(lit(1)))
+        .select($"source" +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy($"source")
     })
   )
 
@@ -328,6 +342,14 @@ object CurationQueries extends QueryPack {
          | ${proundSql("least(1.0, target_tokens / n_tokens::DOUBLE)", 6)} AS rate,
          | ${proundSql("greatest(1.0, target_tokens / n_tokens::DOUBLE)", 6)} AS epochs,
          | CASE WHEN n_tokens::DOUBLE > target_tokens THEN 'down' ELSE 'up' END AS mode
-         |FROM t ORDER BY source""".stripMargin
+         |FROM t ORDER BY source""".stripMargin,
+    "q9o_source_lang_pivot" -> {
+      val cells = Seq("de", "en", "es", "fr", "zh")
+        .map(l => s"count(*) FILTER (WHERE lang = '$l') AS $l")
+        .mkString(",\n         | ")
+      s"""SELECT source,
+         | $cells
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    }
   )
 }

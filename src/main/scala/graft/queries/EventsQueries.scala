@@ -106,6 +106,28 @@ object EventsQueries extends QueryPack {
 
     // Top event bursts: for each event_type, the 3 users with most events
     // (windowed rank over a grouped aggregate — two-stage shuffle).
+    // Event-time interval self-join, batch form — the batch dual of
+    // StreamOps.intervalJoin (same range condition, same pair set on
+    // bounded input): each event pairs with the same user's events from
+    // the preceding hour. Equi key (user_id) + range predicate plans as
+    // a co-partitioned join with the range as an in-partition filter —
+    // the shape that scales; a range-only join would be a cartesian.
+    // Output is the per-user pair rollup (pair lists are quadratic in
+    // burst size; the rollup is what a monitoring query reads anyway).
+    "q56_interval_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val l = e.select($"user_id", $"ts".as("l_ts"), $"event_id".as("l_id"))
+      val r = e.select($"user_id".as("r_user"), $"ts".as("r_ts"),
+        $"event_id".as("r_id"))
+      l.join(r, $"user_id" === $"r_user" && $"l_id" =!= $"r_id" &&
+          $"r_ts" >= $"l_ts" - expr("INTERVAL 1 HOUR") && $"r_ts" < $"l_ts")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"l_id").as("n_left"))
+        .orderBy($"user_id")
+    }),
+
     "q53_type_top_users" -> ((s, dir) => {
       import s.implicits._
       val counts = ev(s, dir).groupBy($"event_type", $"user_id")
@@ -178,6 +200,13 @@ object EventsQueries extends QueryPack {
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q56_interval_pairs" ->
+      """SELECT l.user_id, count(*) AS n_pairs,
+        | count(DISTINCT l.event_id) AS n_left
+        |FROM events l JOIN events r
+        | ON l.user_id = r.user_id AND l.event_id <> r.event_id
+        | AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts < l.ts
+        |GROUP BY l.user_id ORDER BY l.user_id""".stripMargin,
     "q53_type_top_users" ->
       """SELECT event_type, rk, user_id, n FROM (
         | SELECT event_type, user_id, n, row_number() OVER (

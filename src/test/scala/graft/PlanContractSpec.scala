@@ -132,6 +132,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), p.take(2000))
   }
 
+  test("q56: interval self-join co-partitions on the equi key, never a cartesian") {
+    val p = planOf("q56_interval_pairs")
+    // the range predicate must ride the user_id equi-join as a filter;
+    // a range-only plan degenerates to BroadcastNestedLoop/cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("q9h: LM scoring needs no model join — counts are windows, three exchanges total") {
     val p = planOf("q9h_lm_bigram_score")
     // bigram/prefix counts ride COUNT windows over the exploded frame
