@@ -288,6 +288,36 @@ object DedupQueries extends QueryPack {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // PageRank over the near-dup graph (3 iterations, damping 0.85) —
+    // centrality picks the CANONICAL representative of each dup cluster
+    // (the doc most-connected to other variants), a stronger survivor
+    // rule than min-id (q35) or max-quality (q9d). All arithmetic is
+    // integer micro-units with floor division (rank₀ = 10⁶; rₜ₊₁ =
+    // 0.15·10⁶ + 0.85·Σ rₜ(u)/deg(u)) so every iteration is exact and
+    // summation-order-free — the engine-portable rendering of a float
+    // fixpoint. Each iteration joins only the (cached, pair-bounded)
+    // edge list, never the corpus — the q35/q37 discipline; iteration
+    // count is fixed model config, not data-driven driver control flow.
+    "q38_pair_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = verifiedPairs(s, dir)
+      val sym = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("d"))
+      val withDeg = sym.join(deg, Seq("src"))
+      var ranks = sym.select($"src".as("id")).distinct()
+        .withColumn("r", lit(1000000L))
+      (1 to 3).foreach { _ =>
+        ranks = withDeg.join(ranks, $"src" === $"id")
+          .select($"dst", expr("r DIV d").as("c"))
+          .groupBy($"dst")
+          .agg(sum($"c").as("sc"))
+          .select($"dst".as("id"), expr("150000 + (85 * sc) DIV 100").as("r"))
+      }
+      ranks.select($"id".as("doc_id"), $"r".as("rank_um"))
+        .orderBy($"rank_um".desc, $"doc_id")
+    }),
+
     // Dedup-oriented data LAYOUT: the corpus materialized once bucketed
     // by content fingerprint, so every digest-keyed op afterwards —
     // dup-group rollups, survivor picks, incremental anti-joins —
@@ -335,7 +365,7 @@ object DedupQueries extends QueryPack {
        |cand AS (
        | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        | FROM elig a JOIN elig b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        | SELECT a_id, b_id, jaccard FROM (
        |  SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
        |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
@@ -343,6 +373,27 @@ object DedupQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // the three fixed iterations unroll into chained CTEs over the same
+    // symmetric edge list; `//` ≡ Spark DIV keeps every step integer
+    "q38_pair_pagerank" -> {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           | SELECT s.dst AS id,
+           |  150000 + (85 * sum(r.r // d.d)) // 100 AS r
+           | FROM sym s JOIN $prev r ON r.id = s.src
+           | JOIN deg d ON d.src = s.src
+           | GROUP BY s.dst)"""
+      s"""$minhashPairsCteSql,
+         |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |r0 AS (SELECT DISTINCT src AS id, 1000000 AS r FROM sym),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_um FROM r3
+         |ORDER BY rank_um DESC, doc_id""".stripMargin
+    },
     "q9l_bucketed_dedup_layout" ->
       s"""SELECT fp, count(*) AS n_copies, min(doc_id) AS survivor_id
          |FROM (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp
