@@ -14,6 +14,10 @@ object MultimodalQueries extends QueryPack {
 
   private val MaxSide = 64
   private val FrameStep = 7
+  // declared aspect-ratio bucket shapes (square, landscape, portrait,
+  // wide, tall) — the bucket table is training config, not data
+  private val Buckets = Seq((64, 64), (80, 48), (48, 80), (96, 32), (32, 96))
+  private val BatchSize = 32
 
   private def media(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
@@ -37,6 +41,35 @@ object MultimodalQueries extends QueryPack {
           $"resized.width".as("rw"), $"resized.height".as("rh"),
           Multimodal.decodeStub($"payload").as("decode_sig"))
         .orderBy($"doc_id")
+    }),
+
+    // Aspect-ratio bucketing — the diffusion-training batching op: a
+    // batch must share one (w, h) shape, so every image is assigned to
+    // the declared bucket whose aspect ratio is nearest (|ar - bucket|
+    // argmin, first-bucket tie-break), and batches then form WITHIN a
+    // bucket. Emits the per-bucket census + full-batch count at
+    // batch=32 — the numbers a bucketed sampler schedules from. Pure
+    // per-row arithmetic on metadata (no payload bytes move) + one
+    // small agg; the CASE-chain argmin keeps the tie-break identical
+    // in both engines.
+    "q72_aspect_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val ar = $"media.width".cast("double") / $"media.height".cast("double")
+      val dists = Buckets.map { case (bw, bh) => abs(ar - lit(bw.toDouble / bh)) }
+      val minD = least(dists: _*)
+      val bucketId = dists.zipWithIndex.tail.foldLeft(
+        when(dists.head === minD, lit(0))) { case (acc, (d, i)) =>
+        acc.when(d === minD, lit(i))
+      }
+      media(s, dir)
+        .select($"doc_id", $"media.width".as("w"), $"media.height".as("h"),
+          bucketId.as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_images"),
+          graft.functions.Portable.pround(
+            avg($"w".cast("double") / $"h".cast("double")), 5).as("mean_ar"),
+          expr(s"count(1) DIV $BatchSize").as("n_full_batches"))
+        .orderBy($"bucket")
     }),
 
     // Frame sampling: explode every 7th frame index, count + bounds per
@@ -73,6 +106,25 @@ object MultimodalQueries extends QueryPack {
       s"""SELECT doc_id, count(*) AS n_sampled, min(f) AS first_idx, max(f) AS last_idx
          |FROM (SELECT doc_id, unnest(generate_series(0, n_chars % 50, $FrameStep)) AS f
          |      FROM documents)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q72_aspect_buckets" -> {
+      val w = "(n_chars % 64 + 16)"
+      val h = "(floor(n_chars / 7)::BIGINT % 64 + 16)"
+      val ar = s"($w::DOUBLE / $h::DOUBLE)"
+      val dists = Buckets.map { case (bw, bh) =>
+        s"abs($ar - ($bw.0 / $bh.0))"
+      }
+      val minD = dists.mkString("least(", ", ", ")")
+      val bucketCase = dists.zipWithIndex
+        .map { case (d, i) => s"WHEN $d = $minD THEN $i" }
+        .mkString("CASE ", " ", " END")
+      s"""SELECT bucket, count(*) AS n_images,
+         | ${graft.functions.Portable.proundSql("avg(w::DOUBLE / h::DOUBLE)", 5)} AS mean_ar,
+         | count(*) // $BatchSize AS n_full_batches
+         |FROM (SELECT doc_id, $w::INT AS w, $h::INT AS h,
+         |        $bucketCase AS bucket
+         |      FROM documents)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }

@@ -28,7 +28,8 @@ class DeterminismSpec extends AnyFunSuite {
       "q4c_pq_adc", "q9j_cms_heavy_hitters", "q9k_bloom_decontaminate",
       "q4d_ivfpq_search", "q9l_bucketed_dedup_layout",
       "q9m_quality_percentile", "q9n_mixture_compile",
-      "q56_interval_pairs", "q9o_source_lang_pivot", "q38_pair_pagerank")) {
+      "q56_interval_pairs", "q9o_source_lang_pivot", "q38_pair_pagerank",
+      "q72_aspect_buckets")) {
     test(s"$q is identical at 5 and 32 shuffle partitions") {
       assert(runWith(5, q) == runWith(32, q))
     }
