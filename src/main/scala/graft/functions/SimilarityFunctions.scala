@@ -88,7 +88,7 @@ object SimilarityFunctions {
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
     val v = castDouble(vec)
     hyperplanes(nPlanes, dim).zipWithIndex.map { case (plane, j) =>
-      val proj = dot(v, array(plane.map(lit): _*))
+      val proj = dot(v, array(plane.toIndexedSeq.map(lit): _*))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

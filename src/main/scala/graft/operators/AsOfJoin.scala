@@ -29,7 +29,7 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val lp = struct(leftCols.map(col): _*).as("__lp__")
+    val lp = struct(leftCols.toIndexedSeq.map(col): _*).as("__lp__")
     val rp = struct(rightPayload.map(col): _*).as("__rp__")
 
     val rpType = right.select(rightPayload.map(col): _*).schema

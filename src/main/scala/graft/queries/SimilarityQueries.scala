@@ -281,7 +281,7 @@ object SimilarityQueries extends QueryPack {
         .select($"embedding").collect().head.getSeq[Float](0).toArray
       val cells = cents
         .map { case (cid, cv) =>
-          (cid, graft.functions.FastText.cosineJvm(probeVec, cv): Double)
+          (cid, graft.functions.FastText.cosineJvm(probeVec.toSeq, cv.toSeq): Double)
         }
         .sortBy { case (cid, score) => (-score, cid) }
         .take(2).map(_._1)
@@ -338,7 +338,7 @@ object SimilarityQueries extends QueryPack {
       val targets = own +: flips.map(j => own ^ (1L << j))
       e0.filter($"vec_id" =!= ProbeId)
         .withColumn("bucket", FastText.lshBucketUdf(p, Dim)($"embedding"))
-        .filter($"bucket".isin(targets: _*))
+        .filter($"bucket".isin(targets.toIndexedSeq: _*))
         .select($"vec_id", $"bucket",
           cosineSim($"embedding", typedLit(probeVec.toSeq)).as("score"))
         .orderBy($"score".desc, $"vec_id")

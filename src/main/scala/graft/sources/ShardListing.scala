@@ -37,7 +37,7 @@ object ShardListing {
   private def listDir(spark: SparkSession, url: String): Seq[String] = {
     val path = new Path(url)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.isFile(path)) Seq(url)
+    if (fs.getFileStatus(path).isFile) Seq(url)
     else {
       val it = fs.listFiles(path, /* recursive = */ true)
       val buf = scala.collection.mutable.ArrayBuffer[String]()
