@@ -128,6 +128,34 @@ object EventsQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Volume-drift monitor: each hour's event count z-scored against
+    // its type's trailing 24 observed hours — the anomaly feed an
+    // ingest pipeline alerts on. Mean and variance derive from EXACT
+    // integer window sums (Σx, Σx², n), so the float arithmetic is a
+    // fixed expression over integers — deterministic across engines
+    // and partitionings, no streaming-variance accumulation order to
+    // disagree on. One window per event type over the (tiny) hourly
+    // rollup, never the raw events.
+    "q57_drift_monitor" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("sx", sum($"n").over(w))
+        .withColumn("sxx", sum($"n" * $"n").over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter($"cnt" >= 12)
+        .withColumn("mu", $"sx".cast("double") / $"cnt".cast("double"))
+        .withColumn("z", pround(($"n".cast("double") - $"mu") /
+          sqrt($"sxx".cast("double") / $"cnt".cast("double") - $"mu" * $"mu" + lit(1.0)), 4))
+        .select($"hour", $"event_type", $"n", $"z")
+        .orderBy($"event_type", $"hour")
+    }),
+
     "q53_type_top_users" -> ((s, dir) => {
       import s.implicits._
       val counts = ev(s, dir).groupBy($"event_type", $"user_id")
@@ -200,6 +228,23 @@ object EventsQueries extends QueryPack {
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q57_drift_monitor" ->
+      s"""WITH hourly AS (
+         | SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, count(*) AS n
+         | FROM events GROUP BY 1, 2),
+         |win AS (
+         | SELECT hour, event_type, n,
+         |  sum(n) OVER w AS sx, sum(n * n) OVER w AS sxx, count(*) OVER w AS cnt
+         | FROM hourly
+         | WINDOW w AS (PARTITION BY event_type ORDER BY hour
+         |              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT hour, event_type, n,
+         | ${graft.functions.Portable.proundSql(
+           "(n::DOUBLE - sx::DOUBLE / cnt::DOUBLE) / " +
+             "sqrt(sxx::DOUBLE / cnt::DOUBLE - (sx::DOUBLE / cnt::DOUBLE) * (sx::DOUBLE / cnt::DOUBLE) + 1.0)", 4)} AS z
+         |FROM win WHERE cnt >= 12
+         |ORDER BY event_type, hour""".stripMargin,
     "q56_interval_pairs" ->
       """SELECT l.user_id, count(*) AS n_pairs,
         | count(DISTINCT l.event_id) AS n_left

@@ -229,6 +229,31 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Tokenizer-coverage / OOV analysis: train a top-K vocabulary on
+    // the corpus, then score every document's out-of-vocabulary rate —
+    // the number that says whether a tokenizer's vocab budget fits the
+    // data. The vocab is a top-K aggregate (small by construction, K
+    // rows — broadcast side), the scoring join is corpus-tokens ×
+    // broadcast — no shuffle of the token stream beyond its per-doc
+    // rollup. Boundary ties rank (count DESC, token) so the vocab set
+    // is total and replayable.
+    "q9p_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      val VocabK = 1000
+      def tok = docs(s, dir)
+        .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+      val vocab = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token").limit(VocabK)
+        .select($"token", lit(1).as("inv"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when($"inv".isNull, lit(1))).as("n_oov"))
+        .withColumn("oov_rate",
+          pround($"n_oov".cast("double") / $"n_tokens".cast("double"), 6))
+        .orderBy($"doc_id")
+    }),
+
     // Vocabulary: explode tokens, top-20 by frequency (generator + agg
     // + top-k — the classic word-count shuffle).
     "q23_vocab_top" -> ((s, dir) => {
@@ -311,6 +336,20 @@ object TextQueries extends QueryPack {
       s"""SELECT token, count(*) AS n FROM (
          | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q9p_oov_rate" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS token
+         | FROM documents),
+         |v AS (SELECT token FROM (
+         |  SELECT token, count(*) AS n FROM tok GROUP BY token
+         |  ORDER BY n DESC, token LIMIT 1000))
+         |SELECT doc_id, count(*) AS n_tokens,
+         | count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+         | ${graft.functions.Portable.proundSql(
+           "count(*) FILTER (WHERE v.token IS NULL)::DOUBLE / count(*)::DOUBLE", 6)}
+         |  AS oov_rate
+         |FROM tok LEFT JOIN v ON tok.token = v.token
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q9j_cms_heavy_hitters" -> {
       val bucket = graft.functions.PortableHash.duckHashSql(
         "(token || ':cms:' || CAST(r AS VARCHAR))")
