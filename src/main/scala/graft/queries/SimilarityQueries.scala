@@ -367,6 +367,27 @@ object SimilarityQueries extends QueryPack {
         .agg((count(lit(1)) / 5.0).as("recall_at_5"))
     }),
 
+    // IVF recall measurement — q49's quality gauge pointed at the
+    // coarse quantizer: recall@5 of the probe-cell-only search (q44)
+    // against exact brute force, the number that tunes k (cells) and
+    // nprobe for this corpus. Both sides are tiny top-k frames off one
+    // scored scan.
+    "q4e_ivf_recall" -> ((s, dir) => {
+      import s.implicits._
+      val assigned = ivfAssign(emb(s, dir), "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val probe = assigned.filter($"vec_id" === ProbeId)
+        .select($"centroid_id".as("probe_cell"), $"embedding".as("probe_vec"))
+      val scored = assigned.filter($"vec_id" =!= ProbeId)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id", $"centroid_id", $"probe_cell",
+          cosineSim($"embedding", $"probe_vec").as("score"))
+      val brute = scored.orderBy($"score".desc, $"vec_id").limit(5).select($"vec_id")
+      val ivf = scored.filter($"centroid_id" === $"probe_cell")
+        .orderBy($"score".desc, $"vec_id").limit(5).select($"vec_id")
+      brute.intersect(ivf)
+        .agg((count(lit(1)) / 5.0).as("recall_at_5"))
+    }),
+
     // Bucket histogram — LSH partitioning statistics (skew diagnostic).
     "q43_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -595,6 +616,19 @@ object SimilarityQueries extends QueryPack {
       s"""$ivfCteSql
          |SELECT centroid_id, count(*) AS n FROM assigned
          |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "q4e_ivf_recall" ->
+      s"""$ivfCteSql,
+         |probe AS (SELECT centroid_id AS pc, embedding AS pv
+         |          FROM assigned WHERE vec_id = $ProbeId),
+         |scored AS (
+         | SELECT a.vec_id, a.centroid_id, probe.pc,
+         |  ${cosineSql("a.embedding", "probe.pv")} AS score
+         | FROM assigned a, probe WHERE a.vec_id <> $ProbeId),
+         |brute AS (SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT 5),
+         |iv AS (SELECT vec_id FROM scored WHERE centroid_id = pc
+         |       ORDER BY score DESC, vec_id LIMIT 5)
+         |SELECT count(*) / 5.0 AS recall_at_5 FROM
+         | (SELECT vec_id FROM brute INTERSECT SELECT vec_id FROM iv)""".stripMargin,
     "q43_lsh_buckets" -> {
       val bucket = lshBucketSql("embedding", Planes, Dim)
       s"""SELECT $bucket AS bucket, count(*) AS n FROM embeddings
