@@ -112,6 +112,32 @@ object TrainPrepQueries extends QueryPack {
         .orderBy($"split")
     }),
 
+    // STRATIFIED train/val/test split: q90's hash split is exact only in
+    // expectation — on a small or skewed source its realized fractions
+    // drift, silently shifting the eval mixture. This variant ranks docs
+    // in hash order WITHIN each source and cuts at exact integer
+    // boundaries (floor(0.8·n), floor(0.9·n)), so every source's split
+    // proportions are exact by construction while each assignment stays
+    // a replayable function of (doc_id, seed). One rank window per
+    // source + the rollup.
+    "q9q_stratified_split" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(PortableHash.detHash($"doc_id", SplitSeed), $"doc_id")
+      docs(s, dir)
+        .select($"source", $"doc_id",
+          TextFunctions.tokenCount($"text").cast("long").as("tok"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("split",
+          when($"rk" <= expr("(8 * n) DIV 10"), "train")
+            .when($"rk" <= expr("(9 * n) DIV 10"), "val")
+            .otherwise("test"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+        .orderBy($"source", $"split")
+    }),
+
     // TF-IDF top terms: explode lowercased tokens → per-(doc, term) tf,
     // per-term df, score = tf · ln((N+1)/(df+1)) summed over docs.
     // Inverted-index topology — both aggregations are hash-partial, the
@@ -345,6 +371,20 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(tok) AS BIGINT) AS tokens_selected
            |FROM c WHERE cum - tok < $QuotaTokens
            |GROUP BY source ORDER BY source""".stripMargin
+      },
+      "q9q_stratified_split" -> {
+        val h = PortableHash.duckHashSql("CAST(doc_id AS VARCHAR)", SplitSeed)
+        s"""WITH r AS (
+           | SELECT source, CAST($tok AS BIGINT) AS tok,
+           |  row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk,
+           |  count(*) OVER (PARTITION BY source) AS n
+           | FROM documents)
+           |SELECT source,
+           | CASE WHEN rk <= (8 * n) // 10 THEN 'train'
+           |      WHEN rk <= (9 * n) // 10 THEN 'val'
+           |      ELSE 'test' END AS split,
+           | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+           |FROM r GROUP BY 1, 2 ORDER BY source, split""".stripMargin
       },
       "q9i_mixture_upsample" -> {
         val u = PortableHash.duckUniformSql("CAST(doc_id AS VARCHAR)", UpsampleSeed)
