@@ -318,6 +318,26 @@ object DedupQueries extends QueryPack {
         .orderBy($"rank_um".desc, $"doc_id")
     }),
 
+    // Duplication LEAKAGE matrix: near-dup pairs attributed to their
+    // (source, source) cell — which sources copy from which. The number
+    // that turns pair mining into a mixture decision: heavy diagonal ⇒
+    // dedup within the source; heavy off-diagonal ⇒ two sources share a
+    // crawl and double-count in the mixture. Joins move (id, source)
+    // pairs against the cached edge list only; the unordered cell is
+    // (least, greatest) so the matrix is upper-triangular.
+    "q39_dup_leakage_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val src = docs(s, dir).select($"doc_id", $"source")
+      verifiedPairs(s, dir)
+        .join(src.select($"doc_id".as("a_id"), $"source".as("src_a")), Seq("a_id"))
+        .join(src.select($"doc_id".as("b_id"), $"source".as("src_b")), Seq("b_id"))
+        .select(least($"src_a", $"src_b").as("src_lo"),
+          greatest($"src_a", $"src_b").as("src_hi"))
+        .groupBy($"src_lo", $"src_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_lo", $"src_hi")
+    }),
+
     // Dedup-oriented data LAYOUT: the corpus materialized once bucketed
     // by content fingerprint, so every digest-keyed op afterwards —
     // dup-group rollups, survivor picks, incremental anti-joins —
@@ -373,6 +393,15 @@ object DedupQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q39_dup_leakage_matrix" ->
+      s"""$minhashPairsCteSql
+         |SELECT least(da.source, db.source) AS src_lo,
+         |       greatest(da.source, db.source) AS src_hi,
+         |       count(*) AS n_pairs
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = pairs.a_id
+         |JOIN documents db ON db.doc_id = pairs.b_id
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
     // the three fixed iterations unroll into chained CTEs over the same
     // symmetric edge list; `//` ≡ Spark DIV keeps every step integer
     "q38_pair_pagerank" -> {

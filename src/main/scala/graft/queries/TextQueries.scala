@@ -229,6 +229,25 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Token frequency SPECTRUM (frequency-of-frequencies): how many
+    // vocabulary types occur with counts in each power-of-two band
+    // (bucket = bit length of the count — ⌊log2 c⌋+1, integer-exact via
+    // the binary string rendering both engines share) — the Zipf/Heaps
+    // corpus-health diagnostic (a fat low band = noisy long tail; mass
+    // pushed high = template text) and the input to Good-Turing
+    // smoothing. Two hash aggregations over integer counts,
+    // vocabulary-sized then spectrum-sized — nothing floats.
+    "q9r_token_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select(explode(tokens(lower($"text"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("c"))
+        .withColumn("freq_bucket", length(bin($"c")).cast("long"))
+        .groupBy($"freq_bucket")
+        .agg(count(lit(1)).as("n_types"), sum($"c").as("n_occurrences"))
+        .orderBy($"freq_bucket")
+    }),
+
     // Tokenizer-coverage / OOV analysis: train a top-K vocabulary on
     // the corpus, then score every document's out-of-vocabulary rate —
     // the number that says whether a tokenizer's vocab budget fits the
@@ -336,6 +355,13 @@ object TextQueries extends QueryPack {
       s"""SELECT token, count(*) AS n FROM (
          | SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q9r_token_spectrum" ->
+      s"""SELECT length(format('{:b}', c))::BIGINT AS freq_bucket, count(*) AS n_types,
+         | CAST(sum(c) AS BIGINT) AS n_occurrences
+         |FROM (SELECT token, count(*) AS c FROM (
+         |  SELECT unnest(${tokensSql("lower(text)")}) AS token FROM documents)
+         | GROUP BY token)
+         |GROUP BY 1 ORDER BY freq_bucket""".stripMargin,
     "q9p_oov_rate" ->
       s"""WITH tok AS (
          | SELECT doc_id, unnest(${tokensSql("lower(text)")}) AS token
