@@ -318,6 +318,46 @@ object DedupQueries extends QueryPack {
         .orderBy($"rank_um".desc, $"doc_id")
     }),
 
+    // Contrastive training-pair construction: for every document that
+    // has a near-dup, emit (anchor, positive, neg1, neg2) — positive =
+    // its highest-Jaccard variant from the cached pair graph, negatives
+    // = a per-anchor deterministic pick from a corpus-wide hash-sampled
+    // pool. The pool is ~64 docs REGARDLESS of corpus size (uniform
+    // threshold 64/n), so negative sampling is anchors × broadcast-pool
+    // with a rank window — no global row_number, no corpus self-join;
+    // every choice is a pure function of (ids, seed), so the epoch's
+    // pair set reproduces under retries exactly.
+    "q3a_contrastive_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val NegSeed = 23
+      val pairs = verifiedPairs(s, dir)
+      val sym = pairs.select($"a_id".as("anchor"), $"b_id".as("partner"), $"jaccard")
+        .union(pairs.select($"b_id".as("anchor"), $"a_id".as("partner"), $"jaccard"))
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"anchor").orderBy($"jaccard".desc, $"partner")
+      val pos = sym.withColumn("rk", row_number().over(wPos))
+        .filter($"rk" === 1)
+        .select($"anchor", $"partner".as("pos_id"), $"jaccard".as("pos_jaccard"))
+      val n = docs(s, dir).count()
+      val pool = docs(s, dir)
+        .filter(graft.functions.PortableHash.detUniform($"doc_id", NegSeed) < 64.0 / n)
+        .select($"doc_id".as("pool_id"))
+      def negPick(j: Int) = {
+        val h = graft.functions.PortableHash.detHash(
+          concat($"anchor", lit(":"), $"pool_id", lit(s":$j")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"anchor").orderBy(h, $"pool_id")
+        pos.select($"anchor").join(broadcast(pool), $"pool_id" =!= $"anchor")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"anchor", $"pool_id".as(s"neg${j}_id"))
+      }
+      pos.join(negPick(1), Seq("anchor")).join(negPick(2), Seq("anchor"))
+        .select($"anchor".as("anchor_id"), $"pos_id", $"pos_jaccard",
+          $"neg1_id", $"neg2_id")
+        .orderBy($"anchor_id")
+    }),
+
     // Duplication LEAKAGE matrix: near-dup pairs attributed to their
     // (source, source) cell — which sources copy from which. The number
     // that turns pair mining into a mixture decision: heavy diagonal ⇒
@@ -393,6 +433,33 @@ object DedupQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q3a_contrastive_pairs" -> {
+      def negCte(j: Int) = {
+        val h = graft.functions.PortableHash.duckHashSql(
+          s"(CAST(p.anchor AS VARCHAR) || ':' || CAST(pool_id AS VARCHAR) || ':$j')")
+        s"""neg$j AS (SELECT anchor, pool_id AS neg${j}_id FROM (
+           | SELECT p.anchor, pool_id,
+           |  row_number() OVER (PARTITION BY p.anchor
+           |   ORDER BY $h, pool_id) AS rk
+           | FROM pos p, pool WHERE pool_id <> p.anchor) WHERE rk = 1)"""
+      }
+      s"""$minhashPairsCteSql,
+         |sym AS (SELECT a_id AS anchor, b_id AS partner, jaccard FROM pairs
+         |        UNION ALL SELECT b_id, a_id, jaccard FROM pairs),
+         |pos AS (SELECT anchor, partner AS pos_id, jaccard AS pos_jaccard FROM (
+         | SELECT anchor, partner, jaccard,
+         |  row_number() OVER (PARTITION BY anchor
+         |   ORDER BY jaccard DESC, partner) AS rk
+         | FROM sym) WHERE rk = 1),
+         |pool AS (SELECT doc_id AS pool_id FROM documents
+         | WHERE ${graft.functions.PortableHash.duckUniformSql("CAST(doc_id AS VARCHAR)", 23)}
+         |   < 64.0 / (SELECT count(*) FROM documents)),
+         |${negCte(1)},
+         |${negCte(2)}
+         |SELECT pos.anchor AS anchor_id, pos_id, pos_jaccard, neg1_id, neg2_id
+         |FROM pos JOIN neg1 USING (anchor) JOIN neg2 USING (anchor)
+         |ORDER BY anchor_id""".stripMargin
+    },
     "q39_dup_leakage_matrix" ->
       s"""$minhashPairsCteSql
          |SELECT least(da.source, db.source) AS src_lo,

@@ -30,7 +30,8 @@ class DeterminismSpec extends AnyFunSuite {
       "q9m_quality_percentile", "q9n_mixture_compile",
       "q56_interval_pairs", "q9o_source_lang_pivot", "q38_pair_pagerank",
       "q72_aspect_buckets", "q9p_oov_rate", "q57_drift_monitor",
-      "q9q_stratified_split", "q39_dup_leakage_matrix", "q9r_token_spectrum")) {
+      "q9q_stratified_split", "q39_dup_leakage_matrix", "q9r_token_spectrum",
+      "q3a_contrastive_pairs")) {
     test(s"$q is identical at 5 and 32 shuffle partitions") {
       assert(runWith(5, q) == runWith(32, q))
     }
