@@ -102,3 +102,43 @@ object SimpleSizeFilter {
 case object IdentityFilter extends SampleFilter {
   override def predicate(df: DataFrame): Column = lit(true)
 }
+
+/** Curation filters as pipeline stages: the SAME kernels and default
+  * thresholds as the gate queries (q22 quality, q21 language ID, q96
+  * Gopher rules) wrapped in the SampleFilter contract, so a
+  * reference-shaped YAML/JSON config can run the curation pack inline
+  * with its decode/transform chain — one rulebook across the gate
+  * queries, the streaming `curationGate`, and the pipeline API.
+  */
+case class TextQualityFilter(key: String = "txt", minQuality: Double = 0.5,
+    override val excludeKeys: Seq[String] = Nil) extends SampleFilter {
+  override def predicate(df: DataFrame): Column =
+    graft.functions.FastText.qualityScoreUdf(col(key)) >= minQuality
+}
+
+case class LangFilter(key: String = "txt", lang: String = "en",
+    override val excludeKeys: Seq[String] = Nil) extends SampleFilter {
+  override def predicate(df: DataFrame): Column =
+    graft.functions.FastText.langIdUdf(col(key)) === lang
+}
+
+/** Gopher-style rule slice (word count, mean word length, stopword
+  * hits) with q96's default thresholds.
+  */
+case class GopherRulesFilter(key: String = "txt",
+    minWords: Long = 25, maxWords: Long = 90,
+    minMeanWl: Double = 3.0, maxMeanWl: Double = 10.0,
+    minStopHits: Long = 2,
+    override val excludeKeys: Seq[String] = Nil) extends SampleFilter {
+  override def predicate(df: DataFrame): Column = {
+    val t = col(key)
+    val nTok = graft.functions.TextFunctions.tokenCount(t).cast("long")
+    val meanWl = (length(t).cast("double") - nTok.cast("double") + lit(1.0)) /
+      greatest(nTok.cast("double"), lit(1.0))
+    val stops = graft.functions.TextFunctions.stopwordCount(t,
+      graft.functions.TextFunctions.stopwords.head._2)
+    nTok >= minWords && nTok <= maxWords &&
+      meanWl >= minMeanWl && meanWl <= maxMeanWl &&
+      stops >= minStopHits
+  }
+}

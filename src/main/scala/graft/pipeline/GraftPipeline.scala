@@ -69,6 +69,22 @@ object OperatorRegistry {
       strict = p.getOrElse("strict", "true").toBoolean,
       heightKey = p.getOrElse("height_key", "height"),
       widthKey = p.getOrElse("width_key", "width")))
+  registerFilter("text_quality_filter")(p =>
+    TextQualityFilter(
+      key = p.getOrElse("key", "txt"),
+      minQuality = p.getOrElse("min_quality", "0.5").toDouble))
+  registerFilter("lang_filter")(p =>
+    LangFilter(
+      key = p.getOrElse("key", "txt"),
+      lang = p.getOrElse("lang", "en")))
+  registerFilter("gopher_rules_filter")(p =>
+    GopherRulesFilter(
+      key = p.getOrElse("key", "txt"),
+      minWords = p.getOrElse("min_words", "25").toLong,
+      maxWords = p.getOrElse("max_words", "90").toLong,
+      minMeanWl = p.getOrElse("min_mean_wl", "3.0").toDouble,
+      maxMeanWl = p.getOrElse("max_mean_wl", "10.0").toDouble,
+      minStopHits = p.getOrElse("min_stop_hits", "2").toLong))
   registerMapper("rescaler")(p =>
     Rescaler(key = p.getOrElse("key", "jpg"),
       isFloat = p.getOrElse("isfloat", "true").toBoolean))

@@ -23,6 +23,35 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("id", "__url__", "height", "width", "txt")
   }
 
+  test("curation filters agree with their gate queries on the corpus") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // quality filter ≡ q22's keep set
+    val viaFilter = graft.pipeline.OperatorRegistry
+      .filter("text_quality_filter", Map("key" -> "text"))(docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaGate = SparkEntry.queries("q22_quality_score")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaFilter == viaGate)
+    // lang filter ≡ q21's en predictions
+    val enFilter = graft.pipeline.OperatorRegistry
+      .filter("lang_filter", Map("key" -> "text", "lang" -> "en"))(docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val enGate = SparkEntry.queries("q21_lang_id")(spark, sf)
+      .filter(col("lang_pred") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(enFilter == enGate)
+    // gopher rules ≡ q96's rule-keep set
+    val gFilter = graft.pipeline.OperatorRegistry
+      .filter("gopher_rules_filter", Map("key" -> "text"))(docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val gGate = SparkEntry.queries("q96_gopher_rules")(spark, sf)
+      .filter(col("keep"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gFilter == gGate)
+  }
+
   test("SimpleKeyFilter: missing schema column drops everything") {
     assert(SimpleKeyFilter(Seq("height"))(df).count() == 3)
     assert(SimpleKeyFilter(Seq("no_such_col"))(df).count() == 0)
