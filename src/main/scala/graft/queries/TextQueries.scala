@@ -200,27 +200,30 @@ object TextQueries extends QueryPack {
     // INTEGER (probabilities scaled to parts-per-million with floor
     // division) so the score is exact and summation-order-independent —
     // no cross-engine libm/float-accumulation hazard. Plan shape: the
-    // "model" is not a driver-side table at all — counts are COUNT
-    // windows over the exploded bigram frame (the one-exchange pattern
-    // from NOTES_r6: partitioning by (w1,w2) then w1 reuses no corpus
-    // join), then one hash re-aggregation by doc. Cost is corpus token
-    // count at any scale; the only caveat is Scale·c2 fitting a long,
-    // which holds until a single bigram repeats ~9·10¹² times.
+    // "model" is two AGGREGATIONS of the exploded bigram frame (bigram
+    // counts, then prefix counts reduced from them — vocabulary-sized,
+    // never corpus-sized) joined back to the frame. Deliberately NOT
+    // the count-window form (NOTES_r6's one-exchange trick): a window
+    // partitioned by w1 puts every bigram starting with a stop-word on
+    // ONE reducer — unbounded skew on Zipf text at 100 TB — while
+    // aggregations map-side combine hot keys per task and the
+    // join-back is AQE skew-splittable. The persist keeps the exploded
+    // frame from being derived twice (model build + scoring pass).
     "q9h_lm_bigram_score" -> ((s, dir) => {
       import s.implicits._
       val Scale = 1000000L
-      val wBig = org.apache.spark.sql.expressions.Window.partitionBy($"w1", $"w2")
-      val wPre = org.apache.spark.sql.expressions.Window.partitionBy($"w1")
-      docs(s, dir)
+      val b = docs(s, dir)
         .select($"doc_id", tokens(lower($"text")).as("t"))
         .filter(size($"t") >= 2)
         .select($"doc_id", explode(zip_with(
           slice($"t", lit(1), size($"t") - 1),
           slice($"t", lit(2), size($"t") - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          (a, bb) => struct(a.as("w1"), bb.as("w2")))).as("bg"))
         .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
-        .withColumn("c2", count(lit(1)).over(wBig))
-        .withColumn("c1", count(lit(1)).over(wPre))
+        .persist()
+      val c2 = b.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+      b.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .withColumn("term", expr(s"($Scale * c2) DIV c1"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum($"term").as("score_sum"))

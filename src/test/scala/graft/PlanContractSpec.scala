@@ -140,14 +140,14 @@ class PlanContractSpec extends AnyFunSuite {
       p.take(1500))
   }
 
-  test("q9h: LM scoring needs no model join — counts are windows, three exchanges total") {
+  test("q9h: LM model is aggregated (map-side combined), never a window over a hot prefix") {
     val p = planOf("q9h_lm_bigram_score")
-    // bigram/prefix counts ride COUNT windows over the exploded frame
-    // ((w1,w2) then w1) and the doc rollup is the third exchange; a
-    // groupBy+join-back formulation would add corpus-sized join shuffles
-    val exchanges = hashExchanges("q9h_lm_bigram_score")
-    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n${p.take(2000)}")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(1200))
+    // bigram/prefix counts must be AGGREGATIONS (partial combine kills
+    // Zipf skew per task); a Window partitioned by w1 would pin every
+    // stop-word-prefixed bigram on one reducer at scale
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
+    assert(!p.contains("Window"), s"LM counts regressed to a window:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
   test("q9i: upsample rollup is one hash exchange with map-side combine") {
