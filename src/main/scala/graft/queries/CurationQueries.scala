@@ -86,12 +86,20 @@ object CurationQueries extends QueryPack {
     // document frequency rides a count window over the same exchange.
     "q97_dup_spans" -> ((s, dir) => {
       import s.implicits._
+      // span document frequencies as an AGGREGATION joined back, not a
+      // count window: a window partitioned by the span pins every
+      // occurrence of a hot boilerplate span on one reducer (unbounded
+      // Zipf skew at 100 TB), while the aggregate map-side combines hot
+      // spans per task and the join-back is AQE skew-splittable — the
+      // q9h discipline. The posting frame persists so the model build
+      // and the scoring pass share one derivation.
       val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
       val p = docs(s, dir)
         .select($"doc_id", analyze($"text").getField("sh").as("sh"))
         .select($"doc_id", explode($"sh").as("g"))
-      val wG = Window.partitionBy($"g")
-      p.withColumn("df", count(lit(1)).over(wG))
+        .persist()
+      val dfG = p.groupBy($"g").agg(count(lit(1)).as("df"))
+      p.join(dfG, Seq("g"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_spans"),
           count(when($"df" >= 2, lit(1))).as("n_dup"))
@@ -138,10 +146,12 @@ object CurationQueries extends QueryPack {
     "q9c_curation_v2" -> ((s, dir) => {
       import s.implicits._
       val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
-      val wG = Window.partitionBy($"g")
-      val spanStats = docs(s, dir)
+      // same skew-robust agg+join-back shape as q97 (see its comment)
+      val sp = docs(s, dir)
         .select($"doc_id", explode(analyze($"text").getField("sh")).as("g"))
-        .withColumn("df", count(lit(1)).over(wG))
+        .persist()
+      val dfG = sp.groupBy($"g").agg(count(lit(1)).as("df"))
+      val spanStats = sp.join(dfG, Seq("g"))
         .groupBy($"doc_id")
         .agg(pround(count(when($"df" >= 2, lit(1))).cast("double") /
           count(lit(1)).cast("double"), 6).as("dup_frac"))

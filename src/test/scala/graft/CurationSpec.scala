@@ -86,13 +86,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("q97 posting shuffle is a single exchange reused by the window") {
+  test("q97 span frequencies are aggregated (map-side combined), never a window") {
     val plan = CurationQueries.queries("q97_dup_spans")(spark, dir)
       .queryExecution.executedPlan.toString
-    // one hashpartitioning exchange on the span column feeds the count
-    // window; the per-doc aggregate then exchanges on doc_id.
-    val spanShuffles = "Exchange hashpartitioning\\(g#".r.findAllIn(plan).length
-    assert(spanShuffles == 1, s"expected exactly one posting shuffle:\n$plan")
+    // span df must be an AGGREGATION joined back — partial combine
+    // collapses hot boilerplate spans per task; a count window
+    // partitioned by the span would pin each hot span on one reducer
+    assert(!plan.contains("Window"), s"span df regressed to a window:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
   }
 
   test("q98 df and stats join sides are broadcast") {
