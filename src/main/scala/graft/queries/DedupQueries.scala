@@ -102,16 +102,23 @@ object DedupQueries extends QueryPack {
   private def minhashVerifiedPairs(s: SparkSession, dir: String, d: DataFrame): DataFrame = {
     import s.implicits._
     val exploded = d.select($"doc_id", explode($"buckets").as("bucket"))
-    // Bucket-size guard as a COUNT window over the bucket partition: one
-    // shuffle on bucket that the self-join below reuses (same exchange,
-    // same sort order) — vs. the groupBy+join form, which shuffles the
-    // posting list twice. Semantics identical: keep buckets with
-    // 2..MaxBucket members.
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
-    val elig = exploded
-      .withColumn("__n__", count(lit(1)).over(wB))
+      .persist()
+    // Bucket-size guard as an AGGREGATION filtered to the eligible
+    // bucket set, semi-joined back to the postings — NOT a count window
+    // over the bucket partition: on boilerplate-heavy data a degenerate
+    // band bucket is exactly where the rows pile up, and a window pins
+    // that whole bucket on one buffering reducer BEFORE the cap can
+    // discard it. The aggregate map-side combines the hot bucket per
+    // task; the join-back probe of an ineligible hot key is
+    // AQE-skew-splittable and drops without matching. Eligible buckets
+    // have ≤ MaxBucket postings by construction, so the join output is
+    // bounded. Semantics identical: keep buckets with 2..MaxBucket
+    // members.
+    val okBuckets = exploded.groupBy($"bucket")
+      .agg(count(lit(1)).as("__n__"))
       .filter($"__n__" >= 2 && $"__n__" <= MaxBucket)
-      .drop("__n__")
+      .select($"bucket")
+    val elig = exploded.join(okBuckets, Seq("bucket"))
     val cand = elig.select($"bucket", $"doc_id".as("a_id"))
       .join(elig.select($"bucket", $"doc_id".as("b_id")), Seq("bucket"))
       .filter($"a_id" < $"b_id")
@@ -259,14 +266,18 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"a.sh".as("sh"))
         .persist()
       val postings = d.select($"doc_id", explode($"sh").as("shingle"))
-      // Rare-shingle (df ≤ MaxDf) filter as a COUNT window over the
-      // shingle partition: one shuffle on shingle, reused by the
-      // self-join below — same trick as q31's bucket guard.
-      val wS = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-      val elig = postings
-        .withColumn("__df__", count(lit(1)).over(wS))
+        .persist()
+      // Rare-shingle (df ≤ MaxDf) filter as an aggregation + join-back
+      // (same skew reasoning as the q31 bucket guard: a stop-phrase
+      // shingle's millions of postings must never buffer on one window
+      // reducer just to be discarded; the aggregate combines them
+      // map-side and the join probe skew-splits). Eligible shingles
+      // have ≤ MaxDf postings by construction.
+      val rare = postings.groupBy($"shingle")
+        .agg(count(lit(1)).as("__df__"))
         .filter($"__df__" >= 2 && $"__df__" <= MaxDf)
-        .drop("__df__")
+        .select($"shingle")
+      val elig = postings.join(rare, Seq("shingle"))
       // Count filter (PPJoin family): a pair must share >= MinShared
       // rare shingles to reach exact verification. On a low-entropy
       // corpus single-shingle collisions explode (~436k pairs for ~25
