@@ -19,6 +19,19 @@ object EventsQueries extends QueryPack {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  /** Write-once guard for the q75 partitioned layout (session-scoped,
+    * like the persisted IVF index): events partitioned by event_type.
+    */
+  private val partCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def partitionedEventsPath(s: SparkSession, dir: String): String =
+    partCache.computeIfAbsent((s, dir), { _ =>
+      val p = s"target/events-by-type-${Integer.toHexString(dir.hashCode)}"
+      ev(s, dir).write.mode("overwrite").partitionBy("event_type").parquet(p)
+      p
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-based sessionization: a new session starts when the gap from
     // the previous event of the same user exceeds 30 min. Emits per-user
@@ -156,6 +169,26 @@ object EventsQueries extends QueryPack {
         .orderBy($"event_type", $"hour")
     }),
 
+    // Hive-partitioned layout + static partition pruning — the third
+    // leg of the data-layout story (q85/q9l bucket for joins/aggs, q4a
+    // prunes dynamically; this prunes STATICALLY): events materialized
+    // once partitioned by event_type, so a type-filtered query reads
+    // only its directory — at 100 TB, the difference between scanning
+    // a partition and scanning the table. The scan's PartitionFilters
+    // line is pinned in PlanContractSpec; the oracle filters the raw
+    // table, so a row misfiled across the partition boundary breaks
+    // the hash.
+    "q75_partitioned_scan" -> ((s, dir) => {
+      import s.implicits._
+      val p = partitionedEventsPath(s, dir)
+      s.read.parquet(p)
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          pround(sum($"value"), 2).as("sum_value"))
+        .orderBy($"user_id")
+    }),
+
     "q53_type_top_users" -> ((s, dir) => {
       import s.implicits._
       val counts = ev(s, dir).groupBy($"event_type", $"user_id")
@@ -228,6 +261,11 @@ object EventsQueries extends QueryPack {
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q75_partitioned_scan" ->
+      """SELECT user_id, count(*) AS n,
+        | floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q57_drift_monitor" ->
       s"""WITH hourly AS (
          | SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

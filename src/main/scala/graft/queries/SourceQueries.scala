@@ -77,12 +77,69 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** Write-once guards for the interchange-format fixtures (same
+    * session-scoped discipline as the persisted IVF index): each format
+    * materializes once per (session, corpus) and every scan reads it
+    * back — the round-trip, not the write, is what the gate measures.
+    */
+  private val formatCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+
+  private def roundtripPath(s: SparkSession, dir: String, fmt: String)
+      (write: (DataFrame, String) => Unit): String =
+    formatCache.computeIfAbsent((s, dir, fmt), { _ =>
+      val p = s"target/roundtrip-$fmt-${Integer.toHexString(dir.hashCode)}"
+      write(graft.core.Tables.load(s, dir, "documents"), p)
+      p
+    })
+
+  /** The fidelity aggregate both round-trips share: every column
+    * participates (ids, text bytes, categorical strings), so a quoting,
+    * escaping, type-inference, or row-loss bug in the interchange
+    * format breaks the hash against the parquet-direct oracle.
+    */
+  private def fidelityAgg(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("doc_id")).as("sum_id"),
+      sum(length(col("text"))).as("text_bytes"),
+      sum(col("n_chars")).as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = {
     // materialize fixtures at map-construction time so the driver's
     // per-query timing measures the scan, not the one-time generation
     val _ = fixtureDir
     val _2 = metaFixtureDir
     Map(
+    // CSV round-trip: documents written as quoted CSV and read back
+    // with an explicit schema (inference is a second pass over the data
+    // — never at scale), then the fidelity aggregate. CSV/JSONL are the
+    // interchange formats LLM corpora actually arrive in; the oracle
+    // aggregates the parquet table directly, so the round-trip must be
+    // byte-faithful to hash-match.
+    "q73_csv_roundtrip" -> ((s, dir) => {
+      val p = roundtripPath(s, dir, "csv") { (df, path) =>
+        df.write.mode("overwrite").option("header", "true").csv(path)
+      }
+      fidelityAgg(s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("header", "true").csv(p))
+    }),
+
+    // JSONL round-trip: one JSON object per line — the de-facto corpus
+    // interchange format. Same explicit-schema read and fidelity hash.
+    "q74_jsonl_roundtrip" -> ((s, dir) => {
+      val p = roundtripPath(s, dir, "jsonl") { (df, path) =>
+        df.write.mode("overwrite").json(path)
+      }
+      fidelityAgg(s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(p))
+    }),
     // Full ingest: scan all shards (one partition each), decode cls,
     // filter, aggregate — the tar-pipeline throughput number.
     "q80_wds_tar_ingest" -> ((s, _) => {
@@ -198,9 +255,23 @@ object SourceQueries extends QueryPack {
     * length = 16 + len(id) + 100 + id%300; cls = id%97; shard = id/5000).
     * Any assembly/decode/pruning bug in the tar source breaks the hash.
     */
+  /** Round-trip oracles aggregate the parquet table DIRECTLY — the
+    * interchange write+read must reproduce it byte-for-byte to match.
+    */
+  private val fidelitySql =
+    """SELECT count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      | CAST(sum(length(text)) AS BIGINT) AS text_bytes,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | count(DISTINCT lang) AS n_langs,
+      | count(DISTINCT source) AS n_sources
+      |FROM documents""".stripMargin
+
   override def oracles: Map[String, String] = {
     val last = Shards * SamplesPerShard - 1
     Map(
+      "q73_csv_roundtrip" -> fidelitySql,
+      "q74_jsonl_roundtrip" -> fidelitySql,
       "q80_wds_tar_ingest" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
            |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,

@@ -74,6 +74,13 @@ class PlanContractSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("q75: type filter prunes hive partitions at the scan") {
+    val p = planOf("q75_partitioned_scan")
+    // the filter must land in PartitionFilters (directory pruning), not
+    // as a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(2000))
+  }
+
   test("q4a: persisted-IVF search prunes index partitions via the probe cell") {
     val p = planOf("q4a_ivf_persisted")
     // the scan over the cell-partitioned index must carry a DYNAMIC
