@@ -172,6 +172,45 @@ object SourceQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), max($"__key__").as("max_key"))
     }),
 
+    // Compressed-interchange variant: gzip JSONL (the .jsonl.gz shape
+    // most public corpora ship as) — Spark decompresses transparently
+    // per file; same explicit schema, same fidelity hash. (Gzip is not
+    // splittable: one file = one task, so a corpus should arrive as
+    // MANY .gz files — this fixture inherits the write's partitioning,
+    // which is exactly that layout.)
+    "q76_jsonl_gzip_roundtrip" -> ((s, dir) => {
+      val p = roundtripPath(s, dir, "jsonl-gz") { (df, path) =>
+        df.write.mode("overwrite").option("compression", "gzip").json(path)
+      }
+      fidelityAgg(s.read
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(p))
+    }),
+
+    // Schema evolution: two parquet batches with different columns (an
+    // early ingest without `lang`, a later one with it) merged at read
+    // time — the additive-column reality of a long-lived corpus. The
+    // aggregate counts nulls from the pre-evolution batch, so a merge
+    // that drops, misaligns, or backfills the column breaks the hash.
+    "q77_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val p = roundtripPath(s, dir, "evolve") { (df, path) =>
+        df.filter($"doc_id" % 2 === 0)
+          .select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(s"$path/batch=0")
+        df.filter($"doc_id" % 2 =!= 0)
+          .select($"doc_id", $"text", $"lang")
+          .write.mode("overwrite").parquet(s"$path/batch=1")
+      }
+      s.read.option("mergeSchema", "true").parquet(p)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_id"),
+          sum(length($"text")).as("text_bytes"),
+          count($"lang").as("n_with_lang"),
+          countDistinct($"lang").as("n_langs"))
+    }),
+
     // Predicate-pushdown variant: the __url__ range prunes shards 8..15
     // at PLANNING (8 tars never opened), and the __key__ bound skips
     // sample assembly for ids < 10000 inside the surviving readers — the
@@ -272,6 +311,15 @@ object SourceQueries extends QueryPack {
     Map(
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
+      "q76_jsonl_gzip_roundtrip" -> fidelitySql,
+      // lang exists only on odd-id rows after the merge
+      "q77_schema_evolution" ->
+        """SELECT count(*) AS n_docs,
+          | CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          | CAST(sum(length(text)) AS BIGINT) AS text_bytes,
+          | count(*) FILTER (WHERE doc_id % 2 <> 0) AS n_with_lang,
+          | count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN lang END) AS n_langs
+          |FROM documents""".stripMargin,
       "q80_wds_tar_ingest" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
            |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
