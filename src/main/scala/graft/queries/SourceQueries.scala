@@ -211,6 +211,35 @@ object SourceQueries extends QueryPack {
           countDistinct($"lang").as("n_langs"))
     }),
 
+    // Raw-file-per-sample ingest via Spark's binaryFile source — the
+    // loose-files layout multimodal corpora start in before they are
+    // sharded into tars (one image/doc per file). Payload bytes and the
+    // path-derived id both land on the hash, so a truncated read or a
+    // path-parse slip breaks it. (The wds-tar source exists precisely
+    // because THIS layout does not scale — millions of tiny files
+    // throttle any listing; the gate keeps both ends of that story.)
+    "q78_binaryfile_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val p = roundtripPath(s, dir, "rawfiles") { (df, path) =>
+        val base = new java.io.File(path)
+        base.mkdirs()
+        df.select($"doc_id", $"text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            base.toPath.resolve(f"doc-${r.getLong(0)}%08d.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(p)
+        .select(
+          regexp_extract($"path", "doc-(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+          length($"content").as("n_bytes"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("sum_id"),
+          sum($"n_bytes").as("payload_bytes"),
+          max($"doc_id").as("max_id"))
+    }),
+
     // Predicate-pushdown variant: the __url__ range prunes shards 8..15
     // at PLANNING (8 tars never opened), and the __key__ bound skips
     // sample assembly for ids < 10000 inside the surviving readers — the
@@ -312,6 +341,14 @@ object SourceQueries extends QueryPack {
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,
+      // text is UTF-8-encoded per file; the corpus is ASCII word salad,
+      // so byte length == char length (length(text))
+      "q78_binaryfile_ingest" ->
+        """SELECT count(*) AS n_docs,
+          | CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          | CAST(sum(length(text)) AS BIGINT) AS payload_bytes,
+          | CAST(max(doc_id) AS BIGINT) AS max_id
+          |FROM documents""".stripMargin,
       // lang exists only on odd-id rows after the merge
       "q77_schema_evolution" ->
         """SELECT count(*) AS n_docs,
