@@ -54,6 +54,13 @@ object Decoders {
   def image(spec: String): Decoder =
     Decoder(s"image_$spec", graft.functions.ImageCodec.decodeUdf(spec))
 
+  /** Numpy tensor members (wds autodecode's `npy`/`npz` handlers) —
+    * `struct(shape array<int>, data array<float>)`, every dtype widened
+    * to float32; npz explodes to a name-keyed map of the same struct.
+    */
+  val npy: Decoder = Decoder("npy", c => graft.functions.NpyCodec.decodeNpyUdf(c))
+  val npz: Decoder = Decoder("npz", c => graft.functions.NpyCodec.decodeNpzUdf(c))
+
   /** Member extensions treated as images (wds autodecode's extension
     * coverage, minus formats javax.imageio lacks).
     */
@@ -70,7 +77,9 @@ object Decoders {
       "txt" -> utf8,
       "text" -> utf8,
       "json" -> json,
-      "cls" -> cls) ++
+      "cls" -> cls,
+      "npy" -> npy,
+      "npz" -> npz) ++
       imageExtensions.map(_ -> image("pil")).toMap
 
   /** Resolve a config decoder list/map into the extension table:

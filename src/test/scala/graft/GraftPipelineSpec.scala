@@ -25,11 +25,13 @@ class GraftPipelineSpec extends AnyFunSuite {
     d
   }
 
-  private def writeTar(rel: String, members: Seq[(String, String)]): String = {
+  private def writeTar(rel: String, members: Seq[(String, String)]): String =
+    writeTarBytes(rel, members.map { case (p, c) => p -> c.getBytes("UTF-8") })
+
+  private def writeTarBytes(rel: String, members: Seq[(String, Array[Byte])]): String = {
     val f = base.resolve(rel).toFile
     val out = new TarArchiveOutputStream(new FileOutputStream(f))
-    members.foreach { case (path, content) =>
-      val bytes = content.getBytes("UTF-8")
+    members.foreach { case (path, bytes) =>
       val e = new TarArchiveEntry(path)
       e.setSize(bytes.length.toLong)
       out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
@@ -252,5 +254,33 @@ class GraftPipelineSpec extends AnyFunSuite {
     val m = OperatorRegistry.mapper("rescaler", Map("key" -> "jpg", "isfloat" -> "false"))
     assert(m.isInstanceOf[Rescaler])
     intercept[RuntimeException](OperatorRegistry.filter("nope"))
+  }
+
+  test("npy members decode to typed tensors through the pipeline (D3 npy/npz)") {
+    // members are numpy-written fixtures (NpyCodecSpec's ground truth),
+    // so the pipeline path is validated against the reference writer
+    def res(name: String): Array[Byte] =
+      Files.readAllBytes(Paths.get(getClass.getResource(s"/npy/$name").toURI))
+    Files.createDirectories(base.resolve("npy"))
+    writeTarBytes("npy/shard-00.tar", Seq(
+      "t1.npy" -> res("f4_2x3.npy"),
+      "t1.cls" -> "3".getBytes("UTF-8"),
+      "t2.npy" -> res("f8_5.npy"),
+      "t2.cls" -> "4".getBytes("UTF-8")))
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("npy").toString),
+      extensions = Seq("npy", "cls"))
+    val df = GraftPipeline.create(spark, config)
+    val rows = df.collect().map(r => r.getAs[String]("__key__") -> r).toMap
+    assert(rows.keySet == Set("t1", "t2"))
+    val t1 = rows("t1").getAs[org.apache.spark.sql.Row]("npy")
+    assert(t1.getAs[scala.collection.Seq[Int]]("shape").toSeq == Seq(2, 3))
+    assert(t1.getAs[scala.collection.Seq[Float]]("data").toSeq ==
+      Seq(0f, 1.5f, 3f, 4.5f, 6f, 7.5f))
+    val t2 = rows("t2").getAs[org.apache.spark.sql.Row]("npy")
+    assert(t2.getAs[scala.collection.Seq[Int]]("shape").toSeq == Seq(5))
+    assert(t2.getAs[scala.collection.Seq[Float]]("data").toSeq ==
+      Seq(0.5f, 1.25f, -2.0f, 3.75f, 100.0f))
+    assert(rows("t1").getAs[Long]("cls") == 3L)
   }
 }

@@ -42,23 +42,32 @@ def value_hash(df: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None  # driver-format artifact
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    records = {}
     for name in sorted(oracle):
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        records[name] = rec
         try:
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
-                print(f"FAIL {name}: no spark output");  n_fail += 1; continue
+                print(f"FAIL {name}: no spark output"); rec["err"] = "no spark output"; n_fail += 1; continue
             got = norm(duckdb.sql(f"SELECT * FROM read_parquet({files!r})").df())
             exp = norm(con.sql(oracle[name]).df())
-            if list(got.columns) != list(exp.columns):
+            rec["spark_rows"], rec["oracle_rows"] = len(got), len(exp)
+            rec["schema_match"] = list(got.columns) == list(exp.columns)
+            rec["rows_match"] = len(got) == len(exp)
+            if not rec["schema_match"]:
                 print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}"); n_fail += 1; continue
-            if len(got) != len(exp):
+            if not rec["rows_match"]:
                 print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
             hg, he = value_hash(got), value_hash(exp)
+            rec["hash_match"] = hg == he
             if hg != he:
                 print(f"FAIL {name}: hash {hg} != {he}")
                 merged = got.compare(exp) if got.shape == exp.shape else None
@@ -70,8 +79,12 @@ def main():
             n_pass += 1
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            rec["err"] = f"{type(e).__name__}: {e}"
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
     sys.exit(1 if n_fail else 0)
 
 
