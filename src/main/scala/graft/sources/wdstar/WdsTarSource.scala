@@ -54,6 +54,19 @@ import graft.sources.{ShardExpand, ShardListing}
   * Options: `shards` (comma-separated paths/brace patterns) or `path`
   * (dir to list recursively); `extensions` (comma list → binary columns);
   * `errorPolicy` (`fail`|`skip`); `overflow` (`true`|`false`).
+  *
+  * Tar-format tolerance (the reference accepts "any member python's
+  * tarfile yields", custom_datapipes.py:339-408): PAX extended headers
+  * and GNU `@LongLink` records — the two encodings of >100-char member
+  * paths and non-ascii names — are resolved by commons-compress before
+  * this reader sees the entry, so stems, pushdown, and assembly always
+  * operate on the logical name (WdsTarSourceSpec pins both modes).
+  * Member SIZES above the 8 GiB ustar octal field (PAX `size` attribute
+  * or GNU base-256 encoding) parse the same way; a single member is
+  * still bounded by the JVM's 2 GiB array limit at buffering time, and
+  * a member larger than that fails the shard under `errorPolicy=fail`
+  * (skips it under `skip`) rather than truncating silently — a sample
+  * that size belongs in a chunked layout, not one tar member.
   */
 class WdsTarTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wds-tar"

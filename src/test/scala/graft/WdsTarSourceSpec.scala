@@ -254,6 +254,87 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(!ShardFilters.eval(LessThan("__key__", bmp), supp))
   }
 
+  // Real-world shards carry PAX extended headers and >100-char member
+  // paths (the ustar name-field limit) — the reference tolerates
+  // anything python's tarfile yields (custom_datapipes.py:339-408).
+  // commons-compress transparently resolves both PAX (LONGFILE_POSIX)
+  // and GNU (LONGFILE_GNU) long-name records; these fixtures prove the
+  // whole read path — stem assembly, key derivation, pruning — sees the
+  // RESOLVED names, not the 'ustar chunk + @LongLink' raw entries.
+  private def writeTarLongMode(name: String, mode: Int,
+      members: Seq[(String, Array[Byte])]): String = {
+    val f = fixtureDir.resolve(name).toFile
+    val out = new TarArchiveOutputStream(new FileOutputStream(f))
+    out.setLongFileMode(mode)
+    out.setAddPaxHeadersForNonAsciiNames(true)
+    members.foreach { case (path, bytes) =>
+      val e = new TarArchiveEntry(path)
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    f.getAbsolutePath
+  }
+
+  private val deepPrefix =
+    "very/deep/dataset/layout/with/many/nested/component/directories/" +
+      "that/push/the/full/member/path/well/past/the/ustar/limit"
+
+  test("PAX long-name shard: >100-char member paths assemble by resolved stem") {
+    val shard = writeTarLongMode("pax-long-000000.tar",
+      TarArchiveOutputStream.LONGFILE_POSIX, Seq(
+        s"$deepPrefix/sample-000001.txt" -> b("pax one"),
+        s"$deepPrefix/sample-000001.cls" -> b("7"),
+        s"$deepPrefix/sample-000002.txt" -> b("pax two"),
+        s"$deepPrefix/sample-000002.cls" -> b("9")))
+    assert((deepPrefix + "/sample-000001.txt").length > 100)
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard).option("extensions", "txt,cls").load()
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    // basename stem, directory prefix stripped by sampleKey
+    assert(rows.keySet == Set("sample-000001", "sample-000002"))
+    assert(new String(rows("sample-000001").getAs[Array[Byte]]("txt")) == "pax one")
+    assert(new String(rows("sample-000002").getAs[Array[Byte]]("cls")) == "9")
+  }
+
+  test("GNU long-name shard reads identically to PAX") {
+    val shard = writeTarLongMode("gnu-long-000000.tar",
+      TarArchiveOutputStream.LONGFILE_GNU, Seq(
+        s"$deepPrefix/sample-000003.txt" -> b("gnu three"),
+        s"$deepPrefix/sample-000003.cls" -> b("3")))
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard).option("extensions", "txt,cls").load()
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "sample-000003")
+    assert(new String(rows(0).getAs[Array[Byte]]("txt")) == "gnu three")
+  }
+
+  test("PAX headers with non-ascii member names resolve to the utf-8 stem") {
+    val shard = writeTarLongMode("pax-utf8-000000.tar",
+      TarArchiveOutputStream.LONGFILE_POSIX, Seq(
+        "sämple-ünïcode.txt" -> b("utf8 name"),
+        "sämple-ünïcode.cls" -> b("5")))
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard).option("extensions", "txt,cls").load()
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "sämple-ünïcode")
+  }
+
+  test("__key__ pushdown operates on PAX-resolved long names") {
+    val shard = writeTarLongMode("pax-push-000000.tar",
+      TarArchiveOutputStream.LONGFILE_POSIX, Seq(
+        s"$deepPrefix/sample-000001.txt" -> b("a"),
+        s"$deepPrefix/sample-000005.txt" -> b("b"),
+        s"$deepPrefix/sample-000009.txt" -> b("c")))
+    val df = spark.read.format("wds-tar")
+      .option("shards", shard).option("extensions", "txt").load()
+    import org.apache.spark.sql.functions.col
+    val got = df.filter(col("__key__") >= "sample-000005").collect().map(_.getString(0))
+    assert(got.sorted.toSeq == Seq("sample-000005", "sample-000009"))
+  }
+
   test("member extension derivation and shard keys (pure listing layer)") {
     import graft.sources.ShardExpand._
     assert(expand("ds-{000..002}.tar") ==
