@@ -21,7 +21,13 @@ import graft.functions.Multimodal
   * codec-backed kernel via [[Multimodal.decodePartitioned]] without
   * changing this operator's shape.
   */
-sealed trait ImageOp {
+/** Open for user extension: the YAML config vocabulary stays fail-fast
+  * on unknown transform names, but a user op registered via
+  * [[ImageTransforms.registerConfigOp]] becomes config-reachable without
+  * an engine change — the Scala dual of the reference's open-world
+  * `instantiate` (sample_mappers.py:104-108), minus arbitrary imports.
+  */
+trait ImageOp {
   def apply(media: Column): Column
   /** Ops with per-sample randomness (flip/crop draws) override this;
     * `id` is the sample key the deterministic draw hashes (SURVEY §7.4:
@@ -504,6 +510,44 @@ final case class GaussianBlurOp(kx: Int, ky: Int,
   override def apply(media: Column, id: Column): Column =
     f(media.getField("width"), media.getField("height"),
       media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
+/** Registry for config-reachable user image ops (the torchvision
+  * escape hatch). A registration names the transform as a YAML
+  * `target`'s last segment (e.g. "RandomAffine"), pins WHERE in the
+  * canonical chain it runs (`rank` — canonical ops sit at 0, 10, …,
+  * 100; pick an intermediate value), and supplies the factory from the
+  * config's string params + the chain context (layout, seed, clamp).
+  * Unknown names still fail fast — the open world is exactly the set
+  * of explicit registrations, not arbitrary class loading.
+  */
+object ImageTransforms {
+
+  /** Chain-wide context handed to user-op factories: pixel layout
+    * (CHW ⇔ torch* decode specs), the chain's seed for deterministic
+    * draws, and the overshoot clamp ceiling of the pixel scale.
+    */
+  final case class UserOpContext(chw: Boolean, seed: Int, clampHi: Float)
+
+  private val configOps =
+    scala.collection.concurrent.TrieMap[String, (Int, (Map[String, String], UserOpContext) => ImageOp)]()
+
+  def registerConfigOp(name: String, rank: Int)(
+      mk: (Map[String, String], UserOpContext) => ImageOp): Unit = {
+    require(rank >= 0 && rank % 10 != 0,
+      s"user op rank must be positive and between canonical slots (not a multiple of 10): $rank")
+    configOps.put(name, (rank, mk))
+  }
+
+  /** The chain rank of a registered user op, if any (ConfigYaml's
+    * unknown-transform fallback).
+    */
+  def configOpRank(name: String): Option[Int] = configOps.get(name).map(_._1)
+
+  def buildConfigOp(name: String, params: Map[String, String],
+      ctx: UserOpContext): ImageOp =
+    configOps.getOrElse(name,
+      sys.error(s"unknown user image op: $name"))._2(params, ctx)
 }
 
 final case class ImageTransforms(ops: Seq[ImageOp], key: String = "media",

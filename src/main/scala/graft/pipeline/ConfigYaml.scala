@@ -212,7 +212,7 @@ object ConfigYaml {
       name match {
         case "Resize" =>
           only("size", "interpolation")
-          (1, Map("resize" -> size.toString) ++
+          (10, Map("resize" -> size.toString) ++
             tp.get("interpolation").map { v =>
               val s = v.toString
               // validate eagerly so a bad code fails at config load
@@ -244,7 +244,7 @@ object ConfigYaml {
             case Some(v) => num(v).toInt.toString
             case None => sys.error("Pad needs 'padding'")
           }
-          (2, Map("pad" -> pad) ++
+          (20, Map("pad" -> pad) ++
             tp.get("fill").map(v => "pad_fill" -> num(v).toString))
         case "RandomRotation" =>
           only("degrees", "interpolation", "fill")
@@ -258,14 +258,14 @@ object ConfigYaml {
             case other => sys.error(
               s"RandomRotation interpolation supports 0 (nearest) and 2 (bilinear), got $other")
           }
-          (3, Map("rotation" -> degrees) ++
+          (30, Map("rotation" -> degrees) ++
             rotInterp.map("rotation_interpolation" -> _) ++
             tp.get("fill").map(v => "rotation_fill" -> num(v).toString))
-        case "RandomCrop" => only("size"); (4, Map("random_crop" -> size.toString))
-        case "CenterCrop" => only("size"); (5, Map("center_crop" -> size.toString))
+        case "RandomCrop" => only("size"); (40, Map("random_crop" -> size.toString))
+        case "CenterCrop" => only("size"); (50, Map("center_crop" -> size.toString))
         case "RandomHorizontalFlip" =>
           only("p")
-          (6, Map("hflip_p" -> tp.get("p").map(num(_).toString).getOrElse("0.5")))
+          (60, Map("hflip_p" -> tp.get("p").map(num(_).toString).getOrElse("0.5")))
         case "ColorJitter" =>
           only("brightness", "contrast", "saturation", "hue")
           val cj = Seq(
@@ -275,7 +275,7 @@ object ConfigYaml {
             jitterRange("hue", centered = true).map("cj_hue" -> _)).flatten
           if (cj.isEmpty) sys.error(
             "ColorJitter needs at least one of brightness/contrast/saturation/hue")
-          (7, cj.toMap)
+          (70, cj.toMap)
         case "GaussianBlur" =>
           only("kernel_size", "sigma")
           val ks = tp.get("kernel_size") match {
@@ -288,15 +288,34 @@ object ConfigYaml {
             case l: List[_] if l.length == 2 => l.map(num).mkString(",")
             case v => num(v).toString // scalar sigma pins lo == hi
           }
-          (8, Map("blur" -> ks) ++ sigma.map("blur_sigma" -> _))
-        case "ToTensor" => only(); (9, Map("layout" -> "chw"))
+          (80, Map("blur" -> ks) ++ sigma.map("blur_sigma" -> _))
+        case "ToTensor" => only(); (90, Map("layout" -> "chw"))
         case "Normalize" =>
           only("mean", "std")
-          (10, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
-        case other => sys.error(s"unsupported torchvision transform: $other " +
-          "(supported: RandomResizedCrop, Resize, Pad, RandomRotation, RandomCrop, " +
-          "CenterCrop, RandomHorizontalFlip, ColorJitter, GaussianBlur, ToTensor, " +
-          "Normalize)")
+          (100, Map("normalize_mean" -> nums("mean"), "normalize_std" -> nums("std")))
+        case other =>
+          // escape hatch: a transform name registered via
+          // ImageTransforms.registerConfigOp runs in-chain at its
+          // registered rank; anything else still fails fast (parity
+          // with instantiate's open world, sample_mappers.py:104-108,
+          // bounded to explicit registrations instead of imports)
+          graft.operators.ImageTransforms.configOpRank(other) match {
+            case Some(rank) =>
+              val encoded = tp.map { case (k, v) =>
+                val sv = v match {
+                  case l: List[_] => l.map(num).mkString(",")
+                  case x => x.toString
+                }
+                require(!sv.contains("|") && !sv.contains("="),
+                  s"user op $other param $k: '|' and '=' not allowed in values")
+                s"$k=$sv"
+              }.mkString("|")
+              (rank, Map(s"user_op_${rank}_$other" -> encoded))
+            case None => sys.error(s"unsupported torchvision transform: $other " +
+              "(supported: RandomResizedCrop, Resize, Pad, RandomRotation, RandomCrop, " +
+              "CenterCrop, RandomHorizontalFlip, ColorJitter, GaussianBlur, ToTensor, " +
+              "Normalize, or a name registered via ImageTransforms.registerConfigOp)")
+          }
       }
     }
     val ranked = transforms.map(one)

@@ -131,7 +131,7 @@ object OperatorRegistry {
         case Array(l, t, r, b) => (l, t, r, b)
         case _ => sys.error("image_transforms: pad needs 1, 2 or 4 ints")
       }
-    val ops = Seq(
+    val slotted: Seq[Option[ImageOp]] = Seq(
       p.get("random_resized_crop").map(s => RandomResizedCropOp(s.toInt,
         p.get("rrc_scale").map(pair(_, "rrc_scale")).getOrElse((0.08, 1.0)),
         p.get("rrc_ratio").map(pair(_, "rrc_ratio")).getOrElse((0.75, 4.0 / 3.0)),
@@ -183,11 +183,32 @@ object OperatorRegistry {
             sys.error("image_transforms: normalize_mean needs normalize_std"))
             .split(",").toIndexedSeq.map(_.trim.toDouble),
           chw)
-      }).flatten
-    require(ops.nonEmpty, "image_transforms needs at least one pixel op " +
+      })
+    // canonical chain ranks (ConfigYaml's slots ×10; ToTensor holds 90
+    // as a layout declaration, so normalize sits at 100, not 90)
+    val slotRanks = Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 100)
+    // registered user ops (ConfigYaml's unknown-transform escape hatch)
+    // carry their chain rank in the param key — user ranks fall between
+    // canonical slots, so one sort interleaves them at their registered
+    // position
+    val UserOpKey = "user_op_(\\d+)_(.+)".r
+    val userOps = p.toSeq.collect { case (UserOpKey(rank, name), enc) =>
+      val up = enc.split("\\|").filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(a, b) => a -> b
+          case _ => sys.error(s"image_transforms: bad user op param '$kv'")
+        }
+      }.toMap
+      rank.toInt -> ImageTransforms.buildConfigOp(name, up,
+        ImageTransforms.UserOpContext(chw, seed, clampHi))
+    }
+    val allOps =
+      (slotRanks.zip(slotted).collect { case (r, Some(op)) => (r, op) } ++ userOps)
+        .sortBy(_._1).map(_._2)
+    require(allOps.nonEmpty, "image_transforms needs at least one pixel op " +
       "(random_resized_crop / resize / pad / rotation / random_crop / " +
-      "center_crop / hflip_p / cj_* / blur / normalize_mean)")
-    ImageTransforms(ops,
+      "center_crop / hflip_p / cj_* / blur / normalize_mean / a registered user op)")
+    ImageTransforms(allOps,
       key = p.getOrElse("key", "jpg"),
       strict = p.getOrElse("strict", "true").toBoolean,
       idKey = p.getOrElse("id_key", "__key__"))

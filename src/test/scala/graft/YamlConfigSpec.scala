@@ -444,6 +444,49 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("order"))
   }
 
+  test("registered user ImageOp runs in-chain from YAML (torchvision escape hatch)") {
+    // rank 95: after ToTensor (90), before Normalize (100)
+    graft.operators.ImageTransforms.registerConfigOp("Invert", rank = 95)(
+      (params, ctx) =>
+        YamlConfigSpec.InvertOp(params.get("hi").map(_.toFloat).getOrElse(ctx.clampHi)))
+    val (w, h, px) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |          - target: torchvision.transforms.ToTensor
+        |          - target: my.ops.Invert""".stripMargin, sub = "grad"))
+    val decoded = graft.functions.ImageCodec.decodeAs("torchrgb", png8x4(gradient)).get
+    val resized = graft.functions.ImageCodec.resizeShorter(
+      decoded, 2, chw = true, graft.functions.ImageCodec.Interp.Nearest, clampHi = 1.0f)
+    assert(w == 4 && h == 2)
+    assert(px == resized.pixels.map(v => 1.0f - v).toSeq,
+      "user op must run at its registered chain position with the chain's clamp context")
+    // explicit params reach the factory
+    val (_, _, px2) = runPixels(tvYaml(
+      """          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2
+        |          - target: torchvision.transforms.ToTensor
+        |          - target: my.ops.Invert
+        |            params:
+        |              hi: 2.0""".stripMargin, sub = "grad"))
+    assert(px2 == resized.pixels.map(v => 2.0f - v).toSeq)
+    // chain-order validation extends to user ops: Invert (95) cannot
+    // precede Resize (10)
+    val e = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: my.ops.Invert
+        |          - target: torchvision.transforms.Resize
+        |            params:
+        |              size: 2""".stripMargin)))
+    assert(e.getMessage.contains("order"))
+    // unregistered names still fail fast
+    val e2 = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.RandomAffine
+        |            params:
+        |              degrees: 10""".stripMargin)))
+    assert(e2.getMessage.contains("unsupported torchvision transform"))
+  }
+
   test("resample_prefixes without mixture_total fails fast instead of silently emptying") {
     val e = intercept[Exception](ConfigYaml.parse(
       s"""dataset:
@@ -459,5 +502,19 @@ class YamlConfigSpec extends AnyFunSuite {
          |      - 0.3
          |""".stripMargin))
     assert(e.getMessage.contains("mixture_total"))
+  }
+}
+
+object YamlConfigSpec {
+  /** User op for the escape-hatch test: v → hi − v over decoded pixels.
+    * Top-level so the UDF closure doesn't capture the suite instance.
+    */
+  final case class InvertOp(hi: Float) extends graft.operators.ImageOp {
+    private val f = org.apache.spark.sql.functions.udf(
+      (w: Int, h: Int, c: Int, px: Seq[Float]) =>
+        graft.functions.ImageCodec.DecodedImage(w, h, c, px.map(v => hi - v)))
+    override def apply(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      f(media.getField("width"), media.getField("height"),
+        media.getField("channels"), media.getField("pixels"))
   }
 }
