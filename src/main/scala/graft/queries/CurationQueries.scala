@@ -47,7 +47,9 @@ object CurationQueries extends QueryPack {
   // "memorization-length" granularity the substring-dedup literature
   // uses; documents shorter than the width degrade to one whole-text
   // shingle (same convention as the MinHash kernels).
-  private val SpanN = 8
+  // span width lives with the shared staging table; oracles must render
+  // the same constant the Spark side mines with
+  private val SpanN = TextStaging.SpanN
 
   // q98: BM25 constants (standard Robertson defaults) + probe terms.
   private val K1 = 1.2
@@ -86,23 +88,13 @@ object CurationQueries extends QueryPack {
     // document frequency rides a count window over the same exchange.
     "q97_dup_spans" -> ((s, dir) => {
       import s.implicits._
-      // span document frequencies as an AGGREGATION joined back, not a
-      // count window: a window partitioned by the span pins every
-      // occurrence of a hot boilerplate span on one reducer (unbounded
-      // Zipf skew at 100 TB), while the aggregate map-side combines hot
-      // spans per task and the join-back is AQE skew-splittable — the
-      // q9h discipline. The posting frame persists so the model build
-      // and the scoring pass share one derivation.
-      val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
-      val p = docs(s, dir)
-        .select($"doc_id", analyze($"text").getField("sh").as("sh"))
-        .select($"doc_id", explode($"sh").as("g"))
-        .persist()
-      val dfG = p.groupBy($"g").agg(count(lit(1)).as("df"))
-      p.join(dfG, Seq("g"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          count(when($"df" >= 2, lit(1))).as("n_dup"))
+      // per-doc span statistics from the SHARED staging table
+      // (TextStaging.spanStats8): q97 and q9c consume the same posting
+      // explode + df aggregation, so it is mined once per (session,
+      // corpus) — the verifiedPairs discipline applied to the span
+      // kernel. Skew reasoning (aggregation + join-back, not a count
+      // window) lives with the staging builder.
+      TextStaging.spanStats8(s, dir)
         .withColumn("dup_frac",
           pround($"n_dup".cast("double") / $"n_spans".cast("double"), 6))
         .orderBy($"doc_id")
@@ -145,16 +137,11 @@ object CurationQueries extends QueryPack {
     // a single doc_id join stitches them. Survivors only.
     "q9c_curation_v2" -> ((s, dir) => {
       import s.implicits._
-      val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
-      // same skew-robust agg+join-back shape as q97 (see its comment)
-      val sp = docs(s, dir)
-        .select($"doc_id", explode(analyze($"text").getField("sh")).as("g"))
-        .persist()
-      val dfG = sp.groupBy($"g").agg(count(lit(1)).as("df"))
-      val spanStats = sp.join(dfG, Seq("g"))
-        .groupBy($"doc_id")
-        .agg(pround(count(when($"df" >= 2, lit(1))).cast("double") /
-          count(lit(1)).cast("double"), 6).as("dup_frac"))
+      // duplicated-span ceiling from the shared staging table (see q97)
+      val spanStats = TextStaging.spanStats8(s, dir)
+        .select($"doc_id",
+          pround($"n_dup".cast("double") / $"n_spans".cast("double"), 6)
+            .as("dup_frac"))
       val rules = docs(s, dir)
         .select($"doc_id",
           tokenCount($"text").as("n_words"),

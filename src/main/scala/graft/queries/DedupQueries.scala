@@ -260,11 +260,10 @@ object DedupQueries extends QueryPack {
     // join: ids pair first, shingle sets re-attach per candidate.
     "q33_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir)
-        .select($"doc_id",
-          graft.functions.FastText.shingleAnalyze(JaccN)($"text").as("a"))
-        .select($"doc_id", $"a.sh".as("sh"))
-        .persist()
+      // 4-gram shingle sets from the SHARED staging table (q33, q93 and
+      // q9k all consume the same md5-per-shingle kernel output —
+      // TextStaging.shingle4 runs it once per session and corpus)
+      val d = TextStaging.shingle4(s, dir)
       val postings = d.select($"doc_id", explode($"sh").as("shingle"))
         .persist()
       // Rare-shingle (df ≤ MaxDf) filter as an aggregation + join-back

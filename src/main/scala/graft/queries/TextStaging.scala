@@ -1,0 +1,87 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.Tables
+
+/** Once-per-(session, corpus) staging of the EXPENSIVE text derivations
+  * shared across the text family — the same write-once staging-table
+  * discipline as DedupQueries.verifiedPairs, applied to the shingle
+  * kernels (md5 per shingle per row):
+  *
+  *  - [[shingle4]]: the 4-gram shingle-set frame q33 (n-gram Jaccard),
+  *    q93 (decontamination) and q9k (Bloom pre-filter) each derived
+  *    independently — three gate queries, one kernel pass;
+  *  - [[spanStats8]]: the 8-token duplicated-span statistics q97 (span
+  *    report) and q9c (composed curation gate) each mined with their own
+  *    posting explode + df aggregation — two consumers, one posting
+  *    shuffle.
+  *
+  * Deliberately NOT staged: plain `tokens(lower(text))` frames (q23,
+  * q9j, q9r, …). The tokenizer is a cheap codegen split; caching a
+  * corpus-sized token frame costs more than re-deriving it in the scan
+  * (the q9j scaladoc records this judgment). Staging pays where the
+  * kernel is expensive (md5 shingling) or the derivation shuffles
+  * (span df) — the same rule a production pipeline uses to decide what
+  * becomes a staging table.
+  */
+object TextStaging {
+
+  /** Span width for duplicated-passage mining (q97/q9c — Lee et al.'s
+    * substring-dedup granularity: 8 tokens ≈ a boilerplate sentence).
+    */
+  val SpanN = 8
+
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def staged(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((s, dir, key), { _ =>
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize now: consumers read cached rows, provably
+      df
+    })
+
+  /** `(doc_id, sh array<string>)` — each document's distinct 4-gram
+    * shingle set (the md5-per-shingle kernel runs once per row at
+    * materialization).
+    */
+  def shingle4(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "shingle4") {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.FastText.shingleAnalyze(4)(col("text")).getField("sh").as("sh"))
+    }
+
+  /** `(doc_id, n_spans, n_dup)` — per-document distinct [[SpanN]]-token
+    * span count and how many of those spans occur in ≥2 documents
+    * corpus-wide. Span document frequencies are an AGGREGATION joined
+    * back, not a count window: a window partitioned by the span pins
+    * every occurrence of a hot boilerplate span on one reducer
+    * (unbounded Zipf skew at 100 TB), while the aggregate map-side
+    * combines hot spans per task and the join-back is AQE
+    * skew-splittable. The transient posting frame unpersists once the
+    * (doc-sized) stats are materialized.
+    */
+  def spanStats8(s: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent((s, dir, "spanStats8"), { _ =>
+      val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
+      val p = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(analyze(col("text")).getField("sh")).as("g"))
+        .persist()
+      val dfG = p.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val stats = p.join(dfG, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("df") >= 2, lit(1))).as("n_dup"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stats.count() // materialize the (doc-sized) stats, then free the
+      p.unpersist() // corpus-sized posting cache — verifiedPairs's shape
+      stats
+    })
+}

@@ -245,12 +245,9 @@ object TrainPrepQueries extends QueryPack {
     "q93_decontaminate" -> ((s, dir) => {
       import s.implicits._
       // the shingle analysis feeds both the eval and train branches —
-      // persist so the corpus is analyzed once, not once per branch
-      val sh = docs(s, dir)
-        .select($"doc_id",
-          graft.functions.FastText.shingleAnalyze(4)($"text").as("a"))
-        .select($"doc_id", $"a.sh".as("sh"))
-        .persist()
+      // and q33/q9k consume the same frame, so it comes from the shared
+      // staging table (one md5 kernel pass per session and corpus)
+      val sh = TextStaging.shingle4(s, dir)
       val evalSet = sh.filter($"doc_id" % 50 === 0)
         .select($"doc_id".as("eval_id"), explode($"sh").as("shingle"))
       val train = sh.filter($"doc_id" % 50 =!= 0)
@@ -275,9 +272,7 @@ object TrainPrepQueries extends QueryPack {
     // (superset of q93's ≥3-shared contract, by construction).
     "q9k_bloom_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val sh = docs(s, dir)
-        .select($"doc_id", graft.functions.FastText.shingleAnalyze(4)($"text").as("a"))
-        .select($"doc_id", $"a.sh".as("sh"))
+      val sh = TextStaging.shingle4(s, dir)
       val evalBits = bloomBitmap(
         sh.filter($"doc_id" % 50 === 0).select(explode($"sh").as("shingle")))
       sh.filter($"doc_id" % 50 =!= 0)
