@@ -157,7 +157,8 @@ class WdsTarTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WdsTarScanBuilder(tableSchema, options)
   override def newWriteBuilder(

@@ -34,7 +34,7 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+    private def prepared: (String, SerializableConfiguration) = {
       val dir = options.get("path")
       require(dir != null, "wds-tar write requires the 'path' option")
       val conf = new SerializableConfiguration(
@@ -47,7 +47,18 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
             .foreach(st => fs.delete(st.getPath, false))
         }
       }
+      (dir, conf)
+    }
+
+    override def toBatch: BatchWrite = {
+      val (dir, conf) = prepared
       new WdsTarBatchWrite(dir, schema, conf)
+    }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val (dir, conf) = prepared
+      new WdsTarStreamingWrite(dir, schema, conf)
     }
   }
 }
@@ -72,8 +83,15 @@ case class WdsTarWriterFactory(dir: String, schema: StructType,
 case class WdsTarCommit(path: String) extends WriterCommitMessage
 
 class WdsTarDataWriter(dir: String, schema: StructType,
-    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    conf: SerializableConfiguration, shardName: String, tmpName: String,
+    overwriteFinal: Boolean = false)
     extends DataWriter[InternalRow] {
+
+  def this(dir: String, schema: StructType, conf: SerializableConfiguration,
+      partitionId: Int, taskId: Long) =
+    this(dir, schema, conf,
+      f"shard-$partitionId%05d-$taskId.tar",
+      f".shard-$partitionId%05d-$taskId.tar.inprogress")
 
   private val keyIdx = schema.fieldIndex(WdsTarSource.KeyCol)
   private val payloadFields = schema.fields.zipWithIndex.filter { case (f, _) =>
@@ -81,8 +99,8 @@ class WdsTarDataWriter(dir: String, schema: StructType,
       (f.dataType == BinaryType || f.dataType == StringType)
   }
 
-  private val finalPath = new Path(dir, f"shard-$partitionId%05d-$taskId.tar")
-  private val tmpPath = new Path(dir, f".shard-$partitionId%05d-$taskId.tar.inprogress")
+  private val finalPath = new Path(dir, shardName)
+  private val tmpPath = new Path(dir, tmpName)
   private val fs = finalPath.getFileSystem(conf.value)
   fs.mkdirs(new Path(dir))
   private val out = new TarArchiveOutputStream(fs.create(tmpPath, true))
@@ -107,6 +125,9 @@ class WdsTarDataWriter(dir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    // streaming epoch replay rewrites the same deterministic shard name:
+    // drop the stale file so the rename lands (idempotent re-commit)
+    if (overwriteFinal && fs.exists(finalPath)) fs.delete(finalPath, false)
     fs.rename(tmpPath, finalPath)
     WdsTarCommit(finalPath.toString)
   }
@@ -117,4 +138,40 @@ class WdsTarDataWriter(dir: String, schema: StructType,
   }
 
   override def close(): Unit = ()
+}
+
+/** Streaming sink half of the tar loop (the source already streams via
+  * MICRO_BATCH_READ): `df.writeStream.format("wds-tar").option("path",
+  * dir)` re-shards a continuous pipeline with the same member naming
+  * and rename-on-commit protocol as the batch sink.
+  *
+  * Exactly-once story: each epoch's partition writes the DETERMINISTIC
+  * shard name `shard-e<epoch>-p<partition>.tar` (tmp names carry the
+  * task id so speculative attempts never collide); a replayed epoch
+  * re-commits the same names, overwriting its own partial output
+  * instead of duplicating shards — idempotent under the micro-batch
+  * retry contract. Epoch commit is a no-op (task renames are the
+  * atomic unit), abort is best-effort, matching the batch sink.
+  */
+class WdsTarStreamingWrite(dir: String, schema: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    WdsTarStreamingWriterFactory(dir, schema, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class WdsTarStreamingWriterFactory(dir: String, schema: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new WdsTarDataWriter(dir, schema, conf,
+      shardName = f"shard-e$epochId%06d-p$partitionId%05d.tar",
+      tmpName = f".shard-e$epochId%06d-p$partitionId%05d-$taskId.tar.inprogress",
+      overwriteFinal = true)
 }

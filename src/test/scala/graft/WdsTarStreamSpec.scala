@@ -88,6 +88,52 @@ class WdsTarStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming wds-tar SINK: tar stream → transform → tar shards, round-trip") {
+    // the continuous re-sharding loop: read a growing tar corpus as a
+    // stream, uppercase the payload, write tar shards back — then scan
+    // the written shards with the batch source and check content
+    val src = mkDir()
+    val out = mkDir()
+    val ckpt = mkDir()
+    writeTarIn(src, "shard-000000.tar", Seq("r1", "r2"))
+    import org.apache.spark.sql.functions._
+    val stream = spark.readStream.format("wds-tar")
+      .option("path", src.toString)
+      .option("extensions", "txt")
+      .load()
+      .select(col("__key__"),
+        upper(col("txt").cast("string")).cast("binary").as("txt"))
+    val q = stream.writeStream
+      .format("wds-tar")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // second epoch: a new source shard lands between triggers
+      writeTarIn(src, "shard-000001.tar", Seq("r3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.format("wds-tar")
+      .option("path", out.toString)
+      .option("extensions", "txt")
+      .load()
+      .select(col("__key__"), col("txt").cast("string").as("txt"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(written == Map(
+      "r1" -> "PAYLOAD-R1", "r2" -> "PAYLOAD-R2", "r3" -> "PAYLOAD-R3"))
+    // epoch-deterministic shard names, rename-on-commit: no .inprogress
+    // leftovers, at least two epochs' shards present (dotfiles are the
+    // local filesystem's .crc siblings, not shards)
+    val allNames = out.toFile.listFiles().map(_.getName).toSeq
+    assert(allNames.forall(!_.endsWith(".inprogress")), allNames.toString)
+    val names = allNames.filterNot(_.startsWith("."))
+    assert(names.count(_.matches("shard-e\\d+-p\\d+\\.tar")) == names.size)
+    assert(names.map(_.replaceAll("-p\\d+\\.tar$", "")).distinct.size >= 2,
+      s"expected shards from >= 2 epochs, got $names")
+  }
+
   test("shard sorting before the committed prefix fails loudly, no silent re-read") {
     val d2 = mkDir()
     writeTarIn(d2, "shard-000005.tar", Seq("x1"))
