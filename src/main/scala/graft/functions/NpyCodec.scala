@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions.udf
   * dict with `descr`, `fortran_order`, `shape`. Supported descr codes:
   * f4/f8, i1/i2/i4/i8, u1/u2/u4, bool — little- or big-endian.
   * Fortran-order payloads are transposed to C order on decode so
-  * `data` always reads row-major. Malformed members throw — the
-  * standard [[graft.core.ErrorPolicy]] wrappers turn that into
-  * skip/dead-letter per pipeline config, same as image decode.
+  * `data` always reads row-major.
+  *
+  * Error convention matches [[ImageCodec.decodeUdf]]: the strict
+  * [[decodeNpy]]/[[decodeNpz]] APIs throw on malformed payloads; the
+  * Column UDFs return NULL for them (the decode stage has no per-row
+  * policy hook, and a corrupt member must not fail a skip-policy
+  * pipeline) — route nulls via [[graft.core.ErrorPolicy]]/filters
+  * downstream, same as undecodable images.
   */
 object NpyCodec {
 
@@ -159,18 +164,24 @@ object NpyCodec {
 
   // -- Column API -------------------------------------------------------
 
-  /** `binary => struct(shape array<int>, data array<float>)`. */
+  /** `binary => struct(shape array<int>, data array<float>)`, null for
+    * undecodable payloads.
+    */
   val decodeNpyUdf: Column => Column = {
     val f = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null else decodeNpy(bytes)
+      if (bytes == null) None
+      else scala.util.Try(decodeNpy(bytes)).toOption
     }
     c => f(c)
   }
 
-  /** `binary => map<string, struct(shape, data)>` for `.npz` archives. */
+  /** `binary => map<string, struct(shape, data)>` for `.npz` archives,
+    * null for undecodable payloads.
+    */
   val decodeNpzUdf: Column => Column = {
     val f = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null else decodeNpz(bytes).toMap
+      if (bytes == null) None
+      else scala.util.Try(decodeNpz(bytes).toMap).toOption
     }
     c => f(c)
   }
