@@ -61,6 +61,12 @@ object Decoders {
   val npy: Decoder = Decoder("npy", c => graft.functions.NpyCodec.decodeNpyUdf(c))
   val npz: Decoder = Decoder("npz", c => graft.functions.NpyCodec.decodeNpzUdf(c))
 
+  /** PCM WAV audio (wds autodecode's audio vocabulary, minus formats
+    * needing a codec library — flac/ogg/mp3 stay binary unless the user
+    * registers a decoder).
+    */
+  val wav: Decoder = Decoder("wav", c => graft.functions.WavCodec.decodeWavUdf(c))
+
   /** Member extensions treated as images (wds autodecode's extension
     * coverage, minus formats javax.imageio lacks).
     */
@@ -79,7 +85,8 @@ object Decoders {
       "json" -> json,
       "cls" -> cls,
       "npy" -> npy,
-      "npz" -> npz) ++
+      "npz" -> npz,
+      "wav" -> wav) ++
       imageExtensions.map(_ -> image("pil")).toMap
 
   /** Resolve a config decoder list/map into the extension table:

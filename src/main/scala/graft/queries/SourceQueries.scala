@@ -124,6 +124,51 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** PCM16 WAV shard fixture for the audio decode gate: same shard/
+    * sample counts as the npy fixture; sample j of id is
+    * `((id*13 + j*7) % 2000) - 1000` over `20 + id%10` frames at 16 kHz
+    * mono — canonical 44-byte RIFF header + LE int16 payload, exact in
+    * float32.
+    */
+  private def wavBytes(id: Int): Array[Byte] = {
+    val n = 20 + id % 10
+    val dataLen = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+    buf.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(16000).putInt(16000 * 2) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes("ASCII")).putInt(dataLen)
+    (0 until n).foreach(j =>
+      buf.putShort((((id * 13 + j * 7) % 2000) - 1000).toShort))
+    buf.array()
+  }
+
+  private lazy val wavFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-wav-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = wavBytes(id)
+          val e = new TarArchiveEntry(f"w$id%08d.wav")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** Write-once guards for the interchange-format fixtures (same
     * session-scoped discipline as the persisted IVF index): each format
     * materializes once per (session, corpus) and every scan reads it
@@ -162,6 +207,7 @@ object SourceQueries extends QueryPack {
     val _ = fixtureDir
     val _2 = metaFixtureDir
     val _3 = npyFixtureDir
+    val _4 = wavFixtureDir
     Map(
     // CSV round-trip: documents written as quoted CSV and read back
     // with an explicit schema (inference is a second pass over the data
@@ -373,6 +419,33 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // PCM WAV decode through the pipeline: tar scan → RIFF parse →
+    // typed struct(sample_rate, channels, n_frames, samples) →
+    // aggregate. Raw int16 values are exact in float32, so the
+    // long-cast amplitude sum hashes against the oracle's formula; a
+    // chunk-walk slip, sign-extension bug, or frame-count error breaks
+    // the hash.
+    "qa1_wav_decode" -> ((s, _) => {
+      import s.implicits._
+      val dir = wavFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "wav")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.wav.decode($"wav"))
+        .select(
+          $"__key__",
+          $"a.n_frames".as("nf"),
+          $"a.sample_rate".as("sr"),
+          aggregate($"a.samples", lit(0L), (acc, x) => acc + x.cast("long")).as("amp"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"nf").cast("long").as("sum_frames"),
+          sum($"amp").as("sum_amp"),
+          countDistinct($"sr").as("n_rates"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -468,6 +541,16 @@ object SourceQueries extends QueryPack {
            |       CAST(sum((id * 7 + j * 3) % 1000) AS BIGINT) AS sum_data,
            |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
+           |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // wav fixture: id has 20+id%10 frames, sample j =
+      // ((id*13 + j*7) % 2000) - 1000, all at 16 kHz mono
+      "qa1_wav_decode" ->
+        s"""SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_samples,
+           |       CAST(count(*) AS BIGINT) AS sum_frames,
+           |       CAST(sum((id * 13 + j * 7) % 2000 - 1000) AS BIGINT) AS sum_amp,
+           |       CAST(1 AS BIGINT) AS n_rates,
+           |       max('w' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM (SELECT id, unnest(generate_series(0, 19 + id % 10)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
       // shards 0..7 (url bound) ∩ ids >= 10000 (key bound) = [10000, 39999]
       "q82_wds_tar_pushdown" ->
