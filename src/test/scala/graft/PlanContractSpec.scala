@@ -173,4 +173,36 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("partial_avg"), p.take(1200))
     assert(p.contains("Generate posexplode"), p.take(1200))
   }
+
+  test("qa0/qa1: decode scans are partition-per-shard with only the member column read") {
+    // one InputPartition per tar (the distribution unit): 4 fixture shards
+    val npy = SparkEntry.queries("qa0_npy_decode")(spark, sf)
+    val wav = SparkEntry.queries("qa1_wav_decode")(spark, sf)
+    val pN = planOf("qa0_npy_decode")
+    // the tar scan must not buffer undeclared columns; the npy fixture
+    // declares only the npy extension, so the read schema is key + npy
+    assert(pN.contains("wds-tar"), pN.take(800))
+    assert(npy.collect().length == 1 && wav.collect().length == 1)
+  }
+
+  test("q97 and q9c share ONE staged span derivation (cache reuse in both plans)") {
+    // both consumers must read TextStaging.spanStats8's InMemoryRelation
+    // rather than re-deriving the posting shuffle — the staging contract
+    val p97 = planOf("q97_dup_spans")
+    val p9c = planOf("q9c_curation_v2")
+    assert(p97.contains("InMemoryTableScan") || p97.contains("TableCacheQueryStage"),
+      s"q97 no longer reads the staged span stats:\n${p97.take(1200)}")
+    assert(p9c.contains("InMemoryTableScan") || p9c.contains("TableCacheQueryStage"),
+      s"q9c no longer reads the staged span stats:\n${p9c.take(1200)}")
+    // (an InMemoryRelation's toString embeds its one-time build plan,
+    // so the posting explode TEXT still appears — the contract is the
+    // TableCacheQueryStage leaf, which proves the consumer reads cached
+    // rows instead of re-running that build)
+  }
+
+  test("q33 reads the staged shingle4 frame (no second md5 kernel pass)") {
+    val p = planOf("q33_ngram_jaccard")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"q33 no longer reads the staged shingle frame:\n${p.take(1200)}")
+  }
 }
