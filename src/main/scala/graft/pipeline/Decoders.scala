@@ -67,6 +67,14 @@ object Decoders {
     */
   val wav: Decoder = Decoder("wav", c => graft.functions.WavCodec.decodeWavUdf(c))
 
+  /** Y4M video METADATA (width/height/fps/frame count — frame headers
+    * walked, pixel bytes untouched); luma frame extraction is
+    * [[graft.functions.VideoCodec.sampleLumaFramesUdf]], applied
+    * downstream where a query actually consumes pixels. Compressed
+    * containers (mp4/webm) stay binary unless user-registered.
+    */
+  val y4m: Decoder = Decoder("y4m", c => graft.functions.VideoCodec.decodeMetaUdf(c))
+
   /** Member extensions treated as images (wds autodecode's extension
     * coverage, minus formats javax.imageio lacks).
     */
@@ -86,7 +94,8 @@ object Decoders {
       "cls" -> cls,
       "npy" -> npy,
       "npz" -> npz,
-      "wav" -> wav) ++
+      "wav" -> wav,
+      "y4m" -> y4m) ++
       imageExtensions.map(_ -> image("pil")).toMap
 
   /** Resolve a config decoder list/map into the extension table:

@@ -169,6 +169,45 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** Mono Y4M shard fixture for the video decode gate: 4×2 luma-only
+    * frames, `2 + id%3` frames per clip, pixel p of frame f =
+    * `(id*5 + f*11 + p*3) % 256` — text header + raw planes per the
+    * published YUV4MPEG2 format.
+    */
+  private def y4mBytes(id: Int): Array[Byte] = {
+    val (w, h) = (4, 2)
+    val n = 2 + id % 3
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F30:1 Cmono\n".getBytes("ASCII"))
+    (0 until n).foreach { f =>
+      bos.write("FRAME\n".getBytes("ASCII"))
+      (0 until w * h).foreach(p => bos.write((id * 5 + f * 11 + p * 3) % 256))
+    }
+    bos.toByteArray
+  }
+
+  private lazy val y4mFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-y4m-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = y4mBytes(id)
+          val e = new TarArchiveEntry(f"v$id%08d.y4m")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** Write-once guards for the interchange-format fixtures (same
     * session-scoped discipline as the persisted IVF index): each format
     * materializes once per (session, corpus) and every scan reads it
@@ -208,6 +247,7 @@ object SourceQueries extends QueryPack {
     val _2 = metaFixtureDir
     val _3 = npyFixtureDir
     val _4 = wavFixtureDir
+    val _5 = y4mFixtureDir
     Map(
     // CSV round-trip: documents written as quoted CSV and read back
     // with an explicit schema (inference is a second pass over the data
@@ -446,6 +486,35 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Y4M video decode + frame sampling through the pipeline: tar scan
+    // → header walk (metadata tier, no pixel bytes) → every-2nd-frame
+    // luma extraction → aggregate. Raw 0..255 luma values are exact in
+    // float32; a frame-walk slip, plane-size error, or sampling-stride
+    // bug breaks frame counts or the luma sum.
+    "qa2_y4m_decode" -> ((s, _) => {
+      import s.implicits._
+      val dir = y4mFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "y4m")
+        .load()
+        .withColumn("m", graft.pipeline.Decoders.y4m.decode($"y4m"))
+        .withColumn("fr", graft.functions.VideoCodec.sampleLumaFramesUdf(2)($"y4m"))
+        .select(
+          $"__key__",
+          $"m.n_frames".as("nf"),
+          size($"fr").as("n_sampled"),
+          aggregate($"fr", lit(0L), (acc, f) =>
+            acc + aggregate(f.getField("pixels"), lit(0L),
+              (a, x) => a + x.cast("long"))).as("luma"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum($"nf").cast("long").as("sum_frames"),
+          sum($"n_sampled").cast("long").as("sum_sampled"),
+          sum($"luma").as("sum_luma"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -552,6 +621,23 @@ object SourceQueries extends QueryPack {
            |       max('w' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 19 + id % 10)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // y4m fixture: clip id has 2+id%3 frames of 4x2 mono luma; pixel
+      // p of frame f = (id*5 + f*11 + p*3) % 256; sampling keeps even f
+      "qa2_y4m_decode" ->
+        s"""WITH clips AS (
+           |  SELECT id, 2 + id % 3 AS nf
+           |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)),
+           |sampled AS (
+           |  SELECT id, nf, unnest(generate_series(0, nf - 1)) AS f FROM clips),
+           |px AS (
+           |  SELECT id, f, unnest(generate_series(0, 7)) AS p
+           |  FROM sampled WHERE f % 2 = 0)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM clips) AS n_clips,
+           |       (SELECT CAST(sum(nf) AS BIGINT) FROM clips) AS sum_frames,
+           |       (SELECT CAST(count(DISTINCT (id, f)) AS BIGINT) FROM px) AS sum_sampled,
+           |       CAST(sum((id * 5 + f * 11 + p * 3) % 256) AS BIGINT) AS sum_luma,
+           |       (SELECT max('v' || lpad(CAST(id AS VARCHAR), 8, '0')) FROM clips) AS max_key
+           |FROM px""".stripMargin,
       // shards 0..7 (url bound) ∩ ids >= 10000 (key bound) = [10000, 39999]
       "q82_wds_tar_pushdown" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
