@@ -49,6 +49,20 @@ object GraftSql {
       (a: Seq[Float], b: Seq[Float]) => FastText.cosineJvm(a, b))
     spark.udf.register("graft_pround",
       (x: Double, d: Int) => FastText.proundJvm(x, d))
+    // binary decode kernels — the multimodal columns reachable from SQL
+    // (null for undecodable payloads, same as the Column UDFs)
+    spark.udf.register("graft_npy_decode",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.NpyCodec.decodeNpy(b)).toOption)
+    spark.udf.register("graft_wav_decode",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.WavCodec.decodeWav(b)).toOption)
+    spark.udf.register("graft_y4m_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.VideoCodec.decodeMeta(b)).toOption)
   }
 
   /** One-call setup: views + functions. */

@@ -29,6 +29,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("binary decode kernels are reachable from SQL (npy/wav/y4m)") {
+    GraftSql.init(spark, dir)
+    import java.nio.file.{Files, Paths}
+    def res(p: String): Array[Byte] =
+      Files.readAllBytes(Paths.get(getClass.getResource(p).toURI))
+    import spark.implicits._
+    Seq(
+      ("npy", res("/npy/f4_2x3.npy")),
+      ("wav", res("/wav/pcm16_mono.wav")),
+      ("y4m", res("/y4m/c420_3f.y4m")),
+      ("bad", Array[Byte](1, 2, 3)))
+      .toDF("kind", "raw").createOrReplaceTempView("blobs")
+    val r = spark.sql(
+      """SELECT
+        | (SELECT graft_npy_decode(raw).shape[0] FROM blobs WHERE kind='npy') AS npy_rows,
+        | (SELECT graft_wav_decode(raw).n_frames FROM blobs WHERE kind='wav') AS wav_frames,
+        | (SELECT graft_y4m_meta(raw).n_frames  FROM blobs WHERE kind='y4m') AS y4m_frames,
+        | (SELECT graft_npy_decode(raw) FROM blobs WHERE kind='bad') AS bad""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 6 && r.getInt(2) == 3)
+    assert(r.isNullAt(3), "malformed payload must be NULL in SQL too")
+  }
+
   test("all corpus tables register as queryable views") {
     GraftSql.init(spark, dir)
     graft.core.Tables.names.foreach { n =>
