@@ -28,6 +28,16 @@ import graft.core.Tables
   * kernel is expensive (md5 shingling) or the derivation shuffles
   * (span df) — the same rule a production pipeline uses to decide what
   * becomes a staging table.
+  *
+  * Scale note: at gate scale the staging medium is the block-manager
+  * cache (MEMORY_AND_DISK). At 100 TB, [[spanStats8]] stays
+  * cache-shaped (3 longs per doc), but [[shingle4]] is corpus-sized ×
+  * shingle expansion — there the same once-per-corpus discipline
+  * materializes to a staging PARQUET table instead (the q9l bucketed
+  * layout / q4a persisted-index pattern: write once keyed by corpus
+  * version, consumers scan it), trading block-manager memory for a
+  * columnar scan. The consumer code is identical either way — only the
+  * `staged` builder swaps persist() for write/read.
   */
 object TextStaging {
 
