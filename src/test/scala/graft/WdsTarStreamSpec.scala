@@ -134,6 +134,36 @@ class WdsTarStreamSpec extends AnyFunSuite {
       s"expected shards from >= 2 epochs, got $names")
   }
 
+  test("streaming sink replay: re-committing the same shard name overwrites, never duplicates") {
+    // the idempotency mechanism under micro-batch retry: a replayed
+    // epoch writes the same deterministic final name; commit drops the
+    // stale file before rename
+    import org.apache.spark.sql.types._
+    import org.apache.spark.util.SerializableConfiguration
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val outDir = mkDir().toString
+    val schema = StructType(Seq(
+      StructField("__key__", StringType), StructField("txt", BinaryType)))
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    def commitOnce(payload: String, taskId: Long): Unit = {
+      val w = new graft.sources.wdstar.WdsTarDataWriter(outDir, schema, conf,
+        shardName = "shard-e000001-p00000.tar",
+        tmpName = s".shard-e000001-p00000-$taskId.tar.inprogress",
+        overwriteFinal = true)
+      w.write(InternalRow(UTF8String.fromString("k1"),
+        payload.getBytes("UTF-8")))
+      w.commit()
+    }
+    commitOnce("first attempt", taskId = 7)
+    commitOnce("replayed epoch", taskId = 8) // same shard, new task id
+    val rows = spark.read.format("wds-tar")
+      .option("path", outDir).option("extensions", "txt").load().collect()
+    assert(rows.length == 1, s"duplicated shards: ${rows.length} rows")
+    assert(new String(rows(0).getAs[Array[Byte]]("txt")) == "replayed epoch")
+  }
+
   test("shard sorting before the committed prefix fails loudly, no silent re-read") {
     val d2 = mkDir()
     writeTarIn(d2, "shard-000005.tar", Seq("x1"))
