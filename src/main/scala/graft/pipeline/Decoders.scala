@@ -101,8 +101,17 @@ object Decoders {
   /** Resolve a config decoder list/map into the extension table:
     * list form (reference YAML `decoders: ["pil"]`) applies each image
     * spec to every image extension; map form pins specific extensions.
+    * Unknown spec strings fail AT CONFIG LOAD, matching the
+    * reference's assert against `wds.autodecode.imagespecs`
+    * (dataset.py:211-218) — never executor-side mid-query.
     */
   def withSpecs(specList: Seq[String], byExt: Map[String, String]): Map[String, Decoder] = {
+    (specList ++ byExt.values).foreach { spec =>
+      require(graft.functions.ImageCodec.isImageSpec(spec),
+        s"unknown decoder spec '$spec' (known image specs: " +
+          s"${graft.functions.ImageCodec.imageSpecs.toSeq.sorted.mkString(", ")}; " +
+          "non-image extensions txt/json/cls/npy/npz/wav/y4m decode by default)")
+    }
     val fromList = specList.foldLeft(defaults) { (m, spec) =>
       m ++ imageExtensions.map(_ -> image(spec)).toMap
     }

@@ -487,6 +487,19 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported torchvision transform"))
   }
 
+  test("unknown decoder spec strings fail at config load, not executor-side") {
+    val e = intercept[Exception](ConfigYaml.parse(
+      s"""dataset:
+         |  urls:
+         |    - "/a"
+         |  extensions:
+         |    - "png"
+         |  decoders:
+         |    - "torchwat"
+         |""".stripMargin))
+    assert(e.getMessage.contains("unknown decoder spec"), e.getMessage)
+  }
+
   test("resample_prefixes without mixture_total fails fast instead of silently emptying") {
     val e = intercept[Exception](ConfigYaml.parse(
       s"""dataset:
