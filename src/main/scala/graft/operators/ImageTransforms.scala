@@ -435,6 +435,91 @@ final case class RandomRotationOp(degLo: Double, degHi: Double,
       media.getField("channels"), media.getField("pixels"), id.cast("string"))
 }
 
+/** torchvision `RandomAffine(degrees, translate, scale, shear)` with
+  * replayable randomness: each parameter draws from its configured
+  * range via PortableHash(id, tag, seed) with a distinct tag per
+  * parameter (draws must not correlate). The output-to-input mapping
+  * uses torchvision's published inverse-affine-matrix formula
+  * (rotation·scale·shear about the image center, integer-pixel
+  * translation), sampled nearest or bilinear with constant fill —
+  * pinning any range to a point (lo == hi) makes the op exact, which
+  * is how the specs check it.
+  */
+final case class RandomAffineOp(
+    degLo: Double, degHi: Double,
+    translate: Option[(Double, Double)] = None,
+    scaleRange: Option[(Double, Double)] = None,
+    shear: (Double, Double, Double, Double) = (0, 0, 0, 0),
+    seed: Int = 42, channelMajor: Boolean = false,
+    bilinear: Boolean = false, fill: Double = 0.0) extends ImageOp {
+  require(degLo <= degHi, "RandomAffine needs degrees lo <= hi")
+  private val f = udf((w: Int, h: Int, c: Int, px: Seq[Float], id: String) => {
+    def u(tag: String): Double =
+      graft.functions.PortableHash.detHashJvm(s"$id:$tag:$seed") / 4294967296.0
+    val angle = math.toRadians(degLo + u("aff_rot") * (degHi - degLo))
+    val (tx, ty) = translate match {
+      case Some((fx, fy)) =>
+        // torchvision draws integer pixel offsets in [-f*size, f*size]
+        (math.round(-fx * w + u("aff_tx") * 2 * fx * w).toDouble,
+          math.round(-fy * h + u("aff_ty") * 2 * fy * h).toDouble)
+      case None => (0.0, 0.0)
+    }
+    val s = scaleRange match {
+      case Some((lo, hi)) => lo + u("aff_sc") * (hi - lo)
+      case None => 1.0
+    }
+    val shx = math.toRadians(shear._1 + u("aff_shx") * (shear._2 - shear._1))
+    val shy = math.toRadians(shear._3 + u("aff_shy") * (shear._4 - shear._3))
+    val (cx, cy) = ((w - 1) / 2.0, (h - 1) / 2.0)
+    // torchvision _get_inverse_affine_matrix (output coord -> input)
+    val a = math.cos(angle - shy) / math.cos(shy)
+    val b = -math.cos(angle - shy) * math.tan(shx) / math.cos(shy) - math.sin(angle)
+    val cc = math.sin(angle - shy) / math.cos(shy)
+    val d = -math.sin(angle - shy) * math.tan(shx) / math.cos(shy) + math.cos(angle)
+    val m0 = d / s; val m1 = -b / s
+    val m3 = -cc / s; val m4 = a / s
+    val m2 = m0 * (-cx - tx) + m1 * (-cy - ty) + cx
+    val m5 = m3 * (-cx - tx) + m4 * (-cy - ty) + cy
+    val out = new Array[Float](px.length)
+    def sample(sx: Double, sy: Double, ch: Int): Double = {
+      def pix(xi: Int, yi: Int): Double =
+        if (xi < 0 || xi >= w || yi < 0 || yi >= h) fill
+        else if (channelMajor) px(ch * h * w + yi * w + xi)
+        else px((yi * w + xi) * c + ch)
+      if (!bilinear) pix(math.round(sx).toInt, math.round(sy).toInt)
+      else {
+        val (x0, y0) = (math.floor(sx).toInt, math.floor(sy).toInt)
+        val (fx, fy) = (sx - x0, sy - y0)
+        (pix(x0, y0) * (1 - fx) + pix(x0 + 1, y0) * fx) * (1 - fy) +
+          (pix(x0, y0 + 1) * (1 - fx) + pix(x0 + 1, y0 + 1) * fx) * fy
+      }
+    }
+    var ch = 0
+    while (ch < c) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val sx = m0 * x + m1 * y + m2
+          val sy = m3 * x + m4 * y + m5
+          val v = sample(sx, sy, ch).toFloat
+          if (channelMajor) out(ch * h * w + y * w + x) = v
+          else out((y * w + x) * c + ch) = v
+          x += 1
+        }
+        y += 1
+      }
+      ch += 1
+    }
+    graft.functions.ImageCodec.DecodedImage(w, h, c,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  })
+  override def apply(media: Column): Column = apply(media, lit(""))
+  override def apply(media: Column, id: Column): Column =
+    f(media.getField("width"), media.getField("height"),
+      media.getField("channels"), media.getField("pixels"), id.cast("string"))
+}
+
 /** torchvision `GaussianBlur(kernel_size, sigma)` with replayable
   * randomness: sigma draws uniform from [lo, hi] via
   * PortableHash(id, "gb", seed) — a scalar config sigma pins lo == hi.

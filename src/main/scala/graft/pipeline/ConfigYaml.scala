@@ -261,6 +261,32 @@ object ConfigYaml {
           (30, Map("rotation" -> degrees) ++
             rotInterp.map("rotation_interpolation" -> _) ++
             tp.get("fill").map(v => "rotation_fill" -> num(v).toString))
+        case "RandomAffine" =>
+          only("degrees", "translate", "scale", "shear", "interpolation", "fill")
+          val degrees = tp.get("degrees") match {
+            case Some(l: List[_]) if l.length == 2 => l.map(num).mkString(",")
+            case Some(v) => val dd = num(v); s"${-dd},$dd"
+            case None => sys.error("RandomAffine needs 'degrees'")
+          }
+          def two(k: String): Option[(String, String)] = tp.get(k) match {
+            case Some(l: List[_]) if l.length == 2 =>
+              Some(s"affine_$k" -> l.map(num).mkString(","))
+            case Some(other) => sys.error(s"RandomAffine $k needs [a, b], got $other")
+            case None => None
+          }
+          val shearP = tp.get("shear").map {
+            case l: List[_] if l.length == 2 || l.length == 4 =>
+              "affine_shear" -> l.map(num).mkString(",")
+            case v => "affine_shear" -> num(v).toString
+          }
+          val affInterp = tp.get("interpolation").map(_.toString).map {
+            case s @ ("0" | "2") => "affine_interpolation" -> s
+            case other => sys.error(
+              s"RandomAffine interpolation supports 0 (nearest) and 2 (bilinear), got $other")
+          }
+          (35, Map("affine_degrees" -> degrees) ++
+            two("translate") ++ two("scale") ++ shearP ++ affInterp ++
+            tp.get("fill").map(v => "affine_fill" -> num(v).toString))
         case "RandomCrop" => only("size"); (40, Map("random_crop" -> size.toString))
         case "CenterCrop" => only("size"); (50, Map("center_crop" -> size.toString))
         case "RandomHorizontalFlip" =>
@@ -312,9 +338,9 @@ object ConfigYaml {
               }.mkString("|")
               (rank, Map(s"user_op_${rank}_$other" -> encoded))
             case None => sys.error(s"unsupported torchvision transform: $other " +
-              "(supported: RandomResizedCrop, Resize, Pad, RandomRotation, RandomCrop, " +
-              "CenterCrop, RandomHorizontalFlip, ColorJitter, GaussianBlur, ToTensor, " +
-              "Normalize, or a name registered via ImageTransforms.registerConfigOp)")
+              "(supported: RandomResizedCrop, Resize, Pad, RandomRotation, RandomAffine, " +
+              "RandomCrop, CenterCrop, RandomHorizontalFlip, ColorJitter, GaussianBlur, " +
+              "ToTensor, Normalize, or a name registered via ImageTransforms.registerConfigOp)")
           }
       }
     }

@@ -152,6 +152,27 @@ object OperatorRegistry {
         RandomRotationOp(lo, hi, seed, chw, rotBilinear,
           p.getOrElse("rotation_fill", "0").toDouble)
       },
+      p.get("affine_degrees").map { s =>
+        val (lo, hi) = pair(s, "affine_degrees")
+        val tr = p.get("affine_translate").map(pair(_, "affine_translate"))
+        val sc = p.get("affine_scale").map(pair(_, "affine_scale"))
+        val sh = p.get("affine_shear").map { v =>
+          v.split(",").map(_.trim.toDouble) match {
+            case Array(x) => (-x, x, 0.0, 0.0)
+            case Array(a, b) => (a, b, 0.0, 0.0)
+            case Array(a, b, cc, d) => (a, b, cc, d)
+            case _ => sys.error("image_transforms: affine_shear needs 1, 2 or 4 values")
+          }
+        }.getOrElse((0.0, 0.0, 0.0, 0.0))
+        val affBilinear = p.getOrElse("affine_interpolation", "0") match {
+          case "0" | "nearest" => false
+          case "2" | "bilinear" => true
+          case other => sys.error("image_transforms: affine_interpolation " +
+            s"supports 0 (nearest) and 2 (bilinear), got $other")
+        }
+        RandomAffineOp(lo, hi, tr, sc, sh, seed, chw, affBilinear,
+          p.getOrElse("affine_fill", "0").toDouble)
+      },
       p.get("random_crop").map(s => RandomCropOp(s.toInt, seed, chw)),
       p.get("center_crop").map(s => PixelCenterCropOp(s.toInt, chw)),
       p.get("hflip_p").map(s => RandomHFlipOp(s.toDouble, seed, chw)),
@@ -184,9 +205,10 @@ object OperatorRegistry {
             .split(",").toIndexedSeq.map(_.trim.toDouble),
           chw)
       })
-    // canonical chain ranks (ConfigYaml's slots ×10; ToTensor holds 90
-    // as a layout declaration, so normalize sits at 100, not 90)
-    val slotRanks = Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 100)
+    // canonical chain ranks (ConfigYaml's slots ×10; affine sits at 35
+    // between rotation and the crops; ToTensor holds 90 as a layout
+    // declaration, so normalize sits at 100, not 90)
+    val slotRanks = Seq(0, 10, 20, 30, 35, 40, 50, 60, 70, 80, 100)
     // registered user ops (ConfigYaml's unknown-transform escape hatch)
     // carry their chain rank in the param key — user ranks fall between
     // canonical slots, so one sort interleaves them at their registered

@@ -481,10 +481,59 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("order"))
     // unregistered names still fail fast
     val e2 = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.ElasticTransform
+        |            params:
+        |              alpha: 50.0""".stripMargin)))
+    assert(e2.getMessage.contains("unsupported torchvision transform"))
+  }
+
+  test("RandomAffine maps through YAML: pinned scale is pixel-exact, 90-degree equals rotation") {
+    // scale pinned to [2,2], everything else identity: output pixel (x,y)
+    // pulls from (cx + (x-cx)/2, cy + (y-cy)/2) — exact with nearest
+    val (w, h, px) = runPixels(tvYaml(
       """          - target: torchvision.transforms.RandomAffine
         |            params:
-        |              degrees: 10""".stripMargin)))
-    assert(e2.getMessage.contains("unsupported torchvision transform"))
+        |              degrees: 0
+        |              scale:
+        |                - 2.0
+        |                - 2.0
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    assert(w == 8 && h == 4)
+    val decoded = graft.functions.ImageCodec.decodeAs("torchrgb", png8x4(gradient)).get
+    val (cx, cy) = ((8 - 1) / 2.0, (4 - 1) / 2.0)
+    def src(x: Int, y: Int) =
+      (math.round(cx + (x - cx) / 2.0).toInt, math.round(cy + (y - cy) / 2.0).toInt)
+    val expect = for (ch <- 0 until 3; y <- 0 until 4; x <- 0 until 8) yield {
+      val (sx, sy) = src(x, y)
+      decoded.pixels(ch * 4 * 8 + sy * 8 + sx)
+    }
+    assert(px == expect, "pinned 2x zoom must be exact")
+    // degrees pinned to [90,90] with no translate/scale/shear must equal
+    // RandomRotation's 90-degree output (same inverse mapping)
+    val affine90 = runPixels(tvYaml(
+      """          - target: torchvision.transforms.RandomAffine
+        |            params:
+        |              degrees:
+        |                - 90
+        |                - 90
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    val rot90 = runPixels(tvYaml(
+      """          - target: torchvision.transforms.RandomRotation
+        |            params:
+        |              degrees:
+        |                - 90
+        |                - 90
+        |          - target: torchvision.transforms.ToTensor""".stripMargin, sub = "grad"))
+    assert(affine90 == rot90, "affine(90) must match rotation(90)")
+    // unknown param still fails fast
+    val e = intercept[Exception](ConfigYaml.parse(tvYaml(
+      """          - target: torchvision.transforms.RandomAffine
+        |            params:
+        |              degrees: 10
+        |              center:
+        |                - 0
+        |                - 0""".stripMargin)))
+    assert(e.getMessage.contains("center"))
   }
 
   test("unknown decoder spec strings fail at config load, not executor-side") {
