@@ -599,12 +599,13 @@ final case class GaussianBlurOp(kx: Int, ky: Int,
 
 /** Registry for config-reachable user image ops (the torchvision
   * escape hatch). A registration names the transform as a YAML
-  * `target`'s last segment (e.g. "RandomAffine"), pins WHERE in the
-  * canonical chain it runs (`rank` — canonical ops sit at 0, 10, …,
-  * 100; pick an intermediate value), and supplies the factory from the
-  * config's string params + the chain context (layout, seed, clamp).
-  * Unknown names still fail fast — the open world is exactly the set
-  * of explicit registrations, not arbitrary class loading.
+  * `target`'s last segment (e.g. "ElasticTransform"), pins WHERE in
+  * the canonical chain it runs (`rank` — canonical ops sit at 0, 10,
+  * …, 100, plus affine at 35; pick an unoccupied intermediate value),
+  * and supplies the factory from the config's string params + the
+  * chain context (layout, seed, clamp). Unknown names still fail
+  * fast — the open world is exactly the set of explicit
+  * registrations, not arbitrary class loading.
   */
 object ImageTransforms {
 
