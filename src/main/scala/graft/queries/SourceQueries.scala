@@ -515,6 +515,72 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Streaming re-shard round-trip — the continuous pipeline ON the
+    // oracle hash path: the main corpus streams through the wds-tar
+    // SOURCE (shards-as-offsets), a filter, and the wds-tar STREAMING
+    // SINK, then the written shards re-scan through the batch source
+    // and aggregate. Epoch slicing is non-deterministic scheduling, but
+    // the CONTENT (union of all samples) is not — the oracle
+    // regenerates it from the id formula, so a dropped epoch,
+    // duplicated replay, or member corruption in the streaming path
+    // breaks the hash.
+    "qa3_stream_reshard" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      // dedicated source dir (hard links): the streaming source lists a
+      // directory, and the main fixture root may carry other queries'
+      // round-trip outputs
+      val srcDir = Paths.get("target", "stream-reshard-src").toAbsolutePath
+      if (!Files.exists(srcDir.resolve("_READY"))) {
+        Files.createDirectories(srcDir)
+        (0 until Shards).foreach { i =>
+          val link = srcDir.resolve(f"shard-$i%06d.tar")
+          if (!Files.exists(link))
+            Files.createLink(link, Paths.get(dir, f"shard-$i%06d.tar"))
+        }
+        Files.createFile(srcDir.resolve("_READY"))
+      }
+      // each invocation is a clean re-stream: fresh checkpoint + empty
+      // output, so the measured operation is the full re-shard and a
+      // prior run's epoch slicing can never leave stale shards behind
+      // (continuous-pipeline durability is WdsTarStreamSpec's job; the
+      // gate hashes the complete content)
+      val outDir = Paths.get("target", "stream-reshard-out").toAbsolutePath.toString
+      val ckpt = Paths.get("target", "stream-reshard-ckpt").toAbsolutePath.toString
+      def wipe(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => java.nio.file.Files.delete(x))
+        }
+      }
+      wipe(outDir); wipe(ckpt)
+      val q = s.readStream.format("wds-tar")
+        .option("path", srcDir.toString)
+        .option("extensions", "txt,cls")
+        .load()
+        .filter(decode($"cls", "UTF-8").cast("long") % 3 === 0)
+        .select($"__key__", $"txt", $"cls")
+        .writeStream.format("wds-tar")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("wds-tar")
+        .option("path", outDir)
+        .option("extensions", "txt,cls")
+        .load()
+        .withColumn("cls", decode($"cls", "UTF-8").cast("long"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -611,6 +677,15 @@ object SourceQueries extends QueryPack {
            |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // all 16 shards, cls ≡ 0 (mod 3) survivors through the streaming
+      // re-shard; same id formulas as q80/q83
+      "qa3_stream_reshard" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM generate_series(0, ${Shards * SamplesPerShard - 1}) t(id)
+           |WHERE (id % 97) % 3 = 0""".stripMargin,
       // wav fixture: id has 20+id%10 frames, sample j =
       // ((id*13 + j*7) % 2000) - 1000, all at 16 kHz mono
       "qa1_wav_decode" ->
