@@ -96,6 +96,70 @@ object VideoCodec {
     VideoMeta(hdr.width, hdr.height, hdr.fpsNum, hdr.fpsDen, n)
   }
 
+  /** Every `step`-th frame converted to RGB via the integer-exact
+    * BT.601 full-range formula (C = Y−16, D = U−128, E = V−128;
+    * R = clip((298·C + 409·E + 128) >> 8) etc. — the published
+    * fixed-point form, so results are bit-identical on any platform).
+    * Output is an HWC interleaved [[graft.functions.ImageCodec
+    * .DecodedImage]]-shaped struct per frame, ready for the image op
+    * chain (resize / crop / normalize / fingerprint). 420 chroma
+    * upsamples by pixel doubling (nearest); mono replicates luma.
+    */
+  def sampleRgbFrames(bytes: Array[Byte], step: Int): Seq[RgbFrame] = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val hdr = parseHeader(bytes)
+    val (w, h) = (hdr.width, hdr.height)
+    val luma = hdr.lumaBytes
+    // chroma geometry from the plane sizes the header implies
+    val chromaPer = (hdr.frameBytes - luma) / 2
+    val mode =
+      if (chromaPer == 0) "mono"
+      else if (chromaPer == (w / 2) * (h / 2)) "420"
+      else if (chromaPer == (w / 2) * h) "422"
+      else "444"
+    def clip(v: Int): Float = math.max(0, math.min(255, v)).toFloat
+    val out = scala.collection.mutable.ArrayBuffer.empty[RgbFrame]
+    var k = 0
+    var pos = framePayload(bytes, hdr, k)
+    while (pos >= 0) {
+      val px = new Array[Float](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = bytes(pos + y * w + x) & 0xff
+          val (u, v) =
+            if (mode == "mono") (128, 128)
+            else {
+              val (cw, cx, cy) = mode match {
+                case "420" => (w / 2, x / 2, y / 2)
+                case "422" => (w / 2, x / 2, y)
+                case _ => (w, x, y)
+              }
+              (bytes(pos + luma + cy * cw + cx) & 0xff,
+                bytes(pos + luma + chromaPer + cy * cw + cx) & 0xff)
+          }
+          val c = 298 * (yy - 16)
+          val d = u - 128
+          val e = v - 128
+          val base = (y * w + x) * 3
+          px(base) = clip((c + 409 * e + 128) >> 8)
+          px(base + 1) = clip((c - 100 * d - 208 * e + 128) >> 8)
+          px(base + 2) = clip((c + 516 * d + 128) >> 8)
+          x += 1
+        }
+        y += 1
+      }
+      out += RgbFrame(k, w, h, px)
+      k += step
+      pos = framePayload(bytes, hdr, k)
+    }
+    out.toSeq
+  }
+
+  final case class RgbFrame(frame_idx: Int, width: Int, height: Int,
+      pixels: Array[Float])
+
   /** Every `step`-th frame's luma plane (frame 0, step, 2·step, …). */
   def sampleLumaFrames(bytes: Array[Byte], step: Int): Seq[LumaFrame] = {
     require(step >= 1, s"step must be >= 1, got $step")
@@ -132,6 +196,17 @@ object VideoCodec {
     val f = udf { (bytes: Array[Byte]) =>
       if (bytes == null) None
       else scala.util.Try(sampleLumaFrames(bytes, step)).toOption
+    }
+    c => f(c)
+  }
+
+  /** RGB variant of the sampler — HWC interleaved, image-op-chain
+    * ready; null for undecodable payloads.
+    */
+  def sampleRgbFramesUdf(step: Int): Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else scala.util.Try(sampleRgbFrames(bytes, step)).toOption
     }
     c => f(c)
   }
