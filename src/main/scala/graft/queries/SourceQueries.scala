@@ -581,6 +581,38 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Frame-level video dedup: sample EVERY luma frame from every clip,
+    // key frames by their full pixel content, and report the
+    // duplicate-class histogram (class size → how many classes / how
+    // many frames) — the cross-clip duplicate-frame diagnostic a video
+    // corpus runs before training. The dedup key is the actual decoded
+    // content, so the whole decode path sits under the hash; the oracle
+    // reproduces the histogram from the fixture's algebra (two frames
+    // are byte-identical iff (id·5 + f·11) mod 256 collide, since pixel
+    // p adds the same p·3 to that base everywhere).
+    "qa4_frame_dedup" -> ((s, _) => {
+      import s.implicits._
+      val dir = y4mFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "y4m")
+        .load()
+        .select(explode(
+          graft.functions.VideoCodec.sampleLumaFramesUdf(1)($"y4m")).as("f"))
+        // key = rendered pixel content so the oracle can reproduce it
+        // from the fixture algebra; at real frame sizes the key is
+        // md5(content) (q30's digest-only-shuffle discipline) — same
+        // plan, fixed-width shuffle keys
+        .select(concat_ws(",",
+          transform($"f.pixels", x => x.cast("int"))).as("content"))
+        .groupBy($"content").agg(count(lit(1)).as("n_dups"))
+        .groupBy($"n_dups")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum($"n_dups").as("n_frames"))
+        .orderBy($"n_dups")
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -686,6 +718,17 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, ${Shards * SamplesPerShard - 1}) t(id)
            |WHERE (id % 97) % 3 = 0""".stripMargin,
+      // frame-identity classes = (id*5 + f*11) mod 256 (see qa4 comment)
+      "qa4_frame_dedup" ->
+        s"""WITH frames AS (
+           |  SELECT id, unnest(generate_series(0, 1 + id % 3)) AS f
+           |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)),
+           |classes AS (
+           |  SELECT (id * 5 + f * 11) % 256 AS base, count(*) AS n_dups
+           |  FROM frames GROUP BY 1)
+           |SELECT n_dups, CAST(count(*) AS BIGINT) AS n_classes,
+           |       CAST(sum(n_dups) AS BIGINT) AS n_frames
+           |FROM classes GROUP BY n_dups ORDER BY n_dups""".stripMargin,
       // wav fixture: id has 20+id%10 frames, sample j =
       // ((id*13 + j*7) % 2000) - 1000, all at 16 kHz mono
       "qa1_wav_decode" ->
