@@ -613,6 +613,39 @@ object SourceQueries extends QueryPack {
         .orderBy($"n_dups")
     }),
 
+    // Audio feature extraction: per-clip energy (sum |amplitude|) and
+    // zero-crossing count — the signal-level stats an audio corpus
+    // filters on (silence / noise gates) — computed inside the scan
+    // from the decoded samples, then rolled up. Amplitudes are exact
+    // integers in float32, crossings are sign tests, so the corpus
+    // aggregate hashes against the oracle's regeneration; the
+    // zip_with bigram form is q9h's adjacent-pair discipline applied
+    // to a waveform.
+    "qa5_audio_features" -> ((s, _) => {
+      import s.implicits._
+      val dir = wavFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "wav")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.wav.decode($"wav"))
+        .select(
+          $"__key__",
+          aggregate($"a.samples", lit(0L),
+            (acc, x) => acc + abs(x.cast("long"))).as("energy"),
+          aggregate(
+            zip_with(
+              slice($"a.samples", lit(1), size($"a.samples") - 1),
+              slice($"a.samples", lit(2), size($"a.samples") - 1),
+              (p, q) => (p * q < 0).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("zc"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum($"energy").as("sum_energy"),
+          sum($"zc").as("sum_zc"),
+          max($"energy").as("max_energy"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -718,6 +751,25 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, ${Shards * SamplesPerShard - 1}) t(id)
            |WHERE (id % 97) % 3 = 0""".stripMargin,
+      // same amplitude formula as qa1; energy from the sample rows,
+      // zero crossings from adjacent pairs via lead()
+      "qa5_audio_features" ->
+        s"""WITH samp AS (
+           |  SELECT id, unnest(generate_series(0, 19 + id % 10)) AS j
+           |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)),
+           |amps AS (
+           |  SELECT id, j, (id * 13 + j * 7) % 2000 - 1000 AS a FROM samp),
+           |crossings AS (
+           |  SELECT id, a, lead(a) OVER (PARTITION BY id ORDER BY j) AS b FROM amps),
+           |perclip AS (
+           |  SELECT id, CAST(sum(abs(a)) AS BIGINT) AS energy,
+           |         CAST(count(*) FILTER (WHERE b IS NOT NULL AND a * b < 0) AS BIGINT) AS zc
+           |  FROM crossings GROUP BY id)
+           |SELECT CAST(count(*) AS BIGINT) AS n_clips,
+           |       CAST(sum(energy) AS BIGINT) AS sum_energy,
+           |       CAST(sum(zc) AS BIGINT) AS sum_zc,
+           |       CAST(max(energy) AS BIGINT) AS max_energy
+           |FROM perclip""".stripMargin,
       // frame-identity classes = (id*5 + f*11) mod 256 (see qa4 comment)
       "qa4_frame_dedup" ->
         s"""WITH frames AS (
