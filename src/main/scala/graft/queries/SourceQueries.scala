@@ -86,8 +86,8 @@ object SourceQueries extends QueryPack {
   private val NpyShards = 4
   private val NpySamplesPerShard = 2500
 
-  private def npyBytes(id: Int): Array[Byte] = {
-    val len = 4 + id % 5
+  private def npyV1(values: Array[Float]): Array[Byte] = {
+    val len = values.length
     val header = s"{'descr': '<f4', 'fortran_order': False, 'shape': ($len,), }"
     val unpadded = 10 + header.length + 1
     val pad = (64 - unpadded % 64) % 64
@@ -98,9 +98,12 @@ object SourceQueries extends QueryPack {
     buf.put(0x93.toByte).put("NUMPY".getBytes("ASCII")).put(1.toByte).put(0.toByte)
     buf.putShort(headerFull.length.toShort)
     buf.put(headerFull.getBytes("ISO-8859-1"))
-    (0 until len).foreach(j => buf.putFloat(((id * 7 + j * 3) % 1000).toFloat))
+    values.foreach(buf.putFloat)
     buf.array()
   }
+
+  private def npyBytes(id: Int): Array[Byte] =
+    npyV1(Array.tabulate(4 + id % 5)(j => ((id * 7 + j * 3) % 1000).toFloat))
 
   private lazy val npyFixtureDir: String = synchronized {
     val dir = Paths.get("target", "bench-npy-tars").toAbsolutePath
@@ -118,6 +121,58 @@ object SourceQueries extends QueryPack {
           out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
         }
         out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
+  /** npz-archive shard fixture for the pipeline tensor gate: same
+    * shard/sample counts as the npy fixture, one `.npz` member per
+    * sample zipping two arrays — "vec" (the npy fixture's vector
+    * formula) and "scale" (shape `(1,)`, value `id % 113`) — plus a
+    * reference-layout `_info` sibling (same basenames, unsuffixed
+    * member stems) carrying a `.cls` label `(id*31) % 100` per sample.
+    */
+  private def npzBytes(id: Int): Array[Byte] = {
+    val vec = Array.tabulate(4 + id % 5)(j => ((id * 7 + j * 3) % 1000).toFloat)
+    val scale = Array((id % 113).toFloat)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq("vec.npy" -> npyV1(vec), "scale.npy" -> npyV1(scale)).foreach {
+      case (name, bytes) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(bytes)
+        z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private lazy val npzFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-npz-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      val metaDir = Paths.get("target", "bench-npz-tars_info").toAbsolutePath
+      Files.createDirectories(metaDir)
+      (0 until NpyShards).foreach { s =>
+        val main = new TarArchiveOutputStream(
+          new FileOutputStream(dir.resolve(f"shard-$s%06d.tar").toFile))
+        val meta = new TarArchiveOutputStream(
+          new FileOutputStream(metaDir.resolve(f"shard-$s%06d.tar").toFile))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val nb = npzBytes(id)
+          val e = new TarArchiveEntry(f"n$id%08d.npz")
+          e.setSize(nb.length.toLong)
+          main.putArchiveEntry(e); main.write(nb); main.closeArchiveEntry()
+          val mb = ((id * 31) % 100).toString.getBytes("UTF-8")
+          val me = new TarArchiveEntry(f"n$id%08d.cls")
+          me.setSize(mb.length.toLong)
+          meta.putArchiveEntry(me); meta.write(mb); meta.closeArchiveEntry()
+        }
+        main.close(); meta.close()
       }
       Files.createFile(marker)
     }
@@ -248,6 +303,7 @@ object SourceQueries extends QueryPack {
     val _3 = npyFixtureDir
     val _4 = wavFixtureDir
     val _5 = y4mFixtureDir
+    val _6 = npzFixtureDir
     Map(
     // CSV round-trip: documents written as quoted CSV and read back
     // with an explicit schema (inference is a second pass over the data
@@ -646,6 +702,41 @@ object SourceQueries extends QueryPack {
           max($"energy").as("max_energy"))
     }),
 
+    // npz tensor archives through the FULL pipeline — listing → scan →
+    // sample-level metadata join → autodecode (npz → name-keyed tensor
+    // map, cls → long) → aggregate. The reference reaches npz via the
+    // same autodecode chain as npy (wds handlers, dataset.py:204-232);
+    // the collision rename gives the joined label its `_info` suffix.
+    // sum_scaled multiplies the joined label by the npz "scale" entry,
+    // so a mis-keyed join, a dropped zip member, a header slip, or a
+    // decode-target miss on the renamed column all break the hash.
+    "qa6_npz_pipeline" -> ((s, _) => {
+      import s.implicits._
+      val dir = npzFixtureDir
+      val config = graft.pipeline.PipelineConfig(
+        urls = Seq(s"$dir/shard-{000000..${"%06d".format(NpyShards - 1)}}.tar"),
+        extensions = Seq("npz", "cls"),
+        metaSuffixes = Seq("info"))
+      graft.pipeline.GraftPipeline.create(s, config)
+        .select(
+          $"__key__",
+          element_at($"npz", "vec").as("vec"),
+          element_at(element_at($"npz", "scale").getField("data"), 1)
+            .cast("long").as("scale"),
+          $"cls_info")
+        .select(
+          $"__key__",
+          element_at($"vec.shape", 1).as("len"),
+          aggregate($"vec.data", lit(0L), (acc, x) => acc + x.cast("long")).as("vsum"),
+          ($"cls_info" * $"scale").as("scaled"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"len").cast("long").as("n_elements"),
+          sum($"vsum").as("sum_vec"),
+          sum($"scaled").as("sum_scaled"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -742,6 +833,22 @@ object SourceQueries extends QueryPack {
            |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // npz fixture: per id, "vec" is the npy formula (len 4+id%5,
+      // v_j = (id*7 + j*3) % 1000), "scale" = id%113, and the joined
+      // _info label = (id*31)%100; the element CTE enumerates vec
+      // entries while the per-id branch regenerates the scaled-label sum
+      "qa6_npz_pipeline" ->
+        s"""SELECT e.n_samples, e.n_elements, e.sum_vec, p.sum_scaled, p.max_key
+           |FROM (
+           |  SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_samples,
+           |         CAST(count(*) AS BIGINT) AS n_elements,
+           |         CAST(sum((id * 7 + j * 3) % 1000) AS BIGINT) AS sum_vec
+           |  FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
+           |        FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))) e
+           |CROSS JOIN (
+           |  SELECT CAST(sum(((id * 31) % 100) * (id % 113)) AS BIGINT) AS sum_scaled,
+           |         max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)) p""".stripMargin,
       // all 16 shards, cls ≡ 0 (mod 3) survivors through the streaming
       // re-shard; same id formulas as q80/q83
       "qa3_stream_reshard" ->
