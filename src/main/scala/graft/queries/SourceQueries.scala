@@ -737,6 +737,50 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Config-built pipeline on the hash path: the reference's primary
+    // UX is a YAML config instantiated into a pipeline (example.yaml →
+    // instantiate, reference sdata/__init__.py + examples/); here the
+    // SAME reference-shaped YAML text (dataset/pipeline_config/
+    // postprocessors with dotted targets) parses, resolves its filter
+    // through the operator registry, and runs end-to-end. The Gopher
+    // mean-word-length bounds select an id-dependent subset (4 tokens,
+    // mean_wl = (113+len(id)+id%300)/4), so a config-parse slip, a
+    // param-mapping bug, or a registry dispatch miss changes the
+    // survivor set and breaks the hash. Seeded shard+sample shuffles run
+    // in-plan (order-invariant aggregate proves they're lossless).
+    "qa7_yaml_pipeline" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      val yaml =
+        s"""dataset:
+           |  urls:
+           |    - "$dir/shard-{000000..${"%06d".format(Shards - 1)}}.tar"
+           |  extensions:
+           |    - "txt"
+           |    - "cls"
+           |  pipeline_config:
+           |    shardshuffle: 10000
+           |    sample_shuffle: 1000
+           |    seed: 17
+           |  postprocessors:
+           |    - target: sdata.filters.metadata_filters.GopherRulesFilter
+           |      params:
+           |        key: 'txt'
+           |        min_words: 1
+           |        max_words: 10
+           |        min_mean_wl: 40
+           |        max_mean_wl: 80
+           |        min_stop_hits: 0
+           |""".stripMargin
+      val loaded = graft.pipeline.ConfigYaml.parse(yaml)
+      graft.pipeline.GraftPipeline.create(s, loaded.config)
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          max($"__key__").as("max_key"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -849,6 +893,17 @@ object SourceQueries extends QueryPack {
            |  SELECT CAST(sum(((id * 31) % 100) * (id % 113)) AS BIGINT) AS sum_scaled,
            |         max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)) p""".stripMargin,
+      // YAML-config pipeline: Gopher mean-word-length bounds over the
+      // 4-token fixture text — mean_wl = (113+len(id)+id%300)/4 in
+      // [40, 80] ⇔ the integer form below (quarters are exact in both
+      // engines, so the integer rendering avoids nothing but ambiguity)
+      "qa7_yaml_pipeline" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM generate_series(0, $last) t(id)
+           |WHERE 113 + length(CAST(id AS VARCHAR)) + id % 300 BETWEEN 160 AND 320""".stripMargin,
       // all 16 shards, cls ≡ 0 (mod 3) survivors through the streaming
       // re-shard; same id formulas as q80/q83
       "qa3_stream_reshard" ->
