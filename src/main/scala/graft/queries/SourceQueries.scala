@@ -781,6 +781,38 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Small-shard packing on the hash path: the same 16-shard corpus
+    // scanned with maxPartitionBytes so consecutive shards chain into
+    // one reader (WdsTarSource.packShards — the FilePartition
+    // discipline for tars; the 100 TB answer to million-tiny-shard
+    // listings). Each fixture shard is 5000 samples × 2 members ×
+    // (512B header + 512B data) ≈ 10.24 MB, so a 45 MB budget with
+    // zero open-cost packs exactly 4+4+4+4; the hashed n_partitions
+    // pins that the packing actually happened (spark_partition_id is
+    // deterministic here: order-preserving greedy over a fixed
+    // listing), while the corpus aggregate pins that chaining loses or
+    // duplicates nothing.
+    "qa8_packed_scan" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until Shards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "txt,cls")
+        .option("maxPartitionBytes", (45L * 1024 * 1024).toString)
+        .option("openCostInBytes", "0")
+        .load()
+        .withColumn("cls", decode($"cls", "UTF-8").cast("long"))
+        // project the partition id before aggregating (Spark rejects
+        // nondeterministic expressions inside aggregate arguments)
+        .withColumn("pid", spark_partition_id())
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          countDistinct($"__url__").as("n_shards"),
+          countDistinct($"pid").as("n_partitions"))
+    }),
+
     "q82_wds_tar_pushdown" -> ((s, _) => {
       import s.implicits._
       val dir = fixtureDir
@@ -904,6 +936,18 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, $last) t(id)
            |WHERE 113 + length(CAST(id AS VARCHAR)) + id % 300 BETWEEN 160 AND 320""".stripMargin,
+      // packed scan: the full-corpus aggregate (no filter) + the
+      // packing arithmetic as ground truth — 16 shards × ~10.24 MB at
+      // a 45 MB budget is exactly 4 partitions of 4 (see the query's
+      // block math); a packing or chaining bug changes n_partitions or
+      // loses/duplicates samples
+      "qa8_packed_scan" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       CAST(count(DISTINCT id // $SamplesPerShard) AS BIGINT) AS n_shards,
+           |       CAST(4 AS BIGINT) AS n_partitions
+           |FROM generate_series(0, $last) t(id)""".stripMargin,
       // all 16 shards, cls ≡ 0 (mod 3) survivors through the streaming
       // re-shard; same id formulas as q80/q83
       "qa3_stream_reshard" ->

@@ -78,7 +78,7 @@ class WdsTarMicroBatchStream(schema: StructType, declaredExts: Set[String],
     val ufs = pushed.filter(ShardFilters.supported(_, WdsTarSource.UrlCol))
     shards.slice(so.shardCount, eo.shardCount)
       .filter(s => ufs.forall(ShardFilters.eval(_, s)))
-      .map(WdsTarInputPartition(_): InputPartition).toArray
+      .map(s => WdsTarInputPartition(Seq(s)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -53,7 +53,10 @@ import graft.sources.{ShardExpand, ShardListing}
   *
   * Options: `shards` (comma-separated paths/brace patterns) or `path`
   * (dir to list recursively); `extensions` (comma list → binary columns);
-  * `errorPolicy` (`fail`|`skip`); `overflow` (`true`|`false`).
+  * `errorPolicy` (`fail`|`skip`); `overflow` (`true`|`false`);
+  * `maxPartitionBytes` (+ `openCostInBytes`, default 4 MiB) — pack
+  * consecutive small shards into one partition up to the byte budget
+  * ([[WdsTarSource.packShards]]; default off = 1:1 shard:partition).
   *
   * Tar-format tolerance (the reference accepts "any member python's
   * tarfile yields", custom_datapipes.py:339-408): PAX extended headers
@@ -147,6 +150,46 @@ object WdsTarSource {
       throw new IllegalArgumentException("wds-tar requires 'shards' or 'path'"))
     shards.filter(ShardExpand.tarFilter)
   }
+
+  /** Small-shard packing (Spark's `FilePartition` discipline applied to
+    * tars): with `maxPartitionBytes` set, consecutive shards pack into
+    * one partition until the byte budget — each shard padded by
+    * `openCostInBytes` (default 4 MiB, Spark's default) so thousands of
+    * tiny shards don't collapse into one task. Order-preserving and
+    * deterministic: shard order within and across partitions is the
+    * listed order, so seeded-shuffle semantics are unchanged. Default is
+    * OFF (1:1, the reference's shard=worker unit): a normal webdataset
+    * corpus has ~100 MB–1 GB shards where 1:1 is right; packing is for
+    * corpora of many small shards (e.g. per-source re-shards or metadata
+    * tars) where a 100 TB listing would otherwise mean millions of
+    * scheduler tasks. Sizes come from one driver-side `getFileStatus`
+    * per shard — the same metadata pass a listing already paid.
+    */
+  def packShards(shards: Seq[String], options: CaseInsensitiveStringMap): Seq[Seq[String]] = {
+    val maxBytes = Option(options.get("maxPartitionBytes")).map(_.trim.toLong)
+    maxBytes match {
+      case None => shards.map(Seq(_))
+      case Some(budget) =>
+        require(budget > 0, s"wds-tar: maxPartitionBytes must be positive, got $budget")
+        val openCost = Option(options.get("openCostInBytes"))
+          .map(_.trim.toLong).getOrElse(4L * 1024 * 1024)
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val out = Seq.newBuilder[Seq[String]]
+        val cur = Seq.newBuilder[String]
+        var curBytes = 0L
+        var curN = 0
+        shards.foreach { s =>
+          val p = new Path(s)
+          val cost = p.getFileSystem(conf).getFileStatus(p).getLen + openCost
+          if (curN > 0 && curBytes + cost > budget) {
+            out += cur.result(); cur.clear(); curBytes = 0L; curN = 0
+          }
+          cur += s; curBytes += cost; curN += 1
+        }
+        if (curN > 0) out += cur.result()
+        out.result()
+    }
+  }
 }
 
 class WdsTarTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -222,12 +265,14 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
 
   /** Shard pruning: a tar whose path fails a pushed `__url__` predicate
     * never becomes a partition — it is never listed as work, never
-    * opened. The scan's partition count IS the pruned count.
+    * opened. The scan's partition count IS the pruned count (or, with
+    * `maxPartitionBytes` set, the packed count over pruned shards).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val ufs = urlFilters
-    WdsTarSource.shardsOf(options)
+    val pruned = WdsTarSource.shardsOf(options)
       .filter(s => ufs.forall(ShardFilters.eval(_, s)))
+    WdsTarSource.packShards(pruned, options)
       .map(WdsTarInputPartition(_): InputPartition).toArray
   }
 
@@ -240,16 +285,49 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
   }
 }
 
-case class WdsTarInputPartition(shardPath: String) extends InputPartition
+case class WdsTarInputPartition(shardPaths: Seq[String]) extends InputPartition
 
 case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String],
     conf: SerializableConfiguration, skipErrors: Boolean,
     keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WdsTarPartitionReader(
-      partition.asInstanceOf[WdsTarInputPartition].shardPath,
-      readSchema, declaredExts, conf.value, skipErrors, keyFilters)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val paths = partition.asInstanceOf[WdsTarInputPartition].shardPaths
+    if (paths.lengthCompare(1) == 0)
+      new WdsTarPartitionReader(paths.head, readSchema, declaredExts,
+        conf.value, skipErrors, keyFilters)
+    else
+      new WdsTarChainedReader(paths, readSchema, declaredExts,
+        conf.value, skipErrors, keyFilters)
+  }
+}
+
+/** Reads the shards of a packed partition sequentially — at most one
+  * shard's stream open at a time, so a packed partition holds no more
+  * memory than a 1:1 one.
+  */
+class WdsTarChainedReader(paths: Seq[String], readSchema: StructType,
+    declaredExts: Set[String], conf: Configuration, skipErrors: Boolean,
+    keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    extends PartitionReader[InternalRow] {
+  private val it = paths.iterator
+  private var cur: WdsTarPartitionReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new WdsTarPartitionReader(it.next(), readSchema, declaredExts,
+          conf, skipErrors, keyFilters)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Streams one tar shard: assembles consecutive same-stem members into

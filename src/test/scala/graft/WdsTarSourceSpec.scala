@@ -120,6 +120,56 @@ class WdsTarSourceSpec extends AnyFunSuite {
     assert(df.count() == 4) // 3 samples + 1
   }
 
+  test("maxPartitionBytes packs small shards; rows identical to 1:1") {
+    val shards = (0 until 6).map { i =>
+      writeTar(f"pack-$i%02d.tar", Seq(f"p$i%02d.txt" -> b(s"payload $i")))
+    }
+    def read(extra: (String, String)*) = {
+      val r = spark.read.format("wds-tar")
+        .option("shards", shards.mkString(","))
+        .option("extensions", "txt")
+      extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+    def contents(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.collect().map(r =>
+        r.getAs[String]("__key__") -> new String(r.getAs[Array[Byte]]("txt")))
+        .sortBy(_._1).toSeq
+
+    val oneToOne = read()
+    assert(oneToOne.rdd.getNumPartitions == 6)
+    // all six fixture tars are byte-identical in size (same name and
+    // payload lengths), so a budget of exactly 3 shard-sizes packs 3+3
+    val s0 = Files.size(Paths.get(shards.head))
+    val packed = read(
+      "maxPartitionBytes" -> (3 * s0).toString, "openCostInBytes" -> "0")
+    assert(packed.rdd.getNumPartitions == 2)
+    assert(contents(packed) == contents(oneToOne))
+    // openCost dominates when shards are tiny: with a 4 MiB pad per
+    // shard (the default) a 5 MiB budget packs nothing
+    val padded = read("maxPartitionBytes" -> (5L * 1024 * 1024).toString)
+    assert(padded.rdd.getNumPartitions == 6)
+  }
+
+  test("packing composes with pushdown: prune first, then pack; key skip chains") {
+    val shards = (0 until 6).map(i => fixtureDir.resolve(f"pack-$i%02d.tar").toString)
+    val s0 = Files.size(Paths.get(shards.head))
+    val df = spark.read.format("wds-tar")
+      .option("shards", shards.mkString(","))
+      .option("extensions", "txt")
+      .option("maxPartitionBytes", (2 * s0).toString)
+      .option("openCostInBytes", "0")
+      .load()
+    // __url__ pruning drops 3 shards at planning, the survivors pack 2+1
+    val pruned = df.filter(org.apache.spark.sql.functions.col("__url__") <=
+      fixtureDir.resolve("pack-02.tar").toString)
+    assert(pruned.rdd.getNumPartitions == 2)
+    assert(pruned.count() == 3)
+    // __key__ pushdown evaluates inside the chained reader per sample
+    val keyed = df.filter(org.apache.spark.sql.functions.col("__key__") >= "p04")
+    assert(keyed.collect().map(_.getAs[String]("__key__")).sorted.toSeq ==
+      Seq("p04", "p05"))
+  }
+
   test("truncated member: errorPolicy=skip keeps prior rows, fail propagates") {
     // valid tar, then cut the file mid-way through the LAST member's
     // payload: header parses, the data read hits EOF
