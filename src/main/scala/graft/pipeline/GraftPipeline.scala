@@ -33,7 +33,8 @@ final case class PipelineConfig(
     overflowColumn: Boolean = false,
     preprocessors: Seq[PipelineStage] = Nil,
     decoders: Map[String, Decoders.Decoder] = Decoders.defaults,
-    postprocessors: Seq[PipelineStage] = Nil)
+    postprocessors: Seq[PipelineStage] = Nil,
+    metaJoin: String = "shuffle")
 
 /** Config-string operator registry, replacing the reference's dynamic
   * `instantiate`/`make_callable` import machinery
@@ -273,13 +274,29 @@ object GraftPipeline {
       case None => mainShards
     }
 
-    // 4. scan: one InputPartition per shard, samples assembled in-reader
-    def scan(shards: Seq[String]): DataFrame = spark.read.format("wds-tar")
-      .option("shards", shards.mkString(","))
-      .option("extensions", config.extensions.mkString(","))
-      .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
-      .option("overflow", config.overflowColumn.toString)
-      .load()
+    // 4. scan: one InputPartition per shard, samples assembled in-reader.
+    // In metaJoin=zip mode the scan ALSO carries each shard's aligned
+    // meta shards (resolved by the same listing) and the source zips
+    // them in-reader — zero shuffle (see WdsTarZipReader's rationale).
+    val zipMode = config.metaJoin match {
+      case "zip" => true
+      case "shuffle" => false
+      case other => sys.error(s"metaJoin must be 'shuffle' or 'zip', got '$other'")
+    }
+    def scan(shards: Seq[String]): DataFrame = {
+      val r = spark.read.format("wds-tar")
+        .option("shards", shards.mkString(","))
+        .option("extensions", config.extensions.mkString(","))
+        .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
+        .option("overflow", config.overflowColumn.toString)
+      val withMeta =
+        if (!zipMode || config.metaSuffixes.isEmpty) r
+        else r.option("metaShards", config.metaSuffixes.map { sfx =>
+          sfx + ":" +
+            ShardListing.resolveMetaShards(spark, shards, sfx).mkString(",")
+        }.mkString(";"))
+      withMeta.load()
+    }
 
     var df = scan(ordered)
 
@@ -290,7 +307,9 @@ object GraftPipeline {
     // datapipeline.py:386-410), so both the reference layout (same
     // basename) and graft's sink layout (basename_suffix) load; a
     // missing or empty meta dir fails loudly instead of joining empty.
-    config.metaSuffixes.foreach { suffix =>
+    // (metaJoin=zip resolves the same listing but joins in-reader above;
+    // the shuffle join below is the order-independent fallback.)
+    if (!zipMode) config.metaSuffixes.foreach { suffix =>
       val metaShards = ShardListing.resolveMetaShards(spark, ordered, suffix)
       var meta = spark.read.format("wds-tar")
         .option("shards", metaShards.mkString(","))

@@ -702,6 +702,29 @@ object SourceQueries extends QueryPack {
           max($"energy").as("max_energy"))
     }),
 
+    // q84's meta join through metaJoin=zip: the SAME corpus, meta
+    // fixture, and aggregate, but the join is the in-reader aligned zip
+    // (WdsTarZipReader — the reference's merge_them co-iteration, zero
+    // shuffle) instead of the row-level shuffle join. Hashing the same
+    // oracle as q84 pins that both join strategies agree sample-for-
+    // sample; the plan has no Join and no Exchange below the aggregate.
+    "qa9_zip_meta_join" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      val _ = metaFixtureDir
+      val config = graft.pipeline.PipelineConfig(
+        urls = Seq(s"$dir/shard-{000000..${"%06d".format(Shards - 1)}}.tar"),
+        extensions = Seq("txt", "cls"),
+        metaSuffixes = Seq("info"),
+        metaJoin = "zip")
+      graft.pipeline.GraftPipeline.create(s, config)
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          sum($"txt_info".cast("long")).as("sum_info"))
+    }),
+
     // npz tensor archives through the FULL pipeline — listing → scan →
     // sample-level metadata join → autodecode (npz → name-keyed tensor
     // map, cls → long) → aggregate. The reference reaches npz via the
@@ -909,6 +932,14 @@ object SourceQueries extends QueryPack {
            |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // zip meta join: the SAME ground truth as q84 — both join
+      // strategies must agree sample-for-sample
+      "qa9_zip_meta_join" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       CAST(sum((id * 31) % 100) AS BIGINT) AS sum_info
+           |FROM generate_series(0, $last) t(id)""".stripMargin,
       // npz fixture: per id, "vec" is the npy formula (len 4+id%5,
       // v_j = (id*7 + j*3) % 1000), "scale" = id%113, and the joined
       // _info label = (id*31)%100; the element CTE enumerates vec

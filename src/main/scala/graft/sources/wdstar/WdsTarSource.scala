@@ -77,7 +77,8 @@ class WdsTarTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val exts = WdsTarSource.extensionsOf(options)
       .getOrElse(WdsTarSource.inferExtensions(options))
-    WdsTarSource.schemaFor(exts, options.getBoolean("overflow", false))
+    WdsTarSource.schemaFor(exts, options.getBoolean("overflow", false),
+      WdsTarSource.metaShardsOf(options).keys.toSeq.sorted)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -129,14 +130,33 @@ object WdsTarSource {
     } finally tar.close()
   }
 
-  def schemaFor(extensions: Seq[String], overflow: Boolean): StructType = {
+  def schemaFor(extensions: Seq[String], overflow: Boolean,
+      metaSuffixes: Seq[String] = Nil): StructType = {
     val base = StructType(Seq(
       StructField(KeyCol, StringType, nullable = false),
       StructField(UrlCol, StringType, nullable = false)) ++
-      extensions.map(e => StructField(e, BinaryType, nullable = true)))
+      extensions.map(e => StructField(e, BinaryType, nullable = true)) ++
+      metaSuffixes.flatMap(sfx =>
+        extensions.map(e => StructField(s"${e}_$sfx", BinaryType, nullable = true))))
     if (overflow)
       base.add(StructField(OverflowCol, MapType(StringType, BinaryType), nullable = false))
     else base
+  }
+
+  /** Parse the `metaShards` option: `sfx:p1,p2,...;sfx2:q1,q2,...` —
+    * per suffix, meta shard paths aligned 1:1 (by position) with the
+    * expanded `shards` list. Set by [[graft.pipeline.GraftPipeline]] in
+    * `metaJoin=zip` mode from [[graft.sources.ShardListing.resolveMetaShards]].
+    */
+  def metaShardsOf(options: CaseInsensitiveStringMap): Map[String, Seq[String]] = {
+    val raw = options.get("metaShards")
+    if (raw == null || raw.trim.isEmpty) Map.empty
+    else raw.split(";").map(_.trim).filter(_.nonEmpty).map { part =>
+      val colon = part.indexOf(':')
+      require(colon > 0, s"wds-tar: metaShards entry needs 'suffix:paths', got '$part'")
+      part.substring(0, colon) ->
+        part.substring(colon + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.toMap
   }
 
   def shardsOf(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -243,19 +263,27 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
+  private val metaShards = WdsTarSource.metaShardsOf(options)
   // Declared sample extensions come from the FULL table schema, not the
   // pruned one: __overflow__ holds members outside the declared columns,
   // and that set must not change when a declared column is pruned from
   // the projection (column pruning must never change column VALUES).
+  // Zip-mode meta columns (`ext_sfx`) are not member extensions.
   private def declaredExts: Set[String] = fullSchema.fieldNames
     .filterNot(Set(WdsTarSource.KeyCol, WdsTarSource.UrlCol,
-      WdsTarSource.OverflowCol)).toSet
+      WdsTarSource.OverflowCol))
+    .filterNot(n => metaShards.keys.exists(sfx => n.endsWith(s"_$sfx")))
+    .toSet
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(metaShards.isEmpty,
+      "wds-tar: metaShards (zip meta join) is batch-only; stream the main " +
+        "corpus and join meta with a stream-static join instead")
     new WdsTarMicroBatchStream(requiredSchema, declaredExts, options,
       checkpointLocation, pushed)
+  }
   override def description(): String = "wds-tar scan"
 
   private def urlFilters = pushed.filter(
@@ -267,13 +295,27 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
     * never becomes a partition — it is never listed as work, never
     * opened. The scan's partition count IS the pruned count (or, with
     * `maxPartitionBytes` set, the packed count over pruned shards).
+    * Zip-mode meta shards follow their main shard through pruning and
+    * packing — alignment is positional in the original listing.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val ufs = urlFilters
-    val pruned = WdsTarSource.shardsOf(options)
-      .filter(s => ufs.forall(ShardFilters.eval(_, s)))
+    val all = WdsTarSource.shardsOf(options)
+    metaShards.foreach { case (sfx, metas) =>
+      require(metas.length == all.length,
+        s"wds-tar: metaShards for '$sfx' has ${metas.length} entries but " +
+          s"${all.length} main shards — the lists must align positionally")
+    }
+    val metaFor: Map[String, Map[String, String]] =
+      if (metaShards.isEmpty) Map.empty
+      else all.zipWithIndex.map { case (s, i) =>
+        s -> metaShards.map { case (sfx, metas) => sfx -> metas(i) }
+      }.toMap
+    val pruned = all.filter(s => ufs.forall(ShardFilters.eval(_, s)))
     WdsTarSource.packShards(pruned, options)
-      .map(WdsTarInputPartition(_): InputPartition).toArray
+      .map(group => WdsTarInputPartition(group,
+        if (metaFor.isEmpty) Nil else group.map(metaFor)): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -285,20 +327,30 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
   }
 }
 
-case class WdsTarInputPartition(shardPaths: Seq[String]) extends InputPartition
+/** One scan partition: a group of shards (singleton unless packed), plus
+  * — in zip meta-join mode — each shard's suffix→meta-shard map, aligned
+  * by position with `shardPaths`.
+  */
+case class WdsTarInputPartition(shardPaths: Seq[String],
+    metas: Seq[Map[String, String]] = Nil) extends InputPartition
 
 case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String],
     conf: SerializableConfiguration, skipErrors: Boolean,
     keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val paths = partition.asInstanceOf[WdsTarInputPartition].shardPaths
-    if (paths.lengthCompare(1) == 0)
-      new WdsTarPartitionReader(paths.head, readSchema, declaredExts,
-        conf.value, skipErrors, keyFilters)
-    else
-      new WdsTarChainedReader(paths, readSchema, declaredExts,
-        conf.value, skipErrors, keyFilters)
+    val p = partition.asInstanceOf[WdsTarInputPartition]
+    def mk(i: Int): PartitionReader[InternalRow] = {
+      val metas = if (p.metas.isEmpty) Map.empty[String, String] else p.metas(i)
+      if (metas.isEmpty)
+        new WdsTarPartitionReader(p.shardPaths(i), readSchema, declaredExts,
+          conf.value, skipErrors, keyFilters)
+      else
+        new WdsTarZipReader(p.shardPaths(i), metas, readSchema, declaredExts,
+          conf.value, skipErrors, keyFilters)
+    }
+    if (p.shardPaths.lengthCompare(1) == 0) mk(0)
+    else new WdsTarChainedReader(p.shardPaths.indices.map(i => () => mk(i)))
   }
 }
 
@@ -306,19 +358,16 @@ case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String]
   * shard's stream open at a time, so a packed partition holds no more
   * memory than a 1:1 one.
   */
-class WdsTarChainedReader(paths: Seq[String], readSchema: StructType,
-    declaredExts: Set[String], conf: Configuration, skipErrors: Boolean,
-    keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+class WdsTarChainedReader(makers: Seq[() => PartitionReader[InternalRow]])
     extends PartitionReader[InternalRow] {
-  private val it = paths.iterator
-  private var cur: WdsTarPartitionReader = _
+  private val it = makers.iterator
+  private var cur: PartitionReader[InternalRow] = _
 
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
-        cur = new WdsTarPartitionReader(it.next(), readSchema, declaredExts,
-          conf, skipErrors, keyFilters)
+        cur = it.next()()
       }
       if (cur.next()) return true
       cur.close(); cur = null

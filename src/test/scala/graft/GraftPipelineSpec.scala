@@ -116,6 +116,69 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(rows("s1").getAs[String]("txt_meta") == "meta-for-s1")
   }
 
+  test("metaJoin=zip: in-reader aligned zip equals the shuffle join with zero shuffle") {
+    def run(mode: String) = GraftPipeline.create(spark, PipelineConfig(
+      urls = Seq(base.resolve("main").toString),
+      extensions = Seq("txt", "cls"),
+      metaSuffixes = Seq("meta"),
+      metaJoin = mode))
+    val zip = run("zip")
+    def contents(df: org.apache.spark.sql.DataFrame) =
+      df.select("__key__", "txt", "cls", "txt_meta").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    assert(contents(zip) == contents(run("shuffle")))
+    assert(contents(zip).map(_._1) == Seq("s1", "s2"))
+    // the zip plan has no join and no exchange — the 100 TB point
+    val plan = zip.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"zip plan must not join:\n$plan")
+    assert(!plan.toLowerCase.contains("exchange"), s"zip plan must not shuffle:\n$plan")
+  }
+
+  test("metaJoin=zip handles the reference layout (same basename, unsuffixed stems)") {
+    // idempotent re-write: don't depend on the shuffle-mode test having
+    // created the reference-layout fixture first
+    Files.createDirectories(base.resolve("refmain"))
+    Files.createDirectories(base.resolve("refmain_meta"))
+    writeTar("refmain/shard-00.tar", Seq(
+      "r1.txt" -> "alpha beta", "r1.cls" -> "3",
+      "r2.txt" -> "gamma", "r2.cls" -> "5"))
+    writeTar("refmain_meta/shard-00.tar", Seq(
+      "r1.txt" -> "meta-for-r1",
+      "r2.txt" -> "meta-for-r2"))
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("refmain").toString),
+      extensions = Seq("txt", "cls"),
+      metaSuffixes = Seq("meta"),
+      metaJoin = "zip")
+    val rows = GraftPipeline.create(spark, config)
+      .collect().map(r => r.getAs[String]("__key__") -> r).toMap
+    assert(rows.keySet == Set("r1", "r2"))
+    assert(rows("r1").getAs[Long]("cls") == 3L)
+    assert(rows("r1").getAs[String]("txt_meta") == "meta-for-r1")
+    assert(rows("r2").getAs[String]("txt_meta") == "meta-for-r2")
+  }
+
+  test("metaJoin=zip: positional key mismatch fails loudly (skip drops the pair)") {
+    Files.createDirectories(base.resolve("zmis"))
+    Files.createDirectories(base.resolve("zmis_meta"))
+    writeTar("zmis/shard-00.tar", Seq("a.txt" -> "x", "b.txt" -> "y"))
+    writeTar("zmis_meta/shard-00.tar", Seq("a.txt" -> "m1", "c.txt" -> "m2"))
+    val config = PipelineConfig(
+      urls = Seq(base.resolve("zmis").toString),
+      extensions = Seq("txt"),
+      metaSuffixes = Seq("meta"),
+      metaJoin = "zip")
+    val e = intercept[Exception](GraftPipeline.create(spark, config).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mismatch")), s"unexpected: $e")
+    // skip policy: the aligned prefix survives, the mismatched tail drops
+    val skipped = GraftPipeline.create(spark, config.copy(skipCorrupt = true))
+      .collect().map(_.getAs[String]("__key__")).toSeq
+    assert(skipped == Seq("a"))
+  }
+
   test("empty metadata directory fails loudly, not silently-empty join") {
     Files.createDirectories(base.resolve("lonely"))
     Files.createDirectories(base.resolve("lonely_meta")) // exists but empty
