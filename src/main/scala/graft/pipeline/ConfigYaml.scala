@@ -93,7 +93,11 @@ object ConfigYaml {
       skipCorrupt = skipCorrupt,
       decoders = decoders,
       preprocessors = stages(ds.get("preprocessors")),
-      postprocessors = stages(ds.get("postprocessors")))
+      postprocessors = stages(ds.get("postprocessors")),
+      // graft-native knob (no reference dual — the reference's meta zip
+      // is always positional): 'zip' selects the in-reader aligned
+      // co-iteration, 'shuffle' (default) the order-independent join
+      metaJoin = pc.get("meta_join").map(_.toString).getOrElse("shuffle"))
 
     val batchSize = root.get("loader").map(asMap(_, "loader"))
       .flatMap(m => int(m.get("batch_size")))

@@ -159,6 +159,32 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(rows("r2").getAs[String]("txt_meta") == "meta-for-r2")
   }
 
+  test("metaJoin=zip composes with shard packing: metas follow their shard") {
+    // two main shards + aligned reference-layout metas, packed into ONE
+    // partition: the chained reader must zip each shard with ITS meta
+    Files.createDirectories(base.resolve("zpack"))
+    Files.createDirectories(base.resolve("zpack_meta"))
+    writeTar("zpack/shard-00.tar", Seq("p1.txt" -> "one", "p2.txt" -> "two"))
+    writeTar("zpack/shard-01.tar", Seq("p3.txt" -> "three"))
+    writeTar("zpack_meta/shard-00.tar", Seq("p1.txt" -> "m1", "p2.txt" -> "m2"))
+    writeTar("zpack_meta/shard-01.tar", Seq("p3.txt" -> "m3"))
+    val metas = graft.sources.ShardListing.resolveMetaShards(spark,
+      Seq(base.resolve("zpack/shard-00.tar").toString,
+        base.resolve("zpack/shard-01.tar").toString), "meta")
+    val df = spark.read.format("wds-tar")
+      .option("shards", Seq("shard-00.tar", "shard-01.tar")
+        .map(s => base.resolve("zpack").resolve(s).toString).mkString(","))
+      .option("extensions", "txt")
+      .option("metaShards", "meta:" + metas.mkString(","))
+      .option("maxPartitionBytes", (64L * 1024 * 1024).toString)
+      .load()
+    assert(df.rdd.getNumPartitions == 1)
+    val rows = df.collect()
+      .map(r => r.getAs[String]("__key__") ->
+        new String(r.getAs[Array[Byte]]("txt_meta"), "UTF-8")).toMap
+    assert(rows == Map("p1" -> "m1", "p2" -> "m2", "p3" -> "m3"))
+  }
+
   test("metaJoin=zip: positional key mismatch fails loudly (skip drops the pair)") {
     Files.createDirectories(base.resolve("zmis"))
     Files.createDirectories(base.resolve("zmis_meta"))

@@ -45,6 +45,44 @@ class YamlConfigSpec extends AnyFunSuite {
     d
   }
 
+  test("pipeline_config.meta_join: zip drives the zero-shuffle zip join from YAML") {
+    val zd = dir.resolve("zipcfg")
+    Files.createDirectories(zd)
+    Files.createDirectories(Paths.get(zd.toString + "_meta"))
+    def tar(path: java.nio.file.Path, members: Seq[(String, String)]): Unit = {
+      val out = new TarArchiveOutputStream(new FileOutputStream(path.toFile))
+      members.foreach { case (n, c) =>
+        val bytes = c.getBytes("UTF-8")
+        val e = new TarArchiveEntry(n)
+        e.setSize(bytes.length.toLong)
+        out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+      }
+      out.close()
+    }
+    tar(zd.resolve("shard-00.tar"), Seq("a.txt" -> "alpha", "b.txt" -> "beta"))
+    tar(Paths.get(zd.toString + "_meta").resolve("shard-00.tar"),
+      Seq("a.txt" -> "m-a", "b.txt" -> "m-b"))
+    val yaml =
+      s"""dataset:
+         |  urls:
+         |    - "$zd"
+         |  meta_urls:
+         |    - "${zd}_meta"
+         |  extensions:
+         |    - "txt"
+         |  pipeline_config:
+         |    meta_join: zip
+         |""".stripMargin
+    val loaded = ConfigYaml.parse(yaml)
+    assert(loaded.config.metaJoin == "zip")
+    val df = GraftPipeline.create(spark, loaded.config)
+    val rows = df.collect()
+      .map(r => r.getAs[String]("__key__") -> r.getAs[String]("txt_meta")).toMap
+    assert(rows == Map("a" -> "m-a", "b" -> "m-b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.toLowerCase.contains("exchange"), plan)
+  }
+
   test("MiniYaml parses the reference config shape (comments, quotes, nesting)") {
     val doc = MiniYaml.parse(
       """dataset:
