@@ -465,6 +465,41 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Produce-and-consume meta round trip: the sink writes the main
+    // corpus AND a derived metadata column to aligned sibling `_info`
+    // shards (metaSuffixes write option — reference layout, same
+    // basenames, one pass so order is aligned by construction), then
+    // the zip meta join reads the layout back with zero shuffle. The
+    // derived info value is formulaic in cls, so the oracle regenerates
+    // the whole loop: a routing bug, a mis-aligned write, or a zip slip
+    // on the re-read all break the hash.
+    "qaa_meta_sink_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      val outDir = Paths.get("target", "meta-sink-out").toAbsolutePath.toString
+      s.read.format("wds-tar")
+        .option("shards", (0 until 4).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "txt,cls")
+        .load()
+        .withColumn("txt_info",
+          ((decode($"cls", "UTF-8").cast("long") * 7) % 50).cast("string"))
+        .select($"__key__", $"txt", $"cls", $"txt_info")
+        .write.format("wds-tar")
+        .option("path", outDir)
+        .option("metaSuffixes", "info")
+        .mode("overwrite").save()
+      graft.pipeline.GraftPipeline.create(s, graft.pipeline.PipelineConfig(
+        urls = Seq(outDir),
+        extensions = Seq("txt", "cls"),
+        metaSuffixes = Seq("info"),
+        metaJoin = "zip"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum($"cls").as("sum_cls"),
+          sum(length($"txt")).as("payload_bytes"),
+          sum($"txt_info".cast("long")).as("sum_info"))
+    }),
+
     // Sample-level metadata join through the FULL pipeline (J1/J2/P11):
     // main shards via brace urls, metadata discovered by LISTING the
     // sibling `_info` dir in the REFERENCE layout (same basenames,
@@ -932,6 +967,14 @@ object SourceQueries extends QueryPack {
            |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // meta sink round trip: 4 source shards, info = (cls*7)%50 with
+      // cls = id%97 — the whole produce-and-consume loop regenerated
+      "qaa_meta_sink_roundtrip" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS payload_bytes,
+           |       CAST(sum(((id % 97) * 7) % 50) AS BIGINT) AS sum_info
+           |FROM generate_series(0, ${4 * SamplesPerShard - 1}) t(id)""".stripMargin,
       // zip meta join: the SAME ground truth as q84 — both join
       // strategies must agree sample-for-sample
       "qa9_zip_meta_join" ->

@@ -14,9 +14,19 @@ import org.apache.spark.util.SerializableConfiguration
   * has no sink at all (SURVEY.md §2.1 S9) — this closes the loop so a
   * pipeline can be tar→transform→tar.
   *
+  * Meta-shard output: with `metaSuffixes` set (comma list), columns
+  * named `<ext>_<suffix>` write to a SIBLING `<path>_<suffix>` dir in a
+  * shard with the SAME basename and unsuffixed member stems — the
+  * reference layout `ShardListing.resolveMetaShards` discovers and the
+  * zip meta join consumes. Main and meta shards are written in ONE
+  * pass over the partition, so sample order is aligned by construction:
+  * the sink produces exactly the layout `metaJoin=zip` reads back with
+  * zero shuffle.
+  *
   * Commit protocol: writers emit `.inprogress` files and rename on task
-  * commit, so a failed/speculative task never leaves a partial shard
-  * visible; job commit is a no-op, abort best-effort deletes.
+  * commit (all of a task's shards — main and meta — rename together),
+  * so a failed/speculative task never leaves a partial shard visible;
+  * job commit is a no-op, abort best-effort deletes.
   *
   * Scale: shard sizing follows upstream partitioning — repartition to
   * control shard count/size; writes are embarrassingly parallel, no
@@ -33,6 +43,12 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  private def metaSuffixes: Seq[String] = {
+    val raw = options.get("metaSuffixes")
+    if (raw == null || raw.trim.isEmpty) Nil
+    else raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   override def build(): Write = new Write {
     private def prepared: (String, SerializableConfiguration) = {
       val dir = options.get("path")
@@ -40,34 +56,38 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
       val conf = new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf())
       if (doTruncate) {
-        val p = new Path(dir)
-        val fs = p.getFileSystem(conf.value)
-        if (fs.exists(p)) {
-          fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
-            .foreach(st => fs.delete(st.getPath, false))
-        }
+        (dir +: metaSuffixes.map(graft.sources.ShardListing.metaDir(dir, _)))
+          .foreach { d =>
+            val p = new Path(d)
+            val fs = p.getFileSystem(conf.value)
+            if (fs.exists(p)) {
+              fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
+                .foreach(st => fs.delete(st.getPath, false))
+            }
+          }
       }
       (dir, conf)
     }
 
     override def toBatch: BatchWrite = {
       val (dir, conf) = prepared
-      new WdsTarBatchWrite(dir, schema, conf)
+      new WdsTarBatchWrite(dir, schema, conf, metaSuffixes)
     }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val (dir, conf) = prepared
-      new WdsTarStreamingWrite(dir, schema, conf)
+      new WdsTarStreamingWrite(dir, schema, conf, metaSuffixes)
     }
   }
 }
 
 class WdsTarBatchWrite(dir: String, schema: StructType,
-    conf: SerializableConfiguration) extends BatchWrite {
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WdsTarWriterFactory(dir, schema, conf)
+    WdsTarWriterFactory(dir, schema, conf, metaSuffixes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -75,66 +95,96 @@ class WdsTarBatchWrite(dir: String, schema: StructType,
 }
 
 case class WdsTarWriterFactory(dir: String, schema: StructType,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WdsTarDataWriter(dir, schema, conf, partitionId, taskId)
+    new WdsTarDataWriter(dir, schema, conf, metaSuffixes, partitionId, taskId)
 }
 
 case class WdsTarCommit(path: String) extends WriterCommitMessage
 
 class WdsTarDataWriter(dir: String, schema: StructType,
-    conf: SerializableConfiguration, shardName: String, tmpName: String,
-    overwriteFinal: Boolean = false)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String],
+    shardName: String, tmpName: String, overwriteFinal: Boolean = false)
     extends DataWriter[InternalRow] {
 
   def this(dir: String, schema: StructType, conf: SerializableConfiguration,
-      partitionId: Int, taskId: Long) =
-    this(dir, schema, conf,
+      metaSuffixes: Seq[String], partitionId: Int, taskId: Long) =
+    this(dir, schema, conf, metaSuffixes,
       f"shard-$partitionId%05d-$taskId.tar",
       f".shard-$partitionId%05d-$taskId.tar.inprogress")
 
   private val keyIdx = schema.fieldIndex(WdsTarSource.KeyCol)
+  private def suffixOf(name: String): Option[String] =
+    metaSuffixes.find(sfx => name.endsWith(s"_$sfx"))
   private val payloadFields = schema.fields.zipWithIndex.filter { case (f, _) =>
     f.name != WdsTarSource.KeyCol && f.name != WdsTarSource.UrlCol &&
       (f.dataType == BinaryType || f.dataType == StringType)
   }
 
-  private val finalPath = new Path(dir, shardName)
-  private val tmpPath = new Path(dir, tmpName)
-  private val fs = finalPath.getFileSystem(conf.value)
-  fs.mkdirs(new Path(dir))
-  private val out = new TarArchiveOutputStream(fs.create(tmpPath, true))
-  out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+  /** One output stream per destination: the main shard plus a sibling
+    * shard per meta suffix, each with the fields routed to it (the meta
+    * member name strips the `_suffix` back off the column name).
+    */
+  private case class Dest(tmp: Path, fin: Path,
+      fields: Seq[(String, org.apache.spark.sql.types.StructField, Int)]) {
+    val fs = fin.getFileSystem(conf.value)
+    fs.mkdirs(fin.getParent)
+    val out = new TarArchiveOutputStream(fs.create(tmp, true))
+    out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+  }
+
+  private val dests: Seq[Dest] = {
+    val main = Dest(new Path(dir, tmpName), new Path(dir, shardName),
+      payloadFields.collect {
+        case (f, i) if suffixOf(f.name).isEmpty => (f.name, f, i)
+      }.toSeq)
+    val metas = metaSuffixes.map { sfx =>
+      val mdir = graft.sources.ShardListing.metaDir(dir, sfx)
+      Dest(new Path(mdir, tmpName), new Path(mdir, shardName),
+        payloadFields.collect {
+          case (f, i) if f.name.endsWith(s"_$sfx") =>
+            (f.name.dropRight(sfx.length + 1), f, i)
+        }.toSeq)
+    }
+    main +: metas
+  }
 
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(keyIdx).toString
-    payloadFields.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) {
-        val bytes = f.dataType match {
-          case BinaryType => row.getBinary(i)
-          case StringType => row.getUTF8String(i).getBytes
+    dests.foreach { d =>
+      d.fields.foreach { case (ext, f, i) =>
+        if (!row.isNullAt(i)) {
+          val bytes = f.dataType match {
+            case BinaryType => row.getBinary(i)
+            case StringType => row.getUTF8String(i).getBytes
+          }
+          val e = new TarArchiveEntry(s"$key.$ext")
+          e.setSize(bytes.length.toLong)
+          d.out.putArchiveEntry(e)
+          d.out.write(bytes)
+          d.out.closeArchiveEntry()
         }
-        val e = new TarArchiveEntry(s"$key.${f.name}")
-        e.setSize(bytes.length.toLong)
-        out.putArchiveEntry(e)
-        out.write(bytes)
-        out.closeArchiveEntry()
       }
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
-    // streaming epoch replay rewrites the same deterministic shard name:
-    // drop the stale file so the rename lands (idempotent re-commit)
-    if (overwriteFinal && fs.exists(finalPath)) fs.delete(finalPath, false)
-    fs.rename(tmpPath, finalPath)
-    WdsTarCommit(finalPath.toString)
+    dests.foreach { d =>
+      d.out.close()
+      // streaming epoch replay rewrites the same deterministic shard
+      // name: drop the stale file so the rename lands (idempotent)
+      if (overwriteFinal && d.fs.exists(d.fin)) d.fs.delete(d.fin, false)
+      d.fs.rename(d.tmp, d.fin)
+    }
+    WdsTarCommit(dests.head.fin.toString)
   }
 
   override def abort(): Unit = {
-    try out.close() catch { case _: Exception => () }
-    fs.delete(tmpPath, false)
+    dests.foreach { d =>
+      try d.out.close() catch { case _: Exception => () }
+      d.fs.delete(d.tmp, false)
+    }
   }
 
   override def close(): Unit = ()
@@ -154,23 +204,23 @@ class WdsTarDataWriter(dir: String, schema: StructType,
   * atomic unit), abort is best-effort, matching the batch sink.
   */
 class WdsTarStreamingWrite(dir: String, schema: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    WdsTarStreamingWriterFactory(dir, schema, conf)
+    WdsTarStreamingWriterFactory(dir, schema, conf, metaSuffixes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class WdsTarStreamingWriterFactory(dir: String, schema: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new WdsTarDataWriter(dir, schema, conf,
+    new WdsTarDataWriter(dir, schema, conf, metaSuffixes,
       shardName = f"shard-e$epochId%06d-p$partitionId%05d.tar",
       tmpName = f".shard-e$epochId%06d-p$partitionId%05d-$taskId.tar.inprogress",
       overwriteFinal = true)

@@ -253,6 +253,37 @@ class WdsTarSourceSpec extends AnyFunSuite {
       .option("extensions", "jpg,txt").load().count() == 1)
   }
 
+  test("write path: metaSuffixes routes ext_suffix columns to aligned sibling meta shards") {
+    import spark.implicits._
+    val outDir = fixtureDir.resolve("written-meta").toString
+    val src = Seq(
+      ("m1", "pay-1", "91"),
+      ("m2", "pay-2", "92"),
+      ("m3", "pay-3", "93"))
+      .toDF("__key__", "txt", "txt_info")
+    src.coalesce(1).write.format("wds-tar")
+      .option("path", outDir)
+      .option("metaSuffixes", "info")
+      .mode("overwrite").save()
+    // sibling layout: same shard basenames in <dir>_info, unsuffixed
+    // member stems — exactly what resolveMetaShards + zip join consume
+    val mainTars = new java.io.File(outDir).list().filter(_.endsWith(".tar")).sorted
+    val metaTars = new java.io.File(outDir + "_info").list().filter(_.endsWith(".tar")).sorted
+    assert(mainTars.nonEmpty && mainTars.toSeq == metaTars.toSeq)
+    val back = graft.pipeline.GraftPipeline.create(spark, graft.pipeline.PipelineConfig(
+      urls = Seq(outDir),
+      extensions = Seq("txt"),
+      metaSuffixes = Seq("info"),
+      metaJoin = "zip"))
+    val rows = back.collect()
+      .map(r => r.getAs[String]("__key__") ->
+        (r.getAs[String]("txt"), r.getAs[String]("txt_info"))).toMap
+    assert(rows == Map(
+      "m1" -> (("pay-1", "91")),
+      "m2" -> (("pay-2", "92")),
+      "m3" -> (("pay-3", "93"))))
+  }
+
   test("__url__ pushdown prunes shards at planning: partition count shrinks") {
     val s2 = writeTar("push-000000.tar", Seq(
       "p1.txt" -> b("one"), "p2.txt" -> b("two")))

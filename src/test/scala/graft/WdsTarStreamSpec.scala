@@ -149,6 +149,7 @@ class WdsTarStreamSpec extends AnyFunSuite {
       spark.sessionState.newHadoopConf())
     def commitOnce(payload: String, taskId: Long): Unit = {
       val w = new graft.sources.wdstar.WdsTarDataWriter(outDir, schema, conf,
+        metaSuffixes = Nil,
         shardName = "shard-e000001-p00000.tar",
         tmpName = s".shard-e000001-p00000-$taskId.tar.inprogress",
         overwriteFinal = true)
