@@ -205,4 +205,24 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       s"q33 no longer reads the staged shingle frame:\n${p.take(1200)}")
   }
+
+  test("qa9: zip meta join plan has NO join and NO exchange below the aggregate") {
+    // the zero-shuffle contract: metadata meets the main table inside
+    // the partition reader, so nothing joins or shuffles until the
+    // final aggregate's single-partition reduction
+    val p = planOf("qa9_zip_meta_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"zip meta join must not join:\n${p.take(1200)}")
+    // the only exchange allowed is the final SinglePartition gather for
+    // the global aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0, s"zip meta join must not hash-shuffle:\n${p.take(1200)}")
+  }
+
+  test("qa8: packed scan keeps the wds-tar leaf (packing is planning-only)") {
+    val p = planOf("qa8_packed_scan")
+    assert(p.contains("wds-tar"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }
