@@ -94,10 +94,13 @@ object ConfigYaml {
       decoders = decoders,
       preprocessors = stages(ds.get("preprocessors")),
       postprocessors = stages(ds.get("postprocessors")),
-      // graft-native knob (no reference dual — the reference's meta zip
-      // is always positional): 'zip' selects the in-reader aligned
-      // co-iteration, 'shuffle' (default) the order-independent join
-      metaJoin = pc.get("meta_join").map(_.toString).getOrElse("shuffle"))
+      // graft-native knobs (no reference dual — the reference's meta zip
+      // is always positional and its worker split is the task unit):
+      // 'zip' selects the in-reader aligned co-iteration, 'shuffle'
+      // (default) the order-independent join; max_partition_bytes packs
+      // small shards under the byte budget (WdsTarSource.packShards)
+      metaJoin = pc.get("meta_join").map(_.toString).getOrElse("shuffle"),
+      maxPartitionBytes = long(pc.get("max_partition_bytes")))
 
     val batchSize = root.get("loader").map(asMap(_, "loader"))
       .flatMap(m => int(m.get("batch_size")))
@@ -374,6 +377,14 @@ object ConfigYaml {
     case Some(n: java.lang.Long) => Some(n.intValue())
     case Some(n: java.lang.Double) => Some(n.intValue())
     case Some(s: String) => s.toIntOption
+    case _ => None
+  }
+
+  // byte budgets exceed Int range; parse as Long
+  private def long(v: Option[Any]): Option[Long] = v match {
+    case Some(n: java.lang.Long) => Some(n.longValue())
+    case Some(n: java.lang.Double) => Some(n.longValue())
+    case Some(s: String) => s.toLongOption
     case _ => None
   }
 

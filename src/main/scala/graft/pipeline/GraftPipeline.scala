@@ -34,7 +34,8 @@ final case class PipelineConfig(
     preprocessors: Seq[PipelineStage] = Nil,
     decoders: Map[String, Decoders.Decoder] = Decoders.defaults,
     postprocessors: Seq[PipelineStage] = Nil,
-    metaJoin: String = "shuffle")
+    metaJoin: String = "shuffle",
+    maxPartitionBytes: Option[Long] = None)
 
 /** Config-string operator registry, replacing the reference's dynamic
   * `instantiate`/`make_callable` import machinery
@@ -289,9 +290,13 @@ object GraftPipeline {
         .option("extensions", config.extensions.mkString(","))
         .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
         .option("overflow", config.overflowColumn.toString)
+      val withPack = config.maxPartitionBytes match {
+        case Some(b) => r.option("maxPartitionBytes", b.toString)
+        case None => r
+      }
       val withMeta =
-        if (!zipMode || config.metaSuffixes.isEmpty) r
-        else r.option("metaShards", config.metaSuffixes.map { sfx =>
+        if (!zipMode || config.metaSuffixes.isEmpty) withPack
+        else withPack.option("metaShards", config.metaSuffixes.map { sfx =>
           sfx + ":" +
             ShardListing.resolveMetaShards(spark, shards, sfx).mkString(",")
         }.mkString(";"))

@@ -159,6 +159,48 @@ class GraftPipelineSpec extends AnyFunSuite {
     assert(rows("r2").getAs[String]("txt_meta") == "meta-for-r2")
   }
 
+  test("metaJoin=zip handles TWO meta suffixes in one pass (one stream per suffix)") {
+    Files.createDirectories(base.resolve("ztwo"))
+    Files.createDirectories(base.resolve("ztwo_info"))
+    Files.createDirectories(base.resolve("ztwo_score"))
+    writeTar("ztwo/shard-00.tar", Seq("t1.txt" -> "body-1", "t2.txt" -> "body-2"))
+    writeTar("ztwo_info/shard-00.tar", Seq("t1.txt" -> "i1", "t2.txt" -> "i2"))
+    writeTar("ztwo_score/shard-00.tar", Seq("t1.txt" -> "90", "t2.txt" -> "80"))
+    val df = GraftPipeline.create(spark, PipelineConfig(
+      urls = Seq(base.resolve("ztwo").toString),
+      extensions = Seq("txt"),
+      metaSuffixes = Seq("info", "score"),
+      metaJoin = "zip"))
+    val rows = df.collect().map(r => r.getAs[String]("__key__") ->
+      ((r.getAs[String]("txt_info"), r.getAs[String]("txt_score")))).toMap
+    assert(rows == Map("t1" -> (("i1", "90")), "t2" -> (("i2", "80"))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.toLowerCase.contains("exchange"), plan)
+  }
+
+  test("pipeline_config.max_partition_bytes packs shards from the config") {
+    Files.createDirectories(base.resolve("pk"))
+    writeTar("pk/shard-00.tar", Seq("k1.txt" -> "aa"))
+    writeTar("pk/shard-01.tar", Seq("k2.txt" -> "bb"))
+    val df = GraftPipeline.create(spark, PipelineConfig(
+      urls = Seq(base.resolve("pk").toString),
+      extensions = Seq("txt"),
+      maxPartitionBytes = Some(64L * 1024 * 1024)))
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 2)
+    // and the YAML key drives the same knob
+    val yaml =
+      s"""dataset:
+         |  urls:
+         |    - "${base.resolve("pk")}"
+         |  extensions:
+         |    - "txt"
+         |  pipeline_config:
+         |    max_partition_bytes: ${64L * 1024 * 1024}
+         |""".stripMargin
+    assert(ConfigYaml.parse(yaml).config.maxPartitionBytes.contains(64L * 1024 * 1024))
+  }
+
   test("metaJoin=zip composes with shard packing: metas follow their shard") {
     // two main shards + aligned reference-layout metas, packed into ONE
     // partition: the chained reader must zip each shard with ITS meta
