@@ -316,19 +316,12 @@ object GraftPipeline {
     // the shuffle join below is the order-independent fallback.)
     if (!zipMode) config.metaSuffixes.foreach { suffix =>
       val metaShards = ShardListing.resolveMetaShards(spark, ordered, suffix)
-      var meta = spark.read.format("wds-tar")
+      val meta0 = spark.read.format("wds-tar")
         .option("shards", metaShards.mkString(","))
         .option("extensions", config.extensions.mkString(","))
         .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
         .load()
-        .drop(graft.sources.wdstar.WdsTarSource.UrlCol)
-      meta.columns.filter(c => c != graft.sources.wdstar.WdsTarSource.KeyCol).foreach { c =>
-        if (df.columns.contains(c)) meta = meta.withColumnRenamed(c, s"${c}_$suffix")
-      }
-      // meta keys carry the suffix on the stem: strip it for the join
-      meta = meta.withColumn(graft.sources.wdstar.WdsTarSource.KeyCol,
-        regexp_replace(col(graft.sources.wdstar.WdsTarSource.KeyCol), s"_$suffix$$", ""))
-      df = df.join(meta, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), "inner")
+      df = metaJoinShuffle(df, meta0, suffix)
     }
 
     // 6-8. stage folds: filters → Filter nodes, mappers → projections.
@@ -369,6 +362,70 @@ object GraftPipeline {
       df = Sampling.detShuffle(df, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), seed)
     }
     df
+  }
+
+  /** Shared shuffle-mode meta join: collision rename (P11), stem suffix
+    * strip, inner equi-join on `__key__`.
+    */
+  private def metaJoinShuffle(df: DataFrame, meta0: DataFrame,
+      suffix: String): DataFrame = {
+    var meta = meta0.drop(graft.sources.wdstar.WdsTarSource.UrlCol)
+    meta.columns.filter(c => c != graft.sources.wdstar.WdsTarSource.KeyCol).foreach { c =>
+      if (df.columns.contains(c)) meta = meta.withColumnRenamed(c, s"${c}_$suffix")
+    }
+    // meta keys carry the suffix on the stem: strip it for the join
+    meta = meta.withColumn(graft.sources.wdstar.WdsTarSource.KeyCol,
+      regexp_replace(col(graft.sources.wdstar.WdsTarSource.KeyCol), s"_$suffix$$", ""))
+    df.join(meta, Seq(graft.sources.wdstar.WdsTarSource.KeyCol), "inner")
+  }
+
+  /** Streaming dual of [[create]] — the same config assembles a
+    * CONTINUOUS pipeline over a growing shard directory (the wds-tar
+    * micro-batch source, shards-as-offsets): stream scan → stream-static
+    * meta join per suffix → preprocessors → decode → postprocessors.
+    * Feed the result to `writeStream` (e.g. the wds-tar streaming sink
+    * for continuous re-sharding, or a windowed aggregation from
+    * [[graft.streaming.StreamOps]]).
+    *
+    * Semantics that are batch-only stay batch-only, loudly: shuffles,
+    * mixture, and repeat reorder a bounded corpus (a stream is its own
+    * epoch); `metaJoin=zip` needs the batch scan's aligned partitions.
+    * The meta side of the stream-static join is a batch read of the
+    * suffixed sibling directory — Spark re-plans the static side each
+    * micro-batch, so meta shards that arrive WITH new main shards are
+    * visible by the batch that needs them.
+    */
+  def createStream(spark: SparkSession, config: PipelineConfig): DataFrame = {
+    require(config.urls.length == 1 && !ShardExpand.isBraceExpand(config.urls.head),
+      "streaming pipeline takes exactly one directory url (the source " +
+        "lists it; brace patterns enumerate a FIXED shard set)")
+    require(config.shardShuffleSeed.isEmpty && config.sampleShuffleSeed.isEmpty &&
+      config.prefixProbs.isEmpty && config.repeat == 1,
+      "shuffles/mixture/repeat are bounded-corpus semantics; not valid on a stream")
+    require(config.metaJoin == "shuffle",
+      "metaJoin=zip is batch-only; the stream joins meta by key (stream-static)")
+    val dir = config.urls.head
+    var df = spark.readStream.format("wds-tar")
+      .option("path", dir)
+      .option("extensions", config.extensions.mkString(","))
+      .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
+      .option("overflow", config.overflowColumn.toString)
+      .load()
+    config.metaSuffixes.foreach { suffix =>
+      val meta0 = spark.read.format("wds-tar")
+        .option("path", ShardListing.metaDir(dir, suffix))
+        .option("extensions", config.extensions.mkString(","))
+        .option("errorPolicy", if (config.skipCorrupt) "skip" else "fail")
+        .load()
+      df = metaJoinShuffle(df, meta0, suffix)
+    }
+    def fold(stages: Seq[PipelineStage])(d0: DataFrame): DataFrame =
+      stages.foldLeft(d0) {
+        case (acc, FilterStage(f)) => f(acc)
+        case (acc, MapperStage(m)) => m(acc)
+      }
+    fold(config.postprocessors)(
+      decodeStage(fold(config.preprocessors)(df), config))
   }
 
   /** Decode stage (D1-D3): rewrites each configured extension column via

@@ -134,6 +134,65 @@ class WdsTarStreamSpec extends AnyFunSuite {
       s"expected shards from >= 2 epochs, got $names")
   }
 
+  test("createStream: config-built continuous pipeline with stream-static meta join") {
+    val d = mkDir()
+    val metaDir = Paths.get(d.toString + "_info")
+    Files.createDirectories(metaDir)
+    def tarWith(dd: java.nio.file.Path, name: String, members: Seq[(String, String)]): Unit = {
+      val out = new TarArchiveOutputStream(new FileOutputStream(dd.resolve(name).toFile))
+      members.foreach { case (n, c) =>
+        val bytes = c.getBytes("UTF-8")
+        val e = new TarArchiveEntry(n)
+        e.setSize(bytes.length.toLong)
+        out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+      }
+      out.close()
+    }
+    tarWith(d, "shard-000000.tar", Seq("c1.txt" -> "alpha", "c1.cls" -> "5",
+      "c2.txt" -> "beta", "c2.cls" -> "6"))
+    tarWith(metaDir, "shard-000000.tar", Seq("c1.txt" -> "41", "c2.txt" -> "42"))
+    val config = graft.pipeline.PipelineConfig(
+      urls = Seq(d.toString),
+      extensions = Seq("txt", "cls"),
+      metaSuffixes = Seq("info"),
+      postprocessors = Seq(graft.pipeline.FilterStage(
+        graft.operators.LambdaFilter(Seq("cls"),
+          c => c > org.apache.spark.sql.functions.lit(0)))))
+    val q = graft.pipeline.GraftPipeline.createStream(spark, config)
+      .writeStream.format("memory").queryName("pipe_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("pipe_stream").collect()
+        .map(r => r.getAs[String]("__key__") ->
+          ((r.getAs[String]("txt"), r.getAs[Long]("cls"),
+            r.getAs[String]("txt_info")))).toMap
+      assert(rows == Map(
+        "c1" -> (("alpha", 5L, "41")),
+        "c2" -> (("beta", 6L, "42"))))
+      // main + meta shards arriving together are joined by the batch
+      // that ingests them (the static side re-plans per micro-batch)
+      tarWith(d, "shard-000001.tar", Seq("c3.txt" -> "gamma", "c3.cls" -> "7"))
+      tarWith(metaDir, "shard-000001.tar", Seq("c3.txt" -> "43"))
+      q.processAllAvailable()
+      val all = spark.table("pipe_stream").collect()
+      assert(all.length == 3)
+      assert(all.map(_.getAs[String]("__key__")).sorted.toSeq == Seq("c1", "c2", "c3"))
+    } finally q.stop()
+  }
+
+  test("createStream rejects batch-only semantics loudly") {
+    val d = mkDir()
+    def cfg = graft.pipeline.PipelineConfig(
+      urls = Seq(d.toString), extensions = Seq("txt"))
+    intercept[IllegalArgumentException](graft.pipeline.GraftPipeline
+      .createStream(spark, cfg.copy(sampleShuffleSeed = Some(1))))
+    intercept[IllegalArgumentException](graft.pipeline.GraftPipeline
+      .createStream(spark, cfg.copy(metaJoin = "zip")))
+    intercept[IllegalArgumentException](graft.pipeline.GraftPipeline
+      .createStream(spark, cfg.copy(urls = Seq(d.toString, d.toString))))
+  }
+
   test("streaming sink replay: re-committing the same shard name overwrites, never duplicates") {
     // the idempotency mechanism under micro-batch retry: a replayed
     // epoch writes the same deterministic final name; commit drops the
