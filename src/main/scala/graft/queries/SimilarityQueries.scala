@@ -115,6 +115,36 @@ object SimilarityQueries extends QueryPack {
         .orderBy($"bucket", $"a_id", $"b_id")
     }),
 
+    // Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, public):
+    // cluster the embedding space, then prune near-duplicates WITHIN
+    // each cluster — the clustering bounds pairwise work to cell-sized
+    // blocks, which is what makes embedding dedup feasible at corpus
+    // scale (the all-pairs form is quadratic). Deterministic survivor
+    // rule (min-id: a vector is redundant iff an earlier-id vector in
+    // its cell is cosine-closer than the threshold) instead of the
+    // paper's greedy sequential scan, so both engines express it as a
+    // cell-blocked self-join with no ordering dependence. The join
+    // moves (cell, id, vec) — never payloads — and shuffles on the
+    // cell id, the same skew-bounded shape as the LSH pair mining.
+    "qab_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val assigned = ivfAssign(emb(s, dir), "embedding", "vec_id",
+        k = IvfK, seed = IvfSeed)
+        .select($"centroid_id", $"vec_id", $"embedding")
+      val x = assigned.select($"centroid_id",
+        $"vec_id".as("x_id"), $"embedding".as("x_vec"))
+      val y = assigned.select($"centroid_id",
+        $"vec_id".as("y_id"), $"embedding".as("y_vec"))
+      val redundant = x.join(y, Seq("centroid_id"))
+        .filter($"y_id" < $"x_id" && cosineSim($"x_vec", $"y_vec") >= 0.3)
+        .select($"x_id".as("vec_id")).distinct()
+      assigned.join(redundant, Seq("vec_id"), "left_anti")
+        .agg(
+          count(lit(1)).as("n_survivors"),
+          sum($"vec_id").as("survivor_id_sum"),
+          countDistinct($"centroid_id").as("n_cells"))
+    }),
+
     // IVF-style ANN: assign every vector to its nearest of k
     // deterministic centroids, then search only the probe's cell.
     "q44_ivf_search" -> ((s, dir) => {
@@ -455,6 +485,20 @@ object SimilarityQueries extends QueryPack {
          |WHERE cos >= 0.3
          |ORDER BY bucket, a_id, b_id""".stripMargin
     },
+    "qab_semantic_dedup" ->
+      s"""$ivfCteSql,
+         |red AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM assigned x JOIN assigned y
+         |    ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+         |  WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.3),
+         |surv AS (
+         |  SELECT * FROM assigned
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM red))
+         |SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+         |       CAST(sum(vec_id) AS BIGINT) AS survivor_id_sum,
+         |       CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_cells
+         |FROM surv""".stripMargin,
     "q44_ivf_search" ->
       s"""$ivfCteSql,
          |probe AS (SELECT centroid_id AS probe_cell, embedding AS probe_vec
