@@ -145,6 +145,36 @@ object SimilarityQueries extends QueryPack {
           countDistinct($"centroid_id").as("n_cells"))
     }),
 
+    // Prototypicality pruning (the "beyond neural scaling laws" data-
+    // pruning shape, Sorscher et al. 2022, public): keep the most
+    // prototypical half of each embedding cell, ranked by cosine to the
+    // cell's centroid. The rank window partitions by CELL — bounded,
+    // cell-sized frames, never a global sort — and the centroid table
+    // is broadcast model state (k rows). Micro-unit score sums keep the
+    // hash integer-exact across engines.
+    "qac_prototype_prune" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val cents = ivfCentroids(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+      val centDf = s.createDataFrame(cents.map { case (id, v) => (id, v.toSeq) })
+        .toDF("centroid_id", "centroid_vec")
+      val scored = ivfAssign(e, "embedding", "vec_id", k = IvfK, seed = IvfSeed)
+        .join(broadcast(centDf), Seq("centroid_id"))
+        .select($"centroid_id", $"vec_id",
+          cosineSim($"embedding", $"centroid_vec").as("proto"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"centroid_id").orderBy($"proto".desc, $"vec_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"centroid_id")))
+      ranked.filter($"rk" * 2 <= $"n" + 1) // ceil(n/2) per cell
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum($"vec_id").as("kept_id_sum"),
+          sum(floor($"proto" * 1e6 + 0.5).cast("long")).as("proto_um_sum"),
+          countDistinct($"centroid_id").as("n_cells"))
+    }),
+
     // IVF-style ANN: assign every vector to its nearest of k
     // deterministic centroids, then search only the probe's cell.
     "q44_ivf_search" -> ((s, dir) => {
@@ -485,6 +515,23 @@ object SimilarityQueries extends QueryPack {
          |WHERE cos >= 0.3
          |ORDER BY bucket, a_id, b_id""".stripMargin
     },
+    "qac_prototype_prune" ->
+      s"""$ivfCteSql,
+         |scored AS (
+         |  SELECT a.centroid_id, a.vec_id,
+         |         ${cosineSql("a.embedding", "c.centroid_vec")} AS proto
+         |  FROM assigned a JOIN cent c ON a.centroid_id = c.centroid_id),
+         |ranked AS (
+         |  SELECT centroid_id, vec_id, proto,
+         |         row_number() OVER (PARTITION BY centroid_id
+         |                            ORDER BY proto DESC, vec_id) AS rk,
+         |         count(*) OVER (PARTITION BY centroid_id) AS n
+         |  FROM scored)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(vec_id) AS BIGINT) AS kept_id_sum,
+         |       CAST(sum(CAST(floor(proto * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS proto_um_sum,
+         |       CAST(count(DISTINCT centroid_id) AS BIGINT) AS n_cells
+         |FROM ranked WHERE 2 * rk <= n + 1""".stripMargin,
     "qab_semantic_dedup" ->
       s"""$ivfCteSql,
          |red AS (
