@@ -145,6 +145,41 @@ object SimilarityQueries extends QueryPack {
           countDistinct($"centroid_id").as("n_cells"))
     }),
 
+    // Feature-hashing text embedding + similarity search — semantic-ish
+    // retrieval with NO model: each document embeds as a 16-dim
+    // hashing-trick bag-of-words (token → dim by portable hash, ±1 sign
+    // hash, the Weinberger et al. 2009 construction), and the probe
+    // document's top-5 cosine neighbors come back. Everything stays
+    // sparse and integer until the final division: explode → (doc, dim,
+    // ±1) → sum, probe dims broadcast (16 rows), dot/norm in one
+    // grouped pass — no all-pairs, no dense vectors, no model state.
+    "qad_hash_embed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val sparse = docs
+        .select($"doc_id",
+          explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+        .select($"doc_id",
+          (graft.functions.PortableHash.detHash($"tok") % 16).as("dim"),
+          (graft.functions.PortableHash.detHash($"tok", 7) % 2 * 2 - 1).as("sgn"))
+        .groupBy($"doc_id", $"dim").agg(sum($"sgn").as("w"))
+      val probe = sparse.filter($"doc_id" === 0L)
+        .select($"dim".as("p_dim"), $"w".as("pw"))
+      val probeNsq = probe.agg(sum($"pw" * $"pw").as("p_nsq"))
+      sparse.filter($"doc_id" =!= 0L)
+        .join(broadcast(probe), $"dim" === $"p_dim", "left")
+        .groupBy($"doc_id")
+        .agg(
+          sum($"w" * coalesce($"pw", lit(0L))).as("dot"),
+          sum($"w" * $"w").as("nsq"))
+        .crossJoin(broadcast(probeNsq))
+        .filter($"nsq" > 0)
+        .select($"doc_id", graft.functions.Portable.pround(
+          $"dot" / (sqrt($"nsq") * sqrt($"p_nsq")), 6).as("cos"))
+        .orderBy($"cos".desc, $"doc_id")
+        .limit(5)
+    }),
+
     // Prototypicality pruning (the "beyond neural scaling laws" data-
     // pruning shape, Sorscher et al. 2022, public): keep the most
     // prototypical half of each embedding cell, ranked by cosine to the
@@ -514,6 +549,28 @@ object SimilarityQueries extends QueryPack {
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.3
          |ORDER BY bucket, a_id, b_id""".stripMargin
+    },
+    "qad_hash_embed_topk" -> {
+      import graft.functions.{Portable, PortableHash, TextFunctions}
+      s"""WITH sparse AS (
+         |  SELECT doc_id,
+         |         ${PortableHash.duckHashSql("tok")} % 16 AS dim,
+         |         ${PortableHash.duckHashSql("tok", 7)} % 2 * 2 - 1 AS sgn
+         |  FROM (SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS tok
+         |        FROM documents)),
+         |agg AS (SELECT doc_id, dim, sum(sgn) AS w FROM sparse GROUP BY 1, 2),
+         |probe AS (SELECT dim AS p_dim, w AS pw FROM agg WHERE doc_id = 0),
+         |pn AS (SELECT sum(pw * pw) AS p_nsq FROM probe),
+         |scored AS (
+         |  SELECT a.doc_id,
+         |         sum(a.w * COALESCE(p.pw, 0)) AS dot,
+         |         sum(a.w * a.w) AS nsq
+         |  FROM agg a LEFT JOIN probe p ON a.dim = p.p_dim
+         |  WHERE a.doc_id <> 0
+         |  GROUP BY a.doc_id)
+         |SELECT doc_id, ${Portable.proundSql("dot / (sqrt(nsq) * sqrt(p_nsq))", 6)} AS cos
+         |FROM scored, pn WHERE nsq > 0
+         |ORDER BY cos DESC, doc_id LIMIT 5""".stripMargin
     },
     "qac_prototype_prune" ->
       s"""$ivfCteSql,
