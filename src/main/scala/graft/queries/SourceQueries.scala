@@ -263,6 +263,56 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** Real-PNG shard fixture for the perceptual-dedup gate: same shard/
+    * sample counts as the npy fixture, one 9×8 gray-as-RGB PNG per
+    * sample with pixel(x,y) = (base·37 + x·7 + y·13) mod 256 where
+    * base = id mod 512 — ids sharing a base are byte-identical images,
+    * giving known duplicate classes. RGB with r=g=b keeps the l8 luma
+    * decode EXACT ((299v+587v+114v)/1000 = v integer-exactly), so the
+    * decoded pixels equal the formula and DuckDB can regenerate the
+    * dHash without decoding a PNG.
+    */
+  private def pngBytes(id: Int): Array[Byte] = {
+    val base = id % 512
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val v = (base * 37 + x * 7 + y * 13) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private lazy val pngFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-png-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = pngBytes(id)
+          val e = new TarArchiveEntry(f"p$id%08d.png")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** Write-once guards for the interchange-format fixtures (same
     * session-scoped discipline as the persisted IVF index): each format
     * materializes once per (session, corpus) and every scan reads it
@@ -304,6 +354,7 @@ object SourceQueries extends QueryPack {
     val _4 = wavFixtureDir
     val _5 = y4mFixtureDir
     val _6 = npzFixtureDir
+    val _7 = pngFixtureDir
     Map(
     // CSV round-trip: documents written as quoted CSV and read back
     // with an explicit schema (inference is a second pass over the data
@@ -463,6 +514,39 @@ object SourceQueries extends QueryPack {
           sum($"cls").as("sum_cls"),
           sum(length($"txt")).as("payload_bytes"),
           max($"__key__").as("max_key"))
+    }),
+
+    // Perceptual image dedup (dHash) with REAL PNG decode on the hash
+    // path: tar scan → javax.imageio decode via the l8 spec → 64-bit
+    // difference hash (adjacent-pixel comparisons, the classic
+    // perceptual fingerprint) → duplicate-class histogram. The fixture
+    // algebra makes decoded pixels formula-exact, so the oracle
+    // regenerates the dHash bit-for-bit WITHOUT decoding a PNG — any
+    // codec slip (colorspace, row order, luma rounding) breaks the
+    // hash. Rendered as a 64-char bit string (no 64-bit overflow
+    // hazard in either engine); at real image sizes the same plan runs
+    // after a resize-to-9×8, and the hash is a fixed-width shuffle key
+    // like q30's digests.
+    "qae_image_dhash_dedup" -> ((s, _) => {
+      import s.implicits._
+      val dir = pngFixtureDir
+      val bits = flatten(transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(7)), x =>
+          when(element_at($"d.pixels", y * 9 + x + 2) >
+               element_at($"d.pixels", y * 9 + x + 1), lit("1"))
+            .otherwise(lit("0")))))
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "png")
+        .load()
+        .withColumn("d", graft.functions.ImageCodec.decodeUdf("l8")($"png"))
+        .select(concat_ws("", bits).as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("n_dups"))
+        .groupBy($"n_dups")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum($"n_dups").as("n_images"))
+        .orderBy($"n_dups")
     }),
 
     // Produce-and-consume meta round trip: the sink writes the main
@@ -967,6 +1051,23 @@ object SourceQueries extends QueryPack {
            |       max('n' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 3 + id % 5)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // dHash dedup: the bit at (x,y) compares the fixture formula at
+      // x+1 vs x, so the histogram regenerates without any PNG decode;
+      // string_agg ORDER BY i renders the same 64-char bit string
+      "qae_image_dhash_dedup" ->
+        s"""WITH bits AS (
+           |  SELECT id, string_agg(
+           |    CASE WHEN ((id % 512) * 37 + ((i % 8) + 1) * 7 + (i // 8) * 13) % 256 >
+           |              ((id % 512) * 37 + (i % 8) * 7 + (i // 8) * 13) % 256
+           |         THEN '1' ELSE '0' END, '' ORDER BY i) AS h
+           |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)
+           |  CROSS JOIN generate_series(0, 63) u(i)
+           |  GROUP BY id),
+           |classes AS (SELECT h, count(*) AS n_dups FROM bits GROUP BY h)
+           |SELECT CAST(n_dups AS BIGINT) AS n_dups,
+           |       CAST(count(*) AS BIGINT) AS n_classes,
+           |       CAST(sum(n_dups) AS BIGINT) AS n_images
+           |FROM classes GROUP BY n_dups ORDER BY n_dups""".stripMargin,
       // meta sink round trip: 4 source shards, info = (cls*7)%50 with
       // cls = id%97 — the whole produce-and-consume loop regenerated
       "qaa_meta_sink_roundtrip" ->
