@@ -549,6 +549,50 @@ object SourceQueries extends QueryPack {
         .orderBy($"n_dups")
     }),
 
+    // Perceptual NEAR-dup pairs at scale: band the 64-bit dHash into 8
+    // segments and bucket-join on (band, segment) — by pigeonhole, two
+    // hashes within hamming ≤ 7 must agree on at least one band, so
+    // the banded join finds every pair in the 1..6 window without an
+    // all-pairs comparison (the minhash-LSH discipline applied to
+    // image fingerprints). The join runs over DISTINCT hashes (class
+    // representatives — dedup classes collapse first), buckets are
+    // 8-bit segments, and the hamming verify touches only banded
+    // candidates. Same fixture algebra as qae, so the oracle
+    // regenerates everything codec-free.
+    "qaf_image_hamming_pairs" -> ((s, _) => {
+      import s.implicits._
+      val dir = pngFixtureDir
+      val bits = flatten(transform(sequence(lit(0), lit(7)), y =>
+        transform(sequence(lit(0), lit(7)), x =>
+          when(element_at($"d.pixels", y * 9 + x + 2) >
+               element_at($"d.pixels", y * 9 + x + 1), lit("1"))
+            .otherwise(lit("0")))))
+      val hashes = s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "png")
+        .load()
+        .withColumn("d", graft.functions.ImageCodec.decodeUdf("l8")($"png"))
+        .select(concat_ws("", bits).as("h"))
+        .distinct()
+      val bands = hashes.select($"h",
+        explode(sequence(lit(0), lit(7))).as("band"))
+        .select($"h", $"band", $"h".substr($"band" * 8 + 1, lit(8)).as("seg"))
+      val pairs = bands.select($"band", $"seg", $"h".as("ha"))
+        .join(bands.select($"band", $"seg", $"h".as("hb")), Seq("band", "seg"))
+        .filter($"ha" < $"hb")
+        .select($"ha", $"hb").distinct()
+      val ham = aggregate(
+        transform(sequence(lit(1), lit(64)), i =>
+          when($"ha".substr(i, lit(1)) =!= $"hb".substr(i, lit(1)), lit(1L))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      pairs.withColumn("ham", ham)
+        .filter($"ham".between(1, 6))
+        .groupBy($"ham")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"ham")
+    }),
+
     // Produce-and-consume meta round trip: the sink writes the main
     // corpus AND a derived metadata column to aligned sibling `_info`
     // shards (metaSuffixes write option — reference layout, same
@@ -1068,6 +1112,27 @@ object SourceQueries extends QueryPack {
            |       CAST(count(*) AS BIGINT) AS n_classes,
            |       CAST(sum(n_dups) AS BIGINT) AS n_images
            |FROM classes GROUP BY n_dups ORDER BY n_dups""".stripMargin,
+      // hamming near-dup pairs: the oracle brute-forces all distinct-
+      // hash pairs (72 hashes — tiny) because the engine's banding
+      // provably captures every pair ≤ hamming 7 (pigeonhole over 8
+      // bands); identical histograms prove the banded join lost nothing
+      "qaf_image_hamming_pairs" ->
+        s"""WITH bits AS (
+           |  SELECT base, string_agg(
+           |    CASE WHEN (base * 37 + ((i % 8) + 1) * 7 + (i // 8) * 13) % 256 >
+           |              (base * 37 + (i % 8) * 7 + (i // 8) * 13) % 256
+           |         THEN '1' ELSE '0' END, '' ORDER BY i) AS h
+           |  FROM generate_series(0, 511) t(base)
+           |  CROSS JOIN generate_series(0, 63) u(i)
+           |  GROUP BY base),
+           |hs AS (SELECT DISTINCT h FROM bits),
+           |pairs AS (
+           |  SELECT list_sum(list_transform(generate_series(1, 64),
+           |    i -> CASE WHEN substr(a.h, i, 1) <> substr(b.h, i, 1)
+           |              THEN 1 ELSE 0 END)) AS ham
+           |  FROM hs a JOIN hs b ON a.h < b.h)
+           |SELECT CAST(ham AS BIGINT) AS ham, CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs WHERE ham BETWEEN 1 AND 6 GROUP BY ham ORDER BY ham""".stripMargin,
       // meta sink round trip: 4 source shards, info = (cls*7)%50 with
       // cls = id%97 — the whole produce-and-consume loop regenerated
       "qaa_meta_sink_roundtrip" ->
