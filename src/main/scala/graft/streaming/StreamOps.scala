@@ -161,6 +161,38 @@ object StreamOps {
             .getField("sh")).as("n_hits"))
       .filter(col("n_hits") >= 3)
 
+  /** Streaming hash-embed similarity router — the streaming twin of
+    * qad_hash_embed_topk's construction: every streamed document embeds
+    * as the SAME 16-dim hashing-trick bag-of-words (portable token
+    * hash → dim, ±1 sign hash) and scores against a FIXED probe vector
+    * compiled batch-side (16 longs of model state, like the Bloom
+    * gate's bitmap). Stateless per-row math — no join, no state store,
+    * no watermark: rows at or above the cosine threshold route on.
+    */
+  def streamingSimilarityRoute(docsStream: DataFrame, probe: Seq[Long],
+      minCos: Double): DataFrame = {
+    require(probe.length == 16, s"probe must be 16-dim, got ${probe.length}")
+    val probeNsq = math.sqrt(probe.map(w => (w * w).toDouble).sum)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val vec = transform(sequence(lit(0), lit(15)), d =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(graft.functions.PortableHash.detHash(t) % 16 === d,
+          graft.functions.PortableHash.detHash(t, 7) % 2 * 2 - 1)
+          .otherwise(lit(0L))))
+    val probeCol = array(probe.map(lit): _*)
+    docsStream
+      .withColumn("v", vec)
+      .withColumn("dot",
+        aggregate(zip_with(col("v"), probeCol, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("nsq",
+        aggregate(transform(col("v"), w => w * w), lit(0L), (acc, x) => acc + x))
+      .filter(col("nsq") > 0)
+      .select(col("doc_id"), graft.functions.Portable.pround(
+        col("dot") / (sqrt(col("nsq")) * lit(probeNsq)), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   case class MinhashDocIn(doc_id: Long, sh: Seq[String], bucket: String)
   case class BucketMembers(members: List[(Long, Seq[String])], hot: Boolean)
   case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double)

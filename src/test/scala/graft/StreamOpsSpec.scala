@@ -192,6 +192,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming similarity route equals the batch scoring row-for-row") {
+    val base = Tables.load(spark, sf, "documents")
+    val docsDir = Paths.get("target", "stream-simroute-docs").toAbsolutePath
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      base.write.mode("overwrite").parquet(docsDir.toString)
+    }
+    // probe vector compiled batch-side: doc 0's dense 16-dim hash-embed
+    val sparse = base.filter(col("doc_id") === 0L)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(
+        (graft.functions.PortableHash.detHash(col("tok")) % 16).as("dim"),
+        (graft.functions.PortableHash.detHash(col("tok"), 7) % 2 * 2 - 1).as("sgn"))
+      .groupBy(col("dim")).agg(org.apache.spark.sql.functions.sum(col("sgn")).as("w"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val probe = Seq.tabulate(16)(d => sparse.getOrElse(d, 0L))
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingSimilarityRoute(df, probe, minCos = 0.15),
+      docsDir.toString, schema, "simroute_out", OutputMode.Append())
+    val batch = StreamOps.streamingSimilarityRoute(base, probe, minCos = 0.15)
+    assert(streamed.count() > 0, "threshold routes at least the probe doc itself")
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("streaming incremental dedup: stream-static anti-join matches the batch q9f key set") {
     val base = Tables.load(spark, sf, "documents")
     val fpCol = graft.functions.FastText.textStatsUdf(col("text")).getField("fp")
