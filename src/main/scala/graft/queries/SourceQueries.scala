@@ -329,6 +329,53 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Z-ordered lineitem layout, built once per (session, corpus):
+    * Morton key over (l_partkey, l_suppkey), one range exchange to
+    * order the table along the curve, 8 sorted files. See
+    * [[graft.functions.ZOrder]] for the layout's data-skipping
+    * rationale; qah reads this layout back through a 2-D box predicate.
+    */
+  private def zorderPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "zorder"), { _ =>
+      val p = s"target/layout-zorder-${Integer.toHexString(dir.hashCode)}"
+      graft.core.Tables.load(s, dir, "lineitem")
+        .withColumn("z",
+          graft.functions.ZOrder.zOrder2(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Small-file compaction layout, built once per (session, corpus):
+    * documents deliberately shattered into 64 files, then re-packed to
+    * a target file size computed from the ACTUAL file inventory (the
+    * same listing a table-maintenance job does) via `coalesce` — a
+    * narrow, shuffle-free repack. The small-file problem is the classic
+    * 100 TB failure mode (a million 100 KB files → a million tasks and
+    * a throttled namenode); compaction is the maintenance op every
+    * table format schedules. The gate hashes the round-trip (compaction
+    * must lose/alter nothing); CompactionSpec pins the file-count
+    * arithmetic.
+    */
+  private[graft] val CompactTargetBytes: Long = 4L << 20
+
+  private[graft] def compactedPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "compact"), { _ =>
+      val frag = Integer.toHexString(dir.hashCode)
+      val small = s"target/layout-small-$frag"
+      graft.core.Tables.load(s, dir, "documents")
+        .repartition(64).write.mode("overwrite").parquet(small)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val total = fs.listStatus(new org.apache.hadoop.fs.Path(small))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val n = math.max(1, math.ceil(total.toDouble / CompactTargetBytes).toInt)
+      val out = s"target/layout-compact-$frag"
+      s.read.parquet(small).coalesce(n).write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** The fidelity aggregate both round-trips share: every column
     * participates (ids, text bytes, categorical strings), so a quoting,
     * escaping, type-inference, or row-loss bug in the interchange
@@ -369,6 +416,79 @@ object SourceQueries extends QueryPack {
       fidelityAgg(s.read
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .option("header", "true").csv(p))
+    }),
+
+    // ORC round-trip: the other columnar interchange format Spark ships
+    // natively (warehouse-side corpora frequently arrive as ORC from
+    // Hive/Trino ETL). Columnar → schema travels with the file, no
+    // explicit read schema needed; same fidelity hash as CSV/JSONL.
+    "qag_orc_roundtrip" -> ((s, dir) => {
+      val p = roundtripPath(s, dir, "orc") { (df, path) =>
+        df.write.mode("overwrite").orc(path)
+      }
+      fidelityAgg(s.read.orc(p))
+    }),
+
+    // Z-order data-skipping layout: lineitem re-laid along a Morton
+    // curve over (l_partkey, l_suppkey), then read back through a 2-D
+    // box predicate. The hash covers the curve arithmetic (z min/max/
+    // sum — the oracle recomputes the same magic-mask interleave in
+    // SQL), the layout round-trip, and the box aggregate; the plan
+    // contract pins both predicates pushed to the layout scan. At
+    // 100 TB this is how an events/lineage table serves range queries
+    // on TWO keys without a second copy sorted the other way.
+    "qah_zorder_skipping" -> ((s, dir) => {
+      val z = s.read.parquet(zorderPath(s, dir))
+      z.filter(col("l_partkey").between(20, 150) &&
+          col("l_suppkey").between(1, 8))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"),
+          sum(col("z")).as("z_sum"))
+    }),
+
+    // Small-file compaction round-trip: 64-way shattered documents
+    // re-packed to ~4 MiB files (see compactedPath), then the fidelity
+    // hash proves the repack is content-lossless.
+    "qai_compaction_roundtrip" -> ((s, dir) =>
+      fidelityAgg(s.read.parquet(compactedPath(s, dir)))),
+
+    // CDC latest-wins merge: apply a change batch (updates, deletes,
+    // inserts) to a corpus snapshot — the incremental-corpus-evolution
+    // op (a crawl refresh, a takedown batch). The change set is derived
+    // formulaically from the base so the oracle regenerates it: %13
+    // ids are deleted, remaining %7 ids get a " v2" text update, %11
+    // ids spawn inserts at doc_id+10M. Merge discipline is the
+    // scalable one: union + per-key max_by(version) AGGREGATION
+    // (map-side combinable, AQE skew-splittable), never a global
+    // window; deletes survive to the aggregate and are dropped after,
+    // so a delete beats any earlier version of its key.
+    "qaj_cdc_merge" -> ((s, dir) => {
+      val docs = graft.core.Tables.load(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"),
+        lit(0L).as("version"), lit("U").as("op"))
+      val changes = docs
+        .where(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" v2")).as("text"),
+          lit(1L).as("version"),
+          when(col("doc_id") % 13 === 0, "D").otherwise("U").as("op"))
+      val inserts = docs
+        .where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit(1L).as("version"), lit("U").as("op"))
+      base.unionByName(changes).unionByName(inserts)
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("op"), col("text")), col("version")).as("last"))
+        .where(col("last.op") =!= "D")
+        .select(col("doc_id"), col("last.text").as("text"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("text_bytes"))
     }),
 
     // JSONL round-trip: one JSON object per line — the de-facto corpus
@@ -1041,6 +1161,63 @@ object SourceQueries extends QueryPack {
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,
+      "qag_orc_roundtrip" -> fidelitySql,
+      "qai_compaction_roundtrip" -> fidelitySql,
+      // same formulaic change batch; arg_max twins max_by, and both
+      // resolve per-key versions before the delete filter
+      "qaj_cdc_merge" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, 0 AS version, 'U' AS op FROM documents
+          |), chg AS (
+          |  SELECT doc_id, text || ' v2' AS text, 1 AS version,
+          |         CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+          |  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+          |), ins AS (
+          |  SELECT doc_id + 10000000 AS doc_id,
+          |         'new doc ' || CAST(doc_id AS VARCHAR) AS text,
+          |         1 AS version, 'U' AS op
+          |  FROM documents WHERE doc_id % 11 = 0
+          |), allrows AS (
+          |  SELECT * FROM base UNION ALL SELECT * FROM chg
+          |  UNION ALL SELECT * FROM ins
+          |), latest AS (
+          |  SELECT doc_id, arg_max(op, version) AS op,
+          |         arg_max(text, version) AS text
+          |  FROM allrows GROUP BY doc_id
+          |)
+          |SELECT count(*) AS n_docs,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          |       CAST(sum(length(text)) AS BIGINT) AS text_bytes
+          |FROM latest WHERE op <> 'D'""".stripMargin,
+      // the same magic-mask bit-interleave ladder as ZOrder.spread16,
+      // written as chained CTE steps (DuckDB bitwise ops); quantities
+      // are integral doubles so the BIGINT casts agree exactly
+      "qah_zorder_skipping" ->
+        """WITH f AS (
+          |  SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+          |         CAST(l_quantity AS BIGINT) AS qty
+          |  FROM lineitem
+          |  WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 1 AND 8
+          |), s1 AS (
+          |  SELECT qty, (x | (x << 8)) & 16711935 AS xa,
+          |              (y | (y << 8)) & 16711935 AS ya FROM f
+          |), s2 AS (
+          |  SELECT qty, (xa | (xa << 4)) & 252645135 AS xb,
+          |              (ya | (ya << 4)) & 252645135 AS yb FROM s1
+          |), s3 AS (
+          |  SELECT qty, (xb | (xb << 2)) & 858993459 AS xc,
+          |              (yb | (yb << 2)) & 858993459 AS yc FROM s2
+          |), s4 AS (
+          |  SELECT qty,
+          |    ((xc | (xc << 1)) & 1431655765) |
+          |    (((yc | (yc << 1)) & 1431655765) << 1) AS z FROM s3
+          |)
+          |SELECT count(*) AS n_rows,
+          |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+          |       CAST(min(z) AS BIGINT) AS z_min,
+          |       CAST(max(z) AS BIGINT) AS z_max,
+          |       CAST(sum(z) AS BIGINT) AS z_sum
+          |FROM s4""".stripMargin,
       // text is UTF-8-encoded per file; the corpus is ASCII word salad,
       // so byte length == char length (length(text))
       "q78_binaryfile_ingest" ->

@@ -29,17 +29,25 @@ import graft.core.Tables
   * (span df) — the same rule a production pipeline uses to decide what
   * becomes a staging table.
   *
-  * Scale note: at gate scale the staging medium is the block-manager
-  * cache (MEMORY_AND_DISK). At 100 TB, [[spanStats8]] stays
-  * cache-shaped (3 longs per doc), but [[shingle4]] is corpus-sized ×
-  * shingle expansion — there the same once-per-corpus discipline
-  * materializes to a staging PARQUET table instead (the q9l bucketed
-  * layout / q4a persisted-index pattern: write once keyed by corpus
-  * version, consumers scan it), trading block-manager memory for a
-  * columnar scan. The consumer code is identical either way — only the
-  * `staged` builder swaps persist() for write/read.
+  * Scale note: at gate scale the default staging medium is the
+  * block-manager cache (MEMORY_AND_DISK). At 100 TB, [[spanStats8]]
+  * stays cache-shaped (3 longs per doc), but [[shingle4]] is
+  * corpus-sized × shingle expansion — there the same once-per-corpus
+  * discipline materializes to a staging PARQUET table instead (the q9l
+  * bucketed layout / q4a persisted-index pattern: write once keyed by
+  * corpus version, consumers scan it), trading block-manager memory for
+  * a columnar scan. Both media are implemented:
+  * `spark.graft.staging.medium = cache | parquet` selects per session
+  * (parquet writes once under `spark.graft.staging.dir`, default a
+  * per-application tmp root, then consumers get a plain parquet scan —
+  * column-prunable, relation-cached by Spark, no executor memory
+  * pinned). TextStagingSpec pins hash-identical consumer results and
+  * the FileScan-parquet leaf under the parquet medium.
   */
 object TextStaging {
+
+  /** Staging media accepted by `spark.graft.staging.medium`. */
+  private val Media = Set("cache", "parquet")
 
   /** Span width for duplicated-passage mining (q97/q9c — Lee et al.'s
     * substring-dedup granularity: 8 tokens ≈ a boilerplate sentence).
@@ -47,15 +55,44 @@ object TextStaging {
   val SpanN = 8
 
   private val cache =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
+  private def medium(s: SparkSession): String = {
+    val m = s.conf.get("spark.graft.staging.medium", "cache")
+    require(Media.contains(m),
+      s"spark.graft.staging.medium must be one of ${Media.mkString("/")}, got '$m'")
+    m
+  }
+
+  /** Root for parquet-medium staging tables. Per-application by default
+    * so concurrent runs never share a path; a production deployment sets
+    * `spark.graft.staging.dir` to a durable corpus-versioned location
+    * and gets cross-job reuse for free (the write is keyed by corpus
+    * dir, so a re-run against the same corpus re-reads, not re-derives).
+    */
+  private def stagingRoot(s: SparkSession): String =
+    s.conf.get("spark.graft.staging.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-staging-${s.sparkContext.applicationId}")
 
   private def staged(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, dir, key), { _ =>
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize now: consumers read cached rows, provably
-      df
+      (build: => DataFrame): DataFrame = {
+    val m = medium(s)
+    cache.computeIfAbsent((s, dir, key, m), { _ =>
+      if (m == "parquet") {
+        // Write-once per (session, corpus, key): the memoizing map is the
+        // once-guard within a session; across sessions the path itself is
+        // the guard when staging.dir is durable (overwrite is idempotent —
+        // the frame is a pure function of the corpus).
+        val path = s"${stagingRoot(s)}/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$key"
+        build.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      } else {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize now: consumers read cached rows, provably
+        df
+      }
     })
+  }
 
   /** `(doc_id, sh array<string>)` — each document's distinct 4-gram
     * shingle set (the md5-per-shingle kernel runs once per row at
@@ -79,7 +116,9 @@ object TextStaging {
     * (doc-sized) stats are materialized.
     */
   def spanStats8(s: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent((s, dir, "spanStats8"), { _ =>
+    // Always cache-medium: 3 longs per doc is block-manager-shaped at
+    // any corpus size (the parquet medium targets shingle expansion).
+    cache.computeIfAbsent((s, dir, "spanStats8", "cache"), { _ =>
       val analyze = graft.functions.FastText.shingleAnalyze(SpanN)
       val p = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(analyze(col("text")).getField("sh")).as("g"))

@@ -220,6 +220,22 @@ class PlanContractSpec extends AnyFunSuite {
     assert(exchanges == 0, s"zip meta join must not hash-shuffle:\n${p.take(1200)}")
   }
 
+  test("qah: both box predicates push to the z-ordered layout scan") {
+    // the layout exists so that min/max stats prune in BOTH dims; that
+    // only happens if both range predicates reach the parquet reader
+    val p = planOf("qah_zorder_skipping")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_partkey,20)") &&
+      p.contains("LessThanOrEqual(l_suppkey,8)"),
+      s"box predicates not pushed to the z-layout scan:\n${p.take(1500)}")
+    // and the layout itself is 8 curve-sorted files (one range exchange
+    // at build, zero at read)
+    val files = new java.io.File(
+      s"target/layout-zorder-${Integer.toHexString(sf.hashCode)}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 8, s"z-layout file count $files != 8")
+  }
+
   test("qa8: packed scan keeps the wds-tar leaf (packing is planning-only)") {
     val p = planOf("qa8_packed_scan")
     assert(p.contains("wds-tar"), p.take(800))
