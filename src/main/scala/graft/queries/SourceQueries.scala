@@ -480,11 +480,8 @@ object SourceQueries extends QueryPack {
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
           lit(1L).as("version"), lit("U").as("op"))
-      base.unionByName(changes).unionByName(inserts)
-        .groupBy("doc_id")
-        .agg(max_by(struct(col("op"), col("text")), col("version")).as("last"))
-        .where(col("last.op") =!= "D")
-        .select(col("doc_id"), col("last.text").as("text"))
+      graft.operators.CdcMerge.latestWins(
+          base.unionByName(changes).unionByName(inserts))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("sum_id"),

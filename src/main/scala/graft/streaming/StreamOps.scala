@@ -193,6 +193,44 @@ object StreamOps {
       .filter(col("cos") >= minCos)
   }
 
+  case class CdcRecord(doc_id: Long, text: String, version: Long, op: String)
+
+  /** Streaming CDC latest-wins upsert — the keyed-state twin of
+    * [[graft.operators.CdcMerge.latestWins]]: each arriving change
+    * record advances its key's state to the highest version seen so
+    * far and emits the key's CURRENT resolution (op 'D' rows emit as
+    * tombstones — a changelog consumer drops them; append-mode sinks
+    * can't retract, so the tombstone IS the delete). Convergent under
+    * out-of-order delivery: a stale version arriving late re-emits the
+    * unchanged current state, never regresses it.
+    *
+    * State bounds: one (version, op, text) row per key ever seen — the
+    * materialized-view shape, sharded by key like any keyed stream; a
+    * production deployment ages tombstones out with a state timeout
+    * once downstream has consumed them.
+    */
+  def streamingCdcUpsert(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .select(col("doc_id").cast("long"), col("text"),
+        col("version").cast("long"), col("op"))
+      .as[CdcRecord]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[CdcRecord, CdcRecord](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[CdcRecord], state: GroupState[CdcRecord]) =>
+          val incoming = rows.maxBy(_.version)
+          val best = state.getOption match {
+            case Some(s) if s.version >= incoming.version => s
+            case _ => incoming
+          }
+          state.update(best)
+          Iterator.single(best.copy(doc_id = id))
+      }
+      .toDF()
+  }
+
   case class MinhashDocIn(doc_id: Long, sh: Seq[String], bucket: String)
   case class BucketMembers(members: List[(Long, Seq[String])], hot: Boolean)
   case class NearDupPair(a_id: Long, b_id: Long, jaccard: Double)

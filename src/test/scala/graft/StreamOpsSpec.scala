@@ -308,4 +308,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_sessions") =!= col("b.n_sessions") ||
       col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
+
+  test("streaming CDC upsert converges to the batch latest-wins merge under out-of-order delivery") {
+    // qaj's formulaic changelog: base snapshot (v0) + updates/deletes
+    // (v1) + inserts (v1)
+    val docs = Tables.load(spark, sf, "documents")
+    val changeLog = docs
+      .select(col("doc_id"), col("text"), lit(0L).as("version"), lit("U").as("op"))
+      .unionByName(docs
+        .where(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit(1L).as("version"),
+          when(col("doc_id") % 13 === 0, "D").otherwise("U").as("op")))
+      .unionByName(docs
+        .where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit(1L).as("version"), lit("U").as("op")))
+    val logDir = Paths.get("target", "stream-cdc-log").toAbsolutePath
+    if (!Files.exists(logDir.resolve("_SUCCESS"))) {
+      // 8 files, hash-scattered: v1 changes land before their v0 base
+      // rows in some micro-batches — the out-of-order case the state
+      // resolution must absorb
+      changeLog.repartition(8).write.mode("overwrite").parquet(logDir.toString)
+    }
+    val logSchema = spark.read.parquet(logDir.toString).schema
+    val q = StreamOps.streamingCdcUpsert(
+        spark.readStream.schema(logSchema)
+          .option("maxFilesPerTrigger", 1).parquet(logDir.toString))
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // changelog consumer view: per key, the highest-version emission
+    // wins; tombstones drop
+    val streamedFinal = spark.table("cdc_out")
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("op"), col("text")), col("version")).as("last"))
+      .where(col("last.op") =!= "D")
+      .select(col("doc_id"), col("last.text").as("text"))
+    val batch = graft.operators.CdcMerge.latestWins(changeLog)
+    assert(streamedFinal.count() == batch.count())
+    assert(streamedFinal.except(batch).count() == 0)
+    assert(batch.except(streamedFinal).count() == 0)
+  }
 }
