@@ -376,6 +376,28 @@ object SourceQueries extends QueryPack {
       out
     })
 
+  /** qaj/qak's formulaic CDC changelog over the documents base: %13 ids
+    * delete, remaining %7 ids update (" v2" suffix), %11 ids spawn
+    * inserts at doc_id+10M — deterministic, so the oracle regenerates
+    * it in SQL.
+    */
+  private def cdcChangeLog(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      lit(0L).as("version"), lit("U").as("op"))
+    val changes = docs
+      .where(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"),
+        lit(1L).as("version"),
+        when(col("doc_id") % 13 === 0, "D").otherwise("U").as("op"))
+    val inserts = docs
+      .where(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+        lit(1L).as("version"), lit("U").as("op"))
+    base.unionByName(changes).unionByName(inserts)
+  }
+
   /** The fidelity aggregate both round-trips share: every column
     * participates (ids, text bytes, categorical strings), so a quoting,
     * escaping, type-inference, or row-loss bug in the interchange
@@ -465,27 +487,33 @@ object SourceQueries extends QueryPack {
     // (map-side combinable, AQE skew-splittable), never a global
     // window; deletes survive to the aggregate and are dropped after,
     // so a delete beats any earlier version of its key.
-    "qaj_cdc_merge" -> ((s, dir) => {
-      val docs = graft.core.Tables.load(s, dir, "documents")
-      val base = docs.select(col("doc_id"), col("text"),
-        lit(0L).as("version"), lit("U").as("op"))
-      val changes = docs
-        .where(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
-        .select(col("doc_id"),
-          concat(col("text"), lit(" v2")).as("text"),
-          lit(1L).as("version"),
-          when(col("doc_id") % 13 === 0, "D").otherwise("U").as("op"))
-      val inserts = docs
-        .where(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
-          lit(1L).as("version"), lit("U").as("op"))
+    "qaj_cdc_merge" -> ((s, dir) =>
       graft.operators.CdcMerge.latestWins(
-          base.unionByName(changes).unionByName(inserts))
+          cdcChangeLog(graft.core.Tables.load(s, dir, "documents")))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("sum_id"),
-          sum(length(col("text"))).as("text_bytes"))
+          sum(length(col("text"))).as("text_bytes"))),
+
+    // Snapshot diff: compare two corpus versions by content DIGEST —
+    // the audit report run after every corpus refresh (what changed,
+    // what vanished, what arrived). Version 2 is the CDC-evolved
+    // corpus (same formulaic changelog as qaj, so the oracle
+    // regenerates it); the diff is a full outer join on the key
+    // moving 16-byte digests, never payloads — at 100 TB the two
+    // version scans dominate and the join exchanges digests only.
+    "qak_snapshot_diff" -> ((s, dir) => {
+      val docs = graft.core.Tables.load(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("d1"))
+      val v2 = graft.operators.CdcMerge.latestWins(cdcChangeLog(docs))
+        .select(col("doc_id"), md5(col("text")).as("d2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .agg(
+          count(when(col("d1").isNull, 1)).as("n_added"),
+          count(when(col("d2").isNull, 1)).as("n_removed"),
+          count(when(col("d1").isNotNull && col("d2").isNotNull &&
+            col("d1") =!= col("d2"), 1)).as("n_changed"),
+          count(when(col("d1") === col("d2"), 1)).as("n_unchanged"))
     }),
 
     // JSONL round-trip: one JSON object per line — the de-facto corpus
@@ -1186,6 +1214,40 @@ object SourceQueries extends QueryPack {
           |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
           |       CAST(sum(length(text)) AS BIGINT) AS text_bytes
           |FROM latest WHERE op <> 'D'""".stripMargin,
+      // text equality stands in for the digest compare (identical
+      // counts; the Spark side moves md5 digests — the scale point —
+      // but equal digests iff equal texts)
+      "qak_snapshot_diff" ->
+        """WITH base AS (
+          |  SELECT doc_id, text, 0 AS version, 'U' AS op FROM documents
+          |), chg AS (
+          |  SELECT doc_id, text || ' v2' AS text, 1 AS version,
+          |         CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+          |  FROM documents WHERE doc_id % 7 = 0 OR doc_id % 13 = 0
+          |), ins AS (
+          |  SELECT doc_id + 10000000 AS doc_id,
+          |         'new doc ' || CAST(doc_id AS VARCHAR) AS text,
+          |         1 AS version, 'U' AS op
+          |  FROM documents WHERE doc_id % 11 = 0
+          |), allrows AS (
+          |  SELECT * FROM base UNION ALL SELECT * FROM chg
+          |  UNION ALL SELECT * FROM ins
+          |), latest AS (
+          |  SELECT doc_id, arg_max(op, version) AS op,
+          |         arg_max(text, version) AS text
+          |  FROM allrows GROUP BY doc_id
+          |), v2 AS (
+          |  SELECT doc_id, text FROM latest WHERE op <> 'D'
+          |), d AS (
+          |  SELECT a.text AS t1, b.text AS t2
+          |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+          |)
+          |SELECT count(*) FILTER (WHERE t1 IS NULL) AS n_added,
+          |       count(*) FILTER (WHERE t2 IS NULL) AS n_removed,
+          |       count(*) FILTER (WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+          |                          AND t1 <> t2) AS n_changed,
+          |       count(*) FILTER (WHERE t1 = t2) AS n_unchanged
+          |FROM d""".stripMargin,
       // the same magic-mask bit-interleave ladder as ZOrder.spread16,
       // written as chained CTE steps (DuckDB bitwise ops); quantities
       // are integral doubles so the BIGINT casts agree exactly
