@@ -1010,6 +1010,38 @@ object SourceQueries extends QueryPack {
           max($"energy").as("max_energy"))
     }),
 
+    // Audio fingerprint dedup: the perceptual-dedup discipline (qae)
+    // applied to AUDIO — decode real PCM WAVs, quantize each clip's
+    // 4-window energy envelope to 2 bits per window (an 8-bit
+    // envelope fingerprint: the chromaprint shape at toy resolution),
+    // then the duplicate-class histogram. All integer arithmetic on
+    // decoded samples, so the oracle reproduces the fingerprint from
+    // the fixture's amplitude formula without a codec; per-clip work
+    // is a scan kernel, the histogram two sketch-sized aggregations.
+    "qal_audio_fingerprint_dedup" -> ((s, _) => {
+      import s.implicits._
+      val dir = wavFixtureDir
+      val samples = $"a.samples"
+      val n = size(samples)
+      def winSum(w: Int) = aggregate(
+        transform(samples, (x, i) =>
+          when(floor(i * 4 / n) === w, abs(x.cast("long"))).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      val fp = (0 until 4).map(w =>
+        shiftleft(floor(winSum(w) / 2000).cast("long") % 4, 2 * w)).reduce(_ + _)
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "wav")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.wav.decode($"wav"))
+        .select(fp.as("fp"))
+        .groupBy($"fp").agg(count(lit(1)).as("n_dups"))
+        .groupBy($"n_dups").agg(count(lit(1)).as("n_classes"))
+        .orderBy($"n_dups")
+        .select($"n_dups", $"n_classes",
+          ($"n_dups" * $"n_classes").as("n_clips"))
+    }),
+
     // q84's meta join through metaJoin=zip: the SAME corpus, meta
     // fixture, and aggregate, but the join is the in-reader aligned zip
     // (WdsTarZipReader — the reference's merge_them co-iteration, zero
@@ -1452,6 +1484,26 @@ object SourceQueries extends QueryPack {
            |       CAST(sum(zc) AS BIGINT) AS sum_zc,
            |       CAST(max(energy) AS BIGINT) AS max_energy
            |FROM perclip""".stripMargin,
+      // envelope fingerprint from the wav fixture algebra: window w =
+      // (j*4)//n over n = 20+id%10 samples, 2 bits per window energy
+      "qal_audio_fingerprint_dedup" ->
+        s"""WITH samp AS (
+           |  SELECT id, unnest(generate_series(0, 19 + id % 10)) AS j
+           |  FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id)),
+           |win AS (
+           |  SELECT id, (j * 4) // (20 + id % 10) AS w,
+           |         abs((id * 13 + j * 7) % 2000 - 1000) AS aa
+           |  FROM samp),
+           |ws AS (SELECT id, w, CAST(sum(aa) AS BIGINT) AS s FROM win GROUP BY id, w),
+           |fps AS (
+           |  SELECT id, CAST(sum(((s // 2000) % 4) * (1 << (2 * w))) AS BIGINT) AS fp
+           |  FROM ws GROUP BY id),
+           |classes AS (SELECT fp, count(*) AS n_dups FROM fps GROUP BY fp)
+           |SELECT CAST(n_dups AS BIGINT) AS n_dups,
+           |       CAST(count(*) AS BIGINT) AS n_classes,
+           |       CAST(n_dups * count(*) AS BIGINT) AS n_clips
+           |FROM classes GROUP BY n_dups ORDER BY n_dups""".stripMargin,
+
       // frame-identity classes = (id*5 + f*11) mod 256 (see qa4 comment)
       "qa4_frame_dedup" ->
         s"""WITH frames AS (
