@@ -236,6 +236,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(files == 8, s"z-layout file count $files != 8")
   }
 
+  test("qaj: CDC merge resolves by AGGREGATION with map-side partials, never a window") {
+    // the scaladoc's scale claim: latest-wins is max_by partial-agg
+    // (combinable, skew-splittable); a Window here would pin every
+    // version of a hot key on one reducer
+    val p = planOf("qaj_cdc_merge")
+    assert(!p.contains("Window"), s"CDC merge regressed to a window:\n${p.take(1200)}")
+    assert(p.contains("partial"), s"CDC merge lost map-side combine:\n${p.take(1200)}")
+  }
+
   test("qa8: packed scan keeps the wds-tar leaf (packing is planning-only)") {
     val p = planOf("qa8_packed_scan")
     assert(p.contains("wds-tar"), p.take(800))
