@@ -117,6 +117,50 @@ object EventsQueries extends QueryPack {
         .orderBy($"event_id")
     }),
 
+    // As-of with a 30-minute tolerance: the merge_asof surface —
+    // a stale match (error long after the purchase) resolves to NULL
+    // instead of joining arbitrarily far back. Tolerance is a
+    // post-window column predicate on the MATCHED timestamp: same
+    // plan, same single exchange as q54.
+    "qam_asof_tolerance" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val errors = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("p_event_id"), $"value".as("p_value"))
+      graft.operators.AsOfJoin.asOf(
+        errors, purchases, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("p_event_id", "p_value"),
+        toleranceMs = Some(30L * 60 * 1000))
+        .select($"event_id", $"user_id",
+          $"asof_p_event_id".as("purchase_event_id"),
+          pround(coalesce($"asof_p_value", lit(0.0)), 2).as("purchase_value"))
+        .orderBy($"event_id")
+    }),
+
+    // Forward as-of: each error joined to the NEXT purchase at or
+    // after it (did the user recover?) — direction=forward reverses
+    // the window's time scan, nothing else changes.
+    "qan_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir)
+      val errors = e.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id".as("p_event_id"), $"value".as("p_value"))
+      graft.operators.AsOfJoin.asOf(
+        errors, purchases, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("p_event_id", "p_value"),
+        direction = "forward")
+        .select($"event_id", $"user_id",
+          $"asof_p_event_id".as("purchase_event_id"),
+          pround(coalesce($"asof_p_value", lit(0.0)), 2).as("purchase_value"))
+        .orderBy($"event_id")
+    }),
+
     // Top event bursts: for each event_type, the 3 users with most events
     // (windowed rank over a grouped aggregate — two-stage shuffle).
     // Event-time interval self-join, batch form — the batch dual of
@@ -260,6 +304,29 @@ object EventsQueries extends QueryPack {
         |                value AS p_value FROM events
         |                WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // the ASOF match, nulled when it falls outside the 30-min window
+    "qam_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        | CASE WHEN p.ts >= e.ts - INTERVAL 30 MINUTE THEN p.p_event_id END
+        |   AS purchase_event_id,
+        | floor(coalesce(CASE WHEN p.ts >= e.ts - INTERVAL 30 MINUTE
+        |                     THEN p.p_value END, 0) * 100 + 0.5) / 100
+        |   AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+        |                value AS p_value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "qan_asof_forward" ->
+      """SELECT e.event_id, e.user_id, p.p_event_id AS purchase_event_id,
+        | floor(coalesce(p.p_value, 0) * 100 + 0.5) / 100 AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+        |                value AS p_value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
     "q75_partitioned_scan" ->
       """SELECT user_id, count(*) AS n,

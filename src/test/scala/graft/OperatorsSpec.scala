@@ -132,4 +132,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s1 == s2)
     assert(math.abs(s1 - 500L) < 100)
   }
+
+  test("asOf direction + tolerance on a numeric time axis (hand-computed)") {
+    import spark.implicits._
+    // key k: right rows at t = 10, 20; left rows at t = 5, 12, 20, 40
+    val left = Seq(("k", 5L, "l5"), ("k", 12L, "l12"),
+      ("k", 20L, "l20"), ("k", 40L, "l40")).toDF("key", "t", "tag")
+    val right = Seq(("k", 10L, "r10"), ("k", 20L, "r20"))
+      .toDF("key", "t", "rtag")
+    def run(dir: String, tol: Option[Long]) =
+      AsOfJoin.asOf(left, right, Seq("key"), "t", "t", Seq("rtag"),
+        direction = dir, toleranceMs = tol)
+        .select($"tag", $"asof_rtag").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // backward: latest right <= t (inclusive at 20)
+    assert(run("backward", None) == Map(
+      "l5" -> None, "l12" -> Some("r10"), "l20" -> Some("r20"), "l40" -> Some("r20")))
+    // backward, tolerance 5: l40's match (gap 20) nulls out
+    assert(run("backward", Some(5L)) == Map(
+      "l5" -> None, "l12" -> Some("r10"), "l20" -> Some("r20"), "l40" -> None))
+    // forward: earliest right >= t (inclusive at 20)
+    assert(run("forward", None) == Map(
+      "l5" -> Some("r10"), "l12" -> Some("r20"), "l20" -> Some("r20"), "l40" -> None))
+    // forward, tolerance 5: l5 (gap 5) stays, l12 (gap 8) nulls out
+    assert(run("forward", Some(5L)) == Map(
+      "l5" -> Some("r10"), "l12" -> None, "l20" -> Some("r20"), "l40" -> None))
+  }
 }
