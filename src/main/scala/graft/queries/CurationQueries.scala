@@ -235,6 +235,43 @@ object CurationQueries extends QueryPack {
         .groupBy($"source").pivot("lang", langs).agg(count(lit(1)))
         .select($"source" +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
         .orderBy($"source")
+    }),
+
+    // PII redaction: the scrub pass every training corpus runs before
+    // release. The word-salad corpus carries no PII, so the fixture
+    // INJECTS it formulaically (email on %3 ids, phone on %5 ids —
+    // ids overlapping both get both), then the scrubber strips it
+    // back out; the aggregate pins found-counts by type, residual
+    // length, and that redacted text carries zero leftover matches.
+    // Patterns stay in the RE2 ∩ java.util.regex common subset
+    // (explicit classes, no backrefs) so both engines match
+    // identically; per-row regex work is a scan kernel — no shuffle
+    // beyond the final 1-row aggregate.
+    "q9s_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val emailRe = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val withPii = docs(s, dir).withColumn("t",
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" contact u"), $"doc_id", lit("@mail.com"))).otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      withPii
+        .select(
+          size(regexp_extract_all($"t", lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all($"t", lit(phoneRe), lit(0))).as("n_phone"),
+          length(regexp_replace(regexp_replace($"t", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("red_len"),
+          size(regexp_extract_all(
+            regexp_replace(regexp_replace($"t", emailRe, "<EMAIL>"), phoneRe, "<PHONE>"),
+            lit(emailRe), lit(0))).as("leftover"))
+        .agg(
+          sum($"n_email").as("n_emails"),
+          sum($"n_phone").as("n_phones"),
+          sum($"red_len").as("redacted_bytes"),
+          sum($"leftover").as("n_leftover"))
     })
   )
 
@@ -347,6 +384,32 @@ object CurationQueries extends QueryPack {
       s"""SELECT source,
          | $cells
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
-    }
+    },
+    // DuckDB regexp_replace needs the 'g' flag (Spark's replaces all
+    // by default); patterns are in the RE2 ∩ java.util.regex subset
+    "q9s_pii_redact" ->
+      """WITH p AS (
+        |  SELECT text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS t
+        |  FROM documents
+        |), r AS (
+        |  SELECT len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9]+\.[a-z]{2,}')) AS n_email,
+        |         len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |         regexp_replace(
+        |           regexp_replace(t, '[a-z0-9._]+@[a-z0-9]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM p
+        |)
+        |SELECT CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |       CAST(sum(length(red)) AS BIGINT) AS redacted_bytes,
+        |       CAST(sum(len(regexp_extract_all(red, '[a-z0-9._]+@[a-z0-9]+\.[a-z]{2,}'))) AS BIGINT)
+        |         AS n_leftover
+        |FROM r""".stripMargin
   )
 }
