@@ -356,6 +356,29 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n"))
     }),
 
+    // Column profile report: the data-profiling pass every pipeline
+    // runs before trusting a new table — per-column ndv / null count /
+    // min / max in ONE scan (all aggregates in a single 1-row pass,
+    // then stack() pivots the row to one line per column; no
+    // re-scan per column). Exact countDistinct here for oracle
+    // parity; at 100 TB the same shape swaps in
+    // approx_count_distinct (HLL) — q26/q27 already prove that
+    // sketch family.
+    "q1f_column_profile" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+      val aggs = cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+      val cells = cols.map(c =>
+        s"'$c', ndv_$c, nn_$c, min_$c, max_$c").mkString(", ")
+      t(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.length}, $cells) AS (col, ndv, n_null, min_v, max_v)")
+        .orderBy("col")
+    }),
+
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
     // 20% of their part's average quantity; the per-part average is a
     // joined aggregate, not a per-row subquery execution. avgQty has one
@@ -684,6 +707,13 @@ object RelationalQueries extends QueryPack {
         |  AS standard_share_pct,
         | count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q1f_column_profile" -> Seq("l_orderkey", "l_partkey", "l_quantity", "l_suppkey")
+      .map(c =>
+        s"""SELECT '$c' AS col, count(DISTINCT $c) AS ndv,
+           | count(*) - count($c) AS n_null,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col"),
     "q1c_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
