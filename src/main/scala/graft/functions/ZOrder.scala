@@ -48,4 +48,18 @@ object ZOrder {
     */
   def zOrder2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** JVM twin of [[zOrder2]] for the SQL surface (`graft_zorder2`);
+    * bit-identical to the Column form (ZOrderSpec).
+    */
+  def zOrder2Jvm(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var m = v & 0xFFFFL
+      m = (m | (m << 8)) & 0x00FF00FFL
+      m = (m | (m << 4)) & 0x0F0F0F0FL
+      m = (m | (m << 2)) & 0x33333333L
+      (m | (m << 1)) & 0x55555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
 }

@@ -49,6 +49,8 @@ object GraftSql {
       (a: Seq[Float], b: Seq[Float]) => FastText.cosineJvm(a, b))
     spark.udf.register("graft_pround",
       (x: Double, d: Int) => FastText.proundJvm(x, d))
+    spark.udf.register("graft_zorder2",
+      (x: Long, y: Long) => graft.functions.ZOrder.zOrder2Jvm(x, y))
     // binary decode kernels — the multimodal columns reachable from SQL
     // (null for undecodable payloads, same as the Column UDFs)
     spark.udf.register("graft_npy_decode",

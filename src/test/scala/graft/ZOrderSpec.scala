@@ -27,6 +27,8 @@ class ZOrderSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     val want = pairs.map { case (x, y) => naiveZ(x & 0xFFFFL, y & 0xFFFFL) }
     assert(got == want)
+    // and the SQL-surface JVM twin is bit-identical
+    assert(pairs.map { case (x, y) => ZOrder.zOrder2Jvm(x, y) } == want)
   }
 
   test("z-value range of an aligned box is contiguous (the skipping property)") {
