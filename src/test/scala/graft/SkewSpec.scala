@@ -40,4 +40,20 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  test("CDC latest-wins stays correct on a hot key with deep version history") {
+    import spark.implicits._
+    // one key carrying 50k versions (the takedown-then-restore churn
+    // case) + cold keys; max_by partial aggregation must resolve the
+    // hot key without a window and land on the true max version
+    val hot = (0 until 50000).map(v =>
+      (1L, s"v$v", v.toLong, if (v == 49998) "D" else "U"))
+    val cold = (2 until 100).map(k => (k.toLong, s"cold$k", 0L, "U"))
+    val log = (hot ++ cold).toDF("doc_id", "text", "version", "op")
+    val merged = graft.operators.CdcMerge.latestWins(log)
+    val rows = merged.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // hot key's final version (49999, op U) survives the mid-history D
+    assert(rows(1L) == "v49999")
+    assert(merged.count() == 99) // 1 hot + 98 cold
+  }
 }
