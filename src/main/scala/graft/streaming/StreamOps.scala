@@ -89,6 +89,23 @@ object StreamOps {
     docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
       .dropDuplicates("content_hash")
 
+  /** Bounded-state streaming dedup: [[streamingDedup]]'s state grows
+    * with every distinct digest forever — the exact-dedup contract,
+    * but at 100 TB/day of stream the state store IS the corpus.
+    * `dropDuplicatesWithinWatermark` is the production form when
+    * duplicates cluster in time (retry storms, crawler re-fetches,
+    * at-least-once sources): a digest's state ages out once the
+    * watermark passes its event time + delay, so state holds only the
+    * trailing window's digests. The documented tradeoff: a duplicate
+    * arriving after its predecessor's state expired is emitted again
+    * (StreamOpsSpec pins exactly this re-emission).
+    */
+  def streamingDedupBounded(docs: DataFrame, tsCol: String, delay: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(tsCol), md5(col(textCol)).as("content_hash"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming curation gate — the stateless slice of the batch
     * q9c_curation_v2 pipeline (Gopher rules + quality threshold), sharing
     * the thresholds and kernels with [[graft.queries.CurationQueries]] so

@@ -309,6 +309,43 @@ class StreamOpsSpec extends AnyFunSuite {
       col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("bounded-state streaming dedup: in-window dups drop, expired-state dups re-emit") {
+    import spark.implicits._
+    val dir = Paths.get("target", "stream-dedup-bounded").toAbsolutePath.toString
+    val f = new java.io.File(dir)
+    if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+    def append(rows: Seq[(Long, String, Long)]): Unit = {
+      rows.toDF("doc_id", "text", "secs")
+        .select($"doc_id", $"text", timestamp_seconds($"secs").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes: FileStreamSource batches by file timestamp
+    }
+    // batch 1: dup at t=0 and t=10 (in-window) + a unique row
+    append(Seq((1L, "dup", 0L), (2L, "dup", 10L), (3L, "uniq", 5L)))
+    // batches 2-3: advance the watermark far past the dup state's
+    // expiry (10s + 60s); eviction lags one batch behind the watermark
+    append(Seq((4L, "advance", 600L)))
+    append(Seq((5L, "advance2", 1200L)))
+    // batch 4: same content again, AFTER its state aged out → re-emits
+    append(Seq((6L, "dup", 1800L)))
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamOps.streamingDedupBounded(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+        tsCol = "ts", delay = "1 minute")
+      .writeStream.format("memory").queryName("dedup_bounded_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table("dedup_bounded_out")
+      .select($"doc_id").as[Long].collect().toSet
+    // exactly one of the in-window dups survives (which one is
+    // partition-order dependent); the post-expiry copy re-emits —
+    // the bounded-state contract
+    assert(out.intersect(Set(1L, 2L)).size == 1, s"in-window dedup broken: $out")
+    assert(out.contains(3L) && out.contains(4L) && out.contains(5L), s"got $out")
+    assert(out.contains(6L), s"state never aged out (no re-emission): $out")
+  }
+
   test("streaming CDC upsert converges to the batch latest-wins merge under out-of-order delivery") {
     // qaj's formulaic changelog: base snapshot (v0) + updates/deletes
     // (v1) + inserts (v1)
