@@ -379,6 +379,27 @@ object RelationalQueries extends QueryPack {
         .orderBy("col")
     }),
 
+    // Engine-portable correlation: Pearson corr is normally a
+    // float-summation-order lottery across engines; computing the
+    // MOMENTS as exact BIGINTs (quantity is integral, discount lives
+    // on a 0.01 grid → ×100) and applying the closed form in double
+    // only at the very end makes the result bit-identical anywhere —
+    // the column-pair profiling op (feature drift, redundancy checks)
+    // with sketch-free exactness. One partial-agg scan.
+    "q1g_moment_corr" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_quantity".cast("long").as("x"),
+          floor($"l_discount" * 100 + 0.5).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"n", $"sx", $"sy",
+          pround(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6).as("corr_qd"))
+    }),
+
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
     // 20% of their part's average quantity; the per-part average is a
     // joined aggregate, not a per-row subquery execution. avgQty has one
@@ -714,6 +735,25 @@ object RelationalQueries extends QueryPack {
            | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
            |FROM lineitem""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col"),
+    // identical integer moments → identical doubles into the closed
+    // form → identical corr; mirror the Spark expression tree exactly
+    "q1g_moment_corr" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        |        FROM lineitem)
+        |)
+        |SELECT n, sx, sy,
+        |  floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000
+        |    AS corr_qd
+        |FROM m""".stripMargin,
     "q1c_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
