@@ -4,10 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-/** Data-skipping evidence for the z-order layout (driver-side tooling,
-  * like Bench): lays lineitem out three ways — LINEAR (round-robin
+/** Data-skipping evidence for the curve layouts (driver-side tooling,
+  * like Bench): lays lineitem out four ways — LINEAR (round-robin
   * insertion order), PSORT (range-sorted by l_partkey only), ZORDER
-  * (Morton curve over partkey×suppkey) — with small row groups so
+  * (Morton curve over partkey×suppkey), HILBERT (continuous curve,
+  * same dims) — with small row groups so
   * parquet min/max pruning has granularity at sub-GB scale (at 100 TB
   * the default 128 MiB row group plays this role), then measures ROWS
   * SCANNED (the parquet reader's output rows: what survived row-group
@@ -58,6 +59,14 @@ object LayoutScaleSmoke {
     val zorder = write(
       li.withColumn("__z__", z).repartitionByRange(16, col("__z__"))
         .sortWithinPartitions(col("__z__")).drop("__z__"), "zorder")
+    // Hilbert key is a JVM kernel via UDF — evaluated at re-layout
+    // (write) time only; scans never run it (HilbertCurve scaladoc)
+    val hilbertUdf = udf((x: Long, y: Long) =>
+      graft.functions.HilbertCurve.xy2d(16, x, y))
+    val hilbert = write(
+      li.withColumn("__h__", hilbertUdf(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(16, col("__h__"))
+        .sortWithinPartitions(col("__h__")).drop("__h__"), "hilbert")
 
     // (answer, rows the parquet reader emitted = post-pruning scan size)
     def measure(path: String, pred: Column): (Long, Long) = {
@@ -74,7 +83,8 @@ object LayoutScaleSmoke {
       "box" -> (col("l_partkey").between(20, 150) && col("l_suppkey").between(1, 8)),
       "part_only" -> col("l_partkey").between(20, 150),
       "supp_only" -> col("l_suppkey").between(1, 8))
-    val layouts = Seq("linear" -> linear, "psort" -> psort, "zorder" -> zorder)
+    val layouts = Seq("linear" -> linear, "psort" -> psort,
+      "zorder" -> zorder, "hilbert" -> hilbert)
 
     val cells = for ((pn, pred) <- preds) yield {
       val rs = for ((ln, lp) <- layouts) yield (ln, measure(lp, pred))
@@ -86,8 +96,10 @@ object LayoutScaleSmoke {
 
     val fields = cells.map { case (pn, m) =>
       def frac(l: String) = "%.4f".format(m(l).toDouble / total)
-      s""""$pn":{"linear":${m("linear")},"psort":${m("psort")},"zorder":${m("zorder")},""" +
-        s""""frac_linear":${frac("linear")},"frac_psort":${frac("psort")},"frac_zorder":${frac("zorder")}}"""
+      val names = layouts.map(_._1)
+      s""""$pn":{""" +
+        (names.map(l => s""""$l":${m(l)}""") ++
+          names.map(l => s""""frac_$l":${frac(l)}""")).mkString(",") + "}"
     }.mkString(",")
     println(s"""{"metric":"layout_rows_scanned","sf":"$sfDir","total_rows":$total,$fields}""")
     spark.stop()

@@ -51,6 +51,8 @@ object GraftSql {
       (x: Double, d: Int) => FastText.proundJvm(x, d))
     spark.udf.register("graft_zorder2",
       (x: Long, y: Long) => graft.functions.ZOrder.zOrder2Jvm(x, y))
+    spark.udf.register("graft_hilbert2",
+      (x: Long, y: Long) => graft.functions.HilbertCurve.xy2d(16, x, y))
     // binary decode kernels — the multimodal columns reachable from SQL
     // (null for undecodable payloads, same as the Column UDFs)
     spark.udf.register("graft_npy_decode",
