@@ -99,6 +99,27 @@ object TextFunctions {
     md5(concat_ws(" ",
       array_sort(array_distinct(transform(tokens(c), t => lower(t))))).cast("binary"))
 
+  /** Unicode NFC normalization — the canonicalization pass that must
+    * precede any content-hash dedup on real web text: the same visible
+    * string arrives both precomposed (U+00E9) and decomposed
+    * (e + U+0301) and raw-byte hashing under-merges. Spark has no
+    * normalization built-in, so this is a JVM kernel over
+    * `java.text.Normalizer` (ICU-conformant NFC, identical output to
+    * DuckDB's utf8proc `nfc_normalize` — qap proves the parity under the
+    * md5 hash). Per-row scalar work; the UDF boundary costs one codegen
+    * break, acceptable because normalization is a one-time ingest pass,
+    * not a hot analytical kernel. Null-safe (null → null, the binary
+    * decode convention).
+    */
+  def nfcJvm(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
+  def nfcNormalize(c: Column): Column = {
+    val f = udf((s: String) => nfcJvm(s))
+    f(c)
+  }
+
   // ---- DuckDB-dialect renderings (oracle side) -------------------------
 
   def tokensSql(e: String): String =

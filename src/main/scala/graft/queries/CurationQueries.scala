@@ -272,6 +272,41 @@ object CurationQueries extends QueryPack {
           sum($"n_phone").as("n_phones"),
           sum($"red_len").as("redacted_bytes"),
           sum($"leftover").as("n_leftover"))
+    }),
+
+    // URL canonicalization dedup: crawl URLs are injected formulaically
+    // in four messy variants per (host, path) class — uppercase
+    // scheme/host + default port + trailing slash, utm-only query,
+    // fragment, mixed utm/non-utm query — then canonicalized by
+    // [[graft.functions.UrlFunctions.canonicalizeUrl]] and grouped.
+    // Variants 0/1/2 MUST collapse to one canonical form and variant 3
+    // must keep its non-utm parameter: the gate hashes (canonical,
+    // n_docs, raw_forms), so both the merges and the non-merges are
+    // pinned. Pure per-row regex chain (one codegen pass) + one
+    // low-cardinality agg — the canonical key is then what a URL-keyed
+    // dedup/domain-quota pass shuffles on, 16-byte-digest-sized rows at
+    // 100 TB.
+    "qaq_url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val h = ($"doc_id" % 7).cast("string")
+      val p = ($"doc_id" % 5).cast("string")
+      val url = when($"doc_id" % 4 === 0,
+          concat(lit("HTTPS://WWW.Site"), h, lit(".COM:443/p/"), p, lit("/")))
+        .when($"doc_id" % 4 === 1,
+          concat(lit("https://www.site"), h, lit(".com/p/"), p,
+            lit("?utm_source=x&utm_campaign=y")))
+        .when($"doc_id" % 4 === 2,
+          concat(lit("https://www.site"), h, lit(".com/p/"), p, lit("#sec"), p))
+        .otherwise(
+          concat(lit("https://www.site"), h, lit(".com:443/p/"), p,
+            lit("?id="), h, lit("&utm_medium=z")))
+      docs(s, dir)
+        .select($"doc_id", url.as("url"))
+        .select($"url",
+          graft.functions.UrlFunctions.canonicalizeUrl($"url").as("canon"))
+        .groupBy($"canon")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"url").as("raw_forms"))
+        .orderBy($"canon")
     })
   )
 
@@ -410,6 +445,26 @@ object CurationQueries extends QueryPack {
         |       CAST(sum(length(red)) AS BIGINT) AS redacted_bytes,
         |       CAST(sum(len(regexp_extract_all(red, '[a-z0-9._]+@[a-z0-9]+\.[a-z]{2,}'))) AS BIGINT)
         |         AS n_leftover
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "qaq_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 4 AS INT)
+         |   WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+         |     || '.COM:443/p/' || CAST(doc_id % 5 AS VARCHAR) || '/'
+         |   WHEN 1 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         |     || '.com/p/' || CAST(doc_id % 5 AS VARCHAR)
+         |     || '?utm_source=x&utm_campaign=y'
+         |   WHEN 2 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         |     || '.com/p/' || CAST(doc_id % 5 AS VARCHAR)
+         |     || '#sec' || CAST(doc_id % 5 AS VARCHAR)
+         |   ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
+         |     || '.com:443/p/' || CAST(doc_id % 5 AS VARCHAR)
+         |     || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=z'
+         |  END AS url FROM documents)
+         |SELECT canon, count(*) AS n_docs, count(DISTINCT url) AS raw_forms
+         |FROM (SELECT url, ${graft.functions.UrlFunctions.canonicalizeUrlSql("url")} AS canon
+         |      FROM u)
+         |GROUP BY canon ORDER BY canon""".stripMargin
   )
 }

@@ -415,6 +415,33 @@ object DedupQueries extends QueryPack {
         .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("survivor_id"))
         .filter($"n_copies" >= 2)
         .orderBy($"fp")
+    }),
+
+    // Unicode-normalized dedup: content-hash dedup on raw bytes
+    // under-merges real web text because the same visible string arrives
+    // both precomposed (café with U+00E9) and decomposed (cafe
+    // + U+0301). Each doc is expanded into both encodings of an
+    // accent-bearing suffix; md5 over the raw bytes sees 2 forms per
+    // doc, md5 over [[TextFunctions.nfcNormalize]] collapses them to 1
+    // — and because the oracle computes the same md5 over DuckDB's
+    // utf8proc `nfc_normalize`, the hash match PROVES the JVM and
+    // utf8proc NFC implementations agree byte-for-byte on this corpus.
+    // Per-row kernel + one low-cardinality agg: one codegen pass + the
+    // UDF boundary, no extra shuffle at any scale.
+    "qap_unicode_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"source", $"text")
+      val dec = d.select($"source", concat($"text", lit(" cafe\u0301")).as("txt"))
+      val pre = d.select($"source", concat($"text", lit(" caf\u00e9")).as("txt"))
+      dec.unionByName(pre)
+        .select($"source",
+          md5($"txt".cast("binary")).as("raw_fp"),
+          md5(TextFunctions.nfcNormalize($"txt").cast("binary")).as("canon_fp"))
+        .groupBy($"source")
+        .agg(countDistinct($"raw_fp").as("raw_forms"),
+          countDistinct($"canon_fp").as("canon_forms"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"source")
     })
   )
 
@@ -600,6 +627,20 @@ object DedupQueries extends QueryPack {
          | SELECT a_id, b_id, ${jaccardOnSetsSql("da.sh", "db.sh")} AS jaccard
          | FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id)
          |WHERE jaccard >= 0.35
-         |ORDER BY a_id, b_id""".stripMargin
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // chr(769) = U+0301 combining acute, chr(233) = U+00E9 precomposed é
+    // — byte-distinct, NFC-identical; md5 over nfc_normalize must match
+    // the Spark kernel's md5 over java.text.Normalizer output exactly
+    "qap_unicode_dedup" ->
+      s"""WITH v AS (
+         | SELECT source, text || ' cafe' || chr(769) AS txt FROM documents
+         | UNION ALL
+         | SELECT source, text || ' caf' || chr(233) AS txt FROM documents)
+         |SELECT source,
+         | count(DISTINCT md5(txt)) AS raw_forms,
+         | count(DISTINCT md5(nfc_normalize(txt))) AS canon_forms,
+         | count(*) AS n_rows
+         |FROM v GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -29,6 +29,12 @@ object TrainPrepQueries extends QueryPack {
   private val QuotaSeed = 13
   private val QuotaTokens = 4000L
   private val UpsampleSeed = 17
+  // qao: DSIR hashed-feature geometry. 128 buckets is the toy-scale
+  // analogue of the paper's 10k-dim hashed n-gram space; at 100 TB the
+  // bucket count grows but the weight table stays driver/broadcast-sized.
+  private val DsirSeed = 19
+  private val DsirBuckets = 128L
+  private val DsirTopK = 25
   // q9g: chunk width/stride in tokens (overlap = ChunkW - ChunkS)
   private val ChunkW = 32
   private val ChunkS = 24
@@ -298,6 +304,47 @@ object TrainPrepQueries extends QueryPack {
         .groupBy($"source", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"tok").as("total_tokens"))
         .orderBy($"source", $"bin")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw doc
+    // by how target-like its hashed-token feature histogram is, where
+    // the target distribution is defined by an exemplar slice (here the
+    // lang='en' docs). Per-bucket importance weights are the smoothed
+    // target/raw count ratio in integer MICRO-UNITS — ((tc+1)·10⁶) div
+    // (rc+B) — and a doc's score is the count-weighted integer mean of
+    // its buckets' weights, so every arithmetic step is exact BIGINT
+    // (no float summation-order lottery, the q1g discipline) and the
+    // oracle reproduces it bit-for-bit. Topology: ONE explode pass
+    // compacted immediately into per-(doc,bucket) counts (≤B rows/doc,
+    // persisted — it feeds the raw aggregate, the target aggregate and
+    // the scoring join), a B-row weight table broadcast back, one
+    // map-side-combinable agg per doc. At 100 TB the only corpus-sized
+    // shuffle is the per-doc histogram; the model state (weight table)
+    // stays broadcast-sized at any corpus scale.
+    "qao_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val db = docs(s, dir)
+        .select($"doc_id", $"lang", $"source",
+          explode(TextFunctions.tokens(lower($"text"))).as("tok"))
+        .withColumn("bucket", PortableHash.detHash($"tok", DsirSeed) % DsirBuckets)
+        .groupBy($"doc_id", $"lang", $"source", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val raw = db.groupBy($"bucket").agg(sum($"n").as("rc"))
+      val tgt = db.filter($"lang" === "en")
+        .groupBy($"bucket").agg(sum($"n").as("tc"))
+      val wts = raw.join(tgt, Seq("bucket"), "left")
+        .select($"bucket",
+          expr(s"((coalesce(tc, 0L) + 1L) * 1000000L) DIV (rc + $DsirBuckets)")
+            .as("wt"))
+      db.join(broadcast(wts), Seq("bucket"))
+        .groupBy($"doc_id", $"lang", $"source")
+        .agg(sum($"n" * $"wt").as("sw"), sum($"n").as("nt"))
+        .select($"doc_id", $"lang", $"source",
+          expr("sw DIV nt").as("dsir_score_micro"))
+        .orderBy($"dsir_score_micro".desc, $"doc_id")
+        .limit(DsirTopK)
     })
   )
 
@@ -397,6 +444,25 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(n_copies) AS BIGINT) AS n_copies_out,
            | CAST(sum(tok * n_copies) AS BIGINT) AS tokens_out
            |FROM n GROUP BY source ORDER BY source""".stripMargin
+      },
+      "qao_dsir_select" -> {
+        val h = PortableHash.duckHashSql("tok", DsirSeed)
+        s"""WITH toks AS (SELECT doc_id, lang, source,
+           |  unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
+           | FROM documents),
+           |db AS (SELECT doc_id, lang, source, $h % $DsirBuckets AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2, 3, 4),
+           |raw AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS rc FROM db GROUP BY 1),
+           |tgt AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS tc
+           |        FROM db WHERE lang = 'en' GROUP BY 1),
+           |w AS (SELECT raw.bucket,
+           |  ((coalesce(tc, 0) + 1) * 1000000) // (rc + $DsirBuckets) AS wt
+           | FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+           |sc AS (SELECT doc_id, lang, source,
+           |  CAST(sum(n * wt) AS BIGINT) AS sw, CAST(sum(n) AS BIGINT) AS nt
+           | FROM db JOIN w USING (bucket) GROUP BY 1, 2, 3)
+           |SELECT doc_id, lang, source, CAST(sw // nt AS BIGINT) AS dsir_score_micro
+           |FROM sc ORDER BY dsir_score_micro DESC, doc_id LIMIT $DsirTopK""".stripMargin
       },
       // the bitmap re-renders as a DISTINCT bit set; "all 3 bits set"
       // becomes nb = 3 over the (shingle, h)-row join against it

@@ -53,6 +53,10 @@ object GraftSql {
       (x: Long, y: Long) => graft.functions.ZOrder.zOrder2Jvm(x, y))
     spark.udf.register("graft_hilbert2",
       (x: Long, y: Long) => graft.functions.HilbertCurve.xy2d(16, x, y))
+    spark.udf.register("graft_nfc",
+      (t: String) => graft.functions.TextFunctions.nfcJvm(t))
+    spark.udf.register("graft_url_canonical",
+      (u: String) => graft.functions.UrlFunctions.canonicalizeUrlJvm(u))
     // binary decode kernels — the multimodal columns reachable from SQL
     // (null for undecodable payloads, same as the Column UDFs)
     spark.udf.register("graft_npy_decode",
