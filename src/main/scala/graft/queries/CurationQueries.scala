@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TextFunctions
+import graft.functions.{PortableHash, TextFunctions}
 import graft.functions.TextFunctions.{tokenCount, tokenCountSql, tokens, tokensSql, stopwordCount, stopwordCountSql, qualityScoreSql}
 import graft.functions.Portable.{pround, proundSql}
 
@@ -59,6 +59,45 @@ object CurationQueries extends QueryPack {
   // q9c: composed-gate thresholds on top of the Gopher rules.
   private[graft] val MinQuality = 0.5
   private[graft] val MaxDupFrac = 0.5
+
+  // qar: per-domain document cap (the C4/Gopher "no domain dominates"
+  // guard) and its selection seed.
+  private val DomainCap = 12
+  private val DomainCapSeed = 29
+
+  /** Formulaic crawl-URL fixture shared by qaq/qar: four messy variants
+    * per (host, path) class — uppercase scheme/host + default port +
+    * trailing slash, utm-only query, fragment, mixed utm/non-utm query.
+    */
+  private def messyUrl: Column = {
+    val h = (col("doc_id") % 7).cast("string")
+    val p = (col("doc_id") % 5).cast("string")
+    when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://WWW.Site"), h, lit(".COM:443/p/"), p, lit("/")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://www.site"), h, lit(".com/p/"), p,
+          lit("?utm_source=x&utm_campaign=y")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://www.site"), h, lit(".com/p/"), p, lit("#sec"), p))
+      .otherwise(
+        concat(lit("https://www.site"), h, lit(".com:443/p/"), p,
+          lit("?id="), h, lit("&utm_medium=z")))
+  }
+
+  /** DuckDB rendering of [[messyUrl]] — rendered as ONE line so the
+    * consumer oracles' `.stripMargin` can't eat the leading `|` of a
+    * wrapped `||` concat operator.
+    */
+  private def messyUrlSql: String = {
+    val h = "CAST(doc_id % 7 AS VARCHAR)"
+    val p = "CAST(doc_id % 5 AS VARCHAR)"
+    s"CASE CAST(doc_id % 4 AS INT) " +
+      s"WHEN 0 THEN 'HTTPS://WWW.Site' || $h || '.COM:443/p/' || $p || '/' " +
+      s"WHEN 1 THEN 'https://www.site' || $h || '.com/p/' || $p || '?utm_source=x&utm_campaign=y' " +
+      s"WHEN 2 THEN 'https://www.site' || $h || '.com/p/' || $p || '#sec' || $p " +
+      s"ELSE 'https://www.site' || $h || '.com:443/p/' || $p || '?id=' || $h || '&utm_medium=z' " +
+      "END"
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style document quality rules: word-count bounds, mean word
@@ -288,25 +327,40 @@ object CurationQueries extends QueryPack {
     // 100 TB.
     "qaq_url_canonical" -> ((s, dir) => {
       import s.implicits._
-      val h = ($"doc_id" % 7).cast("string")
-      val p = ($"doc_id" % 5).cast("string")
-      val url = when($"doc_id" % 4 === 0,
-          concat(lit("HTTPS://WWW.Site"), h, lit(".COM:443/p/"), p, lit("/")))
-        .when($"doc_id" % 4 === 1,
-          concat(lit("https://www.site"), h, lit(".com/p/"), p,
-            lit("?utm_source=x&utm_campaign=y")))
-        .when($"doc_id" % 4 === 2,
-          concat(lit("https://www.site"), h, lit(".com/p/"), p, lit("#sec"), p))
-        .otherwise(
-          concat(lit("https://www.site"), h, lit(".com:443/p/"), p,
-            lit("?id="), h, lit("&utm_medium=z")))
       docs(s, dir)
-        .select($"doc_id", url.as("url"))
+        .select($"doc_id", messyUrl.as("url"))
         .select($"url",
           graft.functions.UrlFunctions.canonicalizeUrl($"url").as("canon"))
         .groupBy($"canon")
         .agg(count(lit(1)).as("n_docs"), countDistinct($"url").as("raw_forms"))
         .orderBy($"canon")
+    }),
+
+    // Per-domain document cap — the "no domain dominates the corpus"
+    // guard (C4 and Gopher both cap per-site contributions): canonical
+    // host extracted from the canonicalized URL, then each host keeps
+    // its DomainCap hash-first docs — the kept set is the K smallest
+    // (detHash(doc_id), doc_id) keys per host, a deterministic uniform
+    // draw that is replayable under retry and oracle-checkable. Emits
+    // the kept rows (host, rk, doc_id) so the gate pins EXACTLY which
+    // docs survive, not just the counts. The rank window partitions by
+    // host; at crawl scale a mega-host partition is the known window
+    // hazard, so the production form pre-prunes with an approximate
+    // per-host hash threshold (keep hash < K/n̂·2³² from a sketch of
+    // host counts) before the exact rank — same output, bounded
+    // partition; documented here, exact form mined at gate scale.
+    "qar_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val canon = graft.functions.UrlFunctions.canonicalizeUrl(messyUrl)
+      val hosts = docs(s, dir)
+        .select($"doc_id",
+          regexp_extract(canon, "^[a-z]+://([^/:?#]+)", 1).as("host"))
+      val w = Window.partitionBy($"host")
+        .orderBy(PortableHash.detHash($"doc_id", DomainCapSeed), $"doc_id")
+      hosts.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= DomainCap)
+        .select($"host", $"rk", $"doc_id")
+        .orderBy($"host", $"rk")
     })
   )
 
@@ -448,23 +502,22 @@ object CurationQueries extends QueryPack {
         |FROM r""".stripMargin,
 
     "qaq_url_canonical" ->
-      s"""WITH u AS (SELECT doc_id,
-         |  CASE CAST(doc_id % 4 AS INT)
-         |   WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
-         |     || '.COM:443/p/' || CAST(doc_id % 5 AS VARCHAR) || '/'
-         |   WHEN 1 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
-         |     || '.com/p/' || CAST(doc_id % 5 AS VARCHAR)
-         |     || '?utm_source=x&utm_campaign=y'
-         |   WHEN 2 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
-         |     || '.com/p/' || CAST(doc_id % 5 AS VARCHAR)
-         |     || '#sec' || CAST(doc_id % 5 AS VARCHAR)
-         |   ELSE 'https://www.site' || CAST(doc_id % 7 AS VARCHAR)
-         |     || '.com:443/p/' || CAST(doc_id % 5 AS VARCHAR)
-         |     || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=z'
-         |  END AS url FROM documents)
+      s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents)
          |SELECT canon, count(*) AS n_docs, count(DISTINCT url) AS raw_forms
          |FROM (SELECT url, ${graft.functions.UrlFunctions.canonicalizeUrlSql("url")} AS canon
          |      FROM u)
-         |GROUP BY canon ORDER BY canon""".stripMargin
+         |GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "qar_domain_cap" -> {
+      val h = PortableHash.duckHashSql("CAST(doc_id AS VARCHAR)", DomainCapSeed)
+      val canon = graft.functions.UrlFunctions.canonicalizeUrlSql("url")
+      s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+         |hosts AS (SELECT doc_id,
+         |  regexp_extract($canon, '^[a-z]+://([^/:?#]+)', 1) AS host FROM u),
+         |ranked AS (SELECT host, doc_id, row_number() OVER (
+         |  PARTITION BY host ORDER BY $h, doc_id) AS rk FROM hosts)
+         |SELECT host, rk, doc_id FROM ranked
+         |WHERE rk <= $DomainCap ORDER BY host, rk""".stripMargin
+    }
   )
 }
