@@ -107,8 +107,14 @@ object ImageCodec {
     */
   def decodeUdf(spec: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     require(isImageSpec(spec), s"unknown image spec '$spec'")
+    // Try, not just the ImageIO null: a RECOGNIZED-but-corrupt payload
+    // (valid PNG signature, truncated chunk) makes ImageIO.read THROW
+    // rather than return null, and a corrupt member must not fail a
+    // skip-policy pipeline.
     val f = org.apache.spark.sql.functions.udf(
-      (bytes: Array[Byte]) => if (bytes == null) None else decodeAs(spec, bytes))
+      (bytes: Array[Byte]) =>
+        if (bytes == null) None
+        else scala.util.Try(decodeAs(spec, bytes)).toOption.flatten)
     c => f(c)
   }
 

@@ -50,12 +50,22 @@ object NpyCodec {
       if (major == 1) (buf.getShort(8) & 0xffff, 10)
       else (buf.getInt(8), 12) // v2/v3: 4-byte LE length
     val header = new String(bytes, headerOff, headerLen, "ISO-8859-1")
+    require(headerLen >= 0 && headerOff.toLong + headerLen <= bytes.length,
+      s"npy header overruns payload: len=$headerLen")
     val descr = headerField(header, "descr")
     val fortran = headerField(header, "fortran_order").startsWith("True")
     val shape = parseShape(headerField(header, "shape"))
+    require(shape.forall(_ >= 0), s"npy negative dim: ${shape.mkString(",")}")
     val n = shape.foldLeft(1L)(_ * _)
     require(n <= Int.MaxValue, s"npy tensor too large: $n elements")
     val dataOff = headerOff + headerLen
+    // Bound the DECLARED size by the ACTUAL payload before any
+    // allocation: a corrupt header claiming shape (2e9,) on a 50-byte
+    // member must throw here, not attempt a multi-GB array (an
+    // OutOfMemoryError is fatal — the UDF's null-on-malformed contract
+    // can only catch exceptions).
+    require(dataOff.toLong + n * itemSize(descr) <= bytes.length,
+      s"npy data overruns payload: $n elems of $descr in ${bytes.length} bytes")
     val out = readData(bytes, dataOff, descr, n.toInt)
     if (fortran && shape.length > 1) Tensor(shape, fortranToC(out, shape))
     else Tensor(shape, out)
@@ -110,6 +120,16 @@ object NpyCodec {
     if (inner.isEmpty) Array(1) // 0-d scalar → shape [1]
     else inner.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
   }
+
+  private def itemSize(descr: String): Int =
+    descr.dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=') match {
+      case "f8" | "i8" => 8
+      case "f4" | "i4" | "u4" => 4
+      case "i2" | "u2" => 2
+      case "i1" | "u1" | "b1" => 1
+      case other => throw new IllegalArgumentException(
+        s"unsupported npy dtype: $descr ($other)")
+    }
 
   private def readData(bytes: Array[Byte], off: Int, descr: String, n: Int): Array[Float] = {
     val order =

@@ -54,16 +54,26 @@ object VideoCodec {
       }
     }
     require(w > 0 && h > 0, s"y4m: missing W/H in header: $line")
-    val luma = w * h
-    val chroma = cs match {
-      case s if s.startsWith("420") => (w / 2) * (h / 2) * 2
-      case s if s.startsWith("422") => (w / 2) * h * 2
+    // Long arithmetic, then bound by the ACTUAL payload size: with Int
+    // math a hostile W/H (e.g. 40000x40000 C420) overflows frameBytes
+    // NEGATIVE, which (a) vacuously passes the per-frame overrun check
+    // and lets the luma sampler attempt a multi-GB allocation (fatal
+    // OOM, not catchable by the null-on-malformed UDFs), and (b) steps
+    // the frame walk BACKWARDS, which can cycle forever in decodeMeta.
+    // A frame can never be larger than the member that contains it.
+    val luma = w.toLong * h
+    val chroma: Long = cs match {
+      case s if s.startsWith("420") => (w / 2).toLong * (h / 2) * 2
+      case s if s.startsWith("422") => (w / 2).toLong * h * 2
       case s if s.startsWith("444") => luma * 2
-      case "mono" => 0
+      case "mono" => 0L
       case other => throw new IllegalArgumentException(
         s"y4m: unsupported colorspace C$other (420*/422/444/mono only)")
     }
-    Header(w, h, fn, fd, luma + chroma, luma, nl + 1)
+    val frameBytes = luma + chroma
+    require(frameBytes > 0 && frameBytes <= bytes.length,
+      s"y4m: frame size $frameBytes exceeds payload ${bytes.length}")
+    Header(w, h, fn, fd, frameBytes.toInt, luma.toInt, nl + 1)
   }
 
   /** Position of frame `k`'s luma plane, or -1 past the end; also used
@@ -80,7 +90,7 @@ object VideoCodec {
       while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
       require(nl < bytes.length, "y4m: unterminated FRAME header")
       val payload = nl + 1
-      require(payload + hdr.frameBytes <= bytes.length,
+      require(payload.toLong + hdr.frameBytes <= bytes.length,
         s"y4m: truncated frame $i")
       if (i == k) return payload
       pos = payload + hdr.frameBytes

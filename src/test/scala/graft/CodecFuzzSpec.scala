@@ -1,0 +1,195 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ImageCodec, NpyCodec, VideoCodec, WavCodec}
+
+/** Fuzz coverage for the binary decoders' malformed-payload contract:
+  * strict APIs may only fail with a catchable Exception (never a fatal
+  * Error or a hang), and the Column UDFs must render every such failure
+  * as NULL — a corrupt tar member must not be able to fail, OOM, or
+  * wedge a skip-policy pipeline. Random garbage plus mutants of valid
+  * payloads (truncations, byte flips) drive the generic property;
+  * targeted cases pin the two fatal classes fuzzing found: header-
+  * declared sizes that overflow Int into multi-GB allocations, and a
+  * negative y4m frame stride that cycled the frame walk forever.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  // -- minimal valid payloads (seeds for the mutation generators) -------
+
+  private def npyValid: Array[Byte] = {
+    val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (3,), }"
+    val bos = new ByteArrayOutputStream()
+    bos.write(0x93); bos.write("NUMPY".getBytes("ASCII"))
+    bos.write(1); bos.write(0)
+    bos.write(header.length & 0xff); bos.write(header.length >> 8)
+    bos.write(header.getBytes("ISO-8859-1"))
+    val fb = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fb.putFloat(1f).putFloat(2f).putFloat(3f)
+    bos.write(fb.array())
+    bos.toByteArray
+  }
+
+  private def wavValid: Array[Byte] = {
+    val n = 4 // frames, PCM16 mono
+    val data = 2 * n
+    val bb = java.nio.ByteBuffer.allocate(44 + data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + data)
+      .put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("ASCII")).putInt(data)
+    (1 to n).foreach(i => bb.putShort((i * 100).toShort))
+    bb.array()
+  }
+
+  private def y4mValid: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 F25:1 Cmono\n".getBytes("ASCII"))
+    (0 until 2).foreach { f =>
+      bos.write("FRAME\n".getBytes("ASCII"))
+      bos.write(Array.tabulate[Byte](4)(i => (f * 10 + i).toByte))
+    }
+    bos.toByteArray
+  }
+
+  private def pngValid: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 1, 0x00ff00)
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  // -- mutation generators ----------------------------------------------
+
+  private def mutantsOf(seed: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
+    // random truncation (including empty)
+    Gen.choose(0, seed.length).map(seed.take),
+    // 1-3 random byte flips
+    for {
+      k <- Gen.choose(1, 3)
+      picks <- Gen.listOfN(k, Gen.zip(
+        Gen.choose(0, seed.length - 1), Gen.choose(0, 255)))
+    } yield {
+      val out = seed.clone()
+      picks.foreach { case (i, v) => out(i) = v.toByte }
+      out
+    },
+    // pure garbage of comparable size
+    Gen.choose(0, 128).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)))
+
+  /** The property: decoding terminates with a value or an Exception —
+    * a fatal Error (OOM from a hostile header) fails the test here
+    * instead of killing an executor in production.
+    */
+  private def survives(decode: Array[Byte] => Any)(bytes: Array[Byte]): Boolean =
+    try { decode(bytes); true }
+    catch {
+      case _: Exception => true
+      case e: Throwable => fail(s"fatal ${e.getClass.getName}: ${e.getMessage}")
+    }
+
+  private def fuzz(seed: Array[Byte], decode: Array[Byte] => Any): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(mutantsOf(seed))(survives(decode)))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("npy decode survives mutants and garbage") {
+    assert(NpyCodec.decodeNpy(npyValid).data.toSeq == Seq(1f, 2f, 3f))
+    fuzz(npyValid, NpyCodec.decodeNpy)
+  }
+
+  test("wav decode survives mutants and garbage") {
+    assert(WavCodec.decodeWav(wavValid).n_frames == 4)
+    fuzz(wavValid, WavCodec.decodeWav)
+  }
+
+  test("y4m decode survives mutants and garbage") {
+    assert(VideoCodec.decodeMeta(y4mValid).n_frames == 2)
+    fuzz(y4mValid, VideoCodec.decodeMeta)
+    fuzz(y4mValid, VideoCodec.sampleLumaFrames(_, 1))
+  }
+
+  test("image decode survives mutants and garbage") {
+    assert(ImageCodec.decodeAs("rgb8", pngValid).isDefined)
+    fuzz(pngValid, ImageCodec.decodeAs("rgb8", _))
+  }
+
+  // -- targeted regressions: the fatal classes --------------------------
+
+  test("npy header claiming gigabytes on a tiny payload throws, not OOM") {
+    // shape (1000000000,) f4 declares 4 GB; the member holds 8 bytes.
+    val header = "{'descr': '<f4', 'fortran_order': False, 'shape': (1000000000,), }"
+    val bos = new ByteArrayOutputStream()
+    bos.write(0x93); bos.write("NUMPY".getBytes("ASCII"))
+    bos.write(1); bos.write(0)
+    bos.write(header.length & 0xff); bos.write(header.length >> 8)
+    bos.write(header.getBytes("ISO-8859-1"))
+    bos.write(Array.fill[Byte](8)(1))
+    val e = intercept[IllegalArgumentException](NpyCodec.decodeNpy(bos.toByteArray))
+    assert(e.getMessage.contains("overruns payload"))
+  }
+
+  test("y4m frame size overflowing Int throws, not OOM or backward walk") {
+    // 40000x40000 C420 = 2.4e9 frame bytes: overflows Int32 negative,
+    // which pre-fix passed the overrun check vacuously (6.4 GB luma
+    // allocation) and stepped the frame walk backwards (decodeMeta
+    // cycled forever on a crafted member).
+    val hostile =
+      ("YUV4MPEG2 W40000 H40000 F25:1 C420\n" + "FRAME\n" + "x" * 64)
+        .getBytes("ASCII")
+    val e = intercept[IllegalArgumentException](VideoCodec.decodeMeta(hostile))
+    assert(e.getMessage.contains("exceeds payload"))
+    intercept[IllegalArgumentException](VideoCodec.sampleLumaFrames(hostile, 1))
+  }
+
+  test("wav chunk declaring more bytes than the member holds throws") {
+    val bad = wavValid.clone()
+    // data chunk size field sits at offset 40 in this fixture
+    bad(40) = 0x7f.toByte; bad(41) = 0x7f.toByte
+    bad(42) = 0x7f.toByte; bad(43) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException](WavCodec.decodeWav(bad))
+    assert(e.getMessage.contains("overruns payload"))
+  }
+
+  // -- UDF tier: every failure renders as NULL end-to-end ---------------
+
+  test("column UDFs null all malformed payloads, never throw") {
+    import spark.implicits._
+    val garbage: Array[Byte] = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val truncatedPng = pngValid.take(20) // valid signature, corrupt body
+    val rows = Seq(("garbage", garbage), ("png_trunc", truncatedPng))
+      .toDF("kind", "payload")
+    val out = rows.select(
+      $"kind",
+      NpyCodec.decodeNpyUdf($"payload").as("npy"),
+      NpyCodec.decodeNpzUdf($"payload").as("npz"),
+      WavCodec.decodeWavUdf($"payload").as("wav"),
+      VideoCodec.decodeMetaUdf($"payload").as("y4m"),
+      VideoCodec.sampleLumaFramesUdf(1)($"payload").as("luma"),
+      ImageCodec.decodeUdf("rgb8")($"payload").as("img"))
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      Seq(1, 3, 4, 5, 6).foreach(i =>
+        assert(r.isNullAt(i), s"${r.getString(0)} col $i should be null"))
+      // npz: a non-zip payload yields no entries (empty map), a corrupt
+      // inner npy nulls — both are "nothing decoded", never a throw
+      assert(r.isNullAt(2) || r.getMap[String, Any](2).isEmpty,
+        s"${r.getString(0)} npz should be null or empty")
+    }
+  }
+}
