@@ -97,17 +97,50 @@ class WdsTarMicroBatchStream(schema: StructType, declaredExts: Set[String],
 /** Offset = (shards committed, name of the last committed shard). The
   * name pins the identity of the committed prefix so an out-of-order
   * arrival is detected (see checkAppendOnly) rather than double-read.
-  * Serialized as `<count>\n<lastShard>` — newline-free paths, trivially
-  * parseable, and backward-compatible with the bare-count form.
+  *
+  * Serialization MUST be a single line: Spark's OffsetSeqLog writes one
+  * line per source, so an embedded newline splits this offset into what
+  * a restarted query reads back as TWO sources and the checkpoint
+  * becomes unrecoverable ("There are [2] sources in the checkpoint
+  * offsets..."). An earlier `<count>\n<lastShard>` encoding had exactly
+  * that failure — in-process runs never re-read their own offsets, so
+  * only a cross-process restart (WdsTarStreamSpec's restart case) sees
+  * it. Now a one-line JSON object; parse keeps reading the legacy
+  * bare-count form.
   */
 case class WdsTarOffset(shardCount: Int, lastShard: String) extends Offset {
-  override def json(): String =
-    if (lastShard.isEmpty) shardCount.toString else s"$shardCount\n$lastShard"
+  override def json(): String = {
+    val esc = lastShard.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"shardCount":$shardCount,"lastShard":"$esc"}"""
+  }
 }
 
 object WdsTarOffset {
-  def parse(json: String): WdsTarOffset = json.split("\n", 2) match {
-    case Array(n) => WdsTarOffset(n.trim.toInt, "")
-    case Array(n, last) => WdsTarOffset(n.trim.toInt, last)
+  private val JsonForm = """\{"shardCount":(\d+),"lastShard":"(.*)"\}""".r
+
+  def parse(json: String): WdsTarOffset = json match {
+    case JsonForm(n, last) => WdsTarOffset(n.toInt, unescape(last))
+    case legacy => legacy.split("\n", 2) match {
+      case Array(n) => WdsTarOffset(n.trim.toInt, "")
+      case Array(n, last) => WdsTarOffset(n.trim.toInt, last)
+    }
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+        case 'u' if i + 6 <= s.length =>
+          sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case c => sb += c; i += 2
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
   }
 }
