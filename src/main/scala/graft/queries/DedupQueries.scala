@@ -22,6 +22,11 @@ object DedupQueries extends QueryPack {
   // .streamingMinhashPairs) so batch and stream mine with one parameter set.
   private[graft] val MinhashK = 8      // signature length
   private[graft] val ShingleN = 3      // tokens per shingle
+  // Bands/RowsPerBand are the S-curve optimum for (MinJaccard, MinhashK)
+  // — LshTuningSpec asserts they equal LshTuning.optimalParams' answer,
+  // so these stay fixed literals (oracle determinism) without being
+  // folklore. Retune via graft.functions.LshTuning when the threshold
+  // or budget changes.
   private[graft] val Bands = 4         // LSH bands (rows-per-band = 2)
   private[graft] val RowsPerBand = MinhashK / Bands
   private[graft] val MaxBucket = 50    // hot-bucket guard: skip degenerate bands
