@@ -39,15 +39,8 @@ object EventsQueries extends QueryPack {
     // within-partition.
     "q50_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val gapped = ev(s, dir)
-        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
-        .withColumn("new_session",
-          when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > SessionGapSec, 1L)
-            .otherwise(0L))
-        .withColumn("session_id",
-          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val gapped = graft.operators.Sessionize.assignSessions(
+        ev(s, dir), "user_id", "ts", "event_id", SessionGapSec)
       gapped.groupBy($"user_id")
         .agg(max($"session_id").as("n_sessions"),
           count(lit(1)).as("n_events"),

@@ -400,6 +400,39 @@ object RelationalQueries extends QueryPack {
               sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))), 6).as("corr_qd"))
     }),
 
+    // Data-validation gate (the Deequ/Great-Expectations shape): a
+    // constraint suite — completeness, value range, domain membership,
+    // sign, key uniqueness, non-emptiness — compiled into ONE aggregate
+    // pass over the table, then stacked to a row per check. Every check
+    // is a conditional sum riding the same scan; the exact-uniqueness
+    // check is the one that adds a distinct (Spark plans it as an
+    // expand in the same query), and at 100 TB it swaps to
+    // approx_count_distinct exactly like q1f's ndv column. This is the
+    // admission test a pipeline runs before trusting an ingest drop —
+    // observed counts, not just booleans, so the report says HOW wrong
+    // a failing drop is.
+    "qas_validation_gate" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_shipdate".isNull.cast("long")).as("null_ship"),
+          sum(($"l_quantity" < 1 || $"l_quantity" > 50).cast("long")).as("bad_qty"),
+          sum((!$"l_returnflag".isin("A", "N", "R")).cast("long")).as("bad_flag"),
+          sum(($"l_extendedprice" <= 0).cast("long")).as("bad_price"),
+          countDistinct($"l_orderkey", $"l_linenumber").as("ndv_key"))
+        .selectExpr(
+          """stack(6,
+            |  'complete_shipdate', null_ship, CAST(null_ship = 0 AS BIGINT),
+            |  'domain_returnflag', bad_flag, CAST(bad_flag = 0 AS BIGINT),
+            |  'nonempty_table', n_rows, CAST(n_rows > 0 AS BIGINT),
+            |  'nonneg_price', bad_price, CAST(bad_price = 0 AS BIGINT),
+            |  'range_quantity', bad_qty, CAST(bad_qty = 0 AS BIGINT),
+            |  'unique_order_line', n_rows - ndv_key, CAST(n_rows = ndv_key AS BIGINT)
+            |) AS (check_name, observed, passed)""".stripMargin)
+        .orderBy($"check_name")
+    }),
+
     // Correlated-aggregate filter (TPC-H Q17 shape): lineitems below
     // 20% of their part's average quantity; the per-part average is a
     // joined aggregate, not a per-row subquery execution. avgQty has one
@@ -754,6 +787,30 @@ object RelationalQueries extends QueryPack {
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000 + 0.5) / 1000000
         |    AS corr_qd
         |FROM m""".stripMargin,
+    "qas_validation_gate" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ship,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+        |    (SELECT count(*) FROM
+        |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS ndv_key
+        |  FROM lineitem)
+        |SELECT check_name, observed, passed FROM (
+        |  SELECT 'complete_shipdate' AS check_name, null_ship AS observed,
+        |    CAST(null_ship = 0 AS BIGINT) AS passed FROM a
+        |  UNION ALL SELECT 'domain_returnflag', bad_flag,
+        |    CAST(bad_flag = 0 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'nonempty_table', n_rows,
+        |    CAST(n_rows > 0 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'nonneg_price', bad_price,
+        |    CAST(bad_price = 0 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'range_quantity', bad_qty,
+        |    CAST(bad_qty = 0 AS BIGINT) FROM a
+        |  UNION ALL SELECT 'unique_order_line', n_rows - ndv_key,
+        |    CAST(n_rows = ndv_key AS BIGINT) FROM a
+        |) ORDER BY check_name""".stripMargin,
     "q1c_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
