@@ -1191,6 +1191,43 @@ object SourceQueries extends QueryPack {
           countDistinct($"__url__").as("n_shards"),
           min($"__key__").as("min_key"),
           max($"__key__").as("max_key"))
+    }),
+
+    // Indexed selective fetch — the produce-and-consume loop for the
+    // offset-index sidecar (WdsTarIndex): re-shard the documents table
+    // as an indexed tar corpus (`index=true` writes `<shard>.tar.idx`
+    // per shard), then fetch ten samples by pushed key prefix. The
+    // reader takes the seek path (sidecars present + key predicate
+    // pushed — WdsTarIndexSpec proves that path never touches
+    // non-matching bytes), so this is the "fetch these samples from a
+    // 100 TB corpus" read: per shard, index lines plus only the hit
+    // samples' bytes; zero-match shards never open. The oracle derives
+    // the same ten documents straight from the parquet table — any
+    // write/index/seek/assembly drift breaks the hash.
+    "qat_indexed_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val outDir = s"$fixtureDir/indexed-out"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(format_string("d%09d", $"doc_id").as("__key__"),
+          $"text".cast("binary").as("txt"))
+        .repartition(4, $"__key__")
+        .sortWithinPartitions($"__key__")
+        .write.format("wds-tar")
+        .option("path", outDir)
+        .option("index", "true")
+        .mode("overwrite").save()
+      s.read.format("wds-tar")
+        .option("path", outDir)
+        .option("extensions", "txt")
+        .load()
+        .filter($"__key__".startsWith("d00000001")) // ids 10..19, any SF
+        .select($"__key__", decode($"txt", "UTF-8").as("text"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          sum(length($"text")).as("sum_chars"),
+          sum(substring($"__key__", 2, 9).cast("long")).as("sum_id"),
+          min($"__key__").as("min_key"),
+          max($"__key__").as("max_key"))
     })
     )
   }
@@ -1337,6 +1374,15 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, $last) t(id)""".stripMargin,
       // shards 0..3, even cls (= even id%97)
+      // ten documents fetched by key prefix through the indexed tar
+      // loop; the oracle reads them straight off the parquet table
+      "qat_indexed_fetch" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_samples,
+          |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+          |       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          |       min('d' || lpad(CAST(doc_id AS VARCHAR), 9, '0')) AS min_key,
+          |       max('d' || lpad(CAST(doc_id AS VARCHAR), 9, '0')) AS max_key
+          |FROM documents WHERE doc_id BETWEEN 10 AND 19""".stripMargin,
       "q83_wds_tar_write_roundtrip" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_samples,
            |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,

@@ -171,6 +171,34 @@ object WdsTarSource {
     shards.filter(ShardExpand.tarFilter)
   }
 
+  /** Projection-aware sample→row assembly shared by the walking and
+    * indexed readers: `members` is (extension, bytes-or-null) in member
+    * order; null bytes are presence markers for pruned declared
+    * extensions (they keep `__overflow__` membership stable under
+    * column pruning).
+    */
+  private[wdstar] def assembleSample(readSchema: StructType,
+      declaredExts: Set[String], stem: String, url: String,
+      members: Seq[(String, Array[Byte])]): InternalRow = {
+    val values = new Array[Any](readSchema.length)
+    var i = 0
+    val byExt = members.toMap
+    readSchema.fields.foreach { f =>
+      values(i) = f.name match {
+        case KeyCol => UTF8String.fromString(stem)
+        case UrlCol => UTF8String.fromString(url)
+        case OverflowCol =>
+          val extras = members.filterNot(m => declaredExts.contains(m._1))
+          new ArrayBasedMapData(
+            new GenericArrayData(extras.map(m => UTF8String.fromString(m._1)).toArray[Any]),
+            new GenericArrayData(extras.map(_._2).toArray[Any]))
+        case ext => byExt.getOrElse(ext, null)
+      }
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+
   /** Small-shard packing (Spark's `FilePartition` discipline applied to
     * tars): with `maxPartitionBytes` set, consecutive shards pack into
     * one partition until the byte budget — each shard padded by
@@ -323,7 +351,8 @@ class WdsTarScan(requiredSchema: StructType, fullSchema: StructType,
       SparkSession.active.sessionState.newHadoopConf())
     WdsTarReaderFactory(requiredSchema, declaredExts, conf,
       skipErrors = "skip".equalsIgnoreCase(options.getOrDefault("errorPolicy", "fail")),
-      keyFilters = keyFilters.toSeq)
+      keyFilters = keyFilters.toSeq,
+      useIndex = !"false".equalsIgnoreCase(options.getOrDefault("index", "true")))
   }
 }
 
@@ -336,16 +365,29 @@ case class WdsTarInputPartition(shardPaths: Seq[String],
 
 case class WdsTarReaderFactory(readSchema: StructType, declaredExts: Set[String],
     conf: SerializableConfiguration, skipErrors: Boolean,
-    keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    keyFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    useIndex: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WdsTarInputPartition]
     def mk(i: Int): PartitionReader[InternalRow] = {
       val metas = if (p.metas.isEmpty) Map.empty[String, String] else p.metas(i)
-      if (metas.isEmpty)
-        new WdsTarPartitionReader(p.shardPaths(i), readSchema, declaredExts,
-          conf.value, skipErrors, keyFilters)
-      else
+      if (metas.isEmpty) {
+        // selective read: with pushed __key__ predicates and an offset
+        // sidecar present, seek to matching samples instead of walking
+        // (the existence probe costs one FS call — only paid when key
+        // predicates were actually pushed)
+        val indexed = useIndex && keyFilters.nonEmpty && {
+          val idx = new Path(WdsTarIndex.indexPath(p.shardPaths(i)))
+          idx.getFileSystem(conf.value).exists(idx)
+        }
+        if (indexed)
+          new WdsTarIndexedReader(p.shardPaths(i), readSchema, declaredExts,
+            conf.value, skipErrors, keyFilters)
+        else
+          new WdsTarPartitionReader(p.shardPaths(i), readSchema, declaredExts,
+            conf.value, skipErrors, keyFilters)
+      } else
         new WdsTarZipReader(p.shardPaths(i), metas, readSchema, declaredExts,
           conf.value, skipErrors, keyFilters)
     }
@@ -486,29 +528,132 @@ class WdsTarPartitionReader(shardPath: String, readSchema: StructType,
     buf
   }
 
-  private def assemble(): InternalRow = {
-    val values = new Array[Any](readSchema.length)
-    var i = 0
-    val byExt = pendingMembers.toMap
-    readSchema.fields.foreach { f =>
-      values(i) = f.name match {
-        case WdsTarSource.KeyCol => UTF8String.fromString(pendingStem)
-        case WdsTarSource.UrlCol => UTF8String.fromString(shardPath)
-        case WdsTarSource.OverflowCol =>
-          val extras = pendingMembers.filterNot(m => declaredExts.contains(m._1))
-          new ArrayBasedMapData(
-            new GenericArrayData(extras.map(m => UTF8String.fromString(m._1)).toArray[Any]),
-            new GenericArrayData(extras.map(_._2).toArray[Any]))
-        case ext => byExt.getOrElse(ext, null)
-      }
-      i += 1
-    }
-    new GenericInternalRow(values)
-  }
+  private def assemble(): InternalRow =
+    WdsTarSource.assembleSample(readSchema, declaredExts, pendingStem,
+      shardPath, pendingMembers.toSeq)
 
   override def get(): InternalRow = currentRow
 
   override def close(): Unit = {
     tar.close()
   }
+}
+
+/** Seek-based selective reader: consumes a shard's `.tar.idx` sidecar
+  * (see [[WdsTarIndex]]), filters it by the pushed `__key__` predicates,
+  * and reads ONLY the matching samples via `seek(offset)` — a shard with
+  * zero matches never opens its tar at all. Emits rows in offset (= tar)
+  * order, so results are identical to the sequential walk; the stem at
+  * every seek target is verified against the index entry, and a
+  * mismatch (stale or corrupt sidecar) fails the shard loudly — or,
+  * under `errorPolicy=skip`, skips just that sample: unlike the walking
+  * reader, a bad region cannot misalign later samples because every
+  * sample re-seeks.
+  */
+class WdsTarIndexedReader(shardPath: String, readSchema: StructType,
+    declaredExts: Set[String], conf: Configuration, skipErrors: Boolean,
+    keyFilters: Seq[org.apache.spark.sql.sources.Filter])
+    extends PartitionReader[InternalRow] with Logging {
+
+  private val path = new Path(shardPath)
+  private val fs = path.getFileSystem(conf)
+
+  /** Matching samples as (start offset, end offset, key): a sample's
+    * extent runs to the NEXT index entry (or EOF), so reads are bounded
+    * to the sample's own region — the reader never probes a
+    * neighboring sample's header, and a corrupt neighbor cannot fail a
+    * healthy sample.
+    */
+  private val matches: Seq[(Long, Long, String)] = {
+    val idx = new Path(WdsTarIndex.indexPath(shardPath))
+    val len = fs.getFileStatus(idx).getLen
+    require(len <= 64L * 1024 * 1024, s"wds-tar index too large: $len bytes")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(idx)
+    try in.readFully(0, buf) finally in.close()
+    val entries = WdsTarIndex.parse(buf)
+    if (entries.isEmpty) Nil
+    else {
+      val shardLen = fs.getFileStatus(path).getLen
+      val ends = entries.drop(1).map(_._1) :+ shardLen
+      entries.zip(ends)
+        .map { case ((off, key), end) => (off, end, key) }
+        .filter { case (_, _, key) => keyFilters.forall(ShardFilters.eval(_, key)) }
+    }
+  }
+
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
+  private val it = matches.iterator
+  private var currentRow: InternalRow = _
+
+  override def next(): Boolean = {
+    currentRow = null
+    while (currentRow == null && it.hasNext) {
+      val (off, end, key) = it.next()
+      try {
+        if (in == null) in = fs.open(path) // zero matches: never opened
+        in.seek(off)
+        // bound the tar stream to the sample's region: end-of-sample is
+        // the region's EOF, never a peek at the next sample's header
+        val tar = new TarArchiveInputStream(
+          new org.apache.commons.compress.utils.BoundedInputStream(
+            new NonSeekableView(in), end - off))
+        val members = mutable.ArrayBuffer[(String, Array[Byte])]()
+        var entry = tar.getNextEntry
+        require(entry != null && ShardExpand.sampleKey(entry.getName) == key,
+          s"wds-tar index: offset $off of $shardPath does not start sample " +
+            s"'$key' (found ${if (entry == null) "end of archive" else entry.getName})")
+        while (entry != null) {
+          require(ShardExpand.sampleKey(entry.getName) == key,
+            s"wds-tar index: region of '$key' at $off contains foreign member " +
+              s"${entry.getName}")
+          if (entry.isFile) {
+            val ext = ShardExpand.memberExtension(entry.getName)
+            val wanted = readSchema.fieldNames.contains(ext) ||
+              (readSchema.fieldNames.contains(WdsTarSource.OverflowCol) &&
+                !declaredExts.contains(ext))
+            members += ((ext, if (wanted) readBytes(tar, entry) else null))
+          }
+          entry = tar.getNextEntry
+        }
+        currentRow = WdsTarSource.assembleSample(readSchema, declaredExts,
+          key, shardPath, members.toSeq)
+      } catch {
+        case e: Exception if skipErrors =>
+          logWarning(s"wds-tar: indexed read of sample '$key' at $off in " +
+            s"$shardPath failed — skipping sample (${e.getMessage})")
+        case e: Exception =>
+          throw new RuntimeException(
+            s"wds-tar: indexed read of sample '$key' at $off in $shardPath failed", e)
+      }
+    }
+    currentRow != null
+  }
+
+  /** Shields the shared FSDataInputStream from wrapper close() calls so
+    * one open stream serves every seek.
+    */
+  private final class NonSeekableView(inner: java.io.InputStream)
+      extends java.io.FilterInputStream(inner) {
+    override def close(): Unit = () // owner closes `in`
+  }
+
+  private def readBytes(tar: TarArchiveInputStream, entry: TarArchiveEntry): Array[Byte] = {
+    require(entry.getSize <= Int.MaxValue,
+      s"wds-tar: member ${entry.getName} exceeds 2 GiB (${entry.getSize} bytes)")
+    val size = entry.getSize.toInt
+    val buf = new Array[Byte](size)
+    var o = 0
+    while (o < size) {
+      val n = tar.read(buf, o, size - o)
+      if (n < 0) throw new java.io.EOFException(
+        s"wds-tar: truncated member ${entry.getName} in $shardPath")
+      o += n
+    }
+    buf
+  }
+
+  override def get(): InternalRow = currentRow
+
+  override def close(): Unit = if (in != null) { in.close(); in = null }
 }

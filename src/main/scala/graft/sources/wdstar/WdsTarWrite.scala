@@ -49,6 +49,11 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
     else raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  // `index=true`: write a `<shard>.tar.idx` offset sidecar per main
+  // shard (see WdsTarIndex). Opt-in so default layouts stay pure tars.
+  private def writeIndex: Boolean =
+    "true".equalsIgnoreCase(options.getOrDefault("index", "false"))
+
   override def build(): Write = new Write {
     private def prepared: (String, SerializableConfiguration) = {
       val dir = options.get("path")
@@ -61,8 +66,10 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
             val p = new Path(d)
             val fs = p.getFileSystem(conf.value)
             if (fs.exists(p)) {
-              fs.listStatus(p).filter(_.getPath.getName.endsWith(".tar"))
-                .foreach(st => fs.delete(st.getPath, false))
+              fs.listStatus(p).filter { st =>
+                val n = st.getPath.getName
+                n.endsWith(".tar") || n.endsWith(".tar.idx")
+              }.foreach(st => fs.delete(st.getPath, false))
             }
           }
       }
@@ -71,23 +78,24 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
 
     override def toBatch: BatchWrite = {
       val (dir, conf) = prepared
-      new WdsTarBatchWrite(dir, schema, conf, metaSuffixes)
+      new WdsTarBatchWrite(dir, schema, conf, metaSuffixes, writeIndex)
     }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val (dir, conf) = prepared
-      new WdsTarStreamingWrite(dir, schema, conf, metaSuffixes)
+      new WdsTarStreamingWrite(dir, schema, conf, metaSuffixes, writeIndex)
     }
   }
 }
 
 class WdsTarBatchWrite(dir: String, schema: StructType,
-    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
+    writeIndex: Boolean = false)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WdsTarWriterFactory(dir, schema, conf, metaSuffixes)
+    WdsTarWriterFactory(dir, schema, conf, metaSuffixes, writeIndex)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -95,17 +103,20 @@ class WdsTarBatchWrite(dir: String, schema: StructType,
 }
 
 case class WdsTarWriterFactory(dir: String, schema: StructType,
-    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
+    writeIndex: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WdsTarDataWriter(dir, schema, conf, metaSuffixes, partitionId, taskId)
+    new WdsTarDataWriter(dir, schema, conf, metaSuffixes, partitionId, taskId,
+      writeIndex)
 }
 
 case class WdsTarCommit(path: String) extends WriterCommitMessage
 
 class WdsTarDataWriter(dir: String, schema: StructType,
     conf: SerializableConfiguration, metaSuffixes: Seq[String],
-    shardName: String, tmpName: String, overwriteFinal: Boolean = false)
+    shardName: String, tmpName: String, overwriteFinal: Boolean = false,
+    writeIndex: Boolean = false)
     extends DataWriter[InternalRow] {
 
   def this(dir: String, schema: StructType, conf: SerializableConfiguration,
@@ -113,6 +124,14 @@ class WdsTarDataWriter(dir: String, schema: StructType,
     this(dir, schema, conf, metaSuffixes,
       f"shard-$partitionId%05d-$taskId.tar",
       f".shard-$partitionId%05d-$taskId.tar.inprogress")
+
+  def this(dir: String, schema: StructType, conf: SerializableConfiguration,
+      metaSuffixes: Seq[String], partitionId: Int, taskId: Long,
+      writeIndex: Boolean) =
+    this(dir, schema, conf, metaSuffixes,
+      f"shard-$partitionId%05d-$taskId.tar",
+      f".shard-$partitionId%05d-$taskId.tar.inprogress",
+      overwriteFinal = false, writeIndex = writeIndex)
 
   private val keyIdx = schema.fieldIndex(WdsTarSource.KeyCol)
   private def suffixOf(name: String): Option[String] =
@@ -150,15 +169,29 @@ class WdsTarDataWriter(dir: String, schema: StructType,
     main +: metas
   }
 
+  // sample-offset index entries for the MAIN shard (see WdsTarIndex):
+  // (first member header offset, key), one per row that wrote a member
+  private val indexEntries =
+    if (writeIndex) scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    else null
+
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(keyIdx).toString
     dests.foreach { d =>
+      // index the MAIN shard only: offset of the row's first member
+      // header there (rows writing no main member stay unindexed,
+      // matching what a sequential walk of the shard would yield)
+      var firstInDest = true
       d.fields.foreach { case (ext, f, i) =>
         if (!row.isNullAt(i)) {
           val bytes = f.dataType match {
             case BinaryType => row.getBinary(i)
             case StringType => row.getUTF8String(i).getBytes
           }
+          if (firstInDest && indexEntries != null && (d eq dests.head)) {
+            indexEntries += ((d.out.getBytesWritten, key))
+          }
+          firstInDest = false
           val e = new TarArchiveEntry(s"$key.$ext")
           e.setSize(bytes.length.toLong)
           d.out.putArchiveEntry(e)
@@ -169,6 +202,9 @@ class WdsTarDataWriter(dir: String, schema: StructType,
     }
   }
 
+  private def idxTmp = new Path(dir, tmpName.stripSuffix(".inprogress") + ".idx.inprogress")
+  private def idxFin = new Path(dir, shardName + ".idx")
+
   override def commit(): WriterCommitMessage = {
     dests.foreach { d =>
       d.out.close()
@@ -176,6 +212,14 @@ class WdsTarDataWriter(dir: String, schema: StructType,
       // name: drop the stale file so the rename lands (idempotent)
       if (overwriteFinal && d.fs.exists(d.fin)) d.fs.delete(d.fin, false)
       d.fs.rename(d.tmp, d.fin)
+    }
+    if (indexEntries != null) {
+      val fs = dests.head.fs
+      val out = fs.create(idxTmp, true)
+      out.write(WdsTarIndex.render(indexEntries.toSeq))
+      out.close()
+      if (overwriteFinal && fs.exists(idxFin)) fs.delete(idxFin, false)
+      fs.rename(idxTmp, idxFin)
     }
     WdsTarCommit(dests.head.fin.toString)
   }
@@ -185,6 +229,7 @@ class WdsTarDataWriter(dir: String, schema: StructType,
       try d.out.close() catch { case _: Exception => () }
       d.fs.delete(d.tmp, false)
     }
+    if (indexEntries != null) dests.head.fs.delete(idxTmp, false)
   }
 
   override def close(): Unit = ()
@@ -204,24 +249,26 @@ class WdsTarDataWriter(dir: String, schema: StructType,
   * atomic unit), abort is best-effort, matching the batch sink.
   */
 class WdsTarStreamingWrite(dir: String, schema: StructType,
-    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
+    writeIndex: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    WdsTarStreamingWriterFactory(dir, schema, conf, metaSuffixes)
+    WdsTarStreamingWriterFactory(dir, schema, conf, metaSuffixes, writeIndex)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class WdsTarStreamingWriterFactory(dir: String, schema: StructType,
-    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil)
+    conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
+    writeIndex: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new WdsTarDataWriter(dir, schema, conf, metaSuffixes,
       shardName = f"shard-e$epochId%06d-p$partitionId%05d.tar",
       tmpName = f".shard-e$epochId%06d-p$partitionId%05d-$taskId.tar.inprogress",
-      overwriteFinal = true)
+      overwriteFinal = true, writeIndex = writeIndex)
 }
