@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
 /** Scale smoke for the tar source/sink paths (driver-side tooling, like
   * Bench): generates a 64-shard corpus (4× the gate fixture's shard
   * count, ~650 MB, 320k samples) with an aligned `_info` meta sibling,
-  * then times the four configurations whose scale behavior round 7
+  * then times the six configurations whose scale behavior round 7
   * added or changed — 1:1 scan, packed scan, shuffle meta join, zip
-  * meta join — asserting all four return the SAME aggregate before
-  * printing one JSON line. The point is not the absolute numbers (a
+  * meta join, and a 1-in-1000 selective fetch as both a skipping walk
+  * and an index-sidecar seek — asserting same-shape configurations
+  * return the SAME aggregate before printing one JSON line. The point is not the absolute numbers (a
   * 650 MB corpus on local[32] is IO-noise territory) but that the new
   * paths hold correctness and don't regress wall-time at a scale tier
   * above the gate fixtures.
@@ -34,13 +35,15 @@ object TarScaleSmoke {
 
     val dir = Paths.get("target", "tar-smoke").toAbsolutePath
     val metaDir = Paths.get("target", "tar-smoke_info").toAbsolutePath
-    if (!Files.exists(dir.resolve("_READY"))) {
+    // _READY_V2: v2 adds .tar.idx offset sidecars (selective-fetch runs)
+    if (!Files.exists(dir.resolve("_READY_V2"))) {
       Files.createDirectories(dir); Files.createDirectories(metaDir)
       (0 until Shards).foreach { s =>
         val main = new TarArchiveOutputStream(
           new FileOutputStream(dir.resolve(f"shard-$s%06d.tar").toFile))
         val meta = new TarArchiveOutputStream(
           new FileOutputStream(metaDir.resolve(f"shard-$s%06d.tar").toFile))
+        val idx = Seq.newBuilder[(Long, String)]
         (0 until SamplesPerShard).foreach { i =>
           val id = s * SamplesPerShard + i
           val txt = (s"sample $id payload " + ("x" * (100 + id % 300))).getBytes("UTF-8")
@@ -50,13 +53,16 @@ object TarScaleSmoke {
             val e = new TarArchiveEntry(name); e.setSize(bytes.length.toLong)
             out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
           }
+          idx += ((main.getBytesWritten, f"s$id%08d"))
           put(main, f"s$id%08d.txt", txt)
           put(main, f"s$id%08d.cls", cls)
           put(meta, f"s$id%08d.txt", info)
         }
         main.close(); meta.close()
+        Files.write(dir.resolve(f"shard-$s%06d.tar.idx"),
+          graft.sources.wdstar.WdsTarIndex.render(idx.result()))
       }
-      Files.createFile(dir.resolve("_READY"))
+      Files.createFile(dir.resolve("_READY_V2"))
     }
     val shards = (0 until Shards).map(i => f"$dir/shard-$i%06d.tar")
 
@@ -102,12 +108,30 @@ object TarScaleSmoke {
           metaJoin = "zip")))
       })
 
+    // selective fetch: 1-in-1000 keys (ids divisible by 1000 → 320 of
+    // 320k samples) — the walk streams every shard skipping in-reader;
+    // the indexed read consults 64 tiny sidecars and seeks to 320
+    // samples. Same pushed predicate, same aggregate.
+    def fetch(useIndex: Boolean) =
+      agg(spark.read.format("wds-tar")
+        .option("shards", shards.mkString(","))
+        .option("extensions", "txt,cls")
+        .option("index", useIndex.toString).load()
+        .filter($"__key__".endsWith("000")))
+    val fetchRuns = Seq(
+      timed("fetch_walk")(fetch(useIndex = false)),
+      timed("fetch_indexed")(fetch(useIndex = true)))
+    val fetchAggs = fetchRuns.map(_._3).distinct
+    require(fetchAggs.length == 1, s"fetch configurations disagree: $fetchAggs")
+    require(fetchAggs.head._1 == Shards.toLong * SamplesPerShard / 1000,
+      s"fetch row count ${fetchAggs.head._1}")
+
     val aggs = runs.map(_._3).distinct
     require(aggs.length == 1, s"configurations disagree: $aggs")
     val (n, bytes) = aggs.head
     require(n == Shards.toLong * SamplesPerShard, s"row count $n")
 
-    val json = runs.map { case (name, sec, _) => s""""$name":$sec""" }
+    val json = (runs ++ fetchRuns).map { case (name, sec, _) => s""""$name":$sec""" }
       .mkString(s"""{"n_samples":$n,"payload_bytes":$bytes,""", ",", "}")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_tar_smoke.json"),
