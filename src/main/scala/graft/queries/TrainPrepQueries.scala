@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.{PortableHash, TextFunctions}
+import graft.functions.{Permute, PortableHash, TextFunctions}
 import graft.functions.Portable.pround
 
 /** Training-set preparation operators over `documents`: deterministic
@@ -29,6 +29,9 @@ object TrainPrepQueries extends QueryPack {
   private val QuotaSeed = 13
   private val QuotaTokens = 4000L
   private val UpsampleSeed = 17
+  // qau/qav: PRP-based exact split / epoch sharding (functions.Permute)
+  private val EpochSeed = 23
+  private val EpochWorkers = 8
   // qao: DSIR hashed-feature geometry. 128 buckets is the toy-scale
   // analogue of the paper's 10k-dim hashed n-gram space; at 100 TB the
   // bucket count grows but the weight table stays driver/broadcast-sized.
@@ -345,6 +348,61 @@ object TrainPrepQueries extends QueryPack {
           expr("sw DIV nt").as("dsir_score_micro"))
         .orderBy($"dsir_score_micro".desc, $"doc_id")
         .limit(DsirTopK)
+    }),
+
+    // EXACT-count random split via a seeded pseudo-random permutation
+    // (graft.functions.Permute): rank docs by id, permute the rank with
+    // a cycle-walking Feistel PRP, cut the PERMUTED positions at exact
+    // integer boundaries. q90's hash split is exact only in expectation
+    // and q9q is exact per-source but needs a rank window per cut —
+    // this form gives globally exact 80/10/10 counts from pure per-row
+    // arithmetic on the rank. The rank window moves ids only (never
+    // payload); at 100 TB ranks are a once-per-corpus artifact and every
+    // re-split/epoch decision after that is shuffle-free. `pair_sum`
+    // pins the doc→position pairing, not just the position set.
+    "qau_exact_split" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id")
+      val n = d.agg(count(lit(1)).as("n"))
+      d.withColumn("i", row_number().over(Window.orderBy($"doc_id")).cast("long") - 1)
+        .crossJoin(broadcast(n))
+        .withColumn("p", Permute.permuteUdf(SplitSeed)($"i", $"n"))
+        .withColumn("split",
+          when($"p" < expr("(n * 8) DIV 10"), "train")
+            .when($"p" < expr("(n * 9) DIV 10"), "val")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"p").as("sum_p"),
+          sum($"p" * (PortableHash.detHash($"doc_id") % 997)).as("pair_sum"))
+        .orderBy($"split")
+    }),
+
+    // Epoch re-shuffle without a shuffle: per epoch e, worker w reads
+    // exactly the docs whose permuted rank falls in w's contiguous
+    // stripe — a fresh balanced assignment every epoch (seed = base+e)
+    // computed row-locally from the rank, no payload exchange, stable
+    // under retries, disjoint-and-complete by bijectivity. This is the
+    // reference's SplitByWorker ∘ shard-shuffle composition re-expressed
+    // as arithmetic (reference sdata/custom_datapipes.py:108-141).
+    // Worker stripe sizes are balanced to ±1 by construction.
+    "qav_epoch_shards" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id")
+      val n = d.agg(count(lit(1)).as("n"))
+      val ranked = d
+        .withColumn("i", row_number().over(Window.orderBy($"doc_id")).cast("long") - 1)
+        .crossJoin(broadcast(n))
+      ranked
+        .withColumn("p1", Permute.permuteUdf(EpochSeed + 1)($"i", $"n"))
+        .withColumn("p2", Permute.permuteUdf(EpochSeed + 2)($"i", $"n"))
+        .select($"doc_id", $"n",
+          expr("stack(2, 1, p1, 2, p2)").as(Seq("epoch", "p")))
+        .withColumn("worker", expr(s"(p * $EpochWorkers) DIV n"))
+        .groupBy($"epoch", $"worker")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"p" * (PortableHash.detHash($"doc_id") % 997)).as("pair_sum"))
+        .orderBy($"epoch", $"worker")
     })
   )
 
@@ -506,7 +564,36 @@ object TrainPrepQueries extends QueryPack {
            |SELECT source, CAST(floor(prior / $PackBudget.0) AS BIGINT) AS bin,
            | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
            |FROM c GROUP BY source, bin
-           |ORDER BY source, bin""".stripMargin
+           |ORDER BY source, bin""".stripMargin,
+      "qau_exact_split" -> {
+        val h = PortableHash.duckHashSql("CAST(id AS VARCHAR)")
+        s"""WITH RECURSIVE
+           |${Permute.duckPermuteCte("pm", "SELECT doc_id FROM documents", "doc_id", SplitSeed)},
+           |lab AS (
+           | SELECT id, p,
+           |  CASE WHEN p < (n * 8) // 10 THEN 'train'
+           |       WHEN p < (n * 9) // 10 THEN 'val'
+           |       ELSE 'test' END AS split
+           | FROM pm, pm_n)
+           |SELECT split, count(*) AS n_docs,
+           | CAST(sum(p) AS BIGINT) AS sum_p,
+           | CAST(sum(p * ($h % 997)) AS BIGINT) AS pair_sum
+           |FROM lab GROUP BY split ORDER BY split""".stripMargin
+      },
+      "qav_epoch_shards" -> {
+        val h = PortableHash.duckHashSql("CAST(id AS VARCHAR)")
+        s"""WITH RECURSIVE
+           |${Permute.duckPermuteCte("e1", "SELECT doc_id FROM documents", "doc_id", EpochSeed + 1)},
+           |${Permute.duckPermuteCte("e2", "SELECT doc_id FROM documents", "doc_id", EpochSeed + 2)},
+           |st AS (
+           | SELECT 1 AS epoch, id, p, n FROM e1, e1_n
+           | UNION ALL
+           | SELECT 2 AS epoch, id, p, n FROM e2, e2_n)
+           |SELECT epoch, (p * $EpochWorkers) // n AS worker,
+           | count(*) AS n_docs,
+           | CAST(sum(p * ($h % 997)) AS BIGINT) AS pair_sum
+           |FROM st GROUP BY epoch, worker ORDER BY epoch, worker""".stripMargin
+      }
     )
   }
 }
