@@ -23,6 +23,16 @@ object TextQueries extends QueryPack {
   val CmsW = 1024
   val CmsD = 4
 
+  /** HyperLogLog geometry (qaw): m=256 registers over the 32-bit portable
+    * hash — 8 bucket bits, 24 suffix bits. The estimator numerator
+    * α·m²·2²⁵ is precomputed to ONE double literal so both engines parse
+    * the identical value (the harmonic sum stays exact BIGINT).
+    */
+  val HllM = 256
+  val HllW = 24
+  val HllNumer: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble * (1L << (HllW + 1)).toDouble
+
   /** CMS cell column for one (token, row) pair. */
   def cmsBucket(token: org.apache.spark.sql.Column,
       r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -286,10 +296,115 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"token")
         .limit(20)
+    }),
+
+    // HyperLogLog distinct-token estimates per source + merged union row
+    // (Flajolet et al. 2007) — the industry-standard mergeable
+    // cardinality sketch beside KMV (q26/q27): m=256 registers, register
+    // j = max over bucket-j hashes of (leading-zero position of the
+    // 24-bit hash suffix). Everything is built-in aggregation: registers
+    // are a groupBy max (map-side combined, ≤ m rows per group at ANY
+    // corpus size) and the union registers are max-merged from the
+    // per-source ones — the mergeability IS the query. The harmonic
+    // denominator Σ2^-Mj is carried as the exact integer Σ2^(25-Mj), so
+    // the only float math is the final estimator division (portable
+    // literal numerator, q1g discipline); exact ndv runs beside it to
+    // show the ~6.5% (1.04/√m) envelope.
+    "qaw_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val tok = d.select($"source", explode(tokens(lower($"text"))).as("token"))
+      // dense registers feed both the per-source rows and the union merge
+      val dense = hllDenseRegisters(s, tok).persist()
+      val union = dense.groupBy($"bucket")
+        .agg(max($"m").as("m")).withColumn("source", lit("__union__"))
+      val exact = tok
+        .groupBy($"source").agg(countDistinct($"token").as("n_exact"))
+      val exactUnion = tok
+        .agg(countDistinct($"token").as("n_exact"))
+        .withColumn("source", lit("__union__"))
+      hllEstimate(dense.select($"source", $"bucket", $"m")
+          .union(union.select($"source", $"bucket", $"m")))
+        .join(exact.union(exactUnion.select($"source", $"n_exact")), Seq("source"))
+        .select($"source", $"n_exact", $"hll_est", $"zero_regs")
+        .orderBy($"source")
     })
   )
 
+  /** Dense m-register HLL frame (source, bucket, m) from a (source, token)
+    * frame — a groupBy max plus a dim-sized grid left-join for the empty
+    * registers; map-side combined, ≤ [[HllM]] rows per group at any scale.
+    */
+  def hllDenseRegisters(s: SparkSession, tok: DataFrame): DataFrame = {
+    import s.implicits._
+    val perSrc = tok
+      .select($"source", graft.functions.PortableHash.detHash($"token").as("h"))
+      .select($"source", expr(s"h % $HllM").as("bucket"),
+        when(expr(s"h DIV $HllM") === 0, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(expr(s"h DIV $HllM"))))
+          .as("rho"))
+      .groupBy($"source", $"bucket").agg(max($"rho").as("m"))
+    tok.select($"source").distinct()
+      .crossJoin(s.range(HllM).toDF("bucket"))
+      .join(perSrc, Seq("source", "bucket"), "left")
+      .select($"source", $"bucket", coalesce($"m", lit(0)).as("m"))
+  }
+
+  /** (source, hll_est, zero_regs) from dense registers: exact-BIGINT
+    * harmonic sum, float only in the final estimator (+ the standard
+    * small-range linear-counting correction).
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    import regs.sparkSession.implicits._
+    regs.groupBy($"source")
+      .agg(sum(expr(s"shiftleft(1L, ${HllW + 1} - cast(m as int))")).as("ss"),
+        sum(when($"m" === 0, 1L).otherwise(0L)).as("v"))
+      .select($"source",
+        pround(
+          when((lit(HllNumer) / $"ss" <= lit(2.5 * HllM)) && ($"v" > 0),
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / $"v"))
+            .otherwise(lit(HllNumer) / $"ss"), 4).as("hll_est"),
+        $"v".as("zero_regs"))
+  }
+
   override def oracles: Map[String, String] = Map(
+    "qaw_hll_distinct" -> {
+      val h = graft.functions.PortableHash.duckHashSql("token")
+      s"""WITH toks AS (
+         | SELECT source, unnest(${tokensSql("lower(text)")}) AS token FROM documents),
+         |rho AS (
+         | SELECT source, h % $HllM AS bucket,
+         |  CASE WHEN h // $HllM = 0 THEN ${HllW + 1}
+         |       ELSE ${HllW + 1} - length(printf('%b', h // $HllM)) END AS rho
+         | FROM (SELECT source, $h AS h FROM toks)),
+         |regs AS (SELECT source, bucket, max(rho) AS m FROM rho GROUP BY 1, 2),
+         |grid AS (SELECT source, b AS bucket
+         |         FROM (SELECT DISTINCT source FROM documents),
+         |              (SELECT unnest(generate_series(0, ${HllM - 1})) AS b)),
+         |dense AS (SELECT g.source, g.bucket, coalesce(m, 0) AS m
+         |          FROM grid g LEFT JOIN regs USING (source, bucket)),
+         |allregs AS (
+         | SELECT source, m FROM dense
+         | UNION ALL
+         | SELECT '__union__' AS source, max(m) AS m FROM dense GROUP BY bucket),
+         |agg AS (
+         | SELECT source,
+         |  CAST(sum(1::BIGINT << (${HllW + 1} - m)) AS BIGINT) AS ss,
+         |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         | FROM allregs GROUP BY source),
+         |exact AS (
+         | SELECT source, count(DISTINCT token) AS n_exact FROM toks GROUP BY source
+         | UNION ALL
+         | SELECT '__union__', count(DISTINCT token) FROM toks)
+         |SELECT agg.source, n_exact,
+         | ${graft.functions.Portable.proundSql(
+        s"CASE WHEN $HllNumer / ss <= ${2.5 * HllM} AND v > 0 " +
+          s"THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v) " +
+          s"ELSE $HllNumer / ss END", 4)} AS hll_est,
+         | v AS zero_regs
+         |FROM agg JOIN exact ON agg.source = exact.source
+         |ORDER BY agg.source""".stripMargin
+    },
     "q25_repetition" -> {
       val distinctTri = s"length(${graft.functions.DedupFunctions.distinctShinglesSql("text", 3)})"
       val totalTri = s"greatest(${tokenCountSql("text")} - 2, 1)"
