@@ -7,6 +7,8 @@ import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOut
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.snapshot.SnapshotLog
+
 /** Tar-source throughput demonstration: the reference's core operation
   * (stream webdataset tar shards → assembled samples → decode → filter)
   * end-to-end through the wds-tar DataSource V2.
@@ -412,6 +414,60 @@ object SourceQueries extends QueryPack {
       sum(col("n_chars")).as("sum_chars"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"))
+  }
+
+  /** Two-version snapshot table over `orders`, built once per (session,
+    * corpus): v1 = the `% 10 < 5` slice, v2 appends the rest — so time
+    * travel (qax) has a real history to read and the oracle recomputes
+    * both snapshots from the source table. Rebuilt from scratch each
+    * session (stale on-disk logs from a previous JVM would shift
+    * version numbers).
+    */
+  private def snapshotPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snaplog"), { _ =>
+      val p = s"target/snaplog-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 10 < 5),
+        p, "append", Seq("o_orderkey"))
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 10 >= 5),
+        p, "append", Seq("o_orderkey"))
+      p
+    })
+
+  /** Range-bucketed snapshot table over `lineitem` for the manifest
+    * pruning gate (qay): 8 append commits, one range bucket each
+    * (width = max_key/8 + 1), `repartition(1)` so each version is one
+    * file whose manifest [min,max] is that bucket's actual key range.
+    * Empty buckets are skipped so the oracle's bucket arithmetic and
+    * the manifest's file list agree exactly.
+    */
+  private[graft] val SnapBuckets = 8
+
+  private def snapPrunePath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapprune"), { _ =>
+      val p = s"target/snapprune-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val width = snapWidth(s, dir)
+      (0 until SnapBuckets).foreach { b =>
+        val part = li.where(expr(s"l_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
+      }
+      p
+    })
+
+  /** Bucket width for the pruning fixture — a driver scalar both the
+    * query and the fixture derive identically (and the oracle mirrors
+    * as `max // 8 + 1`).
+    */
+  private def snapWidth(s: SparkSession, dir: String): Long = {
+    val mx = graft.core.Tables.load(s, dir, "lineitem")
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+    mx / SnapBuckets + 1
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -1228,6 +1284,49 @@ object SourceQueries extends QueryPack {
           sum(substring($"__key__", 2, 9).cast("long")).as("sum_id"),
           min($"__key__").as("min_key"),
           max($"__key__").as("max_key"))
+    }),
+
+    // Snapshot-log time travel: the same table at version 1 and at
+    // latest, planned from the manifest alone (no data-dir listing).
+    // The oracle recomputes both snapshots from the source table, so a
+    // commit that loses/duplicates rows, an append that drops parent
+    // files, or a version that reads the wrong file set all break the
+    // hash. See [[graft.sources.snapshot.SnapshotLog]] for the commit
+    // protocol and the 100 TB planning rationale.
+    "qax_snapshot_timetravel" -> ((s, dir) => {
+      val t = snapshotPath(s, dir)
+      def snap(version: Option[Long], tag: Int) =
+        SnapshotLog.read(s, t, version).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_custkey")).as("sum_cust"))
+          .withColumn("version", lit(tag))
+      snap(Some(1L), 1).union(snap(None, 2))
+        .select(col("version"), col("n_rows"), col("sum_key"), col("sum_cust"))
+        .orderBy(col("version"))
+    }),
+
+    // Manifest min/max file pruning: 8 range-bucketed files, a range
+    // predicate spanning buckets 2..4 — the driver-side manifest filter
+    // must open exactly the 3 overlapping files (file counts are IN the
+    // hashed result) and the pruned scan must still produce the exact
+    // aggregate. The oracle mirrors the pruning arithmetic from the
+    // data itself: per-bucket min/max → count buckets overlapping the
+    // predicate window.
+    "qay_snapshot_pruning" -> ((s, dir) => {
+      val t = snapPrunePath(s, dir)
+      val width = snapWidth(s, dir)
+      val lo = 2 * width
+      val hi = 5 * width - 1
+      val (pruned, kept, total) =
+        SnapshotLog.readPruned(s, t, "l_orderkey", lo, hi)
+      pruned.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_files_scanned", lit(kept))
+        .withColumn("n_files_total", lit(total))
+        .select(col("n_files_total"), col("n_files_scanned"),
+          col("n_rows"), col("sum_qty"))
     })
     )
   }
@@ -1252,6 +1351,33 @@ object SourceQueries extends QueryPack {
   override def oracles: Map[String, String] = {
     val last = Shards * SamplesPerShard - 1
     Map(
+      "qax_snapshot_timetravel" ->
+        """SELECT 1 AS version, count(*) AS n_rows,
+          | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM orders WHERE o_orderkey % 10 < 5
+          |UNION ALL
+          |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+          | CAST(sum(o_custkey) AS BIGINT)
+          |FROM orders
+          |ORDER BY version""".stripMargin,
+      // mirrors the manifest pruning arithmetic from the data: bucket
+      // min/max stand in for the per-file stats the manifest carries
+      "qay_snapshot_pruning" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width FROM lineitem),
+           |b AS (SELECT l_orderkey, l_quantity, l_orderkey // width AS bucket
+           |      FROM lineitem, w),
+           |f AS (SELECT bucket, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+           |      FROM b GROUP BY bucket),
+           |sel AS (SELECT count(*) AS n_files_total,
+           |  CAST(sum(CASE WHEN mn <= 5 * width - 1 AND mx >= 2 * width
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned
+           |  FROM f, w),
+           |q AS (SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty
+           |      FROM b, w
+           |      WHERE l_orderkey >= 2 * width AND l_orderkey <= 5 * width - 1)
+           |SELECT n_files_total, n_files_scanned, n_rows, sum_qty
+           |FROM sel, q""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

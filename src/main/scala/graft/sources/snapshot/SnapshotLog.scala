@@ -1,0 +1,272 @@
+package graft.sources.snapshot
+
+import java.util.{ArrayList => JArrayList, LinkedHashMap => JLinkedHashMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-log table format: versioned parquet snapshots with atomic
+  * commits, time travel, and manifest-level min/max file pruning.
+  *
+  * Why this exists at 100 TB: a plain parquet directory answers "what
+  * files are in this table" by LISTING (O(files), throttled and
+  * eventually-consistent on object stores) and "which files can this
+  * predicate skip" by opening every footer. A manifest inverts both: the
+  * log directory holds one small JSON per version, the manifest carries
+  * per-file row counts and column min/max, so planning reads ONE small
+  * file regardless of table size, and file skipping is a driver-side
+  * filter over manifest entries — the Iceberg/Delta insight, reduced to
+  * its load-bearing core.
+  *
+  * Commit protocol: data files land under `data/v<N>/` (never modified
+  * after), then the manifest `_log/v<N>.json` is published by
+  * write-temp + rename. Rename is atomic on HDFS/local and refuses an
+  * existing destination, so two racing commits of the same version
+  * cannot both win — the loser retries on the next version. (Object
+  * stores without atomic rename need a conditional-put log store; same
+  * contract, different primitive.) A crash before the rename leaves only
+  * an ignored `.tmp-*` file and unreferenced data files — readers never
+  * see partial state.
+  *
+  * Manifest paths are RELATIVE to the table root, so a table is
+  * relocatable (copy the directory, read it elsewhere).
+  */
+object SnapshotLog {
+
+  private val mapper = new ObjectMapper()
+
+  /** One immutable data file: row count + per-column [min,max] (absent
+    * for all-null files — those are never pruned away).
+    */
+  final case class FileEntry(path: String, rows: Long,
+      stats: Map[String, (Any, Any)])
+
+  final case class Manifest(version: Long, parent: Long, op: String,
+      schemaDdl: String, files: Seq[FileEntry])
+
+  private def logDir(tbl: Path) = new Path(tbl, "_log")
+
+  private def manifestPath(tbl: Path, v: Long) =
+    new Path(logDir(tbl), f"v$v%05d.json")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, from a listing of the (small) log dir
+    * only. `.tmp-*` leftovers from crashed commits are ignored.
+    */
+  def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val ld = logDir(tbl)
+    if (!fs.exists(ld)) None
+    else {
+      val vs = fs.listStatus(ld).map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{5}\\.json") =>
+          n.substring(1, 6).toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Commit `df` as the next version. `mode` is "append" (new files join
+    * the parent's) or "overwrite" (new files replace them). Per-file
+    * stats for `statsCols` are gathered with one Spark pass over the
+    * NEWLY WRITTEN files only (at production scale you'd harvest them
+    * from the parquet footers the write already produced; the extra scan
+    * here is over the new data only, never the table). Returns the new
+    * version.
+    */
+  def commit(df: DataFrame, table: String, mode: String = "append",
+      statsCols: Seq[String] = Nil): Long =
+    commitAs(df, table,
+      latestVersion(df.sparkSession, table).getOrElse(0L) + 1, mode, statsCols)
+
+  /** Version-pinned commit — the compare-and-swap surface: a committer
+    * that read latest = N-1 publishes exactly N, and loses (with
+    * [[IllegalStateException]]) if someone else published N first.
+    */
+  def commitAs(df: DataFrame, table: String, v: Long,
+      mode: String, statsCols: Seq[String]): Long = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val spark = df.sparkSession
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    // unique attempt dir: two committers racing for the same version
+    // must not write into each other's files — the loser's directory
+    // becomes unreferenced garbage (vacuumable), never corruption
+    val dataRel = f"data/v$v%05d-" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    val dataDir = new Path(tbl, dataRel)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+
+    val aggs = count(lit(1)).cast("long").as("__rows") +:
+      statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val newFiles = spark.read.parquet(dataDir.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded by file count — metadata, not data
+      .map { r =>
+        val abs = r.getString(0)
+        val rel = dataRel + "/" + abs.substring(abs.lastIndexOf('/') + 1)
+        val stats = statsCols.flatMap { c =>
+          val mn = r.getAs[Any](s"__min_$c")
+          val mx = r.getAs[Any](s"__max_$c")
+          if (mn == null || mx == null) None else Some(c -> (mn, mx))
+        }.toMap
+        FileEntry(rel, r.getAs[Long]("__rows"), stats)
+      }.toSeq.sortBy(_.path)
+
+    val prior =
+      if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
+      else Nil
+    val m = Manifest(v, v - 1, mode, df.schema.toDDL, prior ++ newFiles)
+    publish(fs, tbl, m)
+    v
+  }
+
+  /** Write-temp + atomic-rename publication; throws if the version was
+    * concurrently committed.
+    */
+  private def publish(fs: FileSystem, tbl: Path, m: Manifest): Unit = {
+    fs.mkdirs(logDir(tbl))
+    val dest = manifestPath(tbl, m.version)
+    val tmp = new Path(logDir(tbl),
+      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, false)
+    try out.write(renderJson(m).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit: version ${m.version} already published at $dest")
+    }
+  }
+
+  def manifest(spark: SparkSession, table: String, version: Long): Manifest = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val p = manifestPath(tbl, version)
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+    parseJson(new String(bytes, "UTF-8"))
+  }
+
+  /** The table at `version` (default: latest). File list comes from the
+    * manifest alone — no data-directory listing at any table size.
+    */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    readFiles(spark, table, m, m.files)
+  }
+
+  /** Manifest-level file skipping for `lo <= col <= hi`: keep a file iff
+    * its [min,max] interval overlaps (or it has no stats for `col` —
+    * unknown never prunes). Returns the pruned frame WITH the residual
+    * predicate applied, plus (scanned, total) file counts.
+    */
+  def readPruned(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    val kept = m.files.filter { f =>
+      f.stats.get(column) match {
+        case Some((mn, mx)) => cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0
+        case None => true
+      }
+    }
+    val df = readFiles(spark, table, m, kept)
+      .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+    (df, kept.size, m.files.size)
+  }
+
+  private def readFiles(spark: SparkSession, table: String, m: Manifest,
+      files: Seq[FileEntry]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val abs = files.map(f => new Path(new Path(table), f.path).toString)
+      spark.read.schema(schema).parquet(abs: _*)
+    }
+  }
+
+  /** Order manifest stat scalars: numerics numerically, strings
+    * lexically (matching parquet min/max semantics for each type).
+    */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable stats: ${a.getClass} vs ${b.getClass}")
+  }
+
+  // ---- JSON rendering/parsing via Jackson's untyped tree ----
+
+  private def renderJson(m: Manifest): String = {
+    val root = new JLinkedHashMap[String, Object]()
+    root.put("version", java.lang.Long.valueOf(m.version))
+    root.put("parent", java.lang.Long.valueOf(m.parent))
+    root.put("op", m.op)
+    root.put("schema", m.schemaDdl)
+    val files = new JArrayList[Object]()
+    m.files.foreach { f =>
+      val fm = new JLinkedHashMap[String, Object]()
+      fm.put("path", f.path)
+      fm.put("rows", java.lang.Long.valueOf(f.rows))
+      val sm = new JLinkedHashMap[String, Object]()
+      f.stats.foreach { case (c, (mn, mx)) =>
+        val cm = new JLinkedHashMap[String, Object]()
+        cm.put("min", mn.asInstanceOf[Object])
+        cm.put("max", mx.asInstanceOf[Object])
+        sm.put(c, cm)
+      }
+      fm.put("stats", sm)
+      files.add(fm)
+    }
+    root.put("files", files)
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseJson(s: String): Manifest = {
+    val root = mapper.readValue(s, classOf[java.util.Map[String, Object]]).asScala
+    def jlong(o: Object): Long = o.asInstanceOf[Number].longValue()
+    val files = root("files").asInstanceOf[java.util.List[_]].asScala.map { fo =>
+      val fm = fo.asInstanceOf[java.util.Map[String, Object]].asScala
+      val stats = fm("stats").asInstanceOf[java.util.Map[String, Object]]
+        .asScala.map { case (c, co) =>
+          val cm = co.asInstanceOf[java.util.Map[String, Object]].asScala
+          c -> (norm(cm("min")), norm(cm("max")))
+        }.toMap
+      FileEntry(fm("path").toString, jlong(fm("rows")), stats)
+    }.toSeq
+    Manifest(jlong(root("version")), jlong(root("parent")),
+      root("op").toString, root("schema").toString, files)
+  }
+
+  /** Jackson deserializes small integers as Integer; widen to Long so
+    * stat comparisons and round-trips are type-stable.
+    */
+  private def norm(o: Object): Any = o match {
+    case n: java.lang.Integer => n.longValue()
+    case n: java.lang.Long => n.longValue()
+    case n: Number => n.doubleValue()
+    case s: String => s
+    case other => other
+  }
+}
