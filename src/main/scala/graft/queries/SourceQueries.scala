@@ -460,6 +460,35 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Stream-append + compaction fixture (qaz): `orders` lands as 4
+    * micro-batch epochs (one file each), a restart replays epoch 3
+    * (must be skipped — exactly-once), then compaction coalesces the
+    * 4 small files into 1. The oracle recomputes both snapshots from
+    * the source table, so a replay that double-appends, a compaction
+    * that loses/duplicates rows, or a rewrite that breaks the parent
+    * snapshot all break the hash.
+    */
+  private def snapStreamPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapstream"), { _ =>
+      val p = s"target/snapstream-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      (0 until 4).foreach { e =>
+        SnapshotLog.appendStreamBatch(
+          orders.where(col("o_orderkey") % 4 === e).repartition(1),
+          p, e.toLong, Seq("o_orderkey"))
+      }
+      // restart re-delivers the last epoch: detected from the manifest
+      // chain and skipped, or the table would double-count
+      require(SnapshotLog.appendStreamBatch(
+        orders.where(col("o_orderkey") % 4 === 3), p, 3L, Seq("o_orderkey")).isEmpty,
+        "epoch replay was not detected")
+      require(SnapshotLog.compact(s, p, 64L << 20, Seq("o_orderkey")).contains(5L),
+        "compaction did not produce version 5")
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`).
@@ -1327,6 +1356,30 @@ object SourceQueries extends QueryPack {
         .withColumn("n_files_total", lit(total))
         .select(col("n_files_total"), col("n_files_scanned"),
           col("n_rows"), col("sum_qty"))
+    }),
+
+    // Streaming append + compaction: the table after 4 exactly-once
+    // micro-batch epochs (snap=1, 4 files — a replayed epoch was
+    // skipped) and after compaction (snap=2, 1 file). Both snapshots
+    // must hold the identical full `orders` content — the hash covers
+    // the replay skip (no double rows), the rewrite (no loss), and the
+    // file-count arithmetic; time travel keeps serving the
+    // pre-compaction version. See [[SnapshotLog.compact]] /
+    // [[SnapshotLog.appendStreamBatch]] for the 100 TB rationale.
+    "qaz_snapshot_compact_stream" -> ((s, dir) => {
+      val t = snapStreamPath(s, dir)
+      def snap(version: Long, tag: Int) =
+        SnapshotLog.read(s, t, Some(version)).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(col("o_custkey")).as("sum_cust"))
+          .withColumn("snap", lit(tag))
+          .withColumn("n_files",
+            lit(SnapshotLog.manifest(s, t, version).files.size.toLong))
+      snap(4L, 1).union(snap(5L, 2))
+        .select(col("snap"), col("n_files"), col("n_rows"),
+          col("sum_key"), col("sum_cust"))
+        .orderBy(col("snap"))
     })
     )
   }
@@ -1378,6 +1431,21 @@ object SourceQueries extends QueryPack {
            |      WHERE l_orderkey >= 2 * width AND l_orderkey <= 5 * width - 1)
            |SELECT n_files_total, n_files_scanned, n_rows, sum_qty
            |FROM sel, q""".stripMargin,
+      // both snapshots hold the full table; file counts mirror the
+      // fixture arithmetic (one file per non-empty epoch slice → 1
+      // after compaction)
+      "qaz_snapshot_compact_stream" ->
+        """SELECT 1 AS snap,
+          | count(DISTINCT o_orderkey % 4) AS n_files,
+          | count(*) AS n_rows,
+          | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM orders
+          |UNION ALL
+          |SELECT 2, CAST(1 AS BIGINT), count(*),
+          | CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT)
+          |FROM orders
+          |ORDER BY snap""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

@@ -39,14 +39,17 @@ object SnapshotLog {
 
   private val mapper = new ObjectMapper()
 
-  /** One immutable data file: row count + per-column [min,max] (absent
-    * for all-null files — those are never pruned away).
+  /** One immutable data file: row count, size, and per-column [min,max]
+    * (absent for all-null files — those are never pruned away).
     */
-  final case class FileEntry(path: String, rows: Long,
+  final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, (Any, Any)])
 
+  /** `epoch` carries a streaming writer's batch id for exactly-once
+    * replay detection ([[appendStreamBatch]]); -1 for batch commits.
+    */
   final case class Manifest(version: Long, parent: Long, op: String,
-      schemaDdl: String, files: Seq[FileEntry])
+      schemaDdl: String, files: Seq[FileEntry], epoch: Long = -1L)
 
   private def logDir(tbl: Path) = new Path(tbl, "_log")
 
@@ -93,6 +96,22 @@ object SnapshotLog {
       mode: String, statsCols: Seq[String]): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
+    val newFiles = writeData(df, table, v, statsCols)
+    val prior =
+      if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
+      else Nil
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v - 1, mode, df.schema.toDDL, prior ++ newFiles))
+    v
+  }
+
+  /** Land `df` as immutable files for version-attempt `v` and return
+    * their manifest entries (stats from one pass over the NEW files
+    * only; sizes from the filesystem).
+    */
+  private def writeData(df: DataFrame, table: String, v: Long,
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    val spark = df.sparkSession
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
     // unique attempt dir: two committers racing for the same version
@@ -106,27 +125,124 @@ object SnapshotLog {
     val aggs = count(lit(1)).cast("long").as("__rows") +:
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val newFiles = spark.read.parquet(dataDir.toString)
+    spark.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded by file count — metadata, not data
       .map { r =>
         val abs = r.getString(0)
-        val rel = dataRel + "/" + abs.substring(abs.lastIndexOf('/') + 1)
+        val name = abs.substring(abs.lastIndexOf('/') + 1)
+        val rel = dataRel + "/" + name
         val stats = statsCols.flatMap { c =>
           val mn = r.getAs[Any](s"__min_$c")
           val mx = r.getAs[Any](s"__max_$c")
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
-        FileEntry(rel, r.getAs[Long]("__rows"), stats)
+        val bytes = fs.getFileStatus(new Path(dataDir, name)).getLen
+        FileEntry(rel, r.getAs[Long]("__rows"), bytes, stats)
       }.toSeq.sortBy(_.path)
+  }
 
-    val prior =
-      if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
-      else Nil
-    val m = Manifest(v, v - 1, mode, df.schema.toDDL, prior ++ newFiles)
-    publish(fs, tbl, m)
-    v
+  /** Compaction commit: coalesce every data file under `targetBytes`
+    * into ~targetBytes outputs, leaving large files in place — a
+    * REPLACE of the small set, published as a new version so readers
+    * and time travel never see a half-compacted table. The rewrite
+    * reads only the files being replaced (at 100 TB compaction cost
+    * scales with the small-file debt, not the table). Returns the new
+    * version, or None when fewer than two files qualify.
+    */
+  def compact(spark: SparkSession, table: String, targetBytes: Long,
+      statsCols: Seq[String] = Nil): Option[Long] = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val (small, big) = m.files.partition(_.bytes < targetBytes)
+    if (small.size < 2) None
+    else {
+      val v = v0 + 1
+      val absolute = small.map(f => new Path(new Path(table), f.path).toString)
+      val n = math.max(1,
+        math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val rewritten = spark.read.schema(schema).parquet(absolute: _*).coalesce(n)
+      val newFiles = writeData(rewritten, table, v, statsCols)
+      publish(fsOf(spark, new Path(table)), new Path(table),
+        Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles))
+      Some(v)
+    }
+  }
+
+  /** Delete data files no manifest version references — the debris of
+    * crashed or losing commits. Never touches a referenced file, so it
+    * is safe while readers of ANY version are running. Returns deleted
+    * paths (relative).
+    */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val latest = latestVersion(spark, table).getOrElse(return Nil)
+    val referenced = (1L to latest).flatMap { v =>
+      try manifest(spark, table, v).files.map(_.path) catch {
+        case _: java.io.FileNotFoundException => Nil // expired manifest
+      }
+    }.toSet
+    val dataRoot = new Path(tbl, "data")
+    if (!fs.exists(dataRoot)) return Nil
+    val orphans = fs.listStatus(dataRoot).flatMap { d =>
+      fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+        .map(f => "data/" + d.getPath.getName + "/" + f.getPath.getName)
+    }.filterNot(referenced).toSeq
+    orphans.foreach(rel => fs.delete(new Path(tbl, rel), false))
+    // drop now-empty attempt directories
+    fs.listStatus(dataRoot).foreach { d =>
+      if (fs.listStatus(d.getPath).forall(st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")))
+        fs.delete(d.getPath, true)
+    }
+    orphans.sorted
+  }
+
+  /** Exactly-once streaming append: the `foreachBatch` body for a
+    * snapshot-table sink. A replayed epoch (restart re-delivering batch
+    * `epochId`) is detected from the parent manifest chain and skipped,
+    * so the table sees each micro-batch exactly once even though
+    * foreachBatch is at-least-once. Usage:
+    * {{{
+    * stream.writeStream.foreachBatch { (b, e) =>
+    *   SnapshotLog.appendStreamBatch(b, table, e, Seq("id")) : Unit
+    * }
+    * }}}
+    */
+  def appendStreamBatch(df: DataFrame, table: String, epochId: Long,
+      statsCols: Seq[String] = Nil): Option[Long] = {
+    val spark = df.sparkSession
+    val v0 = latestVersion(spark, table).getOrElse(0L)
+    if (v0 > 0 && maxEpoch(spark, table, v0) >= epochId) None // replay
+    else {
+      val v = v0 + 1
+      val newFiles = writeData(df, table, v, statsCols)
+      val prior = if (v > 1) manifest(spark, table, v - 1).files else Nil
+      publish(fsOf(spark, new Path(table)), new Path(table),
+        Manifest(v, v0, "stream-append", df.schema.toDDL,
+          prior ++ newFiles, epochId))
+      Some(v)
+    }
+  }
+
+  /** Highest stream epoch recorded at or before `v` (walks parents until
+    * a stream commit; O(history) worst case, O(1) for a stream-only
+    * table).
+    */
+  private def maxEpoch(spark: SparkSession, table: String, v: Long): Long = {
+    var cur = v
+    while (cur >= 1) {
+      val m = manifest(spark, table, cur)
+      if (m.epoch >= 0) return m.epoch
+      cur = m.parent
+    }
+    -1L
   }
 
   /** Write-temp + atomic-rename publication; throws if the version was
@@ -224,11 +340,13 @@ object SnapshotLog {
     root.put("parent", java.lang.Long.valueOf(m.parent))
     root.put("op", m.op)
     root.put("schema", m.schemaDdl)
+    root.put("epoch", java.lang.Long.valueOf(m.epoch))
     val files = new JArrayList[Object]()
     m.files.foreach { f =>
       val fm = new JLinkedHashMap[String, Object]()
       fm.put("path", f.path)
       fm.put("rows", java.lang.Long.valueOf(f.rows))
+      fm.put("bytes", java.lang.Long.valueOf(f.bytes))
       val sm = new JLinkedHashMap[String, Object]()
       f.stats.foreach { case (c, (mn, mx)) =>
         val cm = new JLinkedHashMap[String, Object]()
@@ -253,10 +371,12 @@ object SnapshotLog {
           val cm = co.asInstanceOf[java.util.Map[String, Object]].asScala
           c -> (norm(cm("min")), norm(cm("max")))
         }.toMap
-      FileEntry(fm("path").toString, jlong(fm("rows")), stats)
+      FileEntry(fm("path").toString, jlong(fm("rows")),
+        fm.get("bytes").map(jlong).getOrElse(0L), stats)
     }.toSeq
     Manifest(jlong(root("version")), jlong(root("parent")),
-      root("op").toString, root("schema").toString, files)
+      root("op").toString, root("schema").toString, files,
+      root.get("epoch").map(jlong).getOrElse(-1L))
   }
 
   /** Jackson deserializes small integers as Integer; widen to Long so

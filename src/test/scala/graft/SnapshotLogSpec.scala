@@ -92,6 +92,64 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(pruned.count() == 0) // residual predicate still applies
   }
 
+  test("compact merges small files into a new version; history intact") {
+    val t = freshTable("compact")
+    for (b <- 0 until 6)
+      SnapshotLog.commit(df(b * 10, b * 10 + 10).repartition(1), t, "append", Seq("id"))
+    val m0 = SnapshotLog.manifest(s, t, 6L)
+    assert(m0.files.size == 6)
+    val v = SnapshotLog.compact(s, t, 1L << 20, Seq("id"))
+    assert(v.contains(7L))
+    val m1 = SnapshotLog.manifest(s, t, 7L)
+    assert(m1.files.size < 6) // all 6 tiny files qualified and merged
+    // content identical before/after; pre-compaction snapshot unchanged
+    assert(SnapshotLog.read(s, t).agg(count(lit(1)), sum($"id")).head.toSeq ==
+      SnapshotLog.read(s, t, Some(6)).agg(count(lit(1)), sum($"id")).head.toSeq)
+    // stats survive the rewrite: pruning still works on the compacted set
+    val (_, kept, total) = SnapshotLog.readPruned(s, t, "id", 0L, 5L)
+    assert(kept <= total)
+  }
+
+  test("vacuum deletes only unreferenced files") {
+    val t = freshTable("vacuum")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
+    // fake a crashed attempt: orphan data dir with a file
+    val orphanDir = Paths.get(t, "data", "v00099-deadbeef")
+    Files.createDirectories(orphanDir)
+    Files.writeString(orphanDir.resolve("part-orphan.parquet"), "junk")
+    val before = SnapshotLog.read(s, t).count()
+    val deleted = SnapshotLog.vacuum(s, t)
+    assert(deleted == Seq("data/v00099-deadbeef/part-orphan.parquet"))
+    assert(!Files.exists(orphanDir)) // empty attempt dir removed too
+    assert(SnapshotLog.read(s, t).count() == before) // table untouched
+    // a second vacuum is a no-op
+    assert(SnapshotLog.vacuum(s, t).isEmpty)
+  }
+
+  test("streaming append is exactly-once under epoch replay") {
+    val t = freshTable("stream")
+    assert(SnapshotLog.appendStreamBatch(df(0, 10), t, 0L, Seq("id")).contains(1L))
+    assert(SnapshotLog.appendStreamBatch(df(10, 20), t, 1L, Seq("id")).contains(2L))
+    // restart replays epoch 1: must be skipped, not duplicated
+    assert(SnapshotLog.appendStreamBatch(df(10, 20), t, 1L, Seq("id")).isEmpty)
+    assert(SnapshotLog.read(s, t).count() == 20)
+    assert(SnapshotLog.appendStreamBatch(df(20, 30), t, 2L, Seq("id")).contains(3L))
+    assert(SnapshotLog.read(s, t).count() == 30)
+    assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) == (0L until 30).sum)
+  }
+
+  test("stream epochs interleave with batch compaction") {
+    val t = freshTable("stream-compact")
+    SnapshotLog.appendStreamBatch(df(0, 10).repartition(1), t, 0L, Seq("id"))
+    SnapshotLog.appendStreamBatch(df(10, 20).repartition(1), t, 1L, Seq("id"))
+    assert(SnapshotLog.compact(s, t, 1L << 20, Seq("id")).isDefined)
+    // replay of epoch 1 after compaction (epoch walks past the compact
+    // commit to the last stream commit) is still detected
+    assert(SnapshotLog.appendStreamBatch(df(10, 20), t, 1L, Seq("id")).isEmpty)
+    assert(SnapshotLog.appendStreamBatch(df(20, 25), t, 2L, Seq("id")).isDefined)
+    assert(SnapshotLog.read(s, t).count() == 25)
+  }
+
   test("pruned read equals unpruned filtered read") {
     val t = freshTable("prune-eq")
     for (b <- 0 until 4)
