@@ -489,6 +489,71 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Copy-on-write delete fixture (qb0): 8 range-bucketed lineitem
+    * files (the qay layout), then `deleteWhere [2w, 4w + w/2]` — by
+    * stats classification buckets 2-3 drop without being read, bucket 4
+    * rewrites (partial overlap), the rest are kept untouched. The
+    * MutationStats land in the hash; the oracle reproduces the same
+    * classification from per-bucket min/max.
+    */
+  private val snapDeleteStats =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, SnapshotLog.MutationStats)]
+
+  private def snapDeletePath(s: SparkSession, dir: String) =
+    snapDeleteStats.computeIfAbsent((s, dir), { _ =>
+      val p = s"target/snapdelete-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val width = snapWidth(s, dir)
+      (0 until SnapBuckets).foreach { b =>
+        val part = li.where(expr(s"l_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
+      }
+      val st = SnapshotLog.deleteWhere(s, p, "l_orderkey",
+        2 * width, 4 * width + width / 2, Seq("l_orderkey")).get
+      (p, st)
+    })
+
+  /** Copy-on-write upsert fixture (qb1): 4 range-bucketed orders files;
+    * updates bump o_custkey by 1e6 for `% 10 = 3` keys of bucket 1 and
+    * insert brand-new keys (`+ 1e7`, outside every file interval). The
+    * exact candidacy must rewrite ONLY bucket 1 — inserts touch
+    * nothing. Oracle recomputes the merged table and the touched-file
+    * count from the same bucket arithmetic.
+    */
+  private[graft] val UpsertBuckets = 4
+
+  private val snapUpsertStats =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, SnapshotLog.MutationStats)]
+
+  private def snapUpsertPath(s: SparkSession, dir: String) =
+    snapUpsertStats.computeIfAbsent((s, dir), { _ =>
+      val p = s"target/snapupsert-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / UpsertBuckets + 1
+      (0 until UpsertBuckets).foreach { b =>
+        val part = orders.where(expr(s"o_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("o_orderkey"))
+      }
+      val updates = orders
+        .where(expr(s"o_orderkey DIV $width") === 1 && col("o_orderkey") % 10 === 3)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .unionByName(orders
+          .where(expr(s"o_orderkey DIV $width") === 0 && col("o_orderkey") % 10 === 7)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderkey").as("o_custkey")))
+      val st = SnapshotLog.upsert(updates, p, "o_orderkey", Seq("o_orderkey"))
+      (p, st)
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`).
@@ -1380,6 +1445,42 @@ object SourceQueries extends QueryPack {
         .select(col("snap"), col("n_files"), col("n_rows"),
           col("sum_key"), col("sum_cust"))
         .orderBy(col("snap"))
+    }),
+
+    // Copy-on-write range delete: the classification counts (kept /
+    // dropped-without-reading / rewritten) AND the surviving content
+    // are in one hash — the oracle rebuilds both from per-bucket
+    // min/max, so a wrong classification (reading a file the stats
+    // already settle, or keeping a row the predicate covers) breaks
+    // it. The dropped buckets never move bytes: a retention delete
+    // aligned with ingest partitioning is metadata-only at any scale.
+    "qb0_snapshot_delete" -> ((s, dir) => {
+      val (t, st) = snapDeletePath(s, dir)
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_kept", lit(st.filesKept.toLong))
+        .withColumn("n_dropped", lit(st.filesDropped.toLong))
+        .withColumn("n_rewritten", lit(st.filesRewritten.toLong))
+        .select(col("n_kept"), col("n_dropped"), col("n_rewritten"),
+          col("n_rows"), col("sum_qty"))
+    }),
+
+    // Copy-on-write upsert with exact file candidacy: updates rewrite
+    // only the ONE file their keys land in; inserts (keys outside
+    // every file interval) rewrite nothing. Hash covers the touched-
+    // file count and the merged content (latest-wins custkey sums),
+    // mirrored by the oracle from the same bucket arithmetic.
+    "qb1_snapshot_upsert" -> ((s, dir) => {
+      val (t, st) = snapUpsertPath(s, dir)
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("n_kept", lit(st.filesKept.toLong))
+        .withColumn("n_rewritten", lit(st.filesRewritten.toLong))
+        .select(col("n_kept"), col("n_rewritten"), col("n_rows"),
+          col("sum_key"), col("sum_cust"))
     })
     )
   }
@@ -1446,6 +1547,53 @@ object SourceQueries extends QueryPack {
           | CAST(sum(o_orderkey) AS BIGINT), CAST(sum(o_custkey) AS BIGINT)
           |FROM orders
           |ORDER BY snap""".stripMargin,
+      // classification mirrored from per-bucket min/max: keep if
+      // disjoint from [lo,hi], drop if fully inside, rewrite otherwise;
+      // survivors are rows outside the range
+      "qb0_snapshot_delete" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width FROM lineitem),
+           |r AS (SELECT 2 * width AS lo, 4 * width + width // 2 AS hi FROM w),
+           |b AS (SELECT l_orderkey, l_quantity, l_orderkey // width AS bucket
+           |      FROM lineitem, w),
+           |f AS (SELECT bucket, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+           |      FROM b GROUP BY bucket),
+           |cls AS (SELECT
+           |  CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN mn >= lo AND mx <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           |  CAST(sum(CASE WHEN NOT (mx < lo OR mn > hi)
+           |            AND NOT (mn >= lo AND mx <= hi) THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten
+           |  FROM f, r),
+           |q AS (SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty
+           |      FROM b, r WHERE l_orderkey < lo OR l_orderkey > hi)
+           |SELECT n_kept, n_dropped, n_rewritten, n_rows, sum_qty
+           |FROM cls, q""".stripMargin,
+      // latest-wins merge recomputed directly; a file is rewritten iff
+      // an update key lands inside its [min,max]
+      "qb1_snapshot_upsert" ->
+        s"""WITH w AS (SELECT max(o_orderkey) // $UpsertBuckets + 1 AS width FROM orders),
+           |b AS (SELECT o_orderkey, o_custkey, o_orderkey // width AS bucket
+           |      FROM orders, w),
+           |f AS (SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+           |      FROM b GROUP BY bucket),
+           |u AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+           |      FROM b WHERE bucket = 1 AND o_orderkey % 10 = 3
+           |      UNION ALL
+           |      SELECT o_orderkey + 10000000, o_orderkey
+           |      FROM b WHERE bucket = 0 AND o_orderkey % 10 = 7),
+           |cls AS (SELECT
+           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM u
+           |       WHERE u.o_orderkey BETWEEN f.mn AND f.mx) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM u
+           |       WHERE u.o_orderkey BETWEEN f.mn AND f.mx) THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten
+           |  FROM f),
+           |m AS (SELECT o_orderkey, o_custkey FROM b
+           |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+           |      UNION ALL SELECT o_orderkey, o_custkey FROM u),
+           |q AS (SELECT count(*) AS n_rows,
+           |      CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |      CAST(sum(o_custkey) AS BIGINT) AS sum_cust FROM m)
+           |SELECT n_kept, n_rewritten, n_rows, sum_key, sum_cust
+           |FROM cls, q""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

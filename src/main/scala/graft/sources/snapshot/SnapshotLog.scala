@@ -204,6 +204,103 @@ object SnapshotLog {
     orphans.sorted
   }
 
+  /** Outcome of a copy-on-write mutation: how many of the parent
+    * version's files survived untouched, were dropped without being
+    * read (their stats proved every row matched the delete), or were
+    * rewritten. Kept + dropped + rewritten = parent file count.
+    */
+  final case class MutationStats(version: Long, filesKept: Int,
+      filesDropped: Int, filesRewritten: Int)
+
+  /** Copy-on-write range delete: remove rows with `lo <= column <= hi`,
+    * published as a new version. Each parent file is classified from
+    * its manifest stats alone — disjoint range: kept as-is (never
+    * read); fully inside the range: dropped (never read — an aligned
+    * delete, e.g. a retention window matching the ingest partitioning,
+    * is metadata-only); partial overlap or no stats: rewritten minus
+    * matching rows. At 100 TB cost scales with the data that actually
+    * changes, not the table, and time travel keeps serving every prior
+    * version. Returns None (no commit) when no file could contain a
+    * matching row.
+    */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, statsCols: Seq[String] = Nil): Option[MutationStats] = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val (kept, dropped, rewrite) = {
+      val groups = m.files.groupBy { f =>
+        f.stats.get(column) match {
+          case Some((mn, mx)) if cmp(mn, hi) > 0 || cmp(mx, lo) < 0 => "keep"
+          case Some((mn, mx)) if cmp(mn, lo) >= 0 && cmp(mx, hi) <= 0 => "drop"
+          case _ => "rewrite" // partial overlap, or no stats: must read
+        }
+      }
+      (groups.getOrElse("keep", Nil), groups.getOrElse("drop", Nil),
+        groups.getOrElse("rewrite", Nil))
+    }
+    if (dropped.isEmpty && rewrite.isEmpty) None
+    else {
+      val v = v0 + 1
+      val newFiles =
+        if (rewrite.isEmpty) Nil
+        else writeData(
+          readFiles(spark, table, m, rewrite)
+            .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
+          table, v, statsCols)
+      publish(fsOf(spark, new Path(table)), new Path(table),
+        Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles))
+      Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
+    }
+  }
+
+  /** Copy-on-write upsert: rows of `updates` replace same-`keyCol` rows
+    * and append otherwise (latest-wins merge). Candidacy is EXACT, not
+    * range-coarse: one aggregation pass over `updates` tests each
+    * file's [min,max] interval, so a file rewrites iff an update key
+    * actually lands inside it — scattered updates touch only their
+    * files, and pure inserts (keys outside every interval) rewrite
+    * nothing. The merge itself is an anti-join of the candidate files
+    * against the (typically broadcast) update keys. At 100 TB the
+    * per-file interval tests become a manifest-table range join rather
+    * than one aggregate column per file; the contract is the same.
+    */
+  def upsert(updates: DataFrame, table: String, keyCol: String,
+      statsCols: Seq[String] = Nil): MutationStats = {
+    val spark = updates.sparkSession
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(updates.columns.toSet == schema.fieldNames.toSet,
+      s"update columns ${updates.columns.toSeq} != table ${schema.fieldNames.toSeq}")
+    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
+    // one pass over updates: per-file key-containment flags + row count
+    val checks = m.files.zipWithIndex.map { case (f, i) =>
+      f.stats.get(keyCol) match {
+        case Some((mn, mx)) =>
+          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
+            .otherwise(0)).as(s"__f$i")
+        case None => max(lit(1)).as(s"__f$i") // no stats: always candidate
+      }
+    }
+    val probe = aligned.agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
+    if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
+    val touched = m.files.indices
+      .filter(i => !probe.isNullAt(i + 1) && probe.getInt(i + 1) == 1).toSet
+    val (rewrite, kept) = m.files.zipWithIndex.partition(p => touched(p._2))
+
+    val v = v0 + 1
+    val existing = readFiles(spark, table, m, rewrite.map(_._1))
+      .join(aligned.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newFiles = writeData(existing.unionByName(aligned), table, v, statsCols)
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles))
+    MutationStats(v, kept.size, 0, rewrite.size)
+  }
+
   /** Exactly-once streaming append: the `foreachBatch` body for a
     * snapshot-table sink. A replayed epoch (restart re-delivering batch
     * `epochId`) is detected from the parent manifest chain and skipped,

@@ -150,6 +150,52 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t).count() == 25)
   }
 
+  test("deleteWhere classifies files: kept untouched, aligned drop metadata-only") {
+    val t = freshTable("delete")
+    // 4 range-bucketed files: [0,25) [25,50) [50,75) [75,100)
+    for (b <- 0 until 4)
+      SnapshotLog.commit(df(b * 25, b * 25 + 25).repartition(1), t, "append", Seq("id"))
+    val m0 = SnapshotLog.manifest(s, t, 4L)
+    // delete [25, 60]: file 2 fully covered (dropped, never read),
+    // file 3 partially (rewritten), files 1 and 4 disjoint (kept)
+    val st = SnapshotLog.deleteWhere(s, t, "id", 25L, 60L, Seq("id")).get
+    assert(st == SnapshotLog.MutationStats(5L, 2, 1, 1))
+    val m1 = SnapshotLog.manifest(s, t, 5L)
+    // kept files are the parent's very entries — no rewrite happened
+    assert(m0.files.map(_.path).toSet.intersect(m1.files.map(_.path).toSet).size == 2)
+    assert(SnapshotLog.read(s, t).count() == 100 - 36)
+    assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) ==
+      (0L until 100).filterNot(i => i >= 25 && i <= 60).sum)
+    // time travel still serves the pre-delete snapshot
+    assert(SnapshotLog.read(s, t, Some(4)).count() == 100)
+    // a delete matching nothing commits nothing
+    assert(SnapshotLog.deleteWhere(s, t, "id", 5000L, 6000L, Seq("id")).isEmpty)
+    assert(SnapshotLog.latestVersion(s, t).contains(5L))
+  }
+
+  test("upsert rewrites only files an update key lands in; inserts are free") {
+    val t = freshTable("upsert")
+    for (b <- 0 until 4)
+      SnapshotLog.commit(df(b * 25, b * 25 + 25).repartition(1), t, "append", Seq("id"))
+    val m0 = SnapshotLog.manifest(s, t, 4L)
+    // updates hit file 2 only ([25,50)); inserts land beyond every file
+    val updates = df(30, 35).withColumn("payload", lit("UPDATED"))
+      .unionByName(df(1000, 1003))
+    val st = SnapshotLog.upsert(updates, t, "id", Seq("id"))
+    assert(st == SnapshotLog.MutationStats(5L, 3, 0, 1))
+    val m1 = SnapshotLog.manifest(s, t, 5L)
+    assert(m0.files.map(_.path).toSet.intersect(m1.files.map(_.path).toSet).size == 3)
+    assert(SnapshotLog.read(s, t).count() == 103) // 100 + 3 inserts, no dup keys
+    assert(SnapshotLog.read(s, t).where($"payload" === "UPDATED").count() == 5)
+    assert(SnapshotLog.read(s, t).where($"id" >= 1000).count() == 3)
+    // untouched rows of the rewritten file survive
+    assert(SnapshotLog.read(s, t).where($"id".between(25, 49)).count() == 25)
+    // latest-wins: no key appears twice
+    assert(SnapshotLog.read(s, t).groupBy($"id").count().where($"count" > 1).count() == 0)
+    // empty updates: no commit
+    assert(SnapshotLog.upsert(updates.limit(0), t, "id", Seq("id")).version == 5L)
+  }
+
   test("pruned read equals unpruned filtered read") {
     val t = freshTable("prune-eq")
     for (b <- 0 until 4)
