@@ -1481,6 +1481,18 @@ object SourceQueries extends QueryPack {
         .withColumn("n_rewritten", lit(st.filesRewritten.toLong))
         .select(col("n_kept"), col("n_rewritten"), col("n_rows"),
           col("sum_key"), col("sum_cust"))
+    }),
+
+    // Incremental (CDC-style) read off the manifest diff: exactly the
+    // rows version 2 appended, never rescanning version 1 — the
+    // checkpointed-consumer pattern ("give me what's new since v").
+    // The oracle recomputes the appended slice from the source table.
+    "qb2_snapshot_changes" -> ((s, dir) => {
+      val t = snapshotPath(s, dir)
+      SnapshotLog.readChanges(s, t, 1L).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"))
     })
     )
   }
@@ -1594,6 +1606,12 @@ object SourceQueries extends QueryPack {
            |      CAST(sum(o_custkey) AS BIGINT) AS sum_cust FROM m)
            |SELECT n_kept, n_rewritten, n_rows, sum_key, sum_cust
            |FROM cls, q""".stripMargin,
+      // the v2 append is the `% 10 >= 5` slice (see snapshotPath)
+      "qb2_snapshot_changes" ->
+        """SELECT count(*) AS n_rows,
+          | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM orders WHERE o_orderkey % 10 >= 5""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

@@ -342,6 +342,36 @@ object SnapshotLog {
     -1L
   }
 
+  /** Incremental read: rows added after `fromVersion` (exclusive) up to
+    * `toVersion` (inclusive, default latest) — the data files present in
+    * the target manifest but not the base, so an incremental consumer
+    * reads ONLY the new data regardless of table size. Exact for
+    * append-only histories; refuses (loudly) if any covered version
+    * rewrote or removed files (overwrite/delete/upsert/compact), where
+    * an added-file diff would double-count rewritten rows — the
+    * downstream there is a fresh full read. This is the batch form of
+    * "table as a stream": checkpoint = last version consumed.
+    */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"bad version range ($fromVersion, $to]")
+    val target = manifest(spark, table, to)
+    if (fromVersion == 0) return readFiles(spark, table, target, target.files)
+    val base = manifest(spark, table, fromVersion)
+    ((fromVersion + 1) to to).foreach { v =>
+      val op = manifest(spark, table, v).op
+      require(op == "append" || op == "stream-append",
+        s"version $v is '$op': file-diff changes are only exact over " +
+          "append-only history — re-read the snapshot instead")
+    }
+    val basePaths = base.files.map(_.path).toSet
+    readFiles(spark, table, target,
+      target.files.filterNot(f => basePaths(f.path)))
+  }
+
   /** Write-temp + atomic-rename publication; throws if the version was
     * concurrently committed.
     */
