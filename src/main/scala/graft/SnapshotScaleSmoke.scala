@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.snapshot.SnapshotLog
+
+/** Scale smoke for the snapshot-table format (driver-side tooling, like
+  * Bench): builds a 64-version / 64-file table from sf0.1 lineitem
+  * range buckets, then times the paths whose cost model the format
+  * exists to change — full read, manifest-pruned read (1 of 64 files),
+  * metadata-only stats (zero data files), compaction, the incremental
+  * manifest-diff read, and 8 CONCURRENT committers racing the rename
+  * CAS through `commitWithRetry`. Every timed path asserts its answer
+  * against a direct scan before the JSON line is written, so the
+  * artifact records agreeing configurations, not just wall-times. The
+  * point is the cost SHAPE (pruned ≪ full, stats ≈ 0, planning flat in
+  * version count), not absolute numbers on a local page cache.
+  */
+object SnapshotScaleSmoke {
+  private val Buckets = 64
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](name: String)(f: => A): (String, Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (name, (System.nanoTime() - t0) / 1e9, r)
+    }
+    def agg(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("l_quantity")).cast("long")).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val width = li.agg(max(col("l_orderkey"))).head.getLong(0) / Buckets + 1
+    val t = java.nio.file.Paths.get("target", "snap-smoke").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+
+    // 64 sequential append commits, one range-bucket file each — the
+    // per-commit overhead (write + stats pass + manifest rename) is the
+    // ingest cost a micro-batch writer pays per epoch
+    val (_, buildSec, _) = timed("build") {
+      (0 until Buckets).foreach { b =>
+        SnapshotLog.commit(
+          li.where(expr(s"l_orderkey DIV $width") === b).repartition(1),
+          t, "append", Seq("l_orderkey"))
+      }
+    }
+    val direct = agg(li)
+
+    val full = timed("read_full")(agg(SnapshotLog.read(spark, t)))
+    require(full._3 == direct, s"full read ${full._3} != direct $direct")
+
+    // one-bucket range: the manifest must hand the scan exactly 1 file
+    val lo = 7 * width
+    val hi = 8 * width - 1
+    val pruned = timed("read_pruned") {
+      val (df, kept, total) =
+        SnapshotLog.readPruned(spark, t, "l_orderkey", lo, hi)
+      (agg(df), kept, total)
+    }
+    val directSlice = agg(li.where(col("l_orderkey").between(lo, hi)))
+    require(pruned._3._1 == directSlice,
+      s"pruned ${pruned._3._1} != direct slice $directSlice")
+    require(pruned._3._2 == 1 && pruned._3._3 == Buckets,
+      s"pruning opened ${pruned._3._2}/${pruned._3._3} files")
+
+    // metadata-only: count/min/max with zero data-file reads
+    val stats = timed("stats_meta")(SnapshotLog.tableStats(spark, t))
+    require(stats._3.rows == direct._1 && stats._3.files == Buckets,
+      s"stats ${stats._3} disagree with direct $direct")
+
+    // incremental consumer catching up on the last 4 versions
+    val changes = timed("read_changes") {
+      SnapshotLog.readChanges(spark, t, (Buckets - 4).toLong).count()
+    }
+    val directTail = li.where(expr(s"l_orderkey DIV $width") >= Buckets - 4).count()
+    require(changes._3 == directTail, s"changes ${changes._3} != $directTail")
+
+    // compact the 64 small files; the full answer must not move
+    val compactRun = timed("compact") {
+      SnapshotLog.compact(spark, t, 256L << 20, Seq("l_orderkey")).get
+    }
+    val compactedFiles = SnapshotLog.tableStats(spark, t).files
+    val fullCompacted = timed("read_full_compacted")(agg(SnapshotLog.read(spark, t)))
+    require(fullCompacted._3 == direct,
+      s"compacted read ${fullCompacted._3} != direct $direct")
+
+    // 8 concurrent appenders (4 threads) racing the rename CAS: all
+    // must land exactly once, serialized by retry, no data rewrite
+    val v0 = SnapshotLog.latestVersion(spark, t).get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val concurrent = timed("concurrent_commit8") {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SnapshotLog.commitWithRetry(
+            li.where(col("l_orderkey") % 1000 === i).repartition(1),
+            t, "append", Seq("l_orderkey"))
+        })
+      }
+      futures.map(_.get()).sorted
+    }
+    pool.shutdown()
+    require(concurrent._3 == ((v0 + 1) to (v0 + 8)).toSeq,
+      s"concurrent versions ${concurrent._3}")
+    val afterConcurrent = agg(SnapshotLog.read(spark, t))
+    val directAfter = agg(li.unionByName(li.where(col("l_orderkey") % 1000 < 8)))
+    require(afterConcurrent == directAfter,
+      s"concurrent result $afterConcurrent != $directAfter")
+
+    val runs = Seq(
+      ("build_64_commits", buildSec),
+      ("read_full", full._2),
+      ("read_pruned_1of64", pruned._2),
+      ("stats_meta", stats._2),
+      ("read_changes_4of64", changes._2),
+      ("compact", compactRun._2),
+      ("read_full_compacted", fullCompacted._2),
+      ("concurrent_commit8", concurrent._2))
+    val json = runs.map { case (n, sec) => s""""$n":$sec""" }
+      .mkString(s"""{"n_rows":${direct._1},"n_files_built":$Buckets,""" +
+        s""""n_files_compacted":$compactedFiles,""", ",", "}")
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_snapshot_smoke.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -1493,6 +1493,22 @@ object SourceQueries extends QueryPack {
         count(lit(1)).as("n_rows"),
         sum(col("o_orderkey")).as("sum_key"),
         sum(col("o_custkey")).as("sum_cust"))
+    }),
+
+    // Metadata-only aggregates: count(*)/min/max answered from the
+    // manifest WITHOUT touching a data file — the values below come
+    // from folding per-file stats, and the oracle recomputes them by
+    // actually scanning. A mismatch means the commit-time stats
+    // harvest or the fold is wrong. At 100 TB this query costs one
+    // small JSON read.
+    "qb3_snapshot_stats" -> ((s, dir) => {
+      import s.implicits._
+      val t = snapPrunePath(s, dir)
+      val st = SnapshotLog.tableStats(s, t)
+      val (mn, mx) = st.colRanges("l_orderkey")
+      Seq((st.files.toLong, st.rows,
+        mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+        .toDF("n_files", "n_rows", "min_key", "max_key")
     })
     )
   }
@@ -1612,6 +1628,15 @@ object SourceQueries extends QueryPack {
           | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           |FROM orders WHERE o_orderkey % 10 >= 5""".stripMargin,
+      // the manifest's folded stats must equal a real scan's answers;
+      // files = non-empty range buckets (snapPrunePath layout)
+      "qb3_snapshot_stats" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width FROM lineitem)
+           |SELECT CAST(count(DISTINCT l_orderkey // width) AS BIGINT) AS n_files,
+           | count(*) AS n_rows,
+           | CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           | CAST(max(l_orderkey) AS BIGINT) AS max_key
+           |FROM lineitem, w""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

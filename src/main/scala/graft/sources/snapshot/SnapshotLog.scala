@@ -342,6 +342,68 @@ object SnapshotLog {
     -1L
   }
 
+  /** Metadata-only table aggregates, answered from the manifest without
+    * reading ANY data file — O(1) in table size. `rows`/`bytes`/`files`
+    * sum the manifest entries; `colRanges` folds per-file [min,max].
+    * The ranges are EXACT, not approximate: a file absent from a
+    * column's stats was all-null at commit time (see [[FileEntry]]), so
+    * it contributes no non-null value to the true min/max either. The
+    * 100 TB win: `SELECT count(*), min(k), max(k)` costs one small JSON
+    * read — the Iceberg metadata-query capability.
+    */
+  final case class TableStats(version: Long, rows: Long, bytes: Long,
+      files: Int, colRanges: Map[String, (Any, Any)])
+
+  def tableStats(spark: SparkSession, table: String,
+      version: Option[Long] = None): TableStats = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    val ranges = m.files.flatMap(_.stats.toSeq)
+      .groupBy(_._1).map { case (c, pairs) =>
+        c -> pairs.map(_._2).reduce[(Any, Any)] { case ((mn1, mx1), (mn2, mx2)) =>
+          (if (cmp(mn1, mn2) <= 0) mn1 else mn2,
+            if (cmp(mx1, mx2) >= 0) mx1 else mx2)
+        }
+      }
+    TableStats(v, m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+      m.files.size, ranges)
+  }
+
+  /** Optimistic-concurrency commit: data files land ONCE, then the
+    * manifest publication retries under version conflicts — a losing
+    * committer pays a manifest re-read and a new rename attempt, never
+    * a data rewrite (its files are version-attempt-named but manifests
+    * reference paths opaquely, so they publish under any version).
+    * This is the multi-writer contract: N concurrent appenders all
+    * succeed, serialized by the rename CAS, history stays linear.
+    */
+  def commitWithRetry(df: DataFrame, table: String, mode: String = "append",
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 20): Long = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val spark = df.sparkSession
+    val tbl = new Path(table)
+    var v = latestVersion(spark, table).getOrElse(0L) + 1
+    val newFiles = writeData(df, table, v, statsCols)
+    var attempt = 1
+    while (true) {
+      val prior =
+        if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
+        else Nil
+      try {
+        publish(fsOf(spark, tbl), tbl,
+          Manifest(v, v - 1, mode, df.schema.toDDL, prior ++ newFiles))
+        return v
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxAttempts) throw e
+          v = latestVersion(spark, table).getOrElse(0L) + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Incremental read: rows added after `fromVersion` (exclusive) up to
     * `toVersion` (inclusive, default latest) — the data files present in
     * the target manifest but not the base, so an incremental consumer

@@ -230,6 +230,47 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(!SnapshotLog.read(s, t, Some(1)).columns.contains("extra"))
   }
 
+  test("tableStats answers count/min/max from the manifest alone") {
+    val t = freshTable("stats")
+    SnapshotLog.commit(df(5, 50), t, "append", Seq("id"))
+    SnapshotLog.commit(df(50, 100), t, "append", Seq("id"))
+    val st = SnapshotLog.tableStats(s, t)
+    assert(st.rows == 95 && st.files >= 2 && st.bytes > 0)
+    assert(st.colRanges("id") == (5L, 99L))
+    assert(SnapshotLog.tableStats(s, t, Some(1)).rows == 45)
+    // an all-null file carries no stats and contributes no non-null
+    // value — the folded range stays exact
+    val t2 = freshTable("stats-null")
+    SnapshotLog.commit(df(0, 10).withColumn("maybe", lit(null).cast("long")),
+      t2, "append", Seq("id", "maybe"))
+    SnapshotLog.commit(df(10, 20).withColumn("maybe", $"id" + 100),
+      t2, "append", Seq("id", "maybe"))
+    assert(SnapshotLog.tableStats(s, t2).colRanges("maybe") == (110L, 119L))
+  }
+
+  test("concurrent appenders all succeed via retry; history stays linear") {
+    val t = freshTable("concurrent")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SnapshotLog.commitWithRetry(
+            df(i * 10, i * 10 + 10), t, "append", Seq("id"))
+        })
+      }
+      assert(futures.map(_.get()).sorted == (1L to 8L).toSeq)
+      assert(SnapshotLog.read(s, t).count() == 80)
+      assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) ==
+        (0L until 80).sum)
+      // every intermediate version is readable and appends exactly once
+      assert((1L to 8L).map(v => SnapshotLog.read(s, t, Some(v)).count()) ==
+        (1L to 8L).map(_ * 10))
+      // losing attempts' data dirs are vacuumable debris, never corruption
+      SnapshotLog.vacuum(s, t)
+      assert(SnapshotLog.read(s, t).count() == 80)
+    } finally pool.shutdown()
+  }
+
   test("pruned read equals unpruned filtered read") {
     val t = freshTable("prune-eq")
     for (b <- 0 until 4)
