@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Paths
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.snapshot.SnapshotLog
+
+/** Model-based check of the snapshot-table format: random operation
+  * sequences (append / overwrite / range delete / upsert / compact /
+  * stream-append with replays) run against BOTH the real table and an
+  * in-memory model. After every op the table must equal the model;
+  * after the sequence, every committed version must equal the model's
+  * history snapshot (time travel), metadata stats must equal model
+  * aggregates, and vacuum must not change any readable version. This
+  * pins the interaction space the single-op specs can't enumerate —
+  * e.g. delete-after-compact, upsert over stream-appended files,
+  * overwrite resetting history mid-sequence.
+  */
+class SnapshotLogPropertySpec extends AnyFunSuite {
+  private lazy val s = SparkTestSession.get
+  import s.implicits._
+
+  private type Row3 = (Long, Long, String)
+
+  private def mkDf(rows: Seq[Row3]) =
+    rows.toDF("id", "k", "payload")
+
+  private def rows(lo: Long, hi: Long, tag: String): Seq[Row3] =
+    (lo until hi).map(i => (i, i % 7, s"$tag$i"))
+
+  private def tableRows(t: String, version: Option[Long] = None): Seq[Row3] =
+    SnapshotLog.read(s, t, version)
+      .select($"id", $"k", $"payload").as[Row3].collect().toSeq.sorted
+
+  test("random op sequences match the in-memory model at every version") {
+    for (seed <- 0 until 5) {
+      val rnd = new Random(seed)
+      val t = Paths.get("target", s"snapprop-$seed").toAbsolutePath.toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+
+      var model = Vector.empty[Row3]
+      // committed version -> expected content at that version
+      var history = Map.empty[Long, Vector[Row3]]
+      var nextEpoch = 0L
+      var nextId = 0L
+
+      // first op is always an append so every later op has a table
+      def freshSlice(tag: String): Seq[Row3] = {
+        val n = 10 + rnd.nextInt(30)
+        val r = rows(nextId, nextId + n, tag)
+        nextId += n
+        r
+      }
+
+      val opCount = 10
+      for (op <- 0 until opCount) {
+        val choice = if (op == 0) 0 else rnd.nextInt(6)
+        choice match {
+          case 0 => // append
+            val r = freshSlice("a")
+            val v = SnapshotLog.commit(mkDf(r).repartition(1 + rnd.nextInt(2)),
+              t, "append", Seq("id"))
+            model = model ++ r
+            history += v -> model
+          case 1 => // overwrite
+            val r = freshSlice("o")
+            val v = SnapshotLog.commit(mkDf(r), t, "overwrite", Seq("id"))
+            model = r.toVector
+            history += v -> model
+          case 2 => // range delete over a random window of the id space
+            val lo = rnd.nextLong(nextId.max(1))
+            val hi = lo + rnd.nextLong(20) + 1
+            SnapshotLog.deleteWhere(s, t, "id", lo, hi, Seq("id")).foreach { st =>
+              model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
+              history += st.version -> model
+            }
+          case 3 => // upsert: mutate a few existing ids + insert new ones
+            val existing = rnd.shuffle(model.map(_._1)).take(rnd.nextInt(5))
+              .map(i => (i, i % 7, s"u$i"))
+            val inserted = freshSlice("n")
+            val ups = existing ++ inserted
+            if (ups.nonEmpty) {
+              val st = SnapshotLog.upsert(mkDf(ups), t, "id", Seq("id"))
+              val keys = ups.map(_._1).toSet
+              model = model.filterNot(r => keys(r._1)) ++ ups
+              history += st.version -> model
+            }
+          case 4 => // compact (content must not move)
+            SnapshotLog.compact(s, t, 1L << 20, Seq("id")).foreach { v =>
+              history += v -> model
+            }
+          case 5 => // stream append; half the time replay an old epoch
+            val replay = nextEpoch > 0 && rnd.nextBoolean()
+            val epoch = if (replay) rnd.nextLong(nextEpoch) else nextEpoch
+            val r = freshSlice("s")
+            val res = SnapshotLog.appendStreamBatch(mkDf(r), t, epoch, Seq("id"))
+            if (replay) assert(res.isEmpty, s"replayed epoch $epoch committed")
+            else {
+              nextEpoch = epoch + 1
+              model = model ++ r
+              history += res.get -> model
+            }
+        }
+        assert(tableRows(t) == model.sorted,
+          s"seed=$seed op=$op choice=$choice diverged")
+      }
+
+      // time travel: every committed version equals its model snapshot
+      history.foreach { case (v, expect) =>
+        assert(tableRows(t, Some(v)) == expect.sorted, s"seed=$seed version $v")
+      }
+      // metadata stats equal model aggregates
+      val st = SnapshotLog.tableStats(s, t)
+      assert(st.rows == model.size.toLong)
+      if (model.nonEmpty)
+        assert(st.colRanges("id") == (model.map(_._1).min, model.map(_._1).max))
+      // vacuum is invisible to every readable version
+      SnapshotLog.vacuum(s, t)
+      history.foreach { case (v, expect) =>
+        assert(tableRows(t, Some(v)) == expect.sorted, s"seed=$seed post-vacuum $v")
+      }
+    }
+  }
+}
