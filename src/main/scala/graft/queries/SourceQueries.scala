@@ -554,6 +554,31 @@ object SourceQueries extends QueryPack {
       (p, st)
     })
 
+  /** Bloom point-lookup fixture (qb4): the 8-bucket lineitem layout
+    * with per-file Bloom filters on `l_orderkey` (128k bits — sized so
+    * sf0.1's ~19k keys/file keep FP under ~5%). Probes in the gate are
+    * data-derived (bucket minimums, their successors, and beyond-max
+    * keys) so the oracle reproduces the exact hit set and the range-
+    * candidate arithmetic; bloom-opened counts stay OUT of the hash
+    * (false positives are geometry-dependent) but the fixture requires
+    * opened ⊆ range candidates.
+    */
+  private def snapBloomPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapbloom"), { _ =>
+      val p = s"target/snapbloom-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val width = snapWidth(s, dir)
+      (0 until SnapBuckets).foreach { b =>
+        val part = li.where(expr(s"l_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append",
+            Seq("l_orderkey"), Seq("l_orderkey"), bloomBits = 1 << 17)
+      }
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`).
@@ -1509,6 +1534,35 @@ object SourceQueries extends QueryPack {
       Seq((st.files.toLong, st.rows,
         mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
         .toDF("n_files", "n_rows", "min_key", "max_key")
+    }),
+
+    // Bloom-assisted point lookups: 15 data-derived probes (5 bucket
+    // minimums = guaranteed hits, their 5 successors = maybe-hits, 5
+    // beyond-max keys = guaranteed misses) against the bloomed 8-file
+    // table. The hash pins the hit rows AND the range-candidate count;
+    // bloom skipping is pinned separately (spec + opened ⊆ candidates
+    // required here) because FP counts are geometry-dependent.
+    "qb4_snapshot_pointlookup" -> ((s, dir) => {
+      val t = snapBloomPath(s, dir)
+      val width = snapWidth(s, dir)
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+      val mins = li.groupBy(expr(s"l_orderkey DIV $width").as("b"))
+        .agg(min(col("l_orderkey")).as("mn")).where(col("b") < 5)
+        .orderBy(col("b")).collect().map(_.getLong(1)).toSeq
+      val mxk = li.agg(max(col("l_orderkey"))).head.getLong(0)
+      val probes = mins ++ mins.map(_ + 1) ++ (1 to 5).map(i => mxk + 1000L + i)
+      var nRange = 0
+      val hits = probes.map { k =>
+        val (df, opened, range, _) = SnapshotLog.readPoint(s, t, "l_orderkey", k)
+        require(opened <= range, s"bloom opened $opened of $range candidates")
+        nRange += range
+        df.select(col("l_quantity"))
+      }.reduce(_ unionByName _)
+      hits.agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_probes", lit(probes.length.toLong))
+        .withColumn("n_range_files", lit(nRange.toLong))
+        .select(col("n_probes"), col("n_range_files"),
+          col("n_rows"), col("sum_qty"))
     })
     )
   }
@@ -1637,6 +1691,25 @@ object SourceQueries extends QueryPack {
            | CAST(min(l_orderkey) AS BIGINT) AS min_key,
            | CAST(max(l_orderkey) AS BIGINT) AS max_key
            |FROM lineitem, w""".stripMargin,
+      // probes and range-candidacy mirrored from the bucket layout;
+      // the duplicate-probe convention (a probe hitting twice counts
+      // twice) is identical on both sides via the join
+      "qb4_snapshot_pointlookup" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width,
+           |  max(l_orderkey) AS mxk FROM lineitem),
+           |b AS (SELECT l_orderkey, l_quantity, l_orderkey // width AS bucket
+           |      FROM lineitem, w),
+           |f AS (SELECT bucket, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+           |      FROM b GROUP BY bucket),
+           |p AS (SELECT mn AS k FROM f WHERE bucket < 5
+           |      UNION ALL SELECT mn + 1 FROM f WHERE bucket < 5
+           |      UNION ALL SELECT mxk + 1000 + i FROM range(1, 6) t(i), w),
+           |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_range_files
+           |       FROM p JOIN f ON p.k BETWEEN f.mn AND f.mx),
+           |hit AS (SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty
+           |        FROM b JOIN p ON b.l_orderkey = p.k)
+           |SELECT CAST(15 AS BIGINT) AS n_probes, n_range_files, n_rows, sum_qty
+           |FROM rc, hit""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

@@ -39,11 +39,14 @@ object SnapshotLog {
 
   private val mapper = new ObjectMapper()
 
-  /** One immutable data file: row count, size, and per-column [min,max]
-    * (absent for all-null files — those are never pruned away).
+  /** One immutable data file: row count, size, per-column [min,max]
+    * (absent for all-null files — those are never pruned away), and
+    * optional per-column Bloom filters (base64 bitmap over the portable
+    * hash of the column's string form) for point-lookup file skipping
+    * beyond what ranges can express.
     */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
-      stats: Map[String, (Any, Any)])
+      stats: Map[String, (Any, Any)], blooms: Map[String, String] = Map.empty)
 
   /** `epoch` carries a streaming writer's batch id for exactly-once
     * replay detection ([[appendStreamBatch]]); -1 for batch commits.
@@ -80,23 +83,27 @@ object SnapshotLog {
     * stats for `statsCols` are gathered with one Spark pass over the
     * NEWLY WRITTEN files only (at production scale you'd harvest them
     * from the parquet footers the write already produced; the extra scan
-    * here is over the new data only, never the table). Returns the new
-    * version.
+    * here is over the new data only, never the table). `bloomCols` adds
+    * per-file Bloom filters for point-lookup skipping ([[readPoint]]).
+    * Returns the new version.
     */
   def commit(df: DataFrame, table: String, mode: String = "append",
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Long =
     commitAs(df, table,
-      latestVersion(df.sparkSession, table).getOrElse(0L) + 1, mode, statsCols)
+      latestVersion(df.sparkSession, table).getOrElse(0L) + 1, mode,
+      statsCols, bloomCols, bloomBits)
 
   /** Version-pinned commit — the compare-and-swap surface: a committer
     * that read latest = N-1 publishes exactly N, and loses (with
     * [[IllegalStateException]]) if someone else published N first.
     */
   def commitAs(df: DataFrame, table: String, v: Long,
-      mode: String, statsCols: Seq[String]): Long = {
+      mode: String, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
-    val newFiles = writeData(df, table, v, statsCols)
+    val newFiles = writeData(df, table, v, statsCols, bloomCols, bloomBits)
     val prior =
       if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
       else Nil
@@ -105,12 +112,47 @@ object SnapshotLog {
     v
   }
 
+  /** Bloom geometry: k fixed at 3; bits per file-column configurable at
+    * commit (readers derive the modulus from the stored bitmap length,
+    * so mixed-geometry histories read fine). Positions come from the
+    * engine-wide portable hash of the column's STRING form, so the
+    * write-side aggregation is codegen'd builtins and the read-side
+    * probe is its JVM bit-twin.
+    */
+  val DefaultBloomBits = 4096
+  private val BloomK = 3
+  private val BloomSeedBase = 7001
+
+  private def bloomWords(bits: Int) = bits / 64
+
+  private[snapshot] def bloomMightContain(words: Array[Long], value: String): Boolean = {
+    val bits = words.length * 64
+    (0 until BloomK).forall { h =>
+      val p = (graft.functions.PortableHash.detHashJvm(
+        s"$value:${BloomSeedBase + h}") % bits).toInt
+      (words(p >> 6) & (1L << (p & 63))) != 0L
+    }
+  }
+
+  private def bloomB64(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[snapshot] def bloomDecode(b64: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    Array.fill(bb.remaining() / 8)(bb.getLong())
+  }
+
   /** Land `df` as immutable files for version-attempt `v` and return
     * their manifest entries (stats from one pass over the NEW files
-    * only; sizes from the filesystem).
+    * only; sizes from the filesystem; blooms from one more pass, again
+    * over the new files only).
     */
   private def writeData(df: DataFrame, table: String, v: Long,
-      statsCols: Seq[String]): Seq[FileEntry] = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits): Seq[FileEntry] = {
     val spark = df.sparkSession
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
@@ -121,6 +163,28 @@ object SnapshotLog {
       java.util.UUID.randomUUID().toString.substring(0, 8)
     val dataDir = new Path(tbl, dataRel)
     df.write.mode("overwrite").parquet(dataDir.toString)
+
+    // (file, column) -> bloom bitmap: k positions exploded per row,
+    // folded with bit_or into 64-bit words — all codegen'd builtins,
+    // output rows bounded by files × words (metadata, not data)
+    val blooms: Map[(String, String), Array[Long]] =
+      bloomCols.flatMap { c =>
+        spark.read.parquet(dataDir.toString)
+          .where(col(c).isNotNull)
+          .select(input_file_name().as("__file"),
+            explode(array((0 until BloomK).map(h =>
+              pmod(graft.functions.PortableHash.detHash(col(c), BloomSeedBase + h),
+                lit(bloomBits)).cast("int")): _*)).as("__pos"))
+          .groupBy(col("__file"), (col("__pos") / 64).cast("int").as("__word"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), __pos % 64))").as("__mask"))
+          .collect()
+          .groupBy(r => r.getString(0))
+          .map { case (file, rs) =>
+            val words = new Array[Long](bloomWords(bloomBits))
+            rs.foreach(r => words(r.getInt(1)) = r.getLong(2))
+            (file.substring(file.lastIndexOf('/') + 1), c) -> words
+          }
+      }.toMap
 
     val aggs = count(lit(1)).cast("long").as("__rows") +:
       statsCols.flatMap(c =>
@@ -138,8 +202,10 @@ object SnapshotLog {
           val mx = r.getAs[Any](s"__max_$c")
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
+        val fileBlooms = bloomCols.flatMap(c =>
+          blooms.get((name, c)).map(w => c -> bloomB64(w))).toMap
         val bytes = fs.getFileStatus(new Path(dataDir, name)).getLen
-        FileEntry(rel, r.getAs[Long]("__rows"), bytes, stats)
+        FileEntry(rel, r.getAs[Long]("__rows"), bytes, stats, fileBlooms)
       }.toSeq.sortBy(_.path)
   }
 
@@ -499,6 +565,37 @@ object SnapshotLog {
     (df, kept.size, m.files.size)
   }
 
+  /** Point lookup `column = value` with two-tier file skipping: range
+    * stats first (cheap interval test), then the per-file Bloom filter
+    * for files whose range contains the value but whose key set likely
+    * doesn't — the "fetch these ids from 100 TB" path where min/max
+    * can't help because every file's range spans the probe. One-sided
+    * by construction: a Bloom hit may still yield zero rows (false
+    * positive → wasted open), a miss NEVER hides a present key.
+    * Returns (matching rows, filesOpened, rangeCandidates, filesTotal).
+    */
+  def readPoint(spark: SparkSession, table: String, column: String,
+      value: Any, version: Option[Long] = None): (DataFrame, Int, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    val rangeCand = m.files.filter { f =>
+      f.stats.get(column) match {
+        case Some((mn, mx)) => cmp(mn, value) <= 0 && cmp(mx, value) >= 0
+        case None => true
+      }
+    }
+    val opened = rangeCand.filter { f =>
+      f.blooms.get(column) match {
+        case Some(b64) => bloomMightContain(bloomDecode(b64), String.valueOf(value))
+        case None => true // no bloom written: range verdict stands
+      }
+    }
+    val df = readFiles(spark, table, m, opened)
+      .where(col(column) === lit(value))
+    (df, opened.size, rangeCand.size, m.files.size)
+  }
+
   private def readFiles(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
@@ -544,6 +641,11 @@ object SnapshotLog {
         sm.put(c, cm)
       }
       fm.put("stats", sm)
+      if (f.blooms.nonEmpty) {
+        val bm = new JLinkedHashMap[String, Object]()
+        f.blooms.foreach { case (c, b64) => bm.put(c, b64) }
+        fm.put("blooms", bm)
+      }
       files.add(fm)
     }
     root.put("files", files)
@@ -560,8 +662,12 @@ object SnapshotLog {
           val cm = co.asInstanceOf[java.util.Map[String, Object]].asScala
           c -> (norm(cm("min")), norm(cm("max")))
         }.toMap
+      val blooms = fm.get("blooms").map(
+        _.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (c, b) => c -> b.toString }.toMap)
+        .getOrElse(Map.empty[String, String])
       FileEntry(fm("path").toString, jlong(fm("rows")),
-        fm.get("bytes").map(jlong).getOrElse(0L), stats)
+        fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms)
     }.toSeq
     Manifest(jlong(root("version")), jlong(root("parent")),
       root("op").toString, root("schema").toString, files,

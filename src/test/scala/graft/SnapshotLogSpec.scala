@@ -271,6 +271,38 @@ class SnapshotLogSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("readPoint: bloom skips in-range absent keys, never present ones") {
+    val t = freshTable("bloom")
+    // two files holding only EVEN ids — every odd id is inside a file's
+    // [min,max] but absent, the case range stats cannot skip
+    SnapshotLog.commit(df(0, 100).where($"id" % 2 === 0).repartition(1), t,
+      "append", Seq("id"), Seq("id"))
+    SnapshotLog.commit(df(100, 200).where($"id" % 2 === 0).repartition(1), t,
+      "append", Seq("id"), Seq("id"))
+    // present keys: always found (one-sided), bloom opens ⊆ range set
+    for (k <- Seq(0L, 48L, 102L, 198L)) {
+      val (rows, opened, range, total) = SnapshotLog.readPoint(s, t, "id", k)
+      assert(rows.count() == 1 && opened == 1 && range == 1 && total == 2,
+        s"k=$k opened=$opened range=$range")
+    }
+    // in-range absent keys skip both files (50 keys in 4096 bits: FP≈0,
+    // and deterministic for this fixed fixture)
+    val opens = (1L to 17L by 2).map { k =>
+      val (rows, opened, range, _) = SnapshotLog.readPoint(s, t, "id", k)
+      assert(rows.count() == 0 && range == 1)
+      opened
+    }
+    assert(opens.sum == 0, s"bloom failed to skip: $opens")
+    // outside every range: bloom never consulted
+    val (_, o2, r2, _) = SnapshotLog.readPoint(s, t, "id", 5000L)
+    assert(o2 == 0 && r2 == 0)
+    // a bloom-less table still answers point lookups (range-only)
+    val t2 = freshTable("bloom-less")
+    SnapshotLog.commit(df(0, 50), t2, "append", Seq("id"))
+    val (rows2, o3, r3, _) = SnapshotLog.readPoint(s, t2, "id", 7L)
+    assert(rows2.count() == 1 && o3 == r3)
+  }
+
   test("pruned read equals unpruned filtered read") {
     val t = freshTable("prune-eq")
     for (b <- 0 until 4)
