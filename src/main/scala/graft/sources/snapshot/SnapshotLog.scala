@@ -214,11 +214,20 @@ object SnapshotLog {
     * REPLACE of the small set, published as a new version so readers
     * and time travel never see a half-compacted table. The rewrite
     * reads only the files being replaced (at 100 TB compaction cost
-    * scales with the small-file debt, not the table). Returns the new
-    * version, or None when fewer than two files qualify.
+    * scales with the small-file debt, not the table).
+    *
+    * `clusterBy` turns the same rewrite into a clustering pass (the
+    * Delta/Iceberg OPTIMIZE ... ZORDER shape): rows range-partition and
+    * sort on the given columns (e.g. a precomputed z-order/Hilbert key,
+    * see `functions.ZOrder`/`HilbertCurve`), so the rewritten files
+    * carry tight disjoint [min,max] intervals and [[readPruned]] /
+    * [[readPoint]] skip most of them — small-file debt and layout debt
+    * paid in one data pass. Returns the new version, or None when fewer
+    * than two files qualify.
     */
   def compact(spark: SparkSession, table: String, targetBytes: Long,
-      statsCols: Seq[String] = Nil): Option[Long] = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Option[Long] = {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
@@ -230,8 +239,13 @@ object SnapshotLog {
       val n = math.max(1,
         math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-      val rewritten = spark.read.schema(schema).parquet(absolute: _*).coalesce(n)
-      val newFiles = writeData(rewritten, table, v, statsCols)
+      val readBack = spark.read.schema(schema).parquet(absolute: _*)
+      val rewritten =
+        if (clusterBy.isEmpty) readBack.coalesce(n)
+        else readBack
+          .repartitionByRange(n, clusterBy.map(col).toIndexedSeq: _*)
+          .sortWithinPartitions(clusterBy.map(col).toIndexedSeq: _*)
+      val newFiles = writeData(rewritten, table, v, statsCols, bloomCols)
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles))
       Some(v)

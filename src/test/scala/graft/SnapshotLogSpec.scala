@@ -271,6 +271,31 @@ class SnapshotLogSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("clustered compaction makes range pruning effective") {
+    val t = freshTable("cluster")
+    // 4 commits of interleaved ids (id % 4 == b): every file spans the
+    // whole id range, so a narrow range predicate can prune NOTHING
+    for (b <- 0 until 4)
+      SnapshotLog.commit(df(0, 400).where($"id" % 4 === b).repartition(1),
+        t, "append", Seq("id"))
+    val (_, keptBefore, totalBefore) =
+      SnapshotLog.readPruned(s, t, "id", 0L, 40L)
+    assert(keptBefore == 4 && totalBefore == 4) // layout defeats stats
+    // clustering rewrite into a 2-file byte budget: range-partition +
+    // sort on id, so each output owns a disjoint id interval
+    val totalBytes = SnapshotLog.manifest(s, t, 4L).files.map(_.bytes).sum
+    val v = SnapshotLog.compact(s, t, totalBytes / 2 + 1, Seq("id"),
+      clusterBy = Seq("id")).get
+    val (pruned, keptAfter, totalAfter) =
+      SnapshotLog.readPruned(s, t, "id", 0L, 40L)
+    assert(totalAfter == 2, s"expected 2 clustered files, got $totalAfter")
+    assert(keptAfter == 1, s"clustered layout still scans $keptAfter/$totalAfter")
+    // content identical through the clustering rewrite
+    assert(SnapshotLog.read(s, t).agg(count(lit(1)), sum($"id")).head.toSeq ==
+      SnapshotLog.read(s, t, Some(v - 1)).agg(count(lit(1)), sum($"id")).head.toSeq)
+    assert(pruned.count() == 41)
+  }
+
   test("readPoint: bloom skips in-range absent keys, never present ones") {
     val t = freshTable("bloom")
     // two files holding only EVEN ids — every odd id is inside a file's
