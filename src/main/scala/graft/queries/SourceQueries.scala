@@ -1120,6 +1120,54 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Streaming ingest into the SNAPSHOT TABLE — the continuous
+    // pipeline landing in the versioned table format instead of tar
+    // shards: wds-tar streaming source → filter/derive → foreachBatch
+    // `appendStreamBatch` (one table version per epoch, replays
+    // skipped) → batch read of the final table. Epoch slicing is
+    // scheduler-dependent; the table's CONTENT is not — the oracle
+    // regenerates it from the id formula, so a lost epoch, a
+    // double-applied replay, or a mangled commit breaks the hash.
+    "qb5_stream_snapshot_sink" -> ((s, _) => {
+      import s.implicits._
+      val dir = fixtureDir
+      val srcDir = Paths.get("target", "stream-snap-src").toAbsolutePath
+      if (!Files.exists(srcDir.resolve("_READY"))) {
+        Files.createDirectories(srcDir)
+        (0 until Shards).foreach { i =>
+          val link = srcDir.resolve(f"shard-$i%06d.tar")
+          if (!Files.exists(link))
+            Files.createLink(link, Paths.get(dir, f"shard-$i%06d.tar"))
+        }
+        Files.createFile(srcDir.resolve("_READY"))
+      }
+      val tbl = Paths.get("target", "stream-snap-tbl").toAbsolutePath.toString
+      val ckpt = Paths.get("target", "stream-snap-ckpt").toAbsolutePath.toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tbl))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val q = s.readStream.format("wds-tar")
+        .option("path", srcDir.toString)
+        .option("extensions", "txt,cls")
+        .load()
+        .where(decode($"cls", "UTF-8").cast("long") % 3 === 1)
+        .select($"__key__".as("key"),
+          length($"txt").cast("long").as("txt_len"),
+          decode($"cls", "UTF-8").cast("long").as("cls"))
+        .writeStream
+        .foreachBatch { (b: DataFrame, e: Long) =>
+          SnapshotLog.appendStreamBatch(b, tbl, e, Seq("key")): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      SnapshotLog.read(s, tbl).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"txt_len").as("sum_len"),
+        sum($"cls").as("sum_cls"),
+        max($"key").as("max_key"))
+    }),
+
     // Frame-level video dedup: sample EVERY luma frame from every clip,
     // key frames by their full pixel content, and report the
     // duplicate-class histogram (class size → how many classes / how
@@ -1969,6 +2017,15 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, ${Shards * SamplesPerShard - 1}) t(id)
            |WHERE (id % 97) % 3 = 0""".stripMargin,
+      // cls ≡ 1 (mod 3) survivors landed in the snapshot table; same
+      // id formulas as qa3 (txt bytes = 116 + digits + id%300)
+      "qb5_stream_snapshot_sink" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(116 + length(CAST(id AS VARCHAR)) + id % 300) AS BIGINT) AS sum_len,
+           |       CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+           |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
+           |FROM generate_series(0, ${Shards * SamplesPerShard - 1}) t(id)
+           |WHERE (id % 97) % 3 = 1""".stripMargin,
       // same amplitude formula as qa1; energy from the sample rows,
       // zero crossings from adjacent pairs via lead()
       "qa5_audio_features" ->
