@@ -328,6 +328,25 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(rows2.count() == 1 && o3 == r3)
   }
 
+  test("corrupt manifests fail loudly, never silently mis-answer") {
+    val t = freshTable("corrupt")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    SnapshotLog.commit(df(10, 20), t, "append", Seq("id"))
+    // truncated JSON: reads of that version throw, they do not guess
+    val p2 = Paths.get(t, "_log", "v00002.json")
+    val good = Files.readAllBytes(p2)
+    Files.write(p2, good.take(good.length / 2))
+    intercept[Exception] { SnapshotLog.read(s, t).count() }
+    // earlier intact versions remain readable
+    assert(SnapshotLog.read(s, t, Some(1)).count() == 10)
+    // valid JSON with a missing required field is also loud
+    Files.writeString(p2, """{"version":2,"parent":1}""")
+    intercept[Exception] { SnapshotLog.read(s, t).count() }
+    // restored manifest reads again
+    Files.write(p2, good)
+    assert(SnapshotLog.read(s, t).count() == 20)
+  }
+
   test("pruned read equals unpruned filtered read") {
     val t = freshTable("prune-eq")
     for (b <- 0 until 4)
