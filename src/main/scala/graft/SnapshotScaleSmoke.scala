@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.sources.snapshot.SnapshotLog
 
 /** Scale smoke for the snapshot-table format (driver-side tooling, like
-  * Bench): builds a 64-version / 64-file table from sf0.1 lineitem
-  * range buckets, then times the paths whose cost model the format
-  * exists to change — full read, manifest-pruned read (1 of 64 files),
-  * metadata-only stats (zero data files), compaction, the incremental
-  * manifest-diff read, and 8 CONCURRENT committers racing the rename
-  * CAS through `commitWithRetry`. Every timed path asserts its answer
-  * against a direct scan before the JSON line is written, so the
-  * artifact records agreeing configurations, not just wall-times. The
-  * point is the cost SHAPE (pruned ≪ full, stats ≈ 0, planning flat in
-  * version count), not absolute numbers on a local page cache.
+  * Bench): builds a 64-version / 64-file bloomed table from sf0.1
+  * lineitem range buckets, then times the paths whose cost model the
+  * format exists to change — full read, manifest-pruned read (1 of 64
+  * files), metadata-only stats (zero data files), incremental
+  * manifest-diff read, 50 bloom-skipped point lookups, a metadata-only
+  * aligned retention delete, a single-file point upsert, compaction,
+  * and 8 CONCURRENT committers racing the rename CAS through
+  * `commitWithRetry`. Every timed path asserts its answer against a
+  * direct scan before the JSON line is written, so the artifact records
+  * agreeing configurations, not just wall-times. The point is the cost
+  * SHAPE (pruned ≪ full, stats ≈ 0, bloom opens ≈ 0 of 50, aligned
+  * delete moves no bytes), not absolute numbers on a local page cache.
   */
 object SnapshotScaleSmoke {
   private val Buckets = 64
@@ -41,20 +43,24 @@ object SnapshotScaleSmoke {
       (r.getLong(0), r.getLong(1))
     }
 
+    // even keys only: sf0.1 orderkeys are DENSE, so the even-keyed half
+    // makes every odd value an in-range ABSENT key — the probe class
+    // that exercises bloom skipping (range stats cannot skip it)
     val li = graft.core.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
+      .where(pmod(col("l_orderkey"), lit(2)) === 0)
     val width = li.agg(max(col("l_orderkey"))).head.getLong(0) / Buckets + 1
     val t = java.nio.file.Paths.get("target", "snap-smoke").toAbsolutePath.toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
 
-    // 64 sequential append commits, one range-bucket file each — the
-    // per-commit overhead (write + stats pass + manifest rename) is the
+    // 64 sequential append commits, one range-bucket file each (stats +
+    // bloom harvested per commit) — the per-commit overhead is the
     // ingest cost a micro-batch writer pays per epoch
     val (_, buildSec, _) = timed("build") {
       (0 until Buckets).foreach { b =>
         SnapshotLog.commit(
           li.where(expr(s"l_orderkey DIV $width") === b).repartition(1),
-          t, "append", Seq("l_orderkey"))
+          t, "append", Seq("l_orderkey"), Seq("l_orderkey"), bloomBits = 1 << 15)
       }
     }
     val direct = agg(li)
@@ -88,14 +94,53 @@ object SnapshotScaleSmoke {
     val directTail = li.where(expr(s"l_orderkey DIV $width") >= Buckets - 4).count()
     require(changes._3 == directTail, s"changes ${changes._3} != $directTail")
 
-    // compact the 64 small files; the full answer must not move
+    // 50 point lookups of in-range ABSENT keys (odd values — the table
+    // holds only even keys): range stats alone open one file per probe;
+    // the bloom tier skips nearly all (32k bits / ~1.2k keys per file →
+    // FP well under 1%)
+    val absentProbes = (0 until 50).map(i => 2L * i + 1)
+    val lookups = timed("point_lookup_50") {
+      absentProbes.map { k =>
+        val (_, opened, range, _) = SnapshotLog.readPoint(spark, t, "l_orderkey", k)
+        (opened, range)
+      }
+    }
+    val openedTotal = lookups._3.map(_._1).sum
+    val rangeTotal = lookups._3.map(_._2).sum
+    require(rangeTotal >= 45 && openedTotal <= rangeTotal / 10,
+      s"bloom opened $openedTotal of $rangeTotal range candidates")
+
+    // aligned retention delete: the last bucket drops METADATA-ONLY
+    // (classified from stats — no data file read or written)
+    val delStats = timed("delete_aligned") {
+      SnapshotLog.deleteWhere(spark, t, "l_orderkey",
+        63L * width, 64L * width - 1, Seq("l_orderkey")).get
+    }
+    require(delStats._3.filesDropped >= 1 && delStats._3.filesRewritten == 0,
+      s"aligned delete was not metadata-only: ${delStats._3}")
+    val base = li.where(expr(s"l_orderkey DIV $width") < 63)
+    val directBase = agg(base)
+    require(agg(SnapshotLog.read(spark, t)) == directBase, "delete diverged")
+
+    // point upsert: updates land in ONE bucket → 1 of 63 files rewrites
+    val upStats = timed("upsert_1file") {
+      SnapshotLog.upsert(
+        li.where(expr(s"l_orderkey DIV $width") === 5 && col("l_orderkey") % 50 === 0),
+        t, "l_orderkey", Seq("l_orderkey"))
+    }
+    require(upStats._3.filesRewritten == 1,
+      s"point upsert rewrote ${upStats._3.filesRewritten} files")
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "idempotent upsert changed content")
+
+    // compact the small files; the full answer must not move
     val compactRun = timed("compact") {
       SnapshotLog.compact(spark, t, 256L << 20, Seq("l_orderkey")).get
     }
     val compactedFiles = SnapshotLog.tableStats(spark, t).files
     val fullCompacted = timed("read_full_compacted")(agg(SnapshotLog.read(spark, t)))
-    require(fullCompacted._3 == direct,
-      s"compacted read ${fullCompacted._3} != direct $direct")
+    require(fullCompacted._3 == directBase,
+      s"compacted read ${fullCompacted._3} != $directBase")
 
     // 8 concurrent appenders (4 threads) racing the rename CAS: all
     // must land exactly once, serialized by retry, no data rewrite
@@ -105,7 +150,7 @@ object SnapshotScaleSmoke {
       val futures = (0 until 8).map { i =>
         pool.submit(new java.util.concurrent.Callable[Long] {
           def call(): Long = SnapshotLog.commitWithRetry(
-            li.where(col("l_orderkey") % 1000 === i).repartition(1),
+            li.where(col("l_orderkey") % 2000 === 2L * i).repartition(1),
             t, "append", Seq("l_orderkey"))
         })
       }
@@ -115,7 +160,8 @@ object SnapshotScaleSmoke {
     require(concurrent._3 == ((v0 + 1) to (v0 + 8)).toSeq,
       s"concurrent versions ${concurrent._3}")
     val afterConcurrent = agg(SnapshotLog.read(spark, t))
-    val directAfter = agg(li.unionByName(li.where(col("l_orderkey") % 1000 < 8)))
+    val directAfter = agg(base.unionByName(
+      li.where(col("l_orderkey") % 2000 < 16)))
     require(afterConcurrent == directAfter,
       s"concurrent result $afterConcurrent != $directAfter")
 
@@ -125,12 +171,16 @@ object SnapshotScaleSmoke {
       ("read_pruned_1of64", pruned._2),
       ("stats_meta", stats._2),
       ("read_changes_4of64", changes._2),
+      ("point_lookup_50", lookups._2),
+      ("delete_aligned", delStats._2),
+      ("upsert_1file", upStats._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),
       ("concurrent_commit8", concurrent._2))
     val json = runs.map { case (n, sec) => s""""$n":$sec""" }
       .mkString(s"""{"n_rows":${direct._1},"n_files_built":$Buckets,""" +
-        s""""n_files_compacted":$compactedFiles,""", ",", "}")
+        s""""n_files_compacted":$compactedFiles,""" +
+        s""""bloom_opened":$openedTotal,"range_candidates":$rangeTotal,""", ",", "}")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_snapshot_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
