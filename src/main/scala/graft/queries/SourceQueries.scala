@@ -1611,6 +1611,30 @@ object SourceQueries extends QueryPack {
         .withColumn("n_range_files", lit(nRange.toLong))
         .select(col("n_probes"), col("n_range_files"),
           col("n_rows"), col("sum_qty"))
+    }),
+
+    // Commit-log history + metadata-only rollback: the stream fixture's
+    // five commits (4 exactly-once epochs + compaction) reported as the
+    // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
+    // version republished as a new commit — file counts, op chain, and
+    // per-version row counts all recomputed by the oracle from the
+    // epoch-slice arithmetic. The synthetic version-99 row carries the
+    // post-restore state (4 files again, full content, zero data moved)
+    // and is rerun-stable because restore is idempotent in content.
+    "qb6_snapshot_history_restore" -> ((s, dir) => {
+      val t = snapStreamPath(s, dir)
+      SnapshotLog.restore(s, t, 4L)
+      val latest = SnapshotLog.latestVersion(s, t).get
+      val m = SnapshotLog.manifest(s, t, latest)
+      val restored = SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows")).head.getLong(0)
+      val hist = SnapshotLog.history(s, t)
+        .where(col("version") <= 5)
+        .select(col("version"), col("op"), col("n_files"), col("n_rows"))
+      import s.implicits._
+      hist.unionByName(Seq((99L, m.op, m.files.size.toLong, restored))
+        .toDF("version", "op", "n_files", "n_rows"))
+        .orderBy(col("version"))
     })
     )
   }
@@ -1758,6 +1782,23 @@ object SourceQueries extends QueryPack {
            |        FROM b JOIN p ON b.l_orderkey = p.k)
            |SELECT CAST(15 AS BIGINT) AS n_probes, n_range_files, n_rows, sum_qty
            |FROM rc, hit""".stripMargin,
+      // the five-commit history from the epoch-slice arithmetic, plus
+      // the post-restore state as version 99
+      "qb6_snapshot_history_restore" ->
+        """WITH c AS (SELECT
+          |  CAST(count(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT) AS s0,
+          |  CAST(count(*) FILTER (WHERE o_orderkey % 4 <= 1) AS BIGINT) AS s01,
+          |  CAST(count(*) FILTER (WHERE o_orderkey % 4 <= 2) AS BIGINT) AS s012,
+          |  count(*) AS total FROM orders)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS version, 'stream-append' AS op,
+          |         CAST(1 AS BIGINT) AS n_files, s0 AS n_rows FROM c
+          |  UNION ALL SELECT 2, 'stream-append', 2, s01 FROM c
+          |  UNION ALL SELECT 3, 'stream-append', 3, s012 FROM c
+          |  UNION ALL SELECT 4, 'stream-append', 4, total FROM c
+          |  UNION ALL SELECT 5, 'compact', 1, total FROM c
+          |  UNION ALL SELECT 99, 'restore', 4, total FROM c
+          |) ORDER BY version""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

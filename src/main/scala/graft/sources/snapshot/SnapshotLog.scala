@@ -484,6 +484,38 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Metadata-only rollback: republish `toVersion`'s exact file list as
+    * a NEW version — no data file is read, moved, or rewritten, so
+    * restoring a 100 TB table costs one manifest write. History is
+    * append-only (the bad versions stay readable, and a restore is
+    * itself undoable by another restore). Returns the new version.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val target = manifest(spark, table, toVersion)
+    val v = v0 + 1
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "restore", target.schemaDdl, target.files))
+    v
+  }
+
+  /** The commit log as a DataFrame — version, parent, op, stream epoch,
+    * file count, row count, byte size per version (the DESCRIBE HISTORY
+    * shape). Driver-side walk of the (small) manifests; row count =
+    * versions, not data.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    (1L to latest).map { v =>
+      val m = manifest(spark, table, v)
+      (m.version, m.parent, m.op, m.epoch, m.files.size.toLong,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum)
+    }.toDF("version", "parent", "op", "epoch", "n_files", "n_rows", "n_bytes")
+  }
+
   /** Incremental read: rows added after `fromVersion` (exclusive) up to
     * `toVersion` (inclusive, default latest) — the data files present in
     * the target manifest but not the base, so an incremental consumer

@@ -328,6 +328,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(rows2.count() == 1 && o3 == r3)
   }
 
+  test("restore is a metadata-only rollback; history reports every commit") {
+    val t = freshTable("restore")
+    SnapshotLog.commit(df(0, 30), t, "append", Seq("id"))
+    SnapshotLog.commit(df(30, 60), t, "append", Seq("id"))
+    SnapshotLog.commit(df(1000, 1005), t, "overwrite", Seq("id"))
+    // oops — roll back to version 2 without touching data
+    val filesBefore = SnapshotLog.manifest(s, t, 2L).files.map(_.path)
+    assert(SnapshotLog.restore(s, t, 2L) == 4L)
+    assert(SnapshotLog.read(s, t).count() == 60)
+    assert(SnapshotLog.manifest(s, t, 4L).files.map(_.path) == filesBefore)
+    // the bad version stays readable; a restore is itself undoable
+    assert(SnapshotLog.read(s, t, Some(3)).count() == 5)
+    SnapshotLog.restore(s, t, 3L)
+    assert(SnapshotLog.read(s, t).count() == 5)
+    // history reports one row per commit with the op chain
+    val h = SnapshotLog.history(s, t).orderBy($"version")
+      .select($"op", $"n_rows").as[(String, Long)].collect().toSeq
+    assert(h == Seq(("append", 30L), ("append", 60L), ("overwrite", 5L),
+      ("restore", 60L), ("restore", 5L)))
+    // vacuum after restore keeps every referenced file
+    SnapshotLog.vacuum(s, t)
+    assert(SnapshotLog.read(s, t, Some(2)).count() == 60)
+  }
+
   test("corrupt manifests fail loudly, never silently mis-answer") {
     val t = freshTable("corrupt")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
