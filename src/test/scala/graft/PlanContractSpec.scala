@@ -250,4 +250,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("wds-tar"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("qay: snapshot pruned read pushes the residual range to the parquet scan") {
+    // manifest pruning picks the files; the residual predicate must
+    // still reach the row-group level of the files that ARE read, and
+    // the read plan must stay exchange-free (scan → aggregate only)
+    val p = planOf("qay_snapshot_pruning")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_orderkey") &&
+      p.contains("LessThanOrEqual(l_orderkey"),
+      s"residual range not pushed to the snapshot scan:\n${p.take(1500)}")
+  }
+
+  test("qb2: incremental manifest-diff read plans a plain file scan, no join") {
+    val p = planOf("qb2_snapshot_changes")
+    assert(!p.contains("Join"), s"readChanges should be a scan:\n${p.take(1200)}")
+    assert(p.contains("partial"), s"aggregate lost map-side combine:\n${p.take(1200)}")
+  }
 }
