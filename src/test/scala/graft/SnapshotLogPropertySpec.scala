@@ -107,6 +107,17 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         }
         assert(tableRows(t) == model.sorted,
           s"seed=$seed op=$op choice=$choice diverged")
+        // point lookups agree with the model: one present key (if any)
+        // and one guaranteed-absent key — opened ⊆ range candidates
+        val presentK = model.headOption.map(_._1)
+        val absentK = nextId + 1000 + op
+        (presentK.toSeq :+ absentK).foreach { k =>
+          val (df, opened, range, _) = SnapshotLog.readPoint(s, t, "id", k)
+          assert(opened <= range, s"seed=$seed op=$op k=$k opened>range")
+          val got = df.select($"id", $"k", $"payload").as[Row3].collect().toSeq.sorted
+          assert(got == model.filter(_._1 == k).sorted,
+            s"seed=$seed op=$op point lookup k=$k diverged")
+        }
       }
 
       // time travel: every committed version equals its model snapshot

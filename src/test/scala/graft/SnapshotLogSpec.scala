@@ -352,6 +352,39 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t, Some(2)).count() == 60)
   }
 
+  test("maintenance racing committers: loser throws, table never corrupts") {
+    val t = freshTable("race")
+    for (b <- 0 until 6)
+      SnapshotLog.commit(df(b * 10, b * 10 + 10).repartition(1), t, "append", Seq("id"))
+    // compact and an appender race for the same version: exactly one
+    // wins the rename CAS; the compact loser surfaces the conflict
+    // (callers re-run maintenance), the retry-committer always lands
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 4) {
+        val compactF = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          def call(): Option[Long] =
+            try SnapshotLog.compact(s, t, 1L << 20, Seq("id"))
+            catch { case _: IllegalStateException => None } // lost the race
+        })
+        val appendF = pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SnapshotLog.commitWithRetry(
+            df(100 + round * 10, 110 + round * 10), t, "append", Seq("id"))
+        })
+        appendF.get(); compactF.get()
+        // whatever interleaving happened, the table answers correctly
+        val expect = 60 + (round + 1) * 10
+        assert(SnapshotLog.read(s, t).count() == expect,
+          s"round $round: row count diverged")
+      }
+      assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) ==
+        (0L until 60).sum + (100L until 140).sum)
+      // history is linear: versions 1..latest all present and readable
+      val latest = SnapshotLog.latestVersion(s, t).get
+      (1L to latest).foreach(v => SnapshotLog.manifest(s, t, v))
+    } finally pool.shutdown()
+  }
+
   test("corrupt manifests fail loudly, never silently mis-answer") {
     val t = freshTable("corrupt")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
