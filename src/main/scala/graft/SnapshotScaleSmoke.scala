@@ -45,10 +45,19 @@ object SnapshotScaleSmoke {
 
     // even keys only: sf0.1 orderkeys are DENSE, so the even-keyed half
     // makes every odd value an in-range ABSENT key — the probe class
-    // that exercises bloom skipping (range stats cannot skip it)
-    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    // that exercises bloom skipping (range stats cannot skip it).
+    // SPARK_GRAFT_SNAP_REPLICAS=R replicates the corpus R× with even
+    // key offsets (parity preserved) for higher scale tiers — the
+    // artifact then lands in BENCH_snapshot_smoke_<R>x.json.
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SNAP_REPLICAS", "1").toInt
+    val base0 = graft.core.Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
       .where(pmod(col("l_orderkey"), lit(2)) === 0)
+    val span = base0.agg(max(col("l_orderkey"))).head.getLong(0) + 2
+    val li =
+      if (replicas == 1) base0
+      else (0 until replicas).map(r => base0.withColumn("l_orderkey",
+        col("l_orderkey") + lit(r * span))).reduce(_ unionByName _)
     val width = li.agg(max(col("l_orderkey"))).head.getLong(0) / Buckets + 1
     val t = java.nio.file.Paths.get("target", "snap-smoke").toAbsolutePath.toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -60,7 +69,8 @@ object SnapshotScaleSmoke {
       (0 until Buckets).foreach { b =>
         SnapshotLog.commit(
           li.where(expr(s"l_orderkey DIV $width") === b).repartition(1),
-          t, "append", Seq("l_orderkey"), Seq("l_orderkey"), bloomBits = 1 << 15)
+          t, "append", Seq("l_orderkey"), Seq("l_orderkey"),
+          bloomBits = (1 << 15) * replicas) // keys/file grow with R
       }
     }
     val direct = agg(li)
@@ -182,7 +192,9 @@ object SnapshotScaleSmoke {
         s""""n_files_compacted":$compactedFiles,""" +
         s""""bloom_opened":$openedTotal,"range_candidates":$rangeTotal,""", ",", "}")
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_snapshot_smoke.json"),
+    val out = if (replicas == 1) "BENCH_snapshot_smoke.json"
+      else s"BENCH_snapshot_smoke_${replicas}x.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
