@@ -579,6 +579,109 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Merge-on-read delete fixture (qb7): the 8-bucket lineitem layout,
+    * then two deletion-vector rounds — (1) an arbitrary-predicate
+    * delete (`l_orderkey % 10 = 3`, the shape range stats cannot
+    * prune) masks every file; (2) a range delete [2w, 4w + w/2] drops
+    * buckets 2-3 whole (metadata-only, their round-1 DVs go with them)
+    * and EXTENDS bucket 4's mask (DV merge). No data file is rewritten
+    * in either round. The oracle reproduces the classification and
+    * both deletion counts from the same bucket arithmetic.
+    */
+  private val snapDvStats =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, SnapshotLog.DvStats, SnapshotLog.DvStats)]
+
+  private def snapDvPath(s: SparkSession, dir: String) =
+    snapDvStats.computeIfAbsent((s, dir), { _ =>
+      val p = s"target/snapdv-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val width = snapWidth(s, dir)
+      (0 until SnapBuckets).foreach { b =>
+        val part = li.where(expr(s"l_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
+      }
+      val st1 = SnapshotLog.deleteMatchingDV(s, p, col("l_orderkey") % 10 === 3).get
+      val st2 = SnapshotLog.deleteWhereDV(s, p, "l_orderkey",
+        2 * width, 4 * width + width / 2).get
+      (p, st1, st2)
+    })
+
+  /** CDC apply fixture (qb8): 4 range-bucketed orders files, then ONE
+    * `applyChanges` commit carrying updates (bucket 1, `% 10 = 3`,
+    * custkey bumped), deletes (bucket 2, `% 10 = 4`), and inserts
+    * (keys beyond every file interval). Exact candidacy must rewrite
+    * exactly buckets 1 and 2; the oracle recomputes the merged table
+    * and the file classification from the same bucket arithmetic.
+    */
+  private val snapApplyStats =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, SnapshotLog.MutationStats)]
+
+  private def snapApplyPath(s: SparkSession, dir: String) =
+    snapApplyStats.computeIfAbsent((s, dir), { _ =>
+      val p = s"target/snapapply-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / UpsertBuckets + 1
+      (0 until UpsertBuckets).foreach { b =>
+        val part = orders.where(expr(s"o_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("o_orderkey"))
+      }
+      val changes = orders
+        .where(expr(s"o_orderkey DIV $width") === 1 && col("o_orderkey") % 10 === 3)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .withColumn("op", lit("U"))
+        .unionByName(orders
+          .where(expr(s"o_orderkey DIV $width") === 2 && col("o_orderkey") % 10 === 4)
+          .withColumn("op", lit("D")))
+        .unionByName(orders
+          .where(expr(s"o_orderkey DIV $width") === 0 && col("o_orderkey") % 10 === 7)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderkey").as("o_custkey"))
+          .withColumn("op", lit("U")))
+      val st = SnapshotLog.applyChanges(changes, p, "o_orderkey")
+      (p, st)
+    })
+
+  /** Replication fixture (qb9): a 3-commit source table (orders in
+    * `% 3` slices) mirrored by [[SnapshotLog.replicateChanges]] in two
+    * pulls — one after the first two source commits, one after the
+    * third — with a final no-op pull proving the checkpoint (the dst
+    * manifest's epoch field) makes replication exactly-once with no
+    * external state. The consumed version pairs land in the hash.
+    */
+  private val snapReplState =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, Seq[(Long, Long)])]
+
+  private def snapReplPath(s: SparkSession, dir: String) =
+    snapReplState.computeIfAbsent((s, dir), { _ =>
+      val src = s"target/snaprepl-src-${Integer.toHexString(dir.hashCode)}"
+      val dst = s"target/snaprepl-dst-${Integer.toHexString(dir.hashCode)}"
+      Seq(src, dst).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 3 === 0),
+        src, "append", Seq("o_orderkey"))
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 3 === 1),
+        src, "append", Seq("o_orderkey"))
+      val pull1 = SnapshotLog.replicateChanges(s, src, dst, Seq("o_orderkey")).get
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 3 === 2),
+        src, "append", Seq("o_orderkey"))
+      val pull2 = SnapshotLog.replicateChanges(s, src, dst, Seq("o_orderkey")).get
+      require(SnapshotLog.replicateChanges(s, src, dst).isEmpty,
+        "up-to-date replication must be a no-op")
+      (dst, Seq(pull1, pull2))
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`).
@@ -1635,6 +1738,70 @@ object SourceQueries extends QueryPack {
       hist.unionByName(Seq((99L, m.op, m.files.size.toLong, restored))
         .toDF("version", "op", "n_files", "n_rows"))
         .orderBy(col("version"))
+    }),
+
+    // Merge-on-read deletion vectors: two delete rounds (arbitrary
+    // predicate masking every file, then a range delete that drops
+    // two buckets whole and EXTENDS one mask) with zero data files
+    // rewritten. The hash pins both rounds' classification counts and
+    // deleted-row totals, the surviving content, and the metadata
+    // row accounting (tableStats nets out the masks) — the oracle
+    // rebuilds all of it from the bucket arithmetic. See
+    // [[SnapshotLog.deleteWhereDV]] for the 100 TB rationale
+    // (scattered deletes cost positions, not rewrites).
+    "qb7_snapshot_dv_delete" -> ((s, dir) => {
+      val (t, st1, st2) = snapDvPath(s, dir)
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_masked1", lit(st1.filesMasked.toLong))
+        .withColumn("rows_del1", lit(st1.rowsDeleted))
+        .withColumn("n_dropped2", lit(st2.filesDropped.toLong))
+        .withColumn("n_masked2", lit(st2.filesMasked.toLong))
+        .withColumn("rows_del2", lit(st2.rowsDeleted))
+        .withColumn("stats_rows", lit(SnapshotLog.tableStats(s, t).rows))
+        .select(col("n_masked1"), col("rows_del1"), col("n_dropped2"),
+          col("n_masked2"), col("rows_del2"), col("n_rows"),
+          col("sum_qty"), col("stats_rows"))
+    }),
+
+    // CDC batch apply (the MERGE INTO shape): one commit carries
+    // updates, deletes, and inserts; exact candidacy rewrites only the
+    // two files the change keys land in. The hash covers the file
+    // classification and the merged content — a delete that lingers,
+    // an update that misses, an insert that rewrites, or a candidacy
+    // false-negative all break it against the oracle's replay of the
+    // same changelog.
+    "qb8_snapshot_apply_changes" -> ((s, dir) => {
+      val (t, st) = snapApplyPath(s, dir)
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("n_kept", lit(st.filesKept.toLong))
+        .withColumn("n_rewritten", lit(st.filesRewritten.toLong))
+        .select(col("n_kept"), col("n_rewritten"), col("n_rows"),
+          col("sum_key"), col("sum_cust"))
+    }),
+
+    // Incremental exactly-once replication: two pulls mirror a
+    // 3-commit source (the second moves ONLY the delta), a third is a
+    // checkpointed no-op. The consumed (srcVersion, dstVersion) pairs
+    // and the mirrored content are in the hash; the oracle recomputes
+    // the content from the source table and the version pairs from
+    // the pull schedule.
+    "qb9_snapshot_replicate" -> ((s, dir) => {
+      val (dst, pulls) = snapReplPath(s, dir)
+      SnapshotLog.read(s, dst).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("src_v1", lit(pulls(0)._1))
+        .withColumn("dst_v1", lit(pulls(0)._2))
+        .withColumn("src_v2", lit(pulls(1)._1))
+        .withColumn("dst_v2", lit(pulls(1)._2))
+        .select(col("src_v1"), col("dst_v1"), col("src_v2"), col("dst_v2"),
+          col("n_rows"), col("sum_key"), col("sum_cust"))
     })
     )
   }
@@ -1799,6 +1966,74 @@ object SourceQueries extends QueryPack {
           |  UNION ALL SELECT 5, 'compact', 1, total FROM c
           |  UNION ALL SELECT 99, 'restore', 4, total FROM c
           |) ORDER BY version""".stripMargin,
+      // both DV rounds mirrored from bucket arithmetic: round 1 masks
+      // every bucket holding a %10=3 key; round 2 drops buckets fully
+      // inside [lo,hi] and masks partial overlaps; deleted rows count
+      // only LIVE rows (the %10=3 mask of round 1 never re-counts)
+      "qb7_snapshot_dv_delete" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width FROM lineitem),
+           |r AS (SELECT 2 * width AS lo, 4 * width + width // 2 AS hi FROM w),
+           |b AS (SELECT l_orderkey, l_quantity, l_orderkey // width AS bucket
+           |      FROM lineitem, w),
+           |f AS (SELECT bucket, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+           |      FROM b GROUP BY bucket),
+           |d1 AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS n_masked1,
+           |       count(*) AS rows_del1 FROM b WHERE l_orderkey % 10 = 3),
+           |cls AS (SELECT
+           |  CAST(sum(CASE WHEN mn >= lo AND mx <= hi THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped2,
+           |  CAST(sum(CASE WHEN NOT (mx < lo OR mn > hi)
+           |            AND NOT (mn >= lo AND mx <= hi) THEN 1 ELSE 0 END) AS BIGINT) AS n_masked2
+           |  FROM f, r),
+           |d2 AS (SELECT count(*) AS rows_del2 FROM b, r
+           |       WHERE l_orderkey BETWEEN lo AND hi AND l_orderkey % 10 <> 3),
+           |q AS (SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty
+           |      FROM b, r
+           |      WHERE l_orderkey % 10 <> 3
+           |        AND NOT (l_orderkey BETWEEN lo AND hi))
+           |SELECT n_masked1, rows_del1, n_dropped2, n_masked2, rows_del2,
+           |       n_rows, sum_qty, n_rows AS stats_rows
+           |FROM d1, cls, d2, q""".stripMargin,
+      // the changelog replayed in SQL: latest-wins upserts, deletes
+      // removed, inserts appended; a file is rewritten iff ANY change
+      // key (update or delete) lands inside its [min,max]
+      "qb8_snapshot_apply_changes" ->
+        s"""WITH w AS (SELECT max(o_orderkey) // $UpsertBuckets + 1 AS width FROM orders),
+           |b AS (SELECT o_orderkey, o_custkey, o_orderkey // width AS bucket
+           |      FROM orders, w),
+           |f AS (SELECT bucket, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+           |      FROM b GROUP BY bucket),
+           |u AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, 'U' AS op
+           |      FROM b WHERE bucket = 1 AND o_orderkey % 10 = 3
+           |      UNION ALL
+           |      SELECT o_orderkey, o_custkey, 'D'
+           |      FROM b WHERE bucket = 2 AND o_orderkey % 10 = 4
+           |      UNION ALL
+           |      SELECT o_orderkey + 10000000, o_orderkey, 'U'
+           |      FROM b WHERE bucket = 0 AND o_orderkey % 10 = 7),
+           |cls AS (SELECT
+           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM u
+           |       WHERE u.o_orderkey BETWEEN f.mn AND f.mx) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM u
+           |       WHERE u.o_orderkey BETWEEN f.mn AND f.mx) THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten
+           |  FROM f),
+           |m AS (SELECT o_orderkey, o_custkey FROM b
+           |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+           |      UNION ALL
+           |      SELECT o_orderkey, o_custkey FROM u WHERE op = 'U'),
+           |q AS (SELECT count(*) AS n_rows,
+           |      CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |      CAST(sum(o_custkey) AS BIGINT) AS sum_cust FROM m)
+           |SELECT n_kept, n_rewritten, n_rows, sum_key, sum_cust
+           |FROM cls, q""".stripMargin,
+      // content = the whole source table; version pairs follow from
+      // the pull schedule (pull after src v2, pull after src v3)
+      "qb9_snapshot_replicate" ->
+        """SELECT CAST(2 AS BIGINT) AS src_v1, CAST(1 AS BIGINT) AS dst_v1,
+          | CAST(3 AS BIGINT) AS src_v2, CAST(2 AS BIGINT) AS dst_v2,
+          | count(*) AS n_rows,
+          | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM orders""".stripMargin,
       "q73_csv_roundtrip" -> fidelitySql,
       "q74_jsonl_roundtrip" -> fidelitySql,
       "q76_jsonl_gzip_roundtrip" -> fidelitySql,

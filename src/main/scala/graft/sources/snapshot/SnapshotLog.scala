@@ -39,14 +39,29 @@ object SnapshotLog {
 
   private val mapper = new ObjectMapper()
 
+  /** Deletion-vector reference: `path` is a parquet directory (relative
+    * to the table root) of `(__file string, __pos long)` deleted-row
+    * positions; `rows` is how many of them belong to the referencing
+    * file. Several files may share one DV directory — each entry claims
+    * only its own positions.
+    */
+  final case class DvRef(path: String, rows: Long)
+
   /** One immutable data file: row count, size, per-column [min,max]
-    * (absent for all-null files — those are never pruned away), and
+    * (absent for all-null files — those are never pruned away),
     * optional per-column Bloom filters (base64 bitmap over the portable
     * hash of the column's string form) for point-lookup file skipping
-    * beyond what ranges can express.
+    * beyond what ranges can express, and an optional deletion vector
+    * ([[DvRef]]) masking rows without rewriting the file
+    * (merge-on-read — see [[deleteWhereDV]]).
     */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
-      stats: Map[String, (Any, Any)], blooms: Map[String, String] = Map.empty)
+      stats: Map[String, (Any, Any)], blooms: Map[String, String] = Map.empty,
+      dv: Option[DvRef] = None)
+
+  /** Rows a file actually serves: written rows minus DV-masked rows. */
+  private def liveRows(f: FileEntry): Long =
+    f.rows - f.dv.map(_.rows).getOrElse(0L)
 
   /** `epoch` carries a streaming writer's batch id for exactly-once
     * replay detection ([[appendStreamBatch]]); -1 for batch commits.
@@ -231,15 +246,17 @@ object SnapshotLog {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
-    val (small, big) = m.files.partition(_.bytes < targetBytes)
-    if (small.size < 2) None
+    // a file with a deletion vector is compaction debt regardless of
+    // size: the rewrite materializes the DV (masked rows drop for good,
+    // the new file carries none) so read-side anti-joins don't pile up
+    val (small, big) = m.files.partition(f =>
+      f.bytes < targetBytes || f.dv.isDefined)
+    if (small.size < 2 && small.forall(_.dv.isEmpty)) None
     else {
       val v = v0 + 1
-      val absolute = small.map(f => new Path(new Path(table), f.path).toString)
       val n = math.max(1,
         math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-      val readBack = spark.read.schema(schema).parquet(absolute: _*)
+      val readBack = readFiles(spark, table, m, small) // DV-aware
       val rewritten =
         if (clusterBy.isEmpty) readBack.coalesce(n)
         else readBack
@@ -261,15 +278,20 @@ object SnapshotLog {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
     val latest = latestVersion(spark, table).getOrElse(return Nil)
-    val referenced = (1L to latest).flatMap { v =>
-      try manifest(spark, table, v).files.map(_.path) catch {
-        case _: java.io.FileNotFoundException => Nil // expired manifest
+    val manifests = (1L to latest).flatMap { v =>
+      try Some(manifest(spark, table, v)) catch {
+        case _: java.io.FileNotFoundException => None // expired manifest
       }
-    }.toSet
+    }
+    val referenced = manifests.flatMap(_.files.map(_.path)).toSet
+    // a referenced DV directory is kept whole — its contents are
+    // addressed collectively by the DvRefs that share it
+    val referencedDvDirs = manifests.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
     val dataRoot = new Path(tbl, "data")
     if (!fs.exists(dataRoot)) return Nil
     val orphans = fs.listStatus(dataRoot).flatMap { d =>
-      fs.listStatus(d.getPath)
+      if (referencedDvDirs("data/" + d.getPath.getName)) Array.empty[String]
+      else fs.listStatus(d.getPath)
         .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
           && !f.getPath.getName.startsWith("."))
         .map(f => "data/" + d.getPath.getName + "/" + f.getPath.getName)
@@ -327,10 +349,119 @@ object SnapshotLog {
         else writeData(
           readFiles(spark, table, m, rewrite)
             .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
-          table, v, statsCols)
+          table, v, (statsCols :+ column).distinct)
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles))
       Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
+    }
+  }
+
+  /** Outcome of a merge-on-read (deletion-vector) delete: untouched
+    * files, files dropped whole from the manifest (every live row
+    * matched — metadata-only), and files masked by a new/extended DV.
+    * No data file is rewritten, ever — that's the point.
+    */
+  final case class DvStats(version: Long, filesKept: Int, filesDropped: Int,
+      filesMasked: Int, rowsDeleted: Long)
+
+  /** Merge-on-read range delete: like [[deleteWhere]] but instead of
+    * rewriting partially-matching files it records the matching row
+    * POSITIONS in a deletion-vector sidecar and republishes the same
+    * data files with a [[DvRef]] — reads anti-join the mask out
+    * ([[readFiles]]). Stats-disjoint files are untouched, fully-covered
+    * files drop from the manifest (metadata-only, like an aligned
+    * retention delete), and the scan cost is the partially-matching
+    * files only. The 100 TB trade vs copy-on-write: a scattered delete
+    * (GDPR erasure, spot bad records) costs positions-sized metadata
+    * instead of rewriting every touched file; the rewrite is deferred
+    * to [[compact]], which materializes DVs. Repeated deletes merge:
+    * the new DV carries the union of old and new positions.
+    */
+  def deleteWhereDV(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any): Option[DvStats] = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val groups = m.files.groupBy { f =>
+      f.stats.get(column) match {
+        case Some((mn, mx)) if cmp(mn, hi) > 0 || cmp(mx, lo) < 0 => "keep"
+        case Some((mn, mx)) if cmp(mn, lo) >= 0 && cmp(mx, hi) <= 0 => "drop"
+        case _ => "mask" // partial overlap, or no stats: must read
+      }
+    }
+    dvDelete(spark, table, v0, m, groups.getOrElse("keep", Nil),
+      groups.getOrElse("drop", Nil), groups.getOrElse("mask", Nil),
+      col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Merge-on-read delete with an ARBITRARY predicate — the shape stats
+    * can't prune (`text rlike ...`, multi-column conditions). Every
+    * file is scanned once for matching positions; none is rewritten.
+    */
+  def deleteMatchingDV(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Option[DvStats] = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    dvDelete(spark, table, v0, m, Nil, Nil, m.files, condition)
+  }
+
+  private def dvDelete(spark: SparkSession, table: String, v0: Long,
+      m: Manifest, kept: Seq[FileEntry], dropped: Seq[FileEntry],
+      maskCand: Seq[FileEntry],
+      condition: org.apache.spark.sql.Column): Option[DvStats] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val v = v0 + 1
+    // positions still live (old DV applied) that match the predicate,
+    // unioned with the old positions of every candidate file — the new
+    // DV directory carries the FULL mask for the files it covers
+    val (maskedEntries, newlyDeleted, dvRel) =
+      if (maskCand.isEmpty) (Nil, 0L, None)
+      else {
+        val live = dvPositions(spark, table, maskCand) match {
+          case None => withPosition(spark, table, m, maskCand)
+          case Some(dv) => withPosition(spark, table, m, maskCand)
+            .join(dv, Seq("__file", "__pos"), "left_anti")
+        }
+        val newPos = live.where(condition).select(col("__file"), col("__pos"))
+        val full = (dvPositions(spark, table, maskCand) match {
+          case None => newPos
+          case Some(old) => newPos.unionByName(old)
+        }).persist()
+        val counts = full
+          .groupBy(col("__file")).agg(count(lit(1)).cast("long").as("n"))
+          .collect() // bounded by file count — metadata, not data
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rel =
+          if (counts.isEmpty) None
+          else {
+            val r = f"data/v$v%05d-dv-" +
+              java.util.UUID.randomUUID().toString.substring(0, 8)
+            full.write.parquet(new Path(tbl, r).toString)
+            Some(r)
+          }
+        full.unpersist()
+        val entries = maskCand.map { f =>
+          counts.get(f.path) match {
+            case Some(n) => f.copy(dv = Some(DvRef(rel.get, n)))
+            case None => f // no old mask, no new match: entry unchanged
+          }
+        }
+        val newly = maskCand.map(f =>
+          counts.getOrElse(f.path, 0L) - f.dv.map(_.rows).getOrElse(0L)).sum
+        (entries, newly, rel)
+      }
+    val droppedLive = dropped.map(liveRows).sum
+    if (dropped.isEmpty && newlyDeleted == 0L) {
+      dvRel.foreach(rel => fs.delete(new Path(tbl, rel), true)) // no-op round
+      None
+    } else {
+      publish(fs, tbl, Manifest(v, v0, "dv-delete", m.schemaDdl,
+        (kept ++ maskedEntries).sortBy(_.path)))
+      Some(DvStats(v, kept.size + maskedEntries.count(_.dv.isEmpty),
+        dropped.size, maskedEntries.count(_.dv.isDefined),
+        droppedLive + newlyDeleted))
     }
   }
 
@@ -375,9 +506,79 @@ object SnapshotLog {
     val existing = readFiles(spark, table, m, rewrite.map(_._1))
       .join(aligned.select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val newFiles = writeData(existing.unionByName(aligned), table, v, statsCols)
+    // key stats always land on the new files — exact candidacy for the
+    // NEXT batch depends on them (a stat-less file is always a candidate)
+    val newFiles = writeData(existing.unionByName(aligned), table, v,
+      (statsCols :+ keyCol).distinct)
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles))
+    MutationStats(v, kept.size, 0, rewrite.size)
+  }
+
+  /** CDC batch apply — the MERGE INTO shape: one commit applies a
+    * changelog of upserts and deletes. `changes` carries the table's
+    * columns plus `opCol` ∈ {"U" (upsert: replace-or-insert by
+    * `keyCol`), "D" (delete by `keyCol`; a miss is a no-op)}. Keys must
+    * be unique within the batch — pre-resolve multi-version changelogs
+    * with latest-wins (see `operators.CdcMerge`) so "apply" is
+    * unambiguous. Candidacy is the same exact one-pass interval test as
+    * [[upsert]] over ALL change keys (a delete prunes like an update),
+    * so scattered changes rewrite only the files their keys land in and
+    * pure inserts rewrite nothing. This is the "apply today's CDC feed
+    * to the 100 TB corpus table" operation: cost scales with changed
+    * files + changelog size, never the table.
+    */
+  def applyChanges(changes: DataFrame, table: String, keyCol: String,
+      opCol: String = "op", statsCols: Seq[String] = Nil): MutationStats = {
+    val spark = changes.sparkSession
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(changes.columns.toSet == schema.fieldNames.toSet + opCol,
+      s"change columns ${changes.columns.toSeq} != table ${schema.fieldNames.toSeq} + $opCol")
+    val aligned = changes.select(
+      (schema.fieldNames.toIndexedSeq :+ opCol).map(col): _*)
+
+    // one pass over the changelog: per-file key-containment flags plus
+    // batch validity (op vocabulary, key uniqueness)
+    val checks = m.files.zipWithIndex.map { case (f, i) =>
+      f.stats.get(keyCol) match {
+        case Some((mn, mx)) =>
+          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
+            .otherwise(0)).as(s"__f$i")
+        case None => max(lit(1)).as(s"__f$i") // no stats: always candidate
+      }
+    }
+    val head = Seq(count(lit(1)).cast("long").as("__n"),
+      countDistinct(col(keyCol)).cast("long").as("__nk"),
+      max(when(!col(opCol).isin("U", "D"), 1).otherwise(0)).as("__badop"),
+      sum(when(col(opCol) === "U", 1).otherwise(0)).cast("long").as("__nu"))
+    val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
+    if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
+    require(probe.getInt(2) == 0, s"op column '$opCol' has values outside {U, D}")
+    require(probe.getLong(1) == probe.getLong(0),
+      "duplicate keys in change batch — pre-resolve with latest-wins " +
+        "(operators.CdcMerge) before applying")
+    val touched = m.files.indices
+      .filter(i => !probe.isNullAt(i + 4) && probe.getInt(i + 4) == 1).toSet
+    val (rewrite, kept) = m.files.zipWithIndex.partition(p => touched(p._2))
+    // deletes that land in no file and zero inserts: nothing to commit
+    if (rewrite.isEmpty && probe.getLong(3) == 0L)
+      return MutationStats(v0, m.files.size, 0, 0)
+
+    val v = v0 + 1
+    val existing = readFiles(spark, table, m, rewrite.map(_._1))
+      .join(aligned.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val upserts = aligned.where(col(opCol) === "U")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // key stats always land on the new files — exact candidacy for the
+    // NEXT batch depends on them (a stat-less file is always a candidate)
+    val newFiles = writeData(existing.unionByName(upserts), table, v,
+      (statsCols :+ keyCol).distinct)
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -424,15 +625,19 @@ object SnapshotLog {
 
   /** Metadata-only table aggregates, answered from the manifest without
     * reading ANY data file — O(1) in table size. `rows`/`bytes`/`files`
-    * sum the manifest entries; `colRanges` folds per-file [min,max].
-    * The ranges are EXACT, not approximate: a file absent from a
-    * column's stats was all-null at commit time (see [[FileEntry]]), so
-    * it contributes no non-null value to the true min/max either. The
+    * sum the manifest entries (rows net of deletion-vector masks);
+    * `colRanges` folds per-file [min,max]. The ranges are EXACT for
+    * DV-free tables, not approximate: a file absent from a column's
+    * stats was all-null at commit time (see [[FileEntry]]), so it
+    * contributes no non-null value to the true min/max either. Under a
+    * deletion vector they degrade to conservative BOUNDS (a masked row
+    * may have held the extremum) — still sound for pruning; `deletedRows`
+    * reports the outstanding mask debt [[compact]] would clear. The
     * 100 TB win: `SELECT count(*), min(k), max(k)` costs one small JSON
     * read — the Iceberg metadata-query capability.
     */
   final case class TableStats(version: Long, rows: Long, bytes: Long,
-      files: Int, colRanges: Map[String, (Any, Any)])
+      files: Int, colRanges: Map[String, (Any, Any)], deletedRows: Long = 0L)
 
   def tableStats(spark: SparkSession, table: String,
       version: Option[Long] = None): TableStats = {
@@ -446,8 +651,8 @@ object SnapshotLog {
             if (cmp(mx1, mx2) >= 0) mx1 else mx2)
         }
       }
-    TableStats(v, m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
-      m.files.size, ranges)
+    TableStats(v, m.files.map(liveRows).sum, m.files.map(_.bytes).sum,
+      m.files.size, ranges, m.files.flatMap(_.dv.map(_.rows)).sum)
   }
 
   /** Optimistic-concurrency commit: data files land ONCE, then the
@@ -512,7 +717,7 @@ object SnapshotLog {
     (1L to latest).map { v =>
       val m = manifest(spark, table, v)
       (m.version, m.parent, m.op, m.epoch, m.files.size.toLong,
-        m.files.map(_.rows).sum, m.files.map(_.bytes).sum)
+        m.files.map(liveRows).sum, m.files.map(_.bytes).sum)
     }.toDF("version", "parent", "op", "epoch", "n_files", "n_rows", "n_bytes")
   }
 
@@ -544,6 +749,30 @@ object SnapshotLog {
     val basePaths = base.files.map(_.path).toSet
     readFiles(spark, table, target,
       target.files.filterNot(f => basePaths(f.path)))
+  }
+
+  /** Incremental table-to-table replication: pull the source versions
+    * `dst` hasn't seen and append them as ONE commit, recording the
+    * consumed source version in the destination manifest's epoch field —
+    * the same replay ledger [[appendStreamBatch]] uses, so replication
+    * is exactly-once and resumable with NO external checkpoint: crash
+    * after data-write but before publish leaves only vacuumable
+    * orphans; a re-run re-reads the checkpoint from `dst` itself.
+    * Source must be append-only over the replicated range
+    * ([[readChanges]] enforces it loudly); the destination should be
+    * owned by this replication (direct stream-appends would share the
+    * epoch ledger). Cost per pull is the NEW source data only — the
+    * 100 TB mirror-keeping shape. Returns (source version consumed,
+    * new destination version), or None when already up to date.
+    */
+  def replicateChanges(spark: SparkSession, src: String, dst: String,
+      statsCols: Seq[String] = Nil): Option[(Long, Long)] = {
+    val srcV = latestVersion(spark, src).getOrElse(return None)
+    val dstV0 = latestVersion(spark, dst).getOrElse(0L)
+    val ckpt = if (dstV0 == 0L) -1L else maxEpoch(spark, dst, dstV0)
+    if (ckpt >= srcV) return None
+    val changes = readChanges(spark, src, math.max(ckpt, 0L), Some(srcV))
+    appendStreamBatch(changes, dst, srcV, statsCols).map(v => (srcV, v))
   }
 
   /** Write-temp + atomic-rename publication; throws if the version was
@@ -642,7 +871,7 @@ object SnapshotLog {
     (df, opened.size, rangeCand.size, m.files.size)
   }
 
-  private def readFiles(spark: SparkSession, table: String, m: Manifest,
+  private def readFilesRaw(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     if (files.isEmpty) {
@@ -652,6 +881,58 @@ object SnapshotLog {
       spark.read.schema(schema).parquet(abs: _*)
     }
   }
+
+  /** Data-file names are `data/v<NNNNN>-<uuid8>/<part>`, so the relative
+    * path a manifest (and a DV) uses is recoverable from the scan's
+    * absolute `_metadata.file_path` by anchoring on the last
+    * `data/...` component.
+    */
+  private val FileRelRegex = "(data/v[^/]+/[^/]+)$"
+
+  /** The given files with `__file` (manifest-relative path) and `__pos`
+    * (row position within the file, from the parquet reader's
+    * `_metadata.row_index`) columns appended — the coordinate system
+    * deletion vectors address.
+    */
+  private def withPosition(spark: SparkSession, table: String, m: Manifest,
+      files: Seq[FileEntry]): DataFrame =
+    readFilesRaw(spark, table, m, files)
+      .withColumn("__file",
+        regexp_extract(col("_metadata.file_path"), FileRelRegex, 1))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Union of the DV positions claimed by `files` (None when no file
+    * carries a DV). A shared DV directory is read once and restricted
+    * to the files that reference it, so positions of files that have
+    * since been rewritten or dropped never leak back in.
+    */
+  private def dvPositions(spark: SparkSession, table: String,
+      files: Seq[FileEntry]): Option[DataFrame] = {
+    val dvFiles = files.filter(_.dv.isDefined)
+    if (dvFiles.isEmpty) None
+    else Some(dvFiles.groupBy(_.dv.get.path).map { case (p, fs) =>
+      spark.read.parquet(new Path(new Path(table), p).toString)
+        .where(col("__file").isin(fs.map(_.path): _*))
+        .select(col("__file"), col("__pos"))
+    }.reduce(_ unionByName _))
+  }
+
+  /** DV-aware read: files without a deletion vector take the plain scan
+    * (zero overhead, identical plan); files with one anti-join their
+    * masked positions out. The DV side is deleted-rows-sized — tiny
+    * next to the data — so the anti-join broadcasts under AQE at any
+    * table size.
+    */
+  private def readFiles(spark: SparkSession, table: String, m: Manifest,
+      files: Seq[FileEntry]): DataFrame =
+    dvPositions(spark, table, files) match {
+      case None => readFilesRaw(spark, table, m, files)
+      case Some(dv) =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        withPosition(spark, table, m, files)
+          .join(dv, Seq("__file", "__pos"), "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
 
   /** Order manifest stat scalars: numerics numerically, strings
     * lexically (matching parquet min/max semantics for each type).
@@ -692,6 +973,12 @@ object SnapshotLog {
         f.blooms.foreach { case (c, b64) => bm.put(c, b64) }
         fm.put("blooms", bm)
       }
+      f.dv.foreach { d =>
+        val dm = new JLinkedHashMap[String, Object]()
+        dm.put("path", d.path)
+        dm.put("rows", java.lang.Long.valueOf(d.rows))
+        fm.put("dv", dm)
+      }
       files.add(fm)
     }
     root.put("files", files)
@@ -712,8 +999,12 @@ object SnapshotLog {
         _.asInstanceOf[java.util.Map[String, Object]].asScala
           .map { case (c, b) => c -> b.toString }.toMap)
         .getOrElse(Map.empty[String, String])
+      val dv = fm.get("dv").map { o =>
+        val dm = o.asInstanceOf[java.util.Map[String, Object]].asScala
+        DvRef(dm("path").toString, jlong(dm("rows")))
+      }
       FileEntry(fm("path").toString, jlong(fm("rows")),
-        fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms)
+        fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv)
     }.toSeq
     Manifest(jlong(root("version")), jlong(root("parent")),
       root("op").toString, root("schema").toString, files,

@@ -11,14 +11,15 @@ import graft.sources.snapshot.SnapshotLog
 
 /** Model-based check of the snapshot-table format: random operation
   * sequences (append / overwrite / range delete / upsert / compact /
-  * stream-append with replays) run against BOTH the real table and an
-  * in-memory model. After every op the table must equal the model;
-  * after the sequence, every committed version must equal the model's
-  * history snapshot (time travel), metadata stats must equal model
-  * aggregates, and vacuum must not change any readable version. This
-  * pins the interaction space the single-op specs can't enumerate —
-  * e.g. delete-after-compact, upsert over stream-appended files,
-  * overwrite resetting history mid-sequence.
+  * stream-append with replays / deletion-vector delete / CDC
+  * applyChanges) run against BOTH the real table and an in-memory
+  * model. After every op the table must equal the model; after the
+  * sequence, every committed version must equal the model's history
+  * snapshot (time travel), metadata stats must equal model aggregates,
+  * and vacuum must not change any readable version. This pins the
+  * interaction space the single-op specs can't enumerate — e.g.
+  * delete-after-compact, a DV mask over stream-appended files, compact
+  * materializing a mask mid-sequence, upsert over a DV-masked file.
   */
 class SnapshotLogPropertySpec extends AnyFunSuite {
   private lazy val s = SparkTestSession.get
@@ -58,7 +59,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 10
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(6)
+        val choice = if (op == 0) 0 else rnd.nextInt(8)
         choice match {
           case 0 => // append
             val r = freshSlice("a")
@@ -104,6 +105,32 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               model = model ++ r
               history += res.get -> model
             }
+          case 6 => // deletion-vector delete over a random id window
+            val lo = rnd.nextLong(nextId.max(1))
+            val hi = lo + rnd.nextLong(20) + 1
+            SnapshotLog.deleteWhereDV(s, t, "id", lo, hi).foreach { st =>
+              model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
+              history += st.version -> model
+            }
+          case 7 => // CDC batch: random upserts + deletes + inserts
+            val ids = rnd.shuffle(model.map(_._1))
+            val ups = ids.take(rnd.nextInt(4))
+              .map(i => (i, i % 7, s"c$i", "U"))
+            val dels = ids.drop(ups.size).take(rnd.nextInt(3))
+              .map(i => (i, i % 7, s"x$i", "D"))
+            val ins = freshSlice("m").map(r => (r._1, r._2, r._3, "U"))
+            val batch = ups ++ dels ++ ins
+            if (batch.nonEmpty) {
+              val st = SnapshotLog.applyChanges(
+                batch.toDF("id", "k", "payload", "op"), t, "id")
+              if (st.version > (history.keySet + 0L).max) {
+                val delKeys = dels.map(_._1).toSet
+                val upMap = (ups ++ ins).map(r => r._1 -> (r._1, r._2, r._3)).toMap
+                model = model.filterNot(r => delKeys(r._1) || upMap.contains(r._1)) ++
+                  upMap.values.toVector.sortBy(_._1)
+                history += st.version -> model
+              }
+            }
         }
         assert(tableRows(t) == model.sorted,
           s"seed=$seed op=$op choice=$choice diverged")
@@ -124,11 +151,22 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
       history.foreach { case (v, expect) =>
         assert(tableRows(t, Some(v)) == expect.sorted, s"seed=$seed version $v")
       }
-      // metadata stats equal model aggregates
+      // metadata stats equal model aggregates (rows are net of DV
+      // masks; ranges are exact for DV-free tables and conservative
+      // BOUNDS — containing the true range — under a mask)
       val st = SnapshotLog.tableStats(s, t)
       assert(st.rows == model.size.toLong)
-      if (model.nonEmpty)
-        assert(st.colRanges("id") == (model.map(_._1).min, model.map(_._1).max))
+      if (model.nonEmpty) {
+        val (mn, mx) = st.colRanges("id")
+        val latestM = SnapshotLog.manifest(s, t,
+          SnapshotLog.latestVersion(s, t).get)
+        if (latestM.files.exists(_.dv.isDefined)) {
+          assert(mn.asInstanceOf[Long] <= model.map(_._1).min)
+          assert(mx.asInstanceOf[Long] >= model.map(_._1).max)
+        } else {
+          assert((mn, mx) == (model.map(_._1).min, model.map(_._1).max))
+        }
+      }
       // vacuum is invisible to every readable version
       SnapshotLog.vacuum(s, t)
       history.foreach { case (v, expect) =>

@@ -404,6 +404,136 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t).count() == 20)
   }
 
+  test("deleteWhereDV masks rows without rewriting any data file") {
+    val t = freshTable("dv")
+    // 4 range-bucketed files: [0,25) [25,50) [50,75) [75,100)
+    for (b <- 0 until 4)
+      SnapshotLog.commit(df(b * 25, b * 25 + 25).repartition(1), t, "append", Seq("id"))
+    val m0 = SnapshotLog.manifest(s, t, 4L)
+    // delete [25, 60]: [25,50) fully covered → dropped (metadata-only),
+    // [50,75) partial → masked by a DV, the others untouched
+    val st = SnapshotLog.deleteWhereDV(s, t, "id", 25L, 60L).get
+    assert(st == SnapshotLog.DvStats(5L, 2, 1, 1, 36L))
+    val m1 = SnapshotLog.manifest(s, t, 5L)
+    // NO new data file exists: every surviving entry is a parent file
+    assert(m1.files.map(_.path).toSet.subsetOf(m0.files.map(_.path).toSet))
+    assert(m1.files.count(_.dv.isDefined) == 1)
+    assert(m1.files.find(_.dv.isDefined).get.dv.get.rows == 11L) // 50..60
+    // reads mask the positions out; aggregates are exact
+    assert(SnapshotLog.read(s, t).count() == 64)
+    assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) ==
+      (0L until 100).filterNot(i => i >= 25 && i <= 60).sum)
+    // untouched rows of the masked file survive
+    assert(SnapshotLog.read(s, t).where($"id".between(61, 74)).count() == 14)
+    // time travel still serves the pre-delete snapshot
+    assert(SnapshotLog.read(s, t, Some(4)).count() == 100)
+    // metadata accounting: live rows net of masks, mask debt reported
+    val ts = SnapshotLog.tableStats(s, t)
+    assert(ts.rows == 64 && ts.deletedRows == 11)
+    assert(SnapshotLog.history(s, t).where($"version" === 5)
+      .select($"n_rows").head.getLong(0) == 64L)
+    // a delete matching nothing commits nothing
+    assert(SnapshotLog.deleteWhereDV(s, t, "id", 5000L, 6000L).isEmpty)
+    assert(SnapshotLog.latestVersion(s, t).contains(5L))
+  }
+
+  test("repeated DV deletes merge; compaction materializes the mask") {
+    val t = freshTable("dv-merge")
+    for (b <- 0 until 4)
+      SnapshotLog.commit(df(b * 25, b * 25 + 25).repartition(1), t, "append", Seq("id"))
+    SnapshotLog.deleteWhereDV(s, t, "id", 25L, 60L) // leaves 64 live rows
+    // arbitrary-predicate delete: stats can't prune, every file scans;
+    // live matches are ids ending in 1 → 1,11,21 | 61,71 | 81,91
+    val st = SnapshotLog.deleteMatchingDV(s, t, col("id") % 10 === 1).get
+    assert(st == SnapshotLog.DvStats(6L, 0, 0, 3, 7L))
+    val m = SnapshotLog.manifest(s, t, 6L)
+    // the twice-masked file carries the UNION of both rounds
+    assert(m.files.flatMap(_.dv.map(_.rows)).sorted == Seq(2L, 3L, 13L))
+    assert(SnapshotLog.read(s, t).count() == 57)
+    // a DV-deleted key is gone from point lookups too
+    val (hit, _, _, _) = SnapshotLog.readPoint(s, t, "id", 61L)
+    assert(hit.count() == 0)
+    assert(SnapshotLog.tableStats(s, t).deletedRows == 18)
+    // compaction pays the mask debt: same content, no DVs left
+    val expect = SnapshotLog.read(s, t)
+      .agg(count(lit(1)), sum($"id")).head.toSeq
+    val v = SnapshotLog.compact(s, t, 1L << 20, Seq("id")).get
+    assert(SnapshotLog.read(s, t).agg(count(lit(1)), sum($"id")).head.toSeq == expect)
+    assert(SnapshotLog.manifest(s, t, v).files.forall(_.dv.isEmpty))
+    assert(SnapshotLog.tableStats(s, t).deletedRows == 0)
+    // vacuum keeps DV sidecars referenced by historical versions:
+    // every version (pre-delete, masked, compacted) stays readable
+    SnapshotLog.vacuum(s, t)
+    assert(SnapshotLog.read(s, t, Some(4)).count() == 100)
+    assert(SnapshotLog.read(s, t, Some(5)).count() == 64)
+    assert(SnapshotLog.read(s, t, Some(6)).count() == 57)
+    assert(SnapshotLog.read(s, t).count() == 57)
+  }
+
+  test("applyChanges merges a CDC batch: upserts, deletes, inserts in one commit") {
+    val t = freshTable("apply")
+    for (b <- 0 until 4)
+      SnapshotLog.commit(df(b * 25, b * 25 + 25).repartition(1), t, "append", Seq("id"))
+    val m0 = SnapshotLog.manifest(s, t, 4L)
+    // updates hit file 2 ([25,50)), deletes hit file 4 ([75,100)),
+    // inserts land beyond every file interval
+    val changes = df(30, 35).withColumn("payload", lit("UPDATED"))
+      .withColumn("op", lit("U"))
+      .unionByName(df(75, 80).where($"id" % 2 === 1).withColumn("op", lit("D")))
+      .unionByName(df(1000, 1003).withColumn("op", lit("U")))
+    val st = SnapshotLog.applyChanges(changes, t, "id")
+    assert(st == SnapshotLog.MutationStats(5L, 2, 0, 2))
+    val m1 = SnapshotLog.manifest(s, t, 5L)
+    assert(m0.files.map(_.path).toSet.intersect(m1.files.map(_.path).toSet).size == 2)
+    val now = SnapshotLog.read(s, t)
+    assert(now.count() == 100) // 100 - 3 deletes (75,77,79) + 3 inserts
+    assert(now.where($"payload" === "UPDATED").count() == 5)
+    assert(now.where($"id".isin(75L, 77L, 79L)).count() == 0)
+    assert(now.where($"id".isin(76L, 78L)).count() == 2) // neighbors survive
+    assert(now.where($"id" >= 1000).count() == 3)
+    assert(now.groupBy($"id").count().where($"count" > 1).count() == 0)
+    // a delete for an absent key (beyond every file interval) is a
+    // no-op: nothing rewritten, a batch of ONLY missed deletes commits
+    // no version at all
+    val miss = df(5000, 5001).withColumn("op", lit("D"))
+    assert(SnapshotLog.applyChanges(miss, t, "id").filesRewritten == 0)
+    assert(SnapshotLog.latestVersion(s, t).contains(5L))
+    // duplicate keys must be pre-resolved (latest-wins) by the caller
+    intercept[IllegalArgumentException] {
+      SnapshotLog.applyChanges(changes.unionByName(changes.limit(1)), t, "id")
+    }
+    // op vocabulary is closed
+    intercept[IllegalArgumentException] {
+      SnapshotLog.applyChanges(df(0, 1).withColumn("op", lit("X")), t, "id")
+    }
+    // empty changelog: no commit
+    assert(SnapshotLog.applyChanges(changes.limit(0), t, "id").filesRewritten == 0)
+  }
+
+  test("replicateChanges mirrors a table incrementally, exactly-once") {
+    val t = freshTable("repl-src")
+    val d = freshTable("repl-dst")
+    SnapshotLog.commit(df(0, 50), t, "append", Seq("id"))
+    SnapshotLog.commit(df(50, 100), t, "append", Seq("id"))
+    // first pull: everything up to src v2, one dst commit
+    assert(SnapshotLog.replicateChanges(s, t, d, Seq("id")).contains((2L, 1L)))
+    assert(SnapshotLog.read(s, d).count() == 100)
+    // incremental pull moves ONLY the delta
+    SnapshotLog.commit(df(100, 120), t, "append", Seq("id"))
+    assert(SnapshotLog.replicateChanges(s, t, d, Seq("id")).contains((3L, 2L)))
+    assert(SnapshotLog.read(s, d).count() == 120)
+    assert(SnapshotLog.read(s, d).agg(sum($"id")).head.getLong(0) ==
+      (0L until 120).sum)
+    // up to date: no-op, no empty commits
+    assert(SnapshotLog.replicateChanges(s, t, d).isEmpty)
+    assert(SnapshotLog.latestVersion(s, d).contains(2L))
+    // a rewriting source version refuses loudly (the diff would lie)
+    SnapshotLog.compact(s, t, 1L << 30, Seq("id"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.replicateChanges(s, t, d)
+    }
+  }
+
   test("pruned read equals unpruned filtered read") {
     val t = freshTable("prune-eq")
     for (b <- 0 until 4)
