@@ -17,12 +17,22 @@ class StreamOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
 
-  // stream source dir: events with ts already truncated to micros
+  // Watermarks require TIMESTAMP (LTZ); the driver corpus carries
+  // tz-naive micros which Spark 4 infers as TIMESTAMP_NTZ. Cast once
+  // here — the session is pinned UTC, so the cast is wall-clock exact —
+  // and use the SAME frame for the stream fixture and every batch twin.
+  private lazy val events =
+    Tables.load(spark, sf, "events").withColumn("ts", col("ts").cast("timestamp"))
+
+  // stream source dir: events with ts already truncated to micros.
+  // Self-heals a stale fixture whose ts predates the LTZ normalization.
   private lazy val srcDir = {
     val d = Paths.get("target", "stream-src").toAbsolutePath
-    if (!Files.exists(d.resolve("_SUCCESS"))) {
-      Tables.load(spark, sf, "events")
-        .write.mode("overwrite").parquet(d.toString)
+    val stale = Files.exists(d.resolve("_SUCCESS")) &&
+      spark.read.parquet(d.toString).schema("ts").dataType !=
+        org.apache.spark.sql.types.TimestampType
+    if (stale || !Files.exists(d.resolve("_SUCCESS"))) {
+      events.write.mode("overwrite").parquet(d.toString)
     }
     d.toString
   }
@@ -34,7 +44,7 @@ class StreamOpsSpec extends AnyFunSuite {
       srcDir, schema, "hourly_out", OutputMode.Append())
       // append mode emits only closed windows; compare on the windows it emitted
       .select("hour", "event_type", "n", "sum_value")
-    val batch = Tables.load(spark, sf, "events")
+    val batch = events
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -47,7 +57,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("streaming session_window emits sessions that match the batch operator") {
     val streamed = StreamOps.runBounded(spark, StreamOps.sessionWindowAgg,
       srcDir, schema, "sesswin_out", OutputMode.Append())
-    val batch = Tables.load(spark, sf, "events")
+    val batch = events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("user_id"),
@@ -66,7 +76,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("stream-stream interval join equals the batch interval join") {
     val streamed = StreamOps.runBounded(spark, StreamOps.intervalJoin(_),
       srcDir, schema, "ssjoin_out", OutputMode.Append())
-    val ev = Tables.load(spark, sf, "events")
+    val ev = events
     val l = ev.select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
     val r = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
       col("event_id").as("r_id"))
@@ -83,7 +93,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val streamed = StreamOps.runBounded(spark,
       df => StreamOps.intervalJoin(df, "leftOuter"),
       srcDir, schema, "ssjoin_outer_out", OutputMode.Append())
-    val ev = Tables.load(spark, sf, "events")
+    val ev = events
     val l = ev.select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
     val r = ev.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
       col("event_id").as("r_id"))
@@ -297,7 +307,7 @@ class StreamOpsSpec extends AnyFunSuite {
     // batch twin (same logic as q50 without the portable rounding)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
-    val batch = Tables.load(spark, sf, "events")
+    val batch = events
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("new_s", when(col("prev").isNull ||
         unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L).otherwise(0L))
