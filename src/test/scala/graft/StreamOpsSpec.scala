@@ -25,12 +25,12 @@ class StreamOpsSpec extends AnyFunSuite {
     Tables.load(spark, sf, "events").withColumn("ts", col("ts").cast("timestamp"))
 
   // stream source dir: events with ts already truncated to micros.
-  // Self-heals a stale fixture whose ts predates the LTZ normalization.
+  // Self-heals a stale fixture whose schema drifted from the current
+  // events frame (any column, not just the ts LTZ normalization).
   private lazy val srcDir = {
     val d = Paths.get("target", "stream-src").toAbsolutePath
     val stale = Files.exists(d.resolve("_SUCCESS")) &&
-      spark.read.parquet(d.toString).schema("ts").dataType !=
-        org.apache.spark.sql.types.TimestampType
+      spark.read.parquet(d.toString).schema != events.schema
     if (stale || !Files.exists(d.resolve("_SUCCESS"))) {
       events.write.mode("overwrite").parquet(d.toString)
     }
