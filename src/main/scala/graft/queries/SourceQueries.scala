@@ -450,15 +450,33 @@ object SourceQueries extends QueryPack {
       val p = s"target/snapprune-${Integer.toHexString(dir.hashCode)}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       val li = graft.core.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_quantity")).persist()
       val width = snapWidth(s, dir)
       (0 until SnapBuckets).foreach { b =>
         val part = li.where(expr(s"l_orderkey DIV $width") === b)
         if (!part.isEmpty)
           SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
       }
+      li.unpersist()
       p
     })
+
+  /** Mutation fixtures (qb0/qb7) start from the identical 8-bucket
+    * layout [[snapPrunePath]] builds — manifests hold table-relative
+    * paths, so a directory copy IS a valid table (the relocatability
+    * contract, exercised here on purpose). Copying costs file bytes;
+    * rebuilding costs 8 commits × (write + stats pass) — the copy wins
+    * and keeps every mutating gate isolated from the shared read-only
+    * base.
+    */
+  private def snapBaseCopy(s: SparkSession, dir: String, name: String): String = {
+    val base = snapPrunePath(s, dir)
+    val p = s"target/$name-${Integer.toHexString(dir.hashCode)}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(base), new java.io.File(p))
+    p
+  }
 
   /** Stream-append + compaction fixture (qaz): `orders` lands as 4
     * micro-batch epochs (one file each), a restart replays epoch 3
@@ -502,16 +520,8 @@ object SourceQueries extends QueryPack {
 
   private def snapDeletePath(s: SparkSession, dir: String) =
     snapDeleteStats.computeIfAbsent((s, dir), { _ =>
-      val p = s"target/snapdelete-${Integer.toHexString(dir.hashCode)}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-      val li = graft.core.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
+      val p = snapBaseCopy(s, dir, "snapdelete")
       val width = snapWidth(s, dir)
-      (0 until SnapBuckets).foreach { b =>
-        val part = li.where(expr(s"l_orderkey DIV $width") === b)
-        if (!part.isEmpty)
-          SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
-      }
       val st = SnapshotLog.deleteWhere(s, p, "l_orderkey",
         2 * width, 4 * width + width / 2, Seq("l_orderkey")).get
       (p, st)
@@ -526,23 +536,58 @@ object SourceQueries extends QueryPack {
     */
   private[graft] val UpsertBuckets = 4
 
+  /** Orders-side bucket width (qb1/qb8 fixtures + oracles: `max // 4
+    * + 1`), cached like [[snapWidth]].
+    */
+  private val ordersWidthCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]
+
+  private def ordersWidth(s: SparkSession, dir: String): Long =
+    ordersWidthCache.computeIfAbsent((s, dir), { _ =>
+      val mx = graft.core.Tables.load(s, dir, "orders")
+        .agg(max(col("o_orderkey"))).head.getLong(0)
+      mx / UpsertBuckets + 1
+    })
+
+  /** Shared 4-bucket orders layout for the upsert/CDC fixtures —
+    * built once, copied per mutating gate (same relocatability
+    * contract as [[snapBaseCopy]]).
+    */
+  private def snapOrdersBasePath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapobase"), { _ =>
+      val p = s"target/snapobase-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).persist()
+      val width = ordersWidth(s, dir)
+      (0 until UpsertBuckets).foreach { b =>
+        val part = orders.where(expr(s"o_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("o_orderkey"))
+      }
+      orders.unpersist()
+      p
+    })
+
+  private def snapOrdersBaseCopy(s: SparkSession, dir: String, name: String): String = {
+    val base = snapOrdersBasePath(s, dir)
+    val p = s"target/$name-${Integer.toHexString(dir.hashCode)}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(base), new java.io.File(p))
+    p
+  }
+
   private val snapUpsertStats =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (String, SnapshotLog.MutationStats)]
 
   private def snapUpsertPath(s: SparkSession, dir: String) =
     snapUpsertStats.computeIfAbsent((s, dir), { _ =>
-      val p = s"target/snapupsert-${Integer.toHexString(dir.hashCode)}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val p = snapOrdersBaseCopy(s, dir, "snapupsert")
       val orders = graft.core.Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
-      val width = mx / UpsertBuckets + 1
-      (0 until UpsertBuckets).foreach { b =>
-        val part = orders.where(expr(s"o_orderkey DIV $width") === b)
-        if (!part.isEmpty)
-          SnapshotLog.commit(part.repartition(1), p, "append", Seq("o_orderkey"))
-      }
+      val width = ordersWidth(s, dir)
       val updates = orders
         .where(expr(s"o_orderkey DIV $width") === 1 && col("o_orderkey") % 10 === 3)
         .withColumn("o_custkey", col("o_custkey") + 1000000L)
@@ -568,7 +613,7 @@ object SourceQueries extends QueryPack {
       val p = s"target/snapbloom-${Integer.toHexString(dir.hashCode)}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       val li = graft.core.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_quantity")).persist()
       val width = snapWidth(s, dir)
       (0 until SnapBuckets).foreach { b =>
         val part = li.where(expr(s"l_orderkey DIV $width") === b)
@@ -576,6 +621,7 @@ object SourceQueries extends QueryPack {
           SnapshotLog.commit(part.repartition(1), p, "append",
             Seq("l_orderkey"), Seq("l_orderkey"), bloomBits = 1 << 17)
       }
+      li.unpersist()
       p
     })
 
@@ -594,16 +640,8 @@ object SourceQueries extends QueryPack {
 
   private def snapDvPath(s: SparkSession, dir: String) =
     snapDvStats.computeIfAbsent((s, dir), { _ =>
-      val p = s"target/snapdv-${Integer.toHexString(dir.hashCode)}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
-      val li = graft.core.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
+      val p = snapBaseCopy(s, dir, "snapdv")
       val width = snapWidth(s, dir)
-      (0 until SnapBuckets).foreach { b =>
-        val part = li.where(expr(s"l_orderkey DIV $width") === b)
-        if (!part.isEmpty)
-          SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
-      }
       val st1 = SnapshotLog.deleteMatchingDV(s, p, col("l_orderkey") % 10 === 3).get
       val st2 = SnapshotLog.deleteWhereDV(s, p, "l_orderkey",
         2 * width, 4 * width + width / 2).get
@@ -623,17 +661,10 @@ object SourceQueries extends QueryPack {
 
   private def snapApplyPath(s: SparkSession, dir: String) =
     snapApplyStats.computeIfAbsent((s, dir), { _ =>
-      val p = s"target/snapapply-${Integer.toHexString(dir.hashCode)}"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val p = snapOrdersBaseCopy(s, dir, "snapapply")
       val orders = graft.core.Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
-      val width = mx / UpsertBuckets + 1
-      (0 until UpsertBuckets).foreach { b =>
-        val part = orders.where(expr(s"o_orderkey DIV $width") === b)
-        if (!part.isEmpty)
-          SnapshotLog.commit(part.repartition(1), p, "append", Seq("o_orderkey"))
-      }
+      val width = ordersWidth(s, dir)
       val changes = orders
         .where(expr(s"o_orderkey DIV $width") === 1 && col("o_orderkey") % 10 === 3)
         .withColumn("o_custkey", col("o_custkey") + 1000000L)
@@ -684,13 +715,19 @@ object SourceQueries extends QueryPack {
 
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
-    * as `max // 8 + 1`).
+    * as `max // 8 + 1`). Cached per (session, corpus): several gates
+    * re-derive it and the max-scan job is pure overhead after the
+    * first.
     */
-  private def snapWidth(s: SparkSession, dir: String): Long = {
-    val mx = graft.core.Tables.load(s, dir, "lineitem")
-      .agg(max(col("l_orderkey"))).head.getLong(0)
-    mx / SnapBuckets + 1
-  }
+  private val snapWidthCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]
+
+  private def snapWidth(s: SparkSession, dir: String): Long =
+    snapWidthCache.computeIfAbsent((s, dir), { _ =>
+      val mx = graft.core.Tables.load(s, dir, "lineitem")
+        .agg(max(col("l_orderkey"))).head.getLong(0)
+      mx / SnapBuckets + 1
+    })
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = {
     // materialize fixtures at map-construction time so the driver's

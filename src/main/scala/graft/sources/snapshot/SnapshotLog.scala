@@ -161,9 +161,14 @@ object SnapshotLog {
   }
 
   /** Land `df` as immutable files for version-attempt `v` and return
-    * their manifest entries (stats from one pass over the NEW files
-    * only; sizes from the filesystem; blooms from one more pass, again
-    * over the new files only).
+    * their manifest entries. Row counts and column [min,max] harvest
+    * from the parquet FOOTERS the write just produced whenever every
+    * stats column is a plain numeric — a commit then costs zero extra
+    * Spark jobs, just a driver-side footer read per NEW file. Columns
+    * the footer can't vouch for (strings — writers may truncate binary
+    * stats, and these stats are load-bearing for file classification)
+    * fall back to one Spark pass over the new files only. Blooms, when
+    * requested, are one more pass over the new files.
     */
   private def writeData(df: DataFrame, table: String, v: Long,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -201,6 +206,101 @@ object SnapshotLog {
           }
       }.toMap
 
+    val entries = footerEntries(spark, fs, dataDir, dataRel, statsCols)
+      .getOrElse(scanEntries(spark, dataDir, dataRel, statsCols))
+    entries
+      .map { e =>
+        val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+        val fileBlooms = bloomCols.flatMap(c =>
+          blooms.get((name, c)).map(w => c -> bloomB64(w))).toMap
+        val bytes = fs.getFileStatus(new Path(dataDir, name)).getLen
+        e.copy(bytes = bytes, blooms = fileBlooms)
+      }.sortBy(_.path)
+  }
+
+  /** Footer-based stats harvest (the production commit path): exact by
+    * the parquet format contract for plain numeric physical types —
+    * INT32/INT64 with int-or-no logical annotation, FLOAT, DOUBLE.
+    * Int/float widen to long/double, which is exactly what the
+    * manifest JSON round-trip produces anyway. Returns None (use the
+    * Spark fallback) when any stats column is another type, is missing
+    * from a footer, or carries unusable statistics. Zero-row part
+    * files are excluded to match the scan path (Spark writes none).
+    */
+  private def footerEntries(spark: SparkSession,
+      fs: FileSystem, dataDir: Path, dataRel: String,
+      statsCols: Seq[String]): Option[Seq[FileEntry]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parts = fs.listStatus(dataDir).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    })
+    try {
+      Some(parts.toSeq.map { st =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val stats = statsCols.flatMap { c =>
+            val chunks = blocks.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c)
+                .getOrElse(throw FooterFallback))
+            chunks.headOption.foreach { ch =>
+              val pt = ch.getPrimitiveType
+              val ok = pt.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                  pt.getLogicalTypeAnnotation == null ||
+                    pt.getLogicalTypeAnnotation
+                      .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+                case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                  pt.getLogicalTypeAnnotation == null
+                case _ => false
+              }
+              if (!ok) throw FooterFallback
+            }
+            def widen(x: Any): Any = x match {
+              case n: java.lang.Integer => n.longValue()
+              case n: java.lang.Long => n.longValue()
+              case n: java.lang.Float => n.doubleValue()
+              case n: java.lang.Double => n.doubleValue()
+              case _ => throw FooterFallback
+            }
+            val present = chunks.filter { ch =>
+              val s = ch.getStatistics
+              if (s == null) throw FooterFallback
+              if (s.hasNonNullValue) true
+              // no non-null value is only trustworthy when the chunk is
+              // provably all-null; otherwise stats were not recorded
+              else if (s.isNumNullsSet && s.getNumNulls == ch.getValueCount) false
+              else throw FooterFallback
+            }
+            if (present.isEmpty) None // all-null column: no stats entry
+            else {
+              val mins = present.map(ch => widen(ch.getStatistics.genericGetMin))
+              val maxs = present.map(ch => widen(ch.getStatistics.genericGetMax))
+              Some(c -> (mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+                maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+            }
+          }.toMap
+          FileEntry(dataRel + "/" + st.getPath.getName, rows, st.getLen, stats)
+        } finally reader.close()
+      }.filter(_.rows > 0L))
+    } catch { case FooterFallback => None }
+  }
+
+  private object FooterFallback
+    extends Exception with scala.util.control.NoStackTrace
+
+  /** Spark-aggregation stats harvest — the fallback for stats columns
+    * the footer can't vouch for: one pass over the NEW files only.
+    */
+  private def scanEntries(spark: SparkSession, dataDir: Path,
+      dataRel: String, statsCols: Seq[String]): Seq[FileEntry] = {
     val aggs = count(lit(1)).cast("long").as("__rows") +:
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
@@ -211,17 +311,13 @@ object SnapshotLog {
       .map { r =>
         val abs = r.getString(0)
         val name = abs.substring(abs.lastIndexOf('/') + 1)
-        val rel = dataRel + "/" + name
         val stats = statsCols.flatMap { c =>
           val mn = r.getAs[Any](s"__min_$c")
           val mx = r.getAs[Any](s"__max_$c")
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
-        val fileBlooms = bloomCols.flatMap(c =>
-          blooms.get((name, c)).map(w => c -> bloomB64(w))).toMap
-        val bytes = fs.getFileStatus(new Path(dataDir, name)).getLen
-        FileEntry(rel, r.getAs[Long]("__rows"), bytes, stats, fileBlooms)
-      }.toSeq.sortBy(_.path)
+        FileEntry(dataRel + "/" + name, r.getAs[Long]("__rows"), 0L, stats)
+      }.toSeq
   }
 
   /** Compaction commit: coalesce every data file under `targetBytes`
