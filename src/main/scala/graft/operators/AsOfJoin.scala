@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, TimestampType}
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /** As-of (time-travel) join: for each left row, the nearest right row
   * of the same key — the latest with `rightTs <= leftTs` (backward,
@@ -35,6 +35,10 @@ object AsOfJoin {
 
   private def asMs(c: Column, dt: DataType): Column = dt match {
     case TimestampType => unix_millis(c)
+    // NTZ casts through TimestampType (session-tz reinterpretation) —
+    // the tolerance only ever uses DIFFERENCES of these values, so any
+    // fixed zone offset cancels and the gap is wall-clock exact
+    case TimestampNTZType => unix_millis(c.cast(TimestampType))
     case _ => c.cast("long")
   }
 
