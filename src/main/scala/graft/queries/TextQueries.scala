@@ -328,8 +328,94 @@ object TextQueries extends QueryPack {
         .join(exact.union(exactUnion.select($"source", $"n_exact")), Seq("source"))
         .select($"source", $"n_exact", $"hll_est", $"zero_regs")
         .orderBy($"source")
+    }),
+
+    // BPE merge-rule training (Sennrich et al. 2016) — the tokenizer-
+    // construction step of an LLM data pipeline, distributed: the
+    // corpus collapses to a word-frequency table in ONE shuffle, then
+    // every merge iteration is a vocab-sized aggregation whose argmax
+    // (count desc, pair asc — fully deterministic) is the only row the
+    // driver sees. The oracle replays all 8 iterations as unrolled
+    // MATERIALIZED CTEs sharing the engine's exact double-space
+    // `replace` merge semantics, so rule choice, tie-breaks, and pair
+    // counts all hash-match. See [[graft.operators.Bpe]].
+    "qbb_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = bpeState(s, dir)
+      merges.map(m => (m.rank, m.lhs, m.rhs, m.count))
+        .toDF("rank", "lhs", "rhs", "n").orderBy($"rank")
+    }),
+
+    // BPE apply — the production tokenize path: the 8 learned rules
+    // fold into ONE codegen `replace` chain (no join, no UDF, map-only
+    // at corpus scale), here run over the vocabulary and weighted by
+    // word counts to the corpus token spectrum. Exercises applyMerges,
+    // NOT the trainer's internal state — their equality is the point
+    // (also pinned per-word in BpeSpec).
+    "qbc_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, fin) = bpeState(s, dir)
+      fin.select(explode(graft.operators.Bpe.applyMerges($"word", merges))
+          .as("tok"), $"cnt")
+        .groupBy($"tok").agg(sum($"cnt").as("freq"))
+        .orderBy($"freq".desc, $"tok".asc).limit(20)
     })
   )
+
+  /** BPE training configuration shared by qbb/qbc and their oracles:
+    * top-2000 lowercase-alpha words, 8 merges. Trained once per
+    * (session, corpus) — the state is the merge list plus the final
+    * vocab-sized representations frame.
+    */
+  private val BpeVocab = 2000
+  private val BpeNumMerges = 8
+
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[graft.operators.Bpe.Merge], DataFrame)]
+
+  private def bpeState(s: SparkSession, dir: String) =
+    bpeCache.computeIfAbsent((s, dir), { _ =>
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.wordCounts(docs(s, dir), "text", BpeVocab),
+        BpeNumMerges)
+    })
+
+  /** The unrolled-iteration oracle prefix for the BPE gates: w0/r0 the
+    * word table and char representations, then per rank i the pair
+    * counts (p_i), the argmax rule (b_i), and the merged
+    * representations (r_i). MATERIALIZED is load-bearing: each CTE is
+    * referenced twice, and DuckDB's default inlining makes the chain
+    * exponential without it.
+    */
+  private def bpeOracleWith: String = {
+    val steps = (1 to BpeNumMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         | SELECT li || '  ' || ri AS pair, sum(cnt) AS n FROM (
+         |  SELECT cnt, a[i] AS li, a[i+1] AS ri
+         |  FROM (SELECT cnt, string_split(repr, '  ') AS a FROM r${i - 1}),
+         |       LATERAL unnest(range(1, len(a))) AS t(i)) GROUP BY 1),
+         |b$i AS MATERIALIZED (
+         | SELECT pair, replace(pair, '  ', '') AS merged, n
+         | FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |r$i AS MATERIALIZED (
+         | SELECT word, cnt,
+         |  trim(replace(' ' || repr || ' ',
+         |       ' ' || (SELECT pair FROM b$i) || ' ',
+         |       ' ' || (SELECT merged FROM b$i) || ' ')) AS repr
+         | FROM r${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       | SELECT unnest(${tokensSql("lower(text)")}) AS w FROM documents),
+       |w0 AS MATERIALIZED (
+       | SELECT w AS word, count(*) AS cnt FROM toks
+       | WHERE regexp_matches(w, '^[a-z]+$$')
+       | GROUP BY w ORDER BY cnt DESC, w LIMIT $BpeVocab),
+       |r0 AS MATERIALIZED (
+       | SELECT word, cnt,
+       |  concat(array_to_string(string_split(word, ''), '  '), '  </w>') AS repr
+       | FROM w0),
+       |$steps""".stripMargin
+  }
 
   /** Dense m-register HLL frame (source, bucket, m) from a (source, token)
     * frame — a groupBy max plus a dim-sized grid left-join for the empty
@@ -530,6 +616,26 @@ object TextQueries extends QueryPack {
          | FROM b)
          |SELECT doc_id, count(*) AS n_bigrams,
          | CAST(sum((1000000 * c2) // c1) // count(*) AS BIGINT) AS avg_ppm
-         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // each b_i row is one learned rule; the UNION ALL stack reads them
+    // in rank order with the pair split back into its two symbols
+    "qbb_bpe_train" ->
+      s"""$bpeOracleWith
+         |SELECT * FROM (
+         | ${(1 to BpeNumMerges).map(i =>
+              s"SELECT $i AS rank, split_part(pair, '  ', 1) AS lhs, " +
+                s"split_part(pair, '  ', 2) AS rhs, n::BIGINT AS n FROM b$i")
+              .mkString(" UNION ALL ")}
+         |) ORDER BY rank""".stripMargin,
+
+    // final representations r_K exploded to tokens, weighted by word
+    // frequency — the corpus token spectrum under the learned rules
+    "qbc_bpe_apply" ->
+      s"""$bpeOracleWith
+         |SELECT tok, sum(cnt)::BIGINT AS freq FROM (
+         | SELECT cnt, unnest(string_split(repr, '  ')) AS tok
+         | FROM r$BpeNumMerges)
+         |GROUP BY tok ORDER BY freq DESC, tok LIMIT 20""".stripMargin
   )
 }
