@@ -713,6 +713,37 @@ object SourceQueries extends QueryPack {
       (dst, Seq(pull1, pull2))
     })
 
+  /** Delta-manifest fixture (qbd): 12 single-file range-bucket commits
+    * over orders (width = max/12 + 1), then an aligned range delete of
+    * buckets 3-4 — versions 1..13 where v1 (no parent) and v10 (the
+    * CheckpointEvery boundary) are full checkpoints and the other 11
+    * are add/remove deltas, the delete being a remove-only one. The
+    * gate hashes the checkpoint arithmetic AND the surviving content
+    * resolved through the delta chain.
+    */
+  private[graft] val DeltaBuckets = 12
+
+  private def snapDeltaPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapdelta"), { _ =>
+      val p = s"target/snapdelta-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).persist()
+      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / DeltaBuckets + 1
+      (0 until DeltaBuckets).foreach { b =>
+        val part = orders.where(expr(s"o_orderkey DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append", Seq("o_orderkey"))
+      }
+      orders.unpersist()
+      val st = SnapshotLog.deleteWhere(s, p, "o_orderkey",
+        3 * width, 5 * width - 1).get
+      require(st.filesDropped == 2 && st.filesRewritten == 0,
+        s"delta fixture: expected aligned drop of 2 buckets, got $st")
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -1753,6 +1784,30 @@ object SourceQueries extends QueryPack {
           col("n_rows"), col("sum_qty"))
     }),
 
+    // Incremental (delta) manifests: 13 versions where only v1 and the
+    // CheckpointEvery boundary (v10) serialize the full file list —
+    // commit metadata is O(changed files), not O(table files). The
+    // hash pins the full/delta split, the latest file count, and the
+    // content RESOLVED THROUGH THE DELTA CHAIN (a wrong add/remove
+    // replay breaks the sums). Oracle mirrors the checkpoint
+    // arithmetic and recomputes the surviving buckets.
+    "qbd_snapshot_delta" -> ((s, dir) => {
+      val t = snapDeltaPath(s, dir)
+      val latest = SnapshotLog.latestVersion(s, t).get
+      val nFull = (1L to latest)
+        .count(v => SnapshotLog.isCheckpoint(s, t, v)).toLong
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("n_full", lit(nFull))
+        .withColumn("n_delta", lit(latest - nFull))
+        .withColumn("n_files",
+          lit(SnapshotLog.manifest(s, t, latest).files.size.toLong))
+        .select(col("n_full"), col("n_delta"), col("n_files"),
+          col("n_rows"), col("sum_key"), col("sum_cust"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -1988,6 +2043,20 @@ object SourceQueries extends QueryPack {
            |FROM rc, hit""".stripMargin,
       // the five-commit history from the epoch-slice arithmetic, plus
       // the post-restore state as version 99
+      // checkpoint arithmetic mirrored: versions 1..13, full at v1 (no
+      // parent) and v10 (CheckpointEvery boundary), delta elsewhere —
+      // including the remove-only delete; content = buckets except 3-4
+      "qbd_snapshot_delta" ->
+        s"""WITH w AS (SELECT max(o_orderkey) // $DeltaBuckets + 1 AS width FROM orders),
+           |kept AS (SELECT o_orderkey, o_custkey FROM orders, w
+           |         WHERE o_orderkey // width NOT IN (3, 4))
+           |SELECT CAST(2 AS BIGINT) AS n_full,
+           |  CAST(${DeltaBuckets + 1} - 2 AS BIGINT) AS n_delta,
+           |  CAST(${DeltaBuckets} - 2 AS BIGINT) AS n_files,
+           |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+           |FROM kept""".stripMargin,
+
       "qb6_snapshot_history_restore" ->
         """WITH c AS (SELECT
           |  CAST(count(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT) AS s0,

@@ -871,16 +871,37 @@ object SnapshotLog {
     appendStreamBatch(changes, dst, srcV, statsCols).map(v => (srcV, v))
   }
 
+  /** Delta-manifest encoding: a published version normally records only
+    * `add` (entries new or changed vs the parent) and `remove` (parent
+    * paths gone), with a FULL file-list checkpoint every
+    * [[CheckpointEvery]] versions — and whenever the delta would not
+    * actually be smaller (overwrite, compact, restore). This is what
+    * makes commits O(changed files) instead of O(table files) in
+    * metadata: a million-file table appends a daily batch with a
+    * KB-sized manifest rather than re-serializing the whole inventory —
+    * the Delta-log/Iceberg-snapshot insight. Readers resolve at most
+    * [[CheckpointEvery]]-1 parent hops, each one small JSON read; a
+    * missing ancestor fails loudly (vacuum never deletes manifests).
+    */
+  val CheckpointEvery = 10
+
   /** Write-temp + atomic-rename publication; throws if the version was
-    * concurrently committed.
+    * concurrently committed. Chooses delta vs full encoding here, so
+    * every commit path gets incremental manifests for free.
     */
   private def publish(fs: FileSystem, tbl: Path, m: Manifest): Unit = {
     fs.mkdirs(logDir(tbl))
+    val parentFiles =
+      if (m.version % CheckpointEvery == 0 || m.parent < 1) None
+      else
+        try Some(readManifest(fs, tbl, m.parent).files)
+        catch { case _: java.io.FileNotFoundException => None }
     val dest = manifestPath(tbl, m.version)
     val tmp = new Path(logDir(tbl),
       dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, false)
-    try out.write(renderJson(m).getBytes("UTF-8")) finally out.close()
+    try out.write(renderJson(m, parentFiles).getBytes("UTF-8"))
+    finally out.close()
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
@@ -888,9 +909,44 @@ object SnapshotLog {
     }
   }
 
-  def manifest(spark: SparkSession, table: String, version: Long): Manifest = {
-    val tbl = new Path(table)
-    val fs = fsOf(spark, tbl)
+  def manifest(spark: SparkSession, table: String, version: Long): Manifest =
+    readManifest(fsOf(spark, new Path(table)), new Path(table), version)
+
+  /** True when `version`'s manifest carries the full file list (a
+    * checkpoint or a delta-not-worth-it commit) rather than an
+    * add/remove delta — observability for the commit-cost contract.
+    */
+  def isCheckpoint(spark: SparkSession, table: String, version: Long): Boolean =
+    readRaw(fsOf(spark, new Path(table)), new Path(table), version).full.isDefined
+
+  /** Resolve a version's file list: a full manifest is itself; a delta
+    * replays onto its parent's resolved list — parent order preserved,
+    * changed entries swapped out, net-new entries appended (matching
+    * what append-shaped committers pass in).
+    */
+  private def readManifest(fs: FileSystem, tbl: Path, version: Long): Manifest = {
+    val raw = readRaw(fs, tbl, version)
+    raw.full match {
+      case Some(files) =>
+        Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files, raw.epoch)
+      case None =>
+        require(raw.parent >= 1,
+          s"delta manifest v${raw.version} has no parent to resolve against")
+        val base = readManifest(fs, tbl, raw.parent).files
+        val gone = raw.remove.toSet ++ raw.add.map(_.path)
+        Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl,
+          base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch)
+    }
+  }
+
+  /** One manifest file as stored: `full` for checkpoint encoding,
+    * add/remove for delta encoding.
+    */
+  private final case class RawManifest(version: Long, parent: Long,
+      op: String, schemaDdl: String, epoch: Long,
+      full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String])
+
+  private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest = {
     val p = manifestPath(tbl, version)
     val in = fs.open(p)
     val bytes =
@@ -1043,15 +1099,9 @@ object SnapshotLog {
 
   // ---- JSON rendering/parsing via Jackson's untyped tree ----
 
-  private def renderJson(m: Manifest): String = {
-    val root = new JLinkedHashMap[String, Object]()
-    root.put("version", java.lang.Long.valueOf(m.version))
-    root.put("parent", java.lang.Long.valueOf(m.parent))
-    root.put("op", m.op)
-    root.put("schema", m.schemaDdl)
-    root.put("epoch", java.lang.Long.valueOf(m.epoch))
+  private def filesJson(fs: Seq[FileEntry]): JArrayList[Object] = {
     val files = new JArrayList[Object]()
-    m.files.foreach { f =>
+    fs.foreach { f =>
       val fm = new JLinkedHashMap[String, Object]()
       fm.put("path", f.path)
       fm.put("rows", java.lang.Long.valueOf(f.rows))
@@ -1077,34 +1127,68 @@ object SnapshotLog {
       }
       files.add(fm)
     }
-    root.put("files", files)
+    files
+  }
+
+  private def renderJson(m: Manifest,
+      parentFiles: Option[Seq[FileEntry]]): String = {
+    val root = new JLinkedHashMap[String, Object]()
+    root.put("version", java.lang.Long.valueOf(m.version))
+    root.put("parent", java.lang.Long.valueOf(m.parent))
+    root.put("op", m.op)
+    root.put("schema", m.schemaDdl)
+    root.put("epoch", java.lang.Long.valueOf(m.epoch))
+    val delta = parentFiles.flatMap { pf =>
+      val pByPath = pf.map(f => f.path -> f).toMap
+      val newPaths = m.files.map(_.path).toSet
+      // changed entries (new stats, a DV, ...) ride in `add` and shadow
+      // their parent entry at resolution
+      val add = m.files.filterNot(f => pByPath.get(f.path).contains(f))
+      val remove = pf.map(_.path).filterNot(newPaths)
+      // delta only when strictly smaller than re-serializing everything
+      if (add.size + remove.size < m.files.size) Some((add, remove)) else None
+    }
+    delta match {
+      case Some((add, remove)) =>
+        root.put("add", filesJson(add))
+        val rm = new JArrayList[Object]()
+        remove.foreach(rm.add)
+        root.put("remove", rm)
+      case None => root.put("files", filesJson(m.files))
+    }
     mapper.writeValueAsString(root)
   }
 
-  private def parseJson(s: String): Manifest = {
+  private def parseJson(s: String): RawManifest = {
     val root = mapper.readValue(s, classOf[java.util.Map[String, Object]]).asScala
     def jlong(o: Object): Long = o.asInstanceOf[Number].longValue()
-    val files = root("files").asInstanceOf[java.util.List[_]].asScala.map { fo =>
-      val fm = fo.asInstanceOf[java.util.Map[String, Object]].asScala
-      val stats = fm("stats").asInstanceOf[java.util.Map[String, Object]]
-        .asScala.map { case (c, co) =>
-          val cm = co.asInstanceOf[java.util.Map[String, Object]].asScala
-          c -> (norm(cm("min")), norm(cm("max")))
-        }.toMap
-      val blooms = fm.get("blooms").map(
-        _.asInstanceOf[java.util.Map[String, Object]].asScala
-          .map { case (c, b) => c -> b.toString }.toMap)
-        .getOrElse(Map.empty[String, String])
-      val dv = fm.get("dv").map { o =>
-        val dm = o.asInstanceOf[java.util.Map[String, Object]].asScala
-        DvRef(dm("path").toString, jlong(dm("rows")))
-      }
-      FileEntry(fm("path").toString, jlong(fm("rows")),
-        fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv)
-    }.toSeq
-    Manifest(jlong(root("version")), jlong(root("parent")),
-      root("op").toString, root("schema").toString, files,
-      root.get("epoch").map(jlong).getOrElse(-1L))
+    def fileList(o: Object): Seq[FileEntry] =
+      o.asInstanceOf[java.util.List[_]].asScala.map { fo =>
+        val fm = fo.asInstanceOf[java.util.Map[String, Object]].asScala
+        val stats = fm("stats").asInstanceOf[java.util.Map[String, Object]]
+          .asScala.map { case (c, co) =>
+            val cm = co.asInstanceOf[java.util.Map[String, Object]].asScala
+            c -> (norm(cm("min")), norm(cm("max")))
+          }.toMap
+        val blooms = fm.get("blooms").map(
+          _.asInstanceOf[java.util.Map[String, Object]].asScala
+            .map { case (c, b) => c -> b.toString }.toMap)
+          .getOrElse(Map.empty[String, String])
+        val dv = fm.get("dv").map { o =>
+          val dm = o.asInstanceOf[java.util.Map[String, Object]].asScala
+          DvRef(dm("path").toString, jlong(dm("rows")))
+        }
+        FileEntry(fm("path").toString, jlong(fm("rows")),
+          fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv)
+      }.toSeq
+    RawManifest(jlong(root("version")), jlong(root("parent")),
+      root("op").toString, root("schema").toString,
+      root.get("epoch").map(jlong).getOrElse(-1L),
+      root.get("files").map(fileList),
+      root.get("add").map(fileList).getOrElse(Nil),
+      root.get("remove").map(
+        _.asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
+        .getOrElse(Nil))
   }
 
   /** Jackson deserializes small integers as Integer; widen to Long so

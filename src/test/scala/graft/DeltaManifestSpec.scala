@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.snapshot.SnapshotLog
+
+/** The incremental-manifest contract: commits publish add/remove deltas
+  * vs their parent with full checkpoints every CheckpointEvery versions
+  * (and whenever a delta would not be smaller), resolution replays the
+  * chain exactly, and a broken chain fails loudly.
+  */
+class DeltaManifestSpec extends AnyFunSuite {
+  private lazy val s = SparkTestSession.get
+  import s.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = Paths.get("target", s"deltamf-$name").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    p.toString
+  }
+
+  private def slice(b: Long) =
+    s.range(b * 100, (b + 1) * 100).select($"id", ($"id" % 7).as("k"))
+
+  private def manifestBytes(t: String, v: Long): Long =
+    new java.io.File(t, f"_log/v$v%05d.json").length()
+
+  test("append chain: deltas between checkpoints, exact resolution everywhere") {
+    val t = freshTable("chain")
+    (0 until 13).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    // v1 has no parent -> full; v10 is the checkpoint; the rest deltas
+    val kinds = (1L to 13L).map(v => SnapshotLog.isCheckpoint(s, t, v))
+    assert(kinds === Seq(true, false, false, false, false, false, false,
+      false, false, true, false, false, false))
+    // every version resolves to its exact prefix content
+    Seq(1L, 5L, 9L, 10L, 11L, 13L).foreach { v =>
+      val n = v * 100
+      assert(SnapshotLog.read(s, t, Some(v)).count() === n)
+      assert(SnapshotLog.read(s, t, Some(v)).agg(sum($"id")).head.getLong(0)
+        === (0L until n).sum)
+      assert(SnapshotLog.manifest(s, t, v).files.size === v.toInt)
+    }
+    // the commit-cost claim, measured: a delta appends one entry, a
+    // checkpoint re-serializes ten — the delta must be much smaller
+    assert(manifestBytes(t, 11) * 3 < manifestBytes(t, 10),
+      s"delta v11 ${manifestBytes(t, 11)}B vs checkpoint v10 ${manifestBytes(t, 10)}B")
+  }
+
+  test("changed entries (DV mask) ride the delta and shadow their parent entry") {
+    val t = freshTable("dv")
+    (0 until 3).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    val st = SnapshotLog.deleteWhereDV(s, t, "id", 50L, 59L).get
+    assert(st.filesMasked === 1)
+    assert(!SnapshotLog.isCheckpoint(s, t, 4L)) // 1 changed entry of 3
+    val m = SnapshotLog.manifest(s, t, 4L)
+    assert(m.files.size === 3)
+    assert(m.files.count(_.dv.isDefined) === 1)
+    assert(SnapshotLog.read(s, t).count() === 290)
+  }
+
+  test("overwrite and restore publish full manifests when a delta would not be smaller") {
+    val t = freshTable("ow")
+    (0 until 3).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    SnapshotLog.commit(slice(9).coalesce(1), t, "overwrite", Seq("id"))
+    assert(SnapshotLog.isCheckpoint(s, t, 4L)) // add 1 + remove 3 >= 1
+    assert(SnapshotLog.read(s, t).count() === 100)
+    val v = SnapshotLog.restore(s, t, 3L)
+    assert(SnapshotLog.read(s, t, Some(v)).count() === 300)
+  }
+
+  test("aligned delete is a remove-only delta") {
+    val t = freshTable("del")
+    (0 until 4).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    val st = SnapshotLog.deleteWhere(s, t, "id", 100L, 199L).get
+    assert(st.filesDropped === 1 && st.filesRewritten === 0)
+    assert(!SnapshotLog.isCheckpoint(s, t, 5L))
+    assert(SnapshotLog.read(s, t).count() === 300)
+    assert(SnapshotLog.manifest(s, t, 5L).files.size === 3)
+  }
+
+  test("a broken chain fails loudly, not silently") {
+    val t = freshTable("broken")
+    (0 until 4).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    // v3 is a delta; destroying its parent's manifest must break v3/v4
+    // resolution with a clear error while v1 stays readable
+    assert(new java.io.File(t, "_log/v00002.json").delete())
+    assert(SnapshotLog.read(s, t, Some(1L)).count() === 100)
+    intercept[java.io.FileNotFoundException] {
+      SnapshotLog.manifest(s, t, 4L)
+    }
+  }
+
+  test("deep history keeps every op kind correct across checkpoints") {
+    val t = freshTable("ops")
+    (0 until 12).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    val up = s.range(250, 260).select($"id", lit(99L).as("k"))
+    SnapshotLog.upsert(up, t, "id")                       // v13: rewrite 1 file
+    SnapshotLog.deleteWhere(s, t, "id", 400L, 499L)       // v14: drop 1 file
+    assert(SnapshotLog.read(s, t).count() === 1100)
+    assert(SnapshotLog.read(s, t).where($"k" === 99L).count() === 10)
+    // time travel across the whole mutation history still exact
+    assert(SnapshotLog.read(s, t, Some(12L)).count() === 1200)
+    assert(SnapshotLog.tableStats(s, t).rows === 1100)
+  }
+}
