@@ -1808,6 +1808,30 @@ object SourceQueries extends QueryPack {
           col("n_rows"), col("sum_key"), col("sum_cust"))
     }),
 
+    // Join-driven file skipping (runtime-filter shape): a key batch
+    // drawn from buckets 1 and 3 (plus beyond-max misses) must open
+    // exactly those two of the eight bloomed files — exact interval
+    // candidacy, not span-coarse — and the semi-join returns exactly
+    // the matching rows. Candidate/total counts are IN the hash;
+    // opened == candidates is required (present keys can never be
+    // bloom-skipped — one-sidedness, see [[SnapshotLog.readSemiJoin]]).
+    "qbe_snapshot_semijoin" -> ((s, dir) => {
+      val t = snapBloomPath(s, dir)
+      val width = snapWidth(s, dir)
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+      val mxk = li.agg(max(col("l_orderkey"))).head.getLong(0)
+      val keys = li.select(col("l_orderkey").as("k")).distinct()
+        .where(expr(s"k DIV $width").isin(1, 3) && col("k") % 100 === 7)
+        .unionByName(s.range(1, 4).select((lit(mxk) + 1000 + col("id")).as("k")))
+      val (df, opened, cand, total) =
+        SnapshotLog.readSemiJoin(s, t, "l_orderkey", keys, "k")
+      require(opened == cand, s"present-key files must open: $opened != $cand")
+      df.agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_cand", lit(cand.toLong))
+        .withColumn("n_total", lit(total.toLong))
+        .select(col("n_cand"), col("n_total"), col("n_rows"), col("sum_qty"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2043,6 +2067,18 @@ object SourceQueries extends QueryPack {
            |FROM rc, hit""".stripMargin,
       // the five-commit history from the epoch-slice arithmetic, plus
       // the post-restore state as version 99
+      // the pruning arithmetic mirrored: probe keys exist only in
+      // buckets 1 and 3 (dense keys guarantee a %100==7 hit in any
+      // width>=100 bucket), so exactly those files are candidates and
+      // the semi-join content is the bucket-and-modulus slice
+      "qbe_snapshot_semijoin" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width FROM lineitem)
+           |SELECT CAST(2 AS BIGINT) AS n_cand,
+           |  CAST($SnapBuckets AS BIGINT) AS n_total,
+           |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+           |FROM lineitem, w
+           |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
       // checkpoint arithmetic mirrored: versions 1..13, full at v1 (no
       // parent) and v10 (CheckpointEvery boundary), delta elsewhere —
       // including the remove-only delete; content = buckets except 3-4

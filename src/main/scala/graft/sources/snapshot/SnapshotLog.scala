@@ -1023,6 +1023,67 @@ object SnapshotLog {
     (df, opened.size, rangeCand.size, m.files.size)
   }
 
+  /** Join-driven file skipping — the runtime-filter / dynamic-pruning
+    * shape: restrict a snapshot scan to the files that can contain ANY
+    * key of another frame, BEFORE a data file opens. Candidacy is the
+    * upsert's exact one-pass interval test (a file survives iff some
+    * key lands inside its [min,max] — scattered keys keep only their
+    * files, not the whole span between them); surviving files with a
+    * Bloom filter for `column` are then probed with the distinct keys
+    * (driver-side, only when the key set is ≤ `maxProbeKeys`), which
+    * drops range-spanning files that share no actual key. The result
+    * is the pruned scan semi-joined to the keys — "fetch this batch of
+    * ids from the 100 TB table" costs the matching files only. At
+    * production file counts the per-file flag aggregation becomes a
+    * manifest-table range join (same contract as [[upsert]]'s note).
+    * Bloom probing is one-sided: a skipped file provably holds no key.
+    * Returns (rows, filesOpened, rangeCandidates, filesTotal).
+    */
+  def readSemiJoin(spark: SparkSession, table: String, column: String,
+      keys: DataFrame, keyCol: String, version: Option[Long] = None,
+      maxProbeKeys: Int = 10000): (DataFrame, Int, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    val ks = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val checks = m.files.zipWithIndex.map { case (f, i) =>
+      f.stats.get(column) match {
+        case Some((mn, mx)) =>
+          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
+            .otherwise(0)).as(s"__f$i")
+        case None => max(lit(1)).as(s"__f$i") // no stats: always candidate
+      }
+    }
+    val probe = ks.agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    if (probe.getLong(0) == 0L) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return (empty, 0, 0, m.files.size)
+    }
+    val cand = m.files.zipWithIndex.collect {
+      case (f, i) if !probe.isNullAt(i + 1) && probe.getInt(i + 1) == 1 => f
+    }
+    val opened =
+      if (!cand.exists(_.blooms.contains(column))) cand
+      else {
+        val probeKeys = ks.select(col(keyCol).cast("string")).distinct()
+          .limit(maxProbeKeys + 1).collect().map(_.getString(0))
+        if (probeKeys.length > maxProbeKeys) cand // too many: range verdict stands
+        else cand.filter { f =>
+          f.blooms.get(column) match {
+            case Some(b64) =>
+              val words = bloomDecode(b64)
+              probeKeys.exists(k => bloomMightContain(words, k))
+            case None => true
+          }
+        }
+      }
+    val df = readFiles(spark, table, m, opened)
+      .join(ks.select(col(keyCol).as(column)), Seq(column), "left_semi")
+    (df, opened.size, cand.size, m.files.size)
+  }
+
   private def readFilesRaw(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)

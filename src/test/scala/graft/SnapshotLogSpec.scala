@@ -328,6 +328,36 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(rows2.count() == 1 && o3 == r3)
   }
 
+  test("readSemiJoin prunes to the files a key batch actually lands in") {
+    val t = freshTable("semijoin")
+    // four range-disjoint files of EVEN ids with blooms
+    (0 until 4).foreach(b => SnapshotLog.commit(
+      df(b * 100L, b * 100L + 100).where($"id" % 2 === 0).repartition(1),
+      t, "append", Seq("id"), Seq("id")))
+    // keys land in files 0 and 2 only — exact candidacy keeps 2 of 4,
+    // and never the span-between files a coarse [lo,hi] test would keep
+    val keys = Seq(4L, 40L, 204L, 250L).toDF("k")
+    val (rows, opened, cand, total) =
+      SnapshotLog.readSemiJoin(s, t, "id", keys, "k")
+    assert(total == 4 && cand == 2 && opened == 2)
+    assert(rows.select($"id").collect().map(_.getLong(0)).sorted
+      === Array(4L, 40L, 204L, 250L))
+    // in-range ABSENT keys: range candidacy keeps the file, the bloom
+    // probe drops it — zero files open, zero rows, never a false miss
+    val odd = Seq(5L, 41L, 205L).toDF("k")
+    val (rows2, o2, c2, _) = SnapshotLog.readSemiJoin(s, t, "id", odd, "k")
+    assert(rows2.count() == 0 && o2 == 0 && c2 == 2,
+      s"opened=$o2 cand=$c2")
+    // empty key batch: nothing scans
+    val (rows3, o3, c3, _) =
+      SnapshotLog.readSemiJoin(s, t, "id", Seq.empty[Long].toDF("k"), "k")
+    assert(rows3.count() == 0 && o3 == 0 && c3 == 0)
+    // duplicate keys don't multiply rows (semi-join semantics)
+    val dup = Seq(4L, 4L, 4L).toDF("k")
+    val (rows4, _, _, _) = SnapshotLog.readSemiJoin(s, t, "id", dup, "k")
+    assert(rows4.count() == 1)
+  }
+
   test("restore is a metadata-only rollback; history reports every commit") {
     val t = freshTable("restore")
     SnapshotLog.commit(df(0, 30), t, "append", Seq("id"))
