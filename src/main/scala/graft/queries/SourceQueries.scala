@@ -744,6 +744,39 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Expiry fixture (qbf): v1-v3 append orders buckets 0-2 (width =
+    * max/10 + 1), v4 OVERWRITES with bucket 0 alone (making the first
+    * three files history-only), v5-v11 append buckets 1-7. Expiring to
+    * keepLast=2 must back the cutoff onto the v10 checkpoint, expire
+    * v1-v9, and reclaim exactly the three pre-overwrite files — while
+    * v10/v11 stay exactly readable. The expiry outcome and surviving
+    * content are the gate hash.
+    */
+  private[graft] val ExpireBuckets = 10
+
+  private val snapExpireState =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, Seq[Long], Seq[String])]
+
+  private def snapExpirePath(s: SparkSession, dir: String) =
+    snapExpireState.computeIfAbsent((s, dir), { _ =>
+      val p = s"target/snapexpire-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).persist()
+      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / ExpireBuckets + 1
+      def bucket(b: Int) = orders.where(expr(s"o_orderkey DIV $width") === b)
+      (0 until 3).foreach(b =>
+        SnapshotLog.commit(bucket(b).repartition(1), p, "append", Seq("o_orderkey")))
+      SnapshotLog.commit(bucket(0).repartition(1), p, "overwrite", Seq("o_orderkey"))
+      (1 until 8).foreach(b =>
+        SnapshotLog.commit(bucket(b).repartition(1), p, "append", Seq("o_orderkey")))
+      orders.unpersist()
+      val (expired, deleted) = SnapshotLog.expireVersions(s, p, keepLast = 2)
+      (p, expired, deleted)
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -1832,6 +1865,24 @@ object SourceQueries extends QueryPack {
         .select(col("n_cand"), col("n_total"), col("n_rows"), col("sum_qty"))
     }),
 
+    // Version expiry: after retiring history to keepLast=2, exactly
+    // v1-v9 expired (cutoff backed onto the v10 checkpoint so no
+    // surviving delta chain breaks), exactly the 3 pre-overwrite files
+    // reclaimed, and the survivors' content is bit-exact. The oracle
+    // mirrors the retention arithmetic and recomputes the surviving
+    // buckets.
+    "qbf_snapshot_expire" -> ((s, dir) => {
+      val (t, expired, deleted) = snapExpirePath(s, dir)
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"))
+        .withColumn("n_expired", lit(expired.size.toLong))
+        .withColumn("n_reclaimed", lit(deleted.size.toLong))
+        .withColumn("n_hist", lit(SnapshotLog.history(s, t).count()))
+        .select(col("n_expired"), col("n_reclaimed"), col("n_hist"),
+          col("n_rows"), col("sum_key"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2067,6 +2118,20 @@ object SourceQueries extends QueryPack {
            |FROM rc, hit""".stripMargin,
       // the five-commit history from the epoch-slice arithmetic, plus
       // the post-restore state as version 99
+      // retention arithmetic mirrored: 11 versions, checkpoint at 10,
+      // keepLast 2 -> expire 9 and reclaim the 3 overwritten files;
+      // surviving content = buckets 0..7 of the 10-bucket layout
+      "qbf_snapshot_expire" ->
+        s"""WITH w AS (SELECT max(o_orderkey) // $ExpireBuckets + 1 AS width FROM orders),
+           |kept AS (SELECT o_orderkey FROM orders, w
+           |         WHERE o_orderkey // width <= 7)
+           |SELECT CAST(9 AS BIGINT) AS n_expired,
+           |  CAST(3 AS BIGINT) AS n_reclaimed,
+           |  CAST(2 AS BIGINT) AS n_hist,
+           |  count(*) AS n_rows,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           |FROM kept""".stripMargin,
+
       // the pruning arithmetic mirrored: probe keys exist only in
       // buckets 1 and 3 (dense keys guarantee a %100==7 hit in any
       // width>=100 bucket), so exactly those files are candidates and

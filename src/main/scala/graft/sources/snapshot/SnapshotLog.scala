@@ -402,6 +402,55 @@ object SnapshotLog {
     orphans.sorted
   }
 
+  /** Retire old history: delete the manifests of versions that can no
+    * longer be time-traveled to, and the data files ONLY they
+    * reference — the retention half of the table lifecycle ([[vacuum]]
+    * removes crash debris; this removes history on purpose). The
+    * cutoff is delta-aware: versions >= `latest - keepLast + 1` must
+    * stay readable, and a delta manifest resolves through ancestors
+    * down to its nearest checkpoint, so expiry backs the cutoff down
+    * to the newest FULL manifest at or below the requested one —
+    * never leaving a surviving delta with a broken chain. Manifests
+    * delete before data files (a crash between the two leaves
+    * vacuumable orphans, never a readable version with missing data).
+    * At 100 TB: cost scales with the expired debris, and what it
+    * reclaims is exactly the storage old snapshots were pinning.
+    * Returns (expired versions, deleted data file paths).
+    */
+  def expireVersions(spark: SparkSession, table: String,
+      keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val latest = latestVersion(spark, table).getOrElse(return (Nil, Nil))
+    val cutoff0 = math.max(1L, latest - keepLast + 1)
+    var safe = cutoff0
+    while (safe > 1 && readRaw(fs, tbl, safe).full.isEmpty) safe -= 1
+    if (safe <= 1) return (Nil, Nil)
+    val expired = (1L until safe).filter(v => fs.exists(manifestPath(tbl, v)))
+    val surviving = (safe to latest).map(v => readManifest(fs, tbl, v))
+    val referenced = surviving.flatMap(_.files.map(_.path)).toSet
+    val refDvDirs = surviving.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
+    expired.foreach(v => fs.delete(manifestPath(tbl, v), false))
+    val dataRoot = new Path(tbl, "data")
+    val deleted =
+      if (!fs.exists(dataRoot)) Nil
+      else fs.listStatus(dataRoot).flatMap { d =>
+        if (refDvDirs("data/" + d.getPath.getName)) Array.empty[String]
+        else fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+          .map(f => "data/" + d.getPath.getName + "/" + f.getPath.getName)
+      }.filterNot(referenced).toSeq
+    deleted.foreach(rel => fs.delete(new Path(tbl, rel), false))
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { d =>
+      if (fs.listStatus(d.getPath).forall(st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")))
+        fs.delete(d.getPath, true)
+    }
+    (expired, deleted.sorted)
+  }
+
   /** Outcome of a copy-on-write mutation: how many of the parent
     * version's files survived untouched, were dropped without being
     * read (their stats proved every row matched the delete), or were
@@ -810,10 +859,13 @@ object SnapshotLog {
     import spark.implicits._
     val latest = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
-    (1L to latest).map { v =>
-      val m = manifest(spark, table, v)
-      (m.version, m.parent, m.op, m.epoch, m.files.size.toLong,
-        m.files.map(liveRows).sum, m.files.map(_.bytes).sum)
+    (1L to latest).flatMap { v =>
+      // an expired prefix ([[expireVersions]]) simply drops out of the log
+      try {
+        val m = manifest(spark, table, v)
+        Some((m.version, m.parent, m.op, m.epoch, m.files.size.toLong,
+          m.files.map(liveRows).sum, m.files.map(_.bytes).sum))
+      } catch { case _: java.io.FileNotFoundException => None }
     }.toDF("version", "parent", "op", "epoch", "n_files", "n_rows", "n_bytes")
   }
 

@@ -98,6 +98,36 @@ class DeltaManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("expireVersions backs the cutoff to a checkpoint and reclaims only unreferenced data") {
+    val t = freshTable("expire")
+    // v1-v3 appends, v4 overwrite (their files become history-only),
+    // v5-v11 appends — checkpoint lands at v10
+    (0 until 3).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    SnapshotLog.commit(slice(0).coalesce(1), t, "overwrite", Seq("id"))
+    (1 until 8).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    assert(SnapshotLog.latestVersion(s, t).contains(11L))
+    val (expired, deleted) = SnapshotLog.expireVersions(s, t, keepLast = 2)
+    // requested cutoff 10 IS the checkpoint; v1..v9 expire; only the
+    // three pre-overwrite files were referenced by nothing surviving
+    assert(expired === (1L to 9L))
+    assert(deleted.size === 3)
+    // survivors stay exactly readable, the expired prefix fails loudly
+    assert(SnapshotLog.read(s, t, Some(10L)).count() === 700)
+    assert(SnapshotLog.read(s, t).count() === 800)
+    assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0)
+      === (0L until 800).sum)
+    intercept[java.io.FileNotFoundException] {
+      SnapshotLog.read(s, t, Some(9L)).count()
+    }
+    // history tolerates the expired prefix; stats still metadata-only
+    assert(SnapshotLog.history(s, t).count() === 2)
+    assert(SnapshotLog.tableStats(s, t).rows === 800L)
+    // idempotent: nothing left to expire at the same retention
+    assert(SnapshotLog.expireVersions(s, t, keepLast = 2) === ((Nil, Nil)))
+  }
+
   test("deep history keeps every op kind correct across checkpoints") {
     val t = freshTable("ops")
     (0 until 12).foreach(b => SnapshotLog.commit(
