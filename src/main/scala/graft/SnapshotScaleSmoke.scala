@@ -75,6 +75,22 @@ object SnapshotScaleSmoke {
     }
     val direct = agg(li)
 
+    // delta-manifest accounting: 64 appends publish ~7 checkpoints and
+    // ~57 single-entry deltas — the byte ratio IS the commit-metadata
+    // claim (O(changed files), not O(table files)) measured on disk
+    val logDirF = new java.io.File(t, "_log")
+    val manifestKinds = (1 to Buckets).map { v =>
+      (new java.io.File(logDirF, f"v$v%05d.json").length(),
+        SnapshotLog.isCheckpoint(spark, t, v.toLong))
+    }
+    val ckpts = manifestKinds.filter(_._2).map(_._1)
+    val deltas = manifestKinds.filterNot(_._2).map(_._1)
+    val deltaAvgBytes = if (deltas.isEmpty) 0L else deltas.sum / deltas.size
+    val lastCkptBytes = ckpts.lastOption.getOrElse(0L)
+    require(deltas.nonEmpty && deltaAvgBytes * 5 < lastCkptBytes,
+      s"delta manifests (avg ${deltaAvgBytes}B) not smaller than " +
+        s"checkpoint (${lastCkptBytes}B)")
+
     val full = timed("read_full")(agg(SnapshotLog.read(spark, t)))
     require(full._3 == direct, s"full read ${full._3} != direct $direct")
 
@@ -190,7 +206,9 @@ object SnapshotScaleSmoke {
     val json = runs.map { case (n, sec) => s""""$n":$sec""" }
       .mkString(s"""{"n_rows":${direct._1},"n_files_built":$Buckets,""" +
         s""""n_files_compacted":$compactedFiles,""" +
-        s""""bloom_opened":$openedTotal,"range_candidates":$rangeTotal,""", ",", "}")
+        s""""bloom_opened":$openedTotal,"range_candidates":$rangeTotal,""" +
+        s""""n_checkpoints":${ckpts.size},"manifest_delta_avg_bytes":$deltaAvgBytes,""" +
+        s""""manifest_checkpoint_bytes":$lastCkptBytes,""", ",", "}")
     println(json)
     val out = if (replicas == 1) "BENCH_snapshot_smoke.json"
       else s"BENCH_snapshot_smoke_${replicas}x.json"
