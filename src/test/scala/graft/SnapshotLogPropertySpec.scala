@@ -145,6 +145,15 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
           assert(got == model.filter(_._1 == k).sorted,
             s"seed=$seed op=$op point lookup k=$k diverged")
         }
+        // join-driven skipping agrees with the model on a mixed batch
+        // of present and absent keys
+        val semiKeys = model.take(3).map(_._1) ++ Seq(absentK, absentK + 1)
+        val (sj, sjOpened, sjCand, _) =
+          SnapshotLog.readSemiJoin(s, t, "id", semiKeys.toDF("k"), "k")
+        assert(sjOpened <= sjCand, s"seed=$seed op=$op semi opened>cand")
+        val sjGot = sj.select($"id", $"k", $"payload").as[Row3].collect().toSeq.sorted
+        assert(sjGot == model.filter(r => semiKeys.contains(r._1)).sorted,
+          s"seed=$seed op=$op semi-join diverged")
       }
 
       // time travel: every committed version equals its model snapshot
@@ -171,6 +180,18 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
       SnapshotLog.vacuum(s, t)
       history.foreach { case (v, expect) =>
         assert(tableRows(t, Some(v)) == expect.sorted, s"seed=$seed post-vacuum $v")
+      }
+      // expiry: whatever it retires respects retention and is gone
+      // loudly; every survivor still equals its model snapshot
+      val (expired, _) = SnapshotLog.expireVersions(s, t, keepLast = 3)
+      val latestV = SnapshotLog.latestVersion(s, t).get
+      assert(expired.forall(_ < latestV - 1), s"seed=$seed expired $expired")
+      expired.foreach { v =>
+        intercept[java.io.FileNotFoundException] { tableRows(t, Some(v)) }
+      }
+      (history.keySet -- expired).foreach { v =>
+        assert(tableRows(t, Some(v)) == history(v).sorted,
+          s"seed=$seed post-expire $v")
       }
     }
   }
