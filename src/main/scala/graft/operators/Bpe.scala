@@ -95,8 +95,13 @@ object Bpe {
     * frame (persisted; caller unpersists).
     */
   def train(words: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
-    var cur = words.withColumn("repr", initRepr(col("word"))).persist()
-    cur.count()
+    // only the WORD TABLE is cached: iteration i's lineage is i folded
+    // replace() calls over that cache — vocab-sized codegen work, far
+    // cheaper than a persist/materialize round per iteration. One job
+    // per iteration (the argmax), plus one to seed and one to land.
+    val base = words.persist()
+    base.count()
+    var cur = base.withColumn("repr", initRepr(col("word")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     var rank = 1
@@ -110,15 +115,14 @@ object Bpe {
         val pair = best(0).getString(0)
         val Array(lhs, rhs) = pair.split(Sep, 2)
         merges += Merge(rank, lhs, rhs, best(0).getLong(1))
-        val next = cur.withColumn("repr", applyOne(col("repr"), lhs, rhs))
-          .persist()
-        next.count()
-        cur.unpersist()
-        cur = next
+        cur = cur.withColumn("repr", applyOne(col("repr"), lhs, rhs))
         rank += 1
       }
     }
-    (merges.toSeq, cur)
+    val fin = cur.persist()
+    fin.count()
+    base.unpersist()
+    (merges.toSeq, fin)
   }
 
   /** Tokenize a word column with learned merges: the production apply
