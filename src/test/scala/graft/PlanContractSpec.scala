@@ -267,4 +267,26 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"readChanges should be a scan:\n${p.take(1200)}")
     assert(p.contains("partial"), s"aggregate lost map-side combine:\n${p.take(1200)}")
   }
+
+  test("qbe: semi-join fetch broadcasts the key batch, never shuffles the table side") {
+    // manifest candidacy already cut the scan to 2 files; the residual
+    // semi-join must be a broadcast build over the (small) key batch —
+    // a SortMergeJoin here would re-shuffle the fetched data for no
+    // reason
+    val p = planOf("qbe_snapshot_semijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"semi-join not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"table side shuffled:\n${p.take(1500)}")
+  }
+
+  test("qbc: BPE apply is a pure codegen projection — no join, no UDF in the plan") {
+    // the K learned rules fold into one replace() chain: the only
+    // exchange is the final token aggregation, and nothing leaves
+    // whole-stage codegen for an interpreter
+    val p = planOf("qbc_bpe_apply")
+    assert(!p.contains("Join"), s"BPE apply should be map-only:\n${p.take(1200)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"BPE apply left codegen:\n${p.take(1200)}")
+    assert(p.contains("partial"), s"token aggregation lost map-side combine:\n${p.take(1200)}")
+  }
 }
