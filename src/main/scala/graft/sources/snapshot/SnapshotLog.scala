@@ -66,8 +66,14 @@ object SnapshotLog {
   /** `epoch` carries a streaming writer's batch id for exactly-once
     * replay detection ([[appendStreamBatch]]); -1 for batch commits.
     */
+  /** `ts` is the publish wall-clock (epoch millis), stamped by
+    * [[publish]] — the basis for age-based retention
+    * ([[expireOlderThan]]). Monotone non-strict along the version
+    * chain (commits are serialized by the rename CAS).
+    */
   final case class Manifest(version: Long, parent: Long, op: String,
-      schemaDdl: String, files: Seq[FileEntry], epoch: Long = -1L)
+      schemaDdl: String, files: Seq[FileEntry], epoch: Long = -1L,
+      ts: Long = 0L)
 
   private def logDir(tbl: Path) = new Path(tbl, "_log")
 
@@ -420,10 +426,41 @@ object SnapshotLog {
   def expireVersions(spark: SparkSession, table: String,
       keepLast: Int): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = latestVersion(spark, table).getOrElse(return (Nil, Nil))
+    expireBelow(spark, table, latest, math.max(1L, latest - keepLast + 1))
+  }
+
+  /** Age-based retention (the VACUUM-retention shape): expire every
+    * version whose manifest was published before `cutoffTs` (epoch
+    * millis), keeping the latest version unconditionally and backing
+    * the cutoff onto a checkpoint exactly like [[expireVersions]].
+    * Timestamps are the publish wall-clock — monotone along the chain,
+    * so the walk stops at the first old-enough version.
+    */
+  def expireOlderThan(spark: SparkSession, table: String,
+      cutoffTs: Long): (Seq[Long], Seq[String]) = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
     val latest = latestVersion(spark, table).getOrElse(return (Nil, Nil))
-    val cutoff0 = math.max(1L, latest - keepLast + 1)
+    var keepFrom = latest
+    var v = latest
+    var walking = true
+    while (v >= 1 && walking) {
+      val raw =
+        try Some(readRaw(fs, tbl, v))
+        catch { case _: java.io.FileNotFoundException => None } // already expired
+      raw match {
+        case Some(r) if r.ts >= cutoffTs => keepFrom = v; v -= 1
+        case _ => walking = false
+      }
+    }
+    expireBelow(spark, table, latest, keepFrom)
+  }
+
+  private def expireBelow(spark: SparkSession, table: String,
+      latest: Long, cutoff0: Long): (Seq[Long], Seq[String]) = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
     var safe = cutoff0
     while (safe > 1 && readRaw(fs, tbl, safe).full.isEmpty) safe -= 1
     if (safe <= 1) return (Nil, Nil)
@@ -941,7 +978,8 @@ object SnapshotLog {
     * concurrently committed. Chooses delta vs full encoding here, so
     * every commit path gets incremental manifests for free.
     */
-  private def publish(fs: FileSystem, tbl: Path, m: Manifest): Unit = {
+  private def publish(fs: FileSystem, tbl: Path, m0: Manifest): Unit = {
+    val m = m0.copy(ts = System.currentTimeMillis()) // retention clock
     fs.mkdirs(logDir(tbl))
     val parentFiles =
       if (m.version % CheckpointEvery == 0 || m.parent < 1) None
@@ -980,14 +1018,15 @@ object SnapshotLog {
     val raw = readRaw(fs, tbl, version)
     raw.full match {
       case Some(files) =>
-        Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files, raw.epoch)
+        Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files,
+          raw.epoch, raw.ts)
       case None =>
         require(raw.parent >= 1,
           s"delta manifest v${raw.version} has no parent to resolve against")
         val base = readManifest(fs, tbl, raw.parent).files
         val gone = raw.remove.toSet ++ raw.add.map(_.path)
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl,
-          base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch)
+          base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch, raw.ts)
     }
   }
 
@@ -995,7 +1034,7 @@ object SnapshotLog {
     * add/remove for delta encoding.
     */
   private final case class RawManifest(version: Long, parent: Long,
-      op: String, schemaDdl: String, epoch: Long,
+      op: String, schemaDdl: String, epoch: Long, ts: Long,
       full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String])
 
   private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest = {
@@ -1251,6 +1290,7 @@ object SnapshotLog {
     root.put("op", m.op)
     root.put("schema", m.schemaDdl)
     root.put("epoch", java.lang.Long.valueOf(m.epoch))
+    root.put("ts", java.lang.Long.valueOf(m.ts))
     val delta = parentFiles.flatMap { pf =>
       val pByPath = pf.map(f => f.path -> f).toMap
       val newPaths = m.files.map(_.path).toSet
@@ -1297,6 +1337,7 @@ object SnapshotLog {
     RawManifest(jlong(root("version")), jlong(root("parent")),
       root("op").toString, root("schema").toString,
       root.get("epoch").map(jlong).getOrElse(-1L),
+      root.get("ts").map(jlong).getOrElse(0L),
       root.get("files").map(fileList),
       root.get("add").map(fileList).getOrElse(Nil),
       root.get("remove").map(

@@ -128,6 +128,22 @@ class DeltaManifestSpec extends AnyFunSuite {
     assert(SnapshotLog.expireVersions(s, t, keepLast = 2) === ((Nil, Nil)))
   }
 
+  test("expireOlderThan retires by publish timestamp with the same checkpoint backing") {
+    val t = freshTable("age")
+    (0 until 13).foreach(b => SnapshotLog.commit(
+      slice(b.toLong).coalesce(1), t, "append", Seq("id")))
+    // cutoff at v12's publish time: v12/v13 are new enough; the cutoff
+    // then backs onto the v10 checkpoint so survivors resolve
+    val cut = SnapshotLog.manifest(s, t, 12L).ts
+    assert(cut > 0L)
+    val (expired, _) = SnapshotLog.expireOlderThan(s, t, cut)
+    assert(expired === (1L to 9L), s"expired $expired")
+    assert(SnapshotLog.read(s, t, Some(10L)).count() === 1000)
+    assert(SnapshotLog.read(s, t).count() === 1300)
+    // a cutoff in the deep past expires nothing more
+    assert(SnapshotLog.expireOlderThan(s, t, 1L) === ((Nil, Nil)))
+  }
+
   test("deep history keeps every op kind correct across checkpoints") {
     val t = freshTable("ops")
     (0 until 12).foreach(b => SnapshotLog.commit(
