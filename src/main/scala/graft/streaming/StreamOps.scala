@@ -210,6 +210,21 @@ object StreamOps {
       .filter(col("cos") >= minCos)
   }
 
+  /** Streaming BPE tokenization: the learned merge rules are driver
+    * constants, so apply is a STATELESS per-row projection — identical
+    * plan batch or stream, no state store, no watermark. Emits the
+    * per-doc subword token count under the trained tokenizer — the
+    * streaming admission-control shape ("does this doc fit the token
+    * budget") for a continuously ingested corpus.
+    */
+  def streamingBpeTokenize(docsStream: DataFrame,
+      merges: Seq[graft.operators.Bpe.Merge]): DataFrame =
+    docsStream.select(col("doc_id"),
+      aggregate(
+        transform(graft.functions.TextFunctions.tokens(lower(col("text"))),
+          w => size(graft.operators.Bpe.applyMerges(w, merges))),
+        lit(0), (acc, n) => acc + n).as("n_bpe_tokens"))
+
   case class CdcRecord(doc_id: Long, text: String, version: Long, op: String)
 
   /** Streaming CDC latest-wins upsert — the keyed-state twin of

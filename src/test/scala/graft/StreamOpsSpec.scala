@@ -227,6 +227,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("streaming BPE tokenization equals the batch token counts row-for-row") {
+    val base = Tables.load(spark, sf, "documents")
+    val docsDir = Paths.get("target", "stream-simroute-docs").toAbsolutePath
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      base.write.mode("overwrite").parquet(docsDir.toString)
+    }
+    // rules trained batch-side once; apply is a stateless projection
+    val (merges, fin) = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordCounts(base, "text", 2000), 4)
+    fin.unpersist()
+    assert(merges.size === 4)
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingBpeTokenize(df, merges),
+      docsDir.toString, schema, "bpe_out", OutputMode.Append())
+    val batch = StreamOps.streamingBpeTokenize(base, merges)
+    assert(streamed.count() === base.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    // merged rules really compress: fewer subword tokens than chars
+    val chars = base.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.length(col("text")))).head.getLong(0)
+    val toks = batch.agg(org.apache.spark.sql.functions.sum(col("n_bpe_tokens")))
+      .head.getLong(0)
+    assert(toks > 0 && toks < chars)
+  }
+
   test("streaming incremental dedup: stream-static anti-join matches the batch q9f key set") {
     val base = Tables.load(spark, sf, "documents")
     val fpCol = graft.functions.FastText.textStatsUdf(col("text")).getField("fp")
