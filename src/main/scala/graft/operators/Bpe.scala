@@ -136,4 +136,28 @@ object Bpe {
       applyOne(r, m.lhs, m.rhs))
     split(folded, Sep)
   }
+
+  /** Persist learned rules beside the corpus (one parquet of
+    * rank/lhs/rhs/count — the tokenizer ships WITH the data, like a
+    * tokenizer.json). Rank order is the load-bearing part: merges must
+    * replay in training order, so load sorts by rank and save refuses
+    * a non-contiguous ranking.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    require(merges.map(_.rank) == (1 to merges.size),
+      s"merge ranks must be contiguous from 1, got ${merges.map(_.rank)}")
+    import spark.implicits._
+    merges.map(m => (m.rank, m.lhs, m.rhs, m.count))
+      .toDF("rank", "lhs", "rhs", "count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .select(col("rank"), col("lhs"), col("rhs"), col("count"))
+      .collect() // vocabulary-sized model state, not data
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
 }

@@ -78,6 +78,23 @@ class BpeSpec extends AnyFunSuite {
     assert(toks === Seq("x", "</w>"))
   }
 
+  test("merges round-trip through parquet in rank order") {
+    val (merges, fin) = Bpe.train(
+      wordsDf("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 5)
+    fin.unpersist()
+    val p = "target/bpe-merges-rt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    Bpe.saveMerges(spark, merges, p)
+    val loaded = Bpe.loadMerges(spark, p)
+    assert(loaded === merges)
+    // applied rules are interchangeable with the originals
+    import spark.implicits._
+    val toks = Seq("lowest").toDF("word")
+      .select(Bpe.applyMerges(col("word"), loaded).as("t"))
+      .head.getSeq[String](0)
+    assert(toks === Seq("low", "est</w>"))
+  }
+
   test("wordCounts is the deterministic top-k word table") {
     import spark.implicits._
     val docs = Seq("b b a a", "a B1 -x").toDF("text")
