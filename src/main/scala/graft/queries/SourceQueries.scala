@@ -777,6 +777,33 @@ object SourceQueries extends QueryPack {
       (p, expired, deleted)
     })
 
+  /** Schema-evolution fixture (qbg): v1 appends the even-orderkey slice
+    * with the 2-column schema, v2 is a METADATA-ONLY evolve adding
+    * `o_band STRING` (same files, one manifest write), v3 appends the
+    * odd slice with the band populated. Pre-evolution files are never
+    * touched; the explicit-schema read serves their bands as NULL.
+    */
+  private def snapEvolvePath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapevolve"), { _ =>
+      val p = s"target/snapevolve-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 2 === 0).repartition(2),
+        p, "append", Seq("o_orderkey"))
+      val widened = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType
+          .fromDDL(SnapshotLog.manifest(s, p, 1L).schemaDdl).fields :+
+          org.apache.spark.sql.types.StructField("o_band",
+            org.apache.spark.sql.types.StringType)).toDDL
+      SnapshotLog.evolveSchema(s, p, widened)
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 2 === 1)
+        .withColumn("o_band",
+          when(col("o_custkey") % 3 === 0, "gold").otherwise("std")),
+        p, "append", Seq("o_orderkey"))
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -1883,6 +1910,31 @@ object SourceQueries extends QueryPack {
           col("n_rows"), col("sum_key"))
     }),
 
+    // Metadata-only schema evolution: adding a column to a versioned
+    // table costs ONE manifest write — zero data moves — and files
+    // written before the evolve serve NULL for the new column through
+    // the explicit-schema read. The hash pins the op chain (append,
+    // evolve-schema, append), the time-travel schema (v1 still reads 2
+    // columns and only its own rows), and the merged content's null
+    // accounting; a backfill pass, a lost evolve on the second append,
+    // or a pre-evolution file leaking non-null bands all break it.
+    "qbg_snapshot_schema_evolve" -> ((s, dir) => {
+      val t = snapEvolvePath(s, dir)
+      val v1cols = org.apache.spark.sql.types.StructType
+        .fromDDL(SnapshotLog.manifest(s, t, 1L).schemaDdl).length.toLong
+      val v1rows = SnapshotLog.read(s, t, Some(1L)).count()
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        count(when(col("o_band").isNull, 1)).as("n_null_band"),
+        count(when(col("o_band") === "gold", 1)).as("n_gold"))
+        .withColumn("v1_cols", lit(v1cols))
+        .withColumn("v1_rows", lit(v1rows))
+        .withColumn("n_hist", lit(SnapshotLog.history(s, t).count()))
+        .select(col("v1_cols"), col("v1_rows"), col("n_hist"),
+          col("n_rows"), col("sum_key"), col("n_null_band"), col("n_gold"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2143,6 +2195,25 @@ object SourceQueries extends QueryPack {
            |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
            |FROM lineitem, w
            |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
+      // the evolution replayed relationally: even slice carries NULL
+      // band (pre-evolution files), odd slice the computed band; v1
+      // time travel = the even slice alone under the 2-column schema
+      "qbg_snapshot_schema_evolve" ->
+        """WITH ev AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+          |od AS (SELECT o_orderkey,
+          |         CASE WHEN o_custkey % 3 = 0 THEN 'gold' ELSE 'std' END AS o_band
+          |       FROM orders WHERE o_orderkey % 2 = 1),
+          |u AS (SELECT o_orderkey, NULL AS o_band FROM ev
+          |      UNION ALL SELECT o_orderkey, o_band FROM od)
+          |SELECT CAST(2 AS BIGINT) AS v1_cols,
+          |  (SELECT count(*) FROM ev) AS v1_rows,
+          |  CAST(3 AS BIGINT) AS n_hist,
+          |  count(*) AS n_rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  count(*) FILTER (WHERE o_band IS NULL) AS n_null_band,
+          |  count(*) FILTER (WHERE o_band = 'gold') AS n_gold
+          |FROM u""".stripMargin,
 
       // checkpoint arithmetic mirrored: versions 1..13, full at v1 (no
       // parent) and v10 (CheckpointEvery boundary), delta elsewhere —

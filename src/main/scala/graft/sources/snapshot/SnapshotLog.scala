@@ -124,13 +124,50 @@ object SnapshotLog {
       bloomBits: Int = DefaultBloomBits): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
-    val newFiles = writeData(df, table, v, statsCols, bloomCols, bloomBits)
+    // an append conforms to the TABLE's schema (same columns/types,
+    // parent's order and DDL) — it must never silently reset a schema
+    // the table evolved to ([[evolveSchema]]); overwrite replaces the
+    // schema along with the data, so it publishes the frame's own DDL
+    val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
+    val (aligned, ddl) = parent match {
+      case Some(p) if mode == "append" => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
+      case _ => (df, df.schema.toDDL)
+    }
+    val newFiles = writeData(aligned, table, v, statsCols, bloomCols, bloomBits)
     val prior =
-      if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
-      else Nil
+      if (mode == "append") parent.map(_.files).getOrElse(Nil) else Nil
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v - 1, mode, df.schema.toDDL, prior ++ newFiles))
+      Manifest(v, v - 1, mode, ddl, prior ++ newFiles))
     v
+  }
+
+  /** Check an appended frame against the table schema and put its
+    * columns in manifest order so written files are layout-uniform.
+    * Exact types for the columns present (nullability aside); columns
+    * the frame doesn't carry are permitted when nullable and fill with
+    * typed NULLs — so a writer predating an additive [[evolveSchema]]
+    * keeps working. Columns the TABLE doesn't know are rejected: that's
+    * a schema change and must go through evolveSchema.
+    */
+  private def alignToSchema(df: DataFrame, ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    val unknown = df.columns.toSet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"append columns ${unknown.toSeq.sorted} not in table schema " +
+        s"${schema.fieldNames.sorted.toSeq} — evolveSchema first")
+    val cols = schema.fields.map { f =>
+      if (df.columns.contains(f.name)) {
+        val dt = df.schema(f.name).dataType
+        require(dt == f.dataType,
+          s"append column '${f.name}' type ${dt.sql} != table ${f.dataType.sql}")
+        col(f.name)
+      } else {
+        require(f.nullable,
+          s"append is missing non-nullable table column '${f.name}'")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   /** Bloom geometry: k fixed at 3; bits per file-column configurable at
@@ -782,11 +819,15 @@ object SnapshotLog {
     if (v0 > 0 && maxEpoch(spark, table, v0) >= epochId) None // replay
     else {
       val v = v0 + 1
-      val newFiles = writeData(df, table, v, statsCols)
-      val prior = if (v > 1) manifest(spark, table, v - 1).files else Nil
+      val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
+      val (aligned, ddl) = parent match { // same conformance as commitAs
+        case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
+        case None => (df, df.schema.toDDL)
+      }
+      val newFiles = writeData(aligned, table, v, statsCols)
       publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "stream-append", df.schema.toDDL,
-          prior ++ newFiles, epochId))
+        Manifest(v, v0, "stream-append", ddl,
+          parent.map(_.files).getOrElse(Nil) ++ newFiles, epochId))
       Some(v)
     }
   }
@@ -851,15 +892,33 @@ object SnapshotLog {
     val spark = df.sparkSession
     val tbl = new Path(table)
     var v = latestVersion(spark, table).getOrElse(0L) + 1
-    val newFiles = writeData(df, table, v, statsCols)
+    // same append-schema conformance as [[commitAs]]; data files are
+    // written ONCE with the start-time column set, but the DDL published
+    // re-reads the parent on every attempt — a concurrent evolveSchema
+    // landing mid-retry only ADDS nullable columns, which this commit's
+    // files legitimately serve as NULL, so the widened schema must not
+    // be lost to a racing append
+    val aligned =
+      if (mode == "append" && v > 1)
+        alignToSchema(df, manifest(spark, table, v - 1).schemaDdl)
+      else df
+    val newFiles = writeData(aligned, table, v, statsCols)
     var attempt = 1
     while (true) {
-      val prior =
-        if (mode == "append" && v > 1) manifest(spark, table, v - 1).files
-        else Nil
+      val (prior, ddl) =
+        if (mode == "append" && v > 1) {
+          val p = manifest(spark, table, v - 1)
+          // our columns must still conform (evolution is additive-only,
+          // so this can only fail against an outside-protocol rewrite)
+          require(aligned.columns.toSet.subsetOf(
+            org.apache.spark.sql.types.StructType.fromDDL(p.schemaDdl)
+              .fieldNames.toSet),
+            s"table schema diverged mid-retry: ${p.schemaDdl}")
+          (p.files, p.schemaDdl)
+        } else (Nil, aligned.schema.toDDL)
       try {
         publish(fsOf(spark, tbl), tbl,
-          Manifest(v, v - 1, mode, df.schema.toDDL, prior ++ newFiles))
+          Manifest(v, v - 1, mode, ddl, prior ++ newFiles))
         return v
       } catch {
         case e: IllegalStateException =>
@@ -869,6 +928,43 @@ object SnapshotLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Metadata-only schema evolution: publish a new version with the SAME
+    * data files and a widened schema — adding a column to a 100 TB table
+    * costs one manifest write, zero data movement. Pre-evolution files
+    * serve NULL for added columns (the explicit-schema parquet read
+    * yields exactly that, see [[readFilesRaw]]), so no backfill pass is
+    * ever required. Only ADDITIVE evolution is allowed: every existing
+    * column keeps its name and exact type, and added columns must be
+    * nullable (old files have no values for them). Renames, drops, and
+    * type changes are rejected loudly — parquet pages are immutable, and
+    * silent coercion is how tables corrupt. Time travel to a
+    * pre-evolution version reads the OLD schema (each manifest carries
+    * its own DDL). Returns the new version.
+    */
+  def evolveSchema(spark: SparkSession, table: String, newDdl: String): Long = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val oldS = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val newS = org.apache.spark.sql.types.StructType.fromDDL(newDdl)
+    oldS.fields.foreach { f =>
+      val nf = newS.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"schema evolution cannot drop or rename column '${f.name}'"))
+      require(nf.dataType == f.dataType,
+        s"schema evolution cannot change column '${f.name}' from " +
+          s"${f.dataType.sql} to ${nf.dataType.sql}")
+    }
+    val added = newS.fields.filterNot(f => oldS.fieldNames.contains(f.name))
+    require(added.nonEmpty, "schema evolution must add at least one column")
+    added.foreach(f => require(f.nullable,
+      s"added column '${f.name}' must be nullable — existing files hold no values for it"))
+    val v = v0 + 1
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "evolve-schema", newS.toDDL, m.files))
+    v
   }
 
   /** Metadata-only rollback: republish `toVersion`'s exact file list as

@@ -217,9 +217,20 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.readChanges(s, t, 4L).count() == 0)
   }
 
-  test("schema evolution: appended column reads as null for old files") {
+  test("schema evolution: explicit, metadata-only, additive; old files read null") {
     val t = freshTable("evolve")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    // an append smuggling a new column is rejected — schema changes go
+    // through evolveSchema, never ride in on a write
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(df(10, 20).withColumn("extra", $"id" * 2), t,
+        "append", Seq("id"))
+    }
+    val widened = SnapshotLog.manifest(s, t, 1L).schemaDdl + ",extra BIGINT"
+    assert(SnapshotLog.evolveSchema(s, t, widened) == 2L)
+    // the evolve touched no data: same files, one new manifest
+    assert(SnapshotLog.manifest(s, t, 2L).files ==
+      SnapshotLog.manifest(s, t, 1L).files)
     SnapshotLog.commit(df(10, 20).withColumn("extra", $"id" * 2), t,
       "append", Seq("id"))
     val latest = SnapshotLog.read(s, t)
@@ -228,6 +239,20 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(latest.where($"extra" === $"id" * 2).count() == 10)
     // time travel serves the old version with its OWN schema
     assert(!SnapshotLog.read(s, t, Some(1)).columns.contains("extra"))
+    // a writer predating the evolve keeps working: missing nullable
+    // column null-fills
+    SnapshotLog.commit(df(20, 25), t, "append", Seq("id"))
+    assert(SnapshotLog.read(s, t).where($"extra".isNull).count() == 15)
+    // non-additive evolution is refused loudly
+    intercept[IllegalArgumentException] { // type change
+      SnapshotLog.evolveSchema(s, t, "id BIGINT,k STRING,payload STRING,extra BIGINT,x2 STRING")
+    }
+    intercept[IllegalArgumentException] { // dropped column
+      SnapshotLog.evolveSchema(s, t, "id BIGINT,k BIGINT,x2 STRING")
+    }
+    intercept[IllegalArgumentException] { // nothing added
+      SnapshotLog.evolveSchema(s, t, SnapshotLog.manifest(s, t, 2L).schemaDdl)
+    }
   }
 
   test("tableStats answers count/min/max from the manifest alone") {
