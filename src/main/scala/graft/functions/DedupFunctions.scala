@@ -34,6 +34,70 @@ object DedupFunctions {
       .drop("__dd_rank__")
   }
 
+  /** Cross-corpus duplicate-block EXCISION — the substring-dedup shape
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2021; CCNet's paragraph dedup): segment every document
+    * into consecutive non-overlapping blocks of `blockTokens`
+    * whitespace tokens, elect each distinct block's FIRST corpus
+    * occurrence (minimal (id, block index)), and rewrite every
+    * document as the concatenation of its surviving blocks — boilerplate
+    * that recurs across pages vanishes everywhere but its first sighting,
+    * instead of entire near-dup documents being dropped.
+    *
+    * Returns one row per input document: `idCol`, `n_blocks`, `n_kept`,
+    * `n_tokens_clean`, `text_clean` (empty string when everything was
+    * excised or the document had no tokens).
+    *
+    * Scale (100 TB): segmentation is per-row array arithmetic fused into
+    * codegen (no shuffle); the first-occurrence election is ONE
+    * aggregation keyed by block content + a join-back — never a
+    * row_number window, so a Zipf-heavy boilerplate block (the empty
+    * footer that appears a billion times) stays a combiner-friendly
+    * min() and not a single-task sort; the rebuild is one groupBy(id)
+    * whose per-group state is the document's own kept blocks. At
+    * production scale the join key would be a 16-byte digest of the
+    * block rather than the block text; the string key keeps the oracle
+    * replayable here and changes nothing structural.
+    */
+  def exciseDuplicateBlocks(docs: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val bt = blockTokens
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    // ceil(n/bt) blocks; ANSI-safe on empty docs (sequence(0,-1) throws,
+    // so the zero-block case short-circuits to an empty array)
+    val blocks = toks
+      .withColumn("__nb", expr(s"(size(__t) + ${bt - 1}) DIV $bt").cast("int"))
+      .select(col(idCol),
+        posexplode_outer(when(col("__nb") === 0, array().cast("array<string>"))
+          .otherwise(expr(
+            s"transform(sequence(0, __nb - 1), i -> array_join(slice(__t, i * $bt + 1, $bt), ' '))"))))
+      .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__block")
+    val real = blocks.where(col("__block").isNotNull)
+    // first-occurrence election: aggregation + join-back (skew-robust)
+    val keeper = real.groupBy(col("__block"))
+      .agg(min(struct(col(idCol).as("kid"), col("__idx").as("kidx"))).as("__k"))
+    val marked = real.join(keeper, Seq("__block"))
+      .withColumn("__keep",
+        col(idCol) === col("__k.kid") && col("__idx") === col("__k.kidx"))
+    val rebuilt = marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      // order-preserving rebuild: kept (idx, block) pairs sorted by idx
+      array_join(transform(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("__idx"), col("__block"))))),
+        p => p.getField("__block")), " ").as("text_clean"))
+    // total over the input: token-less documents come back with 0 blocks
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .withColumn("n_tokens_clean",
+        size(TextFunctions.tokens(col("text_clean"))).cast("long"))
+  }
+
   /** Connected components of an undirected pair graph, labeling every
     * node with the minimum id reachable from it (the canonical dedup
     * cluster id). Returns (doc_id, label).

@@ -151,6 +151,20 @@ object DedupQueries extends QueryPack {
     "q31_minhash_pairs" -> ((s, dir) =>
       verifiedPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
 
+    // Cross-corpus duplicate-block EXCISION (substring dedup, Lee et
+    // al. 2021 / CCNet paragraph dedup): q97 only MEASURES duplicated
+    // spans — this rewrites the corpus, keeping each distinct 8-token
+    // block's first occurrence and excising every later one. The hash
+    // pins per-doc block/kept counts AND the rebuilt text itself, so a
+    // wrong survivor election, a lost block-order, or an off-by-one
+    // segment boundary all break it. Election is aggregation+join-back
+    // (combiner-friendly min, no window over a Zipf block key) — see
+    // [[DedupFunctions.exciseDuplicateBlocks]] for the 100 TB shape.
+    "qbh_dup_block_excise" -> ((s, dir) =>
+      graft.functions.DedupFunctions
+        .exciseDuplicateBlocks(docs(s, dir), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
+
     // Dedup CLUSTER assignment over the verified near-dup pairs:
     // cluster_id = min doc_id in the connected component, read from the
     // ONE shared propagation pass ([[components]]) that also serves q37
@@ -475,6 +489,33 @@ object DedupQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // same segmentation (parallel-unnest zip of index and block),
+    // first-occurrence election as a window (oracle-side only), and
+    // order-preserving rebuild via list(... ORDER BY idx)
+    "qbh_dup_block_excise" -> {
+      val toks = graft.functions.TextFunctions.tokensSql("text")
+      val tcClean = graft.functions.TextFunctions.tokensSql("coalesce(d.text_clean, '')")
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |  unnest(generate_series(0, (length(t) + 7) // 8 - 1)) AS idx,
+         |  unnest(list_transform(generate_series(0, (length(t) + 7) // 8 - 1),
+         |    i -> array_to_string(t[(i*8+1):(i*8+8)], ' '))) AS block
+         |  FROM toks),
+         |k AS (SELECT doc_id, idx, block,
+         |  row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+         |  FROM b),
+         |d AS (SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(list(block ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
+         |  FROM k GROUP BY doc_id)
+         |SELECT d0.doc_id,
+         |  coalesce(d.n_blocks, 0) AS n_blocks,
+         |  coalesce(d.n_kept, 0) AS n_kept,
+         |  coalesce(d.text_clean, '') AS text_clean,
+         |  CAST(length($tcClean) AS BIGINT) AS n_tokens_clean
+         |FROM documents d0 LEFT JOIN d USING (doc_id)
+         |ORDER BY d0.doc_id""".stripMargin
+    },
     "q3a_contrastive_pairs" -> {
       def negCte(j: Int) = {
         val h = graft.functions.PortableHash.duckHashSql(

@@ -59,4 +59,33 @@ class ComponentsSpec extends AnyFunSuite {
         s"cluster $cid survivor is not the quality argmax")
     }
   }
+
+  test("duplicate-block excision keeps first occurrence, rewrites in order") {
+    import spark.implicits._
+    // doc 1: blocks [a b] [c d]; doc 2 repeats [c d] then adds [e f];
+    // doc 3 repeats its own first block within itself; doc 4 is all
+    // boilerplate; doc 5 is empty
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "g h g h"),
+      (4L, "a b c d"),
+      (5L, "   ")).toDF("doc_id", "text")
+    val out = DedupFunctions.exciseDuplicateBlocks(docs, "doc_id", "text", 2)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d", 4L)))
+    assert(out(2L) == ((2L, 1L, "e f", 2L)))     // [c d] excised
+    assert(out(3L) == ((2L, 1L, "g h", 2L)))     // self-repeat excised
+    assert(out(4L) == ((2L, 0L, "", 0L)))        // pure boilerplate
+    assert(out(5L) == ((0L, 0L, "", 0L)))        // token-less stays total
+    // a short tail block is its own unit, not merged into the last full one
+    val tail = DedupFunctions.exciseDuplicateBlocks(
+      Seq((1L, "a b c"), (2L, "x y c")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .orderBy($"doc_id").collect()
+    assert(tail(0).getString(3) == "a b c")
+    assert(tail(1).getString(3) == "x y")        // tail [c] excised
+  }
 }

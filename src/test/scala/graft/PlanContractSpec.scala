@@ -279,6 +279,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"table side shuffled:\n${p.take(1500)}")
   }
 
+  test("qbh: block excision elects survivors by aggregation, never a window") {
+    val p = planOf("qbh_dup_block_excise")
+    // first-occurrence election must be a combiner-friendly min() — a
+    // row_number window partitioned by block would pin a Zipf
+    // boilerplate block (the footer that appears a billion times at
+    // 100 TB) onto one reducer's sort
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"election lost map-side combine:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"excision regressed to a window over the block key:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("qbc: BPE apply is a pure codegen projection — no join, no UDF in the plan") {
     // the K learned rules fold into one replace() chain: the only
     // exchange is the final token aggregation, and nothing leaves
