@@ -21,6 +21,41 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** HTML → main text extraction — the first stage of every web-crawl
+    * corpus (the trafilatura/boilerpipe role, reduced to a deterministic
+    * regex algebra): (1) drop non-content ELEMENTS whole (script/style —
+    * their character data is code, not text — and nav/header/footer/
+    * aside — link-farm boilerplate that poisons n-gram stats); (2) strip
+    * remaining tags to spaces; (3) decode the common entities (`&amp;`
+    * LAST, so `&amp;lt;` comes out as the literal `&lt;` and never
+    * double-decodes); (4) collapse whitespace. Order matters and is part
+    * of the contract: a stray `<` inside script text would break a
+    * naive tag-strip, which is why element removal runs first.
+    *
+    * Pure codegen'd regexp_replace/replace chain — no UDF, fuses into
+    * the scan's WholeStageCodegen. Patterns stay inside the RE2 subset
+    * (inline (?is) flags, lazy quantifiers, no backreferences) so
+    * [[htmlExtractSql]] is the same algebra verbatim.
+    */
+  /** Elements whose entire content is dropped (not just the tags). */
+  private val DroppedElements =
+    Seq("script", "style", "nav", "header", "footer", "aside")
+
+  /** Entity decode table, `&amp;` deliberately last. */
+  private val HtmlEntities = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def htmlExtract(c: Column): Column = {
+    // one pattern per element (RE2 has no backreferences): lazy body
+    // match, (?is) for case-insensitive tags and dot-matches-newline
+    val noElems = DroppedElements.foldLeft(c)((e, el) =>
+      regexp_replace(e, s"(?is)<$el\\b[^>]*>.*?</$el\\s*>", " "))
+    val noTags = regexp_replace(noElems, "(?s)<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (e, (ent, ch)) =>
+      regexp_replace(e, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Count of non-alphanumeric, non-space chars. */
   def punctCount(c: Column): Column =
     length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
@@ -126,6 +161,21 @@ object TextFunctions {
     s"list_filter(regexp_split_to_array($e, '\\s+'), t -> length(t) > 0)"
 
   def tokenCountSql(e: String): String = s"length(${tokensSql(e)})"
+
+  /** [[htmlExtract]]'s exact algebra in the DuckDB dialect — same
+    * pattern strings (RE2-subset), same order, DuckDB needing only the
+    * explicit 'g' option (its regexp_replace is first-match by default
+    * where Spark's is global).
+    */
+  def htmlExtractSql(e: String): String = {
+    val noElems = DroppedElements.foldLeft(e)((x, el) =>
+      s"regexp_replace($x, '(?is)<$el\\b[^>]*>.*?</$el\\s*>', ' ', 'g')")
+    val noTags = s"regexp_replace($noElems, '(?s)<[^>]*>', ' ', 'g')"
+    val decoded = HtmlEntities.foldLeft(noTags) { case (x, (ent, ch)) =>
+      val rep = if (ch == "'") "''" else ch
+      s"regexp_replace($x, '$ent', '$rep', 'g')" }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
 
   def punctCountSql(e: String): String =
     s"(length($e) - length(regexp_replace($e, '[^a-zA-Z0-9\\s]', '', 'g')))"

@@ -51,6 +51,34 @@ object TextQueries extends QueryPack {
       .agg(count(lit(1)).as("cnt"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML → text extraction (the trafilatura/boilerpipe stage every
+    // web-crawl corpus runs first): each document is wrapped in a
+    // formulaic page — mixed-case STYLE/NAV, a script whose body
+    // contains a stray '<', entity-bearing prose, and footer/aside
+    // boilerplate — then [[TextFunctions.htmlExtract]] recovers the
+    // text. Both engines build the SAME page and run the SAME regex
+    // algebra, so the md5 of the extraction is the gate: a surviving
+    // nav link, an undecoded entity, a double-decoded &amp;lt;, or the
+    // script's stray '<' breaking tag-strip all change it. Pure
+    // codegen'd per-row chain — no UDF, no shuffle.
+    "qbi_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+        lit("</title><STYLE>body{color:#333}</STYLE>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script>" +
+          "</head><body><NAV><a href=\"/\">Home</a> | <a href=\"/about\">About</a></NAV>" +
+          "<h1>Doc "), $"doc_id".cast("string"),
+        lit("</h1><p>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&#39;s&quot; "), $"text",
+        lit("</p><footer>&copy; 2024 Example &amp; Co.</footer>" +
+          "<aside>ad ad ad</aside></body></html>"))
+      docs(s, dir)
+        .withColumn("clean", graft.functions.TextFunctions.htmlExtract(html))
+        .select($"doc_id", length($"clean").cast("long").as("n_chars_clean"),
+          md5($"clean").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // N-gram repetition score — the standard "repeated template text"
     // curation signal (fraction of trigram positions occupied by a
     // repeat): 1 - distinct_trigrams / total_trigrams. Reuses the
@@ -454,6 +482,24 @@ object TextQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // identical page construction (|| concat) and the same regex
+    // algebra via htmlExtractSql — RE2-subset patterns, DuckDB's 'g'
+    // option standing in for Spark's always-global replace
+    "qbi_html_extract" -> {
+      val page = "'<html><head><title>Doc ' || doc_id || " +
+        "'</title><STYLE>body{color:#333}</STYLE>" +
+        "<script type=\"text/javascript\">var x = 1 < 2 && 3 > 2;</script>" +
+        "</head><body><NAV><a href=\"/\">Home</a> | <a href=\"/about\">About</a></NAV>" +
+        "<h1>Doc ' || doc_id || " +
+        "'</h1><p>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&#39;s&quot; ' || text || " +
+        "'</p><footer>&copy; 2024 Example &amp; Co.</footer>" +
+        "<aside>ad ad ad</aside></body></html>'"
+      s"""SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars_clean,
+         |  md5(clean) AS clean_md5
+         |FROM (SELECT doc_id, ${graft.functions.TextFunctions.htmlExtractSql("h")} AS clean
+         |      FROM (SELECT doc_id, $page AS h FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
     "qaw_hll_distinct" -> {
       val h = graft.functions.PortableHash.duckHashSql("token")
       s"""WITH toks AS (
