@@ -804,6 +804,41 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Streaming-source run (qbj): per-invocation fresh table (the gate
+    * consumes checkpoint state, so it cannot be session-cached like the
+    * read-only fixtures). Three appends stream as phase 1; a fourth
+    * commit lands and a NEW query on the SAME checkpoint streams phase
+    * 2 — which must carry exactly the new version's rows.
+    */
+  private def snapStreamSourceRun(s: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val t = s"target/snapstreamsrc-$tag"
+    val cp = s"target/snapstreamsrc-cp-$tag"
+    val orders = graft.core.Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    (0 until 3).foreach(r =>
+      SnapshotLog.commit(orders.where(col("o_orderkey") % 4 === r),
+        t, "append", Seq("o_orderkey")))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val keySum = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): (Long, Long) = {
+      val before = (seen.get(), keySum.get())
+      val q = s.readStream.format("graft-snapshot").option("table", t).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = b.agg(count(lit(1)).cast("long"), sum(col("o_orderkey"))).head
+          seen.addAndGet(r.getLong(0)); keySum.addAndGet(r.getLong(1)); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      (seen.get() - before._1, keySum.get() - before._2)
+    }
+    val (n1, s1) = run()
+    SnapshotLog.commit(orders.where(col("o_orderkey") % 4 === 3),
+      t, "append", Seq("o_orderkey"))
+    val (n2, s2) = run() // resumed from the checkpointed version
+    (n1, s1, n2, s2)
+  }
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -1935,6 +1970,22 @@ object SourceQueries extends QueryPack {
           col("n_rows"), col("sum_key"), col("n_null_band"), col("n_gold"))
     }),
 
+    // Streaming FROM the snapshot table (versions-as-offsets, the
+    // "table is also a change feed" capability): three appended
+    // versions stream as phase 1, then a fourth commit lands and a NEW
+    // query resuming from the SAME checkpoint must deliver exactly the
+    // new version's rows — nothing re-read, nothing skipped. The hash
+    // pins both phases' row counts and key sums against the modulus
+    // slices; a re-delivered version, a missed file, or a decode bug
+    // in the streaming parquet reader all break it.
+    "qbj_snapshot_stream_read" -> ((s, dir) => {
+      import s.implicits._
+      val (n1, s1, n2, s2) = snapStreamSourceRun(s, dir)
+      Seq((1L, n1, s1), (2L, n2, s2))
+        .toDF("phase", "n_rows", "sum_key")
+        .orderBy($"phase")
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2195,6 +2246,17 @@ object SourceQueries extends QueryPack {
            |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
            |FROM lineitem, w
            |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
+      // both stream phases from the modulus arithmetic: phase 1 =
+      // slices 0-2, phase 2 = exactly the late-arriving slice 3
+      "qbj_snapshot_stream_read" ->
+        """SELECT CAST(1 AS BIGINT) AS phase, count(*) AS n_rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders WHERE o_orderkey % 4 <= 2
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT)
+          |FROM orders WHERE o_orderkey % 4 = 3
+          |ORDER BY phase""".stripMargin,
 
       // the evolution replayed relationally: even slice carries NULL
       // band (pre-evolution files), odd slice the computed band; v1

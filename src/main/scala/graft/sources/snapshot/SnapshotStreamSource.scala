@@ -1,0 +1,283 @@
+package graft.sources.snapshot
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** "graft-snapshot" streaming source: a [[SnapshotLog]] table AS a
+  * stream — the Delta-style "table is also a change feed" capability.
+  *
+  * {{{
+  * spark.readStream.format("graft-snapshot").option("table", path).load()
+  * }}}
+  *
+  * Offsets are manifest VERSIONS: a micro-batch (start, end] is exactly
+  * the data files present in `end`'s manifest but not `start`'s, so each
+  * committed version is consumed once and only once, the checkpoint is a
+  * single version number, and a restart resumes from the committed
+  * version with no rescans. The covered range must be append-only
+  * (append / stream-append / evolve-schema); a delete, upsert, compact,
+  * or restore inside the range fails the stream loudly — a file-diff
+  * over rewrites would double-count, and the downstream there is a fresh
+  * full read (same contract as [[SnapshotLog.readChanges]]).
+  *
+  * Scale: planning never lists the data directory (one small manifest
+  * read per version) and each new file becomes one InputPartition — a
+  * 100 TB table streaming a daily increment plans in milliseconds and
+  * reads only the increment. Column pruning reaches the parquet reader
+  * (the requested projection is pushed to the page level), and files
+  * predating an [[SnapshotLog.evolveSchema]] serve added columns as
+  * NULL, exactly like the batch read.
+  *
+  * The per-file reader decodes flat primitive schemas (long/int/double/
+  * float/boolean/string/binary/date) — the corpus-table shape; nested or
+  * other types are refused at stream construction, not mid-query.
+  */
+class SnapshotTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val table = SnapshotStreamSource.tableOf(options)
+    val spark = SparkSession.active
+    val v = SnapshotLog.latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-snapshot: no committed version in $table"))
+    StructType.fromDDL(SnapshotLog.manifest(spark, table, v).schemaDdl)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotStreamTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object SnapshotStreamSource {
+  private[snapshot] def tableOf(options: CaseInsensitiveStringMap): String = {
+    val t = Option(options.get("table")).orElse(Option(options.get("path")))
+    require(t.isDefined, "graft-snapshot requires the 'table' (or 'path') option")
+    t.get
+  }
+
+  private[snapshot] val SupportedTypes: Set[DataType] = Set(
+    LongType, IntegerType, DoubleType, FloatType, BooleanType,
+    StringType, BinaryType, DateType)
+
+  private[snapshot] def validate(schema: StructType): Unit =
+    schema.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
+      s"graft-snapshot streaming supports flat primitive columns " +
+        s"(long/int/double/float/boolean/string/binary/date); " +
+        s"'${f.name}' is ${f.dataType.sql} — read it in batch via SnapshotLog.read"))
+}
+
+class SnapshotStreamTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot(${SnapshotStreamSource.tableOf(options)})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(tableSchema, options)
+}
+
+class SnapshotScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep declared field order regardless of projection order
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new SnapshotScan(required, options)
+}
+
+class SnapshotScan(requiredSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = requiredSchema
+  override def description(): String = "graft-snapshot scan"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    SnapshotStreamSource.validate(requiredSchema)
+    new SnapshotMicroBatchStream(requiredSchema, options)
+  }
+}
+
+class SnapshotMicroBatchStream(requiredSchema: StructType,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val table = SnapshotStreamSource.tableOf(options)
+  private val startVersion: Long = {
+    val sv = options.getLong("startingVersion", 0L)
+    require(sv >= 0, s"startingVersion must be >= 0, got $sv")
+    sv
+  }
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = SnapshotOffset(startVersion)
+
+  override def latestOffset(): Offset = SnapshotOffset(
+    math.max(SnapshotLog.latestVersion(spark, table).getOrElse(0L), startVersion))
+
+  override def deserializeOffset(json: String): Offset = SnapshotOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SnapshotOffset].version
+    val e0 = end.asInstanceOf[SnapshotOffset].version
+    if (e0 <= s0) return Array.empty
+    // file-diff batches are exact only over append-shaped history —
+    // same loud refusal as readChanges (evolve-schema adds no files and
+    // composes; a rewrite means "re-read the snapshot downstream")
+    ((s0 + 1) to e0).foreach { v =>
+      val op = SnapshotLog.manifest(spark, table, v).op
+      require(op == "append" || op == "stream-append" || op == "evolve-schema",
+        s"graft-snapshot stream: version $v is '$op' — streaming requires " +
+          "append-only history past the starting offset; restart the " +
+          "stream from a fresh full read instead")
+    }
+    val target = SnapshotLog.manifest(spark, table, e0)
+    val basePaths =
+      if (s0 == 0) Set.empty[String]
+      else SnapshotLog.manifest(spark, table, s0).files.map(_.path).toSet
+    target.files.filterNot(f => basePaths(f.path))
+      .map(f => SnapshotInputPartition(
+        new Path(new Path(table), f.path).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(requiredSchema,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = highest consumed version. One-line JSON (Spark's
+  * OffsetSeqLog is line-oriented — see the wds-tar offset's note).
+  */
+case class SnapshotOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object SnapshotOffset {
+  private val JsonForm = """\{"version":(\d+)\}""".r
+  def parse(json: String): SnapshotOffset = json.trim match {
+    case JsonForm(v) => SnapshotOffset(v.toLong)
+    case other => SnapshotOffset(other.trim.toLong)
+  }
+}
+
+case class SnapshotInputPartition(file: String) extends InputPartition
+
+case class SnapshotReaderFactory(schema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotPartitionReader(
+      p.asInstanceOf[SnapshotInputPartition].file, schema, conf.value)
+}
+
+/** Row-group reader for one immutable snapshot data file. The requested
+  * projection (required columns ∩ columns the file actually has) is
+  * pushed to parquet-level column selection, so pruned columns are never
+  * decoded; required columns the file lacks — added by a later
+  * evolveSchema — fill with NULL, matching the batch read's
+  * explicit-schema semantics. An empty intersection (count(*)-style
+  * pruning, or a file predating every requested column) short-circuits
+  * to emitting footer-counted empty rows without decoding anything.
+  */
+class SnapshotPartitionReader(file: String, schema: StructType,
+    conf: Configuration) extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.MessageType
+
+  private val path = new Path(file)
+
+  private val (fileSchema, footerRows) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try (r.getFooter.getFileMetaData.getSchema,
+      r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+    finally r.close()
+  }
+
+  // columns to decode: required ∩ present, with the FILE's type nodes
+  private val present = schema.fields.filter(f => fileSchema.containsField(f.name))
+  private def fileTypeOf(name: String) =
+    fileSchema.getType(fileSchema.getFieldIndex(name))
+  present.foreach { f =>
+    val t = fileTypeOf(f.name)
+    require(t.isPrimitive && !t.isRepetition(
+        org.apache.parquet.schema.Type.Repetition.REPEATED),
+      s"graft-snapshot: column '${f.name}' in $file is not a flat primitive")
+  }
+
+  private val reader: ParquetReader[Group] =
+    if (present.isEmpty) null
+    else {
+      val requested = new MessageType(fileSchema.getName,
+        present.map(f => fileTypeOf(f.name)): _*)
+      val c = new Configuration(conf)
+      c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        requested.toString)
+      ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+    }
+
+  // position of each required column inside the requested group (-1 = null)
+  private val groupIdx: Array[Int] = {
+    val byName = present.map(_.name).zipWithIndex.toMap
+    schema.fields.map(f => byName.getOrElse(f.name, -1))
+  }
+
+  private var cur: Group = _
+  private var emptyRowsLeft: Long = if (present.isEmpty) footerRows else 0L
+
+  override def next(): Boolean =
+    if (reader == null) {
+      emptyRowsLeft -= 1; emptyRowsLeft >= 0
+    } else { cur = reader.read(); cur != null }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val gi = groupIdx(i)
+      if (gi >= 0 && cur.getFieldRepetitionCount(gi) > 0) {
+        schema.fields(i).dataType match {
+          case LongType => row.setLong(i, cur.getLong(gi, 0))
+          case IntegerType => row.setInt(i, cur.getInteger(gi, 0))
+          case DoubleType => row.setDouble(i, cur.getDouble(gi, 0))
+          case FloatType => row.setFloat(i, cur.getFloat(gi, 0))
+          case BooleanType => row.setBoolean(i, cur.getBoolean(gi, 0))
+          case StringType =>
+            row.update(i, UTF8String.fromBytes(cur.getBinary(gi, 0).getBytes))
+          case BinaryType => row.update(i, cur.getBinary(gi, 0).getBytes)
+          case DateType => row.setInt(i, cur.getInteger(gi, 0))
+          case other => throw new IllegalStateException(
+            s"unreachable: $other passed validation")
+        }
+      } // else stays null
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}

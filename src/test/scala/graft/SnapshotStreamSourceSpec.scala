@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.snapshot.SnapshotLog
+
+/** Streaming FROM a snapshot table (versions-as-offsets): each committed
+  * version is consumed exactly once, restarts resume from the
+  * checkpointed version, pruning and schema evolution behave like the
+  * batch read, and non-append history fails the stream loudly.
+  */
+class SnapshotStreamSourceSpec extends AnyFunSuite {
+  private lazy val s = SparkTestSession.get
+  import s.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = Paths.get("target", s"snapstream-src-$name").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    p.toString
+  }
+
+  private def df(lo: Long, hi: Long) =
+    s.range(lo, hi).select($"id", ($"id" % 7).as("k"),
+      concat(lit("row"), $"id").as("payload"))
+
+  test("versions stream exactly once as they commit") {
+    val t = freshTable("once")
+    SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_once")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("snap_stream_once").count() == 100)
+      SnapshotLog.commit(df(100, 250), t, "append", Seq("id"))
+      SnapshotLog.commit(df(250, 300), t, "append", Seq("id"))
+      q.processAllAvailable()
+      val rows = s.table("snap_stream_once")
+      assert(rows.count() == 300) // exactly once: no re-reads
+      assert(rows.agg(sum($"id")).head.getLong(0) == (0L until 300).sum)
+      // payloads decoded, not just counted
+      assert(rows.where($"payload" === "row123").count() == 1)
+    } finally q.stop()
+  }
+
+  test("restart resumes from the checkpointed version (foreachBatch)") {
+    val t = freshTable("resume")
+    val cp = freshTable("resume-cp")
+    SnapshotLog.commit(df(0, 50), t, "append", Seq("id"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = s.readStream.format("graft-snapshot").option("table", t).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"id").collect().foreach(r => got.add(r.getLong(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(got.size() == 50)
+    SnapshotLog.commit(df(50, 80), t, "append", Seq("id"))
+    run() // NEW query, SAME checkpoint: only the new version arrives
+    assert(got.size() == 80)
+    assert(got.iterator().asScala.toSeq.sorted == (0L until 80))
+    run() // nothing new: no rows
+    assert(got.size() == 80)
+  }
+
+  test("column pruning and schema evolution match the batch read") {
+    val t = freshTable("evolve")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    SnapshotLog.evolveSchema(s, t,
+      SnapshotLog.manifest(s, t, 1L).schemaDdl + ",extra BIGINT")
+    SnapshotLog.commit(df(10, 20).withColumn("extra", $"id" * 2), t,
+      "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .select($"id", $"extra") // prunes k/payload at the parquet level
+      .writeStream.format("memory").queryName("snap_stream_evolve")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("snap_stream_evolve")
+      assert(rows.count() == 20)
+      assert(rows.where($"extra".isNull).count() == 10) // pre-evolve files
+      assert(rows.where($"extra" === $"id" * 2).count() == 10)
+    } finally q.stop()
+  }
+
+  test("startingVersion skips already-processed history") {
+    val t = freshTable("startv")
+    SnapshotLog.commit(df(0, 40), t, "append", Seq("id"))
+    SnapshotLog.commit(df(40, 70), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t)
+      .option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("snap_stream_startv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("snap_stream_startv")
+      assert(rows.count() == 30) // v1's files skipped
+      assert(rows.agg(min($"id")).head.getLong(0) == 40L)
+    } finally q.stop()
+  }
+
+  test("non-append history inside the range fails the stream loudly") {
+    val t = freshTable("reject")
+    SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
+    SnapshotLog.deleteWhere(s, t, "id", 0L, 10L).get
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_reject")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("append-only")), messages(e).mkString("; "))
+  }
+
+  private implicit class JIter[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext
+      def next() = it.next()
+    }
+  }
+}
