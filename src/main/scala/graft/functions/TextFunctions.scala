@@ -45,6 +45,20 @@ object TextFunctions {
   private val HtmlEntities = Seq("&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
+  /** JVM twin of [[htmlExtract]] (the SQL-surface `graft_html_extract`):
+    * Spark's regexp_replace IS Java-regex replaceAll, so running the
+    * identical pattern chain here is bit-identical by construction.
+    */
+  def htmlExtractJvm(s: String): String = {
+    if (s == null) return null
+    val noElems = DroppedElements.foldLeft(s)((x, el) =>
+      x.replaceAll(s"(?is)<$el\\b[^>]*>.*?</$el\\s*>", " "))
+    val noTags = noElems.replaceAll("(?s)<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (x, (ent, ch)) =>
+      x.replaceAll(ent, java.util.regex.Matcher.quoteReplacement(ch)) }
+    decoded.replaceAll("\\s+", " ").trim
+  }
+
   def htmlExtract(c: Column): Column = {
     // one pattern per element (RE2 has no backreferences): lazy body
     // match, (?is) for case-insensitive tags and dot-matches-newline

@@ -119,7 +119,9 @@ class SnapshotScan(requiredSchema: StructType,
 }
 
 class SnapshotMicroBatchStream(requiredSchema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private val table = SnapshotStreamSource.tableOf(options)
   private val startVersion: Long = {
@@ -127,12 +129,40 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
     require(sv >= 0, s"startingVersion must be >= 0, got $sv")
     sv
   }
+
+  /** Backlog admission control: cap how many committed VERSIONS one
+    * micro-batch may cover (the Delta `maxFilesPerTrigger` role). A
+    * stream restarted against a long-idle 100 TB table then catches up
+    * in bounded batches instead of one giant first batch that spills or
+    * blows past executor memory.
+    */
+  private val maxVersionsPerTrigger: Option[Int] = {
+    val v = options.getInt("maxVersionsPerTrigger", 0)
+    require(v >= 0, s"maxVersionsPerTrigger must be positive, got $v")
+    if (v == 0) None else Some(v)
+  }
+
   private def spark = SparkSession.active
+
+  private def committedLatest: Long =
+    math.max(SnapshotLog.latestVersion(spark, table).getOrElse(0L), startVersion)
 
   override def initialOffset(): Offset = SnapshotOffset(startVersion)
 
-  override def latestOffset(): Offset = SnapshotOffset(
-    math.max(SnapshotLog.latestVersion(spark, table).getOrElse(0L), startVersion))
+  override def latestOffset(): Offset = SnapshotOffset(committedLatest)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxFiles(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[SnapshotOffset].version
+    val capped = limit match {
+      case mf: ReadMaxFiles => math.min(committedLatest, s0 + mf.maxFiles())
+      case _ => committedLatest
+    }
+    SnapshotOffset(math.max(capped, s0))
+  }
 
   override def deserializeOffset(json: String): Offset = SnapshotOffset.parse(json)
 

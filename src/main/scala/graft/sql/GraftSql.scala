@@ -55,6 +55,8 @@ object GraftSql {
       (x: Long, y: Long) => graft.functions.HilbertCurve.xy2d(16, x, y))
     spark.udf.register("graft_nfc",
       (t: String) => graft.functions.TextFunctions.nfcJvm(t))
+    spark.udf.register("graft_html_extract",
+      (t: String) => graft.functions.TextFunctions.htmlExtractJvm(t))
     spark.udf.register("graft_url_canonical",
       (u: String) => graft.functions.UrlFunctions.canonicalizeUrlJvm(u))
     // binary decode kernels — the multimodal columns reachable from SQL

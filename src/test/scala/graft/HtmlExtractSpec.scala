@@ -46,4 +46,17 @@ class HtmlExtractSpec extends AnyFunSuite {
       assert(out == want, s"htmlExtract($in) = '$out', want '$want'")
     }
   }
+
+  test("JVM twin (graft_html_extract SQL surface) is bit-identical") {
+    import spark.implicits._
+    cases.foreach { case (in, want) =>
+      assert(TextFunctions.htmlExtractJvm(in) == want, in)
+    }
+    graft.sql.GraftSql.registerFunctions(spark)
+    val viaSql = cases.map(_._1).toDF("h").createOrReplaceTempView("html_cases")
+    val got = spark.sql("SELECT graft_html_extract(h) FROM html_cases")
+      .collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+    assert(TextFunctions.htmlExtractJvm(null) == null)
+  }
 }

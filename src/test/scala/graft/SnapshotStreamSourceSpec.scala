@@ -105,6 +105,24 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds backlog catch-up batches") {
+    val t = freshTable("throttle")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    SnapshotLog.commit(df(10, 30), t, "append", Seq("id"))
+    SnapshotLog.commit(df(30, 60), t, "append", Seq("id"))
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = s.readStream.format("graft-snapshot").option("table", t)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.count()); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the three-version backlog arrives as one batch per version, in
+    // commit order — never one giant catch-up batch
+    assert(batches.iterator().asScala.toSeq == Seq(10L, 20L, 30L))
+  }
+
   test("non-append history inside the range fails the stream loudly") {
     val t = freshTable("reject")
     SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
