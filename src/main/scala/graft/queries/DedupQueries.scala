@@ -151,6 +151,31 @@ object DedupQueries extends QueryPack {
     "q31_minhash_pairs" -> ((s, dir) =>
       verifiedPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
 
+    // NEAR-DUP decontamination: q93 removes training docs sharing exact
+    // n-grams with the eval set; this closes the PARAPHRASE leak — a
+    // training doc that is a verified near-duplicate (MinHash→LSH→
+    // Jaccard≥0.4) of any eval doc is removed even when no 4-gram
+    // matches survive verbatim. Reuses the once-per-session verified
+    // pair table (one mining pass shared with q31/q35/q37/...); the
+    // contaminated id set is pair-bounded and broadcasts, so the train
+    // side is one scan + broadcast anti-mark — no shuffle of the corpus.
+    "qbk_neardup_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = verifiedPairs(s, dir)
+      val sym = pairs.select($"a_id".as("x"), $"b_id".as("y"))
+        .unionByName(pairs.select($"b_id".as("x"), $"a_id".as("y")))
+      val contaminated = sym.where($"y" % 50 === 0 && $"x" % 50 =!= 0)
+        .select($"x".as("doc_id")).distinct()
+        .withColumn("__c", lit(1L))
+      docs(s, dir).where($"doc_id" % 50 =!= 0)
+        .join(broadcast(contaminated), Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(coalesce($"__c", lit(0L))).as("n_contaminated"),
+          count(when($"__c".isNull, 1)).as("n_clean"),
+          sum(when($"__c".isNull, $"doc_id")).as("sum_clean_id"))
+    }),
+
     // Cross-corpus duplicate-block EXCISION (substring dedup, Lee et
     // al. 2021 / CCNet paragraph dedup): q97 only MEASURES duplicated
     // spans — this rewrites the corpus, keeping each distinct 8-token
@@ -489,6 +514,21 @@ object DedupQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // the same verified pair table, symmetrized; contaminated = train
+    // ids one hop from an eval id; accounting over the train slice
+    "qbk_neardup_decontaminate" ->
+      s"""$minhashPairsCteSql,
+         |sym AS (SELECT a_id AS x, b_id AS y FROM pairs
+         |        UNION ALL SELECT b_id, a_id FROM pairs),
+         |cont AS (SELECT DISTINCT x AS doc_id FROM sym
+         |         WHERE y % 50 = 0 AND x % 50 <> 0)
+         |SELECT count(*) AS n_train,
+         |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+         |  count(*) FILTER (WHERE c.doc_id IS NULL) AS n_clean,
+         |  CAST(sum(d.doc_id) FILTER (WHERE c.doc_id IS NULL) AS BIGINT) AS sum_clean_id
+         |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
     // same segmentation (parallel-unnest zip of index and block),
     // first-occurrence election as a window (oracle-side only), and
     // order-preserving rebuild via list(... ORDER BY idx)
