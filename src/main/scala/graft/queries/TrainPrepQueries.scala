@@ -364,7 +364,9 @@ object TrainPrepQueries extends QueryPack {
       import s.implicits._
       val d = docs(s, dir).select($"doc_id")
       val n = d.agg(count(lit(1)).as("n"))
-      d.withColumn("i", row_number().over(Window.orderBy($"doc_id")).cast("long") - 1)
+      // distributed contiguous rank (never a single-task global window —
+      // see operators.GlobalIndex): ids-only frame through the exchange
+      graft.operators.GlobalIndex.rankIds(d, "doc_id", "i")
         .crossJoin(broadcast(n))
         .withColumn("p", Permute.permuteUdf(SplitSeed)($"i", $"n"))
         .withColumn("split",
@@ -386,12 +388,29 @@ object TrainPrepQueries extends QueryPack {
     // reference's SplitByWorker ∘ shard-shuffle composition re-expressed
     // as arithmetic (reference sdata/custom_datapipes.py:108-141).
     // Worker stripe sizes are balanced to ±1 by construction.
+    // Distributed contiguous indexing — the idx-addressable-dataset
+    // primitive (epoch permutation, fetch-by-index, packing all start
+    // from a dense rank): operators.GlobalIndex assigns ids via range
+    // exchange + per-partition offsets, never a single-task global
+    // window (qau/qav share the operator). The hash pins the complete
+    // (rank, key, payload) pairing, so a partition/offset mispairing —
+    // the operator's one failure mode — cannot hash-match.
+    "qbl_contiguous_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.GlobalIndex.rankIds(
+          docs(s, dir).select($"doc_id", $"n_chars"), "doc_id", "idx")
+        .agg(count(lit(1)).as("n_rows"),
+          max($"idx").as("max_idx"),
+          sum($"idx" * $"doc_id").as("pair_sum"),
+          sum($"idx" * $"n_chars").as("payload_pair_sum"))
+    }),
+
     "qav_epoch_shards" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select($"doc_id")
       val n = d.agg(count(lit(1)).as("n"))
-      val ranked = d
-        .withColumn("i", row_number().over(Window.orderBy($"doc_id")).cast("long") - 1)
+      // same distributed rank as qau — no global window anywhere
+      val ranked = graft.operators.GlobalIndex.rankIds(d, "doc_id", "i")
         .crossJoin(broadcast(n))
       ranked
         .withColumn("p1", Permute.permuteUdf(EpochSeed + 1)($"i", $"n"))
@@ -580,6 +599,15 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(p * ($h % 997)) AS BIGINT) AS pair_sum
            |FROM lab GROUP BY split ORDER BY split""".stripMargin
       },
+      "qbl_contiguous_index" ->
+        """WITH r AS (SELECT doc_id, n_chars,
+          |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+          |  FROM documents)
+          |SELECT count(*) AS n_rows, max(idx) AS max_idx,
+          |  CAST(sum(idx * doc_id) AS BIGINT) AS pair_sum,
+          |  CAST(sum(idx * n_chars) AS BIGINT) AS payload_pair_sum
+          |FROM r""".stripMargin,
+
       "qav_epoch_shards" -> {
         val h = PortableHash.duckHashSql("CAST(id AS VARCHAR)")
         s"""WITH RECURSIVE

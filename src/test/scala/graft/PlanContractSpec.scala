@@ -279,6 +279,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"table side shuffled:\n${p.take(1500)}")
   }
 
+  test("qau/qav: rank assignment has no global window anywhere in the plan") {
+    // the exact-split and epoch-shard ranks come from the distributed
+    // GlobalIndex operator (range exchange + per-partition offsets);
+    // a row_number() OVER (ORDER BY ...) would funnel every id through
+    // one task at 100 TB
+    Seq("qau_exact_split", "qav_epoch_shards").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q regressed to a global window:\n${p.take(1500)}")
+    }
+  }
+
   test("qbh: block excision elects survivors by aggregation, never a window") {
     val p = planOf("qbh_dup_block_excise")
     // first-occurrence election must be a combiner-friendly min() — a
