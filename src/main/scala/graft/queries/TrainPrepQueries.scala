@@ -388,6 +388,53 @@ object TrainPrepQueries extends QueryPack {
     // reference's SplitByWorker ∘ shard-shuffle composition re-expressed
     // as arithmetic (reference sdata/custom_datapipes.py:108-141).
     // Worker stripe sizes are balanced to ±1 by construction.
+    // Fill-in-the-middle transform (the FIM pretraining op, Bavarian et
+    // al. 2022): each document splits at deterministic 40%/70% char
+    // boundaries into (prefix, middle, suffix) and reassembles with
+    // sentinels — PSM order for even ids, SPM for odd (the 50/50 mode
+    // mix the recipe prescribes). Pure per-row substring arithmetic in
+    // one codegen pass; the hash pins the md5 of every transformed doc,
+    // so an off-by-one boundary or a mode mix-up cannot pass.
+    "qbm_fim_transform" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .withColumn("p1", expr("CAST(length(text) AS BIGINT) * 4 DIV 10"))
+        .withColumn("p2", expr("CAST(length(text) AS BIGINT) * 7 DIV 10"))
+      val pre = substring($"text", lit(1), $"p1".cast("int"))
+      val mid = expr("substring(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))")
+      val suf = expr("substring(text, CAST(p2 + 1 AS INT))") // 2-arg: to end
+      d.withColumn("fim",
+          when($"doc_id" % 2 === 0,
+            concat(lit("<PRE>"), pre, lit("<SUF>"), suf, lit("<MID>"), mid))
+          .otherwise(
+            concat(lit("<SUF>"), suf, lit("<PRE>"), pre, lit("<MID>"), mid)))
+        .select($"doc_id", length($"fim").cast("long").as("n_chars_fim"),
+          md5($"fim").as("fim_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Length-bucketed batching (dynamic batching): docs bucket to the
+    // next multiple of 32 tokens; each bucket forms batches of 8 padded
+    // to the bucket length. The report prices the padding — tokens
+    // wasted on in-doc padding plus empty slots in ragged final batches
+    // — the accounting a training-efficiency pass runs before fixing a
+    // batch plan. One aggregation, map-side combinable.
+    "qbn_length_batching" -> ((s, dir) => {
+      import s.implicits._
+      val B = 8L
+      docs(s, dir)
+        .select(TextFunctions.tokenCount($"text").cast("long").as("tok"))
+        .withColumn("bucket", expr("((tok + 31) DIV 32) * 32"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tok").as("sum_tok"),
+          expr(s"(count(1) + ${B - 1}) DIV $B").as("n_batches"))
+        .withColumn("pad_tokens", $"n_docs" * $"bucket" - $"sum_tok")
+        .withColumn("slot_waste",
+          ($"n_batches" * B - $"n_docs") * $"bucket")
+        .orderBy($"bucket")
+    }),
+
     // Distributed contiguous indexing — the idx-addressable-dataset
     // primitive (epoch permutation, fetch-by-index, packing all start
     // from a dense rank): operators.GlobalIndex assigns ids via range
@@ -599,6 +646,37 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(p * ($h % 997)) AS BIGINT) AS pair_sum
            |FROM lab GROUP BY split ORDER BY split""".stripMargin
       },
+      // identical boundary arithmetic and substring semantics (char-
+      // based, 1-indexed, 2-arg suffix to end) in the DuckDB dialect
+      "qbm_fim_transform" ->
+        """WITH d AS (SELECT doc_id, text,
+          |  CAST(length(text) AS BIGINT) * 4 // 10 AS p1,
+          |  CAST(length(text) AS BIGINT) * 7 // 10 AS p2 FROM documents),
+          |f AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+          |  THEN '<PRE>' || substr(text, 1, CAST(p1 AS INT))
+          |    || '<SUF>' || substr(text, CAST(p2 + 1 AS INT))
+          |    || '<MID>' || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))
+          |  ELSE '<SUF>' || substr(text, CAST(p2 + 1 AS INT))
+          |    || '<PRE>' || substr(text, 1, CAST(p1 AS INT))
+          |    || '<MID>' || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))
+          |  END AS fim FROM d)
+          |SELECT doc_id, CAST(length(fim) AS BIGINT) AS n_chars_fim,
+          |  md5(fim) AS fim_md5
+          |FROM f ORDER BY doc_id""".stripMargin,
+
+      "qbn_length_batching" -> {
+        val tok = TextFunctions.tokenCountSql("text")
+        s"""WITH t AS (SELECT CAST($tok AS BIGINT) AS tok FROM documents),
+           |b AS (SELECT ((tok + 31) // 32) * 32 AS bucket,
+           |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tok,
+           |  (count(*) + 7) // 8 AS n_batches
+           |  FROM t GROUP BY 1)
+           |SELECT bucket, n_docs, sum_tok, n_batches,
+           |  n_docs * bucket - sum_tok AS pad_tokens,
+           |  (n_batches * 8 - n_docs) * bucket AS slot_waste
+           |FROM b ORDER BY bucket""".stripMargin
+      },
+
       "qbl_contiguous_index" ->
         """WITH r AS (SELECT doc_id, n_chars,
           |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
