@@ -839,6 +839,41 @@ object SourceQueries extends QueryPack {
     (n1, s1, n2, s2)
   }
 
+  /** Derived-table maintenance run (qbo): the bronze→silver shape — a
+    * base corpus table streams through a filter into a derived snapshot
+    * table, BOTH ends exactly-once (source offsets = versions, sink
+    * ledger = stream epochs), and a late base commit propagates through
+    * a checkpoint-resumed query. Per-invocation fresh paths (consumes
+    * checkpoint state). availableNow semantics: each run delivers all
+    * pending versions as one batch, so the derived history is
+    * deterministic (one version per non-empty run).
+    */
+  private def snapDerivedRun(s: SparkSession, dir: String): (String, Long) = {
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val src = s"target/snapderived-src-$tag"
+    val dst = s"target/snapderived-dst-$tag"
+    val cp = s"target/snapderived-cp-$tag"
+    val docsT = graft.core.Tables.load(s, dir, "documents")
+    (0 until 2).foreach(r =>
+      SnapshotLog.commit(docsT.where(col("doc_id") % 3 === r),
+        src, "append", Seq("doc_id")))
+    def run(): Unit = {
+      val q = s.readStream.format("graft-snapshot").option("table", src).load()
+        .where(col("lang") === "en" && col("n_chars") >= 200)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, epoch: Long) =>
+          SnapshotLog.appendStreamBatch(b, dst, epoch, Seq("doc_id")); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterPhase1 = SnapshotLog.read(s, dst).count()
+    SnapshotLog.commit(docsT.where(col("doc_id") % 3 === 2),
+      src, "append", Seq("doc_id"))
+    run() // checkpoint-resumed: only the new base version propagates
+    (dst, afterPhase1)
+  }
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -1986,6 +2021,27 @@ object SourceQueries extends QueryPack {
         .orderBy($"phase")
     }),
 
+    // Derived-table maintenance (bronze→silver): the base corpus table
+    // streams through a quality filter into a derived snapshot table
+    // with exactly-once on BOTH ends — source offsets are manifest
+    // versions, the sink's epoch ledger absorbs foreachBatch replays —
+    // and a late base commit propagates through a checkpoint-resumed
+    // query. The hash pins the phase-1 row count, the final derived
+    // content, and the derived version count (one per run — availableNow
+    // delivers all pending versions as a single batch).
+    "qbo_derived_table" -> ((s, dir) => {
+      val (dst, afterPhase1) = snapDerivedRun(s, dir)
+      SnapshotLog.read(s, dst).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_phase1", lit(afterPhase1))
+        .withColumn("n_versions",
+          lit(SnapshotLog.latestVersion(s, dst).getOrElse(0L)))
+        .select(col("n_phase1"), col("n_versions"), col("n_rows"),
+          col("sum_id"), col("sum_chars"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2246,6 +2302,18 @@ object SourceQueries extends QueryPack {
            |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
            |FROM lineitem, w
            |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
+      // the derived table replayed relationally: phase 1 = filtered
+      // slices 0-1, final = filtered full corpus, 2 runs = 2 versions
+      "qbo_derived_table" ->
+        """WITH f AS (SELECT doc_id, n_chars FROM documents
+          |          WHERE lang = 'en' AND n_chars >= 200)
+          |SELECT (SELECT count(*) FROM f WHERE doc_id % 3 <= 1) AS n_phase1,
+          |  CAST(2 AS BIGINT) AS n_versions,
+          |  count(*) AS n_rows,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM f""".stripMargin,
 
       // both stream phases from the modulus arithmetic: phase 1 =
       // slices 0-2, phase 2 = exactly the late-arriving slice 3
