@@ -435,6 +435,36 @@ object TrainPrepQueries extends QueryPack {
         .orderBy($"bucket")
     }),
 
+    // Signal distillation by EXACT least squares: fit the heuristic
+    // quality score (micro-units) as a linear function of (token count,
+    // char count) — the "replace the expensive scorer with a shippable
+    // linear model" pass. The whole fit is ONE map-side-combinable
+    // aggregation (the integer moment matrix) + an O(1) driver Cramer
+    // solve in BigInt; no gradient iterations, no float reduction-order
+    // nondeterminism. The oracle replays the identical normal equations
+    // in 128-bit SQL arithmetic — coefficients AND the micro-unit
+    // residual sum must match bit-for-bit. See functions.LinearFit for
+    // the 100 TB rationale.
+    "qbp_distill_linear" -> ((s, dir) => {
+      import s.implicits._
+      val feats = docs(s, dir).select(
+        TextFunctions.tokenCount($"text").cast("long").as("x1"),
+        $"n_chars".cast("long").as("x2"),
+        floor(graft.functions.FastText.qualityScoreUdf($"text") * 1e6 + 0.5)
+          .cast("long").as("y"))
+      val fit = graft.functions.LinearFit.fit3(feats, $"x1", $"x2", $"y")
+      feats
+        .withColumn("r", $"y" -
+          floor(lit(fit.w0) + lit(fit.w1) * $"x1" + lit(fit.w2) * $"x2" + 0.5)
+            .cast("long"))
+        .agg(sum($"r" * $"r").as("sse_micro2"))
+        .withColumn("w0", lit(fit.w0))
+        .withColumn("w1", lit(fit.w1))
+        .withColumn("w2", lit(fit.w2))
+        .withColumn("n_docs", lit(fit.n))
+        .select($"w0", $"w1", $"w2", $"n_docs", $"sse_micro2")
+    }),
+
     // Distributed contiguous indexing — the idx-addressable-dataset
     // primitive (epoch permutation, fetch-by-index, packing all start
     // from a dense rank): operators.GlobalIndex assigns ids via range
@@ -646,6 +676,39 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(p * ($h % 997)) AS BIGINT) AS pair_sum
            |FROM lab GROUP BY split ORDER BY split""".stripMargin
       },
+      // the same normal equations in HUGEINT (dets overflow BIGINT by
+      // design), the same floor-based 6dp rounding of the Cramer
+      // quotients, the same left-assoc prediction arithmetic
+      "qbp_distill_linear" -> {
+        val tok = TextFunctions.tokenCountSql("text")
+        val q = TextFunctions.qualityScoreSql("text")
+        s"""WITH f AS (SELECT CAST($tok AS BIGINT) AS x1,
+           |  CAST(n_chars AS BIGINT) AS x2,
+           |  CAST(floor($q * 1000000 + 0.5) AS BIGINT) AS y FROM documents),
+           |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |  CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+           |  CAST(sum(x1*x1) AS HUGEINT) AS s11, CAST(sum(x1*x2) AS HUGEINT) AS s12,
+           |  CAST(sum(x2*x2) AS HUGEINT) AS s22,
+           |  CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x1*y) AS HUGEINT) AS s1y,
+           |  CAST(sum(x2*y) AS HUGEINT) AS s2y FROM f),
+           |dets AS (SELECT n,
+           |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+           |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS d0,
+           |  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS d1,
+           |  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS d2
+           |  FROM m),
+           |w AS (SELECT CAST(n AS BIGINT) AS n_docs,
+           |  floor(d0::DOUBLE / det::DOUBLE * 1e6 + 0.5) / 1e6 AS w0,
+           |  floor(d1::DOUBLE / det::DOUBLE * 1e6 + 0.5) / 1e6 AS w1,
+           |  floor(d2::DOUBLE / det::DOUBLE * 1e6 + 0.5) / 1e6 AS w2
+           |  FROM dets)
+           |SELECT w0, w1, w2, n_docs,
+           |  CAST(sum(r*r) AS BIGINT) AS sse_micro2
+           |FROM (SELECT y - CAST(floor(w0 + w1*x1 + w2*x2 + 0.5) AS BIGINT) AS r
+           |      FROM f, w), w
+           |GROUP BY w0, w1, w2, n_docs""".stripMargin
+      },
+
       // identical boundary arithmetic and substring semantics (char-
       // based, 1-indexed, 2-arg suffix to end) in the DuckDB dialect
       "qbm_fim_transform" ->
