@@ -465,6 +465,32 @@ object TrainPrepQueries extends QueryPack {
         .select($"w0", $"w1", $"w2", $"n_docs", $"sse_micro2")
     }),
 
+    // Distilled-model APPLICATION: score the corpus with qbp's linear
+    // model and price the distillation against the heuristic gate at
+    // 0.5 — the confusion matrix a pipeline inspects before swapping a
+    // scorer for its cheap surrogate. The linear score is pure per-row
+    // codegen (two multiplies and two adds — no UDF, unlike the
+    // heuristic it replaces), which is the point of distilling.
+    "qbq_distill_apply" -> ((s, dir) => {
+      import s.implicits._
+      val feats = docs(s, dir).select(
+        TextFunctions.tokenCount($"text").cast("long").as("x1"),
+        $"n_chars".cast("long").as("x2"),
+        floor(graft.functions.FastText.qualityScoreUdf($"text") * 1e6 + 0.5)
+          .cast("long").as("y"))
+      val fit = graft.functions.LinearFit.fit3(feats, $"x1", $"x2", $"y")
+      feats
+        .withColumn("pred",
+          floor(lit(fit.w0) + lit(fit.w1) * $"x1" + lit(fit.w2) * $"x2" + 0.5)
+            .cast("long"))
+        .select(($"y" >= 500000L).as("heur"), ($"pred" >= 500000L).as("lin"))
+        .agg(
+          count(when($"heur" && $"lin", 1)).as("tp"),
+          count(when(!$"heur" && $"lin", 1)).as("fp"),
+          count(when($"heur" && !$"lin", 1)).as("fn"),
+          count(when(!$"heur" && !$"lin", 1)).as("tn"))
+    }),
+
     // Distributed contiguous indexing — the idx-addressable-dataset
     // primitive (epoch permutation, fetch-by-index, packing all start
     // from a dense rank): operators.GlobalIndex assigns ids via range
@@ -676,6 +702,40 @@ object TrainPrepQueries extends QueryPack {
            | CAST(sum(p * ($h % 997)) AS BIGINT) AS pair_sum
            |FROM lab GROUP BY split ORDER BY split""".stripMargin
       },
+      // qbp's fit replayed, then the same thresholded confusion counts
+      "qbq_distill_apply" -> {
+        val tok = TextFunctions.tokenCountSql("text")
+        val q = TextFunctions.qualityScoreSql("text")
+        s"""WITH f AS (SELECT CAST($tok AS BIGINT) AS x1,
+           |  CAST(n_chars AS BIGINT) AS x2,
+           |  CAST(floor($q * 1000000 + 0.5) AS BIGINT) AS y FROM documents),
+           |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |  CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+           |  CAST(sum(x1*x1) AS HUGEINT) AS s11, CAST(sum(x1*x2) AS HUGEINT) AS s12,
+           |  CAST(sum(x2*x2) AS HUGEINT) AS s22,
+           |  CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x1*y) AS HUGEINT) AS s1y,
+           |  CAST(sum(x2*y) AS HUGEINT) AS s2y FROM f),
+           |dets AS (SELECT
+           |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+           |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS d0,
+           |  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS d1,
+           |  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS d2
+           |  FROM m),
+           |w AS (SELECT
+           |  floor(d0::DOUBLE / det::DOUBLE * 1e6 + 0.5) / 1e6 AS w0,
+           |  floor(d1::DOUBLE / det::DOUBLE * 1e6 + 0.5) / 1e6 AS w1,
+           |  floor(d2::DOUBLE / det::DOUBLE * 1e6 + 0.5) / 1e6 AS w2
+           |  FROM dets),
+           |p AS (SELECT y >= 500000 AS heur,
+           |  CAST(floor(w0 + w1*x1 + w2*x2 + 0.5) AS BIGINT) >= 500000 AS lin
+           |  FROM f, w)
+           |SELECT count(*) FILTER (WHERE heur AND lin) AS tp,
+           |  count(*) FILTER (WHERE NOT heur AND lin) AS fp,
+           |  count(*) FILTER (WHERE heur AND NOT lin) AS fn,
+           |  count(*) FILTER (WHERE NOT heur AND NOT lin) AS tn
+           |FROM p""".stripMargin
+      },
+
       // the same normal equations in HUGEINT (dets overflow BIGINT by
       // design), the same floor-based 6dp rounding of the Cramer
       // quotients, the same left-assoc prediction arithmetic
