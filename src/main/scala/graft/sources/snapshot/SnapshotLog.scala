@@ -930,6 +930,36 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Newest version whose manifest was published at or before
+    * `tsMillis` — the TIMESTAMP AS OF half of time travel. Publish
+    * timestamps are monotone (non-strict) along the version chain
+    * because commits serialize on the rename CAS, so the walk down from
+    * latest stops at the first qualifying version. None when the table
+    * didn't exist yet at `tsMillis` (or that history has been expired —
+    * retention bounds how far back a timestamp can resolve, exactly as
+    * in Delta/Iceberg).
+    */
+  def versionAt(spark: SparkSession, table: String,
+      tsMillis: Long): Option[Long] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    var v = latestVersion(spark, table).getOrElse(return None)
+    while (v >= 1) {
+      val raw =
+        try readRaw(fs, tbl, v)
+        catch { case _: java.io.FileNotFoundException => return None } // expired
+      if (raw.ts <= tsMillis) return Some(v)
+      v -= 1
+    }
+    None
+  }
+
+  /** The table as of a wall-clock instant (epoch millis). */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAt(spark, table, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $table existed at t=$tsMillis (or it has been expired)"))))
+
   /** Metadata-only schema evolution: publish a new version with the SAME
     * data files and a widened schema — adding a column to a 100 TB table
     * costs one manifest write, zero data movement. Pre-evolution files

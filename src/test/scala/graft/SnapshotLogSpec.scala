@@ -255,6 +255,62 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp time travel resolves the newest version at or before the instant") {
+    val t = freshTable("asof")
+    val before = System.currentTimeMillis() - 1
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotLog.commit(df(10, 30), t, "append", Seq("id"))
+    assert(SnapshotLog.versionAt(s, t, t1).contains(1L))
+    assert(SnapshotLog.readAsOf(s, t, t1).count() == 10)
+    assert(SnapshotLog.readAsOf(s, t, System.currentTimeMillis()).count() == 30)
+    // before the table existed: loud, not empty
+    assert(SnapshotLog.versionAt(s, t, before).isEmpty)
+    intercept[IllegalArgumentException] { SnapshotLog.readAsOf(s, t, before) }
+    // expired history stops resolving (retention bounds the lookback)
+    SnapshotLog.commit(df(30, 40), t, "append", Seq("id"))
+    (1 to 9).foreach(i =>
+      SnapshotLog.commit(df(40 + i * 10, 50 + i * 10), t, "append", Seq("id")))
+    SnapshotLog.expireVersions(s, t, keepLast = 2)
+    assert(SnapshotLog.versionAt(s, t, t1).isEmpty)
+  }
+
+  test("evolution interacts with mutation ops: upsert, delete, compact, streams") {
+    val t = freshTable("evolve-mix")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
+    SnapshotLog.evolveSchema(s, t,
+      SnapshotLog.manifest(s, t, 1L).schemaDdl + ",extra BIGINT")
+    SnapshotLog.commit(df(20, 30).withColumn("extra", $"id" * 2), t,
+      "append", Seq("id"))
+    // upsert spanning a pre-evolution file: update columns carry the
+    // evolved schema; rewritten old rows materialize extra=null
+    val ups = Seq((5L, 5L, "up5", java.lang.Long.valueOf(500L)),
+      (25L, 4L, "up25", java.lang.Long.valueOf(2500L)),
+      (100L, 2L, "new100", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k", "payload", "extra")
+    SnapshotLog.upsert(ups, t, "id", Seq("id"))
+    val after = SnapshotLog.read(s, t)
+    assert(after.count() == 31)
+    assert(after.where($"id" === 5L && $"payload" === "up5" && $"extra" === 500L).count() == 1)
+    assert(after.where($"id" === 100L && $"extra".isNull).count() == 1)
+    // untouched pre-evolution rows still serve null
+    assert(after.where($"id" === 6L && $"extra".isNull).count() == 1)
+    // range delete classified from stats works across the boundary
+    SnapshotLog.deleteWhere(s, t, "id", 10L, 12L, Seq("id"))
+    assert(SnapshotLog.read(s, t).count() == 28)
+    // a stream append missing the evolved column null-fills
+    SnapshotLog.appendStreamBatch(df(200, 205), t, 0L, Seq("id"))
+    // compaction rewrites everything under the evolved schema
+    SnapshotLog.compact(s, t, 1L << 20, Seq("id"))
+    val fin = SnapshotLog.read(s, t)
+    assert(fin.count() == 33)
+    assert(fin.where($"extra".isNotNull).count() == 11) // 9 appended + 2 upserted
+    // time travel before the evolve still reads the 3-column schema
+    assert(!SnapshotLog.read(s, t, Some(1L)).columns.contains("extra"))
+  }
+
   test("tableStats answers count/min/max from the manifest alone") {
     val t = freshTable("stats")
     SnapshotLog.commit(df(5, 50), t, "append", Seq("id"))
