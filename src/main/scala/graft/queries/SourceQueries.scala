@@ -2042,6 +2042,34 @@ object SourceQueries extends QueryPack {
           col("sum_id"), col("sum_chars"))
     }),
 
+    // Array columns through the snapshot stream: the embeddings corpus
+    // (FLOAT[] payloads, the 3-level parquet list encoding) commits as
+    // two versions, streams to completion, and the STREAMED rows then
+    // answer a brute-force cosine top-10 that must hash-match the
+    // oracle computing directly over the source parquet — any lost
+    // element, reordered array, or precision slip in the streaming
+    // reader's list decode breaks the scores.
+    "qbr_snapshot_stream_embeddings" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapstream-emb-$tag"
+      val e = graft.core.Tables.load(s, dir, "embeddings")
+      SnapshotLog.commit(e.where(col("vec_id") % 2 === 0), t, "append", Seq("vec_id"))
+      SnapshotLog.commit(e.where(col("vec_id") % 2 === 1), t, "append", Seq("vec_id"))
+      val qn = s"snap_emb_$tag"
+      val q = s.readStream.format("graft-snapshot").option("table", t).load()
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.table(qn)
+      val probe = streamed.where($"vec_id" === 1L)
+        .select($"embedding".as("probe_vec"))
+      streamed.where($"vec_id" =!= 1L)
+        .crossJoin(broadcast(probe))
+        .select($"vec_id",
+          graft.plans.CosineSim.cosineSim($"embedding", $"probe_vec").as("score"))
+        .orderBy($"score".desc, $"vec_id").limit(10)
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2302,6 +2330,18 @@ object SourceQueries extends QueryPack {
            |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
            |FROM lineitem, w
            |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
+      // the streamed corpus must score identically to the source
+      // parquet — proves the list decode is bit-faithful
+      "qbr_snapshot_stream_embeddings" -> {
+        val cos = graft.functions.SimilarityFunctions
+          .cosineSql("embedding", "probe_vec")
+        s"""WITH probe AS (SELECT embedding AS probe_vec
+           |  FROM embeddings WHERE vec_id = 1)
+           |SELECT vec_id, $cos AS score
+           |FROM embeddings, probe WHERE vec_id <> 1
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+      },
 
       // the derived table replayed relationally: phase 1 = filtered
       // slices 0-1, final = filtered full corpus, 2 runs = 2 versions

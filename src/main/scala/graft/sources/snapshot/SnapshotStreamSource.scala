@@ -45,8 +45,9 @@ import org.apache.spark.util.SerializableConfiguration
   * NULL, exactly like the batch read.
   *
   * The per-file reader decodes flat primitive schemas (long/int/double/
-  * float/boolean/string/binary/date) — the corpus-table shape; nested or
-  * other types are refused at stream construction, not mid-query.
+  * float/boolean/string/binary/date) plus arrays of those primitives
+  * (the embeddings-column shape, Spark's 3-level list encoding); other
+  * types are refused at stream construction, not mid-query.
   */
 class SnapshotTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
@@ -78,11 +79,17 @@ object SnapshotStreamSource {
     LongType, IntegerType, DoubleType, FloatType, BooleanType,
     StringType, BinaryType, DateType)
 
+  private[snapshot] def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => SupportedTypes.contains(et) // embeddings etc.
+    case other => SupportedTypes.contains(other)
+  }
+
   private[snapshot] def validate(schema: StructType): Unit =
-    schema.fields.foreach(f => require(SupportedTypes.contains(f.dataType),
+    schema.fields.foreach(f => require(supported(f.dataType),
       s"graft-snapshot streaming supports flat primitive columns " +
-        s"(long/int/double/float/boolean/string/binary/date); " +
-        s"'${f.name}' is ${f.dataType.sql} — read it in batch via SnapshotLog.read"))
+        s"(long/int/double/float/boolean/string/binary/date) and arrays " +
+        s"of them; '${f.name}' is ${f.dataType.sql} — read it in batch " +
+        "via SnapshotLog.read"))
 }
 
 class SnapshotStreamTable(tableSchema: StructType,
@@ -254,9 +261,13 @@ class SnapshotPartitionReader(file: String, schema: StructType,
     fileSchema.getType(fileSchema.getFieldIndex(name))
   present.foreach { f =>
     val t = fileTypeOf(f.name)
-    require(t.isPrimitive && !t.isRepetition(
-        org.apache.parquet.schema.Type.Repetition.REPEATED),
-      s"graft-snapshot: column '${f.name}' in $file is not a flat primitive")
+    f.dataType match {
+      case _: ArrayType => require(!t.isPrimitive,
+        s"graft-snapshot: column '${f.name}' in $file is not list-encoded")
+      case _ => require(t.isPrimitive && !t.isRepetition(
+          org.apache.parquet.schema.Type.Repetition.REPEATED),
+        s"graft-snapshot: column '${f.name}' in $file is not a flat primitive")
+    }
   }
 
   private val reader: ParquetReader[Group] =
@@ -300,6 +311,34 @@ class SnapshotPartitionReader(file: String, schema: StructType,
             row.update(i, UTF8String.fromBytes(cur.getBinary(gi, 0).getBytes))
           case BinaryType => row.update(i, cur.getBinary(gi, 0).getBytes)
           case DateType => row.setInt(i, cur.getInteger(gi, 0))
+          case ArrayType(et, _) =>
+            // Spark's 3-level list encoding: field -> repeated "list"
+            // group -> optional "element"
+            val lg = cur.getGroup(gi, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val el = lg.getGroup(0, j)
+              arr(j) =
+                if (el.getFieldRepetitionCount(0) == 0) null
+                else et match {
+                  case FloatType => el.getFloat(0, 0)
+                  case DoubleType => el.getDouble(0, 0)
+                  case LongType => el.getLong(0, 0)
+                  case IntegerType => el.getInteger(0, 0)
+                  case BooleanType => el.getBoolean(0, 0)
+                  case StringType =>
+                    UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
+                  case BinaryType => el.getBinary(0, 0).getBytes
+                  case DateType => el.getInteger(0, 0)
+                  case o => throw new IllegalStateException(
+                    s"unreachable element type $o")
+                }
+              j += 1
+            }
+            row.update(i,
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(arr))
           case other => throw new IllegalStateException(
             s"unreachable: $other passed validation")
         }

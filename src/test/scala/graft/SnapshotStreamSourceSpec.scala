@@ -105,6 +105,28 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("array columns stream bit-faithfully, including nulls and empties") {
+    val t = freshTable("arrays")
+    val rows = Seq(
+      (1L, Seq(1.5f, -2.25f, 3.0f)),
+      (2L, Seq.empty[Float]),
+      (3L, null.asInstanceOf[Seq[Float]]),
+      (4L, Seq(0.0f, Float.MinPositiveValue)))
+    SnapshotLog.commit(rows.toDF("id", "vec"), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_arrays")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("snap_stream_arrays")
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[Float](1))).toMap
+      assert(got(1L).get == Seq(1.5f, -2.25f, 3.0f))
+      assert(got(2L).get.isEmpty)
+      assert(got(3L).isEmpty) // null array stays null
+      assert(got(4L).get == Seq(0.0f, Float.MinPositiveValue))
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger bounds backlog catch-up batches") {
     val t = freshTable("throttle")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
