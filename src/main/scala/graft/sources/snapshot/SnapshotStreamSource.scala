@@ -84,6 +84,52 @@ object SnapshotStreamSource {
     case other => SupportedTypes.contains(other)
   }
 
+  import org.apache.spark.sql.sources._
+
+  private def scalarOk(v: Any): Boolean = v match {
+    case _: Number | _: String => true
+    case _ => false
+  }
+
+  /** Filters the manifest stats can act on: range/equality over a
+    * scalar. Everything else streams unpruned (and is re-applied by
+    * Spark anyway — all pushdown here is advisory).
+    */
+  private[snapshot] def prunable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => scalarOk(v)
+    case GreaterThan(_, v) => scalarOk(v)
+    case GreaterThanOrEqual(_, v) => scalarOk(v)
+    case LessThan(_, v) => scalarOk(v)
+    case LessThanOrEqual(_, v) => scalarOk(v)
+    case _ => false
+  }
+
+  private def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None // type mismatch: never prune on it
+  }
+
+  /** Could a file with these [min,max] stats hold a matching row?
+    * Missing stats (all-null file, undeclared column) and incomparable
+    * types answer TRUE — unknown never prunes.
+    */
+  private[snapshot] def mightMatch(stats: Map[String, (Any, Any)],
+      f: Filter): Boolean = f match {
+    case EqualTo(c, v) => stats.get(c).forall { case (mn, mx) =>
+      cmpAny(mn, v).forall(_ <= 0) && cmpAny(mx, v).forall(_ >= 0) }
+    case GreaterThan(c, v) => stats.get(c).forall { case (_, mx) =>
+      cmpAny(mx, v).forall(_ > 0) }
+    case GreaterThanOrEqual(c, v) => stats.get(c).forall { case (_, mx) =>
+      cmpAny(mx, v).forall(_ >= 0) }
+    case LessThan(c, v) => stats.get(c).forall { case (mn, _) =>
+      cmpAny(mn, v).forall(_ < 0) }
+    case LessThanOrEqual(c, v) => stats.get(c).forall { case (mn, _) =>
+      cmpAny(mn, v).forall(_ <= 0) }
+    case _ => true
+  }
+
   private[snapshot] def validate(schema: StructType): Unit =
     schema.fields.foreach(f => require(supported(f.dataType),
       s"graft-snapshot streaming supports flat primitive columns " +
@@ -104,29 +150,49 @@ class SnapshotStreamTable(tableSchema: StructType,
 
 class SnapshotScanBuilder(fullSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep declared field order regardless of projection order
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new SnapshotScan(required, options)
+  /** Range/equality predicates are recorded for manifest-stats FILE
+    * pruning inside each micro-batch (the streaming face of
+    * [[SnapshotLog.readPruned]]); ALL filters return as residual so
+    * Spark re-applies them — pruning is advisory, correctness never
+    * depends on it (a file with no stats for the column always
+    * survives).
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(SnapshotStreamSource.prunable)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new SnapshotScan(required, options, pushed)
 }
 
 class SnapshotScan(requiredSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan {
   override def readSchema(): StructType = requiredSchema
   override def description(): String = "graft-snapshot scan"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     SnapshotStreamSource.validate(requiredSchema)
-    new SnapshotMicroBatchStream(requiredSchema, options)
+    new SnapshotMicroBatchStream(requiredSchema, options, pushed)
   }
 }
 
 class SnapshotMicroBatchStream(requiredSchema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    options: CaseInsensitiveStringMap,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
@@ -192,6 +258,11 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
       if (s0 == 0) Set.empty[String]
       else SnapshotLog.manifest(spark, table, s0).files.map(_.path).toSet
     target.files.filterNot(f => basePaths(f.path))
+      // manifest-stats file pruning per batch (streaming readPruned):
+      // a file whose [min,max] provably excludes every pushed predicate
+      // never becomes a partition; unknown stats never prune, and Spark
+      // re-applies every filter as residual
+      .filter(f => pushed.forall(p => SnapshotStreamSource.mightMatch(f.stats, p)))
       .map(f => SnapshotInputPartition(
         new Path(new Path(table), f.path).toString): InputPartition)
       .toArray

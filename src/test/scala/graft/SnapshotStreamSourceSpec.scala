@@ -145,6 +145,41 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(batches.iterator().asScala.toSeq == Seq(10L, 20L, 30L))
   }
 
+  test("pushed range filters prune files per batch by manifest stats") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    import graft.sources.snapshot.{SnapshotMicroBatchStream, SnapshotOffset}
+    val t = freshTable("prune")
+    // four single-file versions with disjoint id ranges
+    Seq((0L, 100L), (100L, 200L), (200L, 300L), (300L, 400L)).foreach {
+      case (lo, hi) =>
+        SnapshotLog.commit(df(lo, hi).repartition(1), t, "append", Seq("id"))
+    }
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("table", t))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      SnapshotLog.manifest(s, t, 4L).schemaDdl)
+    def partitions(filters: org.apache.spark.sql.sources.Filter*): Int =
+      new SnapshotMicroBatchStream(schema, opts, filters.toArray)
+        .planInputPartitions(SnapshotOffset(0), SnapshotOffset(4)).length
+    assert(partitions() == 4)
+    assert(partitions(GreaterThanOrEqual("id", 250L)) == 2)
+    assert(partitions(GreaterThanOrEqual("id", 250L), LessThan("id", 300L)) == 1)
+    assert(partitions(GreaterThanOrEqual("id", 1000L)) == 0)
+    // unknown column never prunes
+    assert(partitions(GreaterThanOrEqual("nope", 1L)) == 4)
+    // end-to-end: the filter reaches the stream and content is exact
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .where($"id" >= 250L && $"id" < 310L)
+      .writeStream.format("memory").queryName("snap_stream_pruned")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("snap_stream_pruned").agg(
+        count(lit(1)), min($"id"), max($"id")).head
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((60L, 250L, 309L)))
+    } finally q.stop()
+  }
+
   test("non-append history inside the range fails the stream loudly") {
     val t = freshTable("reject")
     SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
