@@ -159,6 +159,21 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "idempotent upsert changed content")
 
+    // metadata-only schema evolution on the 63-file table: ONE manifest
+    // write, zero data IO — wall-time stays in milliseconds no matter
+    // how many files (or TB) the table holds, and every pre-evolution
+    // file serves the new column as NULL
+    val evolve = timed("evolve_schema") {
+      SnapshotLog.evolveSchema(spark, t,
+        SnapshotLog.manifest(spark, t,
+          SnapshotLog.latestVersion(spark, t).get).schemaDdl + ",extra_tag STRING")
+    }
+    require(SnapshotLog.read(spark, t)
+        .where(col("extra_tag").isNotNull).count() == 0,
+      "evolved column must serve NULL from pre-evolution files")
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "evolve changed table content")
+
     // compact the small files; the full answer must not move
     val compactRun = timed("compact") {
       SnapshotLog.compact(spark, t, 256L << 20, Seq("l_orderkey")).get
@@ -200,6 +215,7 @@ object SnapshotScaleSmoke {
       ("point_lookup_50", lookups._2),
       ("delete_aligned", delStats._2),
       ("upsert_1file", upStats._2),
+      ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),
       ("concurrent_commit8", concurrent._2))
