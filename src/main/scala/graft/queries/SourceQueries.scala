@@ -874,6 +874,34 @@ object SourceQueries extends QueryPack {
     (dst, afterPhase1)
   }
 
+  /** Clustered-layout fixture (qbs): lineitem laid as 8 explicit
+    * z-range buckets (z = Morton(l_partkey, l_suppkey), width =
+    * maxZ/8 + 1), one file per non-empty bucket with manifest stats on
+    * BOTH raw columns — a deterministic stand-in for
+    * `compact(clusterBy = z)` so the pruning arithmetic is formulaic
+    * for the oracle. Because z-contiguous files cover compact 2-D
+    * regions, their per-column [min,max] windows are tight, which is
+    * exactly what makes the conjunction prune.
+    */
+  private def snapClusterPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapcluster"), { _ =>
+      val p = s"target/snapcluster-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .withColumn("z", graft.functions.ZOrder.zOrder2(
+          col("l_partkey"), col("l_suppkey")))
+      val mx = li.agg(max(col("z"))).head.getLong(0)
+      val width = mx / 8 + 1
+      (0 until 8).foreach { b =>
+        val part = li.where(expr(s"z DIV $width") === b)
+        if (!part.isEmpty)
+          SnapshotLog.commit(part.repartition(1), p, "append",
+            Seq("l_partkey", "l_suppkey"))
+      }
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -2070,6 +2098,26 @@ object SourceQueries extends QueryPack {
         .orderBy($"score".desc, $"vec_id").limit(10)
     }),
 
+    // 2-D conjunction pruning over a clustered layout: the z-bucketed
+    // table serves qah's box query through readFiltered — every file's
+    // [min,max] on BOTH raw columns is tested against the conjunction
+    // before any file opens. The hash pins kept/total file counts (the
+    // oracle recomputes them from the same z-bucket arithmetic) AND the
+    // box content — the OPTIMIZE..ZORDER payoff measured at the
+    // manifest, not just at the parquet row-group level.
+    "qbs_snapshot_cluster_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.sources._
+      val t = snapClusterPath(s, dir)
+      val (df, kept, total) = SnapshotLog.readFiltered(s, t, Seq(
+        GreaterThanOrEqual("l_partkey", 20L), LessThanOrEqual("l_partkey", 150L),
+        GreaterThanOrEqual("l_suppkey", 1L), LessThanOrEqual("l_suppkey", 8L)))
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .withColumn("n_kept", lit(kept.toLong))
+        .withColumn("n_total", lit(total.toLong))
+        .select(col("n_kept"), col("n_total"), col("n_rows"), col("sum_qty"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2330,6 +2378,33 @@ object SourceQueries extends QueryPack {
            |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
            |FROM lineitem, w
            |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
+      // the z-bucket layout and 2-D pruning replayed: per-bucket
+      // [min,max] windows on both raw columns, kept = buckets whose
+      // windows intersect the box on BOTH axes; same interleave ladder
+      // as qah
+      "qbs_snapshot_cluster_prune" ->
+        """WITH f AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+          |  l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+          |), s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS xa,
+          |  (y | (y << 8)) & 16711935 AS ya FROM f
+          |), s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+          |  (ya | (ya << 4)) & 252645135 AS yb FROM s1
+          |), s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+          |  (yb | (yb << 2)) & 858993459 AS yc FROM s2
+          |), s4 AS (SELECT l_partkey, l_suppkey, qty,
+          |  ((xc | (xc << 1)) & 1431655765) |
+          |  (((yc | (yc << 1)) & 1431655765) << 1) AS z FROM s3
+          |), w AS (SELECT max(z) // 8 + 1 AS width FROM s4
+          |), g AS (SELECT z // width AS b, l_partkey, l_suppkey, qty FROM s4, w
+          |), fl AS (SELECT b, min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+          |  min(l_suppkey) AS mn2, max(l_suppkey) AS mx2 FROM g GROUP BY b
+          |), k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept FROM fl
+          |  WHERE mn1 <= 150 AND mx1 >= 20 AND mn2 <= 8 AND mx2 >= 1
+          |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fl
+          |), c AS (SELECT count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty
+          |  FROM g WHERE l_partkey BETWEEN 20 AND 150 AND l_suppkey BETWEEN 1 AND 8)
+          |SELECT n_kept, n_total, n_rows, sum_qty FROM k, tot, c""".stripMargin,
 
       // the streamed corpus must score identically to the source
       // parquet — proves the list decode is bit-faithful

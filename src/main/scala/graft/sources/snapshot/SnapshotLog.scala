@@ -1209,6 +1209,45 @@ object SnapshotLog {
     (df, kept.size, m.files.size)
   }
 
+  /** Multi-predicate manifest pruning: keep a file iff EVERY predicate
+    * (range/equality over stats columns) might match its [min,max] —
+    * the conjunction form [[readPruned]] can't express, and the shape a
+    * 2-D box query runs against a cluster-compacted layout: clustering
+    * (see [[compact]]'s `clusterBy` and `functions.ZOrder`) gives every
+    * file tight ranges on BOTH dimensions, so the conjunction prunes in
+    * two dimensions at once — the OPTIMIZE..ZORDER payoff measured at
+    * the manifest, before any file opens. Unknown stats never prune,
+    * and all predicates re-apply as residuals. Returns (frame with
+    * residuals applied, kept files, total files).
+    */
+  def readFiltered(spark: SparkSession, table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    filters.foreach(f => require(SnapshotStreamSource.prunable(f),
+      s"readFiltered supports range/equality predicates, got $f"))
+    val kept = m.files.filter(f =>
+      filters.forall(p => SnapshotStreamSource.mightMatch(f.stats, p)))
+    val df = filters.foldLeft(readFiles(spark, table, m, kept))(
+      (d, p) => d.where(residualColumn(p)))
+    (df, kept.size, m.files.size)
+  }
+
+  private def residualColumn(
+      f: org.apache.spark.sql.sources.Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+  }
+
   /** Point lookup `column = value` with two-tier file skipping: range
     * stats first (cheap interval test), then the per-file Bloom filter
     * for files whose range contains the value but whose key set likely
