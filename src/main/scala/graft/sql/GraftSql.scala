@@ -75,6 +75,16 @@ object GraftSql {
         else scala.util.Try(graft.functions.VideoCodec.decodeMeta(b)).toOption)
   }
 
+  /** Register a snapshot-table version as a temp view — the manifest-
+    * planned read (file list from ONE small JSON, DV masks applied)
+    * reachable from `spark.sql`. Re-register to repoint at a different
+    * version (time travel for SQL users).
+    */
+  def registerSnapshot(spark: SparkSession, name: String, table: String,
+      version: Option[Long] = None): Unit =
+    graft.sources.snapshot.SnapshotLog.read(spark, table, version)
+      .createOrReplaceTempView(name)
+
   /** One-call setup: views + functions. */
   def init(spark: SparkSession, dir: String): Unit = {
     registerTables(spark, dir)

@@ -279,6 +279,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"table side shuffled:\n${p.take(1500)}")
   }
 
+  test("qbi: HTML extraction is one codegen projection — no UDF, no exchange") {
+    val p = planOf("qbi_html_extract")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"extraction left codegen:\n${p.take(1200)}")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      // only the output orderBy may exchange; the extraction itself is map-only
+      s"unexpected exchange in a per-row pass:\n${p.take(1500)}")
+  }
+
   test("qau/qav: rank assignment has no global window anywhere in the plan") {
     // the exact-split and epoch-shard ranks come from the distributed
     // GlobalIndex operator (range exchange + per-partition offsets);

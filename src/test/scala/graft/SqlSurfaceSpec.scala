@@ -82,4 +82,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.length == viaDf.length && viaSql.nonEmpty)
     viaSql.zip(viaDf).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
+
+  test("snapshot tables reach spark.sql via registerSnapshot, per version") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-snap").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 50).select($"id", ($"id" % 5).as("k")), t, "append", Seq("id"))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(50, 80).select($"id", ($"id" % 5).as("k")), t, "append", Seq("id"))
+    graft.sql.GraftSql.registerSnapshot(spark, "snap_sql", t)
+    assert(spark.sql("SELECT count(*), sum(id) FROM snap_sql").head ===
+      org.apache.spark.sql.Row(80L, (0L until 80).sum))
+    // re-register at an old version: SQL time travel
+    graft.sql.GraftSql.registerSnapshot(spark, "snap_sql", t, Some(1L))
+    assert(spark.sql("SELECT count(*) FROM snap_sql").head.getLong(0) == 50L)
+  }
 }
