@@ -902,6 +902,27 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** NDV-sketch fixture (qbt): orders in 4 orderkey-range buckets, each
+    * file carrying a KMV sketch of o_custkey (custkeys RECUR across
+    * buckets, so the merged estimate must deduplicate across files —
+    * the property that makes the sketch mergeable rather than additive).
+    */
+  private def snapNdvPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapndv"), { _ =>
+      val p = s"target/snapndv-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / 4 + 1
+      (0 until 4).foreach { b =>
+        SnapshotLog.commit(
+          orders.where(expr(s"o_orderkey DIV $width") === b).repartition(1),
+          p, "append", Seq("o_orderkey"), ndvCols = Seq("o_custkey"))
+      }
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -2118,6 +2139,24 @@ object SourceQueries extends QueryPack {
         .select(col("n_kept"), col("n_total"), col("n_rows"), col("sum_qty"))
     }),
 
+    // Metadata-only approximate COUNT DISTINCT: per-file KMV sketches
+    // (64 smallest distinct portable hashes, ~512 B of manifest each)
+    // merge into the table NDV without reading ANY data file — and
+    // because the k smallest of a union IS the global k-smallest set,
+    // the merged estimate equals a single whole-column KMV, which the
+    // oracle computes directly. Custkeys recur across the 4 files, so
+    // an additive (non-deduplicating) merge would overshoot and break
+    // the hash. The exact distinct count rides along for context.
+    "qbt_snapshot_ndv" -> ((s, dir) => {
+      import s.implicits._
+      val t = snapNdvPath(s, dir)
+      val st = SnapshotLog.tableStats(s, t)
+      val exact = SnapshotLog.read(s, t)
+        .agg(countDistinct(col("o_custkey"))).head.getLong(0)
+      Seq((st.files.toLong, st.approxNdv("o_custkey"), exact))
+        .toDF("n_files", "est_ndv", "exact_ndv")
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2378,6 +2417,22 @@ object SourceQueries extends QueryPack {
            |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
            |FROM lineitem, w
            |WHERE l_orderkey // width IN (1, 3) AND l_orderkey % 100 = 7""".stripMargin,
+
+      // a single whole-column KMV with the same K and hash — equal to
+      // the per-file-merged estimate by the k-smallest-union property
+      "qbt_snapshot_ndv" -> {
+        val h = graft.functions.PortableHash.duckHashSql(
+          "CAST(o_custkey AS VARCHAR)")
+        val est = graft.functions.Portable.proundSql(
+          s"${(SnapshotLog.NdvK - 1)} * 4294967296.0 / max(h)", 4)
+        s"""WITH h AS (SELECT DISTINCT $h AS h FROM orders),
+           |kmin AS (SELECT h FROM h ORDER BY h LIMIT ${SnapshotLog.NdvK})
+           |SELECT CAST(4 AS BIGINT) AS n_files,
+           |  CASE WHEN count(*) < ${SnapshotLog.NdvK} THEN count(*)::DOUBLE
+           |       ELSE $est END AS est_ndv,
+           |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_ndv
+           |FROM kmin""".stripMargin
+      },
 
       // the z-bucket layout and 2-D pruning replayed: per-bucket
       // [min,max] windows on both raw columns, kept = buckets whose

@@ -55,9 +55,16 @@ object SnapshotLog {
     * ([[DvRef]]) masking rows without rewriting the file
     * (merge-on-read — see [[deleteWhereDV]]).
     */
+  /** `ndvs` holds an optional per-column KMV distinct sketch (base64 of
+    * the ≤[[NdvK]] smallest distinct portable hashes of the column's
+    * string form) — mergeable across files by construction (the k
+    * smallest of a union = the k smallest of the per-file k-smallest
+    * sets), which is what makes [[tableStats]]'s approximate NDV a
+    * metadata-only answer.
+    */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, (Any, Any)], blooms: Map[String, String] = Map.empty,
-      dv: Option[DvRef] = None)
+      dv: Option[DvRef] = None, ndvs: Map[String, String] = Map.empty)
 
   /** Rows a file actually serves: written rows minus DV-masked rows. */
   private def liveRows(f: FileEntry): Long =
@@ -110,10 +117,10 @@ object SnapshotLog {
     */
   def commit(df: DataFrame, table: String, mode: String = "append",
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): Long =
+      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil): Long =
     commitAs(df, table,
       latestVersion(df.sparkSession, table).getOrElse(0L) + 1, mode,
-      statsCols, bloomCols, bloomBits)
+      statsCols, bloomCols, bloomBits, ndvCols)
 
   /** Version-pinned commit — the compare-and-swap surface: a committer
     * that read latest = N-1 publishes exactly N, and loses (with
@@ -121,7 +128,7 @@ object SnapshotLog {
     */
   def commitAs(df: DataFrame, table: String, v: Long,
       mode: String, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): Long = {
+      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
     // an append conforms to the TABLE's schema (same columns/types,
@@ -133,7 +140,8 @@ object SnapshotLog {
       case Some(p) if mode == "append" => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
       case _ => (df, df.schema.toDDL)
     }
-    val newFiles = writeData(aligned, table, v, statsCols, bloomCols, bloomBits)
+    val newFiles = writeData(aligned, table, v, statsCols, bloomCols,
+      bloomBits, ndvCols)
     val prior =
       if (mode == "append") parent.map(_.files).getOrElse(Nil) else Nil
     publish(fsOf(spark, new Path(table)), new Path(table),
@@ -213,9 +221,15 @@ object SnapshotLog {
     * fall back to one Spark pass over the new files only. Blooms, when
     * requested, are one more pass over the new files.
     */
+  /** KMV sketch size: 64 smallest distinct 32-bit hashes per
+    * (file, column) — ~512 bytes of manifest per sketch, relative
+    * error ~1/√(k-1) ≈ 13%.
+    */
+  val NdvK = 64
+
   private def writeData(df: DataFrame, table: String, v: Long,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits): Seq[FileEntry] = {
+      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
@@ -249,6 +263,28 @@ object SnapshotLog {
           }
       }.toMap
 
+    // (file, column) -> KMV sketch: distinct portable hashes ranked
+    // within each file (partition-local window over a vocabulary-sized
+    // frame), k smallest kept — collect is bounded by files × k
+    val ndvs: Map[(String, String), Array[Long]] =
+      ndvCols.flatMap { c =>
+        spark.read.parquet(dataDir.toString)
+          .where(col(c).isNotNull)
+          .select(input_file_name().as("__file"),
+            graft.functions.PortableHash.detHash(col(c)).as("__h"))
+          .distinct()
+          .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__file")).orderBy(col("__h"))))
+          .where(col("__rk") <= NdvK)
+          .collect()
+          .groupBy(r => r.getString(0))
+          .map { case (file, rs) =>
+            (file.substring(file.lastIndexOf('/') + 1), c) ->
+              rs.map(_.getLong(1)).sorted
+          }
+      }.toMap
+
     val entries = footerEntries(spark, fs, dataDir, dataRel, statsCols)
       .getOrElse(scanEntries(spark, dataDir, dataRel, statsCols))
     entries
@@ -256,8 +292,10 @@ object SnapshotLog {
         val name = e.path.substring(e.path.lastIndexOf('/') + 1)
         val fileBlooms = bloomCols.flatMap(c =>
           blooms.get((name, c)).map(w => c -> bloomB64(w))).toMap
+        val fileNdvs = ndvCols.flatMap(c =>
+          ndvs.get((name, c)).map(w => c -> bloomB64(w))).toMap
         val bytes = fs.getFileStatus(new Path(dataDir, name)).getLen
-        e.copy(bytes = bytes, blooms = fileBlooms)
+        e.copy(bytes = bytes, blooms = fileBlooms, ndvs = fileNdvs)
       }.sortBy(_.path)
   }
 
@@ -859,8 +897,21 @@ object SnapshotLog {
     * 100 TB win: `SELECT count(*), min(k), max(k)` costs one small JSON
     * read — the Iceberg metadata-query capability.
     */
+  /** `approxNdv`: metadata-only approximate COUNT(DISTINCT col) — the
+    * per-file KMV sketches merge exactly (k smallest of the union IS
+    * the global k-smallest set), so the estimate equals what a single
+    * KMV over the whole column would report, computed from the manifest
+    * alone. A column reports only when every live row is covered (each
+    * file with rows carries the sketch — mixed histories omit it rather
+    * than under-count); DV masks are NOT subtracted (a masked row may
+    * hold a distinct value — the estimate is for the written data,
+    * an upper picture until [[compact]] materializes the masks).
+    * Exact (not estimated) when fewer than [[NdvK]] distinct hashes
+    * exist. Rounded to 4 decimals, the sketch-family convention.
+    */
   final case class TableStats(version: Long, rows: Long, bytes: Long,
-      files: Int, colRanges: Map[String, (Any, Any)], deletedRows: Long = 0L)
+      files: Int, colRanges: Map[String, (Any, Any)], deletedRows: Long = 0L,
+      approxNdv: Map[String, Double] = Map.empty)
 
   def tableStats(spark: SparkSession, table: String,
       version: Option[Long] = None): TableStats = {
@@ -874,8 +925,20 @@ object SnapshotLog {
             if (cmp(mx1, mx2) >= 0) mx1 else mx2)
         }
       }
+    val ndv = m.files.flatMap(_.ndvs.keys).toSet.toSeq
+      .filter(c => m.files.forall(f => f.rows == 0 || f.ndvs.contains(c)))
+      .map { c =>
+        val union = m.files.flatMap(_.ndvs.get(c).toSeq.flatMap(
+          b64 => bloomDecode(b64).toSeq)).distinct.sorted
+        val kmin = union.take(NdvK)
+        val est =
+          if (kmin.length < NdvK) kmin.length.toDouble
+          else math.floor(
+            (NdvK - 1) * 4294967296.0 / kmin.last * 1e4 + 0.5) / 1e4
+        c -> est
+      }.toMap
     TableStats(v, m.files.map(liveRows).sum, m.files.map(_.bytes).sum,
-      m.files.size, ranges, m.files.flatMap(_.dv.map(_.rows)).sum)
+      m.files.size, ranges, m.files.flatMap(_.dv.map(_.rows)).sum, ndv)
   }
 
   /** Optimistic-concurrency commit: data files land ONCE, then the
@@ -1436,6 +1499,11 @@ object SnapshotLog {
         f.blooms.foreach { case (c, b64) => bm.put(c, b64) }
         fm.put("blooms", bm)
       }
+      if (f.ndvs.nonEmpty) {
+        val nm = new JLinkedHashMap[String, Object]()
+        f.ndvs.foreach { case (c, b64) => nm.put(c, b64) }
+        fm.put("ndvs", nm)
+      }
       f.dv.foreach { d =>
         val dm = new JLinkedHashMap[String, Object]()
         dm.put("path", d.path)
@@ -1492,12 +1560,16 @@ object SnapshotLog {
           _.asInstanceOf[java.util.Map[String, Object]].asScala
             .map { case (c, b) => c -> b.toString }.toMap)
           .getOrElse(Map.empty[String, String])
+        val ndvs = fm.get("ndvs").map(
+          _.asInstanceOf[java.util.Map[String, Object]].asScala
+            .map { case (c, b) => c -> b.toString }.toMap)
+          .getOrElse(Map.empty[String, String])
         val dv = fm.get("dv").map { o =>
           val dm = o.asInstanceOf[java.util.Map[String, Object]].asScala
           DvRef(dm("path").toString, jlong(dm("rows")))
         }
         FileEntry(fm("path").toString, jlong(fm("rows")),
-          fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv)
+          fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv, ndvs)
       }.toSeq
     RawManifest(jlong(root("version")), jlong(root("parent")),
       root("op").toString, root("schema").toString,

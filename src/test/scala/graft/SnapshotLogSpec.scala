@@ -255,6 +255,25 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketches give metadata-only NDV; merge dedupes across files") {
+    val t = freshTable("ndv")
+    // the same 5 k-values land in BOTH files: an additive merge would
+    // report ~10, the KMV union must report the exact 5 (< K: exact path)
+    SnapshotLog.commit(df(0, 40), t, "append", Seq("id"), ndvCols = Seq("k"))
+    SnapshotLog.commit(df(40, 80), t, "append", Seq("id"), ndvCols = Seq("k"))
+    val st = SnapshotLog.tableStats(s, t)
+    assert(st.approxNdv("k") == 7.0) // ids 0..79 cover k = id % 7 fully
+    // a column no sketch was requested for is absent, not zero
+    assert(!st.approxNdv.contains("id"))
+    // a file without the sketch makes the column unreportable (never a
+    // silent under-count)
+    SnapshotLog.commit(df(80, 90), t, "append", Seq("id"))
+    assert(!SnapshotLog.tableStats(s, t).approxNdv.contains("k"))
+    // sketches round-trip the manifest JSON (delta encoding included)
+    val m = SnapshotLog.manifest(s, t, 2L)
+    assert(m.files.forall(_.ndvs.contains("k")))
+  }
+
   test("timestamp time travel resolves the newest version at or before the instant") {
     val t = freshTable("asof")
     val before = System.currentTimeMillis() - 1
