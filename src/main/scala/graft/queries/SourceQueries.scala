@@ -2157,6 +2157,41 @@ object SourceQueries extends QueryPack {
         .toDF("n_files", "est_ndv", "exact_ndv")
     }),
 
+    // Struct columns through the snapshot stream: orders wrapped into a
+    // typed metadata struct (scalar cust + double price + an
+    // array-of-string field) commit as two versions and stream to
+    // completion; the STREAMED rows answer aggregates over every struct
+    // member that the oracle recomputes directly from the source
+    // parquet — a dropped field, a misaligned field index, or a lost
+    // array element inside the struct breaks the hash. Cents floor the
+    // shared IEEE double product, so both engines truncate identically.
+    "qbu_snapshot_stream_struct" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapstream-struct-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(
+          col("o_custkey").as("cust"),
+          col("o_totalprice").as("price"),
+          split(col("o_orderpriority"), "-").as("prio")).as("meta"))
+      SnapshotLog.commit(o.where(col("o_orderkey") % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.commit(o.where(col("o_orderkey") % 2 === 1), t, "append",
+        Seq("o_orderkey"))
+      val qn = s"snap_struct_$tag"
+      val q = s.readStream.format("graft-snapshot").option("table", t).load()
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"meta.cust").as("sum_cust"),
+        sum(floor($"meta.price" * 100).cast("long")).as("sum_cents"),
+        sum(size($"meta.prio")).as("sum_parts"),
+        sum(when(element_at($"meta.prio", 1) === "1", 1L).otherwise(0L))
+          .as("n_urgent"))
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2433,6 +2468,22 @@ object SourceQueries extends QueryPack {
            |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_ndv
            |FROM kmin""".stripMargin
       },
+
+      // every struct member recomputed from the source table: the
+      // stream's struct decode must preserve cust, the double price
+      // bit-for-bit (floor of the shared IEEE product), and the split
+      // array's length and first element
+      "qbu_snapshot_stream_struct" ->
+        """SELECT count(*) AS n_rows,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+          |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS sum_cents,
+          |  CAST(sum(len(string_split(o_orderpriority, '-'))) AS BIGINT)
+          |    AS sum_parts,
+          |  CAST(count(*) FILTER (
+          |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
+          |    AS n_urgent
+          |FROM orders""".stripMargin,
 
       // the z-bucket layout and 2-D pruning replayed: per-bucket
       // [min,max] windows on both raw columns, kept = buckets whose

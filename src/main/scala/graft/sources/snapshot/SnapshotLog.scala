@@ -166,7 +166,10 @@ object SnapshotLog {
     val cols = schema.fields.map { f =>
       if (df.columns.contains(f.name)) {
         val dt = df.schema(f.name).dataType
-        require(dt == f.dataType,
+        // equality modulo nullability at EVERY nesting level: a DDL
+        // round-trip flips nested containsNull/field-nullable flags,
+        // which carry no layout meaning for parquet
+        require(sameShape(dt, f.dataType),
           s"append column '${f.name}' type ${dt.sql} != table ${f.dataType.sql}")
         col(f.name)
       } else {
@@ -176,6 +179,21 @@ object SnapshotLog {
       }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Type equality ignoring nullability flags at every nesting level. */
+  private def sameShape(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (a, b) match {
+      case (ArrayType(ae, _), ArrayType(be, _)) => sameShape(ae, be)
+      case (StructType(af), StructType(bf)) =>
+        af.length == bf.length && af.zip(bf).forall { case (x, y) =>
+          x.name == y.name && sameShape(x.dataType, y.dataType) }
+      case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+        sameShape(ak, bk) && sameShape(av, bv)
+      case _ => a == b
+    }
   }
 
   /** Bloom geometry: k fixed at 3; bits per file-column configurable at

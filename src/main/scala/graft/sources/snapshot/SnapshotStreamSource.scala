@@ -45,9 +45,11 @@ import org.apache.spark.util.SerializableConfiguration
   * NULL, exactly like the batch read.
   *
   * The per-file reader decodes flat primitive schemas (long/int/double/
-  * float/boolean/string/binary/date) plus arrays of those primitives
-  * (the embeddings-column shape, Spark's 3-level list encoding); other
-  * types are refused at stream construction, not mid-query.
+  * float/boolean/string/binary/date), arrays of those primitives
+  * (the embeddings-column shape, Spark's 3-level list encoding), and
+  * one-level structs whose fields are those primitives or arrays of
+  * them (the typed-metadata shape riding beside multimodal payloads);
+  * other types are refused at stream construction, not mid-query.
   */
 class SnapshotTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
@@ -81,6 +83,13 @@ object SnapshotStreamSource {
 
   private[snapshot] def supported(dt: DataType): Boolean = dt match {
     case ArrayType(et, _) => SupportedTypes.contains(et) // embeddings etc.
+    case StructType(fields) => // typed metadata structs: scalar or
+      // array-of-scalar fields, one level deep (nested structs stay
+      // a batch-read concern until a corpus needs them)
+      fields.nonEmpty && fields.forall(f => f.dataType match {
+        case ArrayType(et, _) => SupportedTypes.contains(et)
+        case other => SupportedTypes.contains(other)
+      })
     case other => SupportedTypes.contains(other)
   }
 
@@ -133,9 +142,9 @@ object SnapshotStreamSource {
   private[snapshot] def validate(schema: StructType): Unit =
     schema.fields.foreach(f => require(supported(f.dataType),
       s"graft-snapshot streaming supports flat primitive columns " +
-        s"(long/int/double/float/boolean/string/binary/date) and arrays " +
-        s"of them; '${f.name}' is ${f.dataType.sql} — read it in batch " +
-        "via SnapshotLog.read"))
+        s"(long/int/double/float/boolean/string/binary/date), arrays " +
+        s"of them, and one-level structs of them; '${f.name}' is " +
+        s"${f.dataType.sql} — read it in batch via SnapshotLog.read"))
 }
 
 class SnapshotStreamTable(tableSchema: StructType,
@@ -335,6 +344,8 @@ class SnapshotPartitionReader(file: String, schema: StructType,
     f.dataType match {
       case _: ArrayType => require(!t.isPrimitive,
         s"graft-snapshot: column '${f.name}' in $file is not list-encoded")
+      case _: StructType => require(!t.isPrimitive,
+        s"graft-snapshot: column '${f.name}' in $file is not group-encoded")
       case _ => require(t.isPrimitive && !t.isRepetition(
           org.apache.parquet.schema.Type.Repetition.REPEATED),
         s"graft-snapshot: column '${f.name}' in $file is not a flat primitive")
@@ -366,6 +377,60 @@ class SnapshotPartitionReader(file: String, schema: StructType,
       emptyRowsLeft -= 1; emptyRowsLeft >= 0
     } else { cur = reader.read(); cur != null }
 
+  /** Boxed decode of one defined scalar at (group, fieldIdx) — shared by
+    * list elements and struct fields.
+    */
+  private def leaf(g: Group, fi: Int, dt: DataType): Any = dt match {
+    case FloatType => g.getFloat(fi, 0)
+    case DoubleType => g.getDouble(fi, 0)
+    case LongType => g.getLong(fi, 0)
+    case IntegerType => g.getInteger(fi, 0)
+    case BooleanType => g.getBoolean(fi, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+    case BinaryType => g.getBinary(fi, 0).getBytes
+    case DateType => g.getInteger(fi, 0)
+    case o => throw new IllegalStateException(s"unreachable leaf type $o")
+  }
+
+  /** Spark's 3-level list encoding: field -> repeated "list" group ->
+    * optional "element".
+    */
+  private def decodeList(lg: Group, et: DataType) = {
+    val n = lg.getFieldRepetitionCount(0)
+    val arr = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val el = lg.getGroup(0, j)
+      arr(j) =
+        if (el.getFieldRepetitionCount(0) == 0) null
+        else leaf(el, 0, et)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Struct column: a plain group whose fields are optional scalars or
+    * 3-level lists. Fields are matched by NAME against the file's group
+    * (order-independent); an undefined field stays null.
+    */
+  private def decodeStruct(sg: Group, st: StructType): InternalRow = {
+    val out = new GenericInternalRow(st.length)
+    val gt = sg.getType
+    var k = 0
+    while (k < st.length) {
+      val f = st.fields(k)
+      val fi = gt.getFieldIndex(f.name)
+      if (sg.getFieldRepetitionCount(fi) > 0) {
+        f.dataType match {
+          case ArrayType(et, _) => out.update(k, decodeList(sg.getGroup(fi, 0), et))
+          case dt => out.update(k, leaf(sg, fi, dt))
+        }
+      }
+      k += 1
+    }
+    out
+  }
+
   override def get(): InternalRow = {
     val row = new GenericInternalRow(schema.length)
     var i = 0
@@ -382,34 +447,8 @@ class SnapshotPartitionReader(file: String, schema: StructType,
             row.update(i, UTF8String.fromBytes(cur.getBinary(gi, 0).getBytes))
           case BinaryType => row.update(i, cur.getBinary(gi, 0).getBytes)
           case DateType => row.setInt(i, cur.getInteger(gi, 0))
-          case ArrayType(et, _) =>
-            // Spark's 3-level list encoding: field -> repeated "list"
-            // group -> optional "element"
-            val lg = cur.getGroup(gi, 0)
-            val n = lg.getFieldRepetitionCount(0)
-            val arr = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val el = lg.getGroup(0, j)
-              arr(j) =
-                if (el.getFieldRepetitionCount(0) == 0) null
-                else et match {
-                  case FloatType => el.getFloat(0, 0)
-                  case DoubleType => el.getDouble(0, 0)
-                  case LongType => el.getLong(0, 0)
-                  case IntegerType => el.getInteger(0, 0)
-                  case BooleanType => el.getBoolean(0, 0)
-                  case StringType =>
-                    UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
-                  case BinaryType => el.getBinary(0, 0).getBytes
-                  case DateType => el.getInteger(0, 0)
-                  case o => throw new IllegalStateException(
-                    s"unreachable element type $o")
-                }
-              j += 1
-            }
-            row.update(i,
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(arr))
+          case ArrayType(et, _) => row.update(i, decodeList(cur.getGroup(gi, 0), et))
+          case st: StructType => row.update(i, decodeStruct(cur.getGroup(gi, 0), st))
           case other => throw new IllegalStateException(
             s"unreachable: $other passed validation")
         }

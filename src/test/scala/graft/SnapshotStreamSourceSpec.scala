@@ -127,6 +127,48 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("struct columns stream field-faithfully, including nulls") {
+    val t = freshTable("structs")
+    val src = s.range(0, 20).select($"id",
+      when($"id" % 5 === 0, lit(null)).otherwise(struct(
+        ($"id" * 3).as("a"),
+        when($"id" % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), $"id")).as("b"),
+        when($"id" % 4 === 0, lit(null).cast("array<float>"))
+          .otherwise(array(($"id" + 0.5).cast("float"),
+            lit(-1.25f))).as("vec"))).as("m"))
+    SnapshotLog.commit(src.where($"id" < 10), t, "append", Seq("id"))
+    SnapshotLog.commit(src.where($"id" >= 10), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_structs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("snap_stream_structs").orderBy($"id")
+        .collect().map(r => r.getLong(0) -> r.get(1))
+      val want = src.orderBy($"id").collect().map(r => r.getLong(0) -> r.get(1))
+      assert(got.toSeq == want.toSeq) // every field, every null, both files
+    } finally q.stop()
+  }
+
+  test("unsupported column shapes are refused at stream construction") {
+    val t = freshTable("badtypes")
+    // map columns and nested struct-of-struct stay batch-read territory
+    SnapshotLog.commit(
+      s.range(0, 3).select($"id", struct(struct($"id".as("x")).as("inner"))
+        .as("m")), t, "append", Nil)
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_bad")
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("read it in batch")),
+      messages(e).mkString("; "))
+  }
+
   test("maxVersionsPerTrigger bounds backlog catch-up batches") {
     val t = freshTable("throttle")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
