@@ -233,4 +233,47 @@ object TextFunctions {
 
   def fingerprintSql(e: String): String =
     s"md5(array_to_string(list_sort(list_distinct(list_transform(${tokensSql(e)}, t -> lower(t)))), ' '))"
+
+  /** PII redaction — the scrub pass every published training corpus runs
+    * before release (the Dolma/BigScience shape: regex families, typed
+    * placeholders). Three families in fixed order — email, then IPv4,
+    * then dashed/dotted phone — each an RE2-subset pattern (no
+    * backreferences, no lookaround) evaluated identically by Spark's
+    * java.util.regex and DuckDB's RE2, so the oracle replays the scrub
+    * verbatim. Order matters and is part of the contract: an email's
+    * numeric domain can no longer fake an IP once `<EMAIL>` replaced it.
+    *
+    * Scale: a per-row regexp_replace chain — pure codegen projection,
+    * no shuffle, fuses into the scan at any corpus size.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** The text with every PII family replaced by its placeholder. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (e, (_, pat, rep)) =>
+      regexp_replace(e, pat, rep) }
+
+  /** Match count for one family over the ORIGINAL text (counts are
+    * computed before any replacement, so families never see each
+    * other's placeholders).
+    */
+  def piiCount(c: Column, family: String): Column = {
+    val pat = PiiPatterns.collectFirst { case (f, p, _) if f == family => p }
+      .getOrElse(throw new IllegalArgumentException(s"no PII family $family"))
+    regexp_count(c, lit(pat)).cast("long")
+  }
+
+  /** [[redactPii]] in the DuckDB dialect — same patterns, same order. */
+  def redactPiiSql(e: String): String =
+    PiiPatterns.foldLeft(e) { case (x, (_, pat, rep)) =>
+      s"regexp_replace($x, '$pat', '$rep', 'g')" }
+
+  def piiCountSql(e: String, family: String): String = {
+    val pat = PiiPatterns.collectFirst { case (f, p, _) if f == family => p }
+      .getOrElse(throw new IllegalArgumentException(s"no PII family $family"))
+    s"CAST(length(regexp_extract_all($e, '$pat')) AS BIGINT)"
+  }
 }

@@ -79,6 +79,36 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction (the pre-release scrub every published corpus runs):
+    // two thirds of the documents get formulaic PII appended — an email,
+    // an IPv4, and a dashed phone, all derived from doc_id — then
+    // [[TextFunctions.redactPii]] scrubs the augmented text. Both
+    // engines build the SAME augmentation and run the SAME RE2-subset
+    // patterns in the SAME order, so the md5 of the redacted text plus
+    // the per-family match counts are the gate: a pattern that
+    // under-matches, over-matches, or fires out of order changes them.
+    // Pure codegen'd per-row regexp chain — no UDF, no shuffle.
+    "qbv_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.{redactPii, piiCount}
+      val aug = concat($"text",
+        when($"doc_id" % 3 =!= 0, concat(
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail.example.com from 10."), ($"doc_id" % 256).cast("string"),
+          lit("."), ($"doc_id" % 97).cast("string"), lit(".7 or call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" now")))
+          .otherwise(lit("")))
+      docs(s, dir)
+        .withColumn("aug", aug)
+        .select($"doc_id",
+          piiCount($"aug", "email").as("n_email"),
+          piiCount($"aug", "ip").as("n_ip"),
+          piiCount($"aug", "phone").as("n_phone"),
+          md5(redactPii($"aug")).as("red_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // N-gram repetition score — the standard "repeated template text"
     // curation signal (fraction of trigram positions occupied by a
     // repeat): 1 - distinct_trigrams / total_trigrams. Reuses the
@@ -498,6 +528,25 @@ object TextQueries extends QueryPack {
          |  md5(clean) AS clean_md5
          |FROM (SELECT doc_id, ${graft.functions.TextFunctions.htmlExtractSql("h")} AS clean
          |      FROM (SELECT doc_id, $page AS h FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+    // identical augmentation (|| concat of the same doc_id arithmetic)
+    // and the same pattern chain via redactPiiSql / piiCountSql
+    "qbv_pii_redact" -> {
+      import graft.functions.TextFunctions.{redactPiiSql, piiCountSql}
+      val aug = "text || (CASE WHEN doc_id % 3 <> 0 THEN " +
+        "' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.' || CAST(doc_id % 97 AS VARCHAR) || '.7 or call 555-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' " +
+        "ELSE '' END)"
+      s"""SELECT doc_id,
+         |  ${piiCountSql("aug", "email")} AS n_email,
+         |  ${piiCountSql("aug", "ip")} AS n_ip,
+         |  ${piiCountSql("aug", "phone")} AS n_phone,
+         |  md5(${redactPiiSql("aug")}) AS red_md5
+         |FROM (SELECT doc_id, $aug AS aug FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
     "qaw_hll_distinct" -> {
