@@ -59,19 +59,27 @@ object DedupFunctions {
     * block rather than the block text; the string key keeps the oracle
     * replayable here and changes nothing structural.
     */
-  def exciseDuplicateBlocks(docs: DataFrame, idCol: String,
-      textCol: String, blockTokens: Int): DataFrame = {
+  /** In-row segmentation into consecutive non-overlapping blocks of
+    * `blockTokens` whitespace tokens — ceil(n/bt) blocks as one array
+    * column, ANSI-safe on empty docs (sequence(0,-1) throws, so the
+    * zero-block case short-circuits to an empty array). Shared by the
+    * corpus-wide election ([[exciseDuplicateBlocks]]) and the stateless
+    * static-set scrub ([[exciseAgainstBlockSet]]).
+    */
+  def blockArray(text: Column, blockTokens: Int): Column = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     val bt = blockTokens
-    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
-    // ceil(n/bt) blocks; ANSI-safe on empty docs (sequence(0,-1) throws,
-    // so the zero-block case short-circuits to an empty array)
-    val blocks = toks
-      .withColumn("__nb", expr(s"(size(__t) + ${bt - 1}) DIV $bt").cast("int"))
-      .select(col(idCol),
-        posexplode_outer(when(col("__nb") === 0, array().cast("array<string>"))
-          .otherwise(expr(
-            s"transform(sequence(0, __nb - 1), i -> array_join(slice(__t, i * $bt + 1, $bt), ' '))"))))
+    val t = TextFunctions.tokens(text)
+    val nb = floor((size(t) + lit(bt - 1)) / lit(bt.toDouble)).cast("int")
+    when(nb === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nb - 1),
+        i => array_join(slice(t, i * bt + 1, lit(bt)), " ")))
+  }
+
+  def exciseDuplicateBlocks(docs: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int): DataFrame = {
+    val blocks = docs
+      .select(col(idCol), posexplode_outer(blockArray(col(textCol), blockTokens)))
       .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__block")
     val real = blocks.where(col("__block").isNotNull)
     // first-occurrence election: aggregation + join-back (skew-robust)
@@ -94,6 +102,46 @@ object DedupFunctions {
         coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .withColumn("n_tokens_clean",
+        size(TextFunctions.tokens(col("text_clean"))).cast("long"))
+  }
+
+  /** The distinct blocks occurring at least `minCount` times in the
+    * corpus — the static banned set a later (or continuously ingested)
+    * corpus is scrubbed against with [[exciseAgainstBlockSet]]. One
+    * map-side-combined aggregation on block content.
+    */
+  def electDuplicateBlocks(docs: DataFrame, textCol: String,
+      blockTokens: Int, minCount: Long = 2L): DataFrame =
+    docs.select(explode(blockArray(col(textCol), blockTokens)).as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("block"))
+
+  /** Excision against a STATIC block set: every occurrence of a banned
+    * block is removed from every document — the decontamination flavor
+    * of substring dedup (a known-boilerplate / leaked-eval block list
+    * applied to fresh data). Unlike [[exciseDuplicateBlocks]] this is a
+    * pure per-row projection — segment, filter the array against the
+    * set, rebuild — so it runs UNCHANGED on a streaming frame (no
+    * state store, no watermark, no shuffle) and is the streaming twin's
+    * whole implementation ([[graft.streaming.StreamOps]]).
+    *
+    * The set travels as one array literal here (exact, oracle-
+    * replayable); at production scale it would be a broadcast Bloom
+    * over 128-bit block digests with identical plumbing.
+    */
+  def exciseAgainstBlockSet(docs: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int, banned: Seq[String]): DataFrame = {
+    val bannedLit = typedLit(banned)
+    docs
+      .select(col(idCol), blockArray(col(textCol), blockTokens).as("__b"))
+      .withColumn("__kept",
+        filter(col("__b"), b => !array_contains(bannedLit, b)))
+      .select(col(idCol),
+        size(col("__b")).cast("long").as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_clean"))
       .withColumn("n_tokens_clean",
         size(TextFunctions.tokens(col("text_clean"))).cast("long"))
   }

@@ -190,6 +190,34 @@ object DedupQueries extends QueryPack {
         .exciseDuplicateBlocks(docs(s, dir), "doc_id", "text", 8)
         .orderBy(col("doc_id"))),
 
+    // STREAMING twin of block excision, decontamination flavor: the
+    // banned set (every 8-token block with corpus count >= 2) is
+    // elected in batch, then the corpus commits to a snapshot table
+    // and STREAMS through the stateless scrub — every occurrence of a
+    // banned block vanishes (no first-survivor: the static set knows
+    // no order). The oracle replays election + scrub relationally, so
+    // the hash pins the streamed text rebuild block-for-block. See
+    // [[DedupFunctions.exciseAgainstBlockSet]]: pure projection, no
+    // state store — the plan a continuous ingest scrubber runs.
+    "qbw_stream_block_excise" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val banned = graft.functions.DedupFunctions
+        .electDuplicateBlocks(d, "text", 8)
+        .orderBy($"block").collect().map(_.getString(0)).toIndexedSeq
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapstream-excise-$tag"
+      graft.sources.snapshot.SnapshotLog.commit(
+        d.select($"doc_id", $"text"), t, "append", Seq("doc_id"))
+      val qn = s"excise_stream_$tag"
+      val q = s.readStream.format("graft-snapshot").option("table", t).load()
+        .transform(df => graft.streaming.StreamOps
+          .streamingBlockExcise(df, 8, banned))
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy($"doc_id")
+    }),
+
     // Dedup CLUSTER assignment over the verified near-dup pairs:
     // cluster_id = min doc_id in the connected component, read from the
     // ONE shared propagation pass ([[components]]) that also serves q37
@@ -547,6 +575,32 @@ object DedupQueries extends QueryPack {
          |d AS (SELECT doc_id, count(*) AS n_blocks,
          |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
          |  coalesce(array_to_string(list(block ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
+         |  FROM k GROUP BY doc_id)
+         |SELECT d0.doc_id,
+         |  coalesce(d.n_blocks, 0) AS n_blocks,
+         |  coalesce(d.n_kept, 0) AS n_kept,
+         |  coalesce(d.text_clean, '') AS text_clean,
+         |  CAST(length($tcClean) AS BIGINT) AS n_tokens_clean
+         |FROM documents d0 LEFT JOIN d USING (doc_id)
+         |ORDER BY d0.doc_id""".stripMargin
+    },
+
+    // same segmentation; banned = blocks with corpus count >= 2; every
+    // occurrence of a banned block is excised (no first-survivor)
+    "qbw_stream_block_excise" -> {
+      val toks = graft.functions.TextFunctions.tokensSql("text")
+      val tcClean = graft.functions.TextFunctions.tokensSql("coalesce(d.text_clean, '')")
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |b AS (SELECT doc_id,
+         |  unnest(generate_series(0, (length(t) + 7) // 8 - 1)) AS idx,
+         |  unnest(list_transform(generate_series(0, (length(t) + 7) // 8 - 1),
+         |    i -> array_to_string(t[(i*8+1):(i*8+8)], ' '))) AS block
+         |  FROM toks),
+         |c AS (SELECT block, count(*) AS cnt FROM b GROUP BY block),
+         |k AS (SELECT doc_id, idx, block, cnt FROM b JOIN c USING (block)),
+         |d AS (SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(count(*) FILTER (WHERE cnt < 2) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(list(block ORDER BY idx) FILTER (WHERE cnt < 2), ' '), '') AS text_clean
          |  FROM k GROUP BY doc_id)
          |SELECT d0.doc_id,
          |  coalesce(d.n_blocks, 0) AS n_blocks,

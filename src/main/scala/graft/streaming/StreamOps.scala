@@ -225,6 +225,19 @@ object StreamOps {
           w => size(graft.operators.Bpe.applyMerges(w, merges))),
         lit(0), (acc, n) => acc + n).as("n_bpe_tokens"))
 
+  /** Streaming duplicate-block excision against a STATIC banned set:
+    * the set is elected in batch
+    * ([[graft.functions.DedupFunctions.electDuplicateBlocks]]) and
+    * shipped as a driver constant, so the scrub is a stateless per-row
+    * projection — identical plan batch or stream, no state store, no
+    * watermark. The continuous-decontamination shape for an ingest
+    * pipeline scrubbing known boilerplate / leaked eval blocks.
+    */
+  def streamingBlockExcise(docsStream: DataFrame, blockTokens: Int,
+      banned: Seq[String]): DataFrame =
+    graft.functions.DedupFunctions.exciseAgainstBlockSet(
+      docsStream, "doc_id", "text", blockTokens, banned)
+
   case class CdcRecord(doc_id: Long, text: String, version: Long, op: String)
 
   /** Streaming CDC latest-wins upsert — the keyed-state twin of

@@ -254,6 +254,45 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(toks > 0 && toks < chars)
   }
 
+  test("streaming block excision equals the batch scrub row-for-row") {
+    import spark.implicits._
+    // hand case first: banned blocks vanish EVERYWHERE, order preserved
+    val hand = Seq(
+      (1L, "a b c d e f"), // blocks (bt=2): "a b","c d","e f"
+      (2L, "c d x y"),     // "c d","x y"
+      (3L, ""),            // token-less
+      (4L, "c d")          // a doc that is ONLY a banned block
+    ).toDF("doc_id", "text")
+    val scrubbed = graft.functions.DedupFunctions
+      .exciseAgainstBlockSet(hand, "doc_id", "text", 2, Seq("c d"))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(scrubbed.toSeq == Seq(
+      (1L, 3L, 2L, "a b e f", 4L),
+      (2L, 2L, 1L, "x y", 2L),
+      (3L, 0L, 0L, "", 0L),
+      (4L, 1L, 0L, "", 0L)))
+    // stream ≡ batch on the corpus: the scrub is a pure projection
+    val base = Tables.load(spark, sf, "documents")
+    val docsDir = Paths.get("target", "stream-simroute-docs").toAbsolutePath
+    if (!Files.exists(docsDir.resolve("_SUCCESS"))) {
+      base.write.mode("overwrite").parquet(docsDir.toString)
+    }
+    val banned = graft.functions.DedupFunctions
+      .electDuplicateBlocks(base, "text", 8)
+      .collect().map(_.getString(0)).toIndexedSeq
+    assert(banned.nonEmpty, "corpus has recurring 8-token blocks")
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val streamed = StreamOps.runBounded(spark,
+      df => StreamOps.streamingBlockExcise(df, 8, banned),
+      docsDir.toString, schema, "excise_out", OutputMode.Append())
+    val batch = StreamOps.streamingBlockExcise(base, 8, banned)
+    assert(streamed.count() === base.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("streaming incremental dedup: stream-static anti-join matches the batch q9f key set") {
     val base = Tables.load(spark, sf, "documents")
     val fpCol = graft.functions.FastText.textStatsUdf(col("text")).getField("fp")
