@@ -1181,6 +1181,52 @@ object SnapshotLog {
     */
   val CheckpointEvery = 10
 
+  /** Session conf selecting the checkpoint cadence. `fixed` (default):
+    * a full manifest every [[CheckpointEvery]] commits — simple,
+    * bounded replay of ≤ [[CheckpointEvery]]-1 hops. `adaptive`: a full
+    * manifest once the delta bytes accumulated since the last
+    * checkpoint reach that checkpoint's own size (or the chain exceeds
+    * [[MaxDeltaChain]] hops) — the size-ratio amortization a
+    * million-file table with small commits needs, where a fixed cadence
+    * would re-serialize O(table files) of metadata every 10 commits
+    * while replay already costs at most one checkpoint's worth of
+    * delta bytes. Under either policy an overwrite-sized change still
+    * falls back to full encoding via the delta-not-smaller rule.
+    */
+  val CheckpointPolicyConf = "spark.graft.snapshot.checkpointPolicy"
+
+  /** Hard ceiling on delta-chain length under the adaptive policy —
+    * bounds resolution to ≤ this many manifest round-trips even when
+    * the byte rule alone would let the chain grow (huge checkpoint,
+    * tiny deltas).
+    */
+  val MaxDeltaChain = 32
+
+  /** Should `m` publish as a full manifest? Policy-dependent; the
+    * adaptive walk reads only the (small) delta manifests back to the
+    * last checkpoint — the same files resolution replays anyway.
+    */
+  private def wantCheckpoint(fs: FileSystem, tbl: Path, m: Manifest): Boolean = {
+    val policy = SparkSession.getActiveSession
+      .map(_.conf.get(CheckpointPolicyConf, "fixed")).getOrElse("fixed")
+    require(policy == "fixed" || policy == "adaptive",
+      s"$CheckpointPolicyConf must be fixed|adaptive, got $policy")
+    if (policy == "adaptive") {
+      var v = m.parent
+      var hops = 0
+      var deltaSum = 0L
+      var fullLen = -1L
+      while (v >= 1 && fullLen < 0 && hops < MaxDeltaChain) {
+        val len = fs.getFileStatus(manifestPath(tbl, v)).getLen
+        val raw = readRaw(fs, tbl, v)
+        if (raw.full.isDefined) fullLen = len
+        else { deltaSum += len; hops += 1; v = raw.parent }
+      }
+      // no checkpoint found within the cap → checkpoint now
+      fullLen < 0 || deltaSum >= fullLen
+    } else m.version % CheckpointEvery == 0
+  }
+
   /** Write-temp + atomic-rename publication; throws if the version was
     * concurrently committed. Chooses delta vs full encoding here, so
     * every commit path gets incremental manifests for free.
@@ -1189,7 +1235,7 @@ object SnapshotLog {
     val m = m0.copy(ts = System.currentTimeMillis()) // retention clock
     fs.mkdirs(logDir(tbl))
     val parentFiles =
-      if (m.version % CheckpointEvery == 0 || m.parent < 1) None
+      if (m.parent < 1 || wantCheckpoint(fs, tbl, m)) None
       else
         try Some(readManifest(fs, tbl, m.parent).files)
         catch { case _: java.io.FileNotFoundException => None }

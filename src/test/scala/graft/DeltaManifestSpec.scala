@@ -50,6 +50,62 @@ class DeltaManifestSpec extends AnyFunSuite {
       s"delta v11 ${manifestBytes(t, 11)}B vs checkpoint v10 ${manifestBytes(t, 10)}B")
   }
 
+  test("adaptive policy: checkpoint cadence follows the byte ratio, not the version count") {
+    val t = freshTable("adaptive")
+    s.conf.set(SnapshotLog.CheckpointPolicyConf, "adaptive")
+    try {
+      // a WIDE base (40 files, each a manifest entry with stats) then
+      // 60 one-file appends: fixed cadence would checkpoint 6 times,
+      // re-serializing the 40+ entries each time; adaptive waits until
+      // the accumulated delta bytes pay for one checkpoint
+      SnapshotLog.commit(s.range(0, 4000).repartition(40)
+        .select($"id", ($"id" % 7).as("k")), t, "append", Seq("id"))
+      val n = 60
+      (0 until n).foreach(b => SnapshotLog.commit(
+        slice(100L + b).coalesce(1), t, "append", Seq("id")))
+      val last = 1L + n
+      val fulls = (1L to last).filter(v => SnapshotLog.isCheckpoint(s, t, v))
+      assert(fulls.head === 1L, "v1 has no parent, must be full")
+      assert(fulls.size >= 2, "amortization must eventually checkpoint")
+      val second = fulls(1)
+      assert(second - 2L > SnapshotLog.CheckpointEvery,
+        s"adaptive delta run to v$second should outlast the fixed cadence")
+      // the trigger is EXACTLY the byte rule: the deltas the publish of
+      // `second` walked (v2..second-1) reach the base checkpoint's
+      // size; one delta fewer (what second-1's publish saw) did not
+      val base = manifestBytes(t, 1L)
+      val walked = (2L until second).map(manifestBytes(t, _)).sum
+      assert(walked >= base, s"walked $walked B must reach base $base B")
+      assert(walked - manifestBytes(t, second - 1) < base,
+        "one delta fewer stayed under the threshold")
+      // resolution stays exact through the long chain
+      assert(SnapshotLog.read(s, t, Some(last)).count() === 4000 + n * 100)
+      assert(SnapshotLog.manifest(s, t, last).files.size === 40 + n)
+      assert(SnapshotLog.read(s, t, Some(second - 1)).count()
+        === 4000 + (second - 2) * 100)
+    } finally s.conf.unset(SnapshotLog.CheckpointPolicyConf)
+  }
+
+  test("adaptive policy: hop cap forces a checkpoint under tiny deltas") {
+    val t = freshTable("adaptive-cap")
+    s.conf.set(SnapshotLog.CheckpointPolicyConf, "adaptive")
+    try {
+      // an enormous base manifest (300 files): the byte rule alone
+      // would allow chains far past the cap; MaxDeltaChain binds first
+      SnapshotLog.commit(s.range(0, 3000).repartition(300)
+        .select($"id", ($"id" % 7).as("k")), t, "append", Seq("id"))
+      val n = SnapshotLog.MaxDeltaChain + 5
+      (0 until n).foreach(b => SnapshotLog.commit(
+        slice(200L + b).coalesce(1), t, "append", Seq("id")))
+      val fulls = (2L to (1L + n)).filter(v => SnapshotLog.isCheckpoint(s, t, v))
+      assert(fulls.nonEmpty, "cap must force a checkpoint")
+      assert(fulls.head === 2L + SnapshotLog.MaxDeltaChain,
+        s"first forced checkpoint at ${fulls.head}, " +
+          s"expected ${2L + SnapshotLog.MaxDeltaChain}")
+      assert(SnapshotLog.read(s, t).count() === 3000 + n * 100)
+    } finally s.conf.unset(SnapshotLog.CheckpointPolicyConf)
+  }
+
   test("changed entries (DV mask) ride the delta and shadow their parent entry") {
     val t = freshTable("dv")
     (0 until 3).foreach(b => SnapshotLog.commit(
