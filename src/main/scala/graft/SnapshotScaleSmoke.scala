@@ -90,6 +90,42 @@ object SnapshotScaleSmoke {
     require(deltas.nonEmpty && deltaAvgBytes * 5 < lastCkptBytes,
       s"delta manifests (avg ${deltaAvgBytes}B) not smaller than " +
         s"checkpoint (${lastCkptBytes}B)")
+    val fixedTotalBytes = manifestKinds.map(_._1).sum
+
+    // adaptive-cadence twin: the SAME 64 commits under
+    // checkpointPolicy=adaptive — checkpoints space out geometrically
+    // as the table (and so a checkpoint's own size) grows, cutting
+    // total commit metadata vs the fixed every-10 clock; the content
+    // and the per-version resolution must not move
+    val tAd = java.nio.file.Paths.get("target", "snap-smoke-adaptive")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tAd))
+    spark.conf.set(SnapshotLog.CheckpointPolicyConf, "adaptive")
+    val (_, buildAdSec, _) =
+      try timed("build_adaptive") {
+        (0 until Buckets).foreach { b =>
+          SnapshotLog.commit(
+            li.where(expr(s"l_orderkey DIV $width") === b).repartition(1),
+            tAd, "append", Seq("l_orderkey"), Seq("l_orderkey"),
+            bloomBits = (1 << 15) * replicas)
+        }
+      } finally spark.conf.unset(SnapshotLog.CheckpointPolicyConf)
+    require(agg(SnapshotLog.read(spark, tAd)) == direct,
+      "adaptive-cadence table diverged from fixed-cadence content")
+    val logDirAd = new java.io.File(tAd, "_log")
+    val kindsAd = (1 to Buckets).map { v =>
+      (new java.io.File(logDirAd, f"v$v%05d.json").length(),
+        SnapshotLog.isCheckpoint(spark, tAd, v.toLong))
+    }
+    val ckptVersAd = (1 to Buckets).filter(v => kindsAd(v - 1)._2)
+    val adaptiveTotalBytes = kindsAd.map(_._1).sum
+    val gaps = ckptVersAd.zip(ckptVersAd.tail).map(p => p._2 - p._1)
+    require(gaps.nonEmpty && gaps.last > 2 * gaps.head,
+      s"adaptive checkpoint gaps $gaps should widen as the table grows")
+    require(adaptiveTotalBytes < fixedTotalBytes,
+      s"adaptive metadata ${adaptiveTotalBytes}B not below " +
+        s"fixed ${fixedTotalBytes}B")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tAd))
 
     val full = timed("read_full")(agg(SnapshotLog.read(spark, t)))
     require(full._3 == direct, s"full read ${full._3} != direct $direct")
@@ -208,6 +244,7 @@ object SnapshotScaleSmoke {
 
     val runs = Seq(
       ("build_64_commits", buildSec),
+      ("build_64_commits_adaptive", buildAdSec),
       ("read_full", full._2),
       ("read_pruned_1of64", pruned._2),
       ("stats_meta", stats._2),
@@ -224,7 +261,10 @@ object SnapshotScaleSmoke {
         s""""n_files_compacted":$compactedFiles,""" +
         s""""bloom_opened":$openedTotal,"range_candidates":$rangeTotal,""" +
         s""""n_checkpoints":${ckpts.size},"manifest_delta_avg_bytes":$deltaAvgBytes,""" +
-        s""""manifest_checkpoint_bytes":$lastCkptBytes,""", ",", "}")
+        s""""manifest_checkpoint_bytes":$lastCkptBytes,""" +
+        s""""manifest_total_bytes_fixed":$fixedTotalBytes,""" +
+        s""""manifest_total_bytes_adaptive":$adaptiveTotalBytes,""" +
+        s""""n_checkpoints_adaptive":${ckptVersAd.size},""", ",", "}")
     println(json)
     val out = if (replicas == 1) "BENCH_snapshot_smoke.json"
       else s"BENCH_snapshot_smoke_${replicas}x.json"
