@@ -266,6 +266,28 @@ object TextFunctions {
     regexp_count(c, lit(pat)).cast("long")
   }
 
+  /** Within-document repeated-line removal (the CCNet-style page scrub:
+    * navigation and boilerplate lines repeat INSIDE a page long before
+    * they repeat across pages): split on newline, drop blank lines,
+    * keep each distinct line's FIRST occurrence in document order,
+    * rejoin. Pure per-row array work — `array_distinct` preserves
+    * first-occurrence order — so the scrub is a codegen projection
+    * with no shuffle, batch or stream.
+    */
+  def dedupLines(c: Column): Column =
+    array_join(array_distinct(
+      filter(split(c, "\n"), l => length(trim(l)) > lit(0))), "\n")
+
+  /** [[dedupLines]] in the DuckDB dialect. DuckDB's `list_distinct`
+    * does NOT preserve order, so first-occurrence survival is spelled
+    * as an indexed prefix filter (keep l[i] iff absent from l[1:i-1]).
+    */
+  def dedupLinesSql(e: String): String = {
+    val lines = s"list_filter(string_split($e, chr(10)), l -> length(trim(l)) > 0)"
+    s"array_to_string(list_filter($lines, " +
+      s"(x, i) -> coalesce(list_position(($lines)[1:i-1], x), 0) = 0), chr(10))"
+  }
+
   /** [[redactPii]] in the DuckDB dialect — same patterns, same order. */
   def redactPiiSql(e: String): String =
     PiiPatterns.foldLeft(e) { case (x, (_, pat, rep)) =>

@@ -109,6 +109,31 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Within-document repeated-line removal (CCNet's page scrub, the
+    // within-page complement of qbh's cross-corpus excision): each
+    // document becomes a formulaic multi-line page — its 8-token block
+    // lines, a copy of its first two lines, and a doubled footer — and
+    // [[TextFunctions.dedupLines]] keeps each distinct line's first
+    // occurrence in order. Both engines build the same page; DuckDB's
+    // unordered list_distinct forces the oracle to spell first-
+    // occurrence survival as an indexed prefix filter, so the md5 pins
+    // the ORDER as well as the survivor set. Pure per-row projection.
+    "qbx_dedup_lines" -> ((s, dir) => {
+      import s.implicits._
+      val blocks = graft.functions.DedupFunctions.blockArray($"text", 8)
+      val page = array_join(concat(blocks, slice(blocks, 1, 2),
+        array(lit("(c) footer 2024"), lit("(c) footer 2024"))), "\n")
+      docs(s, dir).withColumn("page", page)
+        .withColumn("clean", graft.functions.TextFunctions.dedupLines($"page"))
+        .select($"doc_id",
+          size(filter(split($"page", "\n"), l => length(trim(l)) > lit(0)))
+            .cast("long").as("n_lines"),
+          size(filter(split($"clean", "\n"), l => length(trim(l)) > lit(0)))
+            .cast("long").as("n_kept"),
+          md5($"clean").as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // N-gram repetition score — the standard "repeated template text"
     // curation signal (fraction of trigram positions occupied by a
     // repeat): 1 - distinct_trigrams / total_trigrams. Reuses the
@@ -549,6 +574,32 @@ object TextQueries extends QueryPack {
          |FROM (SELECT doc_id, $aug AS aug FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    // identical page construction (per-doc block list || first-two ||
+    // doubled footer) and the prefix-filter dedup via dedupLinesSql
+    "qbx_dedup_lines" -> {
+      val toks = graft.functions.TextFunctions.tokensSql("text")
+      val clean = graft.functions.TextFunctions.dedupLinesSql("page")
+      val nLines = "length(list_filter(string_split(page, chr(10)), " +
+        "l -> length(trim(l)) > 0))"
+      val nKept = "length(list_filter(string_split(clean, chr(10)), " +
+        "l -> length(trim(l)) > 0))"
+      s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+         |l AS (SELECT doc_id,
+         |  list_transform(generate_series(0, (length(t) + 7) // 8 - 1),
+         |    i -> array_to_string(t[(i*8+1):(i*8+8)], ' ')) AS blocks
+         |  FROM t),
+         |p AS (SELECT doc_id, array_to_string(
+         |  blocks || blocks[1:2] || ['(c) footer 2024', '(c) footer 2024'],
+         |  chr(10)) AS page FROM l),
+         |c AS (SELECT doc_id, page, $clean AS clean FROM p)
+         |SELECT doc_id,
+         |  CAST($nLines AS BIGINT) AS n_lines,
+         |  CAST($nKept AS BIGINT) AS n_kept,
+         |  md5(clean) AS clean_md5
+         |FROM c
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "qaw_hll_distinct" -> {
       val h = graft.functions.PortableHash.duckHashSql("token")
       s"""WITH toks AS (

@@ -312,6 +312,32 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("qbv: PII redaction is one codegen projection — no UDF, no exchange") {
+    val p = planOf("qbv_pii_redact")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"redaction left codegen:\n${p.take(1200)}")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      // only the output orderBy may exchange; the scrub itself is map-only
+      s"unexpected exchange in a per-row pass:\n${p.take(1500)}")
+  }
+
+  test("qbw: static-set excision is a stateless projection — the property that lets it stream") {
+    // the scrub is segment→filter→rebuild per row against a literal
+    // set: no aggregate, no join, no window, no exchange — which is
+    // exactly why the SAME plan runs on a continuous stream with no
+    // state store (inspected on the batch twin; the plans are one)
+    val d = graft.core.Tables.load(spark, sf, "documents")
+    val df = graft.streaming.StreamOps.streamingBlockExcise(
+      d, 8, Seq("a b c d e f g h"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join") &&
+      !p.contains("Aggregate") && !p.contains("Exchange"),
+      s"stateless scrub grew state:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"scrub left codegen:\n${p.take(1200)}")
+  }
+
   test("qbc: BPE apply is a pure codegen projection — no join, no UDF in the plan") {
     // the K learned rules fold into one replace() chain: the only
     // exchange is the final token aggregation, and nothing leaves
