@@ -923,6 +923,30 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** Null-count fixture (qby): orders keys in 3 modulus slices, one
+    * file each — the band column all-null in slice 0, fully populated
+    * in slice 1, half-null in slice 2 — so IS NULL and IS NOT NULL
+    * each have one file to skip and the mixed file survives both.
+    */
+  private def snapNullPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapnull"), { _ =>
+      val p = s"target/snapnull-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val orders = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      (0 until 3).foreach { b =>
+        val part = orders.where(col("o_orderkey") % 3 === b)
+        val band = b match {
+          case 0 => lit(null).cast("long")
+          case 1 => col("o_custkey") % 100
+          case _ => when(col("o_custkey") % 2 === 0, col("o_custkey") % 100)
+        }
+        SnapshotLog.commit(part.withColumn("band", band).repartition(1),
+          p, "append", Seq("o_orderkey", "band"))
+      }
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -2192,6 +2216,33 @@ object SourceQueries extends QueryPack {
           .as("n_urgent"))
     }),
 
+    // Per-file null counts as a pruning stat (Delta's nullCount): the
+    // manifest records exact per-column null counts from the parquet
+    // footers, and IS NULL / IS NOT NULL predicates skip files the
+    // [min,max] window cannot speak for (min/max describe only non-null
+    // values). The all-null file is provably invisible to IS NOT NULL,
+    // the fully-populated file to IS NULL, and the mixed file serves
+    // both — kept/total counts and both filtered contents recomputed by
+    // the oracle from the modulus arithmetic.
+    "qby_snapshot_null_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.sources.{IsNull, IsNotNull}
+      val t = snapNullPath(s, dir)
+      val (dfN, keptN, total) = SnapshotLog.readFiltered(s, t, Seq(IsNull("band")))
+      val (dfNN, keptNN, _) = SnapshotLog.readFiltered(s, t, Seq(IsNotNull("band")))
+      val a = dfN.agg(count(lit(1)).as("n_null_rows"),
+        sum(col("o_orderkey")).as("sum_key_null")).head
+      val b = dfNN.agg(count(lit(1)).as("n_notnull_rows"),
+        sum(col("band")).as("sum_band")).head
+      // the same answer from METADATA alone — zero data files read
+      val metaNulls = SnapshotLog.tableStats(s, t).nullCounts("band")
+      import s.implicits._
+      Seq((keptN.toLong, keptNN.toLong, total.toLong,
+        a.getLong(0), a.getLong(1), b.getLong(0), b.getLong(1), metaNulls))
+        .toDF("n_kept_null", "n_kept_notnull", "n_total",
+          "n_null_rows", "sum_key_null", "n_notnull_rows", "sum_band",
+          "meta_null_count")
+    }),
+
     // Commit-log history + metadata-only rollback: the stream fixture's
     // five commits (4 exactly-once epochs + compaction) reported as the
     // DESCRIBE HISTORY shape, then `restore` to the pre-compaction
@@ -2484,6 +2535,27 @@ object SourceQueries extends QueryPack {
           |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
           |    AS n_urgent
           |FROM orders""".stripMargin,
+
+      // the slice arithmetic replayed: band NULL iff slice 0, or slice
+      // 2 with odd custkey; pruning counts are structural (2 of 3 for
+      // each predicate)
+      "qby_snapshot_null_prune" ->
+        """WITH b AS (SELECT o_orderkey, o_custkey,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+          |       WHEN o_orderkey % 3 = 1 THEN o_custkey % 100
+          |       ELSE (CASE WHEN o_custkey % 2 = 0 THEN o_custkey % 100 END)
+          |  END AS band
+          |  FROM orders)
+          |SELECT CAST(2 AS BIGINT) AS n_kept_null,
+          |  CAST(2 AS BIGINT) AS n_kept_notnull,
+          |  CAST(3 AS BIGINT) AS n_total,
+          |  count(*) FILTER (WHERE band IS NULL) AS n_null_rows,
+          |  CAST(sum(o_orderkey) FILTER (WHERE band IS NULL) AS BIGINT)
+          |    AS sum_key_null,
+          |  count(*) FILTER (WHERE band IS NOT NULL) AS n_notnull_rows,
+          |  CAST(sum(band) AS BIGINT) AS sum_band,
+          |  count(*) FILTER (WHERE band IS NULL) AS meta_null_count
+          |FROM b""".stripMargin,
 
       // the z-bucket layout and 2-D pruning replayed: per-bucket
       // [min,max] windows on both raw columns, kept = buckets whose

@@ -62,9 +62,15 @@ object SnapshotLog {
     * sets), which is what makes [[tableStats]]'s approximate NDV a
     * metadata-only answer.
     */
+  /** `nulls` holds exact per-column null counts (absent = unknown) —
+    * the stat that lets IS NULL / IS NOT NULL predicates skip files
+    * the [min,max] window can't speak for (min/max describe only the
+    * non-null values).
+    */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, (Any, Any)], blooms: Map[String, String] = Map.empty,
-      dv: Option[DvRef] = None, ndvs: Map[String, String] = Map.empty)
+      dv: Option[DvRef] = None, ndvs: Map[String, String] = Map.empty,
+      nulls: Map[String, Long] = Map.empty)
 
   /** Rows a file actually serves: written rows minus DV-masked rows. */
   private def liveRows(f: FileEntry): Long =
@@ -386,7 +392,18 @@ object SnapshotLog {
                 maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
             }
           }.toMap
-          FileEntry(dataRel + "/" + st.getPath.getName, rows, st.getLen, stats)
+          // exact null counts whenever every chunk recorded one — an
+          // optional extra, never a reason to abandon the footer path
+          val nulls = statsCols.flatMap { c =>
+            val chunks = blocks.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c).get)
+            if (chunks.forall(_.getStatistics != null) &&
+                chunks.forall(_.getStatistics.isNumNullsSet))
+              Some(c -> chunks.map(_.getStatistics.getNumNulls).sum)
+            else None
+          }.toMap
+          FileEntry(dataRel + "/" + st.getPath.getName, rows, st.getLen,
+            stats, nulls = nulls)
         } finally reader.close()
       }.filter(_.rows > 0L))
     } catch { case FooterFallback => None }
@@ -402,7 +419,8 @@ object SnapshotLog {
       dataRel: String, statsCols: Seq[String]): Seq[FileEntry] = {
     val aggs = count(lit(1)).cast("long").as("__rows") +:
       statsCols.flatMap(c =>
-        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
     spark.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -415,7 +433,9 @@ object SnapshotLog {
           val mx = r.getAs[Any](s"__max_$c")
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
-        FileEntry(dataRel + "/" + name, r.getAs[Long]("__rows"), 0L, stats)
+        val nulls = statsCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
+        FileEntry(dataRel + "/" + name, r.getAs[Long]("__rows"), 0L, stats,
+          nulls = nulls)
       }.toSeq
   }
 
@@ -927,9 +947,16 @@ object SnapshotLog {
     * Exact (not estimated) when fewer than [[NdvK]] distinct hashes
     * exist. Rounded to 4 decimals, the sketch-family convention.
     */
+  /** `nullCounts` answers SELECT count(*) WHERE c IS NULL from
+    * metadata alone — present only for columns every (non-empty) file
+    * recorded a null count for, so it is exact over written rows
+    * (deletion-vector masks are not netted out; like colRanges, the
+    * stat describes the files as written).
+    */
   final case class TableStats(version: Long, rows: Long, bytes: Long,
       files: Int, colRanges: Map[String, (Any, Any)], deletedRows: Long = 0L,
-      approxNdv: Map[String, Double] = Map.empty)
+      approxNdv: Map[String, Double] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
 
   def tableStats(spark: SparkSession, table: String,
       version: Option[Long] = None): TableStats = {
@@ -955,8 +982,12 @@ object SnapshotLog {
             (NdvK - 1) * 4294967296.0 / kmin.last * 1e4 + 0.5) / 1e4
         c -> est
       }.toMap
+    val nulls = m.files.flatMap(_.nulls.keys).toSet.toSeq
+      .filter(c => m.files.forall(f => f.rows == 0 || f.nulls.contains(c)))
+      .map(c => c -> m.files.flatMap(_.nulls.get(c)).sum).toMap
     TableStats(v, m.files.map(liveRows).sum, m.files.map(_.bytes).sum,
-      m.files.size, ranges, m.files.flatMap(_.dv.map(_.rows)).sum, ndv)
+      m.files.size, ranges, m.files.flatMap(_.dv.map(_.rows)).sum, ndv,
+      nulls)
   }
 
   /** Optimistic-concurrency commit: data files land ONCE, then the
@@ -1356,7 +1387,7 @@ object SnapshotLog {
     filters.foreach(f => require(SnapshotStreamSource.prunable(f),
       s"readFiltered supports range/equality predicates, got $f"))
     val kept = m.files.filter(f =>
-      filters.forall(p => SnapshotStreamSource.mightMatch(f.stats, p)))
+      filters.forall(p => SnapshotStreamSource.mightMatch(f, p)))
     val df = filters.foldLeft(readFiles(spark, table, m, kept))(
       (d, p) => d.where(residualColumn(p)))
     (df, kept.size, m.files.size)
@@ -1371,6 +1402,8 @@ object SnapshotLog {
       case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
       case LessThan(c, v) => col(c) < lit(v)
       case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
   }
@@ -1568,6 +1601,11 @@ object SnapshotLog {
         f.ndvs.foreach { case (c, b64) => nm.put(c, b64) }
         fm.put("ndvs", nm)
       }
+      if (f.nulls.nonEmpty) {
+        val nu = new JLinkedHashMap[String, Object]()
+        f.nulls.foreach { case (c, n) => nu.put(c, java.lang.Long.valueOf(n)) }
+        fm.put("nulls", nu)
+      }
       f.dv.foreach { d =>
         val dm = new JLinkedHashMap[String, Object]()
         dm.put("path", d.path)
@@ -1628,12 +1666,17 @@ object SnapshotLog {
           _.asInstanceOf[java.util.Map[String, Object]].asScala
             .map { case (c, b) => c -> b.toString }.toMap)
           .getOrElse(Map.empty[String, String])
+        val nulls = fm.get("nulls").map(
+          _.asInstanceOf[java.util.Map[String, Object]].asScala
+            .map { case (c, n) => c -> jlong(n) }.toMap)
+          .getOrElse(Map.empty[String, Long])
         val dv = fm.get("dv").map { o =>
           val dm = o.asInstanceOf[java.util.Map[String, Object]].asScala
           DvRef(dm("path").toString, jlong(dm("rows")))
         }
         FileEntry(fm("path").toString, jlong(fm("rows")),
-          fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv, ndvs)
+          fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv, ndvs,
+          nulls)
       }.toSeq
     RawManifest(jlong(root("version")), jlong(root("parent")),
       root("op").toString, root("schema").toString,

@@ -110,6 +110,7 @@ object SnapshotStreamSource {
     case GreaterThanOrEqual(_, v) => scalarOk(v)
     case LessThan(_, v) => scalarOk(v)
     case LessThanOrEqual(_, v) => scalarOk(v)
+    case IsNull(_) | IsNotNull(_) => true // answered by null counts
     case _ => false
   }
 
@@ -120,23 +121,31 @@ object SnapshotStreamSource {
     case _ => None // type mismatch: never prune on it
   }
 
-  /** Could a file with these [min,max] stats hold a matching row?
-    * Missing stats (all-null file, undeclared column) and incomparable
-    * types answer TRUE — unknown never prunes.
+  /** Could this file hold a matching row? Range predicates test the
+    * per-column [min,max] (which describe only non-null values);
+    * IS [NOT] NULL tests the per-column null count against 0 / the
+    * file's row count. Missing stats (all-null file, undeclared
+    * column), unknown null counts, and incomparable types answer
+    * TRUE — unknown never prunes.
     */
-  private[snapshot] def mightMatch(stats: Map[String, (Any, Any)],
-      f: Filter): Boolean = f match {
-    case EqualTo(c, v) => stats.get(c).forall { case (mn, mx) =>
-      cmpAny(mn, v).forall(_ <= 0) && cmpAny(mx, v).forall(_ >= 0) }
-    case GreaterThan(c, v) => stats.get(c).forall { case (_, mx) =>
-      cmpAny(mx, v).forall(_ > 0) }
-    case GreaterThanOrEqual(c, v) => stats.get(c).forall { case (_, mx) =>
-      cmpAny(mx, v).forall(_ >= 0) }
-    case LessThan(c, v) => stats.get(c).forall { case (mn, _) =>
-      cmpAny(mn, v).forall(_ < 0) }
-    case LessThanOrEqual(c, v) => stats.get(c).forall { case (mn, _) =>
-      cmpAny(mn, v).forall(_ <= 0) }
-    case _ => true
+  private[snapshot] def mightMatch(file: SnapshotLog.FileEntry,
+      f: Filter): Boolean = {
+    val stats = file.stats
+    f match {
+      case EqualTo(c, v) => stats.get(c).forall { case (mn, mx) =>
+        cmpAny(mn, v).forall(_ <= 0) && cmpAny(mx, v).forall(_ >= 0) }
+      case GreaterThan(c, v) => stats.get(c).forall { case (_, mx) =>
+        cmpAny(mx, v).forall(_ > 0) }
+      case GreaterThanOrEqual(c, v) => stats.get(c).forall { case (_, mx) =>
+        cmpAny(mx, v).forall(_ >= 0) }
+      case LessThan(c, v) => stats.get(c).forall { case (mn, _) =>
+        cmpAny(mn, v).forall(_ < 0) }
+      case LessThanOrEqual(c, v) => stats.get(c).forall { case (mn, _) =>
+        cmpAny(mn, v).forall(_ <= 0) }
+      case IsNull(c) => file.nulls.get(c).forall(_ > 0)
+      case IsNotNull(c) => file.nulls.get(c).forall(_ < file.rows)
+      case _ => true
+    }
   }
 
   private[snapshot] def validate(schema: StructType): Unit =
@@ -271,7 +280,7 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
       // a file whose [min,max] provably excludes every pushed predicate
       // never becomes a partition; unknown stats never prune, and Spark
       // re-applies every filter as residual
-      .filter(f => pushed.forall(p => SnapshotStreamSource.mightMatch(f.stats, p)))
+      .filter(f => pushed.forall(p => SnapshotStreamSource.mightMatch(f, p)))
       .map(f => SnapshotInputPartition(
         new Path(new Path(table), f.path).toString): InputPartition)
       .toArray

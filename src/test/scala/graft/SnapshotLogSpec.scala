@@ -515,6 +515,39 @@ class SnapshotLogSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("per-file null counts ride the manifest and prune IS NULL / IS NOT NULL") {
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    val t = freshTable("nulls")
+    // three files: band all-null / fully populated / half-null
+    SnapshotLog.commit(s.range(0, 50).select($"id",
+      lit(null).cast("long").as("band")).coalesce(1), t, "append",
+      Seq("id", "band"))
+    SnapshotLog.commit(s.range(50, 100).select($"id",
+      ($"id" % 9).as("band")).coalesce(1), t, "append", Seq("id", "band"))
+    SnapshotLog.commit(s.range(100, 150).select($"id",
+      when($"id" % 2 === 0, $"id" % 9).as("band")).coalesce(1), t,
+      "append", Seq("id", "band"))
+    // exact counts round-trip through the manifest (footer-harvested)
+    val m = SnapshotLog.manifest(s, t, 3L)
+    assert(m.files.map(_.nulls("band")).sorted == Seq(0L, 25L, 50L))
+    assert(m.files.forall(_.nulls("id") == 0L))
+    // IS NULL skips the fully-populated file; IS NOT NULL the all-null
+    val (dfN, keptN, total) = SnapshotLog.readFiltered(s, t, Seq(IsNull("band")))
+    assert((keptN, total) == ((2, 3)) && dfN.count() == 75)
+    val (dfNN, keptNN, _) = SnapshotLog.readFiltered(s, t, Seq(IsNotNull("band")))
+    assert(keptNN == 2 && dfNN.count() == 75)
+    // combined with a range: conjunction prunes on both stats kinds
+    val (dfC, keptC, _) = SnapshotLog.readFiltered(s, t,
+      Seq(IsNotNull("band"),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 100L)))
+    assert(keptC == 1 && dfC.count() == 25)
+    // null counts survive the delta encoding (v2/v3 are deltas)
+    assert(!SnapshotLog.isCheckpoint(s, t, 3L))
+    // metadata-only aggregate: count(*) WHERE band IS NULL, zero reads
+    val st = SnapshotLog.tableStats(s, t)
+    assert(st.nullCounts("band") == 75L && st.nullCounts("id") == 0L)
+  }
+
   test("corrupt manifests fail loudly, never silently mis-answer") {
     val t = freshTable("corrupt")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
