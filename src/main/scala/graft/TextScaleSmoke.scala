@@ -86,9 +86,27 @@ object TextScaleSmoke {
     }
     require(extracted.getLong(0) == replicas * nBase, "extraction lost rows")
 
+    // the two scrub passes (qbv/qbx): per-row regex / array chains whose
+    // wall-time must scale ~linearly with rows, like extraction
+    val (piiName, piiSec, pii) = timed("pii_redact") {
+      corpus.select(graft.functions.TextFunctions.redactPii(
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@x.org at 10.1.2.3"))).as("red"))
+        .agg(count(lit(1)).cast("long"), sum(length(col("red"))).cast("long")).head
+    }
+    require(pii.getLong(0) == replicas * nBase, "redaction lost rows")
+
+    val (dlName, dlSec, dl) = timed("dedup_lines") {
+      corpus.select(graft.functions.TextFunctions.dedupLines(
+          regexp_replace(col("text"), "\\. ", ".\n")).as("clean"))
+        .agg(count(lit(1)).cast("long"), sum(length(col("clean"))).cast("long")).head
+    }
+    require(dl.getLong(0) == replicas * nBase, "line dedup lost rows")
+
     val json =
       s"""{"metric":"text_smoke","replicas":$replicas,"n_docs":${replicas * nBase},""" +
         s""""$exciseName":$exciseSec,"$extractName":$extractSec,""" +
+        s""""$piiName":$piiSec,"$dlName":$dlSec,""" +
         s""""excised_blocks":${scaledAcc.getLong(1) - scaledAcc.getLong(2)},""" +
         s""""clean_chars":${extracted.getLong(1)}}"""
     println(json)
