@@ -947,6 +947,31 @@ object SourceQueries extends QueryPack {
       p
     })
 
+  /** IN-list skipping fixture (qbz): every 16th orderkey in 4 range
+    * buckets, one bloomed file each — any value ≡ 8 (mod 16) is an
+    * in-range ABSENT probe that the [min,max] window cannot refuse but
+    * the Bloom can. The mod-16 thinning keeps per-file key counts well
+    * under the Bloom's capacity at every gate SF (false-positive odds
+    * stay ~1e-5 per probe, so the structural open count is stable).
+    */
+  private def snapInPath(s: SparkSession, dir: String): String =
+    formatCache.computeIfAbsent((s, dir, "snapin"), { _ =>
+      val p = s"target/snapin-${Integer.toHexString(dir.hashCode)}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .where(col("o_orderkey") % 16 === 0)
+      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / 4 + 1
+      (0 until 4).foreach { b =>
+        SnapshotLog.commit(
+          o.where(expr(s"o_orderkey DIV $width") === b).repartition(1),
+          p, "append", Seq("o_orderkey"), Seq("o_orderkey"),
+          bloomBits = 1 << 18)
+      }
+      p
+    })
+
   /** Bucket width for the pruning fixture — a driver scalar both the
     * query and the fixture derive identically (and the oracle mirrors
     * as `max // 8 + 1`). Cached per (session, corpus): several gates
@@ -2216,6 +2241,48 @@ object SourceQueries extends QueryPack {
           .as("n_urgent"))
     }),
 
+    // IN-list file skipping (the `WHERE key IN (...)` face of data
+    // skipping): a pushable In prunes with the readPoint two-tier test
+    // per value — [min,max] first, then the per-file Bloom. The probe
+    // set mixes the two REAL boundary keys of bucket 1 with one
+    // in-range ABSENT (odd) key per other bucket: ranges alone keep
+    // all 4 files, the Bloom tier drops the 3 absent-only files, and
+    // the surviving scan returns exactly the two probed orders. Counts
+    // and content recomputed by the oracle from the even-key bucket
+    // arithmetic; Bloom skipping is one-sided so a false positive
+    // could only ever ADD an open (and would break the hash loudly,
+    // not lose a row).
+    "qbz_snapshot_in_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.sources.In
+      val t = snapInPath(s, dir)
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey")).where(col("o_orderkey") % 16 === 0)
+      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+      val width = mx / 4 + 1
+      val bounds = o.withColumn("b", expr(s"o_orderkey DIV $width"))
+        .groupBy(col("b"))
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val present = Seq(bounds(1L)._1, bounds(1L)._2)
+      val absent = Seq(0L, 2L, 3L).map(b => bounds(b)._1 + 8) // ≡8 (mod 16) ⇒ absent
+      val probes = present ++ absent
+      val (df, kept, total) = SnapshotLog.readFiltered(s, t,
+        Seq(In("o_orderkey", probes.map(_.asInstanceOf[Any]).toArray)))
+      // range tier alone, from the manifest intervals (no data read)
+      val m = SnapshotLog.manifest(s, t, SnapshotLog.latestVersion(s, t).get)
+      val nRange = m.files.count(_.stats.get("o_orderkey").forall {
+        case (mn: Long, mx2: Long) => probes.exists(v => v >= mn && v <= mx2)
+        case _ => true
+      })
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("n_opened", lit(kept.toLong))
+        .withColumn("n_range", lit(nRange.toLong))
+        .withColumn("n_total", lit(total.toLong))
+        .select(col("n_opened"), col("n_range"), col("n_total"),
+          col("n_rows"), col("sum_cust"))
+    }),
+
     // Per-file null counts as a pruning stat (Delta's nullCount): the
     // manifest records exact per-column null counts from the parquet
     // footers, and IS NULL / IS NOT NULL predicates skip files the
@@ -2535,6 +2602,26 @@ object SourceQueries extends QueryPack {
           |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
           |    AS n_urgent
           |FROM orders""".stripMargin,
+
+      // even-key bucket arithmetic replayed: the probes hit bucket 1's
+      // boundary keys; the absent odd probes keep ranges busy (4
+      // candidates) but open nothing
+      "qbz_snapshot_in_prune" ->
+        """WITH e AS (SELECT o_orderkey, o_custkey FROM orders
+          |           WHERE o_orderkey % 16 = 0),
+          |w AS (SELECT max(o_orderkey) // 4 + 1 AS width FROM e),
+          |m AS (SELECT o_orderkey // width AS b,
+          |        min(o_orderkey) AS mn, max(o_orderkey) AS mx
+          |      FROM e, w GROUP BY 1),
+          |p AS (SELECT mn, mx FROM m WHERE b = 1),
+          |sel AS (SELECT o_orderkey, o_custkey FROM e, p
+          |        WHERE o_orderkey = p.mn OR o_orderkey = p.mx)
+          |SELECT CAST(1 AS BIGINT) AS n_opened,
+          |  CAST(4 AS BIGINT) AS n_range,
+          |  CAST(4 AS BIGINT) AS n_total,
+          |  count(*) AS n_rows,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM sel""".stripMargin,
 
       // the slice arithmetic replayed: band NULL iff slice 0, or slice
       // 2 with odd custkey; pruning counts are structural (2 of 3 for

@@ -1404,6 +1404,7 @@ object SnapshotLog {
       case LessThanOrEqual(c, v) => col(c) <= lit(v)
       case IsNull(c) => col(c).isNull
       case IsNotNull(c) => col(c).isNotNull
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
   }

@@ -111,6 +111,7 @@ object SnapshotStreamSource {
     case LessThan(_, v) => scalarOk(v)
     case LessThanOrEqual(_, v) => scalarOk(v)
     case IsNull(_) | IsNotNull(_) => true // answered by null counts
+    case In(_, vs) => vs != null && vs.nonEmpty && vs.forall(scalarOk)
     case _ => false
   }
 
@@ -128,12 +129,24 @@ object SnapshotStreamSource {
     * column), unknown null counts, and incomparable types answer
     * TRUE — unknown never prunes.
     */
+  /** Point membership test for one (column, value): inside the
+    * [min,max] window AND admitted by the per-file Bloom when one was
+    * written — the readPoint two-tier skip, available to EqualTo / In
+    * pruning. One-sided: a Bloom miss proves absence; a hit may still
+    * be a false positive (wasted open, never a lost row).
+    */
+  private def mayHold(file: SnapshotLog.FileEntry, c: String, v: Any): Boolean =
+    file.stats.get(c).forall { case (mn, mx) =>
+      cmpAny(mn, v).forall(_ <= 0) && cmpAny(mx, v).forall(_ >= 0) } &&
+      file.blooms.get(c).forall(b64 => SnapshotLog.bloomMightContain(
+        SnapshotLog.bloomDecode(b64), String.valueOf(v)))
+
   private[snapshot] def mightMatch(file: SnapshotLog.FileEntry,
       f: Filter): Boolean = {
     val stats = file.stats
     f match {
-      case EqualTo(c, v) => stats.get(c).forall { case (mn, mx) =>
-        cmpAny(mn, v).forall(_ <= 0) && cmpAny(mx, v).forall(_ >= 0) }
+      case EqualTo(c, v) => mayHold(file, c, v)
+      case In(c, vs) => vs.exists(v => mayHold(file, c, v))
       case GreaterThan(c, v) => stats.get(c).forall { case (_, mx) =>
         cmpAny(mx, v).forall(_ > 0) }
       case GreaterThanOrEqual(c, v) => stats.get(c).forall { case (_, mx) =>

@@ -548,6 +548,30 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(st.nullCounts("band") == 75L && st.nullCounts("id") == 0L)
   }
 
+  test("IN-list pruning runs the two-tier test per value (ranges, then Blooms)") {
+    import org.apache.spark.sql.sources.In
+    val t = freshTable("inlist")
+    // two bloomed files of even ids: [0,98] and [100,198]
+    SnapshotLog.commit(s.range(0, 50).select(($"id" * 2).as("id")).coalesce(1),
+      t, "append", Seq("id"), Seq("id"))
+    SnapshotLog.commit(s.range(50, 100).select(($"id" * 2).as("id")).coalesce(1),
+      t, "append", Seq("id"), Seq("id"))
+    // present key in file 2 + absent odd key inside file 1's range:
+    // ranges keep both, the Bloom drops file 1
+    val (df, kept, total) = SnapshotLog.readFiltered(s, t,
+      Seq(In("id", Array(120L, 33L))))
+    assert((kept, total) == ((1, 2)))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(120L))
+    // all probes outside every range: nothing opens
+    val (df2, kept2, _) = SnapshotLog.readFiltered(s, t,
+      Seq(In("id", Array(-5L, 1000L))))
+    assert(kept2 == 0 && df2.count() == 0)
+    // EqualTo gets the same Bloom tier
+    val (df3, kept3, _) = SnapshotLog.readFiltered(s, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 33L)))
+    assert(kept3 == 0 && df3.count() == 0)
+  }
+
   test("corrupt manifests fail loudly, never silently mis-answer") {
     val t = freshTable("corrupt")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
