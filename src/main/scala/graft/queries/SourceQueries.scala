@@ -2241,6 +2241,22 @@ object SourceQueries extends QueryPack {
           .as("n_urgent"))
     }),
 
+    // The manifest AS a table (Iceberg's `table.files`): per-file rows,
+    // interval bounds, and null counts from metadata alone — the ops
+    // view that locates small-file debt and layout quality at any table
+    // size. The oracle recomputes every file row from the range-bucket
+    // arithmetic, so a drifted interval, a missed row count, or a
+    // phantom file breaks the hash.
+    "qc0_snapshot_files" -> ((s, dir) => {
+      val t = snapPrunePath(s, dir)
+      SnapshotLog.fileManifest(s, t, cols = Seq("l_orderkey"))
+        .select(col("min_l_orderkey").cast("long").as("mn"),
+          col("max_l_orderkey").cast("long").as("mx"),
+          col("rows").as("n_rows"),
+          col("nulls_l_orderkey").as("n_nulls"))
+        .orderBy(col("mn"))
+    }),
+
     // IN-list file skipping (the `WHERE key IN (...)` face of data
     // skipping): a pushable In prunes with the readPoint two-tier test
     // per value — [min,max] first, then the per-file Bloom. The probe
@@ -2602,6 +2618,20 @@ object SourceQueries extends QueryPack {
           |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
           |    AS n_urgent
           |FROM orders""".stripMargin,
+
+      // per-bucket min/max/count from the same width arithmetic the
+      // fixture partitioned by; nulls are structurally zero
+      "qc0_snapshot_files" ->
+        s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width
+           |           FROM lineitem),
+           |g AS (SELECT l_orderkey // width AS b, l_orderkey
+           |      FROM lineitem, w)
+           |SELECT CAST(min(l_orderkey) AS BIGINT) AS mn,
+           |  CAST(max(l_orderkey) AS BIGINT) AS mx,
+           |  count(*) AS n_rows,
+           |  CAST(0 AS BIGINT) AS n_nulls
+           |FROM g GROUP BY b
+           |ORDER BY mn""".stripMargin,
 
       // even-key bucket arithmetic replayed: the probes hit bucket 1's
       // boundary keys; the absent odd probes keep ranges busy (4

@@ -990,6 +990,43 @@ object SnapshotLog {
       nulls)
   }
 
+  /** The manifest as a DataFrame — the Iceberg `table.files` metadata
+    * table: one row per live data file with row/byte accounting, DV
+    * presence, and (for the requested columns) min/max rendered as
+    * strings plus exact null counts. Metadata-only: answers "where is
+    * the small-file debt", "how tight are the layout's intervals",
+    * "which files still carry masks" without opening a data file —
+    * the ops-tooling face of the manifest at any table size.
+    */
+  def fileManifest(spark: SparkSession, table: String,
+      version: Option[Long] = None, cols: Seq[String] = Nil): DataFrame = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    val base = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, rows BIGINT, live_rows BIGINT, bytes BIGINT, has_dv BOOLEAN")
+    val colFields = cols.flatMap(c => Seq(
+      org.apache.spark.sql.types.StructField(s"min_$c",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(s"max_$c",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(s"nulls_$c",
+        org.apache.spark.sql.types.LongType)))
+    val schema = org.apache.spark.sql.types.StructType(base.fields ++ colFields)
+    val data = m.files.map { f =>
+      val fixed = Seq[Any](f.path, f.rows, liveRows(f), f.bytes, f.dv.isDefined)
+      val per = cols.flatMap { c =>
+        val (mn, mx) = f.stats.get(c)
+          .map { case (a, b) => (String.valueOf(a), String.valueOf(b)) }
+          .getOrElse((null, null))
+        Seq[Any](mn, mx, f.nulls.get(c).map(Long.box).orNull)
+      }
+      org.apache.spark.sql.Row.fromSeq(fixed ++ per)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](data.asJava), schema)
+  }
+
   /** Optimistic-concurrency commit: data files land ONCE, then the
     * manifest publication retries under version conflicts — a losing
     * committer pays a manifest re-read and a new rename attempt, never

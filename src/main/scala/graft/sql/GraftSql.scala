@@ -85,6 +85,15 @@ object GraftSql {
     graft.sources.snapshot.SnapshotLog.read(spark, table, version)
       .createOrReplaceTempView(name)
 
+  /** The snapshot table's file manifest as `<name>` — the Iceberg
+    * `table.files` metadata view for SQL users (per-file rows, bytes,
+    * DV presence, min/max/nulls for `cols`); metadata-only.
+    */
+  def registerSnapshotFiles(spark: SparkSession, name: String, table: String,
+      cols: Seq[String] = Nil, version: Option[Long] = None): Unit =
+    graft.sources.snapshot.SnapshotLog.fileManifest(spark, table, version, cols)
+      .createOrReplaceTempView(name)
+
   /** One-call setup: views + functions. */
   def init(spark: SparkSession, dir: String): Unit = {
     registerTables(spark, dir)

@@ -88,14 +88,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val t = java.nio.file.Paths.get("target", "sql-snap").toAbsolutePath.toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     graft.sources.snapshot.SnapshotLog.commit(
-      spark.range(0, 50).select($"id", ($"id" % 5).as("k")), t, "append", Seq("id"))
+      spark.range(0, 50).select($"id", ($"id" % 5).as("k")).coalesce(1),
+      t, "append", Seq("id"))
     graft.sources.snapshot.SnapshotLog.commit(
-      spark.range(50, 80).select($"id", ($"id" % 5).as("k")), t, "append", Seq("id"))
+      spark.range(50, 80).select($"id", ($"id" % 5).as("k")).coalesce(1),
+      t, "append", Seq("id"))
     graft.sql.GraftSql.registerSnapshot(spark, "snap_sql", t)
     assert(spark.sql("SELECT count(*), sum(id) FROM snap_sql").head ===
       org.apache.spark.sql.Row(80L, (0L until 80).sum))
     // re-register at an old version: SQL time travel
     graft.sql.GraftSql.registerSnapshot(spark, "snap_sql", t, Some(1L))
     assert(spark.sql("SELECT count(*) FROM snap_sql").head.getLong(0) == 50L)
+    // the files metadata view: per-file accounting from the manifest
+    graft.sql.GraftSql.registerSnapshotFiles(spark, "snap_files", t, Seq("id"))
+    val files = spark.sql(
+      "SELECT rows, CAST(min_id AS BIGINT), CAST(max_id AS BIGINT), nulls_id " +
+        "FROM snap_files ORDER BY CAST(min_id AS BIGINT)").collect()
+    assert(files.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((50L, 0L, 49L, 0L), (30L, 50L, 79L, 0L)))
   }
 }
