@@ -40,6 +40,11 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
   test("random op sequences match the in-memory model at every version") {
     for (seed <- 0 until 5) {
       val rnd = new Random(seed)
+      // odd seeds run the adaptive checkpoint cadence: the manifest
+      // ENCODING policy must be invisible to every content, version,
+      // and expiry check below
+      if (seed % 2 == 1) s.conf.set(SnapshotLog.CheckpointPolicyConf, "adaptive")
+      else s.conf.unset(SnapshotLog.CheckpointPolicyConf)
       val t = Paths.get("target", s"snapprop-$seed").toAbsolutePath.toString
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
 
@@ -194,5 +199,6 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
           s"seed=$seed post-expire $v")
       }
     }
+    s.conf.unset(SnapshotLog.CheckpointPolicyConf)
   }
 }
