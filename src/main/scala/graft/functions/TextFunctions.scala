@@ -256,6 +256,15 @@ object TextFunctions {
     PiiPatterns.foldLeft(c) { case (e, (_, pat, rep)) =>
       regexp_replace(e, pat, rep) }
 
+  /** JVM twin of [[redactPii]] (the `graft_pii_redact` SQL function) —
+    * same java.util.regex engine Spark's regexp_replace runs on, same
+    * patterns, same order: bit-identical by construction.
+    */
+  def redactPiiJvm(s: String): String =
+    if (s == null) null
+    else PiiPatterns.foldLeft(s) { case (x, (_, pat, rep)) =>
+      x.replaceAll(pat, java.util.regex.Matcher.quoteReplacement(rep)) }
+
   /** Match count for one family over the ORIGINAL text (counts are
     * computed before any replacement, so families never see each
     * other's placeholders).
@@ -277,6 +286,21 @@ object TextFunctions {
   def dedupLines(c: Column): Column =
     array_join(array_distinct(
       filter(split(c, "\n"), l => length(trim(l)) > lit(0))), "\n")
+
+  /** JVM twin of [[dedupLines]] (the `graft_dedup_lines` SQL function):
+    * split on the same regex, the insertion-ordered set IS
+    * first-occurrence survival. Spark `trim` strips spaces only, so
+    * the blank test matches `length(trim(l)) > 0` exactly.
+    */
+  def dedupLinesJvm(s: String): String =
+    if (s == null) null
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      s.split("\n", -1).foreach { l =>
+        if (!l.replace(" ", "").isEmpty) seen.add(l)
+      }
+      String.join("\n", seen)
+    }
 
   /** [[dedupLines]] in the DuckDB dialect. DuckDB's `list_distinct`
     * does NOT preserve order, so first-occurrence survival is spelled

@@ -59,6 +59,10 @@ object GraftSql {
       (t: String) => graft.functions.TextFunctions.htmlExtractJvm(t))
     spark.udf.register("graft_url_canonical",
       (u: String) => graft.functions.UrlFunctions.canonicalizeUrlJvm(u))
+    spark.udf.register("graft_pii_redact",
+      (t: String) => graft.functions.TextFunctions.redactPiiJvm(t))
+    spark.udf.register("graft_dedup_lines",
+      (t: String) => graft.functions.TextFunctions.dedupLinesJvm(t))
     // binary decode kernels — the multimodal columns reachable from SQL
     // (null for undecodable payloads, same as the Column UDFs)
     spark.udf.register("graft_npy_decode",

@@ -35,4 +35,20 @@ class DedupLinesSpec extends AnyFunSuite {
         s"'${out.replace("\n", "\\n")}', want '${want.replace("\n", "\\n")}'")
     }
   }
+
+  test("JVM twin (graft_dedup_lines SQL surface) is bit-identical") {
+    import spark.implicits._
+    cases.foreach { case (in, want) =>
+      assert(TextFunctions.dedupLinesJvm(in) == want, in)
+    }
+    graft.sql.GraftSql.registerFunctions(spark)
+    val pages = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(concat($"text", lit("\nfooter\nfooter\n \n"), $"text").as("p"))
+    pages.createOrReplaceTempView("dl_twin_docs")
+    val viaCol = pages.select(TextFunctions.dedupLines($"p"))
+      .collect().map(_.getString(0))
+    val viaSql = spark.sql("SELECT graft_dedup_lines(p) FROM dl_twin_docs")
+      .collect().map(_.getString(0))
+    assert(viaCol.sorted.toSeq == viaSql.sorted.toSeq)
+  }
 }

@@ -42,6 +42,20 @@ class PiiRedactSpec extends AnyFunSuite {
     }
   }
 
+  test("JVM twin (graft_pii_redact SQL surface) is bit-identical") {
+    import spark.implicits._
+    graft.sql.GraftSql.registerFunctions(spark)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(concat($"text", lit(" u"), $"doc_id".cast("string"),
+        lit("@x.io 10.0.0.1 call 555-123-4567")).as("t"))
+    docs.createOrReplaceTempView("pii_twin_docs")
+    val viaCol = docs.select(TextFunctions.redactPii($"t"))
+      .collect().map(_.getString(0))
+    val viaSql = spark.sql("SELECT graft_pii_redact(t) FROM pii_twin_docs")
+      .collect().map(_.getString(0))
+    assert(viaCol.sorted.toSeq == viaSql.sorted.toSeq)
+  }
+
   test("family counts match the matrix") {
     import spark.implicits._
     val r = Seq("x@y.com 1.2.3.4 9.9.9.9 555-123-4567 u@v.org").toDF("t")
