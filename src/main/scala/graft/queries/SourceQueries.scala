@@ -1235,6 +1235,46 @@ object SourceQueries extends QueryPack {
           max($"__key__").as("max_key"))
     }),
 
+    // Shard rolling on the write path (the reference ShardWriter's
+    // maxcount contract): 5000 formulaic samples leave ONE task rolled
+    // at 1200/shard → exactly ceil(5000/1200)=5 shards, each ≤1200
+    // samples, nothing lost or duplicated on the read-back. The oracle
+    // regenerates sample content from the id arithmetic and pins the
+    // structural shard count — a writer that stopped rolling (1 fat
+    // shard) or rolled off-by-one changes n_shards or max_per_shard.
+    "qc1_wds_shard_roll" -> ((s, _) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val outDir = s"target/wds-rolled-$tag"
+      val n = 5000
+      val src = s.range(0, n).select(
+        concat(lit("k"), lpad($"id".cast("string"), 6, "0")).as("__key__"),
+        concat(lit("payload "), $"id".cast("string")).as("txt"),
+        ($"id" % 97).cast("string").as("cls"))
+      src.coalesce(1).write.format("wds-tar")
+        .option("path", outDir)
+        .option("maxSamplesPerShard", "1200")
+        .mode("overwrite").save()
+      val back = s.read.format("wds-tar")
+        .option("path", outDir)
+        .option("extensions", "txt,cls")
+        .load()
+        .withColumn("cls", decode($"cls", "UTF-8").cast("long"))
+      // input_file_name() is empty for DSv2 readers; the source's own
+      // __url__ column carries the shard identity
+      val perShard = back.groupBy($"__url__").count()
+        .agg(count(lit(1)).as("n_shards"), max($"count").as("max_per_shard"))
+        .head
+      back.agg(
+        count(lit(1)).as("n_samples"),
+        sum($"cls").as("sum_cls"),
+        sum(length($"txt")).as("payload_bytes"))
+        .withColumn("n_shards", lit(perShard.getLong(0)))
+        .withColumn("max_per_shard", lit(perShard.getLong(1)))
+        .select($"n_shards", $"max_per_shard", $"n_samples", $"sum_cls",
+          $"payload_bytes")
+    }),
+
     // Perceptual image dedup (dHash) with REAL PNG decode on the hash
     // path: tar scan → javax.imageio decode via the l8 spec → 64-bit
     // difference hash (adjacent-pixel comparisons, the classic
@@ -2990,6 +3030,17 @@ object SourceQueries extends QueryPack {
            |       max('s' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM generate_series(0, ${4 * SamplesPerShard - 1}) t(id)
            |WHERE (id % 97) % 2 = 0""".stripMargin,
+      // roll arithmetic is structural: ceil(5000/1200) shards, the
+      // largest carries exactly 1200; content from the id formulas
+      // ("payload " = 8 chars + the id's digits)
+      "qc1_wds_shard_roll" ->
+        """SELECT CAST(5 AS BIGINT) AS n_shards,
+          |  CAST(1200 AS BIGINT) AS max_per_shard,
+          |  CAST(count(*) AS BIGINT) AS n_samples,
+          |  CAST(sum(id % 97) AS BIGINT) AS sum_cls,
+          |  CAST(sum(8 + length(CAST(id AS VARCHAR))) AS BIGINT) AS payload_bytes
+          |FROM generate_series(0, 4999) t(id)""".stripMargin,
+
       // pipeline meta join over all shards: cls = id%97 decodes to long,
       // txt length = 116+len(id)+id%300, meta txt_info = (id*31)%100
       "q84_pipeline_meta_join" ->

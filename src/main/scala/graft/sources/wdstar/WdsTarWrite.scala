@@ -54,6 +54,22 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
   private def writeIndex: Boolean =
     "true".equalsIgnoreCase(options.getOrDefault("index", "false"))
 
+  // shard-rolling limits (the reference ShardWriter's maxcount/maxsize,
+  // sdata's wds writer contract): a task whose partition exceeds either
+  // bound rolls to `<shard>-c0001.tar`, `-c0002.tar`, ... instead of
+  // producing one oversized shard. Default: no rolling (shard sizing
+  // follows upstream partitioning, names unchanged).
+  private def maxSamples: Long = {
+    val raw = options.get("maxSamplesPerShard")
+    if (raw == null) Long.MaxValue
+    else { val v = raw.toLong; require(v >= 1, s"maxSamplesPerShard $v < 1"); v }
+  }
+  private def maxBytes: Long = {
+    val raw = options.get("maxShardBytes")
+    if (raw == null) Long.MaxValue
+    else { val v = raw.toLong; require(v >= 1, s"maxShardBytes $v < 1"); v }
+  }
+
   override def build(): Write = new Write {
     private def prepared: (String, SerializableConfiguration) = {
       val dir = options.get("path")
@@ -78,24 +94,28 @@ class WdsTarWriteBuilder(schema: StructType, options: java.util.Map[String, Stri
 
     override def toBatch: BatchWrite = {
       val (dir, conf) = prepared
-      new WdsTarBatchWrite(dir, schema, conf, metaSuffixes, writeIndex)
+      new WdsTarBatchWrite(dir, schema, conf, metaSuffixes, writeIndex,
+        maxSamples, maxBytes)
     }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val (dir, conf) = prepared
-      new WdsTarStreamingWrite(dir, schema, conf, metaSuffixes, writeIndex)
+      new WdsTarStreamingWrite(dir, schema, conf, metaSuffixes, writeIndex,
+        maxSamples, maxBytes)
     }
   }
 }
 
 class WdsTarBatchWrite(dir: String, schema: StructType,
     conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
-    writeIndex: Boolean = false)
+    writeIndex: Boolean = false, maxSamples: Long = Long.MaxValue,
+    maxBytes: Long = Long.MaxValue)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    WdsTarWriterFactory(dir, schema, conf, metaSuffixes, writeIndex)
+    WdsTarWriterFactory(dir, schema, conf, metaSuffixes, writeIndex,
+      maxSamples, maxBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
@@ -104,11 +124,15 @@ class WdsTarBatchWrite(dir: String, schema: StructType,
 
 case class WdsTarWriterFactory(dir: String, schema: StructType,
     conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
-    writeIndex: Boolean = false)
+    writeIndex: Boolean = false, maxSamples: Long = Long.MaxValue,
+    maxBytes: Long = Long.MaxValue)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WdsTarDataWriter(dir, schema, conf, metaSuffixes, partitionId, taskId,
-      writeIndex)
+    new WdsTarDataWriter(dir, schema, conf, metaSuffixes,
+      f"shard-$partitionId%05d-$taskId.tar",
+      f".shard-$partitionId%05d-$taskId.tar.inprogress",
+      overwriteFinal = false, writeIndex = writeIndex,
+      maxSamples = maxSamples, maxBytes = maxBytes)
 }
 
 case class WdsTarCommit(path: String) extends WriterCommitMessage
@@ -116,7 +140,8 @@ case class WdsTarCommit(path: String) extends WriterCommitMessage
 class WdsTarDataWriter(dir: String, schema: StructType,
     conf: SerializableConfiguration, metaSuffixes: Seq[String],
     shardName: String, tmpName: String, overwriteFinal: Boolean = false,
-    writeIndex: Boolean = false)
+    writeIndex: Boolean = false, maxSamples: Long = Long.MaxValue,
+    maxBytes: Long = Long.MaxValue)
     extends DataWriter[InternalRow] {
 
   def this(dir: String, schema: StructType, conf: SerializableConfiguration,
@@ -153,14 +178,28 @@ class WdsTarDataWriter(dir: String, schema: StructType,
     out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
   }
 
-  private val dests: Seq[Dest] = {
-    val main = Dest(new Path(dir, tmpName), new Path(dir, shardName),
+  // --- shard rolling (the reference ShardWriter's maxcount/maxsize):
+  // chunk 0 keeps the task's plain shard name, chunk k>0 appends
+  // `-c000k` before `.tar` — roll boundaries are row-deterministic, so
+  // a replayed streaming epoch regenerates the SAME chunk names and
+  // the overwrite-idempotence contract survives rolling
+  private def chunkShardName(seq: Int): String =
+    if (seq == 0) shardName
+    else shardName.stripSuffix(".tar") + f"-c$seq%04d.tar"
+  private def chunkTmpName(seq: Int): String =
+    if (seq == 0) tmpName
+    else tmpName.stripSuffix(".tar.inprogress") + f"-c$seq%04d.tar.inprogress"
+
+  private def mkDests(seq: Int): Seq[Dest] = {
+    val main = Dest(new Path(dir, chunkTmpName(seq)),
+      new Path(dir, chunkShardName(seq)),
       payloadFields.collect {
         case (f, i) if suffixOf(f.name).isEmpty => (f.name, f, i)
       }.toSeq)
     val metas = metaSuffixes.map { sfx =>
       val mdir = graft.sources.ShardListing.metaDir(dir, sfx)
-      Dest(new Path(mdir, tmpName), new Path(mdir, shardName),
+      Dest(new Path(mdir, chunkTmpName(seq)),
+        new Path(mdir, chunkShardName(seq)),
         payloadFields.collect {
           case (f, i) if f.name.endsWith(s"_$sfx") =>
             (f.name.dropRight(sfx.length + 1), f, i)
@@ -169,13 +208,52 @@ class WdsTarDataWriter(dir: String, schema: StructType,
     main +: metas
   }
 
-  // sample-offset index entries for the MAIN shard (see WdsTarIndex):
-  // (first member header offset, key), one per row that wrote a member
-  private val indexEntries =
+  private var chunkSeq = 0
+  private var chunkSamples = 0L
+  private var dests: Seq[Dest] = mkDests(0)
+  // (tmp, fin, fs) of closed chunks, renamed together at task commit so
+  // a mid-task failure never leaves a partial task visible
+  private val pendingRenames = scala.collection.mutable.ArrayBuffer
+    .empty[(Path, Path, org.apache.hadoop.fs.FileSystem)]
+
+  // sample-offset index entries for the MAIN shard of the CURRENT
+  // chunk (see WdsTarIndex): (first member header offset, key), one
+  // per row that wrote a member
+  private var indexEntries =
     if (writeIndex) scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     else null
 
+  private def idxTmp(seq: Int) =
+    new Path(dir, chunkTmpName(seq).stripSuffix(".inprogress") + ".idx.inprogress")
+  private def idxFin(seq: Int) = new Path(dir, chunkShardName(seq) + ".idx")
+
+  /** Close the current chunk's streams (and write its index sidecar),
+    * queueing every file for the single rename pass at task commit.
+    */
+  private def finishChunk(): Unit = {
+    dests.foreach { d =>
+      d.out.close()
+      pendingRenames += ((d.tmp, d.fin, d.fs))
+    }
+    if (indexEntries != null) {
+      val fs = dests.head.fs
+      val out = fs.create(idxTmp(chunkSeq), true)
+      out.write(WdsTarIndex.render(indexEntries.toSeq))
+      out.close()
+      pendingRenames += ((idxTmp(chunkSeq), idxFin(chunkSeq), fs))
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
+    if (chunkSamples > 0 && (chunkSamples >= maxSamples ||
+        dests.head.out.getBytesWritten >= maxBytes)) {
+      finishChunk()
+      chunkSeq += 1
+      chunkSamples = 0
+      dests = mkDests(chunkSeq)
+      if (indexEntries != null)
+        indexEntries = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    }
     val key = row.getUTF8String(keyIdx).toString
     dests.foreach { d =>
       // index the MAIN shard only: offset of the row's first member
@@ -200,28 +278,18 @@ class WdsTarDataWriter(dir: String, schema: StructType,
         }
       }
     }
+    chunkSamples += 1
   }
 
-  private def idxTmp = new Path(dir, tmpName.stripSuffix(".inprogress") + ".idx.inprogress")
-  private def idxFin = new Path(dir, shardName + ".idx")
-
   override def commit(): WriterCommitMessage = {
-    dests.foreach { d =>
-      d.out.close()
+    finishChunk()
+    pendingRenames.foreach { case (tmp, fin, fs) =>
       // streaming epoch replay rewrites the same deterministic shard
       // name: drop the stale file so the rename lands (idempotent)
-      if (overwriteFinal && d.fs.exists(d.fin)) d.fs.delete(d.fin, false)
-      d.fs.rename(d.tmp, d.fin)
+      if (overwriteFinal && fs.exists(fin)) fs.delete(fin, false)
+      fs.rename(tmp, fin)
     }
-    if (indexEntries != null) {
-      val fs = dests.head.fs
-      val out = fs.create(idxTmp, true)
-      out.write(WdsTarIndex.render(indexEntries.toSeq))
-      out.close()
-      if (overwriteFinal && fs.exists(idxFin)) fs.delete(idxFin, false)
-      fs.rename(idxTmp, idxFin)
-    }
-    WdsTarCommit(dests.head.fin.toString)
+    WdsTarCommit(new Path(dir, shardName).toString)
   }
 
   override def abort(): Unit = {
@@ -229,7 +297,8 @@ class WdsTarDataWriter(dir: String, schema: StructType,
       try d.out.close() catch { case _: Exception => () }
       d.fs.delete(d.tmp, false)
     }
-    if (indexEntries != null) dests.head.fs.delete(idxTmp, false)
+    pendingRenames.foreach { case (tmp, _, fs) => fs.delete(tmp, false) }
+    if (indexEntries != null) dests.head.fs.delete(idxTmp(chunkSeq), false)
   }
 
   override def close(): Unit = ()
@@ -250,12 +319,14 @@ class WdsTarDataWriter(dir: String, schema: StructType,
   */
 class WdsTarStreamingWrite(dir: String, schema: StructType,
     conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
-    writeIndex: Boolean = false)
+    writeIndex: Boolean = false, maxSamples: Long = Long.MaxValue,
+    maxBytes: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    WdsTarStreamingWriterFactory(dir, schema, conf, metaSuffixes, writeIndex)
+    WdsTarStreamingWriterFactory(dir, schema, conf, metaSuffixes, writeIndex,
+      maxSamples, maxBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -263,12 +334,14 @@ class WdsTarStreamingWrite(dir: String, schema: StructType,
 
 case class WdsTarStreamingWriterFactory(dir: String, schema: StructType,
     conf: SerializableConfiguration, metaSuffixes: Seq[String] = Nil,
-    writeIndex: Boolean = false)
+    writeIndex: Boolean = false, maxSamples: Long = Long.MaxValue,
+    maxBytes: Long = Long.MaxValue)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new WdsTarDataWriter(dir, schema, conf, metaSuffixes,
       shardName = f"shard-e$epochId%06d-p$partitionId%05d.tar",
       tmpName = f".shard-e$epochId%06d-p$partitionId%05d-$taskId.tar.inprogress",
-      overwriteFinal = true, writeIndex = writeIndex)
+      overwriteFinal = true, writeIndex = writeIndex,
+      maxSamples = maxSamples, maxBytes = maxBytes)
 }

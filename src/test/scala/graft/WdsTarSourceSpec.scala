@@ -253,6 +253,59 @@ class WdsTarSourceSpec extends AnyFunSuite {
       .option("extensions", "jpg,txt").load().count() == 1)
   }
 
+  test("write path: maxSamplesPerShard rolls shards inside one task") {
+    import spark.implicits._
+    val outDir = fixtureDir.resolve("written-rolled").toString
+    val src = (0 until 350)
+      .map(i => (f"r$i%04d", s"payload-$i")).toDF("__key__", "txt")
+    src.coalesce(1).write.format("wds-tar")
+      .option("path", outDir)
+      .option("maxSamplesPerShard", "100")
+      .option("index", "true")
+      .mode("overwrite").save()
+    val tars = new java.io.File(outDir).list().filter(_.endsWith(".tar")).sorted
+    assert(tars.length == 4, tars.mkString(","))
+    // chunk 0 keeps the plain task name; later chunks suffix -c000k
+    assert(tars.count(_.contains("-c000")) == 3, tars.mkString(","))
+    // every chunk carries its own index sidecar
+    assert(new java.io.File(outDir).list().count(_.endsWith(".tar.idx")) == 4)
+    // nothing lost, nothing duplicated, content intact
+    val back = spark.read.format("wds-tar")
+      .option("path", outDir).option("extensions", "txt").load()
+    assert(back.count() == 350)
+    val r17 = back.where($"__key__" === "r0017").head
+    assert(new String(r17.getAs[Array[Byte]]("txt")) == "payload-17")
+  }
+
+  test("write path: maxShardBytes rolls on size; meta siblings roll in lockstep") {
+    import spark.implicits._
+    val outDir = fixtureDir.resolve("written-rolled-bytes").toString
+    val big = "x" * 4096
+    val src = (0 until 40)
+      .map(i => (f"b$i%04d", big + i, i.toString)).toDF("__key__", "txt", "txt_m")
+    src.coalesce(1).write.format("wds-tar")
+      .option("path", outDir)
+      .option("metaSuffixes", "m")
+      .option("maxShardBytes", (32 * 1024).toString)
+      .mode("overwrite").save()
+    val mainTars = new java.io.File(outDir).list().filter(_.endsWith(".tar")).sorted
+    assert(mainTars.length > 1, mainTars.mkString(","))
+    // each rolled main shard stays near the bound (one sample of slop)
+    mainTars.foreach { t =>
+      val len = new java.io.File(outDir, t).length()
+      assert(len <= 32 * 1024 + 3 * 4096 + 4096,
+        s"$t is $len bytes, rolled too late")
+    }
+    // meta sibling dir rolled to the SAME chunk basenames (zip-join
+    // alignment survives rolling by construction)
+    val metaTars = new java.io.File(outDir + "_m").list()
+      .filter(_.endsWith(".tar")).sorted
+    assert(metaTars.toSeq == mainTars.toSeq)
+    val back = spark.read.format("wds-tar")
+      .option("path", outDir).option("extensions", "txt").load()
+    assert(back.count() == 40)
+  }
+
   test("write path: metaSuffixes routes ext_suffix columns to aligned sibling meta shards") {
     import spark.implicits._
     val outDir = fixtureDir.resolve("written-meta").toString
