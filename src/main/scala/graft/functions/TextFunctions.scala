@@ -234,50 +234,6 @@ object TextFunctions {
   def fingerprintSql(e: String): String =
     s"md5(array_to_string(list_sort(list_distinct(list_transform(${tokensSql(e)}, t -> lower(t)))), ' '))"
 
-  /** N-gram LM quality scoring — the CCNet/KenLM perplexity-filter
-    * shape: a bigram model trained on the corpus itself scores each
-    * document by how predictable its word transitions are (machine-
-    * generated keyword stuffing and lorem-noise score low; fluent text
-    * high). The per-bigram signal is the conditional transition
-    * frequency c(w1,w2)/c(w1) carried as FLOOR(1e6·c2/c1) — integer
-    * micro-units, so per-doc sums are summation-order-free and exact
-    * in both engines (a log-based score would hinge on libm's last
-    * ulp; the micro-unit ratio keeps the filter's ordering power
-    * without the portability hazard).
-    *
-    * Returns one row per document: idCol, `n_bigrams`, `score_micro`
-    * (sum of micro-unit transition frequencies; divide by n_bigrams
-    * for the mean). Scale: two vocab-sized map-side-combined count
-    * aggregations; scoring is a join on token keys against those
-    * counts (Zipf skew stays in the pre-combined aggregations, never
-    * a window) and one per-doc integer sum.
-    */
-  def bigramLmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col(idCol), tokens(lower(col(textCol))).as("__t"))
-    val bi = toks
-      .where(size(col("__t")) >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
-      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-    val uni = toks.select(explode(col("__t")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val scored = bi
-      .join(big, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
-      .select(col(idCol), expr("(1000000 * c2) DIV c1").as("__term"))
-      .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("__term")).as("score_micro"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
-  }
-
   /** PII redaction — the scrub pass every published training corpus runs
     * before release (the Dolma/BigScience shape: regex families, typed
     * placeholders). Three families in fixed order — email, then IPv4,

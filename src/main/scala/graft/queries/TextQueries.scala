@@ -134,17 +134,6 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // N-gram LM quality scoring (the CCNet/KenLM perplexity-filter
-    // shape): a corpus-trained bigram model scores each doc's word-
-    // transition predictability. Micro-unit integer ratios instead of
-    // logs keep per-doc sums order-free and bit-equal across engines —
-    // see [[TextFunctions.bigramLmScore]] for the scale shape (two
-    // vocab-sized combined aggregations + a token-key join, no window).
-    "qc2_bigram_lm_score" -> ((s, dir) =>
-      graft.functions.TextFunctions
-        .bigramLmScore(docs(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))),
-
     // N-gram repetition score — the standard "repeated template text"
     // curation signal (fraction of trigram positions occupied by a
     // repeat): 1 - distinct_trigrams / total_trigrams. Reuses the
@@ -609,28 +598,6 @@ object TextQueries extends QueryPack {
          |  md5(clean) AS clean_md5
          |FROM c
          |ORDER BY doc_id""".stripMargin
-    },
-
-    // same counts, same FLOOR(1e6*c2/c1) integer term — // is DuckDB's
-    // integer division, matching Spark's DIV exactly
-    "qc2_bigram_lm_score" -> {
-      val toks = graft.functions.TextFunctions.tokensSql("lower(text)")
-      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
-         |uni AS (SELECT w1, count(*) AS c1 FROM (
-         |  SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
-         |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
-         |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
-         |  FROM toks WHERE length(t) >= 2)),
-         |c2t AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
-         |sc AS (SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum((1000000 * c2) // c1) AS BIGINT) AS score_micro
-         |  FROM bi JOIN c2t USING (w1, w2) JOIN uni USING (w1)
-         |  GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(n_bigrams, 0) AS n_bigrams,
-         |  coalesce(score_micro, 0) AS score_micro
-         |FROM documents d LEFT JOIN sc USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
     },
 
     "qaw_hll_distinct" -> {

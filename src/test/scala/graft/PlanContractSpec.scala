@@ -338,17 +338,6 @@ class PlanContractSpec extends AnyFunSuite {
       s"scrub left codegen:\n${p.take(1200)}")
   }
 
-  test("qc2: LM scoring aggregates with map-side partials and never windows") {
-    // the Zipf-heavy token keys live in pre-combined count aggregations
-    // and the scoring join — a window over token keys would pin "the"
-    // onto one reducer's sort at corpus scale
-    val p = planOf("qc2_bigram_lm_score")
-    assert(!p.contains("Window"), s"LM scoring grew a window:\n${p.take(1500)}")
-    assert(p.contains("partial_count") || p.contains("partial"),
-      s"count aggregations lost map-side combine:\n${p.take(1500)}")
-    assert(!p.contains("CartesianProduct"), p.take(1200))
-  }
-
   test("qbc: BPE apply is a pure codegen projection — no join, no UDF in the plan") {
     // the K learned rules fold into one replace() chain: the only
     // exchange is the final token aggregation, and nothing leaves
