@@ -131,8 +131,37 @@ object TarScaleSmoke {
     val (n, bytes) = aggs.head
     require(n == Shards.toLong * SamplesPerShard, s"row count $n")
 
-    val json = (runs ++ fetchRuns).map { case (name, sec, _) => s""""$name":$sec""" }
-      .mkString(s"""{"n_samples":$n,"payload_bytes":$bytes,""", ",", "}")
+    // write path with in-task rolling: the full corpus re-shards from 8
+    // tasks into ~8 MB chunks (maxShardBytes) — the writer contract a
+    // continuous re-sharding pipeline runs; the round-trip aggregate
+    // must survive and every rolled shard must respect the bound
+    val rollDir = Paths.get("target", "tar-smoke-rolled").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(rollDir.toFile)
+    val rollRun = timed("write_rolled") {
+      spark.read.format("wds-tar")
+        .option("shards", shards.mkString(","))
+        .option("extensions", "txt,cls").load()
+        .repartition(8)
+        .write.format("wds-tar")
+        .option("path", rollDir.toString)
+        .option("maxShardBytes", (8L * 1024 * 1024).toString)
+        .mode("overwrite").save()
+      agg(spark.read.format("wds-tar")
+        .option("path", rollDir.toString)
+        .option("extensions", "txt,cls").load())
+    }
+    require(rollRun._3 == aggs.head,
+      s"rolled round-trip diverged: ${rollRun._3} != ${aggs.head}")
+    val rolled = rollDir.toFile.list().filter(_.endsWith(".tar"))
+    require(rolled.length > 16, s"rolling produced only ${rolled.length} shards")
+    val maxLen = rolled.map(f => new java.io.File(rollDir.toFile, f).length()).max
+    require(maxLen <= 9L * 1024 * 1024,
+      s"a rolled shard is $maxLen B, bound was 8 MiB (+1 sample slop)")
+
+    val json = (runs ++ fetchRuns :+ rollRun)
+      .map { case (name, sec, _) => s""""$name":$sec""" }
+      .mkString(s"""{"n_samples":$n,"payload_bytes":$bytes,""" +
+        s""""n_rolled_shards":${rolled.length},""", ",", "}")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_tar_smoke.json"),
       (json + "\n").getBytes("UTF-8"))
