@@ -953,7 +953,12 @@ object SourceQueries extends QueryPack {
     * the Bloom can. The mod-16 thinning keeps per-file key counts well
     * under the Bloom's capacity at every gate SF (false-positive odds
     * stay ~1e-5 per probe, so the structural open count is stable).
+    * Per-bucket [min,max] bounds are cached beside the table so the
+    * gate derives its probes without re-scanning orders.
     */
+  private val snapInBounds = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[Long, (Long, Long)]]
+
   private def snapInPath(s: SparkSession, dir: String): String =
     formatCache.computeIfAbsent((s, dir, "snapin"), { _ =>
       val p = s"target/snapin-${Integer.toHexString(dir.hashCode)}"
@@ -963,6 +968,11 @@ object SourceQueries extends QueryPack {
         .where(col("o_orderkey") % 16 === 0)
       val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
       val width = mx / 4 + 1
+      val bounds = o.withColumn("b", expr(s"o_orderkey DIV $width"))
+        .groupBy(col("b"))
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      snapInBounds.put((s, dir), bounds)
       (0 until 4).foreach { b =>
         SnapshotLog.commit(
           o.where(expr(s"o_orderkey DIV $width") === b).repartition(1),
@@ -2311,14 +2321,7 @@ object SourceQueries extends QueryPack {
     "qbz_snapshot_in_prune" -> ((s, dir) => {
       import org.apache.spark.sql.sources.In
       val t = snapInPath(s, dir)
-      val o = graft.core.Tables.load(s, dir, "orders")
-        .select(col("o_orderkey")).where(col("o_orderkey") % 16 === 0)
-      val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
-      val width = mx / 4 + 1
-      val bounds = o.withColumn("b", expr(s"o_orderkey DIV $width"))
-        .groupBy(col("b"))
-        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
-        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val bounds = snapInBounds.get((s, dir))
       val present = Seq(bounds(1L)._1, bounds(1L)._2)
       val absent = Seq(0L, 2L, 3L).map(b => bounds(b)._1 + 8) // ≡8 (mod 16) ⇒ absent
       val probes = present ++ absent

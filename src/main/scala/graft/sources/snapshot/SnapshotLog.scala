@@ -1280,18 +1280,25 @@ object SnapshotLog {
     require(policy == "fixed" || policy == "adaptive",
       s"$CheckpointPolicyConf must be fixed|adaptive, got $policy")
     if (policy == "adaptive") {
-      var v = m.parent
-      var hops = 0
-      var deltaSum = 0L
-      var fullLen = -1L
-      while (v >= 1 && fullLen < 0 && hops < MaxDeltaChain) {
-        val len = fs.getFileStatus(manifestPath(tbl, v)).getLen
-        val raw = readRaw(fs, tbl, v)
-        if (raw.full.isDefined) fullLen = len
-        else { deltaSum += len; hops += 1; v = raw.parent }
+      try {
+        var v = m.parent
+        var hops = 0
+        var deltaSum = 0L
+        var fullLen = -1L
+        while (v >= 1 && fullLen < 0 && hops < MaxDeltaChain) {
+          val len = fs.getFileStatus(manifestPath(tbl, v)).getLen
+          val raw = readRaw(fs, tbl, v)
+          if (raw.full.isDefined) fullLen = len
+          else { deltaSum += len; hops += 1; v = raw.parent }
+        }
+        // no checkpoint found within the cap → checkpoint now
+        fullLen < 0 || deltaSum >= fullLen
+      } catch {
+        // a missing ancestor (crash debris, partial restore) must
+        // self-heal with a checkpoint, same as the fixed path's
+        // parent-read fallback — never wedge the table
+        case _: java.io.FileNotFoundException => true
       }
-      // no checkpoint found within the cap → checkpoint now
-      fullLen < 0 || deltaSum >= fullLen
     } else m.version % CheckpointEvery == 0
   }
 

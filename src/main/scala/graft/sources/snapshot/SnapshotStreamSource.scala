@@ -129,17 +129,39 @@ object SnapshotStreamSource {
     * column), unknown null counts, and incomparable types answer
     * TRUE — unknown never prunes.
     */
+  /** The write-side Bloom hashed the column's SPARK string cast, so a
+    * probe may consult it only when its own string rendering provably
+    * matches — same runtime class as the (widened) stats values, whose
+    * Java toString IS that rendering for long/double/string. A
+    * cross-typed probe (Integer vs a long column, Long vs a double
+    * column — "5" vs "5.0") skips the Bloom tier and keeps the range
+    * verdict: a skipped tier only costs an open, a mis-rendered probe
+    * would silently LOSE rows.
+    */
+  private def bloomComparable(statsMin: Any, v: Any): Boolean =
+    (statsMin, v) match {
+      case (_: java.lang.Long, _: java.lang.Long) => true
+      case (_: java.lang.Double, _: java.lang.Double) => true
+      case (_: String, _: String) => true
+      case _ => false
+    }
+
   /** Point membership test for one (column, value): inside the
     * [min,max] window AND admitted by the per-file Bloom when one was
-    * written — the readPoint two-tier skip, available to EqualTo / In
-    * pruning. One-sided: a Bloom miss proves absence; a hit may still
-    * be a false positive (wasted open, never a lost row).
+    * written and the probe's rendering is trustworthy
+    * ([[bloomComparable]]) — the readPoint two-tier skip, available to
+    * EqualTo / In pruning. One-sided: a Bloom miss proves absence; a
+    * hit may still be a false positive (wasted open, never a lost row).
     */
   private def mayHold(file: SnapshotLog.FileEntry, c: String, v: Any): Boolean =
     file.stats.get(c).forall { case (mn, mx) =>
       cmpAny(mn, v).forall(_ <= 0) && cmpAny(mx, v).forall(_ >= 0) } &&
-      file.blooms.get(c).forall(b64 => SnapshotLog.bloomMightContain(
-        SnapshotLog.bloomDecode(b64), String.valueOf(v)))
+      (file.stats.get(c) match {
+        case Some((mn, _)) if bloomComparable(mn, v) =>
+          file.blooms.get(c).forall(b64 => SnapshotLog.bloomMightContain(
+            SnapshotLog.bloomDecode(b64), String.valueOf(v)))
+        case _ => true // no stats or cross-typed probe: range verdict stands
+      })
 
   private[snapshot] def mightMatch(file: SnapshotLog.FileEntry,
       f: Filter): Boolean = {
@@ -441,11 +463,16 @@ class SnapshotPartitionReader(file: String, schema: StructType,
     var k = 0
     while (k < st.length) {
       val f = st.fields(k)
-      val fi = gt.getFieldIndex(f.name)
-      if (sg.getFieldRepetitionCount(fi) > 0) {
-        f.dataType match {
-          case ArrayType(et, _) => out.update(k, decodeList(sg.getGroup(fi, 0), et))
-          case dt => out.update(k, leaf(sg, fi, dt))
+      // a field the file's group never had (out-of-band writer, future
+      // struct-member evolution) null-fills like every other absent
+      // column in this reader
+      if (gt.containsField(f.name)) {
+        val fi = gt.getFieldIndex(f.name)
+        if (sg.getFieldRepetitionCount(fi) > 0) {
+          f.dataType match {
+            case ArrayType(et, _) => out.update(k, decodeList(sg.getGroup(fi, 0), et))
+            case dt => out.update(k, leaf(sg, fi, dt))
+          }
         }
       }
       k += 1

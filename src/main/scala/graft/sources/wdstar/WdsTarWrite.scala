@@ -180,9 +180,9 @@ class WdsTarDataWriter(dir: String, schema: StructType,
 
   // --- shard rolling (the reference ShardWriter's maxcount/maxsize):
   // chunk 0 keeps the task's plain shard name, chunk k>0 appends
-  // `-c000k` before `.tar` — roll boundaries are row-deterministic, so
-  // a replayed streaming epoch regenerates the SAME chunk names and
-  // the overwrite-idempotence contract survives rolling
+  // `-c000k` before `.tar`. A replayed streaming epoch regenerates the
+  // same names for the chunks it writes; chunks beyond its final seq
+  // (a previous attempt that packed differently) are swept in commit()
   private def chunkShardName(seq: Int): String =
     if (seq == 0) shardName
     else shardName.stripSuffix(".tar") + f"-c$seq%04d.tar"
@@ -245,8 +245,11 @@ class WdsTarDataWriter(dir: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
+    // roll when ANY destination hit the byte bound — a meta sibling
+    // whose payloads dominate must not grow unbounded behind a small
+    // main shard
     if (chunkSamples > 0 && (chunkSamples >= maxSamples ||
-        dests.head.out.getBytesWritten >= maxBytes)) {
+        dests.exists(_.out.getBytesWritten >= maxBytes))) {
       finishChunk()
       chunkSeq += 1
       chunkSamples = 0
@@ -288,6 +291,29 @@ class WdsTarDataWriter(dir: String, schema: StructType,
       // name: drop the stale file so the rename lands (idempotent)
       if (overwriteFinal && fs.exists(fin)) fs.delete(fin, false)
       fs.rename(tmp, fin)
+    }
+    // replay hygiene: if a previous attempt of this epoch rolled into
+    // MORE chunks than this one (partition row order is not guaranteed
+    // across re-execution, and byte-based boundaries follow it), its
+    // stale higher-numbered chunks would duplicate samples — delete
+    // every chunk of this shard's family beyond what we just wrote
+    if (overwriteFinal) {
+      val stem = shardName.stripSuffix(".tar") + "-c"
+      (dir +: metaSuffixes.map(graft.sources.ShardListing.metaDir(dir, _)))
+        .foreach { d =>
+          val p = new Path(d)
+          val fs = p.getFileSystem(conf.value)
+          if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+            val n = st.getPath.getName
+            val isChunk = n.startsWith(stem) &&
+              (n.endsWith(".tar") || n.endsWith(".tar.idx"))
+            if (isChunk) {
+              val seqStr = n.stripPrefix(stem).takeWhile(_.isDigit)
+              if (seqStr.nonEmpty && seqStr.toInt > chunkSeq)
+                fs.delete(st.getPath, false)
+            }
+          }
+        }
     }
     WdsTarCommit(new Path(dir, shardName).toString)
   }

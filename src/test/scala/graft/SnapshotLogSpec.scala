@@ -570,6 +570,14 @@ class SnapshotLogSpec extends AnyFunSuite {
     val (df3, kept3, _) = SnapshotLog.readFiltered(s, t,
       Seq(org.apache.spark.sql.sources.EqualTo("id", 33L)))
     assert(kept3 == 0 && df3.count() == 0)
+    // a CROSS-TYPED probe (Integer vs the long column) must never let
+    // the Bloom's string-rendering mismatch ("120" would match here,
+    // but the guard is typed, not lucky) lose rows: the range tier
+    // keeps the file and the row comes back
+    val (df4, kept4, _) = SnapshotLog.readFiltered(s, t,
+      Seq(org.apache.spark.sql.sources.EqualTo("id",
+        java.lang.Integer.valueOf(120))))
+    assert(kept4 == 1 && df4.collect().map(_.getLong(0)).toSeq == Seq(120L))
   }
 
   test("corrupt manifests fail loudly, never silently mis-answer") {

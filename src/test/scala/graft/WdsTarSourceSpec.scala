@@ -304,6 +304,21 @@ class WdsTarSourceSpec extends AnyFunSuite {
     val back = spark.read.format("wds-tar")
       .option("path", outDir).option("extensions", "txt").load()
     assert(back.count() == 40)
+    // the byte bound binds on EVERY destination: a meta sibling whose
+    // payloads dominate must trigger the roll even when the main shard
+    // stays small
+    val outDir2 = fixtureDir.resolve("written-rolled-meta").toString
+    val src2 = (0 until 40)
+      .map(i => (f"m$i%04d", i.toString, big + i)).toDF("__key__", "txt", "txt_m")
+    src2.coalesce(1).write.format("wds-tar")
+      .option("path", outDir2)
+      .option("metaSuffixes", "m")
+      .option("maxShardBytes", (32 * 1024).toString)
+      .mode("overwrite").save()
+    val metaTars2 = new java.io.File(outDir2 + "_m").list()
+      .filter(_.endsWith(".tar"))
+    assert(metaTars2.length > 1,
+      s"meta-dominated payload never rolled: ${metaTars2.length} shard(s)")
   }
 
   test("write path: metaSuffixes routes ext_suffix columns to aligned sibling meta shards") {

@@ -224,6 +224,35 @@ class WdsTarStreamSpec extends AnyFunSuite {
     assert(new String(rows(0).getAs[Array[Byte]]("txt")) == "replayed epoch")
   }
 
+  test("streaming replay sweeps stale rolled chunks from a fatter previous attempt") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.util.SerializableConfiguration
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val outDir = mkDir().toString
+    val schema = StructType(Seq(
+      StructField("__key__", StringType), StructField("txt", BinaryType)))
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    def commitRows(n: Int, maxPerShard: Long, taskId: Long): Unit = {
+      val w = new graft.sources.wdstar.WdsTarDataWriter(outDir, schema, conf,
+        metaSuffixes = Nil,
+        shardName = "shard-e000002-p00000.tar",
+        tmpName = s".shard-e000002-p00000-$taskId.tar.inprogress",
+        overwriteFinal = true, maxSamples = maxPerShard)
+      (0 until n).foreach(i => w.write(InternalRow(
+        UTF8String.fromString(f"k$i%03d"), s"v$i".getBytes("UTF-8"))))
+      w.commit()
+    }
+    commitRows(10, maxPerShard = 3, taskId = 1) // 4 chunks: c0..c0003
+    assert(new java.io.File(outDir).list().count(_.endsWith(".tar")) == 4)
+    commitRows(10, maxPerShard = 6, taskId = 2) // replay packs into 2
+    val tars = new java.io.File(outDir).list().filter(_.endsWith(".tar"))
+    assert(tars.length == 2, s"stale chunks survived: ${tars.sorted.mkString(",")}")
+    val rows = spark.read.format("wds-tar")
+      .option("path", outDir).option("extensions", "txt").load()
+    assert(rows.count() == 10, "replay duplicated or lost samples")
+  }
+
   test("shard sorting before the committed prefix fails loudly, no silent re-read") {
     val d2 = mkDir()
     writeTarIn(d2, "shard-000005.tar", Seq("x1"))
