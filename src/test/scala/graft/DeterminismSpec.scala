@@ -31,7 +31,12 @@ class DeterminismSpec extends AnyFunSuite {
       "q56_interval_pairs", "q9o_source_lang_pivot", "q38_pair_pagerank",
       "q72_aspect_buckets", "q9p_oov_rate", "q57_drift_monitor",
       "q9q_stratified_split", "q39_dup_leakage_matrix", "q9r_token_spectrum",
-      "q3a_contrastive_pairs")) {
+      "q3a_contrastive_pairs",
+      // rank-assignment ops: global ids must not shift with the range
+      // partitioner's sampled boundaries
+      "qbl_contiguous_index", "qau_exact_split",
+      // per-row scrubs: trivially partition-free, pinned anyway
+      "qbv_pii_redact", "qbx_dedup_lines")) {
     test(s"$q is identical at 5 and 32 shuffle partitions") {
       assert(runWith(5, q) == runWith(32, q))
     }
