@@ -2291,6 +2291,41 @@ object SourceQueries extends QueryPack {
           .as("n_urgent"))
     }),
 
+    // CHECK constraints (Delta's ADD CONSTRAINT, write-side core): two
+    // registered invariants admit both halves of the corpus, a
+    // poisoned batch refuses WHOLESALE before any version publishes
+    // (the count proves no partial landing), and the final content is
+    // exactly the clean corpus. Enforcement = one short-circuit probe
+    // per constraint over the new rows only.
+    "qc3_snapshot_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapcons-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.addConstraint(s, t, "key_pos", "o_orderkey >= 0")
+      SnapshotLog.addConstraint(s, t, "cust_nonneg", "o_custkey >= 0")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), t, "append",
+        Seq("o_orderkey"))
+      val refused =
+        try {
+          SnapshotLog.commit(o.limit(10).withColumn("o_custkey", lit(-1L)),
+            t, "append", Seq("o_orderkey"))
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_cust"))
+        .withColumn("n_refused", lit(refused))
+        .withColumn("n_constraints",
+          lit(SnapshotLog.constraints(s, t).size.toLong))
+        .select($"n_refused", $"n_constraints", $"n_rows", $"sum_key",
+          $"sum_cust")
+    }),
+
     // The manifest AS a table (Iceberg's `table.files`): per-file rows,
     // interval bounds, and null counts from metadata alone — the ops
     // view that locates small-file debt and layout quality at any table
@@ -2660,6 +2695,16 @@ object SourceQueries extends QueryPack {
           |  CAST(count(*) FILTER (
           |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
           |    AS n_urgent
+          |FROM orders""".stripMargin,
+
+      // content = the whole corpus (the poisoned batch never landed);
+      // refusal and constraint counts structural
+      "qc3_snapshot_constraints" ->
+        """SELECT CAST(1 AS BIGINT) AS n_refused,
+          |  CAST(2 AS BIGINT) AS n_constraints,
+          |  count(*) AS n_rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           |FROM orders""".stripMargin,
 
       // per-bucket min/max/count from the same width arithmetic the

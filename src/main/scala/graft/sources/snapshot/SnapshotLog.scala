@@ -146,6 +146,7 @@ object SnapshotLog {
       case Some(p) if mode == "append" => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
       case _ => (df, df.schema.toDDL)
     }
+    checkConstraints(aligned, table)
     val newFiles = writeData(aligned, table, v, statsCols, bloomCols,
       bloomBits, ndvCols)
     val prior =
@@ -781,6 +782,7 @@ object SnapshotLog {
     require(updates.columns.toSet == schema.fieldNames.toSet,
       s"update columns ${updates.columns.toSeq} != table ${schema.fieldNames.toSeq}")
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    checkConstraints(aligned, table)
 
     // one pass over updates: per-file key-containment flags + row count
     val checks = m.files.zipWithIndex.map { case (f, i) =>
@@ -834,6 +836,9 @@ object SnapshotLog {
       s"change columns ${changes.columns.toSeq} != table ${schema.fieldNames.toSeq} + $opCol")
     val aligned = changes.select(
       (schema.fieldNames.toIndexedSeq :+ opCol).map(col): _*)
+    // constraints bind the rows that will LAND (upserts); deletes
+    // remove rows and cannot violate a CHECK
+    checkConstraints(aligned.where(col(opCol) === "U").drop(opCol), table)
 
     // one pass over the changelog: per-file key-containment flags plus
     // batch validity (op vocabulary, key uniqueness)
@@ -900,6 +905,7 @@ object SnapshotLog {
         case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
         case None => (df, df.schema.toDDL)
       }
+      checkConstraints(aligned, table)
       val newFiles = writeData(aligned, table, v, statsCols)
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "stream-append", ddl,
@@ -907,6 +913,88 @@ object SnapshotLog {
       Some(v)
     }
   }
+
+  // ---- CHECK constraints (the Delta `ALTER TABLE ADD CONSTRAINT`
+  // capability, reduced to its write-side core): named boolean SQL
+  // expressions stored in ONE small sidecar (`_log/_constraints.json`)
+  // and enforced on every row-adding path — append, retry-append,
+  // stream-append, upsert, CDC apply — with Delta's null semantics
+  // (a row violates only when the expression is provably FALSE; null
+  // passes). Adding a constraint validates the EXISTING table first,
+  // so a registered constraint is an invariant, not a hope. The
+  // sidecar is current-state write-guard metadata, deliberately NOT
+  // versioned per manifest: time travel reads data, and `restore` can
+  // resurrect pre-constraint rows — re-validate after restore if the
+  // invariant must span history. Enforcement costs one short-circuit
+  // `isEmpty` probe per constraint over the NEW rows only.
+
+  private def constraintsPath(tbl: Path) = new Path(logDir(tbl), "_constraints.json")
+
+  /** Current constraint map (name → boolean SQL expression). */
+  def constraints(spark: SparkSession, table: String): Map[String, String] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val p = constraintsPath(tbl)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      mapper.readValue(new String(bytes, "UTF-8"),
+          classOf[java.util.Map[String, Object]])
+        .asScala.map { case (k, v) => k -> v.toString }.toMap
+    }
+  }
+
+  private def writeConstraints(spark: SparkSession, table: String,
+      cons: Map[String, String]): Unit = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    fs.mkdirs(logDir(tbl))
+    val root = new JLinkedHashMap[String, Object]()
+    cons.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    val tmp = new Path(logDir(tbl),
+      "_constraints.json.tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    val dest = constraintsPath(tbl)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"could not publish constraints at $dest")
+  }
+
+  /** Rows of `df` that VIOLATE `e` under Delta null semantics. */
+  private def violations(df: DataFrame, e: String): DataFrame =
+    df.where(!coalesce(expr(e).cast("boolean"), lit(true)))
+
+  /** Register a CHECK constraint; the existing table must already
+    * satisfy it (validated with one scan before the sidecar publishes).
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      e: String): Unit = {
+    require(name.nonEmpty && e.nonEmpty, "constraint needs a name and an expression")
+    if (latestVersion(spark, table).isDefined) {
+      val bad = violations(read(spark, table), e).limit(1).collect()
+      require(bad.isEmpty,
+        s"existing rows violate constraint '$name' ($e): e.g. ${bad.head}")
+    }
+    writeConstraints(spark, table, constraints(spark, table) + (name -> e))
+  }
+
+  def dropConstraint(spark: SparkSession, table: String, name: String): Unit =
+    writeConstraints(spark, table, constraints(spark, table) - name)
+
+  /** Enforce every registered constraint against a batch of incoming
+    * rows — called by the row-adding commit paths; throws on the first
+    * violating constraint.
+    */
+  private def checkConstraints(df: DataFrame, table: String): Unit =
+    constraints(df.sparkSession, table).foreach { case (name, e) =>
+      val bad = violations(df, e).limit(1).collect()
+      require(bad.isEmpty,
+        s"constraint '$name' ($e) violated by incoming row ${bad.headOption.getOrElse("")}")
+    }
 
   /** Highest stream epoch recorded at or before `v` (walks parents until
     * a stream commit; O(history) worst case, O(1) for a stream-only
@@ -1051,6 +1139,7 @@ object SnapshotLog {
       if (mode == "append" && v > 1)
         alignToSchema(df, manifest(spark, table, v - 1).schemaDdl)
       else df
+    checkConstraints(aligned, table)
     val newFiles = writeData(aligned, table, v, statsCols)
     var attempt = 1
     while (true) {

@@ -580,6 +580,51 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(kept4 == 1 && df4.collect().map(_.getLong(0)).toSeq == Seq(120L))
   }
 
+  test("CHECK constraints guard every row-adding path, Delta null semantics") {
+    val t = freshTable("constraints")
+    SnapshotLog.commit(df(0, 50), t, "append", Seq("id"))
+    // registering validates the EXISTING table first
+    intercept[IllegalArgumentException] {
+      SnapshotLog.addConstraint(s, t, "impossible", "id < 0")
+    }
+    SnapshotLog.addConstraint(s, t, "id_bound", "id < 1000")
+    SnapshotLog.addConstraint(s, t, "k_range", "k BETWEEN 0 AND 6")
+    assert(SnapshotLog.constraints(s, t).keySet == Set("id_bound", "k_range"))
+    // a valid append lands; a violating one refuses BEFORE publishing
+    SnapshotLog.commit(df(50, 60), t, "append", Seq("id"))
+    val vBefore = SnapshotLog.latestVersion(s, t).get
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(df(2000, 2010), t, "append", Seq("id"))
+    }
+    assert(SnapshotLog.latestVersion(s, t).get == vBefore)
+    // upsert, retry-append, and stream-append enforce too
+    intercept[IllegalArgumentException] {
+      SnapshotLog.upsert(df(0, 1).withColumn("k", lit(99L)), t, "id", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commitWithRetry(df(3000, 3001), t, "append", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendStreamBatch(df(5000, 5001), t, 99L, Seq("id"))
+    }
+    // CDC: a violating UPSERT refuses; a DELETE row is exempt (it
+    // removes, it cannot violate a CHECK)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.applyChanges(Seq((3000L, 1L, "x", "U"))
+        .toDF("id", "k", "payload", "op"), t, "id")
+    }
+    SnapshotLog.applyChanges(Seq((5L, 99L, "x", "D"))
+      .toDF("id", "k", "payload", "op"), t, "id")
+    // NULL passes (Delta semantics)
+    SnapshotLog.commit(s.range(100, 101).select($"id",
+      lit(null).cast("long").as("k"), lit("p").as("payload")), t,
+      "append", Seq("id"))
+    // drop releases the guard; the surviving constraint still binds
+    SnapshotLog.dropConstraint(s, t, "id_bound")
+    SnapshotLog.commit(df(2000, 2010), t, "append", Seq("id"))
+    assert(SnapshotLog.read(s, t).count() == 50 + 10 - 1 + 1 + 10)
+  }
+
   test("corrupt manifests fail loudly, never silently mis-answer") {
     val t = freshTable("corrupt")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
