@@ -127,17 +127,23 @@ object DedupFunctions {
     * state store, no watermark, no shuffle) and is the streaming twin's
     * whole implementation ([[graft.streaming.StreamOps]]).
     *
-    * The set travels as one array literal here (exact, oracle-
-    * replayable); at production scale it would be a broadcast Bloom
-    * over 128-bit block digests with identical plumbing.
+    * The set rides as ONE broadcast [[BlockDigestSet]] — a Bloom over
+    * 128-bit block digests with an exact sorted-digest verify tier — so
+    * the plan embeds no per-entry literals (a million-block banned list
+    * is a ~100 MB broadcast, not a plan payload), clean blocks cost k
+    * bit tests, and a Bloom false positive can never excise a clean
+    * block. The probe is a scalar closure over the broadcast (the same
+    * staged-set discipline as the q9k Bloom decontamination gate); the
+    * rest of the scrub stays codegen array arithmetic.
     */
   def exciseAgainstBlockSet(docs: DataFrame, idCol: String,
-      textCol: String, blockTokens: Int, banned: Seq[String]): DataFrame = {
-    val bannedLit = typedLit(banned)
+      textCol: String, blockTokens: Int, banned: BlockDigestSet): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(banned)
+    val keepUdf = udf((blocks: Seq[String]) =>
+      if (blocks == null) null else blocks.filterNot(bc.value.contains))
     docs
       .select(col(idCol), blockArray(col(textCol), blockTokens).as("__b"))
-      .withColumn("__kept",
-        filter(col("__b"), b => !array_contains(bannedLit, b)))
+      .withColumn("__kept", keepUdf(col("__b")))
       .select(col(idCol),
         size(col("__b")).cast("long").as("n_blocks"),
         size(col("__kept")).cast("long").as("n_kept"),
@@ -145,6 +151,15 @@ object DedupFunctions {
       .withColumn("n_tokens_clean",
         size(TextFunctions.tokens(col("text_clean"))).cast("long"))
   }
+
+  /** Convenience overload for in-memory banned lists (hand cases,
+    * tests): routes through the same digest-set plumbing — never a plan
+    * literal, whatever the size.
+    */
+  def exciseAgainstBlockSet(docs: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int, banned: Seq[String]): DataFrame =
+    exciseAgainstBlockSet(docs, idCol, textCol, blockTokens,
+      BlockDigestSet.fromStrings(banned))
 
   /** Connected components of an undirected pair graph, labeling every
     * node with the minimum id reachable from it (the canonical dedup

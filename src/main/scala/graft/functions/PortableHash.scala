@@ -55,6 +55,13 @@ object PortableHash {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Raw 16-byte md5 of a string's UTF-8 form (thread-local instance) —
+    * the digest [[graft.functions.BlockDigestSet]] packs into its
+    * 128-bit membership keys.
+    */
+  def md5BytesJvm(s: String): Array[Byte] =
+    md5Local.get().digest(s.getBytes("UTF-8"))
+
   /** Full lowercase-hex md5 (thread-local instance). */
   def md5HexJvm(s: String): String = {
     val sb = new java.lang.StringBuilder(32)

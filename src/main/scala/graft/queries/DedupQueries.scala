@@ -192,19 +192,23 @@ object DedupQueries extends QueryPack {
 
     // STREAMING twin of block excision, decontamination flavor: the
     // banned set (every 8-token block with corpus count >= 2) is
-    // elected in batch, then the corpus commits to a snapshot table
-    // and STREAMS through the stateless scrub — every occurrence of a
-    // banned block vanishes (no first-survivor: the static set knows
-    // no order). The oracle replays election + scrub relationally, so
-    // the hash pins the streamed text rebuild block-for-block. See
+    // elected in batch, compiled DISTRIBUTIVELY into one broadcast
+    // digest-set (Bloom + exact verify tier — only 16-byte digests ever
+    // reach the driver, never block text), then the corpus commits to a
+    // snapshot table and STREAMS through the stateless scrub — every
+    // occurrence of a banned block vanishes (no first-survivor: the
+    // static set knows no order). The oracle replays election + scrub
+    // relationally, so the hash pins the streamed text rebuild
+    // block-for-block AND that the Bloom's false positives are always
+    // caught by the exact tier. See
     // [[DedupFunctions.exciseAgainstBlockSet]]: pure projection, no
     // state store — the plan a continuous ingest scrubber runs.
     "qbw_stream_block_excise" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
-      val banned = graft.functions.DedupFunctions
-        .electDuplicateBlocks(d, "text", 8)
-        .orderBy($"block").collect().map(_.getString(0)).toIndexedSeq
+      val banned = graft.functions.BlockDigestSet.fromFrame(
+        graft.functions.DedupFunctions.electDuplicateBlocks(d, "text", 8),
+        "block")
       val tag = java.lang.Long.toHexString(System.nanoTime())
       val t = s"target/snapstream-excise-$tag"
       graft.sources.snapshot.SnapshotLog.commit(

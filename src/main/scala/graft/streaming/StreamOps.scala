@@ -228,15 +228,26 @@ object StreamOps {
   /** Streaming duplicate-block excision against a STATIC banned set:
     * the set is elected in batch
     * ([[graft.functions.DedupFunctions.electDuplicateBlocks]]) and
-    * shipped as a driver constant, so the scrub is a stateless per-row
+    * shipped as ONE broadcast digest-set
+    * ([[graft.functions.BlockDigestSet]] — Bloom fast-reject + exact
+    * sorted-digest verify), so the scrub is a stateless per-row
     * projection — identical plan batch or stream, no state store, no
-    * watermark. The continuous-decontamination shape for an ingest
-    * pipeline scrubbing known boilerplate / leaked eval blocks.
+    * watermark, no per-entry plan literals. The continuous-
+    * decontamination shape for an ingest pipeline scrubbing known
+    * boilerplate / leaked eval blocks.
+    */
+  def streamingBlockExcise(docsStream: DataFrame, blockTokens: Int,
+      banned: graft.functions.BlockDigestSet): DataFrame =
+    graft.functions.DedupFunctions.exciseAgainstBlockSet(
+      docsStream, "doc_id", "text", blockTokens, banned)
+
+  /** In-memory banned-list convenience (tests / hand sets) — same
+    * broadcast digest-set path.
     */
   def streamingBlockExcise(docsStream: DataFrame, blockTokens: Int,
       banned: Seq[String]): DataFrame =
-    graft.functions.DedupFunctions.exciseAgainstBlockSet(
-      docsStream, "doc_id", "text", blockTokens, banned)
+    streamingBlockExcise(docsStream, blockTokens,
+      graft.functions.BlockDigestSet.fromStrings(banned))
 
   case class CdcRecord(doc_id: Long, text: String, version: Long, op: String)
 

@@ -322,9 +322,9 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("qbw: static-set excision is a stateless projection — the property that lets it stream") {
-    // the scrub is segment→filter→rebuild per row against a literal
-    // set: no aggregate, no join, no window, no exchange — which is
-    // exactly why the SAME plan runs on a continuous stream with no
+    // the scrub is segment→probe→rebuild per row against a BROADCAST
+    // digest-set: no aggregate, no join, no window, no exchange — which
+    // is exactly why the SAME plan runs on a continuous stream with no
     // state store (inspected on the batch twin; the plans are one)
     val d = graft.core.Tables.load(spark, sf, "documents")
     val df = graft.streaming.StreamOps.streamingBlockExcise(
@@ -334,8 +334,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join") &&
       !p.contains("Aggregate") && !p.contains("Exchange"),
       s"stateless scrub grew state:\n${p.take(1500)}")
-    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
-      s"scrub left codegen:\n${p.take(1200)}")
+    assert(!p.contains("BatchEvalPython"), s"python in plan:\n${p.take(1200)}")
+    // the banned set must ride the broadcast, NEVER the plan: no block
+    // text embedded anywhere in the physical plan string
+    assert(!p.contains("a b c d e f g h"),
+      s"banned set leaked into the plan as a literal:\n${p.take(1500)}")
+  }
+
+  test("qbw: a 100k-block banned set leaves the plan size unchanged (broadcast, not literal)") {
+    // the literal-array form this replaced serialized every banned
+    // block into the plan — at 1e5 blocks that plan is megabytes and
+    // every task re-deserializes it; the broadcast digest-set plan must
+    // not grow with the set at all
+    val d = graft.core.Tables.load(spark, sf, "documents").limit(50)
+    val small = graft.streaming.StreamOps.streamingBlockExcise(d, 8, Seq("zz yy"))
+    val big = graft.streaming.StreamOps.streamingBlockExcise(d, 8,
+      (0 until 100000).map(i => s"banned block number $i of the large set"))
+    val ps = small.queryExecution.executedPlan.toString
+    val pb = big.queryExecution.executedPlan.toString
+    assert(math.abs(ps.length - pb.length) < 200,
+      s"plan grew with the banned set: ${ps.length} -> ${pb.length}")
+    assert(!pb.contains("banned block number"),
+      "banned entries embedded in the plan")
+    big.collect() // and it executes
   }
 
   test("qbc: BPE apply is a pure codegen projection — no join, no UDF in the plan") {
