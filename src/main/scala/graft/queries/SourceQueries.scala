@@ -2036,10 +2036,16 @@ object SourceQueries extends QueryPack {
     // Bloom-assisted point lookups: 15 data-derived probes (5 bucket
     // minimums = guaranteed hits, their 5 successors = maybe-hits, 5
     // beyond-max keys = guaranteed misses) against the bloomed 8-file
-    // table. The hash pins the hit rows AND the range-candidate count;
-    // bloom skipping is pinned separately (spec + opened ⊆ candidates
-    // required here) because FP counts are geometry-dependent.
+    // table. The BATCH rides ONE readSemiJoin job — the "fetch these
+    // ids from 100 TB" shape: per-probe driver loops pay job overhead
+    // × probes, the batched form pays it once with the same two-tier
+    // range+Bloom skipping. One single-key readPoint stays as the
+    // point-lookup demonstration (its row count is hashed too). The
+    // hash pins the fetched rows AND the distinct range-candidate file
+    // count; bloom skipping is pinned via opened ⊆ candidates (FP
+    // counts are geometry-dependent, so the exact opened count isn't).
     "qb4_snapshot_pointlookup" -> ((s, dir) => {
+      import s.implicits._
       val t = snapBloomPath(s, dir)
       val width = snapWidth(s, dir)
       val li = graft.core.Tables.load(s, dir, "lineitem")
@@ -2048,18 +2054,22 @@ object SourceQueries extends QueryPack {
         .orderBy(col("b")).collect().map(_.getLong(1)).toSeq
       val mxk = li.agg(max(col("l_orderkey"))).head.getLong(0)
       val probes = mins ++ mins.map(_ + 1) ++ (1 to 5).map(i => mxk + 1000L + i)
-      var nRange = 0
-      val hits = probes.map { k =>
-        val (df, opened, range, _) = SnapshotLog.readPoint(s, t, "l_orderkey", k)
-        require(opened <= range, s"bloom opened $opened of $range candidates")
-        nRange += range
-        df.select(col("l_quantity"))
-      }.reduce(_ unionByName _)
+      // single-probe path: one guaranteed-hit key, bloom still binding
+      val (pdf, opened1, range1, _) =
+        SnapshotLog.readPoint(s, t, "l_orderkey", probes.head)
+      require(opened1 <= range1, s"bloom opened $opened1 of $range1 candidates")
+      val nPointRows = pdf.count()
+      // batched path: all 15 probes in ONE job
+      val (hits, opened, rangeCand, _) = SnapshotLog.readSemiJoin(
+        s, t, "l_orderkey", probes.toDF("k"), "k")
+      require(opened <= rangeCand,
+        s"bloom opened $opened of $rangeCand candidates")
       hits.agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
         .withColumn("n_probes", lit(probes.length.toLong))
-        .withColumn("n_range_files", lit(nRange.toLong))
+        .withColumn("n_range_files", lit(rangeCand.toLong))
+        .withColumn("n_point_rows", lit(nPointRows))
         .select(col("n_probes"), col("n_range_files"),
-          col("n_rows"), col("sum_qty"))
+          col("n_rows"), col("sum_qty"), col("n_point_rows"))
     }),
 
     // Incremental (delta) manifests: 13 versions where only v1 and the
@@ -2324,6 +2334,60 @@ object SourceQueries extends QueryPack {
           lit(SnapshotLog.constraints(s, t).size.toLong))
         .select($"n_refused", $"n_constraints", $"n_rows", $"sum_key",
           $"sum_cust")
+    }),
+
+    // SQL DML over a registered snapshot view — the write half of the
+    // SQL surface: DELETE (CoW range delete), INSERT INTO..SELECT (an
+    // append commit), MERGE upsert (exact-interval file
+    // classification), and MERGE with a delete clause (CDC
+    // applyChanges) all dispatch through [[graft.sql.GraftSql.dml]]
+    // and repoint the view at each new version. The hash pins the
+    // final table content AND the version count (every statement =
+    // exactly one commit); the oracle replays the four statements
+    // relationally from the max-key arithmetic.
+    "qc4_sql_dml" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapdml-$tag"
+      val v = s"dmlv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o, t, "append", Seq("o_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      graft.sql.GraftSql.dml(s,
+        s"DELETE FROM $v WHERE o_orderkey BETWEEN 0 AND ${mx / 2}")
+      graft.sql.GraftSql.dml(s,
+        s"INSERT INTO $v SELECT ${mx + 1001} + id AS o_orderkey, " +
+          "id AS o_custkey FROM range(0, 100)")
+      val src = s"dmlsrc_$tag"
+      s.range(0, 100).where($"id" % 2 === 0)
+        .select(($"id" + (mx + 1001)).as("o_orderkey"),
+          ($"id" + 7000).as("o_custkey"))
+        .unionByName(s.range(0, 10).select(
+          ($"id" + (mx + 5000)).as("o_orderkey"), $"id".as("o_custkey")))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src ON $v.o_orderkey = $src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val cdc = s"dmlcdc_$tag"
+      (0 until 5).map(i => (mx + 5000 + i, 0L, "D"))
+        .toDF("o_orderkey", "o_custkey", "op")
+        .unionByName(Seq((mx + 1001, 12345L, "U"))
+          .toDF("o_orderkey", "o_custkey", "op"))
+        .createOrReplaceTempView(cdc)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $cdc ON $v.o_orderkey = $cdc.o_orderkey
+           |WHEN MATCHED AND $cdc.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table(v).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_cust"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_key", $"sum_cust", $"n_versions")
     }),
 
     // The manifest AS a table (Iceberg's `table.files`): per-file rows,
@@ -2619,8 +2683,9 @@ object SourceQueries extends QueryPack {
            | CAST(max(l_orderkey) AS BIGINT) AS max_key
            |FROM lineitem, w""".stripMargin,
       // probes and range-candidacy mirrored from the bucket layout;
-      // the duplicate-probe convention (a probe hitting twice counts
-      // twice) is identical on both sides via the join
+      // the batched semi-join opens each candidate FILE once, so
+      // range-candidacy is DISTINCT files with any probe in range; the
+      // single-probe row count replays as bucket 0's minimum key
       "qb4_snapshot_pointlookup" ->
         s"""WITH w AS (SELECT max(l_orderkey) // $SnapBuckets + 1 AS width,
            |  max(l_orderkey) AS mxk FROM lineitem),
@@ -2631,12 +2696,15 @@ object SourceQueries extends QueryPack {
            |p AS (SELECT mn AS k FROM f WHERE bucket < 5
            |      UNION ALL SELECT mn + 1 FROM f WHERE bucket < 5
            |      UNION ALL SELECT mxk + 1000 + i FROM range(1, 6) t(i), w),
-           |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_range_files
+           |rc AS (SELECT CAST(count(DISTINCT f.bucket) AS BIGINT) AS n_range_files
            |       FROM p JOIN f ON p.k BETWEEN f.mn AND f.mx),
            |hit AS (SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty
-           |        FROM b JOIN p ON b.l_orderkey = p.k)
-           |SELECT CAST(15 AS BIGINT) AS n_probes, n_range_files, n_rows, sum_qty
-           |FROM rc, hit""".stripMargin,
+           |        FROM b JOIN p ON b.l_orderkey = p.k),
+           |pt AS (SELECT count(*) AS n_point_rows FROM b
+           |       WHERE l_orderkey = (SELECT mn FROM f WHERE bucket = 0))
+           |SELECT CAST(15 AS BIGINT) AS n_probes, n_range_files, n_rows,
+           |  sum_qty, n_point_rows
+           |FROM rc, hit, pt""".stripMargin,
       // the five-commit history from the epoch-slice arithmetic, plus
       // the post-restore state as version 99
       // retention arithmetic mirrored: 11 versions, checkpoint at 10,
@@ -2706,6 +2774,25 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           |FROM orders""".stripMargin,
+
+      // the four DML statements replayed relationally: survivors of the
+      // range delete, the formulaic insert with even keys upserted (key
+      // base+0 further CDC-updated to 12345), and the 5 surviving CDC
+      // inserts; version count structural (4 statements + base commit)
+      "qc4_sql_dml" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+          |surv AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders, mx
+          |         WHERE o_orderkey > m // 2),
+          |ins AS (SELECT m + 1001 + i AS k,
+          |         CASE WHEN i = 0 THEN 12345
+          |              WHEN i % 2 = 0 THEN i + 7000 ELSE i END AS c
+          |        FROM range(0, 100) t(i), mx),
+          |new5 AS (SELECT m + 5000 + i AS k, i AS c FROM range(5, 10) t(i), mx),
+          |allr AS (SELECT k, c FROM surv UNION ALL SELECT k, c FROM ins
+          |         UNION ALL SELECT k, c FROM new5)
+          |SELECT count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
+          |  CAST(sum(c) AS BIGINT) AS sum_cust, CAST(5 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
 
       // per-bucket min/max/count from the same width arithmetic the
       // fixture partitioned by; nulls are structurally zero

@@ -146,7 +146,6 @@ object SnapshotLog {
       case Some(p) if mode == "append" => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
       case _ => (df, df.schema.toDDL)
     }
-    checkConstraints(aligned, table)
     val newFiles = writeData(aligned, table, v, statsCols, bloomCols,
       bloomBits, ndvCols)
     val prior =
@@ -264,7 +263,16 @@ object SnapshotLog {
     val dataRel = f"data/v$v%05d-" +
       java.util.UUID.randomUUID().toString.substring(0, 8)
     val dataDir = new Path(tbl, dataRel)
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    // CHECK constraints enforce HERE, on the rows actually written —
+    // every row-adding path funnels through this write, and a violation
+    // aborts before any manifest publishes (the partial attempt dir is
+    // vacuumable garbage, same as a lost commit race)
+    try constraintGuard(df, table).write.mode("overwrite").parquet(dataDir.toString)
+    catch {
+      case ex: Throwable =>
+        try fs.delete(dataDir, true) catch { case _: Exception => () }
+        rethrowConstraint(ex)
+    }
 
     // (file, column) -> bloom bitmap: k positions exploded per row,
     // folded with bit_or into 64-bit words — all codegen'd builtins,
@@ -782,7 +790,6 @@ object SnapshotLog {
     require(updates.columns.toSet == schema.fieldNames.toSet,
       s"update columns ${updates.columns.toSeq} != table ${schema.fieldNames.toSeq}")
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    checkConstraints(aligned, table)
 
     // one pass over updates: per-file key-containment flags + row count
     val checks = m.files.zipWithIndex.map { case (f, i) =>
@@ -836,9 +843,9 @@ object SnapshotLog {
       s"change columns ${changes.columns.toSeq} != table ${schema.fieldNames.toSeq} + $opCol")
     val aligned = changes.select(
       (schema.fieldNames.toIndexedSeq :+ opCol).map(col): _*)
-    // constraints bind the rows that will LAND (upserts); deletes
-    // remove rows and cannot violate a CHECK
-    checkConstraints(aligned.where(col(opCol) === "U").drop(opCol), table)
+    // constraints bind at write time ([[constraintGuard]]): the rows
+    // that LAND (merged survivors + upserts) are guarded as written;
+    // deletes remove rows and cannot violate a CHECK
 
     // one pass over the changelog: per-file key-containment flags plus
     // batch validity (op vocabulary, key uniqueness)
@@ -905,7 +912,6 @@ object SnapshotLog {
         case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
         case None => (df, df.schema.toDDL)
       }
-      checkConstraints(aligned, table)
       val newFiles = writeData(aligned, table, v, statsCols)
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "stream-append", ddl,
@@ -928,21 +934,46 @@ object SnapshotLog {
   // invariant must span history. Enforcement costs one short-circuit
   // `isEmpty` probe per constraint over the NEW rows only.
 
-  private def constraintsPath(tbl: Path) = new Path(logDir(tbl), "_constraints.json")
+  private def legacyConstraintsPath(tbl: Path) =
+    new Path(logDir(tbl), "_constraints.json")
+
+  private val ConstraintsVerRe = """_constraints\.v(\d+)\.json""".r
+
+  /** Newest published constraints file, versioned-newest-wins: each
+    * publish lands a FRESH `_constraints.vNNNNN.json` by atomic rename
+    * (the destination never pre-exists), so — unlike a delete-then-
+    * rename over one fixed name — there is no window where the sidecar
+    * is absent and a concurrent commit enforces nothing. Legacy
+    * un-versioned `_constraints.json` reads as version 0.
+    */
+  private def latestConstraintsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] = {
+    val versioned = fs.globStatus(new Path(logDir(tbl), "_constraints.v*.json"))
+    val cands = (if (versioned == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+                 else versioned).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ConstraintsVerRe(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    if (cands.nonEmpty) Some(cands.maxBy(_._1))
+    else if (fs.exists(legacyConstraintsPath(tbl)))
+      Some((0L, legacyConstraintsPath(tbl)))
+    else None
+  }
 
   /** Current constraint map (name → boolean SQL expression). */
   def constraints(spark: SparkSession, table: String): Map[String, String] = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    val p = constraintsPath(tbl)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val bytes =
-        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-      mapper.readValue(new String(bytes, "UTF-8"),
-          classOf[java.util.Map[String, Object]])
-        .asScala.map { case (k, v) => k -> v.toString }.toMap
+    latestConstraintsFile(fs, tbl) match {
+      case None => Map.empty
+      case Some((_, p)) =>
+        val in = fs.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        mapper.readValue(new String(bytes, "UTF-8"),
+            classOf[java.util.Map[String, Object]])
+          .asScala.map { case (k, v) => k -> v.toString }.toMap
     }
   }
 
@@ -953,15 +984,39 @@ object SnapshotLog {
     fs.mkdirs(logDir(tbl))
     val root = new JLinkedHashMap[String, Object]()
     cons.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
-    val tmp = new Path(logDir(tbl),
-      "_constraints.json.tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    val dest = constraintsPath(tbl)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(s"could not publish constraints at $dest")
+    val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+    // CAS-style publish: rename to the next fresh version; a racing
+    // constraint writer taking the same number makes our rename fail
+    // (dest exists) and we retry one higher — readers always see a
+    // complete file, and the previous version stays visible until the
+    // new one lands
+    var attempts = 0
+    while (attempts < 16) {
+      val next = latestConstraintsFile(fs, tbl).map(_._1 + 1).getOrElse(1L)
+      val dest = new Path(logDir(tbl), f"_constraints.v$next%05d.json")
+      val tmp = new Path(logDir(tbl),
+        dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      if (!fs.exists(dest) && fs.rename(tmp, dest)) {
+        // superseded versions sweep best-effort, keeping ONE generation
+        // back so a reader that globbed just before this publish can
+        // still open the file it resolved
+        val prev = f"_constraints.v${next - 1}%05d.json"
+        val stale = fs.globStatus(new Path(logDir(tbl), "_constraints.v*.json"))
+        if (stale != null) stale.foreach { st =>
+          if (st.getPath.getName < prev)
+            try fs.delete(st.getPath, false) catch { case _: Exception => () }
+        }
+        try fs.delete(legacyConstraintsPath(tbl), false)
+        catch { case _: Exception => () }
+        return
+      }
+      fs.delete(tmp, false)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not publish constraints under ${logDir(tbl)} after 16 attempts")
   }
 
   /** Rows of `df` that VIOLATE `e` under Delta null semantics. */
@@ -969,7 +1024,12 @@ object SnapshotLog {
     df.where(!coalesce(expr(e).cast("boolean"), lit(true)))
 
   /** Register a CHECK constraint; the existing table must already
-    * satisfy it (validated with one scan before the sidecar publishes).
+    * satisfy it (validated with one scan before the sidecar publishes,
+    * and re-validated against the then-current version after — so an
+    * append racing the registration window cannot leave the constraint
+    * standing over rows that violate it; the re-check fails loudly and
+    * withdraws the constraint. Registration is still best done by a
+    * single coordinator, like Delta's ALTER TABLE).
     */
   def addConstraint(spark: SparkSession, table: String, name: String,
       e: String): Unit = {
@@ -980,21 +1040,70 @@ object SnapshotLog {
         s"existing rows violate constraint '$name' ($e): e.g. ${bad.head}")
     }
     writeConstraints(spark, table, constraints(spark, table) + (name -> e))
+    // close the validate→publish window: a commit that landed between
+    // the scan above and the publish never saw the constraint — if it
+    // brought violating rows, withdraw and refuse rather than leave a
+    // standing constraint the table does not satisfy
+    if (latestVersion(spark, table).isDefined) {
+      val bad = violations(read(spark, table), e).limit(1).collect()
+      if (bad.nonEmpty) {
+        writeConstraints(spark, table, constraints(spark, table) - name)
+        throw new IllegalArgumentException(
+          s"constraint '$name' ($e) violated by rows committed during " +
+            s"registration: e.g. ${bad.head} — constraint withdrawn")
+      }
+    }
   }
 
   def dropConstraint(spark: SparkSession, table: String, name: String): Unit =
     writeConstraints(spark, table, constraints(spark, table) - name)
 
-  /** Enforce every registered constraint against a batch of incoming
-    * rows — called by the row-adding commit paths; throws on the first
-    * violating constraint.
+  private val ConstraintErrMarker = "GRAFT_CONSTRAINT_VIOLATION: "
+
+  /** Attach every registered constraint to a to-be-written plan as a
+    * fail-on-violation guard evaluated on the rows ACTUALLY WRITTEN —
+    * Delta's invariant-enforcement shape (`CheckDeltaInvariant`). A
+    * pre-write probe pass can be fooled by a non-deterministic input
+    * (rand()-derived columns, source files changing between probe and
+    * write); this cannot: `assert_true` rides the written projection
+    * itself, so a violating row aborts the write job before any
+    * manifest publishes. The guard filter keeps every row (assert_true
+    * is NULL when the check passes) and costs one codegen'd predicate
+    * per constraint per row.
     */
-  private def checkConstraints(df: DataFrame, table: String): Unit =
-    constraints(df.sparkSession, table).foreach { case (name, e) =>
-      val bad = violations(df, e).limit(1).collect()
-      require(bad.isEmpty,
-        s"constraint '$name' ($e) violated by incoming row ${bad.headOption.getOrElse("")}")
+  private def constraintGuard(df: DataFrame, table: String): DataFrame = {
+    val cons = constraints(df.sparkSession, table)
+    if (cons.isEmpty) df
+    else {
+      val rowJson = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+      val checks = cons.toSeq.sortBy(_._1).map { case (name, e) =>
+        assert_true(coalesce(expr(e).cast("boolean"), lit(true)),
+          concat(lit(s"${ConstraintErrMarker}constraint '$name' ($e) " +
+            "violated by incoming row "), rowJson)).isNull
+      }
+      df.where(checks.reduce(_ && _))
     }
+  }
+
+  /** Surface a write-side constraint failure as the registration-time
+    * exception type, with the guard's message (constraint name + the
+    * violating row) extracted from the task-failure cause chain.
+    */
+  private def rethrowConstraint(ex: Throwable): Nothing = {
+    var cur: Throwable = ex
+    var seen = 0
+    while (cur != null && seen < 20) {
+      val msg = cur.getMessage
+      if (msg != null && msg.contains(ConstraintErrMarker)) {
+        val at = msg.indexOf(ConstraintErrMarker)
+        throw new IllegalArgumentException(
+          msg.substring(at + ConstraintErrMarker.length), ex)
+      }
+      cur = cur.getCause
+      seen += 1
+    }
+    throw ex
+  }
 
   /** Highest stream epoch recorded at or before `v` (walks parents until
     * a stream commit; O(history) worst case, O(1) for a stream-only
@@ -1139,7 +1248,6 @@ object SnapshotLog {
       if (mode == "append" && v > 1)
         alignToSchema(df, manifest(spark, table, v - 1).schemaDdl)
       else df
-    checkConstraints(aligned, table)
     val newFiles = writeData(aligned, table, v, statsCols)
     var attempt = 1
     while (true) {
@@ -1359,9 +1467,36 @@ object SnapshotLog {
     */
   val MaxDeltaChain = 32
 
+  /** `kind`/`parent` extracted from a manifest's fixed-position header
+    * (see [[renderJson]]) with ONE bounded head read — no JSON parse of
+    * the file list. None for legacy manifests predating the header
+    * (caller falls back to a full parse).
+    */
+  private def peekHeader(fs: FileSystem, p: Path): Option[(String, Long)] = {
+    val buf = new Array[Byte](256)
+    val in = fs.open(p)
+    val got =
+      try {
+        var off = 0
+        var n = in.read(buf, 0, buf.length)
+        while (n > 0 && off < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        off
+      } finally in.close()
+    val head = new String(buf, 0, got, "UTF-8")
+    for {
+      k <- "\"kind\":\"(full|delta)\"".r.findFirstMatchIn(head)
+      par <- "\"parent\":(-?\\d+)".r.findFirstMatchIn(head)
+    } yield (k.group(1), par.group(1).toLong)
+  }
+
   /** Should `m` publish as a full manifest? Policy-dependent; the
-    * adaptive walk reads only the (small) delta manifests back to the
-    * last checkpoint — the same files resolution replays anyway.
+    * adaptive walk classifies each ancestor from a 256-byte header
+    * peek + its file LENGTH — it never parses a manifest's file list,
+    * so a commit against a million-file table costs O(chain) small
+    * head reads, not a checkpoint-sized JSON parse.
     */
   private def wantCheckpoint(fs: FileSystem, tbl: Path, m: Manifest): Boolean = {
     val policy = SparkSession.getActiveSession
@@ -1375,10 +1510,16 @@ object SnapshotLog {
         var deltaSum = 0L
         var fullLen = -1L
         while (v >= 1 && fullLen < 0 && hops < MaxDeltaChain) {
-          val len = fs.getFileStatus(manifestPath(tbl, v)).getLen
-          val raw = readRaw(fs, tbl, v)
-          if (raw.full.isDefined) fullLen = len
-          else { deltaSum += len; hops += 1; v = raw.parent }
+          val mp = manifestPath(tbl, v)
+          val len = fs.getFileStatus(mp).getLen
+          peekHeader(fs, mp) match {
+            case Some(("full", _)) => fullLen = len
+            case Some(("delta", par)) => deltaSum += len; hops += 1; v = par
+            case _ => // legacy manifest without the header: full parse
+              val raw = readRaw(fs, tbl, v)
+              if (raw.full.isDefined) fullLen = len
+              else { deltaSum += len; hops += 1; v = raw.parent }
+          }
         }
         // no checkpoint found within the cap → checkpoint now
         fullLen < 0 || deltaSum >= fullLen
@@ -1753,13 +1894,6 @@ object SnapshotLog {
 
   private def renderJson(m: Manifest,
       parentFiles: Option[Seq[FileEntry]]): String = {
-    val root = new JLinkedHashMap[String, Object]()
-    root.put("version", java.lang.Long.valueOf(m.version))
-    root.put("parent", java.lang.Long.valueOf(m.parent))
-    root.put("op", m.op)
-    root.put("schema", m.schemaDdl)
-    root.put("epoch", java.lang.Long.valueOf(m.epoch))
-    root.put("ts", java.lang.Long.valueOf(m.ts))
     val delta = parentFiles.flatMap { pf =>
       val pByPath = pf.map(f => f.path -> f).toMap
       val newPaths = m.files.map(_.path).toSet
@@ -1770,6 +1904,19 @@ object SnapshotLog {
       // delta only when strictly smaller than re-serializing everything
       if (add.size + remove.size < m.files.size) Some((add, remove)) else None
     }
+    val root = new JLinkedHashMap[String, Object]()
+    // fixed-position header: kind + parent land in the first bytes so
+    // the adaptive-cadence walk ([[wantCheckpoint]]) classifies a
+    // manifest from a bounded head read — it must never JSON-parse a
+    // checkpoint's O(table-files) list per commit. schema (unbounded
+    // DDL) therefore serializes AFTER the header scalars.
+    root.put("kind", if (delta.isDefined) "delta" else "full")
+    root.put("version", java.lang.Long.valueOf(m.version))
+    root.put("parent", java.lang.Long.valueOf(m.parent))
+    root.put("op", m.op)
+    root.put("epoch", java.lang.Long.valueOf(m.epoch))
+    root.put("ts", java.lang.Long.valueOf(m.ts))
+    root.put("schema", m.schemaDdl)
     delta match {
       case Some((add, remove)) =>
         root.put("add", filesJson(add))

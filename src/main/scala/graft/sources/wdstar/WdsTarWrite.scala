@@ -296,14 +296,18 @@ class WdsTarDataWriter(dir: String, schema: StructType,
     // MORE chunks than this one (partition row order is not guaranteed
     // across re-execution, and byte-based boundaries follow it), its
     // stale higher-numbered chunks would duplicate samples — delete
-    // every chunk of this shard's family beyond what we just wrote
+    // every chunk of this shard's family beyond what we just wrote.
+    // The sweep globs ONLY this partition's shard stem (`<stem>*`), so
+    // a long-running stream with thousands of partitions lists O(own
+    // chunks) per task commit, never the whole output directory.
     if (overwriteFinal) {
       val stem = shardName.stripSuffix(".tar") + "-c"
       (dir +: metaSuffixes.map(graft.sources.ShardListing.metaDir(dir, _)))
         .foreach { d =>
           val p = new Path(d)
           val fs = p.getFileSystem(conf.value)
-          if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          val matches = fs.globStatus(new Path(p, stem + "*"))
+          if (matches != null) matches.foreach { st =>
             val n = st.getPath.getName
             val isChunk = n.startsWith(stem) &&
               (n.endsWith(".tar") || n.endsWith(".tar.idx"))

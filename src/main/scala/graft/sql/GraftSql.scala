@@ -82,12 +82,128 @@ object GraftSql {
   /** Register a snapshot-table version as a temp view — the manifest-
     * planned read (file list from ONE small JSON, DV masks applied)
     * reachable from `spark.sql`. Re-register to repoint at a different
-    * version (time travel for SQL users).
+    * version (time travel for SQL users). `statsCols` is remembered so
+    * [[dml]] mutations commit new files with the same manifest stats
+    * the table was built with.
     */
   def registerSnapshot(spark: SparkSession, name: String, table: String,
-      version: Option[Long] = None): Unit =
+      version: Option[Long] = None, statsCols: Seq[String] = Nil): Unit = {
     graft.sources.snapshot.SnapshotLog.read(spark, table, version)
       .createOrReplaceTempView(name)
+    snapshotReg.put((spark, name.toLowerCase), (table, statsCols))
+  }
+
+  /** view name → (snapshot table path, statsCols) per session, the
+    * catalog [[dml]] resolves targets against.
+    */
+  private val snapshotReg =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Seq[String])]()
+
+  private def snapshotOf(spark: SparkSession, name: String): (String, Seq[String]) = {
+    val e = snapshotReg.get((spark, name.toLowerCase))
+    require(e != null,
+      s"'$name' is not a registered snapshot view — registerSnapshot first")
+    e
+  }
+
+  // ---- DML over snapshot views ------------------------------------------
+
+  private val DeleteRangeRe =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)\s*$""".r
+  private val DeleteEqRe =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s*=\s*(\S+)\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
+  private val MergeRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+""" +
+      """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(.+)$""").r
+  private val MergeDeleteClauseRe =
+    """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
+
+  private def sqlLiteral(s: String): Any = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    else if (t.contains('.')) t.toDouble
+    else t.toLong
+  }
+
+  /** Thin DML dispatch over registered snapshot views — the write half
+    * of the SQL surface. Supported statements (ANSI shapes, resolved
+    * against [[registerSnapshot]]'s catalog):
+    *
+    *  - `DELETE FROM v WHERE col BETWEEN lo AND hi` (or `col = x`)
+    *    → [[graft.sources.snapshot.SnapshotLog.deleteWhere]] — CoW
+    *    classification: untouched files kept, covered files dropped
+    *    metadata-only, partial files rewritten.
+    *  - `INSERT INTO v SELECT ...` → an append commit of the query
+    *    result (conforms to the table schema; CHECK constraints bind).
+    *  - `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN
+    *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    *    → [[graft.sources.snapshot.SnapshotLog.upsert]] (exact-interval
+    *    file classification, CoW merge).
+    *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
+    *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
+    *    (CDC upsert+delete in one commit).
+    *
+    * After a mutation the view re-registers at the NEW latest version,
+    * so subsequent SELECTs observe the change — Delta's SQL DML
+    * semantics on the manifest-log table format. Anything else throws
+    * (loudly — this is a dispatch, not a SQL engine; Spark's parser
+    * still owns every SELECT).
+    *
+    * Returns the newly committed version.
+    */
+  def dml(spark: SparkSession, statement: String): Long = {
+    val v = statement match {
+      case DeleteRangeRe(name, colName, lo, hi) =>
+        val (t, stats) = snapshotOf(spark, name)
+        graft.sources.snapshot.SnapshotLog
+          .deleteWhere(spark, t, colName, sqlLiteral(lo), sqlLiteral(hi), stats)
+          .map(_.version)
+          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get)
+      case DeleteEqRe(name, colName, x) =>
+        val (t, stats) = snapshotOf(spark, name)
+        graft.sources.snapshot.SnapshotLog
+          .deleteWhere(spark, t, colName, sqlLiteral(x), sqlLiteral(x), stats)
+          .map(_.version)
+          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get)
+      case InsertRe(name, select) =>
+        val (t, stats) = snapshotOf(spark, name)
+        graft.sources.snapshot.SnapshotLog
+          .commit(spark.sql(select), t, "append", stats)
+      case MergeRe(name, src, a1, k1, a2, k2, clauses) =>
+        val (t, stats) = snapshotOf(spark, name)
+        val (tAlias, tKey, sAlias, sKey) =
+          if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2) else (a2, k2, a1, k1)
+        require(tAlias.equalsIgnoreCase(name) && sAlias.equalsIgnoreCase(src),
+          s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
+        require(tKey.equalsIgnoreCase(sKey),
+          s"MERGE key must match on both sides, got $tKey vs $sKey")
+        val up = "(?is)WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*".r
+        val ins = "(?is)WHEN\\s+NOT\\s+MATCHED(\\s+AND\\s+[^T]+)?\\s+THEN\\s+INSERT\\s+\\*".r
+        require(up.findFirstIn(clauses).isDefined && ins.findFirstIn(clauses).isDefined,
+          s"MERGE supports UPDATE SET * / INSERT * clauses, got: $clauses")
+        val srcDf = spark.table(src)
+        MergeDeleteClauseRe.findFirstMatchIn(clauses) match {
+          case Some(mm) =>
+            require(mm.group(1).equalsIgnoreCase(src),
+              s"DELETE clause must test the source op column, got ${mm.group(1)}")
+            graft.sources.snapshot.SnapshotLog
+              .applyChanges(srcDf, t, tKey, mm.group(2), stats).version
+          case None =>
+            graft.sources.snapshot.SnapshotLog
+              .upsert(srcDf, t, tKey, stats).version
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported DML statement (DELETE FROM/INSERT INTO/MERGE INTO): $other")
+    }
+    // repoint the view at the new version so SQL readers see the change
+    val name = statement.trim.split("\\s+")(2)
+    val (t, stats) = snapshotOf(spark, name)
+    registerSnapshot(spark, name, t, None, stats)
+    v
+  }
 
   /** The snapshot table's file manifest as `<name>` — the Iceberg
     * `table.files` metadata view for SQL users (per-file rows, bytes,

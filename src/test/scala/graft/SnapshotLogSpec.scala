@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 import graft.sources.snapshot.SnapshotLog
 
@@ -623,6 +624,71 @@ class SnapshotLogSpec extends AnyFunSuite {
     SnapshotLog.dropConstraint(s, t, "id_bound")
     SnapshotLog.commit(df(2000, 2010), t, "append", Seq("id"))
     assert(SnapshotLog.read(s, t).count() == 50 + 10 - 1 + 1 + 10)
+  }
+
+  test("constraints enforce on the rows ACTUALLY written — a non-deterministic input cannot land violating rows") {
+    val t = freshTable("ndet-constraints")
+    SnapshotLog.commit(df(0, 5), t, "append", Seq("id"))
+    SnapshotLog.addConstraint(s, t, "k_small", "k <= 5")
+    // a stateful non-deterministic column: each EVALUATION of the frame
+    // yields fresh, larger values. A probe-then-write scheme evaluates
+    // twice — the probe sees passing values, the write lands different
+    // (violating) ones. Write-time enforcement evaluates exactly once,
+    // on the written rows, so whatever lands must satisfy the CHECK.
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    val nd = udf(() => counter.incrementAndGet()).asNondeterministic()
+    val in = s.range(100, 105).repartition(1)
+      .select($"id", nd().as("k"), lit("p").as("payload"))
+    try SnapshotLog.commit(in, t, "append", Seq("id"))
+    catch { case _: IllegalArgumentException => () } // refusing is also sound
+    val landed = SnapshotLog.read(s, t).where($"id" >= 100)
+    assert(landed.where($"k" > 5).count() == 0,
+      "violating rows landed past the constraint")
+  }
+
+  test("constraint sidecar publishes versioned-newest-wins; legacy file still reads") {
+    val t = freshTable("constraints-versioned")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    // legacy un-versioned sidecar (pre-versioning layout) is honored
+    Files.writeString(Paths.get(t, "_log", "_constraints.json"),
+      """{"legacy_bound":"id < 100"}""")
+    assert(SnapshotLog.constraints(s, t) == Map("legacy_bound" -> "id < 100"))
+    // registration supersedes it with a versioned file — at no point is
+    // the sidecar absent (no delete-then-rename window)
+    SnapshotLog.addConstraint(s, t, "k_range", "k BETWEEN 0 AND 6")
+    assert(SnapshotLog.constraints(s, t).keySet == Set("legacy_bound", "k_range"))
+    val logDir = Paths.get(t, "_log")
+    val versioned = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("_constraints.v") && n.endsWith(".json")).toSeq
+    assert(versioned.nonEmpty, "no versioned constraints file published")
+    // drop publishes the NEXT version; the newest file always wins
+    SnapshotLog.dropConstraint(s, t, "legacy_bound")
+    assert(SnapshotLog.constraints(s, t).keySet == Set("k_range"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.commit(df(0, 1).withColumn("k", lit(99L)), t, "append", Seq("id"))
+    }
+  }
+
+  test("legacy manifests without the kind header still resolve and walk (adaptive)") {
+    val t = freshTable("legacy-manifest")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
+    SnapshotLog.commit(df(20, 40), t, "append", Seq("id"))
+    // simulate a pre-header manifest: strip the "kind" field from v2
+    val p2 = Paths.get(t, "_log", "v00002.json")
+    val stripped = Files.readString(p2)
+      .replaceFirst("\"kind\":\"(full|delta)\",", "")
+    Files.writeString(p2, stripped)
+    // hand-edit invalidates the local-FS checksum sidecar; drop it
+    Files.deleteIfExists(p2.getParent.resolve("." + p2.getFileName + ".crc"))
+    assert(SnapshotLog.read(s, t).count() == 40)
+    // adaptive cadence must fall back to a full parse for the legacy
+    // file and keep committing
+    s.conf.set("spark.graft.snapshot.checkpointPolicy", "adaptive")
+    try {
+      SnapshotLog.commit(df(40, 60), t, "append", Seq("id"))
+      assert(SnapshotLog.read(s, t).count() == 60)
+    } finally s.conf.unset("spark.graft.snapshot.checkpointPolicy")
   }
 
   test("corrupt manifests fail loudly, never silently mis-answer") {

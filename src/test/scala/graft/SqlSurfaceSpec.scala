@@ -107,4 +107,60 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(files.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq == Seq((50L, 0L, 49L, 0L), (30L, 50L, 79L, 0L)))
   }
+
+  test("SQL DML round-trip: DELETE / INSERT / MERGE route to the snapshot mutations") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-dml").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 100).select($"id", ($"id" % 5).as("k")).repartition(4, $"id"),
+      t, "append", Seq("id"))
+    graft.sql.GraftSql.registerSnapshot(spark, "dml_v", t, None, Seq("id"))
+
+    // DELETE: CoW range delete, view repoints to the new version
+    graft.sql.GraftSql.dml(spark, "DELETE FROM dml_v WHERE id BETWEEN 10 AND 19")
+    assert(spark.sql("SELECT count(*) FROM dml_v").head.getLong(0) == 90L)
+    assert(spark.sql("SELECT count(*) FROM dml_v WHERE id BETWEEN 10 AND 19")
+      .head.getLong(0) == 0L)
+
+    // INSERT INTO ... SELECT: an append commit through the same gate
+    graft.sql.GraftSql.dml(spark,
+      "INSERT INTO dml_v SELECT id, id % 5 AS k FROM range(200, 210)")
+    assert(spark.sql("SELECT count(*) FROM dml_v").head.getLong(0) == 100L)
+
+    // MERGE upsert: updates land, new keys insert
+    spark.range(0, 3).select($"id", lit(77L).as("k"))
+      .unionByName(Seq((500L, 1L)).toDF("id", "k"))
+      .createOrReplaceTempView("dml_src")
+    val vUp = graft.sql.GraftSql.dml(spark,
+      """MERGE INTO dml_v USING dml_src ON dml_v.id = dml_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM dml_v").head.getLong(0) == 101L)
+    assert(spark.sql("SELECT count(*) FROM dml_v WHERE k = 77").head.getLong(0) == 3L)
+    assert(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).contains(vUp))
+
+    // MERGE with a delete clause: CDC applyChanges (U upserts, D removes)
+    Seq((500L, 2L, "U"), (0L, 0L, "D"))
+      .toDF("id", "k", "op").createOrReplaceTempView("dml_cdc")
+    graft.sql.GraftSql.dml(spark,
+      """MERGE INTO dml_v USING dml_cdc ON dml_v.id = dml_cdc.id
+        |WHEN MATCHED AND dml_cdc.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM dml_v").head.getLong(0) == 100L)
+    assert(spark.sql("SELECT k FROM dml_v WHERE id = 500").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM dml_v WHERE id = 0").head.getLong(0) == 0L)
+
+    // history intact: every pre-DML version still readable (time travel)
+    assert(graft.sources.snapshot.SnapshotLog.read(spark, t, Some(1L)).count() == 100L)
+
+    // non-DML and unregistered targets refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE dml_v")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.dml(spark, "DELETE FROM nowhere WHERE id = 1")
+    }
+  }
 }
