@@ -2268,12 +2268,14 @@ object SourceQueries extends QueryPack {
 
     // Struct columns through the snapshot stream: orders wrapped into a
     // typed metadata struct (scalar cust + double price + an
-    // array-of-string field) commit as two versions and stream to
+    // array-of-string field + a NESTED struct two levels deep — the
+    // multimodal-metadata shape) commit as two versions and stream to
     // completion; the STREAMED rows answer aggregates over every struct
     // member that the oracle recomputes directly from the source
-    // parquet — a dropped field, a misaligned field index, or a lost
-    // array element inside the struct breaks the hash. Cents floor the
-    // shared IEEE double product, so both engines truncate identically.
+    // parquet — a dropped field, a misaligned field index, a lost
+    // array element, or a mis-decoded nested group breaks the hash.
+    // Cents floor the shared IEEE double product, so both engines
+    // truncate identically.
     "qbu_snapshot_stream_struct" -> ((s, dir) => {
       import s.implicits._
       val tag = java.lang.Long.toHexString(System.nanoTime())
@@ -2283,7 +2285,10 @@ object SourceQueries extends QueryPack {
         struct(
           col("o_custkey").as("cust"),
           col("o_totalprice").as("price"),
-          split(col("o_orderpriority"), "-").as("prio")).as("meta"))
+          split(col("o_orderpriority"), "-").as("prio"),
+          struct(
+            (col("o_custkey") % 10).as("bucket"),
+            length(col("o_orderpriority")).as("plen")).as("inner")).as("meta"))
       SnapshotLog.commit(o.where(col("o_orderkey") % 2 === 0), t, "append",
         Seq("o_orderkey"))
       SnapshotLog.commit(o.where(col("o_orderkey") % 2 === 1), t, "append",
@@ -2298,7 +2303,9 @@ object SourceQueries extends QueryPack {
         sum(floor($"meta.price" * 100).cast("long")).as("sum_cents"),
         sum(size($"meta.prio")).as("sum_parts"),
         sum(when(element_at($"meta.prio", 1) === "1", 1L).otherwise(0L))
-          .as("n_urgent"))
+          .as("n_urgent"),
+        sum($"meta.inner.bucket").as("sum_bucket"),
+        sum($"meta.inner.plen").cast("long").as("sum_plen"))
     }),
 
     // CHECK constraints (Delta's ADD CONSTRAINT, write-side core): two
@@ -2762,7 +2769,9 @@ object SourceQueries extends QueryPack {
           |    AS sum_parts,
           |  CAST(count(*) FILTER (
           |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
-          |    AS n_urgent
+          |    AS n_urgent,
+          |  CAST(sum(o_custkey % 10) AS BIGINT) AS sum_bucket,
+          |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS sum_plen
           |FROM orders""".stripMargin,
 
       // content = the whole corpus (the poisoned batch never landed);

@@ -82,14 +82,13 @@ object SnapshotStreamSource {
     StringType, BinaryType, DateType)
 
   private[snapshot] def supported(dt: DataType): Boolean = dt match {
-    case ArrayType(et, _) => SupportedTypes.contains(et) // embeddings etc.
-    case StructType(fields) => // typed metadata structs: scalar or
-      // array-of-scalar fields, one level deep (nested structs stay
-      // a batch-read concern until a corpus needs them)
-      fields.nonEmpty && fields.forall(f => f.dataType match {
-        case ArrayType(et, _) => SupportedTypes.contains(et)
-        case other => SupportedTypes.contains(other)
-      })
+    // fully recursive nesting: arrays of anything supported (embeddings,
+    // array<struct> annotations, array<array> frames), structs of
+    // anything supported at ANY depth — multimodal metadata is routinely
+    // struct-of-struct two deep, and the reader decodes it recursively
+    case ArrayType(et, _) => supported(et)
+    case StructType(fields) =>
+      fields.nonEmpty && fields.forall(f => supported(f.dataType))
     case other => SupportedTypes.contains(other)
   }
 
@@ -185,10 +184,10 @@ object SnapshotStreamSource {
 
   private[snapshot] def validate(schema: StructType): Unit =
     schema.fields.foreach(f => require(supported(f.dataType),
-      s"graft-snapshot streaming supports flat primitive columns " +
-        s"(long/int/double/float/boolean/string/binary/date), arrays " +
-        s"of them, and one-level structs of them; '${f.name}' is " +
-        s"${f.dataType.sql} — read it in batch via SnapshotLog.read"))
+      s"graft-snapshot streaming supports primitive columns " +
+        s"(long/int/double/float/boolean/string/binary/date) plus " +
+        s"arrays and structs of them nested to any depth; '${f.name}' " +
+        s"is ${f.dataType.sql} — read it in batch via SnapshotLog.read"))
 }
 
 class SnapshotStreamTable(tableSchema: StructType,
@@ -437,9 +436,10 @@ class SnapshotPartitionReader(file: String, schema: StructType,
   }
 
   /** Spark's 3-level list encoding: field -> repeated "list" group ->
-    * optional "element".
+    * optional "element". Elements recurse: scalars via [[leaf]], struct
+    * elements via [[decodeStruct]], nested lists via this method.
     */
-  private def decodeList(lg: Group, et: DataType) = {
+  private def decodeList(lg: Group, et: DataType): Any = {
     val n = lg.getFieldRepetitionCount(0)
     val arr = new Array[Any](n)
     var j = 0
@@ -447,15 +447,20 @@ class SnapshotPartitionReader(file: String, schema: StructType,
       val el = lg.getGroup(0, j)
       arr(j) =
         if (el.getFieldRepetitionCount(0) == 0) null
-        else leaf(el, 0, et)
+        else et match {
+          case st: StructType => decodeStruct(el.getGroup(0, 0), st)
+          case ArrayType(et2, _) => decodeList(el.getGroup(0, 0), et2)
+          case _ => leaf(el, 0, et)
+        }
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
-  /** Struct column: a plain group whose fields are optional scalars or
-    * 3-level lists. Fields are matched by NAME against the file's group
-    * (order-independent); an undefined field stays null.
+  /** Struct column: a plain group whose fields are optional scalars,
+    * 3-level lists, or NESTED structs (recursion to any depth — the
+    * multimodal-metadata shape). Fields are matched by NAME against the
+    * file's group (order-independent); an undefined field stays null.
     */
   private def decodeStruct(sg: Group, st: StructType): InternalRow = {
     val out = new GenericInternalRow(st.length)
@@ -471,6 +476,8 @@ class SnapshotPartitionReader(file: String, schema: StructType,
         if (sg.getFieldRepetitionCount(fi) > 0) {
           f.dataType match {
             case ArrayType(et, _) => out.update(k, decodeList(sg.getGroup(fi, 0), et))
+            case nested: StructType =>
+              out.update(k, decodeStruct(sg.getGroup(fi, 0), nested))
             case dt => out.update(k, leaf(sg, fi, dt))
           }
         }

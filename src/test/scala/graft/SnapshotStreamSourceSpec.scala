@@ -151,12 +151,43 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nested structs, array<struct>, and array<array> stream faithfully") {
+    val t = freshTable("deepnest")
+    // depth-2 struct with nulls at every level, an array of structs,
+    // and a nested float array — the multimodal-metadata shapes
+    val src = s.range(0, 24).select($"id",
+      when($"id" % 7 === 0, lit(null)).otherwise(struct(
+        ($"id" * 2).as("a"),
+        when($"id" % 3 === 0, lit(null)).otherwise(struct(
+          concat(lit("n"), $"id").as("tag"),
+          when($"id" % 4 === 0, lit(null).cast("long"))
+            .otherwise($"id" + 100).as("v"))).as("inner"))).as("m"),
+      when($"id" % 5 === 0, lit(null)).otherwise(array(
+        struct($"id".as("k"), ($"id" % 2 === 0).as("even")),
+        struct(($"id" + 1).as("k"), lit(false).as("even")))).as("ann"),
+      array(array(($"id" + 0.25).cast("float")),
+        array(lit(1.5f), lit(-2.5f))).as("frames"))
+    SnapshotLog.commit(src.where($"id" < 12), t, "append", Seq("id"))
+    SnapshotLog.commit(src.where($"id" >= 12), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_deep")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("snap_stream_deep").orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+      val want = src.orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+      assert(got.toSeq == want.toSeq)
+    } finally q.stop()
+  }
+
   test("unsupported column shapes are refused at stream construction") {
     val t = freshTable("badtypes")
-    // map columns and nested struct-of-struct stay batch-read territory
+    // map columns stay batch-read territory
     SnapshotLog.commit(
-      s.range(0, 3).select($"id", struct(struct($"id".as("x")).as("inner"))
-        .as("m")), t, "append", Nil)
+      s.range(0, 3).select($"id",
+        map(lit("k"), $"id").as("m")), t, "append", Nil)
     val q = s.readStream.format("graft-snapshot").option("table", t).load()
       .writeStream.format("memory").queryName("snap_stream_bad")
       .outputMode("append").start()
