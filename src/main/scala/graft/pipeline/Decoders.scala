@@ -61,11 +61,21 @@ object Decoders {
   val npy: Decoder = Decoder("npy", c => graft.functions.NpyCodec.decodeNpyUdf(c))
   val npz: Decoder = Decoder("npz", c => graft.functions.NpyCodec.decodeNpzUdf(c))
 
-  /** PCM WAV audio (wds autodecode's audio vocabulary, minus formats
-    * needing a codec library — flac/ogg/mp3 stay binary unless the user
-    * registers a decoder).
+  /** PCM WAV audio (wds autodecode's audio vocabulary; compressed
+    * formats get the METADATA tier below — sample decode needs a codec
+    * library and stays user-registered).
     */
   val wav: Decoder = Decoder("wav", c => graft.functions.WavCodec.decodeWavUdf(c))
+
+  /** Compressed-audio METADATA (duration / sample rate / channels /
+    * sample counts from frame headers, payload bytes untouched —
+    * [[graft.functions.AudioMetaCodec]]); ogg stays binary unless
+    * user-registered.
+    */
+  val mp3: Decoder = Decoder("mp3_meta",
+    c => graft.functions.AudioMetaCodec.decodeMp3MetaUdf(c))
+  val flac: Decoder = Decoder("flac_meta",
+    c => graft.functions.AudioMetaCodec.decodeFlacMetaUdf(c))
 
   /** Y4M video METADATA (width/height/fps/frame count — frame headers
     * walked, pixel bytes untouched); luma frame extraction is
@@ -95,6 +105,8 @@ object Decoders {
       "npy" -> npy,
       "npz" -> npz,
       "wav" -> wav,
+      "mp3" -> mp3,
+      "flac" -> flac,
       "y4m" -> y4m) ++
       imageExtensions.map(_ -> image("pil")).toMap
 
@@ -110,7 +122,7 @@ object Decoders {
       require(graft.functions.ImageCodec.isImageSpec(spec),
         s"unknown decoder spec '$spec' (known image specs: " +
           s"${graft.functions.ImageCodec.imageSpecs.toSeq.sorted.mkString(", ")}; " +
-          "non-image extensions txt/json/cls/npy/npz/wav/y4m decode by default)")
+          "non-image extensions txt/json/cls/npy/npz/wav/mp3/flac/y4m decode by default)")
     }
     val fromList = specList.foldLeft(defaults) { (m, spec) =>
       m ++ imageExtensions.map(_ -> image(spec)).toMap

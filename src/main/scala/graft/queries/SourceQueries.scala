@@ -226,6 +226,117 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** MP3 shard fixture for the compressed-audio metadata gate: MPEG1
+    * Layer III 128 kbps 44.1 kHz frames built from the published header
+    * layout — `3 + id%4` frames per track, stereo when id is odd,
+    * alternating padding bits, an ID3v2 tag prepended when id%3==0 and
+    * an ID3v1 trailer when id%5==0 (the tag shapes real rippers write).
+    * Payload bytes are deterministic filler: the metadata walk jumps by
+    * frame length and never scans them.
+    */
+  private def mp3Bytes(id: Int): Array[Byte] = {
+    val n = 3 + id % 4
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id % 3 == 0) {
+      val padLen = id % 20
+      bos.write("ID3".getBytes("ASCII"))
+      bos.write(3); bos.write(0); bos.write(0) // version 2.3, no flags
+      bos.write((padLen >> 21) & 0x7f); bos.write((padLen >> 14) & 0x7f)
+      bos.write((padLen >> 7) & 0x7f); bos.write(padLen & 0x7f)
+      (0 until padLen).foreach(_ => bos.write(0))
+    }
+    (0 until n).foreach { f =>
+      val pad = f % 2
+      val frameLen = 144 * 128000 / 44100 + pad
+      bos.write(0xff)
+      bos.write(0xfb) // MPEG1 (11), Layer III (01), no CRC
+      bos.write((9 << 4) | (0 << 2) | (pad << 1)) // 128 kbps, 44.1 kHz
+      bos.write(if (id % 2 == 0) 0xc0 else 0x00) // mono / stereo
+      (4 until frameLen).foreach(k => bos.write((id * 3 + k) % 256))
+    }
+    if (id % 5 == 0) {
+      bos.write("TAG".getBytes("ASCII"))
+      (0 until 125).foreach(_ => bos.write(0))
+    }
+    bos.toByteArray
+  }
+
+  private lazy val mp3FixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-mp3-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = mp3Bytes(id)
+          val e = new TarArchiveEntry(f"m$id%08d.mp3")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
+  /** FLAC shard fixture: `fLaC` magic + STREAMINFO per the published
+    * bit layout — sample rate `8000 + (id%3)*4000`, `1 + id%2`
+    * channels, 16-bit, `1000 + id*17` total samples; every 4th file
+    * exercises the block walk with a PADDING block after STREAMINFO.
+    */
+  private def flacBytes(id: Int): Array[Byte] = {
+    val sr = 8000 + (id % 3) * 4000
+    val ch = 1 + id % 2
+    val bps = 16
+    val ns = 1000L + id * 17L
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("fLaC".getBytes("ASCII"))
+    val withPadding = id % 4 == 0
+    bos.write(if (withPadding) 0x00 else 0x80) // STREAMINFO, last-flag
+    bos.write(0); bos.write(0); bos.write(34)
+    bos.write(0x10); bos.write(0x00); bos.write(0x10); bos.write(0x00) // block sizes 4096
+    (0 until 6).foreach(_ => bos.write(0)) // min/max frame size unknown
+    bos.write((sr >> 12) & 0xff)
+    bos.write((sr >> 4) & 0xff)
+    bos.write(((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4))
+    bos.write(((bps - 1) & 0xf) << 4 | ((ns >> 32) & 0xf).toInt)
+    bos.write(((ns >> 24) & 0xff).toInt); bos.write(((ns >> 16) & 0xff).toInt)
+    bos.write(((ns >> 8) & 0xff).toInt); bos.write((ns & 0xff).toInt)
+    (0 until 16).foreach(_ => bos.write(0)) // md5 unset
+    if (withPadding) {
+      bos.write(0x81) // PADDING, last
+      bos.write(0); bos.write(0); bos.write(4)
+      (0 until 4).foreach(_ => bos.write(0))
+    }
+    bos.toByteArray
+  }
+
+  private lazy val flacFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-flac-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = flacBytes(id)
+          val e = new TarArchiveEntry(f"f$id%08d.flac")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** Mono Y4M shard fixture for the video decode gate: 4×2 luma-only
     * frames, `2 + id%3` frames per clip, pixel p of frame f =
     * `(id*5 + f*11 + p*3) % 256` — text header + raw planes per the
@@ -1501,6 +1612,44 @@ object SourceQueries extends QueryPack {
           sum($"n_sampled").cast("long").as("sum_sampled"),
           sum($"luma").as("sum_luma"),
           max($"__key__").as("max_key"))
+    }),
+
+    // Compressed-audio METADATA through the pipeline: tar scan → frame-
+    // header walk (mp3) / STREAMINFO parse (flac) → typed meta struct →
+    // aggregate, payload bytes never decoded — the duration/rate/
+    // channel curation tier for formats a JVM can't (and a pipeline
+    // needn't) fully decode. The hash pins frame counts, sample sums,
+    // integer-division durations, and channel splits against the
+    // fixture formulas, so a header-walk slip, a bitrate-table error,
+    // an ID3 skip bug, or a STREAMINFO bit-layout error breaks it.
+    "qc5_audio_meta" -> ((s, _) => {
+      import s.implicits._
+      val mdir = mp3FixtureDir
+      val fdir = flacFixtureDir
+      val m = s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$mdir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "mp3")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.mp3.decode($"mp3"))
+        .agg(
+          count(lit(1)).as("n_mp3"),
+          sum($"a.n_frames").cast("long").as("sum_frames"),
+          sum($"a.n_samples").as("sum_samples"),
+          sum($"a.duration_ms").as("sum_ms"),
+          sum(when($"a.channels" === 2, 1L).otherwise(0L)).as("n_stereo"),
+          max($"a.bitrate_kbps").cast("long").as("max_kbps"))
+      val f = s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$fdir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "flac")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.flac.decode($"flac"))
+        .agg(
+          count(lit(1)).as("n_flac"),
+          sum($"a.n_samples").as("sum_fsamples"),
+          sum($"a.duration_ms").as("sum_fms"),
+          sum($"a.sample_rate").cast("long").as("sum_rates"),
+          sum(when($"a.channels" === 1, 1L).otherwise(0L)).as("n_mono"))
+      m.crossJoin(f)
     }),
 
     // Streaming re-shard round-trip — the continuous pipeline ON the
@@ -3375,6 +3524,32 @@ object SourceQueries extends QueryPack {
            |       max('w' || lpad(CAST(id AS VARCHAR), 8, '0')) AS max_key
            |FROM (SELECT id, unnest(generate_series(0, 19 + id % 10)) AS j
            |      FROM generate_series(0, ${NpyShards * NpySamplesPerShard - 1}) t(id))""".stripMargin,
+      // mp3 fixture: 3+id%4 frames of 1152 samples at 44.1 kHz, stereo
+      // when id odd, 128 kbps constant; flac fixture: 1000+id*17
+      // samples at 8000+(id%3)*4000 Hz, mono when id even — durations
+      // are integer-division milliseconds in both engines
+      "qc5_audio_meta" ->
+        s"""WITH ids AS (SELECT unnest(generate_series(0,
+           |    ${NpyShards * NpySamplesPerShard - 1})) AS id),
+           |m AS (SELECT id, 3 + id % 4 AS nf FROM ids),
+           |f AS (SELECT id, 1000 + id * 17 AS ns,
+           |       8000 + (id % 3) * 4000 AS sr FROM ids)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_mp3,
+           |  (SELECT CAST(sum(nf) AS BIGINT) FROM m) AS sum_frames,
+           |  (SELECT CAST(sum(nf * 1152) AS BIGINT) FROM m) AS sum_samples,
+           |  (SELECT CAST(sum((nf * 1152 * 1000) // 44100) AS BIGINT) FROM m)
+           |    AS sum_ms,
+           |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 1) AS BIGINT) FROM m)
+           |    AS n_stereo,
+           |  CAST(128 AS BIGINT) AS max_kbps,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_flac,
+           |  (SELECT CAST(sum(ns) AS BIGINT) FROM f) AS sum_fsamples,
+           |  (SELECT CAST(sum((ns * 1000) // sr) AS BIGINT) FROM f) AS sum_fms,
+           |  (SELECT CAST(sum(sr) AS BIGINT) FROM f) AS sum_rates,
+           |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 0) AS BIGINT) FROM f)
+           |    AS n_mono""".stripMargin,
+
       // y4m fixture: clip id has 2+id%3 frames of 4x2 mono luma; pixel
       // p of frame f = (id*5 + f*11 + p*3) % 256; sampling keeps even f
       "qa2_y4m_decode" ->

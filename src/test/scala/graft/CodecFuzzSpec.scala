@@ -5,7 +5,7 @@ import java.io.ByteArrayOutputStream
 import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{ImageCodec, NpyCodec, VideoCodec, WavCodec}
+import graft.functions.{AudioMetaCodec, ImageCodec, NpyCodec, VideoCodec, WavCodec}
 
 /** Fuzz coverage for the binary decoders' malformed-payload contract:
   * strict APIs may only fail with a catchable Exception (never a fatal
@@ -58,6 +58,34 @@ class CodecFuzzSpec extends AnyFunSuite {
       bos.write("FRAME\n".getBytes("ASCII"))
       bos.write(Array.tabulate[Byte](4)(i => (f * 10 + i).toByte))
     }
+    bos.toByteArray
+  }
+
+  private def mp3Valid: Array[Byte] = {
+    // 2 MPEG1 Layer III 128 kbps 44.1 kHz mono frames, padding 0 then 1
+    val bos = new ByteArrayOutputStream()
+    (0 until 2).foreach { f =>
+      val pad = f % 2
+      bos.write(0xff); bos.write(0xfb)
+      bos.write((9 << 4) | (pad << 1)); bos.write(0xc0)
+      (4 until 144 * 128000 / 44100 + pad).foreach(k => bos.write(k % 256))
+    }
+    bos.toByteArray
+  }
+
+  private def flacValid: Array[Byte] = {
+    val (sr, ch, bps, ns) = (16000, 2, 16, 48000L)
+    val bos = new ByteArrayOutputStream()
+    bos.write("fLaC".getBytes("ASCII"))
+    bos.write(0x80); bos.write(0); bos.write(0); bos.write(34)
+    bos.write(0x10); bos.write(0x00); bos.write(0x10); bos.write(0x00)
+    (0 until 6).foreach(_ => bos.write(0))
+    bos.write((sr >> 12) & 0xff); bos.write((sr >> 4) & 0xff)
+    bos.write(((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4))
+    bos.write(((bps - 1) & 0xf) << 4 | ((ns >> 32) & 0xf).toInt)
+    bos.write(((ns >> 24) & 0xff).toInt); bos.write(((ns >> 16) & 0xff).toInt)
+    bos.write(((ns >> 8) & 0xff).toInt); bos.write((ns & 0xff).toInt)
+    (0 until 16).foreach(_ => bos.write(0))
     bos.toByteArray
   }
 
@@ -123,6 +151,55 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz(y4mValid, VideoCodec.sampleLumaFrames(_, 1))
   }
 
+  test("mp3 metadata decode survives mutants and garbage") {
+    val m = AudioMetaCodec.decodeMp3Meta(mp3Valid)
+    assert(m.n_frames == 2 && m.n_samples == 2304 && m.channels == 1 &&
+      m.sample_rate == 44100 && m.duration_ms == 2304L * 1000 / 44100 &&
+      m.bitrate_kbps == 128 && m.version == "MPEG1" && m.layer == 3)
+    fuzz(mp3Valid, AudioMetaCodec.decodeMp3Meta)
+  }
+
+  test("flac metadata decode survives mutants and garbage") {
+    val m = AudioMetaCodec.decodeFlacMeta(flacValid)
+    assert(m.sample_rate == 16000 && m.channels == 2 &&
+      m.bits_per_sample == 16 && m.n_samples == 48000L &&
+      m.duration_ms == 3000L)
+    fuzz(flacValid, AudioMetaCodec.decodeFlacMeta)
+  }
+
+  test("mp3 ID3 tags skip; mid-stream description change throws") {
+    // ID3v2 (13 pad bytes) before the frames and ID3v1 after: tolerated
+    val bos = new ByteArrayOutputStream()
+    bos.write("ID3".getBytes("ASCII")); bos.write(3); bos.write(0); bos.write(0)
+    bos.write(0); bos.write(0); bos.write(0); bos.write(13)
+    (0 until 13).foreach(_ => bos.write(0))
+    bos.write(mp3Valid)
+    bos.write("TAG".getBytes("ASCII")); (0 until 125).foreach(_ => bos.write(0))
+    assert(AudioMetaCodec.decodeMp3Meta(bos.toByteArray).n_frames == 2)
+    // same frames but the second flips to stereo: the track metadata is
+    // no longer well-defined — refuse, don't average
+    val mixed = mp3Valid.clone()
+    val secondHdr = 144 * 128000 / 44100 // first frame had padding 0
+    mixed(secondHdr + 3) = 0x00.toByte
+    val e = intercept[IllegalArgumentException](AudioMetaCodec.decodeMp3Meta(mixed))
+    assert(e.getMessage.contains("changed mid-file"))
+  }
+
+  test("flac STREAMINFO after a padding block parses; bad magic throws") {
+    val withPad = {
+      val b = flacValid
+      val bos = new ByteArrayOutputStream()
+      bos.write(b, 0, 4)
+      bos.write(0x01); bos.write(0); bos.write(0); bos.write(2) // PADDING first
+      bos.write(0); bos.write(0)
+      bos.write(b, 4, b.length - 4) // then STREAMINFO (last)
+      bos.toByteArray
+    }
+    assert(AudioMetaCodec.decodeFlacMeta(withPad).n_samples == 48000L)
+    intercept[IllegalArgumentException](
+      AudioMetaCodec.decodeFlacMeta("OggS0000".getBytes("ASCII")))
+  }
+
   test("image decode survives mutants and garbage") {
     assert(ImageCodec.decodeAs("rgb8", pngValid).isDefined)
     fuzz(pngValid, ImageCodec.decodeAs("rgb8", _))
@@ -180,11 +257,13 @@ class CodecFuzzSpec extends AnyFunSuite {
       WavCodec.decodeWavUdf($"payload").as("wav"),
       VideoCodec.decodeMetaUdf($"payload").as("y4m"),
       VideoCodec.sampleLumaFramesUdf(1)($"payload").as("luma"),
-      ImageCodec.decodeUdf("rgb8")($"payload").as("img"))
+      ImageCodec.decodeUdf("rgb8")($"payload").as("img"),
+      AudioMetaCodec.decodeMp3MetaUdf($"payload").as("mp3"),
+      AudioMetaCodec.decodeFlacMetaUdf($"payload").as("flac"))
       .collect()
     assert(out.length == 2)
     out.foreach { r =>
-      Seq(1, 3, 4, 5, 6).foreach(i =>
+      Seq(1, 3, 4, 5, 6, 7, 8).foreach(i =>
         assert(r.isNullAt(i), s"${r.getString(0)} col $i should be null"))
       // npz: a non-zip payload yields no entries (empty map), a corrupt
       // inner npy nulls — both are "nothing decoded", never a throw
