@@ -372,6 +372,99 @@ class SnapshotLogSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("32 mixed writers on 8 threads: linear history, no lost evolve, exact content") {
+    val t = freshTable("stress")
+    // base: ids 0..99, k = id % 7
+    SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // generic CAS retry for ops without built-in retry (evolve, upsert);
+    // upsert additionally re-reads the CURRENT schema per attempt, since
+    // a racing evolve legitimately changes the required column set
+    def retrying[A](op: () => A): A = {
+      var n = 0
+      while (true) {
+        try return op()
+        catch {
+          case _: IllegalStateException if n < 40 => n += 1
+          case e: IllegalArgumentException
+            if n < 40 && e.getMessage != null &&
+              e.getMessage.contains("columns") => n += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+    try {
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+        // 24 appends of disjoint ranges [1000+i*10, +10)
+        (0 until 24).map { i =>
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              SnapshotLog.commitWithRetry(
+                df(1000 + i * 10, 1000 + i * 10 + 10), t, "append", Seq("id"))
+              ()
+            }
+          }
+        } ++
+          // 6 upserts over disjoint base keys [j*5, j*5+5) -> k = 100+j
+          (0 until 6).map { j =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = retrying { () =>
+                val schema = org.apache.spark.sql.types.StructType.fromDDL(
+                  SnapshotLog.manifest(s, t,
+                    SnapshotLog.latestVersion(s, t).get).schemaDdl)
+                val base = df(j * 5, j * 5 + 5).withColumn("k", lit(100L + j))
+                val conformed = s.createDataFrame(base.rdd, base.schema) // stable
+                  .select(schema.fieldNames.map(n =>
+                    if (base.columns.contains(n)) col(n)
+                    else lit(null).cast(schema(n).dataType).as(n)).toIndexedSeq: _*)
+                SnapshotLog.upsert(conformed, t, "id", Seq("id"))
+                ()
+              }
+            }
+          } ++
+          // 2 evolves adding distinct columns — BOTH must survive
+          Seq("extra_a", "extra_b").map { c =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = retrying { () =>
+                val ddl = SnapshotLog.manifest(s, t,
+                  SnapshotLog.latestVersion(s, t).get).schemaDdl
+                SnapshotLog.evolveSchema(s, t, ddl + s",$c STRING")
+                ()
+              }
+            }
+          }
+      import scala.jdk.CollectionConverters._
+      val futures = pool.invokeAll(tasks.asJava)
+      futures.asScala.foreach(_.get()) // propagate any failure
+      // linear history: exactly 1 base + 32 ops, every version readable
+      val latest = SnapshotLog.latestVersion(s, t).get
+      assert(latest == 33L, s"expected 33 versions, got $latest")
+      (1L to latest).foreach(v => SnapshotLog.read(s, t, Some(v)).count())
+      // no lost evolve: both added columns present in the final schema
+      val finalSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        SnapshotLog.manifest(s, t, latest).schemaDdl)
+      assert(finalSchema.fieldNames.contains("extra_a") &&
+        finalSchema.fieldNames.contains("extra_b"),
+        s"lost evolve: ${finalSchema.fieldNames.toSeq}")
+      // exact content: 100 base + 240 appended rows; each upserted key
+      // holds ITS upsert's k (disjoint ranges -> no last-wins ambiguity)
+      val fin = SnapshotLog.read(s, t)
+      assert(fin.count() == 340)
+      assert(fin.agg(sum($"id")).head.getLong(0) ==
+        (0L until 100).sum + (1000L until 1240).sum)
+      (0 until 6).foreach { j =>
+        val ks = fin.where($"id" >= j * 5 && $"id" < j * 5 + 5)
+          .select($"k").distinct().collect().map(_.getLong(0)).toSeq
+        assert(ks == Seq(100L + j), s"upsert $j keys: $ks")
+      }
+      // untouched base keys keep their original k
+      assert(fin.where($"id" === 50L).head.getLong(1) == 50L % 7)
+      // losing attempts are vacuumable debris, never corruption
+      SnapshotLog.vacuum(s, t)
+      assert(SnapshotLog.read(s, t).count() == 340)
+    } finally pool.shutdown()
+  }
+
   test("clustered compaction makes range pruning effective") {
     val t = freshTable("cluster")
     // 4 commits of interleaved ids (id % 4 == b): every file spans the
