@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Container METADATA decode for the remaining opaque member formats
+  * the reference's autodecode vocabulary reaches (reference
+  * sdata/dataset.py:204-232): ISO-BMFF video (`.mp4`/`.m4a`/`.mov`)
+  * and torch checkpoint archives (`.pth`/`.pt`). Same contract as
+  * [[AudioMetaCodec]] / [[VideoCodec]]: structure walks with pure byte
+  * arithmetic, payload media stays `BinaryType`, strict APIs throw,
+  * Column UDFs null malformed payloads.
+  *
+  *  - MP4: the ISO base-media box walk — `moov`/`mvhd` give timescale
+  *    + presentation duration (v0 and v1 layouts), `trak`/`mdia`/`hdlr`
+  *    give per-track handler fourccs (`vide`, `soun`, ...), so "how
+  *    long, how many streams, is there audio" costs a header read.
+  *  - PTH: a torch checkpoint is a ZIP archive (pickled metadata +
+  *    raw tensor storages); the listing (entry names + uncompressed
+  *    sizes) answers "which tensors, how many bytes" — the shard-
+  *    budgeting question — without unpickling anything.
+  */
+object ContainerMetaCodec {
+
+  final case class Mp4Meta(timescale: Int, duration_ms: Long,
+      n_tracks: Int, handlers: Seq[String])
+
+  final case class PthMeta(n_entries: Int, total_bytes: Long,
+      names: Seq[String])
+
+  private def u(b: Byte): Long = b & 0xffL
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    (u(b(off)) << 24) | (u(b(off + 1)) << 16) | (u(b(off + 2)) << 8) | u(b(off + 3))
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "ISO-8859-1")
+
+  /** Walk the boxes in [start, end), invoking `f(type, payloadStart,
+    * payloadEnd)` for each. Bounds-checked: a size that under-runs the
+    * header or overruns the window throws (never loops or allocates).
+    */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)
+      (f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off < end) {
+      require(off + 8 <= end, s"mp4: truncated box header at $off")
+      val size0 = be32(b, off)
+      val typ = fourcc(b, off + 4)
+      val (size, hdr) =
+        if (size0 == 1) {
+          require(off + 16 <= end, "mp4: truncated largesize")
+          (be64(b, off + 8), 16)
+        } else if (size0 == 0) ((end - off).toLong, 8) // box extends to end
+        else (size0, 8)
+      require(size >= hdr && off + size <= end,
+        s"mp4: box '$typ' size $size out of bounds at $off")
+      f(typ, off + hdr, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
+  /** Strict ISO-BMFF metadata parse: requires a `moov` with an `mvhd`. */
+  def decodeMp4Meta(bytes: Array[Byte]): Mp4Meta = {
+    require(bytes != null && bytes.length >= 8, "mp4: empty payload")
+    var timescale = -1
+    var durationUnits = -1L
+    var handlers = List.empty[String]
+    var nTracks = 0
+    walkBoxes(bytes, 0, bytes.length) {
+      case ("moov", ms, me) =>
+        walkBoxes(bytes, ms, me) {
+          case ("mvhd", ps, pe) =>
+            val version = bytes(ps) & 0xff
+            if (version == 1) {
+              require(pe - ps >= 28, "mp4: short mvhd v1")
+              timescale = be32(bytes, ps + 20).toInt
+              durationUnits = be64(bytes, ps + 24)
+            } else {
+              require(pe - ps >= 20, "mp4: short mvhd v0")
+              timescale = be32(bytes, ps + 12).toInt
+              durationUnits = be32(bytes, ps + 16)
+            }
+          case ("trak", ts, te) =>
+            nTracks += 1
+            walkBoxes(bytes, ts, te) {
+              case ("mdia", ds, de) =>
+                walkBoxes(bytes, ds, de) {
+                  case ("hdlr", hs, he) =>
+                    require(he - hs >= 12, "mp4: short hdlr")
+                    handlers ::= fourcc(bytes, hs + 8)
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => () // ftyp, mdat, free, ...
+    }
+    require(timescale > 0 && durationUnits >= 0, "mp4: no mvhd in moov")
+    Mp4Meta(timescale, durationUnits * 1000L / timescale, nTracks,
+      handlers.reverse)
+  }
+
+  /** Strict torch-checkpoint (ZIP) listing: entry names + uncompressed
+    * byte counts, measured by actually inflating each entry (sizes in
+    * streaming zips ride the data descriptor AFTER the data, so the
+    * header alone can't be trusted). Bounded by the real payload —
+    * inflation of a hostile entry stops at the archive's own bytes.
+    */
+  def decodePthMeta(bytes: Array[Byte]): PthMeta = {
+    require(bytes != null && bytes.length >= 4, "pth: empty payload")
+    require(bytes(0) == 'P' && bytes(1) == 'K', "pth: not a zip archive")
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    var total = 0L
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          names += e.getName
+          val buf = new Array[Byte](8192)
+          var n = zin.read(buf)
+          while (n > 0) { total += n; n = zin.read(buf) }
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(names.nonEmpty, "pth: no entries")
+    PthMeta(names.size, total, names.toSeq)
+  }
+
+  /** `binary => struct(timescale, duration_ms, n_tracks, handlers)`,
+    * null for undecodable payloads.
+    */
+  val decodeMp4MetaUdf: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else scala.util.Try(decodeMp4Meta(bytes)).toOption
+    }
+    c => f(c)
+  }
+
+  /** `binary => struct(n_entries, total_bytes, names)`, null for
+    * undecodable payloads.
+    */
+  val decodePthMetaUdf: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else scala.util.Try(decodePthMeta(bytes)).toOption
+    }
+    c => f(c)
+  }
+}

@@ -77,6 +77,16 @@ object Decoders {
   val flac: Decoder = Decoder("flac_meta",
     c => graft.functions.AudioMetaCodec.decodeFlacMetaUdf(c))
 
+  /** ISO-BMFF video METADATA (timescale/duration/track handlers from
+    * the moov box walk) and torch-checkpoint ZIP listings (entry names
+    * + uncompressed sizes, nothing unpickled) —
+    * [[graft.functions.ContainerMetaCodec]].
+    */
+  val mp4: Decoder = Decoder("mp4_meta",
+    c => graft.functions.ContainerMetaCodec.decodeMp4MetaUdf(c))
+  val pth: Decoder = Decoder("pth_meta",
+    c => graft.functions.ContainerMetaCodec.decodePthMetaUdf(c))
+
   /** Y4M video METADATA (width/height/fps/frame count — frame headers
     * walked, pixel bytes untouched); luma frame extraction is
     * [[graft.functions.VideoCodec.sampleLumaFramesUdf]], applied
@@ -107,6 +117,11 @@ object Decoders {
       "wav" -> wav,
       "mp3" -> mp3,
       "flac" -> flac,
+      "mp4" -> mp4,
+      "m4a" -> mp4,
+      "mov" -> mp4,
+      "pth" -> pth,
+      "pt" -> pth,
       "y4m" -> y4m) ++
       imageExtensions.map(_ -> image("pil")).toMap
 

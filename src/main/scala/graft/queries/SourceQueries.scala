@@ -337,6 +337,114 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** ISO-BMFF (mp4) shard fixture: ftyp + moov(mvhd + traks(mdia/hdlr))
+    * per the published box layout — timescale 1000, duration
+    * `5000 + id*13` units, `1 + id%2` tracks (`vide`, then `soun` when
+    * present), and a trailing free box so the walk skips non-metadata
+    * boxes. Every odd id uses the mvhd v1 (64-bit) layout.
+    */
+  private def mp4Bytes(id: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val duration = 5000L + id * 13L
+    val mvhd =
+      if (id % 2 == 1) { // version 1: 64-bit times/duration
+        val bb = java.nio.ByteBuffer.allocate(32)
+        bb.putInt(0x01000000) // version 1, flags 0
+        bb.putLong(0L).putLong(0L) // ctime, mtime
+        bb.putInt(1000).putLong(duration)
+        box("mvhd", bb.array())
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(24)
+        bb.putInt(0) // version 0, flags 0
+        bb.putInt(0).putInt(0) // ctime, mtime
+        bb.putInt(1000).putInt(duration.toInt)
+        box("mvhd", bb.array())
+      }
+    def trak(handler: String): Array[Byte] = {
+      val hdlrPayload = java.nio.ByteBuffer.allocate(13)
+        .putInt(0).putInt(0).put(handler.getBytes("ISO-8859-1")).put(0.toByte)
+        .array()
+      box("trak", box("mdia", box("hdlr", hdlrPayload)))
+    }
+    val traks =
+      if (id % 2 == 0) trak("vide")
+      else trak("vide") ++ trak("soun")
+    val moov = box("moov", mvhd ++ traks)
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0))
+    val free = box("free", Array.tabulate[Byte](id % 9)(k => (id + k).toByte))
+    ftyp ++ moov ++ free
+  }
+
+  private lazy val mp4FixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-mp4-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = mp4Bytes(id)
+          val e = new TarArchiveEntry(f"c$id%08d.mp4")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
+  /** Torch-checkpoint (ZIP) shard fixture: the standard three-entry
+    * layout (`archive/data.pkl`, one storage blob, `archive/version`)
+    * with formulaic uncompressed sizes — `10 + id%7`, `id%50`, and 2
+    * bytes respectively.
+    */
+  private def pthBytes(id: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq(
+      "archive/data.pkl" -> Array.tabulate[Byte](10 + id % 7)(k => (id + k).toByte),
+      "archive/data/0" -> Array.tabulate[Byte](id % 50)(k => (id * 3 + k).toByte),
+      "archive/version" -> "3\n".getBytes("ASCII")
+    ).foreach { case (name, bytes) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(bytes)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private lazy val pthFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-pth-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = pthBytes(id)
+          val e = new TarArchiveEntry(f"t$id%08d.pth")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** Mono Y4M shard fixture for the video decode gate: 4×2 luma-only
     * frames, `2 + id%3` frames per clip, pixel p of frame f =
     * `(id*5 + f*11 + p*3) % 256` — text header + raw planes per the
@@ -1650,6 +1758,44 @@ object SourceQueries extends QueryPack {
           sum($"a.sample_rate").cast("long").as("sum_rates"),
           sum(when($"a.channels" === 1, 1L).otherwise(0L)).as("n_mono"))
       m.crossJoin(f)
+    }),
+
+    // Container METADATA through the pipeline: ISO-BMFF box walks
+    // (timescale/duration/track handlers from moov — both mvhd
+    // versions) and torch-checkpoint ZIP listings (entry names +
+    // uncompressed sizes, nothing unpickled) — the "how long, which
+    // streams, how many tensor bytes" curation tier. The hash pins
+    // durations, track splits, and byte accounting against the
+    // fixture formulas, so a box-walk slip, a v1-layout offset error,
+    // or a zip-size miscount breaks it.
+    "qc6_container_meta" -> ((s, _) => {
+      import s.implicits._
+      val vdir = mp4FixtureDir
+      val tdir = pthFixtureDir
+      val v = s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$vdir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "mp4")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.mp4.decode($"mp4"))
+        .agg(
+          count(lit(1)).as("n_mp4"),
+          sum($"a.duration_ms").as("sum_dur_ms"),
+          sum($"a.n_tracks").cast("long").as("sum_tracks"),
+          sum(when(array_contains($"a.handlers", "soun"), 1L).otherwise(0L))
+            .as("n_with_audio"),
+          max($"a.timescale").cast("long").as("max_timescale"))
+      val t = s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$tdir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "pth")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.pth.decode($"pth"))
+        .agg(
+          count(lit(1)).as("n_pth"),
+          sum($"a.n_entries").cast("long").as("sum_entries"),
+          sum($"a.total_bytes").as("sum_bytes"),
+          sum(when(array_contains($"a.names", "archive/version"), 1L)
+            .otherwise(0L)).as("n_versioned"))
+      v.crossJoin(t)
     }),
 
     // Streaming re-shard round-trip — the continuous pipeline ON the
@@ -3549,6 +3695,25 @@ object SourceQueries extends QueryPack {
            |  (SELECT CAST(sum(sr) AS BIGINT) FROM f) AS sum_rates,
            |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 0) AS BIGINT) FROM f)
            |    AS n_mono""".stripMargin,
+
+      // mp4 fixture: timescale 1000, duration 5000+id*13 units (so ms
+      // = units), 1+id%2 tracks with audio on odd ids; pth fixture:
+      // 3 entries of 10+id%7, id%50, and 2 uncompressed bytes
+      "qc6_container_meta" ->
+        s"""WITH ids AS (SELECT unnest(generate_series(0,
+           |    ${NpyShards * NpySamplesPerShard - 1})) AS id)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_mp4,
+           |  (SELECT CAST(sum(5000 + id * 13) AS BIGINT) FROM ids) AS sum_dur_ms,
+           |  (SELECT CAST(sum(1 + id % 2) AS BIGINT) FROM ids) AS sum_tracks,
+           |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 1) AS BIGINT) FROM ids)
+           |    AS n_with_audio,
+           |  CAST(1000 AS BIGINT) AS max_timescale,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_pth,
+           |  (SELECT CAST(count(*) * 3 AS BIGINT) FROM ids) AS sum_entries,
+           |  (SELECT CAST(sum(12 + id % 7 + id % 50) AS BIGINT) FROM ids)
+           |    AS sum_bytes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_versioned""".stripMargin,
 
       // y4m fixture: clip id has 2+id%3 frames of 4x2 mono luma; pixel
       // p of frame f = (id*5 + f*11 + p*3) % 256; sampling keeps even f

@@ -5,7 +5,7 @@ import java.io.ByteArrayOutputStream
 import org.scalacheck.{Gen, Prop}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{AudioMetaCodec, ImageCodec, NpyCodec, VideoCodec, WavCodec}
+import graft.functions.{AudioMetaCodec, ContainerMetaCodec, ImageCodec, NpyCodec, VideoCodec, WavCodec}
 
 /** Fuzz coverage for the binary decoders' malformed-payload contract:
   * strict APIs may only fail with a catchable Exception (never a fatal
@@ -86,6 +86,32 @@ class CodecFuzzSpec extends AnyFunSuite {
     bos.write(((ns >> 24) & 0xff).toInt); bos.write(((ns >> 16) & 0xff).toInt)
     bos.write(((ns >> 8) & 0xff).toInt); bos.write((ns & 0xff).toInt)
     (0 until 16).foreach(_ => bos.write(0))
+    bos.toByteArray
+  }
+
+  private def mp4Valid: Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val mvhd = box("mvhd", java.nio.ByteBuffer.allocate(24)
+      .putInt(0).putInt(0).putInt(0).putInt(1000).putInt(7000).array())
+    val hdlr = box("hdlr", java.nio.ByteBuffer.allocate(13)
+      .putInt(0).putInt(0).put("vide".getBytes("ISO-8859-1"))
+      .put(0.toByte).array())
+    box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ box("trak", box("mdia", hdlr)))
+  }
+
+  private def pthValid: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq("archive/data.pkl" -> Array.fill[Byte](10)(7),
+      "archive/data/0" -> Array.fill[Byte](20)(3)).foreach { case (n, b) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(b); z.closeEntry()
+    }
+    z.close()
     bos.toByteArray
   }
 
@@ -200,6 +226,33 @@ class CodecFuzzSpec extends AnyFunSuite {
       AudioMetaCodec.decodeFlacMeta("OggS0000".getBytes("ASCII")))
   }
 
+  test("mp4 metadata decode survives mutants and garbage") {
+    val m = ContainerMetaCodec.decodeMp4Meta(mp4Valid)
+    assert(m.timescale == 1000 && m.duration_ms == 7000L &&
+      m.n_tracks == 1 && m.handlers == Seq("vide"))
+    fuzz(mp4Valid, ContainerMetaCodec.decodeMp4Meta)
+  }
+
+  test("pth listing survives mutants and garbage") {
+    val p = ContainerMetaCodec.decodePthMeta(pthValid)
+    assert(p.n_entries == 2 && p.total_bytes == 30L &&
+      p.names == Seq("archive/data.pkl", "archive/data/0"))
+    fuzz(pthValid, ContainerMetaCodec.decodePthMeta)
+  }
+
+  test("mp4 hostile box sizes throw, never loop or over-allocate") {
+    // size 0 on an inner box means "to end of window" and must not
+    // loop; a size smaller than the header must throw
+    val tiny = java.nio.ByteBuffer.allocate(16)
+      .putInt(3).put("moov".getBytes("ISO-8859-1")).putInt(0).putInt(0).array()
+    intercept[IllegalArgumentException](ContainerMetaCodec.decodeMp4Meta(tiny))
+    // a box claiming 2 GB on a small payload throws bounds, not OOM
+    val huge = java.nio.ByteBuffer.allocate(16)
+      .putInt(Int.MaxValue).put("moov".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).array()
+    intercept[IllegalArgumentException](ContainerMetaCodec.decodeMp4Meta(huge))
+  }
+
   test("image decode survives mutants and garbage") {
     assert(ImageCodec.decodeAs("rgb8", pngValid).isDefined)
     fuzz(pngValid, ImageCodec.decodeAs("rgb8", _))
@@ -259,11 +312,13 @@ class CodecFuzzSpec extends AnyFunSuite {
       VideoCodec.sampleLumaFramesUdf(1)($"payload").as("luma"),
       ImageCodec.decodeUdf("rgb8")($"payload").as("img"),
       AudioMetaCodec.decodeMp3MetaUdf($"payload").as("mp3"),
-      AudioMetaCodec.decodeFlacMetaUdf($"payload").as("flac"))
+      AudioMetaCodec.decodeFlacMetaUdf($"payload").as("flac"),
+      ContainerMetaCodec.decodeMp4MetaUdf($"payload").as("mp4"),
+      ContainerMetaCodec.decodePthMetaUdf($"payload").as("pth"))
       .collect()
     assert(out.length == 2)
     out.foreach { r =>
-      Seq(1, 3, 4, 5, 6, 7, 8).foreach(i =>
+      Seq(1, 3, 4, 5, 6, 7, 8, 9, 10).foreach(i =>
         assert(r.isNullAt(i), s"${r.getString(0)} col $i should be null"))
       // npz: a non-zip payload yields no entries (empty map), a corrupt
       // inner npy nulls — both are "nothing decoded", never a throw
