@@ -179,6 +179,79 @@ object AudioMetaCodec {
     found
   }
 
+  final case class OggMeta(codec: String, sample_rate: Int, channels: Int,
+      n_samples: Long, duration_ms: Long)
+
+  /** Strict OGG container parse (Vorbis and Opus): the page walk is
+    * pure header arithmetic (capture pattern + segment-table lacing);
+    * the codec id header rides the first (BOS) page, and the stream's
+    * total length is the LAST page's granule position — PCM samples
+    * for Vorbis, 48 kHz samples net of pre-skip for Opus. CRCs are not
+    * verified (metadata tier, not an integrity checker).
+    */
+  def decodeOggMeta(bytes: Array[Byte]): OggMeta = {
+    require(bytes != null && bytes.length >= 28, "ogg: empty payload")
+    var off = 0
+    var first = true
+    var codec = ""
+    var rate = -1
+    var channels = -1
+    var preskip = 0
+    var lastGranule = -1L
+    while (off < bytes.length) {
+      require(off + 27 <= bytes.length, s"ogg: truncated page header at $off")
+      require(bytes(off) == 'O' && bytes(off + 1) == 'g' &&
+        bytes(off + 2) == 'g' && bytes(off + 3) == 'S',
+        s"ogg: lost page capture at $off")
+      require(bytes(off + 4) == 0, "ogg: unsupported page version")
+      var granule = 0L
+      var i = 7
+      while (i >= 0) { granule = (granule << 8) | u(bytes(off + 6 + i)); i -= 1 }
+      val nsegs = u(bytes(off + 26))
+      require(off + 27 + nsegs <= bytes.length, "ogg: truncated segment table")
+      var payloadLen = 0
+      (0 until nsegs).foreach(k => payloadLen += u(bytes(off + 27 + k)))
+      val payloadStart = off + 27 + nsegs
+      require(payloadStart + payloadLen <= bytes.length,
+        s"ogg: page payload overruns member at $off")
+      if (first) {
+        if (payloadLen >= 30 && bytes(payloadStart) == 0x01 &&
+          new String(bytes, payloadStart + 1, 6, "ISO-8859-1") == "vorbis") {
+          codec = "vorbis"
+          channels = u(bytes(payloadStart + 11)).toInt
+          rate = (u(bytes(payloadStart + 12)) | (u(bytes(payloadStart + 13)) << 8) |
+            (u(bytes(payloadStart + 14)) << 16) | (u(bytes(payloadStart + 15)) << 24)).toInt
+        } else if (payloadLen >= 19 &&
+          new String(bytes, payloadStart, 8, "ISO-8859-1") == "OpusHead") {
+          codec = "opus"
+          channels = u(bytes(payloadStart + 9)).toInt
+          preskip = (u(bytes(payloadStart + 10)) | (u(bytes(payloadStart + 11)) << 8)).toInt
+          rate = 48000 // opus granules are always 48 kHz
+        } else throw new IllegalArgumentException(
+          "ogg: first page carries neither a vorbis nor an opus id header")
+        first = false
+      }
+      if (granule >= 0) lastGranule = granule
+      off = payloadStart + payloadLen
+    }
+    require(lastGranule >= 0, "ogg: no page carries a granule position")
+    require(rate > 0 && channels > 0, s"ogg: bad id header (rate $rate)")
+    val n = if (codec == "opus") lastGranule - preskip else lastGranule
+    require(n >= 0, "ogg: pre-skip exceeds stream length")
+    OggMeta(codec, rate, channels, n, n * 1000L / rate)
+  }
+
+  /** `binary => struct(codec, sample_rate, channels, n_samples,
+    * duration_ms)`, null for undecodable.
+    */
+  val decodeOggMetaUdf: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else scala.util.Try(decodeOggMeta(bytes)).toOption
+    }
+    c => f(c)
+  }
+
   /** `binary => struct(version, layer, sample_rate, channels, n_frames,
     * n_samples, duration_ms, bitrate_kbps)`, null for undecodable.
     */

@@ -68,14 +68,15 @@ object Decoders {
   val wav: Decoder = Decoder("wav", c => graft.functions.WavCodec.decodeWavUdf(c))
 
   /** Compressed-audio METADATA (duration / sample rate / channels /
-    * sample counts from frame headers, payload bytes untouched —
-    * [[graft.functions.AudioMetaCodec]]); ogg stays binary unless
-    * user-registered.
+    * sample counts from frame headers and container pages, payload
+    * bytes untouched — [[graft.functions.AudioMetaCodec]]).
     */
   val mp3: Decoder = Decoder("mp3_meta",
     c => graft.functions.AudioMetaCodec.decodeMp3MetaUdf(c))
   val flac: Decoder = Decoder("flac_meta",
     c => graft.functions.AudioMetaCodec.decodeFlacMetaUdf(c))
+  val ogg: Decoder = Decoder("ogg_meta",
+    c => graft.functions.AudioMetaCodec.decodeOggMetaUdf(c))
 
   /** ISO-BMFF video METADATA (timescale/duration/track handlers from
     * the moov box walk) and torch-checkpoint ZIP listings (entry names
@@ -117,6 +118,9 @@ object Decoders {
       "wav" -> wav,
       "mp3" -> mp3,
       "flac" -> flac,
+      "ogg" -> ogg,
+      "oga" -> ogg,
+      "opus" -> ogg,
       "mp4" -> mp4,
       "m4a" -> mp4,
       "mov" -> mp4,

@@ -337,6 +337,68 @@ object SourceQueries extends QueryPack {
     dir.toString
   }
 
+  /** OGG shard fixture: a BOS page carrying the codec id header
+    * (Vorbis for even ids, Opus for odd — both per the published
+    * layouts) and an EOS page whose granule position ends the stream:
+    * Vorbis granule = PCM samples `2000 + id*11` at rate
+    * `8000 + (id%3)*4000`; Opus granule = 48 kHz samples
+    * `2000 + id*11` plus the 312-sample pre-skip. CRCs zero (the
+    * metadata walk does not verify them).
+    */
+  private def oggBytes(id: Int): Array[Byte] = {
+    def page(headerType: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255)
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("ASCII")).put(0.toByte).put(headerType.toByte)
+      bb.putLong(granule).putInt(77).putInt(seq).putInt(0) // serial, seq, crc 0
+      bb.put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val n = 2000L + id * 11L
+    if (id % 2 == 0) {
+      val rate = 8000 + (id % 3) * 4000
+      val idh = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      idh.put(0x01.toByte).put("vorbis".getBytes("ASCII"))
+      idh.putInt(0).put(1.toByte).putInt(rate)
+      idh.putInt(0).putInt(0).putInt(0) // bitrates
+      idh.put(0xb8.toByte).put(1.toByte) // blocksizes, framing
+      page(0x02, -1L, 0, idh.array()) ++
+        page(0x04, n, 1, Array.tabulate[Byte](20)(k => (id + k).toByte))
+    } else {
+      val idh = java.nio.ByteBuffer.allocate(19)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      idh.put("OpusHead".getBytes("ASCII")).put(1.toByte).put(2.toByte)
+      idh.putShort(312.toShort).putInt(48000).putShort(0).put(0.toByte)
+      page(0x02, -1L, 0, idh.array()) ++
+        page(0x04, n + 312L, 1, Array.tabulate[Byte](20)(k => (id * 3 + k).toByte))
+    }
+  }
+
+  private lazy val oggFixtureDir: String = synchronized {
+    val dir = Paths.get("target", "bench-ogg-tars").toAbsolutePath
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      (0 until NpyShards).foreach { s =>
+        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+        val out = new TarArchiveOutputStream(new FileOutputStream(f))
+        (0 until NpySamplesPerShard).foreach { i =>
+          val id = s * NpySamplesPerShard + i
+          val bytes = oggBytes(id)
+          val e = new TarArchiveEntry(f"o$id%08d.ogg")
+          e.setSize(bytes.length.toLong)
+          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+        }
+        out.close()
+      }
+      Files.createFile(marker)
+    }
+    dir.toString
+  }
+
   /** ISO-BMFF (mp4) shard fixture: ftyp + moov(mvhd + traks(mdia/hdlr))
     * per the published box layout — timescale 1000, duration
     * `5000 + id*13` units, `1 + id%2` tracks (`vide`, then `soun` when
@@ -1758,6 +1820,30 @@ object SourceQueries extends QueryPack {
           sum($"a.sample_rate").cast("long").as("sum_rates"),
           sum(when($"a.channels" === 1, 1L).otherwise(0L)).as("n_mono"))
       m.crossJoin(f)
+    }),
+
+    // OGG container METADATA through the pipeline: page walk (capture
+    // pattern + segment-table lacing) to the last granule position,
+    // codec id header off the BOS page — Vorbis (PCM samples at the
+    // declared rate) and Opus (48 kHz granules net of pre-skip) mixed
+    // by id parity. The hash pins codec split, sample sums, and
+    // integer-division durations, so a lacing error, a granule
+    // byte-order slip, or a pre-skip miss breaks it.
+    "qc7_ogg_meta" -> ((s, _) => {
+      import s.implicits._
+      val dir = oggFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "ogg")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.ogg.decode($"ogg"))
+        .agg(
+          count(lit(1)).as("n_ogg"),
+          sum(when($"a.codec" === "opus", 1L).otherwise(0L)).as("n_opus"),
+          sum($"a.n_samples").as("sum_samples"),
+          sum($"a.duration_ms").as("sum_ms"),
+          sum($"a.sample_rate").cast("long").as("sum_rates"),
+          max($"a.channels").cast("long").as("max_channels"))
     }),
 
     // Container METADATA through the pipeline: ISO-BMFF box walks
@@ -3695,6 +3781,23 @@ object SourceQueries extends QueryPack {
            |  (SELECT CAST(sum(sr) AS BIGINT) FROM f) AS sum_rates,
            |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 0) AS BIGINT) FROM f)
            |    AS n_mono""".stripMargin,
+
+      // ogg fixture: even ids vorbis (rate 8000+(id%3)*4000, mono),
+      // odd ids opus (48 kHz effective, stereo); samples 2000+id*11
+      "qc7_ogg_meta" ->
+        s"""WITH ids AS (SELECT unnest(generate_series(0,
+           |    ${NpyShards * NpySamplesPerShard - 1})) AS id),
+           |o AS (SELECT id, 2000 + id * 11 AS ns,
+           |       CASE WHEN id % 2 = 0 THEN 8000 + (id % 3) * 4000
+           |            ELSE 48000 END AS sr FROM ids)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_ogg,
+           |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 1) AS BIGINT) FROM o)
+           |    AS n_opus,
+           |  (SELECT CAST(sum(ns) AS BIGINT) FROM o) AS sum_samples,
+           |  (SELECT CAST(sum((ns * 1000) // sr) AS BIGINT) FROM o) AS sum_ms,
+           |  (SELECT CAST(sum(sr) AS BIGINT) FROM o) AS sum_rates,
+           |  CAST(2 AS BIGINT) AS max_channels""".stripMargin,
 
       // mp4 fixture: timescale 1000, duration 5000+id*13 units (so ms
       // = units), 1+id%2 tracks with audio on odd ids; pth fixture:

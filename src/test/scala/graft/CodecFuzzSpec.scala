@@ -89,6 +89,24 @@ class CodecFuzzSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  private def oggValid: Array[Byte] = {
+    def page(headerType: Int, granule: Long, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("ASCII")).put(0.toByte).put(headerType.toByte)
+      bb.putLong(granule).putInt(1).putInt(0).putInt(0)
+      bb.put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val idh = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    idh.put(0x01.toByte).put("vorbis".getBytes("ASCII"))
+    idh.putInt(0).put(1.toByte).putInt(16000)
+    idh.putInt(0).putInt(0).putInt(0)
+    idh.put(0xb8.toByte).put(1.toByte)
+    page(0x02, -1L, idh.array()) ++ page(0x04, 32000L, Array.fill[Byte](10)(5))
+  }
+
   private def mp4Valid: Array[Byte] = {
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
@@ -224,6 +242,13 @@ class CodecFuzzSpec extends AnyFunSuite {
     assert(AudioMetaCodec.decodeFlacMeta(withPad).n_samples == 48000L)
     intercept[IllegalArgumentException](
       AudioMetaCodec.decodeFlacMeta("OggS0000".getBytes("ASCII")))
+  }
+
+  test("ogg metadata decode survives mutants and garbage") {
+    val m = AudioMetaCodec.decodeOggMeta(oggValid)
+    assert(m.codec == "vorbis" && m.sample_rate == 16000 &&
+      m.channels == 1 && m.n_samples == 32000L && m.duration_ms == 2000L)
+    fuzz(oggValid, AudioMetaCodec.decodeOggMeta)
   }
 
   test("mp4 metadata decode survives mutants and garbage") {
