@@ -2724,6 +2724,42 @@ object SourceQueries extends QueryPack {
           $"sum_cust")
     }),
 
+    // Tags — Iceberg refs on the manifest log: immutable named
+    // pointers pin versions ('baseline' before a mutation wave,
+    // 'clean' after), reads route through them by name, and retention
+    // REFUSES to expire at or above the oldest tag (keepLast=1 would
+    // have dropped v1-v2; the baseline tag keeps the whole history).
+    // The hash pins both tagged snapshots' content AND the zero-expiry
+    // accounting, so a mis-pinned tag, a tag lost to a racing publish,
+    // or retention ignoring refs all break it.
+    "qc8_snapshot_tags" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snaptags-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.createTag(s, t, "baseline")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), t, "append",
+        Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      SnapshotLog.deleteWhere(s, t, "o_orderkey", 0L, mx / 2, Seq("o_orderkey"))
+      SnapshotLog.createTag(s, t, "clean")
+      val (expired, _) = SnapshotLog.expireVersions(s, t, 1)
+      val base = SnapshotLog.readTag(s, t, "baseline")
+        .agg(count(lit(1)).as("baseline_rows"),
+          sum($"o_orderkey").as("baseline_sum"))
+      val clean = SnapshotLog.readTag(s, t, "clean")
+        .agg(count(lit(1)).as("clean_rows"),
+          sum($"o_orderkey").as("clean_sum"))
+      base.crossJoin(clean)
+        .withColumn("n_tags", lit(SnapshotLog.tags(s, t).size.toLong))
+        .withColumn("n_expired", lit(expired.size.toLong))
+        .select($"n_tags", $"n_expired", $"baseline_rows", $"baseline_sum",
+          $"clean_rows", $"clean_sum")
+    }),
+
     // SQL DML over a registered snapshot view — the write half of the
     // SQL surface: DELETE (CoW range delete), INSERT INTO..SELECT (an
     // append commit), MERGE upsert (exact-interval file
@@ -3164,6 +3200,21 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           |FROM orders""".stripMargin,
+
+      // baseline = even keys; clean = everything above max//2 after
+      // the full corpus landed; retention expired nothing (tag guard)
+      "qc8_snapshot_tags" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+          |SELECT CAST(2 AS BIGINT) AS n_tags,
+          |  CAST(0 AS BIGINT) AS n_expired,
+          |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          |    AS baseline_rows,
+          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+          |   WHERE o_orderkey % 2 = 0) AS baseline_sum,
+          |  (SELECT count(*) FROM orders, mx WHERE o_orderkey > m // 2)
+          |    AS clean_rows,
+          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, mx
+          |   WHERE o_orderkey > m // 2) AS clean_sum""".stripMargin,
 
       // the four DML statements replayed relationally: survivors of the
       // range delete, the formulaic insert with even keys upserted (key

@@ -583,7 +583,11 @@ object SnapshotLog {
       latest: Long, cutoff0: Long): (Seq[Long], Seq[String]) = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    var safe = cutoff0
+    // tagged versions are retention-protected (Iceberg ref semantics):
+    // retention is suffix-contiguous, so the OLDEST tag bounds how far
+    // expiry may reach — everything at or above it survives
+    val tagged = tags(spark, table).values
+    var safe = if (tagged.isEmpty) cutoff0 else math.min(cutoff0, tagged.min)
     while (safe > 1 && readRaw(fs, tbl, safe).full.isEmpty) safe -= 1
     if (safe <= 1) return (Nil, Nil)
     val expired = (1L until safe).filter(v => fs.exists(manifestPath(tbl, v)))
@@ -1057,6 +1061,120 @@ object SnapshotLog {
 
   def dropConstraint(spark: SparkSession, table: String, name: String): Unit =
     writeConstraints(spark, table, constraints(spark, table) - name)
+
+  // ---- Tags: named immutable version pointers (Iceberg refs) -----------
+
+  private val TagsVerRe = """_tags\.v(\d+)\.json""".r
+
+  private def latestTagsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] = {
+    val versioned = fs.globStatus(new Path(logDir(tbl), "_tags.v*.json"))
+    val cands = (if (versioned == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+                 else versioned).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case TagsVerRe(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    if (cands.isEmpty) None else Some(cands.maxBy(_._1))
+  }
+
+  /** Current tag map (name → pinned version). */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    latestTagsFile(fs, tbl) match {
+      case None => Map.empty
+      case Some((_, p)) =>
+        val in = fs.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        mapper.readValue(new String(bytes, "UTF-8"),
+            classOf[java.util.Map[String, Object]])
+          .asScala.map { case (k, v) =>
+            k -> v.asInstanceOf[Number].longValue() }.toMap
+    }
+  }
+
+  /** CAS publish of the tag map at generation `gen`+1: the fresh-name
+    * rename makes a racing tag writer's publish fail ours (or vice
+    * versa), and the caller RE-READS and re-merges before retrying —
+    * so concurrent createTag/deleteTag on different names both
+    * survive, unlike a blind last-writer-wins overwrite.
+    */
+  private def casWriteTags(fs: FileSystem, tbl: Path,
+      m: Map[String, Long], gen: Long): Boolean = {
+    fs.mkdirs(logDir(tbl))
+    val root = new JLinkedHashMap[String, Object]()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      root.put(k, java.lang.Long.valueOf(v)) }
+    val dest = new Path(logDir(tbl), f"_tags.v${gen + 1}%05d.json")
+    val tmp = new Path(logDir(tbl),
+      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.exists(dest) && fs.rename(tmp, dest)) {
+      val prev = f"_tags.v$gen%05d.json"
+      val stale = fs.globStatus(new Path(logDir(tbl), "_tags.v*.json"))
+      if (stale != null) stale.foreach { st =>
+        if (st.getPath.getName < prev)
+          try fs.delete(st.getPath, false) catch { case _: Exception => () }
+      }
+      true
+    } else { fs.delete(tmp, false); false }
+  }
+
+  /** Pin `name` to `version` (default: latest) — an IMMUTABLE ref:
+    * re-creating an existing name refuses (delete first to re-point,
+    * the Iceberg tag discipline). The tagged version must resolve.
+    * Returns the pinned version. Tagged versions are protected from
+    * [[expireVersions]]/[[expireOlderThan]]: retention never expires
+    * at or above the oldest tag.
+    */
+  def createTag(spark: SparkSession, table: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    var attempts = 0
+    while (attempts < 16) {
+      val cur = tags(spark, table)
+      require(!cur.contains(name),
+        s"tag '$name' already exists (at v${cur(name)}) — tags are immutable")
+      val v = version.orElse(latestVersion(spark, table)).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      manifest(spark, table, v) // must resolve — no dangling tags
+      val gen = latestTagsFile(fs, tbl).map(_._1).getOrElse(0L)
+      if (casWriteTags(fs, tbl, cur + (name -> v), gen)) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not publish tag '$name' after 16 attempts")
+  }
+
+  def deleteTag(spark: SparkSession, table: String, name: String): Unit = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    var attempts = 0
+    while (attempts < 16) {
+      val cur = tags(spark, table)
+      require(cur.contains(name), s"no tag '$name' on $table")
+      val gen = latestTagsFile(fs, tbl).map(_._1).getOrElse(0L)
+      if (casWriteTags(fs, tbl, cur - name, gen)) return
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not delete tag '$name' after 16 attempts")
+  }
+
+  /** The table at a tagged version — `VERSION AS OF '<tag>'`. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val m = tags(spark, table)
+    require(m.contains(name),
+      s"no tag '$name' on $table (tags: ${m.keys.toSeq.sorted.mkString(", ")})")
+    read(spark, table, Some(m(name)))
+  }
 
   private val ConstraintErrMarker = "GRAFT_CONSTRAINT_VIOLATION: "
 

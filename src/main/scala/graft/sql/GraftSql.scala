@@ -205,6 +205,18 @@ object GraftSql {
     v
   }
 
+  /** Register a snapshot view pinned to a TAG — `VERSION AS OF '<tag>'`
+    * for SQL users; resolves the tag at registration time.
+    */
+  def registerSnapshotTag(spark: SparkSession, name: String, table: String,
+      tag: String): Unit = {
+    graft.sources.snapshot.SnapshotLog.readTag(spark, table, tag)
+      .createOrReplaceTempView(name)
+    snapshotReg.put((spark, name.toLowerCase),
+      (table, snapshotReg.getOrDefault((spark, name.toLowerCase),
+        (table, Nil))._2))
+  }
+
   /** The snapshot table's file manifest as `<name>` — the Iceberg
     * `table.files` metadata view for SQL users (per-file rows, bytes,
     * DV presence, min/max/nulls for `cols`); metadata-only.

@@ -465,6 +465,44 @@ class SnapshotLogSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("tags pin versions immutably, survive races, and guard retention") {
+    val t = freshTable("tags")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    SnapshotLog.commit(df(10, 30), t, "append", Seq("id"))
+    assert(SnapshotLog.createTag(s, t, "v1-tag", Some(1L)) == 1L)
+    assert(SnapshotLog.createTag(s, t, "latest-tag") == 2L) // default: latest
+    assert(SnapshotLog.readTag(s, t, "v1-tag").count() == 10)
+    assert(SnapshotLog.readTag(s, t, "latest-tag").count() == 30)
+    // immutable: re-creating refuses; dangling version refuses
+    intercept[IllegalArgumentException] {
+      SnapshotLog.createTag(s, t, "v1-tag", Some(2L))
+    }
+    intercept[Exception] { SnapshotLog.createTag(s, t, "dangling", Some(99L)) }
+    intercept[IllegalArgumentException] { SnapshotLog.readTag(s, t, "nope") }
+    // retention: keepLast=1 would expire v1, but the tag holds it
+    SnapshotLog.commit(df(30, 40), t, "append", Seq("id"))
+    assert(SnapshotLog.expireVersions(s, t, 1)._1.isEmpty)
+    assert(SnapshotLog.readTag(s, t, "v1-tag").count() == 10)
+    // deleting the tag releases the guard
+    SnapshotLog.deleteTag(s, t, "v1-tag")
+    SnapshotLog.deleteTag(s, t, "latest-tag")
+    intercept[IllegalArgumentException] { SnapshotLog.deleteTag(s, t, "v1-tag") }
+    // concurrent tag creation on DIFFERENT names: both survive (the
+    // CAS re-read/re-merge, not last-writer-wins)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      val calls: Seq[java.util.concurrent.Callable[Long]] =
+        (0 until 8).map { i =>
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = SnapshotLog.createTag(s, t, s"race-$i", Some(1L + i % 3))
+          }
+        }
+      pool.invokeAll(calls.asJava).asScala.foreach(_.get())
+      assert(SnapshotLog.tags(s, t).keySet == (0 until 8).map(i => s"race-$i").toSet)
+    } finally pool.shutdown()
+  }
+
   test("clustered compaction makes range pruning effective") {
     val t = freshTable("cluster")
     // 4 commits of interleaved ids (id % 4 == b): every file spans the
