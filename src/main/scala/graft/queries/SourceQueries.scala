@@ -2724,6 +2724,43 @@ object SourceQueries extends QueryPack {
           $"sum_cust")
     }),
 
+    // Branches — write-audit-publish on the manifest log: the odd half
+    // of the corpus loads onto a zero-copy fork (parent files shared by
+    // reference, no data movement), an audit delete scrubs the low keys
+    // ON THE BRANCH while main still serves the original evens, and one
+    // metadata-only fast-forward publishes the audited state. The hash
+    // pins main's content before AND after the publish plus the version
+    // accounting, so a leaked branch write, a lost parent reference, or
+    // a fast-forward that moves data instead of metadata all break it.
+    "qc9_snapshot_branch" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapbranch-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      val bt = SnapshotLog.createBranch(s, t, "load")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), bt, "append",
+        Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      SnapshotLog.deleteWhere(s, bt, "o_orderkey", 0L, mx / 2, Seq("o_orderkey"))
+      // audit gate: main must still be the untouched even half here
+      val mainBefore = SnapshotLog.read(s, t)
+        .agg(count(lit(1)).as("main_rows_before")).head.getLong(0)
+      SnapshotLog.fastForward(s, t, "load")
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("main_rows"),
+        sum($"o_orderkey").as("main_sum"))
+        .withColumn("main_rows_before", lit(mainBefore))
+        .withColumn("n_versions",
+          lit(SnapshotLog.latestVersion(s, t).get))
+        .withColumn("n_branches",
+          lit(SnapshotLog.listBranches(s, t).size.toLong))
+        .select($"main_rows_before", $"main_rows", $"main_sum",
+          $"n_versions", $"n_branches")
+    }),
+
     // Tags — Iceberg refs on the manifest log: immutable named
     // pointers pin versions ('baseline' before a mutation wave,
     // 'clean' after), reads route through them by name, and retention
@@ -3200,6 +3237,20 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           |FROM orders""".stripMargin,
+
+      // main before publish = even half; after = full corpus minus the
+      // audited low-key delete; versions: base + fast-forward = 2
+      "qc9_snapshot_branch" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+          |SELECT
+          |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          |    AS main_rows_before,
+          |  (SELECT count(*) FROM orders, mx WHERE o_orderkey > m // 2)
+          |    AS main_rows,
+          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, mx
+          |   WHERE o_orderkey > m // 2) AS main_sum,
+          |  CAST(2 AS BIGINT) AS n_versions,
+          |  CAST(1 AS BIGINT) AS n_branches""".stripMargin,
 
       // baseline = even keys; clean = everything above max//2 after
       // the full corpus landed; retention expired nothing (tag guard)

@@ -507,10 +507,12 @@ object SnapshotLog {
         case _: java.io.FileNotFoundException => None // expired manifest
       }
     }
-    val referenced = manifests.flatMap(_.files.map(_.path)).toSet
+    val br = branchReferences(spark, tbl, fs)
+    val referenced = manifests.flatMap(_.files.map(_.path)).toSet ++ br._1
     // a referenced DV directory is kept whole — its contents are
     // addressed collectively by the DvRefs that share it
-    val referencedDvDirs = manifests.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
+    val referencedDvDirs =
+      manifests.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet ++ br._2
     val dataRoot = new Path(tbl, "data")
     if (!fs.exists(dataRoot)) return Nil
     val orphans = fs.listStatus(dataRoot).flatMap { d =>
@@ -592,8 +594,10 @@ object SnapshotLog {
     if (safe <= 1) return (Nil, Nil)
     val expired = (1L until safe).filter(v => fs.exists(manifestPath(tbl, v)))
     val surviving = (safe to latest).map(v => readManifest(fs, tbl, v))
-    val referenced = surviving.flatMap(_.files.map(_.path)).toSet
-    val refDvDirs = surviving.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
+    val br = branchReferences(spark, tbl, fs)
+    val referenced = surviving.flatMap(_.files.map(_.path)).toSet ++ br._1
+    val refDvDirs =
+      surviving.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet ++ br._2
     expired.foreach(v => fs.delete(manifestPath(tbl, v), false))
     val dataRoot = new Path(tbl, "data")
     val deleted =
@@ -751,13 +755,13 @@ object SnapshotLog {
           }
         full.unpersist()
         val entries = maskCand.map { f =>
-          counts.get(f.path) match {
+          counts.get(relKey(f.path)) match {
             case Some(n) => f.copy(dv = Some(DvRef(rel.get, n)))
             case None => f // no old mask, no new match: entry unchanged
           }
         }
         val newly = maskCand.map(f =>
-          counts.getOrElse(f.path, 0L) - f.dv.map(_.rows).getOrElse(0L)).sum
+          counts.getOrElse(relKey(f.path), 0L) - f.dv.map(_.rows).getOrElse(0L)).sum
         (entries, newly, rel)
       }
     val droppedLive = dropped.map(liveRows).sum
@@ -1174,6 +1178,140 @@ object SnapshotLog {
     require(m.contains(name),
       s"no tag '$name' on $table (tags: ${m.keys.toSeq.sorted.mkString(", ")})")
     read(spark, table, Some(m(name)))
+  }
+
+  // ---- Branches: isolated writable forks (write-audit-publish) ---------
+
+  private val BranchOpRe = """branch:(\d+)""".r
+
+  /** The branch's own table path — a full snapshot table under
+    * `<root>/_branches/<name>` that EVERY SnapshotLog API accepts
+    * (commit, read, upsert, constraints, tags, compact, ...).
+    */
+  def branchPath(table: String, name: String): String =
+    new Path(new Path(table), s"_branches/$name").toString
+
+  def listBranches(spark: SparkSession, table: String): Seq[String] = {
+    val broot = new Path(new Path(table), "_branches")
+    val fs = fsOf(spark, new Path(table))
+    if (!fs.exists(broot)) Nil
+    else fs.listStatus(broot).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Fork `table` at `fromVersion` (default latest) into a writable
+    * BRANCH — the Iceberg write-audit-publish workflow: load lands on
+    * the branch, audits (constraints, dedup checks, eval
+    * decontamination) run against branch reads, and only
+    * [[fastForward]] makes it visible on main. Branch v1 shares the
+    * parent's files by REFERENCE (`__parent__/` marker — zero data
+    * movement, zero copies); branch writes land under the branch's own
+    * data dir. Root vacuum/expiry treat branch-referenced files as
+    * live, so a fork can never be hollowed out underneath. Nested
+    * branches (a branch of a branch) refuse.
+    *
+    * Returns the branch's table path.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String,
+      fromVersion: Option[Long] = None): String = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"branch name must be [A-Za-z0-9._-]+, got '$name'")
+    require(!table.replace('\\', '/').contains("/_branches/"),
+      "nested branches are not supported — branch from the root table")
+    val v = fromVersion.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v)
+    val bt = branchPath(table, name)
+    require(latestVersion(spark, bt).isEmpty, s"branch '$name' already exists")
+    val files = m.files.map(f => f.copy(path = ParentPrefix + f.path,
+      dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path))))
+    // op records the fork base — fastForward's no-main-advance check
+    publish(fsOf(spark, new Path(bt)), new Path(bt),
+      Manifest(1L, 0L, s"branch:$v", m.schemaDdl, files))
+    bt
+  }
+
+  /** Publish the branch's latest state as main's next version — the
+    * WAP "publish" step, metadata-only (one manifest write, no data
+    * movement). Requires main unchanged since the fork (base version
+    * still latest); otherwise the branch must re-fork and replay.
+    * Parent-referenced files return to their root-relative form;
+    * branch-written files publish under their `_branches/<name>/`
+    * location (a later root [[compact]] migrates them into root data,
+    * after which [[dropBranch]] can reclaim the fork).
+    */
+  def fastForward(spark: SparkSession, table: String, name: String): Long = {
+    val bt = branchPath(table, name)
+    val bv = latestVersion(spark, bt).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    val base = manifest(spark, bt, 1L).op match {
+      case BranchOpRe(b) => b.toLong
+      case other => throw new IllegalStateException(
+        s"branch '$name' v1 op '$other' carries no fork base")
+    }
+    val rootLatest = latestVersion(spark, table).getOrElse(0L)
+    require(rootLatest == base,
+      s"main advanced since branch '$name' forked (base v$base, main " +
+        s"v$rootLatest) — create a fresh branch and replay the changes")
+    val bm = manifest(spark, bt, bv)
+    def norm(p: String) =
+      if (p.startsWith(ParentPrefix)) p.substring(ParentPrefix.length)
+      else s"_branches/$name/$p"
+    val files = bm.files.map(f => f.copy(path = norm(f.path),
+      dv = f.dv.map(d => d.copy(path = norm(d.path)))))
+    val v = rootLatest + 1
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, rootLatest, "fast-forward", bm.schemaDdl, files))
+    v
+  }
+
+  /** Delete a branch directory whole. Refuses while any readable main
+    * version still references branch-local files (a fast-forwarded
+    * branch whose data a root [[compact]] has not yet migrated).
+    */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val bt = new Path(tbl, s"_branches/$name")
+    require(fs.exists(bt), s"no branch '$name' on $table")
+    val marker = s"_branches/$name/"
+    latestVersion(spark, table).foreach { lv =>
+      (1L to lv).foreach { v =>
+        val m =
+          try Some(manifest(spark, table, v))
+          catch { case _: java.io.FileNotFoundException => None } // expired
+        m.foreach(_.files.foreach { f =>
+          require(!f.path.startsWith(marker) &&
+            !f.dv.exists(_.path.startsWith(marker)),
+            s"main v$v still references $marker files — compact main (and " +
+              "expire old versions) before dropping the branch")
+        })
+      }
+    }
+    fs.delete(bt, true)
+  }
+
+  /** Root-data paths (files, DV dirs) referenced by any version of any
+    * branch — folded into root vacuum/expiry so a live fork's shared
+    * base can never be deleted underneath it.
+    */
+  private def branchReferences(spark: SparkSession, tbl: Path,
+      fs: FileSystem): (Set[String], Set[String]) = {
+    val broot = new Path(tbl, "_branches")
+    if (!fs.exists(broot)) (Set.empty, Set.empty)
+    else {
+      val ms = fs.listStatus(broot).filter(_.isDirectory).toSeq.flatMap { b =>
+        val bt = b.getPath.toString
+        latestVersion(spark, bt).toSeq.flatMap(lv => (1L to lv).flatMap(v =>
+          try Some(manifest(spark, bt, v))
+          catch { case _: java.io.FileNotFoundException => None }))
+      }
+      def norm(p: String): Option[String] =
+        if (p.startsWith(ParentPrefix)) Some(p.substring(ParentPrefix.length))
+        else None
+      (ms.flatMap(_.files.flatMap(f => norm(f.path))).toSet,
+        ms.flatMap(_.files.flatMap(_.dv.flatMap(d => norm(d.path)))).toSet)
+    }
   }
 
   private val ConstraintErrMarker = "GRAFT_CONSTRAINT_VIOLATION: "
@@ -1893,13 +2031,40 @@ object SnapshotLog {
     (df, opened.size, cand.size, m.files.size)
   }
 
+  /** Prefix a BRANCH manifest uses to reference its parent table's
+    * files (the branch dir is `<root>/_branches/<name>`, so the parent
+    * root is two levels up). Kept symbolic — never `..`, which HDFS
+    * path validation rejects — so the whole root stays relocatable
+    * with its branches.
+    */
+  private[snapshot] val ParentPrefix = "__parent__/"
+
+  /** Resolve a manifest-relative path against its table root,
+    * following the parent marker for branch tables.
+    */
+  private[snapshot] def resolveRel(tbl: Path, rel: String): Path =
+    if (rel.startsWith(ParentPrefix))
+      new Path(tbl.getParent.getParent, rel.substring(ParentPrefix.length))
+    else new Path(tbl, rel)
+
+  /** Canonical DV coordinate of a manifest path: the trailing
+    * `data/...` component — what [[FileRelRegex]] extracts from the
+    * scan's absolute path — so DV masks survive a file's reference
+    * form changing (root `data/x` ↔ branch `__parent__/data/x` ↔
+    * fast-forwarded `_branches/b/data/x`).
+    */
+  private[snapshot] def relKey(p: String): String = {
+    val i = p.lastIndexOf("data/")
+    if (i <= 0) p else p.substring(i)
+  }
+
   private def readFilesRaw(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val abs = files.map(f => new Path(new Path(table), f.path).toString)
+      val abs = files.map(f => resolveRel(new Path(table), f.path).toString)
       spark.read.schema(schema).parquet(abs: _*)
     }
   }
@@ -1933,8 +2098,8 @@ object SnapshotLog {
     val dvFiles = files.filter(_.dv.isDefined)
     if (dvFiles.isEmpty) None
     else Some(dvFiles.groupBy(_.dv.get.path).map { case (p, fs) =>
-      spark.read.parquet(new Path(new Path(table), p).toString)
-        .where(col("__file").isin(fs.map(_.path): _*))
+      spark.read.parquet(resolveRel(new Path(table), p).toString)
+        .where(col("__file").isin(fs.map(f => relKey(f.path)): _*))
         .select(col("__file"), col("__pos"))
     }.reduce(_ unionByName _))
   }

@@ -316,7 +316,7 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
       // re-applies every filter as residual
       .filter(f => pushed.forall(p => SnapshotStreamSource.mightMatch(f, p)))
       .map(f => SnapshotInputPartition(
-        new Path(new Path(table), f.path).toString): InputPartition)
+        SnapshotLog.resolveRel(new Path(table), f.path).toString): InputPartition)
       .toArray
   }
 

@@ -503,6 +503,67 @@ class SnapshotLogSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("branches: zero-copy fork, isolated writes, WAP fast-forward, safe teardown") {
+    val t = freshTable("branch")
+    SnapshotLog.commit(df(0, 100).repartition(4, $"id"), t, "append", Seq("id"))
+    val bt = SnapshotLog.createBranch(s, t, "load")
+    assert(SnapshotLog.listBranches(s, t) == Seq("load"))
+    // the fork shares the parent's files by reference: same content,
+    // and the branch dir holds NO data yet
+    assert(SnapshotLog.read(s, bt).count() == 100)
+    assert(!Files.exists(Paths.get(bt, "data")))
+    // writes land on the branch only
+    SnapshotLog.commit(df(100, 120), bt, "append", Seq("id"))
+    SnapshotLog.deleteWhere(s, bt, "id", 0L, 9L, Seq("id"))
+    assert(SnapshotLog.read(s, bt).count() == 110)
+    assert(SnapshotLog.read(s, t).count() == 100) // main untouched
+    // DV delete on the branch masks PARENT-referenced files in place
+    assert(SnapshotLog.deleteWhereDV(s, bt, "id", 20L, 24L).isDefined)
+    assert(SnapshotLog.read(s, bt).count() == 105)
+    assert(SnapshotLog.read(s, bt).agg(sum($"id")).head.getLong(0) ==
+      (10L until 120).sum - (20L until 25).sum)
+    assert(SnapshotLog.read(s, t).count() == 100)
+    // duplicate fork and nested fork refuse
+    intercept[IllegalArgumentException] { SnapshotLog.createBranch(s, t, "load") }
+    intercept[IllegalArgumentException] { SnapshotLog.createBranch(s, bt, "sub") }
+    // WAP publish: one metadata-only commit makes main = branch
+    val v = SnapshotLog.fastForward(s, t, "load")
+    assert(v == 2L)
+    assert(SnapshotLog.read(s, t).count() == 105)
+    assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) ==
+      SnapshotLog.read(s, bt).agg(sum($"id")).head.getLong(0))
+    assert(SnapshotLog.read(s, t, Some(1)).count() == 100) // history intact
+    // a second fast-forward refuses (main advanced past the fork base)
+    intercept[IllegalArgumentException] { SnapshotLog.fastForward(s, t, "load") }
+    // teardown refuses while main references branch-local files...
+    intercept[IllegalArgumentException] { SnapshotLog.dropBranch(s, t, "load") }
+    // ...until compaction migrates them into root data and the
+    // referencing history expires
+    SnapshotLog.compact(s, t, Long.MaxValue, Seq("id"))
+    SnapshotLog.expireVersions(s, t, 1)
+    SnapshotLog.dropBranch(s, t, "load")
+    assert(SnapshotLog.listBranches(s, t).isEmpty)
+    assert(SnapshotLog.read(s, t).count() == 105) // content survives the drop
+  }
+
+  test("root vacuum and expiry treat live-branch references as live") {
+    val t = freshTable("branch-retain")
+    SnapshotLog.commit(df(0, 50).repartition(2, $"id"), t, "append", Seq("id"))
+    val bt = SnapshotLog.createBranch(s, t, "fork")
+    // main moves on: overwrite drops every v1 file from main's view
+    SnapshotLog.commit(df(1000, 1010), t, "overwrite", Seq("id"))
+    // vacuum must keep v1's files (the branch still reads them)
+    assert(SnapshotLog.vacuum(s, t).isEmpty)
+    assert(SnapshotLog.read(s, bt).count() == 50)
+    // expiry drops v1's manifest but NOT its branch-referenced data
+    val (expired, deleted) = SnapshotLog.expireVersions(s, t, 1)
+    assert(expired == Seq(1L))
+    assert(deleted.isEmpty, s"branch-referenced files deleted: $deleted")
+    assert(SnapshotLog.read(s, bt).count() == 50)
+    assert(SnapshotLog.read(s, bt).agg(sum($"id")).head.getLong(0) ==
+      (0L until 50).sum)
+  }
+
   test("clustered compaction makes range pruning effective") {
     val t = freshTable("cluster")
     // 4 commits of interleaved ids (id % 4 == b): every file spans the
