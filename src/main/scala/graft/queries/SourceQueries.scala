@@ -2813,7 +2813,11 @@ object SourceQueries extends QueryPack {
       val v = s"dmlv_$tag"
       val o = graft.core.Tables.load(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey")
-      SnapshotLog.commit(o, t, "append", Seq("o_orderkey"))
+      // range-partitioned layout: the DELETE below drops covered files
+      // metadata-only and rewrites just the boundary file, instead of
+      // rewriting a hash-scattered whole table
+      SnapshotLog.commit(o.repartitionByRange(4, $"o_orderkey"), t,
+        "append", Seq("o_orderkey"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
       val mx = o.agg(max($"o_orderkey")).head.getLong(0)
       graft.sql.GraftSql.dml(s,

@@ -1231,28 +1231,77 @@ object SnapshotLog {
     bt
   }
 
+  /** The branch's current fork base: the newest `branch:<v>` marker in
+    * its history (v1 always carries one; [[rebaseBranch]] publishes a
+    * fresh one).
+    */
+  private def branchBase(spark: SparkSession, bt: String, bv: Long): Long = {
+    var v = bv
+    while (v >= 1) {
+      manifest(spark, bt, v).op match {
+        case BranchOpRe(b) => return b.toLong
+        case _ => v -= 1
+      }
+    }
+    throw new IllegalStateException(s"branch $bt carries no fork-base marker")
+  }
+
+  /** Re-point an APPEND-ONLY branch at main's current latest — the
+    * WAP answer to "main advanced while the load ran": the branch's
+    * own additions are kept (by reference — metadata-only, no data
+    * movement) on top of main's new state, and [[fastForward]] becomes
+    * possible again. Branches that mutated shared history (delete,
+    * upsert, overwrite, compact of parent files) refuse: their changes
+    * are not mechanically replayable, re-fork and replay instead.
+    */
+  def rebaseBranch(spark: SparkSession, table: String, name: String): Long = {
+    val bt = branchPath(table, name)
+    val bv = latestVersion(spark, bt).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    val base = branchBase(spark, bt, bv)
+    // every op since the fork must be an append — anything else edited
+    // shared history and cannot be replayed by reference
+    var v = bv
+    while (v >= 1 && !BranchOpRe.pattern.matcher(
+        manifest(spark, bt, v).op).matches()) {
+      val op = manifest(spark, bt, v).op
+      require(op == "append" || op == "stream-append",
+        s"branch '$name' v$v is '$op' — only append-only branches " +
+          "rebase; re-fork and replay the mutation")
+      v -= 1
+    }
+    val rootLatest = latestVersion(spark, table).getOrElse(0L)
+    require(rootLatest != base, s"branch '$name' is already based on main v$base")
+    val bm = manifest(spark, bt, bv)
+    val localAdds = bm.files.filterNot(_.path.startsWith(ParentPrefix))
+    val rm = manifest(spark, table, rootLatest)
+    val files = rm.files.map(f => f.copy(path = ParentPrefix + f.path,
+      dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path)))) ++ localAdds
+    val nv = bv + 1
+    publish(fsOf(spark, new Path(bt)), new Path(bt),
+      Manifest(nv, bv, s"branch:$rootLatest", rm.schemaDdl, files))
+    nv
+  }
+
   /** Publish the branch's latest state as main's next version — the
     * WAP "publish" step, metadata-only (one manifest write, no data
-    * movement). Requires main unchanged since the fork (base version
-    * still latest); otherwise the branch must re-fork and replay.
-    * Parent-referenced files return to their root-relative form;
-    * branch-written files publish under their `_branches/<name>/`
-    * location (a later root [[compact]] migrates them into root data,
-    * after which [[dropBranch]] can reclaim the fork).
+    * movement). Requires main unchanged since the fork (or the last
+    * [[rebaseBranch]]); otherwise rebase (append-only branches) or
+    * re-fork and replay. Parent-referenced files return to their
+    * root-relative form; branch-written files publish under their
+    * `_branches/<name>/` location (a later root [[compact]] migrates
+    * them into root data, after which [[dropBranch]] can reclaim the
+    * fork).
     */
   def fastForward(spark: SparkSession, table: String, name: String): Long = {
     val bt = branchPath(table, name)
     val bv = latestVersion(spark, bt).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on $table"))
-    val base = manifest(spark, bt, 1L).op match {
-      case BranchOpRe(b) => b.toLong
-      case other => throw new IllegalStateException(
-        s"branch '$name' v1 op '$other' carries no fork base")
-    }
+    val base = branchBase(spark, bt, bv)
     val rootLatest = latestVersion(spark, table).getOrElse(0L)
     require(rootLatest == base,
       s"main advanced since branch '$name' forked (base v$base, main " +
-        s"v$rootLatest) — create a fresh branch and replay the changes")
+        s"v$rootLatest) — rebaseBranch (append-only) or re-fork and replay")
     val bm = manifest(spark, bt, bv)
     def norm(p: String) =
       if (p.startsWith(ParentPrefix)) p.substring(ParentPrefix.length)

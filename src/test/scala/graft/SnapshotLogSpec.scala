@@ -546,6 +546,33 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t).count() == 105) // content survives the drop
   }
 
+  test("append-only branches rebase onto an advanced main; mutating branches refuse") {
+    val t = freshTable("branch-rebase")
+    SnapshotLog.commit(df(0, 50), t, "append", Seq("id"))
+    SnapshotLog.createBranch(s, t, "load")
+    val bt = SnapshotLog.branchPath(t, "load")
+    SnapshotLog.commit(df(100, 120), bt, "append", Seq("id"))
+    // main advances during the load: publish refuses
+    SnapshotLog.commit(df(50, 60), t, "append", Seq("id"))
+    intercept[IllegalArgumentException] { SnapshotLog.fastForward(s, t, "load") }
+    // rebase re-points the fork (metadata-only) and keeps the adds
+    SnapshotLog.rebaseBranch(s, t, "load")
+    assert(SnapshotLog.read(s, bt).count() == 80) // 60 main + 20 branch
+    // idempotence guard: already based on latest
+    intercept[IllegalArgumentException] { SnapshotLog.rebaseBranch(s, t, "load") }
+    val v = SnapshotLog.fastForward(s, t, "load")
+    assert(SnapshotLog.read(s, t).count() == 80)
+    assert(SnapshotLog.read(s, t).agg(sum($"id")).head.getLong(0) ==
+      (0L until 60).sum + (100L until 120).sum)
+    assert(v == 3L)
+    // a branch that MUTATED shared history cannot rebase
+    SnapshotLog.createBranch(s, t, "scrub")
+    val st = SnapshotLog.branchPath(t, "scrub")
+    SnapshotLog.deleteWhere(s, st, "id", 0L, 9L, Seq("id"))
+    SnapshotLog.commit(df(500, 501), t, "append", Seq("id"))
+    intercept[IllegalArgumentException] { SnapshotLog.rebaseBranch(s, t, "scrub") }
+  }
+
   test("root vacuum and expiry treat live-branch references as live") {
     val t = freshTable("branch-retain")
     SnapshotLog.commit(df(0, 50).repartition(2, $"id"), t, "append", Seq("id"))
