@@ -206,6 +206,35 @@ object ManifestScaleSmoke {
     require(m2.files.size == 4 + DeepVersions - 1 + 20)
     out += "deep_resolve_after_commits_sec" -> tResolve2
 
+    // branch ops on the deep history: fork, append, publish — all
+    // metadata-only, so each should cost manifest-write time even with
+    // 10k files shared by reference
+    val (tFork, bt) = timed(SnapshotLog.createBranch(spark, deep, "wap"))
+    // pruned read THROUGH the branch: parent references resolve to the
+    // root's real files; synthetic entries prune out on stats
+    val (tBranchRead, bres) = timed {
+      val (df, kept, total) = SnapshotLog.readFiltered(spark, bt, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 0L),
+        org.apache.spark.sql.sources.LessThanOrEqual("id", 100L)))
+      (df.count(), kept, total)
+    }
+    require(bres._1 == 101L && bres._3 == 4 + DeepVersions - 1 + 20,
+      s"branch pruned read $bres")
+    SnapshotLog.commit(
+      spark.range(900000, 900010)
+        .select($"id", concat(lit("b"), $"id").as("payload")).coalesce(1),
+      bt, "append", Seq("id"))
+    val (tPublish, _) = timed(SnapshotLog.fastForward(spark, deep, "wap"))
+    val (tAfter, mAfter) = timed(
+      SnapshotLog.manifest(spark, deep, DeepVersions + 21L))
+    require(mAfter.files.size == 4 + DeepVersions - 1 + 20 + 1)
+    out += "deep_branch_fork_sec" -> tFork
+    out += "deep_branch_read_sec" -> tBranchRead
+    out += "deep_branch_publish_sec" -> tPublish
+    out += "deep_resolve_after_publish_sec" -> tAfter
+    require(tFork < 5.0 && tPublish < 5.0,
+      s"branch ops not metadata-cheap: fork $tFork, publish $tPublish")
+
     // ---- WIDE: one 100k-file checkpoint -------------------------------
     val wide = freshTable("wide")
     SnapshotLog.commit(base, wide, "append", Seq("id"))
