@@ -95,7 +95,9 @@ object LayoutScaleSmoke {
     }
 
     val fields = cells.map { case (pn, m) =>
-      def frac(l: String) = "%.4f".format(m(l).toDouble / total)
+      // Locale.ROOT: a comma-decimal locale would emit unparseable JSON
+      def frac(l: String) = String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(m(l).toDouble / total))
       val names = layouts.map(_._1)
       s""""$pn":{""" +
         (names.map(l => s""""$l":${m(l)}""") ++

@@ -298,7 +298,10 @@ object ManifestScaleSmoke {
       s"commit avg ${commitTimes.sum / commitTimes.size} s on deep history")
 
     val json = out.map {
-      case (k, v: Double) => s""""$k":${"%.4f".format(v)}"""
+      // Locale.ROOT: a comma-decimal default locale would emit
+      // unparseable JSON
+      case (k, v: Double) =>
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))}"""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
     println(json)

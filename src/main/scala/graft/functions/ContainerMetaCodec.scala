@@ -76,7 +76,8 @@ object ContainerMetaCodec {
           case ("mvhd", ps, pe) =>
             val version = bytes(ps) & 0xff
             if (version == 1) {
-              require(pe - ps >= 28, "mp4: short mvhd v1")
+              // v1 layout reads through ps+31 (8-byte duration at +24)
+              require(pe - ps >= 32, "mp4: short mvhd v1")
               timescale = be32(bytes, ps + 20).toInt
               durationUnits = be64(bytes, ps + 24)
             } else {
@@ -108,12 +109,19 @@ object ContainerMetaCodec {
   /** Strict torch-checkpoint (ZIP) listing: entry names + uncompressed
     * byte counts, measured by actually inflating each entry (sizes in
     * streaming zips ride the data descriptor AFTER the data, so the
-    * header alone can't be trusted). Bounded by the real payload —
-    * inflation of a hostile entry stops at the archive's own bytes.
+    * header alone can't be trusted). Inflation WORK is capped at 64×
+    * the archive's own size (+64 KB): checkpoint storages are mostly
+    * incompressible tensor bytes (ratio ≈ 1) and pickled metadata
+    * compresses a few-fold, so every honest archive decodes with huge
+    * headroom, while a zero-stuffed decompression bomb (DEFLATE
+    * expands up to ~1032×) throws instead of burning three orders of
+    * magnitude more CPU than the member's size justifies inside a
+    * per-row UDF.
     */
   def decodePthMeta(bytes: Array[Byte]): PthMeta = {
     require(bytes != null && bytes.length >= 4, "pth: empty payload")
     require(bytes(0) == 'P' && bytes(1) == 'K', "pth: not a zip archive")
+    val inflateCap = 64L * bytes.length + 65536L
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val names = scala.collection.mutable.ArrayBuffer[String]()
@@ -125,7 +133,13 @@ object ContainerMetaCodec {
           names += e.getName
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
-          while (n > 0) { total += n; n = zin.read(buf) }
+          while (n > 0) {
+            total += n
+            require(total <= inflateCap,
+              s"pth: inflated size exceeds $inflateCap bytes — refusing " +
+                "a decompression bomb")
+            n = zin.read(buf)
+          }
         }
         zin.closeEntry()
         e = zin.getNextEntry

@@ -205,17 +205,26 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val wavFixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-wav-tars").toAbsolutePath
+    tarFixtureDir("bench-wav-tars", "w", "wav", wavBytes)
+  }
+
+  /** Shared tar-fixture builder: NpyShards shards × NpySamplesPerShard
+    * members, one `<prefix><id>.{ext}` member per id from `gen`,
+    * built once behind a _READY marker.
+    */
+  private def tarFixtureDir(dirName: String, prefix: String, ext: String,
+      gen: Int => Array[Byte]): String = {
+    val dir = Paths.get("target", dirName).toAbsolutePath
     val marker = dir.resolve("_READY")
     if (!Files.exists(marker)) {
       Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
+      (0 until NpyShards).foreach { sh =>
+        val f = dir.resolve(f"shard-$sh%06d.tar").toFile
         val out = new TarArchiveOutputStream(new FileOutputStream(f))
         (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = wavBytes(id)
-          val e = new TarArchiveEntry(f"w$id%08d.wav")
+          val id = sh * NpySamplesPerShard + i
+          val bytes = gen(id)
+          val e = new TarArchiveEntry(f"$prefix$id%08d.$ext")
           e.setSize(bytes.length.toLong)
           out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
         }
@@ -262,25 +271,7 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val mp3FixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-mp3-tars").toAbsolutePath
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
-        val out = new TarArchiveOutputStream(new FileOutputStream(f))
-        (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = mp3Bytes(id)
-          val e = new TarArchiveEntry(f"m$id%08d.mp3")
-          e.setSize(bytes.length.toLong)
-          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-        }
-        out.close()
-      }
-      Files.createFile(marker)
-    }
-    dir.toString
+    tarFixtureDir("bench-mp3-tars", "m", "mp3", mp3Bytes)
   }
 
   /** FLAC shard fixture: `fLaC` magic + STREAMINFO per the published
@@ -316,25 +307,7 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val flacFixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-flac-tars").toAbsolutePath
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
-        val out = new TarArchiveOutputStream(new FileOutputStream(f))
-        (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = flacBytes(id)
-          val e = new TarArchiveEntry(f"f$id%08d.flac")
-          e.setSize(bytes.length.toLong)
-          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-        }
-        out.close()
-      }
-      Files.createFile(marker)
-    }
-    dir.toString
+    tarFixtureDir("bench-flac-tars", "f", "flac", flacBytes)
   }
 
   /** OGG shard fixture: a BOS page carrying the codec id header
@@ -378,25 +351,7 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val oggFixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-ogg-tars").toAbsolutePath
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
-        val out = new TarArchiveOutputStream(new FileOutputStream(f))
-        (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = oggBytes(id)
-          val e = new TarArchiveEntry(f"o$id%08d.ogg")
-          e.setSize(bytes.length.toLong)
-          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-        }
-        out.close()
-      }
-      Files.createFile(marker)
-    }
-    dir.toString
+    tarFixtureDir("bench-ogg-tars", "o", "ogg", oggBytes)
   }
 
   /** ISO-BMFF (mp4) shard fixture: ftyp + moov(mvhd + traks(mdia/hdlr))
@@ -443,25 +398,7 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val mp4FixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-mp4-tars").toAbsolutePath
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
-        val out = new TarArchiveOutputStream(new FileOutputStream(f))
-        (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = mp4Bytes(id)
-          val e = new TarArchiveEntry(f"c$id%08d.mp4")
-          e.setSize(bytes.length.toLong)
-          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-        }
-        out.close()
-      }
-      Files.createFile(marker)
-    }
-    dir.toString
+    tarFixtureDir("bench-mp4-tars", "c", "mp4", mp4Bytes)
   }
 
   /** Torch-checkpoint (ZIP) shard fixture: the standard three-entry
@@ -486,25 +423,7 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val pthFixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-pth-tars").toAbsolutePath
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
-        val out = new TarArchiveOutputStream(new FileOutputStream(f))
-        (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = pthBytes(id)
-          val e = new TarArchiveEntry(f"t$id%08d.pth")
-          e.setSize(bytes.length.toLong)
-          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-        }
-        out.close()
-      }
-      Files.createFile(marker)
-    }
-    dir.toString
+    tarFixtureDir("bench-pth-tars", "t", "pth", pthBytes)
   }
 
   /** Mono Y4M shard fixture for the video decode gate: 4×2 luma-only
@@ -525,25 +444,7 @@ object SourceQueries extends QueryPack {
   }
 
   private lazy val y4mFixtureDir: String = synchronized {
-    val dir = Paths.get("target", "bench-y4m-tars").toAbsolutePath
-    val marker = dir.resolve("_READY")
-    if (!Files.exists(marker)) {
-      Files.createDirectories(dir)
-      (0 until NpyShards).foreach { s =>
-        val f = dir.resolve(f"shard-$s%06d.tar").toFile
-        val out = new TarArchiveOutputStream(new FileOutputStream(f))
-        (0 until NpySamplesPerShard).foreach { i =>
-          val id = s * NpySamplesPerShard + i
-          val bytes = y4mBytes(id)
-          val e = new TarArchiveEntry(f"v$id%08d.y4m")
-          e.setSize(bytes.length.toLong)
-          out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
-        }
-        out.close()
-      }
-      Files.createFile(marker)
-    }
-    dir.toString
+    tarFixtureDir("bench-y4m-tars", "v", "y4m", y4mBytes)
   }
 
   /** Real-PNG shard fixture for the perceptual-dedup gate: same shard/

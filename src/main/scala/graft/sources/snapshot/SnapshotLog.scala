@@ -945,29 +945,71 @@ object SnapshotLog {
   private def legacyConstraintsPath(tbl: Path) =
     new Path(logDir(tbl), "_constraints.json")
 
-  private val ConstraintsVerRe = """_constraints\.v(\d+)\.json""".r
+  // ---- Versioned sidecars (shared by constraints and tags) -------------
 
-  /** Newest published constraints file, versioned-newest-wins: each
-    * publish lands a FRESH `_constraints.vNNNNN.json` by atomic rename
+  private def sidecarRe(prefix: String) =
+    (java.util.regex.Pattern.quote(prefix) + """\.v(\d+)\.json""").r
+
+  /** Newest published sidecar generation, versioned-newest-wins: each
+    * publish lands a FRESH `<prefix>.vNNNNN.json` by atomic rename
     * (the destination never pre-exists), so — unlike a delete-then-
     * rename over one fixed name — there is no window where the sidecar
-    * is absent and a concurrent commit enforces nothing. Legacy
-    * un-versioned `_constraints.json` reads as version 0.
+    * is absent and a concurrent reader resolves nothing.
     */
-  private def latestConstraintsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] = {
-    val versioned = fs.globStatus(new Path(logDir(tbl), "_constraints.v*.json"))
+  private def latestSidecar(fs: FileSystem, tbl: Path,
+      prefix: String): Option[(Long, Path)] = {
+    val re = sidecarRe(prefix)
+    val versioned = fs.globStatus(new Path(logDir(tbl), s"$prefix.v*.json"))
     val cands = (if (versioned == null) Array.empty[org.apache.hadoop.fs.FileStatus]
                  else versioned).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case ConstraintsVerRe(n) => Some((n.toLong, st.getPath))
+        case re(n) => Some((n.toLong, st.getPath))
         case _ => None
       }
     }
-    if (cands.nonEmpty) Some(cands.maxBy(_._1))
-    else if (fs.exists(legacyConstraintsPath(tbl)))
-      Some((0L, legacyConstraintsPath(tbl)))
-    else None
+    if (cands.isEmpty) None else Some(cands.maxBy(_._1))
   }
+
+  /** CAS publish of sidecar content at generation `gen`+1: the
+    * fresh-name rename makes exactly one racing writer win (the loser
+    * re-reads and retries). On success, generations older than `gen`
+    * sweep best-effort — compared by PARSED NUMBER, never by filename
+    * (lexicographic order breaks the moment generations outgrow the
+    * zero padding: "v100000" < "v99999"). One generation back is kept
+    * so a reader that globbed just before this publish can still open
+    * the file it resolved.
+    */
+  private def casWriteSidecar(fs: FileSystem, tbl: Path, prefix: String,
+      bytes: Array[Byte], gen: Long): Boolean = {
+    fs.mkdirs(logDir(tbl))
+    val dest = new Path(logDir(tbl), f"$prefix.v${gen + 1}%05d.json")
+    val tmp = new Path(logDir(tbl),
+      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    if (!fs.exists(dest) && fs.rename(tmp, dest)) {
+      val re = sidecarRe(prefix)
+      val stale = fs.globStatus(new Path(logDir(tbl), s"$prefix.v*.json"))
+      if (stale != null) stale.foreach { st =>
+        st.getPath.getName match {
+          case re(n) if n.toLong < gen =>
+            try fs.delete(st.getPath, false) catch { case _: Exception => () }
+          case _ => ()
+        }
+      }
+      true
+    } else { fs.delete(tmp, false); false }
+  }
+
+  /** Constraints resolve through the shared sidecar machinery; legacy
+    * un-versioned `_constraints.json` reads as generation 0.
+    */
+  private def latestConstraintsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] =
+    latestSidecar(fs, tbl, "_constraints").orElse {
+      if (fs.exists(legacyConstraintsPath(tbl)))
+        Some((0L, legacyConstraintsPath(tbl)))
+      else None
+    }
 
   /** Current constraint map (name → boolean SQL expression). */
   def constraints(spark: SparkSession, table: String): Map[String, String] = {
@@ -993,34 +1035,14 @@ object SnapshotLog {
     val root = new JLinkedHashMap[String, Object]()
     cons.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
     val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
-    // CAS-style publish: rename to the next fresh version; a racing
-    // constraint writer taking the same number makes our rename fail
-    // (dest exists) and we retry one higher — readers always see a
-    // complete file, and the previous version stays visible until the
-    // new one lands
     var attempts = 0
     while (attempts < 16) {
-      val next = latestConstraintsFile(fs, tbl).map(_._1 + 1).getOrElse(1L)
-      val dest = new Path(logDir(tbl), f"_constraints.v$next%05d.json")
-      val tmp = new Path(logDir(tbl),
-        dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
-      val out = fs.create(tmp, false)
-      try out.write(bytes) finally out.close()
-      if (!fs.exists(dest) && fs.rename(tmp, dest)) {
-        // superseded versions sweep best-effort, keeping ONE generation
-        // back so a reader that globbed just before this publish can
-        // still open the file it resolved
-        val prev = f"_constraints.v${next - 1}%05d.json"
-        val stale = fs.globStatus(new Path(logDir(tbl), "_constraints.v*.json"))
-        if (stale != null) stale.foreach { st =>
-          if (st.getPath.getName < prev)
-            try fs.delete(st.getPath, false) catch { case _: Exception => () }
-        }
+      val gen = latestConstraintsFile(fs, tbl).map(_._1).getOrElse(0L)
+      if (casWriteSidecar(fs, tbl, "_constraints", bytes, gen)) {
         try fs.delete(legacyConstraintsPath(tbl), false)
         catch { case _: Exception => () }
         return
       }
-      fs.delete(tmp, false)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -1068,19 +1090,8 @@ object SnapshotLog {
 
   // ---- Tags: named immutable version pointers (Iceberg refs) -----------
 
-  private val TagsVerRe = """_tags\.v(\d+)\.json""".r
-
-  private def latestTagsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] = {
-    val versioned = fs.globStatus(new Path(logDir(tbl), "_tags.v*.json"))
-    val cands = (if (versioned == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-                 else versioned).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case TagsVerRe(n) => Some((n.toLong, st.getPath))
-        case _ => None
-      }
-    }
-    if (cands.isEmpty) None else Some(cands.maxBy(_._1))
-  }
+  private def latestTagsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] =
+    latestSidecar(fs, tbl, "_tags")
 
   /** Current tag map (name → pinned version). */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
@@ -1099,33 +1110,18 @@ object SnapshotLog {
     }
   }
 
-  /** CAS publish of the tag map at generation `gen`+1: the fresh-name
-    * rename makes a racing tag writer's publish fail ours (or vice
-    * versa), and the caller RE-READS and re-merges before retrying —
-    * so concurrent createTag/deleteTag on different names both
-    * survive, unlike a blind last-writer-wins overwrite.
+  /** Render + CAS-publish the tag map at generation `gen`+1 through the
+    * shared sidecar machinery; the caller RE-READS and re-merges before
+    * retrying, so concurrent createTag/deleteTag on different names
+    * both survive, unlike a blind last-writer-wins overwrite.
     */
   private def casWriteTags(fs: FileSystem, tbl: Path,
       m: Map[String, Long], gen: Long): Boolean = {
-    fs.mkdirs(logDir(tbl))
     val root = new JLinkedHashMap[String, Object]()
     m.toSeq.sortBy(_._1).foreach { case (k, v) =>
       root.put(k, java.lang.Long.valueOf(v)) }
-    val dest = new Path(logDir(tbl), f"_tags.v${gen + 1}%05d.json")
-    val tmp = new Path(logDir(tbl),
-      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.exists(dest) && fs.rename(tmp, dest)) {
-      val prev = f"_tags.v$gen%05d.json"
-      val stale = fs.globStatus(new Path(logDir(tbl), "_tags.v*.json"))
-      if (stale != null) stale.foreach { st =>
-        if (st.getPath.getName < prev)
-          try fs.delete(st.getPath, false) catch { case _: Exception => () }
-      }
-      true
-    } else { fs.delete(tmp, false); false }
+    casWriteSidecar(fs, tbl, "_tags",
+      mapper.writeValueAsString(root).getBytes("UTF-8"), gen)
   }
 
   /** Pin `name` to `version` (default: latest) — an IMMUTABLE ref:
@@ -1236,9 +1232,11 @@ object SnapshotLog {
     * fresh one).
     */
   private def branchBase(spark: SparkSession, bt: String, bv: Long): Long = {
+    val fs = fsOf(spark, new Path(bt))
     var v = bv
     while (v >= 1) {
-      manifest(spark, bt, v).op match {
+      // op rides the raw manifest header — no chain resolution needed
+      readRaw(fs, new Path(bt), v).op match {
         case BranchOpRe(b) => return b.toLong
         case _ => v -= 1
       }
@@ -1260,15 +1258,20 @@ object SnapshotLog {
       throw new IllegalArgumentException(s"no branch '$name' on $table"))
     val base = branchBase(spark, bt, bv)
     // every op since the fork must be an append — anything else edited
-    // shared history and cannot be replayed by reference
+    // shared history and cannot be replayed by reference (ops read from
+    // the raw manifests, one read per version, no chain resolution)
+    val btFs = fsOf(spark, new Path(bt))
     var v = bv
-    while (v >= 1 && !BranchOpRe.pattern.matcher(
-        manifest(spark, bt, v).op).matches()) {
-      val op = manifest(spark, bt, v).op
-      require(op == "append" || op == "stream-append",
-        s"branch '$name' v$v is '$op' — only append-only branches " +
-          "rebase; re-fork and replay the mutation")
-      v -= 1
+    var walking = true
+    while (v >= 1 && walking) {
+      val op = readRaw(btFs, new Path(bt), v).op
+      if (BranchOpRe.pattern.matcher(op).matches()) walking = false
+      else {
+        require(op == "append" || op == "stream-append",
+          s"branch '$name' v$v is '$op' — only append-only branches " +
+            "rebase; re-fork and replay the mutation")
+        v -= 1
+      }
     }
     val rootLatest = latestVersion(spark, table).getOrElse(0L)
     require(rootLatest != base, s"branch '$name' is already based on main v$base")
@@ -1324,20 +1327,35 @@ object SnapshotLog {
     val bt = new Path(tbl, s"_branches/$name")
     require(fs.exists(bt), s"no branch '$name' on $table")
     val marker = s"_branches/$name/"
-    latestVersion(spark, table).foreach { lv =>
-      (1L to lv).foreach { v =>
-        val m =
-          try Some(manifest(spark, table, v))
-          catch { case _: java.io.FileNotFoundException => None } // expired
-        m.foreach(_.files.foreach { f =>
-          require(!f.path.startsWith(marker) &&
-            !f.dv.exists(_.path.startsWith(marker)),
-            s"main v$v still references $marker files — compact main (and " +
-              "expire old versions) before dropping the branch")
-        })
-      }
+    allMentionedEntries(spark, fs, table).foreach { f =>
+      require(!f.path.startsWith(marker) &&
+        !f.dv.exists(_.path.startsWith(marker)),
+        s"main still references $marker files — compact main (and " +
+          "expire old versions) before dropping the branch")
     }
     fs.delete(bt, true)
+  }
+
+  /** Every file entry any manifest of `bt` mentions — ONE `readRaw` per
+    * manifest file (full lists and delta `add`s unioned), never a chain
+    * resolution. Over-approximates live references (removed entries
+    * stay in), which is exactly right for retention safety and costs
+    * O(total manifest bytes) instead of O(versions × chain).
+    */
+  private def allMentionedEntries(spark: SparkSession, fs: FileSystem,
+      bt: String): Seq[FileEntry] = {
+    val btPath = new Path(bt)
+    val ld = logDir(btPath)
+    if (!fs.exists(ld)) Nil
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{5}\\.json") =>
+        n.substring(1, 6).toLong }
+      .sorted.toSeq.flatMap { v =>
+        try {
+          val raw = readRaw(fs, btPath, v)
+          raw.full.getOrElse(Nil) ++ raw.add
+        } catch { case _: java.io.FileNotFoundException => Nil }
+      }
   }
 
   /** Root-data paths (files, DV dirs) referenced by any version of any
@@ -1349,17 +1367,13 @@ object SnapshotLog {
     val broot = new Path(tbl, "_branches")
     if (!fs.exists(broot)) (Set.empty, Set.empty)
     else {
-      val ms = fs.listStatus(broot).filter(_.isDirectory).toSeq.flatMap { b =>
-        val bt = b.getPath.toString
-        latestVersion(spark, bt).toSeq.flatMap(lv => (1L to lv).flatMap(v =>
-          try Some(manifest(spark, bt, v))
-          catch { case _: java.io.FileNotFoundException => None }))
-      }
+      val entries = fs.listStatus(broot).filter(_.isDirectory).toSeq
+        .flatMap(b => allMentionedEntries(spark, fs, b.getPath.toString))
       def norm(p: String): Option[String] =
         if (p.startsWith(ParentPrefix)) Some(p.substring(ParentPrefix.length))
         else None
-      (ms.flatMap(_.files.flatMap(f => norm(f.path))).toSet,
-        ms.flatMap(_.files.flatMap(_.dv.flatMap(d => norm(d.path)))).toSet)
+      (entries.flatMap(f => norm(f.path)).toSet,
+        entries.flatMap(_.dv.flatMap(d => norm(d.path))).toSet)
     }
   }
 

@@ -90,20 +90,38 @@ object GraftSql {
       version: Option[Long] = None, statsCols: Seq[String] = Nil): Unit = {
     graft.sources.snapshot.SnapshotLog.read(spark, table, version)
       .createOrReplaceTempView(name)
-    snapshotReg.put((spark, name.toLowerCase), (table, statsCols))
+    // a version-pinned view is a reproducibility pin: DML refuses it
+    snapshotReg.put((spark, name.toLowerCase),
+      SnapshotReg(table, statsCols, pinned = version.isDefined))
   }
 
-  /** view name → (snapshot table path, statsCols) per session, the
-    * catalog [[dml]] resolves targets against.
+  /** One registered snapshot view: its backing table, the statsCols
+    * [[dml]] mutations should commit with, and whether the view is
+    * PINNED (explicit version or tag) — pinned views are read-only.
     */
-  private val snapshotReg =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Seq[String])]()
+  private final case class SnapshotReg(table: String, statsCols: Seq[String],
+      pinned: Boolean)
 
-  private def snapshotOf(spark: SparkSession, name: String): (String, Seq[String]) = {
+  private val snapshotReg =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SnapshotReg]()
+
+  private def snapshotOf(spark: SparkSession, name: String): SnapshotReg = {
     val e = snapshotReg.get((spark, name.toLowerCase))
     require(e != null,
       s"'$name' is not a registered snapshot view — registerSnapshot first")
     e
+  }
+
+  /** The view's backing table + statsCols, refusing pinned views: a
+    * mutation would silently act on the table's LATEST version and
+    * drop the pin the view exists for.
+    */
+  private def mutableSnapshotOf(spark: SparkSession, name: String): (String, Seq[String]) = {
+    val e = snapshotOf(spark, name)
+    require(!e.pinned,
+      s"'$name' is pinned to a version/tag — DML would mutate the " +
+        "table head and drop the pin; register an un-pinned view to mutate")
+    (e.table, e.statsCols)
   }
 
   // ---- DML over snapshot views ------------------------------------------
@@ -154,25 +172,29 @@ object GraftSql {
     * Returns the newly committed version.
     */
   def dml(spark: SparkSession, statement: String): Long = {
-    val v = statement match {
+    // every match arm binds the TARGET VIEW NAME from its own capture
+    // group — the repoint below reuses it, never a re-parse
+    val (v, name) = statement match {
       case DeleteRangeRe(name, colName, lo, hi) =>
-        val (t, stats) = snapshotOf(spark, name)
-        graft.sources.snapshot.SnapshotLog
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
           .deleteWhere(spark, t, colName, sqlLiteral(lo), sqlLiteral(hi), stats)
           .map(_.version)
-          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get)
+          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
+          name)
       case DeleteEqRe(name, colName, x) =>
-        val (t, stats) = snapshotOf(spark, name)
-        graft.sources.snapshot.SnapshotLog
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
           .deleteWhere(spark, t, colName, sqlLiteral(x), sqlLiteral(x), stats)
           .map(_.version)
-          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get)
+          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
+          name)
       case InsertRe(name, select) =>
-        val (t, stats) = snapshotOf(spark, name)
-        graft.sources.snapshot.SnapshotLog
-          .commit(spark.sql(select), t, "append", stats)
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
+          .commit(spark.sql(select), t, "append", stats), name)
       case MergeRe(name, src, a1, k1, a2, k2, clauses) =>
-        val (t, stats) = snapshotOf(spark, name)
+        val (t, stats) = mutableSnapshotOf(spark, name)
         val (tAlias, tKey, sAlias, sKey) =
           if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2) else (a2, k2, a1, k1)
         require(tAlias.equalsIgnoreCase(name) && sAlias.equalsIgnoreCase(src),
@@ -184,7 +206,7 @@ object GraftSql {
         require(up.findFirstIn(clauses).isDefined && ins.findFirstIn(clauses).isDefined,
           s"MERGE supports UPDATE SET * / INSERT * clauses, got: $clauses")
         val srcDf = spark.table(src)
-        MergeDeleteClauseRe.findFirstMatchIn(clauses) match {
+        val ver = MergeDeleteClauseRe.findFirstMatchIn(clauses) match {
           case Some(mm) =>
             require(mm.group(1).equalsIgnoreCase(src),
               s"DELETE clause must test the source op column, got ${mm.group(1)}")
@@ -194,13 +216,13 @@ object GraftSql {
             graft.sources.snapshot.SnapshotLog
               .upsert(srcDf, t, tKey, stats).version
         }
+        (ver, name)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported DML statement (DELETE FROM/INSERT INTO/MERGE INTO): $other")
     }
     // repoint the view at the new version so SQL readers see the change
-    val name = statement.trim.split("\\s+")(2)
-    val (t, stats) = snapshotOf(spark, name)
+    val (t, stats) = mutableSnapshotOf(spark, name)
     registerSnapshot(spark, name, t, None, stats)
     v
   }
@@ -213,8 +235,7 @@ object GraftSql {
     graft.sources.snapshot.SnapshotLog.readTag(spark, table, tag)
       .createOrReplaceTempView(name)
     snapshotReg.put((spark, name.toLowerCase),
-      (table, snapshotReg.getOrDefault((spark, name.toLowerCase),
-        (table, Nil))._2))
+      SnapshotReg(table, Nil, pinned = true))
   }
 
   /** The snapshot table's file manifest as `<name>` — the Iceberg

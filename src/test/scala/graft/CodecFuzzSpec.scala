@@ -265,6 +265,40 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz(pthValid, ContainerMetaCodec.decodePthMeta)
   }
 
+  test("mvhd v1 truncated to 28-31 payload bytes throws, never reads garbage") {
+    // the v1 duration is 8 bytes at payload offset 24: a 28-byte
+    // payload passes a naive >=28 check yet the read escapes the box
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val shortV1 = box("mvhd", java.nio.ByteBuffer.allocate(28)
+      .putInt(0x01000000).putLong(0L).putLong(0L).putInt(1000).array())
+    val payload = box("moov", shortV1 ++ box("free", Array.fill[Byte](16)(0x7f)))
+    val e = intercept[IllegalArgumentException](
+      ContainerMetaCodec.decodeMp4Meta(payload))
+    assert(e.getMessage.contains("short mvhd v1"))
+  }
+
+  test("pth decompression bomb throws instead of inflating unboundedly") {
+    // ~64 KB of zeros DEFLATEs to ~100 bytes; a few such entries give
+    // an inflated/archive ratio far past the 64x cap
+    val bos = new ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    (0 until 64).foreach { i =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"archive/zeros$i"))
+      z.write(new Array[Byte](1 << 16))
+      z.closeEntry()
+    }
+    z.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < 64 * (1 << 16) / 64, "fixture not compressible enough")
+    val e = intercept[IllegalArgumentException](
+      ContainerMetaCodec.decodePthMeta(bomb))
+    assert(e.getMessage.contains("decompression bomb"))
+  }
+
   test("mp4 hostile box sizes throw, never loop or over-allocate") {
     // size 0 on an inner box means "to end of window" and must not
     // loop; a size smaller than the header must throw

@@ -162,5 +162,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.sql.GraftSql.dml(spark, "DELETE FROM nowhere WHERE id = 1")
     }
+
+    // PINNED views (explicit version or tag) are read-only: DML would
+    // mutate the table head and silently drop the pin
+    graft.sql.GraftSql.registerSnapshot(spark, "dml_pin", t, Some(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.dml(spark, "DELETE FROM dml_pin WHERE id = 1")
+    }
+    assert(e1.getMessage.contains("pinned"))
+    graft.sources.snapshot.SnapshotLog.createTag(spark, t, "audit")
+    graft.sql.GraftSql.registerSnapshotTag(spark, "dml_tagged", t, "audit")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.dml(spark, "DELETE FROM dml_tagged WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("pinned"))
   }
 }
