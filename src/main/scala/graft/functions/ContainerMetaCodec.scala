@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions.udf
   *    raw tensor storages); the listing (entry names + uncompressed
   *    sizes) answers "which tensors, how many bytes" — the shard-
   *    budgeting question — without unpickling anything.
+  *  - WEBM/MKV: the EBML element walk — Segment Info gives timestamp
+  *    scale + duration, Tracks gives per-track types; clusters skip
+  *    by size.
   */
 object ContainerMetaCodec {
 
@@ -147,6 +150,126 @@ object ContainerMetaCodec {
     } finally zin.close()
     require(names.nonEmpty, "pth: no entries")
     PthMeta(names.size, total, names.toSeq)
+  }
+
+  final case class WebmMeta(timescale_ns: Long, duration_ms: Long,
+      n_tracks: Int, track_types: Seq[Int])
+
+  // EBML element ids (stored with their length marker, as in the file)
+  private val EbmlHeader = 0x1a45dfa3L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549a966L
+  private val TimestampScale = 0x2ad7b1L
+  private val DurationId = 0x4489L
+  private val Tracks = 0x1654ae6bL
+  private val TrackEntry = 0xaeL
+  private val TrackType = 0x83L
+
+  /** (value, bytesRead) of the EBML varint at `off`; `keepMarker`
+    * for element IDs (stored with the length marker), stripped for
+    * sizes. All-ones ("unknown size") refuses — a metadata walk
+    * cannot skip what has no length.
+    */
+  private def ebmlVint(b: Array[Byte], off: Int, end: Int,
+      keepMarker: Boolean): (Long, Int) = {
+    require(off < end, s"webm: truncated varint at $off")
+    val first = u(b(off)).toInt
+    require(first != 0, "webm: invalid varint lead byte 0x00")
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+    require(len >= 1 && len <= 8 && off + len <= end,
+      s"webm: varint of length $len overruns at $off")
+    var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+    (1 until len).foreach(k => v = (v << 8) | u(b(off + k)))
+    if (!keepMarker) {
+      val allOnes = (1L << (7 * len)) - 1
+      require(v != allOnes, "webm: unknown-size element unsupported")
+    }
+    (v, len)
+  }
+
+  private def ebmlUint(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    (0 until len).foreach(k => v = (v << 8) | u(b(off + k)))
+    v
+  }
+
+  /** Walk EBML child elements in [start, end), invoking `f(id,
+    * payloadStart, payloadEnd)`.
+    */
+  private def walkEbml(b: Array[Byte], start: Int, end: Int)
+      (f: (Long, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off < end) {
+      val (id, idLen) = ebmlVint(b, off, end, keepMarker = true)
+      val (size, szLen) = ebmlVint(b, off + idLen, end, keepMarker = false)
+      val ps = off + idLen + szLen
+      require(size >= 0 && ps + size <= end,
+        s"webm: element 0x${id.toHexString} size $size overruns at $off")
+      f(id, ps, ps + size.toInt)
+      off = ps + size.toInt
+    }
+  }
+
+  /** Strict WebM/Matroska metadata parse: EBML header + Segment walk
+    * to Info (timestamp scale in ns, duration in scale units — float32
+    * or float64) and Tracks (type per TrackEntry: 1 video, 2 audio).
+    * Clusters and everything else skip by size; media bytes are never
+    * touched.
+    */
+  def decodeWebmMeta(bytes: Array[Byte]): WebmMeta = {
+    require(bytes != null && bytes.length >= 8, "webm: empty payload")
+    var sawHeader = false
+    var scaleNs = 1000000L // Matroska default: 1 ms
+    var durationUnits = -1.0
+    var trackTypes = List.empty[Int]
+    walkEbml(bytes, 0, bytes.length) {
+      case (EbmlHeader, _, _) => sawHeader = true
+      case (Segment, ss, se) =>
+        walkEbml(bytes, ss, se) {
+          case (Info, is, ie) =>
+            walkEbml(bytes, is, ie) {
+              case (TimestampScale, ps, pe) =>
+                scaleNs = ebmlUint(bytes, ps, pe - ps)
+              case (DurationId, ps, pe) =>
+                durationUnits = (pe - ps) match {
+                  case 4 => java.lang.Float.intBitsToFloat(
+                    ebmlUint(bytes, ps, 4).toInt).toDouble
+                  case 8 => java.lang.Double.longBitsToDouble(ebmlUint(bytes, ps, 8))
+                  case n => throw new IllegalArgumentException(
+                    s"webm: Duration must be a 4- or 8-byte float, got $n")
+                }
+              case _ => ()
+            }
+          case (Tracks, ts, te) =>
+            walkEbml(bytes, ts, te) {
+              case (TrackEntry, es, ee) =>
+                walkEbml(bytes, es, ee) {
+                  case (TrackType, ps, pe) =>
+                    trackTypes ::= ebmlUint(bytes, ps, pe - ps).toInt
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => () // clusters, seek heads, cues — skipped by size
+        }
+      case _ => ()
+    }
+    require(sawHeader, "webm: no EBML header")
+    require(durationUnits >= 0, "webm: no Duration in Segment Info")
+    require(scaleNs > 0, "webm: zero timestamp scale")
+    WebmMeta(scaleNs, (durationUnits * scaleNs / 1e6).toLong,
+      trackTypes.size, trackTypes.reverse)
+  }
+
+  /** `binary => struct(timescale_ns, duration_ms, n_tracks,
+    * track_types)`, null for undecodable payloads.
+    */
+  val decodeWebmMetaUdf: Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else scala.util.Try(decodeWebmMeta(bytes)).toOption
+    }
+    c => f(c)
   }
 
   /** `binary => struct(timescale, duration_ms, n_tracks, handlers)`,

@@ -85,6 +85,8 @@ object Decoders {
     */
   val mp4: Decoder = Decoder("mp4_meta",
     c => graft.functions.ContainerMetaCodec.decodeMp4MetaUdf(c))
+  val webm: Decoder = Decoder("webm_meta",
+    c => graft.functions.ContainerMetaCodec.decodeWebmMetaUdf(c))
   val pth: Decoder = Decoder("pth_meta",
     c => graft.functions.ContainerMetaCodec.decodePthMetaUdf(c))
 
@@ -124,6 +126,8 @@ object Decoders {
       "mp4" -> mp4,
       "m4a" -> mp4,
       "mov" -> mp4,
+      "webm" -> webm,
+      "mkv" -> webm,
       "pth" -> pth,
       "pt" -> pth,
       "y4m" -> y4m) ++

@@ -354,6 +354,46 @@ object SourceQueries extends QueryPack {
     tarFixtureDir("bench-ogg-tars", "o", "ogg", oggBytes)
   }
 
+  /** WebM shard fixture per the published EBML layout: header +
+    * Segment(Info(TimestampScale 1 ms, Duration float — float64 for
+    * odd ids, float32 for ids %4==0 — of `5000 + id*13` ms) +
+    * Tracks(`1 + id%2` entries: video, + audio when odd) + a skipped
+    * Void element).
+    */
+  private def webmBytes(id: Int): Array[Byte] = {
+    def vintSize(n: Int): Array[Byte] =
+      if (n < 0x7f) Array((0x80 | n).toByte)
+      else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    def idBytes(i: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(i) + 7) / 8
+      (0 until n).map(k => ((i >> (8 * (n - 1 - k))) & 0xff).toByte).toArray
+    }
+    def el(i: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(i) ++ vintSize(payload.length) ++ payload
+    val durMs = (5000 + id * 13).toDouble
+    val dur =
+      if (id % 4 == 0) {
+        val bb = java.nio.ByteBuffer.allocate(4)
+        bb.putInt(java.lang.Float.floatToIntBits(durMs.toFloat)); bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(8)
+        bb.putLong(java.lang.Double.doubleToLongBits(durMs)); bb.array()
+      }
+    val info = el(0x1549a966L,
+      el(0x2ad7b1L, Array(0x0f, 0x42, 0x40).map(_.toByte)) ++ // 1,000,000 ns
+        el(0x4489L, dur))
+    def track(t: Int) = el(0xaeL, el(0x83L, Array(t.toByte)))
+    val tracks = el(0x1654ae6bL,
+      if (id % 2 == 0) track(1) else track(1) ++ track(2))
+    val void = el(0xecL, Array.tabulate[Byte](id % 11)(k => (id + k).toByte))
+    el(0x1a45dfa3L, Array.empty) ++
+      el(0x18538067L, info ++ tracks ++ void)
+  }
+
+  private lazy val webmFixtureDir: String = synchronized {
+    tarFixtureDir("bench-webm-tars", "k", "webm", webmBytes)
+  }
+
   /** ISO-BMFF (mp4) shard fixture: ftyp + moov(mvhd + traks(mdia/hdlr))
     * per the published box layout — timescale 1000, duration
     * `5000 + id*13` units, `1 + id%2` tracks (`vide`, then `soun` when
@@ -1745,6 +1785,29 @@ object SourceQueries extends QueryPack {
           sum($"a.duration_ms").as("sum_ms"),
           sum($"a.sample_rate").cast("long").as("sum_rates"),
           max($"a.channels").cast("long").as("max_channels"))
+    }),
+
+    // WebM/Matroska METADATA through the pipeline: EBML element walk
+    // (varint ids/sizes) to Segment Info (timestamp scale + float
+    // duration — BOTH float widths exercised by id) and Tracks (type
+    // per entry). The hash pins durations, track counts, and the
+    // audio-track split, so a varint-length slip, a float-width
+    // mishandling, or a scale misapplication breaks it.
+    "qca_webm_meta" -> ((s, _) => {
+      import s.implicits._
+      val dir = webmFixtureDir
+      s.read.format("wds-tar")
+        .option("shards", (0 until NpyShards).map(i => f"$dir/shard-$i%06d.tar").mkString(","))
+        .option("extensions", "webm")
+        .load()
+        .withColumn("a", graft.pipeline.Decoders.webm.decode($"webm"))
+        .agg(
+          count(lit(1)).as("n_webm"),
+          sum($"a.duration_ms").as("sum_ms"),
+          sum($"a.n_tracks").cast("long").as("sum_tracks"),
+          sum(when(array_contains($"a.track_types", 2), 1L).otherwise(0L))
+            .as("n_with_audio"),
+          max($"a.timescale_ns").as("max_scale"))
     }),
 
     // Container METADATA through the pipeline: ISO-BMFF box walks
@@ -3805,6 +3868,19 @@ object SourceQueries extends QueryPack {
            |  (SELECT CAST(sum((ns * 1000) // sr) AS BIGINT) FROM o) AS sum_ms,
            |  (SELECT CAST(sum(sr) AS BIGINT) FROM o) AS sum_rates,
            |  CAST(2 AS BIGINT) AS max_channels""".stripMargin,
+
+      // webm fixture: duration 5000+id*13 ms at the 1 ms default
+      // scale; 1+id%2 tracks, audio on odd ids
+      "qca_webm_meta" ->
+        s"""WITH ids AS (SELECT unnest(generate_series(0,
+           |    ${NpyShards * NpySamplesPerShard - 1})) AS id)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_webm,
+           |  (SELECT CAST(sum(5000 + id * 13) AS BIGINT) FROM ids) AS sum_ms,
+           |  (SELECT CAST(sum(1 + id % 2) AS BIGINT) FROM ids) AS sum_tracks,
+           |  (SELECT CAST(count(*) FILTER (WHERE id % 2 = 1) AS BIGINT) FROM ids)
+           |    AS n_with_audio,
+           |  CAST(1000000 AS BIGINT) AS max_scale""".stripMargin,
 
       // mp4 fixture: timescale 1000, duration 5000+id*13 units (so ms
       // = units), 1+id%2 tracks with audio on odd ids; pth fixture:

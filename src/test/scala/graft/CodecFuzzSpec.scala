@@ -251,6 +251,29 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz(oggValid, AudioMetaCodec.decodeOggMeta)
   }
 
+  test("webm metadata decode survives mutants and garbage") {
+    // EBML header + Segment(Info(scale 1ms, duration 2500.0 f64),
+    // Tracks(video + audio))
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    val scale = el(Array(0x2a, 0xd7, 0xb1).map(_.toByte),
+      Array(0x0f, 0x42, 0x40).map(_.toByte))
+    val dur = el(Array(0x44, 0x89).map(_.toByte),
+      java.nio.ByteBuffer.allocate(8)
+        .putLong(java.lang.Double.doubleToLongBits(2500.0)).array())
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte), scale ++ dur)
+    def track(t: Int) = el(Array(0xae.toByte),
+      el(Array(0x83.toByte), Array(t.toByte)))
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte),
+      track(1) ++ track(2))
+    val webm = el(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte), Array.empty) ++
+      el(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte), info ++ tracks)
+    val m = graft.functions.ContainerMetaCodec.decodeWebmMeta(webm)
+    assert(m.timescale_ns == 1000000L && m.duration_ms == 2500L &&
+      m.n_tracks == 2 && m.track_types == Seq(1, 2))
+    fuzz(webm, graft.functions.ContainerMetaCodec.decodeWebmMeta)
+  }
+
   test("mp4 metadata decode survives mutants and garbage") {
     val m = ContainerMetaCodec.decodeMp4Meta(mp4Valid)
     assert(m.timescale == 1000 && m.duration_ms == 7000L &&
