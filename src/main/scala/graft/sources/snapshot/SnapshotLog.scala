@@ -987,7 +987,7 @@ object SnapshotLog {
       dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
     val out = fs.create(tmp, false)
     try out.write(bytes) finally out.close()
-    if (!fs.exists(dest) && fs.rename(tmp, dest)) {
+    if (renameNoOverwrite(fs, tmp, dest)) {
       val re = sidecarRe(prefix)
       val stale = fs.globStatus(new Path(logDir(tbl), s"$prefix.v*.json"))
       if (stale != null) stale.foreach { st =>
@@ -1090,38 +1090,39 @@ object SnapshotLog {
 
   // ---- Tags: named immutable version pointers (Iceberg refs) -----------
 
-  private def latestTagsFile(fs: FileSystem, tbl: Path): Option[(Long, Path)] =
-    latestSidecar(fs, tbl, "_tags")
+  /** One file per tag (`_tag-<name>.json` holding the pinned version):
+    * tags on DIFFERENT names never share a file, so concurrent
+    * creations cannot lose each other — there is no shared map to CAS
+    * and no read-modify-write window at all. (A shared map file was
+    * tried first and dropped: `FileSystem.rename` on the local FS
+    * OVERWRITES an existing destination, so an exists-then-rename CAS
+    * admits two winners and silently lost one writer's tag under an
+    * 8-way race.) Same-name races settle arbitrarily — immutability is
+    * only enforceable per observer there, as with any object store.
+    */
+  private def tagPath(tbl: Path, name: String) =
+    new Path(logDir(tbl), s"_tag-$name.json")
+
+  private val TagFileRe = """_tag-([A-Za-z0-9._-]+)\.json""".r
 
   /** Current tag map (name → pinned version). */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    latestTagsFile(fs, tbl) match {
-      case None => Map.empty
-      case Some((_, p)) =>
-        val in = fs.open(p)
-        val bytes =
-          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-        mapper.readValue(new String(bytes, "UTF-8"),
+    val found = fs.globStatus(new Path(logDir(tbl), "_tag-*.json"))
+    if (found == null) Map.empty
+    else found.toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case TagFileRe(name) =>
+          val in = fs.open(st.getPath)
+          val bytes =
+            try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+          Some(name -> mapper.readValue(new String(bytes, "UTF-8"),
             classOf[java.util.Map[String, Object]])
-          .asScala.map { case (k, v) =>
-            k -> v.asInstanceOf[Number].longValue() }.toMap
-    }
-  }
-
-  /** Render + CAS-publish the tag map at generation `gen`+1 through the
-    * shared sidecar machinery; the caller RE-READS and re-merges before
-    * retrying, so concurrent createTag/deleteTag on different names
-    * both survive, unlike a blind last-writer-wins overwrite.
-    */
-  private def casWriteTags(fs: FileSystem, tbl: Path,
-      m: Map[String, Long], gen: Long): Boolean = {
-    val root = new JLinkedHashMap[String, Object]()
-    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      root.put(k, java.lang.Long.valueOf(v)) }
-    casWriteSidecar(fs, tbl, "_tags",
-      mapper.writeValueAsString(root).getBytes("UTF-8"), gen)
+            .get("version").asInstanceOf[Number].longValue())
+        case _ => None
+      }
+    }.toMap
   }
 
   /** Pin `name` to `version` (default: latest) — an IMMUTABLE ref:
@@ -1137,35 +1138,34 @@ object SnapshotLog {
       s"tag name must be [A-Za-z0-9._-]+, got '$name'")
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    var attempts = 0
-    while (attempts < 16) {
-      val cur = tags(spark, table)
-      require(!cur.contains(name),
-        s"tag '$name' already exists (at v${cur(name)}) — tags are immutable")
-      val v = version.orElse(latestVersion(spark, table)).getOrElse(
-        throw new IllegalArgumentException(s"no committed version in $table"))
-      manifest(spark, table, v) // must resolve — no dangling tags
-      val gen = latestTagsFile(fs, tbl).map(_._1).getOrElse(0L)
-      if (casWriteTags(fs, tbl, cur + (name -> v), gen)) return v
-      attempts += 1
+    val dest = tagPath(tbl, name)
+    require(!fs.exists(dest),
+      s"tag '$name' already exists — tags are immutable (delete first)")
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    manifest(spark, table, v) // must resolve — no dangling tags
+    fs.mkdirs(logDir(tbl))
+    val root = new JLinkedHashMap[String, Object]()
+    root.put("version", java.lang.Long.valueOf(v))
+    val tmp = new Path(logDir(tbl),
+      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    if (!renameNoOverwrite(fs, tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists — tags are immutable (delete first)")
     }
-    throw new IllegalStateException(
-      s"could not publish tag '$name' after 16 attempts")
+    v
   }
 
   def deleteTag(spark: SparkSession, table: String, name: String): Unit = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    var attempts = 0
-    while (attempts < 16) {
-      val cur = tags(spark, table)
-      require(cur.contains(name), s"no tag '$name' on $table")
-      val gen = latestTagsFile(fs, tbl).map(_._1).getOrElse(0L)
-      if (casWriteTags(fs, tbl, cur - name, gen)) return
-      attempts += 1
-    }
-    throw new IllegalStateException(
-      s"could not delete tag '$name' after 16 attempts")
+    val p = tagPath(tbl, name)
+    require(fs.exists(p), s"no tag '$name' on $table")
+    fs.delete(p, false)
   }
 
   /** The table at a tagged version — `VERSION AS OF '<tag>'`. */
@@ -1851,6 +1851,29 @@ object SnapshotLog {
     } else m.version % CheckpointEvery == 0
   }
 
+  /** Move `tmp` to `dest` REFUSING an existing destination — the CAS
+    * primitive every publication relies on. `FileSystem.rename` is the
+    * right tool on HDFS (atomic, no-overwrite by contract), but on the
+    * LOCAL filesystem rename(2) silently REPLACES an existing file, so
+    * an exists-then-rename sequence admits two winners microseconds
+    * apart (observed: an 8-way tag race lost a publish). Locally the
+    * CAS is a hard LINK instead — atomic and exclusive by POSIX — with
+    * the temp unlinked after.
+    */
+  private def renameNoOverwrite(fs: FileSystem, tmp: Path, dest: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else !fs.exists(dest) && fs.rename(tmp, dest)
+
   /** Write-temp + atomic-rename publication; throws if the version was
     * concurrently committed. Chooses delta vs full encoding here, so
     * every commit path gets incremental manifests for free.
@@ -1869,7 +1892,7 @@ object SnapshotLog {
     val out = fs.create(tmp, false)
     try out.write(renderJson(m, parentFiles).getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+    if (!renameNoOverwrite(fs, tmp, dest)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already published at $dest")

@@ -77,6 +77,31 @@ object GraftSql {
       (b: Array[Byte]) =>
         if (b == null) None
         else scala.util.Try(graft.functions.VideoCodec.decodeMeta(b)).toOption)
+    // compressed-format metadata tiers (header walks, payload untouched)
+    spark.udf.register("graft_mp3_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.AudioMetaCodec.decodeMp3Meta(b)).toOption)
+    spark.udf.register("graft_flac_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.AudioMetaCodec.decodeFlacMeta(b)).toOption)
+    spark.udf.register("graft_ogg_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.AudioMetaCodec.decodeOggMeta(b)).toOption)
+    spark.udf.register("graft_mp4_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.ContainerMetaCodec.decodeMp4Meta(b)).toOption)
+    spark.udf.register("graft_webm_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.ContainerMetaCodec.decodeWebmMeta(b)).toOption)
+    spark.udf.register("graft_pth_meta",
+      (b: Array[Byte]) =>
+        if (b == null) None
+        else scala.util.Try(graft.functions.ContainerMetaCodec.decodePthMeta(b)).toOption)
   }
 
   /** Register a snapshot-table version as a temp view — the manifest-

@@ -506,19 +506,21 @@ class SnapshotLogSpec extends AnyFunSuite {
   test("sidecar generations past the zero padding keep newest-wins and a safe sweep") {
     val t = freshTable("sidecar-gen")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
-    SnapshotLog.createTag(s, t, "first")
-    // simulate a long-lived table whose tag generation outgrew the
+    SnapshotLog.addConstraint(s, t, "first", "id >= 0")
+    // simulate a long-lived table whose sidecar generation outgrew the
     // %05d padding: lexicographically "v100000" < "v99999", so a
     // name-compared sweep would delete the NEWEST file
     val logDir = Paths.get(t, "_log")
     val cur = Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("_tags.v")).toSeq.head
-    Files.move(logDir.resolve(cur), logDir.resolve("_tags.v99999.json"))
-    SnapshotLog.createTag(s, t, "second")
-    assert(SnapshotLog.tags(s, t).keySet == Set("first", "second"),
+      .map(_.getFileName.toString).filter(_.startsWith("_constraints.v")).toSeq.head
+    Files.move(logDir.resolve(cur), logDir.resolve("_constraints.v99999.json"))
+    Files.deleteIfExists(logDir.resolve("." + cur + ".crc"))
+    SnapshotLog.addConstraint(s, t, "second", "id < 1000000")
+    assert(SnapshotLog.constraints(s, t).keySet == Set("first", "second"),
       "the newest sidecar generation was lost to the sweep")
-    SnapshotLog.createTag(s, t, "third")
-    assert(SnapshotLog.tags(s, t).keySet == Set("first", "second", "third"))
+    SnapshotLog.addConstraint(s, t, "third", "id IS NOT NULL OR id IS NULL")
+    assert(SnapshotLog.constraints(s, t).keySet ==
+      Set("first", "second", "third"))
   }
 
   test("branches: zero-copy fork, isolated writes, WAP fast-forward, safe teardown") {

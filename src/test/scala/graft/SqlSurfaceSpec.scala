@@ -177,4 +177,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("pinned"))
   }
+
+  test("metadata-tier kernels answer from spark.sql; malformed payloads null") {
+    graft.sql.GraftSql.registerFunctions(spark)
+    import spark.implicits._
+    // a valid flac STREAMINFO (16 kHz stereo, 48000 samples) vs garbage
+    val flac = {
+      val (sr, ch, bps, ns) = (16000, 2, 16, 48000L)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("fLaC".getBytes("ASCII"))
+      bos.write(0x80); bos.write(0); bos.write(0); bos.write(34)
+      bos.write(0x10); bos.write(0x00); bos.write(0x10); bos.write(0x00)
+      (0 until 6).foreach(_ => bos.write(0))
+      bos.write((sr >> 12) & 0xff); bos.write((sr >> 4) & 0xff)
+      bos.write(((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4))
+      bos.write(((bps - 1) & 0xf) << 4 | ((ns >> 32) & 0xf).toInt)
+      bos.write(((ns >> 24) & 0xff).toInt); bos.write(((ns >> 16) & 0xff).toInt)
+      bos.write(((ns >> 8) & 0xff).toInt); bos.write((ns & 0xff).toInt)
+      (0 until 16).foreach(_ => bos.write(0))
+      bos.toByteArray
+    }
+    Seq(("good", flac), ("bad", Array.tabulate[Byte](32)(i => (i * 37).toByte)))
+      .toDF("kind", "payload").createOrReplaceTempView("audio_members")
+    val rows = spark.sql(
+      """SELECT kind, graft_flac_meta(payload).duration_ms AS ms,
+        |  graft_mp3_meta(payload) IS NULL AS mp3_null
+        |FROM audio_members ORDER BY kind""".stripMargin).collect()
+    assert(rows(0).getString(0) == "bad" && rows(0).isNullAt(1) && rows(0).getBoolean(2))
+    assert(rows(1).getString(0) == "good" && rows(1).getLong(1) == 3000L)
+  }
 }
