@@ -93,6 +93,15 @@ object SnapshotLog {
   private def manifestPath(tbl: Path, v: Long) =
     new Path(logDir(tbl), f"v$v%05d.json")
 
+  /** Manifest file names: `v%05d.json` WIDENS past five digits at
+    * version 100000 (printf pads, never truncates), so listings match
+    * five-or-more and parse the captured group — a fixed `v\d{5}` +
+    * substring would silently skip versions >= 100000, and retention
+    * walking such a listing could free files a live version still
+    * references.
+    */
+  private val ManifestNameRe = """v(\d{5,})\.json""".r
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -106,8 +115,7 @@ object SnapshotLog {
     if (!fs.exists(ld)) None
     else {
       val vs = fs.listStatus(ld).map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d{5}\\.json") =>
-          n.substring(1, 6).toLong }
+        .collect { case ManifestNameRe(n) => n.toLong }
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -267,6 +275,7 @@ object SnapshotLog {
     // every row-adding path funnels through this write, and a violation
     // aborts before any manifest publishes (the partial attempt dir is
     // vacuumable garbage, same as a lost commit race)
+    preProbeConstraints(df, table)
     try constraintGuard(df, table).write.mode("overwrite").parquet(dataDir.toString)
     catch {
       case ex: Throwable =>
@@ -959,19 +968,18 @@ object SnapshotLog {
   private def latestSidecar(fs: FileSystem, tbl: Path,
       prefix: String): Option[(Long, Path)] = {
     val re = sidecarRe(prefix)
-    val versioned = fs.globStatus(new Path(logDir(tbl), s"$prefix.v*.json"))
-    val cands = (if (versioned == null) Array.empty[org.apache.hadoop.fs.FileStatus]
-                 else versioned).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case re(n) => Some((n.toLong, st.getPath))
-        case _ => None
+    val cands = store(fs)
+      .list(fs, new Path(logDir(tbl), s"$prefix.v*.json")).flatMap { st =>
+        st.getPath.getName match {
+          case re(n) => Some((n.toLong, st.getPath))
+          case _ => None
+        }
       }
-    }
     if (cands.isEmpty) None else Some(cands.maxBy(_._1))
   }
 
   /** CAS publish of sidecar content at generation `gen`+1: the
-    * fresh-name rename makes exactly one racing writer win (the loser
+    * exclusive publish makes exactly one racing writer win (the loser
     * re-reads and retries). On success, generations older than `gen`
     * sweep best-effort — compared by PARSED NUMBER, never by filename
     * (lexicographic order breaks the moment generations outgrow the
@@ -983,14 +991,9 @@ object SnapshotLog {
       bytes: Array[Byte], gen: Long): Boolean = {
     fs.mkdirs(logDir(tbl))
     val dest = new Path(logDir(tbl), f"$prefix.v${gen + 1}%05d.json")
-    val tmp = new Path(logDir(tbl),
-      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, false)
-    try out.write(bytes) finally out.close()
-    if (renameNoOverwrite(fs, tmp, dest)) {
+    if (store(fs).publishExclusive(fs, dest, bytes)) {
       val re = sidecarRe(prefix)
-      val stale = fs.globStatus(new Path(logDir(tbl), s"$prefix.v*.json"))
-      if (stale != null) stale.foreach { st =>
+      store(fs).list(fs, new Path(logDir(tbl), s"$prefix.v*.json")).foreach { st =>
         st.getPath.getName match {
           case re(n) if n.toLong < gen =>
             try fs.delete(st.getPath, false) catch { case _: Exception => () }
@@ -998,7 +1001,7 @@ object SnapshotLog {
         }
       }
       true
-    } else { fs.delete(tmp, false); false }
+    } else false
   }
 
   /** Constraints resolve through the shared sidecar machinery; legacy
@@ -1011,43 +1014,79 @@ object SnapshotLog {
       else None
     }
 
-  /** Current constraint map (name → boolean SQL expression). */
+  private def parseConstraints(fs: FileSystem, p: Path): Map[String, String] =
+    mapper.readValue(new String(store(fs).read(fs, p), "UTF-8"),
+        classOf[java.util.Map[String, Object]])
+      .asScala.map { case (k, v) => k -> v.toString }.toMap
+
+  /** Current constraint map (name → boolean SQL expression). A
+    * generation swept between the glob and the open (two publishes
+    * landed in the window) re-resolves once — the sweep keeps one
+    * generation back, so the second resolve reads a live file.
+    */
   def constraints(spark: SparkSession, table: String): Map[String, String] = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    latestConstraintsFile(fs, tbl) match {
-      case None => Map.empty
-      case Some((_, p)) =>
-        val in = fs.open(p)
-        val bytes =
-          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-        mapper.readValue(new String(bytes, "UTF-8"),
-            classOf[java.util.Map[String, Object]])
-          .asScala.map { case (k, v) => k -> v.toString }.toMap
-    }
+    def resolve(): Option[Map[String, String]] =
+      latestConstraintsFile(fs, tbl) match {
+        case None => Some(Map.empty)
+        case Some((_, p)) =>
+          try Some(parseConstraints(fs, p))
+          catch { case _: java.io.FileNotFoundException => None }
+      }
+    resolve().orElse(resolve()).getOrElse(Map.empty)
   }
 
+  /** CAS update of the constraint sidecar: each attempt RE-READS the
+    * generation it will replace and applies `update` to THAT map, so
+    * two racing updates (addConstraint × dropConstraint) compose
+    * instead of the loser's retry erasing the winner's change with a
+    * stale pre-merged map. Gen and content resolve from the SAME
+    * sidecar file — never latest-gen paired with an older read.
+    */
   private def writeConstraints(spark: SparkSession, table: String,
-      cons: Map[String, String]): Unit = {
+      update: Map[String, String] => Map[String, String]): Unit = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
     fs.mkdirs(logDir(tbl))
-    val root = new JLinkedHashMap[String, Object]()
-    cons.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
-    val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
     var attempts = 0
     while (attempts < 16) {
-      val gen = latestConstraintsFile(fs, tbl).map(_._1).getOrElse(0L)
-      if (casWriteSidecar(fs, tbl, "_constraints", bytes, gen)) {
-        try fs.delete(legacyConstraintsPath(tbl), false)
-        catch { case _: Exception => () }
-        return
+      val resolved = latestConstraintsFile(fs, tbl)
+      val gen = resolved.map(_._1).getOrElse(0L)
+      val cur = resolved match {
+        case None => Some(Map.empty[String, String])
+        case Some((_, p)) =>
+          try Some(parseConstraints(fs, p))
+          catch { case _: java.io.FileNotFoundException => None } // swept: re-resolve
+      }
+      cur match {
+        case Some(base) =>
+          val root = new JLinkedHashMap[String, Object]()
+          update(base).toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+          val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+          if (casWriteSidecar(fs, tbl, "_constraints", bytes, gen)) {
+            try fs.delete(legacyConstraintsPath(tbl), false)
+            catch { case _: Exception => () }
+            return
+          }
+        case None => () // lost the sweep race — next attempt re-globs
       }
       attempts += 1
+      // a lost CAS can precede the winner's publish becoming VISIBLE
+      // (conditional-put claims win before the object lands); a tight
+      // loop would burn every attempt inside that window — back off
+      casBackoff(attempts)
     }
     throw new IllegalStateException(
       s"could not publish constraints under ${logDir(tbl)} after 16 attempts")
   }
+
+  /** Short bounded sleep between CAS retries: exponential to ~32 ms.
+    * Keeps lost-but-not-yet-visible publish windows (claim-first
+    * stores) from eating a retry budget in microseconds.
+    */
+  private def casBackoff(attempt: Int): Unit =
+    Thread.sleep(1L << math.min(attempt, 5))
 
   /** Rows of `df` that VIOLATE `e` under Delta null semantics. */
   private def violations(df: DataFrame, e: String): DataFrame =
@@ -1069,7 +1108,7 @@ object SnapshotLog {
       require(bad.isEmpty,
         s"existing rows violate constraint '$name' ($e): e.g. ${bad.head}")
     }
-    writeConstraints(spark, table, constraints(spark, table) + (name -> e))
+    writeConstraints(spark, table, _ + (name -> e))
     // close the validate→publish window: a commit that landed between
     // the scan above and the publish never saw the constraint — if it
     // brought violating rows, withdraw and refuse rather than leave a
@@ -1077,7 +1116,7 @@ object SnapshotLog {
     if (latestVersion(spark, table).isDefined) {
       val bad = violations(read(spark, table), e).limit(1).collect()
       if (bad.nonEmpty) {
-        writeConstraints(spark, table, constraints(spark, table) - name)
+        writeConstraints(spark, table, _ - name)
         throw new IllegalArgumentException(
           s"constraint '$name' ($e) violated by rows committed during " +
             s"registration: e.g. ${bad.head} — constraint withdrawn")
@@ -1086,7 +1125,7 @@ object SnapshotLog {
   }
 
   def dropConstraint(spark: SparkSession, table: String, name: String): Unit =
-    writeConstraints(spark, table, constraints(spark, table) - name)
+    writeConstraints(spark, table, _ - name)
 
   // ---- Tags: named immutable version pointers (Iceberg refs) -----------
 
@@ -1105,21 +1144,22 @@ object SnapshotLog {
 
   private val TagFileRe = """_tag-([A-Za-z0-9._-]+)\.json""".r
 
-  /** Current tag map (name → pinned version). */
+  /** Current tag map (name → pinned version). A tag deleted between
+    * the glob and the open (concurrent [[deleteTag]]) reads as absent,
+    * not as a crash — retention's tag-protection pass must proceed
+    * without the deleted tag rather than abort.
+    */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
-    val found = fs.globStatus(new Path(logDir(tbl), "_tag-*.json"))
-    if (found == null) Map.empty
-    else found.toSeq.flatMap { st =>
+    store(fs).list(fs, new Path(logDir(tbl), "_tag-*.json")).flatMap { st =>
       st.getPath.getName match {
         case TagFileRe(name) =>
-          val in = fs.open(st.getPath)
-          val bytes =
-            try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-          Some(name -> mapper.readValue(new String(bytes, "UTF-8"),
+          try Some(name -> mapper.readValue(
+            new String(store(fs).read(fs, st.getPath), "UTF-8"),
             classOf[java.util.Map[String, Object]])
             .get("version").asInstanceOf[Number].longValue())
+          catch { case _: java.io.FileNotFoundException => None }
         case _ => None
       }
     }.toMap
@@ -1147,16 +1187,10 @@ object SnapshotLog {
     fs.mkdirs(logDir(tbl))
     val root = new JLinkedHashMap[String, Object]()
     root.put("version", java.lang.Long.valueOf(v))
-    val tmp = new Path(logDir(tbl),
-      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    if (!renameNoOverwrite(fs, tmp, dest)) {
-      fs.delete(tmp, false)
+    if (!store(fs).publishExclusive(fs, dest,
+        mapper.writeValueAsString(root).getBytes("UTF-8")))
       throw new IllegalArgumentException(
         s"tag '$name' already exists — tags are immutable (delete first)")
-    }
     v
   }
 
@@ -1225,6 +1259,29 @@ object SnapshotLog {
     publish(fsOf(spark, new Path(bt)), new Path(bt),
       Manifest(1L, 0L, s"branch:$v", m.schemaDdl, files))
     bt
+  }
+
+  /** Is this table path a branch fork (lives under `_branches/`)? */
+  def isBranchPath(table: String): Boolean =
+    table.replace('\\', '/').contains("/_branches/")
+
+  /** The BRANCH version carrying the newest fork-base marker
+    * (`branch:<v>` — v1 at creation, refreshed by [[rebaseBranch]]).
+    * That version's snapshot IS the fork point, so "the branch's own
+    * additions" are exactly the versions past it — the default start
+    * for streaming a write-audit-publish branch. None when `table`
+    * has no marker (not a branch).
+    */
+  def forkMarkerVersion(spark: SparkSession, table: String): Option[Long] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    var v = latestVersion(spark, table).getOrElse(return None)
+    while (v >= 1) {
+      if (BranchOpRe.pattern.matcher(readRaw(fs, tbl, v).op).matches())
+        return Some(v)
+      v -= 1
+    }
+    None
   }
 
   /** The branch's current fork base: the newest `branch:<v>` marker in
@@ -1348,8 +1405,7 @@ object SnapshotLog {
     val ld = logDir(btPath)
     if (!fs.exists(ld)) Nil
     else fs.listStatus(ld).map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5}\\.json") =>
-        n.substring(1, 6).toLong }
+      .collect { case ManifestNameRe(n) => n.toLong }
       .sorted.toSeq.flatMap { v =>
         try {
           val raw = readRaw(fs, btPath, v)
@@ -1378,6 +1434,46 @@ object SnapshotLog {
   }
 
   private val ConstraintErrMarker = "GRAFT_CONSTRAINT_VIOLATION: "
+
+  /** Opt-in fast-fail probe before a constrained write: one
+    * short-circuit `limit(1)` scan over the incoming rows, all
+    * constraints tested in a single pass. A deterministic violation
+    * then fails with ONE early-stopping scan instead of the in-write
+    * guard's task failure, which cluster mode retries
+    * `spark.task.maxFailures` times and re-runs sibling tasks' work
+    * before the job aborts. DEFAULT OFF: the healthy-commit case pays
+    * the probe as a full extra pass over the new rows (proving "no
+    * violation" can't early-stop), and recomputes any expensive
+    * upstream plan feeding the write — at 100 TB that tax on every
+    * constrained commit outweighs the occasional fast failure. The
+    * in-write `assert_true` guard stays authoritative either way (a
+    * non-deterministic input can pass the probe and still violate at
+    * write time).
+    */
+  val ConstraintPreProbeConf = "spark.graft.snapshot.constraintPreProbe"
+
+  private def preProbeConstraints(df: DataFrame, table: String): Unit = {
+    val enabled = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .exists(_.conf.get(ConstraintPreProbeConf, "false").toBoolean)
+    if (!enabled) return
+    val cons = constraints(df.sparkSession, table).toSeq.sortBy(_._1)
+    if (cons.isEmpty) return
+    val flags = cons.map { case (_, e) =>
+      !coalesce(expr(e).cast("boolean"), lit(true)) }
+    val hit = df
+      .select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("__row") +:
+        flags.zipWithIndex.map { case (f, i) => f.as(s"__v$i") }: _*)
+      .where(flags.zipWithIndex.map { case (_, i) => col(s"__v$i") }
+        .reduce(_ || _))
+      .limit(1).collect()
+    hit.headOption.foreach { r =>
+      val i = cons.indices.find(i => r.getBoolean(i + 1)).get
+      val (name, e) = cons(i)
+      throw new IllegalArgumentException(
+        s"constraint '$name' ($e) violated by incoming row ${r.getString(0)}")
+    }
+  }
 
   /** Attach every registered constraint to a to-be-written plan as a
     * fail-on-violation guard evaluated on the rows ACTUALLY WRITTEN —
@@ -1589,6 +1685,7 @@ object SnapshotLog {
         case e: IllegalStateException =>
           attempt += 1
           if (attempt > maxAttempts) throw e
+          casBackoff(attempt) // see writeConstraints: visibility lag
           v = latestVersion(spark, table).getOrElse(0L) + 1
       }
     }
@@ -1819,6 +1916,7 @@ object SnapshotLog {
     */
   private def wantCheckpoint(fs: FileSystem, tbl: Path, m: Manifest): Boolean = {
     val policy = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.conf.get(CheckpointPolicyConf, "fixed")).getOrElse("fixed")
     require(policy == "fixed" || policy == "adaptive",
       s"$CheckpointPolicyConf must be fixed|adaptive, got $policy")
@@ -1851,32 +1949,15 @@ object SnapshotLog {
     } else m.version % CheckpointEvery == 0
   }
 
-  /** Move `tmp` to `dest` REFUSING an existing destination — the CAS
-    * primitive every publication relies on. `FileSystem.rename` is the
-    * right tool on HDFS (atomic, no-overwrite by contract), but on the
-    * LOCAL filesystem rename(2) silently REPLACES an existing file, so
-    * an exists-then-rename sequence admits two winners microseconds
-    * apart (observed: an 8-way tag race lost a publish). Locally the
-    * CAS is a hard LINK instead — atomic and exclusive by POSIX — with
-    * the temp unlinked after.
+  /** Exclusive-publish primitive — pluggable per storage system (HDFS
+    * rename, local hard link, object-store conditional put); see
+    * [[LogStore]] for the contract and the per-scheme safety analysis.
     */
-  private def renameNoOverwrite(fs: FileSystem, tmp: Path, dest: Path): Boolean =
-    if (fs.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dest.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.nio.file.NoSuchFileException => false
-      }
-    } else !fs.exists(dest) && fs.rename(tmp, dest)
+  private def store(fs: FileSystem): LogStore = LogStore.active(fs)
 
-  /** Write-temp + atomic-rename publication; throws if the version was
-    * concurrently committed. Chooses delta vs full encoding here, so
-    * every commit path gets incremental manifests for free.
+  /** Exclusive publication via the active [[LogStore]]; throws if the
+    * version was concurrently committed. Chooses delta vs full encoding
+    * here, so every commit path gets incremental manifests for free.
     */
   private def publish(fs: FileSystem, tbl: Path, m0: Manifest): Unit = {
     val m = m0.copy(ts = System.currentTimeMillis()) // retention clock
@@ -1887,16 +1968,10 @@ object SnapshotLog {
         try Some(readManifest(fs, tbl, m.parent).files)
         catch { case _: java.io.FileNotFoundException => None }
     val dest = manifestPath(tbl, m.version)
-    val tmp = new Path(logDir(tbl),
-      dest.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, false)
-    try out.write(renderJson(m, parentFiles).getBytes("UTF-8"))
-    finally out.close()
-    if (!renameNoOverwrite(fs, tmp, dest)) {
-      fs.delete(tmp, false)
+    if (!store(fs).publishExclusive(fs, dest,
+        renderJson(m, parentFiles).getBytes("UTF-8")))
       throw new IllegalStateException(
         s"concurrent commit: version ${m.version} already published at $dest")
-    }
   }
 
   def manifest(spark: SparkSession, table: String, version: Long): Manifest =
@@ -1937,19 +2012,9 @@ object SnapshotLog {
       op: String, schemaDdl: String, epoch: Long, ts: Long,
       full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String])
 
-  private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest = {
-    val p = manifestPath(tbl, version)
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toByteArray
-      } finally in.close()
-    parseJson(new String(bytes, "UTF-8"))
-  }
+  private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest =
+    parseJson(new String(
+      store(fs).read(fs, manifestPath(tbl, version)), "UTF-8"))
 
   /** The table at `version` (default: latest). File list comes from the
     * manifest alone — no data-directory listing at any table size.

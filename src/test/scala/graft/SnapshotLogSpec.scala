@@ -885,6 +885,37 @@ class SnapshotLogSpec extends AnyFunSuite {
       "violating rows landed past the constraint")
   }
 
+  test("opt-in pre-write probe fast-fails a deterministic violation; guard stays authoritative") {
+    val t = freshTable("preprobe-constraints")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    SnapshotLog.addConstraint(s, t, "id_bound", "id < 1000")
+    SnapshotLog.addConstraint(s, t, "k_range", "k BETWEEN 0 AND 6")
+    s.conf.set(SnapshotLog.ConstraintPreProbeConf, "true")
+    try {
+      // deterministic violation: the probe catches it with one
+      // short-circuit scan and names the constraint (no write attempt,
+      // no task retries); table version unchanged
+      val vBefore = SnapshotLog.latestVersion(s, t).get
+      val ex = intercept[IllegalArgumentException] {
+        SnapshotLog.commit(df(2000, 2010), t, "append", Seq("id"))
+      }
+      assert(ex.getMessage.contains("id_bound"))
+      assert(SnapshotLog.latestVersion(s, t).get == vBefore)
+      // a passing commit still lands under the probe
+      SnapshotLog.commit(df(10, 20), t, "append", Seq("id"))
+      assert(SnapshotLog.read(s, t).count() == 20)
+      // the in-write guard is still the authority: a non-deterministic
+      // input that passes the probe cannot land violating rows
+      val counter = new java.util.concurrent.atomic.AtomicLong(0)
+      val nd = udf(() => counter.incrementAndGet()).asNondeterministic()
+      val in = s.range(100, 105).repartition(1)
+        .select($"id", nd().as("k"), lit("p").as("payload"))
+      try SnapshotLog.commit(in, t, "append", Seq("id"))
+      catch { case _: IllegalArgumentException => () } // refusing is also sound
+      assert(SnapshotLog.read(s, t).where($"k" > 6).count() == 0)
+    } finally s.conf.unset(SnapshotLog.ConstraintPreProbeConf)
+  }
+
   test("constraint sidecar publishes versioned-newest-wins; legacy file still reads") {
     val t = freshTable("constraints-versioned")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
