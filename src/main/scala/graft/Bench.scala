@@ -32,6 +32,17 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // warmup (untimed): JVM + codegen + parquet footer caches
     try run(SparkEntry.queries("q01_pricing_summary")) catch { case _: Throwable => }
+    // shared text staging, materialized BEFORE the timed loop and
+    // reported as its own line: whichever of q97/q9c/q31/q9k/qbk ran
+    // first used to pay the staging build, swinging those queries 4×
+    // run-to-run and making round-over-round deltas chase ghosts —
+    // now the payer is always this explicit, separately-timed step
+    val tStage = System.nanoTime()
+    try {
+      graft.queries.TextStaging.shingle4(spark, sfDir).count()
+      graft.queries.TextStaging.spanStats8(spark, sfDir).count()
+    } catch { case _: Throwable => }
+    val stagingSec = (System.nanoTime() - tStage) / 1e9
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => }
@@ -39,8 +50,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // total includes the staging line — the work is real; it is just
+    // accounted once, under its own name, instead of inside whichever
+    // query happened to run first
+    val total =
+      (if (results.nonEmpty) results.map(_._2).sum else 0.0) + stagingSec
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""staging_sec":$stagingSec,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // durable machine-readable artifact: stdout capture has truncated
     // the per-query map in past rounds (BENCH_r03 kept 60/83 entries),

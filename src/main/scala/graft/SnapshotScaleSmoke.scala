@@ -11,9 +11,10 @@ import graft.sources.snapshot.SnapshotLog
   * format exists to change — full read, manifest-pruned read (1 of 64
   * files), metadata-only stats (zero data files), incremental
   * manifest-diff read, 50 bloom-skipped point lookups, a metadata-only
-  * aligned retention delete, a single-file point upsert, compaction,
-  * and 8 CONCURRENT committers racing the rename CAS through
-  * `commitWithRetry`. Every timed path asserts its answer against a
+  * aligned retention delete, the mutation family (single-file DV mask,
+  * two-file CDC apply, 1- and 4-file upserts with a linear
+  * cost-vs-changed-files assertion), compaction, and 8 CONCURRENT
+  * committers racing the publish CAS through `commitWithRetry`. Every timed path asserts its answer against a
   * direct scan before the JSON line is written, so the artifact records
   * agreeing configurations, not just wall-times. The point is the cost
   * SHAPE (pruned ≪ full, stats ≈ 0, bloom opens ≈ 0 of 50, aligned
@@ -184,6 +185,42 @@ object SnapshotScaleSmoke {
     val directBase = agg(base)
     require(agg(SnapshotLog.read(spark, t)) == directBase, "delete diverged")
 
+    // merge-on-read DV delete (the qb7 shape): a range overlapping ONE
+    // bucket partially masks exactly that file — zero rewrites at any
+    // table size; the masked rows then append back so every later
+    // content assertion still compares against directBase
+    val dvStats = timed("dv_delete_1file") {
+      SnapshotLog.deleteWhereDV(spark, t, "l_orderkey",
+        50L * width, 50L * width + width / 2).get
+    }
+    require(dvStats._3.filesMasked == 1 && dvStats._3.filesDropped == 0,
+      s"partial-bucket DV delete was not single-file: ${dvStats._3}")
+    SnapshotLog.commit(
+      li.where(col("l_orderkey") >= 50L * width &&
+        col("l_orderkey") <= 50L * width + width / 2),
+      t, "append", Seq("l_orderkey"))
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "DV delete + restore diverged")
+
+    // CDC apply (the qb8 shape): one changelog carrying upserts keyed
+    // into bucket 45 and deletes keyed into bucket 55 rewrites EXACTLY
+    // those two files — per-file-exact candidacy, cost scales with
+    // changed files + changelog, never the table
+    val cdcDeleted = li.where(
+      expr(s"l_orderkey DIV $width") === 55 && col("l_orderkey") % 500 === 0)
+    val cdcChanges = li.where(
+        expr(s"l_orderkey DIV $width") === 45 && col("l_orderkey") % 50 === 0)
+      .withColumn("op", lit("U"))
+      .unionByName(cdcDeleted.withColumn("op", lit("D")))
+    val cdcStats = timed("cdc_apply_2files") {
+      SnapshotLog.applyChanges(cdcChanges, t, "l_orderkey")
+    }
+    require(cdcStats._3.filesRewritten == 2,
+      s"2-bucket CDC rewrote ${cdcStats._3.filesRewritten} files")
+    SnapshotLog.commit(cdcDeleted, t, "append", Seq("l_orderkey"))
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "CDC apply + restore diverged")
+
     // point upsert: updates land in ONE bucket → 1 of 63 files rewrites
     val upStats = timed("upsert_1file") {
       SnapshotLog.upsert(
@@ -194,6 +231,24 @@ object SnapshotScaleSmoke {
       s"point upsert rewrote ${upStats._3.filesRewritten} files")
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "idempotent upsert changed content")
+
+    // linearity: 4× the touched buckets rewrites EXACTLY 4 files, and
+    // the wall-clock stays in the same regime as 4 single-file rounds
+    // (generous bound — the guard is against O(table) behavior, not IO
+    // noise). Asserted BEFORE the artifact writes.
+    val upStats4 = timed("upsert_4files") {
+      SnapshotLog.upsert(
+        li.where(expr(s"l_orderkey DIV $width").isin(10, 20, 30, 40) &&
+          col("l_orderkey") % 50 === 0),
+        t, "l_orderkey", Seq("l_orderkey"))
+    }
+    require(upStats4._3.filesRewritten == 4,
+      s"4-bucket upsert rewrote ${upStats4._3.filesRewritten} files")
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "idempotent 4-bucket upsert changed content")
+    require(upStats4._2 <= upStats._2 * 8 + 2.0,
+      s"4-file upsert cost ${upStats4._2}s vs 1-file ${upStats._2}s — " +
+        "mutation cost is not scaling with changed files")
 
     // metadata-only schema evolution on the 63-file table: ONE manifest
     // write, zero data IO — wall-time stays in milliseconds no matter
@@ -251,7 +306,10 @@ object SnapshotScaleSmoke {
       ("read_changes_4of64", changes._2),
       ("point_lookup_50", lookups._2),
       ("delete_aligned", delStats._2),
+      ("dv_delete_1file", dvStats._2),
+      ("cdc_apply_2files", cdcStats._2),
       ("upsert_1file", upStats._2),
+      ("upsert_4files", upStats4._2),
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),

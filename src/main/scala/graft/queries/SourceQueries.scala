@@ -659,27 +659,45 @@ object SourceQueries extends QueryPack {
     })
 
   /** Range-bucketed snapshot table over `lineitem` for the manifest
-    * pruning gate (qay): 8 append commits, one range bucket each
-    * (width = max_key/8 + 1), `repartition(1)` so each version is one
-    * file whose manifest [min,max] is that bucket's actual key range.
-    * Empty buckets are skipped so the oracle's bucket arithmetic and
-    * the manifest's file list agree exactly.
+    * pruning gate (qay): ONE commit landing one file per range bucket
+    * (width = max_key/8 + 1, explicit partitioner), so each file's
+    * manifest [min,max] is its bucket's actual key range. Empty
+    * buckets emit no file, so the oracle's bucket arithmetic and the
+    * manifest's file list agree exactly.
     */
   private[graft] val SnapBuckets = 8
+
+  /** The frame with EXACTLY one partition per range bucket (explicit
+    * partitioner — hash repartitioning can collide buckets and range
+    * repartitioning samples its boundaries), so ONE commit lands the
+    * whole bucket-per-file layout: one write, one footer pass, one
+    * bloom job, one manifest — versus 8 sequential commits each paying
+    * write + stats-job overhead. Same files, same stats, same gate
+    * hashes; empty buckets emit no file, matching the old skip.
+    */
+  private def bucketPartitioned(s: SparkSession, df: DataFrame,
+      keyCol: String, width: Long, buckets: Int): DataFrame = {
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val rdd = df.rdd
+      .map(r => (r.getAs[Number](keyIdx).longValue() / width, r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = buckets
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[Long].toInt
+      }).values
+    s.createDataFrame(rdd, schema)
+  }
 
   private def snapPrunePath(s: SparkSession, dir: String): String =
     formatCache.computeIfAbsent((s, dir, "snapprune"), { _ =>
       val p = s"target/snapprune-${Integer.toHexString(dir.hashCode)}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       val li = graft.core.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity")).persist()
-      val width = snapWidth(s, dir)
-      (0 until SnapBuckets).foreach { b =>
-        val part = li.where(expr(s"l_orderkey DIV $width") === b)
-        if (!part.isEmpty)
-          SnapshotLog.commit(part.repartition(1), p, "append", Seq("l_orderkey"))
-      }
-      li.unpersist()
+        .select(col("l_orderkey"), col("l_quantity"))
+      SnapshotLog.commit(
+        bucketPartitioned(s, li, "l_orderkey", snapWidth(s, dir), SnapBuckets),
+        p, "append", Seq("l_orderkey"))
       p
     })
 
@@ -835,15 +853,12 @@ object SourceQueries extends QueryPack {
       val p = s"target/snapbloom-${Integer.toHexString(dir.hashCode)}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       val li = graft.core.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity")).persist()
-      val width = snapWidth(s, dir)
-      (0 until SnapBuckets).foreach { b =>
-        val part = li.where(expr(s"l_orderkey DIV $width") === b)
-        if (!part.isEmpty)
-          SnapshotLog.commit(part.repartition(1), p, "append",
-            Seq("l_orderkey"), Seq("l_orderkey"), bloomBits = 1 << 17)
-      }
-      li.unpersist()
+        .select(col("l_orderkey"), col("l_quantity"))
+      // one commit, 8 bucket-exact files: the bloom aggregation already
+      // groups by file, so the whole layout blooms in ONE Spark job
+      SnapshotLog.commit(
+        bucketPartitioned(s, li, "l_orderkey", snapWidth(s, dir), SnapBuckets),
+        p, "append", Seq("l_orderkey"), Seq("l_orderkey"), bloomBits = 1 << 17)
       p
     })
 
@@ -2633,7 +2648,12 @@ object SourceQueries extends QueryPack {
           split(col("o_orderpriority"), "-").as("prio"),
           struct(
             (col("o_custkey") % 10).as("bucket"),
-            length(col("o_orderpriority")).as("plen")).as("inner")).as("meta"))
+            length(col("o_orderpriority")).as("plen"),
+            // map<string,long> at depth 2 — multimodal metadata's
+            // native shape riding inside a nested annotation struct
+            map(lit("ck"), col("o_custkey"),
+              lit("ok"), col("o_orderkey") % 100).as("tags")).as("inner"))
+          .as("meta"))
       SnapshotLog.commit(o.where(col("o_orderkey") % 2 === 0), t, "append",
         Seq("o_orderkey"))
       SnapshotLog.commit(o.where(col("o_orderkey") % 2 === 1), t, "append",
@@ -2650,7 +2670,10 @@ object SourceQueries extends QueryPack {
         sum(when(element_at($"meta.prio", 1) === "1", 1L).otherwise(0L))
           .as("n_urgent"),
         sum($"meta.inner.bucket").as("sum_bucket"),
-        sum($"meta.inner.plen").cast("long").as("sum_plen"))
+        sum($"meta.inner.plen").cast("long").as("sum_plen"),
+        sum(element_at($"meta.inner.tags", "ck")).as("sum_tag_ck"),
+        sum(element_at($"meta.inner.tags", "ok")).as("sum_tag_ok"),
+        sum(size($"meta.inner.tags")).cast("long").as("sum_tag_n"))
     }),
 
     // CHECK constraints (Delta's ADD CONSTRAINT, write-side core): two
@@ -2723,6 +2746,91 @@ object SourceQueries extends QueryPack {
           lit(SnapshotLog.listBranches(s, t).size.toLong))
         .select($"main_rows_before", $"main_rows", $"main_sum",
           $"n_versions", $"n_branches")
+    }),
+
+    // Streaming FROM a write-audit-publish branch: the audit stream's
+    // default start resolves past the fork-base marker, so the parent's
+    // even half is NEVER replayed (base_replayed pins 0) and the two
+    // branch-local loads stream exactly once through a checkpoint; the
+    // fast-forward then publishes metadata-only and main serves the
+    // full corpus. A stream that replays the fork base, double-reads a
+    // branch version, or a publish that loses rows all break the hash.
+    "qcb_snapshot_branch_stream" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapbranchstream-$tag"
+      val cp = s"target/snapbranchstream-cp-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      val bt = SnapshotLog.createBranch(s, t, "load")
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val keySum = new java.util.concurrent.atomic.AtomicLong(0)
+      def run(): Unit = {
+        val q = s.readStream.format("graft-snapshot").option("table", bt).load()
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val r = b.agg(count(lit(1)).cast("long"),
+              coalesce(sum(col("o_orderkey")), lit(0L))).head
+            seen.addAndGet(r.getLong(0)); keySum.addAndGet(r.getLong(1)); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // fork base must NOT replay
+      val baseReplayed = seen.get()
+      SnapshotLog.commit(o.where($"o_orderkey" % 4 === 1), bt, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 4 === 3), bt, "append",
+        Seq("o_orderkey"))
+      run() // checkpoint-resumed: exactly the two branch loads
+      SnapshotLog.fastForward(s, t, "load")
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("main_rows"),
+        sum($"o_orderkey").as("main_sum"))
+        .withColumn("base_replayed", lit(baseReplayed))
+        .withColumn("streamed_rows", lit(seen.get()))
+        .withColumn("streamed_sum", lit(keySum.get()))
+        .select($"base_replayed", $"streamed_rows", $"streamed_sum",
+          $"main_rows", $"main_sum")
+    }),
+
+    // Column-mapping rename (Iceberg/Delta name-mode core): the even
+    // half commits under o_custkey, a METADATA-ONLY rename re-labels it
+    // cust_id (zero data movement — the file list is pinned identical),
+    // the odd half appends under the NEW name (landing under the stable
+    // physical name), and one read serves both eras uniformly; time
+    // travel serves v1 under its own old name, and the re-keyed stats
+    // still prune a point probe to one era's files. A read that loses a
+    // pre-rename column, a write that forks the physical layout, or
+    // stats dropped at re-key all break the hash.
+    "qcc_snapshot_rename" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snaprename-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      val filesBefore = SnapshotLog.manifest(s, t, 1L).files.map(_.path)
+      SnapshotLog.renameColumn(s, t, "o_custkey", "cust_id")
+      val filesAfter = SnapshotLog.manifest(s, t, 2L).files.map(_.path)
+      SnapshotLog.commit(
+        o.where($"o_orderkey" % 2 === 1).withColumnRenamed("o_custkey", "cust_id"),
+        t, "append", Seq("o_orderkey"))
+      val all = SnapshotLog.read(s, t)
+      val v1 = SnapshotLog.read(s, t, Some(1L))
+      all.agg(
+        count(lit(1)).as("n_rows"),
+        sum($"cust_id").as("sum_cust"),
+        sum($"o_orderkey").as("sum_key"))
+        .withColumn("rename_moved_data",
+          lit(if (filesBefore == filesAfter) 0L else 1L))
+        .withColumn("v1_rows", lit(v1.count()))
+        .withColumn("v1_sum_custkey",
+          lit(v1.agg(sum($"o_custkey")).head.getLong(0)))
+        .select($"rename_moved_data", $"n_rows", $"sum_cust", $"sum_key",
+          $"v1_rows", $"v1_sum_custkey")
     }),
 
     // Tags — Iceberg refs on the manifest log: immutable named
@@ -3193,7 +3301,10 @@ object SourceQueries extends QueryPack {
           |    WHERE string_split(o_orderpriority, '-')[1] = '1') AS BIGINT)
           |    AS n_urgent,
           |  CAST(sum(o_custkey % 10) AS BIGINT) AS sum_bucket,
-          |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS sum_plen
+          |  CAST(sum(length(o_orderpriority)) AS BIGINT) AS sum_plen,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_tag_ck,
+          |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_tag_ok,
+          |  CAST(2 * count(*) AS BIGINT) AS sum_tag_n
           |FROM orders""".stripMargin,
 
       // content = the whole corpus (the poisoned batch never landed);
@@ -3219,6 +3330,28 @@ object SourceQueries extends QueryPack {
           |   WHERE o_orderkey > m // 2) AS main_sum,
           |  CAST(2 AS BIGINT) AS n_versions,
           |  CAST(1 AS BIGINT) AS n_branches""".stripMargin,
+
+      // audit stream = exactly the odd half (branch-local loads), fork
+      // base never replayed; published main = the full corpus
+      "qcb_snapshot_branch_stream" ->
+        """WITH odds AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1)
+          |SELECT CAST(0 AS BIGINT) AS base_replayed,
+          |  (SELECT count(*) FROM odds) AS streamed_rows,
+          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM odds) AS streamed_sum,
+          |  (SELECT count(*) FROM orders) AS main_rows,
+          |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS main_sum""".stripMargin,
+
+      // rename is metadata-only (structural 0); content = full corpus
+      // under the new name; v1 = even half under the old name
+      "qcc_snapshot_rename" ->
+        """SELECT CAST(0 AS BIGINT) AS rename_moved_data,
+          |  count(*) AS n_rows,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS v1_rows,
+          |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
+          |   WHERE o_orderkey % 2 = 0) AS v1_sum_custkey
+          |FROM orders""".stripMargin,
 
       // baseline = even keys; clean = everything above max//2 after
       // the full corpus landed; retention expired nothing (tag guard)

@@ -84,9 +84,25 @@ object SnapshotLog {
     * ([[expireOlderThan]]). Monotone non-strict along the version
     * chain (commits are serialized by the rename CAS).
     */
+  /** `physical` is the column-mapping table (Delta's name-mode core):
+    * logical column name → the PHYSICAL name the parquet files carry —
+    * a column's name at first write, fixed for life. Identity entries
+    * are omitted, so an never-renamed table has an empty map and the
+    * fast read path. [[renameColumn]] changes only the logical side
+    * (one manifest write, zero data movement); reads alias physical →
+    * logical over the scan; writes alias logical → physical before
+    * landing files, so every data file is layout-uniform regardless of
+    * which rename era wrote it. Manifest stats/blooms/ndvs/nulls stay
+    * keyed by LOGICAL name (re-keyed at rename), so all pruning paths
+    * are rename-oblivious.
+    */
   final case class Manifest(version: Long, parent: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], epoch: Long = -1L,
-      ts: Long = 0L)
+      ts: Long = 0L, physical: Map[String, String] = Map.empty)
+
+  /** The parquet-level name of logical column `c` under manifest `m`. */
+  private def physName(m: Manifest, c: String): String =
+    m.physical.getOrElse(c, c)
 
   private def logDir(tbl: Path) = new Path(tbl, "_log")
 
@@ -150,16 +166,19 @@ object SnapshotLog {
     // the table evolved to ([[evolveSchema]]); overwrite replaces the
     // schema along with the data, so it publishes the frame's own DDL
     val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
-    val (aligned, ddl) = parent match {
-      case Some(p) if mode == "append" => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
-      case _ => (df, df.schema.toDDL)
+    // overwrite replaces the schema AND the column mapping (fresh
+    // logical=physical identity); append inherits both
+    val (aligned, ddl, phys) = parent match {
+      case Some(p) if mode == "append" =>
+        (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical)
+      case _ => (df, df.schema.toDDL, Map.empty[String, String])
     }
     val newFiles = writeData(aligned, table, v, statsCols, bloomCols,
-      bloomBits, ndvCols)
+      bloomBits, ndvCols, phys)
     val prior =
       if (mode == "append") parent.map(_.files).getOrElse(Nil) else Nil
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v - 1, mode, ddl, prior ++ newFiles))
+      Manifest(v, v - 1, mode, ddl, prior ++ newFiles, physical = phys))
     v
   }
 
@@ -261,7 +280,8 @@ object SnapshotLog {
 
   private def writeData(df: DataFrame, table: String, v: Long,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil): Seq[FileEntry] = {
+      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil,
+      physical: Map[String, String] = Map.empty): Seq[FileEntry] = {
     val spark = df.sparkSession
     val tbl = new Path(table)
     val fs = fsOf(spark, tbl)
@@ -274,9 +294,25 @@ object SnapshotLog {
     // CHECK constraints enforce HERE, on the rows actually written —
     // every row-adding path funnels through this write, and a violation
     // aborts before any manifest publishes (the partial attempt dir is
-    // vacuumable garbage, same as a lost commit race)
+    // vacuumable garbage, same as a lost commit race). Constraints see
+    // LOGICAL names; files land under PHYSICAL names (column mapping) —
+    // the guard binds before the rename projection.
     preProbeConstraints(df, table)
-    try constraintGuard(df, table).write.mode("overwrite").parquet(dataDir.toString)
+    val landed =
+      if (physical.isEmpty) constraintGuard(df, table)
+      else constraintGuard(df, table).select(df.columns.map(c =>
+        col(c).as(physical.getOrElse(c, c))).toIndexedSeq: _*)
+    // stats/bloom/ndv collection runs over the files as written, so
+    // the requested LOGICAL columns translate to physical here and the
+    // finished entries re-key back — callers and pruning never see a
+    // physical name
+    val toPhys = (c: String) => physical.getOrElse(c, c)
+    val toLogical: Map[String, String] =
+      (statsCols ++ bloomCols ++ ndvCols).map(c => toPhys(c) -> c).toMap
+    val statsColsP = statsCols.map(toPhys)
+    val bloomColsP = bloomCols.map(toPhys)
+    val ndvColsP = ndvCols.map(toPhys)
+    try landed.write.mode("overwrite").parquet(dataDir.toString)
     catch {
       case ex: Throwable =>
         try fs.delete(dataDir, true) catch { case _: Exception => () }
@@ -287,7 +323,7 @@ object SnapshotLog {
     // folded with bit_or into 64-bit words — all codegen'd builtins,
     // output rows bounded by files × words (metadata, not data)
     val blooms: Map[(String, String), Array[Long]] =
-      bloomCols.flatMap { c =>
+      bloomColsP.flatMap { c =>
         spark.read.parquet(dataDir.toString)
           .where(col(c).isNotNull)
           .select(input_file_name().as("__file"),
@@ -309,7 +345,7 @@ object SnapshotLog {
     // within each file (partition-local window over a vocabulary-sized
     // frame), k smallest kept — collect is bounded by files × k
     val ndvs: Map[(String, String), Array[Long]] =
-      ndvCols.flatMap { c =>
+      ndvColsP.flatMap { c =>
         spark.read.parquet(dataDir.toString)
           .where(col(c).isNotNull)
           .select(input_file_name().as("__file"),
@@ -327,17 +363,23 @@ object SnapshotLog {
           }
       }.toMap
 
-    val entries = footerEntries(spark, fs, dataDir, dataRel, statsCols)
-      .getOrElse(scanEntries(spark, dataDir, dataRel, statsCols))
+    val entries = footerEntries(spark, fs, dataDir, dataRel, statsColsP)
+      .getOrElse(scanEntries(spark, dataDir, dataRel, statsColsP))
+    def rekey[A](m: Map[String, A]): Map[String, A] =
+      if (physical.isEmpty) m
+      else m.map { case (c, v) => toLogical.getOrElse(c, c) -> v }
     entries
       .map { e =>
         val name = e.path.substring(e.path.lastIndexOf('/') + 1)
-        val fileBlooms = bloomCols.flatMap(c =>
-          blooms.get((name, c)).map(w => c -> bloomB64(w))).toMap
-        val fileNdvs = ndvCols.flatMap(c =>
-          ndvs.get((name, c)).map(w => c -> bloomB64(w))).toMap
+        val fileBlooms = bloomColsP.flatMap(c =>
+          blooms.get((name, c)).map(w =>
+            toLogical.getOrElse(c, c) -> bloomB64(w))).toMap
+        val fileNdvs = ndvColsP.flatMap(c =>
+          ndvs.get((name, c)).map(w =>
+            toLogical.getOrElse(c, c) -> bloomB64(w))).toMap
         val bytes = fs.getFileStatus(new Path(dataDir, name)).getLen
-        e.copy(bytes = bytes, blooms = fileBlooms, ndvs = fileNdvs)
+        e.copy(bytes = bytes, blooms = fileBlooms, ndvs = fileNdvs,
+          stats = rekey(e.stats), nulls = rekey(e.nulls))
       }.sortBy(_.path)
   }
 
@@ -495,9 +537,11 @@ object SnapshotLog {
         else readBack
           .repartitionByRange(n, clusterBy.map(col).toIndexedSeq: _*)
           .sortWithinPartitions(clusterBy.map(col).toIndexedSeq: _*)
-      val newFiles = writeData(rewritten, table, v, statsCols, bloomCols)
+      val newFiles = writeData(rewritten, table, v, statsCols, bloomCols,
+        physical = m.physical)
       publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles))
+        Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles,
+          physical = m.physical))
       Some(v)
     }
   }
@@ -670,9 +714,10 @@ object SnapshotLog {
         else writeData(
           readFiles(spark, table, m, rewrite)
             .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
-          table, v, (statsCols :+ column).distinct)
+          table, v, (statsCols :+ column).distinct, physical = m.physical)
       publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles))
+        Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles,
+          physical = m.physical))
       Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
     }
   }
@@ -779,7 +824,7 @@ object SnapshotLog {
       None
     } else {
       publish(fs, tbl, Manifest(v, v0, "dv-delete", m.schemaDdl,
-        (kept ++ maskedEntries).sortBy(_.path)))
+        (kept ++ maskedEntries).sortBy(_.path), physical = m.physical))
       Some(DvStats(v, kept.size + maskedEntries.count(_.dv.isEmpty),
         dropped.size, maskedEntries.count(_.dv.isDefined),
         droppedLive + newlyDeleted))
@@ -830,9 +875,10 @@ object SnapshotLog {
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(existing.unionByName(aligned), table, v,
-      (statsCols :+ keyCol).distinct)
+      (statsCols :+ keyCol).distinct, physical = m.physical)
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles))
+      Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles,
+        physical = m.physical))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -900,9 +946,10 @@ object SnapshotLog {
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(existing.unionByName(upserts), table, v,
-      (statsCols :+ keyCol).distinct)
+      (statsCols :+ keyCol).distinct, physical = m.physical)
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles))
+      Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles,
+        physical = m.physical))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -925,14 +972,15 @@ object SnapshotLog {
     else {
       val v = v0 + 1
       val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
-      val (aligned, ddl) = parent match { // same conformance as commitAs
-        case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl)
-        case None => (df, df.schema.toDDL)
+      val (aligned, ddl, phys) = parent match { // same conformance as commitAs
+        case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical)
+        case None => (df, df.schema.toDDL, Map.empty[String, String])
       }
-      val newFiles = writeData(aligned, table, v, statsCols)
+      val newFiles = writeData(aligned, table, v, statsCols, physical = phys)
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "stream-append", ddl,
-          parent.map(_.files).getOrElse(Nil) ++ newFiles, epochId))
+          parent.map(_.files).getOrElse(Nil) ++ newFiles, epochId,
+          physical = phys))
       Some(v)
     }
   }
@@ -1257,7 +1305,8 @@ object SnapshotLog {
       dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path))))
     // op records the fork base — fastForward's no-main-advance check
     publish(fsOf(spark, new Path(bt)), new Path(bt),
-      Manifest(1L, 0L, s"branch:$v", m.schemaDdl, files))
+      Manifest(1L, 0L, s"branch:$v", m.schemaDdl, files,
+        physical = m.physical))
     bt
   }
 
@@ -1335,12 +1384,36 @@ object SnapshotLog {
     val bm = manifest(spark, bt, bv)
     val localAdds = bm.files.filterNot(_.path.startsWith(ParentPrefix))
     val rm = manifest(spark, table, rootLatest)
+    // branch-local entries re-key their stats to MAIN's current logical
+    // names via the shared physical namespace (main may have renamed a
+    // column since the fork; physical names are rename-stable)
+    val localRekeyed = rekeyEntries(localAdds, bm, rm)
     val files = rm.files.map(f => f.copy(path = ParentPrefix + f.path,
-      dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path)))) ++ localAdds
+      dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path)))) ++ localRekeyed
     val nv = bv + 1
     publish(fsOf(spark, new Path(bt)), new Path(bt),
-      Manifest(nv, bv, s"branch:$rootLatest", rm.schemaDdl, files))
+      Manifest(nv, bv, s"branch:$rootLatest", rm.schemaDdl, files,
+        physical = rm.physical))
     nv
+  }
+
+  /** Re-key entry stats maps from `from`'s logical names to `to`'s,
+    * joining on the rename-stable physical namespace.
+    */
+  private def rekeyEntries(entries: Seq[FileEntry], from: Manifest,
+      to: Manifest): Seq[FileEntry] = {
+    val fromSchema = org.apache.spark.sql.types.StructType.fromDDL(from.schemaDdl)
+    val toByPhys = org.apache.spark.sql.types.StructType.fromDDL(to.schemaDdl)
+      .fieldNames.map(l => physName(to, l) -> l).toMap
+    val nameMap: Map[String, String] = fromSchema.fieldNames.flatMap { l =>
+      toByPhys.get(physName(from, l)).map(l -> _) }.toMap
+    if (nameMap.forall { case (a, b) => a == b }) entries
+    else {
+      def rekey[A](kv: Map[String, A]): Map[String, A] =
+        kv.map { case (c, x) => nameMap.getOrElse(c, c) -> x }
+      entries.map(f => f.copy(stats = rekey(f.stats), blooms = rekey(f.blooms),
+        ndvs = rekey(f.ndvs), nulls = rekey(f.nulls)))
+    }
   }
 
   /** Publish the branch's latest state as main's next version — the
@@ -1370,7 +1443,8 @@ object SnapshotLog {
       dv = f.dv.map(d => d.copy(path = norm(d.path)))))
     val v = rootLatest + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, rootLatest, "fast-forward", bm.schemaDdl, files))
+      Manifest(v, rootLatest, "fast-forward", bm.schemaDdl, files,
+        physical = bm.physical))
     v
   }
 
@@ -1659,14 +1733,18 @@ object SnapshotLog {
     // landing mid-retry only ADDS nullable columns, which this commit's
     // files legitimately serve as NULL, so the widened schema must not
     // be lost to a racing append
+    val physAtWrite =
+      if (mode == "append" && v > 1) manifest(spark, table, v - 1).physical
+      else Map.empty[String, String]
     val aligned =
       if (mode == "append" && v > 1)
         alignToSchema(df, manifest(spark, table, v - 1).schemaDdl)
       else df
-    val newFiles = writeData(aligned, table, v, statsCols)
+    val newFiles = writeData(aligned, table, v, statsCols,
+      physical = physAtWrite)
     var attempt = 1
     while (true) {
-      val (prior, ddl) =
+      val (prior, ddl, phys) =
         if (mode == "append" && v > 1) {
           val p = manifest(spark, table, v - 1)
           // our columns must still conform (evolution is additive-only,
@@ -1675,11 +1753,23 @@ object SnapshotLog {
             org.apache.spark.sql.types.StructType.fromDDL(p.schemaDdl)
               .fieldNames.toSet),
             s"table schema diverged mid-retry: ${p.schemaDdl}")
-          (p.files, p.schemaDdl)
-        } else (Nil, aligned.schema.toDDL)
+          // a rename landing mid-retry changes the physical layout new
+          // files must carry — our files were written under the OLD
+          // mapping of columns we share, so require those unchanged
+          aligned.columns.foreach { c =>
+            val mine = physAtWrite.getOrElse(c, c)
+            // our column may itself have been renamed: its physical
+            // name must still map back to SOME current logical column
+            val curLogical = p.physical.collectFirst {
+              case (l, ph) if ph == mine => l }.getOrElse(mine)
+            require(p.physical.getOrElse(curLogical, curLogical) == mine,
+              s"column mapping diverged mid-retry for '$c'")
+          }
+          (p.files, p.schemaDdl, p.physical)
+        } else (Nil, aligned.schema.toDDL, Map.empty[String, String])
       try {
         publish(fsOf(spark, tbl), tbl,
-          Manifest(v, v - 1, mode, ddl, prior ++ newFiles))
+          Manifest(v, v - 1, mode, ddl, prior ++ newFiles, physical = phys))
         return v
       } catch {
         case e: IllegalStateException =>
@@ -1753,9 +1843,70 @@ object SnapshotLog {
     require(added.nonEmpty, "schema evolution must add at least one column")
     added.foreach(f => require(f.nullable,
       s"added column '${f.name}' must be nullable — existing files hold no values for it"))
+    // a new column's physical name is its own name — it must not
+    // collide with the physical name a RENAMED column still writes
+    // under, or two logical columns would share one parquet column
+    val physInUse = oldS.fieldNames.map(c => m.physical.getOrElse(c, c)).toSet
+    added.foreach(f => require(!physInUse.contains(f.name),
+      s"added column '${f.name}' collides with the physical name of a " +
+        "renamed column — pick another name"))
     val v = v0 + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "evolve-schema", newS.toDDL, m.files))
+      Manifest(v, v0, "evolve-schema", newS.toDDL, m.files,
+        physical = m.physical))
+    v
+  }
+
+  /** Metadata-only column rename (Iceberg/Delta column-mapping core):
+    * one manifest write, ZERO data movement — old files keep serving
+    * under the new name because the column's PHYSICAL name (its name at
+    * first write) never changes; reads alias physical → logical and
+    * writes alias back ([[Manifest.physical]]). Manifest stats re-key
+    * to the new logical name so every pruning path (ranges, Blooms,
+    * NDV, null counts) survives the rename untouched. Time travel
+    * serves each version under ITS OWN names. Top-level columns only;
+    * the new name must be free in both the logical and physical
+    * namespaces; columns referenced by a CHECK constraint refuse (the
+    * constraint expression would silently dangle — drop it first).
+    * Returns the new version.
+    */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String): Long = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${schema.fieldNames.toSeq}")
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    val physInUse = schema.fieldNames.filter(_ != oldName)
+      .map(c => m.physical.getOrElse(c, c)).toSet
+    require(!physInUse.contains(newName),
+      s"'$newName' collides with another column's physical name")
+    // a registered CHECK referencing the old name would dangle
+    val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+    constraints(spark, table).foreach { case (n, e) =>
+      require(word.findFirstIn(e).isEmpty,
+        s"column '$oldName' is referenced by constraint '$n' ($e) — " +
+          "drop the constraint before renaming")
+    }
+    val phys = m.physical.getOrElse(oldName, oldName)
+    val newPhysical = {
+      val moved = (m.physical - oldName) + (newName -> phys)
+      moved.filter { case (l, p) => l != p } // identity entries drop
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    def rekey[A](kv: Map[String, A]): Map[String, A] =
+      kv.map { case (c, x) => (if (c == oldName) newName else c) -> x }
+    val files = m.files.map(f => f.copy(stats = rekey(f.stats),
+      blooms = rekey(f.blooms), ndvs = rekey(f.ndvs), nulls = rekey(f.nulls)))
+    val v = v0 + 1
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "rename-column", newSchema.toDDL, files,
+        physical = newPhysical))
     v
   }
 
@@ -1771,7 +1922,8 @@ object SnapshotLog {
     val target = manifest(spark, table, toVersion)
     val v = v0 + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "restore", target.schemaDdl, target.files))
+      Manifest(v, v0, "restore", target.schemaDdl, target.files,
+        physical = target.physical))
     v
   }
 
@@ -1994,14 +2146,15 @@ object SnapshotLog {
     raw.full match {
       case Some(files) =>
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files,
-          raw.epoch, raw.ts)
+          raw.epoch, raw.ts, raw.physical)
       case None =>
         require(raw.parent >= 1,
           s"delta manifest v${raw.version} has no parent to resolve against")
         val base = readManifest(fs, tbl, raw.parent).files
         val gone = raw.remove.toSet ++ raw.add.map(_.path)
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl,
-          base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch, raw.ts)
+          base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch, raw.ts,
+          raw.physical)
     }
   }
 
@@ -2010,7 +2163,8 @@ object SnapshotLog {
     */
   private final case class RawManifest(version: Long, parent: Long,
       op: String, schemaDdl: String, epoch: Long, ts: Long,
-      full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String])
+      full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String],
+      physical: Map[String, String] = Map.empty)
 
   private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest =
     parseJson(new String(
@@ -2209,14 +2363,40 @@ object SnapshotLog {
     if (i <= 0) p else p.substring(i)
   }
 
-  private def readFilesRaw(spark: SparkSession, table: String, m: Manifest,
+  /** The manifest's schema with every field under its PHYSICAL name —
+    * what the parquet files actually carry (identity when the table
+    * was never renamed).
+    */
+  private def physSchema(m: Manifest): org.apache.spark.sql.types.StructType = {
+    val logical = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    if (m.physical.isEmpty) logical
+    else org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = physName(m, f.name))))
+  }
+
+  /** Scan under physical names — position readers and DV plumbing hang
+    * `_metadata` columns off this BEFORE the logical aliasing.
+    */
+  private def readFilesPhys(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val schema = physSchema(m)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val abs = files.map(f => resolveRel(new Path(table), f.path).toString)
       spark.read.schema(schema).parquet(abs: _*)
+    }
+  }
+
+  private def readFilesRaw(spark: SparkSession, table: String, m: Manifest,
+      files: Seq[FileEntry]): DataFrame = {
+    val df = readFilesPhys(spark, table, m, files)
+    if (m.physical.isEmpty) df
+    else {
+      // alias physical → logical: one projection, no data movement
+      val logical = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      df.select(logical.fieldNames.map(c =>
+        col(physName(m, c)).as(c)).toIndexedSeq: _*)
     }
   }
 
@@ -2233,11 +2413,20 @@ object SnapshotLog {
     * deletion vectors address.
     */
   private def withPosition(spark: SparkSession, table: String, m: Manifest,
-      files: Seq[FileEntry]): DataFrame =
-    readFilesRaw(spark, table, m, files)
+      files: Seq[FileEntry]): DataFrame = {
+    // `_metadata` resolves against the scan relation, so it attaches
+    // BEFORE the physical→logical aliasing projection
+    val positioned = readFilesPhys(spark, table, m, files)
       .withColumn("__file",
         regexp_extract(col("_metadata.file_path"), FileRelRegex, 1))
       .withColumn("__pos", col("_metadata.row_index"))
+    if (m.physical.isEmpty) positioned
+    else {
+      val logical = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      positioned.select((logical.fieldNames.toIndexedSeq.map(c =>
+        col(physName(m, c)).as(c)) :+ col("__file") :+ col("__pos")): _*)
+    }
+  }
 
   /** Union of the DV positions claimed by `files` (None when no file
     * carries a DV). A shared DV directory is read once and restricted
@@ -2351,6 +2540,11 @@ object SnapshotLog {
     root.put("epoch", java.lang.Long.valueOf(m.epoch))
     root.put("ts", java.lang.Long.valueOf(m.ts))
     root.put("schema", m.schemaDdl)
+    if (m.physical.nonEmpty) {
+      val pm = new JLinkedHashMap[String, Object]()
+      m.physical.toSeq.sortBy(_._1).foreach { case (l, p) => pm.put(l, p) }
+      root.put("physical", pm)
+    }
     delta match {
       case Some((add, remove)) =>
         root.put("add", filesJson(add))
@@ -2401,7 +2595,11 @@ object SnapshotLog {
       root.get("add").map(fileList).getOrElse(Nil),
       root.get("remove").map(
         _.asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      root.get("physical").map(
+        _.asInstanceOf[java.util.Map[String, Object]].asScala
+          .map { case (l, p) => l -> p.toString }.toMap)
+        .getOrElse(Map.empty))
   }
 
   /** Jackson deserializes small integers as Integer; widen to Long so

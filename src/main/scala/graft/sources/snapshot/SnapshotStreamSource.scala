@@ -45,11 +45,17 @@ import org.apache.spark.util.SerializableConfiguration
   * NULL, exactly like the batch read.
   *
   * The per-file reader decodes flat primitive schemas (long/int/double/
-  * float/boolean/string/binary/date), arrays of those primitives
-  * (the embeddings-column shape, Spark's 3-level list encoding), and
-  * one-level structs whose fields are those primitives or arrays of
-  * them (the typed-metadata shape riding beside multimodal payloads);
-  * other types are refused at stream construction, not mid-query.
+  * float/boolean/string/binary/date) plus arrays, structs, and
+  * scalar-keyed maps of them nested to any depth (the typed-metadata
+  * shapes riding beside multimodal payloads — struct-of-struct,
+  * array<struct>, map<string,...>); other types are refused at stream
+  * construction, not mid-query.
+  *
+  * Streaming a BRANCH fork (`_branches/<name>`) defaults its start
+  * past the fork-base marker, so a write-audit-publish stream carries
+  * the branch's own additions, never a replay of the parent's file
+  * list; a rebase inside the streamed range fails loudly and a fresh
+  * stream resumes past the new marker.
   */
 class SnapshotTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
@@ -85,10 +91,14 @@ object SnapshotStreamSource {
     // fully recursive nesting: arrays of anything supported (embeddings,
     // array<struct> annotations, array<array> frames), structs of
     // anything supported at ANY depth — multimodal metadata is routinely
-    // struct-of-struct two deep, and the reader decodes it recursively
+    // struct-of-struct two deep, and the reader decodes it recursively;
+    // maps (multimodal metadata's native map<string,...> shape) carry
+    // scalar keys (parquet requires keys non-null; scalar is the shape
+    // Spark writes) and any supported value type
     case ArrayType(et, _) => supported(et)
     case StructType(fields) =>
       fields.nonEmpty && fields.forall(f => supported(f.dataType))
+    case MapType(kt, vt, _) => SupportedTypes.contains(kt) && supported(vt)
     case other => SupportedTypes.contains(other)
   }
 
@@ -186,8 +196,9 @@ object SnapshotStreamSource {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"graft-snapshot streaming supports primitive columns " +
         s"(long/int/double/float/boolean/string/binary/date) plus " +
-        s"arrays and structs of them nested to any depth; '${f.name}' " +
-        s"is ${f.dataType.sql} — read it in batch via SnapshotLog.read"))
+        s"arrays, structs, and scalar-keyed maps of them nested to any " +
+        s"depth; '${f.name}' is ${f.dataType.sql} — read it in batch " +
+        s"via SnapshotLog.read"))
 }
 
 class SnapshotStreamTable(tableSchema: StructType,
@@ -249,10 +260,25 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private val table = SnapshotStreamSource.tableOf(options)
+
+  /** Stream start. Explicit `startingVersion` wins. The default is 0
+    * (consume everything) — EXCEPT on a branch fork, where v1 is a
+    * `branch:<v>` marker snapshotting the parent's whole file list:
+    * streaming a write-audit-publish branch means auditing THE
+    * BRANCH'S OWN ADDITIONS, so the default start resolves past the
+    * newest fork-base marker and the first batch is the first
+    * branch-local append — never a surprise full-table replay of the
+    * 100 TB parent through a marker version whose op would otherwise
+    * fail the append-only check. Pass `startingVersion=0` explicitly
+    * to stream the fork base too (the marker version itself is then
+    * treated as the initial snapshot, like any start offset).
+    */
   private val startVersion: Long = {
-    val sv = options.getLong("startingVersion", 0L)
-    require(sv >= 0, s"startingVersion must be >= 0, got $sv")
-    sv
+    val sv = options.getLong("startingVersion", -1L)
+    if (sv >= 0) sv
+    else if (SnapshotLog.isBranchPath(table))
+      SnapshotLog.forkMarkerVersion(SparkSession.active, table).getOrElse(0L)
+    else 0L
   }
 
   /** Backlog admission control: cap how many committed VERSIONS one
@@ -300,7 +326,21 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
     // composes; a rewrite means "re-read the snapshot downstream")
     ((s0 + 1) to e0).foreach { v =>
       val op = SnapshotLog.manifest(spark, table, v).op
-      require(op == "append" || op == "stream-append" || op == "evolve-schema",
+      // a branch's CREATION marker (always v1) is append-shaped from
+      // empty — the fork-base snapshot adds files and removes none; a
+      // rebase marker (v>1) re-points shared history at main's current
+      // file list (which a main compact may have rewritten wholesale),
+      // so a file-diff across it can double-count — refuse loudly
+      if (op.startsWith("branch:"))
+        require(v == 1,
+          s"graft-snapshot stream: version $v is '$op' — the branch was " +
+            "rebased mid-stream, re-pointing shared history; restart the " +
+            "stream (its default start resumes past the new fork marker)")
+      // rename-column composes like evolve-schema: it adds/removes no
+      // files, and the reader's name mapping rides the rename-stable
+      // PHYSICAL namespace, so a file-diff across it stays exact
+      else require(op == "append" || op == "stream-append" ||
+          op == "evolve-schema" || op == "rename-column",
         s"graft-snapshot stream: version $v is '$op' — streaming requires " +
           "append-only history past the starting offset; restart the " +
           "stream from a fresh full read instead")
@@ -320,9 +360,22 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory(requiredSchema,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // files carry PHYSICAL column names (column mapping): hand the
+    // reader the required schema under physical names — decode is
+    // positional, so rows come back in logical order regardless. A
+    // rename cannot land INSIDE a streamed range (its op fails the
+    // append-only check), so one mapping serves the whole stream.
+    val phys = SnapshotLog.latestVersion(spark, table)
+      .map(v => SnapshotLog.manifest(spark, table, v).physical)
+      .getOrElse(Map.empty[String, String])
+    val readerSchema =
+      if (phys.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields.map(f =>
+        phys.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
+    SnapshotReaderFactory(readerSchema,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -389,6 +442,8 @@ class SnapshotPartitionReader(file: String, schema: StructType,
         s"graft-snapshot: column '${f.name}' in $file is not list-encoded")
       case _: StructType => require(!t.isPrimitive,
         s"graft-snapshot: column '${f.name}' in $file is not group-encoded")
+      case _: MapType => require(!t.isPrimitive,
+        s"graft-snapshot: column '${f.name}' in $file is not map-encoded")
       case _ => require(t.isPrimitive && !t.isRepetition(
           org.apache.parquet.schema.Type.Repetition.REPEATED),
         s"graft-snapshot: column '${f.name}' in $file is not a flat primitive")
@@ -450,11 +505,41 @@ class SnapshotPartitionReader(file: String, schema: StructType,
         else et match {
           case st: StructType => decodeStruct(el.getGroup(0, 0), st)
           case ArrayType(et2, _) => decodeList(el.getGroup(0, 0), et2)
+          case MapType(kt, vt, _) => decodeMap(el.getGroup(0, 0), kt, vt)
           case _ => leaf(el, 0, et)
         }
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Parquet MAP encoding: field -> repeated "key_value" group with a
+    * required key (position 0) and an optional value (position 1).
+    * Positional access covers both the modern `key_value` and legacy
+    * `map` group names. Values recurse like list elements; keys are
+    * scalar by [[SnapshotStreamSource.supported]].
+    */
+  private def decodeMap(mg: Group, kt: DataType, vt: DataType): Any = {
+    val n = mg.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val kv = mg.getGroup(0, j)
+      keys(j) = leaf(kv, 0, kt)
+      vals(j) =
+        if (kv.getType.getFieldCount < 2 || kv.getFieldRepetitionCount(1) == 0) null
+        else vt match {
+          case st: StructType => decodeStruct(kv.getGroup(1, 0), st)
+          case ArrayType(et2, _) => decodeList(kv.getGroup(1, 0), et2)
+          case MapType(k2, v2, _) => decodeMap(kv.getGroup(1, 0), k2, v2)
+          case _ => leaf(kv, 1, vt)
+        }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
   }
 
   /** Struct column: a plain group whose fields are optional scalars,
@@ -478,6 +563,8 @@ class SnapshotPartitionReader(file: String, schema: StructType,
             case ArrayType(et, _) => out.update(k, decodeList(sg.getGroup(fi, 0), et))
             case nested: StructType =>
               out.update(k, decodeStruct(sg.getGroup(fi, 0), nested))
+            case MapType(kt, vt, _) =>
+              out.update(k, decodeMap(sg.getGroup(fi, 0), kt, vt))
             case dt => out.update(k, leaf(sg, fi, dt))
           }
         }
@@ -505,6 +592,8 @@ class SnapshotPartitionReader(file: String, schema: StructType,
           case DateType => row.setInt(i, cur.getInteger(gi, 0))
           case ArrayType(et, _) => row.update(i, decodeList(cur.getGroup(gi, 0), et))
           case st: StructType => row.update(i, decodeStruct(cur.getGroup(gi, 0), st))
+          case MapType(kt, vt, _) =>
+            row.update(i, decodeMap(cur.getGroup(gi, 0), kt, vt))
           case other => throw new IllegalStateException(
             s"unreachable: $other passed validation")
         }

@@ -182,12 +182,51 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("map columns stream entry-faithfully, including null values, empties, and depth-2 nesting") {
+    val t = freshTable("maps")
+    // multimodal metadata's native shape: top-level map<string,long>
+    // (with an empty map and a null-valued entry), a map at depth 2
+    // inside a struct, and a map with array values
+    val in = s.range(0, 6).select($"id",
+      when($"id" === 5, map())
+        .otherwise(map(lit("a"), $"id", lit("b"),
+          when($"id" === 4, lit(null).cast("long")).otherwise($"id" * 10)))
+        .as("m"),
+      struct($"id".as("inner_id"),
+        map(lit("w"), ($"id" % 3).cast("long")).as("tags")).as("meta"),
+      map(lit("frames"), array($"id", $"id" + 1)).as("mv"))
+    SnapshotLog.commit(in.where($"id" % 2 === 0), t, "append", Nil)
+    SnapshotLog.commit(in.where($"id" % 2 === 1), t, "append", Nil)
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_maps")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("snap_stream_maps")
+      assert(got.count() == 6)
+      // streamed rows must equal the batch read, entry for entry
+      val batch = SnapshotLog.read(s, t)
+      assert(got.select($"id", to_json($"m"), to_json($"meta"), to_json($"mv"))
+        .collect().map(_.toSeq).toSet ==
+        batch.select($"id", to_json($"m"), to_json($"meta"), to_json($"mv"))
+          .collect().map(_.toSeq).toSet)
+      // spot semantics: element_at over the streamed frame
+      assert(got.where($"id" === 2).select(element_at($"m", "b")).head.getLong(0) == 20L)
+      assert(got.where($"id" === 4).select(element_at($"m", "b")).head.isNullAt(0))
+      assert(got.where($"id" === 5).select(size($"m")).head.getInt(0) == 0)
+      assert(got.select(sum(element_at($"meta.tags", "w"))).head.getLong(0) ==
+        (0 until 6).map(_ % 3).sum)
+      assert(got.where($"id" === 3)
+        .select(element_at($"mv", "frames")).head.getSeq[Long](0) == Seq(3L, 4L))
+    } finally q.stop()
+  }
+
   test("unsupported column shapes are refused at stream construction") {
     val t = freshTable("badtypes")
-    // map columns stay batch-read territory
+    // complex-keyed maps stay batch-read territory (scalar keys stream)
     SnapshotLog.commit(
       s.range(0, 3).select($"id",
-        map(lit("k"), $"id").as("m")), t, "append", Nil)
+        map(struct($"id".as("a")), $"id").as("m")), t, "append", Nil)
     val q = s.readStream.format("graft-snapshot").option("table", t).load()
       .writeStream.format("memory").queryName("snap_stream_bad")
       .outputMode("append").start()
@@ -250,6 +289,102 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       val got = s.table("snap_stream_pruned").agg(
         count(lit(1)), min($"id"), max($"id")).head
       assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((60L, 250L, 309L)))
+    } finally q.stop()
+  }
+
+  test("streaming a WAP branch defaults past the fork marker: only branch-local additions arrive") {
+    val t = freshTable("branch-default")
+    SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
+    val bt = SnapshotLog.createBranch(s, t, "audit")
+    // the stream's default start is the fork marker (v1), so the
+    // parent's 100 fork-base rows are NOT replayed — the audit stream
+    // carries exactly what the load lands on the branch
+    val q = s.readStream.format("graft-snapshot").option("table", bt).load()
+      .writeStream.format("memory").queryName("snap_stream_branch")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("snap_stream_branch").count() == 0)
+      SnapshotLog.commit(df(100, 130), bt, "append", Seq("id"))
+      SnapshotLog.commit(df(130, 140), bt, "append", Seq("id"))
+      q.processAllAvailable()
+      val rows = s.table("snap_stream_branch")
+      assert(rows.count() == 40)
+      assert(rows.agg(sum($"id")).head.getLong(0) == (100L until 140).sum)
+    } finally q.stop()
+  }
+
+  test("streaming a branch from startingVersion=0 replays the fork base too") {
+    val t = freshTable("branch-v0")
+    SnapshotLog.commit(df(0, 50), t, "append", Seq("id"))
+    val bt = SnapshotLog.createBranch(s, t, "full")
+    SnapshotLog.commit(df(50, 60), bt, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", bt)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("snap_stream_branch_v0")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // v1 (creation marker) is append-shaped from empty: fork base +
+      // the branch append both arrive, each exactly once
+      assert(s.table("snap_stream_branch_v0").count() == 60)
+      assert(s.table("snap_stream_branch_v0").agg(sum($"id")).head.getLong(0) ==
+        (0L until 60).sum)
+    } finally q.stop()
+  }
+
+  test("a rebase inside the streamed range fails loudly; a restart resumes past the new marker") {
+    val t = freshTable("branch-rebase")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
+    val bt = SnapshotLog.createBranch(s, t, "load")
+    SnapshotLog.commit(df(100, 110), bt, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", bt).load()
+      .writeStream.format("memory").queryName("snap_stream_rebase")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("snap_stream_rebase").count() == 10)
+      // main advances; the branch rebases — shared history re-points
+      SnapshotLog.commit(df(20, 30), t, "append", Seq("id"))
+      SnapshotLog.rebaseBranch(s, t, "load")
+      SnapshotLog.commit(df(110, 115), bt, "append", Seq("id"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("rebase") ||
+        Option(ex.getCause).exists(_.getMessage.contains("rebase")))
+    } finally q.stop()
+    // a FRESH stream (default start) resumes past the new fork marker:
+    // only post-rebase branch-local additions arrive
+    val q2 = s.readStream.format("graft-snapshot").option("table", bt).load()
+      .writeStream.format("memory").queryName("snap_stream_rebase2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = s.table("snap_stream_rebase2")
+      assert(rows.count() == 5)
+      assert(rows.agg(sum($"id")).head.getLong(0) == (110L until 115).sum)
+    } finally q2.stop()
+  }
+
+  test("a rename mid-stream composes like evolve: no files change, decode rides physical names") {
+    val t = freshTable("rename-mid")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_ren_mid")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("snap_stream_ren_mid").count() == 20)
+      SnapshotLog.renameColumn(s, t, "k", "bucket")
+      SnapshotLog.commit(df(20, 30).withColumnRenamed("k", "bucket"),
+        t, "append", Seq("id"))
+      q.processAllAvailable()
+      // the stream keeps its construction-time schema (old names), and
+      // post-rename files decode through the stable physical name
+      val got = s.table("snap_stream_ren_mid")
+      assert(got.count() == 30)
+      assert(got.agg(sum($"k")).head.getLong(0) == (0L until 30).map(_ % 7).sum)
     } finally q.stop()
   }
 
