@@ -187,39 +187,51 @@ object SnapshotScaleSmoke {
 
     // merge-on-read DV delete (the qb7 shape): a range overlapping ONE
     // bucket partially masks exactly that file — zero rewrites at any
-    // table size; the masked rows then append back so every later
-    // content assertion still compares against directBase
+    // table size. A metadata-only restore() then rolls the content
+    // back so later assertions keep comparing against directBase.
+    val vBeforeDv = SnapshotLog.latestVersion(spark, t).get
+    val dvLo = 50L * width
+    val dvHi = 50L * width + width / 2
     val dvStats = timed("dv_delete_1file") {
-      SnapshotLog.deleteWhereDV(spark, t, "l_orderkey",
-        50L * width, 50L * width + width / 2).get
+      SnapshotLog.deleteWhereDV(spark, t, "l_orderkey", dvLo, dvHi).get
     }
     require(dvStats._3.filesMasked == 1 && dvStats._3.filesDropped == 0,
       s"partial-bucket DV delete was not single-file: ${dvStats._3}")
-    SnapshotLog.commit(
-      li.where(col("l_orderkey") >= 50L * width &&
-        col("l_orderkey") <= 50L * width + width / 2),
-      t, "append", Seq("l_orderkey"))
+    val dvExpected = agg(base.where(
+      !(col("l_orderkey") >= dvLo && col("l_orderkey") <= dvHi)))
+    require(agg(SnapshotLog.read(spark, t)) == dvExpected,
+      "DV delete content diverged")
+    SnapshotLog.restore(spark, t, vBeforeDv)
     require(agg(SnapshotLog.read(spark, t)) == directBase,
-      "DV delete + restore diverged")
+      "restore after DV delete diverged")
 
-    // CDC apply (the qb8 shape): one changelog carrying upserts keyed
-    // into bucket 45 and deletes keyed into bucket 55 rewrites EXACTLY
-    // those two files — per-file-exact candidacy, cost scales with
-    // changed files + changelog, never the table
-    val cdcDeleted = li.where(
-      expr(s"l_orderkey DIV $width") === 55 && col("l_orderkey") % 500 === 0)
-    val cdcChanges = li.where(
-        expr(s"l_orderkey DIV $width") === 45 && col("l_orderkey") % 50 === 0)
-      .withColumn("op", lit("U"))
-      .unionByName(cdcDeleted.withColumn("op", lit("D")))
+    // CDC apply (the qb8 shape): one changelog carrying key-distinct
+    // upserts into bucket 45 and deletes into bucket 55 rewrites
+    // EXACTLY those two files — per-file-exact candidacy, cost scales
+    // with changed files + changelog, never the table. restore() rolls
+    // back for the later rounds.
+    val vBeforeCdc = SnapshotLog.latestVersion(spark, t).get
+    val isU = expr(s"l_orderkey DIV $width") === 45 && col("l_orderkey") % 50 === 0
+    val isD = expr(s"l_orderkey DIV $width") === 55 && col("l_orderkey") % 500 === 0
+    val uRows = li.where(isU).groupBy(col("l_orderkey"))
+      .agg(max(col("l_quantity")).as("l_quantity"))
+    val cdcChanges = uRows.withColumn("op", lit("U")).unionByName(
+      li.where(isD).groupBy(col("l_orderkey"))
+        .agg(max(col("l_quantity")).as("l_quantity"))
+        .withColumn("op", lit("D")))
     val cdcStats = timed("cdc_apply_2files") {
       SnapshotLog.applyChanges(cdcChanges, t, "l_orderkey")
     }
     require(cdcStats._3.filesRewritten == 2,
       s"2-bucket CDC rewrote ${cdcStats._3.filesRewritten} files")
-    SnapshotLog.commit(cdcDeleted, t, "append", Seq("l_orderkey"))
+    // both predicates are pure key predicates, so key membership and
+    // row predicate coincide; one union keeps the sum truncation shared
+    val cdcExpected = agg(base.where(!isU && !isD).unionByName(uRows))
+    require(agg(SnapshotLog.read(spark, t)) == cdcExpected,
+      "CDC apply content diverged")
+    SnapshotLog.restore(spark, t, vBeforeCdc)
     require(agg(SnapshotLog.read(spark, t)) == directBase,
-      "CDC apply + restore diverged")
+      "restore after CDC apply diverged")
 
     // point upsert: updates land in ONE bucket → 1 of 63 files rewrites
     val upStats = timed("upsert_1file") {

@@ -2833,6 +2833,34 @@ object SourceQueries extends QueryPack {
           $"v1_rows", $"v1_sum_custkey")
     }),
 
+    // Row-level change feed (the table_changes capability): appends
+    // feed as inserts, a CoW range delete feeds EXACTLY the removed
+    // rows (rewritten survivors are multiset-identical — no churn),
+    // and a DV delete feeds exactly the newly masked rows; each change
+    // stamps its commit version. The hash pins per-(type, version) row
+    // counts and key sums against pure relational arithmetic — churn
+    // from rewrites, missed DV masks, or double-fed versions all
+    // break it.
+    "qcd_snapshot_cdf" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapcdf-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), t, "append",
+        Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      SnapshotLog.deleteWhere(s, t, "o_orderkey", 0L, mx / 4, Seq("o_orderkey"))
+      SnapshotLog.deleteMatchingDV(s, t, $"o_orderkey" % 10 === 7)
+      SnapshotLog.readChangeFeed(s, t, 0L)
+        .groupBy($"_change_type".as("change_type"),
+          $"_commit_version".as("version"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"))
+        .orderBy($"change_type", $"version")
+    }),
+
     // Tags — Iceberg refs on the manifest log: immutable named
     // pointers pin versions ('baseline' before a mutation wave,
     // 'clean' after), reads route through them by name, and retention
@@ -3352,6 +3380,28 @@ object SourceQueries extends QueryPack {
           |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
           |   WHERE o_orderkey % 2 = 0) AS v1_sum_custkey
           |FROM orders""".stripMargin,
+
+      // the feed replayed relationally: inserts = the two parity
+      // appends; deletes = the CoW range (all keys <= m//4) then the
+      // DV-masked survivors (> m//4, %10=7)
+      "qcd_snapshot_cdf" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+          |SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS version,
+          |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders WHERE o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT 'insert', CAST(2 AS BIGINT), count(*),
+          |  CAST(sum(o_orderkey) AS BIGINT)
+          |FROM orders WHERE o_orderkey % 2 = 1
+          |UNION ALL
+          |SELECT 'delete', CAST(3 AS BIGINT), count(*),
+          |  CAST(sum(o_orderkey) AS BIGINT)
+          |FROM orders, mx WHERE o_orderkey <= m // 4
+          |UNION ALL
+          |SELECT 'delete', CAST(4 AS BIGINT), count(*),
+          |  CAST(sum(o_orderkey) AS BIGINT)
+          |FROM orders, mx WHERE o_orderkey > m // 4 AND o_orderkey % 10 = 7
+          |ORDER BY change_type, version""".stripMargin,
 
       // baseline = even keys; clean = everything above max//2 after
       // the full corpus landed; retention expired nothing (tag guard)

@@ -162,6 +162,11 @@ object GraftSql {
       """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(.+)$""").r
   private val MergeDeleteClauseRe =
     """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
+  private val AlterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+  private val AlterAddRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*""" +
+      """(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\)?\s*$""").r
 
   private def sqlLiteral(s: String): Any = {
     val t = s.trim
@@ -187,6 +192,13 @@ object GraftSql {
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
+    *  - `ALTER TABLE v RENAME COLUMN a TO b`
+    *    → [[graft.sources.snapshot.SnapshotLog.renameColumn]]
+    *    (metadata-only column mapping) and
+    *    `ALTER TABLE v ADD COLUMN c TYPE`
+    *    → [[graft.sources.snapshot.SnapshotLog.evolveSchema]]
+    *    (additive, metadata-only) — both repoint the view at the new
+    *    version with the new schema.
     *
     * After a mutation the view re-registers at the NEW latest version,
     * so subsequent SELECTs observe the change — Delta's SQL DML
@@ -242,9 +254,26 @@ object GraftSql {
               .upsert(srcDf, t, tKey, stats).version
         }
         (ver, name)
+      case AlterRenameRe(name, oldC, newC) =>
+        // metadata-only column mapping (see SnapshotLog.renameColumn);
+        // the repoint below re-registers the view with the new schema
+        val (t, _) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
+          .renameColumn(spark, t, oldC, newC), name)
+      case AlterAddRe(name, colName, typ) =>
+        // additive metadata-only evolution; pre-existing files serve
+        // the new column as NULL (nullability enforced by evolveSchema)
+        val (t, _) = mutableSnapshotOf(spark, name)
+        val latest = graft.sources.snapshot.SnapshotLog
+          .latestVersion(spark, t).get
+        val ddl = graft.sources.snapshot.SnapshotLog
+          .manifest(spark, t, latest).schemaDdl
+        (graft.sources.snapshot.SnapshotLog
+          .evolveSchema(spark, t, s"$ddl,$colName $typ"), name)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported DML statement (DELETE FROM/INSERT INTO/MERGE INTO): $other")
+          "unsupported statement (DELETE FROM/INSERT INTO/MERGE INTO/" +
+            s"ALTER TABLE ... RENAME COLUMN/ADD COLUMN): $other")
     }
     // repoint the view at the new version so SQL readers see the change
     val (t, stats) = mutableSnapshotOf(spark, name)

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.snapshot.SnapshotLog
+
+/** Row-level change feed (the `table_changes` capability): inserts and
+  * deletes per committed version over every mutation shape, computed
+  * from the files that changed hands only — appends, CoW deletes, DV
+  * deletes, upserts, CDC applies, restores; compaction contributes
+  * nothing; ranges span evolves and renames by aligning to the end
+  * schema through physical names.
+  */
+class SnapshotChangeFeedSpec extends AnyFunSuite {
+  private lazy val s = SparkTestSession.get
+  import s.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = Paths.get("target", s"snapcdf-$name").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    p.toString
+  }
+
+  private def df(lo: Long, hi: Long) =
+    s.range(lo, hi).select($"id", ($"id" % 7).as("k"),
+      concat(lit("row"), $"id").as("payload"))
+
+  private def feed(t: String, from: Long, to: Option[Long] = None) =
+    SnapshotLog.readChangeFeed(s, t, from, to)
+
+  private def byType(fdf: org.apache.spark.sql.DataFrame): Map[(String, Long), (Long, Long)] =
+    fdf.groupBy($"_change_type", $"_commit_version")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("appends feed as inserts, exactly once per version") {
+    val t = freshTable("appends")
+    SnapshotLog.commit(df(0, 50), t, "append", Seq("id"))
+    SnapshotLog.commit(df(50, 80), t, "append", Seq("id"))
+    val m = byType(feed(t, 0))
+    assert(m(("insert", 1L)) == (50L, (0L until 50).sum))
+    assert(m(("insert", 2L)) == (30L, (50L until 80).sum))
+    assert(m.size == 2) // no deletes anywhere
+    // (from=1] sees only v2
+    assert(byType(feed(t, 1)) == Map(("insert", 2L) -> (30L, (50L until 80).sum)))
+  }
+
+  test("CoW delete feeds the removed rows as deletes; rewritten survivors do not churn") {
+    val t = freshTable("cow")
+    (0 until 2).foreach(i => SnapshotLog.commit(
+      df(i * 100, i * 100 + 100).repartition(1), t, "append", Seq("id")))
+    // partial overlap of file 1: rows 0..49 go, 50..99 survive via rewrite
+    SnapshotLog.deleteWhere(s, t, "id", 0L, 49L, Seq("id"))
+    val m = byType(feed(t, 2))
+    assert(m(("delete", 3L)) == (50L, (0L until 50).sum))
+    // multiset diff: the 50 surviving rows move files but are NOT churn
+    assert(!m.contains(("insert", 3L)))
+  }
+
+  test("DV delete feeds exactly the masked rows") {
+    val t = freshTable("dv")
+    SnapshotLog.commit(df(0, 100).repartition(1), t, "append", Seq("id"))
+    SnapshotLog.deleteMatchingDV(s, t, $"id" % 10 === 3)
+    val m = byType(feed(t, 1))
+    assert(m(("delete", 2L)) == (10L, (0L until 100).filter(_ % 10 == 3).sum))
+    assert(!m.contains(("insert", 2L)))
+    // extending the mask feeds only the NEWLY masked rows
+    SnapshotLog.deleteMatchingDV(s, t, $"id" % 10 === 7)
+    val m2 = byType(feed(t, 2))
+    assert(m2(("delete", 3L)) == (10L, (0L until 100).filter(_ % 10 == 7).sum))
+  }
+
+  test("upsert feeds delete+insert pairs for changed rows only") {
+    val t = freshTable("upsert")
+    SnapshotLog.commit(df(0, 100).repartition(1), t, "append", Seq("id"))
+    val updates = s.range(10, 15).select($"id", lit(99L).as("k"),
+      lit("updated").as("payload"))
+    SnapshotLog.upsert(updates, t, "id", Seq("id"))
+    val f = feed(t, 1)
+    val ins = f.where($"_change_type" === "insert")
+    val del = f.where($"_change_type" === "delete")
+    // exactly the 5 changed rows on each side — the other 95 rows were
+    // rewritten into the new file but are multiset-identical
+    assert(ins.count() == 5 && del.count() == 5)
+    assert(ins.where($"payload" === "updated").count() == 5)
+    assert(del.where($"payload".startsWith("row")).count() == 5)
+    assert(del.agg(sum($"id")).head.getLong(0) == (10L until 15).sum)
+  }
+
+  test("restore feeds the content it reverts; compaction feeds nothing") {
+    val t = freshTable("restore")
+    SnapshotLog.commit(df(0, 60).repartition(2), t, "append", Seq("id"))
+    SnapshotLog.commit(df(60, 90).repartition(1), t, "append", Seq("id"))
+    // compaction: physical rewrite, logical no-op
+    SnapshotLog.compact(s, t, 1L << 30, Seq("id"))
+    assert(feed(t, 2, Some(3)).count() == 0)
+    // restore to v1: v2's rows (60..89) feed as deletes
+    SnapshotLog.restore(s, t, 1L)
+    val m = byType(feed(t, 3))
+    assert(m(("delete", 4L)) == (30L, (60L until 90).sum))
+    assert(!m.contains(("insert", 4L)))
+  }
+
+  test("a range spanning evolve and rename aligns to the end schema via physical names") {
+    val t = freshTable("evolve-rename")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
+    SnapshotLog.evolveSchema(s, t,
+      SnapshotLog.manifest(s, t, 1L).schemaDdl + ",extra BIGINT")
+    SnapshotLog.commit(df(20, 30).withColumn("extra", $"id" * 2), t,
+      "append", Seq("id"))
+    SnapshotLog.renameColumn(s, t, "k", "bucket")
+    SnapshotLog.commit(df(30, 40).withColumnRenamed("k", "bucket")
+      .withColumn("extra", $"id" * 3), t, "append", Seq("id"))
+    val f = feed(t, 0)
+    assert(f.columns.toSeq ==
+      Seq("id", "bucket", "payload", "extra", "_change_type", "_commit_version"))
+    // v1 rows: pre-evolve (extra null), pre-rename k serves as bucket
+    assert(f.where($"_commit_version" === 1).count() == 20)
+    assert(f.where($"_commit_version" === 1 && $"extra".isNull).count() == 20)
+    assert(f.where($"_commit_version" === 1).agg(sum($"bucket")).head.getLong(0) ==
+      (0L until 20).map(_ % 7).sum)
+    // evolve and rename themselves contribute no rows
+    assert(f.where($"_commit_version".isin(2, 4)).count() == 0)
+    assert(f.where($"_commit_version" === 5).agg(sum($"extra")).head.getLong(0) ==
+      (30L until 40).map(_ * 3).sum)
+  }
+
+  test("the feed replays to the current table state") {
+    val t = freshTable("replay")
+    SnapshotLog.commit(df(0, 80).repartition(2), t, "append", Seq("id"))
+    SnapshotLog.deleteWhere(s, t, "id", 10L, 19L, Seq("id"))
+    SnapshotLog.upsert(
+      s.range(30, 35).select($"id", lit(50L).as("k"), lit("u").as("payload")),
+      t, "id", Seq("id"))
+    SnapshotLog.deleteMatchingDV(s, t, $"id" % 20 === 1)
+    // inserts minus deletes across the whole feed == final content
+    val f = feed(t, 0)
+    val net = f.withColumn("w",
+        when($"_change_type" === "insert", 1L).otherwise(-1L))
+      .groupBy($"id", $"k", $"payload").agg(sum($"w").as("n"))
+      .where($"n" =!= 0)
+    val fin = SnapshotLog.read(s, t)
+      .groupBy($"id", $"k", $"payload").agg(count(lit(1)).as("n"))
+    assert(net.exceptAll(fin).count() == 0 && fin.exceptAll(net).count() == 0)
+  }
+}

@@ -178,6 +178,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pinned"))
   }
 
+  test("SQL DDL: ALTER TABLE RENAME COLUMN / ADD COLUMN are metadata-only and repoint the view") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-ddl").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 50).select($"id", ($"id" % 5).as("k")),
+      t, "append", Seq("id"))
+    graft.sql.GraftSql.registerSnapshot(spark, "ddl_v", t, None, Seq("id"))
+    graft.sql.GraftSql.dml(spark, "ALTER TABLE ddl_v RENAME COLUMN k TO bucket")
+    // the view re-registered with the new schema; old files serve it
+    assert(spark.sql("SELECT sum(bucket) FROM ddl_v").head.getLong(0) ==
+      (0L until 50).map(_ % 5).sum)
+    graft.sql.GraftSql.dml(spark, "ALTER TABLE ddl_v ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(*) FROM ddl_v WHERE note IS NULL")
+      .head.getLong(0) == 50L)
+    // DML composes after the DDL: insert under the renamed/evolved shape
+    graft.sql.GraftSql.dml(spark,
+      "INSERT INTO ddl_v SELECT id, id % 5 AS bucket, 'new' AS note FROM range(100, 110)")
+    assert(spark.sql("SELECT count(*) FROM ddl_v WHERE note = 'new'")
+      .head.getLong(0) == 10L)
+    assert(spark.sql("SELECT sum(bucket) FROM ddl_v").head.getLong(0) ==
+      (0L until 50).map(_ % 5).sum + (100L until 110).map(_ % 5).sum)
+  }
+
   test("metadata-tier kernels answer from spark.sql; malformed payloads null") {
     graft.sql.GraftSql.registerFunctions(spark)
     import spark.implicits._
