@@ -2861,6 +2861,47 @@ object SourceQueries extends QueryPack {
         .orderBy($"change_type", $"version")
     }),
 
+    // Mirror a MUTATING table (change-feed replication): two appends,
+    // a CoW range delete, an upsert bumping custkeys, and a DV delete
+    // land on the source; replicateChangeFeed applies each version's
+    // row-level feed to the mirror exactly-once (source versions ride
+    // the destination's epoch ledger — no external checkpoint). The
+    // hash pins the mirrored content (must equal the source's final
+    // state recomputed relationally) and the version/epoch accounting;
+    // a double-applied version, lost delete, or missed upsert breaks it.
+    "qce_snapshot_mirror" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val src = s"target/snapmirror-src-$tag"
+      val dst = s"target/snapmirror-dst-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), src, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), src, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      SnapshotLog.deleteWhere(s, src, "o_orderkey", 0L, mx / 3, Seq("o_orderkey"))
+      SnapshotLog.upsert(
+        o.where($"o_orderkey" > mx / 3 && $"o_orderkey" % 100 === 0)
+          .withColumn("o_custkey", $"o_custkey" + 1000000L),
+        src, "o_orderkey", Seq("o_orderkey"))
+      SnapshotLog.deleteMatchingDV(s, src, $"o_orderkey" % 10 === 9)
+      val consumed = SnapshotLog
+        .replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"))
+        .map(_._1).getOrElse(0L)
+      SnapshotLog.read(s, dst).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_cust"))
+        .withColumn("consumed_src_version", lit(consumed))
+        .withColumn("n_dst_versions",
+          lit(SnapshotLog.latestVersion(s, dst).get))
+        .select($"consumed_src_version", $"n_dst_versions", $"n_rows",
+          $"sum_key", $"sum_cust")
+    }),
+
     // Tags — Iceberg refs on the manifest log: immutable named
     // pointers pin versions ('baseline' before a mutation wave,
     // 'clean' after), reads route through them by name, and retention
@@ -3380,6 +3421,23 @@ object SourceQueries extends QueryPack {
           |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
           |   WHERE o_orderkey % 2 = 0) AS v1_sum_custkey
           |FROM orders""".stripMargin,
+
+      // the mirror's final state recomputed relationally: survivors of
+      // the range delete minus the DV'd tail, custkeys bumped where
+      // upserted; accounting structural (5 src versions, 5 dst commits)
+      "qce_snapshot_mirror" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+          |fin AS (SELECT o_orderkey AS k,
+          |  o_custkey + CASE WHEN o_orderkey % 100 = 0
+          |    THEN 1000000 ELSE 0 END AS c
+          |  FROM orders, mx
+          |  WHERE o_orderkey > m // 3 AND o_orderkey % 10 <> 9)
+          |SELECT CAST(5 AS BIGINT) AS consumed_src_version,
+          |  CAST(5 AS BIGINT) AS n_dst_versions,
+          |  count(*) AS n_rows,
+          |  CAST(sum(k) AS BIGINT) AS sum_key,
+          |  CAST(sum(c) AS BIGINT) AS sum_cust
+          |FROM fin""".stripMargin,
 
       // the feed replayed relationally: inserts = the two parity
       // appends; deletes = the CoW range (all keys <= m//4) then the

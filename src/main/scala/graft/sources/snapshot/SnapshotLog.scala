@@ -895,8 +895,13 @@ object SnapshotLog {
     * to the 100 TB corpus table" operation: cost scales with changed
     * files + changelog size, never the table.
     */
+  /** `epoch` stamps the commit into the stream-replay ledger
+    * ([[maxEpoch]]) — [[replicateChangeFeed]] uses it for exactly-once
+    * change application; -1 (default) for plain batch applies.
+    */
   def applyChanges(changes: DataFrame, table: String, keyCol: String,
-      opCol: String = "op", statsCols: Seq[String] = Nil): MutationStats = {
+      opCol: String = "op", statsCols: Seq[String] = Nil,
+      epoch: Long = -1L): MutationStats = {
     val spark = changes.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
@@ -949,7 +954,7 @@ object SnapshotLog {
       (statsCols :+ keyCol).distinct, physical = m.physical)
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        physical = m.physical))
+        epoch, physical = m.physical))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -2075,6 +2080,55 @@ object SnapshotLog {
     if (ckpt >= srcV) return None
     val changes = readChanges(spark, src, math.max(ckpt, 0L), Some(srcV))
     appendStreamBatch(changes, dst, srcV, statsCols).map(v => (srcV, v))
+  }
+
+  /** Mirror a MUTATING table: the change-feed analogue of
+    * [[replicateChanges]], for sources where appends are not the only
+    * op. Each unconsumed source version's row-level feed
+    * ([[readChangeFeed]]) applies to `dst` as one CDC commit — same-key
+    * delete+insert collapses to an update, delete-only rows delete,
+    * insert-only rows upsert — stamped with the source version in the
+    * destination's epoch ledger, so replication is exactly-once and
+    * resumable with no external checkpoint (crash mid-stream resumes
+    * at maxEpoch+1; a version whose feed is empty — evolve, compact —
+    * skips without a commit and is re-skipped idempotently on replay).
+    *
+    * Requires `keyCol` to be unique per row in the source (the CDC
+    * apply contract); enforced loudly by [[applyChanges]]. Cost per
+    * sync is the source's churn over the unconsumed range — files that
+    * changed hands, never either table. Returns (source version
+    * consumed, new destination version) of the LAST applied version,
+    * or None when already up to date.
+    */
+  def replicateChangeFeed(spark: SparkSession, src: String, dst: String,
+      keyCol: String, statsCols: Seq[String] = Nil): Option[(Long, Long)] = {
+    val srcV = latestVersion(spark, src).getOrElse(return None)
+    val dstV0 = latestVersion(spark, dst).getOrElse(0L)
+    val ckpt = if (dstV0 == 0L) -1L else maxEpoch(spark, dst, dstV0)
+    if (ckpt >= srcV) return None
+    var applied: Option[(Long, Long)] = None
+    ((math.max(ckpt, 0L) + 1) to srcV).foreach { v =>
+      val feed = readChangeFeed(spark, src, v - 1, Some(v))
+      val ins = feed.where(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      val del = feed.where(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version")
+      val dstEmpty = latestVersion(spark, dst).isEmpty
+      if (dstEmpty) {
+        // bootstrap: the first non-empty version seeds the mirror via
+        // the stream ledger (replay-safe append)
+        appendStreamBatch(ins, dst, v, statsCols)
+          .foreach(nv => applied = Some((v, nv)))
+      } else {
+        val before = latestVersion(spark, dst).get
+        val changes = ins.withColumn("__op", lit("U")).unionByName(
+          del.join(ins.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .withColumn("__op", lit("D")))
+        val st = applyChanges(changes, dst, keyCol, "__op", statsCols, epoch = v)
+        if (st.version > before) applied = Some((v, st.version))
+      }
+    }
+    applied
   }
 
   /** Delta-manifest encoding: a published version normally records only

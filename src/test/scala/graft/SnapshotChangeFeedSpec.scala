@@ -130,6 +130,42 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
       (30L until 40).map(_ * 3).sum)
   }
 
+  test("replicateChangeFeed mirrors a mutating table exactly-once, resumable") {
+    val src = freshTable("repl-src")
+    val dst = freshTable("repl-dst")
+    def sync() = SnapshotLog.replicateChangeFeed(s, src, dst, "id", Seq("id"))
+    def same(): Unit = {
+      val a = SnapshotLog.read(s, src).groupBy($"id", $"k", $"payload")
+        .agg(count(lit(1)).as("n"))
+      val b = SnapshotLog.read(s, dst).groupBy($"id", $"k", $"payload")
+        .agg(count(lit(1)).as("n"))
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+    SnapshotLog.commit(df(0, 100).repartition(2), src, "append", Seq("id"))
+    assert(sync().isDefined)
+    same()
+    assert(sync().isEmpty) // up to date: no phantom commits
+    // a mutation wave: CoW delete + upsert + DV delete, then one sync
+    SnapshotLog.deleteWhere(s, src, "id", 0L, 9L, Seq("id"))
+    SnapshotLog.upsert(
+      s.range(50, 55).select($"id", lit(77L).as("k"), lit("upd").as("payload")),
+      src, "id", Seq("id"))
+    SnapshotLog.deleteMatchingDV(s, src, $"id" % 25 === 3)
+    assert(sync().isDefined)
+    same()
+    // id=53 (%25==3) was DV-deleted after the upsert: 4 survive
+    assert(SnapshotLog.read(s, dst).where($"payload" === "upd").count() == 4)
+    assert(sync().isEmpty)
+    // compaction on src is a logical no-op: nothing replicates
+    SnapshotLog.compact(s, src, 1L << 30, Seq("id"))
+    assert(sync().isEmpty)
+    same()
+    // late appends resume from the ledger
+    SnapshotLog.commit(df(200, 220), src, "append", Seq("id"))
+    assert(sync().isDefined)
+    same()
+  }
+
   test("the feed replays to the current table state") {
     val t = freshTable("replay")
     SnapshotLog.commit(df(0, 80).repartition(2), t, "append", Seq("id"))
