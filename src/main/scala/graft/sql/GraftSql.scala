@@ -120,6 +120,18 @@ object GraftSql {
       SnapshotReg(table, statsCols, pinned = version.isDefined))
   }
 
+  /** Register a table's row-level change feed as a temp view —
+    * `table_changes(t, from, to)` for SQL users: the end schema plus
+    * `_change_type` (insert|delete) and `_commit_version` columns (see
+    * [[graft.sources.snapshot.SnapshotLog.readChangeFeed]]). Pinned to
+    * the range it was registered with; re-register to advance.
+    */
+  def registerChangeFeed(spark: SparkSession, name: String, table: String,
+      fromVersion: Long, toVersion: Option[Long] = None): Unit =
+    graft.sources.snapshot.SnapshotLog
+      .readChangeFeed(spark, table, fromVersion, toVersion)
+      .createOrReplaceTempView(name)
+
   /** One registered snapshot view: its backing table, the statsCols
     * [[dml]] mutations should commit with, and whether the view is
     * PINNED (explicit version or tag) — pinned views are read-only.

@@ -202,6 +202,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (0L until 50).map(_ % 5).sum + (100L until 110).map(_ % 5).sum)
   }
 
+  test("the change feed registers as a SQL view (table_changes shape)") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-cdf").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 40).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    graft.sources.snapshot.SnapshotLog.deleteWhere(spark, t, "id", 0L, 9L, Seq("id"))
+    graft.sql.GraftSql.registerChangeFeed(spark, "cdf_v", t, 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM cdf_v WHERE _change_type = 'insert' AND _commit_version = 1")
+      .head.getLong(0) == 40L)
+    assert(spark.sql(
+      "SELECT sum(id) FROM cdf_v WHERE _change_type = 'delete' AND _commit_version = 2")
+      .head.getLong(0) == (0L until 10).sum)
+  }
+
   test("metadata-tier kernels answer from spark.sql; malformed payloads null") {
     graft.sql.GraftSql.registerFunctions(spark)
     import spark.implicits._
