@@ -517,7 +517,8 @@ object SnapshotLog {
     */
   def compact(spark: SparkSession, table: String, targetBytes: Long,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Option[Long] = {
+      clusterBy: Seq[String] = Nil,
+      clusterExpr: Option[DataFrame => org.apache.spark.sql.Column] = None): Option[Long] = {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
@@ -532,11 +533,20 @@ object SnapshotLog {
       val n = math.max(1,
         math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
       val readBack = readFiles(spark, table, m, small) // DV-aware
-      val rewritten =
-        if (clusterBy.isEmpty) readBack.coalesce(n)
-        else readBack
+      val rewritten = clusterExpr match {
+        // computed clustering key (e.g. a z-order interleave): rides a
+        // transient column through the range partition + sort, dropped
+        // before the write so the table schema never sees it
+        case Some(key) =>
+          readBack.withColumn("__graft_cluster", key(readBack))
+            .repartitionByRange(n, col("__graft_cluster"))
+            .sortWithinPartitions(col("__graft_cluster"))
+            .drop("__graft_cluster")
+        case None if clusterBy.isEmpty => readBack.coalesce(n)
+        case None => readBack
           .repartitionByRange(n, clusterBy.map(col).toIndexedSeq: _*)
           .sortWithinPartitions(clusterBy.map(col).toIndexedSeq: _*)
+      }
       val newFiles = writeData(rewritten, table, v, statsCols, bloomCols,
         physical = m.physical)
       publish(fsOf(spark, new Path(table)), new Path(table),
@@ -2026,11 +2036,15 @@ object SnapshotLog {
     }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], endSchema)
+    // walk once: each version's resolved manifest is the next one's
+    // parent, so the metadata cost is O(range), not O(range × chain)
+    var parent: Option[Manifest] =
+      if (fromVersion == 0) None else Some(manifest(spark, table, fromVersion))
     val perVersion = ((fromVersion + 1) to to).flatMap { v =>
       val m = manifest(spark, table, v)
-      val parentFiles =
-        if (v - 1 == 0) Seq.empty[FileEntry]
-        else manifest(spark, table, v - 1).files
+      val parentFiles = parent.map(_.files).getOrElse(Nil)
+      val pm = parent
+      parent = Some(m)
       val pBy = parentFiles.map(f => f.path -> f).toMap
       val nBy = m.files.map(f => f.path -> f).toMap
       // changed hands: removed, added, or same path with a different DV
@@ -2040,8 +2054,7 @@ object SnapshotLog {
       else {
         val oldDf =
           if (oldSide.isEmpty) empty
-          else aligned(readFiles(spark, table,
-            manifest(spark, table, v - 1), oldSide), manifest(spark, table, v - 1))
+          else aligned(readFiles(spark, table, pm.get, oldSide), pm.get)
         val newDf =
           if (newSide.isEmpty) empty
           else aligned(readFiles(spark, table, m, newSide), m)

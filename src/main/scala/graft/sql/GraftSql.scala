@@ -174,6 +174,10 @@ object GraftSql {
       """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(.+)$""").r
   private val MergeDeleteClauseRe =
     """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+(\w+)""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*$""").r
+  private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val AlterAddRe =
@@ -204,6 +208,12 @@ object GraftSql {
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
+    *  - `OPTIMIZE v` → [[graft.sources.snapshot.SnapshotLog.compact]]
+    *    (small-file + DV-debt rewrite); `OPTIMIZE v ZORDER BY (a, b)`
+    *    → the same rewrite clustered on a z-order interleave scaled
+    *    from manifest stats, and `VACUUM v` →
+    *    [[graft.sources.snapshot.SnapshotLog.vacuum]] (unreferenced
+    *    debris; no new version).
     *  - `ALTER TABLE v RENAME COLUMN a TO b`
     *    → [[graft.sources.snapshot.SnapshotLog.renameColumn]]
     *    (metadata-only column mapping) and
@@ -266,6 +276,40 @@ object GraftSql {
               .upsert(srcDf, t, tKey, stats).version
         }
         (ver, name)
+      case OptimizeRe(name, zc1, zc2) =>
+        // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b) → the
+        // same rewrite clustered on a z-order interleave of the two
+        // columns, scaled to 16 bits from MANIFEST stats (metadata-only
+        // — no window, no extra pass; the Delta OPTIMIZE..ZORDER shape)
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        val target = 256L << 20
+        val ver =
+          if (zc1 == null) snap.compact(spark, t, target, stats)
+          else {
+            val ranges = snap.tableStats(spark, t).colRanges
+            def scaled(c: String): org.apache.spark.sql.Column = {
+              val (mnA, mxA) = ranges.getOrElse(c,
+                throw new IllegalArgumentException(
+                  s"ZORDER BY column '$c' has no manifest stats — commit " +
+                    s"with statsCols including it first"))
+              val (mn, mx) = (mnA.asInstanceOf[Number].doubleValue(),
+                mxA.asInstanceOf[Number].doubleValue())
+              val span = math.max(mx - mn, 1e-12)
+              org.apache.spark.sql.functions.floor(
+                (org.apache.spark.sql.functions.col(c).cast("double") - mn)
+                  / span * 65535.0).cast("long")
+            }
+            snap.compact(spark, t, target, (stats ++ Seq(zc1, zc2)).distinct,
+              clusterExpr = Some(_ =>
+                graft.functions.ZOrder.zOrder2(scaled(zc1), scaled(zc2))))
+          }
+        (ver.getOrElse(snap.latestVersion(spark, t).get), name)
+      case VacuumRe(name) =>
+        // VACUUM drops unreferenced debris; no new version publishes
+        val (t, _) = mutableSnapshotOf(spark, name)
+        graft.sources.snapshot.SnapshotLog.vacuum(spark, t)
+        (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
       case AlterRenameRe(name, oldC, newC) =>
         // metadata-only column mapping (see SnapshotLog.renameColumn);
         // the repoint below re-registers the view with the new schema
@@ -285,7 +329,8 @@ object GraftSql {
       case other =>
         throw new IllegalArgumentException(
           "unsupported statement (DELETE FROM/INSERT INTO/MERGE INTO/" +
-            s"ALTER TABLE ... RENAME COLUMN/ADD COLUMN): $other")
+            "ALTER TABLE ... RENAME COLUMN/ADD COLUMN/OPTIMIZE [ZORDER " +
+            s"BY]/VACUUM): $other")
     }
     // repoint the view at the new version so SQL readers see the change
     val (t, stats) = mutableSnapshotOf(spark, name)

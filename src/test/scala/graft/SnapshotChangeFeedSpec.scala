@@ -166,6 +166,23 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
     same()
   }
 
+  test("the feed's plan reads ONLY the files that changed hands") {
+    val t = freshTable("plan")
+    (0 until 3).foreach(i => SnapshotLog.commit(
+      df(i * 100, i * 100 + 100).repartition(1), t, "append", Seq("id")))
+    // delete overlaps file 1 only: files 0 and 2 must never be scanned
+    SnapshotLog.deleteWhere(s, t, "id", 120L, 150L, Seq("id"))
+    val feed = SnapshotLog.readChangeFeed(s, t, 3L)
+    val read = feed.inputFiles.toSet
+    val m3 = SnapshotLog.manifest(s, t, 3L)
+    val untouched = m3.files.map(_.path)
+      .filter(p => SnapshotLog.manifest(s, t, 4L).files.exists(_.path == p))
+    assert(untouched.nonEmpty)
+    untouched.foreach(p => assert(!read.exists(_.endsWith(p.substring(p.lastIndexOf('/') + 1))),
+      s"feed scanned unchanged file $p"))
+    assert(read.nonEmpty)
+  }
+
   test("the feed replays to the current table state") {
     val t = freshTable("replay")
     SnapshotLog.commit(df(0, 80).repartition(2), t, "append", Seq("id"))

@@ -202,6 +202,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (0L until 50).map(_ % 5).sum + (100L until 110).map(_ % 5).sum)
   }
 
+  test("SQL OPTIMIZE / OPTIMIZE ZORDER / VACUUM run the maintenance ops") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-opt").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    // 4 small files across two numeric dimensions
+    (0 until 4).foreach(i => snap.commit(
+      spark.range(i * 100, i * 100 + 100)
+        .select($"id", (($"id" * 37) % 400).as("y"), lit("p").as("payload"))
+        .repartition(1),
+      t, "append", Seq("id", "y")))
+    graft.sql.GraftSql.registerSnapshot(spark, "opt_v", t, None, Seq("id", "y"))
+    val before = snap.tableStats(spark, t)
+    assert(before.files == 4)
+    graft.sql.GraftSql.dml(spark, "OPTIMIZE opt_v ZORDER BY (id, y)")
+    val after = snap.tableStats(spark, t)
+    assert(after.rows == before.rows)
+    assert(spark.sql("SELECT count(*) FROM opt_v").head.getLong(0) == 400L)
+    // the transient cluster key never leaks into the table schema
+    assert(snap.read(spark, t).columns.toSeq == Seq("id", "y", "payload"))
+    // VACUUM clears debris without touching referenced files
+    val dataDir = new java.io.File(t, "data").listFiles().head
+    val orphanSrc = dataDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(dataDir, "orphan-copy.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+    graft.sql.GraftSql.dml(spark, "VACUUM opt_v")
+    assert(!orphan.exists())
+    assert(spark.sql("SELECT count(*) FROM opt_v").head.getLong(0) == 400L)
+    // an unknown statement still refuses loudly
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE opt_v") }
+  }
+
   test("the change feed registers as a SQL view (table_changes shape)") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-cdf").toAbsolutePath.toString
