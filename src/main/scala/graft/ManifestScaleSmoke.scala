@@ -291,6 +291,35 @@ object ManifestScaleSmoke {
     out += "wide_pruned_read_sec" -> tWidePruned
     out += "wide_pruned_kept" -> wp._2
 
+    // column-mapping rename on the 100k-file manifest: ONE manifest
+    // write re-keying 100k entries' stats driver-side — metadata-only,
+    // no data file touched; reads and pruning serve the new name
+    val (tWideRename, _) = timed(
+      SnapshotLog.renameColumn(spark, wide, "id", "doc_id"))
+    val (prunedRenamed, keptRenamed, totalRenamed) =
+      SnapshotLog.readFiltered(spark, wide, Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 0L),
+        org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 100L)))
+    require(prunedRenamed.count() == 101L && keptRenamed <= 4 &&
+      totalRenamed == WideFiles + 4, "rename broke wide pruning")
+    out += "wide_rename_sec" -> tWideRename
+
+    // change feed of one small append on the 100k-file table: the
+    // per-version diff maps 100k entries driver-side, then reads ONLY
+    // the new file — O(churn) data cost at any manifest width
+    val vBefore = SnapshotLog.latestVersion(spark, wide).get
+    SnapshotLog.commit(
+      spark.range(200000L, 200100L).select(col("id").as("doc_id"),
+        concat(lit("p"), col("id")).as("payload")).repartition(1),
+      wide, "append", Seq("doc_id"))
+    val (tWideCdf, cdfAgg) = timed {
+      val f = SnapshotLog.readChangeFeed(spark, wide, vBefore)
+      (f.count(), f.inputFiles.length)
+    }
+    require(cdfAgg._1 == 100L, s"wide CDF rows ${cdfAgg._1}")
+    require(cdfAgg._2 == 1, s"wide CDF scanned ${cdfAgg._2} files, want 1")
+    out += "wide_cdf_1append_sec" -> tWideCdf
+
     // cost-shape assertions the artifact certifies
     require(tResolve < 10.0, s"deep resolve took $tResolve s")
     require(tWideResolve < 10.0, s"wide resolve took $tWideResolve s")

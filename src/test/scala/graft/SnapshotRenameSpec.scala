@@ -117,6 +117,21 @@ class SnapshotRenameSpec extends AnyFunSuite {
       (0L until 50).map(_ % 7).sum)
   }
 
+  test("never-renamed tables keep the bare scan plan — no aliasing projection tax") {
+    val t = freshTable("fastpath")
+    SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
+    val plain = SnapshotLog.read(s, t).queryExecution.optimizedPlan
+    // physical map empty → readFilesRaw returns the scan itself; the
+    // column-mapping feature must cost NOTHING until a rename happens
+    assert(!plain.toString.contains("Project"),
+      s"unexpected projection over a never-renamed table:\n$plain")
+    // and the renamed table's read is exactly one collapsed projection
+    SnapshotLog.renameColumn(s, t, "k", "bucket")
+    val renamed = SnapshotLog.read(s, t).queryExecution.optimizedPlan
+    assert(renamed.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p }.size <= 1)
+  }
+
   test("unsafe renames refuse loudly") {
     val t = freshTable("guards")
     SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
