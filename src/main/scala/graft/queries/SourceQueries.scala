@@ -2902,6 +2902,50 @@ object SourceQueries extends QueryPack {
           $"sum_key", $"sum_cust")
     }),
 
+    // Equality-delete MOR upserts (Iceberg v2 sequence numbers): a
+    // custkey-bumping upsert and a key-set delete land WITHOUT
+    // rewriting any file (rewrote pins the prior-file-subset check),
+    // a later append's rows survive the earlier delete's key space
+    // (sequence semantics), reads serve the merged state, and one
+    // compact materializes the debt (eq_keys → 0) with content
+    // unchanged. Hash = final content + key-debt accounting; a
+    // swallowed late row, a double-served key, or a compact that loses
+    // masked state all break it.
+    "qcf_snapshot_eq_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapeq-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      val filesV1 = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      SnapshotLog.upsertMOR(
+        o.where($"o_orderkey" % 100 === 0)
+          .withColumn("o_custkey", $"o_custkey" + 1000000L),
+        t, "o_orderkey", Seq("o_orderkey"))
+      SnapshotLog.deleteKeysMOR(
+        o.where($"o_orderkey" % 2 === 0 && $"o_orderkey" % 10 === 4)
+          .select($"o_orderkey"), t, "o_orderkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), t, "append",
+        Seq("o_orderkey"))
+      val mNow = SnapshotLog.manifest(s, t,
+        SnapshotLog.latestVersion(s, t).get)
+      val rewrote = if (filesV1.subsetOf(mNow.files.map(_.path).toSet)) 0L else 1L
+      val eqKeys = SnapshotLog.tableStats(s, t).eqDeleteKeys
+      SnapshotLog.compact(s, t, 1L << 30, Seq("o_orderkey"))
+      val eqAfter = SnapshotLog.tableStats(s, t).eqDeleteKeys
+      SnapshotLog.read(s, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_cust"))
+        .withColumn("rewrote", lit(rewrote))
+        .withColumn("eq_keys", lit(eqKeys))
+        .withColumn("compact_eq_keys", lit(eqAfter))
+        .select($"rewrote", $"eq_keys", $"compact_eq_keys", $"n_rows",
+          $"sum_key", $"sum_cust")
+    }),
+
     // Tags — Iceberg refs on the manifest log: immutable named
     // pointers pin versions ('baseline' before a mutation wave,
     // 'clean' after), reads route through them by name, and retention
@@ -3421,6 +3465,27 @@ object SourceQueries extends QueryPack {
           |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
           |   WHERE o_orderkey % 2 = 0) AS v1_sum_custkey
           |FROM orders""".stripMargin,
+
+      // the MOR state relationally: evens minus the %10=4 key deletes,
+      // custkeys bumped where upserted (%100=0 never intersects %10=4),
+      // plus the late odd append; key debt = upsert keys + delete keys,
+      // cleared by compaction; content identical after the compact
+      "qcf_snapshot_eq_upsert" ->
+        """WITH ev AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+          |            WHERE o_orderkey % 2 = 0),
+          |fin AS (
+          |  SELECT k, CASE WHEN k % 100 = 0 THEN c + 1000000 ELSE c END AS c
+          |  FROM ev WHERE k % 10 <> 4
+          |  UNION ALL
+          |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+          |SELECT CAST(0 AS BIGINT) AS rewrote,
+          |  (SELECT count(*) FROM ev WHERE k % 100 = 0) +
+          |    (SELECT count(*) FROM ev WHERE k % 10 = 4) AS eq_keys,
+          |  CAST(0 AS BIGINT) AS compact_eq_keys,
+          |  count(*) AS n_rows,
+          |  CAST(sum(k) AS BIGINT) AS sum_key,
+          |  CAST(sum(c) AS BIGINT) AS sum_cust
+          |FROM fin""".stripMargin,
 
       // the mirror's final state recomputed relationally: survivors of
       // the range delete minus the DV'd tail, custkeys bumped where

@@ -67,10 +67,29 @@ object SnapshotLog {
     * the [min,max] window can't speak for (min/max describe only the
     * non-null values).
     */
+  /** `seq` is the file's DATA SEQUENCE NUMBER (the Iceberg v2
+    * concept): a monotone logical clock stamped at commit, independent
+    * of version numbering (branches share the parent's clock).
+    * Equality deletes apply to a file iff the delete's seq is STRICTLY
+    * greater — a file written in or after the deleting commit never
+    * loses its own rows. 0 = legacy/pre-sequence file: every equality
+    * delete applies (conservatively correct).
+    */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
       stats: Map[String, (Any, Any)], blooms: Map[String, String] = Map.empty,
       dv: Option[DvRef] = None, ndvs: Map[String, String] = Map.empty,
-      nulls: Map[String, Long] = Map.empty)
+      nulls: Map[String, Long] = Map.empty, seq: Long = 0L)
+
+  /** Equality-delete reference (Iceberg v2 merge-on-read upsert core):
+    * `path` is a parquet directory (table-relative) holding the
+    * DISTINCT deleted/replaced key values in one column named by
+    * `keyCol` — the key's PHYSICAL column name (rename-stable, so the
+    * ref survives renames); `rows` counts the keys; `seq` is the
+    * issuing commit's sequence number. A row is masked iff its key is
+    * in the set AND its file's seq < this seq.
+    */
+  final case class EqDelete(path: String, keyCol: String, rows: Long,
+      seq: Long)
 
   /** Rows a file actually serves: written rows minus DV-masked rows. */
   private def liveRows(f: FileEntry): Long =
@@ -96,13 +115,32 @@ object SnapshotLog {
     * keyed by LOGICAL name (re-keyed at rename), so all pruning paths
     * are rename-oblivious.
     */
+  /** `eqDeletes` carries the outstanding equality-delete set (see
+    * [[EqDelete]]); empty for tables that never MOR-upsert — every
+    * read path then takes its pre-existing plan unchanged.
+    */
   final case class Manifest(version: Long, parent: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], epoch: Long = -1L,
-      ts: Long = 0L, physical: Map[String, String] = Map.empty)
+      ts: Long = 0L, physical: Map[String, String] = Map.empty,
+      eqDeletes: Seq[EqDelete] = Nil)
 
   /** The parquet-level name of logical column `c` under manifest `m`. */
   private def physName(m: Manifest, c: String): String =
     m.physical.getOrElse(c, c)
+
+  /** Highest sequence number any live file or equality delete carries —
+    * the next commit stamps lastSeq+1. Derived, not stored: an
+    * eq-delete's seq stays in the max while the delete is outstanding,
+    * so a new file can never be stamped low enough to receive an
+    * EXISTING delete; dropped deletes stop constraining, which is
+    * exactly right.
+    */
+  private def lastSeq(m: Manifest): Long =
+    (m.files.map(_.seq) ++ m.eqDeletes.map(_.seq) :+ 0L).max
+
+  /** Equality deletes applying to file `f`: issued strictly after it. */
+  private def eqFor(m: Manifest, f: FileEntry): Seq[EqDelete] =
+    m.eqDeletes.filter(_.seq > f.seq)
 
   private def logDir(tbl: Path) = new Path(tbl, "_log")
 
@@ -166,19 +204,23 @@ object SnapshotLog {
     // the table evolved to ([[evolveSchema]]); overwrite replaces the
     // schema along with the data, so it publishes the frame's own DDL
     val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
-    // overwrite replaces the schema AND the column mapping (fresh
-    // logical=physical identity); append inherits both
-    val (aligned, ddl, phys) = parent match {
+    // overwrite replaces the schema AND the column mapping AND the
+    // outstanding equality deletes (fresh table state); append
+    // inherits all three, with new files stamped past every live seq
+    val (aligned, ddl, phys, eqs, seq) = parent match {
       case Some(p) if mode == "append" =>
-        (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical)
-      case _ => (df, df.schema.toDDL, Map.empty[String, String])
+        (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical,
+          p.eqDeletes, lastSeq(p) + 1)
+      case _ => (df, df.schema.toDDL, Map.empty[String, String],
+        Nil: Seq[EqDelete], 1L)
     }
     val newFiles = writeData(aligned, table, v, statsCols, bloomCols,
-      bloomBits, ndvCols, phys)
+      bloomBits, ndvCols, phys).map(_.copy(seq = seq))
     val prior =
       if (mode == "append") parent.map(_.files).getOrElse(Nil) else Nil
     publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v - 1, mode, ddl, prior ++ newFiles, physical = phys))
+      Manifest(v, v - 1, mode, ddl, prior ++ newFiles, physical = phys,
+        eqDeletes = eqs))
     v
   }
 
@@ -522,12 +564,14 @@ object SnapshotLog {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
-    // a file with a deletion vector is compaction debt regardless of
-    // size: the rewrite materializes the DV (masked rows drop for good,
-    // the new file carries none) so read-side anti-joins don't pile up
+    // a file with a deletion vector OR applicable equality deletes is
+    // compaction debt regardless of size: the rewrite materializes the
+    // masks (masked rows drop for good, the new file carries none) so
+    // read-side anti-joins don't pile up
     val (small, big) = m.files.partition(f =>
-      f.bytes < targetBytes || f.dv.isDefined)
-    if (small.size < 2 && small.forall(_.dv.isEmpty)) None
+      f.bytes < targetBytes || f.dv.isDefined || eqFor(m, f).nonEmpty)
+    if (small.size < 2 && small.forall(_.dv.isEmpty) && m.eqDeletes.isEmpty)
+      None
     else {
       val v = v0 + 1
       val n = math.max(1,
@@ -548,10 +592,13 @@ object SnapshotLog {
           .sortWithinPartitions(clusterBy.map(col).toIndexedSeq: _*)
       }
       val newFiles = writeData(rewritten, table, v, statsCols, bloomCols,
-        physical = m.physical)
+        physical = m.physical).map(_.copy(seq = lastSeq(m) + 1))
+      // every surviving `big` file postdates every eq-delete (else it
+      // would be debt above), so the outstanding set clears wholesale
+      val eqKept = m.eqDeletes.filter(e => big.exists(_.seq < e.seq))
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles,
-          physical = m.physical))
+          physical = m.physical, eqDeletes = eqKept))
       Some(v)
     }
   }
@@ -572,10 +619,11 @@ object SnapshotLog {
     }
     val br = branchReferences(spark, tbl, fs)
     val referenced = manifests.flatMap(_.files.map(_.path)).toSet ++ br._1
-    // a referenced DV directory is kept whole — its contents are
-    // addressed collectively by the DvRefs that share it
+    // a referenced DV or equality-delete directory is kept whole — its
+    // contents are addressed collectively by the refs that share it
     val referencedDvDirs =
-      manifests.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet ++ br._2
+      manifests.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet ++ br._2 ++
+        manifests.flatMap(_.eqDeletes.map(_.path))
     val dataRoot = new Path(tbl, "data")
     if (!fs.exists(dataRoot)) return Nil
     val orphans = fs.listStatus(dataRoot).flatMap { d =>
@@ -660,7 +708,8 @@ object SnapshotLog {
     val br = branchReferences(spark, tbl, fs)
     val referenced = surviving.flatMap(_.files.map(_.path)).toSet ++ br._1
     val refDvDirs =
-      surviving.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet ++ br._2
+      surviving.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet ++ br._2 ++
+        surviving.flatMap(_.eqDeletes.map(_.path))
     expired.foreach(v => fs.delete(manifestPath(tbl, v), false))
     val dataRoot = new Path(tbl, "data")
     val deleted =
@@ -725,9 +774,10 @@ object SnapshotLog {
           readFiles(spark, table, m, rewrite)
             .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
           table, v, (statsCols :+ column).distinct, physical = m.physical)
+          .map(_.copy(seq = lastSeq(m) + 1))
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles,
-          physical = m.physical))
+          physical = m.physical, eqDeletes = m.eqDeletes))
       Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
     }
   }
@@ -834,7 +884,8 @@ object SnapshotLog {
       None
     } else {
       publish(fs, tbl, Manifest(v, v0, "dv-delete", m.schemaDdl,
-        (kept ++ maskedEntries).sortBy(_.path), physical = m.physical))
+        (kept ++ maskedEntries).sortBy(_.path), physical = m.physical,
+        eqDeletes = m.eqDeletes))
       Some(DvStats(v, kept.size + maskedEntries.count(_.dv.isEmpty),
         dropped.size, maskedEntries.count(_.dv.isDefined),
         droppedLive + newlyDeleted))
@@ -886,9 +937,10 @@ object SnapshotLog {
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(existing.unionByName(aligned), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
+      .map(_.copy(seq = lastSeq(m) + 1))
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        physical = m.physical))
+        physical = m.physical, eqDeletes = m.eqDeletes))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -962,10 +1014,86 @@ object SnapshotLog {
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(existing.unionByName(upserts), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
+      .map(_.copy(seq = lastSeq(m) + 1))
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        epoch, physical = m.physical))
+        epoch, physical = m.physical, eqDeletes = m.eqDeletes))
     MutationStats(v, kept.size, 0, rewrite.size)
+  }
+
+  /** MERGE-ON-READ upsert (the Iceberg v2 streaming-CDC-ingest shape):
+    * updates land as NEW files plus one equality-delete key set — NO
+    * existing file is read, classified, or rewritten, so a continuous
+    * CDC feed ingests in O(batch) regardless of how many files its
+    * keys scatter across (the [[upsert]] CoW trade reversed: cost
+    * moves from write to read, where each scan anti-joins the
+    * outstanding key sets until [[compact]] materializes them). Keys
+    * must be unique within the batch (pre-resolve with latest-wins —
+    * `operators.CdcMerge`). Returns the new version.
+    */
+  def upsertMOR(updates: DataFrame, table: String, keyCol: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val spark = updates.sparkSession
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(updates.columns.toSet == schema.fieldNames.toSet,
+      s"update columns ${updates.columns.toSeq} != table ${schema.fieldNames.toSeq}")
+    val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val probe = aligned.agg(count(lit(1)).cast("long"),
+      countDistinct(col(keyCol)).cast("long")).head
+    if (probe.getLong(0) == 0L) return v0
+    require(probe.getLong(1) == probe.getLong(0),
+      "duplicate keys in MOR upsert batch — pre-resolve with latest-wins " +
+        "(operators.CdcMerge) before applying")
+    val v = v0 + 1
+    val seq = lastSeq(m) + 1
+    val newFiles = writeData(aligned, table, v,
+      (statsCols :+ keyCol).distinct, physical = m.physical)
+      .map(_.copy(seq = seq))
+    val eq = writeEqKeys(spark, table, v,
+      aligned.select(col(keyCol)), physName(m, keyCol), probe.getLong(1), seq)
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "upsert-mor", m.schemaDdl, m.files ++ newFiles,
+        physical = m.physical, eqDeletes = m.eqDeletes :+ eq))
+    v
+  }
+
+  /** MERGE-ON-READ delete by key: record the key set, touch nothing —
+    * "erase these ids from 100 TB" costs one keys-sized parquet write
+    * and a manifest, with the scan-time anti-join and the eventual
+    * [[compact]] doing the physical work. Returns the new version, or
+    * None for an empty key set.
+    */
+  def deleteKeysMOR(keys: DataFrame, table: String,
+      keyCol: String): Option[Long] = {
+    val spark = keys.sparkSession
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val ks = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val n = ks.count()
+    if (n == 0L) return None
+    val v = v0 + 1
+    val seq = lastSeq(m) + 1
+    val eq = writeEqKeys(spark, table, v, ks, physName(m, keyCol), n, seq)
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "delete-keys-mor", m.schemaDdl, m.files,
+        physical = m.physical, eqDeletes = m.eqDeletes :+ eq))
+    Some(v)
+  }
+
+  /** Land a distinct key set as an equality-delete sidecar directory
+    * (column named by the PHYSICAL key name — rename-stable).
+    */
+  private def writeEqKeys(spark: SparkSession, table: String, v: Long,
+      keys: DataFrame, physKey: String, rows: Long, seq: Long): EqDelete = {
+    val rel = f"data/v$v%05d-eq-" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    keys.distinct().toDF(physKey)
+      .write.parquet(new Path(new Path(table), rel).toString)
+    EqDelete(rel, physKey, rows, seq)
   }
 
   /** Exactly-once streaming append: the `foreachBatch` body for a
@@ -987,15 +1115,18 @@ object SnapshotLog {
     else {
       val v = v0 + 1
       val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
-      val (aligned, ddl, phys) = parent match { // same conformance as commitAs
-        case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical)
-        case None => (df, df.schema.toDDL, Map.empty[String, String])
+      val (aligned, ddl, phys, eqs, seq) = parent match { // as commitAs
+        case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl,
+          p.physical, p.eqDeletes, lastSeq(p) + 1)
+        case None => (df, df.schema.toDDL, Map.empty[String, String],
+          Nil: Seq[EqDelete], 1L)
       }
       val newFiles = writeData(aligned, table, v, statsCols, physical = phys)
+        .map(_.copy(seq = seq))
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "stream-append", ddl,
           parent.map(_.files).getOrElse(Nil) ++ newFiles, epochId,
-          physical = phys))
+          physical = phys, eqDeletes = eqs))
       Some(v)
     }
   }
@@ -1318,10 +1449,11 @@ object SnapshotLog {
     require(latestVersion(spark, bt).isEmpty, s"branch '$name' already exists")
     val files = m.files.map(f => f.copy(path = ParentPrefix + f.path,
       dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path))))
+    val eqs = m.eqDeletes.map(e => e.copy(path = ParentPrefix + e.path))
     // op records the fork base — fastForward's no-main-advance check
     publish(fsOf(spark, new Path(bt)), new Path(bt),
       Manifest(1L, 0L, s"branch:$v", m.schemaDdl, files,
-        physical = m.physical))
+        physical = m.physical, eqDeletes = eqs))
     bt
   }
 
@@ -1401,14 +1533,20 @@ object SnapshotLog {
     val rm = manifest(spark, table, rootLatest)
     // branch-local entries re-key their stats to MAIN's current logical
     // names via the shared physical namespace (main may have renamed a
-    // column since the fork; physical names are rename-stable)
+    // column since the fork; physical names are rename-stable), and
+    // RE-STAMP their sequence past both clocks: rebased additions land
+    // logically AFTER main's history, so an equality delete main issued
+    // while the branch ran must not swallow the branch's rows
+    val rebasedSeq = math.max(lastSeq(rm), lastSeq(bm)) + 1
     val localRekeyed = rekeyEntries(localAdds, bm, rm)
+      .map(_.copy(seq = rebasedSeq))
     val files = rm.files.map(f => f.copy(path = ParentPrefix + f.path,
       dv = f.dv.map(d => d.copy(path = ParentPrefix + d.path)))) ++ localRekeyed
     val nv = bv + 1
     publish(fsOf(spark, new Path(bt)), new Path(bt),
       Manifest(nv, bv, s"branch:$rootLatest", rm.schemaDdl, files,
-        physical = rm.physical))
+        physical = rm.physical,
+        eqDeletes = rm.eqDeletes.map(e => e.copy(path = ParentPrefix + e.path))))
     nv
   }
 
@@ -1459,7 +1597,8 @@ object SnapshotLog {
     val v = rootLatest + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, rootLatest, "fast-forward", bm.schemaDdl, files,
-        physical = bm.physical))
+        physical = bm.physical,
+        eqDeletes = bm.eqDeletes.map(e => e.copy(path = norm(e.path)))))
     v
   }
 
@@ -1473,12 +1612,16 @@ object SnapshotLog {
     val bt = new Path(tbl, s"_branches/$name")
     require(fs.exists(bt), s"no branch '$name' on $table")
     val marker = s"_branches/$name/"
-    allMentionedEntries(spark, fs, table).foreach { f =>
+    val (entries, eqPaths) = allMentionedEntries(spark, fs, table)
+    entries.foreach { f =>
       require(!f.path.startsWith(marker) &&
         !f.dv.exists(_.path.startsWith(marker)),
         s"main still references $marker files — compact main (and " +
           "expire old versions) before dropping the branch")
     }
+    eqPaths.foreach(p => require(!p.startsWith(marker),
+      s"main still references $marker equality deletes — compact main " +
+        "(and expire old versions) before dropping the branch"))
     fs.delete(bt, true)
   }
 
@@ -1489,18 +1632,20 @@ object SnapshotLog {
     * O(total manifest bytes) instead of O(versions × chain).
     */
   private def allMentionedEntries(spark: SparkSession, fs: FileSystem,
-      bt: String): Seq[FileEntry] = {
+      bt: String): (Seq[FileEntry], Seq[String]) = {
     val btPath = new Path(bt)
     val ld = logDir(btPath)
-    if (!fs.exists(ld)) Nil
-    else fs.listStatus(ld).map(_.getPath.getName)
-      .collect { case ManifestNameRe(n) => n.toLong }
-      .sorted.toSeq.flatMap { v =>
-        try {
-          val raw = readRaw(fs, btPath, v)
-          raw.full.getOrElse(Nil) ++ raw.add
-        } catch { case _: java.io.FileNotFoundException => Nil }
-      }
+    if (!fs.exists(ld)) (Nil, Nil)
+    else {
+      val raws = fs.listStatus(ld).map(_.getPath.getName)
+        .collect { case ManifestNameRe(n) => n.toLong }
+        .sorted.toSeq.flatMap { v =>
+          try Some(readRaw(fs, btPath, v))
+          catch { case _: java.io.FileNotFoundException => None }
+        }
+      (raws.flatMap(r => r.full.getOrElse(Nil) ++ r.add),
+        raws.flatMap(_.eqDeletes.map(_.path)))
+    }
   }
 
   /** Root-data paths (files, DV dirs) referenced by any version of any
@@ -1512,13 +1657,16 @@ object SnapshotLog {
     val broot = new Path(tbl, "_branches")
     if (!fs.exists(broot)) (Set.empty, Set.empty)
     else {
-      val entries = fs.listStatus(broot).filter(_.isDirectory).toSeq
-        .flatMap(b => allMentionedEntries(spark, fs, b.getPath.toString))
+      val mentioned = fs.listStatus(broot).filter(_.isDirectory).toSeq
+        .map(b => allMentionedEntries(spark, fs, b.getPath.toString))
+      val entries = mentioned.flatMap(_._1)
+      val eqPaths = mentioned.flatMap(_._2)
       def norm(p: String): Option[String] =
         if (p.startsWith(ParentPrefix)) Some(p.substring(ParentPrefix.length))
         else None
       (entries.flatMap(f => norm(f.path)).toSet,
-        entries.flatMap(_.dv.flatMap(d => norm(d.path))).toSet)
+        entries.flatMap(_.dv.flatMap(d => norm(d.path))).toSet ++
+          eqPaths.flatMap(norm))
     }
   }
 
@@ -1654,10 +1802,14 @@ object SnapshotLog {
     * (deletion-vector masks are not netted out; like colRanges, the
     * stat describes the files as written).
     */
+  /** `eqDeleteKeys`: outstanding equality-delete key count — `rows` is
+    * an UPPER bound while it is non-zero (a masked row's membership is
+    * only known by reading; [[compact]] materializes and zeroes it).
+    */
   final case class TableStats(version: Long, rows: Long, bytes: Long,
       files: Int, colRanges: Map[String, (Any, Any)], deletedRows: Long = 0L,
       approxNdv: Map[String, Double] = Map.empty,
-      nullCounts: Map[String, Long] = Map.empty)
+      nullCounts: Map[String, Long] = Map.empty, eqDeleteKeys: Long = 0L)
 
   def tableStats(spark: SparkSession, table: String,
       version: Option[Long] = None): TableStats = {
@@ -1688,7 +1840,7 @@ object SnapshotLog {
       .map(c => c -> m.files.flatMap(_.nulls.get(c)).sum).toMap
     TableStats(v, m.files.map(liveRows).sum, m.files.map(_.bytes).sum,
       m.files.size, ranges, m.files.flatMap(_.dv.map(_.rows)).sum, ndv,
-      nulls)
+      nulls, m.eqDeletes.map(_.rows).sum)
   }
 
   /** The manifest as a DataFrame — the Iceberg `table.files` metadata
@@ -1759,7 +1911,7 @@ object SnapshotLog {
       physical = physAtWrite)
     var attempt = 1
     while (true) {
-      val (prior, ddl, phys) =
+      val (prior, ddl, phys, eqs, seqNow) =
         if (mode == "append" && v > 1) {
           val p = manifest(spark, table, v - 1)
           // our columns must still conform (evolution is additive-only,
@@ -1780,11 +1932,14 @@ object SnapshotLog {
             require(p.physical.getOrElse(curLogical, curLogical) == mine,
               s"column mapping diverged mid-retry for '$c'")
           }
-          (p.files, p.schemaDdl, p.physical)
-        } else (Nil, aligned.schema.toDDL, Map.empty[String, String])
+          (p.files, p.schemaDdl, p.physical, p.eqDeletes, lastSeq(p) + 1)
+        } else (Nil, aligned.schema.toDDL, Map.empty[String, String],
+          Nil: Seq[EqDelete], 1L)
       try {
         publish(fsOf(spark, tbl), tbl,
-          Manifest(v, v - 1, mode, ddl, prior ++ newFiles, physical = phys))
+          Manifest(v, v - 1, mode, ddl,
+            prior ++ newFiles.map(_.copy(seq = seqNow)), physical = phys,
+            eqDeletes = eqs))
         return v
       } catch {
         case e: IllegalStateException =>
@@ -1868,7 +2023,7 @@ object SnapshotLog {
     val v = v0 + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "evolve-schema", newS.toDDL, m.files,
-        physical = m.physical))
+        physical = m.physical, eqDeletes = m.eqDeletes))
     v
   }
 
@@ -1919,9 +2074,10 @@ object SnapshotLog {
     val files = m.files.map(f => f.copy(stats = rekey(f.stats),
       blooms = rekey(f.blooms), ndvs = rekey(f.ndvs), nulls = rekey(f.nulls)))
     val v = v0 + 1
+    // eq-delete refs carry unchanged: their key is the PHYSICAL name
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "rename-column", newSchema.toDDL, files,
-        physical = newPhysical))
+        physical = newPhysical, eqDeletes = m.eqDeletes))
     v
   }
 
@@ -1938,7 +2094,7 @@ object SnapshotLog {
     val v = v0 + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "restore", target.schemaDdl, target.files,
-        physical = target.physical))
+        physical = target.physical, eqDeletes = target.eqDeletes))
     v
   }
 
@@ -2050,20 +2206,68 @@ object SnapshotLog {
       // changed hands: removed, added, or same path with a different DV
       val oldSide = parentFiles.filter(f => !nBy.get(f.path).exists(_.dv == f.dv))
       val newSide = m.files.filter(f => !pBy.get(f.path).exists(_.dv == f.dv))
-      if (oldSide.isEmpty && newSide.isEmpty) None
-      else {
-        val oldDf =
-          if (oldSide.isEmpty) empty
-          else aligned(readFiles(spark, table, pm.get, oldSide), pm.get)
-        val newDf =
-          if (newSide.isEmpty) empty
-          else aligned(readFiles(spark, table, m, newSide), m)
-        val ins = (if (oldSide.isEmpty) newDf else newDf.exceptAll(oldDf))
-          .withColumn("_change_type", lit("insert"))
-        val del = (if (newSide.isEmpty) oldDf else oldDf.exceptAll(newDf))
-          .withColumn("_change_type", lit("delete"))
-        Some(ins.unionByName(del).withColumn("_commit_version", lit(v)))
-      }
+      val entryPart: Option[DataFrame] =
+        if (oldSide.isEmpty && newSide.isEmpty) None
+        else {
+          val oldDf =
+            if (oldSide.isEmpty) empty
+            else aligned(readFiles(spark, table, pm.get, oldSide), pm.get)
+          val newDf =
+            if (newSide.isEmpty) empty
+            else aligned(readFiles(spark, table, m, newSide), m)
+          val ins = (if (oldSide.isEmpty) newDf else newDf.exceptAll(oldDf))
+            .withColumn("_change_type", lit("insert"))
+          val del = (if (newSide.isEmpty) oldDf else oldDf.exceptAll(newDf))
+            .withColumn("_change_type", lit("delete"))
+          Some(ins.unionByName(del))
+        }
+      // an equality delete added this version masks rows of PRIOR files
+      // without touching their entries: feed them as deletes — the rows
+      // visible under the PARENT state (its own DV/eq applied) in
+      // stats-candidate files only, semi-joined to the new key set
+      val parentEqPaths = pm.map(_.eqDeletes.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+      val eqAdded = m.eqDeletes.filterNot(e => parentEqPaths(e.path))
+      val eqPart: Option[DataFrame] =
+        if (eqAdded.isEmpty || pm.isEmpty) None
+        else {
+          val pmm = pm.get
+          val frames = eqAdded.flatMap { e =>
+            val lk = pmm.physical.collectFirst {
+              case (l, p) if p == e.keyCol => l }.getOrElse(e.keyCol)
+            val keys = spark.read.parquet(
+                resolveRel(new Path(table), e.path).toString)
+              .withColumnRenamed(e.keyCol, lk)
+            val cand0 = pmm.files.filter(_.seq < e.seq)
+            val cand =
+              if (cand0.isEmpty) Nil
+              else {
+                val checks = cand0.zipWithIndex.map { case (f, i) =>
+                  f.stats.get(lk) match {
+                    case Some((mn, mx)) =>
+                      max(when(col(lk) >= lit(mn) && col(lk) <= lit(mx), 1)
+                        .otherwise(0)).as(s"__f$i")
+                    case None => max(lit(1)).as(s"__f$i")
+                  }
+                }
+                val probe = keys
+                  .agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
+                if (probe.getLong(0) == 0L) Nil
+                else cand0.zipWithIndex.collect {
+                  case (f, i) if !probe.isNullAt(i + 1) &&
+                    probe.getInt(i + 1) == 1 => f
+                }
+              }
+            if (cand.isEmpty) None
+            else Some(aligned(
+              readFiles(spark, table, pmm, cand)
+                .join(keys.select(col(lk)).distinct(), Seq(lk), "left_semi"),
+              pmm).withColumn("_change_type", lit("delete")))
+          }
+          if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _))
+        }
+      (entryPart.toSeq ++ eqPart.toSeq).reduceOption(_ unionByName _)
+        .map(_.withColumn("_commit_version", lit(v)))
     }
     if (perVersion.isEmpty)
       empty.withColumn("_change_type", lit(""))
@@ -2290,7 +2494,7 @@ object SnapshotLog {
     raw.full match {
       case Some(files) =>
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files,
-          raw.epoch, raw.ts, raw.physical)
+          raw.epoch, raw.ts, raw.physical, raw.eqDeletes)
       case None =>
         require(raw.parent >= 1,
           s"delta manifest v${raw.version} has no parent to resolve against")
@@ -2298,7 +2502,7 @@ object SnapshotLog {
         val gone = raw.remove.toSet ++ raw.add.map(_.path)
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl,
           base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch, raw.ts,
-          raw.physical)
+          raw.physical, raw.eqDeletes)
     }
   }
 
@@ -2308,7 +2512,8 @@ object SnapshotLog {
   private final case class RawManifest(version: Long, parent: Long,
       op: String, schemaDdl: String, epoch: Long, ts: Long,
       full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String],
-      physical: Map[String, String] = Map.empty)
+      physical: Map[String, String] = Map.empty,
+      eqDeletes: Seq[EqDelete] = Nil)
 
   private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest =
     parseJson(new String(
@@ -2594,7 +2799,7 @@ object SnapshotLog {
     * next to the data — so the anti-join broadcasts under AQE at any
     * table size.
     */
-  private def readFiles(spark: SparkSession, table: String, m: Manifest,
+  private def readFilesDv(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame =
     dvPositions(spark, table, files) match {
       case None => readFilesRaw(spark, table, m, files)
@@ -2603,6 +2808,37 @@ object SnapshotLog {
         withPosition(spark, table, m, files)
           .join(dv, Seq("__file", "__pos"), "left_anti")
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
+  /** Full visibility read: positional DVs, then equality deletes. A
+    * table with no outstanding eq-deletes takes [[readFilesDv]]'s plan
+    * untouched. With them, files group by WHICH deletes apply (their
+    * seq bucket — a handful of groups, one per MOR commit since the
+    * last compaction) and each group anti-joins the union of its
+    * applicable key sets. The delete side is keys-sized, so the
+    * anti-join broadcasts under AQE at any table size — the read-side
+    * cost MOR upserts trade for their O(batch) writes, cleared by
+    * [[compact]].
+    */
+  private def readFiles(spark: SparkSession, table: String, m: Manifest,
+      files: Seq[FileEntry]): DataFrame =
+    if (m.eqDeletes.isEmpty || files.isEmpty) readFilesDv(spark, table, m, files)
+    else {
+      files.groupBy(f => eqFor(m, f).map(_.path)).map { case (_, fsGroup) =>
+        val dels = eqFor(m, fsGroup.head)
+        val base = readFilesDv(spark, table, m, fsGroup)
+        dels.groupBy(_.keyCol).foldLeft(base) { case (df, (physKey, ds)) =>
+          // the keys parquet carries the PHYSICAL key name; serve it
+          // under the CURRENT logical name (reverse column mapping)
+          val logicalKey = m.physical.collectFirst {
+            case (l, p) if p == physKey => l }.getOrElse(physKey)
+          val keys = ds.map(d => spark.read.parquet(
+              resolveRel(new Path(table), d.path).toString))
+            .reduce(_ unionByName _)
+            .withColumnRenamed(physKey, logicalKey)
+          df.join(keys, Seq(logicalKey), "left_anti")
+        }
+      }.reduce(_ unionByName _)
     }
 
   /** Order manifest stat scalars: numerics numerically, strings
@@ -2654,6 +2890,7 @@ object SnapshotLog {
         dm.put("rows", java.lang.Long.valueOf(d.rows))
         fm.put("dv", dm)
       }
+      if (f.seq != 0L) fm.put("seq", java.lang.Long.valueOf(f.seq))
       files.add(fm)
     }
     files
@@ -2688,6 +2925,18 @@ object SnapshotLog {
       val pm = new JLinkedHashMap[String, Object]()
       m.physical.toSeq.sortBy(_._1).foreach { case (l, p) => pm.put(l, p) }
       root.put("physical", pm)
+    }
+    if (m.eqDeletes.nonEmpty) {
+      val eq = new JArrayList[Object]()
+      m.eqDeletes.foreach { e =>
+        val em = new JLinkedHashMap[String, Object]()
+        em.put("path", e.path)
+        em.put("keyCol", e.keyCol)
+        em.put("rows", java.lang.Long.valueOf(e.rows))
+        em.put("seq", java.lang.Long.valueOf(e.seq))
+        eq.add(em)
+      }
+      root.put("eqDeletes", eq)
     }
     delta match {
       case Some((add, remove)) =>
@@ -2729,7 +2978,7 @@ object SnapshotLog {
         }
         FileEntry(fm("path").toString, jlong(fm("rows")),
           fm.get("bytes").map(jlong).getOrElse(0L), stats, blooms, dv, ndvs,
-          nulls)
+          nulls, fm.get("seq").map(jlong).getOrElse(0L))
       }.toSeq
     RawManifest(jlong(root("version")), jlong(root("parent")),
       root("op").toString, root("schema").toString,
@@ -2743,7 +2992,13 @@ object SnapshotLog {
       root.get("physical").map(
         _.asInstanceOf[java.util.Map[String, Object]].asScala
           .map { case (l, p) => l -> p.toString }.toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      root.get("eqDeletes").map(
+        _.asInstanceOf[java.util.List[_]].asScala.map { eo =>
+          val em = eo.asInstanceOf[java.util.Map[String, Object]].asScala
+          EqDelete(em("path").toString, em("keyCol").toString,
+            jlong(em("rows")), jlong(em("seq")))
+        }.toSeq).getOrElse(Nil))
   }
 
   /** Jackson deserializes small integers as Integer; widen to Long so
