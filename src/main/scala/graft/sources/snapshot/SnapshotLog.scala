@@ -1032,7 +1032,34 @@ object SnapshotLog {
     * `operators.CdcMerge`). Returns the new version.
     */
   def upsertMOR(updates: DataFrame, table: String, keyCol: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long =
+    upsertMORInternal(updates, table, keyCol, statsCols, -1L)
+
+  /** Exactly-once STREAMING CDC ingestion — the `foreachBatch` body
+    * for a continuously-upserted snapshot table:
+    * {{{
+    * changes.writeStream.foreachBatch { (b, e) =>
+    *   SnapshotLog.upsertMORBatch(b, table, e, "id") : Unit
+    * }
+    * }}}
+    * Each micro-batch lands as one O(batch) MOR commit; a replayed
+    * epoch (restart re-delivering `epochId`) is detected from the
+    * manifest chain and skipped — the at-least-once foreachBatch
+    * becomes exactly-once, with compaction absorbing the accumulated
+    * delete debt on its own schedule. Returns None on replay.
+    */
+  def upsertMORBatch(updates: DataFrame, table: String, epochId: Long,
+      keyCol: String, statsCols: Seq[String] = Nil): Option[Long] = {
+    val spark = updates.sparkSession
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version in $table — seed the table with commit() first"))
+    if (maxEpoch(spark, table, v0) >= epochId) None // replay
+    else Some(upsertMORInternal(updates, table, keyCol, statsCols, epochId))
+  }
+
+  private def upsertMORInternal(updates: DataFrame, table: String,
+      keyCol: String, statsCols: Seq[String], epoch: Long): Long = {
     val spark = updates.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
@@ -1056,7 +1083,7 @@ object SnapshotLog {
       aligned.select(col(keyCol)), physName(m, keyCol), probe.getLong(1), seq)
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "upsert-mor", m.schemaDdl, m.files ++ newFiles,
-        physical = m.physical, eqDeletes = m.eqDeletes :+ eq))
+        epoch, physical = m.physical, eqDeletes = m.eqDeletes :+ eq))
     v
   }
 

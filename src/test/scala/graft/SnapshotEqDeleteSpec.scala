@@ -195,6 +195,29 @@ class SnapshotEqDeleteSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t).count() == 80)
   }
 
+  test("streaming CDC ingestion: foreachBatch MOR upserts are exactly-once across restarts") {
+    val t = freshTable("stream-cdc")
+    SnapshotLog.commit(df(0, 100).repartition(1), t, "append", Seq("id"))
+    def batch(e: Long, lo: Long, hi: Long) = SnapshotLog.upsertMORBatch(
+      s.range(lo, hi).select($"id", lit(e).as("k"),
+        concat(lit("e"), lit(e)).as("payload")), t, e, "id", Seq("id"))
+    assert(batch(0, 10, 20).isDefined)
+    assert(batch(1, 15, 25).isDefined)
+    // restart replays epoch 1: must be skipped, content unchanged
+    assert(batch(1, 15, 25).isEmpty)
+    assert(batch(2, 200, 205).isDefined) // pure inserts
+    val got = SnapshotLog.read(s, t)
+    assert(got.count() == 105)
+    assert(got.where($"payload" === "e0").count() == 5)  // 10..14
+    assert(got.where($"payload" === "e1").count() == 10) // 15..24
+    assert(got.where($"payload" === "e2").count() == 5)  // 200..204
+    // compaction absorbs the accumulated debt; content unchanged
+    SnapshotLog.compact(s, t, 1L << 30, Seq("id"))
+    assert(SnapshotLog.tableStats(s, t).eqDeleteKeys == 0L)
+    assert(SnapshotLog.read(s, t).count() == 105)
+    assert(SnapshotLog.read(s, t).where($"payload" === "e1").count() == 10)
+  }
+
   test("MOR ops refuse duplicate keys and fail streams loudly mid-range") {
     val t = freshTable("guards")
     SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))
