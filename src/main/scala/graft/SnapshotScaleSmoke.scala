@@ -262,6 +262,29 @@ object SnapshotScaleSmoke {
       s"4-file upsert cost ${upStats4._2}s vs 1-file ${upStats._2}s — " +
         "mutation cost is not scaling with changed files")
 
+    // merge-on-read upsert of the SAME 4-bucket batch: no candidate
+    // probe, no rewrite — write the batch + a key set, answer
+    // unchanged (identical rows replace themselves); restore() rolls
+    // back so later rounds keep their layout assumptions
+    val vBeforeMor = SnapshotLog.latestVersion(spark, t).get
+    val morBatch = li.where(expr(s"l_orderkey DIV $width").isin(10, 20, 30, 40)
+        && col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey")).agg(max(col("l_quantity")).as("l_quantity"))
+    val morCount = morBatch.count()
+    val upMor = timed("upsert_mor_4buckets") {
+      SnapshotLog.upsertMOR(morBatch, t, "l_orderkey", Seq("l_orderkey"))
+    }
+    val morExpected = agg(base.where(!(expr(s"l_orderkey DIV $width")
+        .isin(10, 20, 30, 40) && col("l_orderkey") % 50 === 0))
+      .unionByName(morBatch))
+    require(agg(SnapshotLog.read(spark, t)) == morExpected,
+      "MOR upsert content diverged")
+    require(SnapshotLog.tableStats(spark, t).eqDeleteKeys == morCount,
+      "MOR key debt not recorded")
+    SnapshotLog.restore(spark, t, vBeforeMor)
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "restore after MOR upsert diverged")
+
     // metadata-only schema evolution on the 63-file table: ONE manifest
     // write, zero data IO — wall-time stays in milliseconds no matter
     // how many files (or TB) the table holds, and every pre-evolution
@@ -322,6 +345,7 @@ object SnapshotScaleSmoke {
       ("cdc_apply_2files", cdcStats._2),
       ("upsert_1file", upStats._2),
       ("upsert_4files", upStats4._2),
+      ("upsert_mor_4buckets", upMor._2),
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),

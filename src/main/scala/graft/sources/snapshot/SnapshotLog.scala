@@ -2847,10 +2847,20 @@ object SnapshotLog {
     * cost MOR upserts trade for their O(batch) writes, cleared by
     * [[compact]].
     */
+  /** Outstanding MOR batches beyond this fragment the read into that
+    * many union legs — compaction debt worth paying down.
+    */
+  private val EqDeleteWarnThreshold = 32
+
   private def readFiles(spark: SparkSession, table: String, m: Manifest,
       files: Seq[FileEntry]): DataFrame =
     if (m.eqDeletes.isEmpty || files.isEmpty) readFilesDv(spark, table, m, files)
     else {
+      if (m.eqDeletes.size > EqDeleteWarnThreshold)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"table $table carries ${m.eqDeletes.size} outstanding " +
+            "equality-delete sets; reads fragment into that many " +
+            "anti-join legs — run compact() to materialize them")
       files.groupBy(f => eqFor(m, f).map(_.path)).map { case (_, fsGroup) =>
         val dels = eqFor(m, fsGroup.head)
         val base = readFilesDv(spark, table, m, fsGroup)

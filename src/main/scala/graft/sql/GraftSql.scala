@@ -111,13 +111,25 @@ object GraftSql {
     * [[dml]] mutations commit new files with the same manifest stats
     * the table was built with.
     */
+  /** `merge` selects the strategy [[dml]]'s plain MERGE (update-all +
+    * insert-all, no DELETE clause) dispatches to: `cow` (default —
+    * exact-candidacy copy-on-write [[graft.sources.snapshot.SnapshotLog.upsert]])
+    * or `mor` (equality-delete merge-on-read
+    * [[graft.sources.snapshot.SnapshotLog.upsertMOR]] — O(batch)
+    * ingest, read-side anti-joins until OPTIMIZE). The CDC-delete
+    * MERGE form stays CoW (applyChanges) under either.
+    */
   def registerSnapshot(spark: SparkSession, name: String, table: String,
-      version: Option[Long] = None, statsCols: Seq[String] = Nil): Unit = {
+      version: Option[Long] = None, statsCols: Seq[String] = Nil,
+      merge: String = "cow"): Unit = {
+    require(merge == "cow" || merge == "mor",
+      s"merge strategy must be cow|mor, got '$merge'")
     graft.sources.snapshot.SnapshotLog.read(spark, table, version)
       .createOrReplaceTempView(name)
     // a version-pinned view is a reproducibility pin: DML refuses it
     snapshotReg.put((spark, name.toLowerCase),
-      SnapshotReg(table, statsCols, pinned = version.isDefined))
+      SnapshotReg(table, statsCols, pinned = version.isDefined,
+        morMerge = merge == "mor"))
   }
 
   /** Register a table's row-level change feed as a temp view —
@@ -137,7 +149,7 @@ object GraftSql {
     * PINNED (explicit version or tag) — pinned views are read-only.
     */
   private final case class SnapshotReg(table: String, statsCols: Seq[String],
-      pinned: Boolean)
+      pinned: Boolean, morMerge: Boolean = false)
 
   private val snapshotReg =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SnapshotReg]()
@@ -272,7 +284,11 @@ object GraftSql {
             graft.sources.snapshot.SnapshotLog
               .applyChanges(srcDf, t, tKey, mm.group(2), stats).version
           case None =>
-            graft.sources.snapshot.SnapshotLog
+            // strategy per registration: CoW rewrite vs O(batch) MOR
+            if (snapshotOf(spark, name).morMerge)
+              graft.sources.snapshot.SnapshotLog
+                .upsertMOR(srcDf, t, tKey, stats)
+            else graft.sources.snapshot.SnapshotLog
               .upsert(srcDf, t, tKey, stats).version
         }
         (ver, name)
@@ -333,8 +349,10 @@ object GraftSql {
             s"BY]/VACUUM): $other")
     }
     // repoint the view at the new version so SQL readers see the change
-    val (t, stats) = mutableSnapshotOf(spark, name)
-    registerSnapshot(spark, name, t, None, stats)
+    // (the registration's merge strategy survives the repoint)
+    val reg = snapshotOf(spark, name)
+    registerSnapshot(spark, name, reg.table, None, reg.statsCols,
+      if (reg.morMerge) "mor" else "cow")
     v
   }
 

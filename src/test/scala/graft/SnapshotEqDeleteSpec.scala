@@ -193,6 +193,13 @@ class SnapshotEqDeleteSpec extends AnyFunSuite {
     // CoW range delete composes too
     SnapshotLog.deleteWhere(s, t, "id", 10L, 19L, Seq("id"))
     assert(SnapshotLog.read(s, t).count() == 80)
+    // and a positional DV delete on top: both mask layers apply; a DV
+    // that lands on an eq-hidden physical row is harmless double-masking
+    SnapshotLog.deleteMatchingDV(s, t, $"id" % 20 === 5)
+    val fin = SnapshotLog.read(s, t)
+    assert(fin.where($"id" % 20 === 5).count() == 0)
+    // survivors {0..9, 20..89} minus ids 5,25,45,65,85
+    assert(fin.count() == 75)
   }
 
   test("streaming CDC ingestion: foreachBatch MOR upserts are exactly-once across restarts") {

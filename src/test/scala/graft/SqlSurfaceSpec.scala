@@ -236,6 +236,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE opt_v") }
   }
 
+  test("MERGE dispatches by registration strategy: mor views upsert without rewrites") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mor").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 100).select($"id", ($"id" % 5).as("k"))
+      .repartition(1), t, "append", Seq("id"))
+    graft.sql.GraftSql.registerSnapshot(spark, "mor_v", t, None, Seq("id"),
+      merge = "mor")
+    spark.range(40, 45).select($"id", lit(77L).as("k"))
+      .createOrReplaceTempView("mor_src")
+    val filesBefore = snap.manifest(spark, t, 1L).files.map(_.path).toSet
+    graft.sql.GraftSql.dml(spark,
+      "MERGE INTO mor_v USING mor_src ON mor_v.id = mor_src.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // MOR: every prior file still present, key debt recorded
+    val m = snap.manifest(spark, t, snap.latestVersion(spark, t).get)
+    assert(filesBefore.subsetOf(m.files.map(_.path).toSet))
+    assert(m.eqDeletes.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM mor_v").head.getLong(0) == 100L)
+    assert(spark.sql("SELECT sum(k) FROM mor_v WHERE id BETWEEN 40 AND 44")
+      .head.getLong(0) == 5 * 77L)
+    // the strategy survives the repoint: a second MERGE is MOR too
+    spark.range(200, 203).select($"id", lit(1L).as("k"))
+      .createOrReplaceTempView("mor_src2")
+    graft.sql.GraftSql.dml(spark,
+      "MERGE INTO mor_v USING mor_src2 ON mor_v.id = mor_src2.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT count(*) FROM mor_v").head.getLong(0) == 103L)
+    assert(snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).eqDeletes.size == 2)
+    // OPTIMIZE pays the debt down through the same SQL surface
+    graft.sql.GraftSql.dml(spark, "OPTIMIZE mor_v")
+    assert(snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).eqDeletes.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM mor_v").head.getLong(0) == 103L)
+  }
+
   test("the change feed registers as a SQL view (table_changes shape)") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-cdf").toAbsolutePath.toString
