@@ -183,6 +183,23 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
     assert(read.nonEmpty)
   }
 
+  test("the feed works on a branch fork (parent-referenced files resolve)") {
+    val t = freshTable("branch-feed")
+    SnapshotLog.commit(df(0, 50).repartition(1), t, "append", Seq("id"))
+    val bt = SnapshotLog.createBranch(s, t, "aud")
+    SnapshotLog.commit(df(50, 60), bt, "append", Seq("id"))
+    SnapshotLog.deleteWhere(s, bt, "id", 0L, 9L, Seq("id"))
+    // from the fork marker: the branch's own additions and deletions
+    val feed = SnapshotLog.readChangeFeed(s, bt, 1L)
+    val m = byType(feed)
+    assert(m(("insert", 2L)) == (10L, (50L until 60).sum))
+    assert(m(("delete", 3L)) == (10L, (0L until 10).sum))
+    // from zero: the creation marker feeds the fork base as inserts
+    assert(SnapshotLog.readChangeFeed(s, bt, 0L)
+      .where($"_change_type" === "insert" && $"_commit_version" === 1)
+      .count() == 50)
+  }
+
   test("the feed replays to the current table state") {
     val t = freshTable("replay")
     SnapshotLog.commit(df(0, 80).repartition(2), t, "append", Seq("id"))
