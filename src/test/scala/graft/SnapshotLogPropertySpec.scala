@@ -4,6 +4,7 @@ import java.nio.file.Paths
 
 import scala.util.Random
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -12,14 +13,17 @@ import graft.sources.snapshot.SnapshotLog
 /** Model-based check of the snapshot-table format: random operation
   * sequences (append / overwrite / range delete / upsert / compact /
   * stream-append with replays / deletion-vector delete / CDC
-  * applyChanges) run against BOTH the real table and an in-memory
-  * model. After every op the table must equal the model; after the
-  * sequence, every committed version must equal the model's history
-  * snapshot (time travel), metadata stats must equal model aggregates,
-  * and vacuum must not change any readable version. This pins the
-  * interaction space the single-op specs can't enumerate — e.g.
-  * delete-after-compact, a DV mask over stream-appended files, compact
-  * materializing a mask mid-sequence, upsert over a DV-masked file.
+  * applyChanges / metadata-only column RENAME / merge-on-read
+  * equality-delete upsert / MOR key delete) run against BOTH the real
+  * table and an in-memory model. After every op the table must equal
+  * the model; after the sequence, every committed version must equal
+  * the model's history snapshot (time travel), metadata stats must
+  * equal model aggregates, and vacuum must not change any readable
+  * version. This pins the interaction space the single-op specs can't
+  * enumerate — e.g. delete-after-compact, a DV mask over
+  * stream-appended files, an eq-delete over a renamed key column,
+  * compact materializing BOTH mask kinds mid-sequence, CoW upsert over
+  * eq-hidden rows.
   */
 class SnapshotLogPropertySpec extends AnyFunSuite {
   private lazy val s = SparkTestSession.get
@@ -33,9 +37,14 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
   private def rows(lo: Long, hi: Long, tag: String): Seq[Row3] =
     (lo until hi).map(i => (i, i % 7, s"$tag$i"))
 
-  private def tableRows(t: String, version: Option[Long] = None): Seq[Row3] =
-    SnapshotLog.read(s, t, version)
-      .select($"id", $"k", $"payload").as[Row3].collect().toSeq.sorted
+  /** Positional read: rename ops change the key column's NAME but
+    * never its position, so the model compares by position.
+    */
+  private def tableRows(t: String, version: Option[Long] = None): Seq[Row3] = {
+    val df = SnapshotLog.read(s, t, version)
+    df.select(df.columns.toIndexedSeq.map(col): _*)
+      .as[Row3].collect().toSeq.sorted
+  }
 
   test("random op sequences match the in-memory model at every version") {
     for (seed <- 0 until 5) {
@@ -53,6 +62,10 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
       var history = Map.empty[Long, Vector[Row3]]
       var nextEpoch = 0L
       var nextId = 0L
+      // current logical name of the key column (rename ops flip it)
+      var keyName = "id"
+      def keyed(df: DataFrame): DataFrame =
+        if (keyName == "id") df else df.withColumnRenamed("id", keyName)
 
       // first op is always an append so every later op has a table
       def freshSlice(tag: String): Seq[Row3] = {
@@ -62,25 +75,27 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         r
       }
 
-      val opCount = 10
+      val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(8)
+        val choice = if (op == 0) 0 else rnd.nextInt(11)
         choice match {
           case 0 => // append
             val r = freshSlice("a")
-            val v = SnapshotLog.commit(mkDf(r).repartition(1 + rnd.nextInt(2)),
-              t, "append", Seq("id"))
+            val v = SnapshotLog.commit(
+              keyed(mkDf(r)).repartition(1 + rnd.nextInt(2)),
+              t, "append", Seq(keyName))
             model = model ++ r
             history += v -> model
-          case 1 => // overwrite
+          case 1 => // overwrite (resets schema, mapping, and eq state)
             val r = freshSlice("o")
             val v = SnapshotLog.commit(mkDf(r), t, "overwrite", Seq("id"))
+            keyName = "id"
             model = r.toVector
             history += v -> model
           case 2 => // range delete over a random window of the id space
             val lo = rnd.nextLong(nextId.max(1))
             val hi = lo + rnd.nextLong(20) + 1
-            SnapshotLog.deleteWhere(s, t, "id", lo, hi, Seq("id")).foreach { st =>
+            SnapshotLog.deleteWhere(s, t, keyName, lo, hi, Seq(keyName)).foreach { st =>
               model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
               history += st.version -> model
             }
@@ -90,20 +105,20 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
             val inserted = freshSlice("n")
             val ups = existing ++ inserted
             if (ups.nonEmpty) {
-              val st = SnapshotLog.upsert(mkDf(ups), t, "id", Seq("id"))
+              val st = SnapshotLog.upsert(keyed(mkDf(ups)), t, keyName, Seq(keyName))
               val keys = ups.map(_._1).toSet
               model = model.filterNot(r => keys(r._1)) ++ ups
               history += st.version -> model
             }
-          case 4 => // compact (content must not move)
-            SnapshotLog.compact(s, t, 1L << 20, Seq("id")).foreach { v =>
+          case 4 => // compact (content must not move; masks materialize)
+            SnapshotLog.compact(s, t, 1L << 20, Seq(keyName)).foreach { v =>
               history += v -> model
             }
           case 5 => // stream append; half the time replay an old epoch
             val replay = nextEpoch > 0 && rnd.nextBoolean()
             val epoch = if (replay) rnd.nextLong(nextEpoch) else nextEpoch
             val r = freshSlice("s")
-            val res = SnapshotLog.appendStreamBatch(mkDf(r), t, epoch, Seq("id"))
+            val res = SnapshotLog.appendStreamBatch(keyed(mkDf(r)), t, epoch, Seq(keyName))
             if (replay) assert(res.isEmpty, s"replayed epoch $epoch committed")
             else {
               nextEpoch = epoch + 1
@@ -113,7 +128,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
           case 6 => // deletion-vector delete over a random id window
             val lo = rnd.nextLong(nextId.max(1))
             val hi = lo + rnd.nextLong(20) + 1
-            SnapshotLog.deleteWhereDV(s, t, "id", lo, hi).foreach { st =>
+            SnapshotLog.deleteWhereDV(s, t, keyName, lo, hi).foreach { st =>
               model = model.filterNot(r => r._1 >= lo && r._1 <= hi)
               history += st.version -> model
             }
@@ -127,7 +142,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
             val batch = ups ++ dels ++ ins
             if (batch.nonEmpty) {
               val st = SnapshotLog.applyChanges(
-                batch.toDF("id", "k", "payload", "op"), t, "id")
+                keyed(batch.toDF("id", "k", "payload", "op")), t, keyName)
               if (st.version > (history.keySet + 0L).max) {
                 val delKeys = dels.map(_._1).toSet
                 val upMap = (ups ++ ins).map(r => r._1 -> (r._1, r._2, r._3)).toMap
@@ -135,6 +150,28 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
                   upMap.values.toVector.sortBy(_._1)
                 history += st.version -> model
               }
+            }
+          case 8 => // metadata-only rename of the key column (flip-flop)
+            val newName = if (keyName == "id") "doc_id" else "id"
+            val v = SnapshotLog.renameColumn(s, t, keyName, newName)
+            keyName = newName
+            history += v -> model
+          case 9 => // merge-on-read upsert: zero rewrites, eq-delete debt
+            val existing = rnd.shuffle(model.map(_._1)).take(rnd.nextInt(5))
+              .map(i => (i, i % 7, s"z$i"))
+            val inserted = freshSlice("q")
+            val ups = existing ++ inserted
+            val v = SnapshotLog.upsertMOR(keyed(mkDf(ups)), t, keyName, Seq(keyName))
+            val keys = ups.map(_._1).toSet
+            model = model.filterNot(r => keys(r._1)) ++ ups
+            history += v -> model
+          case 10 => // merge-on-read key delete (incl. a guaranteed-absent key)
+            val ks = rnd.shuffle(model.map(_._1)).take(rnd.nextInt(4)) :+
+              (nextId + 5000 + op)
+            SnapshotLog.deleteKeysMOR(ks.toDF(keyName), t, keyName).foreach { v =>
+              val kset = ks.toSet
+              model = model.filterNot(r => kset(r._1))
+              history += v -> model
             }
         }
         assert(tableRows(t) == model.sorted,
@@ -144,9 +181,10 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         val presentK = model.headOption.map(_._1)
         val absentK = nextId + 1000 + op
         (presentK.toSeq :+ absentK).foreach { k =>
-          val (df, opened, range, _) = SnapshotLog.readPoint(s, t, "id", k)
+          val (df, opened, range, _) = SnapshotLog.readPoint(s, t, keyName, k)
           assert(opened <= range, s"seed=$seed op=$op k=$k opened>range")
-          val got = df.select($"id", $"k", $"payload").as[Row3].collect().toSeq.sorted
+          val got = df.select(df.columns.toIndexedSeq.map(col): _*)
+            .as[Row3].collect().toSeq.sorted
           assert(got == model.filter(_._1 == k).sorted,
             s"seed=$seed op=$op point lookup k=$k diverged")
         }
@@ -154,9 +192,10 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // of present and absent keys
         val semiKeys = model.take(3).map(_._1) ++ Seq(absentK, absentK + 1)
         val (sj, sjOpened, sjCand, _) =
-          SnapshotLog.readSemiJoin(s, t, "id", semiKeys.toDF("k"), "k")
+          SnapshotLog.readSemiJoin(s, t, keyName, semiKeys.toDF("k"), "k")
         assert(sjOpened <= sjCand, s"seed=$seed op=$op semi opened>cand")
-        val sjGot = sj.select($"id", $"k", $"payload").as[Row3].collect().toSeq.sorted
+        val sjGot = sj.select(sj.columns.toIndexedSeq.map(col): _*)
+          .as[Row3].collect().toSeq.sorted
         assert(sjGot == model.filter(r => semiKeys.contains(r._1)).sorted,
           s"seed=$seed op=$op semi-join diverged")
       }
@@ -165,16 +204,20 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
       history.foreach { case (v, expect) =>
         assert(tableRows(t, Some(v)) == expect.sorted, s"seed=$seed version $v")
       }
-      // metadata stats equal model aggregates (rows are net of DV
-      // masks; ranges are exact for DV-free tables and conservative
-      // BOUNDS — containing the true range — under a mask)
+      // metadata stats equal model aggregates (rows are net of DV masks
+      // but an UPPER bound under outstanding equality deletes; ranges
+      // are exact for mask-free tables and conservative BOUNDS —
+      // containing the true range — under either mask kind)
       val st = SnapshotLog.tableStats(s, t)
-      assert(st.rows == model.size.toLong)
+      val latestM = SnapshotLog.manifest(s, t,
+        SnapshotLog.latestVersion(s, t).get)
+      val masked = latestM.files.exists(_.dv.isDefined) ||
+        latestM.eqDeletes.nonEmpty
+      if (latestM.eqDeletes.isEmpty) assert(st.rows == model.size.toLong)
+      else assert(st.rows >= model.size.toLong)
       if (model.nonEmpty) {
-        val (mn, mx) = st.colRanges("id")
-        val latestM = SnapshotLog.manifest(s, t,
-          SnapshotLog.latestVersion(s, t).get)
-        if (latestM.files.exists(_.dv.isDefined)) {
+        val (mn, mx) = st.colRanges(keyName)
+        if (masked) {
           assert(mn.asInstanceOf[Long] <= model.map(_._1).min)
           assert(mx.asInstanceOf[Long] >= model.map(_._1).max)
         } else {
