@@ -2876,18 +2876,24 @@ object SourceQueries extends QueryPack {
       val dst = s"target/snapmirror-dst-$tag"
       val o = graft.core.Tables.load(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey")
-      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), src, "append",
-        Seq("o_orderkey"))
-      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), src, "append",
-        Seq("o_orderkey"))
+      // range-laid files so the mutation wave is TARGETED: the feed
+      // then diffs only the files that actually changed hands (the
+      // scattered-everywhere shape would legitimately read the whole
+      // table — churn-sized is the contract, so give it real churn)
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"), src, "append", Seq("o_orderkey"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1)
+        .repartitionByRange(4, $"o_orderkey"), src, "append", Seq("o_orderkey"))
       SnapshotLog.replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"))
       val mx = o.agg(max($"o_orderkey")).head.getLong(0)
       SnapshotLog.deleteWhere(s, src, "o_orderkey", 0L, mx / 3, Seq("o_orderkey"))
       SnapshotLog.upsert(
-        o.where($"o_orderkey" > mx / 3 && $"o_orderkey" % 100 === 0)
+        o.where($"o_orderkey" > mx / 2 && $"o_orderkey" <= mx / 2 + mx / 8 &&
+            $"o_orderkey" % 100 === 0)
           .withColumn("o_custkey", $"o_custkey" + 1000000L),
         src, "o_orderkey", Seq("o_orderkey"))
-      SnapshotLog.deleteMatchingDV(s, src, $"o_orderkey" % 10 === 9)
+      SnapshotLog.deleteWhereDV(s, src, "o_orderkey",
+        2 * (mx / 3), 2 * (mx / 3) + mx / 20)
       val consumed = SnapshotLog
         .replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"))
         .map(_._1).getOrElse(0L)
@@ -3488,15 +3494,19 @@ object SourceQueries extends QueryPack {
           |FROM fin""".stripMargin,
 
       // the mirror's final state recomputed relationally: survivors of
-      // the range delete minus the DV'd tail, custkeys bumped where
-      // upserted; accounting structural (5 src versions, 5 dst commits)
+      // the range delete minus the DV'd band, custkeys bumped in the
+      // upserted window; accounting structural (5 src versions, 5 dst
+      // commits)
       "qce_snapshot_mirror" ->
         """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
           |fin AS (SELECT o_orderkey AS k,
           |  o_custkey + CASE WHEN o_orderkey % 100 = 0
+          |      AND o_orderkey > m // 2 AND o_orderkey <= m // 2 + m // 8
           |    THEN 1000000 ELSE 0 END AS c
           |  FROM orders, mx
-          |  WHERE o_orderkey > m // 3 AND o_orderkey % 10 <> 9)
+          |  WHERE o_orderkey > m // 3
+          |    AND NOT (o_orderkey >= 2 * (m // 3)
+          |      AND o_orderkey <= 2 * (m // 3) + m // 20))
           |SELECT CAST(5 AS BIGINT) AS consumed_src_version,
           |  CAST(5 AS BIGINT) AS n_dst_versions,
           |  count(*) AS n_rows,
