@@ -332,6 +332,46 @@ object SnapshotScaleSmoke {
     require(afterConcurrent == directAfter,
       s"concurrent result $afterConcurrent != $directAfter")
 
+    // steady-state MOR ingest under the auto-compaction ceiling: 12 CDC
+    // epochs with morAutoCompactEvery=4 — the debt sawtooths (never
+    // exceeds the ceiling), replay detection survives the interleaved
+    // compactions, and the stats-probed debt classifier keeps each
+    // compaction rewriting only the buckets the batch keys touched,
+    // never the whole 64-file table. This is the continuous-CDC-ingest
+    // cost shape a 100 TB deployment runs 24/7.
+    val vBeforeIngest = SnapshotLog.latestVersion(spark, t).get
+    val beforeDf = SnapshotLog.read(spark, t, Some(vBeforeIngest))
+    val bucketCol = expr(s"l_orderkey DIV $width")
+    def ingestBatch(e: Int) = beforeDf
+      .where(bucketCol === e && col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_quantity")).as("l_quantity"))
+      .withColumn("extra_tag", lit(null).cast("string"))
+    spark.conf.set(SnapshotLog.MorAutoCompactEveryConf, "4")
+    spark.conf.set(SnapshotLog.MorAutoCompactTargetConf, (256L << 20).toString)
+    var maxDebt = 0
+    val morIngest = timed("mor_ingest12_autocompact4") {
+      (1 to 12).foreach { e =>
+        require(SnapshotLog.upsertMORBatch(ingestBatch(e), t, 1000L + e,
+          "l_orderkey", Seq("l_orderkey")).isDefined, s"epoch $e skipped")
+        maxDebt = math.max(maxDebt, SnapshotLog.manifest(spark, t,
+          SnapshotLog.latestVersion(spark, t).get).eqDeletes.size)
+      }
+    }
+    spark.conf.unset(SnapshotLog.MorAutoCompactEveryConf)
+    spark.conf.unset(SnapshotLog.MorAutoCompactTargetConf)
+    require(maxDebt <= 4, s"auto-compaction ceiling breached: $maxDebt debt")
+    require(maxDebt >= 3, s"trace never approached the ceiling ($maxDebt) — trigger untested")
+    // replayed epoch after interleaved compactions is still detected
+    require(SnapshotLog.upsertMORBatch(ingestBatch(12), t, 1012L,
+      "l_orderkey", Seq("l_orderkey")).isEmpty, "replay undetected")
+    val touched = bucketCol.isin((1 to 12).map(_.toLong): _*) &&
+      col("l_orderkey") % 50 === 0
+    val expectedIngest = agg(beforeDf.where(!touched).unionByName(
+      (1 to 12).map(ingestBatch).reduce(_ unionByName _)))
+    require(agg(SnapshotLog.read(spark, t)) == expectedIngest,
+      "steady-state ingest content diverged")
+
     val runs = Seq(
       ("build_64_commits", buildSec),
       ("build_64_commits_adaptive", buildAdSec),
@@ -349,11 +389,13 @@ object SnapshotScaleSmoke {
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),
-      ("concurrent_commit8", concurrent._2))
+      ("concurrent_commit8", concurrent._2),
+      ("mor_ingest12_autocompact4", morIngest._2))
     val json = runs.map { case (n, sec) => s""""$n":$sec""" }
       .mkString(s"""{"n_rows":${direct._1},"n_files_built":$Buckets,""" +
         s""""n_files_compacted":$compactedFiles,""" +
         s""""bloom_opened":$openedTotal,"range_candidates":$rangeTotal,""" +
+        s""""mor_ingest_max_debt":$maxDebt,""" +
         s""""n_checkpoints":${ckpts.size},"manifest_delta_avg_bytes":$deltaAvgBytes,""" +
         s""""manifest_checkpoint_bytes":$lastCkptBytes,""" +
         s""""manifest_total_bytes_fixed":$fixedTotalBytes,""" +

@@ -2874,16 +2874,19 @@ object SourceQueries extends QueryPack {
       val tag = java.lang.Long.toHexString(System.nanoTime())
       val src = s"target/snapmirror-src-$tag"
       val dst = s"target/snapmirror-dst-$tag"
+      // even-key half: mirror-gate signal is commit/chunk ACCOUNTING
+      // and exactly-once semantics, which don't need the full corpus —
+      // the wave below still churns a third of the table
       val o = graft.core.Tables.load(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey")
+        .where($"o_orderkey" % 2 === 0)
       // range-laid files so the mutation wave is TARGETED: the feed
       // then diffs only the files that actually changed hands (the
       // scattered-everywhere shape would legitimately read the whole
       // table — churn-sized is the contract, so give it real churn)
-      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0)
-        .repartitionByRange(4, $"o_orderkey"), src, "append", Seq("o_orderkey"))
-      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1)
-        .repartitionByRange(4, $"o_orderkey"), src, "append", Seq("o_orderkey"))
+      SnapshotLog.commit(o.repartitionByRange(4, $"o_orderkey"),
+        src, "append", Seq("o_orderkey"))
+      // pull #1 bootstraps the mirror from v1 via the epoch ledger
       SnapshotLog.replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"))
       val mx = o.agg(max($"o_orderkey")).head.getLong(0)
       SnapshotLog.deleteWhere(s, src, "o_orderkey", 0L, mx / 3, Seq("o_orderkey"))
@@ -2894,9 +2897,18 @@ object SourceQueries extends QueryPack {
         src, "o_orderkey", Seq("o_orderkey"))
       SnapshotLog.deleteWhereDV(s, src, "o_orderkey",
         2 * (mx / 3), 2 * (mx / 3) + mx / 20)
+      // pull #2 catches up the whole 3-version wave CHUNKED: one
+      // bounded feed plan, ONE net-effect CDC commit — the long-range
+      // catch-up shape (n_dst_versions pins the one-commit-per-chunk
+      // contract; a per-version fallback would publish 4, not 2)
       val consumed = SnapshotLog
-        .replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"))
+        .replicateChangeFeed(s, src, dst, "o_orderkey", Seq("o_orderkey"),
+          maxVersionsPerBatch = 8)
         .map(_._1).getOrElse(0L)
+      // idempotent: an in-sync mirror syncs to nothing (no phantom
+      // commit — n_dst_versions below would catch one)
+      SnapshotLog.replicateChangeFeed(s, src, dst, "o_orderkey",
+        Seq("o_orderkey"), maxVersionsPerBatch = 8)
       SnapshotLog.read(s, dst).agg(
         count(lit(1)).as("n_rows"),
         sum($"o_orderkey").as("sum_key"),
@@ -2950,6 +2962,63 @@ object SourceQueries extends QueryPack {
         .withColumn("compact_eq_keys", lit(eqAfter))
         .select($"rewrote", $"eq_keys", $"compact_eq_keys", $"n_rows",
           $"sum_key", $"sum_cust")
+    }),
+
+    // Declared layout in the manifest (the partition-spec capability):
+    // setLayout once; a later plain append CONFORMS — exactly 4
+    // range-partitioned files with disjoint [min,max] — without the
+    // writer re-stating anything; an upsert carries the spec and keeps
+    // its surgical granularity; a band read over the conformed region
+    // proves the clustering by scanning ≤2 of the table's files. Hash
+    // = band content + structural accounting; a carry-through path
+    // dropping the spec, a non-conforming append, or a pruning
+    // regression all break it.
+    "qcg_snapshot_layout" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snaplayout-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      SnapshotLog.commit(o.where($"o_orderkey" <= mx / 2), t, "append",
+        Seq("o_orderkey"))
+      SnapshotLog.setLayout(s, t, "range", Seq("o_orderkey"), 4)
+      // deliberately scrambled input: the DECLARED layout organizes it
+      SnapshotLog.commit(
+        o.where($"o_orderkey" > mx / 2).repartition(13, $"o_custkey"),
+        t, "append", Seq("o_orderkey"))
+      val v3Files = SnapshotLog.manifest(s, t, 3L).files
+        .filter(f => f.path.contains("v00003") && f.rows > 0)
+      val ranges = v3Files.flatMap(_.stats.get("o_orderkey"))
+        .map { case (mn, x) => (mn.asInstanceOf[Number].longValue(),
+          x.asInstanceOf[Number].longValue()) }
+        .sortBy(_._1)
+      val disjoint = ranges.size == v3Files.size &&
+        ranges.sliding(2).forall {
+          case Seq((_, a), (b, _)) => a < b
+          case _ => true
+        }
+      // upsert WITHOUT re-stating the layout: the spec carries through
+      SnapshotLog.upsert(
+        o.where($"o_orderkey" % 100 === 0 && $"o_orderkey" <= mx / 4)
+          .withColumn("o_custkey", $"o_custkey" + 1000000L),
+        t, "o_orderkey", Seq("o_orderkey"))
+      val kept = SnapshotLog.layoutOf(s, t).contains(
+        SnapshotLog.LayoutSpec("range", Seq("o_orderkey"), 4))
+      val lo = mx / 2 + mx / 10
+      val hi = lo + mx / 50
+      val (pruned, scanned, total) =
+        SnapshotLog.readPruned(s, t, "o_orderkey", lo, hi)
+      val prunedOk = scanned <= 2 && scanned < total
+      pruned.agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_key"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("conformed_files", lit(v3Files.size.toLong))
+        .withColumn("ranges_disjoint", lit(if (disjoint) 1L else 0L))
+        .withColumn("layout_kept", lit(if (kept) 1L else 0L))
+        .withColumn("pruned_scan", lit(if (prunedOk) 1L else 0L))
+        .select($"conformed_files", $"ranges_disjoint", $"layout_kept",
+          $"pruned_scan", $"n_rows", $"sum_key", $"sum_cust")
     }),
 
     // Tags — Iceberg refs on the manifest log: immutable named
@@ -3495,24 +3564,43 @@ object SourceQueries extends QueryPack {
 
       // the mirror's final state recomputed relationally: survivors of
       // the range delete minus the DV'd band, custkeys bumped in the
-      // upserted window; accounting structural (5 src versions, 5 dst
-      // commits)
+      // upserted window; accounting structural — 4 src versions
+      // consumed into exactly 2 dst commits (bootstrap + ONE chunked
+      // net-effect apply; the idempotent third sync adds none)
       "qce_snapshot_mirror" ->
-        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        """WITH src AS (SELECT o_orderkey, o_custkey FROM orders
+          |  WHERE o_orderkey % 2 = 0),
+          |mx AS (SELECT max(o_orderkey) AS m FROM src),
           |fin AS (SELECT o_orderkey AS k,
           |  o_custkey + CASE WHEN o_orderkey % 100 = 0
           |      AND o_orderkey > m // 2 AND o_orderkey <= m // 2 + m // 8
           |    THEN 1000000 ELSE 0 END AS c
-          |  FROM orders, mx
+          |  FROM src, mx
           |  WHERE o_orderkey > m // 3
           |    AND NOT (o_orderkey >= 2 * (m // 3)
           |      AND o_orderkey <= 2 * (m // 3) + m // 20))
-          |SELECT CAST(5 AS BIGINT) AS consumed_src_version,
-          |  CAST(5 AS BIGINT) AS n_dst_versions,
+          |SELECT CAST(4 AS BIGINT) AS consumed_src_version,
+          |  CAST(2 AS BIGINT) AS n_dst_versions,
           |  count(*) AS n_rows,
           |  CAST(sum(k) AS BIGINT) AS sum_key,
           |  CAST(sum(c) AS BIGINT) AS sum_cust
           |FROM fin""".stripMargin,
+
+      // the band content recomputed relationally (the upsert window is
+      // below m//4, disjoint from the band, so custkeys there are
+      // unbumped); structural columns are contract constants
+      "qcg_snapshot_layout" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+          |b AS (SELECT m // 2 + m // 10 AS lo,
+          |  m // 2 + m // 10 + m // 50 AS hi FROM mx)
+          |SELECT CAST(4 AS BIGINT) AS conformed_files,
+          |  CAST(1 AS BIGINT) AS ranges_disjoint,
+          |  CAST(1 AS BIGINT) AS layout_kept,
+          |  CAST(1 AS BIGINT) AS pruned_scan,
+          |  count(*) AS n_rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM orders, b WHERE o_orderkey BETWEEN lo AND hi""".stripMargin,
 
       // the feed replayed relationally: inserts = the two parity
       // appends; deletes = the CoW range (all keys <= m//4) then the

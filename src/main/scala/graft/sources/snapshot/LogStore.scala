@@ -151,48 +151,120 @@ class LocalLinkLogStore extends HadoopBackedLogStore {
 /** The conditional-put contract: a CLAIM decides the winner atomically
   * BEFORE any visible write, so the publish itself cannot race — the
   * shape of S3 `PutObject If-None-Match: *` / GCS `ifGenerationMatch=0`
-  * / an external claim table. Here the claim is an in-process
-  * `putIfAbsent` keyed by the qualified destination URI (plus an
-  * existence check so claims survive process restarts on a real FS);
-  * a production store replaces [[claim]] with the service-side
-  * precondition and inherits the exact protocol the specs pin.
+  * / an external claim table (the Delta-on-S3 LogStore design).
+  *
+  * The claim is a SHORT-LIVED lock, not the durable decided-state:
+  * whoever wins it checks the destination, writes (or doesn't), and
+  * RELEASES it — always, success or failure — so the durable
+  * "already published" signal is the destination object itself. This
+  * keeps the claim table bounded (only in-flight publishes hold
+  * entries), lets a destination be re-published after deletion
+  * (delete-tag → create-tag of the same name), and never bricks a
+  * destination when a publish fails after winning its claim.
+  *
+  * Here [[claim]] is an in-process `putIfAbsent` keyed by the
+  * qualified destination URI; [[FileClaimLogStore]] swaps it for a
+  * hard-link CAS on a sibling `.claim` path (cross-PROCESS exclusion
+  * on any shared POSIX filesystem); a production store overrides the
+  * pair with the service-side primitive (DynamoDB conditional write,
+  * a lock service) — or overrides [[publishExclusive]] wholesale when
+  * the store's PUT is itself conditional — and inherits the protocol
+  * the specs pin.
   *
   * Losers never touch the destination — no temp-file promotion step
   * exists to race on.
   */
 class ConditionalPutLogStore extends HadoopBackedLogStore {
 
-  /** Claim `dest`: true iff this caller now owns the right to write it.
-    * Override with a real conditional-write primitive in deployments.
+  /** Claim `dest`: true iff this caller now owns the right to decide
+    * it. Override with a real conditional-write primitive in
+    * deployments; pair with [[release]].
     */
   protected def claim(fs: FileSystem, dest: Path): Boolean =
     ConditionalPutLogStore.claims.putIfAbsent(
-      fs.makeQualified(dest).toUri.toString, java.lang.Boolean.TRUE) == null &&
-      !fs.exists(dest)
+      fs.makeQualified(dest).toUri.toString, java.lang.Boolean.TRUE) == null
+
+  /** Release a won claim — called exactly once per won claim, after
+    * the publish attempt resolved either way.
+    */
+  protected def release(fs: FileSystem, dest: Path): Unit = {
+    ConditionalPutLogStore.claims.remove(
+      fs.makeQualified(dest).toUri.toString)
+    ()
+  }
 
   override def publishExclusive(fs: FileSystem, dest: Path,
       bytes: Array[Byte]): Boolean = {
     beforePublish(fs, dest)
     if (!claim(fs, dest)) false
     else {
-      // sole claimant — but a filesystem write is not visibility-atomic
-      // the way a real conditional PUT is (the object appears whole or
-      // not at all), so land the bytes via temp + rename: a concurrent
-      // lister must never open a half-written log object. Plain rename
-      // is safe HERE because the claim guarantees no competitor writes
-      // this destination.
-      val tmp = writeTemp(fs, dest, bytes)
-      if (fs.rename(tmp, dest)) true
-      else { fs.delete(tmp, false); false }
+      try {
+        if (fs.exists(dest)) false // decided by an earlier publish
+        else {
+          // sole claimant — but a filesystem write is not
+          // visibility-atomic the way a real conditional PUT is (the
+          // object appears whole or not at all), so land the bytes via
+          // temp + rename: a concurrent lister must never open a
+          // half-written log object. Plain rename is safe HERE because
+          // the claim guarantees no competitor writes this destination.
+          val tmp = writeTemp(fs, dest, bytes)
+          if (fs.rename(tmp, dest)) true
+          else { fs.delete(tmp, false); false }
+        }
+      } finally release(fs, dest)
     }
   }
 }
 
 object ConditionalPutLogStore {
   /** Process-wide claim table — the test stand-in for the service-side
-    * conditional-write precondition.
+    * conditional-write precondition. Bounded: entries live only while
+    * a publish is in flight ([[ConditionalPutLogStore.release]]).
     */
-  private[snapshot] val claims = new ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] val claims = new ConcurrentHashMap[String, java.lang.Boolean]()
+}
+
+/** Conditional-put whose claim is ITSELF a filesystem CAS: a hard link
+  * landing a sibling `<dest-name>.claim` file — atomic and exclusive
+  * by POSIX `link(2)`, across THREADS, CLASSLOADERS, and PROCESSES
+  * sharing the filesystem, where the in-process claim table of
+  * [[ConditionalPutLogStore]] can only exclude within one JVM. This is
+  * the reference impl of "claim table on the FS" a deployment can run
+  * on NFS/local disk today, and the protocol twin of a DynamoDB claim
+  * row for S3.
+  *
+  * Claim files are invisible to the log plane (listings match exact
+  * `*.json` name shapes) and are removed on release. A writer that
+  * CRASHES between claim and release leaves a stale `.claim` blocking
+  * that one destination — the same stuck-lock trade every external
+  * claim table has; an operator (or a TTL sweep) removes it. Crash
+  * AFTER the rename lands is harmless: the destination exists, so the
+  * stale claim blocks nobody from reading and the next claimant's
+  * exists-check resolves to "already decided".
+  */
+class FileClaimLogStore extends ConditionalPutLogStore {
+
+  private def claimPath(dest: Path) =
+    new Path(dest.getParent, dest.getName + ".claim")
+
+  override protected def claim(fs: FileSystem, dest: Path): Boolean = {
+    val cp = claimPath(dest)
+    val tmp = writeTemp(fs, cp, Array.emptyByteArray)
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(cp.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.nio.file.NoSuchFileException => false
+    } finally fs.delete(tmp, false)
+  }
+
+  override protected def release(fs: FileSystem, dest: Path): Unit = {
+    fs.delete(claimPath(dest), false)
+    ()
+  }
 }
 
 object LogStore {
@@ -203,11 +275,13 @@ object LogStore {
   private val hdfsRename = new HdfsRenameLogStore
   private val localLink = new LocalLinkLogStore
   private val conditionalPut = new ConditionalPutLogStore
+  private val fileClaim = new FileClaimLogStore
 
   private val registry = new ConcurrentHashMap[String, LogStore]()
   registry.put("hdfs-rename", hdfsRename)
   registry.put("local-link", localLink)
   registry.put("conditional-put", conditionalPut)
+  registry.put("conditional-put-file", fileClaim)
 
   /** Register a custom store under `name` for [[ConfKey]] selection —
     * the deployment hook for a real object-store conditional-put impl.

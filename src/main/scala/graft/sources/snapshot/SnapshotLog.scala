@@ -119,10 +119,35 @@ object SnapshotLog {
     * [[EqDelete]]); empty for tables that never MOR-upsert — every
     * read path then takes its pre-existing plan unchanged.
     */
+  /** Declared clustering layout — the Iceberg partition-spec idea
+    * reduced to its engine-visible core: HOW a conforming write
+    * organizes its files, recorded as a TABLE PROPERTY in the manifest
+    * so writers never re-state it and maintenance can re-establish it.
+    * `kind`:
+    *  - `range`: `repartitionByRange(n, cols) + sortWithinPartitions`
+    *    — disjoint tight [min,max] per file; the readPruned/readPoint
+    *    skipping shape.
+    *  - `bucket`: `repartition(n, cols)` — hash co-location for
+    *    bucket-aligned joins and point writes.
+    *  - `zorder`: 2 columns interleaved (ZOrder.zOrder2 over 16-bit
+    *    scaling from the BATCH's own ranges) then range-partitioned —
+    *    multi-column skipping.
+    * `n` is the target file count of one conforming write (a batch,
+    * not the table). Bulk-adding paths (commit append,
+    * appendStreamBatch, compact) apply the full layout; surgical
+    * mutations (upsert/CDC/MOR/DV) keep their O(changed-files) write
+    * granularity and only SORT within their rewrites — re-ranging the
+    * world per point-update is exactly what a 100 TB table must not
+    * do; `compact()` re-establishes the global layout on its own
+    * schedule. Declared via [[setLayout]]; `overwrite` commits reset
+    * it with the rest of the table state.
+    */
+  final case class LayoutSpec(kind: String, cols: Seq[String], n: Int)
+
   final case class Manifest(version: Long, parent: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], epoch: Long = -1L,
       ts: Long = 0L, physical: Map[String, String] = Map.empty,
-      eqDeletes: Seq[EqDelete] = Nil)
+      eqDeletes: Seq[EqDelete] = Nil, layout: Option[LayoutSpec] = None)
 
   /** The parquet-level name of logical column `c` under manifest `m`. */
   private def physName(m: Manifest, c: String): String =
@@ -207,21 +232,119 @@ object SnapshotLog {
     // overwrite replaces the schema AND the column mapping AND the
     // outstanding equality deletes (fresh table state); append
     // inherits all three, with new files stamped past every live seq
-    val (aligned, ddl, phys, eqs, seq) = parent match {
+    val (aligned0, ddl, phys, eqs, seq, layout) = parent match {
       case Some(p) if mode == "append" =>
         (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical,
-          p.eqDeletes, lastSeq(p) + 1)
+          p.eqDeletes, lastSeq(p) + 1, p.layout)
       case _ => (df, df.schema.toDDL, Map.empty[String, String],
-        Nil: Seq[EqDelete], 1L)
+        Nil: Seq[EqDelete], 1L, None)
     }
+    // a declared layout conforms every append without the writer
+    // re-stating it; overwrite resets layout with the rest of state
+    val aligned = applyLayout(aligned0, layout)
     val newFiles = writeData(aligned, table, v, statsCols, bloomCols,
       bloomBits, ndvCols, phys).map(_.copy(seq = seq))
     val prior =
       if (mode == "append") parent.map(_.files).getOrElse(Nil) else Nil
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v - 1, mode, ddl, prior ++ newFiles, physical = phys,
-        eqDeletes = eqs))
+        eqDeletes = eqs, layout = layout))
     v
+  }
+
+  /** Declare (or replace) the table's clustering layout — ONE manifest
+    * write, zero data movement: subsequent appends/stream batches
+    * conform automatically, [[compact]] re-clusters existing files to
+    * it, and every commit path carries it forward like the schema.
+    * Existing files keep their current organization until compacted.
+    * Returns the new version.
+    */
+  def setLayout(spark: SparkSession, table: String, kind: String,
+      cols: Seq[String], n: Int): Long = {
+    require(Set("range", "bucket", "zorder")(kind),
+      s"layout kind must be range|bucket|zorder, got $kind")
+    require(cols.nonEmpty, "layout needs at least one column")
+    require(kind != "zorder" || cols.size == 2,
+      s"zorder layout interleaves exactly 2 columns, got ${cols.size}")
+    require(n >= 1, s"layout file-count target must be >= 1, got $n")
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
+    val v = v0 + 1
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "set-layout", m.schemaDdl, m.files,
+        physical = m.physical, eqDeletes = m.eqDeletes,
+        layout = Some(LayoutSpec(kind, cols, n))))
+    v
+  }
+
+  /** Drop the declared layout (writes stop conforming; files keep
+    * whatever organization they have). Returns the new version.
+    */
+  def clearLayout(spark: SparkSession, table: String): Long = {
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val v = v0 + 1
+    publish(fsOf(spark, new Path(table)), new Path(table),
+      Manifest(v, v0, "set-layout", m.schemaDdl, m.files,
+        physical = m.physical, eqDeletes = m.eqDeletes, layout = None))
+    v
+  }
+
+  /** The declared layout at the latest version, if any. */
+  def layoutOf(spark: SparkSession, table: String): Option[LayoutSpec] =
+    latestVersion(spark, table)
+      .flatMap(v => manifest(spark, table, v).layout)
+
+  /** Conform a batch to the declared layout (identity without one).
+    * Zorder scales each of its two columns to 16 bits from the BATCH's
+    * own min/max (one tiny agg) — self-contained at write time; the
+    * stats-scaled variant over the whole table is OPTIMIZE ZORDER
+    * (`sql.GraftSql`).
+    */
+  private def applyLayout(df: DataFrame,
+      layout: Option[LayoutSpec]): DataFrame = layout match {
+    case None => df
+    case Some(LayoutSpec("range", cs, n)) =>
+      df.repartitionByRange(n, cs.map(col).toIndexedSeq: _*)
+        .sortWithinPartitions(cs.map(col).toIndexedSeq: _*)
+    case Some(LayoutSpec("bucket", cs, n)) =>
+      df.repartition(n, cs.map(col).toIndexedSeq: _*)
+    case Some(LayoutSpec("zorder", cs, n)) =>
+      val probe = df.agg(
+        min(col(cs(0)).cast("double")), max(col(cs(0)).cast("double")),
+        min(col(cs(1)).cast("double")), max(col(cs(1)).cast("double"))).head
+      if (probe.isNullAt(0) || probe.isNullAt(2)) df // empty/all-null batch
+      else {
+        def scaled(c: String, mn: Double, mx: Double) = floor(
+          (col(c).cast("double") - mn) / math.max(mx - mn, 1e-12) * 65535.0)
+          .cast("long")
+        val key = graft.functions.ZOrder.zOrder2(
+          scaled(cs(0), probe.getDouble(0), probe.getDouble(1)),
+          scaled(cs(1), probe.getDouble(2), probe.getDouble(3)))
+        df.withColumn("__graft_layout", key)
+          .repartitionByRange(n, col("__graft_layout"))
+          .sortWithinPartitions(col("__graft_layout"))
+          .drop("__graft_layout")
+      }
+    case Some(other) => throw new IllegalStateException(
+      s"unreachable layout kind ${other.kind} — setLayout validates")
+  }
+
+  /** Keep a surgical rewrite's files sorted on the layout columns so
+    * their stats stay tight, WITHOUT re-partitioning (mutations keep
+    * their O(changed-files) granularity; compact restores the global
+    * layout).
+    */
+  private def sortForLayout(df: DataFrame,
+      layout: Option[LayoutSpec]): DataFrame = layout match {
+    case Some(LayoutSpec(_, cs, _)) if cs.forall(df.columns.contains) =>
+      df.sortWithinPartitions(cs.map(col).toIndexedSeq: _*)
+    case _ => df
   }
 
   /** Check an appended frame against the table schema and put its
@@ -567,12 +690,35 @@ object SnapshotLog {
     // a file with a deletion vector OR applicable equality deletes is
     // compaction debt regardless of size: the rewrite materializes the
     // masks (masked rows drop for good, the new file carries none) so
-    // read-side anti-joins don't pile up
+    // read-side anti-joins don't pile up. "Applicable" is stats-probed
+    // per delete, not just seq-ordered: a file whose [min,max] window
+    // for the key column provably contains NONE of a delete's keys
+    // holds no masked rows and need not be rewritten — point-delete
+    // debt on a 100 TB table compacts the touched files, not the world
+    // (a stats-less file stays conservatively debt-classified).
+    val keyedDebt: Set[String] =
+      if (m.eqDeletes.isEmpty) Set.empty
+      else m.eqDeletes.flatMap { e =>
+        val lk = m.physical.collectFirst {
+          case (l, p) if p == e.keyCol => l }.getOrElse(e.keyCol)
+        val keys = spark.read.parquet(
+            resolveRel(new Path(table), e.path).toString)
+          .withColumnRenamed(e.keyCol, lk)
+        statsCandidates(keys, lk, m.files.filter(_.seq < e.seq)).map(_.path)
+      }.toSet
     val (small, big) = m.files.partition(f =>
-      f.bytes < targetBytes || f.dv.isDefined || eqFor(m, f).nonEmpty)
+      f.bytes < targetBytes || f.dv.isDefined || keyedDebt(f.path))
     if (small.size < 2 && small.forall(_.dv.isEmpty) && m.eqDeletes.isEmpty)
       None
-    else {
+    else if (small.isEmpty) {
+      // outstanding deletes that provably mask nothing (and no file
+      // debt): drop them with a metadata-only commit — no data pass
+      val v = v0 + 1
+      publish(fsOf(spark, new Path(table)), new Path(table),
+        Manifest(v, v0, "compact", m.schemaDdl, big,
+          physical = m.physical, eqDeletes = Nil, layout = m.layout))
+      Some(v)
+    } else {
       val v = v0 + 1
       val n = math.max(1,
         math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
@@ -586,6 +732,11 @@ object SnapshotLog {
             .repartitionByRange(n, col("__graft_cluster"))
             .sortWithinPartitions(col("__graft_cluster"))
             .drop("__graft_cluster")
+        case None if clusterBy.isEmpty && m.layout.isDefined =>
+          // no explicit clustering asked: compaction re-establishes
+          // the DECLARED layout over the rewritten debt (file-count
+          // target from the rewrite size, not the layout's per-batch n)
+          applyLayout(readBack, m.layout.map(_.copy(n = n)))
         case None if clusterBy.isEmpty => readBack.coalesce(n)
         case None => readBack
           .repartitionByRange(n, clusterBy.map(col).toIndexedSeq: _*)
@@ -593,12 +744,14 @@ object SnapshotLog {
       }
       val newFiles = writeData(rewritten, table, v, statsCols, bloomCols,
         physical = m.physical).map(_.copy(seq = lastSeq(m) + 1))
-      // every surviving `big` file postdates every eq-delete (else it
-      // would be debt above), so the outstanding set clears wholesale
-      val eqKept = m.eqDeletes.filter(e => big.exists(_.seq < e.seq))
+      // Invariant: every file that MAY hold a masked row was just
+      // rewritten (the stats probe above is conservative — no stats,
+      // no pruning), so the outstanding delete set clears wholesale; a
+      // surviving file either postdates every delete or provably
+      // contains none of its keys.
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles,
-          physical = m.physical, eqDeletes = eqKept))
+          physical = m.physical, eqDeletes = Nil, layout = m.layout))
       Some(v)
     }
   }
@@ -771,13 +924,14 @@ object SnapshotLog {
       val newFiles =
         if (rewrite.isEmpty) Nil
         else writeData(
-          readFiles(spark, table, m, rewrite)
+          sortForLayout(readFiles(spark, table, m, rewrite)
             .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
+            m.layout),
           table, v, (statsCols :+ column).distinct, physical = m.physical)
           .map(_.copy(seq = lastSeq(m) + 1))
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles,
-          physical = m.physical, eqDeletes = m.eqDeletes))
+          physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout))
       Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
     }
   }
@@ -885,7 +1039,7 @@ object SnapshotLog {
     } else {
       publish(fs, tbl, Manifest(v, v0, "dv-delete", m.schemaDdl,
         (kept ++ maskedEntries).sortBy(_.path), physical = m.physical,
-        eqDeletes = m.eqDeletes))
+        eqDeletes = m.eqDeletes, layout = m.layout))
       Some(DvStats(v, kept.size + maskedEntries.count(_.dv.isEmpty),
         dropped.size, maskedEntries.count(_.dv.isDefined),
         droppedLive + newlyDeleted))
@@ -935,12 +1089,13 @@ object SnapshotLog {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
-    val newFiles = writeData(existing.unionByName(aligned), table, v,
+    val newFiles = writeData(
+      sortForLayout(existing.unionByName(aligned), m.layout), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
       .map(_.copy(seq = lastSeq(m) + 1))
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        physical = m.physical, eqDeletes = m.eqDeletes))
+        physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -1012,12 +1167,14 @@ object SnapshotLog {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
-    val newFiles = writeData(existing.unionByName(upserts), table, v,
+    val newFiles = writeData(
+      sortForLayout(existing.unionByName(upserts), m.layout), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
       .map(_.copy(seq = lastSeq(m) + 1))
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        epoch, physical = m.physical, eqDeletes = m.eqDeletes))
+        epoch, physical = m.physical, eqDeletes = m.eqDeletes,
+        layout = m.layout))
     MutationStats(v, kept.size, 0, rewrite.size)
   }
 
@@ -1055,7 +1212,53 @@ object SnapshotLog {
       throw new IllegalArgumentException(
         s"no committed version in $table — seed the table with commit() first"))
     if (maxEpoch(spark, table, v0) >= epochId) None // replay
-    else Some(upsertMORInternal(updates, table, keyCol, statsCols, epochId))
+    else {
+      val v = upsertMORInternal(updates, table, keyCol, statsCols, epochId)
+      maybeAutoCompactMor(spark, table)
+      Some(v)
+    }
+  }
+
+  /** Opt-in MOR debt ceiling for [[upsertMORBatch]]: once the
+    * outstanding equality-delete set reaches this many batches, the
+    * ingest commit is followed by a [[compact]] that materializes the
+    * debt — so a continuously-upserted table's read cost sawtooths
+    * instead of fragmenting without bound. 0 / unset (default) keeps
+    * compaction fully manual. The compaction rides AFTER the
+    * epoch-stamped commit and carries no epoch itself, so replay
+    * detection is untouched: a crashed compaction simply re-triggers
+    * on a later batch, and a replayed epoch never compacts twice for
+    * the same ingest.
+    */
+  val MorAutoCompactEveryConf = "spark.graft.snapshot.morAutoCompactEvery"
+
+  /** Target output size for the auto-compaction rewrite (default
+    * 128 MiB) — only read when [[MorAutoCompactEveryConf]] is set.
+    */
+  val MorAutoCompactTargetConf = "spark.graft.snapshot.morAutoCompactTargetBytes"
+
+  private def maybeAutoCompactMor(spark: SparkSession, table: String): Unit = {
+    val every = spark.conf.get(MorAutoCompactEveryConf, "0").toInt
+    if (every <= 0) return
+    val v = latestVersion(spark, table).get
+    val m = manifest(spark, table, v)
+    if (m.eqDeletes.size >= every) {
+      // stats/bloom coverage carries over from what the files already
+      // declare, so auto-compaction never silently narrows pruning
+      val statsCols = m.files.flatMap(_.stats.keys).distinct
+      val bloomCols = m.files.flatMap(_.blooms.keys).distinct
+      val target = spark.conf
+        .get(MorAutoCompactTargetConf, (128L << 20).toString).toLong
+      try { compact(spark, table, target, statsCols, bloomCols); () }
+      catch {
+        // maintenance is best-effort: a lost CAS race or IO hiccup
+        // leaves the debt for the next batch's trigger, never fails
+        // the ingest commit that already landed
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-compaction of $table failed (debt left for next trigger)", e)
+      }
+    }
   }
 
   private def upsertMORInternal(updates: DataFrame, table: String,
@@ -1076,14 +1279,15 @@ object SnapshotLog {
         "(operators.CdcMerge) before applying")
     val v = v0 + 1
     val seq = lastSeq(m) + 1
-    val newFiles = writeData(aligned, table, v,
+    val newFiles = writeData(sortForLayout(aligned, m.layout), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
       .map(_.copy(seq = seq))
     val eq = writeEqKeys(spark, table, v,
       aligned.select(col(keyCol)), physName(m, keyCol), probe.getLong(1), seq)
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "upsert-mor", m.schemaDdl, m.files ++ newFiles,
-        epoch, physical = m.physical, eqDeletes = m.eqDeletes :+ eq))
+        epoch, physical = m.physical, eqDeletes = m.eqDeletes :+ eq,
+        layout = m.layout))
     v
   }
 
@@ -1107,7 +1311,8 @@ object SnapshotLog {
     val eq = writeEqKeys(spark, table, v, ks, physName(m, keyCol), n, seq)
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "delete-keys-mor", m.schemaDdl, m.files,
-        physical = m.physical, eqDeletes = m.eqDeletes :+ eq))
+        physical = m.physical, eqDeletes = m.eqDeletes :+ eq,
+        layout = m.layout))
     Some(v)
   }
 
@@ -1142,18 +1347,18 @@ object SnapshotLog {
     else {
       val v = v0 + 1
       val parent = if (v > 1) Some(manifest(spark, table, v - 1)) else None
-      val (aligned, ddl, phys, eqs, seq) = parent match { // as commitAs
+      val (aligned, ddl, phys, eqs, seq, layout) = parent match { // as commitAs
         case Some(p) => (alignToSchema(df, p.schemaDdl), p.schemaDdl,
-          p.physical, p.eqDeletes, lastSeq(p) + 1)
+          p.physical, p.eqDeletes, lastSeq(p) + 1, p.layout)
         case None => (df, df.schema.toDDL, Map.empty[String, String],
-          Nil: Seq[EqDelete], 1L)
+          Nil: Seq[EqDelete], 1L, None)
       }
-      val newFiles = writeData(aligned, table, v, statsCols, physical = phys)
-        .map(_.copy(seq = seq))
+      val newFiles = writeData(applyLayout(aligned, layout), table, v,
+        statsCols, physical = phys).map(_.copy(seq = seq))
       publish(fsOf(spark, new Path(table)), new Path(table),
         Manifest(v, v0, "stream-append", ddl,
           parent.map(_.files).getOrElse(Nil) ++ newFiles, epochId,
-          physical = phys, eqDeletes = eqs))
+          physical = phys, eqDeletes = eqs, layout = layout))
       Some(v)
     }
   }
@@ -1480,7 +1685,7 @@ object SnapshotLog {
     // op records the fork base — fastForward's no-main-advance check
     publish(fsOf(spark, new Path(bt)), new Path(bt),
       Manifest(1L, 0L, s"branch:$v", m.schemaDdl, files,
-        physical = m.physical, eqDeletes = eqs))
+        physical = m.physical, eqDeletes = eqs, layout = m.layout))
     bt
   }
 
@@ -1573,7 +1778,8 @@ object SnapshotLog {
     publish(fsOf(spark, new Path(bt)), new Path(bt),
       Manifest(nv, bv, s"branch:$rootLatest", rm.schemaDdl, files,
         physical = rm.physical,
-        eqDeletes = rm.eqDeletes.map(e => e.copy(path = ParentPrefix + e.path))))
+        eqDeletes = rm.eqDeletes.map(e => e.copy(path = ParentPrefix + e.path)),
+        layout = rm.layout))
     nv
   }
 
@@ -1625,7 +1831,8 @@ object SnapshotLog {
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, rootLatest, "fast-forward", bm.schemaDdl, files,
         physical = bm.physical,
-        eqDeletes = bm.eqDeletes.map(e => e.copy(path = norm(e.path)))))
+        eqDeletes = bm.eqDeletes.map(e => e.copy(path = norm(e.path))),
+        layout = bm.layout))
     v
   }
 
@@ -1934,11 +2141,14 @@ object SnapshotLog {
       if (mode == "append" && v > 1)
         alignToSchema(df, manifest(spark, table, v - 1).schemaDdl)
       else df
-    val newFiles = writeData(aligned, table, v, statsCols,
-      physical = physAtWrite)
+    val layoutAtWrite =
+      if (mode == "append" && v > 1) manifest(spark, table, v - 1).layout
+      else None
+    val newFiles = writeData(applyLayout(aligned, layoutAtWrite), table, v,
+      statsCols, physical = physAtWrite)
     var attempt = 1
     while (true) {
-      val (prior, ddl, phys, eqs, seqNow) =
+      val (prior, ddl, phys, eqs, seqNow, layout) =
         if (mode == "append" && v > 1) {
           val p = manifest(spark, table, v - 1)
           // our columns must still conform (evolution is additive-only,
@@ -1959,14 +2169,15 @@ object SnapshotLog {
             require(p.physical.getOrElse(curLogical, curLogical) == mine,
               s"column mapping diverged mid-retry for '$c'")
           }
-          (p.files, p.schemaDdl, p.physical, p.eqDeletes, lastSeq(p) + 1)
+          (p.files, p.schemaDdl, p.physical, p.eqDeletes, lastSeq(p) + 1,
+            p.layout)
         } else (Nil, aligned.schema.toDDL, Map.empty[String, String],
-          Nil: Seq[EqDelete], 1L)
+          Nil: Seq[EqDelete], 1L, None)
       try {
         publish(fsOf(spark, tbl), tbl,
           Manifest(v, v - 1, mode, ddl,
             prior ++ newFiles.map(_.copy(seq = seqNow)), physical = phys,
-            eqDeletes = eqs))
+            eqDeletes = eqs, layout = layout))
         return v
       } catch {
         case e: IllegalStateException =>
@@ -2050,7 +2261,7 @@ object SnapshotLog {
     val v = v0 + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "evolve-schema", newS.toDDL, m.files,
-        physical = m.physical, eqDeletes = m.eqDeletes))
+        physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout))
     v
   }
 
@@ -2101,10 +2312,14 @@ object SnapshotLog {
     val files = m.files.map(f => f.copy(stats = rekey(f.stats),
       blooms = rekey(f.blooms), ndvs = rekey(f.ndvs), nulls = rekey(f.nulls)))
     val v = v0 + 1
+    // a declared layout follows its columns through the rename, like
+    // the stats maps
+    val newLayout = m.layout.map(ls => ls.copy(cols =
+      ls.cols.map(c => if (c == oldName) newName else c)))
     // eq-delete refs carry unchanged: their key is the PHYSICAL name
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "rename-column", newSchema.toDDL, files,
-        physical = newPhysical, eqDeletes = m.eqDeletes))
+        physical = newPhysical, eqDeletes = m.eqDeletes, layout = newLayout))
     v
   }
 
@@ -2121,7 +2336,8 @@ object SnapshotLog {
     val v = v0 + 1
     publish(fsOf(spark, new Path(table)), new Path(table),
       Manifest(v, v0, "restore", target.schemaDdl, target.files,
-        physical = target.physical, eqDeletes = target.eqDeletes))
+        physical = target.physical, eqDeletes = target.eqDeletes,
+        layout = target.layout))
     v
   }
 
@@ -2173,6 +2389,32 @@ object SnapshotLog {
     readFiles(spark, table, target,
       target.files.filterNot(f => basePaths(f.path)))
   }
+
+  /** Files among `cand0` whose [min,max] stats window for `lk` can
+    * contain at least one key — ONE tiny aggregate over the keys frame
+    * answers every file at once (a stats-less file is always a
+    * candidate; zero keys → no candidates).
+    */
+  private def statsCandidates(keys: DataFrame, lk: String,
+      cand0: Seq[FileEntry]): Seq[FileEntry] =
+    if (cand0.isEmpty) Nil
+    else {
+      val checks = cand0.zipWithIndex.map { case (f, i) =>
+        f.stats.get(lk) match {
+          case Some((mn, mx)) =>
+            max(when(col(lk) >= lit(mn) && col(lk) <= lit(mx), 1)
+              .otherwise(0)).as(s"__f$i")
+          case None => max(lit(1)).as(s"__f$i")
+        }
+      }
+      val probe = keys
+        .agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
+      if (probe.getLong(0) == 0L) Nil
+      else cand0.zipWithIndex.collect {
+        case (f, i) if !probe.isNullAt(i + 1) &&
+          probe.getInt(i + 1) == 1 => f
+      }
+    }
 
   /** Row-level change feed over (fromVersion, toVersion] — the Delta
     * `table_changes` capability: every committed version contributes
@@ -2265,26 +2507,7 @@ object SnapshotLog {
             val keys = spark.read.parquet(
                 resolveRel(new Path(table), e.path).toString)
               .withColumnRenamed(e.keyCol, lk)
-            val cand0 = pmm.files.filter(_.seq < e.seq)
-            val cand =
-              if (cand0.isEmpty) Nil
-              else {
-                val checks = cand0.zipWithIndex.map { case (f, i) =>
-                  f.stats.get(lk) match {
-                    case Some((mn, mx)) =>
-                      max(when(col(lk) >= lit(mn) && col(lk) <= lit(mx), 1)
-                        .otherwise(0)).as(s"__f$i")
-                    case None => max(lit(1)).as(s"__f$i")
-                  }
-                }
-                val probe = keys
-                  .agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
-                if (probe.getLong(0) == 0L) Nil
-                else cand0.zipWithIndex.collect {
-                  case (f, i) if !probe.isNullAt(i + 1) &&
-                    probe.getInt(i + 1) == 1 => f
-                }
-              }
+            val cand = statsCandidates(keys, lk, pmm.files.filter(_.seq < e.seq))
             if (cand.isEmpty) None
             else Some(aligned(
               readFiles(spark, table, pmm, cand)
@@ -2293,7 +2516,64 @@ object SnapshotLog {
           }
           if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _))
         }
-      (entryPart.toSeq ++ eqPart.toSeq).reduceOption(_ unionByName _)
+      // an equality delete REMOVED this version (a restore to a pre-MOR
+      // state) un-masks rows of files that did NOT change hands: feed
+      // them as inserts — rows of still-present files the dropped
+      // delete(s) had masked, read under the NEW manifest (remaining
+      // DV/eq masks applied, so rows still masked stay out), restricted
+      // to the dropped key sets. Files whose entries DID change hands
+      // already flow through the entry diff above. Files group by WHICH
+      // dropped deletes apply (their seq bucket), so a row re-surfaces
+      // exactly once however many dropped deletes named it.
+      val newEqPaths = m.eqDeletes.map(_.path).toSet
+      val eqRemoved = pm.map(_.eqDeletes.filterNot(e => newEqPaths(e.path)))
+        .getOrElse(Nil)
+      val eqRemovedPart: Option[DataFrame] =
+        if (eqRemoved.isEmpty) None
+        else {
+          val stillThere = m.files.filter(f =>
+            pBy.get(f.path).exists(_.dv == f.dv))
+          val frames = stillThere
+            .groupBy(f => eqRemoved.filter(_.seq > f.seq).map(_.path).toSet)
+            .collect { case (paths, grp) if paths.nonEmpty =>
+              (eqRemoved.filter(e => paths(e.path)), grp) }
+            .toSeq.flatMap { case (dels, grp) =>
+              val keyFrames = dels.groupBy(_.keyCol).toSeq
+                .map { case (physKey, ds) =>
+                  val lk = m.physical.collectFirst {
+                    case (l, p) if p == physKey => l }.getOrElse(physKey)
+                  val keys = ds.map(d => spark.read.parquet(
+                      resolveRel(new Path(table), d.path).toString))
+                    .reduce(_ unionByName _)
+                    .withColumnRenamed(physKey, lk)
+                    .select(col(lk)).distinct()
+                  (lk, keys)
+                }
+              val cand = keyFrames
+                .flatMap { case (lk, keys) => statsCandidates(keys, lk, grp) }
+                .distinct
+              if (cand.isEmpty) None
+              else {
+                // left-join markers (keys are distinct) keep multiset
+                // semantics exact under several dropped key columns:
+                // a row re-surfaces iff SOME dropped set named it
+                val base = readFiles(spark, table, m, cand)
+                val marked = keyFrames.zipWithIndex.foldLeft(base) {
+                  case (df, ((lk, keys), i)) =>
+                    df.join(keys.withColumn(s"__eqr$i", lit(1)),
+                      Seq(lk), "left")
+                }
+                val hit = keyFrames.indices
+                  .map(i => col(s"__eqr$i") === 1).reduce(_ || _)
+                Some(aligned(marked.where(hit)
+                    .drop(keyFrames.indices.map(i => s"__eqr$i"): _*), m)
+                  .withColumn("_change_type", lit("insert")))
+              }
+            }
+          if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _))
+        }
+      (entryPart.toSeq ++ eqPart.toSeq ++ eqRemovedPart.toSeq)
+        .reduceOption(_ unionByName _)
         .map(_.withColumn("_commit_version", lit(v)))
     }
     if (perVersion.isEmpty)
@@ -2340,39 +2620,101 @@ object SnapshotLog {
     * Requires `keyCol` to be unique per row in the source (the CDC
     * apply contract); enforced loudly by [[applyChanges]]. Cost per
     * sync is the source's churn over the unconsumed range — files that
-    * changed hands, never either table. Returns (source version
-    * consumed, new destination version) of the LAST applied version,
+    * changed hands, never either table. `maxVersionsPerBatch` bounds
+    * how many source versions collapse into one destination commit
+    * (net effect per key — exact, since intermediate hops don't touch
+    * the final state): 1 mirrors version-for-version; a larger value
+    * makes a long catch-up O(range/chunk) commits with a bounded feed
+    * plan per chunk ([[changeFeedChunks]]). Returns (source version
+    * consumed, new destination version) of the LAST applied commit,
     * or None when already up to date.
     */
   def replicateChangeFeed(spark: SparkSession, src: String, dst: String,
-      keyCol: String, statsCols: Seq[String] = Nil): Option[(Long, Long)] = {
+      keyCol: String, statsCols: Seq[String] = Nil,
+      maxVersionsPerBatch: Int = 1): Option[(Long, Long)] = {
     val srcV = latestVersion(spark, src).getOrElse(return None)
     val dstV0 = latestVersion(spark, dst).getOrElse(0L)
     val ckpt = if (dstV0 == 0L) -1L else maxEpoch(spark, dst, dstV0)
     if (ckpt >= srcV) return None
     var applied: Option[(Long, Long)] = None
-    ((math.max(ckpt, 0L) + 1) to srcV).foreach { v =>
-      val feed = readChangeFeed(spark, src, v - 1, Some(v))
-      val ins = feed.where(col("_change_type") === "insert")
+    changeFeedChunks(spark, src, math.max(ckpt, 0L), Some(srcV),
+        maxVersionsPerBatch).foreach { case (from, to, feed0) =>
+      // the chunk feed is consumed by several passes (net-collapse
+      // join, apply's candidacy probe, the write itself) — cache it
+      // once instead of re-evaluating the multi-leg diff plan per
+      // pass; it is churn-sized (the chunk's changed rows), never
+      // table-sized, so the cache spills safely at any scale
+      val feed = feed0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      // net effect per key over the chunk: the LAST source version
+      // touching a key decides — an insert there upserts, a
+      // delete-with-no-insert there deletes. Intermediate hops are
+      // invisible to the final state, so one CDC commit per chunk
+      // (stamped with the chunk's last source version) is exact, and
+      // a multi-thousand-version catch-up replays in bounded-plan,
+      // bounded-commit steps instead of one commit per version. A
+      // single-version chunk (bootstrap, per-version mirroring) has no
+      // intermediate hops — the collapse is the identity; skip its
+      // groupBy + self-join entirely.
+      val last =
+        if (to - from == 1) feed
+        else {
+          val lastV = feed.groupBy(col(keyCol).as("__k"))
+            .agg(max(col("_commit_version")).as("__last"))
+          feed.join(lastV, col(keyCol) === col("__k") &&
+            col("_commit_version") === col("__last")).drop("__k", "__last")
+        }
+      val ins = last.where(col("_change_type") === "insert")
         .drop("_change_type", "_commit_version")
-      val del = feed.where(col("_change_type") === "delete")
+      val del = last.where(col("_change_type") === "delete")
         .drop("_change_type", "_commit_version")
       val dstEmpty = latestVersion(spark, dst).isEmpty
       if (dstEmpty) {
-        // bootstrap: the first non-empty version seeds the mirror via
+        // bootstrap: the first chunk with inserts seeds the mirror via
         // the stream ledger (replay-safe append)
-        appendStreamBatch(ins, dst, v, statsCols)
-          .foreach(nv => applied = Some((v, nv)))
+        appendStreamBatch(ins, dst, to, statsCols)
+          .foreach(nv => applied = Some((to, nv)))
       } else {
         val before = latestVersion(spark, dst).get
         val changes = ins.withColumn("__op", lit("U")).unionByName(
           del.join(ins.select(col(keyCol)), Seq(keyCol), "left_anti")
             .withColumn("__op", lit("D")))
-        val st = applyChanges(changes, dst, keyCol, "__op", statsCols, epoch = v)
-        if (st.version > before) applied = Some((v, st.version))
+        val st = applyChanges(changes, dst, keyCol, "__op", statsCols,
+          epoch = to)
+        if (st.version > before) applied = Some((to, st.version))
       }
+      } finally { feed.unpersist(false); () }
     }
     applied
+  }
+
+  /** The change feed over (fromVersion, toVersion] as BOUNDED sub-range
+    * frames: each element is (chunkFrom, chunkTo, feed over
+    * (chunkFrom, chunkTo]) with at most `maxVersionsPerChunk` versions
+    * — so at most that many union legs and per-version `exceptAll`
+    * shuffles — per returned plan. A consumer catching up over
+    * thousands of versions iterates chunk by chunk (each chunk is an
+    * independent job) instead of asking [[readChangeFeed]] for one
+    * range-sized union plan; [[replicateChangeFeed]] composes these
+    * with one CDC commit per chunk. Chunks are produced lazily — no
+    * manifest is touched until a chunk is consumed.
+    */
+  def changeFeedChunks(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Option[Long] = None,
+      maxVersionsPerChunk: Int = 64): Iterator[(Long, Long, DataFrame)] = {
+    require(maxVersionsPerChunk >= 1,
+      s"maxVersionsPerChunk must be >= 1, got $maxVersionsPerChunk")
+    val to = toVersion.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"bad version range ($fromVersion, $to]")
+    Iterator.iterate(fromVersion)(f => math.min(f + maxVersionsPerChunk, to))
+      .takeWhile(_ < to)
+      .map { f =>
+        val t = math.min(f + maxVersionsPerChunk, to)
+        (f, t, readChangeFeed(spark, table, f, Some(t)))
+      }
   }
 
   /** Delta-manifest encoding: a published version normally records only
@@ -2521,7 +2863,7 @@ object SnapshotLog {
     raw.full match {
       case Some(files) =>
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files,
-          raw.epoch, raw.ts, raw.physical, raw.eqDeletes)
+          raw.epoch, raw.ts, raw.physical, raw.eqDeletes, raw.layout)
       case None =>
         require(raw.parent >= 1,
           s"delta manifest v${raw.version} has no parent to resolve against")
@@ -2529,7 +2871,7 @@ object SnapshotLog {
         val gone = raw.remove.toSet ++ raw.add.map(_.path)
         Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl,
           base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch, raw.ts,
-          raw.physical, raw.eqDeletes)
+          raw.physical, raw.eqDeletes, raw.layout)
     }
   }
 
@@ -2540,7 +2882,7 @@ object SnapshotLog {
       op: String, schemaDdl: String, epoch: Long, ts: Long,
       full: Option[Seq[FileEntry]], add: Seq[FileEntry], remove: Seq[String],
       physical: Map[String, String] = Map.empty,
-      eqDeletes: Seq[EqDelete] = Nil)
+      eqDeletes: Seq[EqDelete] = Nil, layout: Option[LayoutSpec] = None)
 
   private def readRaw(fs: FileSystem, tbl: Path, version: Long): RawManifest =
     parseJson(new String(
@@ -2975,6 +3317,15 @@ object SnapshotLog {
       }
       root.put("eqDeletes", eq)
     }
+    m.layout.foreach { ls =>
+      val lm = new JLinkedHashMap[String, Object]()
+      lm.put("kind", ls.kind)
+      val lc = new JArrayList[Object]()
+      ls.cols.foreach(lc.add)
+      lm.put("cols", lc)
+      lm.put("n", java.lang.Integer.valueOf(ls.n))
+      root.put("layout", lm)
+    }
     delta match {
       case Some((add, remove)) =>
         root.put("add", filesJson(add))
@@ -3035,7 +3386,14 @@ object SnapshotLog {
           val em = eo.asInstanceOf[java.util.Map[String, Object]].asScala
           EqDelete(em("path").toString, em("keyCol").toString,
             jlong(em("rows")), jlong(em("seq")))
-        }.toSeq).getOrElse(Nil))
+        }.toSeq).getOrElse(Nil),
+      root.get("layout").map { lo =>
+        val lm = lo.asInstanceOf[java.util.Map[String, Object]].asScala
+        LayoutSpec(lm("kind").toString,
+          lm("cols").asInstanceOf[java.util.List[_]].asScala
+            .map(_.toString).toSeq,
+          lm("n").asInstanceOf[Number].intValue())
+      })
   }
 
   /** Jackson deserializes small integers as Integer; widen to Long so

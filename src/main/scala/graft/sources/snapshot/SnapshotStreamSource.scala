@@ -295,6 +295,36 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
 
   private def spark = SparkSession.active
 
+  /** Physical-name mapping captured ONCE, at stream construction — the
+    * same name era as `requiredSchema`'s logical names. Physical names
+    * never change, so this one mapping serves every batch even when a
+    * `rename-column` lands INSIDE the streamed range: that manifest
+    * keys its map by the NEW logical names, and resolving it per batch
+    * with construction-era names would miss — the reader would request
+    * a column no file carries and silently null-fill. If the latest
+    * manifest's logical schema doesn't cover the stream's names (a
+    * rename raced stream start between schema inference and here),
+    * walk back to the manifest era the names came from.
+    */
+  private val physByStreamName: Map[String, String] = {
+    val needed = requiredSchema.fieldNames.toSet
+    var v = SnapshotLog.latestVersion(spark, table).getOrElse(0L)
+    var out: Option[Map[String, String]] = None
+    while (v >= 1 && out.isEmpty) {
+      val m =
+        try Some(SnapshotLog.manifest(spark, table, v))
+        catch { case _: java.io.FileNotFoundException => None } // expired
+      m match {
+        case None => v = 0 // expired prefix: no older era to find
+        case Some(mm) =>
+          val logical = StructType.fromDDL(mm.schemaDdl).fieldNames.toSet
+          if (needed.subsetOf(logical)) out = Some(mm.physical)
+          else v -= 1
+      }
+    }
+    out.getOrElse(Map.empty)
+  }
+
   private def committedLatest: Long =
     math.max(SnapshotLog.latestVersion(spark, table).getOrElse(0L), startVersion)
 
@@ -363,12 +393,13 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     // files carry PHYSICAL column names (column mapping): hand the
     // reader the required schema under physical names — decode is
-    // positional, so rows come back in logical order regardless. A
-    // rename cannot land INSIDE a streamed range (its op fails the
-    // append-only check), so one mapping serves the whole stream.
-    val phys = SnapshotLog.latestVersion(spark, table)
-      .map(v => SnapshotLog.manifest(spark, table, v).physical)
-      .getOrElse(Map.empty[String, String])
+    // positional, so rows come back in logical order regardless. The
+    // mapping is [[physByStreamName]], captured at stream construction
+    // in the SAME name era as requiredSchema — renames landing inside
+    // the streamed range (allowed: they move no files) re-key later
+    // manifests' maps but never invalidate construction-era logical →
+    // physical, because physical names are fixed for life.
+    val phys = physByStreamName
     val readerSchema =
       if (phys.isEmpty) requiredSchema
       else StructType(requiredSchema.fields.map(f =>

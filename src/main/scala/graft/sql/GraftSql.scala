@@ -144,6 +144,50 @@ object GraftSql {
       .readChangeFeed(spark, table, fromVersion, toVersion)
       .createOrReplaceTempView(name)
 
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
+
+  /** `table_changes('v', from[, to])` — the Delta table-valued-function
+    * face of the change feed, usable anywhere a table may appear.
+    */
+  private val TableChangesCallRe =
+    """(?i)TABLE_CHANGES\s*\(\s*'?(\w+)'?\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+
+  /** Read-shaped SQL over registered snapshot views — the query half
+    * [[dml]] deliberately refuses (it returns versions, not frames):
+    *
+    *  - `DESCRIBE HISTORY v` → the commit log as a DataFrame (version,
+    *    parent, op, epoch, file/row/byte counts — the
+    *    [[graft.sources.snapshot.SnapshotLog.history]] shape).
+    *  - any statement mentioning `table_changes('v', from[, to])` — the
+    *    Delta TVF shape — has each call resolved against the
+    *    registration catalog, materialized as the row-level change feed
+    *    ([[graft.sources.snapshot.SnapshotLog.readChangeFeed]]), and
+    *    substituted as a view, so
+    *    `SELECT * FROM table_changes('v', 2, 5) WHERE _change_type='insert'`
+    *    just works. Omitting `to` reads through the latest version.
+    *  - anything else passes through to `spark.sql` untouched.
+    */
+  def query(spark: SparkSession, statement: String): DataFrame =
+    statement match {
+      case DescribeHistoryRe(name) =>
+        graft.sources.snapshot.SnapshotLog
+          .history(spark, snapshotOf(spark, name).table)
+      case _ if TableChangesCallRe.findFirstIn(statement).isDefined =>
+        val rewritten = TableChangesCallRe.replaceAllIn(statement, mm => {
+          val nm = mm.group(1)
+          val from = mm.group(2).toLong
+          val to = Option(mm.group(3)).map(_.toLong)
+          val view = s"__graft_changes_${nm}_${from}_${to.getOrElse(0L)}"
+          graft.sources.snapshot.SnapshotLog
+            .readChangeFeed(spark, snapshotOf(spark, nm).table, from, to)
+            .createOrReplaceTempView(view)
+          view
+        })
+        spark.sql(rewritten)
+      case other => spark.sql(other)
+    }
+
   /** One registered snapshot view: its backing table, the statsCols
     * [[dml]] mutations should commit with, and whether the view is
     * PINNED (explicit version or tag) — pinned views are read-only.
@@ -309,8 +353,14 @@ object GraftSql {
                 throw new IllegalArgumentException(
                   s"ZORDER BY column '$c' has no manifest stats — commit " +
                     s"with statsCols including it first"))
-              val (mn, mx) = (mnA.asInstanceOf[Number].doubleValue(),
-                mxA.asInstanceOf[Number].doubleValue())
+              val (mn, mx) = (mnA, mxA) match {
+                case (a: Number, b: Number) =>
+                  (a.doubleValue(), b.doubleValue())
+                case _ => throw new IllegalArgumentException(
+                  s"ZORDER BY supports numeric columns; '$c' has " +
+                    s"${mnA.getClass.getSimpleName} stats — cluster on a " +
+                    "numeric key (or a precomputed numeric surrogate) instead")
+              }
               val span = math.max(mx - mn, 1e-12)
               org.apache.spark.sql.functions.floor(
                 (org.apache.spark.sql.functions.col(c).cast("double") - mn)

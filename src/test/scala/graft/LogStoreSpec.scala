@@ -43,7 +43,8 @@ class LogStoreSpec extends AnyFunSuite {
 
   private val safeStores: Seq[(String, () => LogStore)] = Seq(
     "local-link" -> (() => new LocalLinkLogStore),
-    "conditional-put" -> (() => new ConditionalPutLogStore))
+    "conditional-put" -> (() => new ConditionalPutLogStore),
+    "conditional-put-file" -> (() => new FileClaimLogStore))
 
   // ---- primitive-level exclusivity ------------------------------------
 
@@ -87,6 +88,10 @@ class LogStoreSpec extends AnyFunSuite {
     "conditional-put" -> ((f, d, b) => new ConditionalPutLogStore {
       override protected def beforePublish(fs2: FileSystem, dest: Path): Unit =
         assert(new ConditionalPutLogStore().publishExclusive(f, d, b))
+    }),
+    "conditional-put-file" -> ((f, d, b) => new FileClaimLogStore {
+      override protected def beforePublish(fs2: FileSystem, dest: Path): Unit =
+        assert(new FileClaimLogStore().publishExclusive(f, d, b))
     })))
     test(s"$name: a competitor publishing inside the check-to-act window is never lost") {
       val dir = freshDir(s"inject-$name")
@@ -237,6 +242,109 @@ class LogStoreSpec extends AnyFunSuite {
     SnapshotLog.commit(df(10, 20), t, "append", Seq("id"))
     val (expired, _) = SnapshotLog.expireVersions(s, t, 1)
     assert(expired.isEmpty) // oldest tag (v1) protects everything
+  }
+
+  // ---- claim lifecycle (the round-10 ADVICE findings) ------------------
+
+  test("conditional-put: claims release on success, on failure, and on pre-decided destinations") {
+    val dir = freshDir("claims-bounded")
+    def ours = {
+      val it = ConditionalPutLogStore.claims.keySet().iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().contains("claims-bounded")) n += 1
+      n
+    }
+    val store = new ConditionalPutLogStore
+    assert(store.publishExclusive(fs, new Path(dir, "a.json"), "x".getBytes))
+    assert(ours == 0, "a successful publish left its claim behind")
+    // a publish that explodes AFTER winning its claim must release it —
+    // the wart where the destination became unpublishable in-process
+    val boom = new ConditionalPutLogStore {
+      override protected def writeTemp(fs2: FileSystem, dest: Path,
+          bytes: Array[Byte]): Path = throw new RuntimeException("disk full")
+    }
+    intercept[RuntimeException] {
+      boom.publishExclusive(fs, new Path(dir, "b.json"), "x".getBytes)
+    }
+    assert(ours == 0, "a failed publish leaked its claim")
+    // the destination is NOT bricked: a healthy retry lands it
+    assert(store.publishExclusive(fs, new Path(dir, "b.json"), "y".getBytes))
+    assert(readBytes(new Path(dir, "b.json")) == "y")
+    // losing to an already-decided destination doesn't hold a claim
+    assert(!store.publishExclusive(fs, new Path(dir, "a.json"), "z".getBytes))
+    assert(ours == 0)
+  }
+
+  for (name <- Seq("conditional-put", "conditional-put-file"))
+    test(s"$name: delete-tag then create-tag of the same name works (claims are not consumed)") {
+      withStore(name) {
+        val t = freshTable(s"retag-$name")
+        SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+        SnapshotLog.createTag(s, t, "rel")
+        SnapshotLog.commit(df(10, 20), t, "append", Seq("id"))
+        SnapshotLog.deleteTag(s, t, "rel")
+        // the ADVICE failure: this threw 'tag already exists' forever
+        SnapshotLog.createTag(s, t, "rel")
+        assert(SnapshotLog.tags(s, t) == Map("rel" -> 2L))
+      }
+    }
+
+  // ---- cross-process exclusion (the .claim hard-link CAS) --------------
+
+  test("conditional-put-file: a foreign process's claim blocks publish without touching the destination") {
+    val dir = freshDir("foreign-claim")
+    val dest = new Path(dir, "held.json")
+    // forge the claim as another process would have left it mid-publish
+    fs.create(new Path(dir, "held.json.claim"), false).close()
+    val store = new FileClaimLogStore
+    assert(!store.publishExclusive(fs, dest, "ours".getBytes))
+    assert(!fs.exists(dest), "a blocked publish touched the destination")
+    // the holder finishes (or an operator clears the stale claim)...
+    fs.delete(new Path(dir, "held.json.claim"), false)
+    assert(store.publishExclusive(fs, dest, "ours".getBytes))
+    assert(readBytes(dest) == "ours")
+    // ...and a completed publish holds no claim
+    assert(!fs.exists(new Path(dir, "held.json.claim")))
+  }
+
+  test("conditional-put-file: TWO real JVMs exclude each other — exactly one winner per object") {
+    val dir = freshDir("fork-race")
+    val rounds = 12
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    def spawn(id: String) = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.LogStoreRaceMain", dir.toString, id, rounds.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(dir.toString, s"child-$id.log"))
+      .start()
+    val a = spawn("A")
+    val b = spawn("B")
+    try {
+      // release the rounds one by one so both JVMs' attempts overlap
+      (0 until rounds).foreach { r =>
+        Thread.sleep(25)
+        java.nio.file.Files.createFile(
+          Paths.get(dir.toString, s"go-$r"))
+      }
+      assert(a.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+        b.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(a.exitValue() == 0 && b.exitValue() == 0)
+      def wins(id: String): Map[Int, Int] =
+        new String(java.nio.file.Files.readAllBytes(
+          Paths.get(dir.toString, s"result-$id")), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+          .map { l => val p = l.split(" "); p(0).toInt -> p(1).toInt }.toMap
+      val wa = wins("A"); val wb = wins("B")
+      (0 until rounds).foreach { r =>
+        assert(wa(r) + wb(r) == 1,
+          s"round $r: ${wa(r) + wb(r)} winners across two JVMs")
+        val expect = if (wa(r) == 1) "writer-A" else "writer-B"
+        assert(readBytes(new Path(dir, f"obj-$r%03d.json")) == expect)
+        // no stale claim survives a completed round
+        assert(!fs.exists(new Path(dir, f"obj-$r%03d.json.claim")))
+      }
+    } finally { a.destroyForcibly(); b.destroyForcibly(); () }
   }
 
   test("unknown logstore name refuses loudly; registry extends the seam") {

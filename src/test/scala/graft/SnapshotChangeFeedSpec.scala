@@ -200,6 +200,76 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
       .count() == 50)
   }
 
+  test("restore past a MOR key delete re-surfaces the un-masked rows as inserts") {
+    val t = freshTable("restore-mor")
+    SnapshotLog.commit(df(0, 40).repartition(1), t, "append", Seq("id"))
+    SnapshotLog.deleteKeysMOR(s.range(5, 15).toDF("id"), t, "id") // v2
+    // v3: restore to v1 drops the eq-delete while every file entry
+    // stays identical — the masked rows come back as inserts
+    SnapshotLog.restore(s, t, 1L)
+    val m = byType(feed(t, 2))
+    assert(m(("insert", 3L)) == (10L, (5L until 15).sum))
+    assert(!m.contains(("delete", 3L)))
+    // and the whole-history feed still replays to the final state
+    val net = feed(t, 0).withColumn("w",
+        when($"_change_type" === "insert", 1L).otherwise(-1L))
+      .groupBy($"id", $"k", $"payload").agg(sum($"w").as("n"))
+      .where($"n" =!= 0)
+    val fin = SnapshotLog.read(s, t)
+      .groupBy($"id", $"k", $"payload").agg(count(lit(1)).as("n"))
+    assert(net.exceptAll(fin).count() == 0 && fin.exceptAll(net).count() == 0)
+  }
+
+  test("restore past a MOR upsert feeds the new rows out and the originals back") {
+    val t = freshTable("restore-morup")
+    SnapshotLog.commit(df(0, 30).repartition(1), t, "append", Seq("id"))
+    SnapshotLog.upsertMOR(
+      s.range(3, 8).select($"id", lit(9L).as("k"), lit("u").as("payload")),
+      t, "id", Seq("id")) // v2: new files + eq-delete
+    SnapshotLog.restore(s, t, 1L) // v3
+    val f = feed(t, 2)
+    val ins = f.where($"_change_type" === "insert")
+    val del = f.where($"_change_type" === "delete")
+    // the upserted values leave (their files dropped), originals return
+    assert(del.count() == 5 && del.where($"payload" === "u").count() == 5)
+    assert(ins.count() == 5 && ins.where($"payload".startsWith("row")).count() == 5)
+    assert(ins.agg(sum($"id")).head.getLong(0) == (3L until 8).sum)
+  }
+
+  test("restore dropping ONE of two eq-deletes re-surfaces only its keys") {
+    val t = freshTable("restore-partial")
+    SnapshotLog.commit(df(0, 40).repartition(1), t, "append", Seq("id"))
+    SnapshotLog.deleteKeysMOR(s.range(0, 10).toDF("id"), t, "id") // v2: A
+    SnapshotLog.deleteKeysMOR(s.range(5, 20).toDF("id"), t, "id") // v3: B
+    SnapshotLog.restore(s, t, 2L) // v4: drops B, keeps A
+    val m = byType(feed(t, 3))
+    // keys 5..9 are still masked by A; only 10..19 come back
+    assert(m(("insert", 4L)) == (10L, (10L until 20).sum))
+    assert(!m.contains(("delete", 4L)))
+    assert(SnapshotLog.read(s, t).where($"id" < 10).count() == 0)
+  }
+
+  test("a mirror converges across a restore past MOR ops") {
+    val src = freshTable("mirror-restore-src")
+    val dst = freshTable("mirror-restore-dst")
+    def sync() = SnapshotLog.replicateChangeFeed(s, src, dst, "id", Seq("id"))
+    def same(): Unit = {
+      val a = SnapshotLog.read(s, src).groupBy($"id", $"k", $"payload")
+        .agg(count(lit(1)).as("n"))
+      val b = SnapshotLog.read(s, dst).groupBy($"id", $"k", $"payload")
+        .agg(count(lit(1)).as("n"))
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
+    SnapshotLog.commit(df(0, 50).repartition(1), src, "append", Seq("id"))
+    SnapshotLog.deleteKeysMOR(s.range(10, 30).toDF("id"), src, "id")
+    assert(sync().isDefined); same()
+    // the divergence ADVICE flagged: restore to pre-MOR state
+    SnapshotLog.restore(s, src, 1L)
+    assert(sync().isDefined)
+    same()
+    assert(SnapshotLog.read(s, dst).count() == 50)
+  }
+
   test("the feed replays to the current table state") {
     val t = freshTable("replay")
     SnapshotLog.commit(df(0, 80).repartition(2), t, "append", Seq("id"))

@@ -225,6 +225,67 @@ class SnapshotEqDeleteSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t).where($"payload" === "e1").count() == 10)
   }
 
+  test("compact rewrites only files that MAY hold masked keys (stats-probed debt)") {
+    val t = freshTable("probe")
+    // 4 disjoint-range files with id stats; point deletes touch ONE
+    (0 until 4).foreach(i => SnapshotLog.commit(
+      df(i * 100, i * 100 + 100).repartition(1), t, "append", Seq("id")))
+    SnapshotLog.deleteKeysMOR(s.range(250, 260).toDF("id"), t, "id")
+    val before = SnapshotLog.manifest(s, t, 5L).files.map(_.path).toSet
+    val v = SnapshotLog.compact(s, t, 1L, Seq("id")) // size never qualifies
+    assert(v.isDefined)
+    val m = SnapshotLog.manifest(s, t, v.get)
+    assert(m.eqDeletes.isEmpty)
+    // exactly one file (the 200..299 range) was rewritten
+    assert(m.files.map(_.path).toSet.intersect(before).size == 3,
+      s"compact rewrote ${4 - m.files.map(_.path).toSet.intersect(before).size} files for a 1-file delete")
+    assert(SnapshotLog.read(s, t).count() == 390)
+    assert(SnapshotLog.read(s, t).where($"id" >= 250 && $"id" < 260).count() == 0)
+    // deletes whose keys exist nowhere clear with a metadata-only commit
+    SnapshotLog.deleteKeysMOR(s.range(5000, 5010).toDF("id"), t, "id")
+    val files0 = SnapshotLog.tableStats(s, t).files
+    val v2 = SnapshotLog.compact(s, t, 1L, Seq("id"))
+    assert(v2.isDefined)
+    val m2 = SnapshotLog.manifest(s, t, v2.get)
+    assert(m2.eqDeletes.isEmpty && m2.files.size == files0)
+    assert(SnapshotLog.read(s, t).count() == 390)
+  }
+
+  test("morAutoCompactEvery makes ingest debt sawtooth instead of growing") {
+    val t = freshTable("autocompact")
+    SnapshotLog.commit(df(0, 200).repartition(2), t, "append", Seq("id"))
+    s.conf.set(SnapshotLog.MorAutoCompactEveryConf, "4")
+    try {
+      val debts = (1 to 10).map { e =>
+        val updates = s.range(e * 7L, e * 7L + 5)
+          .select($"id", lit(e.toLong).as("k"),
+            concat(lit("e"), lit(e)).as("payload"))
+        assert(SnapshotLog.upsertMORBatch(updates, t, e.toLong, "id",
+          Seq("id")).isDefined)
+        val v = SnapshotLog.latestVersion(s, t).get
+        SnapshotLog.manifest(s, t, v).eqDeletes.size
+      }
+      // ceiling respected: debt never exceeds the trigger...
+      assert(debts.max <= 4, s"debt trace $debts exceeded the ceiling")
+      // ...and actually sawtooths (a compaction cleared it mid-run)
+      assert(debts.contains(0) || debts.sliding(2).exists {
+        case Seq(a, b) => b < a; case _ => false }, s"debt trace $debts never fell")
+      // replay of an epoch after auto-compaction is still detected
+      assert(SnapshotLog.upsertMORBatch(df(0, 5), t, 10L, "id", Seq("id")).isEmpty)
+      // content: every key got its LAST epoch's value
+      val got = SnapshotLog.read(s, t)
+      assert(got.count() == 200 + (1 to 10).flatMap(e =>
+        e * 7L until e * 7L + 5).distinct.count(_ >= 200))
+      (1 to 10).foreach { e =>
+        val ids = (e * 7L until e * 7L + 5)
+        val laterIds = ((e + 1) to 10).flatMap(x => x * 7L until x * 7L + 5).toSet
+        val expect = ids.filterNot(laterIds)
+        assert(got.where($"payload" === s"e$e").count() == expect.size,
+          s"epoch $e survivors")
+      }
+    } finally s.conf.unset(SnapshotLog.MorAutoCompactEveryConf)
+  }
+
   test("MOR ops refuse duplicate keys and fail streams loudly mid-range") {
     val t = freshTable("guards")
     SnapshotLog.commit(df(0, 20), t, "append", Seq("id"))

@@ -388,6 +388,33 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a mid-stream rename of a PREVIOUSLY-renamed column still decodes (mapping era = stream construction)") {
+    val t = freshTable("rename-twice")
+    SnapshotLog.commit(df(0, 20), t, "append", Seq("id")) // physical name: k
+    SnapshotLog.renameColumn(s, t, "k", "b") // stream era: b -> k
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .writeStream.format("memory").queryName("snap_stream_ren2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("snap_stream_ren2").count() == 20)
+      // the ADVICE case: rename the already-renamed column INSIDE the
+      // streamed range — the latest manifest now keys its mapping by
+      // 'c', and a per-batch lookup with the stream's name 'b' would
+      // miss and request a column no file carries (silent null-fill)
+      SnapshotLog.renameColumn(s, t, "b", "c")
+      SnapshotLog.commit(df(20, 30).withColumnRenamed("k", "c"),
+        t, "append", Seq("id"))
+      q.processAllAvailable()
+      val got = s.table("snap_stream_ren2")
+      assert(got.columns.toSeq == Seq("id", "b", "payload"))
+      assert(got.count() == 30)
+      // both eras decode through the stable physical name k — no nulls
+      assert(got.where($"b".isNull).count() == 0)
+      assert(got.agg(sum($"b")).head.getLong(0) == (0L until 30).map(_ % 7).sum)
+    } finally q.stop()
+  }
+
   test("non-append history inside the range fails the stream loudly") {
     val t = freshTable("reject")
     SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))

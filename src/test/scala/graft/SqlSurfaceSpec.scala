@@ -290,6 +290,62 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head.getLong(0) == (0L until 10).sum)
   }
 
+  test("DESCRIBE HISTORY and the table_changes TVF answer through GraftSql.query") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-hist").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 40).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    graft.sources.snapshot.SnapshotLog.deleteWhere(spark, t, "id", 0L, 9L, Seq("id"))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(40, 60).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "hist_v", t, None, Seq("id"))
+    // DESCRIBE HISTORY: one row per version, ops named, monotone chain
+    val hist = GraftSql.query(spark, "DESCRIBE HISTORY hist_v")
+      .orderBy(col("version")).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(hist.map(_.getString(2)).toSeq == Seq("append", "delete", "append"))
+    assert(hist.last.getLong(5) == 50L) // live rows at v3: 40 - 10 + 20
+    // the table_changes('v', from[, to]) TVF shape, inside a real query
+    val ins = GraftSql.query(spark,
+      "SELECT sum(id) AS s FROM table_changes('hist_v', 0, 1)").head.getLong(0)
+    assert(ins == (0L until 40).sum)
+    val del = GraftSql.query(spark,
+      "SELECT count(*) AS n FROM table_changes('hist_v', 1, 2) " +
+        "WHERE _change_type = 'delete'").head.getLong(0)
+    assert(del == 10L)
+    // open-ended range reads through latest; composes with joins/filters
+    val byV = GraftSql.query(spark,
+      "SELECT _commit_version AS v, count(*) AS n " +
+        "FROM table_changes('hist_v', 0) GROUP BY 1 ORDER BY 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV == Map(1L -> 40L, 2L -> 10L, 3L -> 20L))
+    // plain SQL passes through untouched
+    assert(GraftSql.query(spark, "SELECT 1 + 1 AS two").head.getInt(0) == 2)
+    // unregistered name refuses loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.query(spark, "SELECT * FROM table_changes('nope', 0)")
+    }
+  }
+
+  test("OPTIMIZE ZORDER refuses non-numeric stats columns with a clear error") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-zerr").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 40).select($"id", concat(lit("s"), $"id").as("name")),
+      t, "append", Seq("id", "name"))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(40, 80).select($"id", concat(lit("s"), $"id").as("name")),
+      t, "append", Seq("id", "name"))
+    GraftSql.registerSnapshot(spark, "zerr_v", t, None, Seq("id", "name"))
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark, "OPTIMIZE zerr_v ZORDER BY (id, name)")
+    }
+    assert(ex.getMessage.contains("numeric") && ex.getMessage.contains("name"),
+      ex.getMessage)
+  }
+
   test("metadata-tier kernels answer from spark.sql; malformed payloads null") {
     graft.sql.GraftSql.registerFunctions(spark)
     import spark.implicits._
