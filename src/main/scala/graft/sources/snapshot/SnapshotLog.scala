@@ -2853,25 +2853,67 @@ object SnapshotLog {
   def isCheckpoint(spark: SparkSession, table: String, version: Long): Boolean =
     readRaw(fsOf(spark, new Path(table)), new Path(table), version).full.isDefined
 
+  /** Resolved-manifest cache. A published manifest is immutable for
+    * life, so (table, version) normally identifies content for good —
+    * but retention deletes expired manifests, and tests (or
+    * out-of-protocol cleanup) can delete/recreate files at the same
+    * path, so a hit RE-VALIDATES the (mtime, length) of EVERY manifest
+    * file the resolution depended on — the version's own file plus its
+    * whole delta chain down to the checkpoint. A handful of stats per
+    * hit replaces a read + parse + recursive resolution (at a long
+    * history, that is the difference between O(1) amortized commit
+    * metadata and re-parsing a checkpoint-sized JSON per commit), and
+    * every loud-failure contract survives: a deleted own file still
+    * raises FileNotFoundException, a deleted mid-chain parent still
+    * fails the resolution instead of serving a cached ghost.
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Seq[(Path, Long, Long)], Manifest)]()
+  private val ManifestCacheMax = 4096
+
   /** Resolve a version's file list: a full manifest is itself; a delta
     * replays onto its parent's resolved list — parent order preserved,
     * changed entries swapped out, net-new entries appended (matching
     * what append-shaped committers pass in).
     */
-  private def readManifest(fs: FileSystem, tbl: Path, version: Long): Manifest = {
-    val raw = readRaw(fs, tbl, version)
-    raw.full match {
-      case Some(files) =>
-        Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl, files,
-          raw.epoch, raw.ts, raw.physical, raw.eqDeletes, raw.layout)
-      case None =>
-        require(raw.parent >= 1,
-          s"delta manifest v${raw.version} has no parent to resolve against")
-        val base = readManifest(fs, tbl, raw.parent).files
-        val gone = raw.remove.toSet ++ raw.add.map(_.path)
-        Manifest(raw.version, raw.parent, raw.op, raw.schemaDdl,
-          base.filterNot(f => gone(f.path)) ++ raw.add, raw.epoch, raw.ts,
-          raw.physical, raw.eqDeletes, raw.layout)
+  private def readManifest(fs: FileSystem, tbl: Path, version: Long): Manifest =
+    readManifestDeps(fs, tbl, version)._2
+
+  private def readManifestDeps(fs: FileSystem, tbl: Path,
+      version: Long): (Seq[(Path, Long, Long)], Manifest) = {
+    val key = (fs.makeQualified(tbl).toUri.toString, version)
+    val cached = manifestCache.get(key)
+    if (cached != null && cached._1.forall { case (p, mt, ln) =>
+        try {
+          val st = fs.getFileStatus(p)
+          st.getModificationTime == mt && st.getLen == ln
+        } catch { case _: java.io.FileNotFoundException => false }
+      }) cached
+    else {
+      val mp = manifestPath(tbl, version)
+      // stat BEFORE reading, so the recorded identity can never be
+      // newer than the bytes resolved (FileNotFoundException here is
+      // the expired-version contract, exactly as the uncached read)
+      val st = fs.getFileStatus(mp)
+      val self = (mp, st.getModificationTime, st.getLen)
+      val raw = readRaw(fs, tbl, version)
+      val entry: (Seq[(Path, Long, Long)], Manifest) = raw.full match {
+        case Some(files) =>
+          (Seq(self), Manifest(raw.version, raw.parent, raw.op,
+            raw.schemaDdl, files, raw.epoch, raw.ts, raw.physical,
+            raw.eqDeletes, raw.layout))
+        case None =>
+          require(raw.parent >= 1,
+            s"delta manifest v${raw.version} has no parent to resolve against")
+          val (pdeps, pm) = readManifestDeps(fs, tbl, raw.parent)
+          val gone = raw.remove.toSet ++ raw.add.map(_.path)
+          (self +: pdeps, Manifest(raw.version, raw.parent, raw.op,
+            raw.schemaDdl, pm.files.filterNot(f => gone(f.path)) ++ raw.add,
+            raw.epoch, raw.ts, raw.physical, raw.eqDeletes, raw.layout))
+      }
+      if (manifestCache.size() >= ManifestCacheMax) manifestCache.clear()
+      manifestCache.put(key, entry)
+      entry
     }
   }
 

@@ -28,6 +28,20 @@ class DeltaManifestSpec extends AnyFunSuite {
   private def manifestBytes(t: String, v: Long): Long =
     new java.io.File(t, f"_log/v$v%05d.json").length()
 
+  test("a table recreated at the same path never serves cached resolutions") {
+    val t = freshTable("recreate")
+    SnapshotLog.commit(slice(0), t, "append", Seq("id"))
+    SnapshotLog.commit(slice(1), t, "append", Seq("id"))
+    assert(SnapshotLog.read(s, t).count() == 200) // resolutions now cached
+    // out-of-protocol teardown + rebuild at the SAME path and versions:
+    // the (mtime, length) validation must force a re-read, not a ghost
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    SnapshotLog.commit(slice(2).unionByName(slice(3)), t, "append", Seq("id"))
+    assert(SnapshotLog.read(s, t).count() == 200)
+    assert(SnapshotLog.read(s, t).agg(min($"id")).head.getLong(0) == 200L)
+    assert(SnapshotLog.read(s, t, Some(1L)).count() == 200)
+  }
+
   test("append chain: deltas between checkpoints, exact resolution everywhere") {
     val t = freshTable("chain")
     (0 until 13).foreach(b => SnapshotLog.commit(
