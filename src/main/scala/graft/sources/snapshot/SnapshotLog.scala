@@ -712,12 +712,13 @@ object SnapshotLog {
       None
     else if (small.isEmpty) {
       // outstanding deletes that provably mask nothing (and no file
-      // debt): drop them with a metadata-only commit — no data pass
-      val v = v0 + 1
-      publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "compact", m.schemaDdl, big,
-          physical = m.physical, eqDeletes = Nil, layout = m.layout))
-      Some(v)
+      // debt): drop them with a metadata-only commit — no data pass.
+      // touched = ∅ and only OUR deletes drop by identity, so this
+      // rebases over any concurrent commit (a racer's new delete or
+      // files pass through untouched)
+      Some(publishMutation(spark, table, m, "compact", touched = Nil,
+        replacement = Nil, added = Nil, eqAdded = Nil,
+        eqDropped = m.eqDeletes.map(e => (e.path, e.seq)).toSet))
     } else {
       val v = v0 + 1
       val n = math.max(1,
@@ -743,16 +744,20 @@ object SnapshotLog {
           .sortWithinPartitions(clusterBy.map(col).toIndexedSeq: _*)
       }
       val newFiles = writeData(rewritten, table, v, statsCols, bloomCols,
-        physical = m.physical).map(_.copy(seq = lastSeq(m) + 1))
+        physical = m.physical)
       // Invariant: every file that MAY hold a masked row was just
       // rewritten (the stats probe above is conservative — no stats,
-      // no pruning), so the outstanding delete set clears wholesale; a
-      // surviving file either postdates every delete or provably
-      // contains none of its keys.
-      publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "compact", m.schemaDdl, big ++ newFiles,
-          physical = m.physical, eqDeletes = Nil, layout = m.layout))
-      Some(v)
+      // no pruning), so the outstanding delete set AS OF THE BASE
+      // clears wholesale; a surviving file either postdates every
+      // delete or provably contains none of its keys. Publishing
+      // through the OCC rebase means maintenance no longer loses to a
+      // racing ingest: disjoint concurrent commits (appends, MOR
+      // batches whose keys miss the rewritten files) land first and
+      // the compaction rebases over them, keeping any racer-added
+      // delete outstanding.
+      Some(publishMutation(spark, table, m, "compact", touched = small,
+        replacement = Nil, added = newFiles, eqAdded = Nil,
+        eqDropped = m.eqDeletes.map(e => (e.path, e.seq)).toSet))
     }
   }
 
@@ -888,6 +893,160 @@ object SnapshotLog {
     * read (their stats proved every row matched the delete), or were
     * rewritten. Kept + dropped + rewritten = parent file count.
     */
+  /** A concurrent commit LOGICALLY conflicts with a mutation being
+    * rebased: a file the mutation read or removed was itself modified,
+    * the schema / column mapping / declared layout changed underneath
+    * it, or a new equality delete applies to data it already read.
+    * Nothing was corrupted — the operation lost a genuine
+    * serialization race and must be rerun against the current version.
+    * Extends IllegalStateException so callers treating "commit failed,
+    * table untouched" generically keep working.
+    */
+  final class ConcurrentMutationException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Internal: the op's exactly-once epoch landed concurrently while
+    * rebasing (a second driver instance replaying the same micro-batch
+    * won the race) — converted to the caller's replay signal.
+    */
+  private final class EpochReplayedException extends Exception
+
+  /** Conflict-checked OCC publish for the mutating ops — Delta's
+    * WriteSerializable shape. An op computes its result against a
+    * `base` manifest; when the version CAS is lost it REBASES onto the
+    * new latest instead of failing, provided the concurrent commits
+    * are logically disjoint:
+    *
+    *  - every file the op read, removed, or re-masked (`touched`) is
+    *    still present in latest with the same (dv, seq) identity;
+    *  - schema, column mapping, and declared layout are unchanged;
+    *  - no NEW equality delete applies to a touched file (its rows
+    *    were read before that delete — republishing them would
+    *    resurrect deleted rows).
+    *
+    * Violations raise [[ConcurrentMutationException]]. Disjoint
+    * concurrent mutations — the common case at scale: CDC appliers,
+    * retention deletes, and compaction each touching different file
+    * sets — all land without caller-side retry loops, and no data file
+    * is ever rewritten for a rebase (the manifest is recomputed;
+    * `added` files and equality deletes are seq-restamped per attempt,
+    * so MOR ordering — a delete applies to strictly-older files —
+    * serializes correctly after any rebase). Parent file order is
+    * preserved with touched entries swapped in place, the shape delta
+    * manifests encode cheapest.
+    */
+  private def publishMutation(spark: SparkSession, table: String,
+      base: Manifest, op: String, touched: Seq[FileEntry],
+      replacement: Seq[FileEntry], added: Seq[FileEntry],
+      eqAdded: Seq[EqDelete], epoch: Long = -1L,
+      eqDropped: Set[(String, Long)] = Set.empty,
+      maxAttempts: Int = 20): Long = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val touchedByPath = touched.map(f => f.path -> f).toMap
+    val replacementByPath = replacement.map(f => f.path -> f).toMap
+    require(replacementByPath.keySet.subsetOf(touchedByPath.keySet),
+      "replacement entries must stand in for touched paths")
+    var parent = base
+    var attempt = 1
+    while (true) {
+      val seqNow = lastSeq(parent) + 1
+      val files = parent.files.flatMap { f =>
+        if (touchedByPath.contains(f.path)) replacementByPath.get(f.path)
+        else Some(f)
+      } ++ added.map(_.copy(seq = seqNow))
+      // eqDropped removes by (path, seq) identity, so a rebase keeps
+      // any delete a RACER added (its keys provably miss our touched
+      // files — rebaseTarget probed them — and our added files outrank
+      // it by seq, so it still applies exactly where it should)
+      val eqs = parent.eqDeletes.filterNot(e => eqDropped((e.path, e.seq))) ++
+        eqAdded.map(_.copy(seq = seqNow))
+      try {
+        publish(fs, tbl, Manifest(parent.version + 1, parent.version, op,
+          parent.schemaDdl, files, epoch, physical = parent.physical,
+          eqDeletes = eqs, layout = parent.layout))
+        return parent.version + 1
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxAttempts) throw e
+          casBackoff(attempt) // see writeConstraints: visibility lag
+          val vNow = latestVersion(spark, table).getOrElse(0L)
+          if (vNow > parent.version) {
+            if (epoch >= 0L && maxEpoch(spark, table, vNow) >= epoch)
+              throw new EpochReplayedException
+            parent = rebaseTarget(spark, table, base,
+              manifest(spark, table, vNow), touchedByPath, op)
+          } // else: CAS lost but the winner isn't visible yet — retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The WriteSerializable conflict check: `latest` is a valid rebase
+    * target for an op that read `base` iff the commits between them
+    * are disjoint from everything the op depends on (see
+    * [[publishMutation]]). The check is against BASE — the op's actual
+    * read point — no matter how many rebase hops have happened.
+    *
+    * A new equality delete only conflicts when its KEYS actually land
+    * in a touched file's stats interval (one aggregate over the
+    * batch-sized key set — the same exact-candidacy probe [[upsert]]
+    * uses). Without the probe, every concurrent MOR delete would
+    * serialize against every CoW mutation, which at steady-state CDC
+    * ingest is exactly the contention OCC exists to avoid.
+    */
+  private def rebaseTarget(spark: SparkSession, table: String,
+      base: Manifest, latest: Manifest,
+      touchedByPath: Map[String, FileEntry], op: String): Manifest = {
+    def conflict(why: String): Nothing =
+      throw new ConcurrentMutationException(
+        s"$op read table version ${base.version} but concurrent commits " +
+          s"moved it to ${latest.version} and $why — rerun the operation " +
+          "against the current version")
+    if (latest.schemaDdl != base.schemaDdl) conflict("the schema changed")
+    if (latest.physical != base.physical)
+      conflict("the column mapping changed")
+    if (latest.layout != base.layout) conflict("the declared layout changed")
+    val inLatest = latest.files.map(f => f.path -> f).toMap
+    touchedByPath.foreach { case (p, b) =>
+      inLatest.get(p) match {
+        case None => conflict(s"file $p it touched was removed")
+        case Some(l) if l.dv != b.dv || l.seq != b.seq =>
+          conflict(s"file $p it touched was modified")
+        case _ => ()
+      }
+    }
+    if (touchedByPath.nonEmpty) {
+      val baseEq = base.eqDeletes.map(e => (e.path, e.seq)).toSet
+      latest.eqDeletes.filterNot(e => baseEq((e.path, e.seq))).foreach { e =>
+        val applies = touchedByPath.values.filter(_.seq < e.seq).toSeq
+        if (applies.nonEmpty) {
+          val logical = latest.physical.collectFirst {
+            case (l, ph) if ph == e.keyCol => l }.getOrElse(e.keyCol)
+          val ivs = applies.map(_.stats.get(logical))
+          if (ivs.contains(None))
+            conflict(s"equality delete ${e.path} may apply to a " +
+              "stats-less file it read")
+          val keys = spark.read
+            .parquet(new Path(new Path(table), e.path).toString)
+          val checks = ivs.zipWithIndex.map {
+            case (Some((mn, mx)), i) =>
+              max(when(col(e.keyCol) >= lit(mn) &&
+                col(e.keyCol) <= lit(mx), 1).otherwise(0)).as(s"__f$i")
+            case (None, _) => throw new AssertionError("unreachable")
+          }
+          val probe = keys.agg(checks.head, checks.tail: _*).head
+          if (ivs.indices.exists(i =>
+              !probe.isNullAt(i) && probe.getInt(i) == 1))
+            conflict(s"equality delete ${e.path} deleted rows this " +
+              "operation already read")
+        }
+      }
+    }
+    latest
+  }
+
   final case class MutationStats(version: Long, filesKept: Int,
       filesDropped: Int, filesRewritten: Int)
 
@@ -920,18 +1079,17 @@ object SnapshotLog {
     }
     if (dropped.isEmpty && rewrite.isEmpty) None
     else {
-      val v = v0 + 1
       val newFiles =
         if (rewrite.isEmpty) Nil
         else writeData(
           sortForLayout(readFiles(spark, table, m, rewrite)
             .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
             m.layout),
-          table, v, (statsCols :+ column).distinct, physical = m.physical)
-          .map(_.copy(seq = lastSeq(m) + 1))
-      publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "delete", m.schemaDdl, kept ++ newFiles,
-          physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout))
+          table, v0 + 1, (statsCols :+ column).distinct,
+          physical = m.physical)
+      val v = publishMutation(spark, table, m, "delete",
+        touched = dropped ++ rewrite, replacement = Nil,
+        added = newFiles, eqAdded = Nil)
       Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
     }
   }
@@ -1037,10 +1195,10 @@ object SnapshotLog {
       dvRel.foreach(rel => fs.delete(new Path(tbl, rel), true)) // no-op round
       None
     } else {
-      publish(fs, tbl, Manifest(v, v0, "dv-delete", m.schemaDdl,
-        (kept ++ maskedEntries).sortBy(_.path), physical = m.physical,
-        eqDeletes = m.eqDeletes, layout = m.layout))
-      Some(DvStats(v, kept.size + maskedEntries.count(_.dv.isEmpty),
+      val vPub = publishMutation(spark, table, m, "dv-delete",
+        touched = dropped ++ maskCand, replacement = maskedEntries,
+        added = Nil, eqAdded = Nil)
+      Some(DvStats(vPub, kept.size + maskedEntries.count(_.dv.isEmpty),
         dropped.size, maskedEntries.count(_.dv.isDefined),
         droppedLive + newlyDeleted))
     }
@@ -1092,11 +1250,10 @@ object SnapshotLog {
     val newFiles = writeData(
       sortForLayout(existing.unionByName(aligned), m.layout), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
-      .map(_.copy(seq = lastSeq(m) + 1))
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "upsert", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout))
-    MutationStats(v, kept.size, 0, rewrite.size)
+    val vPub = publishMutation(spark, table, m, "upsert",
+      touched = rewrite.map(_._1), replacement = Nil,
+      added = newFiles, eqAdded = Nil)
+    MutationStats(vPub, kept.size, 0, rewrite.size)
   }
 
   /** CDC batch apply — the MERGE INTO shape: one commit applies a
@@ -1170,12 +1327,19 @@ object SnapshotLog {
     val newFiles = writeData(
       sortForLayout(existing.unionByName(upserts), m.layout), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
-      .map(_.copy(seq = lastSeq(m) + 1))
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "apply-changes", m.schemaDdl, kept.map(_._1) ++ newFiles,
-        epoch, physical = m.physical, eqDeletes = m.eqDeletes,
-        layout = m.layout))
-    MutationStats(v, kept.size, 0, rewrite.size)
+    try {
+      val vPub = publishMutation(spark, table, m, "apply-changes",
+        touched = rewrite.map(_._1), replacement = Nil,
+        added = newFiles, eqAdded = Nil, epoch = epoch)
+      MutationStats(vPub, kept.size, 0, rewrite.size)
+    } catch {
+      // a second applier landed this exact epoch while we rebased —
+      // exactly-once means OUR apply becomes the no-op (same shape as
+      // the nothing-to-commit early returns)
+      case _: EpochReplayedException =>
+        MutationStats(latestVersion(spark, table).getOrElse(v0),
+          m.files.size, 0, 0)
+    }
   }
 
   /** MERGE-ON-READ upsert (the Iceberg v2 streaming-CDC-ingest shape):
@@ -1213,9 +1377,16 @@ object SnapshotLog {
         s"no committed version in $table — seed the table with commit() first"))
     if (maxEpoch(spark, table, v0) >= epochId) None // replay
     else {
-      val v = upsertMORInternal(updates, table, keyCol, statsCols, epochId)
-      maybeAutoCompactMor(spark, table)
-      Some(v)
+      try {
+        val v = upsertMORInternal(updates, table, keyCol, statsCols, epochId)
+        maybeAutoCompactMor(spark, table)
+        Some(v)
+      } catch {
+        // a second driver instance replaying this epoch won the commit
+        // race mid-rebase — same exactly-once answer as the up-front
+        // ledger check
+        case _: EpochReplayedException => None
+      }
     }
   }
 
@@ -1278,17 +1449,16 @@ object SnapshotLog {
       "duplicate keys in MOR upsert batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val v = v0 + 1
-    val seq = lastSeq(m) + 1
     val newFiles = writeData(sortForLayout(aligned, m.layout), table, v,
       (statsCols :+ keyCol).distinct, physical = m.physical)
-      .map(_.copy(seq = seq))
-    val eq = writeEqKeys(spark, table, v,
-      aligned.select(col(keyCol)), physName(m, keyCol), probe.getLong(1), seq)
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "upsert-mor", m.schemaDdl, m.files ++ newFiles,
-        epoch, physical = m.physical, eqDeletes = m.eqDeletes :+ eq,
-        layout = m.layout))
-    v
+    val eq = writeEqKeys(spark, table, v, aligned.select(col(keyCol)),
+      physName(m, keyCol), probe.getLong(1), lastSeq(m) + 1)
+    // touched = ∅: a MOR upsert reads nothing, so it rebases over ANY
+    // concurrent commit — the seq restamp per attempt keeps its delete
+    // applying to everything older, including files a racer just added
+    publishMutation(spark, table, m, "upsert-mor", touched = Nil,
+      replacement = Nil, added = newFiles, eqAdded = Seq(eq),
+      epoch = epoch)
   }
 
   /** MERGE-ON-READ delete by key: record the key set, touch nothing —
@@ -1306,14 +1476,10 @@ object SnapshotLog {
     val ks = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
     val n = ks.count()
     if (n == 0L) return None
-    val v = v0 + 1
-    val seq = lastSeq(m) + 1
-    val eq = writeEqKeys(spark, table, v, ks, physName(m, keyCol), n, seq)
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "delete-keys-mor", m.schemaDdl, m.files,
-        physical = m.physical, eqDeletes = m.eqDeletes :+ eq,
-        layout = m.layout))
-    Some(v)
+    val eq = writeEqKeys(spark, table, v0 + 1, ks, physName(m, keyCol), n,
+      lastSeq(m) + 1)
+    Some(publishMutation(spark, table, m, "delete-keys-mor",
+      touched = Nil, replacement = Nil, added = Nil, eqAdded = Seq(eq)))
   }
 
   /** Land a distinct key set as an equality-delete sidecar directory

@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
+
+/** Conflict-checked rebase of the mutating ops (the WriteSerializable
+  * contract): a mutation that loses the version CAS rebases onto the
+  * new latest when the concurrent commits are logically disjoint, and
+  * refuses with ConcurrentMutationException when they are not.
+  *
+  * Races are injected DETERMINISTICALLY through the LogStore
+  * beforePublish seam: the competitor's commit runs inside the op
+  * under test's check-to-act window, exactly once, so every test sees
+  * the same interleaving every run. A final thread-pool case exercises
+  * the same logic under real nondeterministic contention.
+  */
+class SnapshotMutationRebaseSpec extends AnyFunSuite {
+  private lazy val s = SparkTestSession.get
+  import s.implicits._
+
+  private def freshTable(name: String): String = {
+    val p = Paths.get("target", s"rebase-$name").toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    p.toString
+  }
+
+  private def df(lo: Long, hi: Long, payload: String = "row") =
+    s.range(lo, hi).select($"id", ($"id" % 7).as("k"),
+      concat(lit(payload), $"id").as("payload"))
+
+  /** Three single-file commits with disjoint id ranges [0,100),
+    * [100,200), [200,300) — stats route mutations to exactly one file.
+    */
+  private def seed3(t: String): Unit =
+    Seq(0L, 100L, 200L).foreach(lo =>
+      SnapshotLog.commit(df(lo, lo + 100).repartition(1), t, "append",
+        Seq("id")))
+
+  /** Run `body` with a LogStore that fires `inject` exactly once, in
+    * the check-to-act window of the first MANIFEST publish — i.e. the
+    * competitor commits between the op's read and its CAS.
+    */
+  private var injN = 0
+  private def withInjection(inject: => Unit)(body: => Unit): Unit = {
+    injN += 1
+    val name = s"rebase-inject-$injN"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    LogStore.register(name, new LocalLinkLogStore {
+      override protected def beforePublish(fs: FileSystem,
+          dest: Path): Unit =
+        if (dest.getName.matches("v\\d+\\.json") &&
+          fired.compareAndSet(false, true)) inject
+    })
+    s.conf.set(LogStore.ConfKey, name)
+    try body finally s.conf.unset(LogStore.ConfKey)
+  }
+
+  test("a CoW delete rebases over a concurrent append — both land") {
+    val t = freshTable("del-over-append")
+    seed3(t)
+    withInjection { SnapshotLog.commit(df(300, 350), t, "append", Seq("id")); () } {
+      val st = SnapshotLog.deleteWhere(s, t, "id", 0L, 99L).get
+      assert(st.version == 5L, "append won v4, delete rebased to v5")
+      assert(st.filesDropped == 1)
+    }
+    assert(SnapshotLog.read(s, t).count() == 250) // 300 - 100 + 50
+    assert(SnapshotLog.read(s, t).agg(min($"id")).head.getLong(0) == 100L)
+    assert(SnapshotLog.read(s, t).agg(max($"id")).head.getLong(0) == 349L)
+  }
+
+  test("two mutations touching DIFFERENT files both land, no caller retry") {
+    val t = freshTable("disjoint-cow")
+    seed3(t)
+    withInjection { SnapshotLog.upsert(df(250, 260, "upd"), t, "id"); () } {
+      val st = SnapshotLog.deleteWhere(s, t, "id", 0L, 99L).get
+      assert(st.version == 5L)
+    }
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.count() == 200)
+    assert(rows.where($"payload".startsWith("upd")).count() == 10)
+    assert(rows.where($"id" < 100).count() == 0)
+  }
+
+  test("a concurrent rewrite of the SAME file conflicts loudly, table intact") {
+    val t = freshTable("same-file")
+    seed3(t)
+    withInjection { SnapshotLog.upsert(df(50, 60, "upd"), t, "id"); () } {
+      val e = intercept[SnapshotLog.ConcurrentMutationException] {
+        SnapshotLog.deleteWhere(s, t, "id", 0L, 99L)
+      }
+      assert(e.getMessage.contains("rerun"))
+    }
+    // only the injected upsert is visible; nothing was half-applied
+    assert(SnapshotLog.latestVersion(s, t).contains(4L))
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.count() == 300)
+    assert(rows.where($"payload".startsWith("upd")).count() == 10)
+    // and the loser genuinely lost a race it could win on rerun
+    assert(SnapshotLog.deleteWhere(s, t, "id", 0L, 99L).get.version == 5L)
+    assert(SnapshotLog.read(s, t).count() == 200)
+  }
+
+  test("a new equality delete conflicts with a CoW rewrite that read those rows") {
+    val t = freshTable("eq-vs-cow")
+    seed3(t)
+    withInjection {
+      SnapshotLog.deleteKeysMOR(s.range(150, 160).toDF("id"), t, "id"); ()
+    } {
+      intercept[SnapshotLog.ConcurrentMutationException] {
+        SnapshotLog.upsert(df(140, 160, "upd"), t, "id")
+      }
+    }
+    // serial order delete→upsert holds: the keys stay deleted
+    assert(SnapshotLog.read(s, t).count() == 290)
+    assert(SnapshotLog.read(s, t).where($"id".between(150, 159)).count() == 0)
+  }
+
+  test("a MOR upsert rebases over a CoW delete and still wins by seq") {
+    val t = freshTable("mor-over-del")
+    seed3(t)
+    withInjection { SnapshotLog.deleteWhere(s, t, "id", 0L, 99L); () } {
+      SnapshotLog.upsertMOR(df(150, 160, "upd"), t, "id")
+    }
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.count() == 200)
+    assert(rows.where($"payload".startsWith("upd")).count() == 10)
+    assert(rows.where($"id".between(150, 159) &&
+      !$"payload".startsWith("upd")).count() == 0)
+  }
+
+  test("a MOR key delete rebases over an append; its keys miss the new rows") {
+    val t = freshTable("mor-del-over-append")
+    seed3(t)
+    withInjection { SnapshotLog.commit(df(300, 350), t, "append", Seq("id")); () } {
+      assert(SnapshotLog.deleteKeysMOR(
+        s.range(0, 10).toDF("id"), t, "id").contains(5L))
+    }
+    assert(SnapshotLog.read(s, t).count() == 340) // 300 + 50 - 10
+    assert(SnapshotLog.read(s, t).agg(min($"id")).head.getLong(0) == 10L)
+  }
+
+  test("an epoch replayed by a second driver mid-rebase resolves to None") {
+    val t = freshTable("epoch-race")
+    SnapshotLog.commit(df(0, 100).repartition(1), t, "append", Seq("id"))
+    val batch = df(40, 50, "upd")
+    withInjection { SnapshotLog.upsertMORBatch(batch, t, 7L, "id"); () } {
+      // same micro-batch, same epoch, different "driver": the ledger
+      // check passed up-front, the competitor landed mid-publish — the
+      // rebase loop must detect the replay, not double-commit
+      assert(SnapshotLog.upsertMORBatch(batch, t, 7L, "id").isEmpty)
+    }
+    assert(SnapshotLog.latestVersion(s, t).contains(2L))
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.count() == 100)
+    assert(rows.where($"payload".startsWith("upd")).count() == 10)
+  }
+
+  test("6 disjoint mutators on 4 threads all land with zero caller retries") {
+    val t = freshTable("stress")
+    // six single-file commits: [0,50) .. [250,300)
+    (0 until 6).foreach(i => SnapshotLog.commit(
+      df(i * 50L, i * 50L + 50).repartition(1), t, "append", Seq("id")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val ops: Seq[() => Unit] = Seq(
+        () => { SnapshotLog.deleteWhere(s, t, "id", 0L, 49L); () },
+        () => { SnapshotLog.deleteWhere(s, t, "id", 50L, 99L); () },
+        () => { SnapshotLog.upsert(df(100, 110, "upd"), t, "id"); () },
+        () => { SnapshotLog.upsert(df(150, 160, "upd"), t, "id"); () },
+        () => { SnapshotLog.deleteKeysMOR(
+          s.range(200, 210).toDF("id"), t, "id"); () },
+        // appends ride their own OCC loop (commitWithRetry) — plain
+        // commit is the version-pinned CAS surface and may lose
+        () => { SnapshotLog.commitWithRetry(df(300, 350), t, "append",
+          Seq("id")); () })
+      val futures = ops.map(op =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = op()
+        }))
+      futures.foreach(_.get()) // any ConcurrentMutationException fails here
+      val rows = SnapshotLog.read(s, t)
+      assert(rows.count() == 300 - 100 - 10 + 50)
+      assert(rows.where($"payload".startsWith("upd")).count() == 20)
+      assert(rows.where($"id" < 100).count() == 0)
+      assert(rows.where($"id".between(200, 209)).count() == 0)
+      // history stayed linear and fully readable
+      val latest = SnapshotLog.latestVersion(s, t).get
+      assert(latest == 12L)
+      (1L to latest).foreach(v => SnapshotLog.manifest(s, t, v))
+    } finally pool.shutdown()
+  }
+}
