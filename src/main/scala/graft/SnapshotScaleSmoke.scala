@@ -372,6 +372,60 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == expectedIngest,
       "steady-state ingest content diverged")
 
+    // 6 DISJOINT mutators racing on 4 threads — 2 CoW upserts, a CoW
+    // range delete, a MOR upsert, a MOR key delete, and an append, each
+    // keyed to its own range bucket: the OCC rebase serializes all six
+    // into a linear history with ZERO caller-side retry loops (any
+    // ConcurrentMutationException fails the future). This is the
+    // multi-writer shape a deployment actually runs — CDC appliers,
+    // retention, and maintenance sharing one table — measured, then
+    // content-checked against the relational expectation.
+    val tMx = java.nio.file.Paths.get("target", "snap-smoke-mutators")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tMx))
+    val w8 = li.agg(max(col("l_orderkey"))).head.getLong(0) / 8 + 1
+    def mxBucket(b: Int) = expr(s"l_orderkey DIV $w8") === b
+    (0 until 8).foreach(b => SnapshotLog.commit(
+      li.where(mxBucket(b)).repartition(1), tMx, "append", Seq("l_orderkey")))
+    def mxRepl(b: Int) = li
+      .where(mxBucket(b) && pmod(col("l_orderkey"), lit(100)) === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_quantity")).as("l_quantity"))
+    val (mxLo, mxHi) = (5L * w8, 5L * w8 + w8 / 2)
+    val mxPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val mutators = timed("concurrent_mutators6") {
+      val ops: Seq[() => Unit] = Seq(
+        () => { SnapshotLog.upsert(mxRepl(1), tMx, "l_orderkey",
+          Seq("l_orderkey")); () },
+        () => { SnapshotLog.upsert(mxRepl(3), tMx, "l_orderkey",
+          Seq("l_orderkey")); () },
+        () => { SnapshotLog.deleteWhere(spark, tMx, "l_orderkey",
+          mxLo, mxHi, Seq("l_orderkey")); () },
+        () => { SnapshotLog.upsertMOR(mxRepl(6), tMx, "l_orderkey",
+          Seq("l_orderkey")); () },
+        () => { SnapshotLog.deleteKeysMOR(
+          mxRepl(7).select("l_orderkey"), tMx, "l_orderkey"); () },
+        () => { SnapshotLog.commitWithRetry(
+          li.where(mxBucket(2)).repartition(1), tMx, "append",
+          Seq("l_orderkey")); () })
+      val fs = ops.map(op => mxPool.submit(
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = op() }))
+      fs.foreach(_.get())
+    }
+    mxPool.shutdown()
+    require(SnapshotLog.latestVersion(spark, tMx).contains(14L),
+      "mutator history not linear: " + SnapshotLog.latestVersion(spark, tMx))
+    val mxReplaced = (b: Int) =>
+      mxBucket(b) && pmod(col("l_orderkey"), lit(100)) === 0
+    val mxExpected = agg(li
+      .where(!(col("l_orderkey") >= mxLo && col("l_orderkey") <= mxHi))
+      .where(!mxReplaced(1) && !mxReplaced(3) &&
+        !mxReplaced(6) && !mxReplaced(7))
+      .unionByName(mxRepl(1)).unionByName(mxRepl(3)).unionByName(mxRepl(6))
+      .unionByName(li.where(mxBucket(2))))
+    require(agg(SnapshotLog.read(spark, tMx)) == mxExpected,
+      "concurrent mutator content diverged")
+
     val runs = Seq(
       ("build_64_commits", buildSec),
       ("build_64_commits_adaptive", buildAdSec),
@@ -390,7 +444,8 @@ object SnapshotScaleSmoke {
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),
       ("concurrent_commit8", concurrent._2),
-      ("mor_ingest12_autocompact4", morIngest._2))
+      ("mor_ingest12_autocompact4", morIngest._2),
+      ("concurrent_mutators6", mutators._2))
     val json = runs.map { case (n, sec) => s""""$n":$sec""" }
       .mkString(s"""{"n_rows":${direct._1},"n_files_built":$Buckets,""" +
         s""""n_files_compacted":$compactedFiles,""" +

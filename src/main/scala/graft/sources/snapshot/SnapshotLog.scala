@@ -267,33 +267,23 @@ object SnapshotLog {
     require(kind != "zorder" || cols.size == 2,
       s"zorder layout interleaves exactly 2 columns, got ${cols.size}")
     require(n >= 1, s"layout file-count target must be >= 1, got $n")
-    val v0 = latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val m = manifest(spark, table, v0)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-    cols.foreach(c => require(schema.fieldNames.contains(c),
-      s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
-    val v = v0 + 1
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "set-layout", m.schemaDdl, m.files,
+    publishMetadata(spark, table) { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
+      Manifest(m.version + 1, m.version, "set-layout", m.schemaDdl, m.files,
         physical = m.physical, eqDeletes = m.eqDeletes,
-        layout = Some(LayoutSpec(kind, cols, n))))
-    v
+        layout = Some(LayoutSpec(kind, cols, n)))
+    }
   }
 
   /** Drop the declared layout (writes stop conforming; files keep
     * whatever organization they have). Returns the new version.
     */
-  def clearLayout(spark: SparkSession, table: String): Long = {
-    val v0 = latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val m = manifest(spark, table, v0)
-    val v = v0 + 1
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "set-layout", m.schemaDdl, m.files,
+  def clearLayout(spark: SparkSession, table: String): Long =
+    publishMetadata(spark, table)(m =>
+      Manifest(m.version + 1, m.version, "set-layout", m.schemaDdl, m.files,
         physical = m.physical, eqDeletes = m.eqDeletes, layout = None))
-    v
-  }
 
   /** The declared layout at the latest version, if any. */
   def layoutOf(spark: SparkSession, table: String): Option[LayoutSpec] =
@@ -905,6 +895,16 @@ object SnapshotLog {
   final class ConcurrentMutationException(msg: String)
     extends IllegalStateException(msg)
 
+  /** A change-feed range starts below the oldest retained version:
+    * retention already deleted those manifests and the data files they
+    * pinned, so the consumer cannot catch up incrementally — it must
+    * re-bootstrap from a full copy of the current snapshot (the Delta
+    * CDC "change data no longer available" contract). Typed so mirrors
+    * can distinguish "fell behind retention" from transient IO.
+    */
+  final class ChangeFeedExpiredException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Internal: the op's exactly-once epoch landed concurrently while
     * rebasing (a second driver instance replaying the same micro-batch
     * won the race) — converted to the caller's replay signal.
@@ -1045,6 +1045,39 @@ object SnapshotLog {
       }
     }
     latest
+  }
+
+  /** Metadata-only DDL publish (set/clear layout, evolve, rename):
+    * recompute the new manifest from the CURRENT latest on every
+    * attempt — the op's validations re-run against the state it
+    * actually serializes after, so losing the version CAS to a
+    * disjoint data commit (append, upsert, MOR batch, compaction)
+    * never fails a rename/evolve/layout change on a busy table, and a
+    * racing change that makes the op invalid (column gone, name taken,
+    * constraint added) fails its own validation loudly instead of
+    * publishing against stale state. `make` must be pure given the
+    * manifest (safe to re-run), which every metadata op here is.
+    */
+  private def publishMetadata(spark: SparkSession, table: String,
+      maxAttempts: Int = 20)(make: Manifest => Manifest): Long = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    var attempt = 1
+    while (true) {
+      val v0 = latestVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      val m = manifest(spark, table, v0)
+      try {
+        publish(fs, tbl, make(m))
+        return m.version + 1
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxAttempts) throw e
+          casBackoff(attempt) // see writeConstraints: visibility lag
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   final case class MutationStats(version: Long, filesKept: Int,
@@ -1520,12 +1553,29 @@ object SnapshotLog {
           Nil: Seq[EqDelete], 1L, None)
       }
       val newFiles = writeData(applyLayout(aligned, layout), table, v,
-        statsCols, physical = phys).map(_.copy(seq = seq))
-      publish(fsOf(spark, new Path(table)), new Path(table),
-        Manifest(v, v0, "stream-append", ddl,
-          parent.map(_.files).getOrElse(Nil) ++ newFiles, epochId,
-          physical = phys, eqDeletes = eqs, layout = layout))
-      Some(v)
+        statsCols, physical = phys)
+      parent match {
+        case Some(p) =>
+          // an append touches nothing, so it rebases over ANY disjoint
+          // concurrent commit — compaction, retention deletes, or CDC
+          // appliers running beside the stream no longer fail a
+          // micro-batch (a racing schema/mapping/layout change still
+          // conflicts loudly: the batch was aligned to the old schema)
+          try Some(publishMutation(spark, table, p, "stream-append",
+            touched = Nil, replacement = Nil, added = newFiles,
+            eqAdded = Nil, epoch = epochId))
+          catch {
+            // a second driver replaying this epoch won mid-rebase —
+            // the same exactly-once answer as the up-front ledger check
+            case _: EpochReplayedException => None
+          }
+        case None =>
+          publish(fsOf(spark, new Path(table)), new Path(table),
+            Manifest(v, v0, "stream-append", ddl, newFiles
+              .map(_.copy(seq = seq)), epochId, physical = phys,
+              eqDeletes = eqs, layout = layout))
+          Some(v)
+      }
     }
   }
 
@@ -2399,37 +2449,32 @@ object SnapshotLog {
     * pre-evolution version reads the OLD schema (each manifest carries
     * its own DDL). Returns the new version.
     */
-  def evolveSchema(spark: SparkSession, table: String, newDdl: String): Long = {
-    val v0 = latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val m = manifest(spark, table, v0)
-    val oldS = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-    val newS = org.apache.spark.sql.types.StructType.fromDDL(newDdl)
-    oldS.fields.foreach { f =>
-      val nf = newS.fields.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(
-          s"schema evolution cannot drop or rename column '${f.name}'"))
-      require(nf.dataType == f.dataType,
-        s"schema evolution cannot change column '${f.name}' from " +
-          s"${f.dataType.sql} to ${nf.dataType.sql}")
+  def evolveSchema(spark: SparkSession, table: String, newDdl: String): Long =
+    publishMetadata(spark, table) { m =>
+      val oldS = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val newS = org.apache.spark.sql.types.StructType.fromDDL(newDdl)
+      oldS.fields.foreach { f =>
+        val nf = newS.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution cannot drop or rename column '${f.name}'"))
+        require(nf.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from " +
+            s"${f.dataType.sql} to ${nf.dataType.sql}")
+      }
+      val added = newS.fields.filterNot(f => oldS.fieldNames.contains(f.name))
+      require(added.nonEmpty, "schema evolution must add at least one column")
+      added.foreach(f => require(f.nullable,
+        s"added column '${f.name}' must be nullable — existing files hold no values for it"))
+      // a new column's physical name is its own name — it must not
+      // collide with the physical name a RENAMED column still writes
+      // under, or two logical columns would share one parquet column
+      val physInUse = oldS.fieldNames.map(c => m.physical.getOrElse(c, c)).toSet
+      added.foreach(f => require(!physInUse.contains(f.name),
+        s"added column '${f.name}' collides with the physical name of a " +
+          "renamed column — pick another name"))
+      Manifest(m.version + 1, m.version, "evolve-schema", newS.toDDL, m.files,
+        physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout)
     }
-    val added = newS.fields.filterNot(f => oldS.fieldNames.contains(f.name))
-    require(added.nonEmpty, "schema evolution must add at least one column")
-    added.foreach(f => require(f.nullable,
-      s"added column '${f.name}' must be nullable — existing files hold no values for it"))
-    // a new column's physical name is its own name — it must not
-    // collide with the physical name a RENAMED column still writes
-    // under, or two logical columns would share one parquet column
-    val physInUse = oldS.fieldNames.map(c => m.physical.getOrElse(c, c)).toSet
-    added.foreach(f => require(!physInUse.contains(f.name),
-      s"added column '${f.name}' collides with the physical name of a " +
-        "renamed column — pick another name"))
-    val v = v0 + 1
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "evolve-schema", newS.toDDL, m.files,
-        physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout))
-    v
-  }
 
   /** Metadata-only column rename (Iceberg/Delta column-mapping core):
     * one manifest write, ZERO data movement — old files keep serving
@@ -2445,49 +2490,45 @@ object SnapshotLog {
     * Returns the new version.
     */
   def renameColumn(spark: SparkSession, table: String, oldName: String,
-      newName: String): Long = {
-    val v0 = latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(s"no committed version in $table"))
-    val m = manifest(spark, table, v0)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-    require(schema.fieldNames.contains(oldName),
-      s"no column '$oldName' in ${schema.fieldNames.toSeq}")
-    require(oldName != newName, "rename to the same name is a no-op")
-    require(!schema.fieldNames.contains(newName),
-      s"column '$newName' already exists")
-    val physInUse = schema.fieldNames.filter(_ != oldName)
-      .map(c => m.physical.getOrElse(c, c)).toSet
-    require(!physInUse.contains(newName),
-      s"'$newName' collides with another column's physical name")
-    // a registered CHECK referencing the old name would dangle
-    val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
-    constraints(spark, table).foreach { case (n, e) =>
-      require(word.findFirstIn(e).isEmpty,
-        s"column '$oldName' is referenced by constraint '$n' ($e) — " +
-          "drop the constraint before renaming")
+      newName: String): Long =
+    publishMetadata(spark, table) { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(schema.fieldNames.contains(oldName),
+        s"no column '$oldName' in ${schema.fieldNames.toSeq}")
+      require(oldName != newName, "rename to the same name is a no-op")
+      require(!schema.fieldNames.contains(newName),
+        s"column '$newName' already exists")
+      val physInUse = schema.fieldNames.filter(_ != oldName)
+        .map(c => m.physical.getOrElse(c, c)).toSet
+      require(!physInUse.contains(newName),
+        s"'$newName' collides with another column's physical name")
+      // a registered CHECK referencing the old name would dangle
+      val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+      constraints(spark, table).foreach { case (n, e) =>
+        require(word.findFirstIn(e).isEmpty,
+          s"column '$oldName' is referenced by constraint '$n' ($e) — " +
+            "drop the constraint before renaming")
+      }
+      val phys = m.physical.getOrElse(oldName, oldName)
+      val newPhysical = {
+        val moved = (m.physical - oldName) + (newName -> phys)
+        moved.filter { case (l, p) => l != p } // identity entries drop
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+        f => if (f.name == oldName) f.copy(name = newName) else f))
+      def rekey[A](kv: Map[String, A]): Map[String, A] =
+        kv.map { case (c, x) => (if (c == oldName) newName else c) -> x }
+      val files = m.files.map(f => f.copy(stats = rekey(f.stats),
+        blooms = rekey(f.blooms), ndvs = rekey(f.ndvs), nulls = rekey(f.nulls)))
+      // a declared layout follows its columns through the rename, like
+      // the stats maps
+      val newLayout = m.layout.map(ls => ls.copy(cols =
+        ls.cols.map(c => if (c == oldName) newName else c)))
+      // eq-delete refs carry unchanged: their key is the PHYSICAL name
+      Manifest(m.version + 1, m.version, "rename-column", newSchema.toDDL,
+        files, physical = newPhysical, eqDeletes = m.eqDeletes,
+        layout = newLayout)
     }
-    val phys = m.physical.getOrElse(oldName, oldName)
-    val newPhysical = {
-      val moved = (m.physical - oldName) + (newName -> phys)
-      moved.filter { case (l, p) => l != p } // identity entries drop
-    }
-    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
-      f => if (f.name == oldName) f.copy(name = newName) else f))
-    def rekey[A](kv: Map[String, A]): Map[String, A] =
-      kv.map { case (c, x) => (if (c == oldName) newName else c) -> x }
-    val files = m.files.map(f => f.copy(stats = rekey(f.stats),
-      blooms = rekey(f.blooms), ndvs = rekey(f.ndvs), nulls = rekey(f.nulls)))
-    val v = v0 + 1
-    // a declared layout follows its columns through the rename, like
-    // the stats maps
-    val newLayout = m.layout.map(ls => ls.copy(cols =
-      ls.cols.map(c => if (c == oldName) newName else c)))
-    // eq-delete refs carry unchanged: their key is the PHYSICAL name
-    publish(fsOf(spark, new Path(table)), new Path(table),
-      Manifest(v, v0, "rename-column", newSchema.toDDL, files,
-        physical = newPhysical, eqDeletes = m.eqDeletes, layout = newLayout))
-    v
-  }
 
   /** Metadata-only rollback: republish `toVersion`'s exact file list as
     * a NEW version — no data file is read, moved, or rewritten, so
@@ -2611,6 +2652,21 @@ object SnapshotLog {
       throw new IllegalArgumentException(s"no committed version in $table"))
     require(fromVersion >= 0 && fromVersion <= to,
       s"bad version range ($fromVersion, $to]")
+    // a range whose start predates retained history cannot be served
+    // incrementally (expiry removed the manifests AND the data files
+    // those versions pinned) — fail with the recovery action, not a
+    // raw missing-file error from deep inside the version walk
+    if (to > fromVersion)
+      try { manifest(spark, table, math.max(fromVersion, 1L)); () }
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new ChangeFeedExpiredException(
+            s"change feed over ($fromVersion, $to] of $table is not " +
+              "servable: the range start has been expired by retention — " +
+              "a consumer this far behind cannot catch up incrementally; " +
+              "re-bootstrap (full copy of the current snapshot) and " +
+              s"resume the feed from that version (${e.getMessage})")
+      }
     val end = manifest(spark, table, to)
     val endSchema = org.apache.spark.sql.types.StructType.fromDDL(end.schemaDdl)
     // align a version's logical columns to the END version's, joining

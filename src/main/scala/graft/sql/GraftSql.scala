@@ -147,6 +147,9 @@ object GraftSql {
   private val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
 
+  private val DescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$""".r
+
   /** `table_changes('v', from[, to])` — the Delta table-valued-function
     * face of the change feed, usable anywhere a table may appear.
     */
@@ -159,6 +162,10 @@ object GraftSql {
     *  - `DESCRIBE HISTORY v` → the commit log as a DataFrame (version,
     *    parent, op, epoch, file/row/byte counts — the
     *    [[graft.sources.snapshot.SnapshotLog.history]] shape).
+    *  - `DESCRIBE DETAIL v` → one row of current-state facts (format,
+    *    location, version, file/row/byte counts, outstanding DV and
+    *    eq-delete debt, declared layout) — manifest-plane only, zero
+    *    data files read (the Delta DESCRIBE DETAIL shape).
     *  - any statement mentioning `table_changes('v', from[, to])` — the
     *    Delta TVF shape — has each call resolved against the
     *    registration catalog, materialized as the row-level change feed
@@ -173,6 +180,21 @@ object GraftSql {
       case DescribeHistoryRe(name) =>
         graft.sources.snapshot.SnapshotLog
           .history(spark, snapshotOf(spark, name).table)
+      case DescribeDetailRe(name) =>
+        // the Delta DESCRIBE DETAIL shape: one row of manifest-plane
+        // facts (zero data files read — all from tableStats + layoutOf)
+        val reg = snapshotOf(spark, name)
+        val st = graft.sources.snapshot.SnapshotLog.tableStats(spark, reg.table)
+        val layout = graft.sources.snapshot.SnapshotLog.layoutOf(spark, reg.table)
+        val sess = spark
+        import sess.implicits._
+        Seq(("graft-snapshot", reg.table, st.version, st.files.toLong,
+          st.bytes, st.rows, st.deletedRows, st.eqDeleteKeys,
+          layout.map(_.kind).getOrElse(""),
+          layout.map(_.cols).getOrElse(Seq.empty[String])))
+          .toDF("format", "location", "version", "num_files",
+            "size_in_bytes", "num_rows", "num_deleted_rows",
+            "num_eq_delete_keys", "layout_kind", "layout_columns")
       case _ if TableChangesCallRe.findFirstIn(statement).isDefined =>
         val rewritten = TableChangesCallRe.replaceAllIn(statement, mm => {
           val nm = mm.group(1)

@@ -288,4 +288,49 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
       .groupBy($"id", $"k", $"payload").agg(count(lit(1)).as("n"))
     assert(net.exceptAll(fin).count() == 0 && fin.exceptAll(net).count() == 0)
   }
+
+  test("a feed range expired by retention refuses with the re-bootstrap action") {
+    val t = freshTable("expired")
+    (0 until 12).foreach(i =>
+      SnapshotLog.commit(df(i * 10L, i * 10L + 10), t, "append", Seq("id")))
+    // expiry backs onto the v10 checkpoint: v1..v9 manifests + data gone
+    val (gone, _) = SnapshotLog.expireVersions(s, t, keepLast = 3)
+    assert(gone == (1L to 9L))
+    // a consumer checkpointed before retained history cannot catch up
+    val e = intercept[SnapshotLog.ChangeFeedExpiredException] {
+      SnapshotLog.readChangeFeed(s, t, 2L)
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
+    intercept[SnapshotLog.ChangeFeedExpiredException] {
+      SnapshotLog.readChangeFeed(s, t, 0L)
+    }
+    // chunked consumption hits the same typed refusal on first chunk
+    intercept[SnapshotLog.ChangeFeedExpiredException] {
+      SnapshotLog.changeFeedChunks(s, t, 1L, maxVersionsPerChunk = 2)
+        .foreach(_._3.count())
+    }
+    // a range within retained history still serves
+    assert(SnapshotLog.readChangeFeed(s, t, 10L)
+      .where($"_change_type" === "insert").count() == 20)
+  }
+
+  test("a mirror that fell behind retention refuses instead of diverging") {
+    val t = freshTable("expired-mirror-src")
+    val d = freshTable("expired-mirror-dst")
+    (0 until 3).foreach(i =>
+      SnapshotLog.commit(df(i * 10L, i * 10L + 10), t, "append", Seq("id")))
+    // mirror catches up to v3, then the source advances and expires
+    assert(SnapshotLog.replicateChangeFeed(s, t, d, "id", Seq("id"),
+      maxVersionsPerBatch = 64).isDefined)
+    (3 until 12).foreach(i =>
+      SnapshotLog.commit(df(i * 10L, i * 10L + 10), t, "append", Seq("id")))
+    // expiry backs onto the v10 checkpoint — the mirror's v3 ckpt is gone
+    assert(SnapshotLog.expireVersions(s, t, keepLast = 3)._1.nonEmpty)
+    intercept[SnapshotLog.ChangeFeedExpiredException] {
+      SnapshotLog.replicateChangeFeed(s, t, d, "id", Seq("id"),
+        maxVersionsPerBatch = 64)
+    }
+    // the refusal left the mirror untouched at its checkpoint
+    assert(SnapshotLog.read(s, d).count() == 30)
+  }
 }

@@ -160,6 +160,90 @@ class SnapshotMutationRebaseSpec extends AnyFunSuite {
     assert(rows.where($"payload".startsWith("upd")).count() == 10)
   }
 
+  test("a stream micro-batch rebases over a concurrent compaction") {
+    val t = freshTable("stream-over-compact")
+    seed3(t)
+    // eq-delete debt so the injected compact genuinely rewrites files
+    SnapshotLog.deleteKeysMOR(s.range(10, 20).toDF("id"), t, "id")
+    withInjection { SnapshotLog.compact(s, t, targetBytes = 1L << 30,
+      statsCols = Seq("id")); () } {
+      assert(SnapshotLog.appendStreamBatch(df(300, 350), t, 0L,
+        Seq("id")).isDefined)
+    }
+    // both landed: compaction materialized the key delete, batch appended
+    assert(SnapshotLog.read(s, t).count() == 340) // 300 - 10 + 50
+    assert(SnapshotLog.manifest(s, t,
+      SnapshotLog.latestVersion(s, t).get).eqDeletes.isEmpty)
+    // the epoch ledger recorded the batch (replay skips)
+    assert(SnapshotLog.appendStreamBatch(df(300, 350), t, 0L,
+      Seq("id")).isEmpty)
+  }
+
+  test("a stream micro-batch conflicts loudly with a concurrent schema evolve") {
+    val t = freshTable("stream-vs-evolve")
+    seed3(t)
+    val widened = org.apache.spark.sql.types.StructType(
+      SnapshotLog.read(s, t).schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType)).toDDL
+    withInjection { SnapshotLog.evolveSchema(s, t, widened); () } {
+      // the batch was aligned to the pre-evolve schema — republishing
+      // it under the widened DDL would silently pin the old schema
+      intercept[SnapshotLog.ConcurrentMutationException] {
+        SnapshotLog.appendStreamBatch(df(300, 350), t, 0L, Seq("id"))
+      }
+    }
+    // the evolve is visible, the table intact; the batch lands on rerun
+    assert(SnapshotLog.read(s, t).columns.contains("extra"))
+    assert(SnapshotLog.appendStreamBatch(df(300, 350), t, 0L,
+      Seq("id")).isDefined)
+    assert(SnapshotLog.read(s, t).count() == 350)
+  }
+
+  test("a rename retries over a concurrent append and lands on a busy table") {
+    val t = freshTable("rename-over-append")
+    seed3(t)
+    withInjection { SnapshotLog.commit(df(300, 350), t, "append", Seq("id")); () } {
+      assert(SnapshotLog.renameColumn(s, t, "payload", "body") == 5L)
+    }
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.columns.contains("body") && !rows.columns.contains("payload"))
+    assert(rows.count() == 350) // the racer's file serves under the new name
+    assert(rows.where($"body".startsWith("row")).count() == 350)
+  }
+
+  test("an evolve retries over a concurrent MOR upsert; both are visible") {
+    val t = freshTable("evolve-over-mor")
+    seed3(t)
+    val widened = org.apache.spark.sql.types.StructType(
+      SnapshotLog.read(s, t).schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType)).toDDL
+    withInjection { SnapshotLog.upsertMOR(df(10, 20, "upd"), t, "id"); () } {
+      assert(SnapshotLog.evolveSchema(s, t, widened) == 5L) // mor won v4
+    }
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.columns.contains("extra"))
+    assert(rows.where($"payload".startsWith("upd")).count() == 10)
+    assert(rows.count() == 300)
+  }
+
+  test("a rename losing to a rename of the SAME column fails its own validation") {
+    val t = freshTable("rename-vs-rename")
+    seed3(t)
+    withInjection { SnapshotLog.renameColumn(s, t, "payload", "body"); () } {
+      val e = intercept[IllegalArgumentException] {
+        SnapshotLog.renameColumn(s, t, "payload", "body2")
+      }
+      assert(e.getMessage.contains("no column 'payload'"))
+    }
+    // the winner's rename is intact; a rerun against the new name lands
+    assert(SnapshotLog.read(s, t).columns.contains("body"))
+    assert(SnapshotLog.renameColumn(s, t, "body", "body2") == 5L)
+    assert(SnapshotLog.read(s, t).where($"body2".startsWith("row"))
+      .count() == 300)
+  }
+
   test("6 disjoint mutators on 4 threads all land with zero caller retries") {
     val t = freshTable("stress")
     // six single-file commits: [0,50) .. [250,300)

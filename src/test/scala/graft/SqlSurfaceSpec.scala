@@ -328,6 +328,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE DETAIL answers one row of manifest-plane facts") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-detail").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 40).select($"id", ($"id" % 3).as("k")).repartition(1),
+      t, "append", Seq("id"))
+    graft.sources.snapshot.SnapshotLog.setLayout(spark, t, "range", Seq("id"), 4)
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(40, 80).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    graft.sources.snapshot.SnapshotLog.deleteKeysMOR(
+      spark.range(0, 5).toDF("id"), t, "id")
+    GraftSql.registerSnapshot(spark, "detail_v", t, None, Seq("id"))
+    val rows = GraftSql.query(spark, "DESCRIBE DETAIL detail_v").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("format") == "graft-snapshot")
+    assert(r.getAs[String]("location") == t)
+    assert(r.getAs[Long]("version") == 4L)
+    assert(r.getAs[Long]("num_files") == 5L) // 1 seed + 4 conformed range files
+    assert(r.getAs[Long]("num_rows") == 80L) // eq-delete debt is NOT subtracted
+    assert(r.getAs[Long]("num_deleted_rows") == 0L)
+    assert(r.getAs[Long]("num_eq_delete_keys") == 5L)
+    assert(r.getAs[String]("layout_kind") == "range")
+    assert(r.getSeq[String](r.fieldIndex("layout_columns")).toSeq == Seq("id"))
+    // unregistered name refuses loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.query(spark, "DESCRIBE DETAIL nope_v")
+    }
+  }
+
   test("OPTIMIZE ZORDER refuses non-numeric stats columns with a clear error") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-zerr").toAbsolutePath.toString
