@@ -8,7 +8,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.snapshot.SnapshotLog
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
 
 /** Model-based check of the snapshot-table format: random operation
   * sequences (append / overwrite / range delete / upsert / compact /
@@ -46,6 +48,25 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
       .as[Row3].collect().toSeq.sorted
   }
 
+  /** Run `body` with a LogStore that fires `inject` exactly once, in
+    * the check-to-act window of the first manifest publish — the
+    * random-racer analogue of SnapshotMutationRebaseSpec's seam.
+    */
+  private var injN = 0
+  private def withInjection(inject: => Unit)(body: => Unit): Unit = {
+    injN += 1
+    val name = s"snapprop-inject-$injN"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    LogStore.register(name, new LocalLinkLogStore {
+      override protected def beforePublish(fs: FileSystem,
+          dest: Path): Unit =
+        if (dest.getName.matches("v\\d+\\.json") &&
+          fired.compareAndSet(false, true)) inject
+    })
+    s.conf.set(LogStore.ConfKey, name)
+    try body finally s.conf.unset(LogStore.ConfKey)
+  }
+
   test("random op sequences match the in-memory model at every version") {
     for (seed <- 0 until 5) {
       val rnd = new Random(seed)
@@ -78,7 +99,28 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
       val opCount = 12
       for (op <- 0 until opCount) {
         val choice = if (op == 0) 0 else rnd.nextInt(11)
-        choice match {
+        // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
+        // fresh slice, committed deterministically inside the op's
+        // check-to-act window. A fresh-id append is logically disjoint
+        // from every eligible op, so the OCC rebase must land BOTH in
+        // racer-first serial order: the op's effect applies to the
+        // PRE-racer state (its actual read point) and the racer's rows
+        // ride through untouched — exactly what the model asserts
+        // below. Plain appends/overwrite/stream (0/1/5) are excluded:
+        // they are version-pinned CAS surfaces by contract.
+        val racer: Option[Seq[Row3]] =
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10)(choice) && rnd.nextInt(3) == 0)
+            Some(freshSlice("r"))
+          else None
+        val preModel = model
+        val vBefore = SnapshotLog.latestVersion(s, t).getOrElse(0L)
+        def inBody(body: => Unit): Unit = racer match {
+          case None => body
+          case Some(rs) => withInjection {
+            SnapshotLog.commit(keyed(mkDf(rs)), t, "append", Seq(keyName)); ()
+          }(body)
+        }
+        inBody { choice match {
           case 0 => // append
             val r = freshSlice("a")
             val v = SnapshotLog.commit(
@@ -173,6 +215,21 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               model = model.filterNot(r => kset(r._1))
               history += v -> model
             }
+        } }
+        // racer accounting: if the op committed (exactly one publish
+        // attempt hit the seam), the raced history is racer at
+        // vBefore+1 then the rebased op at vBefore+2; if the op was a
+        // no-op (nothing to publish), the seam never fired and the
+        // racer never ran
+        racer.foreach { rs =>
+          val vAfter = SnapshotLog.latestVersion(s, t).getOrElse(0L)
+          if (vAfter == vBefore + 2) {
+            history += (vBefore + 1) -> (preModel ++ rs)
+            model = model ++ rs
+            history += vAfter -> model
+          } else assert(vAfter == vBefore,
+            s"seed=$seed op=$op choice=$choice racer landed without the op " +
+              s"($vBefore -> $vAfter)")
         }
         assert(tableRows(t) == model.sorted,
           s"seed=$seed op=$op choice=$choice diverged")
