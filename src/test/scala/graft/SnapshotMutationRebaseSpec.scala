@@ -244,6 +244,70 @@ class SnapshotMutationRebaseSpec extends AnyFunSuite {
       .count() == 300)
   }
 
+  test("TWO real JVMs mutate one table concurrently; the rebase lands every op") {
+    val t = freshTable("xproc")
+    // two single-file seeds: writer A owns id < 150, writer B id >= 150
+    Seq(0L, 150L).foreach(lo =>
+      SnapshotLog.commit(df(lo, lo + 150).repartition(1), t, "append",
+        Seq("id")))
+    val dir = java.nio.file.Paths.get("target", "rebase-xproc-barrier")
+      .toAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    java.nio.file.Files.createDirectories(dir)
+    val rounds = 6
+    val javaBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    def spawn(id: String) = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+        "graft.MutationRaceMain", t, id, rounds.toString, dir.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(dir.toFile, s"child-$id.log"))
+      .start()
+    val a = spawn("A")
+    val b = spawn("B")
+    try {
+      (0 until rounds).foreach { r =>
+        Thread.sleep(300)
+        java.nio.file.Files.createFile(dir.resolve(s"go-$r"))
+      }
+      assert(a.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+        b.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "child JVM did not finish")
+      assert(a.exitValue() == 0 && b.exitValue() == 0,
+        "a child failed — a cross-process mutation conflicted or diverged")
+      // every op landed exactly once on a strictly linear history
+      def versions(id: String): Seq[Long] =
+        new String(java.nio.file.Files.readAllBytes(
+          dir.resolve(s"result-$id")), "UTF-8")
+          .split("\n").filter(_.nonEmpty).map(_.split(" ")(1).toLong).toSeq
+      val all = versions("A") ++ versions("B")
+      assert(all.size == 2 * rounds && all.distinct.size == all.size)
+      assert(all.toSet == (3L to (2L + 2 * rounds)).toSet,
+        s"versions not contiguous: ${all.sorted}")
+      assert(SnapshotLog.latestVersion(s, t).contains(2L + 2 * rounds))
+      (1L to (2L + 2 * rounds)).foreach(v => SnapshotLog.manifest(s, t, v))
+      // content equals the serial per-key model: writers' key spaces
+      // are disjoint, so any interleaving must produce this exact state
+      // A upserts its window every round; B upserts on even rounds and
+      // MOR-deletes two of its own keys on odd rounds
+      val upWin = (tag: String, base: Long, rs: Seq[Int]) => rs
+        .flatMap(r => (base + r * 10L until base + r * 10L + 5)
+          .map(i => i -> s"$tag$r$i")).toMap
+      val ups = upWin("A", 0L, 0 until rounds) ++
+        upWin("B", 150L, (0 until rounds).filter(_ % 2 == 0))
+      val delKeys = (0 until rounds).filter(_ % 2 == 1)
+        .flatMap(r => Seq(150L + 100 + r, 150L + 100 + r + 1)).toSet
+      val expect = (0L until 300L).flatMap { i =>
+        if (delKeys(i)) None
+        else Some((i, i % 7, ups.getOrElse(i, s"row$i")))
+      }.sorted
+      val got = SnapshotLog.read(s, t)
+        .select($"id", $"k", $"payload").as[(Long, Long, String)]
+        .collect().toSeq.sorted
+      assert(got == expect, "cross-process raced content diverged")
+    } finally { a.destroyForcibly(); b.destroyForcibly(); () }
+  }
+
   test("6 disjoint mutators on 4 threads all land with zero caller retries") {
     val t = freshTable("stress")
     // six single-file commits: [0,50) .. [250,300)
