@@ -2585,7 +2585,20 @@ object SnapshotLog {
       s"bad version range ($fromVersion, $to]")
     val target = manifest(spark, table, to)
     if (fromVersion == 0) return readFiles(spark, table, target, target.files)
-    val base = manifest(spark, table, fromVersion)
+    // same retention contract as [[readChangeFeed]]: a checkpoint below
+    // retained history refuses with the recovery action (expiry is
+    // prefix-contiguous, so the range start is the only version that
+    // can be missing)
+    val base =
+      try manifest(spark, table, fromVersion)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new ChangeFeedExpiredException(
+            s"incremental read over ($fromVersion, $to] of $table is not " +
+              "servable: the range start has been expired by retention — " +
+              "re-bootstrap (full copy of the current snapshot) and resume " +
+              s"from that version (${e.getMessage})")
+      }
     ((fromVersion + 1) to to).foreach { v =>
       val op = manifest(spark, table, v).op
       require(op == "append" || op == "stream-append",

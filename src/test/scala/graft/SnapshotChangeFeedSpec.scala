@@ -312,6 +312,11 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
     // a range within retained history still serves
     assert(SnapshotLog.readChangeFeed(s, t, 10L)
       .where($"_change_type" === "insert").count() == 20)
+    // the append-only incremental read honors the same contract
+    intercept[SnapshotLog.ChangeFeedExpiredException] {
+      SnapshotLog.readChanges(s, t, 2L)
+    }
+    assert(SnapshotLog.readChanges(s, t, 10L).count() == 20)
   }
 
   test("a mirror that fell behind retention refuses instead of diverging") {
