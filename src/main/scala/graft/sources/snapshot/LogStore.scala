@@ -131,6 +131,14 @@ class HdfsRenameLogStore extends HadoopBackedLogStore {
 class LocalLinkLogStore extends HadoopBackedLogStore {
   override def publishExclusive(fs: FileSystem, dest: Path,
       bytes: Array[Byte]): Boolean = {
+    // same POSIX-only contract as FileClaimLogStore.claim: a java.nio
+    // link against a non-local FileSystem would miss its targets and
+    // read as a permanent lost race instead of a configuration error
+    val scheme = fs.getUri.getScheme
+    require(scheme == "file",
+      "local-link publishes are POSIX hard links on a LOCAL filesystem; " +
+        s"it cannot serve scheme '$scheme' — select hdfs-rename " +
+        "or a conditional-put store instead")
     val tmp = writeTemp(fs, dest, bytes)
     beforePublish(fs, dest)
     try {
@@ -248,6 +256,16 @@ class FileClaimLogStore extends ConditionalPutLogStore {
     new Path(dest.getParent, dest.getName + ".claim")
 
   override protected def claim(fs: FileSystem, dest: Path): Boolean = {
+    // the claim is a java.nio hard link — meaningful ONLY on a local
+    // POSIX path. Against any other FileSystem the link targets would
+    // not exist locally and every claim would return false, surfacing
+    // as a permanent (and misleading) "concurrent commit" failure —
+    // refuse with the real problem instead
+    val scheme = fs.getUri.getScheme
+    require(scheme == "file",
+      "conditional-put-file claims are POSIX hard links on a LOCAL " +
+        s"filesystem; it cannot serve scheme '$scheme' — use a " +
+        "service-side conditional-put store for object storage")
     val cp = claimPath(dest)
     val tmp = writeTemp(fs, cp, Array.emptyByteArray)
     try {

@@ -271,6 +271,23 @@ object SnapshotLog {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
       cols.foreach(c => require(schema.fieldNames.contains(c),
         s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
+      // a layout the write path cannot honor must refuse HERE, not
+      // silently no-op per batch: zorder scales its columns through a
+      // double cast (non-numeric → all-null key), and range/bucket need
+      // an ordering/hash (maps have neither) — mirror the OPTIMIZE
+      // ZORDER refusal (sql.GraftSql) at declaration time
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      cols.foreach { c =>
+        val dt = byName(c)
+        if (kind == "zorder")
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"zorder layout supports numeric columns; '$c' is " +
+              s"${dt.simpleString} — cluster on a numeric key (or a " +
+              "precomputed numeric surrogate) instead")
+        else require(
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+          s"$kind layout column '$c' has unorderable type ${dt.simpleString}")
+      }
       Manifest(m.version + 1, m.version, "set-layout", m.schemaDdl, m.files,
         physical = m.physical, eqDeletes = m.eqDeletes,
         layout = Some(LayoutSpec(kind, cols, n)))
@@ -669,14 +686,33 @@ object SnapshotLog {
     * [[readPoint]] skip most of them — small-file debt and layout debt
     * paid in one data pass. Returns the new version, or None when fewer
     * than two files qualify.
+    *
+    * `where = Some((col, lo, hi))` SCOPES the pass (the Delta
+    * `OPTIMIZE ... WHERE` shape): only files whose [min,max] stats
+    * interval for `col` may overlap the range are candidates — on a
+    * 100 TB table maintenance runs over yesterday's partition, never
+    * the world. A stats-less file cannot be proven out of scope and
+    * stays a candidate. Equality deletes drop from the manifest only
+    * when EVERY file they may apply to was rewritten in this pass
+    * (per-delete stats-probed candidacy); a delete with surviving
+    * candidates outside the scope stays outstanding and keeps masking
+    * them — a scoped pass never un-deletes anything.
     */
   def compact(spark: SparkSession, table: String, targetBytes: Long,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
-      clusterExpr: Option[DataFrame => org.apache.spark.sql.Column] = None): Option[Long] = {
+      clusterExpr: Option[DataFrame => org.apache.spark.sql.Column] = None,
+      where: Option[(String, Any, Any)] = None): Option[Long] = {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
+    val inScope: FileEntry => Boolean = where match {
+      case None => _ => true
+      case Some((c, lo, hi)) => f => f.stats.get(c) match {
+        case Some((mn, mx)) => cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0
+        case None => true // no stats: cannot be proven out of scope
+      }
+    }
     // a file with a deletion vector OR applicable equality deletes is
     // compaction debt regardless of size: the rewrite materializes the
     // masks (masked rows drop for good, the new file carries none) so
@@ -686,29 +722,40 @@ object SnapshotLog {
     // holds no masked rows and need not be rewritten — point-delete
     // debt on a 100 TB table compacts the touched files, not the world
     // (a stats-less file stays conservatively debt-classified).
-    val keyedDebt: Set[String] =
-      if (m.eqDeletes.isEmpty) Set.empty
-      else m.eqDeletes.flatMap { e =>
-        val lk = m.physical.collectFirst {
-          case (l, p) if p == e.keyCol => l }.getOrElse(e.keyCol)
-        val keys = spark.read.parquet(
-            resolveRel(new Path(table), e.path).toString)
-          .withColumnRenamed(e.keyCol, lk)
-        statsCandidates(keys, lk, m.files.filter(_.seq < e.seq)).map(_.path)
-      }.toSet
-    val (small, big) = m.files.partition(f =>
-      f.bytes < targetBytes || f.dv.isDefined || keyedDebt(f.path))
-    if (small.size < 2 && small.forall(_.dv.isEmpty) && m.eqDeletes.isEmpty)
+    val deleteCands: Seq[(EqDelete, Set[String])] = m.eqDeletes.map { e =>
+      val lk = m.physical.collectFirst {
+        case (l, p) if p == e.keyCol => l }.getOrElse(e.keyCol)
+      val keys = spark.read.parquet(
+          resolveRel(new Path(table), e.path).toString)
+        .withColumnRenamed(e.keyCol, lk)
+      e -> statsCandidates(keys, lk, m.files.filter(_.seq < e.seq))
+        .map(_.path).toSet
+    }
+    val keyedDebt: Set[String] = deleteCands.flatMap(_._2).toSet
+    val (small, big) = m.files.partition(f => inScope(f) &&
+      (f.bytes < targetBytes || f.dv.isDefined || keyedDebt(f.path)))
+    // Invariant: a delete leaves the manifest only when every file it
+    // MAY apply to (the stats probe is conservative — no stats, no
+    // pruning) is rewritten in THIS pass. Unscoped, every candidate is
+    // debt and debt is small, so this is "drop them all" exactly as
+    // before; scoped, a delete with out-of-scope candidates stays and
+    // keeps masking them.
+    val smallPaths = small.map(_.path).toSet
+    val droppable: Set[(String, Long)] = deleteCands.collect {
+      case (e, cands) if cands.subsetOf(smallPaths) => (e.path, e.seq)
+    }.toSet
+    if (small.size < 2 && small.forall(_.dv.isEmpty) &&
+      !small.exists(f => keyedDebt(f.path)) && droppable.isEmpty)
       None
     else if (small.isEmpty) {
       // outstanding deletes that provably mask nothing (and no file
-      // debt): drop them with a metadata-only commit — no data pass.
-      // touched = ∅ and only OUR deletes drop by identity, so this
-      // rebases over any concurrent commit (a racer's new delete or
-      // files pass through untouched)
+      // debt in scope): drop them with a metadata-only commit — no
+      // data pass. touched = ∅ and only OUR deletes drop by identity,
+      // so this rebases over any concurrent commit (a racer's new
+      // delete or files pass through untouched)
       Some(publishMutation(spark, table, m, "compact", touched = Nil,
         replacement = Nil, added = Nil, eqAdded = Nil,
-        eqDropped = m.eqDeletes.map(e => (e.path, e.seq)).toSet))
+        eqDropped = droppable))
     } else {
       val v = v0 + 1
       val n = math.max(1,
@@ -735,11 +782,10 @@ object SnapshotLog {
       }
       val newFiles = writeData(rewritten, table, v, statsCols, bloomCols,
         physical = m.physical)
-      // Invariant: every file that MAY hold a masked row was just
-      // rewritten (the stats probe above is conservative — no stats,
-      // no pruning), so the outstanding delete set AS OF THE BASE
-      // clears wholesale; a surviving file either postdates every
-      // delete or provably contains none of its keys. Publishing
+      // `droppable` holds exactly the deletes whose every candidate
+      // file was just rewritten (unscoped: all of them — every
+      // candidate is debt and debt is small); a scoped pass keeps the
+      // rest outstanding for their surviving files. Publishing
       // through the OCC rebase means maintenance no longer loses to a
       // racing ingest: disjoint concurrent commits (appends, MOR
       // batches whose keys miss the rewritten files) land first and
@@ -747,7 +793,7 @@ object SnapshotLog {
       // delete outstanding.
       Some(publishMutation(spark, table, m, "compact", touched = small,
         replacement = Nil, added = newFiles, eqAdded = Nil,
-        eqDropped = m.eqDeletes.map(e => (e.path, e.seq)).toSet))
+        eqDropped = droppable))
     }
   }
 
@@ -922,7 +968,10 @@ object SnapshotLog {
     *  - schema, column mapping, and declared layout are unchanged;
     *  - no NEW equality delete applies to a touched file (its rows
     *    were read before that delete — republishing them would
-    *    resurrect deleted rows).
+    *    resurrect deleted rows);
+    *  - no concurrent commit is a restore/fast-forward (history
+    *    movement re-publishes old-seq files and eq-delete sets that
+    *    touched-file identity cannot reason about).
     *
     * Violations raise [[ConcurrentMutationException]]. Disjoint
     * concurrent mutations — the common case at scale: CDC appliers,
@@ -1008,6 +1057,27 @@ object SnapshotLog {
     if (latest.physical != base.physical)
       conflict("the column mapping changed")
     if (latest.layout != base.layout) conflict("the declared layout changed")
+    // A restore (or branch fast-forward) re-publishes files and
+    // eq-delete sets from an OLDER version — state with sequence
+    // numbers at or below this op's read point. Touched-file identity
+    // cannot see that: a compact that dropped base's eq-deletes would
+    // rebase over the restore and resurrect MOR-deleted rows living in
+    // the re-surfaced old-seq files, and a CoW rewrite could undo rows
+    // the restore deliberately brought back. History movement is not a
+    // disjoint mutation — refuse, table untouched, rerun reads the
+    // restored state.
+    ((base.version + 1) to latest.version).foreach { v =>
+      val op =
+        try manifest(spark, table, v).op
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            conflict(s"intermediate version $v cannot be read to prove " +
+              "the concurrent commits are disjoint")
+        }
+      if (op == "restore" || op == "fast-forward")
+        conflict(s"version $v is a $op that re-published historical " +
+          "state this operation's read point already superseded")
+    }
     val inLatest = latest.files.map(f => f.path -> f).toMap
     touchedByPath.foreach { case (p, b) =>
       inLatest.get(p) match {
@@ -3092,19 +3162,46 @@ object SnapshotLog {
     * life, so (table, version) normally identifies content for good —
     * but retention deletes expired manifests, and tests (or
     * out-of-protocol cleanup) can delete/recreate files at the same
-    * path, so a hit RE-VALIDATES the (mtime, length) of EVERY manifest
-    * file the resolution depended on — the version's own file plus its
-    * whole delta chain down to the checkpoint. A handful of stats per
-    * hit replaces a read + parse + recursive resolution (at a long
-    * history, that is the difference between O(1) amortized commit
-    * metadata and re-parsing a checkpoint-sized JSON per commit), and
-    * every loud-failure contract survives: a deleted own file still
-    * raises FileNotFoundException, a deleted mid-chain parent still
-    * fails the resolution instead of serving a cached ghost.
+    * path, so a hit RE-VALIDATES the identity of EVERY manifest file
+    * the resolution depended on — the version's own file plus its
+    * whole delta chain down to the checkpoint. Identity is (mtime,
+    * length, fileKey): on a local filesystem the java.nio fileKey is
+    * the (device, inode) pair, so a delete+recreate of a same-length
+    * manifest WITHIN one coarse mtime tick still invalidates (every
+    * recreate — and every hard-link publish — allocates a fresh
+    * inode). On filesystems without a fileKey the guard is (mtime,
+    * length) alone; stores backed by object storage should surface
+    * their etag/generation through a [[LogStore]] override if
+    * out-of-protocol recreates are a real threat there. A handful of
+    * stats per hit replaces a read + parse + recursive resolution (at
+    * a long history, that is the difference between O(1) amortized
+    * commit metadata and re-parsing a checkpoint-sized JSON per
+    * commit), and every loud-failure contract survives: a deleted own
+    * file still raises FileNotFoundException, a deleted mid-chain
+    * parent still fails the resolution instead of serving a cached
+    * ghost.
     */
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), (Seq[(Path, Long, Long)], Manifest)]()
+    (String, Long), (Seq[(Path, Long, Long, String)], Manifest)]()
   private val ManifestCacheMax = 4096
+
+  /** Content-generation component of a dependency identity: the POSIX
+    * (device, inode) pair PLUS the nanosecond birth time where
+    * available, "" elsewhere. Both are needed: ext-family filesystems
+    * recycle a freed inode for the very next allocation (measured here:
+    * delete+recreate reuses the inode), while btime is fresh per
+    * creation and — unlike mtime — cannot be set back by utimes.
+    */
+  private def fileKeyOf(fs: FileSystem, p: Path): String =
+    if (fs.getUri.getScheme != "file") ""
+    else
+      try {
+        val a = java.nio.file.Files.readAttributes(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"${a.fileKey()}@${a.creationTime().toInstant.getNano}:" +
+          s"${a.creationTime().toMillis}"
+      } catch { case _: java.io.IOException => "" }
 
   /** Resolve a version's file list: a full manifest is itself; a delta
     * replays onto its parent's resolved list — parent order preserved,
@@ -3115,13 +3212,14 @@ object SnapshotLog {
     readManifestDeps(fs, tbl, version)._2
 
   private def readManifestDeps(fs: FileSystem, tbl: Path,
-      version: Long): (Seq[(Path, Long, Long)], Manifest) = {
+      version: Long): (Seq[(Path, Long, Long, String)], Manifest) = {
     val key = (fs.makeQualified(tbl).toUri.toString, version)
     val cached = manifestCache.get(key)
-    if (cached != null && cached._1.forall { case (p, mt, ln) =>
+    if (cached != null && cached._1.forall { case (p, mt, ln, fk) =>
         try {
           val st = fs.getFileStatus(p)
-          st.getModificationTime == mt && st.getLen == ln
+          st.getModificationTime == mt && st.getLen == ln &&
+            fileKeyOf(fs, p) == fk
         } catch { case _: java.io.FileNotFoundException => false }
       }) cached
     else {
@@ -3130,9 +3228,9 @@ object SnapshotLog {
       // newer than the bytes resolved (FileNotFoundException here is
       // the expired-version contract, exactly as the uncached read)
       val st = fs.getFileStatus(mp)
-      val self = (mp, st.getModificationTime, st.getLen)
+      val self = (mp, st.getModificationTime, st.getLen, fileKeyOf(fs, mp))
       val raw = readRaw(fs, tbl, version)
-      val entry: (Seq[(Path, Long, Long)], Manifest) = raw.full match {
+      val entry: (Seq[(Path, Long, Long, String)], Manifest) = raw.full match {
         case Some(files) =>
           (Seq(self), Manifest(raw.version, raw.parent, raw.op,
             raw.schemaDdl, files, raw.epoch, raw.ts, raw.physical,

@@ -152,9 +152,87 @@ object GraftSql {
 
   /** `table_changes('v', from[, to])` — the Delta table-valued-function
     * face of the change feed, usable anywhere a table may appear.
+    * Quotes around the name must balance (both or neither — `('v` is a
+    * malformed call, not a match); literal/comment positions are
+    * excluded by [[rewriteTableChanges]], not the regex.
     */
   private val TableChangesCallRe =
-    """(?i)TABLE_CHANGES\s*\(\s*'?(\w+)'?\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+    """(?i)TABLE_CHANGES\s*\(\s*('?)(\w+)\1\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)""".r
+
+  /** Half-open [start, end) spans of the statement occupied by string
+    * literals ('' escapes), double-quoted identifiers, `--` line
+    * comments, and block comments — positions a TVF rewrite must leave
+    * untouched.
+    */
+  private def literalSpans(statement: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    val n = statement.length
+    while (i < n) {
+      statement.charAt(i) match {
+        case '\'' | '"' =>
+          val q = statement.charAt(i)
+          val start = i
+          i += 1
+          var open = true
+          while (open && i < n) {
+            if (statement.charAt(i) == q) {
+              if (q == '\'' && i + 1 < n && statement.charAt(i + 1) == '\'')
+                i += 2 // '' escape inside a string literal
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+          spans += ((start, i))
+        case '-' if i + 1 < n && statement.charAt(i + 1) == '-' =>
+          val start = i
+          while (i < n && statement.charAt(i) != '\n') i += 1
+          spans += ((start, i))
+        case '/' if i + 1 < n && statement.charAt(i + 1) == '*' =>
+          val start = i
+          val close = statement.indexOf("*/", i + 2)
+          i = if (close < 0) n else close + 2
+          spans += ((start, i))
+        case _ => i += 1
+      }
+    }
+    spans.result()
+  }
+
+  /** Substitute every LIVE `table_changes(...)` call (one whose match
+    * starts outside any string literal or comment) with a materialized
+    * change-feed view. The view name carries the RESOLVED end version —
+    * an open-ended call is pinned to the latest version at rewrite
+    * time, so two open-ended calls at different latests get different
+    * views and an earlier, not-yet-collected DataFrame is never
+    * re-pointed at newer feed contents. Returns the statement unchanged
+    * when no live call exists.
+    */
+  private def rewriteTableChanges(spark: SparkSession,
+      statement: String): String = {
+    val spans = literalSpans(statement)
+    def quoted(i: Int) = spans.exists(s => i >= s._1 && i < s._2)
+    val sb = new StringBuilder
+    var last = 0
+    TableChangesCallRe.findAllMatchIn(statement).foreach { mm =>
+      if (!quoted(mm.start)) {
+        val nm = mm.group(2)
+        val from = mm.group(3).toLong
+        val snap = graft.sources.snapshot.SnapshotLog
+        val table = snapshotOf(spark, nm).table
+        val to = Option(mm.group(4)).map(_.toLong).getOrElse(
+          snap.latestVersion(spark, table).getOrElse(
+            throw new IllegalArgumentException(
+              s"no committed version in $table")))
+        val view = s"__graft_changes_${nm}_${from}_$to"
+        snap.readChangeFeed(spark, table, from, Some(to))
+          .createOrReplaceTempView(view)
+        sb.append(statement.substring(last, mm.start)).append(view)
+        last = mm.end
+      }
+    }
+    sb.append(statement.substring(last))
+    sb.toString
+  }
 
   /** Read-shaped SQL over registered snapshot views — the query half
     * [[dml]] deliberately refuses (it returns versions, not frames):
@@ -196,17 +274,10 @@ object GraftSql {
             "size_in_bytes", "num_rows", "num_deleted_rows",
             "num_eq_delete_keys", "layout_kind", "layout_columns")
       case _ if TableChangesCallRe.findFirstIn(statement).isDefined =>
-        val rewritten = TableChangesCallRe.replaceAllIn(statement, mm => {
-          val nm = mm.group(1)
-          val from = mm.group(2).toLong
-          val to = Option(mm.group(3)).map(_.toLong)
-          val view = s"__graft_changes_${nm}_${from}_${to.getOrElse(0L)}"
-          graft.sources.snapshot.SnapshotLog
-            .readChangeFeed(spark, snapshotOf(spark, nm).table, from, to)
-            .createOrReplaceTempView(view)
-          view
-        })
-        spark.sql(rewritten)
+        // the regex pre-check is a fast path only; matches inside
+        // literals/comments survive the rewrite untouched, and a
+        // statement with no LIVE call passes through verbatim
+        spark.sql(rewriteTableChanges(spark, statement))
       case other => spark.sql(other)
     }
 
@@ -254,6 +325,7 @@ object GraftSql {
     """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+(\w+)""" +
+      """(?:\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+))?""" +
       """(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*$""").r
   private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
   private val AlterRenameRe =
@@ -358,16 +430,22 @@ object GraftSql {
               .upsert(srcDf, t, tKey, stats).version
         }
         (ver, name)
-      case OptimizeRe(name, zc1, zc2) =>
+      case OptimizeRe(name, wcol, wlo, whi, zc1, zc2) =>
         // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b) → the
         // same rewrite clustered on a z-order interleave of the two
         // columns, scaled to 16 bits from MANIFEST stats (metadata-only
-        // — no window, no extra pass; the Delta OPTIMIZE..ZORDER shape)
+        // — no window, no extra pass; the Delta OPTIMIZE..ZORDER shape).
+        // WHERE col BETWEEN a AND b scopes either form to the files
+        // whose stats may overlap — maintenance over one partition of a
+        // 100 TB table, never the world (the Delta OPTIMIZE..WHERE shape)
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
         val target = 256L << 20
+        val scope = Option(wcol).map(c =>
+          (c, sqlLiteral(wlo), sqlLiteral(whi)))
         val ver =
-          if (zc1 == null) snap.compact(spark, t, target, stats)
+          if (zc1 == null) snap.compact(spark, t, target, stats,
+            where = scope)
           else {
             val ranges = snap.tableStats(spark, t).colRanges
             def scaled(c: String): org.apache.spark.sql.Column = {
@@ -390,7 +468,8 @@ object GraftSql {
             }
             snap.compact(spark, t, target, (stats ++ Seq(zc1, zc2)).distinct,
               clusterExpr = Some(_ =>
-                graft.functions.ZOrder.zOrder2(scaled(zc1), scaled(zc2))))
+                graft.functions.ZOrder.zOrder2(scaled(zc1), scaled(zc2))),
+              where = scope)
           }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
       case VacuumRe(name) =>

@@ -42,6 +42,28 @@ class DeltaManifestSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t, Some(1L)).count() == 200)
   }
 
+  test("a same-length recreate inside one mtime tick still invalidates the cache") {
+    val t = freshTable("inode")
+    SnapshotLog.commit(slice(0), t, "append", Seq("id"))
+    assert(SnapshotLog.manifest(s, t, 1L).op == "append") // now cached
+    // out-of-protocol delete + recreate with IDENTICAL length and the
+    // ORIGINAL mtime — the worst case for (mtime, length) validation on
+    // a coarse-mtime filesystem. The fileKey (inode) component must
+    // still catch it: every recreate allocates a fresh inode.
+    val mf = java.nio.file.Paths.get(t, "_log", "v00001.json")
+    val orig = java.nio.file.Files.readAllBytes(mf)
+    val origMtime = java.nio.file.Files.getLastModifiedTime(mf)
+    val doctored = new String(orig, "UTF-8")
+      .replaceFirst("append", "zppend") // the op — v1's only "append"
+      .getBytes("UTF-8")
+    assert(doctored.length == orig.length, "fixture must keep the length")
+    java.nio.file.Files.delete(mf)
+    java.nio.file.Files.write(mf, doctored)
+    java.nio.file.Files.setLastModifiedTime(mf, origMtime)
+    assert(SnapshotLog.manifest(s, t, 1L).op == "zppend",
+      "cache served a ghost across a same-length same-mtime recreate")
+  }
+
   test("append chain: deltas between checkpoints, exact resolution everywhere") {
     val t = freshTable("chain")
     (0 until 13).foreach(b => SnapshotLog.commit(

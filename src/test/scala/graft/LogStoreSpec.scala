@@ -307,6 +307,32 @@ class LogStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(dir, "held.json.claim")))
   }
 
+  test("POSIX-only stores refuse a non-local filesystem as a config error, not a lost race") {
+    // a LocalFileSystem that reports a foreign scheme — the shape of
+    // registering the hard-link stores against an object-store shim,
+    // where java.nio links would miss their targets and every publish
+    // would read as a permanent "concurrent commit"
+    val foreign = new org.apache.hadoop.fs.LocalFileSystem {
+      override def getScheme: String = "s3x"
+      override def getUri: java.net.URI = new java.net.URI("s3x:///")
+    }
+    foreign.initialize(new java.net.URI("file:///"),
+      s.sparkContext.hadoopConfiguration)
+    val dir = freshDir("foreign-fs")
+    val dest = new Path(dir, "v00001.json")
+    val ef = intercept[IllegalArgumentException] {
+      new FileClaimLogStore().publishExclusive(foreign, dest, "x".getBytes)
+    }
+    assert(ef.getMessage.contains("POSIX") && ef.getMessage.contains("s3x"))
+    val el = intercept[IllegalArgumentException] {
+      new LocalLinkLogStore().publishExclusive(foreign, dest, "x".getBytes)
+    }
+    assert(el.getMessage.contains("POSIX") && el.getMessage.contains("s3x"))
+    assert(!fs.exists(dest), "a refused publish touched the destination")
+    // the same stores on a genuinely local fs still publish fine
+    assert(new FileClaimLogStore().publishExclusive(fs, dest, "x".getBytes))
+  }
+
   test("conditional-put-file: TWO real JVMs exclude each other — exactly one winner per object") {
     val dir = freshDir("fork-race")
     val rounds = 12

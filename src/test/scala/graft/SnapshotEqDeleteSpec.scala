@@ -251,6 +251,40 @@ class SnapshotEqDeleteSpec extends AnyFunSuite {
     assert(SnapshotLog.read(s, t).count() == 390)
   }
 
+  test("scoped compact rewrites one bucket; deletes with out-of-scope candidates survive") {
+    val t = freshTable("scoped")
+    // four single-file buckets [0,100) .. [300,400)
+    (0 until 4).foreach(i => SnapshotLog.commit(
+      df(i * 100L, i * 100L + 100).repartition(1), t, "append", Seq("id")))
+    // ONE delete spanning two buckets: 150..159 (b1) and 250..259 (b2)
+    SnapshotLog.deleteKeysMOR(
+      s.range(150, 160).unionByName(s.range(250, 260)).toDF("id"), t, "id")
+    val before = SnapshotLog.manifest(s, t, 5L).files.map(_.path).toSet
+    // pass 1: scope = bucket 1 — rewrites it, must NOT drop the delete
+    // (bucket 2 still holds masked rows it applies to)
+    val v6 = SnapshotLog.compact(s, t, targetBytes = 1L << 30,
+      statsCols = Seq("id"), where = Some(("id", 100L, 199L))).get
+    val m6 = SnapshotLog.manifest(s, t, v6)
+    assert(m6.eqDeletes.size == 1, "a scoped pass un-deleted rows")
+    // exactly one file changed hands; the other three are untouched
+    assert((before -- m6.files.map(_.path).toSet).size == 1)
+    assert((m6.files.map(_.path).toSet -- before).size == 1)
+    val rows6 = SnapshotLog.read(s, t)
+    assert(rows6.count() == 380)
+    assert(rows6.where($"id".between(150, 159) ||
+      $"id".between(250, 259)).count() == 0)
+    // pass 2: scope = bucket 2 — the delete's LAST candidate rewrites,
+    // so the debt clears
+    val v7 = SnapshotLog.compact(s, t, targetBytes = 1L << 30,
+      statsCols = Seq("id"), where = Some(("id", 200L, 299L))).get
+    assert(SnapshotLog.manifest(s, t, v7).eqDeletes.isEmpty)
+    assert(SnapshotLog.read(s, t).count() == 380)
+    // a scope with nothing to do commits nothing
+    assert(SnapshotLog.compact(s, t, targetBytes = 1L,
+      statsCols = Seq("id"), where = Some(("id", 0L, 99L))).isEmpty)
+    assert(SnapshotLog.latestVersion(s, t).contains(v7))
+  }
+
   test("morAutoCompactEvery makes ingest debt sawtooth instead of growing") {
     val t = freshTable("autocompact")
     SnapshotLog.commit(df(0, 200).repartition(2), t, "append", Seq("id"))

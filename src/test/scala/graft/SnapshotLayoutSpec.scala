@@ -113,6 +113,32 @@ class SnapshotLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("setLayout refuses column types the write path cannot honor") {
+    val t = freshTable("types")
+    SnapshotLog.commit(df(0, 50)
+      .withColumn("tags", map(lit("a"), $"id")), t, "append", Seq("id"))
+    // zorder scales through a double cast — a string column would make
+    // the layout key all-null and the declaration a silent no-op
+    val ez = intercept[IllegalArgumentException] {
+      SnapshotLog.setLayout(s, t, "zorder", Seq("id", "payload"), 4)
+    }
+    assert(ez.getMessage.contains("numeric"))
+    // range/bucket need an ordering/hash — maps have neither
+    Seq("range", "bucket").foreach { kind =>
+      val em = intercept[IllegalArgumentException] {
+        SnapshotLog.setLayout(s, t, kind, Seq("tags"), 4)
+      }
+      assert(em.getMessage.contains("unorderable"))
+    }
+    // strings ARE orderable: range over payload is a valid declaration
+    SnapshotLog.setLayout(s, t, "range", Seq("payload"), 2)
+    SnapshotLog.commit(df(50, 150)
+      .withColumn("tags", map(lit("a"), $"id")), t, "append", Seq("id"))
+    assert(SnapshotLog.read(s, t).count() == 150)
+    assert(SnapshotLog.layoutOf(s, t).contains(
+      LayoutSpec("range", Seq("payload"), 2)))
+  }
+
   test("the layout survives rename (re-keyed), restore, stream appends, and delta manifests") {
     val t = freshTable("carry")
     SnapshotLog.commit(df(0, 60), t, "append", Seq("id"))

@@ -244,6 +244,60 @@ class SnapshotMutationRebaseSpec extends AnyFunSuite {
       .count() == 300)
   }
 
+  test("a compact racing a restore refuses to rebase — MOR-deleted rows stay deleted") {
+    val t = freshTable("compact-vs-restore")
+    // v1: one file [0,300); v2: MOR-delete keys 200..209 (masks the v1
+    // file); v3: CoW delete [100,299] rewrites it down to [0,100) with a
+    // NEWER seq — the eq-delete now provably applies to nothing, so
+    // compact takes its metadata-only drop branch
+    SnapshotLog.commit(df(0, 300).repartition(1), t, "append", Seq("id"))
+    SnapshotLog.deleteKeysMOR(s.range(200, 210).toDF("id"), t, "id")
+    SnapshotLog.deleteWhere(s, t, "id", 100L, 299L, statsCols = Seq("id"))
+    withInjection { SnapshotLog.restore(s, t, 2L); () } {
+      // the injected restore re-surfaces the v1 file that CONTAINS the
+      // deleted keys; rebasing the eq-delete drop over it (touched = ∅,
+      // nothing else changed) would silently resurrect those 10 rows
+      val e = intercept[SnapshotLog.ConcurrentMutationException] {
+        SnapshotLog.compact(s, t, targetBytes = 1L, statsCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("restore"))
+    }
+    // the restore is visible and the delete still masks the restored file
+    assert(SnapshotLog.latestVersion(s, t).contains(4L))
+    assert(SnapshotLog.read(s, t).count() == 290)
+    assert(SnapshotLog.read(s, t).where($"id".between(200, 209)).count() == 0)
+    // a rerun sees the debt as REAL (the restored file holds the keys)
+    // and materializes it with a genuine rewrite
+    assert(SnapshotLog.compact(s, t, targetBytes = 1L,
+      statsCols = Seq("id")).isDefined)
+    assert(SnapshotLog.read(s, t).count() == 290)
+    assert(SnapshotLog.manifest(s, t,
+      SnapshotLog.latestVersion(s, t).get).eqDeletes.isEmpty)
+  }
+
+  test("a MOR upsert refuses to rebase over a branch fast-forward") {
+    val t = freshTable("mor-vs-ff")
+    SnapshotLog.commit(df(0, 100).repartition(1), t, "append", Seq("id"))
+    val b = SnapshotLog.createBranch(s, t, "wip")
+    SnapshotLog.commit(df(100, 150, "wip"), b, "append", Seq("id"))
+    withInjection { SnapshotLog.fastForward(s, t, "wip"); () } {
+      // fast-forward is history movement like restore: it republishes
+      // branch state whose seqs predate the upsert's read point
+      val e = intercept[SnapshotLog.ConcurrentMutationException] {
+        SnapshotLog.upsertMOR(df(10, 20, "upd"), t, "id")
+      }
+      assert(e.getMessage.contains("fast-forward"))
+    }
+    // the fast-forward is intact; the upsert lands cleanly on rerun
+    assert(SnapshotLog.read(s, t).count() == 150)
+    SnapshotLog.upsertMOR(df(10, 20, "upd"), t, "id")
+    val rows = SnapshotLog.read(s, t)
+    assert(rows.count() == 150)
+    assert(rows.where($"payload".startsWith("upd")).count() == 10)
+    assert(rows.where($"id".between(10, 19) &&
+      !$"payload".startsWith("upd")).count() == 0)
+  }
+
   test("TWO real JVMs mutate one table concurrently; the rebase lands every op") {
     val t = freshTable("xproc")
     // two single-file seeds: writer A owns id < 150, writer B id >= 150

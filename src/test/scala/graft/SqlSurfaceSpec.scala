@@ -236,6 +236,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE opt_v") }
   }
 
+  test("SQL OPTIMIZE WHERE scopes maintenance to one stats range") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-optw").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    // four single-file id buckets, all under the 256 MiB target
+    (0 until 4).foreach(i => snap.commit(
+      spark.range(i * 100, i * 100 + 100)
+        .select($"id", (($"id" * 37) % 400).as("y"), lit("p").as("payload"))
+        .repartition(1),
+      t, "append", Seq("id", "y")))
+    graft.sql.GraftSql.registerSnapshot(spark, "optw_v", t, None, Seq("id", "y"))
+    val before = snap.manifest(spark, t, 4L).files.map(_.path).toSet
+    graft.sql.GraftSql.dml(spark,
+      "OPTIMIZE optw_v WHERE id BETWEEN 0 AND 199")
+    val after = snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).files
+    // the two in-scope buckets coalesced; the other two are untouched
+    assert(after.size == 3)
+    assert((before intersect after.map(_.path).toSet).size == 2)
+    assert(spark.sql("SELECT count(*) FROM optw_v").head.getLong(0) == 400L)
+    // scoped ZORDER parses and runs through the same path
+    graft.sql.GraftSql.dml(spark,
+      "OPTIMIZE optw_v WHERE id BETWEEN 200 AND 399 ZORDER BY (id, y)")
+    assert(spark.sql("SELECT count(*) FROM optw_v").head.getLong(0) == 400L)
+  }
+
   test("MERGE dispatches by registration strategy: mor views upsert without rewrites") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-mor").toAbsolutePath.toString
@@ -326,6 +353,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftSql.query(spark, "SELECT * FROM table_changes('nope', 0)")
     }
+  }
+
+  test("table_changes rewrite skips literals/comments, balances quotes, pins open ranges") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-tvf").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 20).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "tvf_v", t, None, Seq("id"))
+    // a call shape INSIDE a string literal is data, not a TVF — the
+    // rewrite must leave the literal byte-identical
+    val lit0 = GraftSql.query(spark,
+      "SELECT 'see table_changes(''other'', 9)' AS doc").head.getString(0)
+    assert(lit0 == "see table_changes('other', 9)")
+    // ...and inside comments (line + block) around a LIVE call
+    val commented = GraftSql.query(spark,
+      """-- table_changes('nope', 0) is just prose here
+        |SELECT count(*) AS n /* table_changes('nope', 0) */
+        |FROM table_changes('tvf_v', 0, 1)""".stripMargin).head.getLong(0)
+    assert(commented == 20L)
+    // mismatched quotes are NOT a call — the statement passes through
+    // to Spark and fails as the malformed SQL it is
+    intercept[Exception] {
+      GraftSql.query(spark, "SELECT * FROM table_changes('tvf_v, 0)").collect()
+    }
+    assert(GraftSql.query( // balanced no-quote form still accepted
+      spark, "SELECT count(*) AS n FROM table_changes(tvf_v, 0)")
+      .head.getLong(0) == 20L)
+    // an open-ended range pins to the latest AT REWRITE TIME: advancing
+    // the table must not re-point an earlier, not-yet-collected frame
+    val before = GraftSql.query(spark,
+      "SELECT count(*) AS n FROM table_changes('tvf_v', 0)")
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(20, 50).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    val after = GraftSql.query(spark,
+      "SELECT count(*) AS n FROM table_changes('tvf_v', 0)")
+    assert(before.head.getLong(0) == 20L,
+      "an earlier open-ended frame was re-pointed at newer feed contents")
+    assert(after.head.getLong(0) == 50L)
   }
 
   test("DESCRIBE DETAIL answers one row of manifest-plane facts") {
