@@ -426,6 +426,42 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, tMx)) == mxExpected,
       "concurrent mutator content diverged")
 
+    // scoped OPTIMIZE — the only maintenance shape that exists at
+    // 100 TB: an 8-bucket table with a MOR delete spanning every
+    // bucket; the WHERE-scoped pass rewrites EXACTLY the one in-scope
+    // file (cost = the scope, not the table) and must keep the delete
+    // outstanding for its 7 unrewritten candidates; the full pass then
+    // clears the debt. Structure asserted before the timings land.
+    val tSc = java.nio.file.Paths.get("target", "snap-smoke-scoped")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tSc))
+    (0 until 8).foreach(b => SnapshotLog.commit(
+      li.where(mxBucket(b)).repartition(1), tSc, "append", Seq("l_orderkey")))
+    SnapshotLog.deleteKeysMOR(
+      li.where(pmod(col("l_orderkey"), lit(1000)) === 0)
+        .select("l_orderkey"), tSc, "l_orderkey")
+    val scExpected = agg(li.where(pmod(col("l_orderkey"), lit(1000)) =!= 0))
+    val preScoped = SnapshotLog.manifest(spark, tSc, 9L).files.map(_.path).toSet
+    val scopedOpt = timed("optimize_scoped_1of8") {
+      SnapshotLog.compact(spark, tSc, 256L << 20, Seq("l_orderkey"),
+        where = Some(("l_orderkey", 0L, w8 - 1))).get
+    }
+    val mScoped = SnapshotLog.manifest(spark, tSc, scopedOpt._3)
+    require((preScoped intersect mScoped.files.map(_.path).toSet).size == 7 &&
+      mScoped.files.size == 8,
+      "scoped optimize did not rewrite exactly the one in-scope file")
+    require(mScoped.eqDeletes.size == 1,
+      "scoped optimize dropped a delete with unrewritten candidates")
+    require(agg(SnapshotLog.read(spark, tSc)) == scExpected,
+      "scoped optimize changed table content")
+    val fullOpt = timed("optimize_full_8of8") {
+      SnapshotLog.compact(spark, tSc, 256L << 20, Seq("l_orderkey")).get
+    }
+    require(SnapshotLog.manifest(spark, tSc, fullOpt._3).eqDeletes.isEmpty,
+      "full optimize left debt outstanding")
+    require(agg(SnapshotLog.read(spark, tSc)) == scExpected,
+      "full optimize changed table content")
+
     val runs = Seq(
       ("build_64_commits", buildSec),
       ("build_64_commits_adaptive", buildAdSec),
@@ -445,7 +481,9 @@ object SnapshotScaleSmoke {
       ("read_full_compacted", fullCompacted._2),
       ("concurrent_commit8", concurrent._2),
       ("mor_ingest12_autocompact4", morIngest._2),
-      ("concurrent_mutators6", mutators._2))
+      ("concurrent_mutators6", mutators._2),
+      ("optimize_scoped_1of8", scopedOpt._2),
+      ("optimize_full_8of8", fullOpt._2))
     val json = runs.map { case (n, sec) => s""""$n":$sec""" }
       .mkString(s"""{"n_rows":${direct._1},"n_files_built":$Buckets,""" +
         s""""n_files_compacted":$compactedFiles,""" +

@@ -3021,6 +3021,122 @@ object SourceQueries extends QueryPack {
           $"pruned_scan", $"n_rows", $"sum_key", $"sum_cust")
     }),
 
+    // Scoped OPTIMIZE (the Delta OPTIMIZE..WHERE shape): maintenance
+    // runs over ONE stats range of the table, never the world — the
+    // only compaction shape that exists at 100 TB. Four disjoint
+    // single-file key quartiles + one MOR key-delete spanning all of
+    // them; OPTIMIZE WHERE over the lower half coalesces exactly the
+    // two in-scope files while the delete SURVIVES (its upper-half
+    // candidate files were not rewritten — a scoped pass must never
+    // un-delete); a full OPTIMIZE then clears the debt. Hash = final
+    // content + per-stage file/debt accounting; dropping the delete
+    // early, rewriting out-of-scope files, or un-deleting rows all
+    // break it.
+    "qch_snapshot_optimize_where" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapoptw-$tag"
+      val v = s"optwv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      val cuts = Seq(0L, mx / 4, mx / 2, 3 * mx / 4, mx)
+      (0 until 4).foreach(i => SnapshotLog.commit(
+        o.where($"o_orderkey" > cuts(i) && $"o_orderkey" <= cuts(i + 1))
+          .coalesce(1), t, "append", Seq("o_orderkey")))
+      SnapshotLog.deleteKeysMOR(
+        o.where($"o_orderkey" % 97 === 0).select($"o_orderkey"), t,
+        "o_orderkey")
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
+      graft.sql.GraftSql.dml(s,
+        s"OPTIMIZE $v WHERE o_orderkey BETWEEN 0 AND ${mx / 2}")
+      val m1 = SnapshotLog.manifest(s, t, SnapshotLog.latestVersion(s, t).get)
+      val scopedFiles = m1.files.size.toLong
+      val scopedEq = m1.eqDeletes.size.toLong
+      graft.sql.GraftSql.dml(s, s"OPTIMIZE $v")
+      val m2 = SnapshotLog.manifest(s, t, SnapshotLog.latestVersion(s, t).get)
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_key"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("files_after_scoped", lit(scopedFiles))
+        .withColumn("eq_after_scoped", lit(scopedEq))
+        .withColumn("files_after_full", lit(m2.files.size.toLong))
+        .withColumn("eq_after_full", lit(m2.eqDeletes.size.toLong))
+        .select($"files_after_scoped", $"eq_after_scoped",
+          $"files_after_full", $"eq_after_full",
+          $"n_rows", $"sum_key", $"sum_cust")
+    }),
+
+    // String z-order clustering (the ord64 surrogate): a declared
+    // zorder layout over (lang STRING, doc_id) — the domain/language
+    // clustering a curation pipeline actually filters by. A scrambled
+    // append conforms into 4 z-clustered files whose lang stats
+    // windows then PRUNE a lang-band read (strictly fewer files
+    // scanned than the table holds). Hash = the zh-band content + the
+    // structural accounting; a surrogate that breaks string order, a
+    // layout that stops conforming, or pruning reading the world all
+    // break it.
+    "qci_snapshot_zorder_string" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapzstr-$tag"
+      val d = graft.core.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars")
+      SnapshotLog.commit(d.where($"doc_id" % 5 === 0).coalesce(1), t,
+        "append", Seq("doc_id", "lang"))
+      SnapshotLog.setLayout(s, t, "zorder", Seq("lang", "doc_id"), 4)
+      SnapshotLog.commit(d.where($"doc_id" % 5 =!= 0)
+        .repartition(11, $"n_chars"), t, "append", Seq("doc_id", "lang"))
+      val conformed = SnapshotLog.manifest(s, t, 3L).files
+        .count(f => f.path.contains("v00003") && f.rows > 0)
+      val (pruned, scanned, total) =
+        SnapshotLog.readPruned(s, t, "lang", "zh", "zh")
+      val prunedOk = scanned < total
+      pruned.agg(count(lit(1)).as("n_rows"),
+          sum($"doc_id").as("sum_id"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("conformed_files", lit(conformed.toLong))
+        .withColumn("pruned_scan", lit(if (prunedOk) 1L else 0L))
+        .select($"conformed_files", $"pruned_scan", $"n_rows",
+          $"sum_id", $"sum_chars")
+    }),
+
+    // SQL UPDATE (CoW) + VERSION AS OF time travel: the remaining DML
+    // verb and the Delta time-travel clause through GraftSql. UPDATE
+    // classifies files from stats — buckets the predicate provably
+    // misses are never read or rewritten (surgical=1 pins that at
+    // least one file carried over untouched) — and the pre-update
+    // version still serves its exact content through `VERSION AS OF`.
+    "qcj_sql_update" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapupd-$tag"
+      val v = s"updv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.repartitionByRange(4, $"o_orderkey"), t,
+        "append", Seq("o_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      val before = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      graft.sql.GraftSql.dml(s,
+        s"UPDATE $v SET o_custkey = o_custkey + 1000000 " +
+          s"WHERE o_orderkey BETWEEN ${mx / 4} AND ${mx / 2}")
+      val after = SnapshotLog.manifest(s, t, 2L).files.map(_.path).toSet
+      val surgical = (before intersect after).nonEmpty
+      val v1Sum = graft.sql.GraftSql.query(s,
+        s"SELECT sum(o_custkey) FROM $v VERSION AS OF 1").head.getLong(0)
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"o_custkey" >= 1000000L, lit(1))).as("n_bumped"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("surgical", lit(if (surgical) 1L else 0L))
+        .withColumn("v1_sum_cust", lit(v1Sum))
+        .select($"surgical", $"n_rows", $"n_bumped", $"sum_cust",
+          $"v1_sum_cust")
+    }),
+
     // Tags — Iceberg refs on the manifest log: immutable named
     // pointers pin versions ('baseline' before a mutation wave,
     // 'clean' after), reads route through them by name, and retention
@@ -3601,6 +3717,46 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
           |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
           |FROM orders, b WHERE o_orderkey BETWEEN lo AND hi""".stripMargin,
+
+      // final content = everything but the MOR-deleted key set;
+      // structural columns are contract constants (3 files after the
+      // scoped pass with the delete outstanding, 1 file and no debt
+      // after the full pass)
+      "qch_snapshot_optimize_where" ->
+        """SELECT CAST(3 AS BIGINT) AS files_after_scoped,
+          |  CAST(1 AS BIGINT) AS eq_after_scoped,
+          |  CAST(1 AS BIGINT) AS files_after_full,
+          |  CAST(0 AS BIGINT) AS eq_after_full,
+          |  count(*) AS n_rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+          |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+
+      // the UPDATE replayed relationally (CASE over the key band);
+      // v1_sum_cust = the untouched original; surgical is a contract
+      // constant (at least one file never rewritten)
+      "qcj_sql_update" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+          |SELECT CAST(1 AS BIGINT) AS surgical,
+          |  count(*) AS n_rows,
+          |  count(CASE WHEN o_orderkey BETWEEN m // 4 AND m // 2
+          |    THEN 1 END) AS n_bumped,
+          |  CAST(sum(CASE WHEN o_orderkey BETWEEN m // 4 AND m // 2
+          |    THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+          |    AS sum_cust,
+          |  CAST((SELECT sum(o_custkey) FROM orders) AS BIGINT)
+          |    AS v1_sum_cust
+          |FROM orders, mx""".stripMargin,
+
+      // the zh band recomputed relationally; structural columns are
+      // contract constants (4 conformed files, band scan pruned)
+      "qci_snapshot_zorder_string" ->
+        """SELECT CAST(4 AS BIGINT) AS conformed_files,
+          |  CAST(1 AS BIGINT) AS pruned_scan,
+          |  count(*) AS n_rows,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang = 'zh'""".stripMargin,
 
       // the feed replayed relationally: inserts = the two parity
       // appends; deletes = the CoW range (all keys <= m//4) then the

@@ -285,6 +285,27 @@ class FileClaimLogStore extends ConditionalPutLogStore {
   }
 }
 
+object FileClaimLogStore {
+
+  /** The operator/TTL sweep for the one stuck-lock trade this store
+    * makes (see class doc): remove `.claim` files under `dir` older
+    * than `ttlMs`. A live claim is milliseconds-to-seconds old (it
+    * spans one exists-check + one rename), so any TTL beyond the
+    * longest plausible publish — minutes — can only ever free claims
+    * whose writer died between claim and release; a swept claim whose
+    * destination already exists was blocking nobody's reads anyway.
+    * Returns the removed claim paths.
+    */
+  def sweepStaleClaims(fs: FileSystem, dir: Path, ttlMs: Long): Seq[Path] = {
+    val cutoff = System.currentTimeMillis() - ttlMs
+    Option(fs.globStatus(new Path(dir, "*.claim")))
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(_.getModificationTime < cutoff)
+      .map(_.getPath)
+      .filter(p => fs.delete(p, false))
+  }
+}
+
 object LogStore {
 
   /** Session conf selecting the publish primitive (see [[LogStore]]). */

@@ -272,16 +272,18 @@ object SnapshotLog {
       cols.foreach(c => require(schema.fieldNames.contains(c),
         s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
       // a layout the write path cannot honor must refuse HERE, not
-      // silently no-op per batch: zorder scales its columns through a
-      // double cast (non-numeric → all-null key), and range/bucket need
-      // an ordering/hash (maps have neither) — mirror the OPTIMIZE
-      // ZORDER refusal (sql.GraftSql) at declaration time
+      // silently no-op per batch: zorder scales its dimensions into
+      // 16-bit lanes, which needs a numeric column or a string (ridden
+      // through the order-preserving ord64 surrogate —
+      // [[graft.functions.StringOrd]]); range/bucket need an
+      // ordering/hash (maps have neither)
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
       cols.foreach { c =>
         val dt = byName(c)
         if (kind == "zorder")
-          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-            s"zorder layout supports numeric columns; '$c' is " +
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+            dt == org.apache.spark.sql.types.StringType,
+            s"zorder layout supports numeric and string columns; '$c' is " +
               s"${dt.simpleString} — cluster on a numeric key (or a " +
               "precomputed numeric surrogate) instead")
         else require(
@@ -322,13 +324,21 @@ object SnapshotLog {
     case Some(LayoutSpec("bucket", cs, n)) =>
       df.repartition(n, cs.map(col).toIndexedSeq: _*)
     case Some(LayoutSpec("zorder", cs, n)) =>
+      // a string dimension rides its order-preserving ord64 surrogate
+      // (codegen'd; domain/lang/prefix clustering), numerics cast plain
+      def dim(c: String): org.apache.spark.sql.Column =
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            graft.functions.StringOrd.ord64(col(c)).cast("double")
+          case _ => col(c).cast("double")
+        }
       val probe = df.agg(
-        min(col(cs(0)).cast("double")), max(col(cs(0)).cast("double")),
-        min(col(cs(1)).cast("double")), max(col(cs(1)).cast("double"))).head
+        min(dim(cs(0))), max(dim(cs(0))),
+        min(dim(cs(1))), max(dim(cs(1)))).head
       if (probe.isNullAt(0) || probe.isNullAt(2)) df // empty/all-null batch
       else {
         def scaled(c: String, mn: Double, mx: Double) = floor(
-          (col(c).cast("double") - mn) / math.max(mx - mn, 1e-12) * 65535.0)
+          (dim(c) - mn) / math.max(mx - mn, 1e-12) * 65535.0)
           .cast("long")
         val key = graft.functions.ZOrder.zOrder2(
           scaled(cs(0), probe.getDouble(0), probe.getDouble(1)),
@@ -797,6 +807,25 @@ object SnapshotLog {
     }
   }
 
+  /** Sweep stale `.claim` locks left by writers that crashed between
+    * claim and release under the conditional-put-file store (see
+    * [[FileClaimLogStore]]) — the table's own log plane plus every
+    * branch's. Harmless under any other store (no `.claim` files
+    * exist). `ttlMs` must exceed the longest plausible publish; the
+    * default (10 minutes) is orders of magnitude above the
+    * milliseconds a live claim spans. Returns removed claim paths.
+    */
+  def sweepStaleClaims(spark: SparkSession, table: String,
+      ttlMs: Long = 10L * 60 * 1000): Seq[String] = {
+    val tbl = new Path(table)
+    val fs = fsOf(spark, tbl)
+    val dirs = new Path(tbl, "_log") +:
+      listBranches(spark, table).map(b =>
+        new Path(new Path(branchPath(table, b)), "_log"))
+    dirs.flatMap(d => FileClaimLogStore.sweepStaleClaims(fs, d, ttlMs))
+      .map(_.toString)
+  }
+
   /** Delete data files no manifest version references — the debris of
     * crashed or losing commits. Never touches a referenced file, so it
     * is safe while readers of ANY version are running. Returns deleted
@@ -1194,6 +1223,56 @@ object SnapshotLog {
         touched = dropped ++ rewrite, replacement = Nil,
         added = newFiles, eqAdded = Nil)
       Some(MutationStats(v, kept.size, dropped.size, rewrite.size))
+    }
+  }
+
+  /** Copy-on-write range update: apply `assignments` to rows with
+    * `lo <= column <= hi`, published as a new version. Files classify
+    * from manifest stats exactly as [[deleteWhere]]: a file disjoint
+    * from the range is never read; only files that MAY hold a matching
+    * row rewrite (matching rows transformed, the rest copied through) —
+    * at 100 TB an UPDATE costs the files it actually changes.
+    * Assignments may not reassign `column` itself (re-keying is an
+    * upsert's job) and cast to each target column's declared type.
+    * Returns None (no commit) when no file could contain a match.
+    */
+  def updateWhere(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Option[MutationStats] = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    require(!assignments.contains(column),
+      s"UPDATE may not reassign its predicate column '$column' — " +
+        "re-keying rows is an upsert")
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"UPDATE target '$c' not in table schema ${schema.fieldNames.toSeq}"))
+    val (kept, rewrite) = m.files.partition { f =>
+      f.stats.get(column) match {
+        case Some((mn, mx)) => cmp(mn, hi) > 0 || cmp(mx, lo) < 0
+        case None => false // no stats: may hold a match, must read
+      }
+    }
+    if (rewrite.isEmpty) None
+    else {
+      val hit = col(column) >= lit(lo) && col(column) <= lit(hi)
+      val updated = readFiles(spark, table, m, rewrite).select(
+        schema.fields.map { f =>
+          assignments.get(f.name) match {
+            case Some(e) =>
+              when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      val newFiles = writeData(sortForLayout(updated, m.layout), table,
+        v0 + 1, (statsCols :+ column).distinct, physical = m.physical)
+      val v = publishMutation(spark, table, m, "update",
+        touched = rewrite, replacement = Nil, added = newFiles,
+        eqAdded = Nil)
+      Some(MutationStats(v, kept.size, 0, rewrite.size))
     }
   }
 

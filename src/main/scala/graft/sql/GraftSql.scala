@@ -51,6 +51,8 @@ object GraftSql {
       (x: Double, d: Int) => FastText.proundJvm(x, d))
     spark.udf.register("graft_zorder2",
       (x: Long, y: Long) => graft.functions.ZOrder.zOrder2Jvm(x, y))
+    spark.udf.register("graft_ord64",
+      (s: String) => graft.functions.StringOrd.ord64Of(s))
     spark.udf.register("graft_hilbert2",
       (x: Long, y: Long) => graft.functions.HilbertCurve.xy2d(16, x, y))
     spark.udf.register("graft_nfc",
@@ -234,6 +236,36 @@ object GraftSql {
     sb.toString
   }
 
+  /** `v VERSION AS OF n` — the Delta time-travel clause. Only REGISTERED
+    * names rewrite (an unregistered word followed by the clause is left
+    * for Spark's parser to refuse), and only outside literals/comments.
+    */
+  private val VersionAsOfRe =
+    """(?i)(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  private def rewriteVersionAsOf(spark: SparkSession,
+      statement: String): String = {
+    val spans = literalSpans(statement)
+    def quoted(i: Int) = spans.exists(s => i >= s._1 && i < s._2)
+    val sb = new StringBuilder
+    var last = 0
+    VersionAsOfRe.findAllMatchIn(statement).foreach { mm =>
+      val nm = mm.group(1)
+      val registered = snapshotReg.containsKey((spark, nm.toLowerCase))
+      if (!quoted(mm.start) && registered) {
+        val ver = mm.group(2).toLong
+        val view = s"__graft_vao_${nm}_$ver"
+        graft.sources.snapshot.SnapshotLog
+          .read(spark, snapshotOf(spark, nm).table, Some(ver))
+          .createOrReplaceTempView(view)
+        sb.append(statement.substring(last, mm.start)).append(view)
+        last = mm.end
+      }
+    }
+    sb.append(statement.substring(last))
+    sb.toString
+  }
+
   /** Read-shaped SQL over registered snapshot views — the query half
     * [[dml]] deliberately refuses (it returns versions, not frames):
     *
@@ -251,9 +283,16 @@ object GraftSql {
     *    substituted as a view, so
     *    `SELECT * FROM table_changes('v', 2, 5) WHERE _change_type='insert'`
     *    just works. Omitting `to` reads through the latest version.
+    *  - `v VERSION AS OF n` anywhere a registered view name appears —
+    *    the Delta time-travel clause — substitutes a version-pinned
+    *    read of the same table (manifest-planned, zero data movement).
     *  - anything else passes through to `spark.sql` untouched.
     */
-  def query(spark: SparkSession, statement: String): DataFrame =
+  def query(spark: SparkSession, statement0: String): DataFrame = {
+    val statement =
+      if (VersionAsOfRe.findFirstIn(statement0).isDefined)
+        rewriteVersionAsOf(spark, statement0)
+      else statement0
     statement match {
       case DescribeHistoryRe(name) =>
         graft.sources.snapshot.SnapshotLog
@@ -280,6 +319,7 @@ object GraftSql {
         spark.sql(rewriteTableChanges(spark, statement))
       case other => spark.sql(other)
     }
+  }
 
   /** One registered snapshot view: its backing table, the statsCols
     * [[dml]] mutations should commit with, and whether the view is
@@ -318,6 +358,43 @@ object GraftSql {
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s*=\s*(\S+)\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
+  private val UpdateRangeRe =
+    ("""(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+""" +
+      """WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)\s*$""").r
+  private val UpdateEqRe =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(\w+)\s*=\s*(\S+)\s*$""".r
+
+  /** Split a SET clause on its TOP-LEVEL commas (commas inside
+    * parentheses or string literals belong to the expressions) and
+    * parse each `col = expr` pair; expressions resolve through
+    * `functions.expr`, so they may reference other columns.
+    */
+  private def parseAssignments(
+      setClause: String): Map[String, org.apache.spark.sql.Column] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    var i = 0
+    while (i < setClause.length) {
+      setClause.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          parts += setClause.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += setClause.substring(start)
+    val AssignRe = """(?s)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+    parts.result().map {
+      case AssignRe(c, rhs) => c -> org.apache.spark.sql.functions.expr(rhs)
+      case bad => throw new IllegalArgumentException(
+        s"cannot parse UPDATE assignment '$bad' — expected col = expr")
+    }.toMap
+  }
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+""" +
       """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(.+)$""").r
@@ -351,6 +428,10 @@ object GraftSql {
     *    metadata-only, partial files rewritten.
     *  - `INSERT INTO v SELECT ...` → an append commit of the query
     *    result (conforms to the table schema; CHECK constraints bind).
+    *  - `UPDATE v SET a = expr[, b = expr] WHERE col BETWEEN lo AND hi`
+    *    (or `col = x`) → [[graft.sources.snapshot.SnapshotLog.updateWhere]]
+    *    — CoW: only files whose stats may hold a match rewrite;
+    *    expressions may reference other columns.
     *  - `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN
     *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
     *    → [[graft.sources.snapshot.SnapshotLog.upsert]] (exact-interval
@@ -402,6 +483,22 @@ object GraftSql {
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
           .commit(spark.sql(select), t, "append", stats), name)
+      case UpdateRangeRe(name, setClause, colName, lo, hi) =>
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
+          .updateWhere(spark, t, colName, sqlLiteral(lo), sqlLiteral(hi),
+            parseAssignments(setClause), stats)
+          .map(_.version)
+          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
+          name)
+      case UpdateEqRe(name, setClause, colName, x) =>
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
+          .updateWhere(spark, t, colName, sqlLiteral(x), sqlLiteral(x),
+            parseAssignments(setClause), stats)
+          .map(_.version)
+          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
+          name)
       case MergeRe(name, src, a1, k1, a2, k2, clauses) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         val (tAlias, tKey, sAlias, sKey) =
@@ -453,18 +550,27 @@ object GraftSql {
                 throw new IllegalArgumentException(
                   s"ZORDER BY column '$c' has no manifest stats — commit " +
                     s"with statsCols including it first"))
-              val (mn, mx) = (mnA, mxA) match {
+              // string dimensions scale through the order-preserving
+              // ord64 surrogate (graft.functions.StringOrd) — the
+              // manifest's string min/max map to the same surrogate
+              // driver-side, so this stays metadata-only
+              val (mn, mx, dim) = (mnA, mxA) match {
                 case (a: Number, b: Number) =>
-                  (a.doubleValue(), b.doubleValue())
+                  (a.doubleValue(), b.doubleValue(),
+                    org.apache.spark.sql.functions.col(c).cast("double"))
+                case (a: String, b: String) =>
+                  (graft.functions.StringOrd.ord64Of(a).toDouble,
+                    graft.functions.StringOrd.ord64Of(b).toDouble,
+                    graft.functions.StringOrd.ord64(
+                      org.apache.spark.sql.functions.col(c)).cast("double"))
                 case _ => throw new IllegalArgumentException(
-                  s"ZORDER BY supports numeric columns; '$c' has " +
-                    s"${mnA.getClass.getSimpleName} stats — cluster on a " +
-                    "numeric key (or a precomputed numeric surrogate) instead")
+                  s"ZORDER BY supports numeric and string columns; '$c' " +
+                    s"has ${mnA.getClass.getSimpleName} stats — cluster " +
+                    "on a numeric key (or a precomputed surrogate) instead")
               }
               val span = math.max(mx - mn, 1e-12)
               org.apache.spark.sql.functions.floor(
-                (org.apache.spark.sql.functions.col(c).cast("double") - mn)
-                  / span * 65535.0).cast("long")
+                (dim - mn) / span * 65535.0).cast("long")
             }
             snap.compact(spark, t, target, (stats ++ Seq(zc1, zc2)).distinct,
               clusterExpr = Some(_ =>
@@ -495,9 +601,9 @@ object GraftSql {
           .evolveSchema(spark, t, s"$ddl,$colName $typ"), name)
       case other =>
         throw new IllegalArgumentException(
-          "unsupported statement (DELETE FROM/INSERT INTO/MERGE INTO/" +
-            "ALTER TABLE ... RENAME COLUMN/ADD COLUMN/OPTIMIZE [ZORDER " +
-            s"BY]/VACUUM): $other")
+          "unsupported statement (DELETE FROM/INSERT INTO/UPDATE/" +
+            "MERGE INTO/ALTER TABLE ... RENAME COLUMN/ADD COLUMN/" +
+            s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
     }
     // repoint the view at the new version so SQL readers see the change
     // (the registration's merge strategy survives the repoint)

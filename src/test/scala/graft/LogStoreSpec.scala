@@ -307,6 +307,33 @@ class LogStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(dir, "held.json.claim")))
   }
 
+  test("sweepStaleClaims frees crashed writers' locks, never a live or absent one") {
+    val dir = freshDir("claim-sweep")
+    val dest = new Path(dir, "v00009.json")
+    val stale = new Path(dir, "v00009.json.claim")
+    fs.create(stale, false).close() // a writer died between claim+release
+    // too-young claims are LIVE by definition: a generous TTL skips them
+    assert(FileClaimLogStore.sweepStaleClaims(fs, dir, 60000L).isEmpty)
+    assert(!new FileClaimLogStore().publishExclusive(fs, dest, "x".getBytes))
+    // past the TTL the sweep frees exactly the stale lock
+    val swept = FileClaimLogStore.sweepStaleClaims(fs, dir, -1L)
+    assert(swept.map(_.getName) == Seq("v00009.json.claim"))
+    assert(new FileClaimLogStore().publishExclusive(fs, dest, "x".getBytes))
+    assert(readBytes(dest) == "x")
+    // nothing left to sweep after a healthy publish released its claim
+    assert(FileClaimLogStore.sweepStaleClaims(fs, dir, -1L).isEmpty)
+    // the table-level sweep walks main + branch log planes
+    val t = java.nio.file.Paths.get("target", "logstore-sweep-tbl")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    SnapshotLog.commit(s.range(0, 10).toDF("id"), t, "append", Seq("id"))
+    val b = SnapshotLog.createBranch(s, t, "wip")
+    fs.create(new Path(s"$t/_log/v00099.json.claim"), false).close()
+    fs.create(new Path(s"$b/_log/v00099.json.claim"), false).close()
+    assert(SnapshotLog.sweepStaleClaims(s, t, ttlMs = -1L).size == 2)
+    assert(SnapshotLog.sweepStaleClaims(s, t, ttlMs = -1L).isEmpty)
+  }
+
   test("POSIX-only stores refuse a non-local filesystem as a config error, not a lost race") {
     // a LocalFileSystem that reports a foreign scheme — the shape of
     // registering the hard-link stores against an object-store shim,

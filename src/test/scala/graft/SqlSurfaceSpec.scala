@@ -236,6 +236,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE opt_v") }
   }
 
+  test("SQL UPDATE rewrites only files that may match; VERSION AS OF time-travels") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-upd").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    (0 until 4).foreach(i => snap.commit(
+      spark.range(i * 100, i * 100 + 100)
+        .select($"id", ($"id" % 7).as("k"),
+          concat(lit("row"), $"id").as("payload")).repartition(1),
+      t, "append", Seq("id")))
+    GraftSql.registerSnapshot(spark, "upd_v", t, None, Seq("id"))
+    val before = snap.manifest(spark, t, 4L).files.map(_.path).toSet
+    // range UPDATE across two of the four buckets; expression references
+    // other columns and holds a top-level function with a comma
+    GraftSql.dml(spark,
+      "UPDATE upd_v SET k = k + 1000, payload = concat('u-', payload) " +
+        "WHERE id BETWEEN 150 AND 249")
+    val after = snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).files.map(_.path).toSet
+    assert((before intersect after).size == 2,
+      "UPDATE rewrote files its predicate provably missed")
+    assert(spark.sql(
+      "SELECT count(*) FROM upd_v WHERE k >= 1000 AND payload LIKE 'u-%'")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM upd_v").head.getLong(0) == 400L)
+    // equality form
+    GraftSql.dml(spark, "UPDATE upd_v SET payload = 'answer' WHERE id = 42")
+    assert(spark.sql("SELECT payload FROM upd_v WHERE id = 42")
+      .head.getString(0) == "answer")
+    // VERSION AS OF: the pre-update snapshot still serves its content
+    assert(GraftSql.query(spark,
+      "SELECT count(*) AS n FROM upd_v VERSION AS OF 4 WHERE k >= 1000")
+      .head.getLong(0) == 0L)
+    assert(GraftSql.query(spark,
+      "SELECT payload FROM upd_v VERSION AS OF 4 WHERE id = 42")
+      .head.getString(0) == "row42")
+    // a clause inside a literal is data; an unregistered name is Spark's
+    assert(GraftSql.query(spark,
+      "SELECT 'upd_v VERSION AS OF 1' AS doc").head.getString(0)
+      == "upd_v VERSION AS OF 1")
+    // a no-match UPDATE commits nothing
+    val vNow = snap.latestVersion(spark, t).get
+    GraftSql.dml(spark,
+      "UPDATE upd_v SET k = 0 WHERE id BETWEEN 9000 AND 9999")
+    assert(snap.latestVersion(spark, t).contains(vNow))
+    // reassigning the predicate column refuses (re-keying is an upsert)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark, "UPDATE upd_v SET id = 0 WHERE id BETWEEN 0 AND 9")
+    }
+    assert(e.getMessage.contains("upsert"))
+  }
+
   test("SQL OPTIMIZE WHERE scopes maintenance to one stats range") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-optw").toAbsolutePath.toString
@@ -425,22 +477,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
-  test("OPTIMIZE ZORDER refuses non-numeric stats columns with a clear error") {
+  test("OPTIMIZE ZORDER rides ord64 for string columns; stats-less columns refuse") {
     import spark.implicits._
-    val t = java.nio.file.Paths.get("target", "sql-zerr").toAbsolutePath.toString
+    val t = java.nio.file.Paths.get("target", "sql-zstr").toAbsolutePath.toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
-    graft.sources.snapshot.SnapshotLog.commit(
-      spark.range(0, 40).select($"id", concat(lit("s"), $"id").as("name")),
+    // two files, names from a 4-word vocabulary scattered across both
+    def half(lo: Long, hi: Long) = spark.range(lo, hi).select($"id",
+      concat(element_at(array(lit("alpha"), lit("golf"), lit("omega"),
+        lit("zulu")), (($"id" * 131) % 4 + 1).cast("int")),
+        lit("-"), $"id").as("name"))
+    graft.sources.snapshot.SnapshotLog.commit(half(0, 200).coalesce(1),
       t, "append", Seq("id", "name"))
-    graft.sources.snapshot.SnapshotLog.commit(
-      spark.range(40, 80).select($"id", concat(lit("s"), $"id").as("name")),
+    graft.sources.snapshot.SnapshotLog.commit(half(200, 400).coalesce(1),
       t, "append", Seq("id", "name"))
-    GraftSql.registerSnapshot(spark, "zerr_v", t, None, Seq("id", "name"))
+    GraftSql.registerSnapshot(spark, "zstr_v", t, None, Seq("id", "name"))
+    // string dimension scales through the ord64 surrogate from the
+    // manifest's string min/max — runs, preserves content
+    GraftSql.dml(spark, "OPTIMIZE zstr_v ZORDER BY (name, id)")
+    assert(spark.sql("SELECT count(*) FROM zstr_v").head.getLong(0) == 400L)
+    assert(spark.sql("SELECT count(DISTINCT name) FROM zstr_v")
+      .head.getLong(0) == 400L)
+    // a column with no manifest stats still refuses with the action
+    val t2 = java.nio.file.Paths.get("target", "sql-zerr2")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 10).select($"id", lit("a").as("nm")), t2, "append", Nil)
+    GraftSql.registerSnapshot(spark, "zerr2_v", t2, None, Nil)
     val ex = intercept[IllegalArgumentException] {
-      GraftSql.dml(spark, "OPTIMIZE zerr_v ZORDER BY (id, name)")
+      GraftSql.dml(spark, "OPTIMIZE zerr2_v ZORDER BY (id, nm)")
     }
-    assert(ex.getMessage.contains("numeric") && ex.getMessage.contains("name"),
-      ex.getMessage)
+    assert(ex.getMessage.contains("no manifest stats"), ex.getMessage)
   }
 
   test("metadata-tier kernels answer from spark.sql; malformed payloads null") {
