@@ -16,7 +16,8 @@ import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
   * sequences (append / overwrite / range delete / upsert / compact /
   * stream-append with replays / deletion-vector delete / CDC
   * applyChanges / metadata-only column RENAME / merge-on-read
-  * equality-delete upsert / MOR key delete) run against BOTH the real
+  * equality-delete upsert / MOR key delete / CoW range UPDATE) run
+  * against BOTH the real
   * table and an in-memory model. After every op the table must equal
   * the model; after the sequence, every committed version must equal
   * the model's history snapshot (time travel), metadata stats must
@@ -98,7 +99,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(11)
+        val choice = if (op == 0) 0 else rnd.nextInt(12)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -109,7 +110,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10)(choice) && rnd.nextInt(3) == 0)
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11)(choice) && rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
         val preModel = model
@@ -214,6 +215,16 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               val kset = ks.toSet
               model = model.filterNot(r => kset(r._1))
               history += v -> model
+            }
+          case 11 => // CoW range update over a random id window
+            val lo = rnd.nextLong(nextId.max(1))
+            val hi = lo + rnd.nextLong(20) + 1
+            SnapshotLog.updateWhere(s, t, keyName, lo, hi,
+              Map("payload" -> concat(col("payload"), lit("*"))),
+              Seq(keyName)).foreach { st =>
+              model = model.map(r =>
+                if (r._1 >= lo && r._1 <= hi) (r._1, r._2, r._3 + "*") else r)
+              history += st.version -> model
             }
         } }
         // racer accounting: if the op committed (exactly one publish

@@ -66,6 +66,8 @@ class SnapshotRebaseMatrixSpec extends AnyFunSuite {
       Seq("id")); () }),
     Op("mor-delete-b2")(t => { SnapshotLog.deleteKeysMOR(
       s.range(250, 260).toDF("id"), t, "id"); () }),
+    Op("cow-update-b0")(t => { SnapshotLog.updateWhere(s, t, "id", 20L, 29L,
+      Map("payload" -> concat(lit("u2-"), col("payload"))), Seq("id")); () }),
     Op("compact")(t => { SnapshotLog.compact(s, t, 1L << 30,
       Seq("id")); () }))
 
