@@ -3137,6 +3137,48 @@ object SourceQueries extends QueryPack {
           $"v1_sum_cust")
     }),
 
+    // SQL DROP COLUMN (column mapping, metadata-only) + tombstoned
+    // re-ADD: dropping o_custkey moves zero data (metadata_only=1 pins
+    // the identical file list), a later ADD COLUMN of the SAME name
+    // serves NULL from every pre-drop file (the tombstoned physical
+    // slot — resurrection of dropped bytes breaks n_null_cust), new
+    // writes carry values under the fresh slot, and VERSION AS OF 1
+    // still serves the original column. All through GraftSql.
+    "qck_sql_drop_column" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapdropc-$tag"
+      val v = s"dropv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_orderkey" % 100).as("o_bucket"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
+      val filesBefore = SnapshotLog.manifest(s, t, 1L).files.map(_.path)
+      graft.sql.GraftSql.dml(s, s"ALTER TABLE $v DROP COLUMN o_custkey")
+      val metaOnly =
+        SnapshotLog.manifest(s, t, 2L).files.map(_.path) == filesBefore
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1)
+        .drop("o_custkey"), t, "append", Seq("o_orderkey"))
+      graft.sql.GraftSql.dml(s, s"ALTER TABLE $v ADD COLUMN o_custkey BIGINT")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0)
+        .select(($"o_orderkey" + 1000000000L).as("o_orderkey"), $"o_bucket",
+          ($"o_orderkey" + 7).as("o_custkey")), t, "append",
+        Seq("o_orderkey"))
+      val v1cust = graft.sql.GraftSql.query(s,
+        s"SELECT sum(o_custkey) FROM $v VERSION AS OF 1").head.getLong(0)
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"o_custkey".isNull, lit(1))).as("n_null_cust"),
+          sum($"o_custkey").as("sum_cust"),
+          sum($"o_bucket").as("sum_bucket"))
+        .withColumn("metadata_only", lit(if (metaOnly) 1L else 0L))
+        .withColumn("v1_sum_cust", lit(v1cust))
+        .select($"metadata_only", $"n_rows", $"n_null_cust", $"sum_cust",
+          $"sum_bucket", $"v1_sum_cust")
+    }),
+
     // Tags — Iceberg refs on the manifest log: immutable named
     // pointers pin versions ('baseline' before a mutation wave,
     // 'clean' after), reads route through them by name, and retention
@@ -3747,6 +3789,23 @@ object SourceQueries extends QueryPack {
           |  CAST((SELECT sum(o_custkey) FROM orders) AS BIGINT)
           |    AS v1_sum_cust
           |FROM orders, mx""".stripMargin,
+
+      // replayed relationally: evens carried custkeys at v1 (dropped,
+      // so NULL now), odds never had one, the shifted third slice
+      // carries k+7; metadata_only is a contract constant
+      "qck_sql_drop_column" ->
+        """SELECT CAST(1 AS BIGINT) AS metadata_only,
+          |  (SELECT count(*) FROM orders) +
+          |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          |    AS n_rows,
+          |  (SELECT count(*) FROM orders) AS n_null_cust,
+          |  CAST((SELECT sum(o_orderkey + 7) FROM orders
+          |    WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_cust,
+          |  CAST((SELECT sum(o_orderkey % 100) FROM orders) +
+          |    (SELECT sum(o_orderkey % 100) FROM orders
+          |     WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_bucket,
+          |  CAST((SELECT sum(o_custkey) FROM orders
+          |    WHERE o_orderkey % 2 = 0) AS BIGINT) AS v1_sum_cust""".stripMargin,
 
       // the zh band recomputed relationally; structural columns are
       // contract constants (4 conformed files, band scan pruned)

@@ -2614,15 +2614,26 @@ object SnapshotLog {
       require(added.nonEmpty, "schema evolution must add at least one column")
       added.foreach(f => require(f.nullable,
         s"added column '${f.name}' must be nullable — existing files hold no values for it"))
-      // a new column's physical name is its own name — it must not
-      // collide with the physical name a RENAMED column still writes
-      // under, or two logical columns would share one parquet column
-      val physInUse = oldS.fieldNames.map(c => m.physical.getOrElse(c, c)).toSet
-      added.foreach(f => require(!physInUse.contains(f.name),
-        s"added column '${f.name}' collides with the physical name of a " +
-          "renamed column — pick another name"))
+      // a new column's physical name defaults to its own name — but
+      // when that slot is occupied (a RENAMED column still writes
+      // under it, or a DROPPED column's tombstone reserves it), the
+      // new column gets a FRESH version-stamped physical name instead:
+      // old files provably hold no values under it, so they serve the
+      // re-added column as NULL rather than aliasing another column's
+      // bytes or resurrecting dropped values
+      val physInUse = oldS.fieldNames.map(c => m.physical.getOrElse(c, c))
+        .toSet ++ m.physical.values
+      val freshNames = added.collect {
+        case f if physInUse.contains(f.name) =>
+          val fresh = s"${f.name}__r${m.version + 1}"
+          require(!physInUse.contains(fresh),
+            s"cannot allocate physical name '$fresh' for added column " +
+              s"'${f.name}' — it is already in use")
+          f.name -> fresh
+      }.toMap
       Manifest(m.version + 1, m.version, "evolve-schema", newS.toDDL, m.files,
-        physical = m.physical, eqDeletes = m.eqDeletes, layout = m.layout)
+        physical = m.physical ++ freshNames, eqDeletes = m.eqDeletes,
+        layout = m.layout)
     }
 
   /** Metadata-only column rename (Iceberg/Delta column-mapping core):
@@ -2677,6 +2688,54 @@ object SnapshotLog {
       Manifest(m.version + 1, m.version, "rename-column", newSchema.toDDL,
         files, physical = newPhysical, eqDeletes = m.eqDeletes,
         layout = newLayout)
+    }
+
+  /** Metadata-only column DROP (the column-mapping complement of
+    * [[renameColumn]] and [[evolveSchema]]): one manifest write, zero
+    * data movement — existing files keep their physical bytes, reads
+    * simply stop projecting them, and time travel serves every prior
+    * version WITH the column. The dropped column's PHYSICAL name stays
+    * reserved by a tombstone mapping entry (`__dropped__<phys>` →
+    * phys), so a later [[evolveSchema]] re-adding the same logical
+    * name cannot collide with the old bytes — pre-drop files serve the
+    * re-added column as NULL instead of resurrecting deleted values.
+    * Refuses: the table's last column; a column referenced by a CHECK
+    * constraint (it would dangle) or by the declared layout
+    * (clearLayout first); the key of an outstanding equality delete
+    * (the read-side anti-join needs the column — compact first). A
+    * drop is not append-shaped: streams and incremental reads spanning
+    * it refuse loudly; the change feed composes (its end-schema
+    * alignment projects the column away). Returns the new version.
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    publishMetadata(spark, table) { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in ${schema.fieldNames.toSeq}")
+      require(schema.fields.length > 1, "cannot drop the table's last column")
+      val word = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      constraints(spark, table).foreach { case (n, e) =>
+        require(word.findFirstIn(e).isEmpty,
+          s"column '$name' is referenced by constraint '$n' ($e) — " +
+            "drop the constraint before dropping the column")
+      }
+      m.layout.foreach(ls => require(!ls.cols.contains(name),
+        s"column '$name' is part of the declared $ls layout — " +
+          "clearLayout (or re-declare) first"))
+      val phys = m.physical.getOrElse(name, name)
+      require(!m.eqDeletes.exists(_.keyCol == phys),
+        s"column '$name' keys outstanding equality deletes — the " +
+          "read-side anti-join needs it; compact first")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      val newPhysical = (m.physical - name) + (s"__dropped__$phys" -> phys)
+      def strip[A](kv: Map[String, A]): Map[String, A] = kv - name
+      val files = m.files.map(f => f.copy(stats = strip(f.stats),
+        blooms = strip(f.blooms), ndvs = strip(f.ndvs),
+        nulls = strip(f.nulls)))
+      Manifest(m.version + 1, m.version, "drop-column", newSchema.toDDL,
+        files, physical = newPhysical, eqDeletes = m.eqDeletes,
+        layout = m.layout)
     }
 
   /** Metadata-only rollback: republish `toVersion`'s exact file list as

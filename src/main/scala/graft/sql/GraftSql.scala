@@ -407,6 +407,8 @@ object GraftSql {
   private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+  private val AlterDropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
   private val AlterAddRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*""" +
       """(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\)?\s*$""").r
@@ -450,7 +452,10 @@ object GraftSql {
     *    (metadata-only column mapping) and
     *    `ALTER TABLE v ADD COLUMN c TYPE`
     *    → [[graft.sources.snapshot.SnapshotLog.evolveSchema]]
-    *    (additive, metadata-only) — both repoint the view at the new
+    *    (additive, metadata-only), and `ALTER TABLE v DROP COLUMN c`
+    *    → [[graft.sources.snapshot.SnapshotLog.dropColumn]]
+    *    (metadata-only; the physical slot tombstones so a later
+    *    re-ADD serves NULL) — all repoint the view at the new
     *    version with the new schema.
     *
     * After a mutation the view re-registers at the NEW latest version,
@@ -583,6 +588,13 @@ object GraftSql {
         val (t, _) = mutableSnapshotOf(spark, name)
         graft.sources.snapshot.SnapshotLog.vacuum(spark, t)
         (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
+      case AlterDropRe(name, colName) =>
+        // metadata-only drop; the physical slot stays tombstoned so a
+        // later ADD COLUMN of the same name serves NULL, never the old
+        // bytes (see SnapshotLog.dropColumn)
+        val (t, _) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog.dropColumn(spark, t, colName),
+          name)
       case AlterRenameRe(name, oldC, newC) =>
         // metadata-only column mapping (see SnapshotLog.renameColumn);
         // the repoint below re-registers the view with the new schema
@@ -603,6 +615,7 @@ object GraftSql {
         throw new IllegalArgumentException(
           "unsupported statement (DELETE FROM/INSERT INTO/UPDATE/" +
             "MERGE INTO/ALTER TABLE ... RENAME COLUMN/ADD COLUMN/" +
+            "DROP COLUMN/" +
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
     }
     // repoint the view at the new version so SQL readers see the change

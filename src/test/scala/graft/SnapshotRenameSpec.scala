@@ -146,12 +146,23 @@ class SnapshotRenameSpec extends AnyFunSuite {
     SnapshotLog.dropConstraint(s, t, "k_range")
     SnapshotLog.renameColumn(s, t, "k", "bucket")
     // evolving a NEW column whose name is a renamed column's physical
-    // name would alias two logical columns onto one parquet column
+    // name allocates a FRESH physical slot: old files (whose physical
+    // 'k' bytes belong to logical 'bucket') serve the new 'k' as NULL
+    // instead of aliasing two logical columns onto one parquet column
     val ddl = SnapshotLog.manifest(s, t,
       SnapshotLog.latestVersion(s, t).get).schemaDdl
-    intercept[IllegalArgumentException] {
-      SnapshotLog.evolveSchema(s, t, ddl + ",k BIGINT") }
-    // renaming ONTO a still-occupied physical name refuses too
+    SnapshotLog.evolveSchema(s, t, ddl + ",k BIGINT")
+    val r = SnapshotLog.read(s, t)
+    assert(r.where($"k".isNotNull).count() == 0,
+      "re-added 'k' aliased the renamed column's old bytes")
+    assert(r.where($"bucket".isNotNull).count() == 20)
+    // writes land under the fresh physical name and read back
+    SnapshotLog.commit(s.range(20, 25).select($"id",
+      ($"id" % 7).as("bucket"), lit("x").as("payload"),
+      lit(99L).as("k")), t, "append", Seq("id"))
+    assert(SnapshotLog.read(s, t).where($"k" === 99L).count() == 5)
+    assert(SnapshotLog.read(s, t).where($"bucket".isNotNull).count() == 25)
+    // renaming ONTO a still-occupied physical name refuses
     intercept[IllegalArgumentException] {
       SnapshotLog.renameColumn(s, t, "payload", "k") }
   }
