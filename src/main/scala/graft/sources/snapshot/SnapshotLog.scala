@@ -1026,6 +1026,10 @@ object SnapshotLog {
     require(replacementByPath.keySet.subsetOf(touchedByPath.keySet),
       "replacement entries must stand in for touched paths")
     var parent = base
+    // highest version already proven free of restore/fast-forward by a
+    // prior rebase attempt — the history-movement guard in
+    // [[rebaseTarget]] never re-walks it on later retries
+    var provenCleanTo = base.version
     var attempt = 1
     while (true) {
       val seqNow = lastSeq(parent) + 1
@@ -1054,7 +1058,9 @@ object SnapshotLog {
             if (epoch >= 0L && maxEpoch(spark, table, vNow) >= epoch)
               throw new EpochReplayedException
             parent = rebaseTarget(spark, table, base,
-              manifest(spark, table, vNow), touchedByPath, op)
+              manifest(spark, table, vNow), touchedByPath, op,
+              provenCleanTo)
+            provenCleanTo = parent.version
           } // else: CAS lost but the winner isn't visible yet — retry
       }
     }
@@ -1076,7 +1082,8 @@ object SnapshotLog {
     */
   private def rebaseTarget(spark: SparkSession, table: String,
       base: Manifest, latest: Manifest,
-      touchedByPath: Map[String, FileEntry], op: String): Manifest = {
+      touchedByPath: Map[String, FileEntry], op: String,
+      provenCleanTo: Long): Manifest = {
     def conflict(why: String): Nothing =
       throw new ConcurrentMutationException(
         s"$op read table version ${base.version} but concurrent commits " +
@@ -1095,9 +1102,16 @@ object SnapshotLog {
     // the restore deliberately brought back. History movement is not a
     // disjoint mutation — refuse, table untouched, rerun reads the
     // restored state.
-    ((base.version + 1) to latest.version).foreach { v =>
+    // Only each intermediate version's RAW op field is read (one small
+    // JSON each, no delta-chain file-list resolution), and versions a
+    // prior rebase attempt already proved clean are skipped — on a busy
+    // table the guard costs O(new commits since last attempt), not
+    // O(gap) resolutions per retry.
+    val tblP = new Path(table)
+    val fsP = fsOf(spark, tblP)
+    ((math.max(base.version, provenCleanTo) + 1) to latest.version).foreach { v =>
       val op =
-        try manifest(spark, table, v).op
+        try readRaw(fsP, tblP, v).op
         catch {
           case scala.util.control.NonFatal(_) =>
             conflict(s"intermediate version $v cannot be read to prove " +
@@ -1182,6 +1196,72 @@ object SnapshotLog {
   final case class MutationStats(version: Long, filesKept: Int,
       filesDropped: Int, filesRewritten: Int)
 
+  /** One AND-conjunct of a compound DML predicate: a row matches when
+    * `lo <(=) column <(=) hi`, bounds inclusive unless the matching
+    * strict flag is set, `None` = unbounded on that side (so `=`, `<`,
+    * `<=`, `>`, `>=`, and BETWEEN all express as one shape). At least
+    * one bound must be present.
+    */
+  final case class ColumnRange(column: String,
+      lo: Option[Any], hi: Option[Any],
+      loStrict: Boolean = false, hiStrict: Boolean = false) {
+    require(lo.isDefined || hi.isDefined,
+      s"predicate conjunct on '$column' needs at least one bound")
+    require(!loStrict || lo.isDefined, "loStrict needs a lower bound")
+    require(!hiStrict || hi.isDefined, "hiStrict needs an upper bound")
+  }
+  object ColumnRange {
+    def between(column: String, lo: Any, hi: Any): ColumnRange =
+      ColumnRange(column, Some(lo), Some(hi))
+    def eq(column: String, x: Any): ColumnRange =
+      ColumnRange(column, Some(x), Some(x))
+  }
+
+  /** Can NO row of the file satisfy this conjunct? True iff the
+    * file's [min,max] stats window for the column provably misses the
+    * bounds (missing stats never prove anything).
+    */
+  private def statsExclude(f: FileEntry, cr: ColumnRange): Boolean =
+    f.stats.get(cr.column).exists { case (mn, mx) =>
+      cr.lo.exists { lo =>
+        val c = cmp(mx, lo); c < 0 || (cr.loStrict && c == 0) } ||
+        cr.hi.exists { hi =>
+          val c = cmp(mn, hi); c > 0 || (cr.hiStrict && c == 0) }
+    }
+
+  /** Does EVERY row of the file provably satisfy this conjunct? Needs
+    * the stats window inside the bounds AND a recorded zero null count
+    * — min/max describe only non-null values, and a NULL never matches
+    * a range predicate, so a file that may hold nulls in the column
+    * cannot be dropped whole without reading it.
+    */
+  private def statsCover(f: FileEntry, cr: ColumnRange): Boolean =
+    f.stats.get(cr.column).exists { case (mn, mx) =>
+      cr.lo.forall { lo =>
+        val c = cmp(mn, lo); c > 0 || (!cr.loStrict && c == 0) } &&
+        cr.hi.forall { hi =>
+          val c = cmp(mx, hi); c < 0 || (!cr.hiStrict && c == 0) }
+    } && f.nulls.get(cr.column).contains(0L)
+
+  /** The conjunction as a row-level Column (the rewrite-side residual
+    * of the stats classification above).
+    */
+  private def rangePredicate(crs: Seq[ColumnRange]): org.apache.spark.sql.Column =
+    crs.map { cr =>
+      (cr.lo.map(v => if (cr.loStrict) col(cr.column) > lit(v)
+        else col(cr.column) >= lit(v)).toSeq ++
+        cr.hi.map(v => if (cr.hiStrict) col(cr.column) < lit(v)
+          else col(cr.column) <= lit(v)).toSeq).reduce(_ && _)
+    }.reduce(_ && _)
+
+  private def validateConjuncts(conjuncts: Seq[ColumnRange],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    require(conjuncts.nonEmpty, "predicate needs at least one conjunct")
+    conjuncts.foreach(cr => require(schema.fieldNames.contains(cr.column),
+      s"predicate column '${cr.column}' not in table schema " +
+        s"${schema.fieldNames.toSeq}"))
+  }
+
   /** Copy-on-write range delete: remove rows with `lo <= column <= hi`,
     * published as a new version. Each parent file is classified from
     * its manifest stats alone — disjoint range: kept as-is (never
@@ -1194,17 +1274,34 @@ object SnapshotLog {
     * matching row.
     */
   def deleteWhere(spark: SparkSession, table: String, column: String,
-      lo: Any, hi: Any, statsCols: Seq[String] = Nil): Option[MutationStats] = {
+      lo: Any, hi: Any, statsCols: Seq[String] = Nil): Option[MutationStats] =
+    deleteWhere(spark, table, Seq(ColumnRange.between(column, lo, hi)),
+      statsCols)
+
+  /** Compound-predicate copy-on-write delete: remove rows matching the
+    * AND of per-column range `conjuncts` (`a BETWEEN x AND y AND b = z
+    * AND ts < t`). Classification stays stats-only and per conjunct —
+    * a file is KEPT (never read) when ANY conjunct provably excludes
+    * its [min,max] window, DROPPED metadata-only when EVERY conjunct
+    * provably covers every row (window inside bounds, zero recorded
+    * nulls), and rewritten otherwise. The conjunction only ever
+    * SHRINKS the rewrite set vs any single conjunct alone, so a
+    * multi-column delete on a 100 TB table still costs the files it
+    * actually changes.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      conjuncts: Seq[ColumnRange],
+      statsCols: Seq[String]): Option[MutationStats] = {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
+    validateConjuncts(conjuncts,
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
     val (kept, dropped, rewrite) = {
       val groups = m.files.groupBy { f =>
-        f.stats.get(column) match {
-          case Some((mn, mx)) if cmp(mn, hi) > 0 || cmp(mx, lo) < 0 => "keep"
-          case Some((mn, mx)) if cmp(mn, lo) >= 0 && cmp(mx, hi) <= 0 => "drop"
-          case _ => "rewrite" // partial overlap, or no stats: must read
-        }
+        if (conjuncts.exists(statsExclude(f, _))) "keep"
+        else if (conjuncts.forall(statsCover(f, _))) "drop"
+        else "rewrite" // partial overlap, or no stats: must read
       }
       (groups.getOrElse("keep", Nil), groups.getOrElse("drop", Nil),
         groups.getOrElse("rewrite", Nil))
@@ -1213,11 +1310,13 @@ object SnapshotLog {
     else {
       val newFiles =
         if (rewrite.isEmpty) Nil
+        // survivors = rows where the predicate is FALSE **or NULL** —
+        // a NULL comparison never matches a DELETE predicate, so plain
+        // `!pred` (NULL for NULL inputs) would silently drop null rows
         else writeData(
           sortForLayout(readFiles(spark, table, m, rewrite)
-            .where(!(col(column) >= lit(lo) && col(column) <= lit(hi))),
-            m.layout),
-          table, v0 + 1, (statsCols :+ column).distinct,
+            .where(!(rangePredicate(conjuncts) <=> lit(true))), m.layout),
+          table, v0 + 1, (statsCols ++ conjuncts.map(_.column)).distinct,
           physical = m.physical)
       val v = publishMutation(spark, table, m, "delete",
         touched = dropped ++ rewrite, replacement = Nil,
@@ -1239,26 +1338,37 @@ object SnapshotLog {
   def updateWhere(spark: SparkSession, table: String, column: String,
       lo: Any, hi: Any,
       assignments: Map[String, org.apache.spark.sql.Column],
-      statsCols: Seq[String] = Nil): Option[MutationStats] = {
+      statsCols: Seq[String] = Nil): Option[MutationStats] =
+    updateWhere(spark, table, Seq(ColumnRange.between(column, lo, hi)),
+      assignments, statsCols)
+
+  /** Compound-predicate copy-on-write update: apply `assignments` to
+    * rows matching the AND of per-column range `conjuncts`. A file is
+    * skipped (never read) when ANY conjunct provably excludes its
+    * stats window; everything else rewrites with matching rows
+    * transformed and the rest copied through. Assignments may not
+    * reassign any predicate column (re-keying is an upsert's job).
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      conjuncts: Seq[ColumnRange],
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String]): Option[MutationStats] = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
-    require(!assignments.contains(column),
-      s"UPDATE may not reassign its predicate column '$column' — " +
-        "re-keying rows is an upsert")
+    conjuncts.foreach(cr => require(!assignments.contains(cr.column),
+      s"UPDATE may not reassign its predicate column '${cr.column}' — " +
+        "re-keying rows is an upsert"))
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    validateConjuncts(conjuncts, schema)
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"UPDATE target '$c' not in table schema ${schema.fieldNames.toSeq}"))
-    val (kept, rewrite) = m.files.partition { f =>
-      f.stats.get(column) match {
-        case Some((mn, mx)) => cmp(mn, hi) > 0 || cmp(mx, lo) < 0
-        case None => false // no stats: may hold a match, must read
-      }
-    }
+    val (kept, rewrite) = m.files.partition(f =>
+      conjuncts.exists(statsExclude(f, _)))
     if (rewrite.isEmpty) None
     else {
-      val hit = col(column) >= lit(lo) && col(column) <= lit(hi)
+      val hit = rangePredicate(conjuncts)
       val updated = readFiles(spark, table, m, rewrite).select(
         schema.fields.map { f =>
           assignments.get(f.name) match {
@@ -1268,7 +1378,8 @@ object SnapshotLog {
           }
         }.toIndexedSeq: _*)
       val newFiles = writeData(sortForLayout(updated, m.layout), table,
-        v0 + 1, (statsCols :+ column).distinct, physical = m.physical)
+        v0 + 1, (statsCols ++ conjuncts.map(_.column)).distinct,
+        physical = m.physical)
       val v = publishMutation(spark, table, m, "update",
         touched = rewrite, replacement = Nil, added = newFiles,
         eqAdded = Nil)
@@ -3733,15 +3844,32 @@ object SnapshotLog {
       }.reduce(_ unionByName _)
     }
 
-  /** Order manifest stat scalars: numerics numerically, strings
-    * lexically (matching parquet min/max semantics for each type).
+  /** Order manifest stat scalars: numerics numerically, strings in
+    * UTF-8 BYTE order — the order Spark computed the min/max under
+    * (UTF8String/UnsafeRow comparisons are byte-wise). Java's
+    * String.compareTo is UTF-16 code-unit order, which DISAGREES on
+    * supplementary-plane content (U+10000+ sorts below U+E000 in
+    * UTF-16 but above in UTF-8), so stats classification must compare
+    * the same way the stats were made — the order ord64 assumes too.
     */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Number, y: Number) =>
       java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => utf8Cmp(x, y)
     case _ => throw new IllegalArgumentException(
       s"incomparable stats: ${a.getClass} vs ${b.getClass}")
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   // ---- JSON rendering/parsing via Jackson's untyped tree ----

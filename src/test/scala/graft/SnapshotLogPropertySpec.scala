@@ -16,8 +16,8 @@ import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
   * sequences (append / overwrite / range delete / upsert / compact /
   * stream-append with replays / deletion-vector delete / CDC
   * applyChanges / metadata-only column RENAME / merge-on-read
-  * equality-delete upsert / MOR key delete / CoW range UPDATE) run
-  * against BOTH the real
+  * equality-delete upsert / MOR key delete / CoW range UPDATE /
+  * compound-conjunction CoW DELETE and UPDATE) run against BOTH the real
   * table and an in-memory model. After every op the table must equal
   * the model; after the sequence, every committed version must equal
   * the model's history snapshot (time travel), metadata stats must
@@ -99,7 +99,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(12)
+        val choice = if (op == 0) 0 else rnd.nextInt(14)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -110,7 +110,8 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11)(choice) && rnd.nextInt(3) == 0)
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13)(choice) &&
+            rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
         val preModel = model
@@ -224,6 +225,33 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               Seq(keyName)).foreach { st =>
               model = model.map(r =>
                 if (r._1 >= lo && r._1 <= hi) (r._1, r._2, r._3 + "*") else r)
+              history += st.version -> model
+            }
+          case 12 => // compound CoW delete: id window AND k = const
+            val lo = rnd.nextLong(nextId.max(1))
+            val hi = lo + rnd.nextLong(30) + 1
+            val kv = rnd.nextLong(7)
+            SnapshotLog.deleteWhere(s, t,
+              Seq(SnapshotLog.ColumnRange.between(keyName, lo, hi),
+                SnapshotLog.ColumnRange.eq("k", kv)),
+              Seq(keyName)).foreach { st =>
+              model = model.filterNot(r =>
+                r._1 >= lo && r._1 <= hi && r._2 == kv)
+              history += st.version -> model
+            }
+          case 13 => // compound CoW update: id window AND k = const
+            val lo = rnd.nextLong(nextId.max(1))
+            val hi = lo + rnd.nextLong(30) + 1
+            val kv = rnd.nextLong(7)
+            SnapshotLog.updateWhere(s, t,
+              Seq(SnapshotLog.ColumnRange.between(keyName, lo, hi),
+                SnapshotLog.ColumnRange.eq("k", kv)),
+              Map("payload" -> concat(col("payload"), lit("+"))),
+              Seq(keyName)).foreach { st =>
+              model = model.map(r =>
+                if (r._1 >= lo && r._1 <= hi && r._2 == kv)
+                  (r._1, r._2, r._3 + "+")
+                else r)
               history += st.version -> model
             }
         } }

@@ -68,6 +68,10 @@ class SnapshotRebaseMatrixSpec extends AnyFunSuite {
       s.range(250, 260).toDF("id"), t, "id"); () }),
     Op("cow-update-b0")(t => { SnapshotLog.updateWhere(s, t, "id", 20L, 29L,
       Map("payload" -> concat(lit("u2-"), col("payload"))), Seq("id")); () }),
+    Op("cow-delete-compound-b1")(t => { SnapshotLog.deleteWhere(s, t,
+      Seq(SnapshotLog.ColumnRange.between("id", 120L, 139L),
+        SnapshotLog.ColumnRange("payload", Some("r"), None)),
+      Seq("id")); () }),
     Op("compact")(t => { SnapshotLog.compact(s, t, 1L << 30,
       Seq("id")); () }))
 
