@@ -3137,6 +3137,54 @@ object SourceQueries extends QueryPack {
           $"v1_sum_cust")
     }),
 
+    // Compound-predicate SQL DML (AND-conjunctions): the first real
+    // multi-column statement a user types. UPDATE `o_orderkey BETWEEN
+    // .. AND o_band = 1` — the band conjunct excludes two files the
+    // key window alone would rewrite (carried_files=3 pins exactly
+    // one file touched), and a DELETE whose conjuncts both fully
+    // cover one band drops that file METADATA-ONLY (delete_meta_only
+    // pins zero new files). The oracle replays both statements
+    // relationally from the band arithmetic; a classifier that reads
+    // a conjunct-excluded file, misses a covered one, or mis-executes
+    // the conjunction breaks the structural pins or the content hash.
+    "qcl_sql_compound_dml" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapcdml-$tag"
+      val v = s"cdmlv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      // -1 start: orderkeys begin at 0, which `> 0` would drop
+      val cuts = Seq(-1L, mx / 4, mx / 2, 3 * mx / 4, mx)
+      (0 until 4).foreach(i => SnapshotLog.commit(
+        o.where($"o_orderkey" > cuts(i) && $"o_orderkey" <= cuts(i + 1))
+          .select($"o_orderkey", $"o_custkey", lit(i.toLong).as("o_band"))
+          .coalesce(1), t, "append", Seq("o_orderkey", "o_band")))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None,
+        Seq("o_orderkey", "o_band"))
+      val before = SnapshotLog.manifest(s, t, 4L).files.map(_.path).toSet
+      graft.sql.GraftSql.dml(s,
+        s"UPDATE $v SET o_custkey = o_custkey + 1000000 " +
+          s"WHERE o_orderkey BETWEEN ${mx / 8} AND ${5 * mx / 8} " +
+          "AND o_band = 1")
+      val afterUpd = SnapshotLog.manifest(s, t, 5L).files.map(_.path).toSet
+      val carried = (before intersect afterUpd).size.toLong
+      graft.sql.GraftSql.dml(s,
+        s"DELETE FROM $v WHERE o_orderkey > ${3 * mx / 4} AND o_band >= 3")
+      val afterDel = SnapshotLog.manifest(s, t, 6L).files.map(_.path).toSet
+      val metaOnly = afterDel.subsetOf(afterUpd) &&
+        afterDel.size == afterUpd.size - 1
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"o_custkey" >= 1000000L, lit(1))).as("n_bumped"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("carried_files", lit(carried))
+        .withColumn("delete_meta_only", lit(if (metaOnly) 1L else 0L))
+        .select($"carried_files", $"delete_meta_only", $"n_rows",
+          $"n_bumped", $"sum_cust")
+    }),
+
     // SQL DROP COLUMN (column mapping, metadata-only) + tombstoned
     // re-ADD: dropping o_custkey moves zero data (metadata_only=1 pins
     // the identical file list), a later ADD COLUMN of the SAME name
@@ -3789,6 +3837,24 @@ object SourceQueries extends QueryPack {
           |  CAST((SELECT sum(o_custkey) FROM orders) AS BIGINT)
           |    AS v1_sum_cust
           |FROM orders, mx""".stripMargin,
+
+      // both statements replayed relationally from the band
+      // arithmetic; carried_files / delete_meta_only are contract
+      // constants (one file rewritten by the UPDATE, one dropped
+      // metadata-only by the DELETE)
+      "qcl_sql_compound_dml" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
+          |SELECT CAST(3 AS BIGINT) AS carried_files,
+          |  CAST(1 AS BIGINT) AS delete_meta_only,
+          |  count(*) AS n_rows,
+          |  count(CASE WHEN o_orderkey >= m // 8 AND o_orderkey <= 5 * m // 8
+          |    AND o_orderkey > m // 4 AND o_orderkey <= m // 2
+          |    THEN 1 END) AS n_bumped,
+          |  CAST(sum(CASE WHEN o_orderkey >= m // 8 AND o_orderkey <= 5 * m // 8
+          |    AND o_orderkey > m // 4 AND o_orderkey <= m // 2
+          |    THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+          |    AS sum_cust
+          |FROM orders, mx WHERE o_orderkey <= 3 * m // 4""".stripMargin,
 
       // replayed relationally: evens carried custkeys at v1 (dropped,
       // so NULL now), odds never had one, the shifted third slice

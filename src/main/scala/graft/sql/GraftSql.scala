@@ -178,7 +178,9 @@ object GraftSql {
           i += 1
           var open = true
           while (open && i < n) {
-            if (statement.charAt(i) == q) {
+            if (statement.charAt(i) == '\\' && i + 1 < n)
+              i += 2 // backslash escape (Spark's default literal mode)
+            else if (statement.charAt(i) == q) {
               if (q == '\'' && i + 1 < n && statement.charAt(i + 1) == '\'')
                 i += 2 // '' escape inside a string literal
               else { open = false; i += 1 }
@@ -352,17 +354,12 @@ object GraftSql {
 
   // ---- DML over snapshot views ------------------------------------------
 
-  private val DeleteRangeRe =
-    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)\s*$""".r
-  private val DeleteEqRe =
-    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(\w+)\s*=\s*(\S+)\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
-  private val UpdateRangeRe =
-    ("""(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+""" +
-      """WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)\s*$""").r
-  private val UpdateEqRe =
-    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(\w+)\s*=\s*(\S+)\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
 
   /** Split a SET clause on its TOP-LEVEL commas (commas inside
     * parentheses or string literals belong to the expressions) and
@@ -373,15 +370,29 @@ object GraftSql {
       setClause: String): Map[String, org.apache.spark.sql.Column] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
-    var inStr = false
     var start = 0
     var i = 0
     while (i < setClause.length) {
       setClause.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case ',' if !inStr && depth == 0 =>
+        case '\'' =>
+          // consume the whole literal, honoring '' and backslash
+          // escapes — a raw per-quote toggle would flip string state
+          // on escape pairs and mis-split the clause
+          i += 1
+          var open = true
+          while (open && i < setClause.length) {
+            if (setClause.charAt(i) == '\\' && i + 1 < setClause.length)
+              i += 2
+            else if (setClause.charAt(i) == '\'') {
+              if (i + 1 < setClause.length && setClause.charAt(i + 1) == '\'')
+                i += 2
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+          i -= 1 // the outer loop advances past the closing quote
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
           parts += setClause.substring(start, i); start = i + 1
         case _ => ()
       }
@@ -394,6 +405,77 @@ object GraftSql {
       case bad => throw new IllegalArgumentException(
         s"cannot parse UPDATE assignment '$bad' — expected col = expr")
     }.toMap
+  }
+
+  /** First index of keyword `word` outside every literal/comment span,
+    * or -1 (how UPDATE finds the WHERE that ends its SET clause — a
+    * "where" INSIDE an assignment's string literal is data).
+    */
+  private def topLevelIndexOf(s: String, word: String): Int = {
+    val spans = literalSpans(s)
+    ("(?i)\\b" + word + "\\b").r.findAllMatchIn(s)
+      .find(m => !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+      .map(_.start).getOrElse(-1)
+  }
+
+  import graft.sources.snapshot.SnapshotLog.ColumnRange
+
+  // one conjunct: col BETWEEN lit AND lit, or col <op> lit — a literal
+  // is a ''-escaped single-quoted string or a bare unspaced token
+  private val ConjBetweenRe =
+    """(?is)^\s*(\w+)\s+BETWEEN\s+('(?:[^']|'')*'|[^\s'()]+)\s+AND\s+('(?:[^']|'')*'|[^\s'()]+)\s*""".r
+  private val ConjCmpRe =
+    """(?is)^\s*(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']|'')*'|[^\s'()]+)\s*""".r
+  private val AndRe = """(?is)^AND\s+""".r
+  private val OrRe = """(?is)^OR\b""".r
+
+  /** Parse a DML WHERE clause as an AND-conjunction of per-column
+    * range constraints — the exact grammar the stats-based file
+    * classification can execute faithfully. Each conjunct is
+    * `col BETWEEN lo AND hi` or `col (=|<|<=|>|>=) x`. OR (and any
+    * other shape) refuses LOUDLY: a dispatcher that silently
+    * mis-executes a predicate it cannot classify is how tables corrupt.
+    */
+  private def parseWhere(where: String): Seq[ColumnRange] = {
+    def fail(at: String): Nothing = throw new IllegalArgumentException(
+      "DML WHERE supports AND-conjunctions of per-column ranges " +
+        "(col BETWEEN lo AND hi, col = x, col </<=/>/>= x); OR and " +
+        s"other predicate shapes are not supported — cannot parse: $at")
+    val out = Seq.newBuilder[ColumnRange]
+    var rest: CharSequence = where
+    var first = true
+    while (rest.length() > 0) {
+      if (!first) {
+        if (OrRe.findPrefixMatchOf(rest).isDefined) fail(rest.toString)
+        AndRe.findPrefixMatchOf(rest) match {
+          case Some(m) => rest = rest.subSequence(m.end, rest.length())
+          case None => fail(rest.toString)
+        }
+      }
+      ConjBetweenRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          out += ColumnRange(m.group(1),
+            Some(sqlLiteral(m.group(2))), Some(sqlLiteral(m.group(3))))
+          rest = rest.subSequence(m.end, rest.length())
+        case None => ConjCmpRe.findPrefixMatchOf(rest) match {
+          case Some(m) =>
+            val v = sqlLiteral(m.group(3))
+            out += (m.group(2) match {
+              case "=" => ColumnRange.eq(m.group(1), v)
+              case "<" => ColumnRange(m.group(1), None, Some(v), hiStrict = true)
+              case "<=" => ColumnRange(m.group(1), None, Some(v))
+              case ">" => ColumnRange(m.group(1), Some(v), None, loStrict = true)
+              case ">=" => ColumnRange(m.group(1), Some(v), None)
+            })
+            rest = rest.subSequence(m.end, rest.length())
+          case None => fail(rest.toString)
+        }
+      }
+      first = false
+    }
+    val crs = out.result()
+    if (crs.isEmpty) fail(where)
+    crs
   }
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+""" +
@@ -415,23 +497,34 @@ object GraftSql {
 
   private def sqlLiteral(s: String): Any = {
     val t = s.trim
-    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
-    else if (t.contains('.')) t.toDouble
-    else t.toLong
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else
+      try if (t.contains('.')) t.toDouble else t.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"cannot parse SQL literal '$t' — expected a number or a " +
+            "single-quoted string")
+      }
   }
 
   /** Thin DML dispatch over registered snapshot views — the write half
     * of the SQL surface. Supported statements (ANSI shapes, resolved
     * against [[registerSnapshot]]'s catalog):
     *
-    *  - `DELETE FROM v WHERE col BETWEEN lo AND hi` (or `col = x`)
+    *  - `DELETE FROM v WHERE <conjunction>`
     *    → [[graft.sources.snapshot.SnapshotLog.deleteWhere]] — CoW
     *    classification: untouched files kept, covered files dropped
-    *    metadata-only, partial files rewritten.
+    *    metadata-only, partial files rewritten. `<conjunction>` is an
+    *    AND of per-column ranges — `col BETWEEN lo AND hi`, `col = x`,
+    *    `col < x`, `col <= x`, `col > x`, `col >= x` — e.g.
+    *    `WHERE a BETWEEN 1 AND 9 AND b = 'web' AND ts < 170`. OR and
+    *    any other predicate shape refuse loudly (the stats-based file
+    *    classifier executes exactly what it can prove).
     *  - `INSERT INTO v SELECT ...` → an append commit of the query
     *    result (conforms to the table schema; CHECK constraints bind).
-    *  - `UPDATE v SET a = expr[, b = expr] WHERE col BETWEEN lo AND hi`
-    *    (or `col = x`) → [[graft.sources.snapshot.SnapshotLog.updateWhere]]
+    *  - `UPDATE v SET a = expr[, b = expr] WHERE <conjunction>` (same
+    *    grammar) → [[graft.sources.snapshot.SnapshotLog.updateWhere]]
     *    — CoW: only files whose stats may hold a match rewrite;
     *    expressions may reference other columns.
     *  - `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN
@@ -470,17 +563,10 @@ object GraftSql {
     // every match arm binds the TARGET VIEW NAME from its own capture
     // group — the repoint below reuses it, never a re-parse
     val (v, name) = statement match {
-      case DeleteRangeRe(name, colName, lo, hi) =>
+      case DeleteRe(name, where) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
-          .deleteWhere(spark, t, colName, sqlLiteral(lo), sqlLiteral(hi), stats)
-          .map(_.version)
-          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
-          name)
-      case DeleteEqRe(name, colName, x) =>
-        val (t, stats) = mutableSnapshotOf(spark, name)
-        (graft.sources.snapshot.SnapshotLog
-          .deleteWhere(spark, t, colName, sqlLiteral(x), sqlLiteral(x), stats)
+          .deleteWhere(spark, t, parseWhere(where), stats)
           .map(_.version)
           .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
           name)
@@ -488,18 +574,16 @@ object GraftSql {
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
           .commit(spark.sql(select), t, "append", stats), name)
-      case UpdateRangeRe(name, setClause, colName, lo, hi) =>
+      case UpdateRe(name, tail) =>
+        // SET clause ends at the first WHERE outside literals/comments
+        // (an assignment literal containing the word "where" is data)
+        val wi = topLevelIndexOf(tail, "WHERE")
+        require(wi > 0, s"UPDATE needs a WHERE clause, got: $tail")
+        val setClause = tail.substring(0, wi)
+        val where = tail.substring(wi + "WHERE".length)
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
-          .updateWhere(spark, t, colName, sqlLiteral(lo), sqlLiteral(hi),
-            parseAssignments(setClause), stats)
-          .map(_.version)
-          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
-          name)
-      case UpdateEqRe(name, setClause, colName, x) =>
-        val (t, stats) = mutableSnapshotOf(spark, name)
-        (graft.sources.snapshot.SnapshotLog
-          .updateWhere(spark, t, colName, sqlLiteral(x), sqlLiteral(x),
+          .updateWhere(spark, t, parseWhere(where),
             parseAssignments(setClause), stats)
           .map(_.version)
           .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),

@@ -288,6 +288,94 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"))
   }
 
+  test("compound WHERE: AND-conjunctions classify per conjunct; OR refuses loudly") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-cmp").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    // four single-file buckets over correlated (id, k = bucket index)
+    (0 until 4).foreach(b => snap.commit(
+      spark.range(b * 100L, b * 100L + 100)
+        .select($"id", lit(b.toLong).as("k"),
+          concat(lit("row"), $"id").as("payload")).repartition(1),
+      t, "append", Seq("id", "k")))
+    GraftSql.registerSnapshot(spark, "cmp_v", t, None, Seq("id", "k"))
+    val before = snap.manifest(spark, t, 4L).files.map(_.path).toSet
+
+    // UPDATE with BETWEEN AND =: the k conjunct excludes buckets the id
+    // window alone would rewrite — exactly one file touched
+    GraftSql.dml(spark,
+      "UPDATE cmp_v SET payload = concat('u-', payload) " +
+        "WHERE id BETWEEN 150 AND 349 AND k = 2")
+    val after = snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).files.map(_.path).toSet
+    assert((before intersect after).size == 3,
+      "a conjunct-excluded file was rewritten")
+    assert(spark.sql(
+      "SELECT count(*) FROM cmp_v WHERE payload LIKE 'u-%'")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT min(id), max(id) FROM cmp_v WHERE payload LIKE 'u-%'")
+      .head match { case r => r.getLong(0) == 200L && r.getLong(1) == 299L })
+
+    // DELETE with three conjuncts incl. a strict inequality
+    GraftSql.dml(spark,
+      "DELETE FROM cmp_v WHERE id >= 300 AND id < 350 AND k = 3")
+    assert(spark.sql("SELECT count(*) FROM cmp_v").head.getLong(0) == 350L)
+    assert(spark.sql("SELECT count(*) FROM cmp_v WHERE id = 350")
+      .head.getLong(0) == 1L, "strict < deleted its boundary row")
+
+    // string literal with an escaped quote, in SET and in WHERE
+    GraftSql.dml(spark,
+      "UPDATE cmp_v SET payload = 'it''s, fine' WHERE id = 0 AND k = 0")
+    assert(spark.sql("SELECT payload FROM cmp_v WHERE id = 0")
+      .head.getString(0) == "it's, fine")
+    GraftSql.dml(spark,
+      "DELETE FROM cmp_v WHERE payload = 'it''s, fine' AND id <= 10")
+    assert(spark.sql("SELECT count(*) FROM cmp_v WHERE id = 0")
+      .head.getLong(0) == 0L)
+
+    // OR refuses loudly and mutates nothing
+    val vNow = snap.latestVersion(spark, t).get
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        "DELETE FROM cmp_v WHERE id BETWEEN 0 AND 9 OR k = 2")
+    }
+    assert(e.getMessage.contains("OR"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        "UPDATE cmp_v SET payload = 'x' WHERE id = 1 OR id = 2")
+    }
+    assert(e2.getMessage.toLowerCase.contains("cannot parse"), e2.getMessage)
+    assert(snap.latestVersion(spark, t).contains(vNow),
+      "a refused statement must not commit")
+
+    // an unquoted non-numeric literal gets a typed error, not a raw
+    // NumberFormatException
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark, "DELETE FROM cmp_v WHERE id = abc")
+    }
+    assert(e3.getMessage.contains("literal"), e3.getMessage)
+  }
+
+  test("literalSpans honors backslash escapes (rewrite immunity inside literals)") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-bse").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 10).select($"id", ($"id" % 3).as("k")), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "bse_v", t, None, Seq("id"))
+    // a backslash-escaped quote inside a literal must not terminate the
+    // span: the table_changes shape AFTER it is still inside the string
+    // and must survive the rewrite byte-identically, while the LIVE
+    // call outside it still rewrites
+    val r = GraftSql.query(spark,
+      "SELECT 'it\\'s table_changes(''bse_v'', 0)' AS doc, " +
+        "(SELECT count(*) FROM table_changes('bse_v', 0)) AS n").head
+    assert(r.getString(0) == "it's table_changes('bse_v', 0)", r.getString(0))
+    assert(r.getLong(1) == 10L)
+  }
+
   test("SQL OPTIMIZE WHERE scopes maintenance to one stats range") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-optw").toAbsolutePath.toString
