@@ -3102,12 +3102,15 @@ object SourceQueries extends QueryPack {
           $"sum_id", $"sum_chars")
     }),
 
-    // SQL UPDATE (CoW) + VERSION AS OF time travel: the remaining DML
-    // verb and the Delta time-travel clause through GraftSql. UPDATE
-    // classifies files from stats — buckets the predicate provably
-    // misses are never read or rewritten (surgical=1 pins that at
-    // least one file carried over untouched) — and the pre-update
-    // version still serves its exact content through `VERSION AS OF`.
+    // SQL UPDATE (CoW) + VERSION AS OF + TIMESTAMP AS OF time travel:
+    // the remaining DML verb and both Delta time-travel clauses
+    // through GraftSql. UPDATE classifies files from stats — buckets
+    // the predicate provably misses are never read or rewritten
+    // (surgical=1 pins that at least one file carried over untouched)
+    // — and the pre-update version still serves its exact content
+    // through `VERSION AS OF` and through `TIMESTAMP AS OF` at v1's
+    // publish instant (tao_agrees=1 pins both clauses resolving to
+    // the same snapshot).
     "qcj_sql_update" -> ((s, dir) => {
       import s.implicits._
       val tag = java.lang.Long.toHexString(System.nanoTime())
@@ -3117,6 +3120,8 @@ object SourceQueries extends QueryPack {
         .select($"o_orderkey", $"o_custkey")
       SnapshotLog.commit(o.repartitionByRange(4, $"o_orderkey"), t,
         "append", Seq("o_orderkey"))
+      val tsV1 = SnapshotLog.manifest(s, t, 1L).ts
+      Thread.sleep(5) // the update must publish a strictly later ms
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
       val mx = o.agg(max($"o_orderkey")).head.getLong(0)
       val before = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
@@ -3127,14 +3132,18 @@ object SourceQueries extends QueryPack {
       val surgical = (before intersect after).nonEmpty
       val v1Sum = graft.sql.GraftSql.query(s,
         s"SELECT sum(o_custkey) FROM $v VERSION AS OF 1").head.getLong(0)
+      val taoSum = graft.sql.GraftSql.query(s,
+        s"SELECT sum(o_custkey) FROM $v TIMESTAMP AS OF $tsV1")
+        .head.getLong(0)
       SnapshotLog.read(s, t).agg(
           count(lit(1)).as("n_rows"),
           count(when($"o_custkey" >= 1000000L, lit(1))).as("n_bumped"),
           sum($"o_custkey").as("sum_cust"))
         .withColumn("surgical", lit(if (surgical) 1L else 0L))
         .withColumn("v1_sum_cust", lit(v1Sum))
+        .withColumn("tao_agrees", lit(if (taoSum == v1Sum) 1L else 0L))
         .select($"surgical", $"n_rows", $"n_bumped", $"sum_cust",
-          $"v1_sum_cust")
+          $"v1_sum_cust", $"tao_agrees")
     }),
 
     // Compound-predicate SQL DML (AND-conjunctions): the first real
@@ -3823,8 +3832,9 @@ object SourceQueries extends QueryPack {
           |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
 
       // the UPDATE replayed relationally (CASE over the key band);
-      // v1_sum_cust = the untouched original; surgical is a contract
-      // constant (at least one file never rewritten)
+      // v1_sum_cust = the untouched original; surgical and tao_agrees
+      // are contract constants (at least one file never rewritten;
+      // TIMESTAMP AS OF at v1's publish instant = VERSION AS OF 1)
       "qcj_sql_update" ->
         """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders)
           |SELECT CAST(1 AS BIGINT) AS surgical,
@@ -3835,7 +3845,8 @@ object SourceQueries extends QueryPack {
           |    THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
           |    AS sum_cust,
           |  CAST((SELECT sum(o_custkey) FROM orders) AS BIGINT)
-          |    AS v1_sum_cust
+          |    AS v1_sum_cust,
+          |  CAST(1 AS BIGINT) AS tao_agrees
           |FROM orders, mx""".stripMargin,
 
       // both statements replayed relationally from the band

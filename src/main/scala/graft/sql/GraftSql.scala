@@ -268,6 +268,63 @@ object GraftSql {
     sb.toString
   }
 
+  /** `v TIMESTAMP AS OF '<ts>'` (or epoch millis) — the other Delta
+    * time-travel clause. Same discipline as VERSION AS OF: only
+    * REGISTERED names rewrite, only outside literals/comments.
+    */
+  private val TimestampAsOfRe =
+    """(?i)(\w+)\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)""".r
+
+  /** Quoted timestamps parse as `yyyy-MM-dd[ HH:mm:ss[.fff]]` in UTC —
+    * the engine-wide session timezone (Verify/Bench pin
+    * `spark.sql.session.timeZone=UTC`); a bare integer is epoch millis.
+    */
+  private def parseTsMillis(raw: String): Long = {
+    val t = raw.trim
+    if (!t.startsWith("'")) t.toLong
+    else {
+      val s = t.substring(1, t.length - 1).replace("''", "'")
+      val norm = if (s.length == 10) s + "T00:00:00" else s.replace(' ', 'T')
+      try java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"cannot parse TIMESTAMP AS OF literal $t — expected " +
+              "'yyyy-MM-dd[ HH:mm:ss[.fff]]' (UTC) or epoch millis", e)
+      }
+    }
+  }
+
+  private def rewriteTimestampAsOf(spark: SparkSession,
+      statement: String): String = {
+    val spans = literalSpans(statement)
+    def quoted(i: Int) = spans.exists(s => i >= s._1 && i < s._2)
+    val sb = new StringBuilder
+    var last = 0
+    TimestampAsOfRe.findAllMatchIn(statement).foreach { mm =>
+      val nm = mm.group(1)
+      val registered = snapshotReg.containsKey((spark, nm.toLowerCase))
+      if (!quoted(mm.start) && registered) {
+        val snap = graft.sources.snapshot.SnapshotLog
+        val table = snapshotOf(spark, nm).table
+        val ts = parseTsMillis(mm.group(2))
+        // resolve to the VERSION so the view name is stable for a
+        // given table state and the read is an ordinary pinned read
+        val ver = snap.versionAt(spark, table, ts).getOrElse(
+          throw new IllegalArgumentException(
+            s"no version of $table existed at t=$ts (or it has been " +
+              "expired)"))
+        val view = s"__graft_tao_${nm}_$ver"
+        snap.read(spark, table, Some(ver)).createOrReplaceTempView(view)
+        sb.append(statement.substring(last, mm.start)).append(view)
+        last = mm.end
+      }
+    }
+    sb.append(statement.substring(last))
+    sb.toString
+  }
+
   /** Read-shaped SQL over registered snapshot views — the query half
     * [[dml]] deliberately refuses (it returns versions, not frames):
     *
@@ -287,14 +344,22 @@ object GraftSql {
     *    just works. Omitting `to` reads through the latest version.
     *  - `v VERSION AS OF n` anywhere a registered view name appears —
     *    the Delta time-travel clause — substitutes a version-pinned
-    *    read of the same table (manifest-planned, zero data movement).
+    *    read of the same table (manifest-planned, zero data movement);
+    *    `v TIMESTAMP AS OF '2026-08-15 12:00:00'` (UTC; epoch millis
+    *    also accepted) resolves the newest version published at or
+    *    before the instant ([[graft.sources.snapshot.SnapshotLog.versionAt]])
+    *    and reads the same way.
     *  - anything else passes through to `spark.sql` untouched.
     */
   def query(spark: SparkSession, statement0: String): DataFrame = {
-    val statement =
-      if (VersionAsOfRe.findFirstIn(statement0).isDefined)
-        rewriteVersionAsOf(spark, statement0)
+    val statement1 =
+      if (TimestampAsOfRe.findFirstIn(statement0).isDefined)
+        rewriteTimestampAsOf(spark, statement0)
       else statement0
+    val statement =
+      if (VersionAsOfRe.findFirstIn(statement1).isDefined)
+        rewriteVersionAsOf(spark, statement1)
+      else statement1
     statement match {
       case DescribeHistoryRe(name) =>
         graft.sources.snapshot.SnapshotLog

@@ -288,6 +288,55 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"))
   }
 
+  test("TIMESTAMP AS OF resolves the newest version at or before the instant") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-tao").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 50).select($"id", ($"id" % 5).as("k")),
+      t, "append", Seq("id"))
+    val tsV1 = snap.manifest(spark, t, 1L).ts
+    Thread.sleep(5) // v2 must publish at a strictly later millisecond
+    snap.deleteWhere(spark, t, "id", 0L, 24L, Seq("id"))
+    GraftSql.registerSnapshot(spark, "tao_v", t, None, Seq("id"))
+
+    // epoch-millis form: v1's publish instant serves v1's content
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS n FROM tao_v TIMESTAMP AS OF $tsV1")
+      .head.getLong(0) == 50L)
+    // quoted UTC form, resolved through the same walk
+    val iso = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(tsV1), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(GraftSql.query(spark,
+      s"SELECT count(*) AS n FROM tao_v TIMESTAMP AS OF '$iso'")
+      .head.getLong(0) == 50L)
+    // an instant after v2 serves the current content; both clauses
+    // compose in one statement
+    val now = System.currentTimeMillis() + 1000
+    val r = GraftSql.query(spark,
+      s"SELECT (SELECT count(*) FROM tao_v TIMESTAMP AS OF $now) AS a, " +
+        "(SELECT count(*) FROM tao_v VERSION AS OF 1) AS b").head
+    assert(r.getLong(0) == 25L && r.getLong(1) == 50L)
+    // a clause inside a literal is data, not time travel
+    assert(GraftSql.query(spark,
+      "SELECT 'tao_v TIMESTAMP AS OF 123' AS doc").head.getString(0)
+      == "tao_v TIMESTAMP AS OF 123")
+    // before the table existed: loud refusal with the expiry contract
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.query(spark,
+        s"SELECT count(*) FROM tao_v TIMESTAMP AS OF ${tsV1 - 100000}")
+    }
+    assert(e.getMessage.contains("no version"), e.getMessage)
+    // a malformed quoted timestamp gets a typed error
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.query(spark,
+        "SELECT count(*) FROM tao_v TIMESTAMP AS OF 'not-a-time'")
+    }
+    assert(e2.getMessage.contains("TIMESTAMP AS OF"), e2.getMessage)
+  }
+
   test("compound WHERE: AND-conjunctions classify per conjunct; OR refuses loudly") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-cmp").toAbsolutePath.toString
