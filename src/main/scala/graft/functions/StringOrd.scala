@@ -61,6 +61,39 @@ object StringOrd {
   /** Driver-side bit-twin of the expression (stats scaling, SQL). */
   def ord64Of(s: String): Long = ord64OfBytes(s.getBytes("UTF-8"))
 
+  /** Longest common CHAR prefix of two strings, never ending inside a
+    * surrogate pair (a split pair is not a valid UTF-8 sequence to
+    * strip). Because every value between two strings in UTF-8 byte
+    * order shares their common prefix, stripping THIS prefix from any
+    * value in [a, b] is order-preserving — the fix for ord64's
+    * first-8-bytes degeneration on URL/domain-shaped columns where
+    * every value starts `https://www.`.
+    */
+  def commonPrefix(a: String, b: String): String = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    if (i > 0 && Character.isHighSurrogate(a.charAt(i - 1))) i -= 1
+    a.substring(0, i)
+  }
+
+  /** ord64 of the string AFTER `prefix` — the clustering surrogate for
+    * common-prefix domains. Positions hand Spark's substr CODE-POINT
+    * counts (UTF8String semantics), while the driver twin strips by
+    * Java chars; both see the same suffix because `prefix` is
+    * surrogate-aligned.
+    */
+  def ord64After(c: Column, prefix: String): Column =
+    if (prefix.isEmpty) ord64(c)
+    else ord64(c.substr(
+      org.apache.spark.sql.functions.lit(
+        prefix.codePointCount(0, prefix.length) + 1),
+      org.apache.spark.sql.functions.lit(Int.MaxValue)))
+
+  /** Driver-side bit-twin of [[ord64After]] (stats scaling). */
+  def ord64OfAfter(s: String, prefix: String): Long =
+    ord64Of(if (s.length >= prefix.length) s.substring(prefix.length) else "")
+
   private[functions] def ord64OfBytes(b: Array[Byte]): Long = {
     var v = 0L
     var i = 0

@@ -62,4 +62,53 @@ object ZOrder {
     }
     spread(x) | (spread(y) << 1)
   }
+
+  /** Lane width for a k-way interleave: 16 bits per dimension while the
+    * code fits a non-negative long (k ≤ 3), ⌊63/k⌋ after — k=4 gets
+    * 15-bit lanes (60-bit codes). 63, not 64: the top bit stays clear
+    * so codes order correctly as SIGNED longs, which is what
+    * `repartitionByRange` sorts by.
+    */
+  def bitsFor(k: Int): Int = math.min(16, 63 / k)
+
+  /** k-way Morton interleave: bit i of dimension d lands at position
+    * `i * k + d`, each dimension masked to [[bitsFor]](k) bits. For
+    * k = 2 this is bit-identical to [[zOrder2]] (pinned by ZOrderSpec)
+    * and delegates to the cheaper magic-mask ladder; higher k builds
+    * the code from shift/mask/or builtins — still whole-stage codegen,
+    * `bitsFor(k) * k` constant-folded terms, no UDF boundary.
+    */
+  def zOrderK(dims: Seq[Column]): Column = {
+    val k = dims.size
+    require(k >= 2, s"zOrderK interleaves at least 2 dimensions, got $k")
+    if (k == 2) zOrder2(dims(0), dims(1))
+    else {
+      val bits = bitsFor(k)
+      val terms = for {
+        (c, d) <- dims.zipWithIndex
+        i <- 0 until bits
+      } yield shiftleft(c.bitwiseAND(lit(1L << i)), i * (k - 1) + d)
+      terms.reduce(_ bitwiseOR _)
+    }
+  }
+
+  /** JVM twin of [[zOrderK]] (driver-side stats scaling, specs). */
+  def zOrderKJvm(xs: Seq[Long]): Long = {
+    val k = xs.size
+    if (k == 2) zOrder2Jvm(xs(0), xs(1))
+    else {
+      val bits = bitsFor(k)
+      var z = 0L
+      var d = 0
+      while (d < k) {
+        var i = 0
+        while (i < bits) {
+          z |= ((xs(d) >> i) & 1L) << (i * k + d)
+          i += 1
+        }
+        d += 1
+      }
+      z
+    }
+  }
 }

@@ -3102,6 +3102,79 @@ object SourceQueries extends QueryPack {
           $"sum_id", $"sum_chars")
     }),
 
+    // 3-dimensional z-order (k-way interleave, 16-bit lanes): a
+    // declared zorder layout over (l_orderkey, l_partkey, l_suppkey).
+    // A scrambled append conforms into 8 z-clustered files, and a
+    // band predicate on the MIDDLE dimension — the one a single-column
+    // sort could never serve — prunes the scan (scanned < total).
+    // Hash = the band content + structural accounting; a broken
+    // interleave, a layout that stops conforming at k=3, or pruning
+    // reading the world all break it.
+    "qcm_snapshot_zorder3" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapz3-$tag"
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity")
+      SnapshotLog.commit(li.where($"l_orderkey" % 5 === 0).coalesce(1), t,
+        "append", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      SnapshotLog.setLayout(s, t, "zorder",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), 8)
+      SnapshotLog.commit(li.where($"l_orderkey" % 5 =!= 0)
+        .repartition(11, $"l_quantity"), t,
+        "append", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      val conformed = SnapshotLog.manifest(s, t, 3L).files
+        .count(f => f.path.contains("v00003") && f.rows > 0)
+      val mxP = li.agg(max($"l_partkey")).head.getLong(0)
+      val (pruned, scanned, total) =
+        SnapshotLog.readPruned(s, t, "l_partkey", 1L, mxP / 10)
+      val prunedOk = scanned < total
+      pruned.agg(count(lit(1)).as("n_rows"),
+          sum($"l_orderkey").as("sum_okey"),
+          sum($"l_suppkey").as("sum_skey"),
+          sum($"l_quantity".cast("long")).as("sum_qty"))
+        .withColumn("conformed_files", lit(conformed.toLong))
+        .withColumn("pruned_scan", lit(if (prunedOk) 1L else 0L))
+        .select($"conformed_files", $"pruned_scan", $"n_rows",
+          $"sum_okey", $"sum_skey", $"sum_qty")
+    }),
+
+    // Common-prefix string z-order: every domain value shares a long
+    // URL prefix ('https://corpus.example/<lang>/doc-<id>'), which
+    // collapses raw ord64 into ONE 8-byte cell — the declared layout
+    // strips the table-pass common prefix before the surrogate, so
+    // the clustering keys on the bytes that differ and a zh-domain
+    // band STILL prunes (scanned < total). The silent-degradation
+    // hazard this closes: a z-ordered read becoming a full scan on
+    // URL/domain-shaped columns while every short-string gate stays
+    // green.
+    "qcn_zorder_prefix" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapzpfx-$tag"
+      val d = graft.core.Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"n_chars",
+          concat(lit("https://corpus.example/"), $"lang", lit("/doc-"),
+            $"doc_id").as("domain"))
+      SnapshotLog.commit(d.where($"doc_id" % 5 === 0).coalesce(1), t,
+        "append", Seq("doc_id", "domain"))
+      SnapshotLog.setLayout(s, t, "zorder", Seq("domain", "doc_id"), 4)
+      SnapshotLog.commit(d.where($"doc_id" % 5 =!= 0)
+        .repartition(11, $"n_chars"), t, "append", Seq("doc_id", "domain"))
+      val conformed = SnapshotLog.manifest(s, t, 3L).files
+        .count(f => f.path.contains("v00003") && f.rows > 0)
+      val (pruned, scanned, total) = SnapshotLog.readPruned(s, t, "domain",
+        "https://corpus.example/zh/", "https://corpus.example/zh0")
+      val prunedOk = scanned < total
+      pruned.agg(count(lit(1)).as("n_rows"),
+          sum($"doc_id").as("sum_id"),
+          sum($"n_chars").as("sum_chars"))
+        .withColumn("conformed_files", lit(conformed.toLong))
+        .withColumn("pruned_scan", lit(if (prunedOk) 1L else 0L))
+        .select($"conformed_files", $"pruned_scan", $"n_rows",
+          $"sum_id", $"sum_chars")
+    }),
+
     // SQL UPDATE (CoW) + VERSION AS OF + TIMESTAMP AS OF time travel:
     // the remaining DML verb and both Delta time-travel clauses
     // through GraftSql. UPDATE classifies files from stats — buckets
@@ -3883,6 +3956,30 @@ object SourceQueries extends QueryPack {
           |     WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_bucket,
           |  CAST((SELECT sum(o_custkey) FROM orders
           |    WHERE o_orderkey % 2 = 0) AS BIGINT) AS v1_sum_cust""".stripMargin,
+
+      // the partkey band recomputed relationally; structural columns
+      // are contract constants (8 conformed files, band scan pruned)
+      "qcm_snapshot_zorder3" ->
+        """WITH mx AS (SELECT max(l_partkey) AS m FROM lineitem)
+          |SELECT CAST(8 AS BIGINT) AS conformed_files,
+          |  CAST(1 AS BIGINT) AS pruned_scan,
+          |  count(*) AS n_rows,
+          |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+          |  CAST(sum(l_suppkey) AS BIGINT) AS sum_skey,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem, mx
+          |WHERE l_partkey BETWEEN 1 AND m // 10""".stripMargin,
+
+      // the zh-domain band = exactly the zh documents (every domain is
+      // prefix + lang + '/doc-' + id, and '/' < '0' bounds the band);
+      // structural columns are contract constants
+      "qcn_zorder_prefix" ->
+        """SELECT CAST(4 AS BIGINT) AS conformed_files,
+          |  CAST(1 AS BIGINT) AS pruned_scan,
+          |  count(*) AS n_rows,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang = 'zh'""".stripMargin,
 
       // the zh band recomputed relationally; structural columns are
       // contract constants (4 conformed files, band scan pruned)

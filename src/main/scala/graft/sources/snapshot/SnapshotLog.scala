@@ -264,8 +264,10 @@ object SnapshotLog {
     require(Set("range", "bucket", "zorder")(kind),
       s"layout kind must be range|bucket|zorder, got $kind")
     require(cols.nonEmpty, "layout needs at least one column")
-    require(kind != "zorder" || cols.size == 2,
-      s"zorder layout interleaves exactly 2 columns, got ${cols.size}")
+    require(kind != "zorder" || (cols.size >= 2 && cols.size <= 4),
+      s"zorder layout interleaves 2 to 4 columns (16/16/15-bit lanes — " +
+        s"beyond 4 the per-dimension resolution stops pruning), got " +
+        s"${cols.size}")
     require(n >= 1, s"layout file-count target must be >= 1, got $n")
     publishMetadata(spark, table) { m =>
       val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
@@ -310,10 +312,15 @@ object SnapshotLog {
       .flatMap(v => manifest(spark, table, v).layout)
 
   /** Conform a batch to the declared layout (identity without one).
-    * Zorder scales each of its two columns to 16 bits from the BATCH's
-    * own min/max (one tiny agg) — self-contained at write time; the
-    * stats-scaled variant over the whole table is OPTIMIZE ZORDER
-    * (`sql.GraftSql`).
+    * Zorder scales each of its k columns into a [[graft.functions.ZOrder
+    * .bitsFor]](k)-bit lane from the BATCH's own min/max (one tiny agg)
+    * — self-contained at write time; the stats-scaled variant over the
+    * whole table is OPTIMIZE ZORDER (`sql.GraftSql`). A string
+    * dimension rides its order-preserving ord64 surrogate AFTER
+    * common-prefix stripping: the batch min/max share any prefix every
+    * value shares, so clustering keys on the bytes that actually
+    * differ — URL/domain-shaped columns cluster instead of collapsing
+    * into ord64's first-8-bytes cell.
     */
   private def applyLayout(df: DataFrame,
       layout: Option[LayoutSpec]): DataFrame = layout match {
@@ -324,25 +331,30 @@ object SnapshotLog {
     case Some(LayoutSpec("bucket", cs, n)) =>
       df.repartition(n, cs.map(col).toIndexedSeq: _*)
     case Some(LayoutSpec("zorder", cs, n)) =>
-      // a string dimension rides its order-preserving ord64 surrogate
-      // (codegen'd; domain/lang/prefix clustering), numerics cast plain
-      def dim(c: String): org.apache.spark.sql.Column =
-        df.schema(c).dataType match {
-          case org.apache.spark.sql.types.StringType =>
-            graft.functions.StringOrd.ord64(col(c)).cast("double")
-          case _ => col(c).cast("double")
-        }
-      val probe = df.agg(
-        min(dim(cs(0))), max(dim(cs(0))),
-        min(dim(cs(1))), max(dim(cs(1)))).head
-      if (probe.isNullAt(0) || probe.isNullAt(2)) df // empty/all-null batch
+      // one agg collects every dimension's raw min/max (strings as
+      // strings — the prefix strip needs the text, not the surrogate)
+      val aggs = cs.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val probe = df.agg(aggs.head, aggs.tail: _*).head
+      if (cs.indices.exists(i => probe.isNullAt(2 * i))) df // empty/all-null
       else {
-        def scaled(c: String, mn: Double, mx: Double) = floor(
-          (dim(c) - mn) / math.max(mx - mn, 1e-12) * 65535.0)
-          .cast("long")
-        val key = graft.functions.ZOrder.zOrder2(
-          scaled(cs(0), probe.getDouble(0), probe.getDouble(1)),
-          scaled(cs(1), probe.getDouble(2), probe.getDouble(3)))
+        val bits = graft.functions.ZOrder.bitsFor(cs.size)
+        val lane = ((1L << bits) - 1).toDouble
+        val dims = cs.zipWithIndex.map { case (c, i) =>
+          val (dim, mn, mx) = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              val (mnS, mxS) = (probe.getString(2 * i), probe.getString(2 * i + 1))
+              val p = graft.functions.StringOrd.commonPrefix(mnS, mxS)
+              (graft.functions.StringOrd.ord64After(col(c), p).cast("double"),
+                graft.functions.StringOrd.ord64OfAfter(mnS, p).toDouble,
+                graft.functions.StringOrd.ord64OfAfter(mxS, p).toDouble)
+            case _ =>
+              (col(c).cast("double"),
+                probe.getAs[Any](2 * i).asInstanceOf[Number].doubleValue(),
+                probe.getAs[Any](2 * i + 1).asInstanceOf[Number].doubleValue())
+          }
+          floor((dim - mn) / math.max(mx - mn, 1e-12) * lane).cast("long")
+        }
+        val key = graft.functions.ZOrder.zOrderK(dims)
         df.withColumn("__graft_layout", key)
           .repartitionByRange(n, col("__graft_layout"))
           .sortWithinPartitions(col("__graft_layout"))

@@ -550,7 +550,7 @@ object GraftSql {
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+(\w+)""" +
       """(?:\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*$""").r
+      """(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*$""").r
   private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
@@ -681,42 +681,49 @@ object GraftSql {
               .upsert(srcDf, t, tKey, stats).version
         }
         (ver, name)
-      case OptimizeRe(name, wcol, wlo, whi, zc1, zc2) =>
-        // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b) → the
-        // same rewrite clustered on a z-order interleave of the two
-        // columns, scaled to 16 bits from MANIFEST stats (metadata-only
-        // — no window, no extra pass; the Delta OPTIMIZE..ZORDER shape).
-        // WHERE col BETWEEN a AND b scopes either form to the files
-        // whose stats may overlap — maintenance over one partition of a
-        // 100 TB table, never the world (the Delta OPTIMIZE..WHERE shape)
+      case OptimizeRe(name, wcol, wlo, whi, zcols) =>
+        // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b[, c, d])
+        // → the same rewrite clustered on a k-way z-order interleave,
+        // each column scaled into its bitsFor(k)-bit lane from MANIFEST
+        // stats (metadata-only — no window, no extra pass; the Delta
+        // OPTIMIZE..ZORDER shape). String dimensions ride ord64 AFTER
+        // common-prefix stripping (the table-wide prefix comes from the
+        // string min/max, also manifest-only), so URL/domain-shaped
+        // columns cluster on the bytes that differ. WHERE col BETWEEN
+        // a AND b scopes either form to the files whose stats may
+        // overlap — maintenance over one partition of a 100 TB table,
+        // never the world (the Delta OPTIMIZE..WHERE shape)
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
         val target = 256L << 20
         val scope = Option(wcol).map(c =>
           (c, sqlLiteral(wlo), sqlLiteral(whi)))
         val ver =
-          if (zc1 == null) snap.compact(spark, t, target, stats,
+          if (zcols == null) snap.compact(spark, t, target, stats,
             where = scope)
           else {
+            val zs = zcols.split(",").map(_.trim).toSeq
+            require(zs.size >= 2 && zs.size <= 4,
+              s"ZORDER BY interleaves 2 to 4 columns, got ${zs.size}")
+            val lane = ((1L << graft.functions.ZOrder.bitsFor(zs.size)) - 1)
+              .toDouble
             val ranges = snap.tableStats(spark, t).colRanges
             def scaled(c: String): org.apache.spark.sql.Column = {
               val (mnA, mxA) = ranges.getOrElse(c,
                 throw new IllegalArgumentException(
                   s"ZORDER BY column '$c' has no manifest stats — commit " +
                     s"with statsCols including it first"))
-              // string dimensions scale through the order-preserving
-              // ord64 surrogate (graft.functions.StringOrd) — the
-              // manifest's string min/max map to the same surrogate
-              // driver-side, so this stays metadata-only
               val (mn, mx, dim) = (mnA, mxA) match {
                 case (a: Number, b: Number) =>
                   (a.doubleValue(), b.doubleValue(),
                     org.apache.spark.sql.functions.col(c).cast("double"))
                 case (a: String, b: String) =>
-                  (graft.functions.StringOrd.ord64Of(a).toDouble,
-                    graft.functions.StringOrd.ord64Of(b).toDouble,
-                    graft.functions.StringOrd.ord64(
-                      org.apache.spark.sql.functions.col(c)).cast("double"))
+                  val p = graft.functions.StringOrd.commonPrefix(a, b)
+                  (graft.functions.StringOrd.ord64OfAfter(a, p).toDouble,
+                    graft.functions.StringOrd.ord64OfAfter(b, p).toDouble,
+                    graft.functions.StringOrd.ord64After(
+                      org.apache.spark.sql.functions.col(c), p)
+                      .cast("double"))
                 case _ => throw new IllegalArgumentException(
                   s"ZORDER BY supports numeric and string columns; '$c' " +
                     s"has ${mnA.getClass.getSimpleName} stats — cluster " +
@@ -724,11 +731,11 @@ object GraftSql {
               }
               val span = math.max(mx - mn, 1e-12)
               org.apache.spark.sql.functions.floor(
-                (dim - mn) / span * 65535.0).cast("long")
+                (dim - mn) / span * lane).cast("long")
             }
-            snap.compact(spark, t, target, (stats ++ Seq(zc1, zc2)).distinct,
+            snap.compact(spark, t, target, (stats ++ zs).distinct,
               clusterExpr = Some(_ =>
-                graft.functions.ZOrder.zOrder2(scaled(zc1), scaled(zc2))),
+                graft.functions.ZOrder.zOrderK(zs.map(scaled))),
               where = scope)
           }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
