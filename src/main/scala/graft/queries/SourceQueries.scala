@@ -3102,6 +3102,57 @@ object SourceQueries extends QueryPack {
           $"sum_id", $"sum_chars")
     }),
 
+    // Structured Streaming through a metadata-only DROP COLUMN (era
+    // alignment): a stream DECLARING its columns (the v2 projection —
+    // Spark pushes no streaming projection, so the option is also what
+    // makes the per-file reader decode 2 of 3 columns) carries a
+    // mid-stream drop of an UNDECLARED column without restart, on the
+    // same checkpoint — exactly-once across the DDL. The hash pins the
+    // streamed accounting before+after the drop plus the post-drop
+    // batch served under the surviving schema; a stream that dies on
+    // the drop, double-reads across it, or loses the post-drop append
+    // breaks it.
+    "qco_stream_drop_through" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapdropstr-$tag"
+      val cp = s"target/snapdropstr-cp-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          ($"o_orderkey" % 100).as("o_scratch"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+        Seq("o_orderkey"))
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val keySum = new java.util.concurrent.atomic.AtomicLong(0)
+      def run(): Unit = {
+        val q = s.readStream.format("graft-snapshot").option("table", t)
+          .option("columns", "o_orderkey, o_custkey").load()
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val r = b.agg(count(lit(1)).cast("long"),
+              coalesce(sum(col("o_orderkey")), lit(0L))).head
+            seen.addAndGet(r.getLong(0)); keySum.addAndGet(r.getLong(1)); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      val preDrop = seen.get()
+      // the drop targets the UNDECLARED column; the post-drop append
+      // carries the surviving schema
+      SnapshotLog.dropColumn(s, t, "o_scratch")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1)
+        .drop("o_scratch"), t, "append", Seq("o_orderkey"))
+      run() // same checkpoint, across the DDL: only the new batch
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("table_rows"),
+          sum($"o_custkey").as("table_sum_cust"))
+        .withColumn("pre_drop_rows", lit(preDrop))
+        .withColumn("streamed_rows", lit(seen.get()))
+        .withColumn("streamed_key_sum", lit(keySum.get()))
+        .select($"pre_drop_rows", $"streamed_rows", $"streamed_key_sum",
+          $"table_rows", $"table_sum_cust")
+    }),
+
     // 3-dimensional z-order (k-way interleave, 16-bit lanes): a
     // declared zorder layout over (l_orderkey, l_partkey, l_suppkey).
     // A scrambled append conforms into 8 z-clustered files, and a
@@ -3956,6 +4007,19 @@ object SourceQueries extends QueryPack {
           |     WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_bucket,
           |  CAST((SELECT sum(o_custkey) FROM orders
           |    WHERE o_orderkey % 2 = 0) AS BIGINT) AS v1_sum_cust""".stripMargin,
+
+      // the streamed accounting replayed relationally: evens before
+      // the drop, odds after, exactly once across the DDL
+      "qco_stream_drop_through" ->
+        """SELECT
+          |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          |    AS pre_drop_rows,
+          |  (SELECT count(*) FROM orders) AS streamed_rows,
+          |  CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT)
+          |    AS streamed_key_sum,
+          |  (SELECT count(*) FROM orders) AS table_rows,
+          |  CAST((SELECT sum(o_custkey) FROM orders) AS BIGINT)
+          |    AS table_sum_cust""".stripMargin,
 
       // the partkey band recomputed relationally; structural columns
       // are contract constants (8 conformed files, band scan pruned)

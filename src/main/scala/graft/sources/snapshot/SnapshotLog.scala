@@ -2826,9 +2826,12 @@ object SnapshotLog {
     * constraint (it would dangle) or by the declared layout
     * (clearLayout first); the key of an outstanding equality delete
     * (the read-side anti-join needs the column — compact first). A
-    * drop is not append-shaped: streams and incremental reads spanning
-    * it refuse loudly; the change feed composes (its end-schema
-    * alignment projects the column away). Returns the new version.
+    * running stream that never selected the column continues through
+    * the drop (era-aligned: the file-diff is exact over a
+    * metadata-only op); only a stream that SELECTED it refuses.
+    * Incremental batch reads spanning it refuse loudly; the change
+    * feed composes (its end-schema alignment projects the column
+    * away). Returns the new version.
     */
   def dropColumn(spark: SparkSession, table: String, name: String): Long =
     publishMetadata(spark, table) { m =>

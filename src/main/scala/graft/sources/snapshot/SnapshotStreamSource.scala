@@ -31,10 +31,14 @@ import org.apache.spark.util.SerializableConfiguration
   * committed version is consumed once and only once, the checkpoint is a
   * single version number, and a restart resumes from the committed
   * version with no rescans. The covered range must be append-only
-  * (append / stream-append / evolve-schema); a delete, upsert, compact,
-  * or restore inside the range fails the stream loudly — a file-diff
-  * over rewrites would double-count, and the downstream there is a fresh
-  * full read (same contract as [[SnapshotLog.readChanges]]).
+  * (append / stream-append / evolve-schema / rename-column, plus a
+  * metadata-only drop-column of a column the stream does not select —
+  * era alignment: later batches serve the surviving schema the stream
+  * projects anyway, and only a stream that actually SELECTED the
+  * dropped column refuses); a delete, upsert, compact, or restore
+  * inside the range fails the stream loudly — a file-diff over rewrites
+  * would double-count, and the downstream there is a fresh full read
+  * (same contract as [[SnapshotLog.readChanges]]).
   *
   * Scale: planning never lists the data directory (one small manifest
   * read per version) and each new file becomes one InputPartition — a
@@ -66,7 +70,24 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     val v = SnapshotLog.latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft-snapshot: no committed version in $table"))
-    StructType.fromDDL(SnapshotLog.manifest(spark, table, v).schemaDdl)
+    val full = StructType.fromDDL(SnapshotLog.manifest(spark, table, v).schemaDdl)
+    // `columns` = the stream's DECLARED projection. Spark does not push
+    // a streaming query's projection into a v2 micro-batch source, so
+    // without it every batch decodes every column; with it the per-file
+    // reader decodes only these (real column pruning for streams), and
+    // a later metadata-only DROP COLUMN of an undeclared column streams
+    // through without restart (planInputPartitions narrows its refusal
+    // to columns the stream actually reads).
+    Option(options.get("columns")) match {
+      case None => full
+      case Some(cs) =>
+        val want = cs.split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = want.filterNot(full.fieldNames.contains)
+        require(missing.isEmpty,
+          s"graft-snapshot: columns ${missing.toSeq.sorted.mkString(", ")} " +
+            s"not in table schema ${full.fieldNames.toSeq}")
+        StructType(full.fields.filter(f => want.contains(f.name)))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -127,7 +148,20 @@ object SnapshotStreamSource {
   private def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Number, y: Number) =>
       Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      // UTF-8 BYTE order — the order the stats were computed under
+      // (UTF8String); String.compareTo is UTF-16 order, which disagrees
+      // on supplementary-plane content and would wrongly PRUNE (lose
+      // rows), not just over-read
+      val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      var d = 0
+      while (i < n && d == 0) {
+        d = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+        i += 1
+      }
+      Some(if (d != 0) d else xb.length - yb.length)
     case _ => None // type mismatch: never prune on it
   }
 
@@ -369,6 +403,24 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
       // rename-column composes like evolve-schema: it adds/removes no
       // files, and the reader's name mapping rides the rename-stable
       // PHYSICAL namespace, so a file-diff across it stays exact
+      else if (op == "drop-column") {
+        // a metadata-only drop moves no files, so the file-diff stays
+        // exact — the stream continues WITHOUT restart as long as it
+        // never selected the dropped column (era alignment: batches
+        // after the drop serve the surviving schema, which is what the
+        // stream projects anyway). A stream that DID select it refuses,
+        // narrowed to actual use.
+        val droppedHere = StructType.fromDDL(
+          SnapshotLog.manifest(spark, table, v - 1).schemaDdl)
+          .fieldNames.toSet --
+          StructType.fromDDL(
+            SnapshotLog.manifest(spark, table, v).schemaDdl).fieldNames
+        val used = droppedHere intersect requiredSchema.fieldNames.toSet
+        require(used.isEmpty,
+          s"graft-snapshot stream: version $v dropped column(s) " +
+            s"${used.toSeq.sorted.mkString(", ")} this stream selects — " +
+            "restart the stream against the current schema")
+      }
       else require(op == "append" || op == "stream-append" ||
           op == "evolve-schema" || op == "rename-column",
         s"graft-snapshot stream: version $v is '$op' — streaming requires " +

@@ -415,6 +415,59 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a mid-stream DROP COLUMN of an unselected column streams through without restart") {
+    val t = freshTable("dropthrough")
+    SnapshotLog.commit(df(0, 40), t, "append", Seq("id"))
+    // Spark does not push a streaming projection into the v2 source, so
+    // the stream DECLARES its columns — which is also what makes the
+    // per-file reader decode two columns instead of three
+    val q = s.readStream.format("graft-snapshot").option("table", t)
+      .option("columns", "id, payload").load()
+      .writeStream.format("memory").queryName("snap_stream_dropthrough")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("snap_stream_dropthrough").count() == 40)
+      // metadata-only drop of the UNSELECTED column, then a post-drop
+      // append under the surviving schema — the running stream must
+      // carry both the drop version (no files) and the new batch
+      SnapshotLog.dropColumn(s, t, "k")
+      SnapshotLog.commit(
+        s.range(40, 60).select($"id", concat(lit("row"), $"id").as("payload")),
+        t, "append", Seq("id"))
+      q.processAllAvailable()
+      val rows = s.table("snap_stream_dropthrough")
+      assert(rows.count() == 60, "the stream did not survive the drop")
+      assert(rows.agg(sum($"id")).head.getLong(0) == (0L until 60).sum)
+      assert(rows.where($"payload" === "row55").count() == 1)
+    } finally q.stop()
+  }
+
+  test("a mid-stream DROP COLUMN of a SELECTED column refuses, naming it") {
+    val t = freshTable("dropused")
+    SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))
+    val q = s.readStream.format("graft-snapshot").option("table", t).load()
+      .select($"id", $"k")
+      .writeStream.format("memory").queryName("snap_stream_dropused")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.dropColumn(s, t, "k")
+      SnapshotLog.commit(
+        s.range(10, 20).select($"id", concat(lit("row"), $"id").as("payload")),
+        t, "append", Seq("id"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getCause match {
+        case null => e.getMessage
+        case c => c.getMessage + e.getMessage
+      }
+      assert(msg.contains("dropped column") || msg.contains("'k'") ||
+        msg.contains(" k "), msg)
+    } finally q.stop()
+  }
+
   test("non-append history inside the range fails the stream loudly") {
     val t = freshTable("reject")
     SnapshotLog.commit(df(0, 100), t, "append", Seq("id"))
