@@ -3446,6 +3446,20 @@ object SourceQueries extends QueryPack {
            |WHEN MATCHED AND $cdc.op = 'D' THEN DELETE
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // explicit clause bodies: SET references BOTH sides, the INSERT
+      // list picks columns (the source's extra `bump` never lands)
+      val mex = s"dmlmex_$tag"
+      s.range(10, 15).select(($"id" + (mx + 1001)).as("o_orderkey"),
+          lit(500L).as("bump"))
+        .unionByName(s.range(0, 3).select(
+          ($"id" + (mx + 9000)).as("o_orderkey"), lit(0L).as("bump")))
+        .createOrReplaceTempView(mex)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $mex ON $v.o_orderkey = $mex.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  o_custkey = $v.o_custkey + $mex.bump
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey)
+           |  VALUES ($mex.o_orderkey, 77)""".stripMargin)
       s.table(v).agg(
         count(lit(1)).as("n_rows"),
         sum($"o_orderkey").as("sum_key"),
@@ -4102,13 +4116,17 @@ object SourceQueries extends QueryPack {
           |         WHERE o_orderkey > m // 2),
           |ins AS (SELECT m + 1001 + i AS k,
           |         CASE WHEN i = 0 THEN 12345
-          |              WHEN i % 2 = 0 THEN i + 7000 ELSE i END AS c
+          |              WHEN i % 2 = 0 THEN i + 7000 ELSE i END
+          |         + CASE WHEN i BETWEEN 10 AND 14 THEN 500 ELSE 0 END AS c
           |        FROM range(0, 100) t(i), mx),
           |new5 AS (SELECT m + 5000 + i AS k, i AS c FROM range(5, 10) t(i), mx),
+          |newmex AS (SELECT m + 9000 + j AS k, 77 AS c
+          |           FROM range(0, 3) t(j), mx),
           |allr AS (SELECT k, c FROM surv UNION ALL SELECT k, c FROM ins
-          |         UNION ALL SELECT k, c FROM new5)
+          |         UNION ALL SELECT k, c FROM new5
+          |         UNION ALL SELECT k, c FROM newmex)
           |SELECT count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
-          |  CAST(sum(c) AS BIGINT) AS sum_cust, CAST(5 AS BIGINT) AS n_versions
+          |  CAST(sum(c) AS BIGINT) AS sum_cust, CAST(6 AS BIGINT) AS n_versions
           |FROM allr""".stripMargin,
 
       // per-bucket min/max/count from the same width arithmetic the

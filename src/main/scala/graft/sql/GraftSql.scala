@@ -426,30 +426,26 @@ object GraftSql {
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
 
-  /** Split a SET clause on its TOP-LEVEL commas (commas inside
-    * parentheses or string literals belong to the expressions) and
-    * parse each `col = expr` pair; expressions resolve through
-    * `functions.expr`, so they may reference other columns.
+  /** Split on TOP-LEVEL commas: commas inside parentheses or string
+    * literals ('' and backslash escapes honored — a raw per-quote
+    * toggle would flip string state on escape pairs and mis-split)
+    * belong to the expressions.
     */
-  private def parseAssignments(
-      setClause: String): Map[String, org.apache.spark.sql.Column] = {
+  private def splitTopLevelCommas(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
     var start = 0
     var i = 0
-    while (i < setClause.length) {
-      setClause.charAt(i) match {
+    while (i < s.length) {
+      s.charAt(i) match {
         case '\'' =>
-          // consume the whole literal, honoring '' and backslash
-          // escapes — a raw per-quote toggle would flip string state
-          // on escape pairs and mis-split the clause
           i += 1
           var open = true
-          while (open && i < setClause.length) {
-            if (setClause.charAt(i) == '\\' && i + 1 < setClause.length)
+          while (open && i < s.length) {
+            if (s.charAt(i) == '\\' && i + 1 < s.length)
               i += 2
-            else if (setClause.charAt(i) == '\'') {
-              if (i + 1 < setClause.length && setClause.charAt(i + 1) == '\'')
+            else if (s.charAt(i) == '\'') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '\'')
                 i += 2
               else { open = false; i += 1 }
             } else i += 1
@@ -458,14 +454,23 @@ object GraftSql {
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 =>
-          parts += setClause.substring(start, i); start = i + 1
+          parts += s.substring(start, i); start = i + 1
         case _ => ()
       }
       i += 1
     }
-    parts += setClause.substring(start)
+    parts += s.substring(start)
+    parts.result()
+  }
+
+  /** Parse a SET clause's `col = expr` pairs; expressions resolve
+    * through `functions.expr`, so they may reference other columns
+    * (and, in MERGE, either side's alias).
+    */
+  private def parseAssignments(
+      setClause: String): Map[String, org.apache.spark.sql.Column] = {
     val AssignRe = """(?s)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
-    parts.result().map {
+    splitTopLevelCommas(setClause).map {
       case AssignRe(c, rhs) => c -> org.apache.spark.sql.functions.expr(rhs)
       case bad => throw new IllegalArgumentException(
         s"cannot parse UPDATE assignment '$bad' — expected col = expr")
@@ -595,7 +600,14 @@ object GraftSql {
     *  - `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN
     *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
     *    → [[graft.sources.snapshot.SnapshotLog.upsert]] (exact-interval
-    *    file classification, CoW merge).
+    *    file classification, CoW merge). Clause bodies may also be
+    *    EXPLICIT: `UPDATE SET a = expr, ...` (expressions may reference
+    *    either side by its alias; the key may not be reassigned) and
+    *    `INSERT (cols) VALUES (exprs)` (listed columns land, omitted
+    *    nullable columns fill NULL, the key must be listed; the source
+    *    may carry extra columns) — matched rows come from the
+    *    stats/Bloom-pruned semi-join read, so the build cost is the
+    *    matched files, not the table.
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
@@ -661,24 +673,111 @@ object GraftSql {
           s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
         require(tKey.equalsIgnoreCase(sKey),
           s"MERGE key must match on both sides, got $tKey vs $sKey")
-        val up = "(?is)WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*".r
-        val ins = "(?is)WHEN\\s+NOT\\s+MATCHED(\\s+AND\\s+[^T]+)?\\s+THEN\\s+INSERT\\s+\\*".r
-        require(up.findFirstIn(clauses).isDefined && ins.findFirstIn(clauses).isDefined,
-          s"MERGE supports UPDATE SET * / INSERT * clauses, got: $clauses")
+        val upStar = "(?is)WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*".r
+        val insStar = "(?is)WHEN\\s+NOT\\s+MATCHED(\\s+AND\\s+[^T]+)?\\s+THEN\\s+INSERT\\s+\\*".r
+        // explicit assignment/insert lists (the Delta MERGE clause
+        // bodies beyond */*): `UPDATE SET a = expr, ...` and
+        // `INSERT (cols) VALUES (exprs)`
+        val UpListRe =
+          """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?!\*)(.+?)\s*(?=WHEN\b|$)""".r
+        val InsListRe =
+          """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*(?=WHEN\b|$)""".r
+        val updList = UpListRe.findFirstMatchIn(clauses)
+          .map(m => parseAssignments(m.group(1)))
+        val insList = InsListRe.findFirstMatchIn(clauses).map { m =>
+          val cols = m.group(1).split(",").map(_.trim).toSeq
+          val exprs = splitTopLevelCommas(m.group(2))
+            .map(e => org.apache.spark.sql.functions.expr(e.trim))
+          require(cols.nonEmpty && cols.length == exprs.length,
+            s"INSERT column list (${cols.size}) and VALUES " +
+              s"(${exprs.size}) must align")
+          (cols, exprs)
+        }
         val srcDf = spark.table(src)
+        val snap = graft.sources.snapshot.SnapshotLog
         val ver = MergeDeleteClauseRe.findFirstMatchIn(clauses) match {
           case Some(mm) =>
+            require(updList.isEmpty && insList.isEmpty,
+              "the CDC-delete MERGE form supports UPDATE SET * / " +
+                "INSERT * clause bodies")
+            require(upStar.findFirstIn(clauses).isDefined &&
+              insStar.findFirstIn(clauses).isDefined,
+              s"MERGE needs matched + not-matched clauses, got: $clauses")
             require(mm.group(1).equalsIgnoreCase(src),
               s"DELETE clause must test the source op column, got ${mm.group(1)}")
-            graft.sources.snapshot.SnapshotLog
-              .applyChanges(srcDf, t, tKey, mm.group(2), stats).version
-          case None =>
+            snap.applyChanges(srcDf, t, tKey, mm.group(2), stats).version
+          case None if updList.isEmpty && insList.isEmpty =>
+            require(upStar.findFirstIn(clauses).isDefined &&
+              insStar.findFirstIn(clauses).isDefined,
+              s"MERGE needs matched + not-matched clauses, got: $clauses")
             // strategy per registration: CoW rewrite vs O(batch) MOR
+            if (snapshotOf(spark, name).morMerge) snap.upsertMOR(srcDf, t, tKey, stats)
+            else snap.upsert(srcDf, t, tKey, stats).version
+          case None =>
+            // Explicit clause bodies: build the full-row updates frame
+            // and feed the same upsert machinery. MATCHED rows come
+            // from the stats/Bloom-pruned semi-join read (only files
+            // whose windows may hold a source key are opened — at
+            // 100 TB the join cost is the matched files, not the
+            // table); NOT MATCHED rows anti-join the source against
+            // the matched keys (bounded by the batch).
+            require(updList.isDefined || upStar.findFirstIn(clauses).isDefined,
+              s"MERGE needs a WHEN MATCHED THEN UPDATE clause, got: $clauses")
+            require(insList.isDefined || insStar.findFirstIn(clauses).isDefined,
+              s"MERGE needs a WHEN NOT MATCHED THEN INSERT clause, got: $clauses")
+            val schema = org.apache.spark.sql.types.StructType.fromDDL(
+              snap.manifest(spark, t,
+                snap.latestVersion(spark, t).get).schemaDdl)
+            val (matchedTgt, _, _, _) =
+              snap.readSemiJoin(spark, t, tKey, srcDf, tKey)
+            val matchedKeys = matchedTgt
+              .select(org.apache.spark.sql.functions.col(tKey)).distinct()
+            import org.apache.spark.sql.functions.{col => c, lit => l}
+            val matched = updList match {
+              case None => // SET *: whole source rows replace matched rows
+                srcDf.as(src).join(matchedKeys, Seq(tKey), "left_semi")
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+              case Some(assigns) =>
+                assigns.keys.foreach(a =>
+                  require(schema.fieldNames.contains(a),
+                    s"UPDATE SET target '$a' not in table schema " +
+                      s"${schema.fieldNames.toSeq}"))
+                require(!assigns.keys.exists(_.equalsIgnoreCase(tKey)),
+                  s"UPDATE SET may not reassign the MERGE key '$tKey'")
+                matchedTgt.as(name)
+                  .join(srcDf.as(src), c(s"$name.$tKey") === c(s"$src.$tKey"))
+                  .select(schema.fields.map { f =>
+                    assigns.get(f.name)
+                      .map(_.cast(f.dataType).as(f.name))
+                      .getOrElse(c(s"$name.${f.name}").as(f.name))
+                  }.toIndexedSeq: _*)
+            }
+            val inserted = insList match {
+              case None => // INSERT *: whole source rows append
+                srcDf.as(src).join(matchedKeys, Seq(tKey), "left_anti")
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+              case Some((cols, exprs)) =>
+                cols.foreach(a => require(schema.fieldNames.contains(a),
+                  s"INSERT column '$a' not in table schema " +
+                    s"${schema.fieldNames.toSeq}"))
+                require(cols.exists(_.equalsIgnoreCase(tKey)),
+                  s"INSERT column list must include the MERGE key '$tKey'")
+                val byCol = cols.zip(exprs).toMap
+                srcDf.as(src).join(matchedKeys, Seq(tKey), "left_anti")
+                  .select(schema.fields.map { f =>
+                    byCol.get(f.name)
+                      .map(_.cast(f.dataType).as(f.name))
+                      .getOrElse {
+                        require(f.nullable,
+                          s"INSERT omits non-nullable column '${f.name}'")
+                        l(null).cast(f.dataType).as(f.name)
+                      }
+                  }.toIndexedSeq: _*)
+            }
+            val updates = matched.unionByName(inserted)
             if (snapshotOf(spark, name).morMerge)
-              graft.sources.snapshot.SnapshotLog
-                .upsertMOR(srcDf, t, tKey, stats)
-            else graft.sources.snapshot.SnapshotLog
-              .upsert(srcDf, t, tKey, stats).version
+              snap.upsertMOR(updates, t, tKey, stats)
+            else snap.upsert(updates, t, tKey, stats).version
         }
         (ver, name)
       case OptimizeRe(name, wcol, wlo, whi, zcols) =>

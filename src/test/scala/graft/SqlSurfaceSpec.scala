@@ -452,6 +452,92 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM optw_v").head.getLong(0) == 400L)
   }
 
+  test("MERGE with explicit SET assignments and INSERT (cols) VALUES (...)") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mex").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 100)
+      .select($"id", ($"id" % 5).as("k"), concat(lit("row"), $"id").as("payload"))
+      .repartition(2, $"id"), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mex_v", t, None, Seq("id"))
+    // the source carries an EXTRA column the table doesn't have — legal
+    // with explicit clause bodies (only listed columns land)
+    spark.range(40, 45).select($"id", lit(7L).as("delta"),
+      lit("it's").as("note"))
+      .unionByName(spark.range(200, 203).select($"id", lit(0L).as("delta"),
+        lit("x").as("note")))
+      .createOrReplaceTempView("mex_src")
+    GraftSql.dml(spark,
+      """MERGE INTO mex_v USING mex_src ON mex_v.id = mex_src.id
+        |WHEN MATCHED THEN UPDATE SET k = mex_src.delta + 100,
+        |  payload = concat('it''s, ', mex_v.payload)
+        |WHEN NOT MATCHED THEN INSERT (id, payload)
+        |  VALUES (mex_src.id, concat(mex_src.note, '-new'))""".stripMargin)
+    // matched rows: expressions saw BOTH sides; untouched columns kept
+    val m40 = spark.sql("SELECT k, payload FROM mex_v WHERE id = 42").head
+    assert(m40.getLong(0) == 107L, m40)
+    assert(m40.getString(1) == "it's, row42", m40.getString(1))
+    // not-matched rows: listed columns from VALUES, omitted k is NULL
+    val ins = spark.sql(
+      "SELECT k, payload FROM mex_v WHERE id = 201").head
+    assert(ins.isNullAt(0) && ins.getString(1) == "x-new", ins)
+    assert(spark.sql("SELECT count(*) FROM mex_v").head.getLong(0) == 103L)
+    // untouched rows untouched
+    assert(spark.sql("SELECT payload FROM mex_v WHERE id = 10")
+      .head.getString(0) == "row10")
+
+    // refusals: reassigning the key, inserting without it, unknown target
+    intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mex_v USING mex_src ON mex_v.id = mex_src.id
+          |WHEN MATCHED THEN UPDATE SET id = 0
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mex_v USING mex_src ON mex_v.id = mex_src.id
+          |WHEN MATCHED THEN UPDATE SET k = 1
+          |WHEN NOT MATCHED THEN INSERT (k) VALUES (1)""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mex_v USING mex_src ON mex_v.id = mex_src.id
+          |WHEN MATCHED THEN UPDATE SET nope = 1
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+
+    // MOR-registered views take the same clause bodies (O(batch) path)
+    val t2 = java.nio.file.Paths.get("target", "sql-mex2").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    snap.commit(spark.range(0, 50)
+      .select($"id", ($"id" % 5).as("k"), lit("p").as("payload"))
+      .repartition(1), t2, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mex_mor", t2, None, Seq("id"),
+      merge = "mor")
+    val filesBefore = snap.manifest(spark, t2, 1L).files.map(_.path).toSet
+    // omitting a NON-NULLABLE column refuses with the column named
+    val eNN = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mex_mor USING mex_src ON mex_mor.id = mex_src.id
+          |WHEN MATCHED THEN UPDATE SET k = mex_src.delta
+          |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (mex_src.id, 99)""".stripMargin)
+    }
+    assert(eNN.getMessage.contains("payload"), eNN.getMessage)
+    GraftSql.dml(spark,
+      """MERGE INTO mex_mor USING mex_src ON mex_mor.id = mex_src.id
+        |WHEN MATCHED THEN UPDATE SET k = mex_src.delta
+        |WHEN NOT MATCHED THEN INSERT (id, k, payload)
+        |  VALUES (mex_src.id, 99, 'q')""".stripMargin)
+    val m2 = snap.manifest(spark, t2, snap.latestVersion(spark, t2).get)
+    assert(filesBefore.subsetOf(m2.files.map(_.path).toSet),
+      "MOR merge must not rewrite prior files")
+    assert(spark.sql("SELECT sum(k) FROM mex_mor WHERE id BETWEEN 40 AND 44")
+      .head.getLong(0) == 5 * 7L)
+    assert(spark.sql("SELECT k, payload FROM mex_mor WHERE id = 202").head
+      match { case r => r.getLong(0) == 99L && r.getString(1) == "q" })
+  }
+
   test("MERGE dispatches by registration strategy: mor views upsert without rewrites") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-mor").toAbsolutePath.toString
