@@ -444,7 +444,7 @@ object SnapshotScaleSmoke {
     val preScoped = SnapshotLog.manifest(spark, tSc, 9L).files.map(_.path).toSet
     val scopedOpt = timed("optimize_scoped_1of8") {
       SnapshotLog.compact(spark, tSc, 256L << 20, Seq("l_orderkey"),
-        where = Some(("l_orderkey", 0L, w8 - 1))).get
+        where = Seq(SnapshotLog.ColumnRange.between("l_orderkey", 0L, w8 - 1))).get
     }
     val mScoped = SnapshotLog.manifest(spark, tSc, scopedOpt._3)
     require((preScoped intersect mScoped.files.map(_.path).toSet).size == 7 &&

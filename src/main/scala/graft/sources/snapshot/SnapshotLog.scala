@@ -709,12 +709,12 @@ object SnapshotLog {
     * paid in one data pass. Returns the new version, or None when fewer
     * than two files qualify.
     *
-    * `where = Some((col, lo, hi))` SCOPES the pass (the Delta
-    * `OPTIMIZE ... WHERE` shape): only files whose [min,max] stats
-    * interval for `col` may overlap the range are candidates — on a
-    * 100 TB table maintenance runs over yesterday's partition, never
-    * the world. A stats-less file cannot be proven out of scope and
-    * stays a candidate. Equality deletes drop from the manifest only
+    * `where` (an AND-conjunction of [[ColumnRange]]s) SCOPES the pass
+    * (the Delta `OPTIMIZE ... WHERE` shape): only files NO conjunct
+    * provably excludes are candidates — on a 100 TB table maintenance
+    * runs over yesterday's partition of one source, never the world.
+    * A stats-less file cannot be proven out of scope and stays a
+    * candidate. Equality deletes drop from the manifest only
     * when EVERY file they may apply to was rewritten in this pass
     * (per-delete stats-probed candidacy); a delete with surviving
     * candidates outside the scope stays outstanding and keeps masking
@@ -724,17 +724,13 @@ object SnapshotLog {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
       clusterExpr: Option[DataFrame => org.apache.spark.sql.Column] = None,
-      where: Option[(String, Any, Any)] = None): Option[Long] = {
+      where: Seq[ColumnRange] = Nil): Option[Long] = {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
-    val inScope: FileEntry => Boolean = where match {
-      case None => _ => true
-      case Some((c, lo, hi)) => f => f.stats.get(c) match {
-        case Some((mn, mx)) => cmp(mn, hi) <= 0 && cmp(mx, lo) >= 0
-        case None => true // no stats: cannot be proven out of scope
-      }
-    }
+    val inScope: FileEntry => Boolean =
+      if (where.isEmpty) _ => true
+      else f => !where.exists(statsExclude(f, _))
     // a file with a deletion vector OR applicable equality deletes is
     // compaction debt regardless of size: the rewrite materializes the
     // masks (masked rows drop for good, the new file carries none) so

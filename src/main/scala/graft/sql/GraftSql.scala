@@ -552,10 +552,10 @@ object GraftSql {
       """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(.+)$""").r
   private val MergeDeleteClauseRe =
     """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
-  private val OptimizeRe =
-    ("""(?is)^\s*OPTIMIZE\s+(\w+)""" +
-      """(?:\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+))?""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*$""").r
+  private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+(\w+)\s*(.*?)\s*$""".r
+  private val OptimizeWhereRe = """(?is)^WHERE\s+(.+)$""".r
+  private val OptimizeZorderRe =
+    """(?is)^ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
@@ -611,10 +611,13 @@ object GraftSql {
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
-    *  - `OPTIMIZE v` → [[graft.sources.snapshot.SnapshotLog.compact]]
-    *    (small-file + DV-debt rewrite); `OPTIMIZE v ZORDER BY (a, b)`
-    *    → the same rewrite clustered on a z-order interleave scaled
-    *    from manifest stats, and `VACUUM v` →
+    *  - `OPTIMIZE v [WHERE <conjunction>]` →
+    *    [[graft.sources.snapshot.SnapshotLog.compact]] (small-file +
+    *    DV-debt rewrite; the WHERE conjunction — same grammar as DML —
+    *    scopes the pass to files it may overlap);
+    *    `OPTIMIZE v ZORDER BY (a, b[, c, d])` → the same rewrite
+    *    clustered on a k-way z-order interleave scaled from manifest
+    *    stats, and `VACUUM v` →
     *    [[graft.sources.snapshot.SnapshotLog.vacuum]] (unreferenced
     *    debris; no new version).
     *  - `ALTER TABLE v RENAME COLUMN a TO b`
@@ -780,7 +783,7 @@ object GraftSql {
             else snap.upsert(updates, t, tKey, stats).version
         }
         (ver, name)
-      case OptimizeRe(name, wcol, wlo, whi, zcols) =>
+      case OptimizeRe(name, tail) =>
         // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b[, c, d])
         // → the same rewrite clustered on a k-way z-order interleave,
         // each column scaled into its bitsFor(k)-bit lane from MANIFEST
@@ -788,15 +791,34 @@ object GraftSql {
         // OPTIMIZE..ZORDER shape). String dimensions ride ord64 AFTER
         // common-prefix stripping (the table-wide prefix comes from the
         // string min/max, also manifest-only), so URL/domain-shaped
-        // columns cluster on the bytes that differ. WHERE col BETWEEN
-        // a AND b scopes either form to the files whose stats may
-        // overlap — maintenance over one partition of a 100 TB table,
-        // never the world (the Delta OPTIMIZE..WHERE shape)
+        // columns cluster on the bytes that differ. WHERE <conjunction>
+        // (the same AND-of-ranges grammar DML takes) scopes either form
+        // to the files no conjunct provably excludes — maintenance over
+        // one partition of one source of a 100 TB table, never the
+        // world (the Delta OPTIMIZE..WHERE shape)
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
         val target = 256L << 20
-        val scope = Option(wcol).map(c =>
-          (c, sqlLiteral(wlo), sqlLiteral(whi)))
+        // clause split: [WHERE <conjunction>] [ZORDER BY (cols)] — the
+        // ZORDER keyword is found outside literals, so a WHERE string
+        // literal containing "zorder" stays data
+        val zi = topLevelIndexOf(tail, "ZORDER")
+        val (wherePart, zPart) =
+          if (zi < 0) (tail.trim, "")
+          else (tail.substring(0, zi).trim, tail.substring(zi).trim)
+        val scope: Seq[graft.sources.snapshot.SnapshotLog.ColumnRange] =
+          wherePart match {
+            case "" => Nil
+            case OptimizeWhereRe(conj) => parseWhere(conj)
+            case other => throw new IllegalArgumentException(
+              s"cannot parse OPTIMIZE clause: $other")
+          }
+        val zcols = zPart match {
+          case "" => null
+          case OptimizeZorderRe(cs) => cs
+          case other => throw new IllegalArgumentException(
+            s"cannot parse OPTIMIZE ZORDER clause: $other")
+        }
         val ver =
           if (zcols == null) snap.compact(spark, t, target, stats,
             where = scope)

@@ -263,7 +263,7 @@ class SnapshotEqDeleteSpec extends AnyFunSuite {
     // pass 1: scope = bucket 1 — rewrites it, must NOT drop the delete
     // (bucket 2 still holds masked rows it applies to)
     val v6 = SnapshotLog.compact(s, t, targetBytes = 1L << 30,
-      statsCols = Seq("id"), where = Some(("id", 100L, 199L))).get
+      statsCols = Seq("id"), where = Seq(SnapshotLog.ColumnRange.between("id", 100L, 199L))).get
     val m6 = SnapshotLog.manifest(s, t, v6)
     assert(m6.eqDeletes.size == 1, "a scoped pass un-deleted rows")
     // exactly one file changed hands; the other three are untouched
@@ -276,12 +276,12 @@ class SnapshotEqDeleteSpec extends AnyFunSuite {
     // pass 2: scope = bucket 2 — the delete's LAST candidate rewrites,
     // so the debt clears
     val v7 = SnapshotLog.compact(s, t, targetBytes = 1L << 30,
-      statsCols = Seq("id"), where = Some(("id", 200L, 299L))).get
+      statsCols = Seq("id"), where = Seq(SnapshotLog.ColumnRange.between("id", 200L, 299L))).get
     assert(SnapshotLog.manifest(s, t, v7).eqDeletes.isEmpty)
     assert(SnapshotLog.read(s, t).count() == 380)
     // a scope with nothing to do commits nothing
     assert(SnapshotLog.compact(s, t, targetBytes = 1L,
-      statsCols = Seq("id"), where = Some(("id", 0L, 99L))).isEmpty)
+      statsCols = Seq("id"), where = Seq(SnapshotLog.ColumnRange.between("id", 0L, 99L))).isEmpty)
     assert(SnapshotLog.latestVersion(s, t).contains(v7))
   }
 

@@ -450,6 +450,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.sql.GraftSql.dml(spark,
       "OPTIMIZE optw_v WHERE id BETWEEN 200 AND 399 ZORDER BY (id, y)")
     assert(spark.sql("SELECT count(*) FROM optw_v").head.getLong(0) == 400L)
+    // compound scope: the same AND-of-ranges grammar DML takes
+    graft.sql.GraftSql.dml(spark,
+      "OPTIMIZE optw_v WHERE id BETWEEN 0 AND 199 AND y >= 0 ZORDER BY (id, y)")
+    assert(spark.sql("SELECT count(*) FROM optw_v").head.getLong(0) == 400L)
+    // OR in the scope refuses loudly, nothing committed
+    val vNow = snap.latestVersion(spark, t).get
+    intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.dml(spark,
+        "OPTIMIZE optw_v WHERE id BETWEEN 0 AND 9 OR y = 1")
+    }
+    assert(snap.latestVersion(spark, t).contains(vNow))
   }
 
   test("MERGE with explicit SET assignments and INSERT (cols) VALUES (...)") {
