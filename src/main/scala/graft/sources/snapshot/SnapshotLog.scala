@@ -1417,20 +1417,31 @@ object SnapshotLog {
     * the new DV carries the union of old and new positions.
     */
   def deleteWhereDV(spark: SparkSession, table: String, column: String,
-      lo: Any, hi: Any): Option[DvStats] = {
+      lo: Any, hi: Any): Option[DvStats] =
+    deleteWhereDV(spark, table, Seq(ColumnRange.between(column, lo, hi)))
+
+  /** Compound-predicate merge-on-read delete: the AND-conjunction form
+    * of [[deleteWhereDV]], classified per conjunct exactly like the
+    * CoW [[deleteWhere]] — ANY exclusion keeps a file untouched, ALL
+    * coverage (window inside bounds AND zero recorded nulls — a NULL
+    * never matches, so a null-bearing file cannot drop whole) drops it
+    * metadata-only, everything else gets its matching positions masked.
+    */
+  def deleteWhereDV(spark: SparkSession, table: String,
+      conjuncts: Seq[ColumnRange]): Option[DvStats] = {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
+    validateConjuncts(conjuncts,
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
     val groups = m.files.groupBy { f =>
-      f.stats.get(column) match {
-        case Some((mn, mx)) if cmp(mn, hi) > 0 || cmp(mx, lo) < 0 => "keep"
-        case Some((mn, mx)) if cmp(mn, lo) >= 0 && cmp(mx, hi) <= 0 => "drop"
-        case _ => "mask" // partial overlap, or no stats: must read
-      }
+      if (conjuncts.exists(statsExclude(f, _))) "keep"
+      else if (conjuncts.forall(statsCover(f, _))) "drop"
+      else "mask" // partial overlap, or no stats: must read
     }
     dvDelete(spark, table, v0, m, groups.getOrElse("keep", Nil),
       groups.getOrElse("drop", Nil), groups.getOrElse("mask", Nil),
-      col(column) >= lit(lo) && col(column) <= lit(hi))
+      rangePredicate(conjuncts))
   }
 
   /** Merge-on-read delete with an ARBITRARY predicate — the shape stats
@@ -2901,9 +2912,12 @@ object SnapshotLog {
     * `toVersion` (inclusive, default latest) — the data files present in
     * the target manifest but not the base, so an incremental consumer
     * reads ONLY the new data regardless of table size. Exact for
-    * append-only histories; refuses (loudly) if any covered version
-    * rewrote or removed files (overwrite/delete/upsert/compact), where
-    * an added-file diff would double-count rewritten rows — the
+    * append-only histories — including metadata-only DDL (evolve-
+    * schema / rename-column / drop-column), which moves no files; rows
+    * serve under the END schema, the same era alignment the change
+    * feed applies. Refuses (loudly) if any covered version rewrote or
+    * removed files (overwrite/delete/upsert/compact), where an
+    * added-file diff would double-count rewritten rows — the
     * downstream there is a fresh full read. This is the batch form of
     * "table as a stream": checkpoint = last version consumed.
     */
@@ -2931,7 +2945,14 @@ object SnapshotLog {
       }
     ((fromVersion + 1) to to).foreach { v =>
       val op = manifest(spark, table, v).op
-      require(op == "append" || op == "stream-append",
+      // metadata-only DDL (evolve/rename/drop) moves no files, so the
+      // added-file diff stays exact; rows serve under the END schema —
+      // the same era alignment the change feed and the stream apply
+      // (physical names are rename-stable; dropped columns project
+      // away; added columns null-fill in pre-evolution files)
+      require(op == "append" || op == "stream-append" ||
+        op == "evolve-schema" || op == "rename-column" ||
+        op == "drop-column",
         s"version $v is '$op': file-diff changes are only exact over " +
           "append-only history — re-read the snapshot instead")
     }

@@ -106,6 +106,43 @@ class SnapshotCompoundDmlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"))
   }
 
+  test("compound merge-on-read delete: keep/drop/mask per conjunct, zero rewrites") {
+    val t = fresh("cdml-dv")
+    (0 until 4).foreach { b =>
+      SnapshotLog.commit(
+        s.range(b * 100L, b * 100L + 100)
+          .select($"id", lit(b.toLong).as("k"),
+            concat(lit("row"), $"id").as("payload")).coalesce(1),
+        t, "append", Seq("id", "k"))
+    }
+    val before = SnapshotLog.manifest(s, t, 4L).files.map(_.path).toSet
+    // bucket 1 fully covered by both conjuncts (drop metadata-only);
+    // bucket 2 overlaps the id window but is masked only where k=2
+    // matches (the id conjunct bounds the positions)
+    val st = SnapshotLog.deleteWhereDV(s, t,
+      Seq(SnapshotLog.ColumnRange.between("id", 100L, 250L),
+        SnapshotLog.ColumnRange("k", Some(1L), None))).get
+    assert(st.filesDropped == 1 && st.filesMasked == 1, st)
+    val m = SnapshotLog.manifest(s, t, SnapshotLog.latestVersion(s, t).get)
+    // merge-on-read: the masked file's BYTES are untouched (same path)
+    assert(m.files.map(_.path).toSet.subsetOf(before))
+    val got = SnapshotLog.read(s, t).select($"id").as[Long].collect().toSet
+    assert(got == ((0L until 100) ++ (251L until 400)).toSet)
+
+    // a null-bearing fully-covered file masks, never drops whole
+    val t2 = fresh("cdml-dvnull")
+    SnapshotLog.commit(
+      s.range(0, 100).select(
+        when($"id" % 10 === 0, lit(null)).otherwise($"id")
+          .cast("long").as("id"), lit(0L).as("k")).coalesce(1),
+      t2, "append", Seq("id"))
+    val st2 = SnapshotLog.deleteWhereDV(s, t2, "id", 0L, 99L).get
+    assert(st2.filesDropped == 0 && st2.filesMasked == 1,
+      s"null-bearing file must mask, not drop: $st2")
+    assert(SnapshotLog.read(s, t2).count() == 10,
+      "NULL rows must survive a DV range delete")
+  }
+
   test("a fully-covered file with NULLs in the column is not dropped whole") {
     val t = fresh("cdml-null")
     // one file whose non-null ids all sit inside [0, 99] but which also

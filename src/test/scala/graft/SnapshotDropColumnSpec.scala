@@ -78,7 +78,7 @@ class SnapshotDropColumnSpec extends AnyFunSuite {
     assert(phys.get("k").exists(_ != "k"), s"no fresh physical slot: $phys")
   }
 
-  test("drop composes with rename and the change feed; streams refuse mid-range") {
+  test("drop composes with rename, the change feed, and incremental reads") {
     val t = freshTable("compose")
     SnapshotLog.commit(df(0, 40), t, "append", Seq("id"))          // v1
     SnapshotLog.renameColumn(s, t, "k", "bucket")                  // v2
@@ -93,11 +93,19 @@ class SnapshotDropColumnSpec extends AnyFunSuite {
     assert(feed.where($"_change_type" === "insert").count() == 50)
     // the metadata-only drop itself feeds nothing
     assert(feed.where($"_commit_version" === 3L).count() == 0)
-    // a stream spanning the drop refuses loudly (not append-shaped)
+    // the incremental batch read spans the metadata-only DDL with the
+    // same END-schema alignment: exactly v4's rows, no dropped column
+    val inc = SnapshotLog.readChanges(s, t, 2L, Some(4L))
+    assert(inc.columns.toSet == Set("id", "payload"))
+    assert(inc.count() == 10)
+    assert(inc.agg(org.apache.spark.sql.functions.sum($"id"))
+      .head.getLong(0) == (40L until 50).sum)
+    // a REWRITE inside the range still refuses loudly
+    SnapshotLog.deleteWhere(s, t, "id", 0L, 4L, Seq("id"))         // v5
     val e = intercept[Exception] {
-      SnapshotLog.readChanges(s, t, 2L, Some(4L)).count()
+      SnapshotLog.readChanges(s, t, 2L, Some(5L)).count()
     }
-    assert(e.getMessage.contains("drop-column"))
+    assert(e.getMessage.contains("delete"))
   }
 
   test("unsafe drops refuse loudly") {
