@@ -244,6 +244,33 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "idempotent upsert changed content")
 
+    // compound-predicate UPDATE: the conjunct INTERSECTION classifies
+    // to ONE bucket although the first conjunct alone spans 30 — the
+    // rewrite set is the files NO conjunct excludes, never the widest
+    // conjunct's span. restore() rolls the content back.
+    val vBeforeCup = SnapshotLog.latestVersion(spark, t).get
+    val cupStats = timed("compound_update_1of30") {
+      SnapshotLog.updateWhere(spark, t,
+        Seq(SnapshotLog.ColumnRange.between("l_orderkey",
+            10L * width, 40L * width - 1),
+          SnapshotLog.ColumnRange.between("l_orderkey",
+            20L * width, 21L * width - 1)),
+        Map("l_quantity" -> (col("l_quantity") + lit(1000000L))),
+        Seq("l_orderkey")).get
+    }
+    require(cupStats._3.filesRewritten == 1,
+      s"conjunct-intersection update rewrote " +
+        s"${cupStats._3.filesRewritten} files (expected 1 of the 30 the " +
+        "widest conjunct spans)")
+    val cupHit = base.where(col("l_orderkey")
+      .between(20L * width, 21L * width - 1)).count()
+    require(agg(SnapshotLog.read(spark, t)) ==
+      (directBase._1, directBase._2 + 1000000L * cupHit),
+      "compound update content diverged")
+    SnapshotLog.restore(spark, t, vBeforeCup)
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "restore after compound update diverged")
+
     // linearity: 4× the touched buckets rewrites EXACTLY 4 files, and
     // the wall-clock stays in the same regime as 4 single-file rounds
     // (generous bound — the guard is against O(table) behavior, not IO
@@ -475,6 +502,7 @@ object SnapshotScaleSmoke {
       ("cdc_apply_2files", cdcStats._2),
       ("upsert_1file", upStats._2),
       ("upsert_4files", upStats4._2),
+      ("compound_update_1of30", cupStats._2),
       ("upsert_mor_4buckets", upMor._2),
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
