@@ -557,6 +557,14 @@ object GraftSql {
   private val OptimizeZorderRe =
     """(?is)^ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
+  private val RestoreVersionRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+  private val RestoreTimestampRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)\s*$""".r
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val AlterDropRe =
@@ -630,6 +638,16 @@ object GraftSql {
     *    (metadata-only; the physical slot tombstones so a later
     *    re-ADD serves NULL) — all repoint the view at the new
     *    version with the new schema.
+    *  - `RESTORE TABLE v TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
+    *    '<ts>'`) → [[graft.sources.snapshot.SnapshotLog.restore]] —
+    *    metadata-only rollback publishing the target version's file
+    *    list as a new version (history stays append-only; the restore
+    *    is itself undoable).
+    *  - `ALTER TABLE v ADD CONSTRAINT name CHECK (expr)` /
+    *    `DROP CONSTRAINT name` →
+    *    [[graft.sources.snapshot.SnapshotLog.addConstraint]] /
+    *    dropConstraint — registration validates existing rows and
+    *    every future write enforces the check at commit time.
     *
     * After a mutation the view re-registers at the NEW latest version,
     * so subsequent SELECTs observe the change — Delta's SQL DML
@@ -865,6 +883,33 @@ object GraftSql {
         val (t, _) = mutableSnapshotOf(spark, name)
         graft.sources.snapshot.SnapshotLog.vacuum(spark, t)
         (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
+      case RestoreVersionRe(name, ver) =>
+        // metadata-only rollback (the Delta RESTORE TABLE shape):
+        // republishes the target version's file list as a NEW version
+        val (t, _) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog.restore(spark, t, ver.toLong),
+          name)
+      case RestoreTimestampRe(name, ts) =>
+        val (t, _) = mutableSnapshotOf(spark, name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        val millis = parseTsMillis(ts)
+        val ver = snap.versionAt(spark, t, millis).getOrElse(
+          throw new IllegalArgumentException(
+            s"no version of $t existed at t=$millis (or it has been " +
+              "expired)"))
+        (snap.restore(spark, t, ver), name)
+      case AddConstraintRe(name, cname, expr0) =>
+        // CHECK constraints bind on every future write (writeData's
+        // constraintGuard); registration scans existing rows and
+        // refuses if any violate — see SnapshotLog.addConstraint
+        val (t, _) = mutableSnapshotOf(spark, name)
+        graft.sources.snapshot.SnapshotLog
+          .addConstraint(spark, t, cname, expr0.trim)
+        (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
+      case DropConstraintRe(name, cname) =>
+        val (t, _) = mutableSnapshotOf(spark, name)
+        graft.sources.snapshot.SnapshotLog.dropConstraint(spark, t, cname)
+        (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
       case AlterDropRe(name, colName) =>
         // metadata-only drop; the physical slot stays tombstoned so a
         // later ADD COLUMN of the same name serves NULL, never the old
@@ -892,7 +937,8 @@ object GraftSql {
         throw new IllegalArgumentException(
           "unsupported statement (DELETE FROM/INSERT INTO/UPDATE/" +
             "MERGE INTO/ALTER TABLE ... RENAME COLUMN/ADD COLUMN/" +
-            "DROP COLUMN/" +
+            "DROP COLUMN/ADD CONSTRAINT/DROP CONSTRAINT/" +
+            "RESTORE TABLE .. TO VERSION|TIMESTAMP AS OF/" +
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
     }
     // repoint the view at the new version so SQL readers see the change

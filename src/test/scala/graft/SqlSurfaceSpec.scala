@@ -288,6 +288,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"))
   }
 
+  test("RESTORE TABLE and CHECK constraints answer through the SQL surface") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-rst").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 50).select($"id", ($"id" % 5).as("k")),
+      t, "append", Seq("id"))
+    val tsV1 = snap.manifest(spark, t, 1L).ts
+    Thread.sleep(5)
+    GraftSql.registerSnapshot(spark, "rst_v", t, None, Seq("id"))
+    GraftSql.dml(spark, "DELETE FROM rst_v WHERE id BETWEEN 0 AND 24")
+    assert(spark.sql("SELECT count(*) FROM rst_v").head.getLong(0) == 25L)
+    // RESTORE TO VERSION: metadata-only rollback, view repoints
+    val v3 = GraftSql.dml(spark, "RESTORE TABLE rst_v TO VERSION AS OF 1")
+    assert(v3 == 3L)
+    assert(spark.sql("SELECT count(*) FROM rst_v").head.getLong(0) == 50L)
+    // RESTORE TO TIMESTAMP: resolves through versionAt, same walk
+    GraftSql.dml(spark, "DELETE FROM rst_v WHERE id BETWEEN 0 AND 9")
+    GraftSql.dml(spark, s"RESTORE TABLE rst_v TO TIMESTAMP AS OF $tsV1")
+    assert(spark.sql("SELECT count(*) FROM rst_v").head.getLong(0) == 50L)
+    // ADD CONSTRAINT validates existing rows, then binds future writes
+    GraftSql.dml(spark, "ALTER TABLE rst_v ADD CONSTRAINT id_cap CHECK (id < 1000)")
+    val e = intercept[Exception] {
+      GraftSql.dml(spark,
+        "INSERT INTO rst_v SELECT id + 5000 AS id, CAST(0 AS BIGINT) AS k FROM range(0, 3)")
+    }
+    assert(e.getMessage.contains("id_cap"), e.getMessage)
+    // a registration that existing rows violate refuses and withdraws
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark, "ALTER TABLE rst_v ADD CONSTRAINT bad CHECK (id < 10)")
+    }
+    assert(e2.getMessage.contains("violate"), e2.getMessage)
+    // DROP CONSTRAINT re-opens the gate
+    GraftSql.dml(spark, "ALTER TABLE rst_v DROP CONSTRAINT id_cap")
+    GraftSql.dml(spark,
+      "INSERT INTO rst_v SELECT id + 5000 AS id, CAST(0 AS BIGINT) AS k FROM range(0, 3)")
+    assert(spark.sql("SELECT count(*) FROM rst_v").head.getLong(0) == 53L)
+  }
+
   test("TIMESTAMP AS OF resolves the newest version at or before the instant") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-tao").toAbsolutePath.toString
