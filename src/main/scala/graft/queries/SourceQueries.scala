@@ -3102,6 +3102,61 @@ object SourceQueries extends QueryPack {
           $"sum_id", $"sum_chars")
     }),
 
+    // SQL RESTORE + CHECK constraint lifecycle: a DELETE is rolled
+    // back by RESTORE TABLE .. TO VERSION AS OF (metadata-only —
+    // restore_meta_only pins the v1 file list republished verbatim), a
+    // CHECK constraint registers against clean rows, blocks a
+    // violating INSERT (blocked=1 — the refusal leaves no version),
+    // and admits a conforming one. The oracle replays the surviving
+    // content relationally; n_versions pins exactly one commit per
+    // effective statement.
+    "qcp_sql_restore" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snaprst-$tag"
+      val v = s"rstv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.repartitionByRange(4, $"o_orderkey"), t,
+        "append", Seq("o_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      graft.sql.GraftSql.dml(s,
+        s"DELETE FROM $v WHERE o_orderkey BETWEEN 0 AND ${mx / 2}")
+      graft.sql.GraftSql.dml(s, s"RESTORE TABLE $v TO VERSION AS OF 1")
+      // set-compare: the restore is encoded as a DELTA against v2, so
+      // resolution appends the re-added files after v2's survivors —
+      // same files, different order
+      val restoreMetaOnly =
+        SnapshotLog.manifest(s, t, 3L).files.map(_.path).toSet ==
+          SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      graft.sql.GraftSql.dml(s,
+        s"ALTER TABLE $v ADD CONSTRAINT key_cap " +
+          s"CHECK (o_orderkey <= ${mx + 1000000})")
+      val vBefore = SnapshotLog.latestVersion(s, t).get
+      val blocked =
+        try {
+          graft.sql.GraftSql.dml(s,
+            s"INSERT INTO $v SELECT ${mx + 2000000} + id AS o_orderkey, " +
+              "id AS o_custkey FROM range(0, 5)")
+          false
+        } catch { case _: Exception => true }
+      val noGhost = SnapshotLog.latestVersion(s, t).contains(vBefore)
+      graft.sql.GraftSql.dml(s,
+        s"INSERT INTO $v SELECT ${mx + 1001} + id AS o_orderkey, " +
+          "id AS o_custkey FROM range(0, 10)")
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_key"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("restore_meta_only", lit(if (restoreMetaOnly) 1L else 0L))
+        .withColumn("blocked", lit(if (blocked && noGhost) 1L else 0L))
+        .withColumn("n_versions",
+          lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"restore_meta_only", $"blocked", $"n_rows", $"sum_key",
+          $"sum_cust", $"n_versions")
+    }),
+
     // Structured Streaming through a metadata-only DROP COLUMN (era
     // alignment): a stream DECLARING its columns (the v2 projection —
     // Spark pushes no streaming projection, so the option is also what
@@ -4021,6 +4076,24 @@ object SourceQueries extends QueryPack {
           |     WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_bucket,
           |  CAST((SELECT sum(o_custkey) FROM orders
           |    WHERE o_orderkey % 2 = 0) AS BIGINT) AS v1_sum_cust""".stripMargin,
+
+      // surviving content = the full table (restore undid the delete)
+      // plus the conforming insert; structural columns are contract
+      // constants (restore republished v1's file list verbatim, the
+      // violating insert left no version, 4 effective commits)
+      "qcp_sql_restore" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+          |ins AS (SELECT m + 1001 + i AS k, i AS c
+          |        FROM range(0, 10) t(i), mx),
+          |allr AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+          |         UNION ALL SELECT k, c FROM ins)
+          |SELECT CAST(1 AS BIGINT) AS restore_meta_only,
+          |  CAST(1 AS BIGINT) AS blocked,
+          |  count(*) AS n_rows,
+          |  CAST(sum(k) AS BIGINT) AS sum_key,
+          |  CAST(sum(c) AS BIGINT) AS sum_cust,
+          |  CAST(4 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
 
       // the streamed accounting replayed relationally: evens before
       // the drop, odds after, exactly once across the DDL
