@@ -369,4 +369,32 @@ class PlanContractSpec extends AnyFunSuite {
       s"BPE apply left codegen:\n${p.take(1200)}")
     assert(p.contains("partial"), s"token aggregation lost map-side combine:\n${p.take(1200)}")
   }
+
+  test("zOrderK and prefix-stripped ord64 are codegen projections, no UDF boundary") {
+    // the clustering keys every zorder write computes scan-side: a
+    // UDF here would put an interpreter call on EVERY ROW of EVERY
+    // re-layout at 100 TB
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).select(
+      (col("id") % 100).as("a"), (col("id") % 37).as("b"),
+      (col("id") % 11).as("c"), (col("id") % 7).as("d"),
+      concat(lit("https://corpus.example/"),
+        (col("id") % 5).cast("string")).as("s"))
+    for (k <- 2 to 4) {
+      val cols = Seq(col("a"), col("b"), col("c"), col("d")).take(k)
+      val q = df.select(graft.functions.ZOrder.zOrderK(cols).as("z"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"zOrderK(k=$k) left codegen:\n${p.take(800)}")
+      assert(p.contains("*("), s"zOrderK(k=$k) has no codegen stage:\n${p.take(800)}")
+    }
+    val q2 = df.select(
+      graft.functions.StringOrd.ord64After(col("s"), "https://").as("o"))
+    q2.collect()
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(!p2.contains("BatchEvalPython") && !p2.contains("ScalaUDF"),
+      s"ord64After left codegen:\n${p2.take(800)}")
+    assert(p2.contains("*("), s"ord64After has no codegen stage:\n${p2.take(800)}")
+  }
 }
