@@ -3102,6 +3102,48 @@ object SourceQueries extends QueryPack {
           $"sum_id", $"sum_chars")
     }),
 
+    // Arbitrary-predicate SQL DML (the shapes the conjunction grammar
+    // can't classify): an OR/modulo DELETE routes to the merge-on-read
+    // positional path — predicate executed exactly, ZERO data files
+    // written (dv_only pins the identical path set with masks) — and
+    // an IN-list UPDATE routes through the two-pass locate-then-rewrite
+    // path, touching ONLY the one file that holds the matched keys
+    // (carried_files=3). The oracle replays both statements
+    // relationally; a fallback that rewrites the world, misses rows,
+    // or resurrects masked rows breaks the pins or the hash.
+    "qcq_sql_arbitrary_dml" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snaparb-$tag"
+      val v = s"arbv_$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.repartitionByRange(4, $"o_orderkey"), t,
+        "append", Seq("o_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("o_orderkey"))
+      val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+      val paths1 = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      graft.sql.GraftSql.dml(s,
+        s"DELETE FROM $v WHERE o_orderkey % 97 = 0 OR o_custkey < 0")
+      val m2 = SnapshotLog.manifest(s, t, 2L)
+      val dvOnly = m2.files.map(_.path).toSet == paths1 &&
+        m2.files.exists(_.dv.isDefined)
+      val k0 = mx / 8
+      graft.sql.GraftSql.dml(s,
+        s"UPDATE $v SET o_custkey = o_custkey + 1000000 " +
+          s"WHERE o_orderkey IN ($k0, ${k0 + 1}, ${k0 + 2})")
+      val paths3 = SnapshotLog.manifest(s, t, 3L).files.map(_.path).toSet
+      val carried = (m2.files.map(_.path).toSet intersect paths3).size.toLong
+      SnapshotLog.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"o_custkey" >= 1000000L, lit(1))).as("n_bumped"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("dv_only", lit(if (dvOnly) 1L else 0L))
+        .withColumn("carried_files", lit(carried))
+        .select($"dv_only", $"carried_files", $"n_rows", $"n_bumped",
+          $"sum_cust")
+    }),
+
     // SQL RESTORE + CHECK constraint lifecycle: a DELETE is rolled
     // back by RESTORE TABLE .. TO VERSION AS OF (metadata-only —
     // restore_meta_only pins the v1 file list republished verbatim), a
@@ -4076,6 +4118,22 @@ object SourceQueries extends QueryPack {
           |     WHERE o_orderkey % 2 = 0) AS BIGINT) AS sum_bucket,
           |  CAST((SELECT sum(o_custkey) FROM orders
           |    WHERE o_orderkey % 2 = 0) AS BIGINT) AS v1_sum_cust""".stripMargin,
+
+      // both statements replayed relationally over the live (non-%97)
+      // rows; dv_only / carried_files are contract constants (masks
+      // only for the DELETE, one located file for the UPDATE)
+      "qcq_sql_arbitrary_dml" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+          |live AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders
+          |         WHERE o_orderkey % 97 <> 0)
+          |SELECT CAST(1 AS BIGINT) AS dv_only,
+          |  CAST(3 AS BIGINT) AS carried_files,
+          |  count(*) AS n_rows,
+          |  count(CASE WHEN k IN (m // 8, m // 8 + 1, m // 8 + 2)
+          |    THEN 1 END) AS n_bumped,
+          |  CAST(sum(CASE WHEN k IN (m // 8, m // 8 + 1, m // 8 + 2)
+          |    THEN c + 1000000 ELSE c END) AS BIGINT) AS sum_cust
+          |FROM live, mx""".stripMargin,
 
       // surviving content = the full table (restore undid the delete)
       // plus the conforming insert; structural columns are contract

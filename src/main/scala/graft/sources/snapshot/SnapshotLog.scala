@@ -1395,6 +1395,70 @@ object SnapshotLog {
     }
   }
 
+  /** Copy-on-write update with an ARBITRARY row predicate — the shape
+    * stats can't classify (OR, LIKE, multi-term expressions). Two
+    * passes, the Delta UPDATE cost model: a location scan finds the
+    * files that HOLD a matching row (column pruning + row-group
+    * predicate pushdown make the probe cheap; deletion-vector masks
+    * are NOT subtracted — conservative: a file whose only match is
+    * already masked rewrites as a content no-op rather than risking a
+    * missed file), then exactly those files rewrite with assignments
+    * applied to matching rows. Cost scales with the files that
+    * actually hold matches, never the table. Returns None when no
+    * file holds a match.
+    */
+  def updateMatching(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Option[MutationStats] = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"UPDATE target '$c' not in table schema ${schema.fieldNames.toSeq}"))
+    val located = locateMatches(spark, table, m, condition)
+    val rewrite = m.files.filter(f => located(relKey(f.path)))
+    if (rewrite.isEmpty) None
+    else {
+      val updated = readFiles(spark, table, m, rewrite).select(
+        schema.fields.map { f =>
+          assignments.get(f.name) match {
+            case Some(e) =>
+              when(condition, e.cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      val newFiles = writeData(sortForLayout(updated, m.layout), table,
+        v0 + 1, statsCols, physical = m.physical)
+      val v = publishMutation(spark, table, m, "update",
+        touched = rewrite, replacement = Nil, added = newFiles,
+        eqAdded = Nil)
+      Some(MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size))
+    }
+  }
+
+  /** Rel-keys of the files holding at least one row matching
+    * `condition` — one location scan over logical names; bounded
+    * collect (one row per matched file).
+    */
+  private def locateMatches(spark: SparkSession, table: String, m: Manifest,
+      condition: org.apache.spark.sql.Column): Set[String] = {
+    if (m.files.isEmpty) return Set.empty
+    val logical = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val positioned = readFilesPhys(spark, table, m, m.files)
+      .withColumn("__file",
+        regexp_extract(col("_metadata.file_path"), FileRelRegex, 1))
+    val aliased =
+      if (m.physical.isEmpty) positioned
+      else positioned.select((logical.fieldNames.toIndexedSeq.map(c =>
+        col(physName(m, c)).as(c)) :+ col("__file")): _*)
+    aliased.where(condition).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
   /** Outcome of a merge-on-read (deletion-vector) delete: untouched
     * files, files dropped whole from the manifest (every live row
     * matched — metadata-only), and files masked by a new/extended DV.

@@ -590,21 +590,27 @@ object GraftSql {
     * of the SQL surface. Supported statements (ANSI shapes, resolved
     * against [[registerSnapshot]]'s catalog):
     *
-    *  - `DELETE FROM v WHERE <conjunction>`
-    *    → [[graft.sources.snapshot.SnapshotLog.deleteWhere]] — CoW
-    *    classification: untouched files kept, covered files dropped
-    *    metadata-only, partial files rewritten. `<conjunction>` is an
-    *    AND of per-column ranges — `col BETWEEN lo AND hi`, `col = x`,
-    *    `col < x`, `col <= x`, `col > x`, `col >= x` — e.g.
-    *    `WHERE a BETWEEN 1 AND 9 AND b = 'web' AND ts < 170`. OR and
-    *    any other predicate shape refuse loudly (the stats-based file
-    *    classifier executes exactly what it can prove).
+    *  - `DELETE FROM v WHERE <predicate>`. A `<conjunction>` — an AND
+    *    of per-column ranges (`col BETWEEN lo AND hi`, `col = x`,
+    *    `col </<=/>/>= x`), e.g. `WHERE a BETWEEN 1 AND 9 AND b = 'web'
+    *    AND ts < 170` — routes to the stats-classified CoW
+    *    [[graft.sources.snapshot.SnapshotLog.deleteWhere]]: untouched
+    *    files kept, covered files dropped metadata-only, partial files
+    *    rewritten. ANY OTHER predicate (OR, LIKE, arbitrary Spark SQL)
+    *    routes to the merge-on-read
+    *    [[graft.sources.snapshot.SnapshotLog.deleteMatchingDV]]: one
+    *    scan marks matching positions, zero rewrites, OPTIMIZE pays
+    *    the mask debt later. Both execute exactly; the grammar only
+    *    picks the cost class.
     *  - `INSERT INTO v SELECT ...` → an append commit of the query
     *    result (conforms to the table schema; CHECK constraints bind).
-    *  - `UPDATE v SET a = expr[, b = expr] WHERE <conjunction>` (same
-    *    grammar) → [[graft.sources.snapshot.SnapshotLog.updateWhere]]
-    *    — CoW: only files whose stats may hold a match rewrite;
-    *    expressions may reference other columns.
+    *  - `UPDATE v SET a = expr[, b = expr] WHERE <predicate>`:
+    *    conjunctions → the stats-classified CoW
+    *    [[graft.sources.snapshot.SnapshotLog.updateWhere]] (only files
+    *    whose stats may hold a match rewrite); arbitrary predicates →
+    *    [[graft.sources.snapshot.SnapshotLog.updateMatching]] (a
+    *    pruned probe scan locates the files that HOLD a match; exactly
+    *    those rewrite). Expressions may reference other columns.
     *  - `MERGE INTO v USING src ON v.k = src.k WHEN MATCHED THEN
     *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
     *    → [[graft.sources.snapshot.SnapshotLog.upsert]] (exact-interval
@@ -663,11 +669,22 @@ object GraftSql {
     val (v, name) = statement match {
       case DeleteRe(name, where) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
-        (graft.sources.snapshot.SnapshotLog
-          .deleteWhere(spark, t, parseWhere(where), stats)
-          .map(_.version)
-          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
-          name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        // conjunction grammar → stats-classified CoW delete (files the
+        // predicate provably misses are never read). Anything else —
+        // OR, LIKE, arbitrary expressions — falls back to the
+        // merge-on-read positional delete: ONE scan marks matching
+        // positions, zero files rewrite, and OPTIMIZE pays the mask
+        // debt down later. Both paths execute the predicate exactly;
+        // only the cost class differs.
+        val ver = (try Some(parseWhere(where))
+          catch { case _: IllegalArgumentException => None }) match {
+          case Some(crs) => snap.deleteWhere(spark, t, crs, stats)
+            .map(_.version)
+          case None => snap.deleteMatchingDV(spark, t,
+            org.apache.spark.sql.functions.expr(where)).map(_.version)
+        }
+        (ver.getOrElse(snap.latestVersion(spark, t).get), name)
       case InsertRe(name, select) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
@@ -680,12 +697,19 @@ object GraftSql {
         val setClause = tail.substring(0, wi)
         val where = tail.substring(wi + "WHERE".length)
         val (t, stats) = mutableSnapshotOf(spark, name)
-        (graft.sources.snapshot.SnapshotLog
-          .updateWhere(spark, t, parseWhere(where),
-            parseAssignments(setClause), stats)
-          .map(_.version)
-          .getOrElse(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get),
-          name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        // same dual path as DELETE: conjunctions classify from stats;
+        // arbitrary predicates locate the files that actually hold a
+        // match (one pruned probe scan) and rewrite exactly those
+        val ver = (try Some(parseWhere(where))
+          catch { case _: IllegalArgumentException => None }) match {
+          case Some(crs) => snap.updateWhere(spark, t, crs,
+            parseAssignments(setClause), stats).map(_.version)
+          case None => snap.updateMatching(spark, t,
+            org.apache.spark.sql.functions.expr(where),
+            parseAssignments(setClause), stats).map(_.version)
+        }
+        (ver.getOrElse(snap.latestVersion(spark, t).get), name)
       case MergeRe(name, src, a1, k1, a2, k2, clauses) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         val (tAlias, tKey, sAlias, sKey) =

@@ -423,27 +423,48 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cmp_v WHERE id = 0")
       .head.getLong(0) == 0L)
 
-    // OR refuses loudly and mutates nothing
-    val vNow = snap.latestVersion(spark, t).get
-    val e = intercept[IllegalArgumentException] {
-      GraftSql.dml(spark,
-        "DELETE FROM cmp_v WHERE id BETWEEN 0 AND 9 OR k = 2")
-    }
-    assert(e.getMessage.contains("OR"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      GraftSql.dml(spark,
-        "UPDATE cmp_v SET payload = 'x' WHERE id = 1 OR id = 2")
-    }
-    assert(e2.getMessage.toLowerCase.contains("cannot parse"), e2.getMessage)
-    assert(snap.latestVersion(spark, t).contains(vNow),
-      "a refused statement must not commit")
+    // an OR predicate routes to the merge-on-read positional delete:
+    // the predicate executes exactly, ZERO data files are written
+    // (masks only), and OPTIMIZE pays the debt later
+    val filesB = snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).files.map(_.path).toSet
+    GraftSql.dml(spark,
+      "DELETE FROM cmp_v WHERE id BETWEEN 1 AND 4 OR id BETWEEN 396 AND 399")
+    val mAfter = snap.manifest(spark, t, snap.latestVersion(spark, t).get)
+    assert(mAfter.files.map(_.path).toSet.subsetOf(filesB),
+      "an arbitrary-predicate DELETE must not write data files")
+    assert(mAfter.files.exists(_.dv.isDefined), "expected DV masks")
+    assert(spark.sql("SELECT count(*) FROM cmp_v").head.getLong(0) == 341L)
+    assert(spark.sql(
+      "SELECT count(*) FROM cmp_v WHERE id <= 4 OR id >= 396")
+      .head.getLong(0) == 0L)
 
-    // an unquoted non-numeric literal gets a typed error, not a raw
-    // NumberFormatException
-    val e3 = intercept[IllegalArgumentException] {
+    // an arbitrary-predicate UPDATE rewrites ONLY the files that hold
+    // a match (the located set), not every stats-plausible file
+    val filesB2 = mAfter.files.map(_.path).toSet
+    GraftSql.dml(spark,
+      "UPDATE cmp_v SET payload = 'lo' WHERE id = 5 OR id = 7")
+    val after2 = snap.manifest(spark, t,
+      snap.latestVersion(spark, t).get).files.map(_.path).toSet
+    assert((filesB2 intersect after2).size == filesB2.size - 1,
+      s"arbitrary UPDATE should rewrite exactly the one matched file")
+    assert(spark.sql("SELECT count(*) FROM cmp_v WHERE payload = 'lo'")
+      .head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM cmp_v").head.getLong(0) == 341L)
+    // the rewrite materialized the matched file's DV: masked rows stay dead
+    assert(spark.sql("SELECT count(*) FROM cmp_v WHERE id <= 4")
+      .head.getLong(0) == 0L)
+
+    // nonsense still refuses loudly and commits nothing
+    val vNow = snap.latestVersion(spark, t).get
+    intercept[Exception] {
+      GraftSql.dml(spark, "DELETE FROM cmp_v WHERE id ==== 5")
+    }
+    intercept[Exception] { // unknown column resolves to a loud failure
       GraftSql.dml(spark, "DELETE FROM cmp_v WHERE id = abc")
     }
-    assert(e3.getMessage.contains("literal"), e3.getMessage)
+    assert(snap.latestVersion(spark, t).contains(vNow),
+      "a refused statement must not commit")
   }
 
   test("literalSpans honors backslash escapes (rewrite immunity inside literals)") {
