@@ -99,7 +99,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(14)
+        val choice = if (op == 0) 0 else rnd.nextInt(15)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -110,7 +110,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13)(choice) &&
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14)(choice) &&
             rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
@@ -251,6 +251,20 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               model = model.map(r =>
                 if (r._1 >= lo && r._1 <= hi && r._2 == kv)
                   (r._1, r._2, r._3 + "+")
+                else r)
+              history += st.version -> model
+            }
+          case 14 => // arbitrary-predicate CoW update (locate-then-rewrite)
+            val lo = rnd.nextLong(nextId.max(1))
+            val hi = lo + rnd.nextLong(30) + 1
+            val kv = rnd.nextLong(7)
+            SnapshotLog.updateMatching(s, t,
+              (col(keyName) >= lo && col(keyName) <= hi) || col("k") === kv,
+              Map("payload" -> concat(col("payload"), lit("~"))),
+              Seq(keyName)).foreach { st =>
+              model = model.map(r =>
+                if ((r._1 >= lo && r._1 <= hi) || r._2 == kv)
+                  (r._1, r._2, r._3 + "~")
                 else r)
               history += st.version -> model
             }

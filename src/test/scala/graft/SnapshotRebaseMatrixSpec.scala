@@ -72,6 +72,9 @@ class SnapshotRebaseMatrixSpec extends AnyFunSuite {
       Seq(SnapshotLog.ColumnRange.between("id", 120L, 139L),
         SnapshotLog.ColumnRange("payload", Some("r"), None)),
       Seq("id")); () }),
+    Op("cow-update-matching-b2")(t => { SnapshotLog.updateMatching(s, t,
+      col("id") % 10 === 3 && col("id") >= 200L && col("id") <= 249L,
+      Map("payload" -> concat(lit("am-"), col("payload"))), Seq("id")); () }),
     Op("compact")(t => { SnapshotLog.compact(s, t, 1L << 30,
       Seq("id")); () }))
 
