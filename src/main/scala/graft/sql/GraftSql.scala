@@ -619,9 +619,13 @@ object GraftSql {
     *    either side by its alias; the key may not be reassigned) and
     *    `INSERT (cols) VALUES (exprs)` (listed columns land, omitted
     *    nullable columns fill NULL, the key must be listed; the source
-    *    may carry extra columns) — matched rows come from the
-    *    stats/Bloom-pruned semi-join read, so the build cost is the
-    *    matched files, not the table.
+    *    may carry extra columns), and each clause takes an optional
+    *    CONDITION — `WHEN MATCHED AND <cond> THEN UPDATE ...` /
+    *    `WHEN NOT MATCHED AND <cond> THEN INSERT ...` — a matched row
+    *    failing its condition stays unchanged, a not-matched row
+    *    failing its condition never inserts. Matched rows come from
+    *    the stats/Bloom-pruned semi-join read, so the build cost is
+    *    the matched files, not the table.
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
@@ -718,58 +722,60 @@ object GraftSql {
           s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
         require(tKey.equalsIgnoreCase(sKey),
           s"MERGE key must match on both sides, got $tKey vs $sKey")
-        val upStar = "(?is)WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*".r
-        val insStar = "(?is)WHEN\\s+NOT\\s+MATCHED(\\s+AND\\s+[^T]+)?\\s+THEN\\s+INSERT\\s+\\*".r
-        // explicit assignment/insert lists (the Delta MERGE clause
-        // bodies beyond */*): `UPDATE SET a = expr, ...` and
-        // `INSERT (cols) VALUES (exprs)`
-        val UpListRe =
-          """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?!\*)(.+?)\s*(?=WHEN\b|$)""".r
-        val InsListRe =
-          """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*(?=WHEN\b|$)""".r
-        val updList = UpListRe.findFirstMatchIn(clauses)
-          .map(m => parseAssignments(m.group(1)))
-        val insList = InsListRe.findFirstMatchIn(clauses).map { m =>
-          val cols = m.group(1).split(",").map(_.trim).toSeq
-          val exprs = splitTopLevelCommas(m.group(2))
-            .map(e => org.apache.spark.sql.functions.expr(e.trim))
-          require(cols.nonEmpty && cols.length == exprs.length,
-            s"INSERT column list (${cols.size}) and VALUES " +
-              s"(${exprs.size}) must align")
-          (cols, exprs)
-        }
+        // unified clause grammar (the Delta MERGE shapes): an optional
+        // per-clause condition, a body that is `*` or an explicit
+        // assignment / column-VALUES list. The CDC DELETE clause is
+        // stripped before parsing so its own AND-condition never
+        // bleeds into the UPDATE clause's lazy condition capture.
+        val UpClauseRe =
+          ("""(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+            """UPDATE\s+SET\s+(\*|.+?)\s*(?=WHEN\b|$)""").r
+        val InsClauseRe =
+          ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+            """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))\s*(?=WHEN\b|$)""").r
+        val deleteClause = MergeDeleteClauseRe.findFirstMatchIn(clauses)
+        val rest = MergeDeleteClauseRe.replaceAllIn(clauses, " ")
+        val upClause = UpClauseRe.findFirstMatchIn(rest)
+        val insClause = InsClauseRe.findFirstMatchIn(rest)
+        require(upClause.isDefined,
+          s"MERGE needs a WHEN MATCHED THEN UPDATE clause, got: $clauses")
+        require(insClause.isDefined,
+          s"MERGE needs a WHEN NOT MATCHED THEN INSERT clause, got: $clauses")
+        def condOf(m: scala.util.matching.Regex.Match) =
+          Option(m.group(1)).map(e =>
+            org.apache.spark.sql.functions.expr(e.trim))
+        val upCond = condOf(upClause.get)
+        val insCond = condOf(insClause.get)
+        val upBody = upClause.get.group(2).trim
+        val insBody = insClause.get.group(2).trim
         val srcDf = spark.table(src)
         val snap = graft.sources.snapshot.SnapshotLog
-        val ver = MergeDeleteClauseRe.findFirstMatchIn(clauses) match {
+        val ver = deleteClause match {
           case Some(mm) =>
-            require(updList.isEmpty && insList.isEmpty,
-              "the CDC-delete MERGE form supports UPDATE SET * / " +
-                "INSERT * clause bodies")
-            require(upStar.findFirstIn(clauses).isDefined &&
-              insStar.findFirstIn(clauses).isDefined,
-              s"MERGE needs matched + not-matched clauses, got: $clauses")
+            require(upBody == "*" && insBody == "*" &&
+              upCond.isEmpty && insCond.isEmpty,
+              "the CDC-delete MERGE form supports unconditional " +
+                s"UPDATE SET * / INSERT * clauses, got: $clauses")
             require(mm.group(1).equalsIgnoreCase(src),
               s"DELETE clause must test the source op column, got ${mm.group(1)}")
             snap.applyChanges(srcDf, t, tKey, mm.group(2), stats).version
-          case None if updList.isEmpty && insList.isEmpty =>
-            require(upStar.findFirstIn(clauses).isDefined &&
-              insStar.findFirstIn(clauses).isDefined,
-              s"MERGE needs matched + not-matched clauses, got: $clauses")
+          case None if upBody == "*" && insBody == "*" &&
+              upCond.isEmpty && insCond.isEmpty =>
             // strategy per registration: CoW rewrite vs O(batch) MOR
             if (snapshotOf(spark, name).morMerge) snap.upsertMOR(srcDf, t, tKey, stats)
             else snap.upsert(srcDf, t, tKey, stats).version
           case None =>
-            // Explicit clause bodies: build the full-row updates frame
-            // and feed the same upsert machinery. MATCHED rows come
-            // from the stats/Bloom-pruned semi-join read (only files
-            // whose windows may hold a source key are opened — at
-            // 100 TB the join cost is the matched files, not the
-            // table); NOT MATCHED rows anti-join the source against
-            // the matched keys (bounded by the batch).
-            require(updList.isDefined || upStar.findFirstIn(clauses).isDefined,
-              s"MERGE needs a WHEN MATCHED THEN UPDATE clause, got: $clauses")
-            require(insList.isDefined || insStar.findFirstIn(clauses).isDefined,
-              s"MERGE needs a WHEN NOT MATCHED THEN INSERT clause, got: $clauses")
+            // Explicit bodies and/or per-clause conditions: build the
+            // full-row updates frame and feed the same upsert
+            // machinery. MATCHED rows come from the stats/Bloom-pruned
+            // semi-join read (only files whose windows may hold a
+            // source key are opened — at 100 TB the join cost is the
+            // matched files, not the table); NOT MATCHED rows
+            // anti-join the source against the matched keys (bounded
+            // by the batch). A matched row failing its condition is
+            // simply ABSENT from the updates frame — the merge's
+            // anti-join carries its original through unchanged; a
+            // not-matched row failing its condition never inserts.
             val schema = org.apache.spark.sql.types.StructType.fromDDL(
               snap.manifest(spark, t,
                 snap.latestVersion(spark, t).get).schemaDdl)
@@ -778,46 +784,61 @@ object GraftSql {
             val matchedKeys = matchedTgt
               .select(org.apache.spark.sql.functions.col(tKey)).distinct()
             import org.apache.spark.sql.functions.{col => c, lit => l}
-            val matched = updList match {
-              case None => // SET *: whole source rows replace matched rows
+            val matched = (upBody, upCond) match {
+              case ("*", None) => // SET *: source rows replace matched rows
                 srcDf.as(src).join(matchedKeys, Seq(tKey), "left_semi")
                   .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-              case Some(assigns) =>
+              case ("*", Some(cond)) =>
+                // conditional SET *: the condition may reference both
+                // sides, so evaluate it over the aliased join
+                matchedTgt.as(name)
+                  .join(srcDf.as(src), c(s"$name.$tKey") === c(s"$src.$tKey"))
+                  .where(cond)
+                  .select(schema.fieldNames.map(f =>
+                    c(s"$src.$f").as(f)).toIndexedSeq: _*)
+              case (body, cond) =>
+                val assigns = parseAssignments(body)
                 assigns.keys.foreach(a =>
                   require(schema.fieldNames.contains(a),
                     s"UPDATE SET target '$a' not in table schema " +
                       s"${schema.fieldNames.toSeq}"))
                 require(!assigns.keys.exists(_.equalsIgnoreCase(tKey)),
                   s"UPDATE SET may not reassign the MERGE key '$tKey'")
-                matchedTgt.as(name)
+                val joined = matchedTgt.as(name)
                   .join(srcDf.as(src), c(s"$name.$tKey") === c(s"$src.$tKey"))
+                cond.fold(joined)(joined.where)
                   .select(schema.fields.map { f =>
                     assigns.get(f.name)
                       .map(_.cast(f.dataType).as(f.name))
                       .getOrElse(c(s"$name.${f.name}").as(f.name))
                   }.toIndexedSeq: _*)
             }
-            val inserted = insList match {
-              case None => // INSERT *: whole source rows append
-                srcDf.as(src).join(matchedKeys, Seq(tKey), "left_anti")
-                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-              case Some((cols, exprs)) =>
+            val anti0 = srcDf.as(src).join(matchedKeys, Seq(tKey), "left_anti")
+            val anti = insCond.fold(anti0)(anti0.where)
+            val inserted = insBody match {
+              case "*" => anti.select(schema.fieldNames.map(c).toIndexedSeq: _*)
+              case _ =>
+                val cols = insClause.get.group(3).split(",").map(_.trim).toSeq
+                val exprs = splitTopLevelCommas(insClause.get.group(4))
+                  .map(e => org.apache.spark.sql.functions.expr(e.trim))
+                require(cols.nonEmpty && cols.length == exprs.length,
+                  s"INSERT column list (${cols.size}) and VALUES " +
+                    s"(${exprs.size}) must align")
                 cols.foreach(a => require(schema.fieldNames.contains(a),
                   s"INSERT column '$a' not in table schema " +
                     s"${schema.fieldNames.toSeq}"))
                 require(cols.exists(_.equalsIgnoreCase(tKey)),
                   s"INSERT column list must include the MERGE key '$tKey'")
                 val byCol = cols.zip(exprs).toMap
-                srcDf.as(src).join(matchedKeys, Seq(tKey), "left_anti")
-                  .select(schema.fields.map { f =>
-                    byCol.get(f.name)
-                      .map(_.cast(f.dataType).as(f.name))
-                      .getOrElse {
-                        require(f.nullable,
-                          s"INSERT omits non-nullable column '${f.name}'")
-                        l(null).cast(f.dataType).as(f.name)
-                      }
-                  }.toIndexedSeq: _*)
+                anti.select(schema.fields.map { f =>
+                  byCol.get(f.name)
+                    .map(_.cast(f.dataType).as(f.name))
+                    .getOrElse {
+                      require(f.nullable,
+                        s"INSERT omits non-nullable column '${f.name}'")
+                      l(null).cast(f.dataType).as(f.name)
+                    }
+                }.toIndexedSeq: _*)
             }
             val updates = matched.unionByName(inserted)
             if (snapshotOf(spark, name).morMerge)

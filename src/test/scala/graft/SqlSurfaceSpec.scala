@@ -609,6 +609,63 @@ class SqlSurfaceSpec extends AnyFunSuite {
       match { case r => r.getLong(0) == 99L && r.getString(1) == "q" })
   }
 
+  test("conditional MERGE clauses: failing rows stay unchanged / never insert") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mcond").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 100)
+      .select($"id", ($"id" % 5).as("k"), concat(lit("row"), $"id").as("payload"))
+      .repartition(2, $"id"), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mcond_v", t, None, Seq("id"))
+    // source: matched keys 10..19 (only k=2 rows should update),
+    // unmatched keys 200..209 (only even ones should insert)
+    spark.range(10, 20).select($"id", lit(77L).as("fresh"))
+      .unionByName(spark.range(200, 210).select($"id", lit(5L).as("fresh")))
+      .createOrReplaceTempView("mcond_src")
+    GraftSql.dml(spark,
+      """MERGE INTO mcond_v USING mcond_src ON mcond_v.id = mcond_src.id
+        |WHEN MATCHED AND mcond_v.k = 2 THEN UPDATE SET
+        |  payload = concat('c-', mcond_v.payload)
+        |WHEN NOT MATCHED AND mcond_src.id % 2 = 0 THEN INSERT (id, k, payload)
+        |  VALUES (mcond_src.id, mcond_src.fresh, 'new')""".stripMargin)
+    // matched & condition: updated; matched & !condition: untouched
+    assert(spark.sql(
+      "SELECT count(*) FROM mcond_v WHERE payload LIKE 'c-%'")
+      .head.getLong(0) == 2L) // ids 12, 17 have k = 2
+    assert(spark.sql("SELECT payload FROM mcond_v WHERE id = 11")
+      .head.getString(0) == "row11", "a condition-failing matched row moved")
+    // not-matched & condition: inserted; the odd keys never insert
+    assert(spark.sql(
+      "SELECT count(*) FROM mcond_v WHERE id >= 200").head.getLong(0) == 5L)
+    assert(spark.sql(
+      "SELECT count(*) FROM mcond_v WHERE id = 201").head.getLong(0) == 0L,
+      "a condition-failing source row was inserted")
+    assert(spark.sql("SELECT count(*) FROM mcond_v").head.getLong(0) == 105L)
+    // conditional SET * over both aliases
+    spark.range(12, 14).select($"id", ($"id" * 0).as("k"),
+      lit("star").as("payload")).createOrReplaceTempView("mcond_src2")
+    GraftSql.dml(spark,
+      """MERGE INTO mcond_v USING mcond_src2 ON mcond_v.id = mcond_src2.id
+        |WHEN MATCHED AND mcond_v.id = 13 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT payload FROM mcond_v WHERE id = 13")
+      .head.getString(0) == "star")
+    assert(spark.sql("SELECT payload FROM mcond_v WHERE id = 12")
+      .head.getString(0) == "c-row12", "conditional SET * touched a failing row")
+    // the CDC-delete form refuses ADDITIONAL conditions loudly
+    Seq((1L, 1L, "x", "D")).toDF("id", "k", "payload", "op")
+      .createOrReplaceTempView("mcond_cdc")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mcond_v USING mcond_cdc ON mcond_v.id = mcond_cdc.id
+          |WHEN MATCHED AND mcond_cdc.op = 'D' THEN DELETE
+          |WHEN MATCHED AND mcond_v.k = 1 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("unconditional"), e.getMessage)
+  }
+
   test("MERGE dispatches by registration strategy: mor views upsert without rewrites") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-mor").toAbsolutePath.toString
