@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Manifest-log table format: versioned parquet snapshots with atomic
@@ -152,6 +152,38 @@ object SnapshotLog {
   /** The parquet-level name of logical column `c` under manifest `m`. */
   private def physName(m: Manifest, c: String): String =
     m.physical.getOrElse(c, c)
+
+  /** An equality delete's physical key columns (a COMPOSITE key is
+    * recorded as a comma-joined list — identifiers never contain
+    * commas, [[writeEqKeys]] enforces it) paired with their CURRENT
+    * logical names under manifest `m` (reverse column mapping).
+    */
+  private def eqKeyCols(m: Manifest, e: EqDelete): (Seq[String], Seq[String]) = {
+    val phys = e.keyCol.split(",").toSeq
+    val logical = phys.map(p => m.physical.collectFirst {
+      case (l, pp) if pp == p => l }.getOrElse(p))
+    (phys, logical)
+  }
+
+  /** Per-file key-containment aggregate flags: `__f<i>` is 1 iff some
+    * probe row lands inside file i's [min,max] window for EVERY key
+    * column at once (a missing stat is conservatively "contains") —
+    * the tuple-interval candidacy test, one conjunction per file, all
+    * files evaluated in ONE pass over the probe frame. A NULL in any
+    * key column flags nothing: NULL never equals a stored key, so a
+    * file can't become a candidate on that row's account.
+    */
+  private def containmentChecks(files: Seq[FileEntry],
+      keyCols: Seq[String]): Seq[Column] =
+    files.zipWithIndex.map { case (f, i) =>
+      val conj = keyCols.map { k =>
+        f.stats.get(k) match {
+          case Some((mn, mx)) => col(k) >= lit(mn) && col(k) <= lit(mx)
+          case None => lit(true)
+        }
+      }.reduce(_ && _)
+      max(when(conj, 1).otherwise(0)).as(s"__f$i")
+    }
 
   /** Highest sequence number any live file or equality delete carries —
     * the next commit stamps lastSeq+1. Derived, not stored: an
@@ -741,12 +773,12 @@ object SnapshotLog {
     // debt on a 100 TB table compacts the touched files, not the world
     // (a stats-less file stays conservatively debt-classified).
     val deleteCands: Seq[(EqDelete, Set[String])] = m.eqDeletes.map { e =>
-      val lk = m.physical.collectFirst {
-        case (l, p) if p == e.keyCol => l }.getOrElse(e.keyCol)
-      val keys = spark.read.parquet(
-          resolveRel(new Path(table), e.path).toString)
-        .withColumnRenamed(e.keyCol, lk)
-      e -> statsCandidates(keys, lk, m.files.filter(_.seq < e.seq))
+      val (physKeys, logicalKeys) = eqKeyCols(m, e)
+      val keys0 = spark.read.parquet(
+        resolveRel(new Path(table), e.path).toString)
+      val keys = physKeys.zip(logicalKeys).foldLeft(keys0) {
+        case (k, (p, l)) => k.withColumnRenamed(p, l) }
+      e -> statsCandidates(keys, logicalKeys, m.files.filter(_.seq < e.seq))
         .map(_.path).toSet
     }
     val keyedDebt: Set[String] = deleteCands.flatMap(_._2).toSet
@@ -1143,19 +1175,22 @@ object SnapshotLog {
       latest.eqDeletes.filterNot(e => baseEq((e.path, e.seq))).foreach { e =>
         val applies = touchedByPath.values.filter(_.seq < e.seq).toSeq
         if (applies.nonEmpty) {
-          val logical = latest.physical.collectFirst {
-            case (l, ph) if ph == e.keyCol => l }.getOrElse(e.keyCol)
-          val ivs = applies.map(_.stats.get(logical))
-          if (ivs.contains(None))
+          val (physKeys, logicalKeys) = eqKeyCols(latest, e)
+          // per touched file: [min,max] per key column (the keys
+          // parquet carries PHYSICAL names; stats are keyed logical)
+          val ivs = applies.map(f => logicalKeys.map(f.stats.get))
+          if (ivs.exists(_.contains(None)))
             conflict(s"equality delete ${e.path} may apply to a " +
               "stats-less file it read")
           val keys = spark.read
             .parquet(new Path(new Path(table), e.path).toString)
-          val checks = ivs.zipWithIndex.map {
-            case (Some((mn, mx)), i) =>
-              max(when(col(e.keyCol) >= lit(mn) &&
-                col(e.keyCol) <= lit(mx), 1).otherwise(0)).as(s"__f$i")
-            case (None, _) => throw new AssertionError("unreachable")
+          val checks = ivs.zipWithIndex.map { case (perCol, i) =>
+            val conj = physKeys.zip(perCol).map {
+              case (p, Some((mn, mx))) =>
+                col(p) >= lit(mn) && col(p) <= lit(mx)
+              case (_, None) => throw new AssertionError("unreachable")
+            }.reduce(_ && _)
+            max(when(conj, 1).otherwise(0)).as(s"__f$i")
           }
           val probe = keys.agg(checks.head, checks.tail: _*).head
           if (ivs.indices.exists(i =>
@@ -1592,7 +1627,23 @@ object SnapshotLog {
     * than one aggregate column per file; the contract is the same.
     */
   def upsert(updates: DataFrame, table: String, keyCol: String,
-      statsCols: Seq[String] = Nil): MutationStats = {
+      statsCols: Seq[String] = Nil): MutationStats =
+    upsert(updates, table, Seq(keyCol), statsCols)
+
+  def upsert(updates: DataFrame, table: String,
+      keyCols: Seq[String]): MutationStats =
+    upsert(updates, table, keyCols, Nil)
+
+  /** Composite-key form: a row matches iff EVERY key column is equal —
+    * candidacy is the tuple-interval test (a file rewrites only when
+    * some update row lands inside its [min,max] window on ALL key
+    * columns at once, so the conjunction only ever SHRINKS the rewrite
+    * set vs any single column alone).
+    */
+  def upsert(updates: DataFrame, table: String, keyCols: Seq[String],
+      statsCols: Seq[String]): MutationStats = {
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"key columns must be non-empty and distinct, got $keyCols")
     val spark = updates.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
@@ -1603,14 +1654,7 @@ object SnapshotLog {
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
     // one pass over updates: per-file key-containment flags + row count
-    val checks = m.files.zipWithIndex.map { case (f, i) =>
-      f.stats.get(keyCol) match {
-        case Some((mn, mx)) =>
-          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
-            .otherwise(0)).as(s"__f$i")
-        case None => max(lit(1)).as(s"__f$i") // no stats: always candidate
-      }
-    }
+    val checks = containmentChecks(m.files, keyCols)
     val probe = aligned.agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
     if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
     val touched = m.files.indices
@@ -1619,13 +1663,13 @@ object SnapshotLog {
 
     val v = v0 + 1
     val existing = readFiles(spark, table, m, rewrite.map(_._1))
-      .join(aligned.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(
       sortForLayout(existing.unionByName(aligned), m.layout), table, v,
-      (statsCols :+ keyCol).distinct, physical = m.physical)
+      (statsCols ++ keyCols).distinct, physical = m.physical)
     val vPub = publishMutation(spark, table, m, "upsert",
       touched = rewrite.map(_._1), replacement = Nil,
       added = newFiles, eqAdded = Nil)
@@ -1651,7 +1695,17 @@ object SnapshotLog {
     */
   def applyChanges(changes: DataFrame, table: String, keyCol: String,
       opCol: String = "op", statsCols: Seq[String] = Nil,
-      epoch: Long = -1L): MutationStats = {
+      epoch: Long = -1L): MutationStats =
+    applyChanges(changes, table, Seq(keyCol), opCol, statsCols, epoch)
+
+  /** Composite-key form: see the composite [[upsert]] — tuple-interval
+    * candidacy, full-tuple equality for both the U and D ops.
+    */
+  def applyChanges(changes: DataFrame, table: String, keyCols: Seq[String],
+      opCol: String, statsCols: Seq[String],
+      epoch: Long): MutationStats = {
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"key columns must be non-empty and distinct, got $keyCols")
     val spark = changes.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
@@ -1667,16 +1721,10 @@ object SnapshotLog {
 
     // one pass over the changelog: per-file key-containment flags plus
     // batch validity (op vocabulary, key uniqueness)
-    val checks = m.files.zipWithIndex.map { case (f, i) =>
-      f.stats.get(keyCol) match {
-        case Some((mn, mx)) =>
-          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
-            .otherwise(0)).as(s"__f$i")
-        case None => max(lit(1)).as(s"__f$i") // no stats: always candidate
-      }
-    }
+    val checks = containmentChecks(m.files, keyCols)
     val head = Seq(count(lit(1)).cast("long").as("__n"),
-      countDistinct(col(keyCol)).cast("long").as("__nk"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
+        .cast("long").as("__nk"),
       max(when(!col(opCol).isin("U", "D"), 1).otherwise(0)).as("__badop"),
       sum(when(col(opCol) === "U", 1).otherwise(0)).cast("long").as("__nu"))
     val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
@@ -1694,7 +1742,7 @@ object SnapshotLog {
 
     val v = v0 + 1
     val existing = readFiles(spark, table, m, rewrite.map(_._1))
-      .join(aligned.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val upserts = aligned.where(col(opCol) === "U")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1702,7 +1750,7 @@ object SnapshotLog {
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(
       sortForLayout(existing.unionByName(upserts), m.layout), table, v,
-      (statsCols :+ keyCol).distinct, physical = m.physical)
+      (statsCols ++ keyCols).distinct, physical = m.physical)
     try {
       val vPub = publishMutation(spark, table, m, "apply-changes",
         touched = rewrite.map(_._1), replacement = Nil,
@@ -1730,7 +1778,15 @@ object SnapshotLog {
     */
   def upsertMOR(updates: DataFrame, table: String, keyCol: String,
       statsCols: Seq[String] = Nil): Long =
-    upsertMORInternal(updates, table, keyCol, statsCols, -1L)
+    upsertMORInternal(updates, table, Seq(keyCol), statsCols, -1L)
+
+  /** Composite-key form: one eq-delete set carries the full key tuple
+    * (several columns in one sidecar); the read-side anti-join matches
+    * on every key column at once.
+    */
+  def upsertMOR(updates: DataFrame, table: String, keyCols: Seq[String],
+      statsCols: Seq[String]): Long =
+    upsertMORInternal(updates, table, keyCols, statsCols, -1L)
 
   /** Exactly-once STREAMING CDC ingestion — the `foreachBatch` body
     * for a continuously-upserted snapshot table:
@@ -1746,7 +1802,11 @@ object SnapshotLog {
     * delete debt on its own schedule. Returns None on replay.
     */
   def upsertMORBatch(updates: DataFrame, table: String, epochId: Long,
-      keyCol: String, statsCols: Seq[String] = Nil): Option[Long] = {
+      keyCol: String, statsCols: Seq[String] = Nil): Option[Long] =
+    upsertMORBatch(updates, table, epochId, Seq(keyCol), statsCols)
+
+  def upsertMORBatch(updates: DataFrame, table: String, epochId: Long,
+      keyCols: Seq[String], statsCols: Seq[String]): Option[Long] = {
     val spark = updates.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(
@@ -1754,7 +1814,7 @@ object SnapshotLog {
     if (maxEpoch(spark, table, v0) >= epochId) None // replay
     else {
       try {
-        val v = upsertMORInternal(updates, table, keyCol, statsCols, epochId)
+        val v = upsertMORInternal(updates, table, keyCols, statsCols, epochId)
         maybeAutoCompactMor(spark, table)
         Some(v)
       } catch {
@@ -1809,7 +1869,9 @@ object SnapshotLog {
   }
 
   private def upsertMORInternal(updates: DataFrame, table: String,
-      keyCol: String, statsCols: Seq[String], epoch: Long): Long = {
+      keyCols: Seq[String], statsCols: Seq[String], epoch: Long): Long = {
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"key columns must be non-empty and distinct, got $keyCols")
     val spark = updates.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
@@ -1819,16 +1881,18 @@ object SnapshotLog {
       s"update columns ${updates.columns.toSeq} != table ${schema.fieldNames.toSeq}")
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val probe = aligned.agg(count(lit(1)).cast("long"),
-      countDistinct(col(keyCol)).cast("long")).head
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
+        .cast("long")).head
     if (probe.getLong(0) == 0L) return v0
     require(probe.getLong(1) == probe.getLong(0),
       "duplicate keys in MOR upsert batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val v = v0 + 1
     val newFiles = writeData(sortForLayout(aligned, m.layout), table, v,
-      (statsCols :+ keyCol).distinct, physical = m.physical)
-    val eq = writeEqKeys(spark, table, v, aligned.select(col(keyCol)),
-      physName(m, keyCol), probe.getLong(1), lastSeq(m) + 1)
+      (statsCols ++ keyCols).distinct, physical = m.physical)
+    val eq = writeEqKeys(spark, table, v,
+      aligned.select(keyCols.map(col): _*),
+      keyCols.map(physName(m, _)), probe.getLong(1), lastSeq(m) + 1)
     // touched = ∅: a MOR upsert reads nothing, so it rebases over ANY
     // concurrent commit — the seq restamp per attempt keeps its delete
     // applying to everything older, including files a racer just added
@@ -1844,30 +1908,45 @@ object SnapshotLog {
     * None for an empty key set.
     */
   def deleteKeysMOR(keys: DataFrame, table: String,
-      keyCol: String): Option[Long] = {
+      keyCol: String): Option[Long] =
+    deleteKeysMOR(keys, table, Seq(keyCol))
+
+  /** Composite-key form: a row is erased iff EVERY key column matches
+    * some recorded tuple.
+    */
+  def deleteKeysMOR(keys: DataFrame, table: String,
+      keyCols: Seq[String]): Option[Long] = {
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"key columns must be non-empty and distinct, got $keyCols")
     val spark = keys.sparkSession
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
-    val ks = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+    val ks = keys.select(keyCols.map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
     val n = ks.count()
     if (n == 0L) return None
-    val eq = writeEqKeys(spark, table, v0 + 1, ks, physName(m, keyCol), n,
-      lastSeq(m) + 1)
+    val eq = writeEqKeys(spark, table, v0 + 1, ks,
+      keyCols.map(physName(m, _)), n, lastSeq(m) + 1)
     Some(publishMutation(spark, table, m, "delete-keys-mor",
       touched = Nil, replacement = Nil, added = Nil, eqAdded = Seq(eq)))
   }
 
   /** Land a distinct key set as an equality-delete sidecar directory
-    * (column named by the PHYSICAL key name — rename-stable).
+    * (columns named by the PHYSICAL key names — rename-stable; a
+    * composite key's columns all land in the ONE sidecar and its
+    * manifest entry records them comma-joined).
     */
   private def writeEqKeys(spark: SparkSession, table: String, v: Long,
-      keys: DataFrame, physKey: String, rows: Long, seq: Long): EqDelete = {
+      keys: DataFrame, physKeys: Seq[String], rows: Long,
+      seq: Long): EqDelete = {
+    require(physKeys.forall(!_.contains(",")),
+      s"key column names may not contain ',': $physKeys")
     val rel = f"data/v$v%05d-eq-" +
       java.util.UUID.randomUUID().toString.substring(0, 8)
-    keys.distinct().toDF(physKey)
+    keys.distinct().toDF(physKeys: _*)
       .write.parquet(new Path(new Path(table), rel).toString)
-    EqDelete(rel, physKey, rows, seq)
+    EqDelete(rel, physKeys.mkString(","), rows, seq)
   }
 
   /** Exactly-once streaming append: the `foreachBatch` body for a
@@ -2920,7 +2999,7 @@ object SnapshotLog {
         s"column '$name' is part of the declared $ls layout — " +
           "clearLayout (or re-declare) first"))
       val phys = m.physical.getOrElse(name, name)
-      require(!m.eqDeletes.exists(_.keyCol == phys),
+      require(!m.eqDeletes.exists(_.keyCol.split(",").contains(phys)),
         s"column '$name' keys outstanding equality deletes — the " +
           "read-side anti-join needs it; compact first")
       val newSchema = org.apache.spark.sql.types.StructType(
@@ -3032,18 +3111,14 @@ object SnapshotLog {
     */
   private def statsCandidates(keys: DataFrame, lk: String,
       cand0: Seq[FileEntry]): Seq[FileEntry] =
+    statsCandidates(keys, Seq(lk), cand0)
+
+  private def statsCandidates(keys: DataFrame, lks: Seq[String],
+      cand0: Seq[FileEntry]): Seq[FileEntry] =
     if (cand0.isEmpty) Nil
     else {
-      val checks = cand0.zipWithIndex.map { case (f, i) =>
-        f.stats.get(lk) match {
-          case Some((mn, mx)) =>
-            max(when(col(lk) >= lit(mn) && col(lk) <= lit(mx), 1)
-              .otherwise(0)).as(s"__f$i")
-          case None => max(lit(1)).as(s"__f$i")
-        }
-      }
-      val probe = keys
-        .agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
+      val probe = keys.agg(count(lit(1)).cast("long").as("__n"),
+        containmentChecks(cand0, lks): _*).head
       if (probe.getLong(0) == 0L) Nil
       else cand0.zipWithIndex.collect {
         case (f, i) if !probe.isNullAt(i + 1) &&
@@ -3152,16 +3227,18 @@ object SnapshotLog {
         else {
           val pmm = pm.get
           val frames = eqAdded.flatMap { e =>
-            val lk = pmm.physical.collectFirst {
-              case (l, p) if p == e.keyCol => l }.getOrElse(e.keyCol)
-            val keys = spark.read.parquet(
-                resolveRel(new Path(table), e.path).toString)
-              .withColumnRenamed(e.keyCol, lk)
-            val cand = statsCandidates(keys, lk, pmm.files.filter(_.seq < e.seq))
+            val (physKeys, logicalKeys) = eqKeyCols(pmm, e)
+            val keys0 = spark.read.parquet(
+              resolveRel(new Path(table), e.path).toString)
+            val keys = physKeys.zip(logicalKeys).foldLeft(keys0) {
+              case (k, (p, l)) => k.withColumnRenamed(p, l) }
+            val cand = statsCandidates(keys, logicalKeys,
+              pmm.files.filter(_.seq < e.seq))
             if (cand.isEmpty) None
             else Some(aligned(
               readFiles(spark, table, pmm, cand)
-                .join(keys.select(col(lk)).distinct(), Seq(lk), "left_semi"),
+                .join(keys.select(logicalKeys.map(col): _*).distinct(),
+                  logicalKeys, "left_semi"),
               pmm).withColumn("_change_type", lit("delete")))
           }
           if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _))
@@ -3189,18 +3266,18 @@ object SnapshotLog {
               (eqRemoved.filter(e => paths(e.path)), grp) }
             .toSeq.flatMap { case (dels, grp) =>
               val keyFrames = dels.groupBy(_.keyCol).toSeq
-                .map { case (physKey, ds) =>
-                  val lk = m.physical.collectFirst {
-                    case (l, p) if p == physKey => l }.getOrElse(physKey)
-                  val keys = ds.map(d => spark.read.parquet(
+                .map { case (_, ds) =>
+                  val (physKeys, lks) = eqKeyCols(m, ds.head)
+                  val keys0 = ds.map(d => spark.read.parquet(
                       resolveRel(new Path(table), d.path).toString))
                     .reduce(_ unionByName _)
-                    .withColumnRenamed(physKey, lk)
-                    .select(col(lk)).distinct()
-                  (lk, keys)
+                  val keys = physKeys.zip(lks).foldLeft(keys0) {
+                      case (k, (p, l)) => k.withColumnRenamed(p, l) }
+                    .select(lks.map(col): _*).distinct()
+                  (lks, keys)
                 }
               val cand = keyFrames
-                .flatMap { case (lk, keys) => statsCandidates(keys, lk, grp) }
+                .flatMap { case (lks, keys) => statsCandidates(keys, lks, grp) }
                 .distinct
               if (cand.isEmpty) None
               else {
@@ -3209,9 +3286,9 @@ object SnapshotLog {
                 // a row re-surfaces iff SOME dropped set named it
                 val base = readFiles(spark, table, m, cand)
                 val marked = keyFrames.zipWithIndex.foldLeft(base) {
-                  case (df, ((lk, keys), i)) =>
+                  case (df, ((lks, keys), i)) =>
                     df.join(keys.withColumn(s"__eqr$i", lit(1)),
-                      Seq(lk), "left")
+                      lks, "left")
                 }
                 val hit = keyFrames.indices
                   .map(i => col(s"__eqr$i") === 1).reduce(_ || _)
@@ -3731,18 +3808,38 @@ object SnapshotLog {
     */
   def readSemiJoin(spark: SparkSession, table: String, column: String,
       keys: DataFrame, keyCol: String, version: Option[Long] = None,
-      maxProbeKeys: Int = 10000): (DataFrame, Int, Int, Int) = {
+      maxProbeKeys: Int = 10000): (DataFrame, Int, Int, Int) =
+    readSemiJoin(spark, table, Seq(column), keys, Seq(keyCol), version,
+      maxProbeKeys)
+
+  /** Composite-key form: candidacy is the tuple-interval conjunction
+    * (a file survives iff some key tuple lands inside its window on
+    * EVERY column at once); Bloom probing stays per-column and remains
+    * one-sided — if a tuple is in a file, each of its column values
+    * is, so a file skipped on ANY column's Bloom provably holds no
+    * tuple. The final semi-join matches the full tuple.
+    */
+  def readSemiJoin(spark: SparkSession, table: String,
+      columns: Seq[String], keys: DataFrame, keyCols: Seq[String],
+      version: Option[Long],
+      maxProbeKeys: Int): (DataFrame, Int, Int, Int) = {
+    require(columns.nonEmpty && columns.length == keyCols.length &&
+      columns.distinct == columns,
+      s"semi-join columns $columns must be distinct and align with " +
+        s"key columns $keyCols")
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v)
-    val ks = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val ks = keys.select(keyCols.map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val checks = m.files.zipWithIndex.map { case (f, i) =>
-      f.stats.get(column) match {
-        case Some((mn, mx)) =>
-          max(when(col(keyCol) >= lit(mn) && col(keyCol) <= lit(mx), 1)
-            .otherwise(0)).as(s"__f$i")
-        case None => max(lit(1)).as(s"__f$i") // no stats: always candidate
-      }
+      val conj = columns.zip(keyCols).map { case (c, k) =>
+        f.stats.get(c) match {
+          case Some((mn, mx)) => col(k) >= lit(mn) && col(k) <= lit(mx)
+          case None => lit(true) // no stats: always candidate
+        }
+      }.reduce(_ && _)
+      max(when(conj, 1).otherwise(0)).as(s"__f$i")
     }
     val probe = ks.agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
@@ -3754,23 +3851,33 @@ object SnapshotLog {
     val cand = m.files.zipWithIndex.collect {
       case (f, i) if !probe.isNullAt(i + 1) && probe.getInt(i + 1) == 1 => f
     }
+    // distinct probe strings per bloom-bearing column, driver-side only
+    // when the key set is small enough
+    val probesPerCol: Map[String, Array[String]] =
+      columns.zip(keyCols).flatMap { case (c, k) =>
+        if (!cand.exists(_.blooms.contains(c))) None
+        else {
+          val pk = ks.select(col(k).cast("string")).distinct()
+            .limit(maxProbeKeys + 1).collect().map(_.getString(0))
+          if (pk.length > maxProbeKeys) None // too many: range verdict stands
+          else Some(c -> pk)
+        }
+      }.toMap
     val opened =
-      if (!cand.exists(_.blooms.contains(column))) cand
-      else {
-        val probeKeys = ks.select(col(keyCol).cast("string")).distinct()
-          .limit(maxProbeKeys + 1).collect().map(_.getString(0))
-        if (probeKeys.length > maxProbeKeys) cand // too many: range verdict stands
-        else cand.filter { f =>
-          f.blooms.get(column) match {
-            case Some(b64) =>
+      if (probesPerCol.isEmpty) cand
+      else cand.filter { f =>
+        columns.forall { c =>
+          (f.blooms.get(c), probesPerCol.get(c)) match {
+            case (Some(b64), Some(pks)) =>
               val words = bloomDecode(b64)
-              probeKeys.exists(k => bloomMightContain(words, k))
-            case None => true
+              pks.exists(k => bloomMightContain(words, k))
+            case _ => true
           }
         }
       }
     val df = readFiles(spark, table, m, opened)
-      .join(ks.select(col(keyCol).as(column)), Seq(column), "left_semi")
+      .join(ks.select(keyCols.zip(columns).map {
+        case (k, c) => col(k).as(c) }: _*), columns, "left_semi")
     (df, opened.size, cand.size, m.files.size)
   }
 
@@ -3926,16 +4033,18 @@ object SnapshotLog {
       files.groupBy(f => eqFor(m, f).map(_.path)).map { case (_, fsGroup) =>
         val dels = eqFor(m, fsGroup.head)
         val base = readFilesDv(spark, table, m, fsGroup)
-        dels.groupBy(_.keyCol).foldLeft(base) { case (df, (physKey, ds)) =>
-          // the keys parquet carries the PHYSICAL key name; serve it
-          // under the CURRENT logical name (reverse column mapping)
-          val logicalKey = m.physical.collectFirst {
-            case (l, p) if p == physKey => l }.getOrElse(physKey)
-          val keys = ds.map(d => spark.read.parquet(
+        dels.groupBy(_.keyCol).foldLeft(base) { case (df, (_, ds)) =>
+          // the keys parquet carries PHYSICAL key names (a composite
+          // key: several columns in one sidecar); serve each under its
+          // CURRENT logical name (reverse column mapping) and
+          // anti-join on the full key tuple
+          val (physKeys, logicalKeys) = eqKeyCols(m, ds.head)
+          val keys0 = ds.map(d => spark.read.parquet(
               resolveRel(new Path(table), d.path).toString))
             .reduce(_ unionByName _)
-            .withColumnRenamed(physKey, logicalKey)
-          df.join(keys, Seq(logicalKey), "left_anti")
+          val keys = physKeys.zip(logicalKeys).foldLeft(keys0) {
+            case (k, (p, l)) => k.withColumnRenamed(p, l) }
+          df.join(keys, logicalKeys, "left_anti")
         }
       }.reduce(_ unionByName _)
     }

@@ -99,7 +99,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(15)
+        val choice = if (op == 0) 0 else rnd.nextInt(16)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -110,7 +110,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14)(choice) &&
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)(choice) &&
             rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
@@ -130,8 +130,11 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               t, "append", Seq(keyName))
             model = model ++ r
             history += v -> model
-          case 1 => // overwrite (resets schema, mapping, and eq state)
-            val r = freshSlice("o")
+          case 1 => // overwrite (resets schema, mapping, and eq state);
+            // occasionally EMPTY — the TRUNCATE TABLE shape (zero rows
+            // committed, zero files read)
+            val r = if (rnd.nextInt(4) == 0) Seq.empty[Row3]
+              else freshSlice("o")
             val v = SnapshotLog.commit(mkDf(r), t, "overwrite", Seq("id"))
             keyName = "id"
             model = r.toVector
@@ -177,7 +180,9 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               history += st.version -> model
             }
           case 7 => // CDC batch: random upserts + deletes + inserts
-            val ids = rnd.shuffle(model.map(_._1))
+            // (distinct: composite twins can duplicate an id in the
+            // model, and applyChanges requires batch key-uniqueness)
+            val ids = rnd.shuffle(model.map(_._1).distinct)
             val ups = ids.take(rnd.nextInt(4))
               .map(i => (i, i % 7, s"c$i", "U"))
             val dels = ids.drop(ups.size).take(rnd.nextInt(3))
@@ -268,6 +273,21 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
                 else r)
               history += st.version -> model
             }
+          case 15 => // composite MOR upsert keyed on (id, k): a
+            // full-tuple match replaces; a mismatched-k twin of an
+            // existing id INSERTS alongside it (the composite-key
+            // semantics a single-column upsert cannot express)
+            val existing = rnd.shuffle(model).take(rnd.nextInt(4))
+              .map(r => (r._1, r._2, s"ck${r._1}"))
+            val twins = rnd.shuffle(model.map(_._1)).take(rnd.nextInt(2))
+              .map(i => (i, (i % 7) + 7, s"tw$i")) // k outside the 0..6 band
+            val inserted = freshSlice("ci")
+            val ups = existing ++ twins ++ inserted
+            val v = SnapshotLog.upsertMOR(keyed(mkDf(ups)), t,
+              Seq(keyName, "k"), Seq(keyName))
+            val tuples = ups.map(r => (r._1, r._2)).toSet
+            model = model.filterNot(r => tuples((r._1, r._2))) ++ ups
+            history += v -> model
         } }
         // racer accounting: if the op committed (exactly one publish
         // attempt hit the seam), the raced history is racer at

@@ -75,6 +75,10 @@ class SnapshotRebaseMatrixSpec extends AnyFunSuite {
     Op("cow-update-matching-b2")(t => { SnapshotLog.updateMatching(s, t,
       col("id") % 10 === 3 && col("id") >= 200L && col("id") <= 249L,
       Map("payload" -> concat(lit("am-"), col("payload"))), Seq("id")); () }),
+    Op("mor-ckdelete-b2")(t => { SnapshotLog.deleteKeysMOR(
+      s.range(260, 270).select($"id",
+        concat(lit("row"), $"id").as("payload")),
+      t, Seq("id", "payload")); () }),
     Op("compact")(t => { SnapshotLog.compact(s, t, 1L << 30,
       Seq("id")); () }))
 
