@@ -3144,6 +3144,131 @@ object SourceQueries extends QueryPack {
           $"sum_cust")
     }),
 
+    // Composite-key SQL MERGE: the ON clause is an AND of equi-pairs
+    // over (l_orderkey, l_linenumber) — a real composite primary key,
+    // where no single column is unique. Statement 1 upserts with
+    // UPDATE SET * / INSERT *: every linenumber-3 row is replaced by a
+    // +1000-quantity twin (full-TUPLE match — sibling lines of the
+    // same order must stay untouched) and 20 brand-new tuples insert.
+    // Statement 2 runs explicit clause bodies under the same composite
+    // ON: matched linenumber-5 rows bump by the source's own column,
+    // not-matched rows insert through a picked column list. The oracle
+    // replays both statements relationally, so a row replaced on a
+    // one-column match (the classic composite-key bug) breaks the
+    // hash; n_versions pins one commit per statement.
+    "qcr_sql_merge_composite" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapckm-$tag"
+      val v = s"ckv_$tag"
+      // the synthetic lineitem is NOT tuple-unique on (orderkey,
+      // linenumber) — collapse to one row per tuple so the MERGE key
+      // is a real primary key (floor() is truncation-identical in
+      // both engines; Spark's cast rounds differently from DuckDB's)
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(max(floor($"l_quantity")).cast("long").as("l_quantity"))
+      SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey", "l_linenumber"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None,
+        Seq("l_orderkey", "l_linenumber"))
+      val mx = li.agg(max($"l_orderkey")).head.getLong(0)
+      val lnType = li.schema("l_linenumber").dataType
+      val src = s"cksrc_$tag"
+      li.where($"l_linenumber" === 3)
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_quantity" + 1000L).as("l_quantity"))
+        .unionByName(s.range(0, 20).select(
+          ($"id" + mx + 10).as("l_orderkey"),
+          lit(1).cast(lnType).as("l_linenumber"),
+          $"id".as("l_quantity")))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src
+           |ON $v.l_orderkey = $src.l_orderkey
+           |AND $v.l_linenumber = $src.l_linenumber
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val src2 = s"cksrc2_$tag"
+      li.where($"l_linenumber" === 5)
+        .select($"l_orderkey", $"l_linenumber", lit(50L).as("bump"))
+        .unionByName(s.range(0, 6).select(
+          ($"id" + mx + 1000).as("l_orderkey"),
+          lit(2).cast(lnType).as("l_linenumber"),
+          lit(0L).as("bump")))
+        .createOrReplaceTempView(src2)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src2
+           |ON $v.l_orderkey = $src2.l_orderkey
+           |AND $v.l_linenumber = $src2.l_linenumber
+           |WHEN MATCHED THEN UPDATE SET
+           |  l_quantity = $v.l_quantity + $src2.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber,
+           |  l_quantity) VALUES ($src2.l_orderkey, $src2.l_linenumber,
+           |  99)""".stripMargin)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity").as("sum_qty"),
+          sum($"l_orderkey" * $"l_linenumber").as("sum_keyprod"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_keyprod", $"n_versions")
+    }),
+
+    // MERGE WHEN NOT MATCHED BY SOURCE — the third Delta clause family,
+    // over an orders-rollup snapshot. Statement 1 exercises all three
+    // families in ONE commit: matched keys (every 3rd order) bump by
+    // the source's own column, 20 brand-new keys insert through a
+    // column list, and stale keys (absent from the source) delete —
+    // but only where the by-source CONDITION holds (k % 5 = 1), so
+    // condition-failing stale rows must ride through untouched.
+    // Statement 2 is the single-clause sync shape: by-source UPDATE
+    // doubles unmatched rows with n_lines >= 4 and touches nothing
+    // else. The oracle replays both statements relationally;
+    // n_versions pins one commit per statement.
+    "qcs_sql_merge_by_source" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapbys-$tag"
+      val v = s"bysv_$tag"
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = li.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"byssrc_$tag"
+      li.where($"l_orderkey" % 3 === 0)
+        .select($"l_orderkey", lit(10L).as("bump"))
+        .unionByName(s.range(0, 20).select(
+          ($"id" + mx + 1).as("l_orderkey"), lit(7L).as("bump")))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src
+           |ON $v.l_orderkey = $src.l_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  sum_qty = $v.sum_qty + $src.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, n_lines, sum_qty)
+           |  VALUES ($src.l_orderkey, 0, $src.bump)
+           |WHEN NOT MATCHED BY SOURCE AND $v.l_orderkey % 5 = 1
+           |  THEN DELETE""".stripMargin)
+      val src2 = s"byssrc2_$tag"
+      li.where($"l_orderkey" % 2 === 0).select($"l_orderkey")
+        .createOrReplaceTempView(src2)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src2
+           |ON $v.l_orderkey = $src2.l_orderkey
+           |WHEN NOT MATCHED BY SOURCE AND $v.n_lines >= 4
+           |THEN UPDATE SET sum_qty = $v.sum_qty * 2""".stripMargin)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" * $"n_lines").as("sum_kn"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kn", $"n_versions")
+    }),
+
     // SQL RESTORE + CHECK constraint lifecycle: a DELETE is rolled
     // back by RESTORE TABLE .. TO VERSION AS OF (metadata-only —
     // restore_meta_only pins the v1 file list republished verbatim), a
@@ -4134,6 +4259,59 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(CASE WHEN k IN (m // 8, m // 8 + 1, m // 8 + 2)
           |    THEN c + 1000000 ELSE c END) AS BIGINT) AS sum_cust
           |FROM live, mx""".stripMargin,
+
+      // both composite MERGEs replayed relationally: quantity gains
+      // +1000 on linenumber-3 tuples (statement 1's SET *) and +50 on
+      // linenumber-5 tuples (statement 2's explicit body); the two
+      // insert families land with their formulaic keys; every other
+      // (orderkey, linenumber) tuple — including siblings of matched
+      // rows — carries its original quantity
+      "qcr_sql_merge_composite" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base0 AS (SELECT l_orderkey AS k, l_linenumber AS n,
+          |  max(CAST(floor(l_quantity) AS BIGINT)) AS q
+          |  FROM lineitem GROUP BY 1, 2),
+          |base AS (SELECT k, n, q
+          |  + CASE WHEN n = 3 THEN 1000 ELSE 0 END
+          |  + CASE WHEN n = 5 THEN 50 ELSE 0 END AS q
+          |  FROM base0),
+          |new1 AS (SELECT m + 10 + i AS k, 1 AS n, i AS q
+          |         FROM range(0, 20) t(i), mx),
+          |new2 AS (SELECT m + 1000 + i AS k, 2 AS n, 99 AS q
+          |         FROM range(0, 6) t(i), mx),
+          |allr AS (SELECT k, n, q FROM base
+          |         UNION ALL SELECT k, n, q FROM new1
+          |         UNION ALL SELECT k, n, q FROM new2)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k * n) AS BIGINT) AS sum_keyprod,
+          |  CAST(3 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
+
+      // both by-source MERGEs replayed relationally: matched (k%3=0)
+      // rows bump +10, the 20 new keys insert with n_lines 0 and
+      // sum_qty 7, stale rows delete only under k%5=1, and statement
+      // 2 doubles the surviving odd-key rows with n_lines >= 4 (every
+      // even key matches src2; the new keys fail the n_lines guard)
+      "qcs_sql_merge_by_source" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k, count(*) AS nl,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1),
+          |s1 AS (SELECT k, nl, q + 10 AS q FROM base WHERE k % 3 = 0
+          |  UNION ALL
+          |  SELECT k, nl, q FROM base WHERE k % 3 <> 0 AND k % 5 <> 1
+          |  UNION ALL
+          |  SELECT m + 1 + i AS k, 0 AS nl, 7 AS q
+          |  FROM range(0, 20) t(i), mx),
+          |s2 AS (SELECT k, nl,
+          |  CASE WHEN k % 2 = 1 AND nl >= 4 THEN q * 2 ELSE q END AS q
+          |  FROM s1)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k * nl) AS BIGINT) AS sum_kn,
+          |  CAST(3 AS BIGINT) AS n_versions
+          |FROM s2""".stripMargin,
 
       // surviving content = the full table (restore undid the delete)
       // plus the conforming insert; structural columns are contract

@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.{FastText, PortableHash}
 
@@ -423,6 +423,12 @@ object GraftSql {
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
+  private val InsertOverwriteRe =
+    """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(SELECT\b.+)$""".r
+  private val TruncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+  private val CreateTableRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+""" +
+      """LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""").r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
 
@@ -549,9 +555,14 @@ object GraftSql {
   }
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+""" +
-      """ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(.+)$""").r
+      """ON\s+(.+?)\s+(WHEN\s.+)$""").r
+  private val MergeOnPairRe =
+    """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val MergeDeleteClauseRe =
     """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
+  private val MergeBySourceRe =
+    ("""(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+""" +
+      """THEN\s+(DELETE|UPDATE\s+SET\s+.+?)\s*(?=WHEN\b|$)""").r
   private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+(\w+)\s*(.*?)\s*$""".r
   private val OptimizeWhereRe = """(?is)^WHERE\s+(.+)$""".r
   private val OptimizeZorderRe =
@@ -604,6 +615,14 @@ object GraftSql {
     *    picks the cost class.
     *  - `INSERT INTO v SELECT ...` → an append commit of the query
     *    result (conforms to the table schema; CHECK constraints bind).
+    *  - `INSERT OVERWRITE v SELECT ...` → a full-table replace in one
+    *    commit (files, schema, mapping, and eq-delete state reset —
+    *    nothing is read; old files become VACUUM debris), and
+    *    `TRUNCATE TABLE v` → the same with zero rows, keeping the
+    *    current schema — O(1) at any table size, undoable via RESTORE.
+    *  - `CREATE [OR REPLACE] TABLE name LOCATION 'path' AS SELECT ...`
+    *    → CTAS: one commit of the result at `path`, registered as a
+    *    live view `name`. Plain CREATE refuses a committed location.
     *  - `UPDATE v SET a = expr[, b = expr] WHERE <predicate>`:
     *    conjunctions → the stats-classified CoW
     *    [[graft.sources.snapshot.SnapshotLog.updateWhere]] (only files
@@ -629,6 +648,14 @@ object GraftSql {
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
+    *  - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE` (or
+    *    `UPDATE SET ...`) — the third Delta clause family: target rows
+    *    with NO source key delete or rewrite. The clause families are
+    *    independently optional (any non-empty subset parses, e.g. a
+    *    single-clause `WHEN NOT MATCHED BY SOURCE THEN DELETE` sync);
+    *    an unrecognized WHEN clause refuses loudly. A by-source form
+    *    reads the target once — no file stats can prove the ABSENCE
+    *    of a key — and commits once through the CDC machinery.
     *  - `OPTIMIZE v [WHERE <conjunction>]` →
     *    [[graft.sources.snapshot.SnapshotLog.compact]] (small-file +
     *    DV-debt rewrite; the WHERE conjunction — same grammar as DML —
@@ -693,6 +720,43 @@ object GraftSql {
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
           .commit(spark.sql(select), t, "append", stats), name)
+      case InsertOverwriteRe(name, select) =>
+        // full-table replace in one commit: files, schema, column
+        // mapping, and eq-delete state all reset to the SELECT's
+        // result (the Delta INSERT OVERWRITE shape). The old files
+        // become unreferenced debris for VACUUM — nothing is read.
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog
+          .commit(spark.sql(select), t, "overwrite", stats), name)
+      case TruncateRe(name) =>
+        // empty the table, keep the schema: an overwrite commit of
+        // ZERO rows — O(1) at any table size (no file is read or
+        // rewritten). CHECK constraints live in their own sidecar
+        // and survive; history stays append-only, so the truncate is
+        // itself undoable via RESTORE.
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        val ddl = snap.manifest(spark, t,
+          snap.latestVersion(spark, t).get).schemaDdl
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        (snap.commit(empty, t, "overwrite", stats), name)
+      case CreateTableRe(orReplace, name, loc, select) =>
+        // CTAS onto a snapshot location: one commit of the SELECT's
+        // result, then the name registers as a live (unpinned) view.
+        // Plain CREATE refuses an already-committed location; OR
+        // REPLACE overwrites it (schema and all — same contract as
+        // INSERT OVERWRITE).
+        val snap = graft.sources.snapshot.SnapshotLog
+        val exists = snap.latestVersion(spark, loc).isDefined
+        require(orReplace != null || !exists,
+          s"location '$loc' already holds a committed table " +
+            "(use CREATE OR REPLACE TABLE)")
+        val ver = snap.commit(spark.sql(select), loc,
+          if (exists) "overwrite" else "append", Nil)
+        registerSnapshot(spark, name, loc)
+        (ver, name)
       case UpdateRe(name, tail) =>
         // SET clause ends at the first WHERE outside literals/comments
         // (an assignment literal containing the word "where" is data)
@@ -714,14 +778,29 @@ object GraftSql {
             parseAssignments(setClause), stats).map(_.version)
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
-      case MergeRe(name, src, a1, k1, a2, k2, clauses) =>
+      case MergeRe(name, src, onExpr, clauses) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
-        val (tAlias, tKey, sAlias, sKey) =
-          if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2) else (a2, k2, a1, k1)
-        require(tAlias.equalsIgnoreCase(name) && sAlias.equalsIgnoreCase(src),
-          s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
-        require(tKey.equalsIgnoreCase(sKey),
-          s"MERGE key must match on both sides, got $tKey vs $sKey")
+        // ON is an AND-conjunction of equi-key pairs — one key or a
+        // COMPOSITE key; each pair must bind the same-named column on
+        // both sides (the upsert machinery keys the shared name)
+        val tKeys: Seq[String] = onExpr.split("""(?i)\s+AND\s+""")
+          .toSeq.map {
+            case MergeOnPairRe(a1, k1, a2, k2) =>
+              val (tAlias, tKey, sAlias, sKey) =
+                if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2)
+                else (a2, k2, a1, k1)
+              require(tAlias.equalsIgnoreCase(name) &&
+                sAlias.equalsIgnoreCase(src),
+                s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
+              require(tKey.equalsIgnoreCase(sKey),
+                s"MERGE key must match on both sides, got $tKey vs $sKey")
+              tKey
+            case other => throw new IllegalArgumentException(
+              s"MERGE ON must be an AND of alias.col = alias.col " +
+                s"equi-pairs, got: $other")
+          }
+        require(tKeys.distinct == tKeys,
+          s"duplicate MERGE key column in ON: $tKeys")
         // unified clause grammar (the Delta MERGE shapes): an optional
         // per-clause condition, a body that is `*` or an explicit
         // assignment / column-VALUES list. The CDC DELETE clause is
@@ -733,37 +812,48 @@ object GraftSql {
         val InsClauseRe =
           ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
             """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))\s*(?=WHEN\b|$)""").r
-        val deleteClause = MergeDeleteClauseRe.findFirstMatchIn(clauses)
-        val rest = MergeDeleteClauseRe.replaceAllIn(clauses, " ")
+        // the BY SOURCE and CDC-delete clauses are stripped before the
+        // UPDATE/INSERT parse so their own bodies and AND-conditions
+        // never bleed into the lazy condition captures
+        val bySrcClause = MergeBySourceRe.findFirstMatchIn(clauses)
+        val rest0 = MergeBySourceRe.replaceAllIn(clauses, " ")
+        val deleteClause = MergeDeleteClauseRe.findFirstMatchIn(rest0)
+        val rest = MergeDeleteClauseRe.replaceAllIn(rest0, " ")
         val upClause = UpClauseRe.findFirstMatchIn(rest)
         val insClause = InsClauseRe.findFirstMatchIn(rest)
-        require(upClause.isDefined,
-          s"MERGE needs a WHEN MATCHED THEN UPDATE clause, got: $clauses")
-        require(insClause.isDefined,
-          s"MERGE needs a WHEN NOT MATCHED THEN INSERT clause, got: $clauses")
+        // every clause must be consumed by a recognized grammar — an
+        // unparsed WHEN is a refusal, never a silently ignored clause
+        val leftover = InsClauseRe.replaceAllIn(
+          UpClauseRe.replaceAllIn(rest, " "), " ").trim
+        require(leftover.isEmpty,
+          s"unrecognized MERGE clause(s): $leftover")
+        require(upClause.isDefined || insClause.isDefined ||
+          bySrcClause.isDefined,
+          s"MERGE needs at least one WHEN clause, got: $clauses")
         def condOf(m: scala.util.matching.Regex.Match) =
           Option(m.group(1)).map(e =>
             org.apache.spark.sql.functions.expr(e.trim))
-        val upCond = condOf(upClause.get)
-        val insCond = condOf(insClause.get)
-        val upBody = upClause.get.group(2).trim
-        val insBody = insClause.get.group(2).trim
+        val upCond = upClause.flatMap(condOf)
+        val insCond = insClause.flatMap(condOf)
+        val upBody = upClause.map(_.group(2).trim)
+        val insBody = insClause.map(_.group(2).trim)
         val srcDf = spark.table(src)
         val snap = graft.sources.snapshot.SnapshotLog
         val ver = deleteClause match {
           case Some(mm) =>
-            require(upBody == "*" && insBody == "*" &&
-              upCond.isEmpty && insCond.isEmpty,
+            require(upBody.contains("*") && insBody.contains("*") &&
+              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty,
               "the CDC-delete MERGE form supports unconditional " +
                 s"UPDATE SET * / INSERT * clauses, got: $clauses")
             require(mm.group(1).equalsIgnoreCase(src),
               s"DELETE clause must test the source op column, got ${mm.group(1)}")
-            snap.applyChanges(srcDf, t, tKey, mm.group(2), stats).version
-          case None if upBody == "*" && insBody == "*" &&
-              upCond.isEmpty && insCond.isEmpty =>
+            snap.applyChanges(srcDf, t, tKeys, mm.group(2), stats, -1L).version
+          case None if upBody.contains("*") && insBody.contains("*") &&
+              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty =>
             // strategy per registration: CoW rewrite vs O(batch) MOR
-            if (snapshotOf(spark, name).morMerge) snap.upsertMOR(srcDf, t, tKey, stats)
-            else snap.upsert(srcDf, t, tKey, stats).version
+            if (snapshotOf(spark, name).morMerge)
+              snap.upsertMOR(srcDf, t, tKeys, stats)
+            else snap.upsert(srcDf, t, tKeys, stats).version
           case None =>
             // Explicit bodies and/or per-clause conditions: build the
             // full-row updates frame and feed the same upsert
@@ -780,42 +870,50 @@ object GraftSql {
               snap.manifest(spark, t,
                 snap.latestVersion(spark, t).get).schemaDdl)
             val (matchedTgt, _, _, _) =
-              snap.readSemiJoin(spark, t, tKey, srcDf, tKey)
+              snap.readSemiJoin(spark, t, tKeys, srcDf, tKeys, None, 10000)
             val matchedKeys = matchedTgt
-              .select(org.apache.spark.sql.functions.col(tKey)).distinct()
+              .select(tKeys.map(org.apache.spark.sql.functions.col): _*)
+              .distinct()
             import org.apache.spark.sql.functions.{col => c, lit => l}
-            val matched = (upBody, upCond) match {
-              case ("*", None) => // SET *: source rows replace matched rows
-                srcDf.as(src).join(matchedKeys, Seq(tKey), "left_semi")
-                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-              case ("*", Some(cond)) =>
+            def onCond = tKeys.map(k =>
+              c(s"$name.$k") === c(s"$src.$k")).reduce(_ && _)
+            def validateAssigns(assigns: Map[String, Column]): Unit = {
+              assigns.keys.foreach(a =>
+                require(schema.fieldNames.contains(a),
+                  s"UPDATE SET target '$a' not in table schema " +
+                    s"${schema.fieldNames.toSeq}"))
+              require(!assigns.keys.exists(a =>
+                  tKeys.exists(_.equalsIgnoreCase(a))),
+                s"UPDATE SET may not reassign a MERGE key ($tKeys)")
+            }
+            val matched: Option[DataFrame] = (upBody, upCond) match {
+              case (None, _) => None // no MATCHED clause: rows ride through
+              case (Some("*"), None) => // SET *: source rows replace matched
+                Some(srcDf.as(src).join(matchedKeys, tKeys, "left_semi")
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*))
+              case (Some("*"), Some(cond)) =>
                 // conditional SET *: the condition may reference both
                 // sides, so evaluate it over the aliased join
-                matchedTgt.as(name)
-                  .join(srcDf.as(src), c(s"$name.$tKey") === c(s"$src.$tKey"))
+                Some(matchedTgt.as(name)
+                  .join(srcDf.as(src), onCond)
                   .where(cond)
                   .select(schema.fieldNames.map(f =>
-                    c(s"$src.$f").as(f)).toIndexedSeq: _*)
-              case (body, cond) =>
+                    c(s"$src.$f").as(f)).toIndexedSeq: _*))
+              case (Some(body), cond) =>
                 val assigns = parseAssignments(body)
-                assigns.keys.foreach(a =>
-                  require(schema.fieldNames.contains(a),
-                    s"UPDATE SET target '$a' not in table schema " +
-                      s"${schema.fieldNames.toSeq}"))
-                require(!assigns.keys.exists(_.equalsIgnoreCase(tKey)),
-                  s"UPDATE SET may not reassign the MERGE key '$tKey'")
+                validateAssigns(assigns)
                 val joined = matchedTgt.as(name)
-                  .join(srcDf.as(src), c(s"$name.$tKey") === c(s"$src.$tKey"))
-                cond.fold(joined)(joined.where)
+                  .join(srcDf.as(src), onCond)
+                Some(cond.fold(joined)(joined.where)
                   .select(schema.fields.map { f =>
                     assigns.get(f.name)
                       .map(_.cast(f.dataType).as(f.name))
                       .getOrElse(c(s"$name.${f.name}").as(f.name))
-                  }.toIndexedSeq: _*)
+                  }.toIndexedSeq: _*))
             }
-            val anti0 = srcDf.as(src).join(matchedKeys, Seq(tKey), "left_anti")
+            val anti0 = srcDf.as(src).join(matchedKeys, tKeys, "left_anti")
             val anti = insCond.fold(anti0)(anti0.where)
-            val inserted = insBody match {
+            val inserted: Option[DataFrame] = insBody.map {
               case "*" => anti.select(schema.fieldNames.map(c).toIndexedSeq: _*)
               case _ =>
                 val cols = insClause.get.group(3).split(",").map(_.trim).toSeq
@@ -827,8 +925,8 @@ object GraftSql {
                 cols.foreach(a => require(schema.fieldNames.contains(a),
                   s"INSERT column '$a' not in table schema " +
                     s"${schema.fieldNames.toSeq}"))
-                require(cols.exists(_.equalsIgnoreCase(tKey)),
-                  s"INSERT column list must include the MERGE key '$tKey'")
+                tKeys.foreach(k => require(cols.exists(_.equalsIgnoreCase(k)),
+                  s"INSERT column list must include the MERGE key '$k'"))
                 val byCol = cols.zip(exprs).toMap
                 anti.select(schema.fields.map { f =>
                   byCol.get(f.name)
@@ -840,10 +938,54 @@ object GraftSql {
                     }
                 }.toIndexedSeq: _*)
             }
-            val updates = matched.unionByName(inserted)
-            if (snapshotOf(spark, name).morMerge)
-              snap.upsertMOR(updates, t, tKey, stats)
-            else snap.upsert(updates, t, tKey, stats).version
+            bySrcClause match {
+              case None =>
+                val updates = (matched.toSeq ++ inserted)
+                  .reduce(_ unionByName _)
+                if (snapshotOf(spark, name).morMerge)
+                  snap.upsertMOR(updates, t, tKeys, stats)
+                else snap.upsert(updates, t, tKeys, stats).version
+              case Some(bm) =>
+                // WHEN NOT MATCHED BY SOURCE: target rows with no
+                // source key (the ON anti-join, restricted by the
+                // optional condition) either delete or update. This
+                // form inherently reads the target once — no file
+                // stats can prove the ABSENCE of a key — so it routes
+                // through the CDC machinery: one commit carrying the
+                // matched/inserted rows as U ops and the by-source
+                // rows as D ops (DELETE) or rewritten U ops (UPDATE).
+                val bCond = Option(bm.group(1)).map(e =>
+                  org.apache.spark.sql.functions.expr(e.trim))
+                val bBody = bm.group(2).trim
+                val unmatched0 = snap.read(spark, t).as(name)
+                  .join(srcDf.select(tKeys.map(c): _*).distinct(),
+                    tKeys, "left_anti")
+                val unmatched = bCond.fold(unmatched0)(unmatched0.where)
+                val opCol = "__graft_merge_op"
+                val bySrc =
+                  if (bBody.equalsIgnoreCase("DELETE"))
+                    // delete-by-key is well-defined under duplicate
+                    // target tuples: one D row per distinct key
+                    unmatched
+                      .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                      .dropDuplicates(tKeys)
+                      .withColumn(opCol, l("D"))
+                  else {
+                    val assigns = parseAssignments(
+                      bBody.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+                    validateAssigns(assigns)
+                    unmatched.select(schema.fields.map { f =>
+                      assigns.get(f.name)
+                        .map(_.cast(f.dataType).as(f.name))
+                        .getOrElse(c(f.name))
+                    }.toIndexedSeq: _*).withColumn(opCol, l("U"))
+                  }
+                val ups = (matched.toSeq ++ inserted)
+                  .map(_.withColumn(opCol, l("U")))
+                val changes = (ups :+ bySrc).reduce(_ unionByName _)
+                snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
+                  .version
+            }
         }
         (ver, name)
       case OptimizeRe(name, tail) =>
@@ -980,8 +1122,10 @@ object GraftSql {
           .evolveSchema(spark, t, s"$ddl,$colName $typ"), name)
       case other =>
         throw new IllegalArgumentException(
-          "unsupported statement (DELETE FROM/INSERT INTO/UPDATE/" +
-            "MERGE INTO/ALTER TABLE ... RENAME COLUMN/ADD COLUMN/" +
+          "unsupported statement (DELETE FROM/INSERT INTO/" +
+            "INSERT OVERWRITE/UPDATE/MERGE INTO/TRUNCATE TABLE/" +
+            "CREATE [OR REPLACE] TABLE .. LOCATION .. AS SELECT/" +
+            "ALTER TABLE ... RENAME COLUMN/ADD COLUMN/" +
             "DROP COLUMN/ADD CONSTRAINT/DROP CONSTRAINT/" +
             "RESTORE TABLE .. TO VERSION|TIMESTAMP AS OF/" +
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")

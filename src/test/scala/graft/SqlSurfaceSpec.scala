@@ -157,7 +157,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
     // non-DML and unregistered targets refuse loudly
     intercept[IllegalArgumentException] {
-      graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE dml_v")
+      graft.sql.GraftSql.dml(spark, "DROP TABLE dml_v")
     }
     intercept[IllegalArgumentException] {
       graft.sql.GraftSql.dml(spark, "DELETE FROM nowhere WHERE id = 1")
@@ -233,7 +233,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM opt_v").head.getLong(0) == 400L)
     // an unknown statement still refuses loudly
     intercept[IllegalArgumentException] {
-      graft.sql.GraftSql.dml(spark, "TRUNCATE TABLE opt_v") }
+      graft.sql.GraftSql.dml(spark, "DROP TABLE opt_v") }
   }
 
   test("SQL UPDATE rewrites only files that may match; VERSION AS OF time-travels") {
@@ -664,6 +664,109 @@ class SqlSurfaceSpec extends AnyFunSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e.getMessage.contains("unconditional"), e.getMessage)
+  }
+
+  test("CTAS / INSERT OVERWRITE / TRUNCATE TABLE round-trip") {
+    import spark.implicits._
+    val loc = java.nio.file.Paths.get("target", "sql-ctas").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    val snap = graft.sources.snapshot.SnapshotLog
+    spark.range(0, 100).select($"id", ($"id" % 5).as("k"))
+      .createOrReplaceTempView("ctas_src")
+    // CTAS: commit + live registration in one statement
+    GraftSql.dml(spark,
+      s"CREATE TABLE ctas_v LOCATION '$loc' AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 100L)
+    // the view is LIVE (not pinned): DML through it works
+    GraftSql.dml(spark, "INSERT INTO ctas_v " +
+      "SELECT id + 1000 AS id, CAST(9 AS BIGINT) AS k FROM ctas_src LIMIT 5")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 105L)
+    // plain CREATE refuses a committed location; OR REPLACE resets it
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        s"CREATE TABLE ctas_v LOCATION '$loc' AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("OR REPLACE"), e.getMessage)
+    GraftSql.dml(spark,
+      s"CREATE OR REPLACE TABLE ctas_v LOCATION '$loc' " +
+        "AS SELECT id, k, 'p' AS tag FROM ctas_src WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 10L)
+    assert(spark.table("ctas_v").columns.toSeq == Seq("id", "k", "tag"))
+    // INSERT OVERWRITE: full replace, schema follows the SELECT
+    GraftSql.dml(spark,
+      "INSERT OVERWRITE ctas_v SELECT id, k FROM ctas_src WHERE k = 0")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 20L)
+    assert(spark.table("ctas_v").columns.toSeq == Seq("id", "k"))
+    // TRUNCATE: zero rows, schema retained, still writable, undoable
+    val vBefore = snap.latestVersion(spark, loc).get
+    GraftSql.dml(spark, "TRUNCATE TABLE ctas_v")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 0L)
+    assert(spark.table("ctas_v").columns.toSeq == Seq("id", "k"))
+    GraftSql.dml(spark, "INSERT INTO ctas_v " +
+      "SELECT CAST(7 AS BIGINT) AS id, CAST(7 AS BIGINT) AS k")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 1L)
+    GraftSql.dml(spark, s"RESTORE TABLE ctas_v TO VERSION AS OF $vBefore")
+    assert(spark.sql("SELECT count(*) FROM ctas_v").head.getLong(0) == 20L)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: stale target rows delete or rewrite") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mbys").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 100)
+      .select($"id", ($"id" % 5).as("k"), concat(lit("row"), $"id").as("payload"))
+      .repartition(2, $"id"), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mbys_v", t, None, Seq("id"))
+    // source: keys 0..49 (sync payloads) + 200..204 (new rows)
+    spark.range(0, 50).select($"id", ($"id" % 5).as("k"), lit("sync").as("payload"))
+      .unionByName(spark.range(200, 205).select($"id", lit(9L).as("k"),
+        lit("new").as("payload")))
+      .createOrReplaceTempView("mbys_src")
+    // full replicate-to-match: matched rows update, new rows insert,
+    // stale rows (50..99, absent from the source) delete — one commit
+    GraftSql.dml(spark,
+      """MERGE INTO mbys_v USING mbys_src ON mbys_v.id = mbys_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mbys_v").head.getLong(0) == 55L)
+    assert(spark.sql(
+      "SELECT count(*) FROM mbys_v WHERE id < 50 AND payload = 'sync'")
+      .head.getLong(0) == 50L)
+    assert(spark.sql("SELECT count(*) FROM mbys_v WHERE id >= 50 AND id < 200")
+      .head.getLong(0) == 0L, "stale rows survived the by-source delete")
+    assert(spark.sql("SELECT count(*) FROM mbys_v WHERE payload = 'new'")
+      .head.getLong(0) == 5L)
+    // single-clause conditional by-source UPDATE: flag (don't delete)
+    // the stale rows under id < 30; everything else rides through
+    spark.range(0, 10).toDF("id").createOrReplaceTempView("mbys_src2")
+    GraftSql.dml(spark,
+      """MERGE INTO mbys_v USING mbys_src2 ON mbys_v.id = mbys_src2.id
+        |WHEN NOT MATCHED BY SOURCE AND mbys_v.id < 30
+        |THEN UPDATE SET payload = concat('stale-', mbys_v.payload)""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM mbys_v WHERE payload LIKE 'stale-%'")
+      .head.getLong(0) == 20L) // ids 10..29
+    assert(spark.sql("SELECT payload FROM mbys_v WHERE id = 5")
+      .head.getString(0) == "sync", "a matched row was flagged")
+    assert(spark.sql("SELECT payload FROM mbys_v WHERE id = 40")
+      .head.getString(0) == "sync", "a condition-failing row was flagged")
+    assert(spark.sql("SELECT count(*) FROM mbys_v").head.getLong(0) == 55L)
+    // an unrecognized clause refuses loudly — never silently ignored
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mbys_v USING mbys_src2 ON mbys_v.id = mbys_src2.id
+          |WHEN NOT MATCHED BY SOURCE THEN FROB""".stripMargin)
+    }
+    assert(e.getMessage.contains("unrecognized MERGE clause"), e.getMessage)
+    // by-source may not reassign the MERGE key
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mbys_v USING mbys_src2 ON mbys_v.id = mbys_src2.id
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = 0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("may not reassign"), e2.getMessage)
   }
 
   test("MERGE dispatches by registration strategy: mor views upsert without rewrites") {
