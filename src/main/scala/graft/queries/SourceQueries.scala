@@ -3269,6 +3269,46 @@ object SourceQueries extends QueryPack {
         .select($"n_rows", $"sum_qty", $"sum_kn", $"n_versions")
     }),
 
+    // Table-lifecycle SQL statements end to end: CTAS creates and
+    // registers in one statement, INSERT INTO appends, INSERT
+    // OVERWRITE replaces everything without reading a file, TRUNCATE
+    // empties metadata-only (truncated_rows pins the v4 read at 0),
+    // and RESTORE rolls the truncate+insert back to the overwrite
+    // state — append-only history, every version still readable. The
+    // final content hash therefore equals the OVERWRITE's SELECT
+    // replayed relationally; n_versions pins one commit per statement.
+    "qct_sql_ctas_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapctas-$tag"
+      val v = s"ctv_$tag"
+      val src = s"ctsrc_$tag"
+      graft.core.Tables.load(s, dir, "part")
+        .select($"p_partkey".as("k"), $"p_size".cast("long").as("sz"))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"CREATE TABLE $v LOCATION '$t' AS " +
+          s"SELECT k, sz FROM $src WHERE sz <= 25")
+      graft.sql.GraftSql.dml(s,
+        s"INSERT INTO $v SELECT k + 1000000 AS k, sz FROM $src WHERE sz <= 5")
+      graft.sql.GraftSql.dml(s,
+        s"INSERT OVERWRITE $v SELECT k, sz * 2 AS sz FROM $src " +
+          "WHERE sz BETWEEN 10 AND 20")
+      graft.sql.GraftSql.dml(s, s"TRUNCATE TABLE $v")
+      val truncated = SnapshotLog.read(s, t, Some(4L)).count()
+      graft.sql.GraftSql.dml(s,
+        s"INSERT INTO $v SELECT k, sz FROM $src WHERE sz > 48")
+      graft.sql.GraftSql.dml(s, s"RESTORE TABLE $v TO VERSION AS OF 3")
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sz").as("sum_sz"),
+          sum($"k").as("sum_k"))
+        .withColumn("truncated_rows", lit(truncated))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_sz", $"sum_k", $"truncated_rows",
+          $"n_versions")
+    }),
+
     // SQL RESTORE + CHECK constraint lifecycle: a DELETE is rolled
     // back by RESTORE TABLE .. TO VERSION AS OF (metadata-only —
     // restore_meta_only pins the v1 file list republished verbatim), a
@@ -4312,6 +4352,17 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(k * nl) AS BIGINT) AS sum_kn,
           |  CAST(3 AS BIGINT) AS n_versions
           |FROM s2""".stripMargin,
+
+      // the restore pins the final content to the INSERT OVERWRITE's
+      // SELECT; the truncate and post-truncate insert are rolled back
+      // (their versions remain — n_versions counts all six commits)
+      "qct_sql_ctas_lifecycle" ->
+        """SELECT count(*) AS n_rows,
+          |  CAST(sum(p_size * 2) AS BIGINT) AS sum_sz,
+          |  CAST(sum(p_partkey) AS BIGINT) AS sum_k,
+          |  CAST(0 AS BIGINT) AS truncated_rows,
+          |  CAST(6 AS BIGINT) AS n_versions
+          |FROM part WHERE p_size BETWEEN 10 AND 20""".stripMargin,
 
       // surviving content = the full table (restore undid the delete)
       // plus the conforming insert; structural columns are contract

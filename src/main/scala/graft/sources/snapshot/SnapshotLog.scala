@@ -1922,6 +1922,13 @@ object SnapshotLog {
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
+    // a key column outside the schema must refuse BEFORE the commit:
+    // a published eq-delete on a nonexistent column would make every
+    // subsequent read throw on its anti-join
+    val fieldNames = org.apache.spark.sql.types.StructType
+      .fromDDL(m.schemaDdl).fieldNames
+    keyCols.foreach(k => require(fieldNames.contains(k),
+      s"key column '$k' not in table schema ${fieldNames.toSeq}"))
     val ks = keys.select(keyCols.map(col): _*)
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
     val n = ks.count()

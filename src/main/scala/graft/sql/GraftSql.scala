@@ -423,6 +423,8 @@ object GraftSql {
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
+  private val DeleteInSubqueryRe =
+    """(?is)^\s*(\w+)\s+IN\s*\(\s*(SELECT\b.+)\)\s*$""".r
   private val InsertOverwriteRe =
     """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(SELECT\b.+)$""".r
   private val TruncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
@@ -554,8 +556,8 @@ object GraftSql {
     crs
   }
   private val MergeRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+""" +
-      """ON\s+(.+?)\s+(WHEN\s.+)$""").r
+    ("""(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+""" +
+      """(\w+)\s+USING\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s.+)$""").r
   private val MergeOnPairRe =
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val MergeDeleteClauseRe =
@@ -576,6 +578,12 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
+  private val AlterClusterRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s+""" +
+      """(range|bucket|zorder)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
+      """\s+INTO\s+(\d+)\s+FILES\s*$""").r
+  private val AlterClusterNoneRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s+NONE\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val AlterDropRe =
@@ -607,11 +615,15 @@ object GraftSql {
     *    AND ts < 170` — routes to the stats-classified CoW
     *    [[graft.sources.snapshot.SnapshotLog.deleteWhere]]: untouched
     *    files kept, covered files dropped metadata-only, partial files
-    *    rewritten. ANY OTHER predicate (OR, LIKE, arbitrary Spark SQL)
-    *    routes to the merge-on-read
+    *    rewritten. `WHERE col IN (SELECT ...)` — the GDPR-erasure
+    *    shape — evaluates the subquery once and records the key set
+    *    as a merge-on-read equality delete
+    *    ([[graft.sources.snapshot.SnapshotLog.deleteKeysMOR]]): zero
+    *    files touched at any table size. ANY OTHER predicate (OR,
+    *    LIKE, arbitrary Spark SQL) routes to the merge-on-read
     *    [[graft.sources.snapshot.SnapshotLog.deleteMatchingDV]]: one
     *    scan marks matching positions, zero rewrites, OPTIMIZE pays
-    *    the mask debt later. Both execute exactly; the grammar only
+    *    the mask debt later. All execute exactly; the grammar only
     *    picks the cost class.
     *  - `INSERT INTO v SELECT ...` → an append commit of the query
     *    result (conforms to the table schema; CHECK constraints bind).
@@ -648,6 +660,13 @@ object GraftSql {
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
+    *  - `MERGE WITH SCHEMA EVOLUTION INTO ...` (unconditional
+    *    `SET * / INSERT *` form): source-only columns ADD to the
+    *    table first — additive, metadata-only, existing rows serve
+    *    NULL — then the merge executes against the evolved schema.
+    *    Without the flag, an extra source column refuses loudly (the
+    *    table's schema is the contract — no silent drop, no silent
+    *    add).
     *  - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE` (or
     *    `UPDATE SET ...`) — the third Delta clause family: target rows
     *    with NO source key delete or rewrite. The clause families are
@@ -675,6 +694,11 @@ object GraftSql {
     *    (metadata-only; the physical slot tombstones so a later
     *    re-ADD serves NULL) — all repoint the view at the new
     *    version with the new schema.
+    *  - `ALTER TABLE v CLUSTER BY range|bucket|zorder(cols) INTO n
+    *    FILES` → [[graft.sources.snapshot.SnapshotLog.setLayout]]
+    *    (declared clustering: one manifest write, zero data movement;
+    *    appends conform, OPTIMIZE re-clusters), and
+    *    `ALTER TABLE v CLUSTER BY NONE` → clearLayout.
     *  - `RESTORE TABLE v TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
     *    '<ts>'`) → [[graft.sources.snapshot.SnapshotLog.restore]] —
     *    metadata-only rollback publishing the target version's file
@@ -701,19 +725,30 @@ object GraftSql {
       case DeleteRe(name, where) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
-        // conjunction grammar → stats-classified CoW delete (files the
-        // predicate provably misses are never read). Anything else —
-        // OR, LIKE, arbitrary expressions — falls back to the
-        // merge-on-read positional delete: ONE scan marks matching
-        // positions, zero files rewrite, and OPTIMIZE pays the mask
-        // debt down later. Both paths execute the predicate exactly;
-        // only the cost class differs.
-        val ver = (try Some(parseWhere(where))
-          catch { case _: IllegalArgumentException => None }) match {
-          case Some(crs) => snap.deleteWhere(spark, t, crs, stats)
-            .map(_.version)
-          case None => snap.deleteMatchingDV(spark, t,
-            org.apache.spark.sql.functions.expr(where)).map(_.version)
+        // three cost classes, all exact: a conjunction grammar →
+        // stats-classified CoW delete (files the predicate provably
+        // misses are never read); `col IN (SELECT ...)` — the
+        // GDPR-erasure shape — evaluates the subquery ONCE and records
+        // the key set as a merge-on-read equality delete (zero files
+        // touched at ANY table size; the scan-time anti-join and
+        // OPTIMIZE do the physical work); anything else — OR, LIKE,
+        // arbitrary expressions — falls back to the merge-on-read
+        // positional delete: ONE scan marks matching positions, zero
+        // files rewrite.
+        val ver = where match {
+          case DeleteInSubqueryRe(colName, sub) =>
+            val keys = spark.sql(sub)
+            require(keys.columns.length == 1,
+              s"IN-subquery must select exactly one column, got " +
+                s"${keys.columns.toSeq}")
+            snap.deleteKeysMOR(keys.toDF(colName), t, colName)
+          case _ => (try Some(parseWhere(where))
+            catch { case _: IllegalArgumentException => None }) match {
+            case Some(crs) => snap.deleteWhere(spark, t, crs, stats)
+              .map(_.version)
+            case None => snap.deleteMatchingDV(spark, t,
+              org.apache.spark.sql.functions.expr(where)).map(_.version)
+          }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
       case InsertRe(name, select) =>
@@ -778,7 +813,7 @@ object GraftSql {
             parseAssignments(setClause), stats).map(_.version)
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
-      case MergeRe(name, src, onExpr, clauses) =>
+      case MergeRe(evolve, name, src, onExpr, clauses) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         // ON is an AND-conjunction of equi-key pairs — one key or a
         // COMPOSITE key; each pair must bind the same-named column on
@@ -839,6 +874,29 @@ object GraftSql {
         val insBody = insClause.map(_.group(2).trim)
         val srcDf = spark.table(src)
         val snap = graft.sources.snapshot.SnapshotLog
+        // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
+        // first (additive, metadata-only — existing rows serve NULL),
+        // then the merge executes against the evolved schema.
+        // Supported for the unconditional SET * / INSERT * form, where
+        // "the source's columns land" is the whole contract; explicit
+        // bodies already name their columns, so evolution there would
+        // only ever add columns the statement never fills.
+        if (evolve != null) {
+          require(deleteClause.isEmpty && bySrcClause.isEmpty &&
+            upBody.contains("*") && insBody.contains("*") &&
+            upCond.isEmpty && insCond.isEmpty,
+            "WITH SCHEMA EVOLUTION supports the unconditional " +
+              s"UPDATE SET * / INSERT * MERGE form, got: $clauses")
+          val ddl0 = snap.manifest(spark, t,
+            snap.latestVersion(spark, t).get).schemaDdl
+          val have = org.apache.spark.sql.types.StructType.fromDDL(ddl0)
+            .fieldNames.map(_.toLowerCase).toSet
+          val extra = srcDf.schema.fields
+            .filterNot(f => have(f.name.toLowerCase))
+          if (extra.nonEmpty)
+            snap.evolveSchema(spark, t,
+              ddl0 + extra.map(f => s",${f.name} ${f.dataType.sql}").mkString)
+        }
         val ver = deleteClause match {
           case Some(mm) =>
             require(upBody.contains("*") && insBody.contains("*") &&
@@ -1104,6 +1162,21 @@ object GraftSql {
         val (t, _) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog.dropColumn(spark, t, colName),
           name)
+      case AlterClusterRe(name, kind, cols, n) =>
+        // declare (or replace) the table's clustering layout — ONE
+        // manifest write, zero data movement: appends conform from the
+        // next batch on, OPTIMIZE re-clusters existing files to it
+        // (see SnapshotLog.setLayout; type/arity validation lives
+        // there and refuses loudly)
+        val (t, _) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog.setLayout(spark, t,
+          kind.toLowerCase, cols.split(",").map(_.trim).toSeq, n.toInt),
+          name)
+      case AlterClusterNoneRe(name) =>
+        // drop the declared layout: writes stop conforming, files keep
+        // whatever organization they have
+        val (t, _) = mutableSnapshotOf(spark, name)
+        (graft.sources.snapshot.SnapshotLog.clearLayout(spark, t), name)
       case AlterRenameRe(name, oldC, newC) =>
         // metadata-only column mapping (see SnapshotLog.renameColumn);
         // the repoint below re-registers the view with the new schema
@@ -1126,7 +1199,7 @@ object GraftSql {
             "INSERT OVERWRITE/UPDATE/MERGE INTO/TRUNCATE TABLE/" +
             "CREATE [OR REPLACE] TABLE .. LOCATION .. AS SELECT/" +
             "ALTER TABLE ... RENAME COLUMN/ADD COLUMN/" +
-            "DROP COLUMN/ADD CONSTRAINT/DROP CONSTRAINT/" +
+            "DROP COLUMN/ADD CONSTRAINT/DROP CONSTRAINT/CLUSTER BY/" +
             "RESTORE TABLE .. TO VERSION|TIMESTAMP AS OF/" +
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
     }

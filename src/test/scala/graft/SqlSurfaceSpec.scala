@@ -666,6 +666,127 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unconditional"), e.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns before merging") {
+    import spark.implicits._
+    val loc = java.nio.file.Paths.get("target", "sql-mevo").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 50).select($"id", ($"id" % 5).as("k"))
+      .repartition(2), loc, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mevo_v", loc, None, Seq("id"))
+    spark.range(40, 61).select($"id", lit(9L).as("k"),
+      concat(lit("t"), $"id").as("tag")).createOrReplaceTempView("mevo_src")
+    // without the flag, an extra source column refuses loudly (the
+    // table's schema is the contract — no silent drop, no silent add)
+    val e0 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mevo_v USING mevo_src ON mevo_v.id = mevo_src.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e0.getMessage.contains("update columns"), e0.getMessage)
+    // with the flag, the column ADDS (metadata-only) and the merge
+    // fills it: matched+inserted rows carry the source tag, untouched
+    // rows serve NULL
+    GraftSql.dml(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO mevo_v USING mevo_src
+        |ON mevo_v.id = mevo_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("mevo_v").columns.toSeq == Seq("id", "k", "tag"))
+    assert(spark.sql("SELECT count(*) FROM mevo_v").head.getLong(0) == 61L)
+    assert(spark.sql("SELECT count(*) FROM mevo_v WHERE tag IS NOT NULL")
+      .head.getLong(0) == 21L)
+    assert(spark.sql("SELECT tag FROM mevo_v WHERE id = 45")
+      .head.getString(0) == "t45")
+    assert(spark.sql("SELECT count(*) FROM mevo_v WHERE id < 40 AND tag IS NULL")
+      .head.getLong(0) == 40L)
+    // evolution refuses the explicit-body / conditional / CDC forms
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO mevo_v USING mevo_src
+          |ON mevo_v.id = mevo_src.id
+          |WHEN MATCHED THEN UPDATE SET k = mevo_src.k
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+  }
+
+  test("DELETE WHERE col IN (SELECT ...) records an equality delete, zero rewrites") {
+    import spark.implicits._
+    val loc = java.nio.file.Paths.get("target", "sql-insub").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 100).select($"id", ($"id" % 7).as("k"))
+      .repartition(2), loc, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "insub_v", loc, None, Seq("id"))
+    val before = snap.manifest(spark, loc, 1L).files.map(_.path).toSet
+    GraftSql.dml(spark,
+      "DELETE FROM insub_v WHERE id IN (SELECT id FROM insub_v WHERE k = 3)")
+    // merge-on-read: every prior file still present, key debt recorded
+    val m = snap.manifest(spark, loc, snap.latestVersion(spark, loc).get)
+    assert(before.subsetOf(m.files.map(_.path).toSet),
+      "IN-subquery delete rewrote a data file")
+    assert(m.eqDeletes.nonEmpty)
+    assert(spark.sql("SELECT count(*) FROM insub_v").head.getLong(0) == 86L)
+    assert(spark.sql("SELECT count(*) FROM insub_v WHERE k = 3")
+      .head.getLong(0) == 0L)
+    // a multi-column subquery refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        "DELETE FROM insub_v WHERE id IN (SELECT id, k FROM insub_v)")
+    }
+    assert(e.getMessage.contains("exactly one column"), e.getMessage)
+    // a typo'd target column refuses BEFORE the commit — a published
+    // eq-delete on a nonexistent column would poison every later read
+    val vNow = snap.latestVersion(spark, loc).get
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        "DELETE FROM insub_v WHERE typo IN (SELECT id FROM insub_v)")
+    }
+    assert(e2.getMessage.contains("not in table schema"), e2.getMessage)
+    assert(snap.latestVersion(spark, loc).get == vNow, "refusal committed")
+  }
+
+  test("ALTER TABLE CLUSTER BY declares a layout; appends conform; NONE clears") {
+    import spark.implicits._
+    val loc = java.nio.file.Paths.get("target", "sql-clus").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 1000).select($"id", ($"id" % 7).as("k"))
+      .repartition(1), loc, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "clus_v", loc, None, Seq("id"))
+    GraftSql.dml(spark,
+      "ALTER TABLE clus_v CLUSTER BY range(id) INTO 4 FILES")
+    assert(snap.layoutOf(spark, loc).exists(l =>
+      l.kind == "range" && l.cols == Seq("id") && l.n == 4))
+    // the NEXT append conforms: 4 range-partitioned files with tight,
+    // non-overlapping id windows
+    val before = snap.manifest(spark, loc,
+      snap.latestVersion(spark, loc).get).files.map(_.path).toSet
+    GraftSql.dml(spark,
+      "INSERT INTO clus_v SELECT id, id % 7 AS k FROM range(5000, 6000)")
+    val m = snap.manifest(spark, loc, snap.latestVersion(spark, loc).get)
+    val added = m.files.filterNot(f => before(f.path))
+    assert(added.size == 4, s"layout-conforming append wrote ${added.size}")
+    val windows = added.flatMap(_.stats.get("id"))
+      .map { case (mn, mx) => (mn.toString.toLong, mx.toString.toLong) }
+      .sortBy(_._1)
+    assert(windows.size == 4 && windows.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"range layout produced overlapping windows: $windows")
+    // zorder arity/type validation refuses through the SQL face
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        "ALTER TABLE clus_v CLUSTER BY zorder(id) INTO 4 FILES")
+    }
+    assert(e.getMessage.contains("zorder"), e.getMessage)
+    // NONE clears: the next append stops conforming
+    GraftSql.dml(spark, "ALTER TABLE clus_v CLUSTER BY NONE")
+    assert(snap.layoutOf(spark, loc).isEmpty)
+  }
+
   test("CTAS / INSERT OVERWRITE / TRUNCATE TABLE round-trip") {
     import spark.implicits._
     val loc = java.nio.file.Paths.get("target", "sql-ctas").toAbsolutePath.toString
