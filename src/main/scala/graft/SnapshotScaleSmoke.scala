@@ -312,6 +312,33 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "restore after MOR upsert diverged")
 
+    // composite-key MOR delete: one bucket's sampled (l_orderkey,
+    // l_quantity) TUPLE set erases with zero rewrites — one keys-sized
+    // sidecar carries BOTH columns, the read-side anti-join matches
+    // the full tuple, and restore() re-surfaces the rows. Candidacy
+    // for the eventual compact is the tuple-interval conjunction, so a
+    // composite key only ever SHRINKS the debt set vs either column
+    // alone.
+    val vBeforeCk = SnapshotLog.latestVersion(spark, t).get
+    val ckKeys = SnapshotLog.read(spark, t)
+      .where(expr(s"l_orderkey DIV $width") === 33 &&
+        col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ckFiles = SnapshotLog.tableStats(spark, t).files
+    val ckDel = timed("ckdelete_mor_1bucket") {
+      SnapshotLog.deleteKeysMOR(ckKeys, t,
+        Seq("l_orderkey", "l_quantity")).get
+    }
+    require(SnapshotLog.tableStats(spark, t).files == ckFiles,
+      "composite MOR delete rewrote a data file")
+    val ckExpected = agg(base.join(ckKeys,
+      Seq("l_orderkey", "l_quantity"), "left_anti"))
+    require(agg(SnapshotLog.read(spark, t)) == ckExpected,
+      "composite tuple delete content diverged")
+    SnapshotLog.restore(spark, t, vBeforeCk)
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "restore after composite delete diverged")
+
     // metadata-only schema evolution on the 63-file table: ONE manifest
     // write, zero data IO — wall-time stays in milliseconds no matter
     // how many files (or TB) the table holds, and every pre-evolution
@@ -504,6 +531,7 @@ object SnapshotScaleSmoke {
       ("upsert_4files", upStats4._2),
       ("compound_update_1of30", cupStats._2),
       ("upsert_mor_4buckets", upMor._2),
+      ("ckdelete_mor_1bucket", ckDel._2),
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),
