@@ -3269,6 +3269,39 @@ object SourceQueries extends QueryPack {
         .select($"n_rows", $"sum_qty", $"sum_kn", $"n_versions")
     }),
 
+    // UPDATE ... WHERE col IN (SELECT ...): the subquery evaluates
+    // once and the keys-frame CoW update rewrites ONLY the files the
+    // key tuples may land in — the keys are range-restricted to the
+    // first eighth of a 4-file range layout (well inside file 1), so carried_files pins 3
+    // of 4 files republished untouched. The oracle replays the
+    // update relationally; n_versions pins one commit.
+    "qcu_sql_update_in" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapuin-$tag"
+      val v = s"uiv_$tag"
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = li.agg(max($"l_orderkey")).head.getLong(0)
+      graft.sql.GraftSql.dml(s,
+        s"""UPDATE $v SET sum_qty = sum_qty + 100
+           |WHERE l_orderkey IN (SELECT l_orderkey FROM $v
+           |  WHERE l_orderkey % 7 = 0 AND l_orderkey <= ${mx / 8})""".stripMargin)
+      val f1 = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      val carried = SnapshotLog.manifest(s, t, 2L).files
+        .map(_.path).count(f1)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"))
+        .withColumn("carried_files", lit(carried.toLong))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"carried_files", $"n_versions")
+    }),
+
     // Table-lifecycle SQL statements end to end: CTAS creates and
     // registers in one statement, INSERT INTO appends, INSERT
     // OVERWRITE replaces everything without reading a file, TRUNCATE
@@ -4352,6 +4385,20 @@ object SourceQueries extends QueryPack {
           |  CAST(sum(k * nl) AS BIGINT) AS sum_kn,
           |  CAST(3 AS BIGINT) AS n_versions
           |FROM s2""".stripMargin,
+
+      // keys-frame update replayed relationally: +100 on every
+      // multiple-of-7 order key in the first eighth of the key space
+      "qcu_sql_update_in" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q + CASE WHEN k % 7 = 0 AND k <= m // 8
+          |    THEN 100 ELSE 0 END) AS BIGINT) AS sum_qty,
+          |  CAST(3 AS BIGINT) AS carried_files,
+          |  CAST(2 AS BIGINT) AS n_versions
+          |FROM base, mx""".stripMargin,
 
       // the restore pins the final content to the INSERT OVERWRITE's
       // SELECT; the truncate and post-truncate insert are rolled back

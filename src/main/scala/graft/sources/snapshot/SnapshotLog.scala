@@ -1475,6 +1475,54 @@ object SnapshotLog {
     }
   }
 
+  /** CoW UPDATE of the rows whose key (tuple) appears in a KEYS frame —
+    * the `UPDATE ... WHERE col IN (SELECT ...)` shape. Candidacy is the
+    * tuple-interval conjunction over the keys' values (one probe pass;
+    * a file no key tuple can land in is never read), and the rewrite
+    * marks matching rows with ONE join against the distinct key set
+    * (broadcast when small — no driver-side collect at any key count).
+    * Rows in a rewritten file whose key is absent ride through
+    * unchanged. Returns None when no file may hold a match.
+    */
+  def updateKeys(spark: SparkSession, table: String,
+      keyCols: Seq[String], keys: DataFrame,
+      assignments: Map[String, Column],
+      statsCols: Seq[String] = Nil): Option[MutationStats] = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"key columns must be non-empty and distinct, got $keyCols")
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    (assignments.keys ++ keyCols).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"UPDATE column '$c' not in table schema ${schema.fieldNames.toSeq}"))
+    val ks = keys.select(keyCols.map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    val rewrite = statsCandidates(ks, keyCols, m.files)
+    if (rewrite.isEmpty) None
+    else {
+      val marker = "__graft_upd"
+      val joined = readFiles(spark, table, m, rewrite)
+        .join(ks.withColumn(marker, lit(1)), keyCols, "left")
+      val hit = col(marker) === 1
+      val updated = joined.select(schema.fields.map { f =>
+        assignments.get(f.name) match {
+          case Some(e) =>
+            when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      val newFiles = writeData(sortForLayout(updated, m.layout), table,
+        v0 + 1, statsCols, physical = m.physical)
+      val v = publishMutation(spark, table, m, "update",
+        touched = rewrite, replacement = Nil, added = newFiles,
+        eqAdded = Nil)
+      Some(MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size))
+    }
+  }
+
   /** Rel-keys of the files holding at least one row matching
     * `condition` — one location scan over logical names; bounded
     * collect (one row per matched file).

@@ -638,7 +638,12 @@ object GraftSql {
     *  - `UPDATE v SET a = expr[, b = expr] WHERE <predicate>`:
     *    conjunctions → the stats-classified CoW
     *    [[graft.sources.snapshot.SnapshotLog.updateWhere]] (only files
-    *    whose stats may hold a match rewrite); arbitrary predicates →
+    *    whose stats may hold a match rewrite);
+    *    `WHERE col IN (SELECT ...)` →
+    *    [[graft.sources.snapshot.SnapshotLog.updateKeys]] (the
+    *    subquery evaluates once; only files its key tuples may land
+    *    in rewrite, matched by one join — no driver-side collect);
+    *    arbitrary predicates →
     *    [[graft.sources.snapshot.SnapshotLog.updateMatching]] (a
     *    pruned probe scan locates the files that HOLD a match; exactly
     *    those rewrite). Expressions may reference other columns.
@@ -674,7 +679,10 @@ object GraftSql {
     *    single-clause `WHEN NOT MATCHED BY SOURCE THEN DELETE` sync);
     *    an unrecognized WHEN clause refuses loudly. A by-source form
     *    reads the target once — no file stats can prove the ABSENCE
-    *    of a key — and commits once through the CDC machinery.
+    *    of a key — and commits once through the CDC machinery; note
+    *    this is the CoW cost class (files holding affected rows
+    *    rewrite) even on a `merge = "mor"` registration, because a
+    *    by-source clause's work is inherently row-locating.
     *  - `OPTIMIZE v [WHERE <conjunction>]` →
     *    [[graft.sources.snapshot.SnapshotLog.compact]] (small-file +
     *    DV-debt rewrite; the WHERE conjunction — same grammar as DML —
@@ -801,16 +809,28 @@ object GraftSql {
         val where = tail.substring(wi + "WHERE".length)
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
-        // same dual path as DELETE: conjunctions classify from stats;
+        // same cost classes as DELETE: conjunctions classify from
+        // stats; `col IN (SELECT ...)` evaluates the subquery once and
+        // rewrites only the files its key tuples may land in
+        // (updateKeys — no driver-side collect at any key count);
         // arbitrary predicates locate the files that actually hold a
         // match (one pruned probe scan) and rewrite exactly those
-        val ver = (try Some(parseWhere(where))
-          catch { case _: IllegalArgumentException => None }) match {
-          case Some(crs) => snap.updateWhere(spark, t, crs,
-            parseAssignments(setClause), stats).map(_.version)
-          case None => snap.updateMatching(spark, t,
-            org.apache.spark.sql.functions.expr(where),
-            parseAssignments(setClause), stats).map(_.version)
+        val ver = where match {
+          case DeleteInSubqueryRe(colName, sub) =>
+            val keys = spark.sql(sub)
+            require(keys.columns.length == 1,
+              s"IN-subquery must select exactly one column, got " +
+                s"${keys.columns.toSeq}")
+            snap.updateKeys(spark, t, Seq(colName), keys.toDF(colName),
+              parseAssignments(setClause), stats).map(_.version)
+          case _ => (try Some(parseWhere(where))
+            catch { case _: IllegalArgumentException => None }) match {
+            case Some(crs) => snap.updateWhere(spark, t, crs,
+              parseAssignments(setClause), stats).map(_.version)
+            case None => snap.updateMatching(spark, t,
+              org.apache.spark.sql.functions.expr(where),
+              parseAssignments(setClause), stats).map(_.version)
+          }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
       case MergeRe(evolve, name, src, onExpr, clauses) =>

@@ -99,7 +99,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(16)
+        val choice = if (op == 0) 0 else rnd.nextInt(17)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -110,7 +110,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)(choice) &&
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)(choice) &&
             rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
@@ -288,6 +288,19 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
             val tuples = ups.map(r => (r._1, r._2)).toSet
             model = model.filterNot(r => tuples((r._1, r._2))) ++ ups
             history += v -> model
+          case 16 => // keys-frame CoW update (the UPDATE .. IN (SELECT)
+            // shape): sampled ids + a guaranteed-absent id
+            val ids = rnd.shuffle(model.map(_._1).distinct)
+              .take(rnd.nextInt(5)) :+ (nextId + 9000 + op)
+            SnapshotLog.updateKeys(s, t, Seq(keyName), keyed(
+                ids.toDF("id")),
+              Map("payload" -> concat(col("payload"), lit("^"))),
+              Seq(keyName)).foreach { st =>
+              val kset = ids.toSet
+              model = model.map(r =>
+                if (kset(r._1)) (r._1, r._2, r._3 + "^") else r)
+              history += st.version -> model
+            }
         } }
         // racer accounting: if the op committed (exactly one publish
         // attempt hit the seam), the raced history is racer at

@@ -75,6 +75,9 @@ class SnapshotRebaseMatrixSpec extends AnyFunSuite {
     Op("cow-update-matching-b2")(t => { SnapshotLog.updateMatching(s, t,
       col("id") % 10 === 3 && col("id") >= 200L && col("id") <= 249L,
       Map("payload" -> concat(lit("am-"), col("payload"))), Seq("id")); () }),
+    Op("cow-updatekeys-b0")(t => { SnapshotLog.updateKeys(s, t, Seq("id"),
+      s.range(30, 40).toDF("id"),
+      Map("payload" -> concat(lit("uk-"), col("payload"))), Seq("id")); () }),
     Op("mor-ckdelete-b2")(t => { SnapshotLog.deleteKeysMOR(
       s.range(260, 270).select($"id",
         concat(lit("row"), $"id").as("payload")),

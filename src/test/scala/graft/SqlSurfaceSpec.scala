@@ -746,6 +746,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not in table schema"), e2.getMessage)
     assert(snap.latestVersion(spark, loc).get == vNow, "refusal committed")
+    // UPDATE with the same shape: keys-frame CoW rewrite — candidate
+    // files rewrite, matched rows change, unmatched ride through
+    GraftSql.dml(spark,
+      """UPDATE insub_v SET k = 99
+        |WHERE id IN (SELECT id FROM insub_v WHERE k = 5)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM insub_v WHERE k = 99")
+      .head.getLong(0) == 14L) // ids 5,12,..,96 had k = 5
+    assert(spark.sql("SELECT count(*) FROM insub_v WHERE k = 5")
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM insub_v").head.getLong(0) == 86L,
+      "keys-frame update changed the row count")
   }
 
   test("ALTER TABLE CLUSTER BY declares a layout; appends conform; NONE clears") {
