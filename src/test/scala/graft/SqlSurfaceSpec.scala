@@ -710,6 +710,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+    // evolution composes with a MOR registration: the ADD is
+    // metadata-only and the merge itself stays zero-rewrite
+    val t2 = java.nio.file.Paths.get("target", "sql-mevo-mor").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    snap.commit(spark.range(0, 50).select($"id", ($"id" % 5).as("k"))
+      .repartition(1), t2, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mevo_mor", t2, None, Seq("id"),
+      merge = "mor")
+    val mevoFiles = snap.manifest(spark, t2, 1L).files.map(_.path).toSet
+    GraftSql.dml(spark,
+      """MERGE WITH SCHEMA EVOLUTION INTO mevo_mor USING mevo_src
+        |ON mevo_mor.id = mevo_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m2 = snap.manifest(spark, t2, snap.latestVersion(spark, t2).get)
+    assert(mevoFiles.subsetOf(m2.files.map(_.path).toSet),
+      "MOR evolution merge rewrote a prior file")
+    assert(spark.table("mevo_mor").columns.toSeq == Seq("id", "k", "tag"))
+    assert(spark.sql("SELECT count(*) FROM mevo_mor WHERE tag IS NOT NULL")
+      .head.getLong(0) == 21L)
+    assert(spark.sql("SELECT count(*) FROM mevo_mor").head.getLong(0) == 61L)
+  }
+
+  test("by-source MERGE on a MOR registration executes (CoW cost class)") {
+    import spark.implicits._
+    val loc = java.nio.file.Paths.get("target", "sql-mbys-mor").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 60).select($"id", ($"id" % 5).as("k"))
+      .repartition(2), loc, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mbys_mor", loc, None, Seq("id"),
+      merge = "mor")
+    spark.range(0, 30).select($"id", lit(7L).as("k"))
+      .createOrReplaceTempView("mbys_mor_src")
+    GraftSql.dml(spark,
+      """MERGE INTO mbys_mor USING mbys_mor_src
+        |ON mbys_mor.id = mbys_mor_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mbys_mor").head.getLong(0) == 30L)
+    assert(spark.sql("SELECT sum(k) FROM mbys_mor").head.getLong(0) == 30 * 7L)
+    assert(spark.sql("SELECT count(*) FROM mbys_mor WHERE id >= 30")
+      .head.getLong(0) == 0L, "stale rows survived")
   }
 
   test("DELETE WHERE col IN (SELECT ...) records an equality delete, zero rewrites") {
