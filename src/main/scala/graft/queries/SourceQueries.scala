@@ -3275,6 +3275,198 @@ object SourceQueries extends QueryPack {
     // first eighth of a 4-file range layout (well inside file 1), so carried_files pins 3
     // of 4 files republished untouched. The oracle replays the
     // update relationally; n_versions pins one commit.
+    // MERGE USING (SELECT ...) — the subquery-source form, the
+    // canonical dedup-before-upsert statement: the raw per-line feed
+    // carries MANY rows per order key, the subquery dedups to one row
+    // per key with a window (top quantity wins; ties project the same
+    // value, so the pick is deterministic), and the merge bumps
+    // matched rollups by that value while 15 synthetic keys insert
+    // through a picked column list. The oracle replays the window as
+    // max() — equal by monotonicity of floor — so a clause splitter
+    // that mis-cut the subquery body (or a dedup that kept the wrong
+    // row) breaks the hash; n_versions pins one commit.
+    "qcw_sql_merge_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapmsq-$tag"
+      val v = s"msqv_$tag"
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+      li.createOrReplaceTempView(s"msqraw_$tag")
+      val roll = li.groupBy($"l_orderkey")
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING (
+           |  SELECT l_orderkey, bump FROM (
+           |    SELECT l_orderkey, CAST(floor(l_quantity) AS BIGINT) AS bump,
+           |      row_number() OVER (PARTITION BY l_orderkey
+           |        ORDER BY l_quantity DESC) AS rn
+           |    FROM msqraw_$tag WHERE l_orderkey % 3 = 0) WHERE rn = 1
+           |  UNION ALL
+           |  SELECT id + 100000000 AS l_orderkey, id AS bump
+           |  FROM range(0, 15)
+           |) s ON $v.l_orderkey = s.l_orderkey
+           |WHEN MATCHED THEN UPDATE SET sum_qty = $v.sum_qty + s.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, sum_qty)
+           |  VALUES (s.l_orderkey, s.bump)""".stripMargin)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" % 97).as("sum_kmod"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
+    }),
+
+    // MERGE with a residual ON condition — `ON k = k AND ds >= 3`, the
+    // partition-bounding idiom. The table is laid out by ds quadrant
+    // (key ranges span the whole domain in every file, so key-interval
+    // candidacy alone cannot prune); the source spans EVERY key.
+    // carried_files pins that the 3 out-of-range files provably rode
+    // through untouched — only the residual's stats classification can
+    // prove that. Matched (ds=3) rollups bump; source keys whose
+    // target rows all fail the residual are NOT MATCHED and insert
+    // DUPLICATE keys at ds=9 (the Delta partition-bounded-merge
+    // outcome — a replace here would be the classic silent-wrong
+    // answer), along with 10 brand-new keys. n_versions pins ONE merge
+    // commit atop the four quadrant appends.
+    // The native snapshot streaming SINK face: a snapshot table reads
+    // as a stream and writes through
+    // `.writeStream.format("graft-snapshot")` into ANOTHER snapshot
+    // table — each micro-batch one exactly-once manifest commit (the
+    // first CREATES the destination). Two runs on one checkpoint: the
+    // restart must resume, not replay, so n_versions pins exactly one
+    // commit per micro-batch and stats_ok pins that the batch write
+    // path's commit stats landed. The hash is the destination table's
+    // content — a dropped batch, a duplicated replay, or a sink that
+    // bypassed the manifest machinery all break it.
+    "qcz_stream_sink" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val src = s"target/snapsink-src-$tag"
+      val dst = s"target/snapsink-dst-$tag"
+      val cp = s"target/snapsink-cp-$tag"
+      val o = graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), src, "append",
+        Seq("o_orderkey"))
+      def run(): Unit = {
+        val q = s.readStream.format("graft-snapshot").option("table", src)
+          .load()
+          .writeStream.format("graft-snapshot")
+          .option("table", dst).option("statsCols", "o_orderkey")
+          .option("checkpointLocation", cp)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      run() // creates dst from the first micro-batch
+      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1), src, "append",
+        Seq("o_orderkey"))
+      run() // restart on the same checkpoint: one more commit, no replay
+      val m = SnapshotLog.manifest(s, dst,
+        SnapshotLog.latestVersion(s, dst).get)
+      val statsOk = m.files.forall(_.stats.contains("o_orderkey"))
+      SnapshotLog.read(s, dst).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_key"),
+          sum($"o_custkey").as("sum_cust"))
+        .withColumn("stats_ok", lit(if (statsOk) 1L else 0L))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, dst).get))
+        .select($"n_rows", $"sum_key", $"sum_cust", $"stats_ok",
+          $"n_versions")
+    }),
+
+    "qcx_sql_merge_residual_on" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapmres-$tag"
+      val v = s"mresv_$tag"
+      val roll = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey", ($"l_orderkey" % 4).as("ds"))
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+        .select($"l_orderkey", $"ds", $"sum_qty")
+        .localCheckpoint(true)
+      // one commit per ds quadrant — DETERMINISTIC file boundaries
+      // (range-sampling could co-locate two quadrants and break the
+      // structural carried_files pin), each file's key range spanning
+      // the whole domain
+      for (d <- 0L to 3L)
+        SnapshotLog.commit(roll.where($"ds" === d).coalesce(1), t,
+          "append", Seq("l_orderkey", "ds"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None,
+        Seq("l_orderkey", "ds"))
+      val mx = roll.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"mressrc_$tag"
+      roll.select($"l_orderkey")
+        .unionByName(s.range(0, 10).select(($"id" + mx + 1).as("l_orderkey")))
+        .select($"l_orderkey", ($"l_orderkey" % 11).as("bump"))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src
+           |ON $v.l_orderkey = $src.l_orderkey AND $v.ds >= 3
+           |WHEN MATCHED THEN UPDATE SET
+           |  sum_qty = $v.sum_qty + $src.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, ds, sum_qty)
+           |  VALUES ($src.l_orderkey, 9, $src.bump)""".stripMargin)
+      val f4 = SnapshotLog.manifest(s, t, 4L).files.map(_.path).toSet
+      val carried = SnapshotLog.manifest(s, t, 5L).files
+        .map(_.path).count(f4)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"ds").as("sum_ds"))
+        .withColumn("carried_files", lit(carried.toLong))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_ds", $"carried_files",
+          $"n_versions")
+    }),
+
+    // Tuple IN-subquery DML: `WHERE (a, b) IN (SELECT ...)` — the
+    // composite-key GDPR-erasure / correction shapes. Statement 1
+    // records a composite equality delete: files_carried pins ALL 4
+    // data files republished untouched (zero rewrites at any table
+    // size — the scan-time anti-join does the masking; n_eq pins the
+    // one sidecar). Statement 2 is the composite keys-frame CoW
+    // update: only files the tuple set may land in rewrite. The
+    // oracle replays both; a one-column match (the classic
+    // composite-key bug) breaks the hash.
+    "qcy_sql_tuple_in_dml" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snaptin-$tag"
+      val v = s"tinv_$tag"
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey", $"l_linenumber")
+        .agg(max(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey", "l_linenumber"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None,
+        Seq("l_orderkey", "l_linenumber"))
+      graft.sql.GraftSql.dml(s,
+        s"""DELETE FROM $v WHERE (l_orderkey, l_linenumber) IN
+           |  (SELECT l_orderkey, l_linenumber FROM $v
+           |   WHERE l_orderkey % 5 = 0 AND l_linenumber >= 4)""".stripMargin)
+      val f1 = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      val m2 = SnapshotLog.manifest(s, t, 2L)
+      val carried = m2.files.map(_.path).count(f1)
+      val nEq = m2.eqDeletes.size.toLong
+      graft.sql.GraftSql.dml(s,
+        s"""UPDATE $v SET sum_qty = sum_qty + 9
+           |WHERE (l_orderkey, l_linenumber) IN
+           |  (SELECT l_orderkey, l_linenumber FROM $v
+           |   WHERE l_orderkey % 7 = 0 AND l_linenumber <= 2)""".stripMargin)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" * $"l_linenumber").as("sum_keyprod"))
+        .withColumn("files_carried", lit(carried.toLong))
+        .withColumn("n_eq", lit(nEq))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_keyprod", $"files_carried",
+          $"n_eq", $"n_versions")
+    }),
+
     "qcu_sql_update_in" -> ((s, dir) => {
       import s.implicits._
       val tag = java.lang.Long.toHexString(System.nanoTime())
@@ -3397,16 +3589,17 @@ object SourceQueries extends QueryPack {
           $"sum_cust", $"n_versions")
     }),
 
-    // Structured Streaming through a metadata-only DROP COLUMN (era
-    // alignment): a stream DECLARING its columns (the v2 projection —
-    // Spark pushes no streaming projection, so the option is also what
-    // makes the per-file reader decode 2 of 3 columns) carries a
-    // mid-stream drop of an UNDECLARED column without restart, on the
-    // same checkpoint — exactly-once across the DDL. The hash pins the
-    // streamed accounting before+after the drop plus the post-drop
-    // batch served under the surviving schema; a stream that dies on
-    // the drop, double-reads across it, or loses the post-drop append
-    // breaks it.
+    // Structured Streaming through metadata-only DROP COLUMN and
+    // RENAME COLUMN (era alignment): a stream DECLARING its columns
+    // (the v2 projection — Spark pushes no streaming projection, so
+    // the option is also what makes the per-file reader decode 2 of 4
+    // columns) carries a mid-stream drop of an UNDECLARED column AND a
+    // rename of another undeclared column without restart, on ONE
+    // checkpoint — exactly-once across both DDLs. The hash pins the
+    // streamed accounting at each phase plus the post-DDL batches
+    // served under the surviving schema; a stream that dies on either
+    // DDL, double-reads across one, or loses a post-DDL append breaks
+    // it.
     "qco_stream_drop_through" -> ((s, dir) => {
       import s.implicits._
       val tag = java.lang.Long.toHexString(System.nanoTime())
@@ -3414,8 +3607,9 @@ object SourceQueries extends QueryPack {
       val cp = s"target/snapdropstr-cp-$tag"
       val o = graft.core.Tables.load(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey",
-          ($"o_orderkey" % 100).as("o_scratch"))
-      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 0), t, "append",
+          ($"o_orderkey" % 100).as("o_scratch"),
+          ($"o_orderkey" % 7).as("o_tag"))
+      SnapshotLog.commit(o.where($"o_orderkey" % 3 === 0), t, "append",
         Seq("o_orderkey"))
       val seen = new java.util.concurrent.atomic.AtomicLong(0)
       val keySum = new java.util.concurrent.atomic.AtomicLong(0)
@@ -3432,20 +3626,31 @@ object SourceQueries extends QueryPack {
       }
       run()
       val preDrop = seen.get()
-      // the drop targets the UNDECLARED column; the post-drop append
+      // the drop targets an UNDECLARED column; the post-drop append
       // carries the surviving schema
       SnapshotLog.dropColumn(s, t, "o_scratch")
-      SnapshotLog.commit(o.where($"o_orderkey" % 2 === 1)
+      SnapshotLog.commit(o.where($"o_orderkey" % 3 === 1)
         .drop("o_scratch"), t, "append", Seq("o_orderkey"))
       run() // same checkpoint, across the DDL: only the new batch
+      val preRename = seen.get()
+      // metadata-only RENAME of another undeclared column: same
+      // checkpoint rides through it too (the reader's name mapping is
+      // rename-stable physical slots; the declared projection never
+      // referenced either name)
+      SnapshotLog.renameColumn(s, t, "o_tag", "o_tag2")
+      SnapshotLog.commit(o.where($"o_orderkey" % 3 === 2)
+        .drop("o_scratch").withColumnRenamed("o_tag", "o_tag2"),
+        t, "append", Seq("o_orderkey"))
+      run() // same checkpoint, across the RENAME
       SnapshotLog.read(s, t).agg(
           count(lit(1)).as("table_rows"),
           sum($"o_custkey").as("table_sum_cust"))
         .withColumn("pre_drop_rows", lit(preDrop))
+        .withColumn("pre_rename_rows", lit(preRename))
         .withColumn("streamed_rows", lit(seen.get()))
         .withColumn("streamed_key_sum", lit(keySum.get()))
-        .select($"pre_drop_rows", $"streamed_rows", $"streamed_key_sum",
-          $"table_rows", $"table_sum_cust")
+        .select($"pre_drop_rows", $"pre_rename_rows", $"streamed_rows",
+          $"streamed_key_sum", $"table_rows", $"table_sum_cust")
     }),
 
     // 3-dimensional z-order (k-way interleave, 16-bit lanes): a
@@ -4386,6 +4591,82 @@ object SourceQueries extends QueryPack {
           |  CAST(3 AS BIGINT) AS n_versions
           |FROM s2""".stripMargin,
 
+      // the windowed dedup replayed as max(): floor is monotone, so
+      // the row_number-over-quantity-desc pick equals max(floor(q));
+      // every %3 key bumps, the 15 synthetic keys land via the column
+      // list
+      "qcw_sql_merge_subquery" ->
+        """WITH base AS (SELECT l_orderkey AS k,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1),
+          |bmp AS (SELECT l_orderkey AS k,
+          |  CAST(max(floor(l_quantity)) AS BIGINT) AS b
+          |  FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 1),
+          |s1 AS (SELECT base.k AS k, q + COALESCE(b, 0) AS q
+          |  FROM base LEFT JOIN bmp ON base.k = bmp.k
+          |  UNION ALL
+          |  SELECT 100000000 + i AS k, i AS q FROM range(0, 15) t(i))
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k % 97) AS BIGINT) AS sum_kmod,
+          |  CAST(2 AS BIGINT) AS n_versions
+          |FROM s1""".stripMargin,
+
+      // the stream-written destination equals the source relation;
+      // exactly-once and batch-path stats are contract constants
+      "qcz_stream_sink" ->
+        """SELECT count(*) AS n_rows,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+          |  CAST(1 AS BIGINT) AS stats_ok,
+          |  CAST(2 AS BIGINT) AS n_versions
+          |FROM orders""".stripMargin,
+
+      // residual-bounded MERGE replayed relationally: ds=3 rollups
+      // bump by k % 11; every other key inserts a ds=9 twin (NOT a
+      // replacement), plus the 10 synthetic keys; the 3 out-of-range
+      // files carried untouched is a structural contract constant
+      "qcx_sql_merge_residual_on" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k, l_orderkey % 4 AS ds,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1, 2),
+          |upd AS (SELECT k, ds,
+          |  q + CASE WHEN ds = 3 THEN k % 11 ELSE 0 END AS q FROM base),
+          |ins AS (SELECT k, 9 AS ds, k % 11 AS q FROM base WHERE ds <> 3
+          |  UNION ALL
+          |  SELECT m + 1 + i AS k, 9 AS ds, (m + 1 + i) % 11 AS q
+          |  FROM range(0, 10) t(i), mx),
+          |allr AS (SELECT k, ds, q FROM upd
+          |  UNION ALL SELECT k, ds, q FROM ins)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(ds) AS BIGINT) AS sum_ds,
+          |  CAST(3 AS BIGINT) AS carried_files,
+          |  CAST(5 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
+
+      // tuple erasure + tuple correction replayed relationally: the
+      // (k%5, n>=4) tuples vanish, the surviving (k%7, n<=2) tuples
+      // bump by 9; the zero-rewrite delete and one-sidecar facts are
+      // structural contract constants
+      "qcy_sql_tuple_in_dml" ->
+        """WITH base AS (SELECT l_orderkey AS k, l_linenumber AS n,
+          |  max(CAST(floor(l_quantity) AS BIGINT)) AS q
+          |  FROM lineitem GROUP BY 1, 2),
+          |del AS (SELECT k, n, q FROM base
+          |  WHERE NOT (k % 5 = 0 AND n >= 4)),
+          |upd AS (SELECT k, n,
+          |  q + CASE WHEN k % 7 = 0 AND n <= 2 THEN 9 ELSE 0 END AS q
+          |  FROM del)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k * n) AS BIGINT) AS sum_keyprod,
+          |  CAST(4 AS BIGINT) AS files_carried,
+          |  CAST(1 AS BIGINT) AS n_eq,
+          |  CAST(3 AS BIGINT) AS n_versions
+          |FROM upd""".stripMargin,
+
       // keys-frame update replayed relationally: +100 on every
       // multiple-of-7 order key in the first eighth of the key space
       "qcu_sql_update_in" ->
@@ -4433,8 +4714,10 @@ object SourceQueries extends QueryPack {
       // the drop, odds after, exactly once across the DDL
       "qco_stream_drop_through" ->
         """SELECT
-          |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+          |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
           |    AS pre_drop_rows,
+          |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1)
+          |    AS pre_rename_rows,
           |  (SELECT count(*) FROM orders) AS streamed_rows,
           |  CAST((SELECT sum(o_orderkey) FROM orders) AS BIGINT)
           |    AS streamed_key_sum,

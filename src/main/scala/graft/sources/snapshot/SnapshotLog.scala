@@ -466,8 +466,6 @@ object SnapshotLog {
   private val BloomK = 3
   private val BloomSeedBase = 7001
 
-  private def bloomWords(bits: Int) = bits / 64
-
   private[snapshot] def bloomMightContain(words: Array[Long], value: String): Boolean = {
     val bits = words.length * 64
     (0 until BloomK).forall { h =>
@@ -545,49 +543,45 @@ object SnapshotLog {
         rethrowConstraint(ex)
     }
 
-    // (file, column) -> bloom bitmap: k positions exploded per row,
-    // folded with bit_or into 64-bit words — all codegen'd builtins,
-    // output rows bounded by files × words (metadata, not data)
-    val blooms: Map[(String, String), Array[Long]] =
-      bloomColsP.flatMap { c =>
-        spark.read.parquet(dataDir.toString)
-          .where(col(c).isNotNull)
-          .select(input_file_name().as("__file"),
-            explode(array((0 until BloomK).map(h =>
-              pmod(graft.functions.PortableHash.detHash(col(c), BloomSeedBase + h),
-                lit(bloomBits)).cast("int")): _*)).as("__pos"))
-          .groupBy(col("__file"), (col("__pos") / 64).cast("int").as("__word"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), __pos % 64))").as("__mask"))
+    // (file, column) -> bloom bitmap AND (file, column) -> KMV sketch
+    // in ONE aggregation pass over the written frame: every requested
+    // column rides its own TypedImperativeAggregate (bloom words /
+    // bounded k-smallest-distinct-hashes — bit-twins of the expression
+    // paths they replaced, pinned by CommitSketchSpec), partial
+    // aggregation runs map-side, and the one shuffle moves a sketch
+    // row per FILE — never the data, and never the distinct hash set
+    // the old per-column window shuffled. Collect is bounded by
+    // files × (words + k).
+    val (blooms, ndvs): (Map[(String, String), Array[Long]],
+        Map[(String, String), Array[Long]]) =
+      if (bloomColsP.isEmpty && ndvColsP.isEmpty) (Map.empty, Map.empty)
+      else {
+        val sketches: Seq[org.apache.spark.sql.Column] =
+          bloomColsP.map(c => graft.functions.CommitSketches
+            .bloomWords(col(c), bloomBits, BloomSeedBase, BloomK)) ++
+            ndvColsP.map(c => graft.functions.CommitSketches.kmv(col(c), NdvK))
+        val rows = spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("__file"))
+          .agg(sketches.head, sketches.tail: _*)
           .collect()
-          .groupBy(r => r.getString(0))
-          .map { case (file, rs) =>
-            val words = new Array[Long](bloomWords(bloomBits))
-            rs.foreach(r => words(r.getInt(1)) = r.getLong(2))
-            (file.substring(file.lastIndexOf('/') + 1), c) -> words
+        def short(f: String) = f.substring(f.lastIndexOf('/') + 1)
+        val b = rows.flatMap { r =>
+          bloomColsP.zipWithIndex.flatMap { case (c, i) =>
+            val words = r.getSeq[Long](1 + i).toArray
+            // a file with zero non-null values gets NO bloom entry
+            // (parity with the old non-null-filtered path)
+            if (words.exists(_ != 0L)) Some((short(r.getString(0)), c) -> words)
+            else None
           }
-      }.toMap
-
-    // (file, column) -> KMV sketch: distinct portable hashes ranked
-    // within each file (partition-local window over a vocabulary-sized
-    // frame), k smallest kept — collect is bounded by files × k
-    val ndvs: Map[(String, String), Array[Long]] =
-      ndvColsP.flatMap { c =>
-        spark.read.parquet(dataDir.toString)
-          .where(col(c).isNotNull)
-          .select(input_file_name().as("__file"),
-            graft.functions.PortableHash.detHash(col(c)).as("__h"))
-          .distinct()
-          .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("__file")).orderBy(col("__h"))))
-          .where(col("__rk") <= NdvK)
-          .collect()
-          .groupBy(r => r.getString(0))
-          .map { case (file, rs) =>
-            (file.substring(file.lastIndexOf('/') + 1), c) ->
-              rs.map(_.getLong(1)).sorted
+        }.toMap
+        val n = rows.flatMap { r =>
+          ndvColsP.zipWithIndex.flatMap { case (c, i) =>
+            val ks = r.getSeq[Long](1 + bloomColsP.size + i).toArray
+            if (ks.nonEmpty) Some((short(r.getString(0)), c) -> ks) else None
           }
-      }.toMap
+        }.toMap
+        (b, n)
+      }
 
     val entries = footerEntries(spark, fs, dataDir, dataRel, statsColsP)
       .getOrElse(scanEntries(spark, dataDir, dataRel, statsColsP))
@@ -1498,8 +1492,16 @@ object SnapshotLog {
     (assignments.keys ++ keyCols).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"UPDATE column '$c' not in table schema ${schema.fieldNames.toSeq}"))
+    // pin the key set BEFORE the candidacy probe: `keys` may be lazy
+    // over a non-deterministic subquery, and the marker join below
+    // re-evaluates it — a different key set between candidacy and
+    // rewrite would silently skip updates to files the first
+    // evaluation excluded. localCheckpoint materializes once (an
+    // executor loss after this point fails the job rather than
+    // recomputing divergently — the correct trade for a mutation).
     val ks = keys.select(keyCols.map(col): _*)
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+      .localCheckpoint(true)
     val rewrite = statsCandidates(ks, keyCols, m.files)
     if (rewrite.isEmpty) None
     else {
@@ -1514,8 +1516,12 @@ object SnapshotLog {
           case None => col(f.name)
         }
       }.toIndexedSeq: _*)
+      // key stats always land on the new files (same convention as
+      // upsert/applyChanges): a registration whose statsCols omit the
+      // key must not produce stat-less rewrites that defeat every
+      // subsequent mutation's tuple-interval pruning
       val newFiles = writeData(sortForLayout(updated, m.layout), table,
-        v0 + 1, statsCols, physical = m.physical)
+        v0 + 1, (statsCols ++ keyCols).distinct, physical = m.physical)
       val v = publishMutation(spark, table, m, "update",
         touched = rewrite, replacement = Nil, added = newFiles,
         eqAdded = Nil)
@@ -1723,6 +1729,72 @@ object SnapshotLog {
       added = newFiles, eqAdded = Nil)
     MutationStats(vPub, kept.size, 0, rewrite.size)
   }
+
+  /** MERGE under a residual ON condition (`ON t.k = s.k AND t.ds >= x`
+    * — the partition-bounding idiom): `updates` carries the full
+    * replacement rows for MATCHED target rows (key equal AND residual
+    * true), `inserts` the NOT-MATCHED source rows. Unlike [[upsert]],
+    * replace-by-key applies ONLY to rows that pass the residual — a
+    * same-key target row failing it rides through untouched — and
+    * inserts NEVER drive a rewrite (under MERGE an insert is a row
+    * proven unmatched; a duplicate key beside a residual-failing
+    * target row is the correct Delta partition-bounded-merge outcome,
+    * not a replacement). Candidacy is the exact tuple-interval test
+    * over the UPDATE keys, restricted to files no residual conjunct
+    * provably excludes — such a file holds no matched row at all, so a
+    * MERGE bounded to one partition of a 100 TB table rewrites that
+    * partition's matched files only, never the key-colliding rest.
+    */
+  def mergeMatched(spark: SparkSession, table: String, keyCols: Seq[String],
+      updates: Option[DataFrame], inserts: Option[DataFrame],
+      residual: Seq[ColumnRange], statsCols: Seq[String]): MutationStats = {
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"key columns must be non-empty and distinct, got $keyCols")
+    require(residual.nonEmpty,
+      "mergeMatched requires residual conjuncts — use upsert otherwise")
+    val v0 = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val m = manifest(spark, table, v0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    validateConjuncts(residual, schema)
+    val aligned = (updates.toSeq ++ inserts.toSeq).map { df =>
+      require(df.columns.toSet == schema.fieldNames.toSet,
+        s"merge columns ${df.columns.toSeq} != table ${schema.fieldNames.toSeq}")
+      df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    val cand0 = m.files.filter(f => !residual.exists(statsExclude(f, _)))
+    // pinned: candidacy and the marker join below must see the same
+    // key set (updates is lazy over the source frame — see updateKeys)
+    val updKeys = updates.map(_.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true))
+    val rewrite = updKeys.map(statsCandidates(_, keyCols, cand0))
+      .getOrElse(Nil)
+    if (rewrite.isEmpty && aligned.forall(_.isEmpty))
+      return MutationStats(v0, m.files.size, 0, 0)
+    val marker = "__graft_mrg"
+    // a rewritten file's row is dropped iff its key matches an update
+    // AND the residual holds — null-safe so NULL keys/residual values
+    // always ride through
+    val existing = if (rewrite.isEmpty) None else Some(
+      readFiles(spark, table, m, rewrite)
+        .join(updKeys.get.withColumn(marker, lit(1)), keyCols, "left")
+        .where(!(((col(marker) === 1) &&
+          (rangePredicate(residual) <=> true)) <=> true))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    val out = (existing.toSeq ++ aligned).reduce(_ unionByName _)
+    val newFiles = writeData(sortForLayout(out, m.layout), table, v0 + 1,
+      (statsCols ++ keyCols).distinct, physical = m.physical)
+    val v = publishMutation(spark, table, m, "upsert",
+      touched = rewrite, replacement = Nil, added = newFiles, eqAdded = Nil)
+    MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size)
+  }
+
+  /** The row-level predicate of an AND-of-ranges conjunction — public
+    * so the SQL dispatch filters with EXACTLY the semantics the
+    * stats classification prunes by.
+    */
+  def rangeExpr(crs: Seq[ColumnRange]): org.apache.spark.sql.Column =
+    rangePredicate(crs)
 
   /** CDC batch apply — the MERGE INTO shape: one commit applies a
     * changelog of upserts and deletes. `changes` carries the table's
@@ -1977,8 +2049,12 @@ object SnapshotLog {
       .fromDDL(m.schemaDdl).fieldNames
     keyCols.foreach(k => require(fieldNames.contains(k),
       s"key column '$k' not in table schema ${fieldNames.toSeq}"))
+    // pinned before the count: the sidecar write below re-evaluates
+    // the frame, and a non-deterministic subquery could otherwise
+    // record a DIFFERENT key set than the one counted (see updateKeys)
     val ks = keys.select(keyCols.map(col): _*)
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+      .localCheckpoint(true)
     val n = ks.count()
     if (n == 0L) return None
     val eq = writeEqKeys(spark, table, v0 + 1, ks,
@@ -3877,14 +3953,30 @@ object SnapshotLog {
   def readSemiJoin(spark: SparkSession, table: String,
       columns: Seq[String], keys: DataFrame, keyCols: Seq[String],
       version: Option[Long],
-      maxProbeKeys: Int): (DataFrame, Int, Int, Int) = {
+      maxProbeKeys: Int): (DataFrame, Int, Int, Int) =
+    readSemiJoin(spark, table, columns, keys, keyCols, version,
+      maxProbeKeys, Nil)
+
+  /** With `extraRanges`: files ANY range conjunct provably excludes
+    * never become candidates (on top of the key-interval test) — the
+    * residual-ON MERGE's probe pruning. Row-level filtering against
+    * the ranges stays the CALLER's job; this only shrinks the files
+    * opened.
+    */
+  def readSemiJoin(spark: SparkSession, table: String,
+      columns: Seq[String], keys: DataFrame, keyCols: Seq[String],
+      version: Option[Long], maxProbeKeys: Int,
+      extraRanges: Seq[ColumnRange]): (DataFrame, Int, Int, Int) = {
     require(columns.nonEmpty && columns.length == keyCols.length &&
       columns.distinct == columns,
       s"semi-join columns $columns must be distinct and align with " +
         s"key columns $keyCols")
     val v = version.orElse(latestVersion(spark, table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
-    val m = manifest(spark, table, v)
+    val m0 = manifest(spark, table, v)
+    val m = if (extraRanges.isEmpty) m0
+      else m0.copy(files = m0.files.filter(f =>
+        !extraRanges.exists(statsExclude(f, _))))
     val ks = keys.select(keyCols.map(col): _*)
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val checks = m.files.zipWithIndex.map { case (f, i) =>

@@ -61,15 +61,46 @@ import org.apache.spark.util.SerializableConfiguration
   * list; a rebase inside the streamed range fails loudly and a fresh
   * stream resumes past the new marker.
   */
-class SnapshotTableProvider extends TableProvider with DataSourceRegister {
+class SnapshotTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-snapshot"
+
+  /** The SINK face (`df.writeStream.format("graft-snapshot")`): Spark
+    * falls back to this V1 hook because the V2 table advertises no
+    * STREAMING_WRITE — deliberate, since the V1 contract hands each
+    * micro-batch over as a DataFrame, which is exactly what the
+    * exactly-once manifest-commit machinery consumes (stats, schema
+    * alignment, constraints, layouts all ride the batch write path).
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val table = SnapshotStreamSource.tableOf(opts)
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink is append-only (got $outputMode) — keyed " +
+        "update/complete shapes belong to foreachBatch + " +
+        "SnapshotLog.upsertMORBatch/applyChanges")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink takes no partitionBy — clustering is " +
+        "declared on the TABLE (ALTER TABLE ... CLUSTER BY) and " +
+        "appends conform to it")
+    val statsCols = Option(opts.get("statscols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new SnapshotSink(table, statsCols)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val table = SnapshotStreamSource.tableOf(options)
     val spark = SparkSession.active
     val v = SnapshotLog.latestVersion(spark, table).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-snapshot: no committed version in $table"))
+      // a SINK may target a not-yet-committed table (its first
+      // micro-batch creates it) and Spark resolves the table before
+      // the sink fallback; the READ path refuses the empty schema
+      // loudly at newScanBuilder
+      return new StructType())
     val full = StructType.fromDDL(SnapshotLog.manifest(spark, table, v).schemaDdl)
     // `columns` = the stream's DECLARED projection. Spark does not push
     // a streaming query's projection into a v2 micro-batch source, so
@@ -241,8 +272,15 @@ class SnapshotStreamTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // an empty schema means inferSchema found no committed version —
+    // tolerated there for the SINK face, refused here where a READ is
+    // actually being planned
+    require(tableSchema.fields.nonEmpty,
+      "graft-snapshot: no committed version in " +
+        SnapshotStreamSource.tableOf(options))
     new SnapshotScanBuilder(tableSchema, options)
+  }
 }
 
 class SnapshotScanBuilder(fullSchema: StructType,

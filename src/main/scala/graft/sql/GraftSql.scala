@@ -425,6 +425,11 @@ object GraftSql {
     """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
   private val DeleteInSubqueryRe =
     """(?is)^\s*(\w+)\s+IN\s*\(\s*(SELECT\b.+)\)\s*$""".r
+  // tuple form: `WHERE (a, b) IN (SELECT ...)` — subquery columns
+  // align POSITIONALLY with the tuple (standard SQL tuple-IN)
+  private val DeleteInTupleRe =
+    ("""(?is)^\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s+IN\s*""" +
+      """\(\s*(SELECT\b.+)\)\s*$""").r
   private val InsertOverwriteRe =
     """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(SELECT\b.+)$""".r
   private val TruncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
@@ -558,6 +563,14 @@ object GraftSql {
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+""" +
       """(\w+)\s+USING\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s.+)$""").r
+  // the subquery-source form: `USING (SELECT ...) [AS] alias` — the
+  // head regex stops at the opening paren; the body is cut by a
+  // balanced-paren scan that treats literal/comment spans as data
+  private val MergeSubqueryHeadRe =
+    ("""(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+""" +
+      """(\w+)\s+USING\s*\(""").r
+  private val MergeSubqueryTailRe =
+    """(?is)^\s*(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s.+)$""".r
   private val MergeOnPairRe =
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val MergeDeleteClauseRe =
@@ -619,7 +632,10 @@ object GraftSql {
     *    shape — evaluates the subquery once and records the key set
     *    as a merge-on-read equality delete
     *    ([[graft.sources.snapshot.SnapshotLog.deleteKeysMOR]]): zero
-    *    files touched at any table size. ANY OTHER predicate (OR,
+    *    files touched at any table size. `WHERE (a, b) IN (SELECT ...)`
+    *    — the COMPOSITE-key form — is the same shape with one sidecar
+    *    carrying the whole tuple set (subquery columns align
+    *    positionally, standard tuple-IN). ANY OTHER predicate (OR,
     *    LIKE, arbitrary Spark SQL) routes to the merge-on-read
     *    [[graft.sources.snapshot.SnapshotLog.deleteMatchingDV]]: one
     *    scan marks matching positions, zero rewrites, OPTIMIZE pays
@@ -662,6 +678,25 @@ object GraftSql {
     *    failing its condition never inserts. Matched rows come from
     *    the stats/Bloom-pruned semi-join read, so the build cost is
     *    the matched files, not the table.
+    *  - `MERGE INTO v USING src ON v.k = s.k AND v.ds >= '2026-08-01'
+    *    WHEN ...` — residual TARGET-side range conjuncts in the ON
+    *    (the partition-bounding idiom). Residual conjuncts classify
+    *    candidate files exactly like DML conjunctions (a file ANY
+    *    conjunct provably excludes is never probed or rewritten) and
+    *    AND into the match predicate, so semantics stay exact: a
+    *    same-key target row failing the residual rides through
+    *    untouched, and an unmatched source row INSERTS even when its
+    *    key exists outside the bounded range (Delta's
+    *    partition-bounded-merge outcome). Composes with UPDATE/INSERT
+    *    clauses (conditions and explicit bodies included) on CoW
+    *    registrations; source-side or non-range residuals refuse.
+    *  - `MERGE INTO v USING (SELECT ...) s ON v.k = s.k WHEN ...` —
+    *    the subquery source form (the canonical dedup-before-upsert
+    *    statement: window/aggregate/CTE bodies all compose). The
+    *    SELECT body is opaque to the clause splitter — parens and
+    *    keywords inside its literals are data — and must be a single
+    *    statement (a top-level `;` refuses). All clause families and
+    *    strategies below apply unchanged.
     *  - the same MERGE with a leading `WHEN MATCHED AND src.op = 'D'
     *    THEN DELETE` clause → [[graft.sources.snapshot.SnapshotLog.applyChanges]]
     *    (CDC upsert+delete in one commit).
@@ -726,10 +761,427 @@ object GraftSql {
     *
     * Returns the newly committed version.
     */
+
+  /** Parse the subquery-source MERGE —
+    * `MERGE [WITH SCHEMA EVOLUTION] INTO tgt USING (SELECT ...) [AS]
+    * alias ON ... WHEN ...` (the canonical dedup-before-upsert idiom).
+    * Returns None when the statement is not this shape at all;
+    * a MALFORMED subquery MERGE refuses loudly (it cannot be any other
+    * statement). The SELECT body stays opaque: parens and keywords
+    * inside its literals/comments are data, and a top-level `;` (the
+    * multi-statement injection shape) refuses.
+    */
+  private def parseMergeSubquery(statement: String)
+      : Option[(Boolean, String, String, String, String, String)] = {
+    val head = MergeSubqueryHeadRe.findPrefixMatchOf(statement)
+      .getOrElse(return None)
+    val spans = literalSpans(statement)
+    def live(i: Int) = !spans.exists(sp => i >= sp._1 && i < sp._2)
+    var depth = 1
+    var i = head.end // index just past the opening paren
+    while (i < statement.length && depth > 0) {
+      if (live(i)) statement.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0,
+      s"unbalanced parentheses in MERGE USING (...) source: $statement")
+    val body = statement.substring(head.end, i - 1).trim
+    require("""(?is)^(SELECT|WITH)\b""".r.findPrefixMatchOf(body).isDefined,
+      "MERGE USING (...) must wrap a single SELECT (or WITH ... SELECT) " +
+        s"subquery, got: ${body.take(80)}")
+    val bodySpans = literalSpans(body)
+    require(!body.indices.exists(j => body.charAt(j) == ';' &&
+        !bodySpans.exists(sp => j >= sp._1 && j < sp._2)),
+      "MERGE USING (...) subquery must be one statement — a top-level " +
+        "';' in the source body refuses (no statement smuggling)")
+    statement.substring(i) match {
+      case MergeSubqueryTailRe(alias, onExpr, clauses) =>
+        Some((head.group(1) != null, head.group(2), alias, body, onExpr,
+          clauses))
+      case other => throw new IllegalArgumentException(
+        "cannot parse MERGE USING (...) tail — expected `[AS] alias ON " +
+          s"<cond> WHEN ...`, got: $other")
+    }
+  }
+
+  /** The MERGE execution shared by the bare-view and subquery source
+    * forms — `src` is the source's ALIAS (what the ON pairs and clause
+    * bodies qualify columns with), `srcDf` the resolved source frame.
+    * See [[dml]] for the full clause grammar and semantics.
+    */
+  private def execMerge(spark: SparkSession, evolve: Boolean, name: String,
+      src: String, srcDf: DataFrame, onExpr: String,
+      clauses: String): Long = {
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        // ON is an AND-conjunction of equi-key pairs (one key or a
+        // COMPOSITE key; each pair binds the same-named column on both
+        // sides — the upsert machinery keys the shared name) plus
+        // OPTIONAL target-side residual range conjuncts
+        // (`AND v.ds >= '2026-08-01'` — the partition-bounding idiom:
+        // residual conjuncts prune candidate files exactly like DML
+        // conjunctions AND restrict the match predicate, so semantics
+        // stay exact). Parsed sequentially, never split on a raw AND
+        // regex — a literal containing " AND " stays data.
+        val OnPairPrefixRe =
+          """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+        val OnCmpPrefixRe =
+          """(?is)^\s*(\w+)\.(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']|'')*'|[^\s'()]+)\s*""".r
+        val OnAndPrefixRe = """(?is)^AND\s+""".r
+        val pairB = Seq.newBuilder[String]
+        val resB = Seq.newBuilder[ColumnRange]
+        var onRest: CharSequence = onExpr.trim
+        var onFirst = true
+        while (onRest.length() > 0) {
+          if (!onFirst) OnAndPrefixRe.findPrefixMatchOf(onRest) match {
+            case Some(mm) =>
+              onRest = onRest.subSequence(mm.end, onRest.length())
+            case None => throw new IllegalArgumentException(
+              s"MERGE ON must be an AND-conjunction, got: $onRest")
+          }
+          OnPairPrefixRe.findPrefixMatchOf(onRest) match {
+            case Some(mm) =>
+              val (a1, k1, a2, k2) =
+                (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
+              val (tAlias, tKey, sAlias, sKey) =
+                if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2)
+                else (a2, k2, a1, k1)
+              require(tAlias.equalsIgnoreCase(name) &&
+                sAlias.equalsIgnoreCase(src),
+                s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
+              require(tKey.equalsIgnoreCase(sKey),
+                s"MERGE key must match on both sides, got $tKey vs $sKey")
+              pairB += tKey
+              onRest = onRest.subSequence(mm.end, onRest.length())
+            case None => OnCmpPrefixRe.findPrefixMatchOf(onRest) match {
+              case Some(mm) =>
+                val (alias, colName, op, litS) =
+                  (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
+                require(!alias.equalsIgnoreCase(src),
+                  "MERGE ON residual conditions must be TARGET-side " +
+                    s"($name.<col> <op> <literal>) — bound the source " +
+                    "inside its own subquery/view instead, got: " +
+                    mm.matched.trim)
+                require(alias.equalsIgnoreCase(name),
+                  s"MERGE ON residual condition references unknown " +
+                    s"alias '$alias' (target is $name): ${mm.matched.trim}")
+                require(!litS.matches("""(?s)\w+\.\w+"""),
+                  "MERGE ON residual conditions compare a target " +
+                    "column to a LITERAL — a column reference " +
+                    s"('$litS') is not a prunable range: ${mm.matched.trim}")
+                val vLit = sqlLiteral(litS)
+                resB += (op match {
+                  case "=" => ColumnRange.eq(colName, vLit)
+                  case "<" => ColumnRange(colName, None, Some(vLit),
+                    hiStrict = true)
+                  case "<=" => ColumnRange(colName, None, Some(vLit))
+                  case ">" => ColumnRange(colName, Some(vLit), None,
+                    loStrict = true)
+                  case ">=" => ColumnRange(colName, Some(vLit), None)
+                })
+                onRest = onRest.subSequence(mm.end, onRest.length())
+              case None => throw new IllegalArgumentException(
+                "cannot parse MERGE ON conjunct — expected " +
+                  s"alias.col = alias.col (equi-key pair) or $name.col " +
+                  s"</<=/=/>=/> literal (target-side residual): $onRest")
+            }
+          }
+          onFirst = false
+        }
+        val tKeys: Seq[String] = pairB.result()
+        val residualRanges: Seq[ColumnRange] = resB.result()
+        require(tKeys.nonEmpty,
+          s"MERGE ON needs at least one equi-key pair, got: $onExpr")
+        require(tKeys.distinct == tKeys,
+          s"duplicate MERGE key column in ON: $tKeys")
+        // unified clause grammar (the Delta MERGE shapes): an optional
+        // per-clause condition, a body that is `*` or an explicit
+        // assignment / column-VALUES list. The CDC DELETE clause is
+        // stripped before parsing so its own AND-condition never
+        // bleeds into the UPDATE clause's lazy condition capture.
+        val UpClauseRe =
+          ("""(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+            """UPDATE\s+SET\s+(\*|.+?)\s*(?=WHEN\b|$)""").r
+        val InsClauseRe =
+          ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+            """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))\s*(?=WHEN\b|$)""").r
+        // the BY SOURCE and CDC-delete clauses are stripped before the
+        // UPDATE/INSERT parse so their own bodies and AND-conditions
+        // never bleed into the lazy condition captures
+        val bySrcClause = MergeBySourceRe.findFirstMatchIn(clauses)
+        val rest0 = MergeBySourceRe.replaceAllIn(clauses, " ")
+        val deleteClause = MergeDeleteClauseRe.findFirstMatchIn(rest0)
+        val rest = MergeDeleteClauseRe.replaceAllIn(rest0, " ")
+        val upClause = UpClauseRe.findFirstMatchIn(rest)
+        val insClause = InsClauseRe.findFirstMatchIn(rest)
+        // every clause must be consumed by a recognized grammar — an
+        // unparsed WHEN is a refusal, never a silently ignored clause
+        val leftover = InsClauseRe.replaceAllIn(
+          UpClauseRe.replaceAllIn(rest, " "), " ").trim
+        require(leftover.isEmpty,
+          s"unrecognized MERGE clause(s): $leftover")
+        // the leftover check CONSUMES every clause of a family, but
+        // execution takes the FIRST — a statement with two WHEN
+        // MATCHED clauses (valid in Delta: ordered first-match-wins)
+        // would silently run only one. Refuse multiplicity loudly.
+        def requireOne(n: Int, family: String): Unit = require(n <= 1,
+          s"multiple $family clauses are unsupported (Delta's ordered " +
+            "first-match-wins multi-clause semantics are not " +
+            "implemented) — combine them into one clause or split the " +
+            "statement")
+        requireOne(MergeBySourceRe.findAllMatchIn(clauses).size,
+          "WHEN NOT MATCHED BY SOURCE")
+        requireOne(MergeDeleteClauseRe.findAllMatchIn(rest0).size,
+          "WHEN MATCHED ... THEN DELETE")
+        requireOne(UpClauseRe.findAllMatchIn(rest).size, "WHEN MATCHED")
+        requireOne(InsClauseRe.findAllMatchIn(rest).size, "WHEN NOT MATCHED")
+        if (residualRanges.nonEmpty) {
+          // the residual path routes matched rows through mergeMatched
+          // (replace-by-key restricted to residual-passing rows); the
+          // CDC-delete / by-source / evolution forms and the MOR
+          // eq-delete strategy all mask or replace by KEY alone and
+          // would wrongly touch same-key rows the residual spares —
+          // refuse loudly rather than approximate
+          require(deleteClause.isEmpty && bySrcClause.isEmpty && !evolve,
+            "MERGE ON residual conditions compose with WHEN MATCHED " +
+              "UPDATE / WHEN NOT MATCHED INSERT clauses only (no CDC " +
+              "DELETE clause, no BY SOURCE, no SCHEMA EVOLUTION)")
+          require(!snapshotOf(spark, name).morMerge,
+            "MERGE ON residual conditions require a copy-on-write " +
+              "registration — a MOR eq-delete masks by key and cannot " +
+              "spare a same-key row that fails the residual")
+        }
+        require(upClause.isDefined || insClause.isDefined ||
+          bySrcClause.isDefined,
+          s"MERGE needs at least one WHEN clause, got: $clauses")
+        def condOf(m: scala.util.matching.Regex.Match) =
+          Option(m.group(1)).map(e =>
+            org.apache.spark.sql.functions.expr(e.trim))
+        val upCond = upClause.flatMap(condOf)
+        val insCond = insClause.flatMap(condOf)
+        val upBody = upClause.map(_.group(2).trim)
+        val insBody = insClause.map(_.group(2).trim)
+        val snap = graft.sources.snapshot.SnapshotLog
+        // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
+        // first (additive, metadata-only — existing rows serve NULL),
+        // then the merge executes against the evolved schema.
+        // Supported for the unconditional SET * / INSERT * form, where
+        // "the source's columns land" is the whole contract; explicit
+        // bodies already name their columns, so evolution there would
+        // only ever add columns the statement never fills.
+        if (evolve) {
+          require(deleteClause.isEmpty && bySrcClause.isEmpty &&
+            upBody.contains("*") && insBody.contains("*") &&
+            upCond.isEmpty && insCond.isEmpty,
+            "WITH SCHEMA EVOLUTION supports the unconditional " +
+              s"UPDATE SET * / INSERT * MERGE form, got: $clauses")
+          val ddl0 = snap.manifest(spark, t,
+            snap.latestVersion(spark, t).get).schemaDdl
+          val have = org.apache.spark.sql.types.StructType.fromDDL(ddl0)
+            .fieldNames.map(_.toLowerCase).toSet
+          val extra = srcDf.schema.fields
+            .filterNot(f => have(f.name.toLowerCase))
+          if (extra.nonEmpty)
+            snap.evolveSchema(spark, t,
+              ddl0 + extra.map(f => s",${f.name} ${f.dataType.sql}").mkString)
+        }
+        val ver = deleteClause match {
+          case Some(mm) =>
+            require(upBody.contains("*") && insBody.contains("*") &&
+              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty,
+              "the CDC-delete MERGE form supports unconditional " +
+                s"UPDATE SET * / INSERT * clauses, got: $clauses")
+            require(mm.group(1).equalsIgnoreCase(src),
+              s"DELETE clause must test the source op column, got ${mm.group(1)}")
+            snap.applyChanges(srcDf, t, tKeys, mm.group(2), stats, -1L).version
+          case None if upBody.contains("*") && insBody.contains("*") &&
+              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty &&
+              residualRanges.isEmpty =>
+            // strategy per registration: CoW rewrite vs O(batch) MOR
+            if (snapshotOf(spark, name).morMerge)
+              snap.upsertMOR(srcDf, t, tKeys, stats)
+            else snap.upsert(srcDf, t, tKeys, stats).version
+          case None =>
+            // Explicit bodies and/or per-clause conditions: build the
+            // full-row updates frame and feed the same upsert
+            // machinery. MATCHED rows come from the stats/Bloom-pruned
+            // semi-join read (only files whose windows may hold a
+            // source key are opened — at 100 TB the join cost is the
+            // matched files, not the table); NOT MATCHED rows
+            // anti-join the source against the matched keys (bounded
+            // by the batch). A matched row failing its condition is
+            // simply ABSENT from the updates frame — the merge's
+            // anti-join carries its original through unchanged; a
+            // not-matched row failing its condition never inserts.
+            val schema = org.apache.spark.sql.types.StructType.fromDDL(
+              snap.manifest(spark, t,
+                snap.latestVersion(spark, t).get).schemaDdl)
+            // residual ON conjuncts prune the probe's candidate FILES
+            // (stats classification, like DML) and then restrict the
+            // matched rows at row level with the same predicate
+            val (matchedTgt0, _, _, _) =
+              snap.readSemiJoin(spark, t, tKeys, srcDf, tKeys, None,
+                10000, residualRanges)
+            val matchedTgt =
+              if (residualRanges.isEmpty) matchedTgt0
+              else matchedTgt0.where(snap.rangeExpr(residualRanges))
+            val matchedKeys = matchedTgt
+              .select(tKeys.map(org.apache.spark.sql.functions.col): _*)
+              .distinct()
+            import org.apache.spark.sql.functions.{col => c, lit => l}
+            def onCond = tKeys.map(k =>
+              c(s"$name.$k") === c(s"$src.$k")).reduce(_ && _)
+            def validateAssigns(assigns: Map[String, Column]): Unit = {
+              assigns.keys.foreach(a =>
+                require(schema.fieldNames.contains(a),
+                  s"UPDATE SET target '$a' not in table schema " +
+                    s"${schema.fieldNames.toSeq}"))
+              require(!assigns.keys.exists(a =>
+                  tKeys.exists(_.equalsIgnoreCase(a))),
+                s"UPDATE SET may not reassign a MERGE key ($tKeys)")
+            }
+            val matched: Option[DataFrame] = (upBody, upCond) match {
+              case (None, _) => None // no MATCHED clause: rows ride through
+              case (Some("*"), None) => // SET *: source rows replace matched
+                Some(srcDf.as(src).join(matchedKeys, tKeys, "left_semi")
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*))
+              case (Some("*"), Some(cond)) =>
+                // conditional SET *: the condition may reference both
+                // sides, so evaluate it over the aliased join
+                Some(matchedTgt.as(name)
+                  .join(srcDf.as(src), onCond)
+                  .where(cond)
+                  .select(schema.fieldNames.map(f =>
+                    c(s"$src.$f").as(f)).toIndexedSeq: _*))
+              case (Some(body), cond) =>
+                val assigns = parseAssignments(body)
+                validateAssigns(assigns)
+                val joined = matchedTgt.as(name)
+                  .join(srcDf.as(src), onCond)
+                Some(cond.fold(joined)(joined.where)
+                  .select(schema.fields.map { f =>
+                    assigns.get(f.name)
+                      .map(_.cast(f.dataType).as(f.name))
+                      .getOrElse(c(s"$name.${f.name}").as(f.name))
+                  }.toIndexedSeq: _*))
+            }
+            val anti0 = srcDf.as(src).join(matchedKeys, tKeys, "left_anti")
+            val anti = insCond.fold(anti0)(anti0.where)
+            val inserted: Option[DataFrame] = insBody.map {
+              case "*" => anti.select(schema.fieldNames.map(c).toIndexedSeq: _*)
+              case _ =>
+                val cols = insClause.get.group(3).split(",").map(_.trim).toSeq
+                val exprs = splitTopLevelCommas(insClause.get.group(4))
+                  .map(e => org.apache.spark.sql.functions.expr(e.trim))
+                require(cols.nonEmpty && cols.length == exprs.length,
+                  s"INSERT column list (${cols.size}) and VALUES " +
+                    s"(${exprs.size}) must align")
+                cols.foreach(a => require(schema.fieldNames.contains(a),
+                  s"INSERT column '$a' not in table schema " +
+                    s"${schema.fieldNames.toSeq}"))
+                tKeys.foreach(k => require(cols.exists(_.equalsIgnoreCase(k)),
+                  s"INSERT column list must include the MERGE key '$k'"))
+                val byCol = cols.zip(exprs).toMap
+                anti.select(schema.fields.map { f =>
+                  byCol.get(f.name)
+                    .map(_.cast(f.dataType).as(f.name))
+                    .getOrElse {
+                      require(f.nullable,
+                        s"INSERT omits non-nullable column '${f.name}'")
+                      l(null).cast(f.dataType).as(f.name)
+                    }
+                }.toIndexedSeq: _*)
+            }
+            bySrcClause match {
+              case None if residualRanges.nonEmpty =>
+                // replace-by-key restricted to residual-passing rows;
+                // a same-key target row failing the residual rides
+                // through, and unmatched source rows INSERT (even when
+                // their key exists outside the residual's range — the
+                // Delta partition-bounded-merge outcome)
+                snap.mergeMatched(spark, t, tKeys, matched, inserted,
+                  residualRanges, stats).version
+              case None =>
+                val updates = (matched.toSeq ++ inserted)
+                  .reduce(_ unionByName _)
+                if (snapshotOf(spark, name).morMerge)
+                  snap.upsertMOR(updates, t, tKeys, stats)
+                else snap.upsert(updates, t, tKeys, stats).version
+              case Some(bm) =>
+                // WHEN NOT MATCHED BY SOURCE: target rows with no
+                // source key (the ON anti-join, restricted by the
+                // optional condition) either delete or update. This
+                // form inherently reads the target once — no file
+                // stats can prove the ABSENCE of a key — so it routes
+                // through the CDC machinery: one commit carrying the
+                // matched/inserted rows as U ops and the by-source
+                // rows as D ops (DELETE) or rewritten U ops (UPDATE).
+                val bCond = Option(bm.group(1)).map(e =>
+                  org.apache.spark.sql.functions.expr(e.trim))
+                val bBody = bm.group(2).trim
+                val unmatched0 = snap.read(spark, t).as(name)
+                  .join(srcDf.select(tKeys.map(c): _*).distinct(),
+                    tKeys, "left_anti")
+                val unmatched = bCond.fold(unmatched0)(unmatched0.where)
+                // a NULL merge key never equals any source key, so such
+                // target rows are always "not matched by source" — but
+                // the keyed change machinery cannot address them (its
+                // delete anti-join and key-uniqueness probe both skip
+                // NULLs and would misfire with a misleading duplicate-
+                // keys error). Refuse with the actual cause; rows the
+                // by-source CONDITION excludes ride through fine.
+                val nullKey = tKeys.map(c(_).isNull).reduce(_ || _)
+                require(unmatched.where(nullKey).isEmpty,
+                  s"WHEN NOT MATCHED BY SOURCE cannot act on target " +
+                    s"rows whose merge key ($tKeys) is NULL — NULL " +
+                    "never matches a source key and the keyed change " +
+                    "machinery cannot address those rows; DELETE/" +
+                    "UPDATE them via a `<key> IS NULL` predicate first " +
+                    "or exclude them with AND <key> IS NOT NULL on the " +
+                    "clause")
+                val opCol = "__graft_merge_op"
+                val bySrc =
+                  if (bBody.equalsIgnoreCase("DELETE"))
+                    // delete-by-key is well-defined under duplicate
+                    // target tuples: one D row per distinct key
+                    unmatched
+                      .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                      .dropDuplicates(tKeys)
+                      .withColumn(opCol, l("D"))
+                  else {
+                    val assigns = parseAssignments(
+                      bBody.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+                    validateAssigns(assigns)
+                    unmatched.select(schema.fields.map { f =>
+                      assigns.get(f.name)
+                        .map(_.cast(f.dataType).as(f.name))
+                        .getOrElse(c(f.name))
+                    }.toIndexedSeq: _*).withColumn(opCol, l("U"))
+                  }
+                val ups = (matched.toSeq ++ inserted)
+                  .map(_.withColumn(opCol, l("U")))
+                val changes = (ups :+ bySrc).reduce(_ unionByName _)
+                snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
+                  .version
+            }
+        }
+        ver
+  }
+
   def dml(spark: SparkSession, statement: String): Long = {
     // every match arm binds the TARGET VIEW NAME from its own capture
     // group — the repoint below reuses it, never a re-parse
-    val (v, name) = statement match {
+    val (v, name) = parseMergeSubquery(statement) match {
+      case Some((evolve, tgt, alias, body, onExpr, clauses)) =>
+        // the subquery evaluates lazily inside the merge — Catalyst
+        // plans it like any other source frame (windows, joins, CTEs
+        // all compose); its alias scopes the ON pairs and clause bodies
+        (execMerge(spark, evolve, tgt, alias, spark.sql(body).as(alias),
+          onExpr, clauses), tgt)
+      case None => statement match {
       case DeleteRe(name, where) =>
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
@@ -750,6 +1202,15 @@ object GraftSql {
               s"IN-subquery must select exactly one column, got " +
                 s"${keys.columns.toSeq}")
             snap.deleteKeysMOR(keys.toDF(colName), t, colName)
+          case DeleteInTupleRe(colsS, sub) =>
+            // composite-key erasure: one eq-delete sidecar carries the
+            // whole tuple set — zero data files touched at any size
+            val cols = colsS.split(",").map(_.trim).toSeq
+            val keys = spark.sql(sub)
+            require(keys.columns.length == cols.length,
+              s"tuple IN-subquery must select ${cols.length} columns " +
+                s"(${cols.mkString(", ")}), got ${keys.columns.toSeq}")
+            snap.deleteKeysMOR(keys.toDF(cols: _*), t, cols)
           case _ => (try Some(parseWhere(where))
             catch { case _: IllegalArgumentException => None }) match {
             case Some(crs) => snap.deleteWhere(spark, t, crs, stats)
@@ -823,6 +1284,16 @@ object GraftSql {
                 s"${keys.columns.toSeq}")
             snap.updateKeys(spark, t, Seq(colName), keys.toDF(colName),
               parseAssignments(setClause), stats).map(_.version)
+          case DeleteInTupleRe(colsS, sub) =>
+            // composite keys-frame CoW update: only files the tuple
+            // set may land in (interval conjunction) rewrite
+            val cols = colsS.split(",").map(_.trim).toSeq
+            val keys = spark.sql(sub)
+            require(keys.columns.length == cols.length,
+              s"tuple IN-subquery must select ${cols.length} columns " +
+                s"(${cols.mkString(", ")}), got ${keys.columns.toSeq}")
+            snap.updateKeys(spark, t, cols, keys.toDF(cols: _*),
+              parseAssignments(setClause), stats).map(_.version)
           case _ => (try Some(parseWhere(where))
             catch { case _: IllegalArgumentException => None }) match {
             case Some(crs) => snap.updateWhere(spark, t, crs,
@@ -834,238 +1305,8 @@ object GraftSql {
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
       case MergeRe(evolve, name, src, onExpr, clauses) =>
-        val (t, stats) = mutableSnapshotOf(spark, name)
-        // ON is an AND-conjunction of equi-key pairs — one key or a
-        // COMPOSITE key; each pair must bind the same-named column on
-        // both sides (the upsert machinery keys the shared name)
-        val tKeys: Seq[String] = onExpr.split("""(?i)\s+AND\s+""")
-          .toSeq.map {
-            case MergeOnPairRe(a1, k1, a2, k2) =>
-              val (tAlias, tKey, sAlias, sKey) =
-                if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2)
-                else (a2, k2, a1, k1)
-              require(tAlias.equalsIgnoreCase(name) &&
-                sAlias.equalsIgnoreCase(src),
-                s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
-              require(tKey.equalsIgnoreCase(sKey),
-                s"MERGE key must match on both sides, got $tKey vs $sKey")
-              tKey
-            case other => throw new IllegalArgumentException(
-              s"MERGE ON must be an AND of alias.col = alias.col " +
-                s"equi-pairs, got: $other")
-          }
-        require(tKeys.distinct == tKeys,
-          s"duplicate MERGE key column in ON: $tKeys")
-        // unified clause grammar (the Delta MERGE shapes): an optional
-        // per-clause condition, a body that is `*` or an explicit
-        // assignment / column-VALUES list. The CDC DELETE clause is
-        // stripped before parsing so its own AND-condition never
-        // bleeds into the UPDATE clause's lazy condition capture.
-        val UpClauseRe =
-          ("""(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-            """UPDATE\s+SET\s+(\*|.+?)\s*(?=WHEN\b|$)""").r
-        val InsClauseRe =
-          ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-            """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))\s*(?=WHEN\b|$)""").r
-        // the BY SOURCE and CDC-delete clauses are stripped before the
-        // UPDATE/INSERT parse so their own bodies and AND-conditions
-        // never bleed into the lazy condition captures
-        val bySrcClause = MergeBySourceRe.findFirstMatchIn(clauses)
-        val rest0 = MergeBySourceRe.replaceAllIn(clauses, " ")
-        val deleteClause = MergeDeleteClauseRe.findFirstMatchIn(rest0)
-        val rest = MergeDeleteClauseRe.replaceAllIn(rest0, " ")
-        val upClause = UpClauseRe.findFirstMatchIn(rest)
-        val insClause = InsClauseRe.findFirstMatchIn(rest)
-        // every clause must be consumed by a recognized grammar — an
-        // unparsed WHEN is a refusal, never a silently ignored clause
-        val leftover = InsClauseRe.replaceAllIn(
-          UpClauseRe.replaceAllIn(rest, " "), " ").trim
-        require(leftover.isEmpty,
-          s"unrecognized MERGE clause(s): $leftover")
-        require(upClause.isDefined || insClause.isDefined ||
-          bySrcClause.isDefined,
-          s"MERGE needs at least one WHEN clause, got: $clauses")
-        def condOf(m: scala.util.matching.Regex.Match) =
-          Option(m.group(1)).map(e =>
-            org.apache.spark.sql.functions.expr(e.trim))
-        val upCond = upClause.flatMap(condOf)
-        val insCond = insClause.flatMap(condOf)
-        val upBody = upClause.map(_.group(2).trim)
-        val insBody = insClause.map(_.group(2).trim)
-        val srcDf = spark.table(src)
-        val snap = graft.sources.snapshot.SnapshotLog
-        // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
-        // first (additive, metadata-only — existing rows serve NULL),
-        // then the merge executes against the evolved schema.
-        // Supported for the unconditional SET * / INSERT * form, where
-        // "the source's columns land" is the whole contract; explicit
-        // bodies already name their columns, so evolution there would
-        // only ever add columns the statement never fills.
-        if (evolve != null) {
-          require(deleteClause.isEmpty && bySrcClause.isEmpty &&
-            upBody.contains("*") && insBody.contains("*") &&
-            upCond.isEmpty && insCond.isEmpty,
-            "WITH SCHEMA EVOLUTION supports the unconditional " +
-              s"UPDATE SET * / INSERT * MERGE form, got: $clauses")
-          val ddl0 = snap.manifest(spark, t,
-            snap.latestVersion(spark, t).get).schemaDdl
-          val have = org.apache.spark.sql.types.StructType.fromDDL(ddl0)
-            .fieldNames.map(_.toLowerCase).toSet
-          val extra = srcDf.schema.fields
-            .filterNot(f => have(f.name.toLowerCase))
-          if (extra.nonEmpty)
-            snap.evolveSchema(spark, t,
-              ddl0 + extra.map(f => s",${f.name} ${f.dataType.sql}").mkString)
-        }
-        val ver = deleteClause match {
-          case Some(mm) =>
-            require(upBody.contains("*") && insBody.contains("*") &&
-              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty,
-              "the CDC-delete MERGE form supports unconditional " +
-                s"UPDATE SET * / INSERT * clauses, got: $clauses")
-            require(mm.group(1).equalsIgnoreCase(src),
-              s"DELETE clause must test the source op column, got ${mm.group(1)}")
-            snap.applyChanges(srcDf, t, tKeys, mm.group(2), stats, -1L).version
-          case None if upBody.contains("*") && insBody.contains("*") &&
-              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty =>
-            // strategy per registration: CoW rewrite vs O(batch) MOR
-            if (snapshotOf(spark, name).morMerge)
-              snap.upsertMOR(srcDf, t, tKeys, stats)
-            else snap.upsert(srcDf, t, tKeys, stats).version
-          case None =>
-            // Explicit bodies and/or per-clause conditions: build the
-            // full-row updates frame and feed the same upsert
-            // machinery. MATCHED rows come from the stats/Bloom-pruned
-            // semi-join read (only files whose windows may hold a
-            // source key are opened — at 100 TB the join cost is the
-            // matched files, not the table); NOT MATCHED rows
-            // anti-join the source against the matched keys (bounded
-            // by the batch). A matched row failing its condition is
-            // simply ABSENT from the updates frame — the merge's
-            // anti-join carries its original through unchanged; a
-            // not-matched row failing its condition never inserts.
-            val schema = org.apache.spark.sql.types.StructType.fromDDL(
-              snap.manifest(spark, t,
-                snap.latestVersion(spark, t).get).schemaDdl)
-            val (matchedTgt, _, _, _) =
-              snap.readSemiJoin(spark, t, tKeys, srcDf, tKeys, None, 10000)
-            val matchedKeys = matchedTgt
-              .select(tKeys.map(org.apache.spark.sql.functions.col): _*)
-              .distinct()
-            import org.apache.spark.sql.functions.{col => c, lit => l}
-            def onCond = tKeys.map(k =>
-              c(s"$name.$k") === c(s"$src.$k")).reduce(_ && _)
-            def validateAssigns(assigns: Map[String, Column]): Unit = {
-              assigns.keys.foreach(a =>
-                require(schema.fieldNames.contains(a),
-                  s"UPDATE SET target '$a' not in table schema " +
-                    s"${schema.fieldNames.toSeq}"))
-              require(!assigns.keys.exists(a =>
-                  tKeys.exists(_.equalsIgnoreCase(a))),
-                s"UPDATE SET may not reassign a MERGE key ($tKeys)")
-            }
-            val matched: Option[DataFrame] = (upBody, upCond) match {
-              case (None, _) => None // no MATCHED clause: rows ride through
-              case (Some("*"), None) => // SET *: source rows replace matched
-                Some(srcDf.as(src).join(matchedKeys, tKeys, "left_semi")
-                  .select(schema.fieldNames.map(c).toIndexedSeq: _*))
-              case (Some("*"), Some(cond)) =>
-                // conditional SET *: the condition may reference both
-                // sides, so evaluate it over the aliased join
-                Some(matchedTgt.as(name)
-                  .join(srcDf.as(src), onCond)
-                  .where(cond)
-                  .select(schema.fieldNames.map(f =>
-                    c(s"$src.$f").as(f)).toIndexedSeq: _*))
-              case (Some(body), cond) =>
-                val assigns = parseAssignments(body)
-                validateAssigns(assigns)
-                val joined = matchedTgt.as(name)
-                  .join(srcDf.as(src), onCond)
-                Some(cond.fold(joined)(joined.where)
-                  .select(schema.fields.map { f =>
-                    assigns.get(f.name)
-                      .map(_.cast(f.dataType).as(f.name))
-                      .getOrElse(c(s"$name.${f.name}").as(f.name))
-                  }.toIndexedSeq: _*))
-            }
-            val anti0 = srcDf.as(src).join(matchedKeys, tKeys, "left_anti")
-            val anti = insCond.fold(anti0)(anti0.where)
-            val inserted: Option[DataFrame] = insBody.map {
-              case "*" => anti.select(schema.fieldNames.map(c).toIndexedSeq: _*)
-              case _ =>
-                val cols = insClause.get.group(3).split(",").map(_.trim).toSeq
-                val exprs = splitTopLevelCommas(insClause.get.group(4))
-                  .map(e => org.apache.spark.sql.functions.expr(e.trim))
-                require(cols.nonEmpty && cols.length == exprs.length,
-                  s"INSERT column list (${cols.size}) and VALUES " +
-                    s"(${exprs.size}) must align")
-                cols.foreach(a => require(schema.fieldNames.contains(a),
-                  s"INSERT column '$a' not in table schema " +
-                    s"${schema.fieldNames.toSeq}"))
-                tKeys.foreach(k => require(cols.exists(_.equalsIgnoreCase(k)),
-                  s"INSERT column list must include the MERGE key '$k'"))
-                val byCol = cols.zip(exprs).toMap
-                anti.select(schema.fields.map { f =>
-                  byCol.get(f.name)
-                    .map(_.cast(f.dataType).as(f.name))
-                    .getOrElse {
-                      require(f.nullable,
-                        s"INSERT omits non-nullable column '${f.name}'")
-                      l(null).cast(f.dataType).as(f.name)
-                    }
-                }.toIndexedSeq: _*)
-            }
-            bySrcClause match {
-              case None =>
-                val updates = (matched.toSeq ++ inserted)
-                  .reduce(_ unionByName _)
-                if (snapshotOf(spark, name).morMerge)
-                  snap.upsertMOR(updates, t, tKeys, stats)
-                else snap.upsert(updates, t, tKeys, stats).version
-              case Some(bm) =>
-                // WHEN NOT MATCHED BY SOURCE: target rows with no
-                // source key (the ON anti-join, restricted by the
-                // optional condition) either delete or update. This
-                // form inherently reads the target once — no file
-                // stats can prove the ABSENCE of a key — so it routes
-                // through the CDC machinery: one commit carrying the
-                // matched/inserted rows as U ops and the by-source
-                // rows as D ops (DELETE) or rewritten U ops (UPDATE).
-                val bCond = Option(bm.group(1)).map(e =>
-                  org.apache.spark.sql.functions.expr(e.trim))
-                val bBody = bm.group(2).trim
-                val unmatched0 = snap.read(spark, t).as(name)
-                  .join(srcDf.select(tKeys.map(c): _*).distinct(),
-                    tKeys, "left_anti")
-                val unmatched = bCond.fold(unmatched0)(unmatched0.where)
-                val opCol = "__graft_merge_op"
-                val bySrc =
-                  if (bBody.equalsIgnoreCase("DELETE"))
-                    // delete-by-key is well-defined under duplicate
-                    // target tuples: one D row per distinct key
-                    unmatched
-                      .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-                      .dropDuplicates(tKeys)
-                      .withColumn(opCol, l("D"))
-                  else {
-                    val assigns = parseAssignments(
-                      bBody.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
-                    validateAssigns(assigns)
-                    unmatched.select(schema.fields.map { f =>
-                      assigns.get(f.name)
-                        .map(_.cast(f.dataType).as(f.name))
-                        .getOrElse(c(f.name))
-                    }.toIndexedSeq: _*).withColumn(opCol, l("U"))
-                  }
-                val ups = (matched.toSeq ++ inserted)
-                  .map(_.withColumn(opCol, l("U")))
-                val changes = (ups :+ bySrc).reduce(_ unionByName _)
-                snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
-                  .version
-            }
-        }
-        (ver, name)
+        (execMerge(spark, evolve != null, name, src, spark.table(src),
+          onExpr, clauses), name)
       case OptimizeRe(name, tail) =>
         // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b[, c, d])
         // → the same rewrite clustered on a k-way z-order interleave,
@@ -1222,7 +1463,7 @@ object GraftSql {
             "DROP COLUMN/ADD CONSTRAINT/DROP CONSTRAINT/CLUSTER BY/" +
             "RESTORE TABLE .. TO VERSION|TIMESTAMP AS OF/" +
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
-    }
+    } }
     // repoint the view at the new version so SQL readers see the change
     // (the registration's merge strategy survives the repoint)
     val reg = snapshotOf(spark, name)

@@ -292,4 +292,49 @@ class SnapshotCompositeKeySpec extends AnyFunSuite {
     assert(s.sql("SELECT payload FROM ck_v WHERE k1=400 AND k2=400")
       .head.getString(0) == "c1")
   }
+
+  test("updateKeys retains key stats even when registration stats omit the key") {
+    val t = freshTable("updstats")
+    SnapshotLog.commit(
+      s.range(0, 40).select($"id".as("k1"), ($"id" * 2).as("payload"))
+        .coalesce(1), t, "append", Nil) // NO statsCols at all
+    // first keys-frame update: with no stats every file is a candidate
+    SnapshotLog.updateKeys(s, t, Seq("k1"),
+      s.range(0, 3).toDF("k1"),
+      Map("payload" -> (col("payload") + 1000L)), Nil)
+    // the rewritten file must carry k1 min/max (the upsert/applyChanges
+    // convention): losing them would make every later keys-frame
+    // mutation treat the file as an always-candidate
+    val m = SnapshotLog.manifest(s, t, 2L)
+    assert(m.files.nonEmpty && m.files.forall(_.stats.contains("k1")),
+      s"key stats missing on rewritten files: ${m.files.map(_.stats.keySet)}")
+    // and a second, disjoint-key update proves pruning works: keys far
+    // outside [0,39] touch nothing (None = no commit at all)
+    assert(SnapshotLog.updateKeys(s, t, Seq("k1"),
+      s.range(5000, 5003).toDF("k1"),
+      Map("payload" -> lit(0L)), Nil).isEmpty)
+  }
+
+  test("updateKeys and deleteKeysMOR evaluate the keys frame exactly once") {
+    val t = freshTable("onceeval")
+    SnapshotLog.commit(
+      s.range(0, 30).select($"id".as("k1"), lit(1L).as("payload"))
+        .coalesce(1), t, "append", Seq("k1"))
+    // an instrumented key frame: the accumulator counts how many times
+    // a key row is actually produced. A lazy frame re-evaluated by the
+    // rewrite join after the candidacy probe would double the count —
+    // and under a non-deterministic subquery would silently change the
+    // key set between candidacy and rewrite.
+    val acc = s.sparkContext.longAccumulator("keyEvals")
+    val bump = udf { (k: Long) => acc.add(1L); k }
+    val keys = s.range(0, 5).select(bump($"id").as("k1"))
+    SnapshotLog.updateKeys(s, t, Seq("k1"), keys,
+      Map("payload" -> lit(7L)), Seq("k1"))
+    assert(acc.value == 5L, s"keys frame evaluated ${acc.value / 5.0} times")
+    val acc2 = s.sparkContext.longAccumulator("keyEvals2")
+    val bump2 = udf { (k: Long) => acc2.add(1L); k }
+    SnapshotLog.deleteKeysMOR(
+      s.range(10, 14).select(bump2($"id").as("k1")), t, "k1")
+    assert(acc2.value == 4L, s"keys frame evaluated ${acc2.value / 4.0} times")
+  }
 }

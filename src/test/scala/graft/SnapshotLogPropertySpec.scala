@@ -17,7 +17,8 @@ import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
   * stream-append with replays / deletion-vector delete / CDC
   * applyChanges / metadata-only column RENAME / merge-on-read
   * equality-delete upsert / MOR key delete / CoW range UPDATE /
-  * compound-conjunction CoW DELETE and UPDATE) run against BOTH the real
+  * compound-conjunction CoW DELETE and UPDATE / keys-frame CoW UPDATE /
+  * composite-TUPLE MOR delete and CoW update) run against BOTH the real
   * table and an in-memory model. After every op the table must equal
   * the model; after the sequence, every committed version must equal
   * the model's history snapshot (time travel), metadata stats must
@@ -99,7 +100,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(17)
+        val choice = if (op == 0) 0 else rnd.nextInt(18)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -110,7 +111,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)(choice) &&
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17)(choice) &&
             rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
@@ -301,6 +302,28 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
                 if (kset(r._1)) (r._1, r._2, r._3 + "^") else r)
               history += st.version -> model
             }
+          case 17 => // TUPLE keys-frame ops (the `(a, b) IN (SELECT)`
+            // shape): composite MOR delete or composite CoW update —
+            // full-tuple equality, incl. a guaranteed-absent tuple
+            val tuples = rnd.shuffle(model).take(rnd.nextInt(4))
+              .map(r => (r._1, r._2)) :+ ((nextId + 7000 + op, 3L))
+            val ts = tuples.toSet
+            if (rnd.nextBoolean())
+              SnapshotLog.deleteKeysMOR(
+                keyed(tuples.toDF("id", "k")), t, Seq(keyName, "k"))
+                .foreach { v =>
+                  model = model.filterNot(r => ts((r._1, r._2)))
+                  history += v -> model
+                }
+            else
+              SnapshotLog.updateKeys(s, t, Seq(keyName, "k"),
+                keyed(tuples.toDF("id", "k")),
+                Map("payload" -> concat(col("payload"), lit("&"))),
+                Seq(keyName)).foreach { st =>
+                model = model.map(r =>
+                  if (ts((r._1, r._2))) (r._1, r._2, r._3 + "&") else r)
+                history += st.version -> model
+              }
         } }
         // racer accounting: if the op committed (exactly one publish
         // attempt hit the seam), the raced history is racer at

@@ -443,6 +443,44 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart across a RENAME: undeclared rides the checkpoint, declared refuses by name") {
+    val t = freshTable("renrestart")
+    val cp = freshTable("renrestart-cp")
+    SnapshotLog.commit(df(0, 30), t, "append", Seq("id"))
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(cols: String): Unit = {
+      val q = s.readStream.format("graft-snapshot").option("table", t)
+        .option("columns", cols).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.addAndGet(b.count()); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run("id, payload")
+    assert(got.get() == 30)
+    // rename the UNDECLARED column between runs: the same checkpoint
+    // rides through the DDL version and serves only the new batch
+    SnapshotLog.renameColumn(s, t, "k", "kk")
+    SnapshotLog.commit(df(30, 50).withColumnRenamed("k", "kk"), t,
+      "append", Seq("id"))
+    run("id, payload")
+    assert(got.get() == 50, "restart across an undeclared rename double-read or dropped")
+    // rename a DECLARED column: the restart refuses at construction,
+    // naming the missing column (the user's declared projection is the
+    // contract — silently serving a renamed column would un-pin it)
+    SnapshotLog.renameColumn(s, t, "payload", "body")
+    val e = intercept[Exception] { run("id, payload") }
+    assert(e.getMessage.contains("payload"), e.getMessage)
+    // declaring the NEW name works and resumes the same checkpoint
+    SnapshotLog.commit(
+      s.range(50, 60).select($"id", ($"id" % 7).as("kk"),
+        concat(lit("row"), $"id").as("body")), t, "append", Seq("id"))
+    run("id, body")
+    assert(got.get() == 60,
+      "the re-declared stream lost the checkpoint or re-read history")
+  }
+
   test("a mid-stream DROP COLUMN of a SELECTED column refuses, naming it") {
     val t = freshTable("dropused")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))

@@ -1167,4 +1167,256 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(0).getString(0) == "bad" && rows(0).isNullAt(1) && rows(0).getBoolean(2))
     assert(rows(1).getString(0) == "good" && rows(1).getLong(1) == 3000L)
   }
+
+  test("MERGE USING (SELECT ...) subquery source: dedup-before-upsert") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-msub").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 50)
+      .select($"id", lit(0L).as("v"), lit("base").as("note")).coalesce(1),
+      t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "msub_v", t, None, Seq("id"))
+    // a raw changelog with DUPLICATE keys — the subquery dedups with a
+    // window (latest version wins) before the upsert, the exact idiom
+    // the bare-view grammar used to refuse
+    Seq((1L, 1L, "old"), (1L, 2L, "new1"), (2L, 5L, "new2"),
+      (90L, 1L, "ins"), (90L, 3L, "ins-late"))
+      .toDF("id", "v", "note").createOrReplaceTempView("msub_raw")
+    GraftSql.dml(spark,
+      """MERGE INTO msub_v USING (
+        |  SELECT id, v, note FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY v DESC)
+        |      AS rn FROM msub_raw) WHERE rn = 1
+        |) AS s ON msub_v.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT note FROM msub_v WHERE id = 1")
+      .head.getString(0) == "new1", "window dedup lost latest-wins")
+    assert(spark.sql("SELECT note FROM msub_v WHERE id = 2")
+      .head.getString(0) == "new2")
+    assert(spark.sql("SELECT note FROM msub_v WHERE id = 90")
+      .head.getString(0) == "ins-late")
+    assert(spark.sql("SELECT count(*) FROM msub_v").head.getLong(0) == 51L)
+    // nested parens + a quoted body containing ')', 'WHEN', and 'ON'
+    // — all data to the splitter; explicit clause bodies still parse
+    GraftSql.dml(spark,
+      """MERGE INTO msub_v USING (
+        |  SELECT id, concat('x)WHEN ON;', cast((id + (1)) AS STRING))
+        |    AS note2 FROM msub_v WHERE id < 2
+        |) s ON msub_v.id = s.id
+        |WHEN MATCHED THEN UPDATE SET note = s.note2""".stripMargin)
+    assert(spark.sql("SELECT note FROM msub_v WHERE id = 0")
+      .head.getString(0) == "x)WHEN ON;1")
+    // a multi-statement injection refuses loudly, both smuggling shapes
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO msub_v USING (SELECT 1 AS id; DELETE FROM msub_v
+          |WHERE id >= 0) s ON msub_v.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = 9""".stripMargin)
+    }
+    assert(e1.getMessage.contains("one statement"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO msub_v USING (SELECT 1 AS id) s; DELETE FROM msub_v
+          |WHERE id >= 0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("cannot parse MERGE USING"), e2.getMessage)
+    // a non-SELECT body refuses before anything evaluates
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO msub_v USING (DELETE FROM msub_v WHERE id = 1) s
+          |ON msub_v.id = s.id WHEN MATCHED THEN UPDATE SET v = 9""".stripMargin)
+    }
+    assert(e3.getMessage.contains("must wrap a single SELECT"), e3.getMessage)
+    assert(spark.sql("SELECT count(*) FROM msub_v").head.getLong(0) == 51L,
+      "a refused statement mutated the table")
+  }
+
+  test("MERGE ON residual conditions: bounded match, duplicate-insert semantics, pruning") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mres").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    // 4 files laid out by ds quadrant; ids span the whole domain in
+    // EVERY file, so key-interval candidacy alone cannot prune
+    val base = spark.range(0, 100)
+      .select($"id", ($"id" % 4).as("ds"), lit(0L).as("v"))
+    snap.commit(base.repartitionByRange(4, $"ds"), t, "append",
+      Seq("id", "ds"))
+    GraftSql.registerSnapshot(spark, "mres_v", t, None, Seq("id", "ds"))
+    // source spans the WHOLE id domain + 5 brand-new ids
+    spark.range(0, 105).select($"id", ($"id" % 9).as("bump"))
+      .createOrReplaceTempView("mres_src")
+    GraftSql.dml(spark,
+      """MERGE INTO mres_v USING mres_src
+        |ON mres_v.id = mres_src.id AND mres_v.ds >= 3
+        |WHEN MATCHED THEN UPDATE SET v = mres_v.v + mres_src.bump""".stripMargin)
+    // only ds=3 rows bumped; everything else untouched
+    assert(spark.sql("SELECT sum(v) FROM mres_v WHERE ds = 3")
+      .head.getLong(0) ==
+      (0L until 100).filter(_ % 4 == 3).map(_ % 9).sum)
+    assert(spark.sql("SELECT sum(v) FROM mres_v WHERE ds <> 3")
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM mres_v").head.getLong(0) == 100L,
+      "a matched-only residual MERGE changed the row count")
+    // the 3 out-of-range files provably rode through untouched
+    val f1 = snap.manifest(spark, t, 1L).files.map(_.path).toSet
+    val carried = snap.manifest(spark, t, 2L).files.map(_.path).count(f1)
+    assert(carried == 3, s"carried $carried of 3 out-of-range files")
+    // with an INSERT clause: source keys whose target rows all fail
+    // the residual are NOT MATCHED — they insert DUPLICATE keys (the
+    // Delta partition-bounded-merge outcome), never replace
+    GraftSql.dml(spark,
+      """MERGE INTO mres_v USING mres_src
+        |ON mres_v.id = mres_src.id AND mres_v.ds >= 3
+        |WHEN MATCHED THEN UPDATE SET v = mres_v.v + 100
+        |WHEN NOT MATCHED THEN INSERT (id, ds, v)
+        |  VALUES (mres_src.id, 9, mres_src.bump)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mres_v").head.getLong(0) ==
+      100L + 75L + 5L) // 75 duplicate-key inserts + 5 new ids
+    assert(spark.sql(
+      "SELECT count(*) FROM mres_v WHERE ds = 9 AND id < 100")
+      .head.getLong(0) == 75L, "out-of-range matches must insert, not replace")
+    assert(spark.sql("SELECT count(*) FROM mres_v WHERE ds < 3 AND v <> 0")
+      .head.getLong(0) == 0L, "an out-of-range original was touched")
+    // refusals: source-side residual, OR, column-vs-column, by-source
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mres_v USING mres_src
+          |ON mres_v.id = mres_src.id AND mres_src.bump > 3
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e1.getMessage.contains("TARGET-side"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mres_v USING mres_src
+          |ON mres_v.id = mres_src.id OR mres_v.ds >= 3
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("AND-conjunction"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mres_v USING mres_src
+          |ON mres_v.id = mres_src.id AND mres_v.ds <= mres_src.bump
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e3.getMessage.contains("LITERAL"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mres_v USING mres_src
+          |ON mres_v.id = mres_src.id AND mres_v.ds >= 3
+          |WHEN MATCHED THEN UPDATE SET v = 0
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e4.getMessage.contains("residual"), e4.getMessage)
+  }
+
+  test("tuple IN-subquery DML: composite eq-delete and keys-frame update") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-tin").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 60)
+      .select(($"id" / 10).cast("long").as("a"), ($"id" % 10).as("b"),
+        lit(1L).as("v")).repartitionByRange(3, $"a"),
+      t, "append", Seq("a", "b"))
+    GraftSql.registerSnapshot(spark, "tin_v", t, None, Seq("a", "b"))
+    // composite erasure: (a, b) tuples with b >= 8 — MOR, zero rewrites
+    GraftSql.dml(spark,
+      """DELETE FROM tin_v WHERE (a, b) IN
+        |  (SELECT a, b FROM tin_v WHERE b >= 8)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM tin_v").head.getLong(0) == 48L)
+    val m2 = snap.manifest(spark, t, 2L)
+    assert(m2.eqDeletes.size == 1 && m2.eqDeletes.head.keyCol.contains(","),
+      s"expected one composite sidecar, got ${m2.eqDeletes}")
+    assert(m2.files.map(_.path).toSet ==
+      snap.manifest(spark, t, 1L).files.map(_.path).toSet,
+      "a tuple eq-delete rewrote data files")
+    // composite correction: one (a, b) cell bumps; sibling b's ride
+    GraftSql.dml(spark,
+      """UPDATE tin_v SET v = v + 10 WHERE (a, b) IN
+        |  (SELECT a, b FROM tin_v WHERE a = 2 AND b <= 1)""".stripMargin)
+    assert(spark.sql("SELECT sum(v) FROM tin_v WHERE a = 2")
+      .head.getLong(0) == 8L + 20L)
+    assert(spark.sql("SELECT sum(v) FROM tin_v WHERE a <> 2")
+      .head.getLong(0) == 40L)
+    // a column-count mismatch refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        "DELETE FROM tin_v WHERE (a, b) IN (SELECT a FROM tin_v)")
+    }
+    assert(e.getMessage.contains("2 columns"), e.getMessage)
+  }
+
+  test("multiple clauses of one WHEN family refuse loudly (no silent first-wins)") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-multiclause").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    graft.sources.snapshot.SnapshotLog.commit(
+      spark.range(0, 20).select($"id", ($"id" % 5).as("k")).coalesce(1),
+      t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "mc_v", t, None, Seq("id"))
+    spark.range(0, 5).select($"id", lit(9L).as("k"))
+      .createOrReplaceTempView("mc_src")
+    // two WHEN MATCHED clauses: valid Delta (ordered first-match-wins),
+    // unsupported here — must refuse, never execute only the first
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
+          |WHEN MATCHED AND mc_v.k = 0 THEN UPDATE SET k = 100
+          |WHEN MATCHED THEN UPDATE SET k = 200""".stripMargin)
+    }
+    assert(e1.getMessage.contains("multiple WHEN MATCHED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
+          |WHEN NOT MATCHED AND mc_src.k = 9 THEN INSERT *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("multiple WHEN NOT MATCHED"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
+          |WHEN NOT MATCHED BY SOURCE AND mc_v.id < 5 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 0""".stripMargin)
+    }
+    assert(e3.getMessage.contains("multiple WHEN NOT MATCHED BY SOURCE"),
+      e3.getMessage)
+    // the table never moved: refusals happen before any commit
+    assert(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t)
+      .contains(1L))
+  }
+
+  test("by-source MERGE refuses NULL merge keys with the actual cause") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-nullkey").toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(
+      Seq[(java.lang.Long, Long)]((1L, 1L), (2L, 2L), (null, 3L), (4L, 4L))
+        .toDF("id", "k").coalesce(1), t, "append", Nil)
+    GraftSql.registerSnapshot(spark, "nk_v", t)
+    spark.range(0, 2).select($"id", $"id".as("k"))
+      .createOrReplaceTempView("nk_src")
+    // the NULL-id row never matches any source key, so a by-source
+    // DELETE would have to act on it — the keyed change machinery
+    // cannot, and the old behavior died with a MISLEADING
+    // duplicate-keys error; now the refusal names NULL merge keys
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO nk_v USING nk_src ON nk_v.id = nk_src.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // excluding NULL keys on the clause condition makes it executable:
+    // the NULL-id row rides through, non-matching non-null keys delete
+    GraftSql.dml(spark,
+      """MERGE INTO nk_v USING nk_src ON nk_v.id = nk_src.id
+        |WHEN NOT MATCHED BY SOURCE AND nk_v.id IS NOT NULL
+        |THEN DELETE""".stripMargin)
+    val left = spark.sql("SELECT k FROM nk_v ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 3L), s"got $left") // id=1 matched, NULL rode
+  }
 }
