@@ -3467,6 +3467,49 @@ object SourceQueries extends QueryPack {
           $"n_eq", $"n_versions")
     }),
 
+    // ORDERED multi-clause MERGE — the full Delta clause surface:
+    // three WHEN MATCHED clauses (conditional update / conditional
+    // DELETE / unconditional fallthrough) and two WHEN NOT MATCHED
+    // clauses, applied first-match-wins per row in ONE commit through
+    // the changelog machinery. The oracle replays the cascade
+    // relationally, so a clause applied out of order, a row hitting
+    // two clauses, or a delete that leaked back in breaks the hash;
+    // n_versions pins the single commit.
+    "qd0_sql_merge_multiclause" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapmmc-$tag"
+      val v = s"mmcv_$tag"
+      val roll = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = roll.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"mmcsrc_$tag"
+      roll.select($"l_orderkey")
+        .unionByName(s.range(0, 12).select(($"id" + mx + 1).as("l_orderkey")))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src ON $v.l_orderkey = $src.l_orderkey
+           |WHEN MATCHED AND $v.sum_qty > 100 THEN UPDATE SET
+           |  sum_qty = $v.sum_qty + 1000
+           |WHEN MATCHED AND $v.sum_qty < 30 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET sum_qty = $v.sum_qty * 2
+           |WHEN NOT MATCHED AND $src.l_orderkey % 2 = 0 THEN
+           |  INSERT (l_orderkey, sum_qty) VALUES ($src.l_orderkey, 5)
+           |WHEN NOT MATCHED THEN
+           |  INSERT (l_orderkey, sum_qty) VALUES ($src.l_orderkey, 6)
+           |""".stripMargin)
+      s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" % 89).as("sum_kmod"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
+    }),
+
     "qcu_sql_update_in" -> ((s, dir) => {
       import s.implicits._
       val tag = java.lang.Long.toHexString(System.nanoTime())
@@ -4666,6 +4709,26 @@ object SourceQueries extends QueryPack {
           |  CAST(1 AS BIGINT) AS n_eq,
           |  CAST(3 AS BIGINT) AS n_versions
           |FROM upd""".stripMargin,
+
+      // the clause cascade replayed relationally: >100 bumps +1000,
+      // else <30 deletes, else doubles; new keys insert 5 (even) or 6
+      "qd0_sql_merge_multiclause" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1),
+          |s1 AS (SELECT k,
+          |  CASE WHEN q > 100 THEN q + 1000 ELSE q * 2 END AS q
+          |  FROM base WHERE NOT (q <= 100 AND q < 30)),
+          |ins AS (SELECT m + 1 + i AS k,
+          |  CASE WHEN (m + 1 + i) % 2 = 0 THEN 5 ELSE 6 END AS q
+          |  FROM range(0, 12) t(i), mx),
+          |allr AS (SELECT k, q FROM s1 UNION ALL SELECT k, q FROM ins)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k % 89) AS BIGINT) AS sum_kmod,
+          |  CAST(2 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
 
       // keys-frame update replayed relationally: +100 on every
       // multiple-of-7 order key in the first eighth of the key space

@@ -573,8 +573,6 @@ object GraftSql {
     """(?is)^\s*(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s.+)$""".r
   private val MergeOnPairRe =
     """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
-  private val MergeDeleteClauseRe =
-    """(?is)WHEN\s+MATCHED\s+AND\s+(\w+)\.(\w+)\s*=\s*'D'\s+THEN\s+DELETE""".r
   private val MergeBySourceRe =
     ("""(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+""" +
       """THEN\s+(DELETE|UPDATE\s+SET\s+.+?)\s*(?=WHEN\b|$)""").r
@@ -678,6 +676,15 @@ object GraftSql {
     *    failing its condition never inserts. Matched rows come from
     *    the stats/Bloom-pruned semi-join read, so the build cost is
     *    the matched files, not the table.
+    *  - ORDERED MULTI-CLAUSE families (the full Delta clause surface):
+    *    any number of WHEN MATCHED / WHEN NOT MATCHED clauses, applied
+    *    first-match-wins per row in statement order; every clause
+    *    except the last of its family must carry a condition (an
+    *    unconditional clause is a wall — enforced loudly). A matched
+    *    clause body may also be `DELETE` (with or without a
+    *    condition): delete-resolved rows route the whole merge through
+    *    the CDC changelog machinery as D ops in the same single
+    *    commit.
     *  - `MERGE INTO v USING src ON v.k = s.k AND v.ds >= '2026-08-01'
     *    WHEN ...` — residual TARGET-side range conjuncts in the ON
     *    (the partition-bounding idiom). Residual conjuncts classify
@@ -897,73 +904,96 @@ object GraftSql {
           s"MERGE ON needs at least one equi-key pair, got: $onExpr")
         require(tKeys.distinct == tKeys,
           s"duplicate MERGE key column in ON: $tKeys")
-        // unified clause grammar (the Delta MERGE shapes): an optional
-        // per-clause condition, a body that is `*` or an explicit
-        // assignment / column-VALUES list. The CDC DELETE clause is
-        // stripped before parsing so its own AND-condition never
-        // bleeds into the UPDATE clause's lazy condition capture.
-        val UpClauseRe =
+        // ORDERED clause grammar (the full Delta MERGE clause surface):
+        // any number of `WHEN MATCHED [AND cond] THEN UPDATE SET
+        // <*|assignments> | DELETE` and `WHEN NOT MATCHED [AND cond]
+        // THEN INSERT <*|(cols) VALUES (exprs)>` clauses, applied
+        // FIRST-MATCH-WINS per row in statement order. The BY SOURCE
+        // clause is stripped first so its body and AND-condition never
+        // bleed into the lazy captures.
+        val MatchedClauseRe =
           ("""(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-            """UPDATE\s+SET\s+(\*|.+?)\s*(?=WHEN\b|$)""").r
+            """(UPDATE\s+SET\s+(\*|.+?)|DELETE)\s*(?=WHEN\b|$)""").r
         val InsClauseRe =
           ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
-            """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))\s*(?=WHEN\b|$)""").r
-        // the BY SOURCE and CDC-delete clauses are stripped before the
-        // UPDATE/INSERT parse so their own bodies and AND-conditions
-        // never bleed into the lazy condition captures
+            """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+?)\))\s*(?=WHEN\b|$)""").r
         val bySrcClause = MergeBySourceRe.findFirstMatchIn(clauses)
         val rest0 = MergeBySourceRe.replaceAllIn(clauses, " ")
-        val deleteClause = MergeDeleteClauseRe.findFirstMatchIn(rest0)
-        val rest = MergeDeleteClauseRe.replaceAllIn(rest0, " ")
-        val upClause = UpClauseRe.findFirstMatchIn(rest)
-        val insClause = InsClauseRe.findFirstMatchIn(rest)
+        // (cond, Some(setBody)) = UPDATE; (cond, None) = DELETE
+        val matchedClauses: List[(Option[String], Option[String])] =
+          MatchedClauseRe.findAllMatchIn(rest0).map { m =>
+            val body = m.group(2).trim
+            (Option(m.group(1)).map(_.trim),
+              if (body.equalsIgnoreCase("DELETE")) None
+              else Some(m.group(3).trim))
+          }.toList
+        // (cond, Some((cols, vals))) = explicit; (cond, None) = INSERT *
+        val insClauses: List[(Option[String], Option[(String, String)])] =
+          InsClauseRe.findAllMatchIn(rest0).map { m =>
+            (Option(m.group(1)).map(_.trim),
+              if (m.group(2).trim == "*") None
+              else Some((m.group(3), m.group(4))))
+          }.toList
         // every clause must be consumed by a recognized grammar — an
         // unparsed WHEN is a refusal, never a silently ignored clause
         val leftover = InsClauseRe.replaceAllIn(
-          UpClauseRe.replaceAllIn(rest, " "), " ").trim
+          MatchedClauseRe.replaceAllIn(rest0, " "), " ").trim
         require(leftover.isEmpty,
           s"unrecognized MERGE clause(s): $leftover")
-        // the leftover check CONSUMES every clause of a family, but
-        // execution takes the FIRST — a statement with two WHEN
-        // MATCHED clauses (valid in Delta: ordered first-match-wins)
-        // would silently run only one. Refuse multiplicity loudly.
-        def requireOne(n: Int, family: String): Unit = require(n <= 1,
-          s"multiple $family clauses are unsupported (Delta's ordered " +
-            "first-match-wins multi-clause semantics are not " +
-            "implemented) — combine them into one clause or split the " +
-            "statement")
-        requireOne(MergeBySourceRe.findAllMatchIn(clauses).size,
-          "WHEN NOT MATCHED BY SOURCE")
-        requireOne(MergeDeleteClauseRe.findAllMatchIn(rest0).size,
-          "WHEN MATCHED ... THEN DELETE")
-        requireOne(UpClauseRe.findAllMatchIn(rest).size, "WHEN MATCHED")
-        requireOne(InsClauseRe.findAllMatchIn(rest).size, "WHEN NOT MATCHED")
+        require(MergeBySourceRe.findAllMatchIn(clauses).size <= 1,
+          "multiple WHEN NOT MATCHED BY SOURCE clauses are unsupported")
+        // first-match-wins makes an unconditional clause a wall: every
+        // clause after it is dead. Delta's rule, enforced loudly —
+        // only the LAST clause of a family may omit its condition.
+        def requireOrdered(conds: List[Option[String]],
+            family: String): Unit =
+          conds.dropRight(1).zipWithIndex.foreach { case (cond, i) =>
+            require(cond.isDefined,
+              s"$family clause ${i + 1} of ${conds.size} has no " +
+                "condition — an unconditional clause must be LAST in " +
+                "its family (first-match-wins would never reach the " +
+                "clauses after it)")
+          }
+        requireOrdered(matchedClauses.map(_._1), "WHEN MATCHED")
+        requireOrdered(insClauses.map(_._1), "WHEN NOT MATCHED")
+        val hasMatchedDelete = matchedClauses.exists(_._2.isEmpty)
+        // the unconditional single SET * / INSERT * pair — the upsert
+        // and schema-evolution fast-path shape
+        val unconditionalStar =
+          matchedClauses.size == 1 && matchedClauses.head._1.isEmpty &&
+            matchedClauses.head._2.contains("*") &&
+            insClauses.size == 1 && insClauses.head._1.isEmpty &&
+            insClauses.head._2.isEmpty
+        // the CDC shape: a leading source-op DELETE clause over the
+        // unconditional SET * / INSERT * pair routes straight to
+        // applyChanges (one pass, no semi-join build)
+        val CdcCondRe = """(?is)^\s*(\w+)\.(\w+)\s*=\s*'D'\s*$""".r
+        val cdcOp: Option[String] = matchedClauses match {
+          case List((Some(CdcCondRe(a, opc)), None), (c2, Some("*")))
+            if a.equalsIgnoreCase(src) && c2.isEmpty &&
+              insClauses.size == 1 && insClauses.head._1.isEmpty &&
+              insClauses.head._2.isEmpty => Some(opc)
+          case _ => None
+        }
         if (residualRanges.nonEmpty) {
           // the residual path routes matched rows through mergeMatched
           // (replace-by-key restricted to residual-passing rows); the
-          // CDC-delete / by-source / evolution forms and the MOR
-          // eq-delete strategy all mask or replace by KEY alone and
-          // would wrongly touch same-key rows the residual spares —
-          // refuse loudly rather than approximate
-          require(deleteClause.isEmpty && bySrcClause.isEmpty && !evolve,
+          // DELETE / by-source / evolution forms and the MOR eq-delete
+          // strategy all mask or replace by KEY alone and would
+          // wrongly touch same-key rows the residual spares — refuse
+          // loudly rather than approximate
+          require(!hasMatchedDelete && bySrcClause.isEmpty && !evolve,
             "MERGE ON residual conditions compose with WHEN MATCHED " +
-              "UPDATE / WHEN NOT MATCHED INSERT clauses only (no CDC " +
+              "UPDATE / WHEN NOT MATCHED INSERT clauses only (no " +
               "DELETE clause, no BY SOURCE, no SCHEMA EVOLUTION)")
           require(!snapshotOf(spark, name).morMerge,
             "MERGE ON residual conditions require a copy-on-write " +
               "registration — a MOR eq-delete masks by key and cannot " +
               "spare a same-key row that fails the residual")
         }
-        require(upClause.isDefined || insClause.isDefined ||
+        require(matchedClauses.nonEmpty || insClauses.nonEmpty ||
           bySrcClause.isDefined,
           s"MERGE needs at least one WHEN clause, got: $clauses")
-        def condOf(m: scala.util.matching.Regex.Match) =
-          Option(m.group(1)).map(e =>
-            org.apache.spark.sql.functions.expr(e.trim))
-        val upCond = upClause.flatMap(condOf)
-        val insCond = insClause.flatMap(condOf)
-        val upBody = upClause.map(_.group(2).trim)
-        val insBody = insClause.map(_.group(2).trim)
         val snap = graft.sources.snapshot.SnapshotLog
         // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
         // first (additive, metadata-only — existing rows serve NULL),
@@ -973,9 +1003,7 @@ object GraftSql {
         // bodies already name their columns, so evolution there would
         // only ever add columns the statement never fills.
         if (evolve) {
-          require(deleteClause.isEmpty && bySrcClause.isEmpty &&
-            upBody.contains("*") && insBody.contains("*") &&
-            upCond.isEmpty && insCond.isEmpty,
+          require(bySrcClause.isEmpty && unconditionalStar,
             "WITH SCHEMA EVOLUTION supports the unconditional " +
               s"UPDATE SET * / INSERT * MERGE form, got: $clauses")
           val ddl0 = snap.manifest(spark, t,
@@ -988,34 +1016,29 @@ object GraftSql {
             snap.evolveSchema(spark, t,
               ddl0 + extra.map(f => s",${f.name} ${f.dataType.sql}").mkString)
         }
-        val ver = deleteClause match {
-          case Some(mm) =>
-            require(upBody.contains("*") && insBody.contains("*") &&
-              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty,
-              "the CDC-delete MERGE form supports unconditional " +
-                s"UPDATE SET * / INSERT * clauses, got: $clauses")
-            require(mm.group(1).equalsIgnoreCase(src),
-              s"DELETE clause must test the source op column, got ${mm.group(1)}")
-            snap.applyChanges(srcDf, t, tKeys, mm.group(2), stats, -1L).version
-          case None if upBody.contains("*") && insBody.contains("*") &&
-              upCond.isEmpty && insCond.isEmpty && bySrcClause.isEmpty &&
+        val ver = cdcOp match {
+          case Some(opc) if bySrcClause.isEmpty && residualRanges.isEmpty =>
+            snap.applyChanges(srcDf, t, tKeys, opc, stats, -1L).version
+          case _ if unconditionalStar && bySrcClause.isEmpty &&
               residualRanges.isEmpty =>
             // strategy per registration: CoW rewrite vs O(batch) MOR
             if (snapshotOf(spark, name).morMerge)
               snap.upsertMOR(srcDf, t, tKeys, stats)
             else snap.upsert(srcDf, t, tKeys, stats).version
-          case None =>
-            // Explicit bodies and/or per-clause conditions: build the
-            // full-row updates frame and feed the same upsert
-            // machinery. MATCHED rows come from the stats/Bloom-pruned
-            // semi-join read (only files whose windows may hold a
-            // source key are opened — at 100 TB the join cost is the
-            // matched files, not the table); NOT MATCHED rows
-            // anti-join the source against the matched keys (bounded
-            // by the batch). A matched row failing its condition is
-            // simply ABSENT from the updates frame — the merge's
-            // anti-join carries its original through unchanged; a
-            // not-matched row failing its condition never inserts.
+          case _ =>
+            // Explicit bodies, per-clause conditions, and ORDERED
+            // multi-clause families: build the full-row updates frame
+            // and feed the keyed machinery. MATCHED rows come from the
+            // stats/Bloom-pruned semi-join read (only files whose
+            // windows may hold a source key are opened — at 100 TB
+            // the join cost is the matched files, not the table); each
+            // matched row resolves to the FIRST clause whose condition
+            // holds (a when-chain in statement order), rows resolving
+            // to no clause ride through, and DELETE-resolved rows
+            // route the whole merge through the CDC changelog
+            // machinery as D ops. NOT MATCHED rows anti-join the
+            // source against the matched keys (bounded by the batch)
+            // and resolve first-match-wins the same way.
             val schema = org.apache.spark.sql.types.StructType.fromDDL(
               snap.manifest(spark, t,
                 snap.latestVersion(spark, t).get).schemaDdl)
@@ -1043,58 +1066,98 @@ object GraftSql {
                   tKeys.exists(_.equalsIgnoreCase(a))),
                 s"UPDATE SET may not reassign a MERGE key ($tKeys)")
             }
-            val matched: Option[DataFrame] = (upBody, upCond) match {
-              case (None, _) => None // no MATCHED clause: rows ride through
-              case (Some("*"), None) => // SET *: source rows replace matched
-                Some(srcDf.as(src).join(matchedKeys, tKeys, "left_semi")
-                  .select(schema.fieldNames.map(c).toIndexedSeq: _*))
-              case (Some("*"), Some(cond)) =>
-                // conditional SET *: the condition may reference both
-                // sides, so evaluate it over the aliased join
-                Some(matchedTgt.as(name)
-                  .join(srcDf.as(src), onCond)
-                  .where(cond)
-                  .select(schema.fieldNames.map(f =>
-                    c(s"$src.$f").as(f)).toIndexedSeq: _*))
-              case (Some(body), cond) =>
-                val assigns = parseAssignments(body)
-                validateAssigns(assigns)
+            val clauseCol = "__graft_clause"
+            // index of the first clause whose condition holds — a
+            // when-chain in statement order; null = no clause (ride)
+            def clauseIdx(conds: List[Option[String]]): Column =
+              conds.zipWithIndex.foldLeft(Option.empty[Column]) {
+                case (acc, (cond, i)) =>
+                  val ci = cond
+                    .map(e => org.apache.spark.sql.functions.expr(e))
+                    .getOrElse(l(true))
+                  Some(acc match {
+                    case None =>
+                      org.apache.spark.sql.functions.when(ci, l(i))
+                    case Some(w) => w.when(ci, l(i))
+                  })
+              }.get
+            val (matchedU: Option[DataFrame], matchedD: Option[DataFrame]) =
+              if (matchedClauses.isEmpty) (None, None)
+              else {
+                // conditions may reference both sides, so resolve over
+                // the aliased join; each matched TARGET row yields one
+                // output row (duplicate-key targets update per row)
                 val joined = matchedTgt.as(name)
                   .join(srcDf.as(src), onCond)
-                Some(cond.fold(joined)(joined.where)
-                  .select(schema.fields.map { f =>
-                    assigns.get(f.name)
-                      .map(_.cast(f.dataType).as(f.name))
-                      .getOrElse(c(s"$name.${f.name}").as(f.name))
-                  }.toIndexedSeq: _*))
-            }
-            val anti0 = srcDf.as(src).join(matchedKeys, tKeys, "left_anti")
-            val anti = insCond.fold(anti0)(anti0.where)
-            val inserted: Option[DataFrame] = insBody.map {
-              case "*" => anti.select(schema.fieldNames.map(c).toIndexedSeq: _*)
-              case _ =>
-                val cols = insClause.get.group(3).split(",").map(_.trim).toSeq
-                val exprs = splitTopLevelCommas(insClause.get.group(4))
-                  .map(e => org.apache.spark.sql.functions.expr(e.trim))
-                require(cols.nonEmpty && cols.length == exprs.length,
-                  s"INSERT column list (${cols.size}) and VALUES " +
-                    s"(${exprs.size}) must align")
-                cols.foreach(a => require(schema.fieldNames.contains(a),
-                  s"INSERT column '$a' not in table schema " +
-                    s"${schema.fieldNames.toSeq}"))
-                tKeys.foreach(k => require(cols.exists(_.equalsIgnoreCase(k)),
-                  s"INSERT column list must include the MERGE key '$k'"))
-                val byCol = cols.zip(exprs).toMap
-                anti.select(schema.fields.map { f =>
-                  byCol.get(f.name)
-                    .map(_.cast(f.dataType).as(f.name))
-                    .getOrElse {
-                      require(f.nullable,
-                        s"INSERT omits non-nullable column '${f.name}'")
-                      l(null).cast(f.dataType).as(f.name)
+                  .withColumn(clauseCol, clauseIdx(matchedClauses.map(_._1)))
+                val uFrames = matchedClauses.zipWithIndex.collect {
+                  case ((_, Some(body)), i) =>
+                    val rows = joined.where(c(clauseCol) === i)
+                    body match {
+                      case "*" => rows.select(schema.fieldNames.map(f =>
+                        c(s"$src.$f").as(f)).toIndexedSeq: _*)
+                      case b =>
+                        val assigns = parseAssignments(b)
+                        validateAssigns(assigns)
+                        rows.select(schema.fields.map { f =>
+                          assigns.get(f.name)
+                            .map(_.cast(f.dataType).as(f.name))
+                            .getOrElse(c(s"$name.${f.name}").as(f.name))
+                        }.toIndexedSeq: _*)
                     }
-                }.toIndexedSeq: _*)
-            }
+                }
+                val dFrames = matchedClauses.zipWithIndex.collect {
+                  case ((_, None), i) =>
+                    // delete-by-key is well-defined under duplicate
+                    // target tuples: one D row per distinct key
+                    joined.where(c(clauseCol) === i)
+                      .select(schema.fieldNames.map(f =>
+                        c(s"$name.$f").as(f)).toIndexedSeq: _*)
+                      .dropDuplicates(tKeys)
+                }
+                (uFrames.reduceOption(_ unionByName _),
+                  dFrames.reduceOption(_ unionByName _))
+              }
+            val inserted: Option[DataFrame] =
+              if (insClauses.isEmpty) None
+              else {
+                val anti = srcDf.as(src)
+                  .join(matchedKeys, tKeys, "left_anti")
+                  .withColumn(clauseCol, clauseIdx(insClauses.map(_._1)))
+                val frames = insClauses.zipWithIndex.map {
+                  case ((_, None), i) => // INSERT *
+                    anti.where(c(clauseCol) === i)
+                      .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                  case ((_, Some((colsS, valsS))), i) =>
+                    val cols = colsS.split(",").map(_.trim).toSeq
+                    val exprs = splitTopLevelCommas(valsS)
+                      .map(e => org.apache.spark.sql.functions.expr(e.trim))
+                    require(cols.nonEmpty && cols.length == exprs.length,
+                      s"INSERT column list (${cols.size}) and VALUES " +
+                        s"(${exprs.size}) must align")
+                    cols.foreach(a => require(schema.fieldNames.contains(a),
+                      s"INSERT column '$a' not in table schema " +
+                        s"${schema.fieldNames.toSeq}"))
+                    tKeys.foreach(k =>
+                      require(cols.exists(_.equalsIgnoreCase(k)),
+                        s"INSERT column list must include the MERGE " +
+                          s"key '$k'"))
+                    val byCol = cols.zip(exprs).toMap
+                    anti.where(c(clauseCol) === i)
+                      .select(schema.fields.map { f =>
+                        byCol.get(f.name)
+                          .map(_.cast(f.dataType).as(f.name))
+                          .getOrElse {
+                            require(f.nullable,
+                              s"INSERT omits non-nullable column " +
+                                s"'${f.name}'")
+                            l(null).cast(f.dataType).as(f.name)
+                          }
+                      }.toIndexedSeq: _*)
+                }
+                Some(frames.reduce(_ unionByName _))
+              }
+            val opCol = "__graft_merge_op"
             bySrcClause match {
               case None if residualRanges.nonEmpty =>
                 // replace-by-key restricted to residual-passing rows;
@@ -1102,14 +1165,27 @@ object GraftSql {
                 // through, and unmatched source rows INSERT (even when
                 // their key exists outside the residual's range — the
                 // Delta partition-bounded-merge outcome)
-                snap.mergeMatched(spark, t, tKeys, matched, inserted,
+                snap.mergeMatched(spark, t, tKeys, matchedU, inserted,
                   residualRanges, stats).version
-              case None =>
-                val updates = (matched.toSeq ++ inserted)
+              case None if matchedD.isEmpty =>
+                val updates = (matchedU.toSeq ++ inserted)
                   .reduce(_ unionByName _)
                 if (snapshotOf(spark, name).morMerge)
                   snap.upsertMOR(updates, t, tKeys, stats)
                 else snap.upsert(updates, t, tKeys, stats).version
+              case None =>
+                // a DELETE-resolved clause means the merge is a
+                // changelog: matched updates and inserts land as U
+                // ops, delete-resolved rows as D ops, one commit
+                // through the CDC machinery (CoW cost class — a
+                // row-deleting merge is inherently row-locating)
+                val changes =
+                  ((matchedU.toSeq ++ inserted)
+                    .map(_.withColumn(opCol, l("U"))) ++
+                    matchedD.toSeq.map(_.withColumn(opCol, l("D"))))
+                    .reduce(_ unionByName _)
+                snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
+                  .version
               case Some(bm) =>
                 // WHEN NOT MATCHED BY SOURCE: target rows with no
                 // source key (the ON anti-join, restricted by the
@@ -1142,7 +1218,6 @@ object GraftSql {
                     "UPDATE them via a `<key> IS NULL` predicate first " +
                     "or exclude them with AND <key> IS NOT NULL on the " +
                     "clause")
-                val opCol = "__graft_merge_op"
                 val bySrc =
                   if (bBody.equalsIgnoreCase("DELETE"))
                     // delete-by-key is well-defined under duplicate
@@ -1161,8 +1236,9 @@ object GraftSql {
                         .getOrElse(c(f.name))
                     }.toIndexedSeq: _*).withColumn(opCol, l("U"))
                   }
-                val ups = (matched.toSeq ++ inserted)
-                  .map(_.withColumn(opCol, l("U")))
+                val ups = (matchedU.toSeq ++ inserted)
+                  .map(_.withColumn(opCol, l("U"))) ++
+                  matchedD.toSeq.map(_.withColumn(opCol, l("D")))
                 val changes = (ups :+ bySrc).reduce(_ unionByName _)
                 snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
                   .version

@@ -653,17 +653,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head.getString(0) == "star")
     assert(spark.sql("SELECT payload FROM mcond_v WHERE id = 12")
       .head.getString(0) == "c-row12", "conditional SET * touched a failing row")
-    // the CDC-delete form refuses ADDITIONAL conditions loudly
+    // the CDC-delete clause now COMPOSES with additional conditional
+    // clauses (ordered multi-clause): the op='D' row deletes, nothing
+    // else moves — this used to be a refusal
     Seq((1L, 1L, "x", "D")).toDF("id", "k", "payload", "op")
       .createOrReplaceTempView("mcond_cdc")
-    val e = intercept[IllegalArgumentException] {
-      GraftSql.dml(spark,
-        """MERGE INTO mcond_v USING mcond_cdc ON mcond_v.id = mcond_cdc.id
-          |WHEN MATCHED AND mcond_cdc.op = 'D' THEN DELETE
-          |WHEN MATCHED AND mcond_v.k = 1 THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    assert(e.getMessage.contains("unconditional"), e.getMessage)
+    GraftSql.dml(spark,
+      """MERGE INTO mcond_v USING mcond_cdc ON mcond_v.id = mcond_cdc.id
+        |WHEN MATCHED AND mcond_cdc.op = 'D' THEN DELETE
+        |WHEN MATCHED AND mcond_v.k = 1 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM mcond_v WHERE id = 1")
+      .head.getLong(0) == 0L, "the op='D' row survived")
+    assert(spark.sql("SELECT count(*) FROM mcond_v").head.getLong(0) == 104L)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION adds source-only columns before merging") {
@@ -1349,7 +1351,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2 columns"), e.getMessage)
   }
 
-  test("multiple clauses of one WHEN family refuse loudly (no silent first-wins)") {
+  test("ordered multi-clause MERGE: first-match-wins, conditional DELETE, ordering enforced") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-multiclause").toAbsolutePath.toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
@@ -1357,24 +1359,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.range(0, 20).select($"id", ($"id" % 5).as("k")).coalesce(1),
       t, "append", Seq("id"))
     GraftSql.registerSnapshot(spark, "mc_v", t, None, Seq("id"))
-    spark.range(0, 5).select($"id", lit(9L).as("k"))
+    // source: matched ids 0..4 and 15..19, unmatched 20..24
+    spark.range(0, 5).select($"id")
+      .unionByName(spark.range(15, 25).select($"id"))
       .createOrReplaceTempView("mc_src")
-    // two WHEN MATCHED clauses: valid Delta (ordered first-match-wins),
-    // unsupported here — must refuse, never execute only the first
+    // three matched clauses (the last unconditional) + a conditional
+    // DELETE, two not-matched clauses — all first-match-wins, ONE
+    // commit through the changelog machinery
+    GraftSql.dml(spark,
+      """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
+        |WHEN MATCHED AND mc_v.k = 0 THEN UPDATE SET k = 100
+        |WHEN MATCHED AND mc_v.k = 1 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET k = 200
+        |WHEN NOT MATCHED AND mc_src.id < 22 THEN INSERT (id, k)
+        |  VALUES (mc_src.id, 7)
+        |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (mc_src.id, 8)
+        |""".stripMargin)
+    assert(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t)
+      .contains(2L), "multi-clause MERGE must be ONE commit")
+    // first-match-wins: id 0 (k=0) matches clause 1 AND the
+    // unconditional clause 3 — it must take 100, not 200
+    val byK = spark.sql("SELECT k, count(*) AS n FROM mc_v GROUP BY k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK.get(100L).contains(2L), s"k=100: $byK") // ids 0, 15
+    assert(byK.get(200L).contains(6L), s"k=200: $byK") // 2,3,4,17,18,19
+    assert(byK.get(7L).contains(2L), s"k=7: $byK") // inserted 20, 21
+    assert(byK.get(8L).contains(3L), s"k=8: $byK") // inserted 22..24
+    assert(spark.sql("SELECT count(*) FROM mc_v WHERE id IN (1, 16)")
+      .head.getLong(0) == 0L, "DELETE-resolved rows survived")
+    assert(spark.sql("SELECT count(*) FROM mc_v").head.getLong(0) == 23L)
+    // unmatched target rows rode through untouched
+    assert(spark.sql("SELECT count(*) FROM mc_v WHERE id BETWEEN 5 AND 14 AND k = id % 5")
+      .head.getLong(0) == 10L)
+    // ordering is enforced: an unconditional clause anywhere but last
+    // is a wall — every later clause would be dead. Refuse loudly.
     val e1 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
         """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
-          |WHEN MATCHED AND mc_v.k = 0 THEN UPDATE SET k = 100
-          |WHEN MATCHED THEN UPDATE SET k = 200""".stripMargin)
+          |WHEN MATCHED THEN UPDATE SET k = 1
+          |WHEN MATCHED AND mc_v.k = 0 THEN DELETE""".stripMargin)
     }
-    assert(e1.getMessage.contains("multiple WHEN MATCHED"), e1.getMessage)
+    assert(e1.getMessage.contains("LAST"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
         """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
-          |WHEN NOT MATCHED AND mc_src.k = 9 THEN INSERT *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (mc_src.id, 1)
+          |WHEN NOT MATCHED AND mc_src.id < 3 THEN INSERT (id, k)
+          |  VALUES (mc_src.id, 2)""".stripMargin)
     }
-    assert(e2.getMessage.contains("multiple WHEN NOT MATCHED"), e2.getMessage)
+    assert(e2.getMessage.contains("LAST"), e2.getMessage)
+    // multiple BY SOURCE clauses stay refused
     val e3 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
         """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
@@ -1383,9 +1417,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("multiple WHEN NOT MATCHED BY SOURCE"),
       e3.getMessage)
-    // the table never moved: refusals happen before any commit
+    // refusals left no commit behind
     assert(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t)
-      .contains(1L))
+      .contains(2L))
   }
 
   test("by-source MERGE refuses NULL merge keys with the actual cause") {
