@@ -339,6 +339,45 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "restore after composite delete diverged")
 
+    // residual-bounded MERGE (the partition-bounded Delta merge): the
+    // source spans EVERY bucket, but the ON residual bounds the merge
+    // to 10 of 64 — the PROBE opens only the residual's buckets (the
+    // key-interval test alone would candidate all 64, since source
+    // keys land in every file's window) and the rewrite set scales
+    // with the bounded partition, never the source span. restore()
+    // rolls the content back.
+    val vBeforeRm = SnapshotLog.latestVersion(spark, t).get
+    val rmSrc = li.where(col("l_orderkey") % 50 === 0)
+    val rmLo = 50L * width
+    val rmHi = 60L * width - 1
+    val residual = Seq(
+      SnapshotLog.ColumnRange.between("l_orderkey", rmLo, rmHi))
+    val (rmTgt, rmOpened, rmCand, _) = SnapshotLog.readSemiJoin(spark, t,
+      Seq("l_orderkey"), rmSrc, Seq("l_orderkey"), None, 10000, residual)
+    require(rmCand <= 10,
+      s"residual probe candidated $rmCand files (expected <= 10 of 64)")
+    val rmUpdates = rmTgt
+      .where(col("l_orderkey").between(rmLo, rmHi)) // row-level residual
+      .select(col("l_orderkey"),
+        (col("l_quantity") + lit(500000L)).as("l_quantity"))
+    val rmRun = timed("residual_merge_10of64") {
+      SnapshotLog.mergeMatched(spark, t, Seq("l_orderkey"),
+        Some(rmUpdates), None, residual, Seq("l_orderkey"))
+    }
+    require(rmRun._3.filesRewritten <= 10,
+      s"residual merge rewrote ${rmRun._3.filesRewritten} files " +
+        "(expected <= 10 of 64 — rewrites must scale with the bounded " +
+        "partition, not the source span)")
+    val rmHit = base.where(col("l_orderkey") % 50 === 0 &&
+      col("l_orderkey").between(rmLo, rmHi)).count()
+    require(agg(SnapshotLog.read(spark, t)) ==
+      (directBase._1, directBase._2 + 500000L * rmHit),
+      "residual merge content diverged")
+    SnapshotLog.restore(spark, t, vBeforeRm)
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "restore after residual merge diverged")
+    val _ = rmOpened // probe accounting asserted via rmCand
+
     // metadata-only schema evolution on the 63-file table: ONE manifest
     // write, zero data IO — wall-time stays in milliseconds no matter
     // how many files (or TB) the table holds, and every pre-evolution
@@ -532,6 +571,7 @@ object SnapshotScaleSmoke {
       ("compound_update_1of30", cupStats._2),
       ("upsert_mor_4buckets", upMor._2),
       ("ckdelete_mor_1bucket", ckDel._2),
+      ("residual_merge_10of64", rmRun._2),
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),

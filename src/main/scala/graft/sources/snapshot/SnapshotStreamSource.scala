@@ -26,6 +26,16 @@ import org.apache.spark.util.SerializableConfiguration
   * spark.readStream.format("graft-snapshot").option("table", path).load()
   * }}}
   *
+  * Options: `startingVersion` (offset to resume past) or
+  * `startingTimestamp` (epoch millis or 'yyyy-MM-dd[ HH:mm:ss]' UTC —
+  * serve versions committed after the instant; mutually exclusive),
+  * `maxVersionsPerTrigger` (bounded catch-up batches), `columns` (the
+  * declared projection — see below). `Trigger.AvailableNow` is
+  * supported: the drain target pins at query start and the stream
+  * self-terminates when it reaches it. The WRITE half is the V1 sink
+  * hook on this same provider ([[SnapshotSink]]):
+  * `df.writeStream.format("graft-snapshot")`.
+  *
   * Offsets are manifest VERSIONS: a micro-batch (start, end] is exactly
   * the data files present in `end`'s manifest but not `start`'s, so each
   * committed version is consumed once and only once, the checkpoint is a
@@ -328,8 +338,20 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  /** Trigger.AvailableNow: pin the catch-up TARGET at query start —
+    * the stream drains everything committed up to this version (in
+    * maxVersionsPerTrigger-bounded batches if set) and then STOPS,
+    * ignoring versions that land while it drains. The batch-style
+    * "process today's backlog and exit" face of the source.
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(committedLatest)
 
   private val table = SnapshotStreamSource.tableOf(options)
 
@@ -347,10 +369,43 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
     */
   private val startVersion: Long = {
     val sv = options.getLong("startingVersion", -1L)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv < 0 || st.isEmpty,
+      "graft-snapshot: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
     if (sv >= 0) sv
-    else if (SnapshotLog.isBranchPath(table))
-      SnapshotLog.forkMarkerVersion(SparkSession.active, table).getOrElse(0L)
-    else 0L
+    else st match {
+      case Some(raw) =>
+        // the Delta startingTimestamp role: serve every version
+        // committed AFTER the instant. The offset is "last consumed
+        // version", so it resolves to the newest version at-or-before
+        // the instant (nothing existed yet → 0 = everything).
+        // Accepts epoch millis or 'yyyy-MM-dd[ HH:mm:ss[.fff]]' (UTC —
+        // the engine's pinned session timezone).
+        val t = raw.trim
+        val millis =
+          try t.toLong
+          catch {
+            case _: NumberFormatException =>
+              val norm =
+                if (t.length == 10) t + "T00:00:00" else t.replace(' ', 'T')
+              try java.time.LocalDateTime.parse(norm)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch {
+                case e: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"cannot parse startingTimestamp '$t' — expected " +
+                      "'yyyy-MM-dd[ HH:mm:ss[.fff]]' (UTC) or epoch " +
+                      "millis", e)
+              }
+          }
+        SnapshotLog.versionAt(SparkSession.active, table, millis)
+          .getOrElse(0L)
+      case None if SnapshotLog.isBranchPath(table) =>
+        SnapshotLog.forkMarkerVersion(SparkSession.active, table)
+          .getOrElse(0L)
+      case None => 0L
+    }
   }
 
   /** Backlog admission control: cap how many committed VERSIONS one
@@ -410,9 +465,14 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s0 = start.asInstanceOf[SnapshotOffset].version
+    // under Trigger.AvailableNow the drain target was pinned at query
+    // start; otherwise chase the live head
+    val head = availableNowCap
+      .map(cap => math.min(cap, committedLatest))
+      .getOrElse(committedLatest)
     val capped = limit match {
-      case mf: ReadMaxFiles => math.min(committedLatest, s0 + mf.maxFiles())
-      case _ => committedLatest
+      case mf: ReadMaxFiles => math.min(head, s0 + mf.maxFiles())
+      case _ => head
     }
     SnapshotOffset(math.max(capped, s0))
   }

@@ -1081,6 +1081,28 @@ object GraftSql {
                     case Some(w) => w.when(ci, l(i))
                   })
               }.get
+            // per-field value of clause i, as a Column — parsed and
+            // validated ONCE per clause, then folded into a when-chain
+            // so EVERY update clause rides ONE projection over ONE
+            // scan (a per-clause frame union would re-evaluate the
+            // pruned semi-join read once per clause)
+            def whenChain(idx: Seq[Int], value: Int => Column): Column =
+              idx.foldLeft(Option.empty[Column]) { case (acc, i) =>
+                Some(acc match {
+                  case None => org.apache.spark.sql.functions
+                    .when(c(clauseCol) === i, value(i))
+                  case Some(w) => w.when(c(clauseCol) === i, value(i))
+                })
+              }.get
+            val updAssigns: Map[Int, Map[String, Column]] =
+              matchedClauses.zipWithIndex.collect {
+                case ((_, Some(b)), i) if b != "*" =>
+                  val a = parseAssignments(b); validateAssigns(a); i -> a
+              }.toMap
+            val updIdx = matchedClauses.zipWithIndex
+              .collect { case ((_, Some(_)), i) => i }
+            val delIdx = matchedClauses.zipWithIndex
+              .collect { case ((_, None), i) => i }
             val (matchedU: Option[DataFrame], matchedD: Option[DataFrame]) =
               if (matchedClauses.isEmpty) (None, None)
               else {
@@ -1090,72 +1112,66 @@ object GraftSql {
                 val joined = matchedTgt.as(name)
                   .join(srcDf.as(src), onCond)
                   .withColumn(clauseCol, clauseIdx(matchedClauses.map(_._1)))
-                val uFrames = matchedClauses.zipWithIndex.collect {
-                  case ((_, Some(body)), i) =>
-                    val rows = joined.where(c(clauseCol) === i)
-                    body match {
-                      case "*" => rows.select(schema.fieldNames.map(f =>
-                        c(s"$src.$f").as(f)).toIndexedSeq: _*)
-                      case b =>
-                        val assigns = parseAssignments(b)
-                        validateAssigns(assigns)
-                        rows.select(schema.fields.map { f =>
-                          assigns.get(f.name)
-                            .map(_.cast(f.dataType).as(f.name))
-                            .getOrElse(c(s"$name.${f.name}").as(f.name))
-                        }.toIndexedSeq: _*)
-                    }
-                }
-                val dFrames = matchedClauses.zipWithIndex.collect {
-                  case ((_, None), i) =>
-                    // delete-by-key is well-defined under duplicate
-                    // target tuples: one D row per distinct key
-                    joined.where(c(clauseCol) === i)
-                      .select(schema.fieldNames.map(f =>
-                        c(s"$name.$f").as(f)).toIndexedSeq: _*)
-                      .dropDuplicates(tKeys)
-                }
-                (uFrames.reduceOption(_ unionByName _),
-                  dFrames.reduceOption(_ unionByName _))
+                val u = if (updIdx.isEmpty) None else Some(
+                  joined.where(c(clauseCol).isin(updIdx.map(Integer.valueOf): _*))
+                    .select(schema.fields.map { f =>
+                      whenChain(updIdx, i => matchedClauses(i)._2.get match {
+                        case "*" => c(s"$src.${f.name}")
+                        case _ => updAssigns(i).get(f.name)
+                          .map(_.cast(f.dataType))
+                          .getOrElse(c(s"$name.${f.name}"))
+                      }).as(f.name)
+                    }.toIndexedSeq: _*))
+                val d = if (delIdx.isEmpty) None else Some(
+                  // delete-by-key is well-defined under duplicate
+                  // target tuples: one D row per distinct key
+                  joined.where(c(clauseCol).isin(delIdx.map(Integer.valueOf): _*))
+                    .select(schema.fieldNames.map(f =>
+                      c(s"$name.$f").as(f)).toIndexedSeq: _*)
+                    .dropDuplicates(tKeys))
+                (u, d)
               }
             val inserted: Option[DataFrame] =
               if (insClauses.isEmpty) None
               else {
+                // explicit column lists parse and validate upfront
+                val insByCol: Map[Int, Map[String, Column]] =
+                  insClauses.zipWithIndex.collect {
+                    case ((_, Some((colsS, valsS))), i) =>
+                      val cols = colsS.split(",").map(_.trim).toSeq
+                      val exprs = splitTopLevelCommas(valsS)
+                        .map(e => org.apache.spark.sql.functions.expr(e.trim))
+                      require(cols.nonEmpty && cols.length == exprs.length,
+                        s"INSERT column list (${cols.size}) and VALUES " +
+                          s"(${exprs.size}) must align")
+                      cols.foreach(a =>
+                        require(schema.fieldNames.contains(a),
+                          s"INSERT column '$a' not in table schema " +
+                            s"${schema.fieldNames.toSeq}"))
+                      tKeys.foreach(k =>
+                        require(cols.exists(_.equalsIgnoreCase(k)),
+                          s"INSERT column list must include the MERGE " +
+                            s"key '$k'"))
+                      schema.fields.foreach(f =>
+                        if (!cols.contains(f.name))
+                          require(f.nullable,
+                            s"INSERT omits non-nullable column " +
+                              s"'${f.name}'"))
+                      i -> cols.zip(exprs).toMap
+                  }.toMap
                 val anti = srcDf.as(src)
                   .join(matchedKeys, tKeys, "left_anti")
                   .withColumn(clauseCol, clauseIdx(insClauses.map(_._1)))
-                val frames = insClauses.zipWithIndex.map {
-                  case ((_, None), i) => // INSERT *
-                    anti.where(c(clauseCol) === i)
-                      .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-                  case ((_, Some((colsS, valsS))), i) =>
-                    val cols = colsS.split(",").map(_.trim).toSeq
-                    val exprs = splitTopLevelCommas(valsS)
-                      .map(e => org.apache.spark.sql.functions.expr(e.trim))
-                    require(cols.nonEmpty && cols.length == exprs.length,
-                      s"INSERT column list (${cols.size}) and VALUES " +
-                        s"(${exprs.size}) must align")
-                    cols.foreach(a => require(schema.fieldNames.contains(a),
-                      s"INSERT column '$a' not in table schema " +
-                        s"${schema.fieldNames.toSeq}"))
-                    tKeys.foreach(k =>
-                      require(cols.exists(_.equalsIgnoreCase(k)),
-                        s"INSERT column list must include the MERGE " +
-                          s"key '$k'"))
-                    val byCol = cols.zip(exprs).toMap
-                    anti.where(c(clauseCol) === i)
-                      .select(schema.fields.map { f =>
-                        byCol.get(f.name)
-                          .map(_.cast(f.dataType).as(f.name))
-                          .getOrElse {
-                            require(f.nullable,
-                              s"INSERT omits non-nullable column " +
-                                s"'${f.name}'")
-                            l(null).cast(f.dataType).as(f.name)
-                          }
-                      }.toIndexedSeq: _*)
-                }
-                Some(frames.reduce(_ unionByName _))
+                val allIdx = insClauses.indices
+                Some(anti.where(c(clauseCol).isNotNull)
+                  .select(schema.fields.map { f =>
+                    whenChain(allIdx, i => insByCol.get(i) match {
+                      case None => c(f.name) // INSERT *
+                      case Some(byCol) => byCol.get(f.name)
+                        .map(_.cast(f.dataType))
+                        .getOrElse(l(null).cast(f.dataType))
+                    }).as(f.name)
+                  }.toIndexedSeq: _*))
               }
             val opCol = "__graft_merge_op"
             bySrcClause match {

@@ -481,6 +481,84 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       "the re-declared stream lost the checkpoint or re-read history")
   }
 
+  test("startingTimestamp resolves the start offset; exclusive with startingVersion") {
+    val t = freshTable("startts")
+    SnapshotLog.commit(df(0, 40), t, "append", Seq("id"))
+    Thread.sleep(60) // separate the commit instants
+    val between = System.currentTimeMillis()
+    Thread.sleep(60)
+    SnapshotLog.commit(df(40, 70), t, "append", Seq("id"))
+    // epoch-millis between v1 and v2: only v2's rows stream
+    val q = s.readStream.format("graft-snapshot").option("table", t)
+      .option("startingTimestamp", between.toString).load()
+      .writeStream.format("memory").queryName("snap_start_ts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("snap_start_ts")
+      assert(rows.count() == 30, "startingTimestamp served the wrong versions")
+      assert(rows.agg(min(col("id"))).head.getLong(0) == 40L)
+    } finally q.stop()
+    // an instant before the table existed streams everything
+    val q2 = s.readStream.format("graft-snapshot").option("table", t)
+      .option("startingTimestamp", "2000-01-01").load()
+      .writeStream.format("memory").queryName("snap_start_ts0")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(s.table("snap_start_ts0").count() == 70)
+    } finally q2.stop()
+    // both options at once refuse loudly; garbage refuses naming the shape
+    val e = intercept[Exception] {
+      val qq = s.readStream.format("graft-snapshot").option("table", t)
+        .option("startingTimestamp", between.toString)
+        .option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName("snap_start_both").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    val e2 = intercept[Exception] {
+      val qq = s.readStream.format("graft-snapshot").option("table", t)
+        .option("startingTimestamp", "not-a-time").load()
+        .writeStream.format("memory").queryName("snap_start_bad").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e2.getMessage.contains("startingTimestamp"), e2.getMessage)
+  }
+
+  test("Trigger.AvailableNow drains the start-pinned backlog in bounded batches, then terminates") {
+    val t = freshTable("availnow")
+    val cp = freshTable("availnow-cp")
+    SnapshotLog.commit(df(0, 30), t, "append", Seq("id"))
+    SnapshotLog.commit(df(30, 50), t, "append", Seq("id"))
+    SnapshotLog.commit(df(50, 60), t, "append", Seq("id"))
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): Unit = {
+      val q = s.readStream.format("graft-snapshot").option("table", t)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) { batches.incrementAndGet(); got.addAndGet(n) }
+          ()
+        }.start()
+      assert(q.awaitTermination(120000),
+        "Trigger.AvailableNow did not self-terminate")
+    }
+    run() // drains the 3-version backlog one version per batch, stops
+    assert(got.get() == 60, s"drained ${got.get()} of 60 rows")
+    assert(batches.get() == 3,
+      s"expected 3 bounded catch-up batches, saw ${batches.get()}")
+    // a later commit is NOT consumed until the next run, which resumes
+    // from the checkpoint and drains exactly the new version
+    SnapshotLog.commit(df(60, 80), t, "append", Seq("id"))
+    run()
+    assert(got.get() == 80, s"restart drained ${got.get()} of 80 rows")
+    assert(batches.get() == 4)
+  }
+
   test("a mid-stream DROP COLUMN of a SELECTED column refuses, naming it") {
     val t = freshTable("dropused")
     SnapshotLog.commit(df(0, 10), t, "append", Seq("id"))

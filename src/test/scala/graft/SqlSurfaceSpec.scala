@@ -1282,6 +1282,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head.getLong(0) == 75L, "out-of-range matches must insert, not replace")
     assert(spark.sql("SELECT count(*) FROM mres_v WHERE ds < 3 AND v <> 0")
       .head.getLong(0) == 0L, "an out-of-range original was touched")
+    // subquery sources and residual ON conditions COMPOSE: the body
+    // plans under its alias, the residual still prunes and bounds
+    val sumBefore = spark.sql("SELECT sum(v) FROM mres_v").head.getLong(0)
+    GraftSql.dml(spark,
+      """MERGE INTO mres_v USING (
+        |  SELECT id, bump * 2 AS b2 FROM mres_src WHERE id < 50
+        |) ss ON mres_v.id = ss.id AND mres_v.ds = 3
+        |WHEN MATCHED THEN UPDATE SET v = mres_v.v + ss.b2""".stripMargin)
+    val expected = (0 until 50).filter(_ % 4 == 3).map(i => 2L * (i % 9)).sum
+    assert(spark.sql("SELECT sum(v) FROM mres_v").head.getLong(0) ==
+      sumBefore + expected, "subquery + residual composition diverged")
     // refusals: source-side residual, OR, column-vs-column, by-source
     val e1 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
