@@ -677,14 +677,14 @@ object GraftSql {
     *    the stats/Bloom-pruned semi-join read, so the build cost is
     *    the matched files, not the table.
     *  - ORDERED MULTI-CLAUSE families (the full Delta clause surface):
-    *    any number of WHEN MATCHED / WHEN NOT MATCHED clauses, applied
-    *    first-match-wins per row in statement order; every clause
-    *    except the last of its family must carry a condition (an
-    *    unconditional clause is a wall — enforced loudly). A matched
-    *    clause body may also be `DELETE` (with or without a
-    *    condition): delete-resolved rows route the whole merge through
-    *    the CDC changelog machinery as D ops in the same single
-    *    commit.
+    *    any number of WHEN MATCHED / WHEN NOT MATCHED / WHEN NOT
+    *    MATCHED BY SOURCE clauses, applied first-match-wins per row in
+    *    statement order; every clause except the last of its family
+    *    must carry a condition (an unconditional clause is a wall —
+    *    enforced loudly). A matched clause body may also be `DELETE`
+    *    (with or without a condition): delete-resolved rows route the
+    *    whole merge through the CDC changelog machinery as D ops in
+    *    the same single commit.
     *  - `MERGE INTO v USING src ON v.k = s.k AND v.ds >= '2026-08-01'
     *    WHEN ...` — residual TARGET-side range conjuncts in the ON
     *    (the partition-bounding idiom). Residual conjuncts classify
@@ -917,7 +917,11 @@ object GraftSql {
         val InsClauseRe =
           ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
             """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+?)\))\s*(?=WHEN\b|$)""").r
-        val bySrcClause = MergeBySourceRe.findFirstMatchIn(clauses)
+        // (cond, body: "DELETE" | "UPDATE SET ...") — ordered, like
+        // the other families
+        val bySrcClauses: List[(Option[String], String)] =
+          MergeBySourceRe.findAllMatchIn(clauses).map(m =>
+            (Option(m.group(1)).map(_.trim), m.group(2).trim)).toList
         val rest0 = MergeBySourceRe.replaceAllIn(clauses, " ")
         // (cond, Some(setBody)) = UPDATE; (cond, None) = DELETE
         val matchedClauses: List[(Option[String], Option[String])] =
@@ -940,8 +944,6 @@ object GraftSql {
           MatchedClauseRe.replaceAllIn(rest0, " "), " ").trim
         require(leftover.isEmpty,
           s"unrecognized MERGE clause(s): $leftover")
-        require(MergeBySourceRe.findAllMatchIn(clauses).size <= 1,
-          "multiple WHEN NOT MATCHED BY SOURCE clauses are unsupported")
         // first-match-wins makes an unconditional clause a wall: every
         // clause after it is dead. Delta's rule, enforced loudly —
         // only the LAST clause of a family may omit its condition.
@@ -956,6 +958,7 @@ object GraftSql {
           }
         requireOrdered(matchedClauses.map(_._1), "WHEN MATCHED")
         requireOrdered(insClauses.map(_._1), "WHEN NOT MATCHED")
+        requireOrdered(bySrcClauses.map(_._1), "WHEN NOT MATCHED BY SOURCE")
         val hasMatchedDelete = matchedClauses.exists(_._2.isEmpty)
         // the unconditional single SET * / INSERT * pair — the upsert
         // and schema-evolution fast-path shape
@@ -982,7 +985,7 @@ object GraftSql {
           // strategy all mask or replace by KEY alone and would
           // wrongly touch same-key rows the residual spares — refuse
           // loudly rather than approximate
-          require(!hasMatchedDelete && bySrcClause.isEmpty && !evolve,
+          require(!hasMatchedDelete && bySrcClauses.isEmpty && !evolve,
             "MERGE ON residual conditions compose with WHEN MATCHED " +
               "UPDATE / WHEN NOT MATCHED INSERT clauses only (no " +
               "DELETE clause, no BY SOURCE, no SCHEMA EVOLUTION)")
@@ -992,7 +995,7 @@ object GraftSql {
               "spare a same-key row that fails the residual")
         }
         require(matchedClauses.nonEmpty || insClauses.nonEmpty ||
-          bySrcClause.isDefined,
+          bySrcClauses.nonEmpty,
           s"MERGE needs at least one WHEN clause, got: $clauses")
         val snap = graft.sources.snapshot.SnapshotLog
         // WITH SCHEMA EVOLUTION: source-only columns ADD to the table
@@ -1003,7 +1006,7 @@ object GraftSql {
         // bodies already name their columns, so evolution there would
         // only ever add columns the statement never fills.
         if (evolve) {
-          require(bySrcClause.isEmpty && unconditionalStar,
+          require(bySrcClauses.isEmpty && unconditionalStar,
             "WITH SCHEMA EVOLUTION supports the unconditional " +
               s"UPDATE SET * / INSERT * MERGE form, got: $clauses")
           val ddl0 = snap.manifest(spark, t,
@@ -1017,9 +1020,9 @@ object GraftSql {
               ddl0 + extra.map(f => s",${f.name} ${f.dataType.sql}").mkString)
         }
         val ver = cdcOp match {
-          case Some(opc) if bySrcClause.isEmpty && residualRanges.isEmpty =>
+          case Some(opc) if bySrcClauses.isEmpty && residualRanges.isEmpty =>
             snap.applyChanges(srcDf, t, tKeys, opc, stats, -1L).version
-          case _ if unconditionalStar && bySrcClause.isEmpty &&
+          case _ if unconditionalStar && bySrcClauses.isEmpty &&
               residualRanges.isEmpty =>
             // strategy per registration: CoW rewrite vs O(batch) MOR
             if (snapshotOf(spark, name).morMerge)
@@ -1174,90 +1177,101 @@ object GraftSql {
                   }.toIndexedSeq: _*))
               }
             val opCol = "__graft_merge_op"
-            bySrcClause match {
-              case None if residualRanges.nonEmpty =>
-                // replace-by-key restricted to residual-passing rows;
-                // a same-key target row failing the residual rides
-                // through, and unmatched source rows INSERT (even when
-                // their key exists outside the residual's range — the
-                // Delta partition-bounded-merge outcome)
-                snap.mergeMatched(spark, t, tKeys, matchedU, inserted,
-                  residualRanges, stats).version
-              case None if matchedD.isEmpty =>
-                val updates = (matchedU.toSeq ++ inserted)
-                  .reduce(_ unionByName _)
-                if (snapshotOf(spark, name).morMerge)
-                  snap.upsertMOR(updates, t, tKeys, stats)
-                else snap.upsert(updates, t, tKeys, stats).version
-              case None =>
-                // a DELETE-resolved clause means the merge is a
-                // changelog: matched updates and inserts land as U
-                // ops, delete-resolved rows as D ops, one commit
-                // through the CDC machinery (CoW cost class — a
-                // row-deleting merge is inherently row-locating)
-                val changes =
-                  ((matchedU.toSeq ++ inserted)
-                    .map(_.withColumn(opCol, l("U"))) ++
-                    matchedD.toSeq.map(_.withColumn(opCol, l("D"))))
-                    .reduce(_ unionByName _)
-                snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
-                  .version
-              case Some(bm) =>
-                // WHEN NOT MATCHED BY SOURCE: target rows with no
-                // source key (the ON anti-join, restricted by the
-                // optional condition) either delete or update. This
-                // form inherently reads the target once — no file
-                // stats can prove the ABSENCE of a key — so it routes
-                // through the CDC machinery: one commit carrying the
-                // matched/inserted rows as U ops and the by-source
-                // rows as D ops (DELETE) or rewritten U ops (UPDATE).
-                val bCond = Option(bm.group(1)).map(e =>
-                  org.apache.spark.sql.functions.expr(e.trim))
-                val bBody = bm.group(2).trim
-                val unmatched0 = snap.read(spark, t).as(name)
-                  .join(srcDf.select(tKeys.map(c): _*).distinct(),
-                    tKeys, "left_anti")
-                val unmatched = bCond.fold(unmatched0)(unmatched0.where)
-                // a NULL merge key never equals any source key, so such
-                // target rows are always "not matched by source" — but
-                // the keyed change machinery cannot address them (its
-                // delete anti-join and key-uniqueness probe both skip
-                // NULLs and would misfire with a misleading duplicate-
-                // keys error). Refuse with the actual cause; rows the
-                // by-source CONDITION excludes ride through fine.
-                val nullKey = tKeys.map(c(_).isNull).reduce(_ || _)
-                require(unmatched.where(nullKey).isEmpty,
-                  s"WHEN NOT MATCHED BY SOURCE cannot act on target " +
-                    s"rows whose merge key ($tKeys) is NULL — NULL " +
-                    "never matches a source key and the keyed change " +
-                    "machinery cannot address those rows; DELETE/" +
-                    "UPDATE them via a `<key> IS NULL` predicate first " +
-                    "or exclude them with AND <key> IS NOT NULL on the " +
-                    "clause")
-                val bySrc =
-                  if (bBody.equalsIgnoreCase("DELETE"))
-                    // delete-by-key is well-defined under duplicate
-                    // target tuples: one D row per distinct key
-                    unmatched
-                      .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-                      .dropDuplicates(tKeys)
-                      .withColumn(opCol, l("D"))
-                  else {
-                    val assigns = parseAssignments(
-                      bBody.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
-                    validateAssigns(assigns)
-                    unmatched.select(schema.fields.map { f =>
-                      assigns.get(f.name)
-                        .map(_.cast(f.dataType).as(f.name))
-                        .getOrElse(c(f.name))
-                    }.toIndexedSeq: _*).withColumn(opCol, l("U"))
-                  }
-                val ups = (matchedU.toSeq ++ inserted)
+            if (bySrcClauses.isEmpty && residualRanges.nonEmpty)
+              // replace-by-key restricted to residual-passing rows;
+              // a same-key target row failing the residual rides
+              // through, and unmatched source rows INSERT (even when
+              // their key exists outside the residual's range — the
+              // Delta partition-bounded-merge outcome)
+              snap.mergeMatched(spark, t, tKeys, matchedU, inserted,
+                residualRanges, stats).version
+            else if (bySrcClauses.isEmpty && matchedD.isEmpty) {
+              val updates = (matchedU.toSeq ++ inserted)
+                .reduce(_ unionByName _)
+              if (snapshotOf(spark, name).morMerge)
+                snap.upsertMOR(updates, t, tKeys, stats)
+              else snap.upsert(updates, t, tKeys, stats).version
+            } else if (bySrcClauses.isEmpty) {
+              // a DELETE-resolved clause means the merge is a
+              // changelog: matched updates and inserts land as U
+              // ops, delete-resolved rows as D ops, one commit
+              // through the CDC machinery (CoW cost class — a
+              // row-deleting merge is inherently row-locating)
+              val changes =
+                ((matchedU.toSeq ++ inserted)
                   .map(_.withColumn(opCol, l("U"))) ++
-                  matchedD.toSeq.map(_.withColumn(opCol, l("D")))
-                val changes = (ups :+ bySrc).reduce(_ unionByName _)
-                snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
-                  .version
+                  matchedD.toSeq.map(_.withColumn(opCol, l("D"))))
+                  .reduce(_ unionByName _)
+              snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
+                .version
+            } else {
+              // WHEN NOT MATCHED BY SOURCE: target rows with no
+              // source key (the ON anti-join) resolve FIRST-MATCH-WINS
+              // across the ordered by-source clauses — rows no clause
+              // claims ride through. This form inherently reads the
+              // target once — no file stats can prove the ABSENCE of a
+              // key — so it routes through the CDC machinery: one
+              // commit carrying the matched/inserted rows as U ops and
+              // the by-source rows as D ops (DELETE) or rewritten U
+              // ops (UPDATE).
+              val bAssigns: Map[Int, Map[String, Column]] =
+                bySrcClauses.zipWithIndex.collect {
+                  case ((_, b), i) if !b.equalsIgnoreCase("DELETE") =>
+                    val a = parseAssignments(
+                      b.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+                    validateAssigns(a)
+                    i -> a
+                }.toMap
+              val bDelIdx = bySrcClauses.zipWithIndex
+                .collect { case ((_, b), i) if b.equalsIgnoreCase("DELETE") => i }
+              val bUpdIdx = bySrcClauses.indices.filterNot(bDelIdx.contains)
+              val unmatched = snap.read(spark, t).as(name)
+                .join(srcDf.select(tKeys.map(c): _*).distinct(),
+                  tKeys, "left_anti")
+                .withColumn(clauseCol, clauseIdx(bySrcClauses.map(_._1)))
+                .where(c(clauseCol).isNotNull)
+              // a NULL merge key never equals any source key, so such
+              // target rows are always "not matched by source" — but
+              // the keyed change machinery cannot address them (its
+              // delete anti-join and key-uniqueness probe both skip
+              // NULLs and would misfire with a misleading duplicate-
+              // keys error). Refuse with the actual cause; rows every
+              // by-source CONDITION excludes ride through fine.
+              val nullKey = tKeys.map(c(_).isNull).reduce(_ || _)
+              require(unmatched.where(nullKey).isEmpty,
+                s"WHEN NOT MATCHED BY SOURCE cannot act on target " +
+                  s"rows whose merge key ($tKeys) is NULL — NULL " +
+                  "never matches a source key and the keyed change " +
+                  "machinery cannot address those rows; DELETE/" +
+                  "UPDATE them via a `<key> IS NULL` predicate first " +
+                  "or exclude them with AND <key> IS NOT NULL on the " +
+                  "clause")
+              val bDel =
+                if (bDelIdx.isEmpty) None
+                else Some(unmatched
+                  .where(c(clauseCol).isin(bDelIdx.map(Integer.valueOf): _*))
+                  // delete-by-key is well-defined under duplicate
+                  // target tuples: one D row per distinct key
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                  .dropDuplicates(tKeys)
+                  .withColumn(opCol, l("D")))
+              val bUpd =
+                if (bUpdIdx.isEmpty) None
+                else Some(unmatched
+                  .where(c(clauseCol).isin(bUpdIdx.map(Integer.valueOf): _*))
+                  .select(schema.fields.map { f =>
+                    whenChain(bUpdIdx, i => bAssigns(i).get(f.name)
+                      .map(_.cast(f.dataType)).getOrElse(c(f.name)))
+                      .as(f.name)
+                  }.toIndexedSeq: _*)
+                  .withColumn(opCol, l("U")))
+              val ups = (matchedU.toSeq ++ inserted)
+                .map(_.withColumn(opCol, l("U"))) ++
+                matchedD.toSeq.map(_.withColumn(opCol, l("D")))
+              val changes = (ups ++ bUpd.toSeq ++ bDel.toSeq)
+                .reduce(_ unionByName _)
+              snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
+                .version
             }
         }
         ver

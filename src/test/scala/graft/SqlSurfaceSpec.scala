@@ -1419,18 +1419,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
           |  VALUES (mc_src.id, 2)""".stripMargin)
     }
     assert(e2.getMessage.contains("LAST"), e2.getMessage)
-    // multiple BY SOURCE clauses stay refused
+    // the BY SOURCE family is ordered multi-clause too: the
+    // conditional DELETE claims nothing here (no unmatched id < 5),
+    // the unconditional UPDATE flags the rest — one commit
+    GraftSql.dml(spark,
+      """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
+        |WHEN NOT MATCHED BY SOURCE AND mc_v.id < 5 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 0""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM mc_v WHERE id BETWEEN 5 AND 14 AND k = 0")
+      .head.getLong(0) == 10L, "the by-source cascade missed rows")
+    assert(spark.sql("SELECT count(*) FROM mc_v").head.getLong(0) == 23L,
+      "a by-source clause deleted rows its condition excludes")
+    // ordering enforced for by-source as well
     val e3 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
         """MERGE INTO mc_v USING mc_src ON mc_v.id = mc_src.id
-          |WHEN NOT MATCHED BY SOURCE AND mc_v.id < 5 THEN DELETE
-          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 0""".stripMargin)
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND mc_v.id < 5
+          |  THEN UPDATE SET k = 1""".stripMargin)
     }
-    assert(e3.getMessage.contains("multiple WHEN NOT MATCHED BY SOURCE"),
-      e3.getMessage)
-    // refusals left no commit behind
+    assert(e3.getMessage.contains("LAST"), e3.getMessage)
+    // refusals left no commit behind (the executed cascade is v3)
     assert(graft.sources.snapshot.SnapshotLog.latestVersion(spark, t)
-      .contains(2L))
+      .contains(3L))
   }
 
   test("by-source MERGE refuses NULL merge keys with the actual cause") {
