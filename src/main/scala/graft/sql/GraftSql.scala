@@ -435,7 +435,10 @@ object GraftSql {
   private val TruncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+""" +
-      """LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""").r
+      """LOCATION\s+'([^']+)'""" +
+      """(?:\s+CLUSTER\s+BY\s+(range|bucket|zorder)\s*""" +
+      """\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s+INTO\s+(\d+)\s+FILES)?""" +
+      """\s+AS\s+(SELECT\b.+)$""").r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
 
@@ -646,9 +649,13 @@ object GraftSql {
     *    nothing is read; old files become VACUUM debris), and
     *    `TRUNCATE TABLE v` → the same with zero rows, keeping the
     *    current schema — O(1) at any table size, undoable via RESTORE.
-    *  - `CREATE [OR REPLACE] TABLE name LOCATION 'path' AS SELECT ...`
-    *    → CTAS: one commit of the result at `path`, registered as a
-    *    live view `name`. Plain CREATE refuses a committed location.
+    *  - `CREATE [OR REPLACE] TABLE name LOCATION 'path' [CLUSTER BY
+    *    range|bucket|zorder(cols) INTO n FILES] AS SELECT ...`
+    *    → CTAS: the result commits at `path` and registers as a live
+    *    view `name`; with CLUSTER BY the schema lands first, the
+    *    layout declares on it, and the data commits CONFORMED in one
+    *    append (written once, already clustered; future appends
+    *    conform). Plain CREATE refuses a committed location.
     *  - `UPDATE v SET a = expr[, b = expr] WHERE <predicate>`:
     *    conjunctions → the stats-classified CoW
     *    [[graft.sources.snapshot.SnapshotLog.updateWhere]] (only files
@@ -1352,20 +1359,39 @@ object GraftSql {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
         (snap.commit(empty, t, "overwrite", stats), name)
-      case CreateTableRe(orReplace, name, loc, select) =>
+      case CreateTableRe(orReplace, name, loc, kind, clusterCols, nf,
+          select) =>
         // CTAS onto a snapshot location: one commit of the SELECT's
         // result, then the name registers as a live (unpinned) view.
         // Plain CREATE refuses an already-committed location; OR
         // REPLACE overwrites it (schema and all — same contract as
-        // INSERT OVERWRITE).
+        // INSERT OVERWRITE). With CLUSTER BY: the schema lands first
+        // (zero rows), the layout declares on it, and the data commits
+        // CONFORMED to it in one append — data written once, already
+        // clustered, future appends conform too.
         val snap = graft.sources.snapshot.SnapshotLog
         val exists = snap.latestVersion(spark, loc).isDefined
         require(orReplace != null || !exists,
           s"location '$loc' already holds a committed table " +
             "(use CREATE OR REPLACE TABLE)")
-        val ver = snap.commit(spark.sql(select), loc,
-          if (exists) "overwrite" else "append", Nil)
-        registerSnapshot(spark, name, loc)
+        val result = spark.sql(select)
+        val ver =
+          if (kind == null)
+            snap.commit(result, loc,
+              if (exists) "overwrite" else "append", Nil)
+          else {
+            val cols = clusterCols.split(",").map(_.trim).toSeq
+            val empty = spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              result.schema)
+            snap.commit(empty, loc,
+              if (exists) "overwrite" else "append", Nil)
+            snap.setLayout(spark, loc, kind.toLowerCase, cols, nf.toInt)
+            snap.commit(result, loc, "append", cols)
+          }
+        registerSnapshot(spark, name, loc, None,
+          if (kind == null) Nil
+          else clusterCols.split(",").map(_.trim).toSeq)
         (ver, name)
       case UpdateRe(name, tail) =>
         // SET clause ends at the first WHERE outside literals/comments

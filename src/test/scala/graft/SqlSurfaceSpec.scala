@@ -1325,6 +1325,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("residual"), e4.getMessage)
   }
 
+  test("CTAS with CLUSTER BY lands the data conformed; appends keep conforming") {
+    import spark.implicits._
+    val loc = java.nio.file.Paths.get("target", "sql-ctascluster")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(loc))
+    val snap = graft.sources.snapshot.SnapshotLog
+    spark.range(0, 200).select($"id", ($"id" % 9).as("v"))
+      .createOrReplaceTempView("ctc_src")
+    GraftSql.dml(spark,
+      s"""CREATE TABLE ctc_v LOCATION '$loc'
+         |CLUSTER BY range(id) INTO 4 FILES
+         |AS SELECT id, v FROM ctc_src""".stripMargin)
+    // the DATA commit conformed to the declared layout: 4 range files
+    val m = snap.manifest(spark, loc, snap.latestVersion(spark, loc).get)
+    assert(m.files.count(_.rows > 0) == 4,
+      s"CTAS data landed in ${m.files.size} files, expected 4")
+    assert(m.layout.isDefined, "CTAS did not declare the layout")
+    // range files are key-disjoint (tight intervals — prunable)
+    val spans = m.files.filter(_.rows > 0)
+      .map(_.stats("id")).map { case (a, b) =>
+        (a.toString.toLong, b.toString.toLong) }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"range files overlap: $spans")
+      case _ => ()
+    }
+    assert(spark.sql("SELECT count(*), sum(v) FROM ctc_v").head ===
+      org.apache.spark.sql.Row(200L, (0L until 200).map(_ % 9).sum))
+    // subsequent INSERT INTO conforms to the same declared layout
+    GraftSql.dml(spark,
+      "INSERT INTO ctc_v SELECT id, id % 9 AS v FROM range(200, 400)")
+    val m2 = snap.manifest(spark, loc, snap.latestVersion(spark, loc).get)
+    assert(m2.files.count(f => f.rows > 0 &&
+      f.path.contains(f"v${m2.version}%05d")) == 4,
+      "the post-CTAS append stopped conforming")
+    assert(spark.sql("SELECT count(*) FROM ctc_v").head.getLong(0) == 400L)
+  }
+
   test("tuple IN-subquery DML: composite eq-delete and keys-frame update") {
     import spark.implicits._
     val t = java.nio.file.Paths.get("target", "sql-tin").toAbsolutePath.toString
