@@ -18,7 +18,8 @@ import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
   * applyChanges / metadata-only column RENAME / merge-on-read
   * equality-delete upsert / MOR key delete / CoW range UPDATE /
   * compound-conjunction CoW DELETE and UPDATE / keys-frame CoW UPDATE /
-  * composite-TUPLE MOR delete and CoW update) run against BOTH the real
+  * composite-TUPLE MOR delete and CoW update / residual-bounded
+  * mergeMatched) run against BOTH the real
   * table and an in-memory model. After every op the table must equal
   * the model; after the sequence, every committed version must equal
   * the model's history snapshot (time travel), metadata stats must
@@ -100,7 +101,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(18)
+        val choice = if (op == 0) 0 else rnd.nextInt(19)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -111,7 +112,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17)(choice) &&
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)(choice) &&
             rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
@@ -324,6 +325,30 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
                   if (ts((r._1, r._2))) (r._1, r._2, r._3 + "&") else r)
                 history += st.version -> model
               }
+          case 18 => // residual-bounded merge (mergeMatched): source
+            // ids span the table, but only rows whose k falls in the
+            // residual band replace — same-id rows OUTSIDE the band
+            // (composite twins included) must ride through untouched
+            val ids = rnd.shuffle(model.map(_._1).distinct)
+              .take(rnd.nextInt(6))
+            val lo = rnd.nextLong(7)
+            val hi = lo + rnd.nextLong(3)
+            val idSet = ids.toSet
+            val hit = (r: Row3) =>
+              idSet(r._1) && r._2 >= lo && r._2 <= hi
+            val updates = model.filter(hit)
+              .map(r => (r._1, r._2, r._3 + "%"))
+            if (updates.nonEmpty) {
+              val st = SnapshotLog.mergeMatched(s, t, Seq(keyName),
+                Some(keyed(mkDf(updates))), None,
+                Seq(SnapshotLog.ColumnRange.between("k", lo, hi)),
+                Seq(keyName))
+              if (st.version > (history.keySet + 0L).max) {
+                model = model.map(r =>
+                  if (hit(r)) (r._1, r._2, r._3 + "%") else r)
+                history += st.version -> model
+              }
+            }
         } }
         // racer accounting: if the op committed (exactly one publish
         // attempt hit the seam), the raced history is racer at
