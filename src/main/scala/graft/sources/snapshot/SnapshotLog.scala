@@ -240,12 +240,20 @@ object SnapshotLog {
     * per-file Bloom filters for point-lookup skipping ([[readPoint]]).
     * Returns the new version.
     */
+  /** `declareLayout` declares a clustering layout IN THE SAME commit
+    * as the data — schema, layout, and files publish atomically (the
+    * CTAS .. CLUSTER BY shape: no transient window where the table is
+    * empty or layout-less, no partial state on a crash between
+    * commits). The data conforms to the declared layout as it is
+    * written; subsequent appends conform like after [[setLayout]].
+    */
   def commit(df: DataFrame, table: String, mode: String = "append",
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil): Long =
+      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil,
+      declareLayout: Option[LayoutSpec] = None): Long =
     commitAs(df, table,
       latestVersion(df.sparkSession, table).getOrElse(0L) + 1, mode,
-      statsCols, bloomCols, bloomBits, ndvCols)
+      statsCols, bloomCols, bloomBits, ndvCols, declareLayout)
 
   /** Version-pinned commit — the compare-and-swap surface: a committer
     * that read latest = N-1 publishes exactly N, and loses (with
@@ -253,7 +261,8 @@ object SnapshotLog {
     */
   def commitAs(df: DataFrame, table: String, v: Long,
       mode: String, statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil): Long = {
+      bloomBits: Int = DefaultBloomBits, ndvCols: Seq[String] = Nil,
+      declareLayout: Option[LayoutSpec] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val spark = df.sparkSession
     // an append conforms to the TABLE's schema (same columns/types,
@@ -264,13 +273,19 @@ object SnapshotLog {
     // overwrite replaces the schema AND the column mapping AND the
     // outstanding equality deletes (fresh table state); append
     // inherits all three, with new files stamped past every live seq
-    val (aligned0, ddl, phys, eqs, seq, layout) = parent match {
+    val (aligned0, ddl, phys, eqs, seq, inherited) = parent match {
       case Some(p) if mode == "append" =>
         (alignToSchema(df, p.schemaDdl), p.schemaDdl, p.physical,
           p.eqDeletes, lastSeq(p) + 1, p.layout)
       case _ => (df, df.schema.toDDL, Map.empty[String, String],
         Nil: Seq[EqDelete], 1L, None)
     }
+    // a newly declared layout validates against the schema being
+    // published and replaces whatever was inherited — same checks as
+    // [[setLayout]], one commit instead of two
+    val layout = declareLayout.orElse(inherited)
+    declareLayout.foreach(spec => validateLayout(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl), spec))
     // a declared layout conforms every append without the writer
     // re-stating it; overwrite resets layout with the rest of state
     val aligned = applyLayout(aligned0, layout)
@@ -292,7 +307,27 @@ object SnapshotLog {
     * Returns the new version.
     */
   def setLayout(spark: SparkSession, table: String, kind: String,
-      cols: Seq[String], n: Int): Long = {
+      cols: Seq[String], n: Int): Long =
+    publishMetadata(spark, table) { m =>
+      val spec = LayoutSpec(kind, cols, n)
+      validateLayout(
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl), spec)
+      Manifest(m.version + 1, m.version, "set-layout", m.schemaDdl, m.files,
+        physical = m.physical, eqDeletes = m.eqDeletes,
+        layout = Some(spec))
+    }
+
+  /** A layout the write path cannot honor must refuse at DECLARATION,
+    * not silently no-op per batch: zorder scales its dimensions into
+    * 16-bit lanes, which needs a numeric column or a string (ridden
+    * through the order-preserving ord64 surrogate —
+    * [[graft.functions.StringOrd]]); range/bucket need an
+    * ordering/hash (maps have neither). Shared by [[setLayout]] and
+    * the layout-declaring [[commitAs]].
+    */
+  private def validateLayout(schema: org.apache.spark.sql.types.StructType,
+      spec: LayoutSpec): Unit = {
+    val LayoutSpec(kind, cols, n) = spec
     require(Set("range", "bucket", "zorder")(kind),
       s"layout kind must be range|bucket|zorder, got $kind")
     require(cols.nonEmpty, "layout needs at least one column")
@@ -301,32 +336,20 @@ object SnapshotLog {
         s"beyond 4 the per-dimension resolution stops pruning), got " +
         s"${cols.size}")
     require(n >= 1, s"layout file-count target must be >= 1, got $n")
-    publishMetadata(spark, table) { m =>
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
-      // a layout the write path cannot honor must refuse HERE, not
-      // silently no-op per batch: zorder scales its dimensions into
-      // 16-bit lanes, which needs a numeric column or a string (ridden
-      // through the order-preserving ord64 surrogate —
-      // [[graft.functions.StringOrd]]); range/bucket need an
-      // ordering/hash (maps have neither)
-      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-      cols.foreach { c =>
-        val dt = byName(c)
-        if (kind == "zorder")
-          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-            dt == org.apache.spark.sql.types.StringType,
-            s"zorder layout supports numeric and string columns; '$c' is " +
-              s"${dt.simpleString} — cluster on a numeric key (or a " +
-              "precomputed numeric surrogate) instead")
-        else require(
-          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
-          s"$kind layout column '$c' has unorderable type ${dt.simpleString}")
-      }
-      Manifest(m.version + 1, m.version, "set-layout", m.schemaDdl, m.files,
-        physical = m.physical, eqDeletes = m.eqDeletes,
-        layout = Some(LayoutSpec(kind, cols, n)))
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"layout column '$c' not in table schema ${schema.fieldNames.toSeq}"))
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach { c =>
+      val dt = byName(c)
+      if (kind == "zorder")
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          dt == org.apache.spark.sql.types.StringType,
+          s"zorder layout supports numeric and string columns; '$c' is " +
+            s"${dt.simpleString} — cluster on a numeric key (or a " +
+            "precomputed numeric surrogate) instead")
+      else require(
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"$kind layout column '$c' has unorderable type ${dt.simpleString}")
     }
   }
 
@@ -1478,6 +1501,35 @@ object SnapshotLog {
     * Rows in a rewritten file whose key is absent ride through
     * unchanged. Returns None when no file may hold a match.
     */
+  /** Materialize `df` exactly once as a pinned frame (eager
+    * localCheckpoint). Every mutation path that evaluates a
+    * caller-supplied frame MORE THAN ONCE — candidacy probe then
+    * rewrite, count then sidecar write — pins it first: a lazy frame
+    * over a non-deterministic subquery re-evaluated between the two
+    * uses would silently diverge (update files the probe excluded,
+    * record keys the count never saw). localCheckpoint rather than
+    * persist: an executor loss after the pin FAILS the job instead of
+    * recomputing divergently — the correct trade for a mutation.
+    * Callers MUST release with [[unpin]] once the commit publishes.
+    */
+  private[graft] def pin(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** Release the storage blocks behind a [[pin]]ned frame. A pin is
+    * dead the moment its statement publishes, but localCheckpoint
+    * blocks are only reclaimed by GC-driven cleanup — a long DML
+    * session accumulates them until storage memory is all dead frames
+    * and the mutation queries thrash (measured: a 4.9× tail on a
+    * 232-query suite). Non-blocking; safe on any frame (only
+    * LogicalRDD leaves — what localCheckpoint produces — unpersist).
+    */
+  private[graft] def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def updateKeys(spark: SparkSession, table: String,
       keyCols: Seq[String], keys: DataFrame,
       assignments: Map[String, Column],
@@ -1499,34 +1551,35 @@ object SnapshotLog {
     // evaluation excluded. localCheckpoint materializes once (an
     // executor loss after this point fails the job rather than
     // recomputing divergently — the correct trade for a mutation).
-    val ks = keys.select(keyCols.map(col): _*)
-      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
-      .localCheckpoint(true)
-    val rewrite = statsCandidates(ks, keyCols, m.files)
-    if (rewrite.isEmpty) None
-    else {
-      val marker = "__graft_upd"
-      val joined = readFiles(spark, table, m, rewrite)
-        .join(ks.withColumn(marker, lit(1)), keyCols, "left")
-      val hit = col(marker) === 1
-      val updated = joined.select(schema.fields.map { f =>
-        assignments.get(f.name) match {
-          case Some(e) =>
-            when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }.toIndexedSeq: _*)
-      // key stats always land on the new files (same convention as
-      // upsert/applyChanges): a registration whose statsCols omit the
-      // key must not produce stat-less rewrites that defeat every
-      // subsequent mutation's tuple-interval pruning
-      val newFiles = writeData(sortForLayout(updated, m.layout), table,
-        v0 + 1, (statsCols ++ keyCols).distinct, physical = m.physical)
-      val v = publishMutation(spark, table, m, "update",
-        touched = rewrite, replacement = Nil, added = newFiles,
-        eqAdded = Nil)
-      Some(MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size))
-    }
+    val ks = pin(keys.select(keyCols.map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct())
+    try {
+      val rewrite = statsCandidates(ks, keyCols, m.files)
+      if (rewrite.isEmpty) None
+      else {
+        val marker = "__graft_upd"
+        val joined = readFiles(spark, table, m, rewrite)
+          .join(ks.withColumn(marker, lit(1)), keyCols, "left")
+        val hit = col(marker) === 1
+        val updated = joined.select(schema.fields.map { f =>
+          assignments.get(f.name) match {
+            case Some(e) =>
+              when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        // key stats always land on the new files (same convention as
+        // upsert/applyChanges): a registration whose statsCols omit the
+        // key must not produce stat-less rewrites that defeat every
+        // subsequent mutation's tuple-interval pruning
+        val newFiles = writeData(sortForLayout(updated, m.layout), table,
+          v0 + 1, (statsCols ++ keyCols).distinct, physical = m.physical)
+        val v = publishMutation(spark, table, m, "update",
+          touched = rewrite, replacement = Nil, added = newFiles,
+          eqAdded = Nil)
+        Some(MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size))
+      }
+    } finally unpin(ks)
   }
 
   /** Rel-keys of the files holding at least one row matching
@@ -1692,10 +1745,33 @@ object SnapshotLog {
     * candidacy is the tuple-interval test (a file rewrites only when
     * some update row lands inside its [min,max] window on ALL key
     * columns at once, so the conjunction only ever SHRINKS the rewrite
-    * set vs any single column alone).
+    * set vs any single column alone). Keys must be UNIQUE within the
+    * batch (probed in the same single pass as candidacy): replace-by-key
+    * is ambiguous when several source rows claim one target row — the
+    * Delta "multiple source rows matched" refusal. The merge machinery
+    * that constructs unambiguous multi-row replacement sets by design
+    * (per-row clause resolution over duplicate-key targets) goes
+    * through [[upsertRows]] instead.
     */
   def upsert(updates: DataFrame, table: String, keyCols: Seq[String],
-      statsCols: Seq[String]): MutationStats = {
+      statsCols: Seq[String]): MutationStats =
+    upsertInternal(updates, table, keyCols, statsCols, uniqueKeys = true)
+
+  /** [[upsert]] minus the key-uniqueness probe: duplicate-key rows in
+    * `updates` all land, REPLACING the key's existing rows as a set —
+    * the primitive the MERGE clause machinery needs when duplicate-key
+    * target rows each resolve to their own clause (one key's rows may
+    * map to several replacement rows). Package-private: public callers
+    * get the refusing [[upsert]], whose per-key semantics are
+    * unambiguous.
+    */
+  private[graft] def upsertRows(updates: DataFrame, table: String,
+      keyCols: Seq[String], statsCols: Seq[String]): MutationStats =
+    upsertInternal(updates, table, keyCols, statsCols, uniqueKeys = false)
+
+  private def upsertInternal(updates: DataFrame, table: String,
+      keyCols: Seq[String], statsCols: Seq[String],
+      uniqueKeys: Boolean): MutationStats = {
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"key columns must be non-empty and distinct, got $keyCols")
     val spark = updates.sparkSession
@@ -1708,11 +1784,21 @@ object SnapshotLog {
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
 
     // one pass over updates: per-file key-containment flags + row count
+    // (+ the key-uniqueness probe, in the same aggregation — no extra
+    // pass)
     val checks = containmentChecks(m.files, keyCols)
-    val probe = aligned.agg(count(lit(1)).cast("long").as("__n"), checks: _*).head
+    val head = Seq(count(lit(1)).cast("long").as("__n"),
+      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
+        .cast("long").as("__nk"))
+    val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
     if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
+    require(!uniqueKeys || probe.getLong(1) == probe.getLong(0),
+      "duplicate keys in upsert batch — multiple source rows matched " +
+        "and would modify the same target row in conflicting ways; " +
+        "pre-aggregate the source to one row per key (latest-wins: " +
+        "operators.CdcMerge)")
     val touched = m.files.indices
-      .filter(i => !probe.isNullAt(i + 1) && probe.getInt(i + 1) == 1).toSet
+      .filter(i => !probe.isNullAt(i + 2) && probe.getInt(i + 2) == 1).toSet
     val (rewrite, kept) = m.files.zipWithIndex.partition(p => touched(p._2))
 
     val v = v0 + 1
@@ -1750,43 +1836,53 @@ object SnapshotLog {
       residual: Seq[ColumnRange], statsCols: Seq[String]): MutationStats = {
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"key columns must be non-empty and distinct, got $keyCols")
-    require(residual.nonEmpty,
-      "mergeMatched requires residual conjuncts — use upsert otherwise")
     val v0 = latestVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $table"))
     val m = manifest(spark, table, v0)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-    validateConjuncts(residual, schema)
+    if (residual.nonEmpty) validateConjuncts(residual, schema)
     val aligned = (updates.toSeq ++ inserts.toSeq).map { df =>
       require(df.columns.toSet == schema.fieldNames.toSet,
         s"merge columns ${df.columns.toSeq} != table ${schema.fieldNames.toSeq}")
       df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
-    val cand0 = m.files.filter(f => !residual.exists(statsExclude(f, _)))
+    // an empty residual is the "inserts never drive a rewrite" upsert:
+    // replace-by-key applies to the update keys only, and insert rows
+    // append blind — a same-key target row the merge proved UNMATCHED
+    // (e.g. its only source rows failed a source-side ON conjunct)
+    // rides through next to the inserted row, where [[upsert]]'s
+    // all-keys anti-join would wrongly drop it
+    val cand0 =
+      if (residual.isEmpty) m.files
+      else m.files.filter(f => !residual.exists(statsExclude(f, _)))
     // pinned: candidacy and the marker join below must see the same
     // key set (updates is lazy over the source frame — see updateKeys)
-    val updKeys = updates.map(_.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint(true))
-    val rewrite = updKeys.map(statsCandidates(_, keyCols, cand0))
-      .getOrElse(Nil)
-    if (rewrite.isEmpty && aligned.forall(_.isEmpty))
-      return MutationStats(v0, m.files.size, 0, 0)
-    val marker = "__graft_mrg"
-    // a rewritten file's row is dropped iff its key matches an update
-    // AND the residual holds — null-safe so NULL keys/residual values
-    // always ride through
-    val existing = if (rewrite.isEmpty) None else Some(
-      readFiles(spark, table, m, rewrite)
-        .join(updKeys.get.withColumn(marker, lit(1)), keyCols, "left")
-        .where(!(((col(marker) === 1) &&
-          (rangePredicate(residual) <=> true)) <=> true))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
-    val out = (existing.toSeq ++ aligned).reduce(_ unionByName _)
-    val newFiles = writeData(sortForLayout(out, m.layout), table, v0 + 1,
-      (statsCols ++ keyCols).distinct, physical = m.physical)
-    val v = publishMutation(spark, table, m, "upsert",
-      touched = rewrite, replacement = Nil, added = newFiles, eqAdded = Nil)
-    MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size)
+    val updKeys = updates.map(u =>
+      pin(u.select(keyCols.map(col): _*).distinct()))
+    try {
+      val rewrite = updKeys.map(statsCandidates(_, keyCols, cand0))
+        .getOrElse(Nil)
+      if (rewrite.isEmpty && aligned.forall(_.isEmpty))
+        return MutationStats(v0, m.files.size, 0, 0)
+      val marker = "__graft_mrg"
+      // a rewritten file's row is dropped iff its key matches an update
+      // AND the residual holds — null-safe so NULL keys/residual values
+      // always ride through
+      val residualHolds =
+        if (residual.isEmpty) lit(true)
+        else rangePredicate(residual) <=> true
+      val existing = if (rewrite.isEmpty) None else Some(
+        readFiles(spark, table, m, rewrite)
+          .join(updKeys.get.withColumn(marker, lit(1)), keyCols, "left")
+          .where(!(((col(marker) === 1) && residualHolds) <=> true))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      val out = (existing.toSeq ++ aligned).reduce(_ unionByName _)
+      val newFiles = writeData(sortForLayout(out, m.layout), table, v0 + 1,
+        (statsCols ++ keyCols).distinct, physical = m.physical)
+      val v = publishMutation(spark, table, m, "upsert",
+        touched = rewrite, replacement = Nil, added = newFiles, eqAdded = Nil)
+      MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size)
+    } finally updKeys.foreach(unpin)
   }
 
   /** The row-level predicate of an AND-of-ranges conjunction — public
@@ -1823,7 +1919,29 @@ object SnapshotLog {
     */
   def applyChanges(changes: DataFrame, table: String, keyCols: Seq[String],
       opCol: String, statsCols: Seq[String],
-      epoch: Long): MutationStats = {
+      epoch: Long): MutationStats =
+    applyChangesInternal(changes, table, keyCols, opCol, statsCols, epoch,
+      uniqueKeys = true)
+
+  /** [[applyChanges]] minus the key-uniqueness probe — the MERGE clause
+    * machinery's changelog primitive: duplicate-key U rows REPLACE the
+    * key's existing rows as a set (per-row clause resolution over
+    * duplicate-key targets yields several survivors per key), and the
+    * CALLER guarantees no key carries both a U and a D op (the
+    * machinery constructs them disjoint: a key deletes only when every
+    * one of its rows resolved to DELETE). Package-private; public CDC
+    * appliers get the refusing [[applyChanges]], where a duplicate key
+    * really is an unresolved changelog.
+    */
+  private[graft] def applyChangesRows(changes: DataFrame, table: String,
+      keyCols: Seq[String], opCol: String, statsCols: Seq[String],
+      epoch: Long): MutationStats =
+    applyChangesInternal(changes, table, keyCols, opCol, statsCols, epoch,
+      uniqueKeys = false)
+
+  private def applyChangesInternal(changes: DataFrame, table: String,
+      keyCols: Seq[String], opCol: String, statsCols: Seq[String],
+      epoch: Long, uniqueKeys: Boolean): MutationStats = {
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"key columns must be non-empty and distinct, got $keyCols")
     val spark = changes.sparkSession
@@ -1850,7 +1968,7 @@ object SnapshotLog {
     val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
     if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
     require(probe.getInt(2) == 0, s"op column '$opCol' has values outside {U, D}")
-    require(probe.getLong(1) == probe.getLong(0),
+    require(!uniqueKeys || probe.getLong(1) == probe.getLong(0),
       "duplicate keys in change batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val touched = m.files.indices
@@ -1907,6 +2025,18 @@ object SnapshotLog {
   def upsertMOR(updates: DataFrame, table: String, keyCols: Seq[String],
       statsCols: Seq[String]): Long =
     upsertMORInternal(updates, table, keyCols, statsCols, -1L)
+
+  /** [[upsertMOR]] minus the key-uniqueness probe — see [[upsertRows]]:
+    * duplicate-key rows all land as the key's replacement SET (the
+    * eq-delete masks every old row of the key; the new files carry all
+    * survivors). For the MERGE clause machinery, whose per-row clause
+    * resolution legitimately produces several rows per duplicate-key
+    * target; public CDC ingest keeps the refusing [[upsertMOR]].
+    */
+  private[graft] def upsertMORRows(updates: DataFrame, table: String,
+      keyCols: Seq[String], statsCols: Seq[String]): Long =
+    upsertMORInternal(updates, table, keyCols, statsCols, -1L,
+      uniqueKeys = false)
 
   /** Exactly-once STREAMING CDC ingestion — the `foreachBatch` body
     * for a continuously-upserted snapshot table:
@@ -1989,7 +2119,8 @@ object SnapshotLog {
   }
 
   private def upsertMORInternal(updates: DataFrame, table: String,
-      keyCols: Seq[String], statsCols: Seq[String], epoch: Long): Long = {
+      keyCols: Seq[String], statsCols: Seq[String], epoch: Long,
+      uniqueKeys: Boolean = true): Long = {
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"key columns must be non-empty and distinct, got $keyCols")
     val spark = updates.sparkSession
@@ -2004,7 +2135,7 @@ object SnapshotLog {
       countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
         .cast("long")).head
     if (probe.getLong(0) == 0L) return v0
-    require(probe.getLong(1) == probe.getLong(0),
+    require(!uniqueKeys || probe.getLong(1) == probe.getLong(0),
       "duplicate keys in MOR upsert batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val v = v0 + 1
@@ -2052,15 +2183,16 @@ object SnapshotLog {
     // pinned before the count: the sidecar write below re-evaluates
     // the frame, and a non-deterministic subquery could otherwise
     // record a DIFFERENT key set than the one counted (see updateKeys)
-    val ks = keys.select(keyCols.map(col): _*)
-      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
-      .localCheckpoint(true)
-    val n = ks.count()
-    if (n == 0L) return None
-    val eq = writeEqKeys(spark, table, v0 + 1, ks,
-      keyCols.map(physName(m, _)), n, lastSeq(m) + 1)
-    Some(publishMutation(spark, table, m, "delete-keys-mor",
-      touched = Nil, replacement = Nil, added = Nil, eqAdded = Seq(eq)))
+    val ks = pin(keys.select(keyCols.map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct())
+    try {
+      val n = ks.count()
+      if (n == 0L) return None
+      val eq = writeEqKeys(spark, table, v0 + 1, ks,
+        keyCols.map(physName(m, _)), n, lastSeq(m) + 1)
+      Some(publishMutation(spark, table, m, "delete-keys-mor",
+        touched = Nil, replacement = Nil, added = Nil, eqAdded = Seq(eq)))
+    } finally unpin(ks)
   }
 
   /** Land a distinct key set as an equality-delete sidecar directory

@@ -377,11 +377,14 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
     else st match {
       case Some(raw) =>
         // the Delta startingTimestamp role: serve every version
-        // committed AFTER the instant. The offset is "last consumed
-        // version", so it resolves to the newest version at-or-before
-        // the instant (nothing existed yet → 0 = everything).
-        // Accepts epoch millis or 'yyyy-MM-dd[ HH:mm:ss[.fff]]' (UTC —
-        // the engine's pinned session timezone).
+        // committed AT OR AFTER the instant (inclusive — Delta's
+        // contract). The offset is "last consumed version", so it
+        // resolves to the newest version STRICTLY BEFORE the instant
+        // (versionAt(millis - 1); a commit stamped exactly at the
+        // instant is served, never skipped; nothing existed yet → 0 =
+        // everything). Accepts epoch millis or
+        // 'yyyy-MM-dd[ HH:mm:ss[.fff]]' (UTC — the engine's pinned
+        // session timezone).
         val t = raw.trim
         val millis =
           try t.toLong
@@ -399,7 +402,7 @@ class SnapshotMicroBatchStream(requiredSchema: StructType,
                       "millis", e)
               }
           }
-        SnapshotLog.versionAt(SparkSession.active, table, millis)
+        SnapshotLog.versionAt(SparkSession.active, table, millis - 1)
           .getOrElse(0L)
       case None if SnapshotLog.isBranchPath(table) =>
         SnapshotLog.forkMarkerVersion(SparkSession.active, table)

@@ -419,10 +419,21 @@ object GraftSql {
 
   // ---- DML over snapshot views ------------------------------------------
 
+  /** A table/view reference anywhere a DML statement names one:
+    * a plain identifier, a dotted multi-part name (`db.t` — resolves
+    * against the registration catalog and, for MERGE sources, the
+    * session catalog, so `global_temp.v` works), or a backticked name
+    * (dots and dashes inside are data). Normalized by [[normName]]
+    * before catalog lookup.
+    */
+  private val NamePat = """(?:`[^`]+`|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"""
+
+  private def normName(s: String): String = s.replace("`", "")
+
   private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*$""".r
+    (s"""(?is)^\\s*DELETE\\s+FROM\\s+($NamePat)\\s+WHERE\\s+(.+?)\\s*$$""").r
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.+)$""".r
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($NamePat)\\s+(SELECT\\b.+)$$""").r
   private val DeleteInSubqueryRe =
     """(?is)^\s*(\w+)\s+IN\s*\(\s*(SELECT\b.+)\)\s*$""".r
   // tuple form: `WHERE (a, b) IN (SELECT ...)` — subquery columns
@@ -431,16 +442,17 @@ object GraftSql {
     ("""(?is)^\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s+IN\s*""" +
       """\(\s*(SELECT\b.+)\)\s*$""").r
   private val InsertOverwriteRe =
-    """(?is)^\s*INSERT\s+OVERWRITE\s+(\w+)\s+(SELECT\b.+)$""".r
-  private val TruncateRe = """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+    (s"""(?is)^\\s*INSERT\\s+OVERWRITE\\s+($NamePat)\\s+(SELECT\\b.+)$$""").r
+  private val TruncateRe =
+    (s"""(?is)^\\s*TRUNCATE\\s+TABLE\\s+($NamePat)\\s*$$""").r
   private val CreateTableRe =
-    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+""" +
+    (s"""(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($NamePat)\\s+""" +
       """LOCATION\s+'([^']+)'""" +
       """(?:\s+CLUSTER\s+BY\s+(range|bucket|zorder)\s*""" +
       """\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s+INTO\s+(\d+)\s+FILES)?""" +
       """\s+AS\s+(SELECT\b.+)$""").r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
+    (s"""(?is)^\\s*UPDATE\\s+($NamePat)\\s+SET\\s+(.+)$$""").r
 
   /** Split on TOP-LEVEL commas: commas inside parentheses or string
     * literals ('' and backslash escapes honored — a raw per-quote
@@ -563,48 +575,90 @@ object GraftSql {
     if (crs.isEmpty) fail(where)
     crs
   }
+  // target and source may each carry an `[AS] alias` (the Delta MERGE
+  // shape); the negative lookaheads keep the keywords USING/ON from
+  // being eaten as aliases. The statement is matched against its
+  // literal-MASKED form ([[maskLiterals]]) so an ON literal containing
+  // " WHEN " never mis-splits the clause tail.
   private val MergeRe =
-    ("""(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+""" +
-      """(\w+)\s+USING\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s.+)$""").r
+    (s"""(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+""" +
+      s"($NamePat)" + """(?:\s+(?:AS\s+)?((?!USING\b)[A-Za-z_]\w*))?""" +
+      s"""\\s+USING\\s+($NamePat)""" +
+      """(?:\s+(?:AS\s+)?((?!ON\b)[A-Za-z_]\w*))?""" +
+      """\s+ON\s+(.+?)\s+(WHEN\s.+)$""").r
   // the subquery-source form: `USING (SELECT ...) [AS] alias` — the
   // head regex stops at the opening paren; the body is cut by a
   // balanced-paren scan that treats literal/comment spans as data
   private val MergeSubqueryHeadRe =
-    ("""(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+""" +
-      """(\w+)\s+USING\s*\(""").r
+    (s"""(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+""" +
+      s"($NamePat)" + """(?:\s+(?:AS\s+)?((?!USING\b)[A-Za-z_]\w*))?""" +
+      """\s+USING\s*\(""").r
   private val MergeSubqueryTailRe =
     """(?is)^\s*(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s.+)$""".r
-  private val MergeOnPairRe =
-    """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
   private val MergeBySourceRe =
     ("""(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+""" +
       """THEN\s+(DELETE|UPDATE\s+SET\s+.+?)\s*(?=WHEN\b|$)""").r
-  private val OptimizeRe = """(?is)^\s*OPTIMIZE\s+(\w+)\s*(.*?)\s*$""".r
+  private val OptimizeRe =
+    (s"""(?is)^\\s*OPTIMIZE\\s+($NamePat)\\s*(.*?)\\s*$$""").r
   private val OptimizeWhereRe = """(?is)^WHERE\s+(.+)$""".r
   private val OptimizeZorderRe =
     """(?is)^ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)$""".r
-  private val VacuumRe = """(?is)^\s*VACUUM\s+(\w+)\s*$""".r
+  private val VacuumRe = (s"""(?is)^\\s*VACUUM\\s+($NamePat)\\s*$$""").r
   private val RestoreVersionRe =
-    """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+    (s"""(?is)^\\s*RESTORE\\s+TABLE\\s+($NamePat)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$$""").r
   private val RestoreTimestampRe =
-    """(?is)^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)\s*$""".r
+    (s"""(?is)^\\s*RESTORE\\s+TABLE\\s+($NamePat)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+('(?:[^']|'')*'|\\d+)\\s*$$""").r
   private val AddConstraintRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*$$""").r
   private val DropConstraintRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*$$""").r
   private val AlterClusterRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s+""" +
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+CLUSTER\\s+BY\\s+""" +
       """(range|bucket|zorder)\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)""" +
       """\s+INTO\s+(\d+)\s+FILES\s*$""").r
   private val AlterClusterNoneRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+CLUSTER\s+BY\s+NONE\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+CLUSTER\\s+BY\\s+NONE\\s*$$""").r
   private val AlterRenameRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*$$""").r
   private val AlterDropRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*$$""").r
   private val AlterAddRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\(?\s*""" +
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($NamePat)\\s+ADD\\s+COLUMNS?\\s*\\(?\\s*""" +
       """(\w+)\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\)?\s*$""").r
+
+  /** `s` with every string-literal/quoted-identifier span replaced by
+    * a \u0001 fill and every comment span by spaces — SAME LENGTH as
+    * the input, so regex match offsets computed on the mask index
+    * directly into the original text. The fill can never form a
+    * keyword (\u0001 is neither a word char nor whitespace, so a
+    * masked literal also never glues two keywords together), which
+    * makes keyword-splitting regexes literal-safe: a WHEN / THEN / AND
+    * inside a quoted string is data, exactly as the subquery splitter
+    * already treats it.
+    */
+  private def maskLiterals(s: String): String = {
+    val arr = s.toCharArray
+    literalSpans(s).foreach { case (a, b) =>
+      val fill =
+        if (s.charAt(a) == '\'' || s.charAt(a) == '"') '\u0001' else ' '
+      var i = a
+      while (i < b) { arr(i) = fill; i += 1 }
+    }
+    new String(arr)
+  }
+
+  /** `s` with the given half-open spans blanked to spaces (length
+    * preserved) — how consumed clauses are removed from the masked and
+    * original texts IN PARALLEL, keeping their offsets aligned.
+    */
+  private def blankSpans(s: String, spans: Seq[(Int, Int)]): String = {
+    val arr = s.toCharArray
+    spans.foreach { case (a, b) =>
+      var i = a
+      while (i < b) { arr(i) = ' '; i += 1 }
+    }
+    new String(arr)
+  }
 
   private def sqlLiteral(s: String): Any = {
     val t = s.trim
@@ -786,7 +840,7 @@ object GraftSql {
     * multi-statement injection shape) refuses.
     */
   private def parseMergeSubquery(statement: String)
-      : Option[(Boolean, String, String, String, String, String)] = {
+      : Option[(Boolean, String, String, String, String, String, String)] = {
     val head = MergeSubqueryHeadRe.findPrefixMatchOf(statement)
       .getOrElse(return None)
     val spans = literalSpans(statement)
@@ -812,41 +866,75 @@ object GraftSql {
         !bodySpans.exists(sp => j >= sp._1 && j < sp._2)),
       "MERGE USING (...) subquery must be one statement — a top-level " +
         "';' in the source body refuses (no statement smuggling)")
-    statement.substring(i) match {
-      case MergeSubqueryTailRe(alias, onExpr, clauses) =>
-        Some((head.group(1) != null, head.group(2), alias, body, onExpr,
-          clauses))
-      case other => throw new IllegalArgumentException(
+    val tgt = normName(head.group(2))
+    val tgtAlias = Option(head.group(3)).getOrElse(tgt)
+    // the ON / WHEN split runs on the literal-MASKED tail (offsets are
+    // alignment-preserving), so an ON literal containing " WHEN " is
+    // data, same as inside the subquery body
+    val tail = statement.substring(i)
+    MergeSubqueryTailRe.findFirstMatchIn(maskLiterals(tail)) match {
+      case Some(mm) =>
+        def g(k: Int) = tail.substring(mm.start(k), mm.end(k))
+        Some((head.group(1) != null, tgt, tgtAlias, g(1), body, g(2), g(3)))
+      case None => throw new IllegalArgumentException(
         "cannot parse MERGE USING (...) tail — expected `[AS] alias ON " +
-          s"<cond> WHEN ...`, got: $other")
+          s"<cond> WHEN ...`, got: $tail")
     }
   }
 
   /** The MERGE execution shared by the bare-view and subquery source
-    * forms — `src` is the source's ALIAS (what the ON pairs and clause
-    * bodies qualify columns with), `srcDf` the resolved source frame.
-    * See [[dml]] for the full clause grammar and semantics.
+    * forms — `tgtAlias` / `src` are the TARGET and SOURCE aliases
+    * (what the ON pairs and clause bodies qualify columns with; the
+    * target alias defaults to the view name), `srcDf0` the resolved
+    * source frame. See [[dml]] for the full clause grammar and
+    * semantics.
+    *
+    * Execution discipline: the source frame is PINNED (materialized
+    * exactly once — [[graft.sources.snapshot.SnapshotLog.pin]]) before
+    * anything probes it, so a non-deterministic source cannot diverge
+    * between the candidacy probe and the rewrite, and the many
+    * downstream uses (semi-join probe, clause joins, insert anti-join,
+    * the mutation's own containment probe) re-read storage blocks
+    * instead of re-evaluating the plan. Every pin is released once the
+    * statement returns — a DML session never accumulates dead blocks.
+    *
+    * Duplicate keys are handled per Delta semantics: a target key's
+    * rows each resolve INDEPENDENTLY to the first clause whose
+    * condition holds; rows no clause claims ride through even when a
+    * same-key sibling rewrites (they are carried through the
+    * replace-by-key machinery as unchanged rows), and a key deletes
+    * only when EVERY one of its rows resolved to DELETE. Multiple
+    * SOURCE rows resolving against the same matched key refuse loudly
+    * (Delta's "multiple source rows matched" error).
     */
   private def execMerge(spark: SparkSession, evolve: Boolean, name: String,
-      src: String, srcDf: DataFrame, onExpr: String,
+      tgtAlias: String, src: String, srcDf0: DataFrame, onExpr: String,
       clauses: String): Long = {
         val (t, stats) = mutableSnapshotOf(spark, name)
+        require(!tgtAlias.equalsIgnoreCase(src),
+          s"MERGE target and source aliases must differ, got '$tgtAlias' " +
+            "for both sides")
         // ON is an AND-conjunction of equi-key pairs (one key or a
         // COMPOSITE key; each pair binds the same-named column on both
         // sides — the upsert machinery keys the shared name) plus
-        // OPTIONAL target-side residual range conjuncts
-        // (`AND v.ds >= '2026-08-01'` — the partition-bounding idiom:
-        // residual conjuncts prune candidate files exactly like DML
-        // conjunctions AND restrict the match predicate, so semantics
-        // stay exact). Parsed sequentially, never split on a raw AND
-        // regex — a literal containing " AND " stays data.
+        // OPTIONAL residual range conjuncts on EITHER side:
+        // `AND v.ds >= '2026-08-01'` (target-side — prunes candidate
+        // files exactly like DML conjunctions AND restricts the match
+        // predicate) or `AND s.ds >= 3` (source-side — restricts which
+        // source rows can MATCH; rows failing it are NOT MATCHED and
+        // still insert, the Delta outcome). Parsed sequentially, never
+        // split on a raw AND regex — a literal containing " AND "
+        // stays data. Alias tokens must start with a letter/underscore
+        // so a decimal literal (`t.v = 1.5`) parses as a residual
+        // comparison, not a malformed equi-pair.
         val OnPairPrefixRe =
-          """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+          """(?s)^\s*([A-Za-z_]\w*)\.(\w+)\s*=\s*([A-Za-z_]\w*)\.(\w+)\s*""".r
         val OnCmpPrefixRe =
-          """(?is)^\s*(\w+)\.(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']|'')*'|[^\s'()]+)\s*""".r
+          """(?is)^\s*([A-Za-z_]\w*)\.(\w+)\s*(<=|>=|=|<|>)\s*('(?:[^']|'')*'|[^\s'()]+)\s*""".r
         val OnAndPrefixRe = """(?is)^AND\s+""".r
         val pairB = Seq.newBuilder[String]
         val resB = Seq.newBuilder[ColumnRange]
+        val srcResB = Seq.newBuilder[ColumnRange]
         var onRest: CharSequence = onExpr.trim
         var onFirst = true
         while (onRest.length() > 0) {
@@ -861,11 +949,11 @@ object GraftSql {
               val (a1, k1, a2, k2) =
                 (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
               val (tAlias, tKey, sAlias, sKey) =
-                if (a1.equalsIgnoreCase(name)) (a1, k1, a2, k2)
+                if (a1.equalsIgnoreCase(tgtAlias)) (a1, k1, a2, k2)
                 else (a2, k2, a1, k1)
-              require(tAlias.equalsIgnoreCase(name) &&
+              require(tAlias.equalsIgnoreCase(tgtAlias) &&
                 sAlias.equalsIgnoreCase(src),
-                s"MERGE ON must join $name to $src, got $a1.$k1 = $a2.$k2")
+                s"MERGE ON must join $tgtAlias to $src, got $a1.$k1 = $a2.$k2")
               require(tKey.equalsIgnoreCase(sKey),
                 s"MERGE key must match on both sides, got $tKey vs $sKey")
               pairB += tKey
@@ -874,39 +962,47 @@ object GraftSql {
               case Some(mm) =>
                 val (alias, colName, op, litS) =
                   (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
-                require(!alias.equalsIgnoreCase(src),
-                  "MERGE ON residual conditions must be TARGET-side " +
-                    s"($name.<col> <op> <literal>) — bound the source " +
-                    "inside its own subquery/view instead, got: " +
-                    mm.matched.trim)
-                require(alias.equalsIgnoreCase(name),
+                require(alias.equalsIgnoreCase(tgtAlias) ||
+                  alias.equalsIgnoreCase(src),
                   s"MERGE ON residual condition references unknown " +
-                    s"alias '$alias' (target is $name): ${mm.matched.trim}")
-                require(!litS.matches("""(?s)\w+\.\w+"""),
-                  "MERGE ON residual conditions compare a target " +
-                    "column to a LITERAL — a column reference " +
+                    s"alias '$alias' (target is $tgtAlias, source is " +
+                    s"$src): ${mm.matched.trim}")
+                require(!litS.matches("""(?s)[A-Za-z_]\w*\.\w+"""),
+                  "MERGE ON residual conditions compare a column " +
+                    "to a LITERAL — a column reference " +
                     s"('$litS') is not a prunable range: ${mm.matched.trim}")
                 val vLit = sqlLiteral(litS)
-                resB += (op match {
-                  case "=" => ColumnRange.eq(colName, vLit)
-                  case "<" => ColumnRange(colName, None, Some(vLit),
+                def range(cn: String) = op match {
+                  case "=" => ColumnRange.eq(cn, vLit)
+                  case "<" => ColumnRange(cn, None, Some(vLit),
                     hiStrict = true)
-                  case "<=" => ColumnRange(colName, None, Some(vLit))
-                  case ">" => ColumnRange(colName, Some(vLit), None,
+                  case "<=" => ColumnRange(cn, None, Some(vLit))
+                  case ">" => ColumnRange(cn, Some(vLit), None,
                     loStrict = true)
-                  case ">=" => ColumnRange(colName, Some(vLit), None)
-                })
+                  case ">=" => ColumnRange(cn, Some(vLit), None)
+                }
+                if (alias.equalsIgnoreCase(src)) {
+                  val actual = srcDf0.columns
+                    .find(_.equalsIgnoreCase(colName)).getOrElse(
+                      throw new IllegalArgumentException(
+                        s"MERGE ON source-side residual column " +
+                          s"'$colName' not in source columns " +
+                          s"${srcDf0.columns.toSeq}"))
+                  srcResB += range(actual)
+                } else resB += range(colName)
                 onRest = onRest.subSequence(mm.end, onRest.length())
               case None => throw new IllegalArgumentException(
                 "cannot parse MERGE ON conjunct — expected " +
-                  s"alias.col = alias.col (equi-key pair) or $name.col " +
-                  s"</<=/=/>=/> literal (target-side residual): $onRest")
+                  s"alias.col = alias.col (equi-key pair) or " +
+                  s"$tgtAlias.col/$src.col </<=/=/>=/> literal " +
+                  s"(residual): $onRest")
             }
           }
           onFirst = false
         }
         val tKeys: Seq[String] = pairB.result()
         val residualRanges: Seq[ColumnRange] = resB.result()
+        val srcRanges: Seq[ColumnRange] = srcResB.result()
         require(tKeys.nonEmpty,
           s"MERGE ON needs at least one equi-key pair, got: $onExpr")
         require(tKeys.distinct == tKeys,
@@ -915,40 +1011,52 @@ object GraftSql {
         // any number of `WHEN MATCHED [AND cond] THEN UPDATE SET
         // <*|assignments> | DELETE` and `WHEN NOT MATCHED [AND cond]
         // THEN INSERT <*|(cols) VALUES (exprs)>` clauses, applied
-        // FIRST-MATCH-WINS per row in statement order. The BY SOURCE
-        // clause is stripped first so its body and AND-condition never
-        // bleed into the lazy captures.
+        // FIRST-MATCH-WINS per row in statement order. The split runs
+        // over the literal-MASKED clause text ([[maskLiterals]] —
+        // offsets align with the original), so a WHEN/THEN inside a
+        // string literal is data; the BY SOURCE clauses are blanked
+        // first so their bodies never bleed into the lazy captures.
         val MatchedClauseRe =
           ("""(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
             """(UPDATE\s+SET\s+(\*|.+?)|DELETE)\s*(?=WHEN\b|$)""").r
         val InsClauseRe =
           ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
             """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+?)\))\s*(?=WHEN\b|$)""").r
+        val cMask = maskLiterals(clauses)
+        def grp(text: String, m: scala.util.matching.Regex.Match,
+            k: Int): Option[String] =
+          if (m.start(k) < 0) None
+          else Some(text.substring(m.start(k), m.end(k)))
+        val bySrcMatches = MergeBySourceRe.findAllMatchIn(cMask).toList
         // (cond, body: "DELETE" | "UPDATE SET ...") — ordered, like
         // the other families
         val bySrcClauses: List[(Option[String], String)] =
-          MergeBySourceRe.findAllMatchIn(clauses).map(m =>
-            (Option(m.group(1)).map(_.trim), m.group(2).trim)).toList
-        val rest0 = MergeBySourceRe.replaceAllIn(clauses, " ")
+          bySrcMatches.map(m => (grp(clauses, m, 1).map(_.trim),
+            grp(clauses, m, 2).get.trim))
+        val bySrcSpans = bySrcMatches.map(m => (m.start, m.end))
+        val rest0 = blankSpans(clauses, bySrcSpans)
+        val rest0Mask = blankSpans(cMask, bySrcSpans)
+        val mMatches = MatchedClauseRe.findAllMatchIn(rest0Mask).toList
         // (cond, Some(setBody)) = UPDATE; (cond, None) = DELETE
         val matchedClauses: List[(Option[String], Option[String])] =
-          MatchedClauseRe.findAllMatchIn(rest0).map { m =>
-            val body = m.group(2).trim
-            (Option(m.group(1)).map(_.trim),
+          mMatches.map { m =>
+            val body = grp(rest0, m, 2).get.trim
+            (grp(rest0, m, 1).map(_.trim),
               if (body.equalsIgnoreCase("DELETE")) None
-              else Some(m.group(3).trim))
-          }.toList
+              else Some(grp(rest0, m, 3).get.trim))
+          }
+        val iMatches = InsClauseRe.findAllMatchIn(rest0Mask).toList
         // (cond, Some((cols, vals))) = explicit; (cond, None) = INSERT *
         val insClauses: List[(Option[String], Option[(String, String)])] =
-          InsClauseRe.findAllMatchIn(rest0).map { m =>
-            (Option(m.group(1)).map(_.trim),
-              if (m.group(2).trim == "*") None
-              else Some((m.group(3), m.group(4))))
-          }.toList
+          iMatches.map { m =>
+            (grp(rest0, m, 1).map(_.trim),
+              if (grp(rest0Mask, m, 2).get.trim == "*") None
+              else Some((grp(rest0, m, 3).get, grp(rest0, m, 4).get)))
+          }
         // every clause must be consumed by a recognized grammar — an
         // unparsed WHEN is a refusal, never a silently ignored clause
-        val leftover = InsClauseRe.replaceAllIn(
-          MatchedClauseRe.replaceAllIn(rest0, " "), " ").trim
+        val leftover = blankSpans(rest0,
+          (mMatches ++ iMatches).map(m => (m.start, m.end))).trim
         require(leftover.isEmpty,
           s"unrecognized MERGE clause(s): $leftover")
         // first-match-wins makes an unconditional clause a wall: every
@@ -985,13 +1093,14 @@ object GraftSql {
               insClauses.head._2.isEmpty => Some(opc)
           case _ => None
         }
-        if (residualRanges.nonEmpty) {
+        if (residualRanges.nonEmpty || srcRanges.nonEmpty) {
           // the residual path routes matched rows through mergeMatched
-          // (replace-by-key restricted to residual-passing rows); the
-          // DELETE / by-source / evolution forms and the MOR eq-delete
-          // strategy all mask or replace by KEY alone and would
-          // wrongly touch same-key rows the residual spares — refuse
-          // loudly rather than approximate
+          // (replace-by-key restricted to residual-passing rows,
+          // inserts appended blind); the DELETE / by-source /
+          // evolution forms and the MOR eq-delete strategy all mask or
+          // replace by KEY alone and would wrongly touch same-key rows
+          // the residual spares (or rows the merge proved unmatched) —
+          // refuse loudly rather than approximate
           require(!hasMatchedDelete && bySrcClauses.isEmpty && !evolve,
             "MERGE ON residual conditions compose with WHEN MATCHED " +
               "UPDATE / WHEN NOT MATCHED INSERT clauses only (no " +
@@ -1020,53 +1129,65 @@ object GraftSql {
             snap.latestVersion(spark, t).get).schemaDdl
           val have = org.apache.spark.sql.types.StructType.fromDDL(ddl0)
             .fieldNames.map(_.toLowerCase).toSet
-          val extra = srcDf.schema.fields
+          val extra = srcDf0.schema.fields
             .filterNot(f => have(f.name.toLowerCase))
           if (extra.nonEmpty)
             snap.evolveSchema(spark, t,
               ddl0 + extra.map(f => s",${f.name} ${f.dataType.sql}").mkString)
         }
+        // pin the source ONCE per statement (all parsing/validation is
+        // done — nothing below may re-evaluate the caller's plan), and
+        // release every pin when the statement returns
+        val srcDf = snap.pin(srcDf0)
+        val pins = scala.collection.mutable.ArrayBuffer[DataFrame](srcDf)
+        try {
         val ver = cdcOp match {
-          case Some(opc) if bySrcClauses.isEmpty && residualRanges.isEmpty =>
+          case Some(opc) if bySrcClauses.isEmpty && residualRanges.isEmpty &&
+              srcRanges.isEmpty =>
             snap.applyChanges(srcDf, t, tKeys, opc, stats, -1L).version
           case _ if unconditionalStar && bySrcClauses.isEmpty &&
-              residualRanges.isEmpty =>
+              residualRanges.isEmpty && srcRanges.isEmpty =>
             // strategy per registration: CoW rewrite vs O(batch) MOR
             if (snapshotOf(spark, name).morMerge)
               snap.upsertMOR(srcDf, t, tKeys, stats)
             else snap.upsert(srcDf, t, tKeys, stats).version
           case _ =>
             // Explicit bodies, per-clause conditions, and ORDERED
-            // multi-clause families: build the full-row updates frame
-            // and feed the keyed machinery. MATCHED rows come from the
-            // stats/Bloom-pruned semi-join read (only files whose
-            // windows may hold a source key are opened — at 100 TB
-            // the join cost is the matched files, not the table); each
-            // matched row resolves to the FIRST clause whose condition
-            // holds (a when-chain in statement order), rows resolving
-            // to no clause ride through, and DELETE-resolved rows
-            // route the whole merge through the CDC changelog
-            // machinery as D ops. NOT MATCHED rows anti-join the
-            // source against the matched keys (bounded by the batch)
-            // and resolve first-match-wins the same way.
+            // multi-clause families: resolve every matched pair to the
+            // FIRST clause whose condition holds (a when-chain in
+            // statement order), project each row's OUTPUT values in
+            // the same pass, and pin the result — one stats/Bloom-
+            // pruned semi-join read feeds every downstream op (at
+            // 100 TB the join cost is the matched files, not the
+            // table). Rows resolving to no clause ride; under
+            // duplicate-key targets a riding row whose key a resolved
+            // sibling rewrites is CARRIED through unchanged, and a key
+            // deletes only when every one of its rows resolved to
+            // DELETE — the per-row Delta semantics expressed through
+            // keyed replace machinery.
             val schema = org.apache.spark.sql.types.StructType.fromDDL(
               snap.manifest(spark, t,
                 snap.latestVersion(spark, t).get).schemaDdl)
+            import org.apache.spark.sql.functions.{col => c, lit => l}
+            // source-side residual: rows failing it can match nothing
+            // (they are still NOT MATCHED and insert); null-safe so a
+            // NULL residual value is non-matchable, like in a join
+            val srcResidualHolds: Column =
+              if (srcRanges.isEmpty) l(true)
+              else snap.rangeExpr(srcRanges) <=> true
+            val srcMatchable =
+              if (srcRanges.isEmpty) srcDf else srcDf.where(srcResidualHolds)
             // residual ON conjuncts prune the probe's candidate FILES
             // (stats classification, like DML) and then restrict the
             // matched rows at row level with the same predicate
             val (matchedTgt0, _, _, _) =
-              snap.readSemiJoin(spark, t, tKeys, srcDf, tKeys, None,
+              snap.readSemiJoin(spark, t, tKeys, srcMatchable, tKeys, None,
                 10000, residualRanges)
             val matchedTgt =
               if (residualRanges.isEmpty) matchedTgt0
               else matchedTgt0.where(snap.rangeExpr(residualRanges))
-            val matchedKeys = matchedTgt
-              .select(tKeys.map(org.apache.spark.sql.functions.col): _*)
-              .distinct()
-            import org.apache.spark.sql.functions.{col => c, lit => l}
             def onCond = tKeys.map(k =>
-              c(s"$name.$k") === c(s"$src.$k")).reduce(_ && _)
+              c(s"$tgtAlias.$k") === c(s"$src.$k")).reduce(_ && _)
             def validateAssigns(assigns: Map[String, Column]): Unit = {
               assigns.keys.foreach(a =>
                 require(schema.fieldNames.contains(a),
@@ -1077,6 +1198,8 @@ object GraftSql {
                 s"UPDATE SET may not reassign a MERGE key ($tKeys)")
             }
             val clauseCol = "__graft_clause"
+            val srcIdCol = "__graft_src_id"
+            val tgtIdCol = "__graft_tgt_id"
             // index of the first clause whose condition holds — a
             // when-chain in statement order; null = no clause (ride)
             def clauseIdx(conds: List[Option[String]]): Column =
@@ -1096,12 +1219,13 @@ object GraftSql {
             // so EVERY update clause rides ONE projection over ONE
             // scan (a per-clause frame union would re-evaluate the
             // pruned semi-join read once per clause)
-            def whenChain(idx: Seq[Int], value: Int => Column): Column =
+            def whenChain(clause: Column, idx: Seq[Int],
+                value: Int => Column): Column =
               idx.foldLeft(Option.empty[Column]) { case (acc, i) =>
                 Some(acc match {
                   case None => org.apache.spark.sql.functions
-                    .when(c(clauseCol) === i, value(i))
-                  case Some(w) => w.when(c(clauseCol) === i, value(i))
+                    .when(clause === i, value(i))
+                  case Some(w) => w.when(clause === i, value(i))
                 })
               }.get
             val updAssigns: Map[Int, Map[String, Column]] =
@@ -1113,33 +1237,136 @@ object GraftSql {
               .collect { case ((_, Some(_)), i) => i }
             val delIdx = matchedClauses.zipWithIndex
               .collect { case ((_, None), i) => i }
-            val (matchedU: Option[DataFrame], matchedD: Option[DataFrame]) =
-              if (matchedClauses.isEmpty) (None, None)
+            // every matched (target row, source row) pair with its
+            // resolved clause and the row's OUTPUT values (update
+            // clauses project their assignments, everything else the
+            // original target row) — pinned: one semi-join read feeds
+            // the ops, the ambiguity probe, and the insert anti-join.
+            // Both sides carry a ROW ID (assigned once — the pin
+            // freezes them): the source id drives the ambiguity
+            // refusal, the target id collapses a target row's several
+            // pairs to its single per-row outcome.
+            val resolvedOpt: Option[DataFrame] =
+              if (matchedClauses.isEmpty) None
               else {
-                // conditions may reference both sides, so resolve over
-                // the aliased join; each matched TARGET row yields one
-                // output row (duplicate-key targets update per row)
-                val joined = matchedTgt.as(name)
-                  .join(srcDf.as(src), onCond)
-                  .withColumn(clauseCol, clauseIdx(matchedClauses.map(_._1)))
-                val u = if (updIdx.isEmpty) None else Some(
-                  joined.where(c(clauseCol).isin(updIdx.map(Integer.valueOf): _*))
-                    .select(schema.fields.map { f =>
-                      whenChain(updIdx, i => matchedClauses(i)._2.get match {
-                        case "*" => c(s"$src.${f.name}")
-                        case _ => updAssigns(i).get(f.name)
-                          .map(_.cast(f.dataType))
-                          .getOrElse(c(s"$name.${f.name}"))
-                      }).as(f.name)
-                    }.toIndexedSeq: _*))
-                val d = if (delIdx.isEmpty) None else Some(
-                  // delete-by-key is well-defined under duplicate
-                  // target tuples: one D row per distinct key
-                  joined.where(c(clauseCol).isin(delIdx.map(Integer.valueOf): _*))
-                    .select(schema.fieldNames.map(f =>
-                      c(s"$name.$f").as(f)).toIndexedSeq: _*)
-                    .dropDuplicates(tKeys))
-                (u, d)
+                val clauseExpr = clauseIdx(matchedClauses.map(_._1))
+                def outField(f: org.apache.spark.sql.types.StructField)
+                    : Column = {
+                  val orig = c(s"$tgtAlias.${f.name}")
+                  if (updIdx.isEmpty) orig
+                  else whenChain(clauseExpr, updIdx,
+                    i => matchedClauses(i)._2.get match {
+                      case "*" => c(s"$src.${f.name}")
+                      case _ => updAssigns(i).get(f.name)
+                        .map(_.cast(f.dataType)).getOrElse(orig)
+                    }).otherwise(orig)
+                }
+                val r = snap.pin(matchedTgt.withColumn(tgtIdCol,
+                    org.apache.spark.sql.functions
+                      .monotonically_increasing_id()).as(tgtAlias)
+                  .join(srcMatchable.withColumn(srcIdCol,
+                    org.apache.spark.sql.functions
+                      .monotonically_increasing_id()).as(src), onCond)
+                  .select((schema.fields.map(f => outField(f).as(f.name))
+                    .toSeq :+ clauseExpr.as(clauseCol) :+
+                    c(s"$src.$srcIdCol").as(srcIdCol) :+
+                    c(s"$tgtAlias.$tgtIdCol").as(tgtIdCol)): _*))
+                pins += r
+                Some(r)
+              }
+            // Delta's "multiple source rows matched" refusal: two
+            // DISTINCT source rows resolving clauses against the same
+            // key would modify the same target row in conflicting
+            // ways. Clause conditions disambiguate (a pair no clause
+            // claims modifies nothing); the probe is one aggregation
+            // over the pinned pairs.
+            resolvedOpt.foreach { r =>
+              val amb = r.where(c(clauseCol).isNotNull)
+                .groupBy(tKeys.map(c): _*)
+                .agg(org.apache.spark.sql.functions
+                  .countDistinct(c(srcIdCol)).as("__ns"))
+                .where(c("__ns") > 1)
+              require(amb.isEmpty,
+                "MERGE: multiple source rows matched and attempted to " +
+                  "modify the same target row — deduplicate the source " +
+                  "on the merge key (or disambiguate with clause " +
+                  "conditions)")
+            }
+            val matchedKeys = resolvedOpt match {
+              case Some(r) => r.select(tKeys.map(c): _*).distinct()
+              case None => matchedTgt.select(tKeys.map(c): _*).distinct()
+            }
+            // per-key clause resolution under duplicate-key rows: U
+            // rows = update-resolved rows PLUS riding rows whose key a
+            // resolved sibling rewrites (carried through unchanged —
+            // replace-by-key would otherwise drop them); D rows = one
+            // per key whose EVERY row resolved to DELETE (any survivor
+            // turns the key's outcome into "replace with the survivor
+            // set"). One window over the pinned rows, bounded by the
+            // matched set.
+            def splitRowOps(resolved: DataFrame, updIdxs: Seq[Int],
+                delIdxs: Seq[Int])
+                : (Option[DataFrame], Option[DataFrame]) = {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(tKeys.map(c): _*)
+              val isUpd = if (updIdxs.isEmpty) l(false)
+                else c(clauseCol).isin(updIdxs.map(Integer.valueOf): _*)
+              val isDel = if (delIdxs.isEmpty) l(false)
+                else c(clauseCol).isin(delIdxs.map(Integer.valueOf): _*)
+              val isRider = c(clauseCol).isNull
+              val ann = resolved
+                .withColumn("__graft_k_resolved",
+                  org.apache.spark.sql.functions.max(
+                    org.apache.spark.sql.functions
+                      .when(c(clauseCol).isNotNull, 1).otherwise(0))
+                    .over(w))
+                .withColumn("__graft_k_survivor",
+                  org.apache.spark.sql.functions.max(
+                    org.apache.spark.sql.functions
+                      .when(isUpd || isRider, 1).otherwise(0)).over(w))
+              val u = Some(
+                ann.where(isUpd ||
+                    (isRider && c("__graft_k_resolved") === 1))
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*))
+              val d = if (delIdxs.isEmpty) None else Some(
+                ann.where(isDel && c("__graft_k_survivor") === 0)
+                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                  .dropDuplicates(tKeys))
+              (u, d)
+            }
+            val anyMatchedCond = matchedClauses.exists(_._1.isDefined)
+            val (matchedU: Option[DataFrame], matchedD: Option[DataFrame]) =
+              resolvedOpt match {
+                case None => (None, None)
+                case Some(r) if !anyMatchedCond =>
+                  // a single unconditional clause: every pair resolves
+                  // and the ambiguity probe has already refused
+                  // duplicate-source keys, so pairs ARE per-target-row
+                  // outcomes — the window passes are skipped
+                  val rows =
+                    r.select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                  if (delIdx.isEmpty) (Some(rows), None)
+                  else (None, Some(rows.dropDuplicates(tKeys)))
+                case Some(r) =>
+                  // collapse a target row's pairs to its single
+                  // outcome: the resolved pair if any (after the
+                  // ambiguity refusal there is at most one), else ONE
+                  // rider representative (every pair of a riding row
+                  // projects the same original values) — without this,
+                  // a target row matched by one resolving and one
+                  // non-resolving source row would land twice
+                  val wT = org.apache.spark.sql.expressions.Window
+                    .partitionBy(c(tgtIdCol))
+                  val annT = r.withColumn("__graft_t_resolved",
+                    org.apache.spark.sql.functions.max(
+                      org.apache.spark.sql.functions
+                        .when(c(clauseCol).isNotNull, 1).otherwise(0))
+                      .over(wT))
+                  val reps = annT.where(c(clauseCol).isNotNull)
+                    .unionByName(annT.where(c(clauseCol).isNull &&
+                        c("__graft_t_resolved") === 0)
+                      .dropDuplicates(tgtIdCol))
+                  splitRowOps(reps, updIdx, delIdx)
               }
             val inserted: Option[DataFrame] =
               if (insClauses.isEmpty) None
@@ -1169,133 +1396,167 @@ object GraftSql {
                               s"'${f.name}'"))
                       i -> cols.zip(exprs).toMap
                   }.toMap
-                val anti = srcDf.as(src)
-                  .join(matchedKeys, tKeys, "left_anti")
+                // a source row is NOT MATCHED iff no target row
+                // satisfies the full ON with it: matchable rows
+                // anti-join the matched keys; rows failing a
+                // source-side residual can match nothing and are
+                // not-matched OUTRIGHT (they insert even when their
+                // key exists in the target — Delta's outcome)
+                val antiMatchable =
+                  srcMatchable.join(matchedKeys, tKeys, "left_anti")
+                val antiAll =
+                  if (srcRanges.isEmpty) antiMatchable
+                  else antiMatchable.unionByName(
+                    srcDf.where(!srcResidualHolds))
+                val anti = antiAll.as(src)
                   .withColumn(clauseCol, clauseIdx(insClauses.map(_._1)))
                 val allIdx = insClauses.indices
                 Some(anti.where(c(clauseCol).isNotNull)
                   .select(schema.fields.map { f =>
-                    whenChain(allIdx, i => insByCol.get(i) match {
-                      case None => c(f.name) // INSERT *
-                      case Some(byCol) => byCol.get(f.name)
-                        .map(_.cast(f.dataType))
-                        .getOrElse(l(null).cast(f.dataType))
-                    }).as(f.name)
+                    whenChain(c(clauseCol), allIdx,
+                      i => insByCol.get(i) match {
+                        case None => c(f.name) // INSERT *
+                        case Some(byCol) => byCol.get(f.name)
+                          .map(_.cast(f.dataType))
+                          .getOrElse(l(null).cast(f.dataType))
+                      }).as(f.name)
                   }.toIndexedSeq: _*))
               }
+            // WHEN NOT MATCHED BY SOURCE: target rows with no
+            // (matchable) source key resolve FIRST-MATCH-WINS across
+            // the ordered by-source clauses, with the same per-row
+            // discipline as the matched family — riders sharing a key
+            // with a resolved sibling carry, a key deletes only when
+            // all its rows resolved to DELETE. The form inherently
+            // reads the target once — no file stats can prove the
+            // ABSENCE of a key — so the frame pins: the NULL-key
+            // refusal probe, the U rows, and the D rows all read ONE
+            // materialization of the anti-join, never three
+            // evaluations of it.
+            val (bUpd: Option[DataFrame], bDel: Option[DataFrame]) =
+              if (bySrcClauses.isEmpty) (None, None)
+              else {
+                val bAssigns: Map[Int, Map[String, Column]] =
+                  bySrcClauses.zipWithIndex.collect {
+                    case ((_, b), i) if !b.equalsIgnoreCase("DELETE") =>
+                      val a = parseAssignments(
+                        b.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+                      validateAssigns(a)
+                      i -> a
+                  }.toMap
+                val bDelIdx = bySrcClauses.zipWithIndex
+                  .collect { case ((_, b), i)
+                    if b.equalsIgnoreCase("DELETE") => i }
+                val bUpdIdx = bySrcClauses.indices
+                  .filterNot(bDelIdx.contains)
+                val bClauseExpr = clauseIdx(bySrcClauses.map(_._1))
+                def bOutField(f: org.apache.spark.sql.types.StructField)
+                    : Column = {
+                  val orig = c(s"$tgtAlias.${f.name}")
+                  if (bUpdIdx.isEmpty) orig
+                  else whenChain(bClauseExpr, bUpdIdx,
+                    i => bAssigns(i).get(f.name)
+                      .map(_.cast(f.dataType)).getOrElse(orig))
+                    .otherwise(orig)
+                }
+                val unmatched = snap.pin(snap.read(spark, t).as(tgtAlias)
+                  .join(srcMatchable.select(tKeys.map(c): _*).distinct(),
+                    tKeys, "left_anti")
+                  .select((schema.fields.map(f => bOutField(f).as(f.name))
+                    .toSeq :+ bClauseExpr.as(clauseCol)): _*))
+                pins += unmatched
+                // a NULL merge key never equals any source key, so such
+                // target rows are always "not matched by source" — but
+                // the keyed change machinery cannot address them (its
+                // delete anti-join and key-uniqueness probe both skip
+                // NULLs and would misfire with a misleading duplicate-
+                // keys error). Refuse with the actual cause; rows every
+                // by-source CONDITION excludes ride through fine.
+                val nullKey = tKeys.map(c(_).isNull).reduce(_ || _)
+                require(unmatched
+                    .where(c(clauseCol).isNotNull && nullKey).isEmpty,
+                  s"WHEN NOT MATCHED BY SOURCE cannot act on target " +
+                    s"rows whose merge key ($tKeys) is NULL — NULL " +
+                    "never matches a source key and the keyed change " +
+                    "machinery cannot address those rows; DELETE/" +
+                    "UPDATE them via a `<key> IS NULL` predicate first " +
+                    "or exclude them with AND <key> IS NOT NULL on the " +
+                    "clause")
+                val anyBCond = bySrcClauses.exists(_._1.isDefined)
+                if (!anyBCond) {
+                  val rows = unmatched
+                    .select(schema.fieldNames.map(c).toIndexedSeq: _*)
+                  if (bDelIdx.isEmpty) (Some(rows), None)
+                  else (None, Some(rows.dropDuplicates(tKeys)))
+                } else splitRowOps(unmatched, bUpdIdx, bDelIdx)
+              }
             val opCol = "__graft_merge_op"
-            if (bySrcClauses.isEmpty && residualRanges.nonEmpty)
-              // replace-by-key restricted to residual-passing rows;
-              // a same-key target row failing the residual rides
-              // through, and unmatched source rows INSERT (even when
-              // their key exists outside the residual's range — the
-              // Delta partition-bounded-merge outcome)
+            if (bySrcClauses.isEmpty &&
+                (residualRanges.nonEmpty || srcRanges.nonEmpty))
+              // replace-by-key restricted to residual-passing rows
+              // (exactly the update keys when the residual is
+              // source-side only); inserts never drive a rewrite, so
+              // an unmatched source row INSERTS even when its key
+              // exists outside the residual's reach — the Delta
+              // bounded-merge outcome
               snap.mergeMatched(spark, t, tKeys, matchedU, inserted,
                 residualRanges, stats).version
             else if (bySrcClauses.isEmpty && matchedD.isEmpty) {
               val updates = (matchedU.toSeq ++ inserted)
                 .reduce(_ unionByName _)
+              // upsertRows / upsertMORRows, not upsert: per-row clause
+              // resolution legitimately yields several replacement
+              // rows per key (duplicate-key targets); source-side
+              // ambiguity was already refused above
               if (snapshotOf(spark, name).morMerge)
-                snap.upsertMOR(updates, t, tKeys, stats)
-              else snap.upsert(updates, t, tKeys, stats).version
-            } else if (bySrcClauses.isEmpty) {
-              // a DELETE-resolved clause means the merge is a
-              // changelog: matched updates and inserts land as U
-              // ops, delete-resolved rows as D ops, one commit
-              // through the CDC machinery (CoW cost class — a
-              // row-deleting merge is inherently row-locating)
-              val changes =
-                ((matchedU.toSeq ++ inserted)
-                  .map(_.withColumn(opCol, l("U"))) ++
-                  matchedD.toSeq.map(_.withColumn(opCol, l("D"))))
-                  .reduce(_ unionByName _)
-              snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
-                .version
+                snap.upsertMORRows(updates, t, tKeys, stats)
+              else snap.upsertRows(updates, t, tKeys, stats).version
             } else {
-              // WHEN NOT MATCHED BY SOURCE: target rows with no
-              // source key (the ON anti-join) resolve FIRST-MATCH-WINS
-              // across the ordered by-source clauses — rows no clause
-              // claims ride through. This form inherently reads the
-              // target once — no file stats can prove the ABSENCE of a
-              // key — so it routes through the CDC machinery: one
-              // commit carrying the matched/inserted rows as U ops and
-              // the by-source rows as D ops (DELETE) or rewritten U
-              // ops (UPDATE).
-              val bAssigns: Map[Int, Map[String, Column]] =
-                bySrcClauses.zipWithIndex.collect {
-                  case ((_, b), i) if !b.equalsIgnoreCase("DELETE") =>
-                    val a = parseAssignments(
-                      b.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
-                    validateAssigns(a)
-                    i -> a
-                }.toMap
-              val bDelIdx = bySrcClauses.zipWithIndex
-                .collect { case ((_, b), i) if b.equalsIgnoreCase("DELETE") => i }
-              val bUpdIdx = bySrcClauses.indices.filterNot(bDelIdx.contains)
-              val unmatched = snap.read(spark, t).as(name)
-                .join(srcDf.select(tKeys.map(c): _*).distinct(),
-                  tKeys, "left_anti")
-                .withColumn(clauseCol, clauseIdx(bySrcClauses.map(_._1)))
-                .where(c(clauseCol).isNotNull)
-              // a NULL merge key never equals any source key, so such
-              // target rows are always "not matched by source" — but
-              // the keyed change machinery cannot address them (its
-              // delete anti-join and key-uniqueness probe both skip
-              // NULLs and would misfire with a misleading duplicate-
-              // keys error). Refuse with the actual cause; rows every
-              // by-source CONDITION excludes ride through fine.
-              val nullKey = tKeys.map(c(_).isNull).reduce(_ || _)
-              require(unmatched.where(nullKey).isEmpty,
-                s"WHEN NOT MATCHED BY SOURCE cannot act on target " +
-                  s"rows whose merge key ($tKeys) is NULL — NULL " +
-                  "never matches a source key and the keyed change " +
-                  "machinery cannot address those rows; DELETE/" +
-                  "UPDATE them via a `<key> IS NULL` predicate first " +
-                  "or exclude them with AND <key> IS NOT NULL on the " +
-                  "clause")
-              val bDel =
-                if (bDelIdx.isEmpty) None
-                else Some(unmatched
-                  .where(c(clauseCol).isin(bDelIdx.map(Integer.valueOf): _*))
-                  // delete-by-key is well-defined under duplicate
-                  // target tuples: one D row per distinct key
-                  .select(schema.fieldNames.map(c).toIndexedSeq: _*)
-                  .dropDuplicates(tKeys)
-                  .withColumn(opCol, l("D")))
-              val bUpd =
-                if (bUpdIdx.isEmpty) None
-                else Some(unmatched
-                  .where(c(clauseCol).isin(bUpdIdx.map(Integer.valueOf): _*))
-                  .select(schema.fields.map { f =>
-                    whenChain(bUpdIdx, i => bAssigns(i).get(f.name)
-                      .map(_.cast(f.dataType)).getOrElse(c(f.name)))
-                      .as(f.name)
-                  }.toIndexedSeq: _*)
-                  .withColumn(opCol, l("U")))
-              val ups = (matchedU.toSeq ++ inserted)
-                .map(_.withColumn(opCol, l("U"))) ++
-                matchedD.toSeq.map(_.withColumn(opCol, l("D")))
-              val changes = (ups ++ bUpd.toSeq ++ bDel.toSeq)
-                .reduce(_ unionByName _)
-              snap.applyChanges(changes, t, tKeys, opCol, stats, -1L)
+              // a DELETE-resolved clause or a by-source family means
+              // the merge is a changelog: one commit through the CDC
+              // machinery (CoW cost class — row-deleting/row-locating
+              // work). U and D keys are disjoint by construction: a
+              // key only deletes when it has NO survivor.
+              val ups = (matchedU.toSeq ++ inserted ++ bUpd.toSeq)
+                .map(_.withColumn(opCol, l("U")))
+              val dels = (matchedD.toSeq ++ bDel.toSeq)
+                .map(_.withColumn(opCol, l("D")))
+              val changes = (ups ++ dels).reduce(_ unionByName _)
+              snap.applyChangesRows(changes, t, tKeys, opCol, stats, -1L)
                 .version
             }
         }
         ver
+        } finally pins.foreach(snap.unpin)
   }
 
   def dml(spark: SparkSession, statement: String): Long = {
     // every match arm binds the TARGET VIEW NAME from its own capture
-    // group — the repoint below reuses it, never a re-parse
+    // group (normalized — backticks stripped) — the repoint below
+    // reuses it, never a re-parse. The bare-view MERGE is matched
+    // against its literal-MASKED text so an ON literal containing
+    // " WHEN " never mis-splits; group offsets index the original.
     val (v, name) = parseMergeSubquery(statement) match {
-      case Some((evolve, tgt, alias, body, onExpr, clauses)) =>
+      case Some((evolve, tgt, tgtAlias, alias, body, onExpr, clauses)) =>
         // the subquery evaluates lazily inside the merge — Catalyst
         // plans it like any other source frame (windows, joins, CTEs
         // all compose); its alias scopes the ON pairs and clause bodies
-        (execMerge(spark, evolve, tgt, alias, spark.sql(body).as(alias),
-          onExpr, clauses), tgt)
+        (execMerge(spark, evolve, tgt, tgtAlias, alias,
+          spark.sql(body).as(alias), onExpr, clauses), tgt)
+      case None => MergeRe.findFirstMatchIn(maskLiterals(statement)) match {
+      case Some(m) =>
+        def g(k: Int): Option[String] =
+          if (m.start(k) < 0) None
+          else Some(statement.substring(m.start(k), m.end(k)))
+        val tgt = normName(g(2).get)
+        val tgtAlias = g(3).getOrElse(tgt)
+        val srcName = normName(g(4).get)
+        val srcAlias = g(5).getOrElse(srcName)
+        (execMerge(spark, g(1).isDefined, tgt, tgtAlias, srcAlias,
+          spark.table(srcName).as(srcAlias), g(6).get, g(7).get), tgt)
       case None => statement match {
-      case DeleteRe(name, where) =>
+      case DeleteRe(name0, where) =>
+        val name = normName(name0)
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
         // three cost classes, all exact: a conjunction grammar →
@@ -1333,11 +1594,13 @@ object GraftSql {
           }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
-      case InsertRe(name, select) =>
+      case InsertRe(name0, select) =>
+        val name = normName(name0)
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
           .commit(spark.sql(select), t, "append", stats), name)
-      case InsertOverwriteRe(name, select) =>
+      case InsertOverwriteRe(name0, select) =>
+        val name = normName(name0)
         // full-table replace in one commit: files, schema, column
         // mapping, and eq-delete state all reset to the SELECT's
         // result (the Delta INSERT OVERWRITE shape). The old files
@@ -1345,7 +1608,8 @@ object GraftSql {
         val (t, stats) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
           .commit(spark.sql(select), t, "overwrite", stats), name)
-      case TruncateRe(name) =>
+      case TruncateRe(name0) =>
+        val name = normName(name0)
         // empty the table, keep the schema: an overwrite commit of
         // ZERO rows — O(1) at any table size (no file is read or
         // rewritten). CHECK constraints live in their own sidecar
@@ -1359,41 +1623,41 @@ object GraftSql {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
         (snap.commit(empty, t, "overwrite", stats), name)
-      case CreateTableRe(orReplace, name, loc, kind, clusterCols, nf,
+      case CreateTableRe(orReplace, name0, loc, kind, clusterCols, nf,
           select) =>
-        // CTAS onto a snapshot location: one commit of the SELECT's
+        val name = normName(name0)
+        // CTAS onto a snapshot location: ONE commit of the SELECT's
         // result, then the name registers as a live (unpinned) view.
         // Plain CREATE refuses an already-committed location; OR
         // REPLACE overwrites it (schema and all — same contract as
-        // INSERT OVERWRITE). With CLUSTER BY: the schema lands first
-        // (zero rows), the layout declares on it, and the data commits
-        // CONFORMED to it in one append — data written once, already
-        // clustered, future appends conform too.
+        // INSERT OVERWRITE). With CLUSTER BY the schema, the declared
+        // layout, and the CONFORMED data all publish in the SAME
+        // manifest commit — atomic like plain CTAS: no transient
+        // window where an OR REPLACE has truncated the old table
+        // before the data lands, no recoverable-only-via-RESTORE
+        // state on a crash between commits, and concurrent readers
+        // flip from old state to new in one version.
         val snap = graft.sources.snapshot.SnapshotLog
         val exists = snap.latestVersion(spark, loc).isDefined
         require(orReplace != null || !exists,
           s"location '$loc' already holds a committed table " +
             "(use CREATE OR REPLACE TABLE)")
         val result = spark.sql(select)
+        val mode = if (exists) "overwrite" else "append"
         val ver =
-          if (kind == null)
-            snap.commit(result, loc,
-              if (exists) "overwrite" else "append", Nil)
+          if (kind == null) snap.commit(result, loc, mode, Nil)
           else {
             val cols = clusterCols.split(",").map(_.trim).toSeq
-            val empty = spark.createDataFrame(
-              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              result.schema)
-            snap.commit(empty, loc,
-              if (exists) "overwrite" else "append", Nil)
-            snap.setLayout(spark, loc, kind.toLowerCase, cols, nf.toInt)
-            snap.commit(result, loc, "append", cols)
+            snap.commit(result, loc, mode, cols,
+              declareLayout = Some(graft.sources.snapshot.SnapshotLog
+                .LayoutSpec(kind.toLowerCase, cols, nf.toInt)))
           }
         registerSnapshot(spark, name, loc, None,
           if (kind == null) Nil
           else clusterCols.split(",").map(_.trim).toSeq)
         (ver, name)
-      case UpdateRe(name, tail) =>
+      case UpdateRe(name0, tail) =>
+        val name = normName(name0)
         // SET clause ends at the first WHERE outside literals/comments
         // (an assignment literal containing the word "where" is data)
         val wi = topLevelIndexOf(tail, "WHERE")
@@ -1436,10 +1700,8 @@ object GraftSql {
           }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
-      case MergeRe(evolve, name, src, onExpr, clauses) =>
-        (execMerge(spark, evolve != null, name, src, spark.table(src),
-          onExpr, clauses), name)
-      case OptimizeRe(name, tail) =>
+      case OptimizeRe(name0, tail) =>
+        val name = normName(name0)
         // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b[, c, d])
         // → the same rewrite clustered on a k-way z-order interleave,
         // each column scaled into its bitsFor(k)-bit lane from MANIFEST
@@ -1516,18 +1778,21 @@ object GraftSql {
               where = scope)
           }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
-      case VacuumRe(name) =>
+      case VacuumRe(name0) =>
+        val name = normName(name0)
         // VACUUM drops unreferenced debris; no new version publishes
         val (t, _) = mutableSnapshotOf(spark, name)
         graft.sources.snapshot.SnapshotLog.vacuum(spark, t)
         (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
-      case RestoreVersionRe(name, ver) =>
+      case RestoreVersionRe(name0, ver) =>
+        val name = normName(name0)
         // metadata-only rollback (the Delta RESTORE TABLE shape):
         // republishes the target version's file list as a NEW version
         val (t, _) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog.restore(spark, t, ver.toLong),
           name)
-      case RestoreTimestampRe(name, ts) =>
+      case RestoreTimestampRe(name0, ts) =>
+        val name = normName(name0)
         val (t, _) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
         val millis = parseTsMillis(ts)
@@ -1536,7 +1801,8 @@ object GraftSql {
             s"no version of $t existed at t=$millis (or it has been " +
               "expired)"))
         (snap.restore(spark, t, ver), name)
-      case AddConstraintRe(name, cname, expr0) =>
+      case AddConstraintRe(name0, cname, expr0) =>
+        val name = normName(name0)
         // CHECK constraints bind on every future write (writeData's
         // constraintGuard); registration scans existing rows and
         // refuses if any violate — see SnapshotLog.addConstraint
@@ -1544,18 +1810,21 @@ object GraftSql {
         graft.sources.snapshot.SnapshotLog
           .addConstraint(spark, t, cname, expr0.trim)
         (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
-      case DropConstraintRe(name, cname) =>
+      case DropConstraintRe(name0, cname) =>
+        val name = normName(name0)
         val (t, _) = mutableSnapshotOf(spark, name)
         graft.sources.snapshot.SnapshotLog.dropConstraint(spark, t, cname)
         (graft.sources.snapshot.SnapshotLog.latestVersion(spark, t).get, name)
-      case AlterDropRe(name, colName) =>
+      case AlterDropRe(name0, colName) =>
+        val name = normName(name0)
         // metadata-only drop; the physical slot stays tombstoned so a
         // later ADD COLUMN of the same name serves NULL, never the old
         // bytes (see SnapshotLog.dropColumn)
         val (t, _) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog.dropColumn(spark, t, colName),
           name)
-      case AlterClusterRe(name, kind, cols, n) =>
+      case AlterClusterRe(name0, kind, cols, n) =>
+        val name = normName(name0)
         // declare (or replace) the table's clustering layout — ONE
         // manifest write, zero data movement: appends conform from the
         // next batch on, OPTIMIZE re-clusters existing files to it
@@ -1565,18 +1834,21 @@ object GraftSql {
         (graft.sources.snapshot.SnapshotLog.setLayout(spark, t,
           kind.toLowerCase, cols.split(",").map(_.trim).toSeq, n.toInt),
           name)
-      case AlterClusterNoneRe(name) =>
+      case AlterClusterNoneRe(name0) =>
+        val name = normName(name0)
         // drop the declared layout: writes stop conforming, files keep
         // whatever organization they have
         val (t, _) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog.clearLayout(spark, t), name)
-      case AlterRenameRe(name, oldC, newC) =>
+      case AlterRenameRe(name0, oldC, newC) =>
+        val name = normName(name0)
         // metadata-only column mapping (see SnapshotLog.renameColumn);
         // the repoint below re-registers the view with the new schema
         val (t, _) = mutableSnapshotOf(spark, name)
         (graft.sources.snapshot.SnapshotLog
           .renameColumn(spark, t, oldC, newC), name)
-      case AlterAddRe(name, colName, typ) =>
+      case AlterAddRe(name0, colName, typ) =>
+        val name = normName(name0)
         // additive metadata-only evolution; pre-existing files serve
         // the new column as NULL (nullability enforced by evolveSchema)
         val (t, _) = mutableSnapshotOf(spark, name)
@@ -1595,13 +1867,102 @@ object GraftSql {
             "DROP COLUMN/ADD CONSTRAINT/DROP CONSTRAINT/CLUSTER BY/" +
             "RESTORE TABLE .. TO VERSION|TIMESTAMP AS OF/" +
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
-    } }
+    } } }
     // repoint the view at the new version so SQL readers see the change
     // (the registration's merge strategy survives the repoint)
     val reg = snapshotOf(spark, name)
     registerSnapshot(spark, name, reg.table, None, reg.statsCols,
       if (reg.morMerge) "mor" else "cow")
     v
+  }
+
+  /** The target view name of a graft DML statement, when the text has
+    * one of the dispatch shapes — a pure text probe: nothing executes,
+    * no registry is consulted. What the parser extension uses to
+    * decide whether a statement is OURS (shape matches AND the target
+    * is a registered snapshot view) before stock Spark ever sees it.
+    */
+  private[graft] def dmlTargetOf(statement: String): Option[String] =
+    MergeSubqueryHeadRe.findPrefixMatchOf(statement)
+      .map(m => normName(m.group(2)))
+      .orElse(MergeRe.findFirstMatchIn(maskLiterals(statement)).map(m =>
+        normName(statement.substring(m.start(2), m.end(2)))))
+      .orElse(statement match {
+        case DeleteRe(n, _) => Some(normName(n))
+        case InsertRe(n, _) => Some(normName(n))
+        case InsertOverwriteRe(n, _) => Some(normName(n))
+        case TruncateRe(n) => Some(normName(n))
+        case UpdateRe(n, _) => Some(normName(n))
+        case OptimizeRe(n, _) => Some(normName(n))
+        case VacuumRe(n) => Some(normName(n))
+        case RestoreVersionRe(n, _) => Some(normName(n))
+        case RestoreTimestampRe(n, _) => Some(normName(n))
+        case AddConstraintRe(n, _, _) => Some(normName(n))
+        case DropConstraintRe(n, _) => Some(normName(n))
+        case AlterClusterRe(n, _, _, _) => Some(normName(n))
+        case AlterClusterNoneRe(n) => Some(normName(n))
+        case AlterRenameRe(n, _, _) => Some(normName(n))
+        case AlterDropRe(n, _) => Some(normName(n))
+        case AlterAddRe(n, _, _) => Some(normName(n))
+        case _ => None
+      })
+
+  private[graft] def isRegistered(spark: SparkSession, name: String): Boolean =
+    snapshotReg.containsKey((spark, normName(name).toLowerCase))
+
+  /** Parser-extension hook ([[graft.plans.GraftExtensions]]): decide
+    * what `spark.sql(statement)` should do when the graft dialect owns
+    * the statement.
+    *
+    *  - `Some(Right(plan))` — the statement is graft DML on a
+    *    REGISTERED snapshot view (or DESCRIBE HISTORY / DETAIL of
+    *    one): it has been executed through [[dml]] / [[query]] and
+    *    `plan` is its result (DML returns one `version` row, Delta's
+    *    SQL shape). Executed at parse time — the statement IS the
+    *    action, exactly like the stock parser treats a command.
+    *  - `Some(Left(text))` — a read-shaped statement using the
+    *    time-travel / change-feed dialect (`VERSION AS OF`,
+    *    `TIMESTAMP AS OF`, `table_changes(...)` on registered views):
+    *    rewritten to plain SQL for the DELEGATE parser.
+    *  - `None` — not ours; the stock parser owns it.
+    */
+  private[graft] def interceptSql(spark: SparkSession, statement: String)
+      : Option[Either[String,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = {
+    statement match {
+      case DescribeHistoryRe(n) if isRegistered(spark, n) =>
+        return Some(Right(query(spark, statement).queryExecution.analyzed))
+      case DescribeDetailRe(n) if isRegistered(spark, n) =>
+        return Some(Right(query(spark, statement).queryExecution.analyzed))
+      case _ => ()
+    }
+    dmlTargetOf(statement) match {
+      case Some(n) if isRegistered(spark, n) =>
+        val v = dml(spark, statement)
+        val attr = org.apache.spark.sql.catalyst.expressions
+          .AttributeReference("version",
+            org.apache.spark.sql.types.LongType, nullable = false)()
+        Some(Right(org.apache.spark.sql.catalyst.plans.logical
+          .LocalRelation(Seq(attr),
+            Seq(org.apache.spark.sql.catalyst.InternalRow(v)))))
+      case _ =>
+        // read-shaped dialect: rewrite and let the stock parser parse
+        // the plain-SQL result (only registered names rewrite; a
+        // statement without the dialect passes through as None)
+        val s1 =
+          if (TimestampAsOfRe.findFirstIn(statement).isDefined)
+            rewriteTimestampAsOf(spark, statement)
+          else statement
+        val s2 =
+          if (VersionAsOfRe.findFirstIn(s1).isDefined)
+            rewriteVersionAsOf(spark, s1)
+          else s1
+        val s3 =
+          if (TableChangesCallRe.findFirstIn(s2).isDefined)
+            rewriteTableChanges(spark, s2)
+          else s2
+        if (s3 == statement) None else Some(Left(s3))
+    }
   }
 
   /** Register a snapshot view pinned to a TAG — `VERSION AS OF '<tag>'`

@@ -1293,14 +1293,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val expected = (0 until 50).filter(_ % 4 == 3).map(i => 2L * (i % 9)).sum
     assert(spark.sql("SELECT sum(v) FROM mres_v").head.getLong(0) ==
       sumBefore + expected, "subquery + residual composition diverged")
-    // refusals: source-side residual, OR, column-vs-column, by-source
-    val e1 = intercept[IllegalArgumentException] {
-      GraftSql.dml(spark,
-        """MERGE INTO mres_v USING mres_src
-          |ON mres_v.id = mres_src.id AND mres_src.bump > 3
-          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
-    }
-    assert(e1.getMessage.contains("TARGET-side"), e1.getMessage)
+    // refusals: OR, column-vs-column, by-source (source-side residual
+    // conjuncts are a supported form — see the dedicated test below)
     val e2 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
         """MERGE INTO mres_v USING mres_src
@@ -1337,6 +1331,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"""CREATE TABLE ctc_v LOCATION '$loc'
          |CLUSTER BY range(id) INTO 4 FILES
          |AS SELECT id, v FROM ctc_src""".stripMargin)
+    // ATOMIC: schema + layout + data land in ONE manifest commit — no
+    // transient empty/layout-less window, nothing partial on a crash
+    assert(snap.latestVersion(spark, loc).contains(1L),
+      "CTAS CLUSTER BY must publish schema+layout+data in one commit")
     // the DATA commit conformed to the declared layout: 4 range files
     val m = snap.manifest(spark, loc, snap.latestVersion(spark, loc).get)
     assert(m.files.count(_.rows > 0) == 4,
@@ -1513,5 +1511,273 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val left = spark.sql("SELECT k FROM nk_v ORDER BY k").collect()
       .map(_.getLong(0)).toSeq
     assert(left == Seq(1L, 3L), s"got $left") // id=1 matched, NULL rode
+  }
+
+  test("MERGE ON source-side residual: bounds the match, failing rows still insert") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mssres")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 10).select($"id", lit(0L).as("v")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "ssv", t, None, Seq("id"))
+    spark.range(0, 12).select($"id", ($"id" % 2).as("ds"))
+      .createOrReplaceTempView("ss_src")
+    GraftSql.dml(spark,
+      """MERGE INTO ssv USING ss_src
+        |ON ssv.id = ss_src.id AND ss_src.ds >= 1
+        |WHEN MATCHED THEN UPDATE SET v = 100 + ss_src.id
+        |WHEN NOT MATCHED THEN INSERT (id, v)
+        |  VALUES (ss_src.id, 0 - ss_src.id)""".stripMargin)
+    // matched = odd ids < 10 (residual-passing) → updated; EVEN source
+    // rows fail the residual → they can match nothing → NOT MATCHED →
+    // they INSERT even though their key exists in the target (the
+    // Delta outcome), and the same-key original rides untouched
+    val rows = spark.sql("SELECT id, v FROM ssv ORDER BY id, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (
+      (0L until 10L by 2).map(i => (i, 0L)) ++       // originals ride
+      (0L until 10L by 2).map(i => (i, -i)) ++       // dup-key inserts
+      Seq((10L, -10L), (11L, -11L)) ++               // brand-new keys
+      (1L until 10L by 2).map(i => (i, 100L + i))    // matched updated
+    ).sortBy(x => (x._1, x._2))
+    assert(rows == expected, s"got ${rows.toList}")
+    // refusal surface mirrors the target-side residual: no DELETE
+    // clause, no BY SOURCE, no unknown source column
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO ssv USING ss_src
+          |ON ssv.id = ss_src.id AND ss_src.ds >= 1
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("residual"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO ssv USING ss_src
+          |ON ssv.id = ss_src.id AND ss_src.nosuch >= 1
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("not in source columns"), e2.getMessage)
+  }
+
+  test("MERGE ON residual accepts decimal literals (t.v = 1.5 is a range, not a pair)") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mdecres")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 8)
+      .select($"id", ($"id".cast("double") / 2.0).as("w"),
+        lit(0L).as("v")), t, "append", Seq("id", "w"))
+    GraftSql.registerSnapshot(spark, "decv", t, None, Seq("id", "w"))
+    spark.range(0, 8).select($"id", lit(7L).as("bump"))
+      .createOrReplaceTempView("dec_src")
+    // >= 1.5: previously rejected with a misleading "not a prunable
+    // range" (the column-ref guard matched the decimal)
+    GraftSql.dml(spark,
+      """MERGE INTO decv USING dec_src
+        |ON decv.id = dec_src.id AND decv.w >= 1.5
+        |WHEN MATCHED THEN UPDATE SET v = dec_src.bump""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM decv WHERE v = 7")
+      .head.getLong(0) == 5L) // w in {1.5, 2.0, 2.5, 3.0, 3.5}
+    // = 1.5: previously mis-parsed as an equi-pair ("1.5" matched the
+    // alias.col shape) and refused with "must join ... to ..."
+    GraftSql.dml(spark,
+      """MERGE INTO decv USING dec_src
+        |ON decv.id = dec_src.id AND decv.w = 1.5
+        |WHEN MATCHED THEN UPDATE SET v = 0 - dec_src.bump""".stripMargin)
+    val eq = spark.sql("SELECT id FROM decv WHERE v = -7").collect()
+      .map(_.getLong(0)).toSeq
+    assert(eq == Seq(3L), s"got $eq")
+  }
+
+  test("MERGE clause splitting treats WHEN/THEN inside string literals as data") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mlit")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 6)
+      .select($"id", lit("plain").as("note")), t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "litv", t, None, Seq("id"))
+    spark.range(0, 8).select($"id",
+      concat(lit("src WHEN THEN "), $"id").as("note"))
+      .createOrReplaceTempView("lit_src")
+    // literals carrying the clause keywords in a condition, a SET
+    // body, and a VALUES body — all previously mis-split into
+    // "unrecognized MERGE clause" refusals of valid SQL
+    GraftSql.dml(spark,
+      """MERGE INTO litv USING lit_src
+        |ON litv.id = lit_src.id
+        |WHEN MATCHED AND lit_src.note <> 'x WHEN y THEN z'
+        |  THEN UPDATE SET note = ' THEN kept WHEN '
+        |WHEN NOT MATCHED THEN INSERT (id, note)
+        |  VALUES (lit_src.id, 'ins WHEN MATCHED THEN ')""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM litv WHERE note = ' THEN kept WHEN '")
+      .head.getLong(0) == 6L)
+    assert(spark.sql(
+      "SELECT count(*) FROM litv WHERE note = 'ins WHEN MATCHED THEN '")
+      .head.getLong(0) == 2L)
+    // an ON residual literal containing " WHEN " must not cut the
+    // clause tail early
+    GraftSql.dml(spark,
+      """MERGE INTO litv USING lit_src
+        |ON litv.id = lit_src.id AND litv.note = 'ins WHEN MATCHED THEN '
+        |WHEN MATCHED THEN UPDATE SET note = 'bounded'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM litv WHERE note = 'bounded'")
+      .head.getLong(0) == 2L)
+  }
+
+  test("MERGE accepts [AS] aliases and backticked names") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-malias")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 6).select($"id", lit(0L).as("v")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "alv", t, None, Seq("id"))
+    spark.range(3, 9).select($"id", ($"id" * 10).as("v"))
+      .createOrReplaceTempView("al_src")
+    // aliases scope the ON pairs and clause bodies; backticks on the
+    // view names normalize away
+    GraftSql.dml(spark,
+      """MERGE INTO `alv` AS tt USING `al_src` s
+        |ON tt.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v + 1
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM alv ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (0L to 2L).map(i => (i, 0L)) ++
+      (3L to 5L).map(i => (i, i * 10 + 1)) ++ (6L to 8L).map(i => (i, i * 10))
+    assert(got == expected, s"got $got")
+    // aliased UPDATE/DELETE statement names and other families accept
+    // backticks too
+    GraftSql.dml(spark, "UPDATE `alv` SET v = 99 WHERE id = 0")
+    assert(spark.sql("SELECT v FROM alv WHERE id = 0").head.getLong(0) == 99L)
+    GraftSql.dml(spark, "DELETE FROM `alv` WHERE id = 8")
+    assert(spark.sql("SELECT count(*) FROM alv").head.getLong(0) == 8L)
+    // a dotted source resolves through the session catalog under an
+    // explicit alias (global temp views are the canonical case)
+    spark.range(0, 2).select($"id", lit(1000L).as("v"))
+      .createOrReplaceGlobalTempView("al_gsrc")
+    GraftSql.dml(spark,
+      """MERGE INTO alv tt USING global_temp.al_gsrc AS s
+        |ON tt.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql("SELECT sum(v) FROM alv WHERE id < 2")
+      .head.getLong(0) == 2000L)
+  }
+
+  test("MERGE refuses multiple source rows modifying one target row; conditions disambiguate") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mdupsrc")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 5).select($"id", lit(0L).as("v")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "dupv", t, None, Seq("id"))
+    Seq((1L, 10L), (1L, 20L), (7L, 7L)).toDF("id", "v")
+      .createOrReplaceTempView("dup_src")
+    // the unconditional SET * / INSERT * fast path refuses through the
+    // upsert probe (same single-pass aggregation as candidacy)
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO dupv USING dup_src ON dupv.id = dup_src.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("duplicate keys") &&
+      e1.getMessage.contains("multiple source rows"), e1.getMessage)
+    // the clause machinery refuses with Delta's wording
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO dupv USING dup_src ON dupv.id = dup_src.id
+          |WHEN MATCHED THEN UPDATE SET v = dup_src.v""".stripMargin)
+    }
+    assert(e2.getMessage.contains("multiple source rows matched"),
+      e2.getMessage)
+    assert(spark.sql("SELECT sum(v) FROM dupv").head.getLong(0) == 0L,
+      "a refused MERGE mutated the table")
+    // a clause condition that lets at most one source row resolve per
+    // key disambiguates — the non-resolving pair modifies nothing and
+    // the matched row must NOT be duplicated by it
+    GraftSql.dml(spark,
+      """MERGE INTO dupv USING dup_src ON dupv.id = dup_src.id
+        |WHEN MATCHED AND dup_src.v >= 20 THEN UPDATE SET v = dup_src.v""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM dupv ORDER BY id, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 20L), (2L, 0L), (3L, 0L), (4L, 0L)),
+      s"got $got")
+    // duplicate-key NOT MATCHED rows both insert (Delta allows them)
+    GraftSql.dml(spark,
+      """MERGE INTO dupv USING (
+        |  SELECT 30 AS id, 1 AS v UNION ALL SELECT 30 AS id, 2 AS v
+        |) s ON dupv.id = s.id
+        |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM dupv WHERE id = 30")
+      .head.getLong(0) == 2L)
+  }
+
+  test("duplicate-key targets resolve per row: riders carry, a key deletes only when all its rows do") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-mduptgt")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    // duplicate-key target: ids 0..3, TWO rows each (flag 0 and 1)
+    val base = spark.range(0, 4).select($"id")
+      .crossJoin(Seq(0L, 1L).toDF("flag"))
+      .select($"id", $"flag", ($"id" * 10 + $"flag").as("v"))
+    snap.commit(base, t, "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "dtv", t, None, Seq("id"))
+    Seq((0L, 1L), (1L, 1L)).toDF("id", "bump")
+      .createOrReplaceTempView("dt_src")
+    // conditional UPDATE: only the flag=1 row of each matched key
+    // resolves; the flag=0 sibling RIDES — Delta keeps it, and the
+    // replace-by-key machinery must carry it, not silently drop it
+    GraftSql.dml(spark,
+      """MERGE INTO dtv USING dt_src ON dtv.id = dt_src.id
+        |WHEN MATCHED AND dtv.flag = 1
+        |  THEN UPDATE SET v = dtv.v + 100 * dt_src.bump""".stripMargin)
+    val got = spark.sql("SELECT id, flag, v FROM dtv ORDER BY id, flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = (0L until 4L).flatMap { i =>
+      Seq((i, 0L, i * 10),
+        (i, 1L, i * 10 + 1 + (if (i <= 1) 100L else 0L)))
+    }
+    assert(got == expected, s"got $got")
+    assert(spark.sql("SELECT count(*) FROM dtv").head.getLong(0) == 8L,
+      "a conditional MERGE over duplicate-key targets changed the count")
+    // conditional DELETE: the flag=1 row of key 2 deletes, its flag=0
+    // sibling survives (Delta evaluates each row independently); key 3
+    // deletes whole (both rows resolve — no survivor)
+    Seq((2L, 0L), (3L, 0L)).toDF("id", "z")
+      .createOrReplaceTempView("dt_src2")
+    GraftSql.dml(spark,
+      """MERGE INTO dtv USING dt_src2 ON dtv.id = dt_src2.id
+        |WHEN MATCHED AND dtv.flag = 1 AND dtv.id = 2 THEN DELETE
+        |WHEN MATCHED AND dtv.id = 3 THEN DELETE""".stripMargin)
+    val left = spark.sql("SELECT id, flag FROM dtv ORDER BY id, flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(left == Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L)),
+      s"got $left")
+    // BY SOURCE family, same discipline: unmatched key 0's flag=1 row
+    // updates, flag=0 rides; unmatched key 1 deletes only its flag=1
+    // row — the flag=0 sibling must survive the keyed delete
+    spark.range(2, 3).select($"id").createOrReplaceTempView("dt_src3")
+    GraftSql.dml(spark,
+      """MERGE INTO dtv USING dt_src3 ON dtv.id = dt_src3.id
+        |WHEN NOT MATCHED BY SOURCE AND dtv.id = 0 AND dtv.flag = 1
+        |  THEN UPDATE SET v = 777
+        |WHEN NOT MATCHED BY SOURCE AND dtv.id = 1 AND dtv.flag = 1
+        |  THEN DELETE""".stripMargin)
+    val after = spark.sql("SELECT id, flag, v FROM dtv ORDER BY id, flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(after == Seq((0L, 0L, 0L), (0L, 1L, 777L), (1L, 0L, 10L),
+      (2L, 0L, 20L)), s"got $after")
   }
 }
