@@ -22,6 +22,21 @@ import graft.sources.snapshot.SnapshotLog
   */
 object SourceQueries extends QueryPack {
 
+  /** Gate-end hygiene: drop this gate's temp views and release its
+    * pinned frames BEFORE returning the result frame. The result is
+    * already ANALYZED (view plans are inlined at Dataset construction),
+    * so the drops cannot unresolve it — but without them a 232-query
+    * suite accumulates dead views and checkpoint blocks, and suite
+    * POSITION starts leaking into later queries' times (the measured
+    * 4.9× mutation-family tail).
+    */
+  private def gateCleanup(s: SparkSession,
+      pinned: Seq[org.apache.spark.sql.DataFrame],
+      views: String*): Unit = {
+    pinned.foreach(graft.sources.snapshot.SnapshotLog.unpin)
+    views.foreach { n => s.catalog.dropTempView(n); () }
+  }
+
   private val Shards = 16
   private val SamplesPerShard = 5000
 
@@ -3206,12 +3221,14 @@ object SourceQueries extends QueryPack {
            |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber,
            |  l_quantity) VALUES ($src2.l_orderkey, $src2.l_linenumber,
            |  99)""".stripMargin)
-      s.table(v).agg(
+      val out = s.table(v).agg(
           count(lit(1)).as("n_rows"),
           sum($"l_quantity").as("sum_qty"),
           sum($"l_orderkey" * $"l_linenumber").as("sum_keyprod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_keyprod", $"n_versions")
+      gateCleanup(s, Nil, src, src2, v)
+      out
     }),
 
     // MERGE WHEN NOT MATCHED BY SOURCE — the third Delta clause family,
@@ -3261,12 +3278,14 @@ object SourceQueries extends QueryPack {
            |ON $v.l_orderkey = $src2.l_orderkey
            |WHEN NOT MATCHED BY SOURCE AND $v.n_lines >= 4
            |THEN UPDATE SET sum_qty = $v.sum_qty * 2""".stripMargin)
-      s.table(v).agg(
+      val out = s.table(v).agg(
           count(lit(1)).as("n_rows"),
           sum($"sum_qty").as("sum_qty"),
           sum($"l_orderkey" * $"n_lines").as("sum_kn"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kn", $"n_versions")
+      gateCleanup(s, Nil, src, src2, v)
+      out
     }),
 
     // UPDATE ... WHERE col IN (SELECT ...): the subquery evaluates
@@ -3311,12 +3330,14 @@ object SourceQueries extends QueryPack {
            |WHEN MATCHED THEN UPDATE SET sum_qty = $v.sum_qty + s.bump
            |WHEN NOT MATCHED THEN INSERT (l_orderkey, sum_qty)
            |  VALUES (s.l_orderkey, s.bump)""".stripMargin)
-      s.table(v).agg(
+      val out = s.table(v).agg(
           count(lit(1)).as("n_rows"),
           sum($"sum_qty").as("sum_qty"),
           sum($"l_orderkey" % 97).as("sum_kmod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
+      gateCleanup(s, Nil, s"msqraw_$tag", v)
+      out
     }),
 
     // MERGE with a residual ON condition — `ON k = k AND ds >= 3`, the
@@ -3412,7 +3433,7 @@ object SourceQueries extends QueryPack {
       val f4 = SnapshotLog.manifest(s, t, 4L).files.map(_.path).toSet
       val carried = SnapshotLog.manifest(s, t, 5L).files
         .map(_.path).count(f4)
-      s.table(v).agg(
+      val out = s.table(v).agg(
           count(lit(1)).as("n_rows"),
           sum($"sum_qty").as("sum_qty"),
           sum($"ds").as("sum_ds"))
@@ -3420,6 +3441,8 @@ object SourceQueries extends QueryPack {
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_ds", $"carried_files",
           $"n_versions")
+      gateCleanup(s, Seq(roll), src, v)
+      out
     }),
 
     // Tuple IN-subquery DML: `WHERE (a, b) IN (SELECT ...)` — the
@@ -3502,12 +3525,167 @@ object SourceQueries extends QueryPack {
            |WHEN NOT MATCHED THEN
            |  INSERT (l_orderkey, sum_qty) VALUES ($src.l_orderkey, 6)
            |""".stripMargin)
-      s.table(v).agg(
+      val out = s.table(v).agg(
           count(lit(1)).as("n_rows"),
           sum($"sum_qty").as("sum_qty"),
           sum($"l_orderkey" % 89).as("sum_kmod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
+      gateCleanup(s, Nil, src, v)
+      out
+    }),
+
+    // MERGE with SOURCE-side residual ON conjuncts. Statement 1 bounds
+    // the MATCH to the first eighth of the key space through the
+    // source side (`AND s.l_orderkey <= mx/8`) — the pinned matchable
+    // key set drives tuple-interval candidacy, so carried_files pins 3
+    // of 4 range files republished untouched (the bounded-maintenance
+    // shape at 100 TB). Statement 2 is the semantics trap: rows
+    // failing a source-side residual can match NOTHING, so they are
+    // NOT MATCHED and still INSERT — duplicate keys beside their
+    // residual-failing twins (Delta's outcome; a replace or a silent
+    // drop is the classic wrong answer). The oracle replays both
+    // statements relationally; n_versions pins one commit each.
+    "qd1_sql_merge_residual_src" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapmsrc-$tag"
+      val v = s"msrv_$tag"
+      val roll = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = roll.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"msrsrc_$tag"
+      roll.select($"l_orderkey").createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src
+           |ON $v.l_orderkey = $src.l_orderkey
+           |AND $src.l_orderkey <= ${mx / 8}
+           |WHEN MATCHED THEN UPDATE SET sum_qty = $v.sum_qty + 1""".stripMargin)
+      val f1 = SnapshotLog.manifest(s, t, 1L).files.map(_.path).toSet
+      val carried = SnapshotLog.manifest(s, t, 2L).files
+        .map(_.path).count(f1)
+      val src2 = s"msrsrc2_$tag"
+      roll.select($"l_orderkey")
+        .unionByName(s.range(0, 10)
+          .select(($"id" + mx + 1).as("l_orderkey")))
+        .select($"l_orderkey", ($"l_orderkey" % 4).as("ds"),
+          ($"l_orderkey" % 11).as("bump"))
+        .createOrReplaceTempView(src2)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src2
+           |ON $v.l_orderkey = $src2.l_orderkey AND $src2.ds >= 3
+           |WHEN MATCHED THEN UPDATE SET
+           |  sum_qty = $v.sum_qty + $src2.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, sum_qty)
+           |  VALUES ($src2.l_orderkey, $src2.bump)""".stripMargin)
+      val out = s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" % 93).as("sum_kmod"))
+        .withColumn("carried_files", lit(carried.toLong))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kmod", $"carried_files",
+          $"n_versions")
+      gateCleanup(s, Nil, src, src2, v)
+      out
+    }),
+
+    // Per-row clause resolution over DUPLICATE-KEY targets (the table
+    // keys detail rows by order alone, so every key has several rows).
+    // Statement 1: line-1 rows of matched keys bump, line-2 rows
+    // DELETE, every other line RIDES — the replace-by-key machinery
+    // must CARRY the riding siblings (dropping them silently is the
+    // classic duplicate-key MERGE bug; Delta evaluates each row
+    // independently). Statement 2 deletes lines >= 3 of its matched
+    // keys — partial per-key deletes whose line-1/2 siblings must
+    // survive the keyed delete. The oracle replays both statements
+    // row-relationally; n_versions pins one commit each.
+    "qd2_sql_merge_per_row" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapprow-$tag"
+      val v = s"prv_$tag"
+      val li = graft.core.Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          floor($"l_quantity").cast("long").as("qty"))
+      SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = li.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"prsrc_$tag"
+      li.select($"l_orderkey").distinct().where($"l_orderkey" % 3 === 0)
+        .unionByName(s.range(0, 10)
+          .select(($"id" + mx + 1).as("l_orderkey")))
+        .select($"l_orderkey", ($"l_orderkey" % 7).as("bump"))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src
+           |ON $v.l_orderkey = $src.l_orderkey
+           |WHEN MATCHED AND $v.l_linenumber = 1
+           |  THEN UPDATE SET qty = $v.qty + $src.bump
+           |WHEN MATCHED AND $v.l_linenumber = 2 THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber, qty)
+           |  VALUES ($src.l_orderkey, 0, $src.bump)""".stripMargin)
+      val src2 = s"prsrc2_$tag"
+      li.select($"l_orderkey").distinct().where($"l_orderkey" % 5 === 0)
+        .createOrReplaceTempView(src2)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src2
+           |ON $v.l_orderkey = $src2.l_orderkey
+           |WHEN MATCHED AND $v.l_linenumber >= 3 THEN DELETE""".stripMargin)
+      val out = s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"qty").as("sum_qty"),
+          sum($"l_orderkey" * $"l_linenumber").as("sum_kn"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kn", $"n_versions")
+      gateCleanup(s, Nil, src, src2, v)
+      out
+    }),
+
+    // Aliased + backticked MERGE — `MERGE INTO \`v\` AS tt USING
+    // \`src\` ss` with every ON pair and clause body qualified by the
+    // ALIASES (the Delta statement shape): a dialect that silently
+    // required raw view names would refuse or misresolve this. The
+    // oracle replays the conditional bump + inserts relationally;
+    // n_versions pins one commit.
+    "qd3_sql_merge_aliased" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapmal-$tag"
+      val v = s"malv_$tag"
+      val roll = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = roll.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"malsrc_$tag"
+      roll.select($"l_orderkey")
+        .unionByName(s.range(0, 8)
+          .select(($"id" + mx + 1).as("l_orderkey")))
+        .select($"l_orderkey", ($"l_orderkey" % 9).as("bump"))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO `$v` AS tt USING `$src` ss
+           |ON tt.l_orderkey = ss.l_orderkey
+           |WHEN MATCHED AND ss.bump > 5 THEN UPDATE SET
+           |  sum_qty = tt.sum_qty + ss.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, sum_qty)
+           |  VALUES (ss.l_orderkey, ss.bump)""".stripMargin)
+      val out = s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" % 91).as("sum_kmod"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
+      gateCleanup(s, Nil, src, v)
+      out
     }),
 
     "qcu_sql_update_in" -> ((s, dir) => {
@@ -3567,7 +3745,7 @@ object SourceQueries extends QueryPack {
       graft.sql.GraftSql.dml(s,
         s"INSERT INTO $v SELECT k, sz FROM $src WHERE sz > 48")
       graft.sql.GraftSql.dml(s, s"RESTORE TABLE $v TO VERSION AS OF 3")
-      s.table(v).agg(
+      val out = s.table(v).agg(
           count(lit(1)).as("n_rows"),
           sum($"sz").as("sum_sz"),
           sum($"k").as("sum_k"))
@@ -3575,6 +3753,8 @@ object SourceQueries extends QueryPack {
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_sz", $"sum_k", $"truncated_rows",
           $"n_versions")
+      gateCleanup(s, Nil, src, v)
+      out
     }),
 
     // SQL RESTORE + CHECK constraint lifecycle: a DELETE is rolled
@@ -4003,12 +4183,14 @@ object SourceQueries extends QueryPack {
            |  o_custkey = $v.o_custkey + $mex.bump
            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey)
            |  VALUES ($mex.o_orderkey, 77)""".stripMargin)
-      s.table(v).agg(
+      val out = s.table(v).agg(
         count(lit(1)).as("n_rows"),
         sum($"o_orderkey").as("sum_key"),
         sum($"o_custkey").as("sum_cust"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_key", $"sum_cust", $"n_versions")
+      gateCleanup(s, Nil, src, cdc, mex, v)
+      out
     }),
 
     // The manifest AS a table (Iceberg's `table.files`): per-file rows,
@@ -4727,6 +4909,72 @@ object SourceQueries extends QueryPack {
           |SELECT count(*) AS n_rows,
           |  CAST(sum(q) AS BIGINT) AS sum_qty,
           |  CAST(sum(k % 89) AS BIGINT) AS sum_kmod,
+          |  CAST(2 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
+
+      // both statements replayed relationally: +1 on the first-eighth
+      // keys (the source-side bound restricts the MATCH), then ds=3
+      // keys bump by k % 11 while every residual-failing source row
+      // inserts a duplicate-key twin; carried_files pins the bounded
+      // rewrite (3 of 4 range files untouched by statement 1)
+      "qd1_sql_merge_residual_src" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1),
+          |b AS (SELECT k,
+          |  q + CASE WHEN k <= m // 8 THEN 1 ELSE 0 END AS q
+          |  FROM base, mx),
+          |a AS (SELECT k,
+          |  q + CASE WHEN k % 4 = 3 THEN k % 11 ELSE 0 END AS q FROM b),
+          |ins AS (SELECT k, k % 11 AS q FROM base WHERE k % 4 <> 3
+          |  UNION ALL
+          |  SELECT m + 1 + i AS k, (m + 1 + i) % 11 AS q
+          |  FROM range(0, 10) t(i), mx),
+          |allr AS (SELECT k, q FROM a UNION ALL SELECT k, q FROM ins)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k % 93) AS BIGINT) AS sum_kmod,
+          |  CAST(3 AS BIGINT) AS carried_files,
+          |  CAST(3 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
+
+      // per-row clause resolution replayed row-relationally: matched
+      // (%3) keys bump line 1 and lose line 2 while other lines ride;
+      // ten synthetic keys insert at line 0; then %5 keys lose lines
+      // >= 3 with their line-0/1/2 siblings surviving the keyed delete
+      "qd2_sql_merge_per_row" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k, l_linenumber AS n,
+          |  CAST(floor(l_quantity) AS BIGINT) AS q FROM lineitem),
+          |s1 AS (SELECT k, n,
+          |  CASE WHEN k % 3 = 0 AND n = 1 THEN q + k % 7 ELSE q END AS q
+          |  FROM base WHERE NOT (k % 3 = 0 AND n = 2)
+          |  UNION ALL
+          |  SELECT m + 1 + i AS k, 0 AS n, (m + 1 + i) % 7 AS q
+          |  FROM range(0, 10) t(i), mx),
+          |s2 AS (SELECT k, n, q FROM s1 WHERE NOT (k % 5 = 0 AND n >= 3))
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k * n) AS BIGINT) AS sum_kn,
+          |  CAST(3 AS BIGINT) AS n_versions
+          |FROM s2""".stripMargin,
+
+      // the aliased statement's conditional bump + inserts replayed
+      // relationally (aliases change parsing, never semantics)
+      "qd3_sql_merge_aliased" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1),
+          |u AS (SELECT k,
+          |  q + CASE WHEN k % 9 > 5 THEN k % 9 ELSE 0 END AS q FROM base),
+          |ins AS (SELECT m + 1 + i AS k, (m + 1 + i) % 9 AS q
+          |  FROM range(0, 8) t(i), mx),
+          |allr AS (SELECT k, q FROM u UNION ALL SELECT k, q FROM ins)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k % 91) AS BIGINT) AS sum_kmod,
           |  CAST(2 AS BIGINT) AS n_versions
           |FROM allr""".stripMargin,
 

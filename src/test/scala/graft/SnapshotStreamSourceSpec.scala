@@ -508,6 +508,23 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       q2.processAllAvailable()
       assert(s.table("snap_start_ts0").count() == 70)
     } finally q2.stop()
+    // INCLUSIVE boundary (the Delta contract): a version committed
+    // exactly AT the given instant is served, never skipped — the
+    // offset resolves strictly-before (versionAt(millis - 1))
+    val v2Ts = {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_log", "v00002.json")), "UTF-8")
+      """"ts"\s*:\s*(\d+)""".r.findFirstMatchIn(raw).get.group(1).toLong
+    }
+    val q3 = s.readStream.format("graft-snapshot").option("table", t)
+      .option("startingTimestamp", v2Ts.toString).load()
+      .writeStream.format("memory").queryName("snap_start_at")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      assert(s.table("snap_start_at").count() == 30,
+        "a commit stamped exactly at startingTimestamp was skipped")
+    } finally q3.stop()
     // both options at once refuse loudly; garbage refuses naming the shape
     val e = intercept[Exception] {
       val qq = s.readStream.format("graft-snapshot").option("table", t)
