@@ -233,11 +233,14 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "restore after CDC apply diverged")
 
-    // point upsert: updates land in ONE bucket → 1 of 63 files rewrites
+    // point upsert: updates land in ONE bucket → 1 of 63 files rewrites.
+    // The batch is the keys' own detail rows — MULTIPLE rows per key,
+    // i.e. replacement SETS, so it goes through upsertRows (the public
+    // upsert now refuses ambiguous duplicate-key batches)
     val upStats = timed("upsert_1file") {
-      SnapshotLog.upsert(
+      SnapshotLog.upsertRows(
         li.where(expr(s"l_orderkey DIV $width") === 5 && col("l_orderkey") % 50 === 0),
-        t, "l_orderkey", Seq("l_orderkey"))
+        t, Seq("l_orderkey"), Seq("l_orderkey"))
     }
     require(upStats._3.filesRewritten == 1,
       s"point upsert rewrote ${upStats._3.filesRewritten} files")
@@ -276,10 +279,10 @@ object SnapshotScaleSmoke {
     // (generous bound — the guard is against O(table) behavior, not IO
     // noise). Asserted BEFORE the artifact writes.
     val upStats4 = timed("upsert_4files") {
-      SnapshotLog.upsert(
+      SnapshotLog.upsertRows(
         li.where(expr(s"l_orderkey DIV $width").isin(10, 20, 30, 40) &&
           col("l_orderkey") % 50 === 0),
-        t, "l_orderkey", Seq("l_orderkey"))
+        t, Seq("l_orderkey"), Seq("l_orderkey"))
     }
     require(upStats4._3.filesRewritten == 4,
       s"4-bucket upsert rewrote ${upStats4._3.filesRewritten} files")
@@ -377,6 +380,57 @@ object SnapshotScaleSmoke {
     require(agg(SnapshotLog.read(spark, t)) == directBase,
       "restore after residual merge diverged")
     val _ = rmOpened // probe accounting asserted via rmCand
+
+    // per-row replacement SETS at 64-file scale (upsertRows — the
+    // primitive under duplicate-key MERGE clause resolution): every
+    // touched key's rows are replaced by a TWO-row set, the update
+    // band bounds tuple-interval candidacy to ~5 of 64 files, and the
+    // rewrite set must scale with the band, never the table.
+    val vBeforePr = SnapshotLog.latestVersion(spark, t).get
+    val prLo = 20L * width
+    val prHi = 25L * width - 1
+    val prKeys = base
+      .where(col("l_orderkey").between(prLo, prHi) &&
+        col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey")).distinct()
+    val prSets = prKeys
+      .select(col("l_orderkey"), lit(700000L).as("l_quantity"))
+      .unionByName(prKeys
+        .select(col("l_orderkey"), lit(700001L).as("l_quantity")))
+    // structural bound: the rewrite set is AT MOST the files whose
+    // key interval overlaps the band (5 original bucket files plus
+    // whatever wide files earlier rewrites left behind — the 4-bucket
+    // upsert above merges its buckets' survivors into band-spanning
+    // output), and that overlap set must stay a small fraction of the
+    // table — the band, never the world
+    val prManifest = SnapshotLog.manifest(spark, t,
+      SnapshotLog.latestVersion(spark, t).get)
+    val prOverlap = prManifest.files.count(_.stats.get("l_orderkey")
+      .forall {
+        case (mn: Number, mx: Number) =>
+          mx.longValue() >= prLo && mn.longValue() <= prHi
+        case _ => true
+      })
+    val prRun = timed("per_row_sets_5of64") {
+      SnapshotLog.upsertRows(prSets, t, Seq("l_orderkey"),
+        Seq("l_orderkey"))
+    }
+    require(prRun._3.filesRewritten <= prOverlap && prOverlap <= 10,
+      s"per-row set upsert rewrote ${prRun._3.filesRewritten} files " +
+        s"with $prOverlap band-overlapping (expected rewrites <= " +
+        "overlap <= 10 of 64 — rewrites must scale with the update " +
+        "band)")
+    val prTouched = base.where(col("l_orderkey").between(prLo, prHi) &&
+      col("l_orderkey") % 100 === 0)
+    val (prRows, prQty) = agg(prTouched)
+    val prN = prKeys.count()
+    require(agg(SnapshotLog.read(spark, t)) ==
+      (directBase._1 - prRows + 2 * prN,
+        directBase._2 - prQty + prN * (700000L + 700001L)),
+      "per-row replacement-set content diverged")
+    SnapshotLog.restore(spark, t, vBeforePr)
+    require(agg(SnapshotLog.read(spark, t)) == directBase,
+      "restore after per-row sets diverged")
 
     // metadata-only schema evolution on the 63-file table: ONE manifest
     // write, zero data IO — wall-time stays in milliseconds no matter
@@ -572,6 +626,7 @@ object SnapshotScaleSmoke {
       ("upsert_mor_4buckets", upMor._2),
       ("ckdelete_mor_1bucket", ckDel._2),
       ("residual_merge_10of64", rmRun._2),
+      ("per_row_sets_5of64", prRun._2),
       ("evolve_schema", evolve._2),
       ("compact", compactRun._2),
       ("read_full_compacted", fullCompacted._2),

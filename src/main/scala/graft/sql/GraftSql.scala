@@ -432,6 +432,11 @@ object GraftSql {
 
   private val DeleteRe =
     (s"""(?is)^\\s*DELETE\\s+FROM\\s+($NamePat)\\s+WHERE\\s+(.+?)\\s*$$""").r
+  // Delta's whole-table form: `DELETE FROM v` with no WHERE removes
+  // every row — an O(1) zero-row overwrite keeping the schema (the
+  // TRUNCATE body; history stays append-only, RESTORE undoes it)
+  private val DeleteAllRe =
+    (s"""(?is)^\\s*DELETE\\s+FROM\\s+($NamePat)\\s*$$""").r
   private val InsertRe =
     (s"""(?is)^\\s*INSERT\\s+INTO\\s+($NamePat)\\s+(SELECT\\b.+)$$""").r
   private val DeleteInSubqueryRe =
@@ -696,6 +701,11 @@ object GraftSql {
     *    scan marks matching positions, zero rewrites, OPTIMIZE pays
     *    the mask debt later. All execute exactly; the grammar only
     *    picks the cost class.
+    *  - `DELETE FROM v` (no WHERE) → Delta's whole-table delete:
+    *    every row goes, the schema stays — an O(1) zero-row overwrite
+    *    (RESTORE undoes it), and `UPDATE v SET a = expr` (no WHERE) →
+    *    the whole-table update (every file rewrites — inherently
+    *    table-sized work, stated rather than hidden).
     *  - `INSERT INTO v SELECT ...` → an append commit of the query
     *    result (conforms to the table schema; CHECK constraints bind).
     *  - `INSERT OVERWRITE v SELECT ...` → a full-table replace in one
@@ -1019,8 +1029,11 @@ object GraftSql {
         val MatchedClauseRe =
           ("""(?is)WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
             """(UPDATE\s+SET\s+(\*|.+?)|DELETE)\s*(?=WHEN\b|$)""").r
+        // `BY TARGET` is Delta's optional synonym on the insert family
+        // (the BY SOURCE clauses were stripped before this regex runs)
         val InsClauseRe =
-          ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
+          ("""(?is)WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?""" +
+            """(?:\s+AND\s+(.+?))?\s+THEN\s+""" +
             """INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.+?)\))\s*(?=WHEN\b|$)""").r
         val cMask = maskLiterals(clauses)
         def grp(text: String, m: scala.util.matching.Regex.Match,
@@ -1656,16 +1669,36 @@ object GraftSql {
           if (kind == null) Nil
           else clusterCols.split(",").map(_.trim).toSeq)
         (ver, name)
+      case DeleteAllRe(name0) =>
+        // whole-table DELETE (no WHERE) — Delta's form: every row
+        // goes, the schema stays, O(1) at any size (the TRUNCATE body)
+        val name = normName(name0)
+        val (t, stats) = mutableSnapshotOf(spark, name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        val ddl = snap.manifest(spark, t,
+          snap.latestVersion(spark, t).get).schemaDdl
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        (snap.commit(empty, t, "overwrite", stats), name)
       case UpdateRe(name0, tail) =>
         val name = normName(name0)
         // SET clause ends at the first WHERE outside literals/comments
-        // (an assignment literal containing the word "where" is data)
+        // (an assignment literal containing the word "where" is data);
+        // NO WHERE at all is Delta's whole-table UPDATE — every row
+        // rewrites (updateMatching with an always-true predicate)
         val wi = topLevelIndexOf(tail, "WHERE")
-        require(wi > 0, s"UPDATE needs a WHERE clause, got: $tail")
-        val setClause = tail.substring(0, wi)
-        val where = tail.substring(wi + "WHERE".length)
+        val setClause = if (wi > 0) tail.substring(0, wi) else tail
+        val where =
+          if (wi > 0) tail.substring(wi + "WHERE".length) else null
         val (t, stats) = mutableSnapshotOf(spark, name)
         val snap = graft.sources.snapshot.SnapshotLog
+        if (where == null) {
+          val ver = snap.updateMatching(spark, t,
+            org.apache.spark.sql.functions.lit(true),
+            parseAssignments(setClause), stats).map(_.version)
+          (ver.getOrElse(snap.latestVersion(spark, t).get), name)
+        } else {
         // same cost classes as DELETE: conjunctions classify from
         // stats; `col IN (SELECT ...)` evaluates the subquery once and
         // rewrites only the files its key tuples may land in
@@ -1700,6 +1733,7 @@ object GraftSql {
           }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
+        }
       case OptimizeRe(name0, tail) =>
         val name = normName(name0)
         // OPTIMIZE v → compaction; OPTIMIZE v ZORDER BY (a, b[, c, d])
@@ -1889,6 +1923,7 @@ object GraftSql {
         normName(statement.substring(m.start(2), m.end(2)))))
       .orElse(statement match {
         case DeleteRe(n, _) => Some(normName(n))
+        case DeleteAllRe(n) => Some(normName(n))
         case InsertRe(n, _) => Some(normName(n))
         case InsertOverwriteRe(n, _) => Some(normName(n))
         case TruncateRe(n) => Some(normName(n))

@@ -19,7 +19,8 @@ import graft.sources.snapshot.{LocalLinkLogStore, LogStore, SnapshotLog}
   * equality-delete upsert / MOR key delete / CoW range UPDATE /
   * compound-conjunction CoW DELETE and UPDATE / keys-frame CoW UPDATE /
   * composite-TUPLE MOR delete and CoW update / residual-bounded
-  * mergeMatched) run against BOTH the real
+  * mergeMatched / per-row replacement sets (upsertRows) / multi-row
+  * changelog sets (applyChangesRows)) run against BOTH the real
   * table and an in-memory model. After every op the table must equal
   * the model; after the sequence, every committed version must equal
   * the model's history snapshot (time travel), metadata stats must
@@ -101,7 +102,7 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
 
       val opCount = 12
       for (op <- 0 until opCount) {
-        val choice = if (op == 0) 0 else rnd.nextInt(19)
+        val choice = if (op == 0) 0 else rnd.nextInt(21)
         // ~1/3 of the mutation/DDL ops race a CONCURRENT APPEND of a
         // fresh slice, committed deterministically inside the op's
         // check-to-act window. A fresh-id append is logically disjoint
@@ -112,7 +113,8 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
         // below. Plain appends/overwrite/stream (0/1/5) are excluded:
         // they are version-pinned CAS surfaces by contract.
         val racer: Option[Seq[Row3]] =
-          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)(choice) &&
+          if (Set(2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+            19, 20)(choice) &&
             rnd.nextInt(3) == 0)
             Some(freshSlice("r"))
           else None
@@ -346,6 +348,51 @@ class SnapshotLogPropertySpec extends AnyFunSuite {
               if (st.version > (history.keySet + 0L).max) {
                 model = model.map(r =>
                   if (hit(r)) (r._1, r._2, r._3 + "%") else r)
+                history += st.version -> model
+              }
+            }
+          case 19 => // per-row replacement sets (upsertRows): a
+            // duplicate-key batch REPLACES each key's rows with the
+            // batch's row SET — the MERGE clause machinery's primitive
+            // (per-row updates and carried riders both land as
+            // multi-row sets); fresh-id rows are pure inserts
+            val ids = rnd.shuffle(model.map(_._1).distinct)
+              .take(rnd.nextInt(4))
+            val reps = ids.flatMap { i =>
+              (0 until (1 + rnd.nextInt(3)))
+                .map(j => (i, rnd.nextLong(7), s"p$i-$j"))
+            }
+            val ups = reps ++ freshSlice("pi")
+            val st = SnapshotLog.upsertRows(keyed(mkDf(ups)), t,
+              Seq(keyName), Seq(keyName))
+            if (st.version > (history.keySet + 0L).max) {
+              val keys = ups.map(_._1).toSet
+              model = model.filterNot(r => keys(r._1)) ++ ups
+              history += st.version -> model
+            }
+          case 20 => // multi-row changelog sets (applyChangesRows):
+            // a key's U rows land as its replacement SET while D keys
+            // drop whole — U and D keys disjoint, the invariant the
+            // MERGE machinery constructs (a key deletes only when it
+            // has no survivor)
+            val ids = rnd.shuffle(model.map(_._1).distinct)
+            val uIds = ids.take(rnd.nextInt(3))
+            val dIds = ids.drop(uIds.size).take(rnd.nextInt(3))
+            val uRows = uIds.flatMap { i =>
+              (0 until (1 + rnd.nextInt(2)))
+                .map(j => (i, rnd.nextLong(7), s"w$i-$j", "U"))
+            }
+            val dRows = dIds.map(i => (i, 0L, "", "D"))
+            val batch = uRows ++ dRows
+            if (batch.nonEmpty) {
+              val st = SnapshotLog.applyChangesRows(
+                keyed(batch.toDF("id", "k", "payload", "op")), t,
+                Seq(keyName), "op", Seq(keyName), -1L)
+              if (st.version > (history.keySet + 0L).max) {
+                val dSet = dIds.toSet
+                val uSet = uIds.toSet
+                model = model.filterNot(r => dSet(r._1) || uSet(r._1)) ++
+                  uRows.map(r => (r._1, r._2, r._3))
                 history += st.version -> model
               }
             }

@@ -1780,4 +1780,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(after == Seq((0L, 0L, 0L), (0L, 1L, 777L), (1L, 0L, 10L),
       (2L, 0L, 20L)), s"got $after")
   }
+
+  test("whole-table DELETE / UPDATE (no WHERE) and the BY TARGET synonym") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-wholetab")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 12).select($"id", lit(1L).as("v")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "wt_v", t, None, Seq("id"))
+    // UPDATE with no WHERE rewrites every row (Delta's form)
+    GraftSql.dml(spark, "UPDATE wt_v SET v = v * 10")
+    assert(spark.sql("SELECT sum(v), count(*) FROM wt_v").head ===
+      org.apache.spark.sql.Row(120L, 12L))
+    // WHEN NOT MATCHED BY TARGET — Delta's optional synonym
+    spark.range(10, 15).select($"id", lit(7L).as("v"))
+      .createOrReplaceTempView("wt_src")
+    GraftSql.dml(spark,
+      """MERGE INTO wt_v USING wt_src ON wt_v.id = wt_src.id
+        |WHEN MATCHED THEN UPDATE SET v = wt_src.v
+        |WHEN NOT MATCHED BY TARGET THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM wt_v").head.getLong(0) == 15L)
+    assert(spark.sql("SELECT sum(v) FROM wt_v WHERE id >= 10")
+      .head.getLong(0) == 35L)
+    // DELETE with no WHERE empties the table, keeps the schema, and
+    // stays undoable (append-only history)
+    val vDel = GraftSql.dml(spark, "DELETE FROM wt_v")
+    assert(spark.sql("SELECT count(*) FROM wt_v").head.getLong(0) == 0L)
+    assert(spark.table("wt_v").columns.toSeq == Seq("id", "v"))
+    GraftSql.dml(spark, s"RESTORE TABLE wt_v TO VERSION AS OF ${vDel - 1}")
+    assert(spark.sql("SELECT count(*) FROM wt_v").head.getLong(0) == 15L)
+  }
 }
