@@ -437,8 +437,15 @@ object GraftSql {
   // TRUNCATE body; history stays append-only, RESTORE undoes it)
   private val DeleteAllRe =
     (s"""(?is)^\\s*DELETE\\s+FROM\\s+($NamePat)\\s*$$""").r
+  // `INSERT INTO v [(cols)] SELECT ... | VALUES (...), (...)` — the
+  // optional column list binds SELECT/VALUES columns POSITIONALLY to
+  // the listed table columns (omitted nullable columns fill NULL —
+  // the append's alignToSchema contract); a bare VALUES binds
+  // positionally to the full schema
   private val InsertRe =
-    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($NamePat)\\s+(SELECT\\b.+)$$""").r
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($NamePat)\\s*""" +
+      """(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*)?""" +
+      """(SELECT\b.+|VALUES\s*\(.+)$""").r
   private val DeleteInSubqueryRe =
     """(?is)^\s*(\w+)\s+IN\s*\(\s*(SELECT\b.+)\)\s*$""".r
   // tuple form: `WHERE (a, b) IN (SELECT ...)` — subquery columns
@@ -496,17 +503,29 @@ object GraftSql {
     parts.result()
   }
 
-  /** Parse a SET clause's `col = expr` pairs; expressions resolve
-    * through `functions.expr`, so they may reference other columns
-    * (and, in MERGE, either side's alias).
+  /** Parse a SET clause's `[alias.]col = expr` pairs; expressions
+    * resolve through `functions.expr`, so they may reference other
+    * columns (and, in MERGE, either side's alias). A QUALIFIED target
+    * (`SET t.v = ...` — the Delta MERGE idiom) must name the TARGET
+    * alias: qualifying an assignment with the source is writing to the
+    * wrong table and refuses loudly.
     */
-  private def parseAssignments(
-      setClause: String): Map[String, org.apache.spark.sql.Column] = {
-    val AssignRe = """(?s)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+  private def parseAssignments(setClause: String,
+      targetQualifiers: Set[String] = Set.empty)
+      : Map[String, org.apache.spark.sql.Column] = {
+    val AssignRe =
+      """(?s)^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?(\w+)\s*=\s*(.+?)\s*$""".r
     splitTopLevelCommas(setClause).map {
-      case AssignRe(c, rhs) => c -> org.apache.spark.sql.functions.expr(rhs)
+      case AssignRe(q, c, rhs) =>
+        if (q != null)
+          require(targetQualifiers.exists(_.equalsIgnoreCase(q)),
+            s"assignment target '$q.$c' must be qualified by the " +
+              s"TARGET alias (${targetQualifiers.mkString("/")}), " +
+              s"got '$q'")
+        c -> org.apache.spark.sql.functions.expr(rhs)
       case bad => throw new IllegalArgumentException(
-        s"cannot parse UPDATE assignment '$bad' — expected col = expr")
+        s"cannot parse UPDATE assignment '$bad' — expected " +
+          "[alias.]col = expr")
     }.toMap
   }
 
@@ -706,8 +725,12 @@ object GraftSql {
     *    (RESTORE undoes it), and `UPDATE v SET a = expr` (no WHERE) →
     *    the whole-table update (every file rewrites — inherently
     *    table-sized work, stated rather than hidden).
-    *  - `INSERT INTO v SELECT ...` → an append commit of the query
-    *    result (conforms to the table schema; CHECK constraints bind).
+    *  - `INSERT INTO v [(cols)] SELECT ... | VALUES (...), (...)` →
+    *    an append commit of the query result (conforms to the table
+    *    schema; CHECK constraints bind). A column list (or a bare
+    *    VALUES) binds positionally with standard INSERT coercion —
+    *    listed columns cast to the table's types, omitted nullable
+    *    columns fill NULL; by-name SELECT keeps the strict type check.
     *  - `INSERT OVERWRITE v SELECT ...` → a full-table replace in one
     *    commit (files, schema, mapping, and eq-delete state reset —
     *    nothing is read; old files become VACUUM debris), and
@@ -1244,7 +1267,8 @@ object GraftSql {
             val updAssigns: Map[Int, Map[String, Column]] =
               matchedClauses.zipWithIndex.collect {
                 case ((_, Some(b)), i) if b != "*" =>
-                  val a = parseAssignments(b); validateAssigns(a); i -> a
+                  val a = parseAssignments(b, Set(tgtAlias))
+                  validateAssigns(a); i -> a
               }.toMap
             val updIdx = matchedClauses.zipWithIndex
               .collect { case ((_, Some(_)), i) => i }
@@ -1453,7 +1477,8 @@ object GraftSql {
                   bySrcClauses.zipWithIndex.collect {
                     case ((_, b), i) if !b.equalsIgnoreCase("DELETE") =>
                       val a = parseAssignments(
-                        b.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""))
+                        b.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""),
+                        Set(tgtAlias))
                       validateAssigns(a)
                       i -> a
                   }.toMap
@@ -1607,11 +1632,50 @@ object GraftSql {
           }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
-      case InsertRe(name0, select) =>
+      case InsertRe(name0, colsS, body) =>
         val name = normName(name0)
         val (t, stats) = mutableSnapshotOf(spark, name)
-        (graft.sources.snapshot.SnapshotLog
-          .commit(spark.sql(select), t, "append", stats), name)
+        val snap = graft.sources.snapshot.SnapshotLog
+        // VALUES rows plan through Spark's inline-table relation; a
+        // column list (or, for bare VALUES, the full schema) binds the
+        // result's columns POSITIONALLY — the commit's alignToSchema
+        // then type-checks and NULL-fills omitted nullable columns
+        val isValues = body.trim.toUpperCase.startsWith("VALUES")
+        val df0 =
+          if (isValues) spark.sql(s"SELECT * FROM ($body)")
+          else spark.sql(body)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          snap.manifest(spark, t,
+            snap.latestVersion(spark, t).get).schemaDdl)
+        // positionally-bound columns CAST to the table's types (the
+        // standard INSERT coercion — a VALUES integer literal must
+        // land in a BIGINT column); by-name SELECT keeps the strict
+        // type check the append contract has always had
+        def bindPositional(cols: Seq[String]): DataFrame = {
+          cols.foreach(c => require(schema.fieldNames.contains(c),
+            s"INSERT column '$c' not in table schema " +
+              s"${schema.fieldNames.toSeq}"))
+          df0.toDF(cols.toIndexedSeq: _*).select(cols.map(c =>
+            org.apache.spark.sql.functions.col(c)
+              .cast(schema(c).dataType).as(c)).toIndexedSeq: _*)
+        }
+        val df = Option(colsS) match {
+          case Some(cs) =>
+            val cols = cs.split(",").map(_.trim).toSeq
+            require(df0.columns.length == cols.length,
+              s"INSERT column list (${cols.length}) and " +
+                s"${if (isValues) "VALUES arity" else "SELECT columns"} " +
+                s"(${df0.columns.length}) must align")
+            bindPositional(cols)
+          case None if isValues =>
+            require(df0.columns.length == schema.fields.length,
+              s"INSERT VALUES arity (${df0.columns.length}) != table " +
+                s"columns (${schema.fields.length}) — list the columns " +
+                "explicitly to insert a subset")
+            bindPositional(schema.fieldNames.toSeq)
+          case None => df0
+        }
+        (snap.commit(df, t, "append", stats), name)
       case InsertOverwriteRe(name0, select) =>
         val name = normName(name0)
         // full-table replace in one commit: files, schema, column
@@ -1696,7 +1760,8 @@ object GraftSql {
         if (where == null) {
           val ver = snap.updateMatching(spark, t,
             org.apache.spark.sql.functions.lit(true),
-            parseAssignments(setClause), stats).map(_.version)
+            parseAssignments(setClause, Set(name)), stats)
+            .map(_.version)
           (ver.getOrElse(snap.latestVersion(spark, t).get), name)
         } else {
         // same cost classes as DELETE: conjunctions classify from
@@ -1712,7 +1777,8 @@ object GraftSql {
               s"IN-subquery must select exactly one column, got " +
                 s"${keys.columns.toSeq}")
             snap.updateKeys(spark, t, Seq(colName), keys.toDF(colName),
-              parseAssignments(setClause), stats).map(_.version)
+              parseAssignments(setClause, Set(name)), stats)
+            .map(_.version)
           case DeleteInTupleRe(colsS, sub) =>
             // composite keys-frame CoW update: only files the tuple
             // set may land in (interval conjunction) rewrite
@@ -1722,14 +1788,17 @@ object GraftSql {
               s"tuple IN-subquery must select ${cols.length} columns " +
                 s"(${cols.mkString(", ")}), got ${keys.columns.toSeq}")
             snap.updateKeys(spark, t, cols, keys.toDF(cols: _*),
-              parseAssignments(setClause), stats).map(_.version)
+              parseAssignments(setClause, Set(name)), stats)
+            .map(_.version)
           case _ => (try Some(parseWhere(where))
             catch { case _: IllegalArgumentException => None }) match {
             case Some(crs) => snap.updateWhere(spark, t, crs,
-              parseAssignments(setClause), stats).map(_.version)
+              parseAssignments(setClause, Set(name)), stats)
+            .map(_.version)
             case None => snap.updateMatching(spark, t,
               org.apache.spark.sql.functions.expr(where),
-              parseAssignments(setClause), stats).map(_.version)
+              parseAssignments(setClause, Set(name)), stats)
+            .map(_.version)
           }
         }
         (ver.getOrElse(snap.latestVersion(spark, t).get), name)
@@ -1924,7 +1993,7 @@ object GraftSql {
       .orElse(statement match {
         case DeleteRe(n, _) => Some(normName(n))
         case DeleteAllRe(n) => Some(normName(n))
-        case InsertRe(n, _) => Some(normName(n))
+        case InsertRe(n, _, _) => Some(normName(n))
         case InsertOverwriteRe(n, _) => Some(normName(n))
         case TruncateRe(n) => Some(normName(n))
         case UpdateRe(n, _) => Some(normName(n))

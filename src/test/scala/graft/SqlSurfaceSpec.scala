@@ -1812,4 +1812,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
     GraftSql.dml(spark, s"RESTORE TABLE wt_v TO VERSION AS OF ${vDel - 1}")
     assert(spark.sql("SELECT count(*) FROM wt_v").head.getLong(0) == 15L)
   }
+
+  test("INSERT VALUES / column lists, and qualified SET targets") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-insval")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 4)
+      .select($"id", lit(1L).as("v"),
+        // nullable tag (a bare lit is non-null, and a NOT NULL column
+        // must refuse subset inserts — that's its own contract)
+        when($"id" >= 0, lit("x")).as("tag")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "iv_v", t, None, Seq("id"))
+    // bare VALUES binds positionally to the full schema
+    GraftSql.dml(spark, "INSERT INTO iv_v VALUES (10, 5, 'a'), (11, 6, 'b')")
+    assert(spark.sql("SELECT count(*), sum(v) FROM iv_v").head ===
+      org.apache.spark.sql.Row(6L, 15L))
+    // a column list inserts a subset; omitted nullable columns NULL
+    GraftSql.dml(spark, "INSERT INTO iv_v (id, v) VALUES (12, 7)")
+    assert(spark.sql("SELECT tag FROM iv_v WHERE id = 12").head.isNullAt(0))
+    // the column list works for SELECT bodies too
+    GraftSql.dml(spark,
+      "INSERT INTO iv_v (id, v) SELECT id + 20, id FROM range(0, 2)")
+    assert(spark.sql("SELECT count(*) FROM iv_v").head.getLong(0) == 9L)
+    // arity mismatches refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark, "INSERT INTO iv_v VALUES (1, 2)")
+    }
+    assert(e.getMessage.contains("arity"), e.getMessage)
+    // qualified assignment targets: the Delta `SET t.v = ...` idiom in
+    // UPDATE (view name) and MERGE (target alias); a source-qualified
+    // target refuses loudly
+    GraftSql.dml(spark, "UPDATE iv_v SET iv_v.v = 100 WHERE id = 0")
+    assert(spark.sql("SELECT v FROM iv_v WHERE id = 0").head.getLong(0) == 100L)
+    spark.range(1, 3).select($"id", lit(9L).as("b"))
+      .createOrReplaceTempView("iv_src")
+    GraftSql.dml(spark,
+      """MERGE INTO iv_v AS tt USING iv_src ss ON tt.id = ss.id
+        |WHEN MATCHED THEN UPDATE SET tt.v = tt.v + ss.b""".stripMargin)
+    assert(spark.sql("SELECT sum(v) FROM iv_v WHERE id IN (1, 2)")
+      .head.getLong(0) == 20L)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO iv_v AS tt USING iv_src ss ON tt.id = ss.id
+          |WHEN MATCHED THEN UPDATE SET ss.b = 1""".stripMargin)
+    }
+    assert(e2.getMessage.contains("TARGET alias"), e2.getMessage)
+  }
 }
