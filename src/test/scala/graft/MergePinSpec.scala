@@ -181,4 +181,43 @@ class MergePinSpec extends AnyFunSuite {
     val leaked = graftBlocksBesides(before)
     assert(leaked.isEmpty, s"refused MERGE leaked pins: $leaked")
   }
+
+  test("the per-row resolution window rides only CONDITIONAL clause shapes") {
+    import spark.implicits._
+    val t = freshTable("pin-plan", 30)
+    GraftSql.registerSnapshot(spark, "pp_v", t, None, Seq("id"))
+    spark.range(0, 10).select($"id", ($"id" * 2).as("v"))
+      .createOrReplaceTempView("pp_src")
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // a single UNCONDITIONAL clause: no row can ride, so the plan
+      // must not pay a window pass (the fast branch)
+      GraftSql.dml(spark,
+        """MERGE INTO pp_v USING pp_src ON pp_v.id = pp_src.id
+          |WHEN MATCHED THEN UPDATE SET v = pp_src.v + 1""".stripMargin)
+      Thread.sleep(3000)
+      import scala.jdk.CollectionConverters._
+      assert(!plans.asScala.exists(_.contains("Window")),
+        "an unconditional explicit-body MERGE paid a per-key window")
+      plans.clear()
+      // a CONDITIONAL clause: riders are possible, the per-row
+      // resolution window must be in the plan
+      GraftSql.dml(spark,
+        """MERGE INTO pp_v USING pp_src ON pp_v.id = pp_src.id
+          |WHEN MATCHED AND pp_src.v > 4 THEN UPDATE SET v = 0""".stripMargin)
+      Thread.sleep(3000)
+      assert(plans.asScala.exists(_.contains("Window")),
+        "a conditional MERGE lost the per-row resolution window")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
