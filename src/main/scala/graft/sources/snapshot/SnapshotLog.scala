@@ -1785,20 +1785,31 @@ object SnapshotLog {
 
     // one pass over updates: per-file key-containment flags + row count
     // (+ the key-uniqueness probe, in the same aggregation — no extra
-    // pass)
+    // pass, and only computed when this caller REFUSES duplicates: the
+    // MERGE machinery's row-set variants skip the distinct entirely).
+    // Uniqueness compares against the KEYED row count — a NULL-key row
+    // can never be a duplicate of anything (it matches no target and
+    // simply appends, the standard outcome), so it must not trip the
+    // refusal the way a raw count-vs-countDistinct comparison would.
     val checks = containmentChecks(m.files, keyCols)
-    val head = Seq(count(lit(1)).cast("long").as("__n"),
-      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
-        .cast("long").as("__nk"))
+    val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val head = Seq(count(lit(1)).cast("long").as("__n")) ++
+      (if (uniqueKeys) Seq(
+        countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
+          .cast("long").as("__nk"),
+        count(when(keyed, 1)).cast("long").as("__nkeyed"))
+      else Nil)
+    val base = head.size
     val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
     if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
-    require(!uniqueKeys || probe.getLong(1) == probe.getLong(0),
+    require(!uniqueKeys || probe.getLong(1) == probe.getLong(2),
       "duplicate keys in upsert batch — multiple source rows matched " +
         "and would modify the same target row in conflicting ways; " +
         "pre-aggregate the source to one row per key (latest-wins: " +
         "operators.CdcMerge)")
     val touched = m.files.indices
-      .filter(i => !probe.isNullAt(i + 2) && probe.getInt(i + 2) == 1).toSet
+      .filter(i => !probe.isNullAt(i + base) && probe.getInt(i + base) == 1)
+      .toSet
     val (rewrite, kept) = m.files.zipWithIndex.partition(p => touched(p._2))
 
     val v = v0 + 1
@@ -1958,24 +1969,30 @@ object SnapshotLog {
     // deletes remove rows and cannot violate a CHECK
 
     // one pass over the changelog: per-file key-containment flags plus
-    // batch validity (op vocabulary, key uniqueness)
+    // batch validity (op vocabulary, key uniqueness — the distinct is
+    // only computed for refusing callers; the MERGE machinery's
+    // row-set variant skips it)
     val checks = containmentChecks(m.files, keyCols)
     val head = Seq(count(lit(1)).cast("long").as("__n"),
-      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
-        .cast("long").as("__nk"),
       max(when(!col(opCol).isin("U", "D"), 1).otherwise(0)).as("__badop"),
-      sum(when(col(opCol) === "U", 1).otherwise(0)).cast("long").as("__nu"))
+      sum(when(col(opCol) === "U", 1).otherwise(0)).cast("long").as("__nu")) ++
+      (if (uniqueKeys) Seq(
+        countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
+          .cast("long").as("__nk"))
+      else Nil)
+    val base = head.size
     val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
     if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
-    require(probe.getInt(2) == 0, s"op column '$opCol' has values outside {U, D}")
-    require(!uniqueKeys || probe.getLong(1) == probe.getLong(0),
+    require(probe.getInt(1) == 0, s"op column '$opCol' has values outside {U, D}")
+    require(!uniqueKeys || probe.getLong(3) == probe.getLong(0),
       "duplicate keys in change batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val touched = m.files.indices
-      .filter(i => !probe.isNullAt(i + 4) && probe.getInt(i + 4) == 1).toSet
+      .filter(i => !probe.isNullAt(i + base) && probe.getInt(i + base) == 1)
+      .toSet
     val (rewrite, kept) = m.files.zipWithIndex.partition(p => touched(p._2))
     // deletes that land in no file and zero inserts: nothing to commit
-    if (rewrite.isEmpty && probe.getLong(3) == 0L)
+    if (rewrite.isEmpty && probe.getLong(2) == 0L)
       return MutationStats(v0, m.files.size, 0, 0)
 
     val v = v0 + 1
@@ -2131,11 +2148,17 @@ object SnapshotLog {
     require(updates.columns.toSet == schema.fieldNames.toSet,
       s"update columns ${updates.columns.toSeq} != table ${schema.fieldNames.toSeq}")
     val aligned = updates.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // uniqueness vs the KEYED count (NULL-key rows append and can
+    // never be duplicates — see upsertInternal); the distinct is
+    // always computed here because the eq-delete sidecar records it
+    // as its key count (MOR batches are small by design)
+    val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val probe = aligned.agg(count(lit(1)).cast("long"),
       countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
-        .cast("long")).head
+        .cast("long"),
+      count(when(keyed, 1)).cast("long")).head
     if (probe.getLong(0) == 0L) return v0
-    require(!uniqueKeys || probe.getLong(1) == probe.getLong(0),
+    require(!uniqueKeys || probe.getLong(1) == probe.getLong(2),
       "duplicate keys in MOR upsert batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val v = v0 + 1

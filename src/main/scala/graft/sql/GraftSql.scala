@@ -947,6 +947,10 @@ object GraftSql {
         require(!tgtAlias.equalsIgnoreCase(src),
           s"MERGE target and source aliases must differ, got '$tgtAlias' " +
             "for both sides")
+        require(!tgtAlias.contains(".") && !src.contains("."),
+          "a dotted MERGE name needs an explicit alias (`MERGE INTO " +
+            s"a.b AS t USING c.d AS s`) — ON pairs and clause bodies " +
+            s"qualify by the ALIAS, got '$tgtAlias' / '$src'")
         // ON is an AND-conjunction of equi-key pairs (one key or a
         // COMPOSITE key; each pair binds the same-named column on both
         // sides — the upsert machinery keys the shared name) plus
@@ -1181,12 +1185,6 @@ object GraftSql {
           case Some(opc) if bySrcClauses.isEmpty && residualRanges.isEmpty &&
               srcRanges.isEmpty =>
             snap.applyChanges(srcDf, t, tKeys, opc, stats, -1L).version
-          case _ if unconditionalStar && bySrcClauses.isEmpty &&
-              residualRanges.isEmpty && srcRanges.isEmpty =>
-            // strategy per registration: CoW rewrite vs O(batch) MOR
-            if (snapshotOf(spark, name).morMerge)
-              snap.upsertMOR(srcDf, t, tKeys, stats)
-            else snap.upsert(srcDf, t, tKeys, stats).version
           case _ =>
             // Explicit bodies, per-clause conditions, and ORDERED
             // multi-clause families: resolve every matched pair to the
@@ -1205,6 +1203,29 @@ object GraftSql {
               snap.manifest(spark, t,
                 snap.latestVersion(spark, t).get).schemaDdl)
             import org.apache.spark.sql.functions.{col => c, lit => l}
+            // star bodies project the SOURCE's column for every table
+            // field — refuse a source that cannot satisfy that before
+            // Catalyst produces an unresolved-column error. The
+            // UNCONDITIONAL star form keeps its stricter contract: an
+            // EXTRA source column refuses too (the table's schema is
+            // the contract — no silent drop; WITH SCHEMA EVOLUTION is
+            // the opt-in), while multi-clause statements may carry
+            // extra source columns for their conditions and bodies.
+            if (matchedClauses.exists(_._2.contains("*")) ||
+                insClauses.exists(_._2.isEmpty)) {
+              val missing = schema.fieldNames.filterNot(f =>
+                srcDf.columns.exists(_.equalsIgnoreCase(f)))
+              require(missing.isEmpty,
+                "UPDATE SET * / INSERT * needs the source to carry " +
+                  s"every table column; missing ${missing.toSeq} " +
+                  s"(source has ${srcDf.columns.toSeq})")
+              if (unconditionalStar)
+                require(srcDf.columns.map(_.toLowerCase).toSet ==
+                    schema.fieldNames.map(_.toLowerCase).toSet,
+                  s"update columns ${srcDf.columns.toSeq} != table " +
+                    s"${schema.fieldNames.toSeq} — extra source columns " +
+                    "need MERGE WITH SCHEMA EVOLUTION (no silent drop)")
+            }
             // source-side residual: rows failing it can match nothing
             // (they are still NOT MATCHED and insert); null-safe so a
             // NULL residual value is non-matchable, like in a join
@@ -1311,15 +1332,18 @@ object GraftSql {
                 pins += r
                 Some(r)
               }
-            // Delta's "multiple source rows matched" refusal: two
-            // DISTINCT source rows resolving clauses against the same
-            // key would modify the same target row in conflicting
-            // ways. Clause conditions disambiguate (a pair no clause
-            // claims modifies nothing); the probe is one aggregation
-            // over the pinned pairs.
+            // Delta's "multiple source rows matched" refusal, at the
+            // exact grain Delta checks: two DISTINCT source rows
+            // resolving clauses against the SAME TARGET ROW. Clause
+            // conditions disambiguate (a pair no clause claims
+            // modifies nothing, and distinct sources may each claim a
+            // DIFFERENT row of a duplicate-key target); the probe is
+            // one aggregation over the pinned pairs, and its pass
+            // guarantees every target row has at most ONE resolved
+            // pair — the invariant the rep-collapse below relies on.
             resolvedOpt.foreach { r =>
               val amb = r.where(c(clauseCol).isNotNull)
-                .groupBy(tKeys.map(c): _*)
+                .groupBy(c(tgtIdCol))
                 .agg(org.apache.spark.sql.functions
                   .countDistinct(c(srcIdCol)).as("__ns"))
                 .where(c("__ns") > 1)
@@ -1699,7 +1723,11 @@ object GraftSql {
         val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        (snap.commit(empty, t, "overwrite", stats), name)
+        // the declared layout survives the truncate (the overwrite
+        // commit would otherwise reset it with the rest of the state —
+        // clustering metadata is a table property, not data)
+        (snap.commit(empty, t, "overwrite", stats,
+          declareLayout = snap.layoutOf(spark, t)), name)
       case CreateTableRe(orReplace, name0, loc, kind, clusterCols, nf,
           select) =>
         val name = normName(name0)
@@ -1744,7 +1772,10 @@ object GraftSql {
         val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        (snap.commit(empty, t, "overwrite", stats), name)
+        // a DELETE never touches clustering metadata (Delta parity) —
+        // carry the declared layout through the zero-row overwrite
+        (snap.commit(empty, t, "overwrite", stats,
+          declareLayout = snap.layoutOf(spark, t)), name)
       case UpdateRe(name0, tail) =>
         val name = normName(name0)
         // SET clause ends at the first WHERE outside literals/comments

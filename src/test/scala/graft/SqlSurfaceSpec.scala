@@ -1682,16 +1682,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     GraftSql.registerSnapshot(spark, "dupv", t, None, Seq("id"))
     Seq((1L, 10L), (1L, 20L), (7L, 7L)).toDF("id", "v")
       .createOrReplaceTempView("dup_src")
-    // the unconditional SET * / INSERT * fast path refuses through the
-    // upsert probe (same single-pass aggregation as candidacy)
+    // the unconditional SET * / INSERT * form refuses through the same
+    // per-target-row ambiguity probe as every other clause shape
     val e1 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
         """MERGE INTO dupv USING dup_src ON dupv.id = dup_src.id
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(e1.getMessage.contains("duplicate keys") &&
-      e1.getMessage.contains("multiple source rows"), e1.getMessage)
+    assert(e1.getMessage.contains("multiple source rows matched"),
+      e1.getMessage)
     // the clause machinery refuses with Delta's wording
     val e2 = intercept[IllegalArgumentException] {
       GraftSql.dml(spark,
@@ -1860,5 +1860,85 @@ class SqlSurfaceSpec extends AnyFunSuite {
           |WHEN MATCHED THEN UPDATE SET ss.b = 1""".stripMargin)
     }
     assert(e2.getMessage.contains("TARGET alias"), e2.getMessage)
+  }
+
+  test("star MERGE: Delta per-row parity — dup-key targets kept, NULL-key sources insert") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-starrow")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    // duplicate-key target: key 1 holds TWO rows
+    Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("id", "v")
+      .repartition(1).write.format("noop").mode("overwrite").save()
+    snap.commit(Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("id", "v"), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "sr_v", t, None, Seq("id"))
+    // a NULL-key source row matches nothing and must INSERT (it used
+    // to trip a spurious duplicate-keys refusal via countDistinct)
+    Seq((Some(1L), 100L), (None, 777L), (Some(9L), 90L))
+      .toDF("id", "v").createOrReplaceTempView("sr_src")
+    GraftSql.dml(spark,
+      """MERGE INTO sr_v USING sr_src ON sr_v.id = sr_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM sr_v ORDER BY id, v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+      .toSeq
+    // Delta: BOTH rows of key 1 update (to identical source values) —
+    // replace-by-key used to collapse them to one; the NULL-key row
+    // inserts; key 9 inserts; key 2 rides
+    assert(got == Seq((-1L, 777L), (1L, 100L), (1L, 100L), (2L, 20L),
+      (9L, 90L)), s"got $got")
+    // distinct sources may each claim a DIFFERENT row of a dup-key
+    // target (the per-target-row ambiguity grain — a key-level probe
+    // would wrongly refuse this Delta-valid statement)
+    Seq((1L, 1L, 500L), (1L, 2L, 600L)).toDF("id", "pick", "v")
+      .createOrReplaceTempView("sr_src2")
+    spark.sql("SELECT * FROM sr_v").createOrReplaceTempView("sr_before")
+    GraftSql.dml(spark,
+      """MERGE INTO sr_v USING sr_src2 ON sr_v.id = sr_src2.id
+        |WHEN MATCHED AND sr_v.v = 100 AND sr_src2.pick = 1
+        |  THEN UPDATE SET v = sr_src2.v""".stripMargin)
+    // both (1,100) rows satisfy pick=1's condition... each target row
+    // is claimed by exactly ONE source row (pick=2's condition is
+    // false for both), so the statement executes; both rows land at
+    // 500
+    assert(spark.sql("SELECT count(*) FROM sr_v WHERE v = 500")
+      .head.getLong(0) == 2L)
+    // a dotted name without an alias refuses loudly, naming the fix
+    // (ON pairs can only qualify by a single-identifier alias)
+    spark.range(0, 2).toDF("id")
+      .createOrReplaceGlobalTempView("sr_gsrc")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO sr_v USING global_temp.sr_gsrc
+          |ON sr_v.id = global_temp.sr_gsrc.id
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e.getMessage.contains("explicit alias"), e.getMessage)
+  }
+
+  test("TRUNCATE and whole-table DELETE preserve the declared layout") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-laykeep")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 40).select($"id", lit(0L).as("v")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "lk_v", t, None, Seq("id"))
+    GraftSql.dml(spark, "ALTER TABLE lk_v CLUSTER BY range(id) INTO 4 FILES")
+    GraftSql.dml(spark, "TRUNCATE TABLE lk_v")
+    assert(snap.layoutOf(spark, t).exists(_.kind == "range"),
+      "TRUNCATE dropped the declared layout")
+    GraftSql.dml(spark,
+      "INSERT INTO lk_v SELECT id, id AS v FROM range(0, 40)")
+    val m = snap.manifest(spark, t, snap.latestVersion(spark, t).get)
+    assert(m.files.count(_.rows > 0) == 4,
+      "the post-TRUNCATE append stopped conforming to the layout")
+    GraftSql.dml(spark, "DELETE FROM lk_v")
+    assert(snap.layoutOf(spark, t).exists(_.kind == "range"),
+      "whole-table DELETE dropped the declared layout")
   }
 }
