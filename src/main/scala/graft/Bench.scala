@@ -15,6 +15,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -51,6 +52,30 @@ object Bench {
     // in-JVM runs is the stable "cost of the plan" signal; per-query
     // raw runs are kept in the artifact so a regression can be told
     // from a one-off stall.
+    // outlier guard baseline: the newest committed round artifact's
+    // per-query numbers (override with SPARK_GRAFT_BENCH_CANON=path).
+    // A query whose MIN still exceeds 10× its canonical number (and
+    // 5 s absolute) gets two extra runs with GC/heap logged and its
+    // formatted plan dumped — the round-15 driver regen had one query
+    // at 316/109/77 s across three runs while every neighbor was
+    // normal, and an artifact needs the evidence to adjudicate that as
+    // environment, not regression.
+    val canon: Map[String, Double] = {
+      val named = sys.env.get("SPARK_GRAFT_BENCH_CANON")
+        .map(new java.io.File(_))
+      val file = named.orElse(
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption)
+      file.filter(_.isFile).map { f =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val body = """"queries":\{(.*?)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"(\w+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -60,10 +85,28 @@ object Bench {
       }
       val r1 = once()
       val r2 = once()
-      val runs =
+      val base =
         if (math.max(r1, r2) / math.max(math.min(r1, r2), 1e-9) > 1.3)
           Seq(r1, r2, once())
         else Seq(r1, r2)
+      val runs = canon.get(name) match {
+        case Some(c) if base.min > math.max(10 * c, 5.0) =>
+          import scala.jdk.CollectionConverters._
+          val gcs = java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans.asScala
+          val rt = Runtime.getRuntime
+          System.err.println(
+            f"[bench-outlier] $name min=${base.min}%.2f s vs canonical " +
+              f"$c%.2f s — gcCount=${gcs.map(_.getCollectionCount).sum} " +
+              f"gcTimeMs=${gcs.map(_.getCollectionTime).sum} " +
+              f"heapUsedMB=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}" +
+              "; re-running twice and dumping the plan")
+          try System.err.println(fn(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+          catch { case _: Throwable => }
+          base ++ Seq(once(), once())
+        case _ => base
+      }
       allRuns(name) = runs
       name -> runs.min
     }

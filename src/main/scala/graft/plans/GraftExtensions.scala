@@ -27,6 +27,90 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(args.head, args(1))
       }))
     e.injectParser((_, delegate) => new GraftParser(delegate))
+    e.injectResolutionRule(session => new GraftTableResolution(session))
+  }
+}
+
+/** Analysis-time substitution for [[GraftCatalog]] tables: a
+  * `DataSourceV2Relation` over a [[GraftTable]] becomes the
+  * manifest-planned snapshot READ plan (file list from the manifest,
+  * DV masks, eq-delete anti-joins, column mapping), aliased onto the
+  * relation's output attributes so references above resolve
+  * unchanged. This is how the full read semantics reach stock SQL
+  * without reimplementing them as a DSv2 scan — and because the
+  * substituted plan bottoms out in ordinary parquet relations,
+  * Catalyst's pushdown/pruning/codegen all apply as if the user had
+  * called `SnapshotLog.read` themselves. Unpinned tables read the
+  * LATEST version at analysis time, so a catalog name never serves
+  * the stale frame a repointed temp view could.
+  *
+  * Write commands are untouched: `AppendData`-family nodes hold their
+  * target relation outside the operator tree (`table` is not a
+  * child), so the transform only ever rewrites read sites.
+  */
+final class GraftTableResolution(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // an InsertIntoStatement holds its TARGET as a child until
+    // ResolveInsertInto converts it to an AppendData-family command —
+    // substituting the target mid-flight would unresolve the insert,
+    // so write-target relation INSTANCES are left alone (converted
+    // commands hold the target outside the operator tree and are
+    // never visited)
+    val writeTargets =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical
+        .InsertIntoStatement => writeTargets.add(i.table)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] &&
+          !writeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val read = graft.sources.snapshot.SnapshotLog
+          .read(session, t.path, t.pinnedVersion).queryExecution.analyzed
+        val aliased = r.output.map { o =>
+          val n = read.output.find(_.name.equalsIgnoreCase(o.name))
+            .getOrElse(throw new IllegalStateException(
+              s"column '${o.name}' resolved against ${t.name()} is " +
+                s"missing from the snapshot read of ${t.path} — the " +
+                "table schema changed between load and analysis"))
+          val e = if (n.dataType == o.dataType) n else Cast(n, o.dataType)
+          Alias(e, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        Project(aliased, read)
+    }
+  }
+}
+
+/** A graft DML statement as a LAZILY-executed command node: parsing
+  * produces this plan, and the mutation runs only when the plan
+  * EXECUTES (`spark.sql` executes command plans eagerly, so the
+  * observable `spark.sql("MERGE ...")` behavior is unchanged — one
+  * `version` row, Delta's SQL DML shape). Keeping the side effect out
+  * of the parser means `EXPLAIN MERGE INTO v ...` renders the plan
+  * without mutating, retries/tooling that parse twice commit once per
+  * EXECUTION, and `sessionState.sqlParser.parsePlan` is side-effect
+  * free.
+  */
+final case class GraftDmlCommand(statement: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[
+      org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] =
+    Seq(org.apache.spark.sql.Row(graft.sql.GraftSql.dml(spark, statement)))
+  override def simpleString(maxFields: Int): String = {
+    val one = statement.replaceAll("\\s+", " ").trim
+    val shown = if (one.length > 120) one.take(117) + "..." else one
+    s"GraftDmlCommand $shown"
   }
 }
 
@@ -36,32 +120,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * [[graft.sql.GraftSql]]; everything else delegates verbatim to the
   * stock parser, so the extension is invisible outside the dialect.
   *
-  * DML executes AT PARSE TIME and returns a one-row `version` plan
-  * (Delta's SQL DML shape) — for a mutation statement, parsing IS the
-  * action, the same contract the stock parser gives DDL commands. The
+  * DML parses to a lazily-executed [[GraftDmlCommand]] — parsing is
+  * side-effect free; the mutation happens when the command plan
+  * executes (which `spark.sql` does eagerly, like any command). The
   * registration check keys on the ACTIVE session, so two sessions with
-  * different registrations never see each other's views.
+  * different registrations never see each other's views. Owned
+  * statements take no bind parameters: a parameterized call refuses
+  * loudly instead of silently dropping the bindings.
   */
 final class GraftParser(delegate: ParserInterface) extends ParserInterface {
 
-  private def intercept(sqlText: String): Option[LogicalPlan] =
+  private def interceptRaw(sqlText: String)
+      : Option[Either[String, LogicalPlan]] =
     SparkSession.getActiveSession
       .flatMap(s => graft.sql.GraftSql.interceptSql(s, sqlText))
-      .map {
-        case Right(plan) => plan
-        case Left(rewritten) => delegate.parsePlan(rewritten)
-      }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    intercept(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    interceptRaw(sqlText) match {
+      case Some(Right(plan)) => plan
+      case Some(Left(rewritten)) => delegate.parsePlan(rewritten)
+      case None => delegate.parsePlan(sqlText)
+    }
 
   override def parsePlanWithParameters(sqlText: String,
       parameters: ParameterContext): LogicalPlan =
-    // the graft dialect takes no bind parameters; an owned statement
-    // parses the same either way, everything else delegates with its
-    // parameters intact
-    intercept(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, parameters))
+    interceptRaw(sqlText) match {
+      case Some(Right(plan)) =>
+        // owned statements have no parameter-marker grammar: any
+        // bound argument would silently not bind — refuse loudly
+        // (an unknown future ParameterContext shape refuses too,
+        // rather than guessing it is empty)
+        val empty = parameters match {
+          case org.apache.spark.sql.catalyst.parser
+            .NamedParameterContext(args) => args.isEmpty
+          case org.apache.spark.sql.catalyst.parser
+            .PositionalParameterContext(args) => args.isEmpty
+          case org.apache.spark.sql.catalyst.parser
+            .HybridParameterContext(args, _) => args.isEmpty
+          case _ => false
+        }
+        if (!empty) throw new IllegalArgumentException(
+          "graft dialect statements (DML/DESCRIBE on snapshot views) " +
+            "take no bind parameters — inline the values into the " +
+            s"statement text: $sqlText")
+        plan
+      case Some(Left(rewritten)) =>
+        // read-dialect rewrite: the surrounding query may legitimately
+        // carry parameters — delegate with them intact
+        delegate.parsePlanWithParameters(rewritten, parameters)
+      case None => delegate.parsePlanWithParameters(sqlText, parameters)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

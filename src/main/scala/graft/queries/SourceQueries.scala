@@ -3594,6 +3594,52 @@ object SourceQueries extends QueryPack {
       out
     }),
 
+    // Arbitrary SOURCE-only conjuncts in MERGE ON — `AND s.cat IN
+    // ('c0','c1') AND s.flag` (an IN-list and a bare boolean: neither
+    // is a range the prunable-residual grammar accepts). They restrict
+    // which source rows can MATCH; residual-failing rows are NOT
+    // MATCHED and still INSERT beside their same-key originals (the
+    // Delta outcome, same as the range residual in qd1). The oracle
+    // replays the matchable-set arithmetic relationally.
+    "qd5_sql_merge_src_pred" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val t = s"target/snapspred-$tag"
+      val v = s"spv_$tag"
+      val roll = graft.core.Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+      SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
+        "append", Seq("l_orderkey"))
+      graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
+      val mx = roll.agg(max($"l_orderkey")).head.getLong(0)
+      val src = s"spsrc_$tag"
+      roll.select($"l_orderkey")
+        .unionByName(s.range(0, 10)
+          .select(($"id" + mx + 1).as("l_orderkey")))
+        .select($"l_orderkey",
+          concat(lit("c"), ($"l_orderkey" % 3).cast("string")).as("cat"),
+          ($"l_orderkey" % 2 === 0).as("flag"),
+          ($"l_orderkey" % 11).as("bump"))
+        .createOrReplaceTempView(src)
+      graft.sql.GraftSql.dml(s,
+        s"""MERGE INTO $v USING $src
+           |ON $v.l_orderkey = $src.l_orderkey
+           |AND $src.cat IN ('c0', 'c1') AND $src.flag
+           |WHEN MATCHED THEN UPDATE SET
+           |  sum_qty = $v.sum_qty + $src.bump
+           |WHEN NOT MATCHED THEN INSERT (l_orderkey, sum_qty)
+           |  VALUES ($src.l_orderkey, $src.bump)""".stripMargin)
+      val out = s.table(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum($"sum_qty").as("sum_qty"),
+          sum($"l_orderkey" % 93).as("sum_kmod"))
+        .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
+        .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
+      gateCleanup(s, Nil, src, v)
+      out
+    }),
+
     // Per-row clause resolution over DUPLICATE-KEY targets (the table
     // keys detail rows by order alone, so every key has several rows).
     // Statement 1: line-1 rows of matched keys bump, line-2 rows
@@ -3686,6 +3732,66 @@ object SourceQueries extends QueryPack {
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
       gateCleanup(s, Nil, src, v)
       out
+    }),
+
+    // Catalog-native DML — the qc4 statement family driven ENTIRELY
+    // through catalog-qualified names (`graft.g.ords`): CTAS creates
+    // the table through the DSv2 TableCatalog (stats.cols persisted as
+    // a table property), INSERT rides the V1Write fallback, DELETE /
+    // MERGE dispatch through the dialect with NO registerSnapshot
+    // step, and every read re-resolves the table head at analysis
+    // time. The hash pins the final content AND the version count
+    // (CTAS = create + append, then one commit per statement).
+    "qd4_catalog_dml" -> ((s, dir) => {
+      import s.implicits._
+      if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+        val croot = java.nio.file.Files
+          .createTempDirectory("graft-catalog").toString
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.plans.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft.root", croot)
+      }
+      val ov = s"cato_${java.lang.Long.toHexString(System.nanoTime())}"
+      graft.core.Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey").createOrReplaceTempView(ov)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.g")
+      s.sql("DROP TABLE IF EXISTS graft.g.ords")
+      // ORDER BY = range-partitioned layout, so the DELETE below drops
+      // covered files metadata-only instead of rewriting a hash-
+      // scattered table (same contract as qc4)
+      s.sql("CREATE TABLE graft.g.ords TBLPROPERTIES " +
+        s"('stats.cols' = 'o_orderkey') AS SELECT * FROM $ov " +
+        "ORDER BY o_orderkey")
+      val mx = s.table(ov).agg(max($"o_orderkey")).head.getLong(0)
+      s.sql(s"DELETE FROM graft.g.ords WHERE o_orderkey BETWEEN 0 AND ${mx / 2}")
+      s.sql("INSERT INTO graft.g.ords " +
+        s"SELECT ${mx + 1001} + id AS o_orderkey, id AS o_custkey " +
+        "FROM range(0, 100)")
+      val src = s"cats_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.range(0, 100).where($"id" % 2 === 0)
+        .select(($"id" + (mx + 1001)).as("o_orderkey"),
+          ($"id" + 7000).as("o_custkey"))
+        .unionByName(s.range(0, 10).select(
+          ($"id" + (mx + 5000)).as("o_orderkey"), $"id".as("o_custkey")))
+        .createOrReplaceTempView(src)
+      s.sql(
+        s"""MERGE INTO graft.g.ords AS t USING $src AS u
+           |ON t.o_orderkey = u.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val path = s.conf.get("spark.sql.catalog.graft.root") + "/g/ords"
+      // one bounded row to the driver BEFORE the drop — the returned
+      // frame must not lazily re-read a dropped table (and a pinned
+      // checkpoint here would leak blocks past gate end)
+      val r = s.table("graft.g.ords").agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_key"),
+          sum($"o_custkey").as("sum_cust")).head
+      val nv = SnapshotLog.latestVersion(s, path).get
+      s.sql("DROP TABLE graft.g.ords")
+      gateCleanup(s, Nil, ov, src)
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), nv))
+        .toDF("n_rows", "sum_key", "sum_cust", "n_versions")
     }),
 
     "qcu_sql_update_in" -> ((s, dir) => {
@@ -4939,6 +5045,33 @@ object SourceQueries extends QueryPack {
           |  CAST(3 AS BIGINT) AS n_versions
           |FROM allr""".stripMargin,
 
+      // the matchable set (k even AND k%3<=1) bumps; every other
+      // source row inserts beside its original; matchable new keys
+      // insert once
+      "qd5_sql_merge_src_pred" ->
+        """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+          |base AS (SELECT l_orderkey AS k,
+          |  CAST(sum(floor(l_quantity)) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1),
+          |srck AS (SELECT k FROM base
+          |  UNION ALL SELECT m + 1 + i FROM range(0, 10) t(i), mx),
+          |src AS (SELECT k, k % 11 AS bump,
+          |  (k % 2 = 0 AND k % 3 <= 1) AS ok FROM srck),
+          |upd AS (SELECT b.k, b.q + s.bump AS q FROM base b
+          |  JOIN src s ON b.k = s.k AND s.ok),
+          |ride AS (SELECT k, q FROM base
+          |  WHERE k NOT IN (SELECT k FROM src WHERE ok)),
+          |ins AS (SELECT k, bump AS q FROM src WHERE NOT ok
+          |  UNION ALL SELECT k, bump FROM src
+          |  WHERE ok AND k NOT IN (SELECT k FROM base)),
+          |allr AS (SELECT k, q FROM upd UNION ALL SELECT k, q FROM ride
+          |  UNION ALL SELECT k, q FROM ins)
+          |SELECT count(*) AS n_rows,
+          |  CAST(sum(q) AS BIGINT) AS sum_qty,
+          |  CAST(sum(k % 93) AS BIGINT) AS sum_kmod,
+          |  CAST(2 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
+
       // per-row clause resolution replayed row-relationally: matched
       // (%3) keys bump line 1 and lose line 2 while other lines ride;
       // ten synthetic keys insert at line 0; then %5 keys lose lines
@@ -5106,6 +5239,25 @@ object SourceQueries extends QueryPack {
           |    AS clean_rows,
           |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, mx
           |   WHERE o_orderkey > m // 2) AS clean_sum""".stripMargin,
+
+      // the catalog-DML statements replayed relationally: survivors of
+      // the range delete, the formulaic insert with even keys upserted,
+      // and the 10 unmatched MERGE inserts; version count structural
+      // (CTAS = create + append, then DELETE / INSERT / MERGE)
+      "qd4_catalog_dml" ->
+        """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+          |surv AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders, mx
+          |         WHERE o_orderkey > m // 2),
+          |ins AS (SELECT m + 1001 + i AS k,
+          |         CASE WHEN i % 2 = 0 THEN i + 7000 ELSE i END AS c
+          |        FROM range(0, 100) t(i), mx),
+          |new10 AS (SELECT m + 5000 + i AS k, i AS c
+          |          FROM range(0, 10) t(i), mx),
+          |allr AS (SELECT k, c FROM surv UNION ALL SELECT k, c FROM ins
+          |         UNION ALL SELECT k, c FROM new10)
+          |SELECT count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_key,
+          |  CAST(sum(c) AS BIGINT) AS sum_cust, CAST(5 AS BIGINT) AS n_versions
+          |FROM allr""".stripMargin,
 
       // the four DML statements replayed relationally: survivors of the
       // range delete, the formulaic insert with even keys upserted (key

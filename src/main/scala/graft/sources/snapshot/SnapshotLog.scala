@@ -1972,19 +1972,31 @@ object SnapshotLog {
     // batch validity (op vocabulary, key uniqueness — the distinct is
     // only computed for refusing callers; the MERGE machinery's
     // row-set variant skips it)
+    // uniqueness compares against the KEYED row count, like
+    // [[upsertInternal]]: countDistinct skips NULL-key rows, so a raw
+    // count-vs-countDistinct comparison would blame a NULL-key change
+    // row for a duplicate it isn't — NULL keys get their own refusal
+    // (the keyed machinery's anti-join and containment flags both skip
+    // NULLs, so such a change row could never land or delete anything)
     val checks = containmentChecks(m.files, keyCols)
+    val keyed = keyCols.map(col(_).isNotNull).reduce(_ && _)
     val head = Seq(count(lit(1)).cast("long").as("__n"),
       max(when(!col(opCol).isin("U", "D"), 1).otherwise(0)).as("__badop"),
       sum(when(col(opCol) === "U", 1).otherwise(0)).cast("long").as("__nu")) ++
       (if (uniqueKeys) Seq(
         countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)
-          .cast("long").as("__nk"))
+          .cast("long").as("__nk"),
+        count(when(keyed, 1)).cast("long").as("__nkeyed"))
       else Nil)
     val base = head.size
     val probe = aligned.agg(head.head, (head.tail ++ checks): _*).head
     if (probe.getLong(0) == 0L) return MutationStats(v0, m.files.size, 0, 0)
     require(probe.getInt(1) == 0, s"op column '$opCol' has values outside {U, D}")
-    require(!uniqueKeys || probe.getLong(3) == probe.getLong(0),
+    require(!uniqueKeys || probe.getLong(4) == probe.getLong(0),
+      s"change batch has rows whose key ($keyCols) is NULL — NULL never " +
+        "equals a stored key, so the keyed change machinery cannot " +
+        "address those rows; filter them out or fix the key upstream")
+    require(!uniqueKeys || probe.getLong(3) == probe.getLong(4),
       "duplicate keys in change batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val touched = m.files.indices

@@ -147,10 +147,10 @@ object GraftSql {
       .createOrReplaceTempView(name)
 
   private val DescribeHistoryRe =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$""".r
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*$""".r
 
   private val DescribeDetailRe =
-    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$""".r
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*$""".r
 
   /** `table_changes('v', from[, to])` — the Delta table-valued-function
     * face of the change feed, usable anywhere a table may appear.
@@ -254,7 +254,10 @@ object GraftSql {
     VersionAsOfRe.findAllMatchIn(statement).foreach { mm =>
       val nm = mm.group(1)
       val registered = snapshotReg.containsKey((spark, nm.toLowerCase))
-      if (!quoted(mm.start) && registered) {
+      // `graft.ns.t VERSION AS OF n` is catalog time travel (stock
+      // loadTable(ident, version)) — never rewrite a qualified tail
+      val qualified = mm.start > 0 && statement.charAt(mm.start - 1) == '.'
+      if (!quoted(mm.start) && registered && !qualified) {
         val ver = mm.group(2).toLong
         val view = s"__graft_vao_${nm}_$ver"
         graft.sources.snapshot.SnapshotLog
@@ -305,7 +308,12 @@ object GraftSql {
     TimestampAsOfRe.findAllMatchIn(statement).foreach { mm =>
       val nm = mm.group(1)
       val registered = snapshotReg.containsKey((spark, nm.toLowerCase))
-      if (!quoted(mm.start) && registered) {
+      // a dot before the match means `nm` is the LAST part of a
+      // catalog-qualified name (graft.ns.t TIMESTAMP AS OF ...) — that
+      // resolves through the catalog's own time-travel loadTable, and
+      // rewriting just the tail would corrupt the statement
+      val qualified = mm.start > 0 && statement.charAt(mm.start - 1) == '.'
+      if (!quoted(mm.start) && registered && !qualified) {
         val snap = graft.sources.snapshot.SnapshotLog
         val table = snapshotOf(spark, nm).table
         val ts = parseTsMillis(mm.group(2))
@@ -363,11 +371,11 @@ object GraftSql {
     statement match {
       case DescribeHistoryRe(name) =>
         graft.sources.snapshot.SnapshotLog
-          .history(spark, snapshotOf(spark, name).table)
+          .history(spark, snapshotOf(spark, normName(name)).table)
       case DescribeDetailRe(name) =>
         // the Delta DESCRIBE DETAIL shape: one row of manifest-plane
         // facts (zero data files read — all from tableStats + layoutOf)
-        val reg = snapshotOf(spark, name)
+        val reg = snapshotOf(spark, normName(name))
         val st = graft.sources.snapshot.SnapshotLog.tableStats(spark, reg.table)
         val layout = graft.sources.snapshot.SnapshotLog.layoutOf(spark, reg.table)
         val sess = spark
@@ -398,11 +406,44 @@ object GraftSql {
   private val snapshotReg =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SnapshotReg]()
 
+  /** Resolve a catalog-qualified name (`graft.ns.t`) to its snapshot
+    * table path, purely from the session conf — the same mapping
+    * [[graft.plans.GraftCatalog]] computes, so the DML dialect and the
+    * catalog can never disagree. None when the leading part names no
+    * installed graft catalog (a session-catalog `db.t` is not ours).
+    */
+  private[graft] def catalogPathOf(spark: SparkSession,
+      name: String): Option[String] = {
+    val parts = normName(name).split("\\.")
+    if (parts.length < 2) None
+    else spark.conf.getOption(s"spark.sql.catalog.${parts.head}") match {
+      case Some(impl)
+          if impl == classOf[graft.plans.GraftCatalog].getName =>
+        spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+          .map(root => (root.stripSuffix("/") +: parts.tail).mkString("/"))
+      case _ => None
+    }
+  }
+
   private def snapshotOf(spark: SparkSession, name: String): SnapshotReg = {
     val e = snapshotReg.get((spark, name.toLowerCase))
-    require(e != null,
-      s"'$name' is not a registered snapshot view — registerSnapshot first")
-    e
+    if (e != null) e
+    else catalogPathOf(spark, name) match {
+      // catalog tables need no registration: statsCols and the merge
+      // strategy come from the persisted table properties, and DML
+      // always acts on the table head (pins are a view-level concept)
+      case Some(path) =>
+        require(graft.sources.snapshot.SnapshotLog
+            .latestVersion(spark, path).isDefined,
+          s"catalog name '$name' resolves to $path but no snapshot " +
+            "table exists there — CREATE TABLE it first")
+        val props = graft.plans.GraftCatalog.tableProps(spark, path)
+        SnapshotReg(path, graft.plans.GraftCatalog.statsColsOf(props),
+          pinned = false,
+          morMerge = props.get("merge.strategy").contains("mor"))
+      case None => throw new IllegalArgumentException(
+        s"'$name' is not a registered snapshot view — registerSnapshot first")
+    }
   }
 
   /** The view's backing table + statsCols, refusing pinned views: a
@@ -471,6 +512,62 @@ object GraftSql {
     * toggle would flip string state on escape pairs and mis-split)
     * belong to the expressions.
     */
+  /** Index of the first top-level `AND` keyword (outside parens and
+    * literals, and not the `AND` of a top-level `BETWEEN .. AND ..`),
+    * or `s.length` when none — how an arbitrary ON conjunct knows
+    * where it ends.
+    */
+  private def topLevelAndIndex(s: String): Int = {
+    val spans = literalSpans(s)
+    def quoted(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
+    def wordAt(i: Int, w: String): Boolean =
+      i + w.length <= s.length &&
+        s.substring(i, i + w.length).equalsIgnoreCase(w) &&
+        (i == 0 || (!s.charAt(i - 1).isLetterOrDigit &&
+          s.charAt(i - 1) != '_')) &&
+        (i + w.length == s.length ||
+          (!s.charAt(i + w.length).isLetterOrDigit &&
+            s.charAt(i + w.length) != '_'))
+    var depth = 0
+    var betweenPending = false
+    var i = 0
+    while (i < s.length) {
+      if (quoted(i)) i += 1
+      else s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && wordAt(i, "BETWEEN") =>
+          betweenPending = true; i += 7
+        case _ if depth == 0 && wordAt(i, "AND") =>
+          if (betweenPending) { betweenPending = false; i += 3 }
+          else return i
+        case _ => i += 1
+      }
+    }
+    s.length
+  }
+
+  /** `s` with every `alias.` qualifier prefix removed (outside
+    * literals) — how a source-qualified conjunct becomes resolvable
+    * against the bare source frame after the pin drops its alias.
+    */
+  private def stripQualifier(s: String, alias: String): String = {
+    val spans = literalSpans(s)
+    def quoted(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
+    val re = ("""(?i)(?<![\w.`])""" +
+      java.util.regex.Pattern.quote(alias) + """\s*\.\s*""").r
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(s).foreach { m =>
+      if (!quoted(m.start)) {
+        sb.append(s.substring(last, m.start))
+        last = m.end
+      }
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
+
   private def splitTopLevelCommas(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
@@ -972,8 +1069,48 @@ object GraftSql {
         val pairB = Seq.newBuilder[String]
         val resB = Seq.newBuilder[ColumnRange]
         val srcResB = Seq.newBuilder[ColumnRange]
+        val srcPredB = Seq.newBuilder[String]
         var onRest: CharSequence = onExpr.trim
         var onFirst = true
+        // Arbitrary SOURCE-ONLY conjunct (`AND s.cat IN ('a','b')`,
+        // `AND s.flag`, `AND lower(s.name) LIKE 'x%'`): anything the
+        // pair/range grammars don't claim, as long as it references
+        // ONLY the source alias. It restricts which source rows can
+        // MATCH (rows failing it are NOT MATCHED and still insert —
+        // same semantics as the source-side range residual), it just
+        // cannot prune candidate files the way a range can. The
+        // qualifier strips off so the predicate resolves against the
+        // PINNED source frame (the pin drops the alias), and the
+        // stripped text must analyze against the source frame alone —
+        // typos and target references refuse at parse time, not as a
+        // Catalyst error mid-commit.
+        def takeArbitrarySrcConjunct(): Unit = {
+          val s0 = onRest.toString
+          val cut = topLevelAndIndex(s0)
+          val conjunct = s0.substring(0, cut).trim
+          val masked = maskLiterals(conjunct)
+          val quals = """([A-Za-z_]\w*)\s*\.""".r
+            .findAllMatchIn(masked).map(_.group(1)).toSeq
+          require(!quals.exists(_.equalsIgnoreCase(tgtAlias)),
+            "MERGE ON conjuncts beyond equi-key pairs and range " +
+              "residuals must be SOURCE-only — target-side conditions " +
+              s"support ranges (col op literal) only: $conjunct")
+          require(quals.exists(_.equalsIgnoreCase(src)),
+            "cannot parse MERGE ON conjunct — expected an equi-key " +
+              "pair, a range residual, or a source-only predicate " +
+              s"qualified by '$src' (qualify its columns; wrap a " +
+              s"BETWEEN/AND conjunct in parentheses): $conjunct")
+          val bare = stripQualifier(conjunct, src)
+          try srcDf0.where(org.apache.spark.sql.functions.expr(bare))
+            .queryExecution.analyzed
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"MERGE ON source-side conjunct does not resolve " +
+                s"against the source: $conjunct (${e.getMessage})", e)
+          }
+          srcPredB += bare
+          onRest = onRest.subSequence(cut, onRest.length())
+        }
         while (onRest.length() > 0) {
           if (!onFirst) OnAndPrefixRe.findPrefixMatchOf(onRest) match {
             case Some(mm) =>
@@ -982,7 +1119,8 @@ object GraftSql {
               s"MERGE ON must be an AND-conjunction, got: $onRest")
           }
           OnPairPrefixRe.findPrefixMatchOf(onRest) match {
-            case Some(mm) =>
+            case Some(mm) if !(mm.group(1).equalsIgnoreCase(src) &&
+                mm.group(3).equalsIgnoreCase(src)) =>
               val (a1, k1, a2, k2) =
                 (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
               val (tAlias, tKey, sAlias, sKey) =
@@ -995,44 +1133,52 @@ object GraftSql {
                 s"MERGE key must match on both sides, got $tKey vs $sKey")
               pairB += tKey
               onRest = onRest.subSequence(mm.end, onRest.length())
+            case Some(_) =>
+              // both sides source-qualified (`s.a = s.b`): a source
+              // self-comparison, not a key pair
+              takeArbitrarySrcConjunct()
             case None => OnCmpPrefixRe.findPrefixMatchOf(onRest) match {
               case Some(mm) =>
                 val (alias, colName, op, litS) =
                   (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
-                require(alias.equalsIgnoreCase(tgtAlias) ||
-                  alias.equalsIgnoreCase(src),
-                  s"MERGE ON residual condition references unknown " +
-                    s"alias '$alias' (target is $tgtAlias, source is " +
-                    s"$src): ${mm.matched.trim}")
-                require(!litS.matches("""(?s)[A-Za-z_]\w*\.\w+"""),
-                  "MERGE ON residual conditions compare a column " +
-                    "to a LITERAL — a column reference " +
-                    s"('$litS') is not a prunable range: ${mm.matched.trim}")
-                val vLit = sqlLiteral(litS)
-                def range(cn: String) = op match {
-                  case "=" => ColumnRange.eq(cn, vLit)
-                  case "<" => ColumnRange(cn, None, Some(vLit),
-                    hiStrict = true)
-                  case "<=" => ColumnRange(cn, None, Some(vLit))
-                  case ">" => ColumnRange(cn, Some(vLit), None,
-                    loStrict = true)
-                  case ">=" => ColumnRange(cn, Some(vLit), None)
+                val isSrc = alias.equalsIgnoreCase(src)
+                // a comparison that can't be a prunable range (boolean
+                // literal, column-ref RHS, unknown source column)
+                // falls back to the arbitrary source-only grammar when
+                // the SOURCE owns it; target-side stays ranges-only
+                val rangeable =
+                  !litS.matches("""(?s)[A-Za-z_]\w*\.\w+""") &&
+                    scala.util.Try(sqlLiteral(litS)).isSuccess &&
+                    (!isSrc ||
+                      srcDf0.columns.exists(_.equalsIgnoreCase(colName)))
+                if (isSrc && !rangeable) takeArbitrarySrcConjunct()
+                else {
+                  require(alias.equalsIgnoreCase(tgtAlias) || isSrc,
+                    s"MERGE ON residual condition references unknown " +
+                      s"alias '$alias' (target is $tgtAlias, source is " +
+                      s"$src): ${mm.matched.trim}")
+                  require(!litS.matches("""(?s)[A-Za-z_]\w*\.\w+"""),
+                    "MERGE ON residual conditions compare a column " +
+                      "to a LITERAL — a column reference " +
+                      s"('$litS') is not a prunable range: ${mm.matched.trim}")
+                  val vLit = sqlLiteral(litS)
+                  def range(cn: String) = op match {
+                    case "=" => ColumnRange.eq(cn, vLit)
+                    case "<" => ColumnRange(cn, None, Some(vLit),
+                      hiStrict = true)
+                    case "<=" => ColumnRange(cn, None, Some(vLit))
+                    case ">" => ColumnRange(cn, Some(vLit), None,
+                      loStrict = true)
+                    case ">=" => ColumnRange(cn, Some(vLit), None)
+                  }
+                  if (isSrc) {
+                    val actual = srcDf0.columns
+                      .find(_.equalsIgnoreCase(colName)).get
+                    srcResB += range(actual)
+                  } else resB += range(colName)
+                  onRest = onRest.subSequence(mm.end, onRest.length())
                 }
-                if (alias.equalsIgnoreCase(src)) {
-                  val actual = srcDf0.columns
-                    .find(_.equalsIgnoreCase(colName)).getOrElse(
-                      throw new IllegalArgumentException(
-                        s"MERGE ON source-side residual column " +
-                          s"'$colName' not in source columns " +
-                          s"${srcDf0.columns.toSeq}"))
-                  srcResB += range(actual)
-                } else resB += range(colName)
-                onRest = onRest.subSequence(mm.end, onRest.length())
-              case None => throw new IllegalArgumentException(
-                "cannot parse MERGE ON conjunct — expected " +
-                  s"alias.col = alias.col (equi-key pair) or " +
-                  s"$tgtAlias.col/$src.col </<=/=/>=/> literal " +
-                  s"(residual): $onRest")
+              case None => takeArbitrarySrcConjunct()
             }
           }
           onFirst = false
@@ -1040,6 +1186,10 @@ object GraftSql {
         val tKeys: Seq[String] = pairB.result()
         val residualRanges: Seq[ColumnRange] = resB.result()
         val srcRanges: Seq[ColumnRange] = srcResB.result()
+        val srcPreds: Seq[String] = srcPredB.result()
+        // every source-side ON restriction, range or arbitrary — the
+        // paths below treat them uniformly (only ranges also prune)
+        val anySrcCond = srcRanges.nonEmpty || srcPreds.nonEmpty
         require(tKeys.nonEmpty,
           s"MERGE ON needs at least one equi-key pair, got: $onExpr")
         require(tKeys.distinct == tKeys,
@@ -1133,7 +1283,7 @@ object GraftSql {
               insClauses.head._2.isEmpty => Some(opc)
           case _ => None
         }
-        if (residualRanges.nonEmpty || srcRanges.nonEmpty) {
+        if (residualRanges.nonEmpty || anySrcCond) {
           // the residual path routes matched rows through mergeMatched
           // (replace-by-key restricted to residual-passing rows,
           // inserts appended blind); the DELETE / by-source /
@@ -1177,13 +1327,39 @@ object GraftSql {
         }
         // pin the source ONCE per statement (all parsing/validation is
         // done — nothing below may re-evaluate the caller's plan), and
-        // release every pin when the statement returns
-        val srcDf = snap.pin(srcDf0)
+        // release every pin when the statement returns. The pin
+        // COLUMN-PRUNES first: a checkpoint materializes every column
+        // it is given, and a MERGE referencing three source columns
+        // must not pay to materialize fifty — the kept set is every
+        // source column NAMED anywhere in the ON/clause text (scanned
+        // literal-masked; over-approximate — a stray name keeps an
+        // unused column, never drops a used one, and column references
+        // in this dialect are always by name) plus the merge keys.
+        // Star bodies (SET * / INSERT * / CDC / evolution) keep the
+        // full frame: their contract IS "every column lands".
+        val starNeedsAll = evolve || cdcOp.isDefined ||
+          matchedClauses.exists(_._2.contains("*")) ||
+          insClauses.exists(_._2.isEmpty)
+        val srcForPin =
+          if (starNeedsAll) srcDf0
+          else {
+            val text = maskLiterals(onExpr + "\n" + clauses)
+            def referenced(cn: String) =
+              ("""(?i)(?<![\w`])""" + java.util.regex.Pattern.quote(cn) +
+                """(?![\w`])""").r.findFirstIn(text).isDefined
+            val keep = srcDf0.columns.filter(cn =>
+              tKeys.exists(_.equalsIgnoreCase(cn)) || referenced(cn))
+            if (keep.length == srcDf0.columns.length) srcDf0
+            else srcDf0.select(keep.map(cn =>
+              org.apache.spark.sql.functions.col(cn)).toIndexedSeq: _*)
+              .as(src)
+          }
+        val srcDf = snap.pin(srcForPin)
         val pins = scala.collection.mutable.ArrayBuffer[DataFrame](srcDf)
         try {
         val ver = cdcOp match {
           case Some(opc) if bySrcClauses.isEmpty && residualRanges.isEmpty &&
-              srcRanges.isEmpty =>
+              !anySrcCond =>
             snap.applyChanges(srcDf, t, tKeys, opc, stats, -1L).version
           case _ =>
             // Explicit bodies, per-clause conditions, and ORDERED
@@ -1226,14 +1402,20 @@ object GraftSql {
                     s"${schema.fieldNames.toSeq} — extra source columns " +
                     "need MERGE WITH SCHEMA EVOLUTION (no silent drop)")
             }
-            // source-side residual: rows failing it can match nothing
-            // (they are still NOT MATCHED and insert); null-safe so a
-            // NULL residual value is non-matchable, like in a join
-            val srcResidualHolds: Column =
-              if (srcRanges.isEmpty) l(true)
-              else snap.rangeExpr(srcRanges) <=> true
+            // source-side restriction: rows failing it can match
+            // nothing (they are still NOT MATCHED and insert);
+            // null-safe so a NULL value is non-matchable, like in a
+            // join. Ranges and arbitrary predicates compose by AND.
+            val srcResidualHolds: Column = {
+              val conj =
+                (if (srcRanges.isEmpty) Nil
+                 else Seq(snap.rangeExpr(srcRanges))) ++
+                  srcPreds.map(org.apache.spark.sql.functions.expr)
+              if (conj.isEmpty) l(true)
+              else conj.map(_ <=> true).reduce(_ && _)
+            }
             val srcMatchable =
-              if (srcRanges.isEmpty) srcDf else srcDf.where(srcResidualHolds)
+              if (!anySrcCond) srcDf else srcDf.where(srcResidualHolds)
             // residual ON conjuncts prune the probe's candidate FILES
             // (stats classification, like DML) and then restrict the
             // matched rows at row level with the same predicate
@@ -1332,15 +1514,21 @@ object GraftSql {
                 pins += r
                 Some(r)
               }
-            // Delta's "multiple source rows matched" refusal, at the
-            // exact grain Delta checks: two DISTINCT source rows
-            // resolving clauses against the SAME TARGET ROW. Clause
-            // conditions disambiguate (a pair no clause claims
-            // modifies nothing, and distinct sources may each claim a
-            // DIFFERENT row of a duplicate-key target); the probe is
-            // one aggregation over the pinned pairs, and its pass
-            // guarantees every target row has at most ONE resolved
-            // pair — the invariant the rep-collapse below relies on.
+            // Delta's "multiple source rows matched" refusal — at a
+            // DELIBERATELY finer grain than Delta's own check: Delta
+            // fires on multiple matches whenever a modify clause
+            // exists, regardless of clause conditions; here two
+            // distinct source rows refuse only when both RESOLVE a
+            // clause against the same target row (a pair no clause
+            // claims modifies nothing, and distinct sources may each
+            // claim a DIFFERENT row of a duplicate-key target). The
+            // relaxation is deterministic and strictly more
+            // permissive — statements Delta refuses can succeed here;
+            // parity tests must not assume Delta's coarser refusal.
+            // The probe is one aggregation over the pinned pairs, and
+            // its pass guarantees every target row has at most ONE
+            // resolved pair — the invariant the rep-collapse below
+            // relies on.
             resolvedOpt.foreach { r =>
               val amb = r.where(c(clauseCol).isNotNull)
                 .groupBy(c(tgtIdCol))
@@ -1466,7 +1654,7 @@ object GraftSql {
                 val antiMatchable =
                   srcMatchable.join(matchedKeys, tKeys, "left_anti")
                 val antiAll =
-                  if (srcRanges.isEmpty) antiMatchable
+                  if (!anySrcCond) antiMatchable
                   else antiMatchable.unionByName(
                     srcDf.where(!srcResidualHolds))
                 val anti = antiAll.as(src)
@@ -1554,7 +1742,7 @@ object GraftSql {
               }
             val opCol = "__graft_merge_op"
             if (bySrcClauses.isEmpty &&
-                (residualRanges.nonEmpty || srcRanges.nonEmpty))
+                (residualRanges.nonEmpty || anySrcCond))
               // replace-by-key restricted to residual-passing rows
               // (exactly the update keys when the residual is
               // source-side only); inserts never drive a rewrite, so
@@ -1614,8 +1802,13 @@ object GraftSql {
         val tgtAlias = g(3).getOrElse(tgt)
         val srcName = normName(g(4).get)
         val srcAlias = g(5).getOrElse(srcName)
+        // resolve the source from the ORIGINAL (still-quoted) text:
+        // spark.table parses backticks itself, so `a.b` stays one
+        // dotted name and `my-view` parses at all — stripping the
+        // quotes first would misresolve both. normName is for
+        // registry lookups and default aliases only.
         (execMerge(spark, g(1).isDefined, tgt, tgtAlias, srcAlias,
-          spark.table(srcName).as(srcAlias), g(6).get, g(7).get), tgt)
+          spark.table(g(4).get.trim).as(srcAlias), g(6).get, g(7).get), tgt)
       case None => statement match {
       case DeleteRe(name0, where) =>
         val name = normName(name0)
@@ -2003,10 +2196,14 @@ object GraftSql {
             s"OPTIMIZE [WHERE] [ZORDER BY]/VACUUM): $other")
     } } }
     // repoint the view at the new version so SQL readers see the change
-    // (the registration's merge strategy survives the repoint)
-    val reg = snapshotOf(spark, name)
-    registerSnapshot(spark, name, reg.table, None, reg.statsCols,
-      if (reg.morMerge) "mor" else "cow")
+    // (the registration's merge strategy survives the repoint). Catalog
+    // names have no view to repoint — every read re-resolves the table
+    // head at analysis time, so there is nothing to go stale.
+    if (snapshotReg.containsKey((spark, name.toLowerCase))) {
+      val reg = snapshotOf(spark, name)
+      registerSnapshot(spark, name, reg.table, None, reg.statsCols,
+        if (reg.morMerge) "mor" else "cow")
+    }
     v
   }
 
@@ -2043,18 +2240,46 @@ object GraftSql {
       })
 
   private[graft] def isRegistered(spark: SparkSession, name: String): Boolean =
-    snapshotReg.containsKey((spark, normName(name).toLowerCase))
+    snapshotReg.containsKey((spark, normName(name).toLowerCase)) ||
+      catalogPathOf(spark, name).isDefined
+
+  /** Should the dialect OWN this statement for `spark.sql`? Registered
+    * views: every dialect statement. Catalog-qualified names: all but
+    * INSERT INTO / INSERT OVERWRITE — those delegate to stock Spark,
+    * whose v2 write path does standard INSERT coercion and lands in the
+    * SAME [[graft.sources.snapshot.SnapshotLog.commit]] through the
+    * catalog's V1Write (native semantics for a native name).
+    */
+  private[graft] def ownsStatement(spark: SparkSession,
+      statement: String): Boolean =
+    dmlTargetOf(statement) match {
+      case Some(n) if isRegistered(spark, n) =>
+        snapshotReg.containsKey((spark, n.toLowerCase)) || (statement match {
+          case InsertRe(_, _, _) => false
+          case InsertOverwriteRe(_, _) => false
+          case _ => true
+        })
+      case _ => false
+    }
+
+  /** `EXPLAIN [mode] <statement>` — when the inner statement is owned
+    * graft DML, the explain renders the lazy command without executing
+    * it (stock `ExplainCommand` analyzes in SKIP mode, so the mutation
+    * never runs). Modes map to Spark's own.
+    */
+  private val ExplainRe =
+    """(?is)^\s*EXPLAIN(\s+EXTENDED|\s+FORMATTED|\s+CODEGEN|\s+COST)?\s+(.+)$""".r
 
   /** Parser-extension hook ([[graft.plans.GraftExtensions]]): decide
     * what `spark.sql(statement)` should do when the graft dialect owns
     * the statement.
     *
     *  - `Some(Right(plan))` — the statement is graft DML on a
-    *    REGISTERED snapshot view (or DESCRIBE HISTORY / DETAIL of
-    *    one): it has been executed through [[dml]] / [[query]] and
-    *    `plan` is its result (DML returns one `version` row, Delta's
-    *    SQL shape). Executed at parse time — the statement IS the
-    *    action, exactly like the stock parser treats a command.
+    *    REGISTERED snapshot view (a lazily-executed
+    *    [[graft.plans.GraftDmlCommand]] — the mutation runs when the
+    *    plan executes, returning one `version` row, Delta's SQL
+    *    shape), an `EXPLAIN` of one, or DESCRIBE HISTORY / DETAIL
+    *    (read-only frames, built here).
     *  - `Some(Left(text))` — a read-shaped statement using the
     *    time-travel / change-feed dialect (`VERSION AS OF`,
     *    `TIMESTAMP AS OF`, `table_changes(...)` on registered views):
@@ -2069,18 +2294,21 @@ object GraftSql {
         return Some(Right(query(spark, statement).queryExecution.analyzed))
       case DescribeDetailRe(n) if isRegistered(spark, n) =>
         return Some(Right(query(spark, statement).queryExecution.analyzed))
+      case ExplainRe(mode, inner) if ownsStatement(spark, inner) =>
+        val m = Option(mode).map(_.trim.toUpperCase).getOrElse("") match {
+          case "EXTENDED" => org.apache.spark.sql.execution.ExtendedMode
+          case "FORMATTED" => org.apache.spark.sql.execution.FormattedMode
+          case "CODEGEN" => org.apache.spark.sql.execution.CodegenMode
+          case "COST" => org.apache.spark.sql.execution.CostMode
+          case _ => org.apache.spark.sql.execution.SimpleMode
+        }
+        return Some(Right(org.apache.spark.sql.execution.command
+          .ExplainCommand(graft.plans.GraftDmlCommand(inner), m)))
       case _ => ()
     }
-    dmlTargetOf(statement) match {
-      case Some(n) if isRegistered(spark, n) =>
-        val v = dml(spark, statement)
-        val attr = org.apache.spark.sql.catalyst.expressions
-          .AttributeReference("version",
-            org.apache.spark.sql.types.LongType, nullable = false)()
-        Some(Right(org.apache.spark.sql.catalyst.plans.logical
-          .LocalRelation(Seq(attr),
-            Seq(org.apache.spark.sql.catalyst.InternalRow(v)))))
-      case _ =>
+    if (ownsStatement(spark, statement))
+      Some(Right(graft.plans.GraftDmlCommand(statement)))
+    else {
         // read-shaped dialect: rewrite and let the stock parser parse
         // the plain-SQL result (only registered names rewrite; a
         // statement without the dialect passes through as None)

@@ -182,6 +182,48 @@ class MergePinSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"refused MERGE leaked pins: $leaked")
   }
 
+  test("the pinned MERGE source is column-pruned to referenced columns") {
+    import spark.implicits._
+    val t = freshTable("pin-prune", 20)
+    GraftSql.registerSnapshot(spark, "ppr_v", t, None, Seq("id"))
+    // a WIDE source: ten ballast columns the statement never names —
+    // the pin must not pay to materialize them (the checkpoint's cost
+    // is its materialized bytes; at a 50-column source the difference
+    // is the whole point of pruning)
+    val wide = spark.range(0, 10).select(
+      ($"id" +: ($"id" % 7).as("bump") +:
+        (0 until 10).map(i => ($"id" * i).as(s"ballast$i"))): _*)
+    wide.createOrReplaceTempView("ppr_src")
+    val schemas = new java.util.concurrent.CopyOnWriteArrayList[Seq[String]]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        schemas.add(qe.analyzed.output.map(_.name))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      GraftSql.dml(spark,
+        """MERGE INTO ppr_v USING ppr_src ON ppr_v.id = ppr_src.id
+          |WHEN MATCHED THEN UPDATE SET v = ppr_src.bump
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (ppr_src.id, 0)""".stripMargin)
+      Thread.sleep(3000)
+      import scala.jdk.CollectionConverters._
+      // the source pin materialized exactly {id, bump}; no execution
+      // anywhere in the statement touched a ballast column
+      assert(schemas.asScala.exists(_.toSet == Set("id", "bump")),
+        s"no pruned source checkpoint seen: ${schemas.asScala.toList}")
+      assert(!schemas.asScala.exists(_.exists(_.startsWith("ballast"))),
+        "a ballast column was materialized into the pin")
+    } finally spark.listenerManager.unregister(listener)
+    // semantics unchanged by the pruning
+    val got = spark.sql("SELECT count(*), sum(v) FROM ppr_v").head
+    assert(got.toSeq == Seq(20L, 24L), got.toSeq)
+  }
+
   test("the per-row resolution window rides only CONDITIONAL clause shapes") {
     import spark.implicits._
     val t = freshTable("pin-plan", 30)

@@ -77,6 +77,76 @@ class ParserExtensionSpec extends AnyFunSuite {
       .head.getLong(0) > 0L)
   }
 
+  test("parsing is side-effect free; the mutation runs at plan EXECUTION") {
+    import spark.implicits._
+    val t = freshTable("parser-lazy", 6)
+    GraftSql.registerSnapshot(spark, "plazy_v", t, None, Seq("id"))
+    val stmt = "UPDATE plazy_v SET v = 5 WHERE id >= 3"
+    // parse twice through the session parser: no commit happens — the
+    // statement parses to a lazy GraftDmlCommand, not an executed one
+    val p1 = spark.sessionState.sqlParser.parsePlan(stmt)
+    spark.sessionState.sqlParser.parsePlan(stmt)
+    assert(p1.isInstanceOf[graft.plans.GraftDmlCommand], p1.getClass)
+    assert(snap.latestVersion(spark, t).contains(1L),
+      "parsePlan must not mutate")
+    // spark.sql executes the command eagerly — exactly one commit
+    val out = spark.sql(stmt).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 2L, out.toSeq.toString)
+    assert(snap.latestVersion(spark, t).contains(2L))
+    assert(spark.sql("SELECT sum(v) FROM plazy_v").head.getLong(0) == 15L)
+  }
+
+  test("EXPLAIN renders an owned DML plan without mutating") {
+    import spark.implicits._
+    val t = freshTable("parser-explain", 6)
+    GraftSql.registerSnapshot(spark, "pexp_v", t, None, Seq("id"))
+    spark.range(0, 3).select($"id", ($"id" * 2).as("v"))
+      .createOrReplaceTempView("pexp_src")
+    val planText = spark.sql(
+      """EXPLAIN MERGE INTO pexp_v USING pexp_src ON pexp_v.id = pexp_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .head.getString(0)
+    assert(planText.contains("GraftDmlCommand"), planText)
+    assert(planText.contains("MERGE INTO pexp_v"), planText)
+    // nothing committed, nothing changed
+    assert(snap.latestVersion(spark, t).contains(1L), "EXPLAIN mutated!")
+    assert(spark.sql("SELECT sum(v) FROM pexp_v").head.getLong(0) == 0L)
+    // EXTENDED mode renders too
+    val ext = spark.sql("EXPLAIN EXTENDED DELETE FROM pexp_v WHERE id = 0")
+      .head.getString(0)
+    assert(ext.contains("GraftDmlCommand") && ext.contains("Physical Plan"),
+      ext)
+    assert(snap.latestVersion(spark, t).contains(1L))
+  }
+
+  test("owned statements refuse bind parameters loudly") {
+    import org.apache.spark.sql.catalyst.parser.{
+      NamedParameterContext, PositionalParameterContext}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import spark.implicits._
+    val t = freshTable("parser-params", 4)
+    GraftSql.registerSnapshot(spark, "ppar_v", t, None, Seq("id"))
+    val stmt = "UPDATE ppar_v SET v = 9 WHERE id = 1"
+    val e = intercept[IllegalArgumentException] {
+      spark.sessionState.sqlParser.parsePlanWithParameters(stmt,
+        NamedParameterContext(Map("x" -> Literal(1))))
+    }
+    assert(e.getMessage.contains("no bind parameters"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      spark.sessionState.sqlParser.parsePlanWithParameters(stmt,
+        PositionalParameterContext(Seq(Literal(1))))
+    }
+    // empty parameter contexts parse fine (the spark.sql(sql) path)
+    val p = spark.sessionState.sqlParser.parsePlanWithParameters(stmt,
+      NamedParameterContext(Map.empty))
+    assert(p.isInstanceOf[graft.plans.GraftDmlCommand])
+    assert(snap.latestVersion(spark, t).contains(1L))
+    // parameterized statements OUTSIDE the dialect still bind normally
+    assert(spark.sql("SELECT :a + 1 AS x", Map("a" -> 41))
+      .head.getInt(0) == 42)
+  }
+
   test("statements outside the dialect delegate verbatim") {
     // a stock SELECT is untouched
     assert(spark.sql("SELECT 1 + 1 AS x").head.getInt(0) == 2)

@@ -1082,6 +1082,18 @@ class SnapshotLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotLog.applyChanges(df(0, 1).withColumn("op", lit("X")), t, "id")
     }
+    // a NULL-key change row refuses with the ACTUAL cause — the keyed
+    // machinery's anti-join and containment flags skip NULLs, so the
+    // row could never land or delete anything; before the keyed-count
+    // fix this tripped the misleading "duplicate keys" refusal (the
+    // raw count-vs-countDistinct comparison blamed the wrong thing)
+    val nullKey = df(0, 1).withColumn("id", lit(null).cast("long"))
+      .withColumn("op", lit("U"))
+    val eNull = intercept[IllegalArgumentException] {
+      SnapshotLog.applyChanges(changes.unionByName(nullKey), t, "id")
+    }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    assert(!eNull.getMessage.contains("duplicate"), eNull.getMessage)
     // empty changelog: no commit
     assert(SnapshotLog.applyChanges(changes.limit(0), t, "id").filesRewritten == 0)
   }

@@ -1558,7 +1558,71 @@ class SqlSurfaceSpec extends AnyFunSuite {
           |ON ssv.id = ss_src.id AND ss_src.nosuch >= 1
           |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
     }
-    assert(e2.getMessage.contains("not in source columns"), e2.getMessage)
+    assert(e2.getMessage.contains("does not resolve against the source"),
+      e2.getMessage)
+  }
+
+  test("MERGE ON arbitrary source-only conjuncts: IN / boolean / expression") {
+    import spark.implicits._
+    val t = java.nio.file.Paths.get("target", "sql-msarb")
+      .toAbsolutePath.toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val snap = graft.sources.snapshot.SnapshotLog
+    snap.commit(spark.range(0, 10).select($"id", lit(0L).as("v")), t,
+      "append", Seq("id"))
+    GraftSql.registerSnapshot(spark, "arbv", t, None, Seq("id"))
+    spark.range(0, 12).select($"id",
+        concat(lit("c"), ($"id" % 3).cast("string")).as("cat"),
+        ($"id" % 2 === 0).as("flag"))
+      .createOrReplaceTempView("arb_src")
+    // IN-list + bare boolean column — neither is a range; both are
+    // source-only and restrict which rows can MATCH. Matchable =
+    // cat IN (c0, c1) AND flag = ids {0, 4, 6, 10} (flag: even; cat:
+    // id%3 in {0,1}); of those, ids < 10 match and update; id 10
+    // inserts as a new key; every NON-matchable source row (residual-
+    // failing) is NOT MATCHED and inserts beside its same-key original
+    GraftSql.dml(spark,
+      """MERGE INTO arbv USING arb_src
+        |ON arbv.id = arb_src.id AND arb_src.cat IN ('c0', 'c1')
+        |  AND arb_src.flag
+        |WHEN MATCHED THEN UPDATE SET v = 100 + arb_src.id
+        |WHEN NOT MATCHED THEN INSERT (id, v)
+        |  VALUES (arb_src.id, 0 - arb_src.id)""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM arbv ORDER BY id, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val matchable = (0L until 12L).filter(i => i % 2 == 0 && i % 3 <= 1)
+    val expected = (
+      (0L until 10L).filterNot(matchable.contains).map(i => (i, 0L)) ++
+      (0L until 10L).filterNot(matchable.contains).map(i => (i, -i)) ++
+      matchable.filter(_ < 10).map(i => (i, 100L + i)) ++
+      matchable.filter(_ >= 10).map(i => (i, -i)) ++
+      Seq(11L).map(i => (i, -i))
+    ).sortBy(x => (x._1, x._2))
+    assert(rows == expected, s"got ${rows.toList}")
+    // a source self-comparison (s.a = s.b shape) is a predicate, not
+    // a key pair
+    GraftSql.dml(spark,
+      """MERGE INTO arbv USING arb_src
+        |ON arbv.id = arb_src.id AND arb_src.id = arb_src.id
+        |WHEN MATCHED AND arb_src.id = 11 THEN UPDATE SET v = 999""".stripMargin)
+    assert(spark.sql("SELECT v FROM arbv WHERE id = 11").head.getLong(0)
+      == 999L)
+    // refusals: target-side arbitrary conjuncts stay unsupported, and
+    // an unqualified conjunct must name the source alias
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO arbv USING arb_src
+          |ON arbv.id = arb_src.id AND arbv.v IN (1, 2)
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e1.getMessage.contains("SOURCE-only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO arbv USING arb_src
+          |ON arbv.id = arb_src.id AND flag
+          |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("qualify"), e2.getMessage)
   }
 
   test("MERGE ON residual accepts decimal literals (t.v = 1.5 is a range, not a pair)") {
@@ -1669,6 +1733,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
     assert(spark.sql("SELECT sum(v) FROM alv WHERE id < 2")
       .head.getLong(0) == 2000L)
+    // the source resolves from its ORIGINAL quoted text: a backticked
+    // name that NEEDS the quoting reaches spark.table's parser intact
+    // and fails as table-not-found — stripping the backticks first
+    // would make the identifier unparseable (a different, misleading
+    // refusal) or, for `a.b`, silently resolve database a table b
+    val eq = intercept[org.apache.spark.sql.AnalysisException] {
+      GraftSql.dml(spark,
+        """MERGE INTO alv tt USING `no-such-view` AS s
+          |ON tt.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(eq.getMessage.contains("no-such-view"), eq.getMessage)
   }
 
   test("MERGE refuses multiple source rows modifying one target row; conditions disambiguate") {
