@@ -431,6 +431,33 @@ object SnapshotLog {
     case _ => df
   }
 
+  /** Escape hatch for [[shapeRewrite]] (default on). */
+  val ShapedRewritesConf = "spark.graft.snapshot.shapedRewrites"
+
+  /** Shape a CoW mutation rewrite for write. A rewrite's input unions
+    * file-scan partitions (the survivors) with batch-side frames whose
+    * partitioning is whatever the statement's joins produced, and the
+    * parquet write lands ONE FILE PER PARTITION — measured 32-34 files
+    * of ~15 KB per MERGE commit on the sf0.1 gates, i.e. one near-empty
+    * file per shuffle partition at any scale. That small-file debt
+    * compounds into every later scan, candidacy probe, manifest and
+    * footer harvest (guide §6: aim for advisory-sized output files).
+    * An AQE-rebalanced exchange sizes the output to the session's
+    * advisory partition size while upstream compute keeps its
+    * parallelism — the Delta/Iceberg "optimized write" trade: one
+    * churn-sized shuffle (the rewrite set, never the table) buys sane
+    * file counts. The within-partition layout sort still applies so
+    * rewritten files stay internally ordered; compact remains the op
+    * that restores the GLOBAL layout. Disable via
+    * [[ShapedRewritesConf]].
+    */
+  private def shapeRewrite(df: DataFrame,
+      layout: Option[LayoutSpec]): DataFrame = {
+    val on = df.sparkSession.conf
+      .get(ShapedRewritesConf, "true").toBoolean
+    sortForLayout(if (on) df.hint("rebalance") else df, layout)
+  }
+
   /** Check an appended frame against the table schema and put its
     * columns in manifest order so written files are layout-uniform.
     * Exact types for the columns present (nullability aside); columns
@@ -1374,7 +1401,7 @@ object SnapshotLog {
         // a NULL comparison never matches a DELETE predicate, so plain
         // `!pred` (NULL for NULL inputs) would silently drop null rows
         else writeData(
-          sortForLayout(readFiles(spark, table, m, rewrite)
+          shapeRewrite(readFiles(spark, table, m, rewrite)
             .where(!(rangePredicate(conjuncts) <=> lit(true))), m.layout),
           table, v0 + 1, (statsCols ++ conjuncts.map(_.column)).distinct,
           physical = m.physical)
@@ -1437,7 +1464,7 @@ object SnapshotLog {
             case None => col(f.name)
           }
         }.toIndexedSeq: _*)
-      val newFiles = writeData(sortForLayout(updated, m.layout), table,
+      val newFiles = writeData(shapeRewrite(updated, m.layout), table,
         v0 + 1, (statsCols ++ conjuncts.map(_.column)).distinct,
         physical = m.physical)
       val v = publishMutation(spark, table, m, "update",
@@ -1483,7 +1510,7 @@ object SnapshotLog {
             case None => col(f.name)
           }
         }.toIndexedSeq: _*)
-      val newFiles = writeData(sortForLayout(updated, m.layout), table,
+      val newFiles = writeData(shapeRewrite(updated, m.layout), table,
         v0 + 1, statsCols, physical = m.physical)
       val v = publishMutation(spark, table, m, "update",
         touched = rewrite, replacement = Nil, added = newFiles,
@@ -1512,8 +1539,34 @@ object SnapshotLog {
     * recomputing divergently — the correct trade for a mutation.
     * Callers MUST release with [[unpin]] once the commit publishes.
     */
-  private[graft] def pin(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint(eager = true)
+    // Right-size downstream passes over the pin, keeping a parallelism
+    // floor. A checkpoint inherits its plan's partition count —
+    // spark.sql.shuffle.partitions for a joined plan — so at scale a
+    // churn-sized pinned frame lands as thousands of near-empty blocks
+    // and every probe/join over the pin schedules that many tasks.
+    // Coalesce (narrow — blocks are already materialized, nothing
+    // recomputes) to the AQE advisory partition size, but never below
+    // the scheduler's default parallelism: the pin feeds several
+    // independent probe/window passes, and serializing them onto one
+    // task costs more locally than the per-task overhead saves
+    // (measured: 1.2-1.6x on the multi-clause MERGE gates with an
+    // unfloored coalesce). Content, stats semantics, and the unpin
+    // contract (LogicalRDD leaves) are unchanged.
+    val sc = df.sparkSession.sparkContext
+    val ids = p.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    val bytes = sc.getRDDStorageInfo.filter(i => ids.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+    val target = df.sparkSession.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val sized = math.max(1L, (bytes + target - 1) / target)
+    val k = math.max(sized, math.min(p.rdd.getNumPartitions.toLong,
+      sc.defaultParallelism.toLong)).toInt
+    if (k < p.rdd.getNumPartitions) p.coalesce(k) else p
+  }
 
   /** Release the storage blocks behind a [[pin]]ned frame. A pin is
     * dead the moment its statement publishes, but localCheckpoint
@@ -1572,7 +1625,7 @@ object SnapshotLog {
         // upsert/applyChanges): a registration whose statsCols omit the
         // key must not produce stat-less rewrites that defeat every
         // subsequent mutation's tuple-interval pruning
-        val newFiles = writeData(sortForLayout(updated, m.layout), table,
+        val newFiles = writeData(shapeRewrite(updated, m.layout), table,
           v0 + 1, (statsCols ++ keyCols).distinct, physical = m.physical)
         val v = publishMutation(spark, table, m, "update",
           touched = rewrite, replacement = Nil, added = newFiles,
@@ -1819,7 +1872,7 @@ object SnapshotLog {
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(
-      sortForLayout(existing.unionByName(aligned), m.layout), table, v,
+      shapeRewrite(existing.unionByName(aligned), m.layout), table, v,
       (statsCols ++ keyCols).distinct, physical = m.physical)
     val vPub = publishMutation(spark, table, m, "upsert",
       touched = rewrite.map(_._1), replacement = Nil,
@@ -1888,7 +1941,7 @@ object SnapshotLog {
           .where(!(((col(marker) === 1) && residualHolds) <=> true))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*))
       val out = (existing.toSeq ++ aligned).reduce(_ unionByName _)
-      val newFiles = writeData(sortForLayout(out, m.layout), table, v0 + 1,
+      val newFiles = writeData(shapeRewrite(out, m.layout), table, v0 + 1,
         (statsCols ++ keyCols).distinct, physical = m.physical)
       val v = publishMutation(spark, table, m, "upsert",
         touched = rewrite, replacement = Nil, added = newFiles, eqAdded = Nil)
@@ -2016,7 +2069,7 @@ object SnapshotLog {
     // key stats always land on the new files — exact candidacy for the
     // NEXT batch depends on them (a stat-less file is always a candidate)
     val newFiles = writeData(
-      sortForLayout(existing.unionByName(upserts), m.layout), table, v,
+      shapeRewrite(existing.unionByName(upserts), m.layout), table, v,
       (statsCols ++ keyCols).distinct, physical = m.physical)
     try {
       val vPub = publishMutation(spark, table, m, "apply-changes",
@@ -2174,7 +2227,7 @@ object SnapshotLog {
       "duplicate keys in MOR upsert batch — pre-resolve with latest-wins " +
         "(operators.CdcMerge) before applying")
     val v = v0 + 1
-    val newFiles = writeData(sortForLayout(aligned, m.layout), table, v,
+    val newFiles = writeData(shapeRewrite(aligned, m.layout), table, v,
       (statsCols ++ keyCols).distinct, physical = m.physical)
     val eq = writeEqKeys(spark, table, v,
       aligned.select(keyCols.map(col): _*),
@@ -3665,12 +3718,15 @@ object SnapshotLog {
     changeFeedChunks(spark, src, math.max(ckpt, 0L), Some(srcV),
         maxVersionsPerBatch).foreach { case (from, to, feed0) =>
       // the chunk feed is consumed by several passes (net-collapse
-      // join, apply's candidacy probe, the write itself) — cache it
+      // join, apply's candidacy probe, the write itself) — pin it
       // once instead of re-evaluating the multi-leg diff plan per
       // pass; it is churn-sized (the chunk's changed rows), never
-      // table-sized, so the cache spills safely at any scale
-      val feed = feed0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // table-sized, so the blocks spill safely at any scale. pin
+      // rather than persist: the pin right-sizes the partitioning
+      // from the materialized bytes, so the diff's many near-empty
+      // union legs don't fan the CDC apply (and its written files)
+      // out to one per leg partition
+      val feed = pin(feed0)
       try {
       // net effect per key over the chunk: the LAST source version
       // touching a key decides — an insert there upserts, a
@@ -3709,7 +3765,7 @@ object SnapshotLog {
           epoch = to)
         if (st.version > before) applied = Some((to, st.version))
       }
-      } finally { feed.unpersist(false); () }
+      } finally unpin(feed)
     }
     applied
   }

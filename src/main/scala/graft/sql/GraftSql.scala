@@ -1741,6 +1741,20 @@ object GraftSql {
                 } else splitRowOps(unmatched, bUpdIdx, bDelIdx)
               }
             val opCol = "__graft_merge_op"
+            // conditioned clause families resolve through window passes
+            // over the pinned pairs (splitRowOps / the per-target-row
+            // collapse) — and the mutation primitives below evaluate
+            // their row-set input TWICE (candidacy probe, then the
+            // rewrite write). Pin the row set once so the window plan
+            // runs a single time and both passes read storage blocks;
+            // unconditioned merges project straight off the already-
+            // pinned pairs, where a second pin would cost more than
+            // the cheap block re-read it saves.
+            val windowed = anyMatchedCond ||
+              bySrcClauses.exists(_._1.isDefined)
+            def pinRowSet(df: DataFrame): DataFrame =
+              if (!windowed) df
+              else { val p = snap.pin(df); pins += p; p }
             if (bySrcClauses.isEmpty &&
                 (residualRanges.nonEmpty || anySrcCond))
               // replace-by-key restricted to residual-passing rows
@@ -1749,11 +1763,11 @@ object GraftSql {
               // an unmatched source row INSERTS even when its key
               // exists outside the residual's reach — the Delta
               // bounded-merge outcome
-              snap.mergeMatched(spark, t, tKeys, matchedU, inserted,
-                residualRanges, stats).version
+              snap.mergeMatched(spark, t, tKeys, matchedU.map(pinRowSet),
+                inserted, residualRanges, stats).version
             else if (bySrcClauses.isEmpty && matchedD.isEmpty) {
-              val updates = (matchedU.toSeq ++ inserted)
-                .reduce(_ unionByName _)
+              val updates = pinRowSet((matchedU.toSeq ++ inserted)
+                .reduce(_ unionByName _))
               // upsertRows / upsertMORRows, not upsert: per-row clause
               // resolution legitimately yields several replacement
               // rows per key (duplicate-key targets); source-side
@@ -1771,7 +1785,7 @@ object GraftSql {
                 .map(_.withColumn(opCol, l("U")))
               val dels = (matchedD.toSeq ++ bDel.toSeq)
                 .map(_.withColumn(opCol, l("D")))
-              val changes = (ups ++ dels).reduce(_ unionByName _)
+              val changes = pinRowSet((ups ++ dels).reduce(_ unionByName _))
               snap.applyChangesRows(changes, t, tKeys, opCol, stats, -1L)
                 .version
             }
