@@ -82,12 +82,25 @@ object DedupFunctions {
       .select(col(idCol), posexplode_outer(blockArray(col(textCol), blockTokens)))
       .withColumnRenamed("pos", "__idx").withColumnRenamed("col", "__block")
     val real = blocks.where(col("__block").isNotNull)
-    // first-occurrence election: aggregation + join-back (skew-robust)
+    // first-occurrence election: aggregation + join-back (skew-robust).
+    // The join-back attaches the election to the heavy rows by DOC ID,
+    // not by block content: electing per block then collapsing the
+    // winners to one kept-index array per winning document means block
+    // TEXT crosses the network once (inside the election's map-side-
+    // combined min()) instead of twice — the exploded corpus never
+    // shuffles on block content, and the (id, kept-indices) frame that
+    // does join it is keys+ints, not payload (guide §2.3/§8: decide on
+    // the proxy, move the heavy bytes once). Joining by id also feeds
+    // the rebuild's groupBy(id) the partitioning it needs — one
+    // exchange serves both.
     val keeper = real.groupBy(col("__block"))
       .agg(min(struct(col(idCol).as("kid"), col("__idx").as("kidx"))).as("__k"))
-    val marked = real.join(keeper, Seq("__block"))
+    val keptIdx = keeper
+      .groupBy(col("__k.kid").as(idCol))
+      .agg(collect_list(col("__k.kidx")).as("__kidxs"))
+    val marked = real.join(keptIdx, Seq(idCol), "left")
       .withColumn("__keep",
-        col(idCol) === col("__k.kid") && col("__idx") === col("__k.kidx"))
+        coalesce(array_contains(col("__kidxs"), col("__idx")), lit(false)))
     val rebuilt = marked.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_blocks"),
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -1602,11 +1602,13 @@ object SourceQueries extends QueryPack {
         .join(bands.select($"band", $"seg", $"h".as("hb")), Seq("band", "seg"))
         .filter($"ha" < $"hb")
         .select($"ha", $"hb").distinct()
-      val ham = aggregate(
-        transform(sequence(lit(1), lit(64)), i =>
-          when($"ha".substr(i, lit(1)) =!= $"hb".substr(i, lit(1)), lit(1L))
-            .otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc + x)
+      // hamming via two 32-bit halves: conv each half to an int, XOR,
+      // popcount — 4 codegen'd integer ops per pair instead of 64
+      // per-character substr comparisons (same value, long-typed)
+      def half(c: org.apache.spark.sql.Column, off: Int) =
+        conv(c.substr(lit(off), lit(32)), 2, 10).cast("long")
+      val ham = (bit_count(half($"ha", 1).bitwiseXOR(half($"hb", 1))) +
+        bit_count(half($"ha", 33).bitwiseXOR(half($"hb", 33)))).cast("long")
       pairs.withColumn("ham", ham)
         .filter($"ham".between(1, 6))
         .groupBy($"ham")
@@ -3183,6 +3185,7 @@ object SourceQueries extends QueryPack {
       val li = graft.core.Tables.load(s, dir, "lineitem")
         .groupBy($"l_orderkey", $"l_linenumber")
         .agg(max(floor($"l_quantity")).cast("long").as("l_quantity"))
+        .localCheckpoint(true) // staged once — commit + probe + 2 sources
       SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
         "append", Seq("l_orderkey", "l_linenumber"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None,
@@ -3227,7 +3230,7 @@ object SourceQueries extends QueryPack {
           sum($"l_orderkey" * $"l_linenumber").as("sum_keyprod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_keyprod", $"n_versions")
-      gateCleanup(s, Nil, src, src2, v)
+      gateCleanup(s, Seq(li), src, src2, v)
       out
     }),
 
@@ -3247,10 +3250,13 @@ object SourceQueries extends QueryPack {
       val tag = java.lang.Long.toHexString(System.nanoTime())
       val t = s"target/snapbys-$tag"
       val v = s"bysv_$tag"
+      // staged once (qcx discipline): the rollup feeds the commit, the
+      // max probe, and both merge sources — one aggregation, not four
       val li = graft.core.Tables.load(s, dir, "lineitem")
         .groupBy($"l_orderkey")
         .agg(count(lit(1)).as("n_lines"),
           sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+        .localCheckpoint(true)
       SnapshotLog.commit(li.repartitionByRange(4, $"l_orderkey"), t,
         "append", Seq("l_orderkey"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
@@ -3284,7 +3290,7 @@ object SourceQueries extends QueryPack {
           sum($"l_orderkey" * $"n_lines").as("sum_kn"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kn", $"n_versions")
-      gateCleanup(s, Nil, src, src2, v)
+      gateCleanup(s, Seq(li), src, src2, v)
       out
     }),
 
@@ -3506,6 +3512,7 @@ object SourceQueries extends QueryPack {
       val roll = graft.core.Tables.load(s, dir, "lineitem")
         .groupBy($"l_orderkey")
         .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+        .localCheckpoint(true) // staged once — commit + probe + sources
       SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
         "append", Seq("l_orderkey"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
@@ -3531,7 +3538,7 @@ object SourceQueries extends QueryPack {
           sum($"l_orderkey" % 89).as("sum_kmod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
-      gateCleanup(s, Nil, src, v)
+      gateCleanup(s, Seq(roll), src, v)
       out
     }),
 
@@ -3554,6 +3561,7 @@ object SourceQueries extends QueryPack {
       val roll = graft.core.Tables.load(s, dir, "lineitem")
         .groupBy($"l_orderkey")
         .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+        .localCheckpoint(true) // staged once — commit + probe + sources
       SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
         "append", Seq("l_orderkey"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
@@ -3590,7 +3598,7 @@ object SourceQueries extends QueryPack {
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"carried_files",
           $"n_versions")
-      gateCleanup(s, Nil, src, src2, v)
+      gateCleanup(s, Seq(roll), src, src2, v)
       out
     }),
 
@@ -3609,6 +3617,7 @@ object SourceQueries extends QueryPack {
       val roll = graft.core.Tables.load(s, dir, "lineitem")
         .groupBy($"l_orderkey")
         .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+        .localCheckpoint(true) // staged once — commit + probe + sources
       SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
         "append", Seq("l_orderkey"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
@@ -3636,7 +3645,7 @@ object SourceQueries extends QueryPack {
           sum($"l_orderkey" % 93).as("sum_kmod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
-      gateCleanup(s, Nil, src, v)
+      gateCleanup(s, Seq(roll), src, v)
       out
     }),
 
@@ -3707,6 +3716,7 @@ object SourceQueries extends QueryPack {
       val roll = graft.core.Tables.load(s, dir, "lineitem")
         .groupBy($"l_orderkey")
         .agg(sum(floor($"l_quantity")).cast("long").as("sum_qty"))
+        .localCheckpoint(true) // staged once — commit + probe + sources
       SnapshotLog.commit(roll.repartitionByRange(4, $"l_orderkey"), t,
         "append", Seq("l_orderkey"))
       graft.sql.GraftSql.registerSnapshot(s, v, t, None, Seq("l_orderkey"))
@@ -3730,7 +3740,7 @@ object SourceQueries extends QueryPack {
           sum($"l_orderkey" % 91).as("sum_kmod"))
         .withColumn("n_versions", lit(SnapshotLog.latestVersion(s, t).get))
         .select($"n_rows", $"sum_qty", $"sum_kmod", $"n_versions")
-      gateCleanup(s, Nil, src, v)
+      gateCleanup(s, Seq(roll), src, v)
       out
     }),
 
