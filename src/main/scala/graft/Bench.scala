@@ -123,7 +123,6 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""staging_sec":$stagingSec,"agg":"min-of-runs",""" +
       s""""queries":$qs,"runs":$rawRuns,"sf":"$sfDir"}"""
-    println(json)
     // durable machine-readable artifact: stdout capture has truncated
     // the per-query map in past rounds (BENCH_r03 kept 60/83 entries),
     // so the complete line is also written to a file the judge can read.
@@ -132,6 +131,31 @@ object Bench {
     val outFile = if (only.isDefined) "BENCH_partial.json" else "BENCH_full.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
+    // stdout gets a COMPACT line instead of the full artifact: the
+    // harness keeps only a ~2000-char tail of this process's output,
+    // and the full line (~21 KB at 237 queries — the names alone are
+    // 4.3 KB) has NEVER fit, so every round's per-query data arrived
+    // unparseable (BENCH_r12..r16 all carry parsed:null). Same JSON
+    // shape and keys as before — metric/value/unit/queries/sf — with
+    // the queries map holding the SLOWEST entries that fit a fixed
+    // char budget (the perf-relevant tail; values are per-query mins,
+    // same aggregation as the full artifact) plus a pointer to the
+    // complete on-disk artifact. Nothing is measured differently and
+    // no query is dropped from measurement: the full map lives in the
+    // file, stdout is just sized to survive tail capture.
+    val head = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""staging_sec":$stagingSec,"agg":"min-of-runs",""" +
+      s""""n_queries":${results.size},"queries_file":"$outFile","queries":{"""
+    val tail = s"""},"sf":"$sfDir"}"""
+    val budget = 1800 - head.length - tail.length
+    val bySlow = results.sortBy { case (n, v) => (-v, n) }
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    bySlow.foreach { case (n, v) =>
+      val e = "\"" + n + "\":" + f"$v%.3f"
+      if (used + e.length + 1 <= budget) { parts += e; used += e.length + 1 }
+    }
+    println(head + parts.mkString(",") + tail)
     spark.stop()
   }
 }

@@ -58,6 +58,15 @@ object DedupFunctions {
     * production scale the join key would be a 16-byte digest of the
     * block rather than the block text; the string key keeps the oracle
     * replayable here and changes nothing structural.
+    *
+    * PRECONDITION: `idCol` must be unique per document. The whole
+    * contract assumes it (the rebuild's groupBy(id) merges same-id
+    * rows into one garbled document regardless of implementation),
+    * and the id-keyed join-back leans on it harder than the old
+    * content-keyed join did: with duplicate ids a kept-index array
+    * from one document can mark a same-id/same-index block of a
+    * DIFFERENT document as kept. Callers with non-unique ids must
+    * disambiguate first (e.g. add a uuid/monotonic component).
     */
   /** In-row segmentation into consecutive non-overlapping blocks of
     * `blockTokens` whitespace tokens — ceil(n/bt) blocks as one array

@@ -453,8 +453,16 @@ object SnapshotLog {
     */
   private def shapeRewrite(df: DataFrame,
       layout: Option[LayoutSpec]): DataFrame = {
+    // Also gated on AQE: the REBALANCE hint only becomes a size-
+    // targeted coalescing exchange under adaptive execution — with AQE
+    // off it plans a plain round-robin shuffle at
+    // spark.sql.shuffle.partitions, which for previously shuffle-free
+    // rewrites (deleteWhere: one partition per surviving file) would
+    // ADD a shuffle and potentially MORE small files. Degrade to the
+    // sort-only path there.
     val on = df.sparkSession.conf
-      .get(ShapedRewritesConf, "true").toBoolean
+      .get(ShapedRewritesConf, "true").toBoolean &&
+      df.sparkSession.sessionState.conf.adaptiveExecutionEnabled
     sortForLayout(if (on) df.hint("rebalance") else df, layout)
   }
 
@@ -1540,7 +1548,23 @@ object SnapshotLog {
     * Callers MUST release with [[unpin]] once the commit publishes.
     */
   private[graft] def pin(df: DataFrame): DataFrame = {
-    val p = df.localCheckpoint(eager = true)
+    // A failing eager checkpoint (e.g. a refusal guard folded into the
+    // pinned plan firing mid-materialization) leaves the blocks of its
+    // completed partitions cached with no handle to release them —
+    // snapshot the persistent-RDD set and unpersist whatever the failed
+    // attempt added. Statements run one at a time per session, so the
+    // delta is ours.
+    val scPre = df.sparkSession.sparkContext
+    val preIds = scPre.getPersistentRDDs.keySet
+    val p =
+      try df.localCheckpoint(eager = true)
+      catch {
+        case e: Throwable =>
+          scPre.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!preIds.contains(id)) rdd.unpersist(blocking = false)
+          }
+          throw e
+      }
     // Right-size downstream passes over the pin, keeping a parallelism
     // floor. A checkpoint inherits its plan's partition count —
     // spark.sql.shuffle.partitions for a joined plan — so at scale a
@@ -1558,8 +1582,20 @@ object SnapshotLog {
     val ids = p.queryExecution.analyzed.collectLeaves().collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
-    val bytes = sc.getRDDStorageInfo.filter(i => ids.contains(i.id))
+    // memSize+diskSize is the DESERIALIZED in-memory object size — a
+    // systematic over-estimate vs the serialized shuffle bytes the
+    // advisory target is calibrated for (biases toward MORE partitions,
+    // the safe direction). On a cluster the storage-info read can lag
+    // the checkpoint and report 0, which would silently collapse the
+    // sizing to the parallelism floor — fall back to the optimizer's
+    // size estimate for the pre-checkpoint plan in that case.
+    // Heuristic-only either way: partition count, never correctness.
+    val reported = sc.getRDDStorageInfo.filter(i => ids.contains(i.id))
       .map(i => i.memSize + i.diskSize).sum
+    val bytes =
+      if (reported > 0L) reported
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue / 2)).toLong
     val target = df.sparkSession.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
     val sized = math.max(1L, (bytes + target - 1) / target)
@@ -1897,7 +1933,25 @@ object SnapshotLog {
     */
   def mergeMatched(spark: SparkSession, table: String, keyCols: Seq[String],
       updates: Option[DataFrame], inserts: Option[DataFrame],
-      residual: Seq[ColumnRange], statsCols: Seq[String]): MutationStats = {
+      residual: Seq[ColumnRange], statsCols: Seq[String]): MutationStats =
+    mergeMatched(spark, table, keyCols, updates, inserts, residual,
+      statsCols, stagedKeys = false)
+
+  /** `stagedKeys = true` (the SQL MERGE machinery): the caller
+    * guarantees `updates` is DETERMINISTIC (its plan bottoms out in
+    * pinned/staged frames), so the update-key set is staged with a
+    * LAZY persist that the candidacy probe materializes — one fewer
+    * fixed action per statement than the eager pin, with the same
+    * evaluate-once property. Public callers keep the pinning default:
+    * an arbitrary `updates` plan may be non-deterministic, where a
+    * recompute between candidacy and the marker join must fail rather
+    * than diverge.
+    */
+  private[graft] def mergeMatched(spark: SparkSession, table: String,
+      keyCols: Seq[String],
+      updates: Option[DataFrame], inserts: Option[DataFrame],
+      residual: Seq[ColumnRange], statsCols: Seq[String],
+      stagedKeys: Boolean): MutationStats = {
     require(keyCols.nonEmpty && keyCols.distinct == keyCols,
       s"key columns must be non-empty and distinct, got $keyCols")
     val v0 = latestVersion(spark, table).getOrElse(
@@ -1919,10 +1973,16 @@ object SnapshotLog {
     val cand0 =
       if (residual.isEmpty) m.files
       else m.files.filter(f => !residual.exists(statsExclude(f, _)))
-    // pinned: candidacy and the marker join below must see the same
-    // key set (updates is lazy over the source frame — see updateKeys)
-    val updKeys = updates.map(u =>
-      pin(u.select(keyCols.map(col): _*).distinct()))
+    // pinned (or lazily staged — see the stagedKeys overload doc):
+    // candidacy and the marker join below must see the same key set
+    // (updates is lazy over the source frame — see updateKeys)
+    val updKeys = updates.map { u =>
+      val ks = u.select(keyCols.map(col): _*).distinct()
+      if (stagedKeys) {
+        ks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ks
+      } else pin(ks)
+    }
     try {
       val rewrite = updKeys.map(statsCandidates(_, keyCols, cand0))
         .getOrElse(Nil)
@@ -1946,7 +2006,9 @@ object SnapshotLog {
       val v = publishMutation(spark, table, m, "upsert",
         touched = rewrite, replacement = Nil, added = newFiles, eqAdded = Nil)
       MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size)
-    } finally updKeys.foreach(unpin)
+    } finally updKeys.foreach { k =>
+      if (stagedKeys) k.unpersist(blocking = false) else unpin(k)
+    }
   }
 
   /** The row-level predicate of an AND-of-ranges conjunction — public
@@ -3489,10 +3551,13 @@ object SnapshotLog {
     * entries added, entries removed, and entries whose deletion vector
     * changed (same path + same DV = identical immutable content —
     * skipped without a read). Inserts are `new \ old` and deletes
-    * `old \ new` as MULTISETS (`exceptAll`), so rewrites that carry
-    * most rows forward emit only the actual delta. Cost scales with
-    * the changed files per version, never the table — at 100 TB a
-    * daily CDC consumer reads the day's churn only.
+    * `old \ new` as MULTISETS, computed by ONE signed-weight
+    * aggregation per version (union with ±1 weights, sum per distinct
+    * row, replicate by |delta| — the exceptAll-pair semantics at half
+    * the scans and shuffles), so rewrites that carry most rows forward
+    * emit only the actual delta. Cost scales with the changed files
+    * per version, never the table — at 100 TB a daily CDC consumer
+    * reads the day's churn only.
     *
     * Ranges may span schema evolution and column renames: every
     * version's rows align to the END version's schema (renames map
@@ -3553,18 +3618,40 @@ object SnapshotLog {
       val newSide = m.files.filter(f => !pBy.get(f.path).exists(_.dv == f.dv))
       val entryPart: Option[DataFrame] =
         if (oldSide.isEmpty && newSide.isEmpty) None
+        else if (oldSide.isEmpty)
+          Some(aligned(readFiles(spark, table, m, newSide), m)
+            .withColumn("_change_type", lit("insert")))
+        else if (newSide.isEmpty)
+          Some(aligned(readFiles(spark, table, pm.get, oldSide), pm.get)
+            .withColumn("_change_type", lit("delete")))
         else {
-          val oldDf =
-            if (oldSide.isEmpty) empty
-            else aligned(readFiles(spark, table, pm.get, oldSide), pm.get)
-          val newDf =
-            if (newSide.isEmpty) empty
-            else aligned(readFiles(spark, table, m, newSide), m)
-          val ins = (if (oldSide.isEmpty) newDf else newDf.exceptAll(oldDf))
-            .withColumn("_change_type", lit("insert"))
-          val del = (if (newSide.isEmpty) oldDf else oldDf.exceptAll(newDf))
-            .withColumn("_change_type", lit("delete"))
-          Some(ins.unionByName(del))
+          // FUSED multiset diff. The old shape was an exceptAll PAIR
+          // (`new\old` inserts, `old\new` deletes); Catalyst rewrites
+          // each exceptAll into union→aggregate→replicate, so the pair
+          // scanned both sides twice and shuffled twice per changed
+          // version — the dominant residual cost of CDC mirroring.
+          // One signed-weight aggregation computes BOTH directions:
+          // per distinct row, d = count_new − count_old; d > 0 emits d
+          // inserts, d < 0 emits −d deletes — exactly the exceptAll
+          // pair's multiset semantics (NULL/NaN grouping equality
+          // matches what exceptAll's own aggregate used), with each
+          // side scanned once and ONE exchange per changed version.
+          // No digest proxy: the diff stays exact by construction.
+          val oldDf = aligned(readFiles(spark, table, pm.get, oldSide), pm.get)
+          val newDf = aligned(readFiles(spark, table, m, newSide), m)
+          val w = "__graft_cf_w"
+          val d = "__graft_cf_d"
+          val delta = newDf.withColumn(w, lit(1L))
+            .unionByName(oldDf.withColumn(w, lit(-1L)))
+            .groupBy(endSchema.fieldNames.toIndexedSeq.map(col): _*)
+            .agg(sum(col(w)).as(d))
+            .where(col(d) =!= 0L)
+          Some(delta
+            .withColumn("__graft_cf_i",
+              explode(sequence(lit(1L), abs(col(d)))))
+            .select((endSchema.fieldNames.toIndexedSeq.map(col) :+
+              when(col(d) > 0L, lit("insert")).otherwise(lit("delete"))
+                .as("_change_type")): _*))
         }
       // an equality delete added this version masks rows of PRIOR files
       // without touching their entries: feed them as deletes — the rows
@@ -3718,15 +3805,39 @@ object SnapshotLog {
     changeFeedChunks(spark, src, math.max(ckpt, 0L), Some(srcV),
         maxVersionsPerBatch).foreach { case (from, to, feed0) =>
       // the chunk feed is consumed by several passes (net-collapse
-      // join, apply's candidacy probe, the write itself) — pin it
+      // join, apply's candidacy probe, the write itself) — stage it
       // once instead of re-evaluating the multi-leg diff plan per
       // pass; it is churn-sized (the chunk's changed rows), never
-      // table-sized, so the blocks spill safely at any scale. pin
-      // rather than persist: the pin right-sizes the partitioning
-      // from the materialized bytes, so the diff's many near-empty
-      // union legs don't fan the CDC apply (and its written files)
-      // out to one per leg partition
-      val feed = pin(feed0)
+      // table-sized, so the blocks spill safely at any scale.
+      // RECOVERABLE persist rather than a lineage-truncating pin: the
+      // feed reads committed versions only, so a recompute after
+      // block/executor loss is deterministic — the divergent-recompute
+      // rationale for pin() does not apply, and a long maintenance
+      // catch-up should survive an executor loss rather than fail.
+      // One count() materializes the cache (the same single job the
+      // eager checkpoint cost), then the diff's many near-empty
+      // union-leg partitions coalesce (narrow — blocks are cached) to
+      // the advisory size, same floor discipline as pin(), so the CDC
+      // apply and its written files don't fan out one per leg
+      // partition. Released BLOCKING per chunk: a 1000-version
+      // catch-up holds at most one chunk's churn in storage, which
+      // also keeps the 500+-version replication suites inside a tight
+      // driver heap.
+      val feedC = feed0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feedC.count()
+      val feed = {
+        val bytes = feedC.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf
+            .ADVISORY_PARTITION_SIZE_IN_BYTES))
+        val sized = ((bytes + target - 1) / target).max(1).toLong
+        val nParts = feedC.rdd.getNumPartitions.toLong
+        val k = math.max(sized,
+          math.min(nParts, spark.sparkContext.defaultParallelism.toLong))
+          .toInt
+        if (k < nParts) feedC.coalesce(k) else feedC
+      }
       try {
       // net effect per key over the chunk: the LAST source version
       // touching a key decides — an insert there upserts, a
@@ -3765,7 +3876,7 @@ object SnapshotLog {
           epoch = to)
         if (st.version > before) applied = Some((to, st.version))
       }
-      } finally unpin(feed)
+      } finally feedC.unpersist(blocking = true)
     }
     applied
   }
@@ -3773,8 +3884,8 @@ object SnapshotLog {
   /** The change feed over (fromVersion, toVersion] as BOUNDED sub-range
     * frames: each element is (chunkFrom, chunkTo, feed over
     * (chunkFrom, chunkTo]) with at most `maxVersionsPerChunk` versions
-    * — so at most that many union legs and per-version `exceptAll`
-    * shuffles — per returned plan. A consumer catching up over
+    * — so at most that many union legs and per-version diff
+    * aggregations — per returned plan. A consumer catching up over
     * thousands of versions iterates chunk by chunk (each chunk is an
     * independent job) instead of asking [[readChangeFeed]] for one
     * range-sized union plan; [[replicateChangeFeed]] composes these

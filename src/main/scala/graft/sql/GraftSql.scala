@@ -1012,6 +1012,54 @@ object GraftSql {
     }
   }
 
+  /** Delta's "multiple source rows matched" refusal text — raised by
+    * the guard folded into the matched-pairs pin and rethrown (same
+    * text, same exception class callers always saw) at the statement
+    * level.
+    */
+  private val AmbiguousMergeMsg =
+    "MERGE: multiple source rows matched and attempted to " +
+      "modify the same target row — deduplicate the source " +
+      "on the merge key (or disambiguate with clause " +
+      "conditions)"
+
+  /** Pin a frame that carries a folded `raise_error` refusal guard.
+    * The guard firing during the pin's materialization surfaces as a
+    * SparkException-wrapped task failure; this converts it back into
+    * the statement-level IllegalArgumentException contract (message =
+    * `msg`, the guard's own text) so refusals keep the exact surface
+    * they had when they were separate driver-side probe actions.
+    * Any other failure rethrows untouched.
+    */
+  private def pinRefusing(df: DataFrame, msg: String): DataFrame =
+    refusingAs(msg)(graft.sources.snapshot.SnapshotLog.pin(df))
+
+  /** Run `body`, converting a folded `raise_error` refusal guard that
+    * fired inside one of its Spark jobs (surfacing as a wrapped task
+    * failure whose cause chain carries `msg`) back into the
+    * statement-level IllegalArgumentException contract. Any other
+    * failure rethrows untouched.
+    */
+  private def refusingAs[A](msg: String)(body: => A): A =
+    try body
+    catch {
+      case e: Throwable =>
+        // detect on an ASCII prefix too: some log/exception transports
+        // re-encode the message's non-ASCII dash, and a refusal that
+        // stops matching would surface as a raw job failure
+        val marker = msg.take(40)
+        var t: Throwable = e
+        var hops = 0
+        while (t != null && hops < 32) {
+          val m = t.getMessage
+          if (m != null && (m.contains(msg) || m.contains(marker)))
+            throw new IllegalArgumentException(msg)
+          t = t.getCause
+          hops += 1
+        }
+        throw e
+    }
+
   /** The MERGE execution shared by the bare-view and subquery source
     * forms — `tgtAlias` / `src` are the TARGET and SOURCE aliases
     * (what the ON pairs and clause bodies qualify columns with; the
@@ -1356,8 +1404,15 @@ object GraftSql {
           }
         val srcDf = snap.pin(srcForPin)
         val pins = scala.collection.mutable.ArrayBuffer[DataFrame](srcDf)
+        // lazily-persisted row-set stages (see pinRowSet below) —
+        // released alongside the pins; unpersist on a never-materialized
+        // cache is a safe no-op
+        val staged = scala.collection.mutable.ArrayBuffer[DataFrame]()
         try {
-        val ver = cdcOp match {
+        // the conditional-family ambiguity guard defers to the first
+        // action over the staged row set (inside the mutation
+        // primitives below) — convert it back to the refusal surface
+        val ver = refusingAs(AmbiguousMergeMsg) { cdcOp match {
           case Some(opc) if bySrcClauses.isEmpty && residualRanges.isEmpty &&
               !anySrcCond =>
             snap.applyChanges(srcDf, t, tKeys, opc, stats, -1L).version
@@ -1481,11 +1536,39 @@ object GraftSql {
             // resolved clause and the row's OUTPUT values (update
             // clauses project their assignments, everything else the
             // original target row) — pinned: one semi-join read feeds
-            // the ops, the ambiguity probe, and the insert anti-join.
+            // the ops, the ambiguity refusal, and the insert anti-join.
             // Both sides carry a ROW ID (assigned once — the pin
             // freezes them): the source id drives the ambiguity
             // refusal, the target id collapses a target row's several
             // pairs to its single per-row outcome.
+            //
+            // Delta's "multiple source rows matched" refusal — at a
+            // DELIBERATELY finer grain than Delta's own check: Delta
+            // fires on multiple matches whenever a modify clause
+            // exists, regardless of clause conditions; here two
+            // distinct source rows refuse only when both RESOLVE a
+            // clause against the same target row (a pair no clause
+            // claims modifies nothing, and distinct sources may each
+            // claim a DIFFERENT row of a duplicate-key target). The
+            // relaxation is deterministic and strictly more
+            // permissive — statements Delta refuses can succeed here;
+            // parity tests must not assume Delta's coarser refusal.
+            // WHERE the refusal runs is branch-shaped (the DML family
+            // is action-latency-bound, so probe actions matter):
+            // conditional matched families FOLD the refusal into the
+            // per-target-row collapse window they already pay (the
+            // same Window.partitionBy(tgtId) exchange computes two
+            // more aggregates and a raise_error guard — no extra
+            // action, no extra shuffle); unconditional families keep
+            // the separate one-aggregation probe, because folding
+            // would add a window pass to a branch whose plan contract
+            // is "no Window" (a window shuffles full pair rows where
+            // the probe shuffles two id columns). Either way the
+            // refusal fires BEFORE anything mutates: the guard rides
+            // the staged row set, whose first evaluation is the
+            // mutation primitive's candidacy probe — always ahead of
+            // its write.
+            val anyMatchedCond = matchedClauses.exists(_._1.isDefined)
             val resolvedOpt: Option[DataFrame] =
               if (matchedClauses.isEmpty) None
               else {
@@ -1514,32 +1597,17 @@ object GraftSql {
                 pins += r
                 Some(r)
               }
-            // Delta's "multiple source rows matched" refusal — at a
-            // DELIBERATELY finer grain than Delta's own check: Delta
-            // fires on multiple matches whenever a modify clause
-            // exists, regardless of clause conditions; here two
-            // distinct source rows refuse only when both RESOLVE a
-            // clause against the same target row (a pair no clause
-            // claims modifies nothing, and distinct sources may each
-            // claim a DIFFERENT row of a duplicate-key target). The
-            // relaxation is deterministic and strictly more
-            // permissive — statements Delta refuses can succeed here;
-            // parity tests must not assume Delta's coarser refusal.
-            // The probe is one aggregation over the pinned pairs, and
-            // its pass guarantees every target row has at most ONE
-            // resolved pair — the invariant the rep-collapse below
-            // relies on.
-            resolvedOpt.foreach { r =>
+            // unconditional families: the separate probe (one
+            // aggregation over the pinned pairs — see the branch note
+            // above; its pass guarantees every target row has at most
+            // ONE resolved pair, the invariant the paths below rely on)
+            resolvedOpt.filter(_ => !anyMatchedCond).foreach { r =>
               val amb = r.where(c(clauseCol).isNotNull)
                 .groupBy(c(tgtIdCol))
                 .agg(org.apache.spark.sql.functions
                   .countDistinct(c(srcIdCol)).as("__ns"))
                 .where(c("__ns") > 1)
-              require(amb.isEmpty,
-                "MERGE: multiple source rows matched and attempted to " +
-                  "modify the same target row — deduplicate the source " +
-                  "on the merge key (or disambiguate with clause " +
-                  "conditions)")
+              require(amb.isEmpty, AmbiguousMergeMsg)
             }
             val matchedKeys = resolvedOpt match {
               case Some(r) => r.select(tKeys.map(c): _*).distinct()
@@ -1583,7 +1651,6 @@ object GraftSql {
                   .dropDuplicates(tKeys))
               (u, d)
             }
-            val anyMatchedCond = matchedClauses.exists(_._1.isDefined)
             val (matchedU: Option[DataFrame], matchedD: Option[DataFrame]) =
               resolvedOpt match {
                 case None => (None, None)
@@ -1603,14 +1670,35 @@ object GraftSql {
                   // rider representative (every pair of a riding row
                   // projects the same original values) — without this,
                   // a target row matched by one resolving and one
-                  // non-resolving source row would land twice
+                  // non-resolving source row would land twice.
+                  // The ambiguity refusal rides THIS window (same
+                  // partitionBy — Catalyst folds all three aggregates
+                  // into one Window operator): two distinct resolved
+                  // source ids over a target row make min < max and
+                  // clauseCol evaluates to raise_error, which the
+                  // filters below force for every pair row. The guard
+                  // fires when the staged row set first materializes —
+                  // the mutation primitive's candidacy probe, always
+                  // before its write — and execMerge's dispatch wrapper
+                  // converts it back to the IllegalArgumentException
+                  // surface.
                   val wT = org.apache.spark.sql.expressions.Window
                     .partitionBy(c(tgtIdCol))
+                  val resolvedSrc = org.apache.spark.sql.functions
+                    .when(c(clauseCol).isNotNull, c(srcIdCol))
                   val annT = r.withColumn("__graft_t_resolved",
                     org.apache.spark.sql.functions.max(
                       org.apache.spark.sql.functions
                         .when(c(clauseCol).isNotNull, 1).otherwise(0))
                       .over(wT))
+                    .withColumn(clauseCol,
+                      org.apache.spark.sql.functions.when(
+                        org.apache.spark.sql.functions.min(resolvedSrc)
+                          .over(wT) <
+                          org.apache.spark.sql.functions.max(resolvedSrc)
+                            .over(wT),
+                        org.apache.spark.sql.functions.raise_error(
+                          l(AmbiguousMergeMsg))).otherwise(c(clauseCol)))
                   val reps = annT.where(c(clauseCol).isNotNull)
                     .unionByName(annT.where(c(clauseCol).isNull &&
                         c("__graft_t_resolved") === 0)
@@ -1709,29 +1797,40 @@ object GraftSql {
                       .map(_.cast(f.dataType)).getOrElse(orig))
                     .otherwise(orig)
                 }
-                val unmatched = snap.pin(snap.read(spark, t).as(tgtAlias)
-                  .join(srcMatchable.select(tKeys.map(c): _*).distinct(),
-                    tKeys, "left_anti")
-                  .select((schema.fields.map(f => bOutField(f).as(f.name))
-                    .toSeq :+ bClauseExpr.as(clauseCol)): _*))
-                pins += unmatched
                 // a NULL merge key never equals any source key, so such
                 // target rows are always "not matched by source" — but
                 // the keyed change machinery cannot address them (its
                 // delete anti-join and key-uniqueness probe both skip
                 // NULLs and would misfire with a misleading duplicate-
                 // keys error). Refuse with the actual cause; rows every
-                // by-source CONDITION excludes ride through fine.
+                // by-source CONDITION excludes ride through fine. The
+                // refusal guard is FOLDED INTO THE PIN's materialization
+                // (row-local — no window needed) instead of running as
+                // its own driver-side probe action afterwards: one
+                // fixed action per by-source statement saved, same
+                // exception surface via pinRefusing.
                 val nullKey = tKeys.map(c(_).isNull).reduce(_ || _)
-                require(unmatched
-                    .where(c(clauseCol).isNotNull && nullKey).isEmpty,
+                val nullKeyMsg =
                   s"WHEN NOT MATCHED BY SOURCE cannot act on target " +
                     s"rows whose merge key ($tKeys) is NULL — NULL " +
                     "never matches a source key and the keyed change " +
                     "machinery cannot address those rows; DELETE/" +
                     "UPDATE them via a `<key> IS NULL` predicate first " +
                     "or exclude them with AND <key> IS NOT NULL on the " +
-                    "clause")
+                    "clause"
+                val unmatched = pinRefusing(
+                  snap.read(spark, t).as(tgtAlias)
+                    .join(srcMatchable.select(tKeys.map(c): _*).distinct(),
+                      tKeys, "left_anti")
+                    .select((schema.fields.map(f => bOutField(f).as(f.name))
+                      .toSeq :+ bClauseExpr.as(clauseCol)): _*)
+                    .withColumn(clauseCol,
+                      org.apache.spark.sql.functions.when(
+                        c(clauseCol).isNotNull && nullKey,
+                        org.apache.spark.sql.functions.raise_error(
+                          l(nullKeyMsg))).otherwise(c(clauseCol))),
+                  nullKeyMsg)
+                pins += unmatched
                 val anyBCond = bySrcClauses.exists(_._1.isDefined)
                 if (!anyBCond) {
                   val rows = unmatched
@@ -1745,16 +1844,31 @@ object GraftSql {
             // over the pinned pairs (splitRowOps / the per-target-row
             // collapse) — and the mutation primitives below evaluate
             // their row-set input TWICE (candidacy probe, then the
-            // rewrite write). Pin the row set once so the window plan
+            // rewrite write). Stage the row set once so the window plan
             // runs a single time and both passes read storage blocks;
             // unconditioned merges project straight off the already-
-            // pinned pairs, where a second pin would cost more than
-            // the cheap block re-read it saves.
+            // pinned pairs, where staging would cost more than the
+            // cheap block re-read it saves. Stage = LAZY persist, not
+            // an eager pin: the mutation primitive's candidacy probe
+            // is the first action over the row set and materializes
+            // the cache as a side effect, so the evaluate-once goal
+            // costs NO extra Spark job (the eager checkpoint here was
+            // one of the fixed per-statement actions the DML family is
+            // bound by). Divergence safety: every leaf of the row-set
+            // plan is a pinned frame (the pairs pin, the by-source
+            // pin, the source pin), so even a recompute after block
+            // loss is deterministic — the fail-rather-than-diverge
+            // rationale for pin() does not apply to this frame.
             val windowed = anyMatchedCond ||
               bySrcClauses.exists(_._1.isDefined)
             def pinRowSet(df: DataFrame): DataFrame =
               if (!windowed) df
-              else { val p = snap.pin(df); pins += p; p }
+              else {
+                df.persist(org.apache.spark.storage
+                  .StorageLevel.MEMORY_AND_DISK)
+                staged += df
+                df
+              }
             if (bySrcClauses.isEmpty &&
                 (residualRanges.nonEmpty || anySrcCond))
               // replace-by-key restricted to residual-passing rows
@@ -1763,8 +1877,13 @@ object GraftSql {
               // an unmatched source row INSERTS even when its key
               // exists outside the residual's reach — the Delta
               // bounded-merge outcome
+              // stagedKeys: the row set bottoms out in pinned frames
+              // either way (staged window output or a projection off
+              // the pinned pairs), so the key-set distinct is
+              // deterministic and stages lazily — the candidacy probe
+              // materializes it, saving the eager key-pin action
               snap.mergeMatched(spark, t, tKeys, matchedU.map(pinRowSet),
-                inserted, residualRanges, stats).version
+                inserted, residualRanges, stats, stagedKeys = true).version
             else if (bySrcClauses.isEmpty && matchedD.isEmpty) {
               val updates = pinRowSet((matchedU.toSeq ++ inserted)
                 .reduce(_ unionByName _))
@@ -1789,9 +1908,12 @@ object GraftSql {
               snap.applyChangesRows(changes, t, tKeys, opCol, stats, -1L)
                 .version
             }
-        }
+        } }
         ver
-        } finally pins.foreach(snap.unpin)
+        } finally {
+          pins.foreach(snap.unpin)
+          staged.foreach(_.unpersist(blocking = false))
+        }
   }
 
   def dml(spark: SparkSession, statement: String): Long = {

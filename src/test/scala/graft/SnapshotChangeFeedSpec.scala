@@ -62,6 +62,46 @@ class SnapshotChangeFeedSpec extends AnyFunSuite {
     assert(!m.contains(("insert", 3L)))
   }
 
+  test("the per-version diff is multiset-exact under duplicate rows") {
+    // the entry diff is a fused signed-weight aggregation (one
+    // exchange) replacing the old exceptAll PAIR — this property pins
+    // the equivalence where they could diverge: rows repeated with
+    // DIFFERENT multiplicities on the two sides of a rewrite. Per
+    // version, the feed must equal the full-state multiset diff
+    // (insert = state(v) \\ state(v-1), delete = the reverse, with
+    // exact counts — exceptAll both ways as the reference oracle).
+    val t = freshTable("multiset")
+    // v1: full tuples repeated 3x each
+    val dup3 = df(0, 20)
+    SnapshotLog.commit(dup3.unionAll(dup3).unionAll(dup3).coalesce(1),
+      t, "append", Seq("id"))
+    // v2: overwrite shifts multiplicities (2x of a shifted range) —
+    // shared tuples change count, some vanish, some appear
+    val dup2 = df(10, 30)
+    SnapshotLog.commit(dup2.unionAll(dup2).coalesce(1), t,
+      "overwrite", Seq("id"))
+    // v3: CoW delete rewrites a duplicate-bearing file
+    SnapshotLog.deleteWhere(s, t, "id", 12L, 15L, Seq("id"))
+    (1L to 3L).foreach { v =>
+      val f = feed(t, v - 1, Some(v))
+      val ins = f.where($"_change_type" === "insert")
+        .drop("_change_type", "_commit_version")
+      val del = f.where($"_change_type" === "delete")
+        .drop("_change_type", "_commit_version")
+      val cur = SnapshotLog.read(s, t, Some(v))
+      val prev = if (v == 1L) cur.limit(0)
+        else SnapshotLog.read(s, t, Some(v - 1))
+      val refIns = cur.exceptAll(prev)
+      val refDel = prev.exceptAll(cur)
+      assert(ins.exceptAll(refIns).count() == 0 &&
+        refIns.exceptAll(ins).count() == 0,
+        s"v$v inserts diverge from the multiset state diff")
+      assert(del.exceptAll(refDel).count() == 0 &&
+        refDel.exceptAll(del).count() == 0,
+        s"v$v deletes diverge from the multiset state diff")
+    }
+  }
+
   test("DV delete feeds exactly the masked rows") {
     val t = freshTable("dv")
     SnapshotLog.commit(df(0, 100).repartition(1), t, "append", Seq("id"))

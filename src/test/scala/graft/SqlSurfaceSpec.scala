@@ -1778,6 +1778,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
       e2.getMessage)
     assert(spark.sql("SELECT sum(v) FROM dupv").head.getLong(0) == 0L,
       "a refused MERGE mutated the table")
+    // CONDITIONAL clauses where BOTH duplicate source rows resolve
+    // against the same target row refuse through the window-folded
+    // guard (it rides the per-row collapse window and fires when the
+    // staged row set first materializes — still before any mutation),
+    // with the same exception surface as the unconditional probe
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        """MERGE INTO dupv USING dup_src ON dupv.id = dup_src.id
+          |WHEN MATCHED AND dup_src.v > 0 THEN UPDATE SET v = dup_src.v
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e3.getMessage.contains("multiple source rows matched"),
+      e3.getMessage)
+    assert(spark.sql("SELECT sum(v) FROM dupv").head.getLong(0) == 0L,
+      "a refused conditional MERGE mutated the table")
     // a clause condition that lets at most one source row resolve per
     // key disambiguates — the non-resolving pair modifies nothing and
     // the matched row must NOT be duplicated by it
