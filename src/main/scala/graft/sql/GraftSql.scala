@@ -1404,10 +1404,6 @@ object GraftSql {
           }
         val srcDf = snap.pin(srcForPin)
         val pins = scala.collection.mutable.ArrayBuffer[DataFrame](srcDf)
-        // lazily-persisted row-set stages (see pinRowSet below) —
-        // released alongside the pins; unpersist on a never-materialized
-        // cache is a safe no-op
-        val staged = scala.collection.mutable.ArrayBuffer[DataFrame]()
         try {
         // the conditional-family ambiguity guard defers to the first
         // action over the staged row set (inside the mutation
@@ -1848,26 +1844,27 @@ object GraftSql {
             // runs a single time and both passes read storage blocks;
             // unconditioned merges project straight off the already-
             // pinned pairs, where staging would cost more than the
-            // cheap block re-read it saves. Stage = LAZY persist, not
-            // an eager pin: the mutation primitive's candidacy probe
-            // is the first action over the row set and materializes
-            // the cache as a side effect, so the evaluate-once goal
-            // costs NO extra Spark job (the eager checkpoint here was
-            // one of the fixed per-statement actions the DML family is
-            // bound by). Divergence safety: every leaf of the row-set
-            // plan is a pinned frame (the pairs pin, the by-source
-            // pin, the source pin), so even a recompute after block
-            // loss is deterministic — the fail-rather-than-diverge
-            // rationale for pin() does not apply to this frame.
+            // cheap block re-read it saves. Stage = LAZY localCheckpoint,
+            // not an eager pin: the mutation primitive's candidacy
+            // probe is the first action over the row set and
+            // materializes the checkpoint blocks as a side effect, so
+            // the evaluate-once goal costs NO extra Spark job (the
+            // eager checkpoint here was one of the fixed per-statement
+            // actions the DML family is bound by), while the rewrite
+            // write still reads raw checkpoint blocks (a columnar
+            // persist variant was tried and measured slower on the
+            // re-read passes). The usual checkpoint trade is
+            // acceptable here exactly as in pin(): this frame feeds a
+            // mutation, so fail-rather-than-recompute is the right
+            // behavior on block loss.
             val windowed = anyMatchedCond ||
               bySrcClauses.exists(_._1.isDefined)
             def pinRowSet(df: DataFrame): DataFrame =
               if (!windowed) df
               else {
-                df.persist(org.apache.spark.storage
-                  .StorageLevel.MEMORY_AND_DISK)
-                staged += df
-                df
+                val p = df.localCheckpoint(eager = false)
+                pins += p
+                p
               }
             if (bySrcClauses.isEmpty &&
                 (residualRanges.nonEmpty || anySrcCond))
@@ -1910,10 +1907,7 @@ object GraftSql {
             }
         } }
         ver
-        } finally {
-          pins.foreach(snap.unpin)
-          staged.foreach(_.unpersist(blocking = false))
-        }
+        } finally pins.foreach(snap.unpin)
   }
 
   def dml(spark: SparkSession, statement: String): Long = {
